@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.{AsOfJoin, LatestPerKey}
+import org.apache.spark.sql.functions._
+
+/** Join family. The reference never joins its three tables (SURVEY.md §2.8);
+  * these are the natural joins implied by its schema, phrased over testdata,
+  * plus the time-series-idiomatic as-of join.
+  *
+  * Scale notes: dimension sides (customer, part) are broadcast explicitly —
+  * at 100 TB the fact side (orders/lineitem/events) never shuffles for these
+  * joins; aggregation happens with map-side partials after the broadcast
+  * hash join. The as-of join is the union+window formulation (one shuffle,
+  * see [[graft.operators.AsOfJoin]]).
+  */
+object JoinQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- broadcast equi-join + grouped aggregate ------------------------
+    Q("q_join_orders_customer",
+      (s, dir) => Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("revenue"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- broadcast join, filtered dim, decimal-exact revenue ------------
+    Q("q_join_lineitem_part",
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_size") <= 10)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(5,3)")))
+            .cast("double").as("revenue"))
+        .orderBy(col("p_brand")),
+      Some("""SELECT p_brand, count(*) AS n_items,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+             |                (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(5,3)))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_size <= 10
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // ---- left-semi join (EXISTS) ----------------------------------------
+    Q("q_semi_join",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- left-anti join (NOT EXISTS) ------------------------------------
+    Q("q_anti_join",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- backward as-of join: latest click at/before each error ---------
+    Q("q_asof_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val err = e.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        // dedupe right side per (user_id, ts) for deterministic ties
+        val clk = LatestPerKey.maxBy(
+          e.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+            .withColumn("__k", concat_ws("|", col("user_id"), unix_micros(col("ts")))),
+          "__k", Seq(col("event_id"))).drop("__k")
+        AsOfJoin.backward(err, clk, "user_id", "ts", "ts",
+            Seq("event_id", "ts", "value"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_event_id").as("click_id"),
+            col("asof_ts").as("click_ts"),
+            col("asof_value").as("click_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH err AS (
+             |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'error'),
+             |clk AS (
+             |  SELECT user_id, ts, event_id, value FROM (
+             |    SELECT user_id, ts, event_id, value,
+             |           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+             |    FROM events WHERE event_type = 'click') t WHERE rn = 1)
+             |SELECT e.event_id, e.user_id, e.ts,
+             |       c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
+             |FROM err e ASOF LEFT JOIN clk c
+             |  ON e.user_id = c.user_id AND c.ts <= e.ts
+             |ORDER BY e.event_id""".stripMargin))
+  )
+}
