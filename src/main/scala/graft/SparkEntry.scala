@@ -11,7 +11,10 @@ object SparkEntry {
 
   private lazy val registry: Seq[Q] =
     graft.queries.CoreQueries.all ++
-      graft.queries.JoinQueries.all
+      graft.queries.JoinQueries.all ++
+      graft.queries.TextQueries.all ++
+      graft.queries.DedupQueries.all ++
+      graft.queries.SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Latest event per user (the reference's signature DISTINCT ON operator,

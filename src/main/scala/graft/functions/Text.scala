@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the training-data pipeline operators:
+  * tokenization, portable hashing, shingling, minhash signatures, simhash.
+  *
+  * Two hash families:
+  *  - `polyHash`: a base-31 polynomial over code points mod 1e9+7. Slower
+  *    (per-char lambda) but expressible identically in DuckDB SQL, so every
+  *    operator built on it is oracle-checkable bit-for-bit.
+  *  - `fastHash`: xxhash64 — codegen'd, the 100 TB path. Same operator
+  *    shapes, not oracle-portable (DuckDB lacks xxhash64), used by the
+  *    `*_fast` bench variants.
+  *
+  * All ratio outputs are integer parts-per-million (`x * 1e6 div n`) —
+  * integer arithmetic end-to-end, so engine comparison is exact.
+  */
+object Text {
+
+  /** 1e9+7 — fits 64-bit intermediate products for all uses here
+    * (max multiplier 129 ⇒ h*129 < 2^37.5 · no overflow). */
+  val P = 1000000007L
+
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Portable polynomial hash over code points: fold(h*31 + cp) mod P. */
+  def polyHash(c: Column): Column =
+    aggregate(split(c, ""), lit(0L),
+      (acc, ch) => pmod(acc * 31 + ascii(ch), lit(P)))
+
+  /** Codegen-friendly 64-bit hash for the scale path. */
+  def fastHash(c: Column): Column = xxhash64(c)
+
+  /** Word n-gram shingles ("a b c" 3-grams) as an array column. */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val t = tokens(c)
+    transform(sequence(lit(0), size(t) - n),
+      j => concat_ws(" ", (0 until n).map(o => element_at(t, j + o + 1)): _*))
+  }
+
+  /** Distinct shingle hashes (portable hash). */
+  def shingleHashes(c: Column, n: Int = 3): Column =
+    array_distinct(transform(shingles(c, n), s => polyHash(s)))
+
+  /** k-permutation minhash signature over the shingle set.
+    * Permutation i: h ↦ (h·(2i+3) + 7i + 1) mod P. */
+  def minhashSig(c: Column, k: Int): Column = {
+    val hs = shingleHashes(c)
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(hs, h => pmod(h * (i * 2 + 3) + i * 7 + 1, lit(P)))))
+  }
+
+  /** 30-bit simhash over token hashes (bit j set iff the +1/−1 vote of all
+    * token-hash bits j sums positive). Takes the NAME of a precomputed
+    * array<long> token-hash column (SQL-expression form because Spark's
+    * Scala `shiftright` only accepts literal shift amounts). */
+  def simhash30(tokHashCol: String): Column = expr(
+    s"""aggregate(sequence(0, 29), 0L, (acc, j) ->
+       |  acc + IF(aggregate($tokHashCol, 0L,
+       |             (sm, h) -> sm + IF(CAST(shiftright(h, j) AS BIGINT) % 2 = 1, 1L, -1L)) > 0,
+       |           shiftleft(1L, j), 0L))""".stripMargin)
+
+  /** Tokens of `c` that appear in `dict`, counted. */
+  def dictHits(c: Column, dict: Seq[String]): Column =
+    size(filter(tokens(c), t => array_contains(array(dict.map(lit): _*), t)))
+
+  /** Stopword list used by quality scoring + language ID (English). */
+  val StopEn = Seq("the", "and", "of", "to", "in", "is", "that", "it", "a", "for")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu")
+  val StopFr = Seq("le", "la", "les", "et", "est", "dans", "une", "pour")
+  val StopEs = Seq("el", "los", "las", "y", "es", "en", "un", "por")
+  val StopZh = Seq("的", "是", "不", "了", "在")
+
+  /** SQL fragment mirroring [[dictHits]] for the DuckDB oracle. */
+  def dictHitsSql(textExpr: String, dict: Seq[String]): String = {
+    val lits = dict.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split($textExpr, ' '), t -> list_contains([$lits], t)))"
+  }
+
+  /** SQL fragment mirroring [[polyHash]] for the DuckDB oracle. */
+  def polyHashSql(strExpr: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(range(len($strExpr)), " +
+      s"k -> unicode(($strExpr)[k+1])::BIGINT)), (acc, c) -> (acc*31 + c) % $P)"
+
+  /** SQL fragment mirroring [[shingleHashes]] (distinct 3-gram hashes). */
+  def shingleHashesSql(textExpr: String): String = {
+    val tok = s"string_split($textExpr, ' ')"
+    s"list_distinct(list_transform(list_transform(range(len($tok) - 2), " +
+      s"j -> $tok[j+1] || ' ' || $tok[j+2] || ' ' || $tok[j+3]), " +
+      s"s -> ${polyHashSql("s")}))"
+  }
+
+  /** SQL fragment mirroring [[minhashSig]]. */
+  def minhashSigSql(textExpr: String, k: Int): String =
+    s"list_transform(range($k), i -> list_min(list_transform(" +
+      s"${shingleHashesSql(textExpr)}, h -> (h*(2*i+3) + i*7 + 1) % $P)))"
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection: shingle → minhash signature →
+  * band → bucket-join. The classic Broder scheme, shaped for Spark scale:
+  *
+  *   1. one narrow pass computes the k-perm signature per doc (no shuffle);
+  *   2. docs explode to `bands` rows keyed by (band, hash of the band's
+  *      signature slice) — a shuffle of b×|docs| SMALL rows (id + 16 bytes),
+  *      never the documents themselves;
+  *   3. an equi-join on the bucket key yields candidate pairs — skew-safe
+  *      because a bucket only collects true near-dups plus rare collisions;
+  *   4. candidates re-join the signature table to estimate Jaccard as
+  *      matching-perms/k; pairs under `minEst` are dropped.
+  *
+  * At 100 TB the only wide ops are the bucket-key shuffle (tiny rows) and
+  * the two signature joins (pre-filtered to candidates). No N² anywhere.
+  *
+  * Estimated similarity is exact integer ppm (matching·1e6/k with k | 1e6),
+  * so results are engine-portable for the DuckDB oracle.
+  */
+object MinHashLSH {
+
+  /** @param df       input
+    * @param idCol    unique doc id (orderable)
+    * @param textCol  text column to shingle
+    * @param k        permutations (must divide 1e6 for exact ppm)
+    * @param bands    LSH bands (k % bands == 0); rows-per-band = k/bands
+    * @param minEstPpm drop candidate pairs with estimated Jaccard below this
+    * @return (id_a, id_b, est_ppm) with id_a < id_b
+    */
+  def candidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 64,
+      bands: Int = 16,
+      minEstPpm: Long = 500000L): DataFrame = {
+    require(k % bands == 0 && 1000000 % k == 0)
+    val r = k / bands
+
+    val sig = df
+      .select(col(idCol).as("__id"), Text.minhashSig(col(textCol), k).as("__sig"))
+
+    val buckets = sig
+      .select(col("__id"), col("__sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("__band"))
+      .withColumn("__bkey",
+        md5(concat_ws(",", transform(
+          slice(col("__sig"), col("__band") * r + 1, lit(r)),
+          x => x.cast("string")))))
+      .select(col("__id"), col("__band"), col("__bkey"))
+
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__bkey") === col("b.__bkey") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+
+    val withEst = cand
+      .join(sig.withColumnRenamed("__id", "id_a").withColumnRenamed("__sig", "__sa"), "id_a")
+      .join(sig.withColumnRenamed("__id", "id_b").withColumnRenamed("__sig", "__sb"), "id_b")
+      .withColumn("__match",
+        size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y), b => b)))
+      .withColumn("est_ppm", col("__match").cast("long") * (1000000L / k))
+
+    withEst
+      .filter(col("est_ppm") >= minEstPpm)
+      .select(col("id_a"), col("id_b"), col("est_ppm"))
+  }
+
+  /** Exact n-gram Jaccard pairs ≥ threshold via distinct-shingle explode +
+    * equi-join on shingle hash. Exact counterpart to [[candidatePairs]];
+    * integer-ppm arithmetic throughout. The shingle join is the wide op —
+    * fine when shingles are near-unique (natural text), skew-prone on
+    * degenerate corpora (use candidatePairs there). */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccardPpm: Long = 500000L): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("__id"),
+        explode(Text.shingleHashes(col(textCol))).as("__h"))
+    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
+
+    sh.as("a").join(sh.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("__inter"))
+      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
+      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
+      .withColumn("jaccard_ppm",
+        expr("__inter * 1000000L div (__na + __nb - __inter)"))
+      .filter(col("jaccard_ppm") >= minJaccardPpm)
+      .select(col("id_a"), col("id_b"), col("jaccard_ppm"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Text
+import graft.operators.MinHashLSH
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over `documents`: exact (hash-groupBy), exact
+  * n-gram Jaccard, MinHash+LSH candidates, SimHash hamming pairs. All
+  * oracle-checked via integer-ppm arithmetic (see operators/MinHashLSH).
+  */
+object DedupQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- exact dedup: group identical text, keep lowest id ---------------
+    Q("q_dedup_exact",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id")),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+
+    // ---- exact dedup on content hash (the 100 TB shape: group 16-byte
+    //      digests, never the full text) ----------------------------------
+    Q("q_dedup_exact_hash",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("h"), col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id")),
+      Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
+
+    // ---- exact 3-gram Jaccard near-dup pairs ≥ 0.5 -----------------------
+    Q("q_jaccard_pairs",
+      (s, dir) => MinHashLSH.jaccardPairs(
+          Tables.documents(s, dir), "doc_id", "text", minJaccardPpm = 500000L)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, unnest(${Text.shingleHashesSql("text")}) AS h FROM documents),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT id_a, id_b, i * 1000000 // (sa.n + sb.n - i) AS jaccard_ppm
+              |FROM inter
+              |JOIN sizes sa ON id_a = sa.doc_id
+              |JOIN sizes sb ON id_b = sb.doc_id
+              |WHERE i * 1000000 // (sa.n + sb.n - i) >= 500000
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- MinHash + LSH candidate pairs (64 perms, 16 bands × 4) ----------
+    Q("q_minhash_lsh_pairs",
+      (s, dir) => MinHashLSH.candidatePairs(
+          Tables.documents(s, dir), "doc_id", "text",
+          k = 64, bands = 16, minEstPpm = 500000L)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH sig AS (
+              |  SELECT doc_id, ${Text.minhashSigSql("text", 64)} AS sig FROM documents),
+              |buckets AS (
+              |  SELECT doc_id, sig, i AS band,
+              |         md5(array_to_string(sig[i*4+1 : i*4+4], ',')) AS bkey
+              |  FROM sig, range(16) t(i)),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM buckets a
+              |  JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey
+              |                AND a.doc_id < b.doc_id),
+              |est AS (
+              |  SELECT id_a, id_b,
+              |         len(list_filter(range(64), i -> sa.sig[i+1] = sb.sig[i+1])) * 15625 AS est_ppm
+              |  FROM cand
+              |  JOIN sig sa ON cand.id_a = sa.doc_id
+              |  JOIN sig sb ON cand.id_b = sb.doc_id)
+              |SELECT id_a, id_b, est_ppm FROM est
+              |WHERE est_ppm >= 500000 ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- SimHash near-dup pairs: sampled probe side, hamming ≤ 6 ---------
+    Q("q_simhash_pairs",
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .withColumn("__tokh",
+            transform(Text.tokens(col("text")), t => Text.polyHash(t)))
+          .select(col("doc_id"), Text.simhash30("__tokh").as("sh"))
+        sh.as("a").filter(col("doc_id") % 20 === 0)
+          .join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .withColumn("hamming",
+            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long"))
+          .filter(col("hamming") <= 6)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH th AS (SELECT doc_id,
+              |  list_transform(string_split(text, ' '), t -> ${Text.polyHashSql("t")}) AS h
+              |  FROM documents),
+              |sh AS (SELECT doc_id,
+              |  list_reduce(list_prepend(0::BIGINT, range(30)), (acc, j) ->
+              |    acc + CASE WHEN list_reduce(list_prepend(0::BIGINT, h),
+              |                 (sm, x) -> sm + CASE WHEN (x >> j::INT) & 1 = 1 THEN 1 ELSE -1 END) > 0
+              |               THEN (1::BIGINT << j::INT) ELSE 0 END) AS sh
+              |  FROM th)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+              |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |WHERE a.doc_id % 20 = 0 AND bit_count(xor(a.sh, b.sh)) <= 6
+              |ORDER BY id_a, id_b""".stripMargin))
+  )
+}

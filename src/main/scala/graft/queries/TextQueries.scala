@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token stats, quality
+  * scoring, language-ID heuristic, fingerprinting, simhash. All ratios are
+  * integer ppm (exact across engines); every query is oracle-checked.
+  *
+  * These are narrow, shuffle-free per-row transforms — at 100 TB they
+  * pipeline inside whole-stage codegen (modulo the HOF lambdas) with no
+  * data movement; only the final ORDER BY (for the oracle) is wide, and a
+  * production caller would drop it.
+  */
+object TextQueries {
+
+  private val langDicts: Seq[(String, Seq[String])] = Seq(
+    "en" -> Text.StopEn, "es" -> Text.StopEs, "de" -> Text.StopDe,
+    "fr" -> Text.StopFr, "zh" -> Text.StopZh)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- token counting --------------------------------------------------
+    Q("q_doc_tokens",
+      (s, dir) => Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
+          size(array_distinct(Text.tokens(col("text")))).cast("long").as("n_distinct"),
+          length(col("text")).cast("long").as("n_chars_m"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             |  len(text) AS n_chars_m
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- quality scoring: type-token ratio, mean word length, stopword
+    //      ratio, punctuation count — integer ppm everywhere ---------------
+    Q("q_doc_quality",
+      (s, dir) => {
+        val t = Text.tokens(col("text"))
+        Tables.documents(s, dir)
+          .withColumn("__n", size(t).cast("long"))
+          .withColumn("__nd", size(array_distinct(t)).cast("long"))
+          .withColumn("__sumlen",
+            aggregate(t, lit(0L), (a, w) => a + length(w)))
+          .withColumn("__stop", Text.dictHits(col("text"), Text.StopEn).cast("long"))
+          .withColumn("__punct",
+            length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long"))
+          .select(
+            col("doc_id"), col("__n").as("n_tokens"),
+            expr("__nd * 1000000L div __n").as("ttr_ppm"),
+            expr("__sumlen * 1000000L div __n").as("mean_len_ppm"),
+            expr("__stop * 1000000L div __n").as("stop_ppm"),
+            col("__punct").as("n_punct"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+              |  len(list_distinct(string_split(text, ' '))) * 1000000 // len(string_split(text, ' ')) AS ttr_ppm,
+              |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ' '), w -> len(w)::BIGINT)), (a, x) -> a + x)
+              |    * 1000000 // len(string_split(text, ' ')) AS mean_len_ppm,
+              |  ${Text.dictHitsSql("text", Text.StopEn)} * 1000000 // len(string_split(text, ' ')) AS stop_ppm,
+              |  len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- language-ID heuristic: stopword-dictionary voting ---------------
+    Q("q_doc_lang_guess",
+      (s, dir) => {
+        val scored = langDicts.foldLeft(Tables.documents(s, dir)) {
+          case (d, (l, dict)) =>
+            d.withColumn(s"s_$l", Text.dictHits(col("text"), dict).cast("long"))
+        }
+        val guess =
+          when(col("s_en") > 0 &&
+            col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr"), col("s_zh")), "en")
+          .when(col("s_es") > 0 &&
+            col("s_es") >= greatest(col("s_de"), col("s_fr"), col("s_zh")), "es")
+          .when(col("s_de") > 0 && col("s_de") >= greatest(col("s_fr"), col("s_zh")), "de")
+          .when(col("s_fr") > 0 && col("s_fr") >= col("s_zh"), "fr")
+          .when(col("s_zh") > 0, "zh")
+          .otherwise("und")
+        scored
+          .select(col("doc_id"), col("lang"),
+            col("s_en"), col("s_es"), col("s_de"), col("s_fr"), col("s_zh"),
+            guess.as("lang_guess"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val hits = langDicts.map { case (l, d) =>
+          s"${Text.dictHitsSql("text", d)} AS s_$l"
+        }.mkString(",\n  ")
+        s"""WITH scored AS (SELECT doc_id, lang, $hits FROM documents)
+           |SELECT doc_id, lang, s_en, s_es, s_de, s_fr, s_zh,
+           |  CASE
+           |    WHEN s_en > 0 AND s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+           |    WHEN s_es > 0 AND s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
+           |    WHEN s_de > 0 AND s_de >= greatest(s_fr, s_zh) THEN 'de'
+           |    WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+           |    WHEN s_zh > 0 THEN 'zh'
+           |    ELSE 'und' END AS lang_guess
+           |FROM scored ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- document fingerprinting: whole-text polynomial hash + minimum
+    //      rolling 8-gram hash (winnowing-style sketch) --------------------
+    Q("q_doc_fingerprint",
+      (s, dir) => Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          Text.polyHash(col("text")).as("fp_full"),
+          when(length(col("text")) >= 8,
+            array_min(expr(
+              s"""transform(sequence(0, length(text) - 8), i ->
+                 |  aggregate(split(substr(text, i + 1, 8), ''), 0L,
+                 |    (acc, c) -> pmod(acc * 31 + ascii(c), ${Text.P})))""".stripMargin)))
+            .otherwise(lit(null)).as("fp_min8"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  ${Text.polyHashSql("text")} AS fp_full,
+              |  CASE WHEN len(text) >= 8 THEN
+              |    list_min(list_transform(range(len(text) - 7),
+              |      i -> ${Text.polyHashSql("substr(text, i + 1, 8)")}))
+              |  ELSE NULL END AS fp_min8
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- 30-bit simhash per document ------------------------------------
+    Q("q_doc_simhash",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("__tokh",
+          transform(Text.tokens(col("text")), t => Text.polyHash(t)))
+        .select(col("doc_id"), Text.simhash30("__tokh").as("simhash"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH th AS (SELECT doc_id,
+              |  list_transform(string_split(text, ' '), t -> ${Text.polyHashSql("t")}) AS h
+              |  FROM documents)
+              |SELECT doc_id,
+              |  list_reduce(list_prepend(0::BIGINT, range(30)), (acc, j) ->
+              |    acc + CASE WHEN list_reduce(list_prepend(0::BIGINT, h),
+              |                 (sm, x) -> sm + CASE WHEN (x >> j::INT) & 1 = 1 THEN 1 ELSE -1 END) > 0
+              |               THEN (1::BIGINT << j::INT) ELSE 0 END) AS simhash
+              |FROM th ORDER BY doc_id""".stripMargin))
+  )
+}
