@@ -1,0 +1,99 @@
+package graft.ml
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Isolation-forest anomaly scoring — the one reference capability with no
+  * Spark built-in (pyod IForest over sklearn IsolationForest,
+  * models/best_anomaly_detector_v18.pkl; SURVEY.md §2.9 M5, §7.3).
+  *
+  * Scale shape: trees are fit on a driver-side SAMPLE (the standard
+  * algorithm uses max_samples=256 regardless of data size — at 100 TB you
+  * fit on a tiny `df.sample`), then the forest is broadcast and scoring is
+  * an embarrassingly-parallel per-row UDF. No shuffle anywhere.
+  *
+  * Deterministic for a fixed seed: splits come from a seeded PRNG and
+  * sampling uses a fixed-seed `df.sample`.
+  */
+object IsolationForest {
+
+  sealed trait Tree extends Serializable
+  final case class Split(feature: Int, threshold: Double, left: Tree, right: Tree) extends Tree
+  final case class Leaf(size: Int) extends Tree
+
+  final case class Model(trees: Seq[Tree], sampleSize: Int) extends Serializable {
+    /** Average path length over the forest, normalized to the anomaly score
+      * 2^(−E[h]/c(n)) ∈ (0,1]; higher = more anomalous. */
+    def score(x: Array[Double]): Double = {
+      val avgPath = trees.map(t => pathLength(t, x, 0)).sum / trees.size
+      math.pow(2.0, -avgPath / c(sampleSize))
+    }
+  }
+
+  /** Expected path length of an unsuccessful BST search — c(n) from the
+    * Liu/Ting/Zhou isolation-forest paper. */
+  def c(n: Int): Double =
+    if (n <= 1) 1.0
+    else 2.0 * (math.log(n - 1.0) + 0.5772156649) - 2.0 * (n - 1.0) / n
+
+  @annotation.tailrec
+  private def pathLength(t: Tree, x: Array[Double], depth: Int): Double = t match {
+    case Leaf(size) => depth + (if (size > 1) c(size) else 0.0)
+    case Split(f, thr, l, r) =>
+      if (x(f) < thr) pathLength(l, x, depth + 1) else pathLength(r, x, depth + 1)
+  }
+
+  private def build(rows: Array[Array[Double]], depth: Int, maxDepth: Int,
+      rng: Random): Tree = {
+    if (rows.length <= 1 || depth >= maxDepth) Leaf(rows.length)
+    else {
+      val nf = rows.head.length
+      // pick among features that still vary; give up → leaf
+      val varying = (0 until nf).filter { f =>
+        val vs = rows.map(_(f)); vs.max > vs.min
+      }
+      if (varying.isEmpty) Leaf(rows.length)
+      else {
+        val f = varying(rng.nextInt(varying.length))
+        val vs = rows.map(_(f))
+        val (lo, hi) = (vs.min, vs.max)
+        val thr = lo + rng.nextDouble() * (hi - lo)
+        val (l, r) = rows.partition(_(f) < thr)
+        Split(f, thr, build(l, depth + 1, maxDepth, rng),
+          build(r, depth + 1, maxDepth, rng))
+      }
+    }
+  }
+
+  /** Fit on a driver-collected sample of `featureCols`. */
+  def fit(df: DataFrame, featureCols: Seq[String], nTrees: Int = 100,
+      maxSamples: Int = 256, seed: Long = 42L): Model = {
+    val n = df.count()
+    val frac = math.min(1.0, (maxSamples.toDouble * nTrees * 2) / math.max(n, 1L))
+    val sample = df.select(featureCols.map(c => col(c).cast("double")): _*)
+      .na.drop()
+      .sample(withReplacement = false, frac, seed)
+      .limit(maxSamples * nTrees)
+      .collect()
+      .map(r => Array.tabulate(featureCols.size)(r.getDouble))
+    val rng = new Random(seed)
+    val perTree = math.min(maxSamples, math.max(sample.length, 2))
+    val maxDepth = math.ceil(math.log(perTree.toDouble) / math.log(2.0)).toInt
+    val trees = (0 until nTrees).map { _ =>
+      val idx = Array.fill(perTree)(rng.nextInt(sample.length))
+      build(idx.map(sample), 0, maxDepth, rng)
+    }
+    Model(trees, perTree)
+  }
+
+  /** Broadcast the forest and score every row (appends `anomaly_score`). */
+  def scoreAll(spark: SparkSession, df: DataFrame, featureCols: Seq[String],
+      model: Model): DataFrame = {
+    val bc: Broadcast[Model] = spark.sparkContext.broadcast(model)
+    val scoreUdf = udf((xs: Seq[Double]) => bc.value.score(xs.toArray))
+    df.withColumn("anomaly_score",
+      scoreUdf(array(featureCols.map(c => coalesce(col(c).cast("double"), lit(0.0))): _*)))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.telemetry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CSV → cleaned canonical telemetry frame — the reference ingest path
+  * (DataIngestor, database_and_model_tools.py:37-97) re-expressed as one
+  * declarative plan: schema'd scan → rename → null-pad → impute → derive.
+  *
+  * All narrow ops: at 100 TB this is a single scan pipelined in one stage,
+  * no shuffle. The write partitions by machineid so every downstream
+  * per-machine query (the whole accessor surface) prunes partitions instead
+  * of scanning the fact table; within files, rows are sorted by
+  * timestamp_epoch for min/max pruning on time ranges (the Spark analog of
+  * the reference's composite index, db.py:134).
+  */
+object Ingest {
+  import TelemetrySchema._
+
+  /** S1: header CSV with explicit schema (no production inference) and
+    * non-zero-padded `M/d/yyyy H:mm` timestamp parse (X3). */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(csvSchema)
+      .csv(path)
+
+  /** P1/P3/P5/P2: rename via mapping (fallback lowercase), null-pad missing
+    * required columns, impute defaults. */
+  def normalize(raw: DataFrame): DataFrame = {
+    val renamed = raw.select(raw.columns.map(c =>
+      col(s"`$c`").as(columnMapping.getOrElse(c, c.toLowerCase))): _*)
+    val padded = requiredColumns.foldLeft(renamed)((d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+    padded
+      .na.fill(fillDefaultsNumeric)
+      .na.fill(fillDefaultsString)
+  }
+
+  /** X3/X4: parse the timestamp string and (re)derive the time parts the
+    * reference precomputes in its CSV. `weekday` = Monday=0, matching the
+    * pandas `dt.dayofweek` convention of the source data — NOT Spark's
+    * Sunday=1 `dayofweek` (SURVEY.md §7.4). */
+  def derive(df: DataFrame): DataFrame = {
+    val ts = to_timestamp(col("timestamp"), "M/d/yyyy H:mm")
+    df.withColumn("timestamp", ts)
+      .withColumn("timestamp_epoch",
+        coalesce(col("timestamp_epoch"), unix_timestamp(col("timestamp"))))
+      .withColumn("hour", coalesce(col("hour"), hour(col("timestamp"))))
+      .withColumn("dayofweek", coalesce(col("dayofweek"), weekday(col("timestamp"))))
+      .withColumn("month", coalesce(col("month"), month(col("timestamp"))))
+      .withColumn("status_encoded",
+        coalesce(col("status_encoded"),
+          statusCodes.foldLeft(lit(null).cast("int")) { case (acc, (label, code)) =>
+            when(col("status") === label, code).otherwise(acc)
+          }))
+  }
+
+  /** Full pipeline (setup_complete_database analog). */
+  def ingestCsv(spark: SparkSession, path: String): DataFrame =
+    derive(normalize(readCsv(spark, path)))
+
+  /** S2 sink: partition by machine, sort within files by time — the layout
+    * that replaces the reference's 6 secondary indexes (S4). */
+  def writeParquet(df: DataFrame, outDir: String): Unit =
+    df.repartition(col("machineid"))
+      .sortWithinPartitions("machineid", "timestamp_epoch")
+      .write.mode("overwrite")
+      .partitionBy("machineid")
+      .parquet(outDir)
+}

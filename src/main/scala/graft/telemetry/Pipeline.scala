@@ -1,0 +1,67 @@
+package graft.telemetry
+
+import graft.ml.Scaler
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The reference's 3-task daily pipeline (dags/db_pipeline_dag.py:52-77) as
+  * a sequential main: ingest CSV → write partitioned parquet → verify row
+  * counts → fit scaler → validate a smoke vector (O1/M7).
+  *
+  * Usage: graft.telemetry.Pipeline <telemetry.csv> <outDir>
+  */
+object Pipeline {
+  def main(args: Array[String]): Unit = {
+    val Array(csvPath, outDir) = args.take(2)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("telemetry-pipeline")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // task 1: init + ingest (DatabaseInitializer.setup_complete_database)
+    val cleaned = Ingest.ingestCsv(spark, csvPath)
+    Ingest.writeParquet(cleaned, s"$outDir/telemetry")
+    val telemetry = spark.read.parquet(s"$outDir/telemetry")
+    val n = telemetry.count()
+    println(s"[pipeline] telemetry rows ingested: $n")
+    require(n > 0, "ingest produced no rows")
+
+    // task 2 analog: normalize feature naming = canonical lowercase columns
+    val feats = TelemetrySchema.featureOrder
+    require(feats.forall(telemetry.columns.contains),
+      "feature columns missing after ingest")
+
+    // task 3: scaler smoke validation (ScalerTester)
+    val stats = Scaler.fit(
+      telemetry.select(feats.map(c => col(c).cast("double")): _*), feats)
+    val smoke = feats.map {
+      case "fuelconsumption" => 10.5
+      case "vibrationlevel" => 4.0
+      case "humidity" => 68.0
+      case "pressure" => 1000.0
+      case "poweroutput" => 185.0
+      case "operatinghours" => 120.0
+      case "timestamp_epoch" => 1.7566848e9
+      case "hour" => 12.0
+      case "dayofweek" => 2.0
+      case "month" => 9.0
+    }
+    val scaled = Scaler.transformVector(smoke, feats.map(stats))
+    println(s"[pipeline] scaled smoke vector: ${scaled.map(v => f"$v%.4f").mkString(", ")}")
+    require(scaled.forall(v => !v.isNaN && !v.isInfinite),
+      "scaler produced non-finite values (zero-variance clamp failed?)")
+
+    // verification queries over the ingested table (verify_database_setup)
+    val q = new TelemetryQueries(telemetry)
+    println(s"[pipeline] machines: ${q.machines().count()}")
+    q.summary().show(truncate = false)
+    q.highestTemperature(5).show(truncate = false)
+    spark.stop()
+    println("[pipeline] OK")
+  }
+}

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  test("backward as-of picks latest right row at-or-before each left time") {
+    val left = Seq(
+      ("u1", 10L, "a"), ("u1", 20L, "b"), ("u1", 5L, "c"),
+      ("u2", 15L, "d"), ("u3", 9L, "e"))
+      .toDF("key", "t", "tag")
+    val right = Seq(
+      ("u1", 7L, 100.0), ("u1", 10L, 200.0), ("u1", 18L, 300.0),
+      ("u2", 16L, 400.0))
+      .toDF("key", "t", "rv")
+
+    val out = AsOfJoin.backward(left, right, "key", "t", "t", Seq("t", "rv"))
+      .select("key", "t", "tag", "asof_t", "asof_rv")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toSet
+
+    assert(out == Set(
+      ("u1", 10L, "a", Some(10L), Some(200.0)), // inclusive match at equal t
+      ("u1", 20L, "b", Some(18L), Some(300.0)),
+      ("u1", 5L, "c", None, None),              // nothing at/before 5
+      ("u2", 15L, "d", None, None),             // right row is later (16)
+      ("u3", 9L, "e", None, None)))             // key absent on right
+  }
+}
