@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.TextQueries.all ++
       graft.queries.DedupQueries.all ++
       graft.queries.SimilarityQueries.all ++
-      graft.queries.MLQueries.all
+      graft.queries.MLQueries.all ++
+      graft.queries.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Latest event per user (the reference's signature DISTINCT ON operator,

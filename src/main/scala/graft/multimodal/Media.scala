@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed batch-at-a-time inside `mapPartitions`.
+  *
+  * The Spark-side plumbing — schema, partition-parallel batch iteration,
+  * feature output shape — is real and tested. The codec step is a STUB
+  * (`decodeStub`): this container ships no image/audio libraries, so decode
+  * is a deterministic fake that reads the fake header we also write. A
+  * production deployment swaps ONLY `decodeStub` for a real codec (e.g.
+  * javax.imageio / ffmpeg via JNI); everything around it is unchanged.
+  *
+  * Scale notes: per-row transforms with no shuffle; binary payloads never
+  * leave their partition; feature extraction emits small fixed-width rows
+  * so downstream aggregation shuffles features, not media bytes.
+  */
+object Media {
+
+  final case class MediaRow(
+      media_id: Long, kind: String, bytes: Array[Byte],
+      width: Int, height: Int, sample_rate: Int)
+
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long, checksum: Long,
+      histogram: Array[Long], // 16-bin byte histogram
+      frames_sampled: Int)
+
+  /** STUB — deterministic fake decode. Real deployments replace this with
+    * an actual codec; signature (bytes → fixed-width features) is the
+    * contract the pipeline depends on. */
+  private[multimodal] def decodeStub(bytes: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](16)
+    var i = 0
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xff) >> 4) += 1
+      i += 1
+    }
+    hist
+  }
+
+  /** Deterministic frame sampling: n evenly-spaced 16-byte "frames". */
+  private[multimodal] def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
+    if (bytes.length < 16 || n <= 0) Seq.empty
+    else {
+      val step = math.max(1, (bytes.length - 16) / math.max(n - 1, 1))
+      (0 until n).map(i => math.min(i * step, bytes.length - 16))
+        .distinct.map(off => bytes.slice(off, off + 16))
+    }
+
+  /** Batch feature extraction over the binary column — partition-parallel,
+    * no shuffle, constant memory per row. */
+  def extractFeatures(media: Dataset[MediaRow], framesPerItem: Int = 4): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val frames = sampleFrames(r.bytes, framesPerItem)
+        MediaFeatures(
+          media_id = r.media_id,
+          kind = r.kind,
+          n_bytes = r.bytes.length.toLong,
+          checksum = r.bytes.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff)),
+          histogram = decodeStub(r.bytes),
+          frames_sampled = frames.size)
+      }
+    }
+  }
+
+  /** Build a media frame from any table with an id + string payload —
+    * test/bench helper producing deterministic binary content. */
+  def synthesize(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      (when(col(idCol) % 3 === 0, "image")
+        .when(col(idCol) % 3 === 1, "audio")
+        .otherwise("video")).as("kind"),
+      encode(col(payloadCol), "UTF-8").as("bytes"),
+      (pmod(col(idCol), lit(640)) + 16).cast("int").as("width"),
+      (pmod(col(idCol), lit(480)) + 16).cast("int").as("height"),
+      lit(16000).as("sample_rate"))
+}

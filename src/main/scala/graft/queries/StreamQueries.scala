@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.Q
+import graft.multimodal.Media
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming + multimodal entries. Both are rows-only (no ANSI-SQL oracle:
+  * one runs the Structured Streaming engine, the other a typed
+  * mapPartitions pipeline); unit tests assert their semantics, and these
+  * registry entries make the driver exercise them end-to-end each round.
+  */
+object StreamQueries {
+
+  /** events.parquet carries TIMESTAMP(NANOS) → stream it as long nanos and
+    * truncate, mirroring graft.Tables.events. */
+  private val rawEventSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val all: Seq[Q] = Seq(
+
+    // ---- §7.5: hourly rollups through the real streaming engine ---------
+    Q("q_stream_hourly_rollup",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // FileStreamSource needs a directory: stream the sf dir, glob to
+        // the events file only.
+        val stream = s.readStream.schema(rawEventSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val name = s"rollup_${System.nanoTime()}"
+        val q = StreamingIngest.hourlyRollups(stream)
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+          .select(col("hour_start"), col("event_type"), col("n"),
+            floor(col("sum_value") * 100).cast("long").as("sum_c"),
+            col("max_value"))
+          .orderBy(col("hour_start"), col("event_type"))
+      },
+      None),
+
+    // ---- multimodal: binary column → partition-local feature extraction -
+    Q("q_media_features",
+      (s, dir) => {
+        import s.implicits._
+        val docs = graft.Tables.documents(s, dir)
+        val media = Media.synthesize(docs, "doc_id", "text").as[Media.MediaRow]
+        Media.extractFeatures(media, framesPerItem = 4)
+          .groupBy(col("kind"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(col("n_bytes")).as("total_bytes"),
+            sum(col("frames_sampled")).as("total_frames"),
+            sum(element_at(col("histogram"), 8)).as("hist_bin7_total"))
+          .orderBy(col("kind"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming variant of the ingest/rollup path (SURVEY.md §7.5 —
+  * the BASELINE "structured streams" north star; the reference itself is
+  * strictly @daily batch, dags/db_pipeline_dag.py:56).
+  *
+  * Scale notes: watermark + tumbling-window aggregation is incremental
+  * state (partial aggregates per window×key), shuffled once by group key;
+  * `flatMapGroupsWithState` keeps one tiny record per key. Both scale
+  * horizontally with executors; state lives in the state store, not the
+  * driver.
+  */
+object StreamingIngest {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Streaming scan over a directory of parquet/csv drops. */
+  def readEventStream(spark: SparkSession, dir: String,
+      format: String = "parquet"): DataFrame =
+    spark.readStream.schema(eventSchema).format(format).load(dir)
+
+  /** Hourly per-type rollups with a 2-hour watermark (append-mode safe). */
+  def hourlyRollups(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"),
+        max(col("value")).as("max_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"), col("max_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class Transition(user_id: Long, from_type: String,
+      to_type: String, at_epoch: Long)
+  final case class LastSeen(event_type: String, epoch: Long)
+
+  /** Per-key status-transition detection via flatMapGroupsWithState — the
+    * stateful analog of the reference's status tracking (X5 family). Emits
+    * a record each time a key's event_type changes between consecutive
+    * events (within a micro-batch, events are processed in ts order). */
+  def statusTransitions(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[Event], state: GroupState[LastSeen]) => {
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          var last = state.getOption
+          sorted.foreach { e =>
+            val ep = e.ts.getTime / 1000
+            last.foreach { l =>
+              if (l.event_type != e.event_type)
+                out += Transition(uid, l.event_type, e.event_type, ep)
+            }
+            last = Some(LastSeen(e.event_type, ep))
+          }
+          last.foreach(state.update)
+          out.iterator
+        })
+  }
+}

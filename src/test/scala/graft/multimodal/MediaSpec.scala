@@ -1,0 +1,37 @@
+package graft.multimodal
+
+import graft.{SparkSpec, Tables}
+import org.scalatest.funsuite.AnyFunSuite
+
+class MediaSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  test("binary-column pipeline: synthesize → mapPartitions features") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val media = Media.synthesize(docs, "doc_id", "text").as[Media.MediaRow]
+    val feats = Media.extractFeatures(media, framesPerItem = 4).cache()
+
+    assert(feats.count() == 50)
+    val f = feats.filter(_.media_id == 0L).head()
+    assert(f.kind == "image")
+    assert(f.n_bytes > 0)
+    assert(f.histogram.length == 16)
+    assert(f.histogram.sum == f.n_bytes) // every byte lands in one bin
+    assert(f.frames_sampled > 0)
+  }
+
+  test("feature extraction is deterministic") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
+    val media = Media.synthesize(docs, "doc_id", "text").as[Media.MediaRow]
+    val a = Media.extractFeatures(media).collect().map(f => (f.media_id, f.checksum)).sorted
+    val b = Media.extractFeatures(media).collect().map(f => (f.media_id, f.checksum)).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("frame sampling bounds: short payloads yield no frames") {
+    assert(Media.sampleFrames(Array[Byte](1, 2, 3), 4).isEmpty)
+    val frames = Media.sampleFrames(Array.fill[Byte](100)(7), 4)
+    assert(frames.nonEmpty && frames.forall(_.length == 16))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingIngestSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private def writeBatch(dir: String): Unit = {
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00"), 1L, "click", 1.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:20:00"), 1L, "click", 2.0),
+      (3L, Timestamp.valueOf("2024-01-01 00:30:00"), 1L, "error", 3.0),
+      (4L, Timestamp.valueOf("2024-01-01 01:15:00"), 2L, "view", 4.0),
+      (5L, Timestamp.valueOf("2024-01-01 01:45:00"), 1L, "click", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+  }
+
+  test("hourly rollups aggregate a streamed batch (memory sink)") {
+    val dir = Files.createTempDirectory("stream_src").toString
+    writeBatch(dir)
+    val rollup = StreamingIngest.hourlyRollups(
+      StreamingIngest.readEventStream(spark, dir))
+    val q = rollup.writeStream.outputMode("complete")
+      .format("memory").queryName("rollup_test").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("rollup_test")
+        .orderBy("hour_start", "event_type")
+        .select("event_type", "n", "sum_value")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows == Seq(
+        ("click", 2L, 3.0), ("error", 1L, 3.0),  // hour 00
+        ("click", 1L, 5.0), ("view", 1L, 4.0)))  // hour 01
+    } finally q.stop()
+  }
+
+  test("statusTransitions emits per-user type changes and keeps state") {
+    val dir = Files.createTempDirectory("stream_src2").toString
+    writeBatch(dir)
+    val events = StreamingIngest.readEventStream(spark, dir)
+      .as[StreamingIngest.Event]
+    val q = StreamingIngest.statusTransitions(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trans_test").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("trans_test")
+        .orderBy("at_epoch")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      // user 1: click->error at 00:30, error->click at 01:45
+      assert(rows == Seq((1L, "click", "error"), (1L, "error", "click")))
+
+      // second batch arrives: state (last=click) persists across batches
+      Seq((6L, Timestamp.valueOf("2024-01-01 02:00:00"), 1L, "purchase", 6.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val rows2 = spark.table("trans_test").orderBy("at_epoch")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      assert(rows2.last == (1L, "click", "purchase"))
+    } finally q.stop()
+  }
+}
