@@ -25,10 +25,10 @@ object Text {
 
   def tokens(c: Column): Column = split(c, " ")
 
-  /** Portable polynomial hash over code points: fold(h*31 + cp) mod P. */
-  def polyHash(c: Column): Column =
-    aggregate(split(c, ""), lit(0L),
-      (acc, ch) => pmod(acc * 31 + ascii(ch), lit(P)))
+  /** Portable polynomial hash over code points: fold(h*31 + cp) mod P.
+    * Backed by the codegen'd [[PolyHashExpr]]; the DuckDB mirror is
+    * [[polyHashSql]]. */
+  def polyHash(c: Column): Column = PolyHashExpr(c)
 
   /** Codegen-friendly 64-bit hash for the scale path. */
   def fastHash(c: Column): Column = xxhash64(c)
@@ -44,13 +44,21 @@ object Text {
   def shingleHashes(c: Column, n: Int = 3): Column =
     array_distinct(transform(shingles(c, n), s => polyHash(s)))
 
-  /** k-permutation minhash signature over the shingle set.
-    * Permutation i: h ↦ (h·(2i+3) + 7i + 1) mod P. */
-  def minhashSig(c: Column, k: Int): Column = {
-    val hs = shingleHashes(c)
+  /** k-permutation minhash from a PRECOMPUTED shingle-hash array column.
+    * Permutation i: h ↦ (h·(2i+3) + 7i + 1) mod P.
+    *
+    * Take an attribute reference, not the shingleHashes expression itself:
+    * inlining the base-hash tree here would recompute the per-char fold k
+    * times per row (a measured 500× slowdown). Callers materialize the
+    * hash array in its own projection first — Catalyst's CollapseProject
+    * keeps a multiply-referenced expensive expression from being re-inlined. */
+  def minhashFromHashes(hs: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(hs, h => pmod(h * (i * 2 + 3) + i * 7 + 1, lit(P)))))
-  }
+
+  /** Convenience: signature straight from text (single-use contexts only —
+    * see [[minhashFromHashes]] for why hot paths pre-materialize). */
+  def minhashSig(c: Column, k: Int): Column = minhashFromHashes(shingleHashes(c), k)
 
   /** 30-bit simhash over token hashes (bit j set iff the +1/−1 vote of all
     * token-hash bits j sums positive). Takes the NAME of a precomputed

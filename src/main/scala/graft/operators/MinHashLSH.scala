@@ -42,8 +42,20 @@ object MinHashLSH {
     require(k % bands == 0 && 1000000 % k == 0)
     val r = k / bands
 
-    val sig = df
-      .select(col(idCol).as("__id"), Text.minhashSig(col(textCol), k).as("__sig"))
+    // Signature via explode + k min-aggregates: the shingle hash is
+    // evaluated exactly once per (doc, shingle) and the k permutation
+    // minima are plain codegen'd `min()` aggregates with map-side partial
+    // aggregation — no k-wide array expressions mid-plan (Catalyst's
+    // CollapseProject re-inlines a shared expensive projection into every
+    // HOF branch, a measured 30×+ regression). The signature table
+    // (id + k longs, tiny relative to the corpus) is cached because the
+    // bucket self-join and the estimation join both consume it.
+    val sh = df.select(col(idCol).as("__id"),
+      explode(Text.shingleHashes(col(textCol))).as("__h"))
+    val sig = sh.groupBy(col("__id"))
+      .agg(array((0 until k).map(i =>
+        min(pmod(col("__h") * (2 * i + 3) + 7 * i + 1, lit(Text.P)))): _*).as("__sig"))
+      .cache()
 
     val buckets = sig
       .select(col("__id"), col("__sig"),
@@ -87,6 +99,7 @@ object MinHashLSH {
     val sh = df
       .select(col(idCol).as("__id"),
         explode(Text.shingleHashes(col(textCol))).as("__h"))
+      .cache() // consumed three times: both join sides + set sizes
     val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
 
     sh.as("a").join(sh.as("b"),

@@ -30,7 +30,12 @@ object CoreQueries {
     // ---- §2.5 W1/T3: latest row per key, top-k by metric (desc) ----------
     Q("q_latest_per_user_top",
       (s, dir) => {
+        // project BEFORE the dedup: max_by packs its struct from all
+        // non-key columns, so pre-selection is what keeps the parquet scan
+        // pruned to these 5 columns.
         val e = Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("user_id"), col("event_type"), col("value"), col("ts"),
+            col("event_id"))
         LatestPerKey.maxBy(e, "user_id", Seq(col("ts"), col("event_id")))
           .select(col("user_id"), col("event_type"), col("value"), col("ts"))
           .orderBy(col("value").desc, col("user_id"))
@@ -60,6 +65,8 @@ object CoreQueries {
       (s, dir) => {
         val e = Tables.events(s, dir)
           .filter(col("value") > 0 && col("value") <= 100)
+          .select(col("user_id"), col("event_type"), col("value"), col("ts"),
+            col("event_id"))
         LatestPerKey.maxBy(e, "user_id", Seq(col("ts"), col("event_id")))
           .select(col("user_id"), col("event_type"), col("value"))
           .orderBy(col("value").asc, col("user_id"))
@@ -75,6 +82,8 @@ object CoreQueries {
       (s, dir) => {
         val e = Tables.events(s, dir)
           .filter(lower(col("event_type")).contains("err"))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), col("ts"))
         LatestPerKey.maxBy(e, "user_id", Seq(col("ts"), col("event_id")))
           .select(col("user_id"), col("event_id"), col("event_type"),
             col("value"), col("ts"))
@@ -260,6 +269,17 @@ object CoreQueries {
         .orderBy(col("event_id")),
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- skew-safe salted aggregation (result ≡ plain GROUP BY) ---------
+    Q("q_salted_group_agg",
+      (s, dir) => graft.operators.SaltedAgg.countSumMinMax(
+          Tables.events(s, dir), "user_id", col("event_id"), col("value"),
+          salt = 16)
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, count(*) AS n,
+             |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+             |       min(value) AS min_v, max(value) AS max_v
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // ---- §2.7 X8: numeric coercion with null default (coalesce) ---------
     Q("q_coalesce_default",

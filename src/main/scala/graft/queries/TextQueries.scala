@@ -111,10 +111,8 @@ object TextQueries {
           col("doc_id"),
           Text.polyHash(col("text")).as("fp_full"),
           when(length(col("text")) >= 8,
-            array_min(expr(
-              s"""transform(sequence(0, length(text) - 8), i ->
-                 |  aggregate(split(substr(text, i + 1, 8), ''), 0L,
-                 |    (acc, c) -> pmod(acc * 31 + ascii(c), ${Text.P})))""".stripMargin)))
+            array_min(transform(sequence(lit(0), length(col("text")) - 8),
+              i => Text.polyHash(col("text").substr(i + 1, lit(8))))))
             .otherwise(lit(null)).as("fp_min8"))
         .orderBy(col("doc_id")),
       Some(s"""SELECT doc_id,

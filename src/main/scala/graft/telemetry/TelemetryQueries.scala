@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   */
 final class TelemetryQueries(telemetry: DataFrame) {
 
-  private val latestOrd = Seq(col("timestamp_epoch"), col("operatinghours"))
+  private val latestOrdNames = Seq("timestamp_epoch", "operatinghours")
+  private val latestOrd = latestOrdNames.map(col)
 
   /** db.py:187-194 — latest n rows for one machine. */
   def latestData(machineId: String, limit: Int): DataFrame =
@@ -65,7 +66,11 @@ final class TelemetryQueries(telemetry: DataFrame) {
     val bounded = bounds.fold(base) { case (lo, hi) =>
       base.filter(col(metric) > lo && col(metric) <= hi)
     }
-    val latest = LatestPerKey.maxBy(bounded, "machineid", latestOrd)
+    // pre-project so max_by's struct (and thus the scan) stays narrow
+    val narrow = bounded.select(
+      (Seq("machineid", metric, "status") ++ latestOrdNames)
+        .distinct.map(col): _*)
+    val latest = LatestPerKey.maxBy(narrow, "machineid", latestOrd)
       .select(col("machineid"), col(metric), col("status"),
         col("timestamp_epoch"))
     val ord = if (ascending) col(metric).asc_nulls_last else col(metric).desc
@@ -94,7 +99,11 @@ final class TelemetryQueries(telemetry: DataFrame) {
     val base = telemetry.filter(col("machineid").isNotNull)
     val filtered = statusFilter.fold(base)(f =>
       base.filter(lower(col("status")).contains(f.toLowerCase)))
-    LatestPerKey.maxBy(filtered, "machineid", latestOrd)
+    val narrow = filtered.select(
+      (Seq("machineid", "status", "enginetemperature", "fuelconsumption",
+        "vibrationlevel", "humidity") ++ latestOrdNames)
+        .distinct.map(col): _*)
+    LatestPerKey.maxBy(narrow, "machineid", latestOrd)
       .select(col("machineid"), col("status"), col("enginetemperature"),
         col("fuelconsumption"), col("vibrationlevel"), col("humidity"),
         col("timestamp_epoch"))
