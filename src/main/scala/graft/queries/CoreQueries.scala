@@ -281,6 +281,23 @@ object CoreQueries {
              |       min(value) AS min_v, max(value) AS max_v
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ---- ordered statistics: exact interpolated percentiles + corr ------
+    Q("q_percentile_stats",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          expr("percentile(value, 0.99)").as("p99"),
+          floor(corr(col("value"), col("user_id")) * 1e6).cast("long").as("corr_ppm"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |       quantile_cont(value, 0.5) AS p50,
+             |       quantile_cont(value, 0.9) AS p90,
+             |       quantile_cont(value, 0.99) AS p99,
+             |       CAST(floor(corr(value, user_id) * 1e6) AS BIGINT) AS corr_ppm
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- §2.7 X8: numeric coercion with null default (coalesce) ---------
     Q("q_coalesce_default",
       (s, dir) => Tables.events(s, dir)
