@@ -42,7 +42,12 @@ object Text {
 
   /** Distinct shingle hashes (portable hash). */
   def shingleHashes(c: Column, n: Int = 3): Column =
-    array_distinct(transform(shingles(c, n), s => polyHash(s)))
+    shingleHashesWith(c, n, polyHash)
+
+  /** Distinct shingle hashes under a caller-chosen hash (e.g. [[fastHash]]
+    * for the non-oracle scale path). */
+  def shingleHashesWith(c: Column, n: Int, hashFn: Column => Column): Column =
+    array_distinct(transform(shingles(c, n), s => hashFn(s)))
 
   /** k-permutation minhash from a PRECOMPUTED shingle-hash array column.
     * Permutation i: h ↦ (h·(2i+3) + 7i + 1) mod P.

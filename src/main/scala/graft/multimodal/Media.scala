@@ -42,7 +42,7 @@ object Media {
   }
 
   /** Deterministic frame sampling: n evenly-spaced 16-byte "frames". */
-  private[multimodal] def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
+  private[graft] def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
     if (bytes.length < 16 || n <= 0) Seq.empty
     else {
       val step = math.max(1, (bytes.length - 16) / math.max(n - 1, 1))

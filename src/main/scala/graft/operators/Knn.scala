@@ -60,6 +60,27 @@ object Knn {
         col("__rn").cast("int").as("rank"))
   }
 
+  /** Random-hyperplane LSH bucketing: `planes` sign bits of dot products
+    * with deterministic pseudo-random hyperplanes (seeded arithmetic, no
+    * RNG state — replayable across runs and engines). Vectors whose sign
+    * patterns match land in the same bucket; cosine-similar vectors
+    * collide with high probability. Combine with [[nnWithinBucket]] for
+    * the ANN scale path: N² search becomes Σ bucket².
+    *
+    * Plane p, dim i weight: frac((p·1315423911 + i·2654435761) mod 1000003
+    * / 1000003) − 0.5. */
+  def signBucket(vec: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val dotp = (0 until dim).map { i =>
+        val w = (((p.toLong * 1315423911L + i.toLong * 2654435761L) % 1000003L)
+          .toDouble / 1000003.0) - 0.5
+        element_at(vec, i + 1).cast("double") * lit(w)
+      }.reduce(_ + _)
+      when(dotp >= 0, lit(1L) * (1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
   /** Top-1 neighbor per row, searched only within `bucketCol` (IVF path). */
   def nnWithinBucket(
       corpus: DataFrame,

@@ -38,7 +38,8 @@ object MinHashLSH {
       textCol: String,
       k: Int = 64,
       bands: Int = 16,
-      minEstPpm: Long = 500000L): DataFrame = {
+      minEstPpm: Long = 500000L,
+      hashFn: Column => Column = Text.polyHash): DataFrame = {
     require(k % bands == 0 && 1000000 % k == 0)
     val r = k / bands
 
@@ -51,10 +52,14 @@ object MinHashLSH {
     // (id + k longs, tiny relative to the corpus) is cached because the
     // bucket self-join and the estimation join both consume it.
     val sh = df.select(col(idCol).as("__id"),
-      explode(Text.shingleHashes(col(textCol))).as("__h"))
+      explode(Text.shingleHashesWith(col(textCol), 3, hashFn)).as("__h"))
+    // inner pmod folds full-range 64-bit hashes (fastHash) into [0, P) so
+    // the permutation multiply cannot overflow under ANSI mode; for the
+    // portable polyHash (already < P) it is the identity.
     val sig = sh.groupBy(col("__id"))
       .agg(array((0 until k).map(i =>
-        min(pmod(col("__h") * (2 * i + 3) + 7 * i + 1, lit(Text.P)))): _*).as("__sig"))
+        min(pmod(pmod(col("__h"), lit(Text.P)) * (2 * i + 3) + 7 * i + 1,
+          lit(Text.P)))): _*).as("__sig"))
       .cache()
 
     val buckets = sig

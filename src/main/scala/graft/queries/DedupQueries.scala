@@ -79,6 +79,16 @@ object DedupQueries {
               |SELECT id_a, id_b, est_ppm FROM est
               |WHERE est_ppm >= 500000 ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- MinHash+LSH on xxhash64 — the non-oracle scale path (codegen'd
+    //      64-bit hashing; rows-only, recall asserted in DedupKnnSpec) ----
+    Q("q_minhash_lsh_pairs_fast",
+      (s, dir) => MinHashLSH.candidatePairs(
+          Tables.documents(s, dir), "doc_id", "text",
+          k = 64, bands = 16, minEstPpm = 500000L,
+          hashFn = graft.functions.Text.fastHash)
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
     // ---- SimHash near-dup pairs: sampled probe side, hamming ≤ 6 ---------
     Q("q_simhash_pairs",
       (s, dir) => {

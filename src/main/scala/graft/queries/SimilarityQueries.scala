@@ -44,6 +44,19 @@ object SimilarityQueries {
               |  WHERE a.vec_id < 10) t
               |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- ANN scale path: random-hyperplane LSH bucket + NN inside it ----
+    // Rows-only: the 6-plane sign bucketing is deterministic but its SQL
+    // transliteration (6×64 weighted terms) is impractical as an oracle;
+    // recall vs brute force is asserted in DedupKnnSpec instead.
+    Q("q_nn_lsh_bucketed",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("bucket", Knn.signBucket(col("embedding"), dim = 64, planes = 6))
+        Knn.nnWithinBucket(emb, "vec_id", "embedding", "bucket")
+          .orderBy(col("vec_id"))
+      },
+      None),
+
     // ---- IVF-style: exact top-1 neighbor within a coarse bucket (label) --
     Q("q_nn_within_label",
       (s, dir) => Knn.nnWithinBucket(

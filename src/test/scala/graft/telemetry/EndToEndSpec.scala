@@ -1,0 +1,93 @@
+package graft.telemetry
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.time.{LocalDateTime, ZoneOffset}
+import scala.util.Random
+
+/** SURVEY §5.2 e2e: a reference-shaped corpus (10 machines × 720 hourly
+  * rows, Sept 2025 — the real CSV's shape) through ingest → parquet →
+  * the full accessor surface.
+  */
+class EndToEndSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val statuses = Seq("Active", "Fault", "Idle", "Maintenance")
+
+  private lazy val telemetryDir: String = {
+    val rng = new Random(42)
+    val sb = new StringBuilder(
+      "MachineID,Type,Location,Timestamp,EngineTemperature,FuelConsumption," +
+        "VibrationLevel,Humidity,Pressure,PowerOutput,OperatingHours,Status," +
+        "Status_encoded,Timestamp_epoch,hour,dayofweek,month\n")
+    val base = LocalDateTime.of(2025, 9, 1, 0, 0)
+    for (m <- 1 to 10; h <- 0 until 720) {
+      val t = base.plusHours(h)
+      val st = statuses(rng.nextInt(4))
+      val ep = t.toEpochSecond(ZoneOffset.UTC)
+      val temp = if (rng.nextDouble() < 0.02) "" else f"${75 + rng.nextDouble() * 30}%.1f"
+      val hum = f"${40 + rng.nextDouble() * 65}%.1f" // some > 100
+      sb.append(s"M${"%03d".format(m)},Truck,Site A," +
+        s"${t.getMonthValue}/${t.getDayOfMonth}/${t.getYear} ${t.getHour}:00," +
+        s"$temp,${f"${10 + rng.nextDouble() * 10}%.1f"},${f"${2 + rng.nextDouble() * 6}%.1f"}," +
+        s"$hum,${f"${950 + rng.nextDouble() * 150}%.1f"},${f"${100 + rng.nextDouble() * 140}%.1f"}," +
+        s"${h + 1},$st,${statuses.indexOf(st)},$ep,${t.getHour}," +
+        s"${t.getDayOfWeek.getValue - 1},${t.getMonthValue}\n")
+    }
+    val csv = Files.createTempFile("telemetry_e2e", ".csv")
+    Files.writeString(csv, sb.toString)
+    val out = Files.createTempDirectory("telemetry_e2e_parquet").toString
+    Ingest.writeParquet(Ingest.ingestCsv(spark, csv.toString), out)
+    out
+  }
+
+  private lazy val q = new TelemetryQueries(spark.read.parquet(telemetryDir))
+
+  test("ingest preserves the full 7200-row corpus with partitioned layout") {
+    val df = spark.read.parquet(telemetryDir)
+    assert(df.count() == 7200)
+    assert(df.select("machineid").distinct().count() == 10)
+    // fillna left no nulls in imputed columns
+    assert(df.filter(df("enginetemperature").isNull).count() == 0)
+  }
+
+  test("summary matches corpus shape") {
+    val r = q.summary().head()
+    assert(r.getAs[Long]("total_records") == 7200)
+    assert(r.getAs[Long]("machine_count") == 10)
+  }
+
+  test("every latest-per-machine accessor returns one row per machine") {
+    Seq(q.highestTemperature(10), q.lowestTemperature(10),
+      q.highestHumidity(10), q.highestVibration(10), q.highestFuel(10),
+      q.lowestVibration(10), q.lowestFuel(10)).foreach { df =>
+      val ms = df.select("machineid").as[String].collect()
+      assert(ms.length == ms.distinct.length)
+      assert(ms.length == 10)
+    }
+  }
+
+  test("latest row per machine is epoch 720 of that machine") {
+    val rows = q.machinesByStatus(None)
+      .select("machineid", "timestamp_epoch").collect()
+    val maxEp = spark.read.parquet(telemetryDir)
+      .groupBy("machineid").max("timestamp_epoch")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == maxEp(r.getString(0))))
+  }
+
+  test("lowestHumidity bounds exclude out-of-range readings") {
+    val hums = q.lowestHumidity(10).select("humidity").as[Double].collect()
+    assert(hums.forall(h => h > 0 && h <= 100))
+  }
+
+  test("range scan returns a machine's contiguous window in order") {
+    val base = LocalDateTime.of(2025, 9, 1, 0, 0).toEpochSecond(ZoneOffset.UTC)
+    val rows = q.dataInRange("M003", base + 10 * 3600, base + 20 * 3600)
+      .select("timestamp_epoch").as[Long].collect()
+    assert(rows.length == 11)
+    assert(rows.sameElements(rows.sorted))
+  }
+}
