@@ -23,7 +23,9 @@ object Bench {
     // 10× docs on a low-vocab corpus — which is the reason the LSH
     // formulation exists.
     "q_minhash_lsh_pairs",
-    "q_knn_brute",             // similarity search
+    "q_knn_brute",             // similarity search (exact)
+    "q_nn_lsh_bucketed",       // similarity search (ANN scale path)
+    "q_sessionize",            // gap sessionization window
     "q_doc_quality",           // text analysis
     "q_zscore_events",         // ML standardization
     "q_iforest_top_anomalies", // custom ML scoring
