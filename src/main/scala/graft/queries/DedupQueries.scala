@@ -79,6 +79,36 @@ object DedupQueries {
               |SELECT id_a, id_b, est_ppm FROM est
               |WHERE est_ppm >= 500000 ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- dedup materialization: the cleaned corpus itself ---------------
+    // Remove every doc that appears as the larger id of a >=0.8-Jaccard
+    // pair (canonical representative = smallest id). This is the actual
+    // pipeline output a training run consumes; at scale the pair set comes
+    // from candidatePairs and the removal is this same left-anti join.
+    Q("q_dedup_corpus",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val dupIds = MinHashLSH.jaccardPairs(docs, "doc_id", "text", 800000L)
+          .select(col("id_b").as("doc_id")).distinct()
+        docs.join(dupIds, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, unnest(${graft.functions.Text.shingleHashesSql("text")}) AS h FROM documents),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |dups AS (
+              |  SELECT DISTINCT id_b FROM inter
+              |  JOIN sizes sa ON id_a = sa.doc_id
+              |  JOIN sizes sb ON id_b = sb.doc_id
+              |  WHERE i * 1000000 // (sa.n + sb.n - i) >= 800000)
+              |SELECT doc_id, lang, n_chars FROM documents
+              |WHERE doc_id NOT IN (SELECT id_b FROM dups)
+              |ORDER BY doc_id""".stripMargin)),
+
     // ---- MinHash+LSH on xxhash64 — the non-oracle scale path (codegen'd
     //      64-bit hashing; rows-only, recall asserted in DedupKnnSpec) ----
     Q("q_minhash_lsh_pairs_fast",

@@ -79,6 +79,42 @@ object JoinQueries {
              |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // ---- as-of join with tolerance: latest click within 1h before each
+    //      error (match outside the tolerance → nulled, row kept) ---------
+    Q("q_asof_tolerance",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val err = e.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clk = LatestPerKey.maxBy(
+          e.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("event_id"))
+            .withColumn("__k", concat_ws("|", col("user_id"), unix_micros(col("ts")))),
+          "__k", Seq(col("event_id"))).drop("__k")
+        val joined = AsOfJoin.backward(err, clk, "user_id", "ts", "ts",
+          Seq("event_id", "ts"))
+        val inTol = col("asof_ts").isNotNull &&
+          col("asof_ts") >= col("ts") - expr("INTERVAL 1 HOUR")
+        joined.select(
+            col("event_id"), col("user_id"), col("ts"),
+            when(inTol, col("asof_event_id")).otherwise(lit(null)).as("click_id"),
+            when(inTol, col("asof_ts")).otherwise(lit(null)).as("click_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH err AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+             |clk AS (
+             |  SELECT user_id, ts, event_id FROM (
+             |    SELECT user_id, ts, event_id,
+             |           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+             |    FROM events WHERE event_type = 'click') t WHERE rn = 1)
+             |SELECT e.event_id, e.user_id, e.ts,
+             |       CASE WHEN c.ts >= e.ts - INTERVAL 1 HOUR THEN c.event_id END AS click_id,
+             |       CASE WHEN c.ts >= e.ts - INTERVAL 1 HOUR THEN c.ts END AS click_ts
+             |FROM err e ASOF LEFT JOIN clk c
+             |  ON e.user_id = c.user_id AND c.ts <= e.ts
+             |ORDER BY e.event_id""".stripMargin)),
+
     // ---- backward as-of join: latest click at/before each error ---------
     Q("q_asof_join",
       (s, dir) => {

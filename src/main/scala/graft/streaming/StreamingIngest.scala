@@ -41,6 +41,17 @@ object StreamingIngest {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"), col("max_value"))
 
+  /** Sliding-window rollups (1h windows every 15min): each event lands in
+    * 4 overlapping windows; state is still one partial aggregate per
+    * (window × type). */
+  def slidingRollups(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("avg_value"))
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class Transition(user_id: Long, from_type: String,

@@ -40,6 +40,29 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding rollups place each event in 4 overlapping windows") {
+    val dir = Files.createTempDirectory("stream_src3").toString
+    Seq((1L, Timestamp.valueOf("2024-01-01 02:30:00"), 1L, "click", 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q = StreamingIngest.slidingRollups(
+        StreamingIngest.readEventStream(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("slide_test").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("slide_test")
+        .orderBy("w_start").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(3)))
+      // 1h window / 15min slide → 02:30 event lands in windows starting
+      // 01:45, 02:00, 02:15, 02:30
+      assert(rows.map(_._1).toSeq == Seq(
+        "2024-01-01 01:45:00.0", "2024-01-01 02:00:00.0",
+        "2024-01-01 02:15:00.0", "2024-01-01 02:30:00.0"))
+      assert(rows.forall(_._2 == 1L))
+    } finally q.stop()
+  }
+
   test("statusTransitions emits per-user type changes and keeps state") {
     val dir = Files.createTempDirectory("stream_src2").toString
     writeBatch(dir)

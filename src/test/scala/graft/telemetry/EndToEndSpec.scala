@@ -83,6 +83,18 @@ class EndToEndSpec extends AnyFunSuite {
     assert(hums.forall(h => h > 0 && h <= 100))
   }
 
+  test("machineid filter prunes partitions at the scan (layout-as-index)") {
+    val df = spark.read.parquet(telemetryDir)
+      .filter($"machineid" === "M001")
+    val scan = df.queryExecution.executedPlan.toString
+    // partitionBy layout → the predicate becomes a PartitionFilter, so
+    // only M001's directory is read — the engine-side replacement for the
+    // reference's machineid index.
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("machineid"), s"expected partition pruning:\n$scan")
+    assert(df.count() == 720)
+  }
+
   test("range scan returns a machine's contiguous window in order") {
     val base = LocalDateTime.of(2025, 9, 1, 0, 0).toEpochSecond(ZoneOffset.UTC)
     val rows = q.dataInRange("M003", base + 10 * 3600, base + 20 * 3600)
