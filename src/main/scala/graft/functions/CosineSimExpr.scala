@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for cosine similarity over two numeric
+  * arrays — a single fused whole-stage-codegen loop computing the dot
+  * product and both norms in one pass.
+  *
+  * Arithmetic order is a strictly sequential left fold per component,
+  * identical to the HOF formulation
+  * `aggregate(zip_with(a,b,_*_), 0.0, _+_) / (sqrt(Σa²)·sqrt(Σb²))`
+  * and to the DuckDB oracle's `list_reduce` — results are bit-identical
+  * (float→double widening is exact). The HOF chain is evaluated by
+  * Catalyst's interpreter with per-element lambda dispatch (~100× slower;
+  * cf. PolyHashExpr's rationale); this is the hot-path replacement used by
+  * `operators.Knn` where similarity is evaluated O(candidate pairs) times.
+  *
+  * Assumes non-null elements (the embeddings schema guarantees it);
+  * unequal lengths fold over the common prefix.
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimExpr.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.CosineSimExpr.cosine($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimExpr {
+
+  /** Fused sequential-fold cosine; `af`/`bf` select float vs double input. */
+  def cosine(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def apply(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineSimExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}

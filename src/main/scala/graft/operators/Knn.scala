@@ -32,10 +32,16 @@ object Knn {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Interpreted-HOF cosine — kept as the spec oracle for [[cosine]]. */
+  def cosineHof(a: Column, b: Column): Column = {
     val ad = asDouble(a); val bd = asDouble(b)
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
+
+  /** Hot-path cosine: fused native codegen expression, bit-identical to
+    * [[cosineHof]] (same sequential fold order; see CosineSimExpr). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimExpr(a, b)
 
   /** Exact top-k neighbors for each row of `queries` (small, broadcast). */
   def bruteTopK(
