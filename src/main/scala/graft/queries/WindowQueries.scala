@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic-window suite, CUBE, array functions, time-series gap-fill with
+  * forward fill, and a broadcast range join — the time-series/analytics
+  * surface a telemetry engine needs beyond the reference's single
+  * latest-per-group window (SURVEY §2.5).
+  */
+object WindowQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- full analytic-window function suite ----------------------------
+    // Deterministic: (ts, event_id) is a unique ordering per user.
+    Q("q_window_suite",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, dir).select(
+          col("event_id"),
+          lag("value", 1).over(w).as("prev_value"),
+          lead("value", 1).over(w).as("next_value"),
+          first("value").over(w).as("first_val"),
+          last("value").over(wAll).as("last_val"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"),
+          nth_value(col("value"), 3).over(wAll).as("third_val"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |  lag(value) OVER w AS prev_value,
+             |  lead(value) OVER w AS next_value,
+             |  first_value(value) OVER w AS first_val,
+             |  last_value(value) OVER wa AS last_val,
+             |  ntile(4) OVER w AS quartile,
+             |  percent_rank() OVER w AS prank,
+             |  cume_dist() OVER w AS cdist,
+             |  nth_value(value, 3) OVER wa AS third_val
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             |  wa AS (PARTITION BY user_id ORDER BY ts, event_id
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- CUBE over (event_type, weekday) with grouping bits -------------
+    Q("q_cube_agg",
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("wd", expr("weekday(ts)"))
+        .cube(col("event_type"), col("wd"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+          grouping(col("event_type")).cast("int").as("gb_type"),
+          grouping(col("wd")).cast("int").as("gb_wd"))
+        .orderBy(col("gb_type"), col("gb_wd"),
+          col("event_type").asc_nulls_first, col("wd").asc_nulls_first),
+      Some("""SELECT event_type, wd, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             |  CAST(grouping(event_type) AS INT) AS gb_type,
+             |  CAST(grouping(wd) AS INT) AS gb_wd
+             |FROM (SELECT event_type, isodow(ts) - 1 AS wd, value FROM events) t
+             |GROUP BY CUBE (event_type, wd)
+             |ORDER BY gb_type, gb_wd, event_type NULLS FIRST, wd NULLS FIRST""".stripMargin)),
+
+    // ---- array function suite over grouped collections ------------------
+    Q("q_array_funcs",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_set(col("event_type"))).as("types"))
+        .select(
+          col("user_id"),
+          col("types"),
+          size(col("types")).cast("long").as("n_types"),
+          array_contains(col("types"), "purchase").as("has_purchase"),
+          array_join(col("types"), "|").as("types_str"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+             |  len(list(DISTINCT event_type)) AS n_types,
+             |  list_contains(list(DISTINCT event_type), 'purchase') AS has_purchase,
+             |  array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types_str
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- hourly resample + forward fill (gap filling) -------------------
+    // Grid = per-user hourly sequence between first and last event; hours
+    // with no events carry the previous hour's value forward. Sums are
+    // decimal-exact so the filled value is aggregation-order independent.
+    Q("q_gapfill_ffill",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val bounds = ev.groupBy(col("user_id")).agg(
+          date_trunc("HOUR", min(col("ts"))).as("lo"),
+          date_trunc("HOUR", max(col("ts"))).as("hi"))
+        val grid = bounds.select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+        val hourly = ev.groupBy(col("user_id"), date_trunc("HOUR", col("ts")).as("h"))
+          .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+        val wFf = Window.partitionBy(col("user_id")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .select(col("user_id"), col("h"),
+            last(col("v"), ignoreNulls = true).over(wFf).as("v_ff"),
+            col("v").isNull.as("is_gap"))
+          .orderBy(col("user_id"), col("h"))
+      },
+      Some("""WITH b AS (SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+             |                  date_trunc('hour', max(ts)) AS hi
+             |           FROM events GROUP BY user_id),
+             |grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 hour)) AS h FROM b),
+             |hourly AS (SELECT user_id, date_trunc('hour', ts) AS h,
+             |                  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+             |           FROM events GROUP BY 1, 2)
+             |SELECT g.user_id, g.h,
+             |  last_value(hr.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.h
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff,
+             |  hr.v IS NULL AS is_gap
+             |FROM grid g LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
+             |ORDER BY g.user_id, g.h""".stripMargin)),
+
+    // ---- broadcast range (band) join ------------------------------------
+    // Non-equi join of the fact table against a tiny banding dimension;
+    // the bands side is broadcast so the fact table never shuffles —
+    // the scale-correct plan for interval lookups (BroadcastNestedLoop
+    // over 10 rows, not an N×M shuffle).
+    Q("q_range_band_join",
+      (s, dir) => {
+        val bands = broadcast(s.range(0, 10).select(
+          col("id").as("band_id"),
+          (col("id") * 50.0).as("lo"),
+          ((col("id") + 1) * 50.0).as("hi")))
+        Tables.events(s, dir)
+          .join(bands, col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy(col("band_id"), col("lo"), col("hi"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("band_id"))
+      },
+      Some("""WITH bands AS (SELECT range AS band_id, range * 50.0 AS lo,
+             |                      (range + 1) * 50.0 AS hi FROM range(0, 10))
+             |SELECT band_id, lo, hi, count(*) AS n,
+             |       count(DISTINCT user_id) AS n_users
+             |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+             |GROUP BY band_id, lo, hi ORDER BY band_id""".stripMargin))
+  )
+}
