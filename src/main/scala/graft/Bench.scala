@@ -16,6 +16,7 @@ object Bench {
     "q_user_stats",            // grouped multi-aggregate
     "q_latest_per_user_top",   // latest-per-key (max_by)
     "q_join_orders_customer",  // broadcast join + agg
+    "q_star_region_revenue",   // 5-table star join, all dims broadcast
     "q_asof_join",             // union+window as-of join
     // dedup: LSH is the benched path. Exact pairwise Jaccard
     // (q_jaccard_pairs, oracle-checked in Verify) is deliberately NOT a
