@@ -4,9 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join: for each left row, attach the latest right row with
-  * `right.time <= left.time`, matching on an equality key. Left-outer
-  * semantics (unmatched left rows keep null right columns).
+/** As-of joins: for each left row, attach the latest right row with
+  * `right.time <= left.time` ([[backward]]) or the earliest right row with
+  * `right.time >= left.time` ([[forward]]), matching on an equality key.
+  * Left-outer semantics (unmatched left rows keep null right columns).
   *
   * Implementation is the union + last-non-null-carry-forward pattern:
   * tag both inputs, union, then one window sorted by (key, time, side) and
@@ -29,7 +30,28 @@ object AsOfJoin {
       key: String,
       leftTime: String,
       rightTime: String,
-      rightValueCols: Seq[String]): DataFrame = {
+      rightValueCols: Seq[String]): DataFrame =
+    join(left, right, key, leftTime, rightTime, rightValueCols, fwd = false)
+
+  /** Forward variant: earliest right row at/after the left time — same
+    * single-shuffle union+window shape, carry direction reversed. */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightValueCols: Seq[String]): DataFrame =
+    join(left, right, key, leftTime, rightTime, rightValueCols, fwd = true)
+
+  private def join(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightValueCols: Seq[String],
+      fwd: Boolean): DataFrame = {
 
     val leftCols = left.columns.toSeq
     val carried  = rightValueCols.map(c => s"asof_$c")
@@ -53,14 +75,24 @@ object AsOfJoin {
             lit(null).cast(left.schema(c).dataType).as(c))) ++
           rightValueCols.zip(carried).map { case (rc, ac) => col(rc).as(ac) }: _*)
 
-    // side 0 (right) sorts before side 1 (left) at equal time → inclusive <=.
-    val w = Window
-      .partitionBy(col(key))
-      .orderBy(col("__t").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Backward: right (side 0) sorts before left at equal time, carry the
+    // last right value from the preceding frame → inclusive <=.
+    // Forward: left sorts before right at equal time, take the first right
+    // value from the following frame → inclusive >=.
+    val w =
+      if (fwd)
+        Window.partitionBy(col(key))
+          .orderBy(col("__t").asc, col("__side").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else
+        Window.partitionBy(col(key))
+          .orderBy(col("__t").asc, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val withCarry = carried.foldLeft(lNorm.unionByName(rNorm)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      df.withColumn(c,
+        if (fwd) first(col(c), ignoreNulls = true).over(w)
+        else last(col(c), ignoreNulls = true).over(w))
     }
 
     withCarry

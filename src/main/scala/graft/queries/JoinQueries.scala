@@ -146,6 +146,36 @@ object JoinQueries {
              |       c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
              |FROM err e ASOF LEFT JOIN clk c
              |  ON e.user_id = c.user_id AND c.ts <= e.ts
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // ---- forward as-of join: earliest click at/after each error ---------
+    Q("q_asof_forward",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val err = e.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clk = LatestPerKey.maxBy(
+          e.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("event_id"))
+            .withColumn("__k", concat_ws("|", col("user_id"), unix_micros(col("ts")))),
+          "__k", Seq(col("event_id"))).drop("__k")
+        AsOfJoin.forward(err, clk, "user_id", "ts", "ts", Seq("event_id", "ts"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_event_id").as("next_click_id"),
+            col("asof_ts").as("next_click_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH err AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+             |clk AS (
+             |  SELECT user_id, ts, event_id FROM (
+             |    SELECT user_id, ts, event_id,
+             |           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+             |    FROM events WHERE event_type = 'click') t WHERE rn = 1)
+             |SELECT e.event_id, e.user_id, e.ts,
+             |       c.event_id AS next_click_id, c.ts AS next_click_ts
+             |FROM err e ASOF LEFT JOIN clk c
+             |  ON e.user_id = c.user_id AND e.ts <= c.ts
              |ORDER BY e.event_id""".stripMargin))
   )
 }

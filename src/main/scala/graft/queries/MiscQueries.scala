@@ -97,6 +97,60 @@ object MiscQueries {
              |  coalesce(regexp_extract(p_brand, '([0-9]+)', 1), '') AS brand_num,
              |  concat_ws('-', p_type, p_brand) AS type_brand,
              |  translate(p_name, 'aeiou', '_____') AS consonant_mask
-             |FROM part ORDER BY p_partkey""".stripMargin))
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // ---- explicit GROUPING SETS (beyond CUBE/ROLLUP) --------------------
+    Q("q_grouping_sets",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(col("event_type"), (col("user_id") % 10).as("cohort"), col("value"))
+          .createOrReplaceTempView("__gs_events")
+        s.sql("""SELECT event_type, cohort, count(*) AS n,
+                |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                |  CAST(grouping(event_type) AS INT) AS gb_type,
+                |  CAST(grouping(cohort) AS INT) AS gb_cohort
+                |FROM __gs_events
+                |GROUP BY GROUPING SETS ((event_type), (cohort), ())
+                |ORDER BY gb_type, gb_cohort, event_type, cohort""".stripMargin)
+      },
+      Some("""SELECT event_type, cohort, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             |  CAST(grouping(event_type) AS INT) AS gb_type,
+             |  CAST(grouping(cohort) AS INT) AS gb_cohort
+             |FROM (SELECT event_type, user_id % 10 AS cohort, value FROM events) t
+             |GROUP BY GROUPING SETS ((event_type), (cohort), ())
+             |ORDER BY gb_type, gb_cohort, event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin)),
+
+    // ---- approximate sketches vs exact, tolerance-checked ---------------
+    // Sketch estimates differ across engines by design; the portable,
+    // hash-matchable output is the exact value plus a boolean asserting
+    // the engine's own estimate landed within tolerance.
+    Q("q_approx_sketches",
+      (s, dir) => Tables.events(s, dir)
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("__au"),
+          countDistinct(col("event_id")).as("exact_events"),
+          approx_count_distinct(col("event_id")).as("__ae"),
+          expr("percentile(value, 0.5)").as("__exact_med"),
+          expr("approx_percentile(value, 0.5, 10000)").as("__am"))
+        .select(
+          col("exact_users"),
+          (abs(col("__au") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("users_within_5pct"),
+          col("exact_events"),
+          (abs(col("__ae") - col("exact_events")) <=
+            col("exact_events") * 0.08).as("events_within_8pct"),
+          (abs(col("__am") - col("__exact_med")) <=
+            abs(col("__exact_med")) * 0.05).as("median_within_5pct")),
+      Some("""SELECT count(DISTINCT user_id) AS exact_users,
+             |  abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+             |    <= count(DISTINCT user_id) * 0.05 AS users_within_5pct,
+             |  count(DISTINCT event_id) AS exact_events,
+             |  abs(approx_count_distinct(event_id) - count(DISTINCT event_id))
+             |    <= count(DISTINCT event_id) * 0.08 AS events_within_8pct,
+             |  abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+             |    <= abs(quantile_cont(value, 0.5)) * 0.05 AS median_within_5pct
+             |FROM events""".stripMargin))
   )
 }

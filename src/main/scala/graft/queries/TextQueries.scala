@@ -138,6 +138,26 @@ object TextQueries {
               |    acc + CASE WHEN list_reduce(list_prepend(0::BIGINT, h),
               |                 (sm, x) -> sm + CASE WHEN (x >> j::INT) & 1 = 1 THEN 1 ELSE -1 END) > 0
               |               THEN (1::BIGINT << j::INT) ELSE 0 END) AS simhash
-              |FROM th ORDER BY doc_id""".stripMargin))
+              |FROM th ORDER BY doc_id""".stripMargin)),
+
+    // ---- within-document repetition ratio (Gopher-style quality rule):
+    //      fraction of duplicated 3-gram shingles, exact integer ppm ------
+    Q("q_doc_repetition",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("n_shingles", (size(Text.tokens(col("text"))) - 2).cast("long"))
+        .withColumn("n_distinct", size(Text.shingleHashes(col("text"))).cast("long"))
+        .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+          when(col("n_shingles") >= 1,
+            expr("(n_shingles - n_distinct) * 1000000L div n_shingles"))
+            .otherwise(lit(null)).cast("long").as("rep_ppm"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  len(string_split(text, ' ')) - 2 AS n_shingles,
+              |  len(${Text.shingleHashesSql("text")}) AS n_distinct,
+              |  CASE WHEN len(string_split(text, ' ')) - 2 >= 1 THEN
+              |    ((len(string_split(text, ' ')) - 2 - len(${Text.shingleHashesSql("text")}))::BIGINT
+              |     * 1000000) // (len(string_split(text, ' ')) - 2)
+              |  ELSE NULL END AS rep_ppm
+              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

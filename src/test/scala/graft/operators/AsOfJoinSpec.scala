@@ -32,4 +32,30 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("u2", 15L, "d", None, None),             // right row is later (16)
       ("u3", 9L, "e", None, None)))             // key absent on right
   }
+
+  test("forward as-of picks earliest right row at-or-after each left time") {
+    val left = Seq(
+      ("u1", 10L, "a"), ("u1", 20L, "b"), ("u1", 5L, "c"),
+      ("u2", 15L, "d"), ("u3", 9L, "e"))
+      .toDF("key", "t", "tag")
+    val right = Seq(
+      ("u1", 7L, 100.0), ("u1", 10L, 200.0), ("u1", 18L, 300.0),
+      ("u2", 16L, 400.0))
+      .toDF("key", "t", "rv")
+
+    val out = AsOfJoin.forward(left, right, "key", "t", "t", Seq("t", "rv"))
+      .select("key", "t", "tag", "asof_t", "asof_rv")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toSet
+
+    assert(out == Set(
+      ("u1", 10L, "a", Some(10L), Some(200.0)), // inclusive match at equal t
+      ("u1", 20L, "b", None, None),             // nothing at/after 20
+      ("u1", 5L, "c", Some(7L), Some(100.0)),
+      ("u2", 15L, "d", Some(16L), Some(400.0)),
+      ("u3", 9L, "e", None, None)))             // key absent on right
+  }
 }
