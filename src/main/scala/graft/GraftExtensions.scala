@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.PolyHashExpr
+import graft.functions.{CosineSimExpr, PolyHashExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** SparkSessionExtensions entry point: registers the engine's custom
@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSessionExtensions
   *     .withExtensions(new GraftExtensions)  // or
   *     .config("spark.sql.extensions", "graft.GraftExtensions")
   *   ...
-  *   spark.sql("SELECT poly_hash(text) FROM docs")
+  *   spark.sql("SELECT poly_hash(text), cosine_sim(a, b) FROM ...")
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -22,13 +22,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[PolyHashExpr].getName, "poly_hash"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           PolyHashExpr(exprs.head)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[CosineSimExpr].getName, "cosine_sim"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          CosineSimExpr(exprs.head, exprs(1))))
   }
 }
 
 object GraftExtensions {
   /** Register on an ALREADY-RUNNING session (builder extensions are
     * silently ignored once a session is active in the JVM). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHashExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimExpr(exprs.head, exprs(1)), "built-in")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.operators.TopK
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -143,6 +144,23 @@ object WindowQueries {
              |SELECT band_id, lo, hi, count(*) AS n,
              |       count(DISTINCT user_id) AS n_users
              |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
-             |GROUP BY band_id, lo, hi ORDER BY band_id""".stripMargin))
+             |GROUP BY band_id, lo, hi ORDER BY band_id""".stripMargin)),
+
+    // ---- top-k per group via bounded-buffer typed Aggregator ------------
+    // Single ObjectHashAggregate with map-side partials (≤2k candidates
+    // per group per partition cross the shuffle) — no global sort, unlike
+    // the ROW_NUMBER window the oracle uses.
+    Q("q_topk_per_group",
+      (s, dir) => TopK.perGroup(
+          Tables.events(s, dir), Seq("user_id"), "value", "event_id", k = 3)
+        .withColumnsRenamed(Map("value" -> "top_value", "id" -> "top_event_id"))
+        .orderBy(col("user_id"), col("rank")),
+      Some("""SELECT user_id, CAST(rn AS INT) AS rank, value AS top_value,
+             |       event_id AS top_event_id
+             |FROM (SELECT user_id, value, event_id,
+             |        row_number() OVER (PARTITION BY user_id
+             |                           ORDER BY value DESC, event_id) AS rn
+             |      FROM events) t
+             |WHERE rn <= 3 ORDER BY user_id, rank""".stripMargin))
   )
 }
