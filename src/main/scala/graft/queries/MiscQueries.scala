@@ -151,6 +151,31 @@ object MiscQueries {
              |    <= count(DISTINCT event_id) * 0.08 AS events_within_8pct,
              |  abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
              |    <= abs(quantile_cont(value, 0.5)) * 0.05 AS median_within_5pct
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    // ---- JSON-lines source: write → schema'd read → aggregate -----------
+    // The oracle aggregates the ORIGINAL parquet table, so a hash match
+    // proves the JSON write+read roundtrip is lossless (doubles survive
+    // via shortest-round-trip serialization).
+    Q("q_json_roundtrip",
+      (s, dir) => {
+        val path = "/tmp/graft_json_roundtrip"
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").json(path)
+        s.read
+          .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+          .json(path)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  count(DISTINCT user_id) AS n_users,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type NULLS FIRST""".stripMargin))
   )
 }

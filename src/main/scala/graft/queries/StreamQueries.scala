@@ -48,6 +48,40 @@ object StreamQueries {
       },
       None),
 
+    // ---- streaming exact dedup: two copies of the stream unioned, then
+    //      dropDuplicates keyed by event_id. State is keyed by id only
+    //      (no event-time key → no eviction → exactness; production
+    //      bounds state with dropDuplicatesWithinWatermark). The oracle
+    //      aggregates the ORIGINAL table — a hash match proves every
+    //      duplicate was removed by the streaming engine. --------------
+    Q("q_stream_dedup",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        def src = s.readStream.schema(rawEventSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val deduped = src.unionByName(src)
+          .withWatermark("ts", "2 hours")
+          .dropDuplicates("event_id")
+        val name = s"dedup_${System.nanoTime()}"
+        val q = deduped
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).as("__sv"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+          .select(col("event_type"), col("n"),
+            col("__sv").cast("double").as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type NULLS FIRST""".stripMargin)),
+
     // ---- multimodal: binary column → partition-local feature extraction -
     Q("q_media_features",
       (s, dir) => {

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks in the physical-plan properties the operators are designed
+  * around: broadcasts where dimensions are small, no shuffle where the
+  * plan shape avoids one, top-k as TakeOrderedAndProject. A regression
+  * here is a scale bug even when results stay correct.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.session
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  private def render(p: SparkPlan): String = p.toString
+
+  private def countShuffles(p: SparkPlan): Int = {
+    val expanded = p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    (p +: expanded).map(_.collect { case _: ShuffleExchangeExec => 1 }.sum).max
+  }
+
+  test("q_user_recent_n plans as TakeOrderedAndProject (engine-side top-k)") {
+    assert(render(plan("q_user_recent_n")).contains("TakeOrderedAndProject"))
+  }
+
+  test("star join broadcasts every dimension: no shuffle before the agg") {
+    val s = render(plan("q_star_region_revenue"))
+    assert("BroadcastHashJoin".r.findAllIn(s).length == 4,
+      s"expected 4 broadcast joins:\n$s")
+    // exactly 2 shuffles: partial→final agg, and the final orderBy
+    assert(countShuffles(plan("q_star_region_revenue")) <= 2, s)
+  }
+
+  test("latest-per-key (max_by) is a single-shuffle hash aggregate, no sort") {
+    val p = plan("q_latest_per_user_top")
+    val s = render(p)
+    assert(!s.contains("Window"), s"max_by path must not plan a Window:\n$s")
+  }
+
+  test("as-of join is one shuffle over the union, no nested-loop join") {
+    val p = plan("q_asof_join")
+    val s = render(p)
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"as-of must never plan a loop join:\n$s")
+  }
+
+  test("brute KNN broadcasts the query side (corpus never shuffles to join)") {
+    val s = render(plan("q_knn_brute"))
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s"expected a broadcast join:\n$s")
+  }
+}
