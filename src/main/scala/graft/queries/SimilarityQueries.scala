@@ -69,6 +69,96 @@ object SimilarityQueries {
               |                            ORDER BY $cosSql DESC, b.vec_id) AS rn
               |  FROM embeddings a
               |  JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id) t
-              |WHERE rn = 1 ORDER BY vec_id""".stripMargin))
+              |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // ---- per-label centroids (the IVF coarse-quantizer training step) ---
+    // posexplode → (label, pos) partial sums of floor(v·1e6) longs (exact,
+    // engine-portable), reassembled into an ordered centroid array. Two
+    // hash aggregates, no sort of the raw vectors; scales as labels × dim.
+    Q("q_label_centroids",
+      (s, dir) => Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(floor(col("v") * 1e6).cast("long")).as("__sv"),
+          count(lit(1)).as("__n"))
+        .select(col("label"),
+          struct(col("pos"), (col("__sv").cast("double") / col("__n") / 1e6).as("c")).as("__pc"),
+          col("__n"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(col("__pc"))), x => x("c")).as("centroid"),
+          max(col("__n")).as("n_vectors"))
+        .orderBy(col("label")),
+      Some("""WITH parts AS (
+             |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+             |         unnest(embedding) AS v
+             |  FROM embeddings),
+             |sums AS (
+             |  SELECT label, pos, sum(CAST(floor(v * 1e6) AS BIGINT)) AS sv,
+             |         count(*) AS n
+             |  FROM parts GROUP BY label, pos)
+             |SELECT label,
+             |       list(CAST(sv AS DOUBLE) / n / 1e6 ORDER BY pos) AS centroid,
+             |       max(n) AS n_vectors
+             |FROM sums GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ---- IVF assignment: nearest centroid per vector --------------------
+    // Centroids (10 rows) broadcast against the corpus, native cosine,
+    // argmax as one max_by hash aggregate — the full coarse-quantizer
+    // build+assign pipeline in two aggregates and zero corpus shuffles
+    // before the argmax.
+    Q("q_ivf_assign",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cents = emb
+          .select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("c_label"), col("pos"))
+          .agg(sum(floor(col("v") * 1e6).cast("long")).as("__sv"),
+            count(lit(1)).as("__n"))
+          .groupBy(col("c_label"))
+          .agg(transform(array_sort(collect_list(
+            struct(col("pos"), (col("__sv").cast("double") / col("__n") / 1e6).as("c")))),
+            x => x("c")).as("centroid"))
+        emb.crossJoin(broadcast(cents))
+          .withColumn("__sim", Knn.cosine(col("embedding"), col("centroid")))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(max_by(
+            struct(col("c_label"), floor(col("__sim") * 1e6).cast("long").as("__sp")),
+            struct(col("__sim"), negate(col("c_label")))).as("__r"))
+          .select(col("vec_id"),
+            col("__r.c_label").as("centroid_label"),
+            col("__r.__sp").as("sim_ppm"),
+            (col("label") === col("__r.c_label")).as("matches_label"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH parts AS (
+             |  SELECT label AS c_label, generate_subscripts(embedding, 1) - 1 AS pos,
+             |         unnest(embedding) AS v
+             |  FROM embeddings),
+             |sums AS (
+             |  SELECT c_label, pos, sum(CAST(floor(v * 1e6) AS BIGINT)) AS sv,
+             |         count(*) AS n
+             |  FROM parts GROUP BY c_label, pos),
+             |cents AS (
+             |  SELECT c_label, list(CAST(sv AS DOUBLE) / n / 1e6 ORDER BY pos) AS centroid
+             |  FROM sums GROUP BY c_label),
+             |scored AS (
+             |  SELECT a.vec_id, a.label, c.c_label,
+             |    list_reduce(list_prepend(0::DOUBLE,
+             |        list_transform(range(len(a.embedding)),
+             |          i -> a.embedding[i+1]::DOUBLE * c.centroid[i+1])),
+             |      (acc, v) -> acc + v)
+             |    / (sqrt(list_reduce(list_prepend(0::DOUBLE,
+             |          list_transform(a.embedding, v -> v::DOUBLE * v::DOUBLE)),
+             |        (acc, v) -> acc + v))
+             |     * sqrt(list_reduce(list_prepend(0::DOUBLE,
+             |          list_transform(c.centroid, v -> v * v)),
+             |        (acc, v) -> acc + v))) AS sim
+             |  FROM embeddings a CROSS JOIN cents c)
+             |SELECT vec_id, c_label AS centroid_label,
+             |       CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm,
+             |       label = c_label AS matches_label
+             |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+             |                ORDER BY sim DESC, c_label) AS rn FROM scored) t
+             |WHERE rn = 1 ORDER BY vec_id""".stripMargin))
   )
 }

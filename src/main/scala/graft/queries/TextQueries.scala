@@ -158,6 +158,25 @@ object TextQueries {
               |    ((len(string_split(text, ' ')) - 2 - len(${Text.shingleHashesSql("text")}))::BIGINT
               |     * 1000000) // (len(string_split(text, ' ')) - 2)
               |  ELSE NULL END AS rep_ppm
-              |FROM documents ORDER BY doc_id""".stripMargin))
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- PII scrubbing: email/URL masking + numeric-run census ----------
+    // Java regex and DuckDB RE2 agree on this dialect subset (character
+    // classes, bounded repetition, alternation-free) — parity prototyped.
+    Q("q_pii_scrub",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "https?://[^ ]+", "<URL>").as("scrubbed"),
+          regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_numbers"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    'https?://[^ ]+', '<URL>', 'g') AS scrubbed,
+             |  len(regexp_extract_all(text, '[0-9]+')) AS n_numbers
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
