@@ -176,6 +176,23 @@ object MiscQueries {
              |  count(DISTINCT user_id) AS n_users,
              |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY event_type
-             |ORDER BY event_type NULLS FIRST""".stripMargin))
+             |ORDER BY event_type NULLS FIRST""".stripMargin)),
+
+    // ---- deterministic hash-based sampling ------------------------------
+    // Multiplicative hash on the key → ~10.3% Bernoulli sample that is
+    // reproducible across runs, engines, and cluster sizes (no RNG state,
+    // no per-partition seed dependence — the property rand(seed) lacks).
+    // Knuth multiplier stays within long range for any realistic id.
+    Q("q_hash_sample",
+      (s, dir) => Tables.events(s, dir)
+        .filter(pmod(col("event_id") * 2654435761L, lit(97)) < 10)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sampled"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n_sampled,
+             |  count(DISTINCT user_id) AS n_users
+             |FROM events WHERE (event_id * 2654435761) % 97 < 10
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
