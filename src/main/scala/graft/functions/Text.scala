@@ -48,8 +48,13 @@ object Text {
       zip_with(acc, s, (x, y) => concat(x, lit(" "), y)))
   }
 
-  /** Distinct shingle hashes (portable hash). */
-  def shingleHashes(c: Column, n: Int = 3): Column =
+  /** Distinct shingle hashes (portable hash) — fused native expression,
+    * one pass, no intermediate arrays (see [[ShingleHashExpr]]). */
+  def shingleHashes(c: Column, n: Int = 3): Column = ShingleHashExpr(c, n)
+
+  /** Interpreted-HOF formulation — kept as the spec oracle for
+    * [[shingleHashes]]. */
+  def shingleHashesHof(c: Column, n: Int = 3): Column =
     shingleHashesWith(c, n, polyHash)
 
   /** Distinct shingle hashes under a caller-chosen hash (e.g. [[fastHash]]
