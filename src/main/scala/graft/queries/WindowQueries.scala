@@ -161,6 +161,61 @@ object WindowQueries {
              |        row_number() OVER (PARTITION BY user_id
              |                           ORDER BY value DESC, event_id) AS rn
              |      FROM events) t
-             |WHERE rn <= 3 ORDER BY user_id, rank""".stripMargin))
+             |WHERE rn <= 3 ORDER BY user_id, rank""".stripMargin)),
+
+    // ---- time-RANGE frame: 1-hour trailing moving aggregate -------------
+    // RANGE (not ROWS): the frame is [t−1h, t] in event time, so peers at
+    // equal timestamps aggregate identically regardless of row order —
+    // deterministic without a tiebreaker. Spark orders by epoch micros,
+    // DuckDB by the timestamp itself; bounds are inclusive in both.
+    Q("q_moving_time_window",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600000000L, 0L)
+        Tables.events(s, dir).select(
+            col("event_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(col("value").cast("decimal(18,6)")).over(w)
+              .cast("double").as("sum_1h"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |  count(*) OVER w AS n_1h,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- full outer join with unmatched sides on both ends --------------
+    Q("q_full_outer_join",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+              .when(col("c_custkey").isNotNull, "customer_only")
+              .otherwise("orders_only").as("side_state"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+          .groupBy(col("side_state"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("n_orders")).as("total_orders"))
+          .orderBy(col("side_state"))
+      },
+      Some("""WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+             |o AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+             |      WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+             |SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
+             |            WHEN c_custkey IS NOT NULL THEN 'customer_only'
+             |            ELSE 'orders_only' END AS side_state,
+             |       count(*) AS n_keys,
+             |       sum(coalesce(n_orders, 0)) AS total_orders
+             |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+             |GROUP BY side_state ORDER BY side_state""".stripMargin))
   )
 }
