@@ -177,6 +177,33 @@ object TextQueries {
              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              |    'https?://[^ ]+', '<URL>', 'g') AS scrubbed,
              |  len(regexp_extract_all(text, '[0-9]+')) AS n_numbers
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- composite quality gate: keep docs above their source's median
+    //      type-token ratio (score → per-source threshold → filter) ------
+    Q("q_quality_filter",
+      (s, dir) => {
+        val t = Text.tokens(col("text"))
+        val scored = Tables.documents(s, dir)
+          .withColumn("__n", size(t).cast("long"))
+          .withColumn("__nd", size(array_distinct(t)).cast("long"))
+          .withColumn("ttr_ppm", expr("__nd * 1000000L div __n"))
+        val med = scored.groupBy(col("source"))
+          .agg(expr("percentile(ttr_ppm, 0.5)").as("med_ttr"))
+        scored.join(broadcast(med), Seq("source"))
+          .filter(col("ttr_ppm") > col("med_ttr"))
+          .select(col("doc_id"), col("source"), col("ttr_ppm"), col("med_ttr"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id, source,
+             |    len(list_distinct(string_split(text, ' '))) * 1000000
+             |      // len(string_split(text, ' ')) AS ttr_ppm
+             |  FROM documents),
+             |med AS (SELECT source, quantile_cont(ttr_ppm, 0.5) AS med_ttr
+             |        FROM scored GROUP BY source)
+             |SELECT doc_id, s.source, ttr_ppm, med_ttr
+             |FROM scored s JOIN med m ON s.source = m.source
+             |WHERE ttr_ppm > med_ttr ORDER BY doc_id""".stripMargin))
   )
 }
