@@ -83,4 +83,42 @@ object StreamingIngest {
           out.iterator
         })
   }
+
+  /** Streaming upsert sink: maintain "latest row per key" as a parquet
+    * state table via foreachBatch — the merge-into pattern on plain files.
+    * Each micro-batch unions the incoming rows with the current state and
+    * re-deduplicates with the single-pass max_by aggregate; the new state
+    * is written to a fresh directory and atomically swapped in (write →
+    * rename), so readers never observe a partial state.
+    *
+    * Scale: work per batch is O(|state| + |batch|) with one shuffle (the
+    * max_by aggregate); at 100 TB the state table would be partitioned by
+    * key range so the merge touches only affected partitions.
+    */
+  def upsertLatest(
+      events: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      key: String,
+      ordCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    events.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val cur = new org.apache.hadoop.fs.Path(stateDir)
+        val base = if (fs.exists(cur)) spark.read.parquet(stateDir) else batch.limit(0)
+        val merged = graft.operators.LatestPerKey.maxBy(
+          base.unionByName(batch), key, ordCols.map(col))
+        val next = new org.apache.hadoop.fs.Path(stateDir + "__next")
+        merged.write.mode("overwrite").parquet(next.toString)
+        if (fs.exists(cur)) fs.delete(cur, true)
+        fs.rename(next, cur)
+        ()
+      }
+      .start()
+  }
 }

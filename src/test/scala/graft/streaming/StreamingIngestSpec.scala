@@ -21,6 +21,35 @@ class StreamingIngestSpec extends AnyFunSuite {
       .coalesce(1).write.mode("append").parquet(dir)
   }
 
+  test("upsertLatest maintains latest-per-key parquet state across batches") {
+    val src = Files.createTempDirectory("upsert_src").toString
+    val state = Files.createTempDirectory("upsert_state").toString + "/state"
+    val ckpt = Files.createTempDirectory("upsert_ckpt").toString
+    writeBatch(src)
+    val q = StreamingIngest.upsertLatest(
+      StreamingIngest.readEventStream(spark, src),
+      state, ckpt, "user_id", Seq("ts", "event_id"))
+    try {
+      q.processAllAvailable()
+      val s1 = spark.read.parquet(state)
+        .select("user_id", "event_id").orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(s1 == Seq((1L, 5L), (2L, 4L)))
+
+      // second drop: newer row for user 1, first row for user 3
+      Seq(
+        (6L, Timestamp.valueOf("2024-01-01 02:00:00"), 1L, "view", 6.0),
+        (7L, Timestamp.valueOf("2024-01-01 02:01:00"), 3L, "click", 7.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val s2 = spark.read.parquet(state)
+        .select("user_id", "event_id").orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(s2 == Seq((1L, 6L), (2L, 4L), (3L, 7L)))
+    } finally q.stop()
+  }
+
   test("hourly rollups aggregate a streamed batch (memory sink)") {
     val dir = Files.createTempDirectory("stream_src").toString
     writeBatch(dir)
