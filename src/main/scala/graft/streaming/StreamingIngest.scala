@@ -52,6 +52,20 @@ object StreamingIngest {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("avg_value"))
 
+  /** Per-user session windows (30-min inactivity gap) — the streaming
+    * analog of the batch gap-sessionization query (q_sessionize): state is
+    * one open session per key, merged/closed by the engine as events and
+    * the watermark advance. */
+  def sessionRollups(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n"), col("sum_value"))
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class Transition(user_id: Long, from_type: String,

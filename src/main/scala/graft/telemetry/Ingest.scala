@@ -25,6 +25,23 @@ object Ingest {
       .schema(csvSchema)
       .csv(path)
 
+  /** S1, fault-tolerant variant: PERMISSIVE parse that quarantines
+    * malformed lines into `_corrupt_record` instead of failing the job —
+    * at 100 TB a handful of bad lines must never kill a multi-hour ingest.
+    * Returns (clean rows, quarantined raw lines). */
+  def readCsvRobust(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val withCorrupt = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(csvSchema.add("_corrupt_record", "string"))
+      .csv(path)
+      .cache() // corrupt-record column requires materialization before filter
+    (withCorrupt.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      withCorrupt.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw_line")))
+  }
+
   /** P1/P3/P5/P2: rename via mapping (fallback lowercase), null-pad missing
     * required columns, impute defaults. */
   def normalize(raw: DataFrame): DataFrame = {

@@ -50,6 +50,25 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows split on the 30-minute inactivity gap") {
+    val dir = Files.createTempDirectory("stream_sess").toString
+    writeBatch(dir)
+    val q = StreamingIngest.sessionRollups(
+        StreamingIngest.readEventStream(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_test").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sess_test")
+        .orderBy("user_id", "s_start")
+        .select("user_id", "n", "sum_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      // user 1: events 00:10/00:20/00:30 chain into one session (≤30m
+      // gaps), 01:45 opens a second; user 2: single event session.
+      assert(rows == Seq((1L, 3L, 6.0), (1L, 1L, 5.0), (2L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("hourly rollups aggregate a streamed batch (memory sink)") {
     val dir = Files.createTempDirectory("stream_src").toString
     writeBatch(dir)

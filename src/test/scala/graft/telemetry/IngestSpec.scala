@@ -60,4 +60,17 @@ class IngestSpec extends AnyFunSuite {
     val r = df.filter(df("machineid") === "M001" && df("hour") === 0).head()
     assert(r.getAs[Long]("timestamp_epoch") == 1756684800L)
   }
+
+  test("robust read quarantines malformed lines instead of failing") {
+    val bad = csv +
+      """M004,Crane,Site E,9/3/2025 2:00,not_a_number,xxx,yyy,1,2,3,oops,Bad,zz,eee,a,b,c
+        |""".stripMargin
+    val f = Files.createTempFile("telemetry_bad", ".csv")
+    Files.writeString(f, bad)
+    val (clean, quarantined) = Ingest.readCsvRobust(spark, f.toString)
+    assert(clean.count() == 5, "the 5 well-formed rows survive")
+    val q = quarantined.collect().map(_.getString(0))
+    assert(q.length == 1 && q.head.startsWith("M004,Crane"),
+      "the malformed line lands in quarantine verbatim")
+  }
 }
