@@ -193,6 +193,50 @@ object MiscQueries {
       Some("""SELECT event_type, count(*) AS n_sampled,
              |  count(DISTINCT user_id) AS n_users
              |FROM events WHERE (event_id * 2654435761) % 97 < 10
-             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- data profiling: one row of per-column stats per column ---------
+    // The standard pre-ingest profiling report (null counts, cardinality,
+    // numeric range) as a single scan: per-column aggregates computed
+    // together, unpivoted to one row per column.
+    Q("q_profile_events",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val total = count(lit(1))
+        e.agg(
+            total.as("__t"),
+            sum(col("user_id").isNull.cast("long")).as("n_user"),
+            countDistinct(col("user_id")).as("d_user"),
+            sum(col("event_type").isNull.cast("long")).as("n_type"),
+            countDistinct(col("event_type")).as("d_type"),
+            sum(col("value").isNull.cast("long")).as("n_value"),
+            countDistinct(col("value")).as("d_value"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value"))
+          .selectExpr(
+            """stack(3,
+              |  'user_id',    __t, n_user,  d_user,  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+              |  'event_type', __t, n_type,  d_type,  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+              |  'value',      __t, n_value, d_value, min_value, max_value)
+              |AS (column_name, n_rows, n_nulls, n_distinct, min_d, max_d)""".stripMargin)
+          .orderBy(col("column_name"))
+      },
+      Some("""WITH a AS (SELECT count(*) AS t,
+             |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_user,
+             |  count(DISTINCT user_id) AS d_user,
+             |  sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS n_type,
+             |  count(DISTINCT event_type) AS d_type,
+             |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_value,
+             |  count(DISTINCT value) AS d_value,
+             |  min(value) AS min_value, max(value) AS max_value
+             |FROM events)
+             |SELECT 'user_id' AS column_name, t AS n_rows, n_user AS n_nulls,
+             |       d_user AS n_distinct, CAST(NULL AS DOUBLE) AS min_d,
+             |       CAST(NULL AS DOUBLE) AS max_d FROM a
+             |UNION ALL
+             |SELECT 'event_type', t, n_type, d_type, NULL, NULL FROM a
+             |UNION ALL
+             |SELECT 'value', t, n_value, d_value, min_value, max_value FROM a
+             |ORDER BY column_name""".stripMargin))
   )
 }
