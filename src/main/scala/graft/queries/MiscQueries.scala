@@ -237,6 +237,33 @@ object MiscQueries {
              |SELECT 'event_type', t, n_type, d_type, NULL, NULL FROM a
              |UNION ALL
              |SELECT 'value', t, n_value, d_value, min_value, max_value FROM a
-             |ORDER BY column_name""".stripMargin))
+             |ORDER BY column_name""".stripMargin)),
+
+    // ---- correlated scalar subqueries (decorrelated by Catalyst to
+    //      joins). Predicate "price > 2 × customer average" evaluated in
+    //      integer cents: price·n > 2·sum — exact, no float-avg order
+    //      sensitivity.
+    Q("q_correlated_scalar",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("__cs_orders")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+                |FROM __cs_orders o
+                |WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+                |      * (SELECT count(*) FROM __cs_orders o2
+                |         WHERE o2.o_custkey = o.o_custkey)
+                |      > 2 * (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+                |             FROM __cs_orders o2
+                |             WHERE o2.o_custkey = o.o_custkey)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders o
+             |WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+             |      * (SELECT count(*) FROM orders o2
+             |         WHERE o2.o_custkey = o.o_custkey)
+             |      > 2 * (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+             |             FROM orders o2
+             |             WHERE o2.o_custkey = o.o_custkey)
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }
