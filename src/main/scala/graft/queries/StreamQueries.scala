@@ -97,6 +97,32 @@ object StreamQueries {
             sum(element_at(col("histogram"), 8)).as("hist_bin7_total"))
           .orderBy(col("kind"))
       },
-      None)
+      None),
+
+    // ---- multimodal metadata, oracle-checked: the deterministic parts of
+    //      the media pipeline (byte sizes from the UTF-8 payload, frame-
+    //      sample counts from the offset formula) hash-match DuckDB;
+    //      codec-dependent outputs stay in the rows-only query above -----
+    Q("q_media_meta",
+      (s, dir) => {
+        import s.implicits._
+        val media = Media.synthesize(
+          graft.Tables.documents(s, dir), "doc_id", "text").as[Media.MediaRow]
+        Media.extractFeatures(media, framesPerItem = 4)
+          .select(col("media_id"), col("kind"), col("n_bytes"),
+            col("frames_sampled").cast("long").as("frames_sampled"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+             |       WHEN doc_id % 3 = 1 THEN 'audio'
+             |       ELSE 'video' END AS kind,
+             |  strlen(text) AS n_bytes,
+             |  CASE WHEN strlen(text) < 16 THEN 0 ELSE
+             |    len(list_distinct(list_transform(range(4),
+             |      i -> least(i * greatest(1, (strlen(text) - 16) // 3),
+             |                 strlen(text) - 16))))
+             |  END AS frames_sampled
+             |FROM documents ORDER BY media_id""".stripMargin))
   )
 }
