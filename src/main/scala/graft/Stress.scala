@@ -9,6 +9,8 @@ import org.apache.spark.sql.functions._
   * Usage: graft.Stress [sfDir] [copies] [mode]
   *   mode "dedup" (default): MinHash+LSH candidate pairs over N× documents
   *   mode "knn":             sign-LSH bucketed top-1 NN over N× embeddings
+  *   mode "skew":            plain vs salted groupBy on copies×1M rows
+  *                           where 90% share ONE key (sfDir unused)
   * The measured numbers live in SCALE.md ("Measured" table).
   */
 object Stress {
@@ -39,6 +41,42 @@ object Stress {
         val nr = nn.count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"""{"vectors":$n%d,"nn_rows":$nr%d,"seconds":$dt%.1f}""")
+
+      case "skew" =>
+        // copies×1M rows, 90% on key 0, rest uniform over 10k keys —
+        // repartitioned round-robin so the hot key starts spread like a
+        // real scan, and every aggregate keeps non-trivial reduce work.
+        val rows = copies * 1000000L
+        val big = spark.range(rows).select(
+            when(col("id") % 10 < 9, 0L)
+              .otherwise(pmod(col("id") * 2654435761L, lit(10000))).as("key"),
+            col("id"),
+            (col("id") % 1000).cast("double").as("v"))
+          .repartition(32).cache()
+        big.count()
+        def time(f: => Long): (Long, Double) = {
+          val t0 = System.nanoTime(); val n = f
+          (n, (System.nanoTime() - t0) / 1e9)
+        }
+        val (n1, tPlain) = time {
+          big.groupBy(col("key"))
+            .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(18,6)")).as("s"),
+              min(col("v")), max(col("v"))).count()
+        }
+        val (n2, tSalted) = time {
+          operators.SaltedAgg.countSumMinMax(big, "key", col("id"), col("v")).count()
+        }
+        // Non-decomposable case: count(DISTINCT payload). Partial agg
+        // cannot collapse distinct sets, so the hot key's payload all
+        // lands on one reducer — THIS is where two-stage wins.
+        val (n3, tDistPlain) = time {
+          big.groupBy(col("key")).agg(countDistinct(col("id"))).count()
+        }
+        val (n4, tDistTwoStage) = time {
+          big.select(col("key"), col("id")).distinct()
+            .groupBy(col("key")).agg(count(lit(1))).count()
+        }
+        println(f"""{"rows":$rows%d,"groups":$n1%d,"decomposable_plain_s":$tPlain%.1f,"decomposable_salted_s":$tSalted%.1f,"distinct_plain_s":$tDistPlain%.1f,"distinct_two_stage_s":$tDistTwoStage%.1f,"sanity":${n1 == n2 && n3 == n4}%b}""")
 
       case _ =>
         val docs0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
