@@ -15,6 +15,7 @@ object Bench {
     "q_count_star",            // raw scan throughput
     "q_user_stats",            // grouped multi-aggregate
     "q_latest_per_user_top",   // latest-per-key (max_by)
+    "q_topk_per_group",        // bounded-buffer top-k aggregator
     "q_join_orders_customer",  // broadcast join + agg
     "q_star_region_revenue",   // 5-table star join, all dims broadcast
     "q_asof_join",             // union+window as-of join

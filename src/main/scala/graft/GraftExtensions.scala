@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimExpr, PolyHashExpr}
+import graft.functions.{CosineSimExpr, PolyHashExpr, ShingleHashExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** SparkSessionExtensions entry point: registers the engine's custom
@@ -28,6 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[CosineSimExpr].getName, "cosine_sim"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           CosineSimExpr(exprs.head, exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hashes"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[ShingleHashExpr].getName, "shingle_hashes"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          ShingleHashExpr(exprs.head, 3)))
   }
 }
 
@@ -39,5 +45,7 @@ object GraftExtensions {
       "poly_hash", exprs => PolyHashExpr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimExpr(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes", exprs => ShingleHashExpr(exprs.head, 3), "built-in")
   }
 }
