@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.MiscQueries.all ++
       graft.queries.WindowQueries.all ++
       graft.queries.StarJoinQueries.all ++
-      graft.queries.FunnelQueries.all
+      graft.queries.FunnelQueries.all ++
+      graft.queries.TimeSeriesQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Latest event per user (the reference's signature DISTINCT ON operator,
