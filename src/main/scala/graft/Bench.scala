@@ -48,15 +48,18 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     val qs = SparkEntry.queries
-    // best-of-2: steady-state timing, robust to one-off GC/page-cache noise
+    // best-of-2: steady-state timing, robust to one-off GC/page-cache
+    // noise. A failed run contributes NO timing; a query failing both
+    // runs reports -1 so failures can't masquerade as fast results.
     val results = headline.filter(qs.contains).map { name =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { qs(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          qs(name)(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
       }
-      name -> times.min
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -15,6 +15,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.{buildCosine, buildShingle}
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("poly_hash"),
@@ -26,26 +28,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[CosineSimExpr].getName, "cosine_sim"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          CosineSimExpr(exprs.head, exprs(1))))
+        buildCosine))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hashes"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[ShingleHashExpr].getName, "shingle_hashes"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          ShingleHashExpr(exprs.head, 3)))
+        buildShingle))
   }
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+  /** cosine_sim(a, b) — arity-checked at resolution. */
+  private[graft] val buildCosine: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2,
+      s"cosine_sim expects 2 arguments, got ${exprs.length}")
+    CosineSimExpr(exprs.head, exprs(1))
+  }
+
+  /** shingle_hashes(text[, n]) — n must be an integer literal (default 3). */
+  private[graft] val buildShingle: Seq[Expression] => Expression = { exprs =>
+    require(exprs.nonEmpty && exprs.length <= 2,
+      s"shingle_hashes expects 1 or 2 arguments, got ${exprs.length}")
+    val n = exprs.lift(1) match {
+      case None => 3
+      case Some(Literal(v: Int, org.apache.spark.sql.types.IntegerType)) => v
+      case Some(other) => throw new IllegalArgumentException(
+        s"shingle_hashes n must be an integer literal, got $other")
+    }
+    ShingleHashExpr(exprs.head, n)
+  }
+
   /** Register on an ALREADY-RUNNING session (builder extensions are
     * silently ignored once a session is active in the JVM). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHashExpr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimExpr(exprs.head, exprs(1)), "built-in")
+      "cosine_sim", buildCosine, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes", exprs => ShingleHashExpr(exprs.head, 3), "built-in")
+      "shingle_hashes", buildShingle, "built-in")
   }
 }

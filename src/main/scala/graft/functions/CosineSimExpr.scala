@@ -28,6 +28,22 @@ case class CosineSimExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Only float/double arrays: getFloat/getDouble on any other element
+  // type would reinterpret memory, not cast (unlike the HOF formulation).
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType | org.apache.spark.sql.types.DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires array<float|double> arguments, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 

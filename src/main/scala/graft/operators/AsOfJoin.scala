@@ -75,24 +75,20 @@ object AsOfJoin {
             lit(null).cast(left.schema(c).dataType).as(c))) ++
           rightValueCols.zip(carried).map { case (rc, ac) => col(rc).as(ac) }: _*)
 
-    // Backward: right (side 0) sorts before left at equal time, carry the
-    // last right value from the preceding frame → inclusive <=.
-    // Forward: left sorts before right at equal time, take the first right
-    // value from the following frame → inclusive >=.
-    val w =
-      if (fwd)
-        Window.partitionBy(col(key))
-          .orderBy(col("__t").asc, col("__side").desc)
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      else
-        Window.partitionBy(col(key))
-          .orderBy(col("__t").asc, col("__side").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Both directions use last() over [unboundedPreceding, currentRow] —
+    // Spark executes that as an O(n) running frame. (A first() over
+    // [currentRow, unboundedFollowing] would be re-evaluated per row:
+    // O(partition²).) Direction is encoded in traversal order:
+    //  - backward: time ASC, right (side 0) before left at equal time →
+    //    carry = latest right at/before the left row;
+    //  - forward: time DESC, right before left at equal time → carry =
+    //    EARLIEST right at/after the left row (nearest in desc traversal).
+    val w = Window.partitionBy(col(key))
+      .orderBy(if (fwd) col("__t").desc else col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val withCarry = carried.foldLeft(lNorm.unionByName(rNorm)) { (df, c) =>
-      df.withColumn(c,
-        if (fwd) first(col(c), ignoreNulls = true).over(w)
-        else last(col(c), ignoreNulls = true).over(w))
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
 
     withCarry

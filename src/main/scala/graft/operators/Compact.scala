@@ -13,13 +13,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Compact {
 
-  /** Number of output files for ~`targetBytes` per file. */
+  /** Number of output files for ~`targetBytes` per file. Lists the
+    * directory RECURSIVELY (partitioned layouts keep data in key=…
+    * subdirectories) on the filesystem the path itself resolves to (NOT
+    * fs.defaultFS — dir may be on s3a/file while default is hdfs). */
   def plannedFiles(spark: SparkSession, dir: String, targetBytes: Long): Int = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var totalBytes = 0L
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) totalBytes += f.getLen
+    }
     math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
   }
 

@@ -23,8 +23,16 @@ object TopK {
   class TopKAgg(k: Int)
       extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
-    private def ord: Ordering[(Double, Long)] =
-      Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))
+    // Matches Spark SQL `value DESC, id ASC`: java.lang.Double.compare
+    // ranks NaN above +Inf, like Spark's descending sort. (Scala's
+    // Ordering.by(-value) would rank NaN LAST — a silent divergence from
+    // the ROW_NUMBER oracle.)
+    private def ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val byValueDesc = java.lang.Double.compare(b._1, a._1)
+        if (byValueDesc != 0) byValueDesc else java.lang.Long.compare(a._2, b._2)
+      }
+    }
 
     private def trim(b: Seq[(Double, Long)]): Seq[(Double, Long)] =
       if (b.length <= 2 * k) b else b.sorted(ord).take(k)
@@ -47,7 +55,10 @@ object TopK {
   }
 
   /** Top-k (value, id) per key group, exploded to one row per rank.
-    * Output: keyCols..., rank (1-based), value, id. */
+    * Output: keyCols..., rank (1-based), value, id. Rows with a null
+    * value or id are excluded (the primitive tuple encoder cannot carry
+    * nulls; for DESC ranking this matches NULLS-LAST up to k non-null
+    * rows per group). */
   def perGroup(
       df: DataFrame,
       keyCols: Seq[String],
@@ -55,7 +66,8 @@ object TopK {
       idCol: String,
       k: Int): DataFrame = {
     val agg = udaf(new TopKAgg(k))
-    df.groupBy(keyCols.map(col): _*)
+    df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
       .agg(agg(col(valueCol).cast("double"), col(idCol).cast("long")).as("__top"))
       .select(keyCols.map(col) :+ posexplode(col("__top")).as(Seq("__pos", "__t")): _*)
       .select(keyCols.map(col) ++ Seq(

@@ -159,7 +159,8 @@ object MiscQueries {
     // via shortest-round-trip serialization).
     Q("q_json_roundtrip",
       (s, dir) => {
-        val path = "/tmp/graft_json_roundtrip"
+        // path unique per input dir so concurrent harness runs don't clobber
+        val path = s"/tmp/graft_json_roundtrip_${math.abs(dir.hashCode)}"
         Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
           .write.mode("overwrite").json(path)

@@ -102,8 +102,12 @@ object StreamingIngest {
     * state table via foreachBatch — the merge-into pattern on plain files.
     * Each micro-batch unions the incoming rows with the current state and
     * re-deduplicates with the single-pass max_by aggregate; the new state
-    * is written to a fresh directory and atomically swapped in (write →
-    * rename), so readers never observe a partial state.
+    * is written to a fresh directory and swapped in via two renames with
+    * a `__old` fallback: a crash between the renames leaves the previous
+    * state recoverable at `__old` (checked on the next batch's read), so
+    * no committed state is ever lost. (A transactional table format —
+    * Delta/Iceberg — is the production answer; this is the plain-files
+    * contract.)
     *
     * Scale: work per batch is O(|state| + |batch|) with one shuffle (the
     * max_by aggregate); at 100 TB the state table would be partitioned by
@@ -121,16 +125,20 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
         val cur = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val old = new org.apache.hadoop.fs.Path(stateDir + "__old")
+        val next = new org.apache.hadoop.fs.Path(stateDir + "__next")
+        // recover from a crash that happened between the two swap renames
+        if (!fs.exists(cur) && fs.exists(old)) fs.rename(old, cur)
         val base = if (fs.exists(cur)) spark.read.parquet(stateDir) else batch.limit(0)
         val merged = graft.operators.LatestPerKey.maxBy(
           base.unionByName(batch), key, ordCols.map(col))
-        val next = new org.apache.hadoop.fs.Path(stateDir + "__next")
         merged.write.mode("overwrite").parquet(next.toString)
-        if (fs.exists(cur)) fs.delete(cur, true)
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(cur)) fs.rename(cur, old)
         fs.rename(next, cur)
+        fs.delete(old, true)
         ()
       }
       .start()
