@@ -11,6 +11,8 @@ import org.apache.spark.sql.functions._
   *   mode "knn":             sign-LSH bucketed top-1 NN over N× embeddings
   *   mode "skew":            plain vs salted groupBy on copies×1M rows
   *                           where 90% share ONE key (sfDir unused)
+  *   mode "asof":            backward vs forward as-of join over
+  *                           copies×1M left + right rows (sfDir unused)
   * The measured numbers live in SCALE.md ("Measured" table).
   */
 object Stress {
@@ -77,6 +79,25 @@ object Stress {
             .groupBy(col("key")).agg(count(lit(1))).count()
         }
         println(f"""{"rows":$rows%d,"groups":$n1%d,"decomposable_plain_s":$tPlain%.1f,"decomposable_salted_s":$tSalted%.1f,"distinct_plain_s":$tDistPlain%.1f,"distinct_two_stage_s":$tDistTwoStage%.1f,"sanity":${n1 == n2 && n3 == n4}%b}""")
+
+      case "asof" =>
+        // Both directions must run in O(n log n): the forward join is the
+        // regression guard (a naive unbounded-FOLLOWING frame is O(n²) —
+        // ~1e12 frame evaluations at this size, i.e. it would not finish).
+        val rows = copies * 1000000L
+        def side(off: Long) = spark.range(rows).select(
+          (col("id") % 1000).as("key"), (col("id") * 7 + off).as("t"),
+          col("id").as("payload")).repartition(32)
+        val l = side(0).cache(); val r = side(3).cache()
+        l.count(); r.count()
+        def time(f: => Long): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val tB = time(operators.AsOfJoin.backward(
+          l, r, "key", "t", "t", Seq("payload")).count())
+        val tF = time(operators.AsOfJoin.forward(
+          l, r, "key", "t", "t", Seq("payload")).count())
+        println(f"""{"rows_per_side":$rows%d,"backward_s":$tB%.1f,"forward_s":$tF%.1f}""")
 
       case _ =>
         val docs0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
