@@ -20,8 +20,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * cf. PolyHashExpr's rationale); this is the hot-path replacement used by
   * `operators.Knn` where similarity is evaluated O(candidate pairs) times.
   *
-  * Assumes non-null elements (the embeddings schema guarantees it);
-  * unequal lengths fold over the common prefix.
+  * Bit-identity holds for non-null, equal-length inputs (what every
+  * caller in this engine produces). Divergences outside that contract:
+  * a null ELEMENT is read as 0.0 here where the HOF chain returns null,
+  * and unequal lengths fold over the common prefix where the HOF (whose
+  * zip_with null-pads) returns null.
   */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {

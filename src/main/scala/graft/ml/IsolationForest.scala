@@ -78,6 +78,9 @@ object IsolationForest {
       .limit(maxSamples * nTrees)
       .collect()
       .map(r => Array.tabulate(featureCols.size)(r.getDouble))
+    require(sample.nonEmpty,
+      "IsolationForest.fit: no complete feature rows to sample " +
+        "(input empty, or every row has a null feature)")
     val rng = new Random(seed)
     val perTree = math.min(maxSamples, math.max(sample.length, 2))
     val maxDepth = math.ceil(math.log(perTree.toDouble) / math.log(2.0)).toInt
@@ -88,12 +91,17 @@ object IsolationForest {
     Model(trees, perTree)
   }
 
-  /** Broadcast the forest and score every row (appends `anomaly_score`). */
+  /** Broadcast the forest and score every row (appends `anomaly_score`).
+    * Null/NaN features score as 0.0 — the reference's fixed default for
+    * missing feature values (database_and_model_tools.py:226); note fit()
+    * drops such rows, so 0.0-imputed scores reflect a value the model
+    * never observed. */
   def scoreAll(spark: SparkSession, df: DataFrame, featureCols: Seq[String],
       model: Model): DataFrame = {
     val bc: Broadcast[Model] = spark.sparkContext.broadcast(model)
     val scoreUdf = udf((xs: Seq[Double]) => bc.value.score(xs.toArray))
     df.withColumn("anomaly_score",
-      scoreUdf(array(featureCols.map(c => coalesce(col(c).cast("double"), lit(0.0))): _*)))
+      scoreUdf(array(featureCols.map(c =>
+        nanvl(coalesce(col(c).cast("double"), lit(0.0)), lit(0.0))): _*)))
   }
 }

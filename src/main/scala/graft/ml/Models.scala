@@ -30,9 +30,12 @@ object Models {
       .setOutputCol("features_raw")
       .setHandleInvalid("keep")
 
+  /** Reference M1 contract: invalid feature values default to 0.0. NaN is
+    * replaced too (nanvl) — one NaN surviving into StandardScaler.fit
+    * would NaN that dimension's mean and poison every row. */
   private def withZeroDefaults(df: DataFrame, featureCols: Seq[String]): DataFrame =
     featureCols.foldLeft(df)((d, c) =>
-      d.withColumn(c, coalesce(col(c).cast("double"), lit(0.0))))
+      d.withColumn(c, nanvl(coalesce(col(c).cast("double"), lit(0.0)), lit(0.0))))
 
   /** M3: regression pipeline assemble → scale → GBT. */
   def fitRegressor(train: DataFrame, featureCols: Seq[String],

@@ -7,14 +7,18 @@ import org.apache.spark.sql.functions._
 /** As-of joins: for each left row, attach the latest right row with
   * `right.time <= left.time` ([[backward]]) or the earliest right row with
   * `right.time >= left.time` ([[forward]]), matching on an equality key.
-  * Left-outer semantics (unmatched left rows keep null right columns).
+  * Left-outer semantics (unmatched left rows keep null right columns); a
+  * null left time matches nothing, and null right times never match —
+  * DuckDB `ASOF JOIN` semantics.
   *
-  * Implementation is the union + last-non-null-carry-forward pattern:
-  * tag both inputs, union, then one window sorted by (key, time, side) and
-  * `last(col, ignoreNulls = true)` carries the most recent right values onto
-  * each left row. Exactly ONE shuffle + sort over |L| + |R| rows — no
-  * range-condition theta join (which Spark would execute as a broadcast
-  * nested loop) and no per-key explode, so it scales linearly to 100 TB.
+  * Implementation is the union + carry pattern: tag both inputs, union,
+  * then one window carries the nearest right row onto each left row. The
+  * carry is a single STRUCT of all right value columns (never null for a
+  * right row), so the matched row is attached atomically — carried nulls
+  * stay null, and values from different right rows can never mix. Exactly
+  * ONE shuffle + sort over |L| + |R| rows — no range-condition theta join
+  * (which Spark would execute as a broadcast nested loop) and no per-key
+  * explode, so it scales linearly to 100 TB.
   *
   * Right side must be unique per (key, time); callers dedupe first (e.g.
   * with [[LatestPerKey]]) so ties are deterministic on both the engine and
@@ -54,31 +58,35 @@ object AsOfJoin {
       fwd: Boolean): DataFrame = {
 
     val leftCols = left.columns.toSeq
-    val carried  = rightValueCols.map(c => s"asof_$c")
+    val carryType = org.apache.spark.sql.types.StructType(
+      rightValueCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
 
-    // Common layout: key, __t, __side, <leftCols as-is>, <carried cols>.
+    // Common layout: key, __t, __side, <leftCols as-is>, __carry struct.
     val lNorm = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .select(
         (col(key) +: col("__t") +: col("__side") +:
-          leftCols.filterNot(_ == key).map(col)) ++
-          carried.map(c => lit(null).cast(
-            right.schema(rightValueCols(carried.indexOf(c))).dataType).as(c)): _*)
+          leftCols.filterNot(_ == key).map(col)) :+
+          lit(null).cast(carryType).as("__carry"): _*)
 
+    // Null right times can never be an as-of match — drop them up front
+    // (they would otherwise sort first/last and pollute the carry).
     val rNorm = right
+      .filter(col(rightTime).isNotNull)
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select(
         (col(key) +: col("__t") +: col("__side") +:
           leftCols.filterNot(_ == key).map(c =>
-            lit(null).cast(left.schema(c).dataType).as(c))) ++
-          rightValueCols.zip(carried).map { case (rc, ac) => col(rc).as(ac) }: _*)
+            lit(null).cast(left.schema(c).dataType).as(c))) :+
+          struct(rightValueCols.map(col): _*).as("__carry"): _*)
 
-    // Both directions use last() over [unboundedPreceding, currentRow] —
-    // Spark executes that as an O(n) running frame. (A first() over
-    // [currentRow, unboundedFollowing] would be re-evaluated per row:
-    // O(partition²).) Direction is encoded in traversal order:
+    // One carry of the whole struct with last(ignoreNulls) over
+    // [unboundedPreceding, currentRow] — an O(n) running frame. (A
+    // first() over [currentRow, unboundedFollowing] would be re-evaluated
+    // per row: O(partition²).) Direction is encoded in traversal order:
     //  - backward: time ASC, right (side 0) before left at equal time →
     //    carry = latest right at/before the left row;
     //  - forward: time DESC, right before left at equal time → carry =
@@ -87,12 +95,14 @@ object AsOfJoin {
       .orderBy(if (fwd) col("__t").desc else col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val withCarry = carried.foldLeft(lNorm.unionByName(rNorm)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-
-    withCarry
+    // Null left times match nothing (mask the carry afterwards).
+    lNorm.unionByName(rNorm)
+      .withColumn("__carry",
+        when(col("__t").isNotNull,
+          last(col("__carry"), ignoreNulls = true).over(w)))
       .filter(col("__side") === 1)
-      .drop("__t", "__side")
+      .select(
+        (col(key) +: leftCols.filterNot(_ == key).map(col)) ++
+          rightValueCols.map(c => col(s"__carry.`$c`").as(s"asof_$c")): _*)
   }
 }

@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   * Cosine is computed in double precision with a strictly sequential fold
   * (`aggregate`), making results bit-identical to the DuckDB oracle's
   * `list_reduce` — similarity output is floor(sim·1e6) for exact compare.
+  *
+  * Zero-magnitude vectors yield NaN cosine, which BOTH engines rank above
+  * every real similarity (Spark and DuckDB agree, so oracle parity holds)
+  * — but semantically a zero vector would then "win" every bucket it is
+  * in. Callers should filter zero-norm vectors before NN search.
   */
 object Knn {
 

@@ -39,7 +39,7 @@ object MinHashLSH {
       k: Int = 64,
       bands: Int = 16,
       minEstPpm: Long = 500000L,
-      hashFn: Column => Column = Text.polyHash): DataFrame = {
+      shingleFn: Column => Column = Text.shingleHashes(_, 3)): DataFrame = {
     require(k % bands == 0 && 1000000 % k == 0)
     val r = k / bands
 
@@ -50,9 +50,15 @@ object MinHashLSH {
     // CollapseProject re-inlines a shared expensive projection into every
     // HOF branch, a measured 30×+ regression). The signature table
     // (id + k longs, tiny relative to the corpus) is cached because the
-    // bucket self-join and the estimation join both consume it.
+    // bucket self-join and the estimation join both consume it; the cache
+    // lives until session LRU eviction (MEMORY_AND_DISK) — at cluster
+    // scale materialize to a temp table instead (SCALE.md).
+    // Default shingleFn is the fused one-pass ShingleHashExpr —
+    // bit-identical to the HOF form (spec-proven) and the measured hot
+    // path; scale variants pass e.g.
+    // `c => Text.shingleHashesWith(c, 3, Text.fastHash)`.
     val sh = df.select(col(idCol).as("__id"),
-      explode(Text.shingleHashesWith(col(textCol), 3, hashFn)).as("__h"))
+      explode(shingleFn(col(textCol))).as("__h"))
     // inner pmod folds full-range 64-bit hashes (fastHash) into [0, P) so
     // the permutation multiply cannot overflow under ANSI mode; for the
     // portable polyHash (already < P) it is the identity.

@@ -32,7 +32,9 @@ object SaltedAgg {
       .groupBy(col(key), col("__salt"))
       .agg(
         count(lit(1)).as("__n"),
-        sum(valueCol.cast("decimal(18,6)")).as("__s"),
+        // decimal(28,6): exact (order-independent) and holds |v| < 1e22 —
+        // (18,6) capped at ~1e12 and would overflow-throw under ANSI
+        sum(valueCol.cast("decimal(28,6)")).as("__s"),
         min(valueCol).as("__mn"),
         max(valueCol).as("__mx"))
     stage1

@@ -115,7 +115,8 @@ object DedupQueries {
       (s, dir) => MinHashLSH.candidatePairs(
           Tables.documents(s, dir), "doc_id", "text",
           k = 64, bands = 16, minEstPpm = 500000L,
-          hashFn = graft.functions.Text.fastHash)
+          shingleFn = c => graft.functions.Text.shingleHashesWith(
+            c, 3, graft.functions.Text.fastHash))
         .orderBy(col("id_a"), col("id_b")),
       None),
 

@@ -58,4 +58,29 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("u2", 15L, "d", Some(16L), Some(400.0)),
       ("u3", 9L, "e", None, None)))             // key absent on right
   }
+
+  test("matched row is attached atomically: carried nulls stay null") {
+    val left = Seq(("u1", 10L, "x")).toDF("key", "t", "tag")
+    // the TRUE match (t=8) has a null rv; an older row (t=5) has a value —
+    // a per-column carry would leak 100.0 from t=5 into the t=8 match
+    val right = Seq(
+      ("u1", 5L, Some(100.0)), ("u1", 8L, Option.empty[Double]))
+      .toDF("key", "t", "rv")
+    val r = AsOfJoin.backward(left, right, "key", "t", "t", Seq("t", "rv"))
+      .select("asof_t", "asof_rv").head()
+    assert(r.getLong(0) == 8L && r.isNullAt(1))
+  }
+
+  test("null timestamps match nothing on either side") {
+    val left = Seq(("u1", Some(10L), "a"), ("u1", Option.empty[Long], "b"))
+      .toDF("key", "t", "tag")
+    val right = Seq(("u1", Option.empty[Long], 1.0), ("u1", Some(4L), 2.0))
+      .toDF("key", "t", "rv")
+    val out = AsOfJoin.backward(left, right, "key", "t", "t", Seq("rv"))
+      .select("tag", "asof_rv").collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toSet
+    // "a" matches the t=4 row; "b" (null time) and the null-time right
+    // row produce no match
+    assert(out == Set(("a", Some(2.0)), ("b", None)))
+  }
 }

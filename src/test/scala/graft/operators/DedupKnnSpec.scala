@@ -29,7 +29,8 @@ class DedupKnnSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val fast = MinHashLSH.candidatePairs(docs, "doc_id", "text",
         k = 64, bands = 16, minEstPpm = 500000L,
-        hashFn = graft.functions.Text.fastHash)
+        shingleFn = c => graft.functions.Text.shingleHashesWith(
+          c, 3, graft.functions.Text.fastHash))
       .select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.subsetOf(fast), s"fast LSH missed ${exact.diff(fast)}")
