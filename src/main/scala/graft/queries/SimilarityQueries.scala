@@ -46,8 +46,11 @@ object SimilarityQueries {
 
     // ---- ANN scale path: random-hyperplane LSH bucket + NN inside it ----
     // Rows-only: the 6-plane sign bucketing is deterministic but its SQL
-    // transliteration (6×64 weighted terms) is impractical as an oracle;
-    // recall vs brute force is asserted in DedupKnnSpec instead.
+    // The 6×64 weighted sign terms ARE oracle-expressible: the plane
+    // weights are compile-time constants embedded as identical double
+    // literals on both sides, and both engines evaluate the term sum
+    // left-to-right. Recall vs brute force is additionally asserted in
+    // DedupKnnSpec.
     Q("q_nn_lsh_bucketed",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -55,7 +58,27 @@ object SimilarityQueries {
         Knn.nnWithinBucket(emb, "vec_id", "embedding", "bucket")
           .orderBy(col("vec_id"))
       },
-      None),
+      Some {
+        // mirror of Knn.signBucket's deterministic hyperplane weights
+        def w(p: Int, i: Int): Double =
+          (((p.toLong * 1315423911L + i.toLong * 2654435761L) % 1000003L)
+            .toDouble / 1000003.0) - 0.5
+        val bucketSql = (0 until 6).map { p =>
+          val dot = (0 until 64)
+            .map(i => s"embedding[${i + 1}]::DOUBLE * (${w(p, i)})")
+            .mkString(" + ")
+          s"CASE WHEN ($dot) >= 0 THEN ${1L << p} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+           |SELECT vec_id, bucket, nn_id, nn_sim_ppm FROM (
+           |  SELECT a.vec_id, a.bucket, b.vec_id AS nn_id,
+           |         CAST(floor($cosSql * 1e6) AS BIGINT) AS nn_sim_ppm,
+           |         row_number() OVER (PARTITION BY a.vec_id
+           |                            ORDER BY $cosSql DESC, b.vec_id) AS rn
+           |  FROM bk a
+           |  JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id) t
+           |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+      }),
 
     // ---- IVF-style: exact top-1 neighbor within a coarse bucket (label) --
     Q("q_nn_within_label",
