@@ -120,6 +120,46 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b")),
       None),
 
+    // ---- candidate verification: LSH candidates re-checked by edit
+    //      distance — the standard two-phase dedup (cheap recall-oriented
+    //      candidates, exact precision-oriented verify on the tiny
+    //      candidate set, never on the N² corpus) --------------------------
+    Q("q_dedup_verified",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val cands = MinHashLSH.candidatePairs(
+          docs, "doc_id", "text", k = 64, bands = 16, minEstPpm = 500000L)
+        cands
+          .join(docs.withColumnsRenamed(Map("doc_id" -> "id_a", "text" -> "ta")), "id_a")
+          .join(docs.withColumnsRenamed(Map("doc_id" -> "id_b", "text" -> "tb")), "id_b")
+          .withColumn("edit_dist", levenshtein(col("ta"), col("tb")).cast("long"))
+          .withColumn("max_len", greatest(length(col("ta")), length(col("tb"))).cast("long"))
+          .filter(col("edit_dist") * 5 < col("max_len")) // >80% similar
+          .select(col("id_a"), col("id_b"), col("edit_dist"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH sig AS (
+              |  SELECT doc_id, ${Text.minhashSigSql("text", 64)} AS sig FROM documents),
+              |buckets AS (
+              |  SELECT doc_id, sig, i AS band,
+              |         md5(array_to_string(sig[i*4+1 : i*4+4], ',')) AS bkey
+              |  FROM sig, range(16) t(i)),
+              |cand0 AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM buckets a
+              |  JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey
+              |                AND a.doc_id < b.doc_id),
+              |cand AS (
+              |  SELECT id_a, id_b FROM cand0
+              |  JOIN sig sa ON cand0.id_a = sa.doc_id
+              |  JOIN sig sb ON cand0.id_b = sb.doc_id
+              |  WHERE len(list_filter(range(64), i -> sa.sig[i+1] = sb.sig[i+1])) * 15625 >= 500000)
+              |SELECT id_a, id_b, levenshtein(da.text, db.text) AS edit_dist
+              |FROM cand JOIN documents da ON da.doc_id = id_a
+              |          JOIN documents db ON db.doc_id = id_b
+              |WHERE levenshtein(da.text, db.text) * 5 < greatest(len(da.text), len(db.text))
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- SimHash near-dup pairs: sampled probe side, hamming ≤ 6 ---------
     Q("q_simhash_pairs",
       (s, dir) => {

@@ -86,6 +86,27 @@ object MLQueries {
           .orderBy(col("score_ppm").desc, col("event_id"))
           .limit(100)
       },
-      None)
+      None),
+
+    // ---- deterministic 80/20 train/test split ---------------------------
+    // The scale-correct analog of the reference's sklearn split
+    // (database_and_model_tools train path, n=5760 ≙ 80%): assignment is a
+    // pure function of the row key — reproducible across runs, engines,
+    // partitionings, and re-ingests, with no RNG state to coordinate.
+    Q("q_train_test_split",
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("split",
+          when(pmod(col("event_id") * 2654435761L, lit(100)) < 80, "train")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .orderBy(col("split")),
+      Some("""SELECT CASE WHEN (event_id * 2654435761) % 100 < 80
+             |            THEN 'train' ELSE 'test' END AS split,
+             |       count(*) AS n, count(DISTINCT user_id) AS n_users,
+             |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY split ORDER BY split""".stripMargin))
   )
 }
