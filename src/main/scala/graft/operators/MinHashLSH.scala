@@ -92,9 +92,18 @@ object MinHashLSH {
         size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y), b => b)))
       .withColumn("est_ppm", col("__match").cast("long") * (1000000L / k))
 
-    withEst
+    val out = withEst
       .filter(col("est_ppm") >= minEstPpm)
       .select(col("id_a"), col("id_b"), col("est_ppm"))
+
+    // Bound the signature cache's lifetime to this call: materialize the
+    // (tiny) pair set eagerly — all three sig consumers run in this one
+    // job — then release the cache. The checkpoint blocks are cleaned by
+    // the ContextCleaner when the result is dropped, unlike .cache()
+    // entries which live for the session.
+    val materialized = out.localCheckpoint(true)
+    sig.unpersist()
+    materialized
   }
 
   /** Exact n-gram Jaccard pairs ≥ threshold via distinct-shingle explode +
@@ -113,7 +122,7 @@ object MinHashLSH {
       .cache() // consumed three times: both join sides + set sizes
     val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
 
-    sh.as("a").join(sh.as("b"),
+    val out = sh.as("a").join(sh.as("b"),
         col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .agg(count(lit(1)).as("__inter"))
@@ -123,5 +132,54 @@ object MinHashLSH {
         expr("__inter * 1000000L div (__na + __nb - __inter)"))
       .filter(col("jaccard_ppm") >= minJaccardPpm)
       .select(col("id_a"), col("id_b"), col("jaccard_ppm"))
+
+    // same cache-lifetime bounding as candidatePairs
+    val materialized = out.localCheckpoint(true)
+    sh.unpersist()
+    materialized
+  }
+
+  /** SimHash near-dup pairs via banded LSH — the scale-safe form of the
+    * hamming-distance self-join. The `bits`-bit simhash is split into
+    * ceil(bits/bandBits) bands; pairs within hamming distance `maxHamming`
+    * are GUARANTEED to agree on at least one band whenever
+    * maxHamming < bandCount (pigeonhole), so recall is exactly 1.0 and the
+    * output is bit-identical to the quadratic form. Cost: one shuffle of
+    * bandCount×N tiny rows (id + simhash + 2 ints) and Σ bucket² work
+    * inside 4-bit buckets — no cross join anywhere.
+    *
+    * @param sh       (id, simhash) input — simhash a long of `bits` bits
+    * @param probePred optional extra predicate on the probe (smaller-id)
+    *                  side's id, e.g. sampling — applied to the LEFT of the
+    *                  join, before the shuffle
+    */
+  def simhashBandPairs(
+      sh: DataFrame,
+      idCol: String,
+      shCol: String,
+      maxHamming: Int,
+      bits: Int = 30,
+      bandBits: Int = 4,
+      probePred: Column => Column = _ => lit(true)): DataFrame = {
+    val bandCount = (bits + bandBits - 1) / bandBits
+    require(maxHamming < bandCount,
+      s"recall-1.0 banding needs maxHamming < bands ($maxHamming >= $bandCount)")
+    val mask = (1L << bandBits) - 1
+    val banded = sh.select(
+        col(idCol).as("__id"), col(shCol).as("__sh"),
+        explode(sequence(lit(0), lit(bandCount - 1))).as("__band"))
+      .withColumn("__key",
+        expr(s"shiftright(__sh, __band * $bandBits)").bitwiseAND(lit(mask)))
+      .select(col("__id"), col("__sh"), col("__band"), col("__key"))
+
+    banded.as("a").filter(probePred(col("a.__id")))
+      .join(banded.as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__key") === col("b.__key") &&
+          col("a.__id") < col("b.__id") &&
+          bit_count(col("a.__sh").bitwiseXOR(col("b.__sh"))) <= maxHamming)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        bit_count(col("a.__sh").bitwiseXOR(col("b.__sh"))).cast("long").as("hamming"))
+      .distinct()
   }
 }

@@ -56,8 +56,8 @@ object AdvancedQueries {
              |  FROM events),
              |s AS (
              |  SELECT user_id, ts,
-             |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
              |  FROM g)
              |SELECT user_id, sess, count(*) AS n,
              |       min(CAST(floor(epoch(ts)) AS BIGINT)) AS start_ep,

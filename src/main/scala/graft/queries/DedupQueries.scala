@@ -80,31 +80,38 @@ object DedupQueries {
               |WHERE est_ppm >= 500000 ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- dedup materialization: the cleaned corpus itself ---------------
-    // Remove every doc that appears as the larger id of a >=0.8-Jaccard
-    // pair (canonical representative = smallest id). This is the actual
-    // pipeline output a training run consumes; at scale the pair set comes
-    // from candidatePairs and the removal is this same left-anti join.
+    // Remove every doc that appears as the larger id of a pair whose
+    // MinHash-ESTIMATED Jaccard is >= 0.8 (canonical representative =
+    // smallest id). This is the actual pipeline output a training run
+    // consumes, built on the bucketed candidatePairs path — the 100 TB
+    // shape (no shingle self-join anywhere). The oracle mirrors the same
+    // 64-perm estimate, so recall/precision of the estimator cancel out.
     Q("q_dedup_corpus",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val dupIds = MinHashLSH.jaccardPairs(docs, "doc_id", "text", 800000L)
+        val dupIds = MinHashLSH.candidatePairs(docs, "doc_id", "text",
+            k = 64, bands = 16, minEstPpm = 800000L)
           .select(col("id_b").as("doc_id")).distinct()
         docs.join(dupIds, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("lang"), col("n_chars"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH sh AS (
-              |  SELECT doc_id, unnest(${graft.functions.Text.shingleHashesSql("text")}) AS h FROM documents),
-              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-              |inter AS (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-              |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-              |  GROUP BY 1, 2),
+      Some(s"""WITH sig AS (
+              |  SELECT doc_id, ${Text.minhashSigSql("text", 64)} AS sig FROM documents),
+              |buckets AS (
+              |  SELECT doc_id, sig, i AS band,
+              |         md5(array_to_string(sig[i*4+1 : i*4+4], ',')) AS bkey
+              |  FROM sig, range(16) t(i)),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM buckets a
+              |  JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey
+              |                AND a.doc_id < b.doc_id),
               |dups AS (
-              |  SELECT DISTINCT id_b FROM inter
-              |  JOIN sizes sa ON id_a = sa.doc_id
-              |  JOIN sizes sb ON id_b = sb.doc_id
-              |  WHERE i * 1000000 // (sa.n + sb.n - i) >= 800000)
+              |  SELECT DISTINCT id_b FROM cand
+              |  JOIN sig sa ON cand.id_a = sa.doc_id
+              |  JOIN sig sb ON cand.id_b = sb.doc_id
+              |  WHERE len(list_filter(range(64), i -> sa.sig[i+1] = sb.sig[i+1])) * 15625 >= 800000)
               |SELECT doc_id, lang, n_chars FROM documents
               |WHERE doc_id NOT IN (SELECT id_b FROM dups)
               |ORDER BY doc_id""".stripMargin)),
@@ -161,19 +168,19 @@ object DedupQueries {
               |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- SimHash near-dup pairs: sampled probe side, hamming ≤ 6 ---------
+    // Banded-LSH equi-join (8 bands × 4 bits over the 30-bit simhash):
+    // recall is provably 1.0 for hamming ≤ 6 < 8 bands, so the output is
+    // bit-identical to the quadratic cross-join form the oracle runs —
+    // with no cross join in the Spark plan (asserted in PlanShapeSpec).
     Q("q_simhash_pairs",
       (s, dir) => {
         val sh = Tables.documents(s, dir)
           .withColumn("__tokh",
             transform(Text.tokens(col("text")), t => Text.polyHash(t)))
           .select(col("doc_id"), Text.simhash30("__tokh").as("sh"))
-        sh.as("a").filter(col("doc_id") % 20 === 0)
-          .join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
-          .withColumn("hamming",
-            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long"))
-          .filter(col("hamming") <= 6)
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            col("hamming"))
+        MinHashLSH.simhashBandPairs(sh, "doc_id", "sh",
+            maxHamming = 6, bits = 30, bandBits = 4,
+            probePred = id => id % 20 === 0)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH th AS (SELECT doc_id,

@@ -63,13 +63,18 @@ object FunnelQueries {
             (datediff(col("wk"), col("cohort_wk")) / 7).cast("long"))
           .groupBy(col("cohort_wk"), col("week_k"))
           .agg(countDistinct(col("user_id")).as("n_active"))
+          // ISO string: DATE round-trips as datetime.date via pyarrow but
+          // datetime64 via DuckDB — a string is dtype-identical everywhere
+          .select(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_wk"),
+            col("week_k"), col("n_active"))
           .orderBy(col("cohort_wk"), col("week_k"))
       },
       Some("""WITH w AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
              |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY user_id)
-             |SELECT cohort_wk, date_diff('day', cohort_wk, wk) // 7 AS week_k,
+             |SELECT strftime(cohort.cohort_wk, '%Y-%m-%d') AS cohort_wk,
+             |       date_diff('day', cohort.cohort_wk, wk) // 7 AS week_k,
              |       count(DISTINCT w.user_id) AS n_active
              |FROM w JOIN cohort ON w.user_id = cohort.user_id
-             |GROUP BY cohort_wk, week_k ORDER BY cohort_wk, week_k""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY cohort_wk, week_k""".stripMargin))
   )
 }

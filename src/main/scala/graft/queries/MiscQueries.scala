@@ -159,8 +159,11 @@ object MiscQueries {
     // via shortest-round-trip serialization).
     Q("q_json_roundtrip",
       (s, dir) => {
-        // path unique per input dir so concurrent harness runs don't clobber
-        val path = s"/tmp/graft_json_roundtrip_${math.abs(dir.hashCode)}"
+        // path unique per (input dir, session): concurrent harness runs on
+        // the same sfdir get distinct Spark applicationIds, so they can't
+        // clobber each other's files mid-read
+        val path = s"/tmp/graft_json_roundtrip_${math.abs(dir.hashCode)}_" +
+          s.sparkContext.applicationId
         Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
           .write.mode("overwrite").json(path)
@@ -223,11 +226,11 @@ object MiscQueries {
           .orderBy(col("column_name"))
       },
       Some("""WITH a AS (SELECT count(*) AS t,
-             |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_user,
+             |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
              |  count(DISTINCT user_id) AS d_user,
-             |  sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS n_type,
+             |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_type,
              |  count(DISTINCT event_type) AS d_type,
-             |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_value,
+             |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_value,
              |  count(DISTINCT value) AS d_value,
              |  min(value) AS min_value, max(value) AS max_value
              |FROM events)

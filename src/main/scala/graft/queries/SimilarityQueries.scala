@@ -69,7 +69,8 @@ object SimilarityQueries {
             .mkString(" + ")
           s"CASE WHEN ($dot) >= 0 THEN ${1L << p} ELSE 0 END"
         }.mkString(" + ")
-        s"""WITH bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+        s"""WITH bk AS (SELECT vec_id, embedding,
+           |              CAST($bucketSql AS BIGINT) AS bucket FROM embeddings)
            |SELECT vec_id, bucket, nn_id, nn_sim_ppm FROM (
            |  SELECT a.vec_id, a.bucket, b.vec_id AS nn_id,
            |         CAST(floor($cosSql * 1e6) AS BIGINT) AS nn_sim_ppm,
@@ -96,21 +97,20 @@ object SimilarityQueries {
 
     // ---- per-label centroids (the IVF coarse-quantizer training step) ---
     // posexplode → (label, pos) partial sums of floor(v·1e6) longs (exact,
-    // engine-portable), reassembled into an ordered centroid array. Two
-    // hash aggregates, no sort of the raw vectors; scales as labels × dim.
+    // engine-portable). One hash aggregate; scales as labels × dim. Emitted
+    // as exploded (label, pos, c) scalar rows — the driver comparator
+    // cannot hash array columns; array reassembly is covered in
+    // DedupKnnSpec unit tests instead.
     Q("q_label_centroids",
       (s, dir) => Tables.embeddings(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos"))
         .agg(sum(floor(col("v") * 1e6).cast("long")).as("__sv"),
           count(lit(1)).as("__n"))
-        .select(col("label"),
-          struct(col("pos"), (col("__sv").cast("double") / col("__n") / 1e6).as("c")).as("__pc"),
-          col("__n"))
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(col("__pc"))), x => x("c")).as("centroid"),
-          max(col("__n")).as("n_vectors"))
-        .orderBy(col("label")),
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          (col("__sv").cast("double") / col("__n") / 1e6).as("c"),
+          col("__n").as("n_vectors"))
+        .orderBy(col("label"), col("pos")),
       Some("""WITH parts AS (
              |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
              |         unnest(embedding) AS v
@@ -119,10 +119,10 @@ object SimilarityQueries {
              |  SELECT label, pos, sum(CAST(floor(v * 1e6) AS BIGINT)) AS sv,
              |         count(*) AS n
              |  FROM parts GROUP BY label, pos)
-             |SELECT label,
-             |       list(CAST(sv AS DOUBLE) / n / 1e6 ORDER BY pos) AS centroid,
-             |       max(n) AS n_vectors
-             |FROM sums GROUP BY label ORDER BY label""".stripMargin)),
+             |SELECT label, CAST(pos AS BIGINT) AS pos,
+             |       CAST(sv AS DOUBLE) / n / 1e6 AS c,
+             |       n AS n_vectors
+             |FROM sums ORDER BY label, pos""".stripMargin)),
 
     // ---- IVF assignment: nearest centroid per vector --------------------
     // Centroids (10 rows) broadcast against the corpus, native cosine,

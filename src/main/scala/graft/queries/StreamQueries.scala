@@ -40,13 +40,21 @@ object StreamQueries {
           .writeStream.outputMode("complete")
           .format("memory").queryName(name).start()
         try q.processAllAvailable() finally q.stop()
+        // Complete-mode rollup of a static source ≡ the batch aggregate, so
+        // a plain GROUP BY oracle proves the streaming engine's state
+        // handling end-to-end (same pattern as q_stream_dedup). Hour
+        // boundaries emitted as epoch seconds: portable across engines'
+        // timestamp precisions (events.parquet is TIMESTAMP(NANOS)).
         s.table(name)
-          .select(col("hour_start"), col("event_type"), col("n"),
-            floor(col("sum_value") * 100).cast("long").as("sum_c"),
-            col("max_value"))
-          .orderBy(col("hour_start"), col("event_type"))
+          .select(unix_timestamp(col("hour_start")).as("hour_ep"),
+            col("event_type"), col("n"), col("sum_value"), col("max_value"))
+          .orderBy(col("hour_ep"), col("event_type"))
       },
-      None),
+      Some("""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_ep,
+             |  event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             |  max(value) AS max_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour_ep, event_type""".stripMargin)),
 
     // ---- streaming exact dedup: two copies of the stream unioned, then
     //      dropDuplicates keyed by event_id. State is keyed by id only

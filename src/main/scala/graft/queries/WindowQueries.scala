@@ -26,7 +26,7 @@ object WindowQueries {
           lead("value", 1).over(w).as("next_value"),
           first("value").over(w).as("first_val"),
           last("value").over(wAll).as("last_val"),
-          ntile(4).over(w).as("quartile"),
+          ntile(4).over(w).cast("long").as("quartile"),
           percent_rank().over(w).as("prank"),
           cume_dist().over(w).as("cdist"),
           nth_value(col("value"), 3).over(wAll).as("third_val"))
@@ -74,12 +74,11 @@ object WindowQueries {
         .agg(array_sort(collect_set(col("event_type"))).as("types"))
         .select(
           col("user_id"),
-          col("types"),
           size(col("types")).cast("long").as("n_types"),
           array_contains(col("types"), "purchase").as("has_purchase"),
           array_join(col("types"), "|").as("types_str"))
         .orderBy(col("user_id")),
-      Some("""SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+      Some("""SELECT user_id,
              |  len(list(DISTINCT event_type)) AS n_types,
              |  list_contains(list(DISTINCT event_type), 'purchase') AS has_purchase,
              |  array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types_str
@@ -214,7 +213,7 @@ object WindowQueries {
              |            WHEN c_custkey IS NOT NULL THEN 'customer_only'
              |            ELSE 'orders_only' END AS side_state,
              |       count(*) AS n_keys,
-             |       sum(coalesce(n_orders, 0)) AS total_orders
+             |       CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS total_orders
              |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
              |GROUP BY side_state ORDER BY side_state""".stripMargin))
   )

@@ -29,14 +29,17 @@ object StreamingIngest {
       format: String = "parquet"): DataFrame =
     spark.readStream.schema(eventSchema).format(format).load(dir)
 
-  /** Hourly per-type rollups with a 2-hour watermark (append-mode safe). */
+  /** Hourly per-type rollups with a 2-hour watermark (append-mode safe).
+    * The sum is decimal-exact so the result is independent of row
+    * arrival / aggregation order — required for replayable pipelines and
+    * for batch-equivalence checks (q_stream_hourly_rollup's oracle). */
   def hourlyRollups(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value")).as("sum_value"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
         max(col("value")).as("max_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"), col("max_value"))

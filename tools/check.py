@@ -2,8 +2,12 @@
 """Local replica of the driver's t2 correctness gate.
 
 Runs graft.Verify (compiled classes + /opt/spark/jars) on a testdata dir,
-then compares each query's parquet output against its DuckDB oracle:
-columns sorted by name, rows sorted, exact value compare.
+then compares each query's parquet output against its DuckDB oracle the
+way the driver does: both sides as PANDAS dataframes (so DuckDB HUGEINT
+-> float64 conversions are visible), columns sorted by name, rows sorted,
+DTYPE-STRICT value compare (int64 123 != float64 123.0), and a hard
+reject on list/array-typed output columns (the driver's row sort crashes
+on them).
 
 Usage: python3 tools/check.py [sfdir] [--skip-verify] [query ...]
 """
@@ -41,12 +45,44 @@ def run_verify(sfdir):
         sys.exit(1)
 
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
+class ArrayColumn(Exception):
+    pass
+
+
+def canon(df):
+    """Driver-equivalent canonicalization: sorted columns, sorted rows,
+    dtypes preserved. Raises ArrayColumn on list/ndarray-typed cells —
+    the driver's pandas sort crashes on those, so we fail them here."""
+    import numpy as np
+    cols = sorted(df.columns)
+    df = df[cols]
+    for c in cols:
+        if df[c].dtype == object:
+            s = df[c].dropna()
+            if len(s) and s.map(
+                    lambda v: isinstance(v, (list, tuple, np.ndarray))).any():
+                raise ArrayColumn(c)
+    # normalize datetime resolution (pyarrow may give ns where duckdb
+    # gives us); the driver compares timestamp VALUES fine, so unit
+    # differences alone must not fail
+    for c in cols:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[ns]")
+    if len(df):
+        df = df.sort_values(by=cols, kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def frames_equal(got, exp):
+    """Dtype-strict equality. Returns (ok, reason)."""
+    gd = [str(t) for t in got.dtypes]
+    ed = [str(t) for t in exp.dtypes]
+    if gd != ed:
+        bad = [(c, g, e) for c, g, e in zip(got.columns, gd, ed) if g != e]
+        return False, f"DTYPE MISMATCH {bad}"
+    if not got.equals(exp):
+        return False, "VALUE MISMATCH"
+    return True, None
 
 
 def main():
@@ -60,6 +96,7 @@ def main():
         run_verify(sfdir)
 
     import duckdb
+    import pandas as pd
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
@@ -74,40 +111,53 @@ def main():
         if only and name not in only:
             continue
         files = glob.glob(f"{d}/*.parquet")
-        got = con.sql(f"SELECT * FROM read_parquet({files!r})")
-        cols = sorted(got.columns)
-        got_rows = sorted(
-            (tuple(norm(v) for v in r) for r in
-             got.select(", ".join(f'"{c}"' for c in cols)).fetchall()),
-            key=repr)
+        raw = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        try:
+            got = canon(raw)
+        except ArrayColumn as ac:
+            if name not in oracle:
+                n_noracle += 1
+                print(f"  ~ {name}: no oracle ({len(raw)} rows; array col {ac})")
+                continue
+            n_fail += 1
+            print(f"  ✗ {name}: ARRAY OUTPUT COLUMN '{ac}' (driver sort crashes)")
+            continue
         if name not in oracle:
             n_noracle += 1
-            print(f"  ~ {name}: no oracle ({len(got_rows)} rows)")
+            print(f"  ~ {name}: no oracle ({len(got)} rows)")
             continue
         try:
-            exp = con.sql(oracle[name])
-            ecols = sorted(exp.columns)
-            exp_rows = sorted(
-                (tuple(norm(v) for v in r) for r in
-                 exp.select(", ".join(f'"{c}"' for c in ecols)).fetchall()),
-                key=repr)
+            exp = canon(con.sql(oracle[name]).df())
+        except ArrayColumn as ac:
+            n_fail += 1
+            print(f"  ✗ {name}: ARRAY ORACLE COLUMN '{ac}' (driver sort crashes)")
+            continue
         except Exception as ex:
             n_fail += 1
             print(f"  ✗ {name}: ORACLE SQL ERROR: {str(ex)[:200]}")
             continue
-        if cols != ecols:
+        if list(got.columns) != list(exp.columns):
             n_fail += 1
-            print(f"  ✗ {name}: COLUMN MISMATCH spark={cols} oracle={ecols}")
+            print(f"  ✗ {name}: COLUMN MISMATCH spark={list(got.columns)}"
+                  f" oracle={list(exp.columns)}")
             continue
-        if got_rows == exp_rows:
+        if len(got) != len(exp):
+            n_fail += 1
+            print(f"  ✗ {name}: ROW COUNT got={len(got)} exp={len(exp)}")
+            continue
+        ok, reason = frames_equal(got, exp)
+        if ok:
             n_pass += 1
-            print(f"  ✓ {name} ({len(got_rows)} rows)")
+            print(f"  ✓ {name} ({len(got)} rows)")
         else:
             n_fail += 1
-            print(f"  ✗ {name}: ROW MISMATCH got={len(got_rows)} exp={len(exp_rows)}")
-            diff = [(g, e) for g, e in zip(got_rows, exp_rows) if g != e]
-            for g, e in diff[:3]:
-                print(f"      got {g}\n      exp {e}")
+            print(f"  ✗ {name}: {reason}")
+            if reason == "VALUE MISMATCH":
+                neq = (got != exp) & ~(got.isna() & exp.isna())
+                bad = neq.any(axis=1)
+                for i in list(got.index[bad])[:3]:
+                    print(f"      got {tuple(got.loc[i])}\n"
+                          f"      exp {tuple(exp.loc[i])}")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
     sys.exit(1 if n_fail else 0)
 
