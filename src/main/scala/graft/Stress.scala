@@ -36,13 +36,23 @@ object Stress {
               col("embedding")))
           .reduce(_ unionByName _).cache()
         val n = big.count()
+        // the production configuration: planes derived from corpus size
+        // (constant expected bucket width) + a width cap as the skew guard
+        val planes = operators.Knn.planesFor(n, targetBucket = 8)
         val t0 = System.nanoTime()
         val bucketed = big.withColumn("bucket",
-          operators.Knn.signBucket(col("embedding"), 64, 8))
-        val nn = operators.Knn.nnWithinBucket(bucketed, "vec_id", "embedding", "bucket")
+          operators.Knn.signBucket(col("embedding"), 64, planes))
+        val nn = operators.Knn.nnWithinBucket(
+          bucketed, "vec_id", "embedding", "bucket", maxBucket = 64)
         val nr = nn.count()
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"""{"vectors":$n%d,"nn_rows":$nr%d,"seconds":$dt%.1f}""")
+        // Σ bucket² is the exact pair-join cost bound; report it with the
+        // max width so SCALE.md documents the measured skew envelope
+        val stats = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("w"))
+          .agg(count(lit(1)).as("n_buckets"), max(col("w")).as("max_w"),
+            sum(col("w") * col("w")).as("sum_w2"))
+          .head()
+        println(f"""{"vectors":$n%d,"planes":$planes%d,"nn_rows":$nr%d,"seconds":$dt%.1f,"n_buckets":${stats.getLong(0)}%d,"max_bucket":${stats.getLong(1)}%d,"sum_bucket_sq":${stats.getLong(2)}%d}""")
 
       case "skew" =>
         // copies×1M rows, 90% on key 0, rest uniform over 10k keys —

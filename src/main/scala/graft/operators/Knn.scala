@@ -78,13 +78,21 @@ object Knn {
     * collide with high probability. Combine with [[nnWithinBucket]] for
     * the ANN scale path: N² search becomes Σ bucket².
     *
+    * Hot path: the fused native [[graft.functions.SignBucketExpr]] — one
+    * codegen'd loop regardless of plane count (the Column-tree form below
+    * grows planes×dim nodes and falls out of codegen past ~16 planes).
+    *
     * Plane p, dim i weight: frac((p·1315423911 + i·2654435761) mod 1000003
     * / 1000003) − 0.5. */
-  def signBucket(vec: Column, dim: Int, planes: Int): Column = {
+  def signBucket(vec: Column, dim: Int, planes: Int): Column =
+    graft.functions.SignBucketExpr(vec, planes)
+
+  /** Column-tree formulation of [[signBucket]] — kept as the spec oracle
+    * for the native expression (bit-identical; see DedupKnnSpec). */
+  def signBucketHof(vec: Column, dim: Int, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       val dotp = (0 until dim).map { i =>
-        val w = (((p.toLong * 1315423911L + i.toLong * 2654435761L) % 1000003L)
-          .toDouble / 1000003.0) - 0.5
+        val w = graft.functions.SignBucketExpr.weight(p, i)
         element_at(vec, i + 1).cast("double") * lit(w)
       }.reduce(_ + _)
       when(dotp >= 0, lit(1L) * (1L << p)).otherwise(lit(0L))
@@ -92,16 +100,49 @@ object Knn {
     bits.reduce(_ + _)
   }
 
-  /** Top-1 neighbor per row, searched only within `bucketCol` (IVF path). */
+  /** Plane count for a target mean bucket width: planes ≈ log₂(n/target),
+    * clamped to [4, 24]. Buckets must multiply with corpus size or
+    * Σ bucket² degenerates toward N² (fixed 64 buckets at 1B vectors ≈
+    * N²/64); deriving from n keeps expected bucket width constant as the
+    * corpus grows. */
+  def planesFor(n: Long, targetBucket: Int = 8): Int = {
+    require(n > 0 && targetBucket > 0)
+    val p = math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
+    math.max(4, math.min(24, p))
+  }
+
+  /** Top-1 neighbor per row, searched only within `bucketCol` (IVF path).
+    *
+    * @param maxBucket optional width cap: buckets wider than this are
+    *   re-split by a deterministic secondary hash into ⌈n/maxBucket⌉
+    *   sub-buckets, bounding per-bucket work at maxBucket² and total work
+    *   at N·maxBucket — the guard against skewed/degenerate bucketings
+    *   (e.g. near-duplicate floods). Recall inside an oversized bucket
+    *   drops (neighbors may land in sibling sub-buckets), which is the
+    *   standard ANN trade; leave at MaxValue for exact within-bucket
+    *   semantics (the oracle-checked configuration). */
   def nnWithinBucket(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      bucketCol: String): DataFrame = {
-    val t = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      bucketCol: String,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val t0 = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       col(bucketCol).as("__bk"))
+    val t =
+      if (maxBucket == Int.MaxValue) t0.withColumn("__sub", lit(0L))
+      else {
+        // bucket-size table is tiny (one row per bucket); the join back is
+        // a shuffle of (id, vec) rows on __bk — same key the NN join uses
+        val sizes = t0.groupBy(col("__bk")).agg(count(lit(1)).as("__bn"))
+        t0.join(sizes, "__bk")
+          .withColumn("__sub",
+            pmod(xxhash64(col("__id")), ceil(col("__bn") / maxBucket).cast("long")))
+          .select(col("__id"), col("__v"), col("__bk"), col("__sub"))
+      }
     val pairs = t.as("a").join(t.as("b"),
-        col("a.__bk") === col("b.__bk") && col("a.__id") =!= col("b.__id"))
+        col("a.__bk") === col("b.__bk") && col("a.__sub") === col("b.__sub") &&
+          col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").as("vec_id"), col("a.__bk").as("bucket"),
         col("b.__id").as("__nid"),
         cosine(col("a.__v"), col("b.__v")).as("__sim"))

@@ -45,24 +45,28 @@ object SimilarityQueries {
               |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     // ---- ANN scale path: random-hyperplane LSH bucket + NN inside it ----
-    // Rows-only: the 6-plane sign bucketing is deterministic but its SQL
-    // The 6×64 weighted sign terms ARE oracle-expressible: the plane
-    // weights are compile-time constants embedded as identical double
-    // literals on both sides, and both engines evaluate the term sum
-    // left-to-right. Recall vs brute force is additionally asserted in
-    // DedupKnnSpec.
+    // The plane count is DERIVED from corpus size (planes ≈ log₂(n/8),
+    // Knn.planesFor) so expected bucket width stays constant as the corpus
+    // grows — a fixed plane count degenerates toward N²/2^planes. At the
+    // driver's sf0.01 (500 vectors) the derivation yields 6 planes, which
+    // is what the static oracle mirrors: the 6×64 weighted sign terms are
+    // compile-time constants embedded as identical double literals on both
+    // sides, and both engines evaluate the term sum left-to-right. Recall
+    // vs brute force is additionally asserted in DedupKnnSpec.
     Q("q_nn_lsh_bucketed",
       (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-          .withColumn("bucket", Knn.signBucket(col("embedding"), dim = 64, planes = 6))
+        val emb0 = Tables.embeddings(s, dir)
+        val planes = Knn.planesFor(emb0.count(), targetBucket = 8)
+        val emb = emb0
+          .withColumn("bucket", Knn.signBucket(col("embedding"), dim = 64, planes))
         Knn.nnWithinBucket(emb, "vec_id", "embedding", "bucket")
           .orderBy(col("vec_id"))
       },
       Some {
-        // mirror of Knn.signBucket's deterministic hyperplane weights
-        def w(p: Int, i: Int): Double =
-          (((p.toLong * 1315423911L + i.toLong * 2654435761L) % 1000003L)
-            .toDouble / 1000003.0) - 0.5
+        // mirror of Knn.signBucket's deterministic hyperplane weights, at
+        // the plane count planesFor derives for the driver's 500-vector
+        // verify corpus
+        def w(p: Int, i: Int): Double = graft.functions.SignBucketExpr.weight(p, i)
         val bucketSql = (0 until 6).map { p =>
           val dot = (0 until 64)
             .map(i => s"embedding[${i + 1}]::DOUBLE * (${w(p, i)})")

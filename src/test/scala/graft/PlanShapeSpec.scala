@@ -54,4 +54,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
       s"expected a broadcast join:\n$s")
   }
+
+  test("simhash pairs is a banded equi-join: no cross/loop join in the plan") {
+    val s = render(plan("q_simhash_pairs"))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"banded simhash must plan an equi-join:\n$s")
+  }
 }

@@ -82,4 +82,71 @@ class DedupKnnSpec extends AnyFunSuite {
     val sim = df.select(Knn.cosine(col("a"), col("b"))).head().getDouble(0)
     assert(math.abs(sim - 1.0) < 1e-12)
   }
+
+  test("native sign-bucket expression is bit-identical to the Column tree") {
+    val emb = Tables.embeddings(spark, sf)
+    // 17 planes also exercises the regime where the Column tree (17×64
+    // nodes) falls out of codegen but the native loop does not
+    for (planes <- Seq(6, 17)) {
+      val both = emb.select(
+        Knn.signBucket(col("embedding"), 64, planes).as("native"),
+        Knn.signBucketHof(col("embedding"), 64, planes).as("hof"))
+      assert(both.filter(col("native") =!= col("hof")).isEmpty,
+        s"mismatch at planes=$planes")
+    }
+  }
+
+  test("planesFor grows log2 with corpus size and clamps") {
+    assert(Knn.planesFor(500, 8) == 6)   // the driver's verify corpus
+    assert(Knn.planesFor(10, 8) == 4)    // lower clamp
+    assert(Knn.planesFor(1L << 40, 8) == 24) // upper clamp
+    assert(Knn.planesFor(16000, 8) == 11)
+    // expected bucket width stays ~constant: n / 2^planes ≈ targetBucket
+    for (n <- Seq(1000L, 100000L, 10000000L)) {
+      val width = n.toDouble / (1L << Knn.planesFor(n, 8))
+      assert(width <= 8.0 && width > 2.0, s"n=$n width=$width")
+    }
+  }
+
+  test("bucket width cap: capped NN never beats uncapped (search subset)") {
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("bucket", Knn.signBucket(col("embedding"), 64, 2)) // 4 wide buckets
+      .cache()
+    val uncapped = Knn.nnWithinBucket(emb, "vec_id", "embedding", "bucket")
+      .select("vec_id", "nn_sim_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val capped = Knn.nnWithinBucket(emb, "vec_id", "embedding", "bucket",
+        maxBucket = 8)
+      .select("vec_id", "nn_sim_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(capped.nonEmpty)
+    capped.foreach { case (id, sim) => assert(sim <= uncapped(id)) }
+    emb.unpersist()
+  }
+
+  test("label centroid arrays reassemble from the exploded (label,pos,c) rows") {
+    val emb = Tables.embeddings(spark, sf)
+    val exploded = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(floor(col("v") * 1e6).cast("long")).as("sv"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("sv").cast("double") / col("n") / 1e6).as("c"))
+      .collect().map(r => (r.get(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val arrays = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(floor(col("v") * 1e6).cast("long")).as("sv"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(
+        struct(col("pos"), (col("sv").cast("double") / col("n") / 1e6).as("c")))),
+        x => x("c")).as("centroid"))
+      .collect().map(r => r.get(0) -> r.getSeq[Double](1)).toMap
+    assert(arrays.nonEmpty)
+    arrays.foreach { case (label, centroid) =>
+      centroid.zipWithIndex.foreach { case (c, pos) =>
+        assert(c == exploded((label, pos)), s"label=$label pos=$pos")
+      }
+    }
+  }
 }
