@@ -23,13 +23,39 @@ object Pipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // task 1: init + ingest (DatabaseInitializer.setup_complete_database)
+    // task 1: init + ingest (DatabaseInitializer.setup_complete_database):
+    // all THREE tables of db.py:76-124, then count-verified like
+    // verify_database_setup (database_and_model_tools.py:117-125)
+    val wh = new Warehouse(spark, outDir)
+    wh.init()
     val cleaned = Ingest.ingestCsv(spark, csvPath)
-    Ingest.writeParquet(cleaned, s"$outDir/telemetry")
-    val telemetry = spark.read.parquet(s"$outDir/telemetry")
+    wh.insertTelemetry(cleaned)
+    val telemetry = wh.table("telemetry")
     val n = telemetry.count()
     println(s"[pipeline] telemetry rows ingested: $n")
     require(n > 0, "ingest produced no rows")
+
+    // exercise the query-log and prediction insert paths (S6/S7): log one
+    // query per machine, then persist a per-machine mean-temperature
+    // "prediction" with its JSON-encoded feature snapshot (X7)
+    wh.insertQueryLog(telemetry
+      .groupBy(col("machineid"))
+      .agg(max(col("timestamp_epoch")).as("target_time_epoch"))
+      .select(col("machineid").as("machine_id"), col("target_time_epoch"))
+      .withColumn("role", lit("operator"))
+      .withColumn("query", concat(lit("latest status for "), col("machine_id")))
+      .withColumn("intent", lit("status"))
+      .withColumn("confidence", lit(1.0)))
+    wh.insertPredictions(
+      telemetry.groupBy(col("machineid").as("machine_id"))
+        .agg(avg(col("enginetemperature")).as("numerical_answer"),
+          avg(col("fuelconsumption")).as("fuelconsumption"),
+          avg(col("vibrationlevel")).as("vibrationlevel"))
+        .withColumn("intent", lit("avg_temperature")),
+      featureCols = Seq("fuelconsumption", "vibrationlevel"))
+    val counts = wh.verifySetup()
+    counts.foreach { case (t, c) => println(s"[pipeline] $t: $c rows") }
+    require(counts.forall(_._2 > 0), "a warehouse table is empty after setup")
 
     // task 2 analog: normalize feature naming = canonical lowercase columns
     val feats = TelemetrySchema.featureOrder

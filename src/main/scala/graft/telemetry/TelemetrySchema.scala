@@ -69,6 +69,28 @@ object TelemetrySchema {
   val statusCodes: Seq[(String, Int)] =
     Seq("Active" -> 0, "Fault" -> 1, "Idle" -> 2, "Maintenance" -> 3)
 
+  /** Canonical post-ingest schema — the telemetry DDL (db.py:81-102) with
+    * the timestamp parsed. This is the schema `Warehouse.init` declares
+    * and `Ingest.ingestCsv` produces. */
+  val canonicalSchema: StructType = StructType(Seq(
+    StructField("machineid", StringType),
+    StructField("type", StringType),
+    StructField("location", StringType),
+    StructField("timestamp", TimestampType),
+    StructField("enginetemperature", DoubleType),
+    StructField("fuelconsumption", DoubleType),
+    StructField("vibrationlevel", DoubleType),
+    StructField("humidity", DoubleType),
+    StructField("pressure", DoubleType),
+    StructField("poweroutput", DoubleType),
+    StructField("operatinghours", DoubleType),
+    StructField("status", StringType),
+    StructField("status_encoded", IntegerType),
+    StructField("timestamp_epoch", LongType),
+    StructField("hour", IntegerType),
+    StructField("dayofweek", IntegerType),
+    StructField("month", IntegerType)))
+
   /** Fixed ML feature order — load-bearing
     * (database_and_model_tools.py:214-218). */
   val featureOrder: Seq[String] = Seq(

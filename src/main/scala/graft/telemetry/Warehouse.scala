@@ -1,0 +1,110 @@
+package graft.telemetry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's 3-table database (db.py:76-134: `telemetry`,
+  * `user_query_log`, `predictions` + six indexes) as a parquet-backed
+  * warehouse directory.
+  *
+  * Spark-first translation of the DDL surface:
+  *  - CREATE TABLE IF NOT EXISTS → idempotent `init()` writing an empty
+  *    schema'd parquet directory per table;
+  *  - SERIAL PRIMARY KEY → a monotonic surrogate id assigned at insert
+  *    (offset past the current max; unique and increasing, not dense —
+  *    the same contract a sequence gives under rollbacks);
+  *  - DEFAULT CURRENT_TIMESTAMP → `ts_epoch` imputed at insert time;
+  *  - the six indexes → physical layout: telemetry partitions by
+  *    machineid and sorts by timestamp_epoch within files (Ingest.
+  *    writeParquet), log/prediction tables are time-ordered appends
+  *    pruned by parquet min/max on ts_epoch. No index maintenance cost.
+  *
+  * At 100 TB each insert is an append of new files (no rewrite); the
+  * count verification (database_and_model_tools.py:117-125) is a
+  * metadata-only parquet row-count scan per table.
+  */
+final class Warehouse(spark: SparkSession, rootDir: String) {
+
+  import Warehouse._
+
+  private def dir(table: String) = s"$rootDir/$table"
+
+  /** CREATE TABLE IF NOT EXISTS ×3 (db.py:76-124). Idempotent. */
+  def init(): Unit =
+    Seq("telemetry" -> TelemetrySchema.canonicalSchema,
+        "user_query_log" -> queryLogSchema,
+        "predictions" -> predictionsSchema)
+      .foreach { case (t, schema) =>
+        val path = new org.apache.hadoop.fs.Path(dir(t))
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(path))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+            .write.parquet(dir(t))
+      }
+
+  def table(name: String): DataFrame = spark.read.parquet(dir(name))
+
+  /** S2: bulk telemetry insert — machineid-partitioned, time-sorted. */
+  def insertTelemetry(cleaned: DataFrame): Unit =
+    Ingest.writeParquet(cleaned, dir("telemetry"))
+
+  /** S6 (db.py:155-169): append user query-log rows. Missing columns are
+    * null-padded; `ts_epoch` defaults to now; ids continue past the
+    * current max. */
+  def insertQueryLog(rows: DataFrame): Unit =
+    appendWithId("user_query_log", rows, queryLogSchema)
+
+  /** S7 (db.py:171-185): append prediction rows, JSON-encoding
+    * `featureCols` into the `features` column (X7). */
+  def insertPredictions(rows: DataFrame, featureCols: Seq[String]): Unit = {
+    val encoded = new TelemetryQueries(table("telemetry"))
+      .encodePrediction(rows, featureCols)
+    appendWithId("predictions", encoded, predictionsSchema)
+  }
+
+  private def appendWithId(t: String, rows: DataFrame, schema: StructType): Unit = {
+    val offset = table(t).agg(coalesce(max(col("id")), lit(0L))).head().getLong(0)
+    val padded = schema.fields.foldLeft(rows) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else if (f.name == "id")
+        d.withColumn("id", monotonically_increasing_id() + lit(offset + 1L))
+      else if (f.name == "ts_epoch")
+        d.withColumn("ts_epoch", unix_timestamp(current_timestamp()))
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    padded
+      .select(schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+      .write.mode("append").parquet(dir(t))
+  }
+
+  /** verify_database_setup (database_and_model_tools.py:117-125):
+    * per-table row counts, in declaration order. */
+  def verifySetup(): Seq[(String, Long)] =
+    Seq("telemetry", "user_query_log", "predictions")
+      .map(t => t -> table(t).count())
+}
+
+object Warehouse {
+
+  /** db.py:105-114. */
+  val queryLogSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("role", StringType),
+    StructField("query", StringType),
+    StructField("intent", StringType),
+    StructField("confidence", DoubleType),
+    StructField("machine_id", StringType),
+    StructField("target_time_epoch", LongType),
+    StructField("ts_epoch", LongType)))
+
+  /** db.py:116-124. */
+  val predictionsSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("machine_id", StringType),
+    StructField("intent", StringType),
+    StructField("numerical_answer", DoubleType),
+    StructField("features", StringType),
+    StructField("ts_epoch", LongType)))
+}

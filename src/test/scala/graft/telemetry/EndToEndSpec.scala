@@ -102,4 +102,71 @@ class EndToEndSpec extends AnyFunSuite {
     assert(rows.length == 11)
     assert(rows.sameElements(rows.sorted))
   }
+
+  test("3-table warehouse: init, ingest, log+prediction inserts, count-verify") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(spark, root)
+    wh.init()
+    wh.init() // CREATE TABLE IF NOT EXISTS: second init is a no-op
+    assert(wh.verifySetup() ==
+      Seq("telemetry" -> 0L, "user_query_log" -> 0L, "predictions" -> 0L))
+
+    wh.insertTelemetry(spark.read.parquet(telemetryDir))
+    val latest = new TelemetryQueries(wh.table("telemetry")).machinesByStatus(None)
+    wh.insertQueryLog(latest
+      .select(col("machineid").as("machine_id"),
+        col("timestamp_epoch").as("target_time_epoch"))
+      .withColumn("role", lit("operator"))
+      .withColumn("query", lit("status?"))
+      .withColumn("intent", lit("status"))
+      .withColumn("confidence", lit(0.9)))
+    wh.insertPredictions(latest
+      .select(col("machineid").as("machine_id"),
+        col("enginetemperature").as("numerical_answer"),
+        col("fuelconsumption"), col("vibrationlevel"))
+      .withColumn("intent", lit("temperature")),
+      featureCols = Seq("fuelconsumption", "vibrationlevel"))
+
+    val counts = wh.verifySetup().toMap
+    assert(counts("telemetry") == 7200)
+    assert(counts("user_query_log") == 10)
+    assert(counts("predictions") == 10)
+
+    // SERIAL analog: ids unique; defaults imputed; features JSON readable
+    val preds = wh.table("predictions")
+    assert(preds.select("id").distinct().count() == 10)
+    assert(preds.filter(col("ts_epoch").isNull).count() == 0)
+    val feat = preds.select(
+      get_json_object(col("features"), "$.fuelconsumption").cast("double"))
+      .as[Double].collect()
+    assert(feat.length == 10 && feat.forall(v => v >= 10.0 && v <= 20.0))
+
+    // appends continue the id sequence past the current max
+    wh.insertQueryLog(Seq(("operator", "again")).toDF("role", "query"))
+    val ids = wh.table("user_query_log").select("id").as[Long].collect()
+    assert(ids.length == 11 && ids.distinct.length == 11)
+  }
+
+  test("model persistence round-trip: saved and reloaded model scores equal") {
+    import org.apache.spark.sql.functions._
+    val feats = Seq("fuelconsumption", "vibrationlevel", "humidity", "pressure")
+    val df = spark.read.parquet(telemetryDir)
+      .filter(col("enginetemperature").isNotNull)
+    val model = graft.ml.Models.fitRegressor(
+      df, feats, "enginetemperature", maxIter = 5)
+    val dir = Files.createTempDirectory("graft_model").toString + "/gbt"
+    model.write.overwrite().save(dir)
+    val reloaded = org.apache.spark.ml.PipelineModel.load(dir)
+    val a = graft.ml.Models.score(model, df, feats)
+      .select("machineid", "timestamp_epoch", "prediction")
+      .orderBy("machineid", "timestamp_epoch")
+      .collect().map(_.getDouble(2))
+    val b = graft.ml.Models.score(reloaded, df, feats)
+      .select("machineid", "timestamp_epoch", "prediction")
+      .orderBy("machineid", "timestamp_epoch")
+      .collect().map(_.getDouble(2))
+    assert(a.length == 7200)
+    assert(a.sameElements(b), "reloaded model must score bit-identically")
+  }
 }
