@@ -48,18 +48,32 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     val qs = SparkEntry.queries
-    // best-of-2: steady-state timing, robust to one-off GC/page-cache
-    // noise. A failed run contributes NO timing; a query failing both
-    // runs reports -1 so failures can't masquerade as fast results.
+    // median-of-3: steady-state timing, robust to transient GC/page-cache
+    // noise AND diagnosable under host contention — every sample is logged
+    // to stderr as it completes, so a distorted run (e.g. a contended
+    // sandbox inflating CPU-bound queries 30-75×) shows up as wildly
+    // spread samples rather than a silent bad number. A failed run
+    // contributes NO timing; a query failing all runs reports -1 so
+    // failures can't masquerade as fast results.
     val results = headline.filter(qs.contains).map { name =>
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to 3).flatMap { i =>
         val t0 = System.nanoTime()
         try {
           qs(name)(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case _: Throwable => None }
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] $name run $i: $dt%.3f s")
+          Some(dt)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name run $i FAILED: ${e.getMessage}")
+            None
+        }
       }
-      name -> (if (times.isEmpty) -1.0 else times.min)
+      val t =
+        if (times.isEmpty) -1.0
+        else if (times.size < 3) times.min
+        else times.sorted.apply(1) // median
+      name -> t
     }
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
