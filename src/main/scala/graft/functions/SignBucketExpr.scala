@@ -23,10 +23,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * the same strictly-sequential left-fold accumulation per plane, so the
   * DuckDB oracle's literal-weight mirror keeps matching.
   */
-case class SignBucketExpr(child: Expression, planes: Int)
+case class SignBucketExpr(child: Expression, planes: Int, offset: Int = 0)
     extends UnaryExpression {
 
   require(planes >= 1 && planes <= 62, s"planes must be in [1,62], got $planes")
+  require(offset >= 0, s"offset must be >= 0, got $offset")
 
   override def dataType: DataType = LongType
 
@@ -44,11 +45,11 @@ case class SignBucketExpr(child: Expression, planes: Int)
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override protected def nullSafeEval(v: Any): Any =
-    SignBucketExpr.bucket(v.asInstanceOf[ArrayData], planes, isFloat)
+    SignBucketExpr.bucket(v.asInstanceOf[ArrayData], planes, offset, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.SignBucketExpr.bucket($c, $planes, $isFloat)")
+      s"graft.functions.SignBucketExpr.bucket($c, $planes, $offset, $isFloat)")
 
   override protected def withNewChildInternal(newChild: Expression): SignBucketExpr =
     copy(child = newChild)
@@ -63,7 +64,10 @@ object SignBucketExpr {
     (((p.toLong * 1315423911L + i.toLong * 2654435761L) % 1000003L)
       .toDouble / 1000003.0) - 0.5
 
-  def bucket(v: ArrayData, planes: Int, isFloat: Boolean): Long = {
+  /** `offset` shifts the hyperplane indices: planes [offset, offset+planes)
+    * — independent hash tables for multi-table (k,L) LSH share one weight
+    * family without overlap. */
+  def bucket(v: ArrayData, planes: Int, offset: Int, isFloat: Boolean): Long = {
     val n = v.numElements()
     var out = 0L
     var p = 0
@@ -72,7 +76,7 @@ object SignBucketExpr {
       var i = 0
       while (i < n) {
         val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
-        dot += x * weight(p, i)
+        dot += x * weight(offset + p, i)
         i += 1
       }
       if (dot >= 0) out |= 1L << p
@@ -84,4 +88,8 @@ object SignBucketExpr {
   def apply(vec: Column, planes: Int): Column =
     GraftColumnBridge.column(SignBucketExpr(
       GraftColumnBridge.expression(vec), planes))
+
+  def apply(vec: Column, planes: Int, offset: Int): Column =
+    GraftColumnBridge.column(SignBucketExpr(
+      GraftColumnBridge.expression(vec), planes, offset))
 }

@@ -23,6 +23,18 @@ object SimilarityQueries {
 
   private val cosSql = s"$dotSql / (${normSql("a")} * ${normSql("b")})"
 
+  /** DuckDB mirror of Knn.signBucket's deterministic hyperplane weights at
+    * a fixed plane count — the literal-weight construction that lets the
+    * LSH bucketing itself be oracle-checked. `offset` selects the plane
+    * slice [offset, offset+planes) for multi-table LSH. */
+  private def bucketSql(planes: Int, dim: Int = 64, offset: Int = 0): String =
+    (0 until planes).map { p =>
+      val dot = (0 until dim)
+        .map(i => s"embedding[${i + 1}]::DOUBLE * (${graft.functions.SignBucketExpr.weight(offset + p, i)})")
+        .mkString(" + ")
+      s"CASE WHEN ($dot) >= 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+
   val all: Seq[Q] = Seq(
 
     // ---- brute-force cosine top-5 for a broadcast query set --------------
@@ -62,27 +74,51 @@ object SimilarityQueries {
         Knn.nnWithinBucket(emb, "vec_id", "embedding", "bucket")
           .orderBy(col("vec_id"))
       },
+      // the mirror uses the plane count planesFor derives for the driver's
+      // 500-vector verify corpus
+      Some(s"""WITH bk AS (SELECT vec_id, embedding,
+              |              CAST(${bucketSql(6)} AS BIGINT) AS bucket FROM embeddings)
+              |SELECT vec_id, bucket, nn_id, nn_sim_ppm FROM (
+              |  SELECT a.vec_id, a.bucket, b.vec_id AS nn_id,
+              |         CAST(floor($cosSql * 1e6) AS BIGINT) AS nn_sim_ppm,
+              |         row_number() OVER (PARTITION BY a.vec_id
+              |                            ORDER BY $cosSql DESC, b.vec_id) AS rn
+              |  FROM bk a
+              |  JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id) t
+              |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // ---- embedding near-dup pairs, multi-table (k,L) sign-LSH -----------
+    // The scale-safe counterpart of q_embedding_neardup's declared-brute
+    // theta join: 8 independent 3-plane hash tables; a pair is a candidate
+    // if it shares a bucket in ANY table (recall ≈ 0.9 at cosine 0.45 vs
+    // ~0.08 for one 6-plane table), then exact cosine verifies candidates
+    // only. The shuffle moves L×N tiny (id, table, key) rows — never the
+    // vectors. The oracle mirrors all 8 bucketings via literal weights, so
+    // the approximation itself is hash-checked; recall vs brute force is
+    // additionally asserted in DedupKnnSpec.
+    Q("q_embedding_neardup_lsh",
+      (s, dir) => Knn.neardupPairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", minSimPpm = 450000L, k = 3, tables = 8)
+        .orderBy(col("id_a"), col("id_b")),
       Some {
-        // mirror of Knn.signBucket's deterministic hyperplane weights, at
-        // the plane count planesFor derives for the driver's 500-vector
-        // verify corpus
-        def w(p: Int, i: Int): Double = graft.functions.SignBucketExpr.weight(p, i)
-        val bucketSql = (0 until 6).map { p =>
-          val dot = (0 until 64)
-            .map(i => s"embedding[${i + 1}]::DOUBLE * (${w(p, i)})")
-            .mkString(" + ")
-          s"CASE WHEN ($dot) >= 0 THEN ${1L << p} ELSE 0 END"
-        }.mkString(" + ")
-        s"""WITH bk AS (SELECT vec_id, embedding,
-           |              CAST($bucketSql AS BIGINT) AS bucket FROM embeddings)
-           |SELECT vec_id, bucket, nn_id, nn_sim_ppm FROM (
-           |  SELECT a.vec_id, a.bucket, b.vec_id AS nn_id,
-           |         CAST(floor($cosSql * 1e6) AS BIGINT) AS nn_sim_ppm,
-           |         row_number() OVER (PARTITION BY a.vec_id
-           |                            ORDER BY $cosSql DESC, b.vec_id) AS rn
-           |  FROM bk a
-           |  JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id) t
-           |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+        val tableCtes = (0 until 8).map(t =>
+          s"""SELECT vec_id, $t AS t,
+             |       CAST(${bucketSql(3, 64, t * 3)} AS BIGINT) AS bk
+             |FROM embeddings""".stripMargin)
+          .mkString("\nUNION ALL\n")
+        s"""WITH buckets AS (
+           |$tableCtes),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM buckets a
+           |  JOIN buckets b ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id)
+           |SELECT id_a, id_b,
+           |       CAST(floor($cosSql * 1e6) AS BIGINT) AS sim_ppm
+           |FROM cand
+           |JOIN embeddings a ON a.vec_id = id_a
+           |JOIN embeddings b ON b.vec_id = id_b
+           |WHERE CAST(floor($cosSql * 1e6) AS BIGINT) >= 450000
+           |ORDER BY id_a, id_b""".stripMargin
       }),
 
     // ---- IVF-style: exact top-1 neighbor within a coarse bucket (label) --

@@ -85,4 +85,31 @@ object Ingest {
       .write.mode("overwrite")
       .partitionBy("machineid")
       .parquet(outDir)
+
+  /** S2 JDBC parity variant — the reference's paged batch insert
+    * (database_and_model_tools.py:75-97, `execute_values` with
+    * `page_size=1000`) as Spark's JDBC sink: `batchsize` is the page-size
+    * analog. Each task opens its own connection and writes its partition
+    * in batches, so ingest parallelism = partition count; at scale bound
+    * it with `numPartitions`/`repartition(k)` so the database's connection
+    * and write limits, not Spark, set the ceiling. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      batchSize: Int = 1000, numPartitions: Option[Int] = None,
+      columnTypes: Option[String] = None,
+      properties: java.util.Properties = new java.util.Properties): Unit = {
+    val bounded = numPartitions.fold(df)(df.repartition(_))
+    val w = bounded.write.mode("append")
+      .option("batchsize", batchSize.toString)
+    // e.g. "machineid VARCHAR(50), status VARCHAR(50)" — mirrors the
+    // reference DDL's explicit widths (db.py:81-102); without it some
+    // dialects (Derby) create CLOBs, which can't serve pushed-down
+    // string predicates
+    columnTypes.fold(w)(t => w.option("createTableColumnTypes", t))
+      .jdbc(url, table, properties)
+  }
+
+  /** JDBC read-back for verification (row-count parity, S9). */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      properties: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, properties)
 }

@@ -124,6 +124,24 @@ class DedupKnnSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("multi-table LSH near-dup: precision 1.0, recall >= 0.7 vs brute") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val brute = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", Knn.cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("sim") >= 0.45)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Knn.neardupPairs(emb, "vec_id", "embedding",
+        minSimPpm = 450000L, k = 3, tables = 8)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain near-dup embeddings")
+    // exact verification on candidates → no false positives, ever
+    assert(lsh.subsetOf(brute), s"false positives: ${lsh.diff(brute)}")
+    assert(lsh.size >= math.ceil(0.7 * brute.size),
+      s"recall ${lsh.size}/${brute.size} below 0.7")
+  }
+
   test("label centroid arrays reassemble from the exploded (label,pos,c) rows") {
     val emb = Tables.embeddings(spark, sf)
     val exploded = emb
