@@ -28,8 +28,12 @@ object Pipeline {
     // verify_database_setup (database_and_model_tools.py:117-125)
     val wh = new Warehouse(spark, outDir)
     wh.init()
-    val cleaned = Ingest.ingestCsv(spark, csvPath)
-    wh.insertTelemetry(cleaned)
+    // O2: each task carries the reference DAG's 1-retry policy
+    Orchestration.withRetry(retries = 1, delayMillis = 1000L,
+      onRetry = (n, e) => println(s"[pipeline] ingest retry $n: ${e.getMessage}")) {
+      val cleaned = Ingest.ingestCsv(spark, csvPath)
+      wh.insertTelemetry(cleaned)
+    }
     val telemetry = wh.table("telemetry")
     val n = telemetry.count()
     println(s"[pipeline] telemetry rows ingested: $n")
