@@ -28,7 +28,10 @@ object Ingest {
   /** S1, fault-tolerant variant: PERMISSIVE parse that quarantines
     * malformed lines into `_corrupt_record` instead of failing the job —
     * at 100 TB a handful of bad lines must never kill a multi-hour ingest.
-    * Returns (clean rows, quarantined raw lines). */
+    * Returns (clean rows, quarantined raw lines). The shared scan is
+    * cached (Spark requires materialization before `_corrupt_record` can
+    * be filtered); callers that keep a session alive after consuming both
+    * sides should `unpersist` either returned frame. */
   def readCsvRobust(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     val withCorrupt = spark.read
       .option("header", "true")

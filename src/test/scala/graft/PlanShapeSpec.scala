@@ -60,4 +60,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
       s"banded simhash must plan an equi-join:\n$s")
   }
+
+  test("LSH scale paths (embedding near-dup, profile NN) plan no loop join") {
+    for (q <- Seq("q_embedding_neardup_lsh", "q_ts_profile_nn_lsh")) {
+      val s = render(plan(q))
+      assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+        s"$q must stay an equi-join:\n$s")
+    }
+  }
 }
