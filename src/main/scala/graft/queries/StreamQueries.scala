@@ -23,6 +23,18 @@ object StreamQueries {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** State-store partition count is fixed at stream START from
+    * spark.sql.shuffle.partitions; for these registry queries the state is
+    * tiny (hundreds of windows/ids from one static file) so 32 partitions
+    * is pure per-batch provider overhead — scope the stream to 8 and
+    * restore. Production sizes this to state volume, not core count. */
+  private def withStreamPartitions[T](s: org.apache.spark.sql.SparkSession)(
+      body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- §7.5: hourly rollups through the real streaming engine ---------
@@ -36,10 +48,12 @@ object StreamQueries {
           .parquet(dir)
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         val name = s"rollup_${System.nanoTime()}"
-        val q = StreamingIngest.hourlyRollups(stream)
-          .writeStream.outputMode("complete")
-          .format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
+        withStreamPartitions(s) {
+          val q = StreamingIngest.hourlyRollups(stream)
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+        }
         // Complete-mode rollup of a static source ≡ the batch aggregate, so
         // a plain GROUP BY oracle proves the streaming engine's state
         // handling end-to-end (same pattern as q_stream_dedup). Hour
@@ -73,13 +87,15 @@ object StreamQueries {
           .withWatermark("ts", "2 hours")
           .dropDuplicates("event_id")
         val name = s"dedup_${System.nanoTime()}"
-        val q = deduped
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("value").cast("decimal(18,6)")).as("__sv"))
-          .writeStream.outputMode("complete")
-          .format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
+        withStreamPartitions(s) {
+          val q = deduped
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,6)")).as("__sv"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.table(name)
           .select(col("event_type"), col("n"),
             col("__sv").cast("double").as("sum_value"))
