@@ -156,6 +156,64 @@ object Knn {
       .select(col("id_a"), col("id_b"), col("sim_ppm"))
   }
 
+  /** Full IVF search: train per-list centroids (the coarse quantizer),
+    * probe the `nProbe` nearest lists per query, then exact cosine top-k
+    * within the probed lists only — the classic inverted-file ANN pipeline
+    * (cf. the reference's sklearn-side modeling in
+    * database_and_model_tools.py; search itself is beyond the reference).
+    *
+    * Centroids are exact portable means: per-(list, pos) sums of
+    * floor(v·1e6) longs, so the quantizer is bit-identical across engines
+    * and runs (no float accumulation order dependence) — which is what
+    * lets the whole approximate search be oracle-checked.
+    *
+    * Plan shape at 100 TB: the corpus NEVER shuffles — centroids
+    * (lists × dim, tiny) broadcast for probing, and the probed query set
+    * (assumed small/broadcastable, same contract as [[bruteTopK]])
+    * broadcasts into the corpus scan, so candidate generation is one
+    * narrow pass; only candidate rows (|queries| · nProbe · mean list
+    * width) reach the per-query top-k shuffle. Work scales as
+    * nProbe/|lists| of brute force.
+    */
+  def ivfSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      listCol: String,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"),
+      col(listCol).as("__list"))
+    val cents = c
+      .select(col("__list"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+      .groupBy(col("__list"), col("__pos"))
+      .agg(sum(floor(col("__x") * 1e6).cast("long")).as("__sv"),
+        count(lit(1)).as("__n"))
+      .groupBy(col("__list"))
+      .agg(transform(array_sort(collect_list(struct(col("__pos"),
+          (col("__sv").cast("double") / col("__n") / 1e6).as("c")))),
+        x => x("c")).as("__cent"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col("__list"))
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("__csim", cosine(col("__qv"), col("__cent")))
+      .withColumn("__pr", row_number().over(wp))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__list"))
+    val scored = c.join(broadcast(probed), Seq("__list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__sim", cosine(col("__qv"), col("__v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        floor(col("__sim") * 1e6).cast("long").as("sim_ppm"),
+        col("__rn").cast("int").as("rank"))
+  }
+
   /** Top-1 neighbor per row, searched only within `bucketCol` (IVF path).
     *
     * @param maxBucket optional width cap: buckets wider than this are

@@ -164,6 +164,62 @@ object SimilarityQueries {
              |       n AS n_vectors
              |FROM sums ORDER BY label, pos""".stripMargin)),
 
+    // ---- full IVF search: probe nProbe nearest lists, exact top-k within -
+    // The end-to-end inverted-file ANN pipeline: centroid train → probe →
+    // bounded exact search. The quantizer is the exact integer-sum mean
+    // (engine-portable), so probing and search are BOTH hash-checked —
+    // the oracle reproduces the same approximate result set, not just a
+    // rows-count. Corpus never shuffles (centroids and probed queries
+    // broadcast); candidates = |queries|·nProbe·mean-list ≪ N².
+    Q("q_ivf_search",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Knn.ivfSearch(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", "label", k = 5, nProbe = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH parts AS (
+              |  SELECT label AS c_label, generate_subscripts(embedding, 1) - 1 AS pos,
+              |         unnest(embedding) AS v
+              |  FROM embeddings),
+              |sums AS (
+              |  SELECT c_label, pos, sum(CAST(floor(v * 1e6) AS BIGINT)) AS sv,
+              |         count(*) AS n
+              |  FROM parts GROUP BY c_label, pos),
+              |cents AS (
+              |  SELECT c_label, list(CAST(sv AS DOUBLE) / n / 1e6 ORDER BY pos) AS centroid
+              |  FROM sums GROUP BY c_label),
+              |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+              |probe AS (
+              |  SELECT query_id, c_label FROM (
+              |    SELECT q.query_id, c.c_label,
+              |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+              |        list_reduce(list_prepend(0::DOUBLE,
+              |            list_transform(range(len(q.embedding)),
+              |              i -> q.embedding[i+1]::DOUBLE * c.centroid[i+1])),
+              |          (acc, v) -> acc + v)
+              |        / (sqrt(list_reduce(list_prepend(0::DOUBLE,
+              |              list_transform(q.embedding, v -> v::DOUBLE * v::DOUBLE)),
+              |            (acc, v) -> acc + v))
+              |         * sqrt(list_reduce(list_prepend(0::DOUBLE,
+              |              list_transform(c.centroid, v -> v * v)),
+              |            (acc, v) -> acc + v))) DESC, c.c_label) AS pr
+              |    FROM q CROSS JOIN cents c) t
+              |  WHERE pr <= 3),
+              |a AS (
+              |  SELECT p.query_id, p.c_label, e.embedding
+              |  FROM probe p JOIN embeddings e ON e.vec_id = p.query_id),
+              |scored AS (
+              |  SELECT a.query_id, b.vec_id AS neighbor_id, $cosSql AS sim,
+              |         row_number() OVER (PARTITION BY a.query_id
+              |                            ORDER BY $cosSql DESC, b.vec_id) AS rn
+              |  FROM a JOIN embeddings b
+              |    ON b.label = a.c_label AND b.vec_id <> a.query_id)
+              |SELECT query_id, neighbor_id,
+              |       CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm,
+              |       CAST(rn AS INTEGER) AS rank
+              |FROM scored WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // ---- IVF assignment: nearest centroid per vector --------------------
     // Centroids (10 rows) broadcast against the corpus, native cosine,
     // argmax as one max_by hash aggregate — the full coarse-quantizer

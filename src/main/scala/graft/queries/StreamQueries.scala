@@ -106,6 +106,56 @@ object StreamQueries {
              |FROM events GROUP BY event_type
              |ORDER BY event_type NULLS FIRST""".stripMargin)),
 
+    // ---- streaming session windows, batch-equivalence oracle ------------
+    // Complete-mode session_window over a static source ≡ batch gap-
+    // sessionization, so the engine's session MERGE state machine (open,
+    // extend, merge-adjacent) is hash-checked against the plain window
+    // formulation DuckDB runs. Spark merges two sessions iff the next
+    // event starts strictly before last_ts + gap, so the oracle breaks on
+    // diff >= gap. Boundaries emitted as epoch MICROS (both engines
+    // truncate the file's nanos identically); sum is decimal-exact so the
+    // result is arrival-order independent.
+    Q("q_stream_sessions",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val stream = s.readStream.schema(rawEventSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val name = s"sess_${System.nanoTime()}"
+        withStreamPartitions(s) {
+          val q = StreamingIngest.sessionRollups(stream)
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(name)
+          .select(col("user_id"),
+            unix_micros(col("s_start")).as("s_start_us"),
+            unix_micros(col("s_end")).as("s_end_us"),
+            col("n"), col("sum_value"))
+          .orderBy(col("user_id"), col("s_start_us"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+             |g AS (
+             |  SELECT user_id, ts_us, value,
+             |    CASE WHEN lag(ts_us) OVER w IS NULL
+             |           OR ts_us - lag(ts_us) OVER w >= 1800000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+             |s AS (
+             |  SELECT user_id, ts_us, value,
+             |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+             |  FROM g)
+             |SELECT user_id, min(ts_us) AS s_start_us,
+             |       max(ts_us) + 1800000000 AS s_end_us,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM s GROUP BY user_id, sess
+             |ORDER BY user_id, s_start_us""".stripMargin)),
+
     // ---- multimodal: binary column → partition-local feature extraction -
     Q("q_media_features",
       (s, dir) => {

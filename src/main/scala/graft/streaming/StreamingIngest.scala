@@ -63,7 +63,8 @@ object StreamingIngest {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(col("user_id"), session_window(col("ts"), gap))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("user_id"),
         col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"),

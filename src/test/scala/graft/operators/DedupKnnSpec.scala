@@ -167,4 +167,50 @@ class DedupKnnSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("IVF search: results are brute-force restricted to probed lists") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    val queries = emb.filter(col("vec_id") < 5)
+    val ivf = Knn.ivfSearch(emb, queries, "vec_id", "embedding", "label",
+        k = 3, nProbe = 3)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getLong(2))).toSeq)
+      .toMap
+    // model: for each query, rank ALL corpus vectors, keep those whose
+    // label is among the query's nProbe nearest centroid lists, take top-3
+    val cents = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(floor(col("v") * 1e6).cast("long")).as("sv"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(
+        struct(col("pos"), (col("sv").cast("double") / col("n") / 1e6).as("c")))),
+        x => x("c")).as("centroid"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      val na = math.sqrt(a.foldLeft(0.0)((acc, v) => acc + v * v))
+      val nb = math.sqrt(b.foldLeft(0.0)((acc, v) => acc + v * v))
+      d / (na * nb)
+    }
+    val corpus = emb.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toSeq,
+      r.getInt(r.fieldIndex("label"))))
+    val qs = corpus.filter(_._1 < 5)
+    assert(ivf.keySet == qs.map(_._1).toSet)
+    qs.foreach { case (qid, qv, _) =>
+      val probed = cents.toSeq
+        .map { case (l, c) => (l, cos(qv, c)) }
+        .sortBy { case (l, s) => (-s, l) }.take(3).map(_._1).toSet
+      val expect = corpus
+        .filter { case (id, _, l) => id != qid && probed(l) }
+        .map { case (id, v, _) => (id, cos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3)
+        .map { case (id, s) => (id, math.floor(s * 1e6).toLong) }.toSeq
+      // compare ids and ppm sims (model recomputes the same fold order)
+      assert(ivf(qid) == expect, s"query $qid")
+    }
+    emb.unpersist()
+  }
 }
