@@ -27,6 +27,7 @@ object Bench {
     "q_minhash_lsh_pairs",
     "q_knn_brute",             // similarity search (exact)
     "q_nn_lsh_bucketed",       // similarity search (ANN scale path)
+    "q_ivf_search",            // similarity search (IVF train/probe/search)
     "q_sessionize",            // gap sessionization window
     "q_doc_quality",           // text analysis
     "q_zscore_events",         // ML standardization

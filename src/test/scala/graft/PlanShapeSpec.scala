@@ -68,4 +68,17 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$q must stay an equi-join:\n$s")
     }
   }
+
+  test("IVF search: probed-list join broadcasts (corpus never shuffles to join)") {
+    val s = render(plan("q_ivf_search"))
+    // candidate generation must be a broadcast hash join on the list key —
+    // the corpus scan feeds it directly; only candidate rows reach the
+    // per-query top-k exchange. (The probe step's cross join against the
+    // broadcast lists×dim centroid table is the intended BNLJ.)
+    assert(s.contains("BroadcastHashJoin"),
+      s"probed-list join must broadcast the query side:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("SortMergeJoin"),
+      s"corpus must not shuffle into a sort-merge join:\n$s")
+  }
 }
