@@ -54,6 +54,27 @@ object Stress {
           .head()
         println(f"""{"vectors":$n%d,"planes":$planes%d,"nn_rows":$nr%d,"seconds":$dt%.1f,"n_buckets":${stats.getLong(0)}%d,"max_bucket":${stats.getLong(1)}%d,"sum_bucket_sq":${stats.getLong(2)}%d}""")
 
+      case "ivf" =>
+        // Full IVF pipeline (train → probe → bounded exact search) over an
+        // N×-replicated corpus; 100 query vectors. Candidate volume is
+        // |q|·nProbe·(n/|lists|) — the measured check that search cost
+        // tracks the probed fraction, not the corpus.
+        val emb0 = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"), col("label"))
+        val big = (0 until copies).map(i =>
+            emb0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+              col("embedding"), col("label")))
+          .reduce(_ unionByName _).cache()
+        val n = big.count()
+        val queries = big.filter(col("vec_id") < 100)
+        val t0 = System.nanoTime()
+        val res = operators.Knn.ivfSearch(big, queries,
+          "vec_id", "embedding", "label", k = 10, nProbe = 3)
+        val nr = res.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val nLists = big.select(col("label")).distinct().count()
+        println(f"""{"vectors":$n%d,"lists":$nLists%d,"result_rows":$nr%d,"seconds":$dt%.1f}""")
+
       case "skew" =>
         // copies×1M rows, 90% on key 0, rest uniform over 10k keys —
         // repartitioned round-robin so the hot key starts spread like a
