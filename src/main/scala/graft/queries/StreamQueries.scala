@@ -106,6 +106,45 @@ object StreamQueries {
              |FROM events GROUP BY event_type
              |ORDER BY event_type NULLS FIRST""".stripMargin)),
 
+    // ---- stream-static enrichment join ----------------------------------
+    // The streaming side joins a STATIC dimension (customer) inside the
+    // micro-batch plan — Spark re-plans the static side per batch as a
+    // broadcast hash join, the standard enrichment shape (fact stream
+    // never shuffles to join). Complete-mode agg over the enriched stream
+    // ≡ the batch join+aggregate, so the oracle hash-checks the whole
+    // stream-static path.
+    Q("q_stream_enrich",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val stream = s.readStream.schema(rawEventSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val dim = graft.Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val name = s"enrich_${System.nanoTime()}"
+        withStreamPartitions(s) {
+          val q = stream
+            .join(dim, col("user_id") === col("c_custkey"))
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,6)")).as("__sv"),
+              max(col("user_id")).as("max_user"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(name)
+          .select(col("c_mktsegment"), col("n"), col("max_user"),
+            col("__sv").cast("double").as("sum_value"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  max(user_id) AS max_user,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // ---- streaming session windows, batch-equivalence oracle ------------
     // Complete-mode session_window over a static source ≡ batch gap-
     // sessionization, so the engine's session MERGE state machine (open,

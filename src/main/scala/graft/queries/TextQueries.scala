@@ -204,6 +204,57 @@ object TextQueries {
              |        FROM scored GROUP BY source)
              |SELECT doc_id, s.source, ttr_ppm, med_ttr
              |FROM scored s JOIN med m ON s.source = m.source
-             |WHERE ttr_ppm > med_ttr ORDER BY doc_id""".stripMargin))
+             |WHERE ttr_ppm > med_ttr ORDER BY doc_id""".stripMargin)),
+
+    // ---- TF-IDF: top-3 terms per document -------------------------------
+    // idf is the LOG-FREE probabilistic form (N − df)/df: same monotone
+    // ranking family, but the score stays inside exact-rounded IEEE
+    // +,·,/ — ln() is libm-dependent and NOT bit-portable across engines,
+    // so a log idf could rank ties differently under the hash compare.
+    // Plan: one explode → (doc,term) hash agg; df is a second agg over the
+    // (doc,term) pairs whose result (the vocabulary) broadcasts back; the
+    // only wide ops over data volume are the tf aggregate and the per-doc
+    // top-k window on candidates.
+    Q("q_tfidf_top_terms",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val nDocs = docs.agg(count(lit(1)).as("__n"))
+        val tf = docs
+          .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("__score").desc, col("term"))
+        tf.join(broadcast(df), Seq("term"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("__score",
+            col("tf").cast("double") * (col("__n") - col("df")) / col("df"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            floor(col("__score") * 1000).cast("long").as("score_ppk"),
+            col("__rn").cast("int").as("rank"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+             |df AS (
+             |  SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |scored AS (
+             |  SELECT doc_id, term, tf, df,
+             |    CAST(tf AS DOUBLE) * (n - df) / df AS score,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY CAST(tf AS DOUBLE) * (n - df) / df DESC, term) AS rn
+             |  FROM tf JOIN df USING (term) CROSS JOIN n)
+             |SELECT doc_id, term, tf, df,
+             |       CAST(floor(score * 1000) AS BIGINT) AS score_ppk,
+             |       CAST(rn AS INTEGER) AS rank
+             |FROM scored WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin))
   )
 }
