@@ -106,6 +106,90 @@ object StreamQueries {
              |FROM events GROUP BY event_type
              |ORDER BY event_type NULLS FIRST""".stripMargin)),
 
+    // ---- sliding-window rollups through the streaming engine ------------
+    // 1h windows every 15min: each event lands in exactly 4 overlapping
+    // windows (epoch-aligned slide). The oracle regenerates the 4 window
+    // starts per event arithmetically — floor-to-15min minus k·15min —
+    // so the engine's overlapping-window assignment is hash-checked, not
+    // just the aggregate. avg is decimal-exact sum / count (order-free).
+    Q("q_stream_sliding",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val stream = s.readStream.schema(rawEventSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val name = s"slide_${System.nanoTime()}"
+        withStreamPartitions(s) {
+          val q = StreamingIngest.slidingRollups(stream)
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(name)
+          .select(unix_timestamp(col("w_start")).as("w_start_ep"),
+            unix_timestamp(col("w_end")).as("w_end_ep"),
+            col("event_type"), col("n"), col("avg_value"))
+          .orderBy(col("w_start_ep"), col("event_type"))
+      },
+      Some("""WITH w AS (
+             |  SELECT epoch_us(ts) AS ts_us, event_type, value FROM events),
+             |e AS (
+             |  SELECT event_type, value,
+             |    (ts_us // 900000000) * 900000000 - k * 900000000 AS s_us
+             |  FROM w CROSS JOIN range(4) t(k))
+             |SELECT s_us // 1000000 AS w_start_ep,
+             |       (s_us + 3600000000) // 1000000 AS w_end_ep,
+             |       event_type, count(*) AS n,
+             |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_value
+             |FROM e GROUP BY 1, 2, 3
+             |ORDER BY w_start_ep, event_type""".stripMargin)),
+
+    // ---- stream-stream join: view → click attribution within 10 min -----
+    // Both sides are real streams with watermarks and a time-range join
+    // condition — the configuration where the engine keeps BOUNDED state
+    // (each side retained only watermark + range; unbounded otherwise).
+    // Append-mode output of a static source ≡ the batch range join, so
+    // the oracle hash-checks the stream-stream matching end to end.
+    Q("q_stream_stream_join",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        def src = s.readStream.schema(rawEventSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val views = src.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ts").as("view_ts"))
+          .withWatermark("view_ts", "2 hours")
+        val clicks = src.filter(col("event_type") === "click")
+          .select(col("user_id").as("__cu"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "2 hours")
+        val name = s"ssj_${System.nanoTime()}"
+        withStreamPartitions(s) {
+          val q = views.join(clicks,
+              col("user_id") === col("__cu") &&
+                col("click_ts") >= col("view_ts") &&
+                col("click_ts") <= col("view_ts") + expr("INTERVAL 10 MINUTES"))
+            .select(col("user_id"), col("view_id"), col("click_id"),
+              unix_micros(col("view_ts")).as("view_us"),
+              unix_micros(col("click_ts")).as("click_us"))
+            .writeStream.outputMode("append")
+            .format("memory").queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(name).orderBy(col("user_id"), col("view_id"), col("click_id"))
+      },
+      Some("""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+             |       epoch_us(v.ts) AS view_us, epoch_us(c.ts) AS click_us
+             |FROM events v JOIN events c
+             |  ON v.user_id = c.user_id
+             | AND v.event_type = 'view' AND c.event_type = 'click'
+             | AND epoch_us(c.ts) >= epoch_us(v.ts)
+             | AND epoch_us(c.ts) <= epoch_us(v.ts) + 600000000
+             |ORDER BY v.user_id, view_id, click_id""".stripMargin)),
+
     // ---- stream-static enrichment join ----------------------------------
     // The streaming side joins a STATIC dimension (customer) inside the
     // micro-batch plan — Spark re-plans the static side per batch as a

@@ -51,7 +51,9 @@ object StreamingIngest {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("avg_value"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("avg_value"))
 
