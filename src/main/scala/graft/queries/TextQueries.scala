@@ -255,6 +255,32 @@ object TextQueries {
              |SELECT doc_id, term, tf, df,
              |       CAST(floor(score * 1000) AS BIGINT) AS score_ppk,
              |       CAST(rn AS INTEGER) AS rank
-             |FROM scored WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin))
+             |FROM scored WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // ---- concat-and-chunk sequence packing (LLM pretraining batching) ---
+    // Maps each document to its slot in the packed fixed-length token
+    // stream via a DISTRIBUTED prefix sum (per-bucket cumsum + prefix
+    // over the tiny bucket-totals table — never a global single-partition
+    // window). bucketSize=100 forces ~5 buckets at the driver's 500-doc
+    // verify corpus, so cross-bucket offset continuation is what the
+    // hash-match proves; the oracle is the plain global running sum.
+    Q("q_pack_sequences",
+      (s, dir) => graft.operators.Packing.packSequences(
+          Tables.documents(s, dir), "doc_id",
+          size(Text.tokens(col("text"))), seqLen = 2048L, bucketSize = 100L)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, n_tokens,
+             |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |  FROM t)
+             |SELECT doc_id, n_tokens,
+             |  (cum - n_tokens) // 2048 AS start_seq,
+             |  (cum - 1) // 2048 AS end_seq,
+             |  (cum - n_tokens) % 2048 AS start_off
+             |FROM c ORDER BY doc_id""".stripMargin))
   )
 }
