@@ -167,6 +167,50 @@ object DedupQueries {
               |WHERE levenshtein(da.text, db.text) * 5 < greatest(len(da.text), len(db.text))
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- dedup clusters: connected components over near-dup pairs -------
+    // Near-dup similarity is only locally transitive, so canonical-doc
+    // selection runs union-find over the pair graph. Spark side is
+    // distributed min-label propagation (operators.Components, one
+    // map-side-combinable shuffle per round); the oracle is the exact
+    // transitive closure via DuckDB's recursive CTE — a hash match proves
+    // the fixpoint, not just per-pair agreement.
+    Q("q_dedup_clusters",
+      (s, dir) => {
+        val edges = MinHashLSH.jaccardPairs(
+            Tables.documents(s, dir), "doc_id", "text", minJaccardPpm = 500000L)
+          .select(col("id_a"), col("id_b"))
+        val comps = graft.operators.Components
+          .connectedComponents(edges, "id_a", "id_b")
+        val sizes = comps.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+        comps.join(broadcast(sizes), Seq("cluster_id"))
+          .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+              |  SELECT doc_id, unnest(${Text.shingleHashesSql("text")}) AS h FROM documents),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (
+              |  SELECT id_a, id_b
+              |  FROM inter
+              |  JOIN sizes sa ON id_a = sa.doc_id
+              |  JOIN sizes sb ON id_b = sb.doc_id
+              |  WHERE i * 1000000 // (sa.n + sb.n - i) >= 500000),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |          UNION SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT src AS id, src AS r FROM edges
+              |  UNION
+              |  SELECT e.src AS id, rc.r FROM edges e JOIN reach rc ON rc.id = e.dst),
+              |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+              |SELECT id AS doc_id, cluster_id,
+              |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+              |FROM lab ORDER BY doc_id""".stripMargin)),
+
     // ---- SimHash near-dup pairs: sampled probe side, hamming ≤ 6 ---------
     // Banded-LSH equi-join (8 bands × 4 bits over the 30-bit simhash):
     // recall is provably 1.0 for hamming ≤ 6 < 8 bands, so the output is
