@@ -135,6 +135,52 @@ object SimilarityQueries {
               |  JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id) t
               |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
 
+    // ---- int8 embedding quantization (storage compression) --------------
+    // Per-vector symmetric scale = max|v|/127; code_i = floor(v_i/scale
+    // + 0.5) — explicit floor instead of round() because round-half
+    // semantics are engine-dependent while floor is exact. The scale is
+    // computed via explode+aggregate and JOINED back (never referenced
+    // from inside another HOF lambda: CollapseProject would re-inline the
+    // aggregate per element, turning O(d) into O(d²) per row). Codes are
+    // emitted as a joined string (driver comparator rejects arrays);
+    // recon_err_l1_ppm is the sequential-fold L1 reconstruction error.
+    // Narrow per-row work + one tiny equi-join — scale-safe.
+    Q("q_quantize_int8",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val scales = emb
+          .select(col("vec_id"), explode(col("embedding")).as("__v"))
+          .groupBy(col("vec_id"))
+          .agg(max(abs(col("__v").cast("double"))).as("__mx"))
+          .withColumn("__scale", greatest(col("__mx"), lit(1e-12)) / 127)
+        emb.join(scales, Seq("vec_id"))
+          .withColumn("__codes", transform(col("embedding"),
+            v => floor(v.cast("double") / col("__scale") + 0.5).cast("int")))
+          .withColumn("__err", aggregate(col("embedding"), lit(0.0),
+            (acc, v) => acc + abs(v.cast("double") -
+              floor(v.cast("double") / col("__scale") + 0.5).cast("double") * col("__scale"))))
+          .select(col("vec_id"),
+            floor(col("__scale") * 1e9).cast("long").as("scale_ppb"),
+            concat_ws(",", col("__codes")).as("codes"),
+            floor(col("__err") * 1e6).cast("long").as("recon_err_l1_ppm"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH m AS (
+             |  SELECT vec_id,
+             |         greatest(max(abs(v::DOUBLE)), 1e-12) / 127 AS scale
+             |  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) u
+             |  GROUP BY vec_id)
+             |SELECT e.vec_id,
+             |  CAST(floor(scale * 1e9) AS BIGINT) AS scale_ppb,
+             |  array_to_string(list_transform(e.embedding,
+             |    v -> CAST(floor(v::DOUBLE / scale + 0.5) AS INTEGER)), ',') AS codes,
+             |  CAST(floor(list_reduce(list_prepend(0::DOUBLE,
+             |      list_transform(e.embedding,
+             |        v -> abs(v::DOUBLE - floor(v::DOUBLE / scale + 0.5) * scale))),
+             |    (acc, x) -> acc + x) * 1e6) AS BIGINT) AS recon_err_l1_ppm
+             |FROM embeddings e JOIN m ON e.vec_id = m.vec_id
+             |ORDER BY e.vec_id""".stripMargin)),
+
     // ---- per-label centroids (the IVF coarse-quantizer training step) ---
     // posexplode → (label, pos) partial sums of floor(v·1e6) longs (exact,
     // engine-portable). One hash aggregate; scales as labels × dim. Emitted
