@@ -30,6 +30,9 @@ object MinHashLSH {
     * @param k        permutations (must divide 1e6 for exact ppm)
     * @param bands    LSH bands (k % bands == 0); rows-per-band = k/bands
     * @param minEstPpm drop candidate pairs with estimated Jaccard below this
+    * @param shingleFn custom shingle hasher for scale variants (e.g.
+    *   `c => Text.shingleHashesWith(c, 3, Text.fastHash)`); null (the
+    *   default) selects the fused native signature path
     * @return (id_a, id_b, est_ppm) with id_a < id_b
     */
   def candidatePairs(
@@ -39,34 +42,35 @@ object MinHashLSH {
       k: Int = 64,
       bands: Int = 16,
       minEstPpm: Long = 500000L,
-      shingleFn: Column => Column = Text.shingleHashes(_, 3)): DataFrame = {
+      shingleFn: Column => Column = null): DataFrame = {
     require(k % bands == 0 && 1000000 % k == 0)
     val r = k / bands
 
-    // Signature via explode + k min-aggregates: the shingle hash is
-    // evaluated exactly once per (doc, shingle) and the k permutation
-    // minima are plain codegen'd `min()` aggregates with map-side partial
-    // aggregation — no k-wide array expressions mid-plan (Catalyst's
-    // CollapseProject re-inlines a shared expensive projection into every
-    // HOF branch, a measured 30×+ regression). The signature table
-    // (id + k longs, tiny relative to the corpus) is cached because the
-    // bucket self-join and the estimation join both consume it; the cache
-    // lives until session LRU eviction (MEMORY_AND_DISK) — at cluster
-    // scale materialize to a temp table instead (SCALE.md).
-    // Default shingleFn is the fused one-pass ShingleHashExpr —
-    // bit-identical to the HOF form (spec-proven) and the measured hot
-    // path; scale variants pass e.g.
-    // `c => Text.shingleHashesWith(c, 3, Text.fastHash)`.
-    val sh = df.select(col(idCol).as("__id"),
-      explode(shingleFn(col(textCol))).as("__h"))
-    // inner pmod folds full-range 64-bit hashes (fastHash) into [0, P) so
-    // the permutation multiply cannot overflow under ANSI mode; for the
-    // portable polyHash (already < P) it is the identity.
-    val sig = sh.groupBy(col("__id"))
-      .agg(array((0 until k).map(i =>
-        min(pmod(pmod(col("__h"), lit(Text.P)) * (2 * i + 3) + 7 * i + 1,
-          lit(Text.P)))): _*).as("__sig"))
-      .cache()
+    // Signature computation, two paths (bit-identical — spec-proven):
+    //  - default: ONE fused native expression (MinHashSigExpr) computes
+    //    the whole k-perm signature per row — a narrow pass with NO
+    //    shuffle; docs with no shingles yield empty arrays and are
+    //    dropped, matching the explode form which emitted no rows.
+    //  - custom shingleFn: explode + k codegen'd min() aggregates with
+    //    map-side partials (a k-wide Column array expression would hit
+    //    CollapseProject's per-branch re-inlining, a measured 30×+
+    //    regression; the inner pmod folds full-range 64-bit hashes
+    //    (fastHash) into [0, P) so the ANSI multiply cannot overflow).
+    // The signature table (id + k longs, tiny relative to the corpus) is
+    // cached because the bucket self-join and the estimation join both
+    // consume it; lifetime bounded below via localCheckpoint+unpersist.
+    val sig = (if (shingleFn == null) {
+      df.select(col(idCol).as("__id"),
+          graft.functions.MinHashSigExpr(col(textCol), k, 3).as("__sig"))
+        .filter(size(col("__sig")) > 0)
+    } else {
+      df.select(col(idCol).as("__id"),
+          explode(shingleFn(col(textCol))).as("__h"))
+        .groupBy(col("__id"))
+        .agg(array((0 until k).map(i =>
+          min(pmod(pmod(col("__h"), lit(Text.P)) * (2 * i + 3) + 7 * i + 1,
+            lit(Text.P)))): _*).as("__sig"))
+    }).cache()
 
     val buckets = sig
       .select(col("__id"), col("__sig"),

@@ -36,6 +36,25 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(exact.subsetOf(fast), s"fast LSH missed ${exact.diff(fast)}")
   }
 
+  test("fused native minhash signature is bit-identical to explode+min-aggs") {
+    import graft.functions.{MinHashSigExpr, Text}
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val k = 64
+    val fused = docs
+      .select(col("doc_id"), MinHashSigExpr(col("text"), k, 3).as("sig"))
+      .filter(size(col("sig")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agg = docs
+      .select(col("doc_id"), explode(Text.shingleHashes(col("text"), 3)).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(array((0 until k).map(i =>
+        min(pmod(pmod(col("h"), lit(Text.P)) * (2 * i + 3) + 7 * i + 1,
+          lit(Text.P)))): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused.keySet == agg.keySet)
+    fused.foreach { case (id, s) => assert(s == agg(id), s"doc $id") }
+  }
+
   test("sign-bucket LSH: deterministic buckets, NN bounded by brute top-1") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf)
