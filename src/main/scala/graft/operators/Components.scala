@@ -21,6 +21,22 @@ import org.apache.spark.sql.functions._
   * accumulate plan depth. For adversarial deep chains at planetary scale
   * the standard upgrade is large-star/small-star (O(log n) rounds); the
   * per-round plan is identical.
+  *
+  * Fault-tolerance caveat: localCheckpoint blocks live on executors only
+  * (replicated ×2, but NOT on reliable storage) — on a real cluster,
+  * losing enough executors mid-computation makes the truncated lineage
+  * unrecoverable and fails the job, which then restarts from the source.
+  * Long-running cluster deployments should set a reliable
+  * `sparkContext.setCheckpointDir` and swap `localCheckpoint(true)` for
+  * `checkpoint()` (or materialize rounds to a temp table); the algorithm
+  * is unchanged.
+  *
+  * Non-convergence (component diameter > maxIter, only plausible for
+  * pathological chain graphs — raise maxIter toward O(log n)·safety or
+  * switch to large-star/small-star) fails loudly by default; pass
+  * `failOnNonConvergence = false` to get the best-effort labeling
+  * instead, which is a valid UPPER-bound clustering (labels may not have
+  * fully propagated to the component minimum yet).
   */
 object Components {
 
@@ -31,7 +47,8 @@ object Components {
       edges: DataFrame,
       idACol: String,
       idBCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      failOnNonConvergence: Boolean = true): DataFrame = {
     val sym = edges
       .select(col(idACol).as("__src"), col(idBCol).as("__dst"))
       .union(edges.select(col(idBCol).as("__src"), col(idACol).as("__dst")))
@@ -60,7 +77,8 @@ object Components {
       comp = next
       i += 1
     }
-    require(changed == 0, s"did not converge in $maxIter rounds")
+    require(!failOnNonConvergence || changed == 0,
+      s"did not converge in $maxIter rounds")
     comp
   }
 }

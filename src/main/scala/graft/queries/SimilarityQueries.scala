@@ -75,7 +75,9 @@ object SimilarityQueries {
           .orderBy(col("vec_id"))
       },
       // the mirror uses the plane count planesFor derives for the driver's
-      // 500-vector verify corpus
+      // 500-vector verify corpus; the WHERE guard makes any other corpus
+      // size fail LOUDLY (DuckDB error()) instead of as a silent oracle
+      // mismatch — planesFor(n) would diverge from the literal 6 planes
       Some(s"""WITH bk AS (SELECT vec_id, embedding,
               |              CAST(${bucketSql(6)} AS BIGINT) AS bucket FROM embeddings)
               |SELECT vec_id, bucket, nn_id, nn_sim_ppm FROM (
@@ -85,7 +87,10 @@ object SimilarityQueries {
               |                            ORDER BY $cosSql DESC, b.vec_id) AS rn
               |  FROM bk a
               |  JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id) t
-              |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+              |WHERE rn = 1
+              |  AND (CASE WHEN (SELECT count(*) FROM embeddings) = 500 THEN TRUE
+              |       ELSE error('q_nn_lsh_bucketed oracle hardcodes 6 planes = planesFor(500): re-derive bucketSql for this corpus size') END)
+              |ORDER BY vec_id""".stripMargin)),
 
     // ---- embedding near-dup pairs, multi-table (k,L) sign-LSH -----------
     // The scale-safe counterpart of q_embedding_neardup's declared-brute

@@ -133,7 +133,10 @@ object TimeSeriesQueries {
            |       CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm
            |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
            |              ORDER BY sim DESC, nid) AS rn FROM pairs) t
-           |WHERE rn = 1 ORDER BY user_id""".stripMargin
+           |WHERE rn = 1
+           |  AND (CASE WHEN (SELECT count(*) FROM prof) = 150 THEN TRUE
+           |       ELSE error('q_ts_profile_nn_lsh oracle hardcodes 5 planes = planesFor(150): re-derive bucketSql for this corpus size') END)
+           |ORDER BY user_id""".stripMargin
       })
   )
 }

@@ -12,14 +12,22 @@ object Orchestration {
 
   /** Run `task`, retrying up to `retries` times after `delayMillis` —
     * the reference's `retries=1, retry_delay=60s` policy is the default.
-    * Rethrows the last failure once attempts are exhausted. */
+    * Rethrows the last failure once attempts are exhausted.
+    *
+    * Only non-fatal failures are retried: VM errors (OutOfMemoryError et
+    * al.) propagate immediately rather than sleeping through a doomed
+    * driver, and a task-thrown InterruptedException re-asserts the
+    * interrupt flag and propagates so shutdown isn't delayed. */
   def withRetry[T](retries: Int = 1, delayMillis: Long = 60000L,
       onRetry: (Int, Throwable) => Unit = (_, _) => ())(task: => T): T = {
     var attempt = 0
     while (true) {
       try return task
       catch {
-        case e: Throwable if attempt < retries =>
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw e
+        case scala.util.control.NonFatal(e) if attempt < retries =>
           attempt += 1
           onRetry(attempt, e)
           Thread.sleep(delayMillis)

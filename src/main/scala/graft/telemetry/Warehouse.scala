@@ -64,6 +64,15 @@ final class Warehouse(spark: SparkSession, rootDir: String) {
     appendWithId("predictions", encoded, predictionsSchema)
   }
 
+  /** SINGLE-WRITER, like the reference's one ETL process: the
+    * read-max-then-append id assignment is not atomic, so two concurrent
+    * inserts into the same table could both read the same max and emit
+    * overlapping id ranges. The ids are unique and increasing per writer
+    * (monotonically_increasing_id strides ~2^33 between partitions — gaps,
+    * never collisions, within one insert), which matches what a database
+    * sequence guarantees to a single session; multi-writer deployments
+    * must serialize inserts per table externally (e.g. the scheduler's
+    * one-DAG-run-at-a-time policy, Orchestration). */
   private def appendWithId(t: String, rows: DataFrame, schema: StructType): Unit = {
     val offset = table(t).agg(coalesce(max(col("id")), lit(0L))).head().getLong(0)
     val padded = schema.fields.foldLeft(rows) { (d, f) =>

@@ -67,6 +67,10 @@ def canon(df):
     # differences alone must not fail
     for c in cols:
         if str(df[c].dtype).startswith("datetime64"):
+            # tz-aware columns raise on astype('datetime64[ns]') in
+            # pandas 2 — strip the tz first (values compare fine)
+            if getattr(df[c].dtype, "tz", None) is not None:
+                df[c] = df[c].dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[ns]")
     if len(df):
         df = df.sort_values(by=cols, kind="mergesort")
@@ -111,6 +115,10 @@ def main():
         if only and name not in only:
             continue
         files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            n_fail += 1
+            print(f"  ✗ {name}: NO PARQUET OUTPUT FILES in {d}")
+            continue
         raw = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         try:
             got = canon(raw)
