@@ -22,7 +22,9 @@ object SparkEntry {
       graft.queries.WindowQueries.all ++
       graft.queries.StarJoinQueries.all ++
       graft.queries.FunnelQueries.all ++
-      graft.queries.TimeSeriesQueries.all
+      graft.queries.TimeSeriesQueries.all ++
+      graft.queries.CurationQueries.all ++
+      graft.queries.DataOpsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Latest event per user (the reference's signature DISTINCT ON operator,

@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Text
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a pretraining-data pipeline: benchmark
+  * decontamination, stratified sampling, domain-mixture reweighting,
+  * n-gram LM scoring, canonicalization dedup, and length bucketing.
+  *
+  * All ratios are integer ppm (exact across engines); every query is
+  * oracle-checked. Scale notes per query — the common theme is that each
+  * is one or two map-side-combinable hash aggregates plus (at most) an
+  * equi-join on a derived key, never an all-pairs form.
+  */
+object CurationQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- benchmark decontamination --------------------------------------
+    // The n-gram-overlap check run before training: for every candidate
+    // training document, the fraction of its distinct shingles that also
+    // appear in the held-out eval set (docs 0-19 stand in for the
+    // benchmark; production uses 13-grams, the verify corpus's short docs
+    // use the library default 3-grams — the operator shape is identical).
+    // Scale: eval-set shingles are tiny (benchmarks are KBs, not TBs) →
+    // broadcast; the corpus side is one explode + one hash aggregate, so
+    // the 100 TB corpus never shuffles its text, only (doc_id, hash)
+    // pairs into the count.
+    Q("q_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val evalH = docs.filter(col("doc_id") < 20)
+          .select(explode(Text.shingleHashes(col("text"))).as("h"))
+          .distinct()
+          .withColumn("__hit", lit(1L))
+        docs.filter(col("doc_id") >= 20)
+          .select(col("doc_id"), explode(Text.shingleHashes(col("text"))).as("h"))
+          .join(broadcast(evalH), Seq("h"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+          .withColumn("contam_ppm",
+            expr("n_contaminated * 1000000L div n_shingles"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT DISTINCT h FROM (
+              |    SELECT unnest(${Text.shingleHashesSql("text")}) AS h
+              |    FROM documents WHERE doc_id < 20) u),
+              |tr AS (
+              |  SELECT doc_id, unnest(${Text.shingleHashesSql("text")}) AS h
+              |  FROM documents WHERE doc_id >= 20)
+              |SELECT tr.doc_id, count(*) AS n_shingles,
+              |  CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_contaminated,
+              |  CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              |    * 1000000 // count(*) AS contam_ppm
+              |FROM tr LEFT JOIN ev ON tr.h = ev.h
+              |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin)),
+
+    // ---- stratified sampling with exact per-stratum quotas ---------------
+    // ceil(20%) of each source, chosen by smallest deterministic
+    // multiplicative hash — reproducible across engines, partitionings,
+    // and reruns (no RNG). Scale: one window per stratum; strata are
+    // independent so the sort parallelizes across sources, and the hash
+    // (not the data) decides membership, so re-sampling after appends
+    // keeps previously-chosen rows stable except at the quota boundary.
+    Q("q_stratified_sample",
+      (s, dir) => {
+        val w = Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))
+        val wc = Window.partitionBy(col("source"))
+        Tables.documents(s, dir)
+          .withColumn("__h", pmod(col("doc_id") * 2654435761L, lit(1000003L)))
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("__n", count(lit(1)).over(wc))
+          .filter(col("__rn") <= expr("(__n + 4L) div 5L"))
+          .select(col("doc_id"), col("source"),
+            col("__h").as("sample_key"), col("__rn").as("rank"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, source,
+             |         (doc_id * 2654435761) % 1000003 AS sk
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, source, sk,
+             |    row_number() OVER (PARTITION BY source ORDER BY sk, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY source) AS n
+             |  FROM h)
+             |SELECT doc_id, source, sk AS sample_key, CAST(rn AS INTEGER) AS rank
+             |FROM r WHERE rn <= (n + 4) // 5
+             |ORDER BY source, rank""".stripMargin)),
+
+    // ---- domain-mixture reweighting --------------------------------------
+    // Per-source sampling weights that reshape the corpus toward a target
+    // mixture (here: share of total characters, i.e. token-weighted) from
+    // its current document-count mixture. weight_ppm > 1e6 ⇒ upsample.
+    // Scale: one hash aggregate to 20 rows + a broadcast scalar — free.
+    Q("q_domain_mix",
+      (s, dir) => {
+        val per = Tables.documents(s, dir).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_chars"))
+        val tot = per.agg(sum(col("n_docs")).as("__td"),
+          sum(col("tot_chars")).as("__tc"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("tot_chars"),
+            expr("tot_chars * 1000000L div __tc").as("target_ppm"),
+            expr("tot_chars * __td * 1000000L div (__tc * n_docs)").as("weight_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH per AS (
+             |  SELECT source, count(*) AS n_docs,
+             |         CAST(sum(n_chars) AS BIGINT) AS tot_chars
+             |  FROM documents GROUP BY source),
+             |tot AS (
+             |  SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+             |         CAST(sum(tot_chars) AS BIGINT) AS tc
+             |  FROM per)
+             |SELECT source, n_docs, tot_chars,
+             |  tot_chars * 1000000 // tc AS target_ppm,
+             |  tot_chars * td * 1000000 // (tc * n_docs) AS weight_ppm
+             |FROM per, tot ORDER BY source""".stripMargin)),
+
+    // ---- bigram language-model scoring ------------------------------------
+    // KenLM-style corpus fluency scoring without the log: train bigram and
+    // prefix counts over the whole corpus, score each document by the mean
+    // conditional probability P(w2|w1) of its bigram occurrences, in exact
+    // integer ppm (log-perplexity would rank identically but ln() is not
+    // bit-portable across engines). Scale: two hash aggregates over the
+    // exploded bigrams (map-side combinable; vocab-sized results) and two
+    // equi-joins on the bigram/prefix keys — never quadratic, and the
+    // model tables shuffle instead of the corpus text.
+    Q("q_bigram_lm",
+      (s, dir) => {
+        val bgs = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(Text.shingles(col("text"), 2)).as("bg"))
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+        val c2 = bgs.groupBy(col("bg")).agg(count(lit(1)).as("__c2"))
+        val c1 = bgs.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+        bgs.join(c2, Seq("bg")).join(c1, Seq("w1"))
+          .withColumn("__p_ppm", expr("__c2 * 1000000L div __c1"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("__p_ppm")).as("__sp"))
+          .select(col("doc_id"), col("n_bigrams"),
+            expr("__sp div n_bigrams").as("mean_p_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |bgs AS (
+             |  SELECT doc_id, t[i+1] || ' ' || t[i+2] AS bg, t[i+1] AS w1
+             |  FROM tok, unnest(range(len(t)-1)) AS u(i)),
+             |c2 AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY bg),
+             |c1 AS (SELECT w1, count(*) AS c1 FROM bgs GROUP BY w1),
+             |p AS (
+             |  SELECT doc_id, c2.c2 * 1000000 // c1.c1 AS p_ppm
+             |  FROM bgs JOIN c2 USING (bg) JOIN c1 USING (w1))
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |       CAST(sum(p_ppm) AS BIGINT) // count(*) AS mean_p_ppm
+             |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- canonicalization dedup ------------------------------------------
+    // Exact dedup after text normalization (lowercase, strip punctuation,
+    // collapse whitespace) — catches trivially-reformatted copies that
+    // byte-exact dedup misses. Scale: per-row normalize + portable hash,
+    // then one window over the 8-byte hash (never the text); the group key
+    // crossing the shuffle is 8 bytes per row.
+    Q("q_dedup_normalized",
+      (s, dir) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        val w = Window.partitionBy(col("__nh"))
+        Tables.documents(s, dir)
+          .withColumn("__nh", Text.polyHash(norm))
+          .withColumn("canonical_id", min(col("doc_id")).over(w))
+          .withColumn("n_same", count(lit(1)).over(w))
+          .select(col("doc_id"), col("__nh").as("norm_hash"),
+            col("canonical_id"), col("n_same"),
+            (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val normSql =
+          "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+        s"""WITH n AS (
+           |  SELECT doc_id, ${Text.polyHashSql(normSql)} AS nh FROM documents)
+           |SELECT doc_id, nh AS norm_hash,
+           |  min(doc_id) OVER (PARTITION BY nh) AS canonical_id,
+           |  count(*) OVER (PARTITION BY nh) AS n_same,
+           |  doc_id <> min(doc_id) OVER (PARTITION BY nh) AS is_dup
+           |FROM n ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- length bucketing (training-batch shaping) ------------------------
+    // Histogram of documents into token-length buckets of 32 (top bucket
+    // open-ended) — the statistic a batch scheduler uses to plan
+    // fixed-length packing and curriculum ordering. One hash aggregate.
+    Q("q_length_buckets",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("__n", size(Text.tokens(col("text"))).cast("long"))
+        .withColumn("bucket_id", least(expr("__n div 32L"), lit(7L)))
+        .groupBy(col("bucket_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("tot_tokens"),
+          min(col("__n")).as("min_tokens"), max(col("__n")).as("max_tokens"))
+        .orderBy(col("bucket_id")),
+      Some("""WITH t AS (
+             |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |  FROM documents)
+             |SELECT least(n // 32, 7) AS bucket_id, count(*) AS n_docs,
+             |       CAST(sum(n) AS BIGINT) AS tot_tokens,
+             |       min(n) AS min_tokens, max(n) AS max_tokens
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}
