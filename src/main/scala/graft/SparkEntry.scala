@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.FunnelQueries.all ++
       graft.queries.TimeSeriesQueries.all ++
       graft.queries.CurationQueries.all ++
-      graft.queries.DataOpsQueries.all
+      graft.queries.DataOpsQueries.all ++
+      graft.queries.PQQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Latest event per user (the reference's signature DISTINCT ON operator,

@@ -193,6 +193,57 @@ object CurationQueries {
            |FROM n ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- curriculum range-sharding ----------------------------------------
+    // Assign every document a global quality rank and an 8-way range shard
+    // (curriculum ordering: shard 0 = highest-quality octile) WITHOUT a
+    // single-partition global window: ranks come from the distributed
+    // prefix-sum pattern — a per-value-bucket window (17 coarse quality
+    // buckets, parallel) plus a prefix over the tiny bucket-totals table.
+    // Buckets partition the sort key's range, so bucket-local rank +
+    // higher-bucket offset IS the global rank; the oracle is the plain
+    // global window, so the hash-match proves the cross-bucket stitching.
+    // hash_shard is the shuffle-free alternative for order-free sharding.
+    Q("q_shard_assign",
+      (s, dir) => {
+        val t = Text.tokens(col("text"))
+        val docs = Tables.documents(s, dir)
+          .withColumn("__n", size(t).cast("long"))
+          .withColumn("__nd", size(array_distinct(t)).cast("long"))
+          .withColumn("quality_ppm", expr("__nd * 1000000L div __n"))
+          .select(col("doc_id"), col("quality_ppm"))
+          .withColumn("__qb", expr("quality_ppm div 62500L"))
+        val wB = Window.partitionBy(col("__qb"))
+          .orderBy(col("quality_ppm").desc, col("doc_id"))
+        val ranked = docs.withColumn("__rn", row_number().over(wB).cast("long"))
+        val totals = docs.groupBy(col("__qb")).agg(count(lit(1)).as("__bn"))
+        val wOff = Window.orderBy(col("__qb").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = totals.withColumn("__off",
+          coalesce(sum(col("__bn")).over(wOff), lit(0L)))
+        val tot = totals.agg(sum(col("__bn")).as("__tot"))
+        ranked.join(broadcast(offs.select(col("__qb"), col("__off"))), Seq("__qb"))
+          .crossJoin(broadcast(tot))
+          .withColumn("rank", col("__off") + col("__rn"))
+          .select(col("doc_id"), col("quality_ppm"), col("rank"),
+            expr("(rank - 1) * 8L div __tot").as("range_shard"),
+            pmod(col("doc_id") * 2654435761L, lit(8L)).as("hash_shard"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH q AS (
+             |  SELECT doc_id,
+             |    len(list_distinct(string_split(text, ' '))) * 1000000
+             |      // len(string_split(text, ' ')) AS quality_ppm
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, quality_ppm,
+             |    row_number() OVER (ORDER BY quality_ppm DESC, doc_id) AS rank,
+             |    count(*) OVER () AS n
+             |  FROM q)
+             |SELECT doc_id, quality_ppm, CAST(rank AS BIGINT) AS rank,
+             |  (rank - 1) * 8 // n AS range_shard,
+             |  (doc_id * 2654435761) % 8 AS hash_shard
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
     // ---- length bucketing (training-batch shaping) ------------------------
     // Histogram of documents into token-length buckets of 32 (top bucket
     // open-ended) — the statistic a batch scheduler uses to plan

@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) over the embeddings table — the
+  * billion-scale ANN compression pattern: 64-dim float vectors become 8
+  * one-byte codes (one per 8-dim subspace), and search runs against a
+  * tiny per-query lookup table instead of the raw vectors (asymmetric
+  * distance computation, ADC).
+  *
+  * The sub-codebooks here are the exact integer-sum per-(label, subspace)
+  * means (the same engine-portable quantizer IVF training uses — no
+  * float accumulation order dependence), so encoding AND search are both
+  * hash-checked against DuckDB: the oracle reproduces the approximate
+  * result set bit-for-bit, not just a row count.
+  *
+  * Scale shape: codebook training is one hash aggregate to labels×dim
+  * rows; encoding is one broadcast join (codebook is KBs) + one
+  * min_by aggregate per (vector, subspace) — the corpus never shuffles
+  * its vectors. ADC search scans only the CODES table (8 ints/vector ≈
+  * 32× smaller than the float vectors) against a broadcast
+  * query×subspace×codeword lookup of |Q|·8·|labels| longs. All distance
+  * sums are exact long ppm (floored per subspace before summing), so no
+  * double-sum ordering leaks into results.
+  */
+object PQQueries {
+
+  private val S = 8 // subspaces
+  private val D = 8 // dims per subspace (S*D = 64)
+
+  /** Sequential-fold squared L2 — deterministic, oracle-portable. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** (c_label, s, cw) sub-codebooks: per-label mean of each 8-dim slice. */
+  private def codebook(emb: org.apache.spark.sql.DataFrame) = emb
+    .select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    .groupBy(col("c_label"), col("pos"))
+    .agg(sum(floor(col("v") * 1e6).cast("long")).as("__sv"), count(lit(1)).as("__n"))
+    .withColumn("__c", col("__sv").cast("double") / col("__n") / 1e6)
+    .withColumn("s", expr("pos div 8"))
+    .groupBy(col("c_label"), col("s"))
+    .agg(transform(array_sort(collect_list(struct(col("pos"), col("__c")))),
+      x => x("__c")).as("cw"))
+
+  /** (vec_id, s, sub) 8-dim slices of every vector. */
+  private def subvectors(emb: org.apache.spark.sql.DataFrame) = emb
+    .select(col("vec_id"), posexplode(
+      array((0 until S).map(s => slice(col("embedding"), s * D + 1, D)): _*))
+      .as(Seq("s", "sub")))
+
+  /** (vec_id, s, code, err_ppm): nearest sub-codeword per subspace. */
+  private def encoded(emb: org.apache.spark.sql.DataFrame) =
+    subvectors(emb)
+      .join(broadcast(codebook(emb)), Seq("s"))
+      .withColumn("__d2", l2sq(col("sub"), col("cw")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(
+        struct(col("c_label"), floor(col("__d2") * 1e6).cast("long").as("__dp")),
+        struct(col("__d2"), col("c_label"))).as("__r"))
+      .select(col("vec_id"), col("s"),
+        col("__r.c_label").as("code"), col("__r.__dp").as("err_ppm"))
+
+  // shared oracle CTE prefix: parts → sums → cw → subs → enc
+  private val encSql =
+    """parts AS (
+      |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+      |         unnest(embedding) AS v
+      |  FROM embeddings),
+      |sums AS (
+      |  SELECT label, pos, sum(CAST(floor(v * 1e6) AS BIGINT)) AS sv,
+      |         count(*) AS n
+      |  FROM parts GROUP BY label, pos),
+      |cw AS (
+      |  SELECT label AS c_label, pos // 8 AS s,
+      |         list(CAST(sv AS DOUBLE) / n / 1e6 ORDER BY pos) AS cwv
+      |  FROM sums GROUP BY label, pos // 8),
+      |subs AS (
+      |  SELECT vec_id, s,
+      |         list_transform(range(8), i -> embedding[s*8 + i + 1]::DOUBLE) AS sub
+      |  FROM embeddings, range(8) t(s)),
+      |scored AS (
+      |  SELECT vec_id, s, c_label,
+      |    list_reduce(list_prepend(0::DOUBLE,
+      |        list_transform(range(8),
+      |          i -> (sub[i+1] - cwv[i+1]) * (sub[i+1] - cwv[i+1]))),
+      |      (acc, x) -> acc + x) AS d2
+      |  FROM subs JOIN cw USING (s)),
+      |enc AS (
+      |  SELECT vec_id, s, c_label AS code,
+      |         CAST(floor(d2 * 1e6) AS BIGINT) AS err_ppm
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+      |                   ORDER BY d2, c_label) AS rn FROM scored) t
+      |  WHERE rn = 1)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ---- PQ encoding: 64 floats → 8 codes + quantization error ----------
+    Q("q_pq_codes",
+      (s, dir) => encoded(Tables.embeddings(s, dir))
+        .groupBy(col("vec_id"))
+        .agg(
+          concat_ws(",", transform(
+            array_sort(collect_list(struct(col("s"), col("code")))),
+            x => x("code").cast("string"))).as("codes"),
+          sum(col("err_ppm")).as("quant_err_ppm"))
+        .orderBy(col("vec_id")),
+      Some(s"""WITH $encSql
+              |SELECT vec_id,
+              |       array_to_string(list(code ORDER BY s), ',') AS codes,
+              |       CAST(sum(err_ppm) AS BIGINT) AS quant_err_ppm
+              |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // ---- ADC search: top-5 neighbors by asymmetric PQ distance ----------
+    // Per query: an 8×|labels| lookup table of exact subspace distances
+    // (query slice ↔ codeword, floored to long ppm), broadcast against
+    // the codes table; approx distance = Σ_s lut[s, code_s]. The scan
+    // touches 8 ints per corpus vector — this is why PQ is THE pattern
+    // once vectors outgrow memory.
+    Q("q_pq_adc",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val lut = subvectors(emb.filter(col("vec_id") < 5))
+          .withColumnRenamed("vec_id", "query_id")
+          .join(broadcast(codebook(emb)), Seq("s"))
+          .select(col("query_id"), col("s"), col("c_label"),
+            floor(l2sq(col("sub"), col("cw")) * 1e6).cast("long").as("qd_ppm"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("adist_ppm"), col("neighbor_id"))
+        encoded(emb).as("e")
+          .join(broadcast(lut).as("l"),
+            col("e.s") === col("l.s") && col("e.code") === col("l.c_label"))
+          .filter(col("e.vec_id") =!= col("l.query_id"))
+          .select(col("l.query_id").as("query_id"),
+            col("e.vec_id").as("neighbor_id"), col("l.qd_ppm"))
+          .groupBy(col("query_id"), col("neighbor_id"))
+          .agg(sum(col("qd_ppm")).as("adist_ppm"))
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .filter(col("rank") <= 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $encSql,
+              |lut AS (
+              |  SELECT u.vec_id AS query_id, u.s, c.c_label,
+              |    CAST(floor(list_reduce(list_prepend(0::DOUBLE,
+              |        list_transform(range(8),
+              |          i -> (u.sub[i+1] - c.cwv[i+1]) * (u.sub[i+1] - c.cwv[i+1]))),
+              |      (acc, x) -> acc + x) * 1e6) AS BIGINT) AS qd_ppm
+              |  FROM subs u JOIN cw c ON u.s = c.s
+              |  WHERE u.vec_id < 5),
+              |approx AS (
+              |  SELECT l.query_id, e.vec_id AS neighbor_id,
+              |         CAST(sum(l.qd_ppm) AS BIGINT) AS adist_ppm
+              |  FROM enc e JOIN lut l ON l.s = e.s AND l.c_label = e.code
+              |  WHERE e.vec_id <> l.query_id
+              |  GROUP BY l.query_id, e.vec_id)
+              |SELECT query_id, neighbor_id, adist_ppm,
+              |       CAST(rn AS INTEGER) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              |               ORDER BY adist_ppm, neighbor_id) AS rn FROM approx) t
+              |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin))
+  )
+}

@@ -271,6 +271,70 @@ object SimilarityQueries {
               |       CAST(rn AS INTEGER) AS rank
               |FROM scored WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- ANN quality evaluation: LSH recall@1 vs brute-force ground truth
+    // The measurement loop every approximate index needs: for a query
+    // sample (50 vectors), compare the LSH-bucketed top-1 against exact
+    // top-1 — recall plus mean similarity loss (missing retrievals count
+    // the worst-possible −1.0 cosine, keeping the loss sum non-negative so
+    // integer div/floor agree across engines). Ground truth is inherently
+    // |sample|·N work — production runs it on a sampled query set exactly
+    // like this, never the full corpus.
+    Q("q_ann_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val brute = Knn.bruteTopK(emb, emb.filter(col("vec_id") < 50),
+            "vec_id", "embedding", k = 1)
+          .select(col("query_id").as("vec_id"),
+            col("neighbor_id").as("brute_nn"), col("sim_ppm").as("brute_sim_ppm"))
+        val planes = Knn.planesFor(emb.count(), targetBucket = 8)
+        val lsh = Knn.nnWithinBucket(
+            emb.withColumn("bucket", Knn.signBucket(col("embedding"), 64, planes)),
+            "vec_id", "embedding", "bucket")
+          .filter(col("vec_id") < 50)
+          .select(col("vec_id"), col("nn_id").as("lsh_nn"),
+            col("nn_sim_ppm").as("lsh_sim_ppm"))
+        brute.join(lsh, Seq("vec_id"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(col("lsh_nn").isNotNull.cast("long")).as("n_retrieved"),
+            sum(coalesce((col("lsh_nn") === col("brute_nn")).cast("long"), lit(0L)))
+              .as("n_exact"),
+            sum(col("brute_sim_ppm") - coalesce(col("lsh_sim_ppm"), lit(-1000000L)))
+              .as("__loss"))
+          .select(col("n_queries"), col("n_retrieved"), col("n_exact"),
+            expr("n_exact * 1000000L div n_queries").as("recall_ppm"),
+            expr("__loss div n_queries").as("mean_sim_loss_ppm"))
+      },
+      Some(s"""WITH brute AS (
+              |  SELECT vec_id, brute_nn, brute_sim_ppm FROM (
+              |    SELECT a.vec_id, b.vec_id AS brute_nn,
+              |      CAST(floor($cosSql * 1e6) AS BIGINT) AS brute_sim_ppm,
+              |      row_number() OVER (PARTITION BY a.vec_id
+              |                         ORDER BY $cosSql DESC, b.vec_id) AS rn
+              |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+              |    WHERE a.vec_id < 50) t WHERE rn = 1),
+              |bk AS (SELECT vec_id, embedding,
+              |         CAST(${bucketSql(6)} AS BIGINT) AS bucket FROM embeddings),
+              |lsh AS (
+              |  SELECT vec_id, nn_id AS lsh_nn, nn_sim_ppm AS lsh_sim_ppm FROM (
+              |    SELECT a.vec_id, b.vec_id AS nn_id,
+              |      CAST(floor($cosSql * 1e6) AS BIGINT) AS nn_sim_ppm,
+              |      row_number() OVER (PARTITION BY a.vec_id
+              |                         ORDER BY $cosSql DESC, b.vec_id) AS rn
+              |    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id) t
+              |  WHERE rn = 1 AND vec_id < 50
+              |    AND (CASE WHEN (SELECT count(*) FROM embeddings) = 500 THEN TRUE
+              |         ELSE error('q_ann_recall oracle hardcodes 6 planes = planesFor(500): re-derive bucketSql for this corpus size') END))
+              |SELECT count(*) AS n_queries,
+              |  CAST(sum(CASE WHEN lsh_nn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_retrieved,
+              |  CAST(sum(CASE WHEN lsh_nn = brute_nn THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_exact,
+              |  CAST(sum(CASE WHEN lsh_nn = brute_nn THEN 1 ELSE 0 END) AS BIGINT)
+              |    * 1000000 // count(*) AS recall_ppm,
+              |  CAST(sum(brute_sim_ppm - coalesce(lsh_sim_ppm, -1000000)) AS BIGINT)
+              |    // count(*) AS mean_sim_loss_ppm
+              |FROM brute LEFT JOIN lsh USING (vec_id)""".stripMargin)),
+
     // ---- IVF assignment: nearest centroid per vector --------------------
     // Centroids (10 rows) broadcast against the corpus, native cosine,
     // argmax as one max_by hash aggregate — the full coarse-quantizer

@@ -81,4 +81,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!s.contains("SortMergeJoin"),
       s"corpus must not shuffle into a sort-merge join:\n$s")
   }
+
+  test("PQ encode/search: codebook and lookup table broadcast, no loop join") {
+    for (q <- Seq("q_pq_codes", "q_pq_adc")) {
+      val s = render(plan(q))
+      assert(s.contains("BroadcastHashJoin"),
+        s"$q must broadcast the codebook/lut side:\n$s")
+      assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+        s"$q must stay an equi-join:\n$s")
+    }
+  }
+
+  test("shard assignment: the per-document rank window partitions by bucket") {
+    val s = render(plan("q_shard_assign"))
+    // the only windows allowed over the full document set are partitioned
+    // by the coarse quality bucket; the single-partition prefix window runs
+    // over the 17-row bucket-totals table, never the documents
+    assert(s.contains("__qb"),
+      s"expected the rank window to partition by the quality bucket:\n$s")
+  }
 }
