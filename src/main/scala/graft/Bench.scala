@@ -28,8 +28,10 @@ object Bench {
     "q_knn_brute",             // similarity search (exact)
     "q_nn_lsh_bucketed",       // similarity search (ANN scale path)
     "q_ivf_search",            // similarity search (IVF train/probe/search)
+    "q_pq_adc",                // similarity search (quantized codes + ADC)
     "q_sessionize",            // gap sessionization window
     "q_doc_quality",           // text analysis
+    "q_decontaminate",         // corpus curation (eval-overlap scrub)
     "q_zscore_events",         // ML standardization
     "q_iforest_top_anomalies", // custom ML scoring
     "q_stream_hourly_rollup")  // structured streaming

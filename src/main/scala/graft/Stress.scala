@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
   *                           where 90% share ONE key (sfDir unused)
   *   mode "asof":            backward vs forward as-of join over
   *                           copies×1M left + right rows (sfDir unused)
+  *   mode "pq":              PQ encode + 100-query ADC search over N×
+  *                           embeddings
+  *   mode "contam":          decontamination (shingle-hash overlap vs a
+  *                           broadcast eval set) over N× documents
   * The measured numbers live in SCALE.md ("Measured" table).
   */
 object Stress {
@@ -129,6 +133,58 @@ object Stress {
         val tF = time(operators.AsOfJoin.forward(
           l, r, "key", "t", "t", Seq("payload")).count())
         println(f"""{"rows_per_side":$rows%d,"backward_s":$tB%.1f,"forward_s":$tF%.1f}""")
+
+      case "pq" =>
+        // Encode is the corpus-wide cost (one broadcast join + min_by per
+        // vector×subspace); search must track the CODES volume, not the
+        // vector volume — that separation is what this mode measures.
+        val emb0 = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"), col("label"))
+        val big = (0 until copies).map(i =>
+            emb0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+              col("embedding"), col("label")))
+          .reduce(_ unionByName _).cache()
+        val n = big.count()
+        def time[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime(); val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val (codes, tEnc) = time {
+          val c = operators.PQ.encode(big, "vec_id", "embedding", "label", 8, 8)
+            .localCheckpoint(true)
+          c.count(); c
+        }
+        val queries = big.filter(col("vec_id") < 100)
+        val (nr, tSearch) = time {
+          operators.PQ.adcSearch(big, queries, "vec_id", "embedding", "label",
+            k = 10, subspaces = 8, subDim = 8, codes = Some(codes)).count()
+        }
+        println(f"""{"vectors":$n%d,"encode_s":$tEnc%.1f,"search_s":$tSearch%.1f,"result_rows":$nr%d}""")
+
+      case "contam" =>
+        // Corpus side: explode + broadcast join + hash agg — linear in
+        // corpus shingles; the eval set stays fixed (benchmarks are small).
+        val docs0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val big = (0 until copies).map(i =>
+            docs0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+          .reduce(_ unionByName _).cache()
+        val n = big.count()
+        val evalH = docs0.filter(col("doc_id") < 20)
+          .select(explode(functions.Text.shingleHashesWith(col("text"), 3,
+            functions.Text.fastHash)).as("h"))
+          .distinct().withColumn("__hit", lit(1L))
+        val t0 = System.nanoTime()
+        val nr = big
+          .select(col("doc_id"), explode(functions.Text.shingleHashesWith(col("text"), 3,
+            functions.Text.fastHash)).as("h"))
+          .join(broadcast(evalH), Seq("h"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+          .filter(col("n_contaminated") > 0)
+          .count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"docs":$n%d,"contaminated_docs":$nr%d,"seconds":$dt%.1f}""")
 
       case _ =>
         val docs0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))

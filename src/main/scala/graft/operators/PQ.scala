@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization: d-dim float vectors become `subspaces` small
+  * integer codes (nearest sub-codeword per contiguous slice), and search
+  * runs against a per-query lookup table over the CODES (asymmetric
+  * distance computation) instead of the raw vectors — the billion-scale
+  * ANN compression pattern (codes are ~32× smaller than the floats, so
+  * the search scan is memory-bound on a fraction of the data).
+  *
+  * Sub-codebooks are exact integer-sum per-(label, subspace) means — the
+  * same engine-portable quantizer the IVF path trains — so encode and
+  * search are deterministic across engines, partitionings and reruns,
+  * which is what lets both be oracle-checked bit-for-bit. A production
+  * deployment would swap the label-mean codebook for per-subspace
+  * k-means; every plan shape below is unchanged by that swap.
+  *
+  * Scale shape: codebook = one hash aggregate to labels×dim rows
+  * (broadcast thereafter); encoding = broadcast join + one min_by
+  * aggregate per (vector, subspace) — the corpus never shuffles its
+  * vectors; ADC search scans only the codes against a broadcast
+  * |queries|·subspaces·|labels| lookup of longs. All distance sums are
+  * exact long ppm (floored per subspace before summing), so no
+  * double-sum ordering leaks into results.
+  */
+object PQ {
+
+  /** Hot-path squared L2: fused native codegen expression, bit-identical
+    * to [[l2sqHof]] (same sequential fold order; see L2SqExpr). */
+  def l2sq(a: Column, b: Column): Column = graft.functions.L2SqExpr(a, b)
+
+  /** Interpreted-HOF formulation — kept as the spec oracle for [[l2sq]]. */
+  def l2sqHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** (c_label, s, cw) sub-codebooks: per-label mean of each subDim slice,
+    * as an exact integer-sum mean (floor(v·1e6) longs). */
+  def codebook(corpus: DataFrame, labelCol: String, vecCol: String,
+      subspaces: Int, subDim: Int): DataFrame = corpus
+    .select(col(labelCol).as("c_label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+    .groupBy(col("c_label"), col("pos"))
+    .agg(sum(floor(col("v") * 1e6).cast("long")).as("__sv"), count(lit(1)).as("__n"))
+    .withColumn("__c", col("__sv").cast("double") / col("__n") / 1e6)
+    .withColumn("s", expr(s"pos div $subDim"))
+    .groupBy(col("c_label"), col("s"))
+    .agg(transform(array_sort(collect_list(struct(col("pos"), col("__c")))),
+      x => x("__c")).as("cw"))
+
+  /** (vec_id, s, sub): the contiguous subDim-wide slices of every vector. */
+  def subvectors(corpus: DataFrame, idCol: String, vecCol: String,
+      subspaces: Int, subDim: Int): DataFrame = corpus
+    .select(col(idCol).as("vec_id"), posexplode(
+      array((0 until subspaces).map(s =>
+        slice(col(vecCol), s * subDim + 1, subDim)): _*))
+      .as(Seq("s", "sub")))
+
+  /** (vec_id, s, code, err_ppm): nearest sub-codeword per subspace, ties
+    * to the smallest label; err_ppm = floor(L2²·1e6) to that codeword. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, subspaces: Int, subDim: Int): DataFrame =
+    subvectors(corpus, idCol, vecCol, subspaces, subDim)
+      .join(broadcast(codebook(corpus, labelCol, vecCol, subspaces, subDim)), Seq("s"))
+      .withColumn("__d2", l2sq(col("sub"), col("cw")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(
+        struct(col("c_label"), floor(col("__d2") * 1e6).cast("long").as("__dp")),
+        struct(col("__d2"), col("c_label"))).as("__r"))
+      .select(col("vec_id"), col("s"),
+        col("__r.c_label").as("code"), col("__r.__dp").as("err_ppm"))
+
+  /** Top-k ADC search: (query_id, neighbor_id, adist_ppm, rank), rank 1 =
+    * smallest approximate distance, ties to the smallest neighbor id.
+    * `queries` must be small/broadcastable (same contract as
+    * [[Knn.bruteTopK]]); pass precomputed `codes` (from [[encode]]) to
+    * amortize encoding across query batches. */
+  def adcSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int,
+      subspaces: Int, subDim: Int,
+      codes: Option[DataFrame] = None): DataFrame = {
+    val lut = subvectors(queries, idCol, vecCol, subspaces, subDim)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(codebook(corpus, labelCol, vecCol, subspaces, subDim)), Seq("s"))
+      .select(col("query_id"), col("s"), col("c_label"),
+        floor(l2sq(col("sub"), col("cw")) * 1e6).cast("long").as("qd_ppm"))
+    val enc = codes.getOrElse(encode(corpus, idCol, vecCol, labelCol, subspaces, subDim))
+    val sums = enc.as("e")
+      .join(broadcast(lut).as("l"),
+        col("e.s") === col("l.s") && col("e.code") === col("l.c_label"))
+      .filter(col("e.vec_id") =!= col("l.query_id"))
+      .select(col("l.query_id").as("query_id"),
+        col("e.vec_id").as("neighbor_id"), col("l.qd_ppm"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qd_ppm")).as("adist_ppm"))
+    // top-k as a per-query window: with a broadcastable query set the
+    // group count is small and the sums table is |queries|·N narrow rows,
+    // so the sort is cheap relative to the lookup join above (measured:
+    // the TopK bounded-buffer aggregator is ~1.5× SLOWER here — its
+    // per-row buffer serialization costs more than sorting 100 groups).
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_ppm"), col("neighbor_id"))
+    sums.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,8 +1,6 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product quantization (PQ) over the embeddings table — the
@@ -31,40 +29,8 @@ object PQQueries {
   private val S = 8 // subspaces
   private val D = 8 // dims per subspace (S*D = 64)
 
-  /** Sequential-fold squared L2 — deterministic, oracle-portable. */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, v) => acc + v)
-
-  /** (c_label, s, cw) sub-codebooks: per-label mean of each 8-dim slice. */
-  private def codebook(emb: org.apache.spark.sql.DataFrame) = emb
-    .select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-    .groupBy(col("c_label"), col("pos"))
-    .agg(sum(floor(col("v") * 1e6).cast("long")).as("__sv"), count(lit(1)).as("__n"))
-    .withColumn("__c", col("__sv").cast("double") / col("__n") / 1e6)
-    .withColumn("s", expr("pos div 8"))
-    .groupBy(col("c_label"), col("s"))
-    .agg(transform(array_sort(collect_list(struct(col("pos"), col("__c")))),
-      x => x("__c")).as("cw"))
-
-  /** (vec_id, s, sub) 8-dim slices of every vector. */
-  private def subvectors(emb: org.apache.spark.sql.DataFrame) = emb
-    .select(col("vec_id"), posexplode(
-      array((0 until S).map(s => slice(col("embedding"), s * D + 1, D)): _*))
-      .as(Seq("s", "sub")))
-
-  /** (vec_id, s, code, err_ppm): nearest sub-codeword per subspace. */
   private def encoded(emb: org.apache.spark.sql.DataFrame) =
-    subvectors(emb)
-      .join(broadcast(codebook(emb)), Seq("s"))
-      .withColumn("__d2", l2sq(col("sub"), col("cw")))
-      .groupBy(col("vec_id"), col("s"))
-      .agg(min_by(
-        struct(col("c_label"), floor(col("__d2") * 1e6).cast("long").as("__dp")),
-        struct(col("__d2"), col("c_label"))).as("__r"))
-      .select(col("vec_id"), col("s"),
-        col("__r.c_label").as("code"), col("__r.__dp").as("err_ppm"))
+    graft.operators.PQ.encode(emb, "vec_id", "embedding", "label", S, D)
 
   // shared oracle CTE prefix: parts → sums → cw → subs → enc
   private val encSql =
@@ -125,23 +91,8 @@ object PQQueries {
     Q("q_pq_adc",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val lut = subvectors(emb.filter(col("vec_id") < 5))
-          .withColumnRenamed("vec_id", "query_id")
-          .join(broadcast(codebook(emb)), Seq("s"))
-          .select(col("query_id"), col("s"), col("c_label"),
-            floor(l2sq(col("sub"), col("cw")) * 1e6).cast("long").as("qd_ppm"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("adist_ppm"), col("neighbor_id"))
-        encoded(emb).as("e")
-          .join(broadcast(lut).as("l"),
-            col("e.s") === col("l.s") && col("e.code") === col("l.c_label"))
-          .filter(col("e.vec_id") =!= col("l.query_id"))
-          .select(col("l.query_id").as("query_id"),
-            col("e.vec_id").as("neighbor_id"), col("l.qd_ppm"))
-          .groupBy(col("query_id"), col("neighbor_id"))
-          .agg(sum(col("qd_ppm")).as("adist_ppm"))
-          .withColumn("rank", row_number().over(w).cast("int"))
-          .filter(col("rank") <= 5)
+        graft.operators.PQ.adcSearch(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", "label", k = 5, subspaces = S, subDim = D)
           .orderBy(col("query_id"), col("rank"))
       },
       Some(s"""WITH $encSql,
