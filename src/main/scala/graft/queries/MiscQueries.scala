@@ -52,6 +52,36 @@ object MiscQueries {
              |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ---- unpivot/melt: the wide pivot back to long form -----------------
+    // Dataset.unpivot is the Spark-native melt (one narrow projection per
+    // value column, no shuffle beyond the source aggregate); DuckDB runs
+    // the standard UNPIVOT clause over the identical wide CTE. count(*)
+    // sums are cast BIGINT on the oracle side (HUGEINT→float64 trap).
+    Q("q_unpivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val wide = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(
+            count(when(col("event_type") === types.head, 1)).as(types.head),
+            types.tail.map(t =>
+              count(when(col("event_type") === t, 1)).as(t)): _*)
+        wide.unpivot(Array(col("user_id")), types.map(col).toArray,
+            "metric", "n")
+          .orderBy(col("user_id"), col("metric"))
+      },
+      Some("""WITH wide AS (
+             |  SELECT user_id,
+             |    CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+             |    CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+             |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+             |    CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+             |    CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id, metric, n
+             |FROM wide UNPIVOT (n FOR metric IN (click, error, purchase, signup, view))
+             |ORDER BY user_id, metric""".stripMargin)),
+
     // ---- lateral explode: global token frequencies ----------------------
     Q("q_token_frequencies",
       (s, dir) => Tables.documents(s, dir)

@@ -279,6 +279,50 @@ object StreamQueries {
              |FROM s GROUP BY user_id, sess
              |ORDER BY user_id, s_start_us""".stripMargin)),
 
+    // ---- custom-state streaming: flatMapGroupsWithState transitions -----
+    // statusTransitions keeps ONE LastSeen record per user in the state
+    // store and emits a row whenever a key's event_type changes between
+    // consecutive events. A static source arrives as a single micro-batch
+    // (and the group iterator is ts-sorted inside the function), so the
+    // append-mode output ≡ the batch lag() formulation — the oracle
+    // hash-checks the custom state machine end to end. at_epoch is
+    // getTime/1000 = floor-to-seconds, ≡ DuckDB epoch_us // 1000000.
+    Q("q_stream_transitions",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val stream = s.readStream.schema(rawEventSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[StreamingIngest.Event]
+        val name = s"trans_${System.nanoTime()}"
+        withStreamPartitions(s) {
+          val q = StreamingIngest.statusTransitions(stream)
+            .writeStream.outputMode("append")
+            .format("memory").queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(name)
+          .orderBy(col("user_id"), col("at_epoch"), col("from_type"),
+            col("to_type"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+             |  FROM events),
+             |t AS (
+             |  SELECT user_id,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts_us, event_id) AS from_type,
+             |    event_type AS to_type,
+             |    CAST(ts_us // 1000000 AS BIGINT) AS at_epoch
+             |  FROM e)
+             |SELECT user_id, from_type, to_type, at_epoch
+             |FROM t WHERE from_type IS NOT NULL AND from_type <> to_type
+             |ORDER BY user_id, at_epoch, from_type, to_type""".stripMargin)),
+
     // ---- multimodal: binary column → partition-local feature extraction -
     Q("q_media_features",
       (s, dir) => {

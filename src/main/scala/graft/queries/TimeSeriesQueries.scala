@@ -137,6 +137,80 @@ object TimeSeriesQueries {
            |  AND (CASE WHEN (SELECT count(*) FROM prof) = 150 THEN TRUE
            |       ELSE error('q_ts_profile_nn_lsh oracle hardcodes 5 planes = planesFor(150): re-derive bucketSql for this corpus size') END)
            |ORDER BY user_id""".stripMargin
-      })
+      }),
+
+    // ---- resample + linear interpolation over hourly gaps ---------------
+    // Per-user hourly averages are resampled onto the user's full hour
+    // grid (sequence+explode — linear in output rows, no driver loop) and
+    // gaps are filled by linear interpolation between the bracketing known
+    // points: prev/next via last/first IGNORE NULLS windows. Every filled
+    // value is a deterministic elementwise double expression (decimal-exact
+    // avg, then pv + (nv-pv)·frac with the identical op tree in DuckDB),
+    // so the whole series hash-matches. Scale: one shuffle to the
+    // (user, hour) aggregate, one window per direction — all key-partition
+    // parallel; the grid never materializes on the driver.
+    Q("q_ts_interpolate",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val known = Tables.events(s, dir)
+          .groupBy(col("user_id"),
+            expr("(unix_timestamp(ts) div 3600) * 3600").as("hour_ep"))
+          .agg((sum(col("value").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("v"))
+        val grid = known.groupBy(col("user_id"))
+          .agg(min(col("hour_ep")).as("h0"), max(col("hour_ep")).as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"), lit(3600L))).as("hour_ep"))
+        val wPrev = Window.partitionBy(col("user_id")).orderBy(col("hour_ep"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = Window.partitionBy(col("user_id")).orderBy(col("hour_ep"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val knownHour = when(col("v").isNotNull, col("hour_ep"))
+        grid.join(known, Seq("user_id", "hour_ep"), "left")
+          .select(col("user_id"), col("hour_ep"), col("v"),
+            last(col("v"), ignoreNulls = true).over(wPrev).as("pv"),
+            last(knownHour, ignoreNulls = true).over(wPrev).as("ph"),
+            first(col("v"), ignoreNulls = true).over(wNext).as("nv"),
+            first(knownHour, ignoreNulls = true).over(wNext).as("nh"))
+          .select(col("user_id"), col("hour_ep"),
+            when(col("v").isNotNull, col("v"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                ((col("hour_ep") - col("ph")).cast("double") /
+                  (col("nh") - col("ph")).cast("double"))).as("filled"),
+            when(col("v").isNull, 1).otherwise(0).cast("int").as("is_interp"))
+          .orderBy(col("user_id"), col("hour_ep"))
+      },
+      Some("""WITH known AS (
+             |  SELECT user_id,
+             |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_ep,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS v
+             |  FROM events GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT user_id,
+             |    unnest(generate_series(min(hour_ep), max(hour_ep), 3600)) AS hour_ep
+             |  FROM known GROUP BY user_id),
+             |j AS (
+             |  SELECT g.user_id, g.hour_ep, k.v
+             |  FROM grid g LEFT JOIN known k
+             |    ON g.user_id = k.user_id AND g.hour_ep = k.hour_ep),
+             |w AS (
+             |  SELECT user_id, hour_ep, v,
+             |    last_value(v IGNORE NULLS) OVER wp AS pv,
+             |    last_value(CASE WHEN v IS NOT NULL THEN hour_ep END IGNORE NULLS)
+             |      OVER wp AS ph,
+             |    first_value(v IGNORE NULLS) OVER wn AS nv,
+             |    first_value(CASE WHEN v IS NOT NULL THEN hour_ep END IGNORE NULLS)
+             |      OVER wn AS nh
+             |  FROM j
+             |  WINDOW wp AS (PARTITION BY user_id ORDER BY hour_ep
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  wn AS (PARTITION BY user_id ORDER BY hour_ep
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT user_id, hour_ep,
+             |  CASE WHEN v IS NOT NULL THEN v
+             |       ELSE pv + (nv - pv) * (CAST(hour_ep - ph AS DOUBLE)
+             |                              / CAST(nh - ph AS DOUBLE)) END AS filled,
+             |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_interp
+             |FROM w ORDER BY user_id, hour_ep""".stripMargin))
   )
 }
