@@ -106,4 +106,84 @@ object PQ {
     sums.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
   }
+
+  /** IVF-PQ: the full billion-scale ANN composition — an inverted-file
+    * coarse quantizer (exact per-list centroid means, as [[Knn.ivfSearch]]
+    * trains) plus PQ over the RESIDUALS (vector − its list centroid), the
+    * FAISS `IVFx,PQy` layout. Search probes the `nProbe` nearest lists per
+    * query and runs ADC with a per-(query, list) lookup table — the LUT
+    * must be per-list because the query's residual differs per probed
+    * list's centroid.
+    *
+    * Residual sub-codebooks are keyed by home list (one codeword per list
+    * per subspace — the same deterministic label-mean quantizer the rest
+    * of the family uses, so the whole pipeline stays bit-portable and
+    * oracle-checkable; swap in per-subspace k-means at production scale,
+    * plan shapes unchanged).
+    *
+    * Plan shape at 100 TB: centroids and both codebooks are tiny
+    * broadcasts; the corpus never shuffles its vectors (residuals and
+    * codes are computed in narrow passes); search scans only the CODES of
+    * probed lists against a |queries|·nProbe·subspaces·|lists| LUT of
+    * longs. Each vector lives in exactly one list, so no candidate is
+    * scored twice. */
+  def ivfPqSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, listCol: String, k: Int, nProbe: Int,
+      subspaces: Int, subDim: Int): DataFrame = {
+    val dim = subspaces * subDim
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__v"),
+      col(listCol).as("__list"))
+    // coarse quantizer: exact integer-sum per-list means (broadcast)
+    val cents = c
+      .select(col("__list"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+      .groupBy(col("__list"), col("__pos"))
+      .agg(sum(floor(col("__x") * 1e6).cast("long")).as("__sv"),
+        count(lit(1)).as("__n"))
+      .groupBy(col("__list"))
+      .agg(transform(array_sort(collect_list(struct(col("__pos"),
+          (col("__sv").cast("double") / col("__n") / 1e6).as("c")))),
+        x => x("c")).as("__cent"))
+    // residuals stay with their row — a narrow broadcast-join projection
+    val resid = c.join(broadcast(cents), Seq("__list"))
+      .select(col("vec_id"), col("__list"),
+        zip_with(col("__v"), col("__cent"),
+          (x, y) => x.cast("double") - y).as("__r"))
+    // PQ codebook + codes over the residuals, codewords keyed by home list
+    val codes = encode(resid, "vec_id", "__r", "__list", subspaces, subDim)
+      .join(resid.select(col("vec_id"), col("__list")), Seq("vec_id"))
+    // probe: nProbe nearest centroids per query by exact L2², query
+    // residual computed against each probed centroid
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("__qd2"), col("__list"))
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("__qd2", l2sq(col("__qv"), col("__cent")))
+      .withColumn("__pr", row_number().over(wp))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__list"),
+        zip_with(col("__qv"), col("__cent"),
+          (x, y) => x.cast("double") - y).as("__qr"))
+    // per-(query, probed list) LUT of floored subspace distances
+    val rcw = codebook(resid, "__list", "__r", subspaces, subDim)
+    val lut = probed
+      .select(col("query_id"), col("__list"), posexplode(
+        array((0 until subspaces).map(s =>
+          slice(col("__qr"), s * subDim + 1, subDim)): _*)).as(Seq("s", "__qs")))
+      .join(broadcast(rcw), Seq("s"))
+      .select(col("query_id"), col("__list"), col("s"), col("c_label"),
+        floor(l2sq(col("__qs"), col("cw")) * 1e6).cast("long").as("qd_ppm"))
+    val sums = codes.as("e")
+      .join(broadcast(lut).as("l"),
+        col("e.__list") === col("l.__list") && col("e.s") === col("l.s") &&
+          col("e.code") === col("l.c_label"))
+      .filter(col("e.vec_id") =!= col("l.query_id"))
+      .select(col("l.query_id").as("query_id"),
+        col("e.vec_id").as("neighbor_id"), col("l.qd_ppm"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qd_ppm")).as("adist_ppm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_ppm"), col("neighbor_id"))
+    sums.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -114,6 +114,101 @@ object PQQueries {
               |       CAST(rn AS INTEGER) AS rank
               |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
               |               ORDER BY adist_ppm, neighbor_id) AS rn FROM approx) t
-              |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin))
+              |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- IVF-PQ: coarse lists + residual codes + per-list ADC -----------
+    // The FAISS IVFx,PQy composition: probe the 2 nearest coarse lists,
+    // then ADC over RESIDUAL codes with a per-(query, list) LUT. Every
+    // stage (centroids, residuals, residual codebook, probe ranking,
+    // floored LUT sums) is deterministic integer/double arithmetic, so the
+    // full approximate result set hash-matches the oracle's replay.
+    Q("q_ivfpq_search",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.PQ.ivfPqSearch(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", "label", k = 5, nProbe = 2,
+            subspaces = S, subDim = D)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH cparts AS (
+             |  SELECT label AS l, generate_subscripts(embedding, 1) - 1 AS pos,
+             |         unnest(embedding) AS v
+             |  FROM embeddings),
+             |csums AS (
+             |  SELECT l, pos, sum(CAST(floor(v * 1e6) AS BIGINT)) AS sv,
+             |         count(*) AS n
+             |  FROM cparts GROUP BY l, pos),
+             |cent AS (
+             |  SELECT l, list(CAST(sv AS DOUBLE) / n / 1e6 ORDER BY pos) AS cv
+             |  FROM csums GROUP BY l),
+             |resid AS (
+             |  SELECT e.vec_id, e.label AS l,
+             |    list_transform(range(64),
+             |      i -> e.embedding[i+1]::DOUBLE - c.cv[i+1]) AS r
+             |  FROM embeddings e JOIN cent c ON e.label = c.l),
+             |rparts AS (
+             |  SELECT l, generate_subscripts(r, 1) - 1 AS pos, unnest(r) AS v
+             |  FROM resid),
+             |rsums AS (
+             |  SELECT l, pos, sum(CAST(floor(v * 1e6) AS BIGINT)) AS sv,
+             |         count(*) AS n
+             |  FROM rparts GROUP BY l, pos),
+             |rcw AS (
+             |  SELECT l AS c_label, pos // 8 AS s,
+             |         list(CAST(sv AS DOUBLE) / n / 1e6 ORDER BY pos) AS cwv
+             |  FROM rsums GROUP BY l, pos // 8),
+             |rsubs AS (
+             |  SELECT vec_id, l, s,
+             |         list_transform(range(8), i -> r[s*8 + i + 1]) AS sub
+             |  FROM resid, range(8) t(s)),
+             |rscored AS (
+             |  SELECT vec_id, l, s, c_label,
+             |    list_reduce(list_prepend(0::DOUBLE,
+             |        list_transform(range(8),
+             |          i -> (sub[i+1] - cwv[i+1]) * (sub[i+1] - cwv[i+1]))),
+             |      (acc, x) -> acc + x) AS d2
+             |  FROM rsubs JOIN rcw USING (s)),
+             |enc AS (
+             |  SELECT vec_id, l, s, c_label AS code
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+             |                   ORDER BY d2, c_label) AS rn FROM rscored) t
+             |  WHERE rn = 1),
+             |qd AS (
+             |  SELECT q.vec_id AS query_id, c.l,
+             |    list_reduce(list_prepend(0::DOUBLE,
+             |        list_transform(range(64),
+             |          i -> (q.embedding[i+1]::DOUBLE - c.cv[i+1])
+             |             * (q.embedding[i+1]::DOUBLE - c.cv[i+1]))),
+             |      (acc, x) -> acc + x) AS d2,
+             |    list_transform(range(64),
+             |      i -> q.embedding[i+1]::DOUBLE - c.cv[i+1]) AS qr
+             |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5),
+             |probed AS (
+             |  SELECT query_id, l, qr
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             |                   ORDER BY d2, l) AS pr FROM qd) t
+             |  WHERE pr <= 2),
+             |qsubs AS (
+             |  SELECT query_id, l, s,
+             |         list_transform(range(8), i -> qr[s*8 + i + 1]) AS sub
+             |  FROM probed, range(8) t(s)),
+             |lut AS (
+             |  SELECT query_id, l, s, c_label,
+             |    CAST(floor(list_reduce(list_prepend(0::DOUBLE,
+             |        list_transform(range(8),
+             |          i -> (sub[i+1] - cwv[i+1]) * (sub[i+1] - cwv[i+1]))),
+             |      (acc, x) -> acc + x) * 1e6) AS BIGINT) AS qd_ppm
+             |  FROM qsubs JOIN rcw USING (s)),
+             |approx AS (
+             |  SELECT u.query_id, e.vec_id AS neighbor_id,
+             |         CAST(sum(u.qd_ppm) AS BIGINT) AS adist_ppm
+             |  FROM enc e JOIN lut u
+             |    ON u.l = e.l AND u.s = e.s AND u.c_label = e.code
+             |  WHERE e.vec_id <> u.query_id
+             |  GROUP BY u.query_id, e.vec_id)
+             |SELECT query_id, neighbor_id, adist_ppm, CAST(rn AS INTEGER) AS rank
+             |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             |               ORDER BY adist_ppm, neighbor_id) AS rn FROM approx) t
+             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -232,4 +232,52 @@ class DedupKnnSpec extends AnyFunSuite {
     }
     emb.unpersist()
   }
+
+  test("IVF-PQ search: k ranked rows per query, neighbors confined to probed lists") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    val queries = emb.filter(col("vec_id") < 5)
+    val rows = PQ.ivfPqSearch(emb, queries, "vec_id", "embedding", "label",
+        k = 3, nProbe = 2, subspaces = 8, subDim = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length), s"query $qid ranks")
+      assert(sorted.length <= 3 && sorted.nonEmpty, s"query $qid row count")
+      // adist ascending with rank, ties broken by neighbor id
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 < b._3 || (a._3 == b._3 && a._2 < b._2)
+        case _ => true
+      }, s"query $qid ordering")
+    }
+    // probed lists per query, replayed driver-side with the same exact
+    // integer-sum centroids and L2² probe ranking
+    val cents = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(floor(col("v") * 1e6).cast("long")).as("sv"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(
+        struct(col("pos"), (col("sv").cast("double") / col("n") / 1e6).as("c")))),
+        x => x("c")).as("centroid"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val corpus = emb.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toSeq,
+      r.getInt(r.fieldIndex("label")))).toSeq
+    val labelOf = corpus.map(t => t._1 -> t._3).toMap
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) =>
+        acc + (a(i) - b(i)) * (a(i) - b(i)))
+    corpus.filter(_._1 < 5).foreach { case (qid, qv, _) =>
+      val probed = cents.toSeq.map { case (l, c) => (l, l2(qv, c)) }
+        .sortBy { case (l, d) => (d, l) }.take(2).map(_._1).toSet
+      byQ(qid).foreach { case (_, nid, _, _) =>
+        assert(probed(labelOf(nid)),
+          s"query $qid neighbor $nid outside probed lists $probed")
+      }
+    }
+    emb.unpersist()
+  }
 }
