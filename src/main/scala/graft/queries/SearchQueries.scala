@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Text
+import graft.operators.TopK
+import org.apache.spark.sql.functions._
+
+/** Search-engine operators over the `documents` table: inverted-index
+  * construction and BM25 ranked retrieval. Both are oracle-checked.
+  *
+  * Scale shapes:
+  *  - Index build: one explode + one hash aggregate per token; posting
+  *    lists are capped through the bounded-buffer TopK aggregator, so the
+  *    shuffle carries at most ~2k candidate postings per (token × map
+  *    task) — a stopword's billion-row posting list never materializes.
+  *  - BM25: corpus-global statistics (N, Σdl, df) are token-sized after
+  *    aggregation and broadcast back; query-time scoring is one corpus
+  *    scan + broadcast joins, with all arithmetic in integer ppm (the
+  *    k1=1.2 / b=0.75 rationals are folded into a single integer
+  *    numerator/denominator), so scores are exact and engine-portable.
+  */
+object SearchQueries {
+
+  /** Fixed retrieval query for q_bm25_rank. */
+  private val QueryTerms = Seq("spark", "hash", "window")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- inverted index with capped posting lists ------------------------
+    // token -> document frequency + the first `Cap` doc_ids (ascending),
+    // one output row per (token, rank). The cap is enforced by the TopK
+    // bounded-buffer aggregator, not collect_list-then-slice: a token
+    // appearing in every document of a 100 TB corpus still only moves
+    // O(cap) rows per map task through the shuffle.
+    Q("q_inverted_index",
+      (s, dir) => {
+        val cap = 10
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(array_distinct(Text.tokens(col("text")))).as("token"))
+        val df = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        // rank ascending by doc_id: TopK orders value DESC (tie: id ASC),
+        // so feed the negated id as the value.
+        val postings = TopK.perGroup(
+          tok.withColumn("__negid", -col("doc_id")),
+          Seq("token"), "__negid", "doc_id", cap)
+          .select(col("token"), col("rank"), col("id").as("doc_id"))
+        postings.join(broadcast(df), Seq("token"))
+          .select(col("token"), col("df"), col("rank"), col("doc_id"))
+          .orderBy(col("token"), col("rank"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT DISTINCT doc_id, token FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |    FROM documents) u),
+             |df AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+             |r AS (SELECT token, doc_id,
+             |        row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+             |      FROM tok)
+             |SELECT r.token, df.df, CAST(r.rn AS INT) AS rank, r.doc_id
+             |FROM r JOIN df USING (token) WHERE r.rn <= 10
+             |ORDER BY token, rank""".stripMargin)),
+
+    // ---- BM25 ranked retrieval (log-free, integer-exact) -----------------
+    // Okapi BM25 with k1=1.2, b=0.75 and the Robertson idf REPLACED by its
+    // log argument (N - df + 0.5)/(df + 0.5): ln() is libm-dependent and
+    // not hash-portable across engines, and dropping the log preserves the
+    // df ordering (same trick as q_tfidf_top_terms). Folding avgdl = S/N
+    // and the rational constants through, the tf component becomes
+    //   44·tf·S / (20·tf·S + 6·S + 18·dl·N)
+    // — pure BIGINT arithmetic, exact in both engines.
+    Q("q_bm25_rank",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val terms = QueryTerms.map(lit(_))
+        val dl = docs.select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("dl"))
+        val corpus = dl.agg(
+          count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        val tok = docs.select(col("doc_id"),
+          explode(Text.tokens(col("text"))).as("token"))
+          .filter(col("token").isin(QueryTerms: _*))
+        val df = docs.select(
+            explode(array_distinct(Text.tokens(col("text")))).as("token"))
+          .filter(col("token").isin(QueryTerms: _*))
+          .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val tf = tok.groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        tf.join(broadcast(df), Seq("token"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(corpus))
+          .withColumn("idf_ppm",
+            expr("(2*n_docs - 2*df + 1) * 1000000L div (2*df + 1)"))
+          .withColumn("tf_ppm",
+            expr("44*tf*sum_dl * 1000000L div (20*tf*sum_dl + 6*sum_dl + 18*dl*n_docs)"))
+          .withColumn("contrib_ppm", expr("idf_ppm * tf_ppm div 1000000L"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("contrib_ppm")).as("score_ppm"),
+            count(lit(1)).as("n_terms"))
+          .orderBy(col("score_ppm").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH dl AS (
+              |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+              |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+              |tf AS (
+              |  SELECT doc_id, token, count(*) AS tf FROM (
+              |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              |    FROM documents) u
+              |  WHERE token IN (${QueryTerms.map("'" + _ + "'").mkString(", ")})
+              |  GROUP BY doc_id, token),
+              |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token)
+              |SELECT tf.doc_id,
+              |  CAST(sum((2*n_docs - 2*df + 1) * 1000000 // (2*df + 1)
+              |       * (44*tf*sum_dl * 1000000 // (20*tf*sum_dl + 6*sum_dl + 18*dl.dl*n_docs))
+              |       // 1000000) AS BIGINT) AS score_ppm,
+              |  count(*) AS n_terms
+              |FROM tf JOIN df USING (token) JOIN dl USING (doc_id), corpus
+              |GROUP BY tf.doc_id
+              |ORDER BY score_ppm DESC, tf.doc_id LIMIT 20""".stripMargin))
+  )
+}
