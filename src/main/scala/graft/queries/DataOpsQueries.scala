@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.{Merge, SaltedJoin}
+import graft.operators.{BloomPrune, Merge, SaltedJoin}
 import org.apache.spark.sql.functions._
 
 /** Warehouse-maintenance data operations: batch merge/upsert and explicit
@@ -63,6 +63,34 @@ object DataOpsQueries {
              |SELECT event_type, count(*) AS n_rows,
              |       CAST(sum(u_events) AS BIGINT) AS sum_u_events
              |FROM events e JOIN dim USING (user_id)
-             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- Bloom-pruned semi join ------------------------------------------
+    // lineitem restricted to high-value orders via BloomPrune: the
+    // build-side key set becomes a broadcast Bloom filter that drops
+    // non-matching lineitem rows AT THE SCAN, before any exchange; the
+    // exact semi join then only touches survivors. The oracle is the
+    // plain IN-subquery semi join — the Bloom filter is result-neutral
+    // (false positives are re-checked, false negatives impossible),
+    // which is precisely what the hash compare proves.
+    Q("q_bloom_join",
+      (s, dir) => {
+        val highValue = Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 400000.0)
+        BloomPrune.semiJoin(
+            Tables.lineitem(s, dir), "l_orderkey",
+            highValue, "o_orderkey", expectedKeys = 4096)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(floor(col("l_quantity") * 100)).as("qty_cents"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+             |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             |    AS qty_cents
+             |FROM lineitem
+             |WHERE l_orderkey IN (
+             |  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }
