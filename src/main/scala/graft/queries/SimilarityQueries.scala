@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.Knn
+import graft.operators.{KMeans, Knn}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (array<float>, 64-dim).
@@ -393,6 +393,62 @@ object SimilarityQueries {
              |       label = c_label AS matches_label
              |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
              |                ORDER BY sim DESC, c_label) AS rn FROM scored) t
-             |WHERE rn = 1 ORDER BY vec_id""".stripMargin))
+             |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // ---- distributed k-means (Lloyd), integer-exact ----------------------
+    // Two centroid-update rounds over +1-offset micro-quantized vectors
+    // (see operators.KMeans: all-BIGINT distances/argmin/means, ties to
+    // the smallest centroid id, empty clusters carry their position).
+    // The oracle unrolls the same three assignment rounds as CTEs. Scale:
+    // centroids are driver-side literals (k×dim longs); each round is one
+    // corpus scan + one k×dim-row hash aggregate — the corpus never
+    // shuffles.
+    Q("q_kmeans",
+      (s, dir) => {
+        val quant = Tables.embeddings(s, dir)
+          .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
+        KMeans.lloyd(quant, "vec_id", k = 8, updates = 2)
+          .select(col("vec_id"), col("cluster"), col("dist2"))
+          .orderBy(col("vec_id"))
+      },
+      Some(kmeansOracle(k = 8, dim = 64, assignRounds = 3)))
   )
+
+  /** DuckDB mirror of KMeans.lloyd: `assignRounds`-1 update rounds fully
+    * unrolled as CTEs (a<r> = argmin assignment, c<r> = truncating-mean
+    * update with empty-cluster carry), identical integer arithmetic. */
+  private def kmeansOracle(k: Int, dim: Int, assignRounds: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    v -> CAST(floor((v::DOUBLE + 1.0) * 1e6 + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qv FROM q WHERE vec_id < $k)""".stripMargin)
+    for (r <- 1 to assignRounds) {
+      sb.append(
+        s""",
+           |d$r AS (SELECT q.vec_id, c.cid,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    [ (q.qv[i]-c.qv[i])*(q.qv[i]-c.qv[i]) for i in generate_series(1,$dim) ]),
+           |    (a,b) -> a+b) AS dist
+           |  FROM q, c${r - 1} c),
+           |a$r AS (SELECT vec_id, cid, dist FROM (
+           |  SELECT vec_id, cid, dist,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d$r)
+           |  WHERE rn = 1)""".stripMargin)
+      if (r < assignRounds) sb.append(
+        s""",
+           |e$r AS (SELECT a$r.cid, dims.i, q.qv[dims.i] AS v
+           |  FROM a$r JOIN q USING (vec_id)
+           |  CROSS JOIN (SELECT unnest(generate_series(1,$dim)) AS i) dims),
+           |cl$r AS (SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY i) AS qv FROM (
+           |  SELECT cid, i, sum(v) AS s, count(*) AS n FROM e$r GROUP BY cid, i) g
+           |  GROUP BY cid),
+           |c$r AS (SELECT c${r - 1}.cid, coalesce(cl$r.qv, c${r - 1}.qv) AS qv
+           |  FROM c${r - 1} LEFT JOIN cl$r USING (cid))""".stripMargin)
+    }
+    sb.append(
+      s"\nSELECT vec_id, cid AS cluster, dist AS dist2 FROM a$assignRounds ORDER BY vec_id")
+    sb.toString
+  }
 }
