@@ -240,6 +240,73 @@ object DedupQueries {
               |       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
               |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
               |WHERE a.doc_id % 20 = 0 AND bit_count(xor(a.sh, b.sh)) <= 6
-              |ORDER BY id_a, id_b""".stripMargin))
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- cluster canonicalization: keep the best doc per dup cluster -----
+    // The step after clustering: within every near-dup cluster keep the
+    // highest-quality document (type-token ratio, ties to the smallest
+    // doc_id) and drop the rest. One max_by hash aggregate over the
+    // (tiny) clustered subset joined back — the corpus-sized inputs never
+    // move beyond what clustering itself already did. The oracle re-runs
+    // the recursive-CTE closure and picks via ROW_NUMBER.
+    Q("q_cluster_keep_best",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val edges = MinHashLSH.jaccardPairs(docs, "doc_id", "text",
+            minJaccardPpm = 500000L)
+          .select(col("id_a"), col("id_b"))
+        val comps = graft.operators.Components
+          .connectedComponents(edges, "id_a", "id_b")
+        val t = Text.tokens(col("text"))
+        val qual = docs.select(col("doc_id"),
+          size(array_distinct(t)).cast("long").as("__nd"),
+          size(t).cast("long").as("__n"))
+          .select(col("doc_id"), expr("__nd * 1000000L div __n").as("ttr_ppm"))
+        val members = comps.select(col("id").as("doc_id"), col("cluster_id"))
+          .join(qual, Seq("doc_id"))
+        val best = members.groupBy(col("cluster_id"))
+          .agg(max(struct(col("ttr_ppm").as("t"), (-col("doc_id")).as("negid"))).as("__b"))
+          .select(col("cluster_id"), (-col("__b.negid")).as("__keep_doc"))
+        members.join(broadcast(best), Seq("cluster_id"))
+          .select(col("doc_id"), col("cluster_id"), col("ttr_ppm"),
+            (col("doc_id") === col("__keep_doc")).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+              |  SELECT doc_id, unnest(${Text.shingleHashesSql("text")}) AS h FROM documents),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (
+              |  SELECT id_a, id_b FROM inter
+              |  JOIN sizes sa ON id_a = sa.doc_id
+              |  JOIN sizes sb ON id_b = sb.doc_id
+              |  WHERE i * 1000000 // (sa.n + sb.n - i) >= 500000),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |          UNION SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT src AS id, src AS r FROM edges
+              |  UNION
+              |  SELECT e.src AS id, rc.r FROM edges e JOIN reach rc ON rc.id = e.dst),
+              |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+              |qual AS (SELECT doc_id,
+              |  len(list_distinct(string_split(text, ' '))) * 1000000
+              |    // len(string_split(text, ' ')) AS ttr_ppm
+              |  FROM documents),
+              |members AS (
+              |  SELECT lab.id AS doc_id, lab.cluster_id, qual.ttr_ppm
+              |  FROM lab JOIN qual ON lab.id = qual.doc_id),
+              |best AS (
+              |  SELECT cluster_id, doc_id AS keep_doc FROM (
+              |    SELECT cluster_id, doc_id,
+              |      row_number() OVER (PARTITION BY cluster_id
+              |                         ORDER BY ttr_ppm DESC, doc_id) AS rn
+              |    FROM members) t WHERE rn = 1)
+              |SELECT m.doc_id, m.cluster_id, CAST(m.ttr_ppm AS BIGINT) AS ttr_ppm,
+              |       m.doc_id = b.keep_doc AS keep
+              |FROM members m JOIN best b USING (cluster_id)
+              |ORDER BY m.doc_id""".stripMargin))
   )
 }
