@@ -262,6 +262,63 @@ object CurationQueries {
              |SELECT least(n // 32, 7) AS bucket_id, count(*) AS n_docs,
              |       CAST(sum(n) AS BIGINT) AS tot_tokens,
              |       min(n) AS min_tokens, max(n) AS max_tokens
-             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- boilerplate stripping (CCNet-style, chunk granularity) -----------
+    // Documents are split into consecutive 8-token chunks; a chunk whose
+    // exact text occurs in ≥ 3 distinct documents is boilerplate (headers,
+    // footers, navigation) and is removed; survivors are reassembled in
+    // order. Shape: one explode + one hash aggregate for chunk DF, one
+    // anti join back, one per-doc re-aggregation whose buffer is bounded
+    // by document length (documents are KBs; the corpus being 100 TB
+    // changes the row count, not the per-doc buffer). Nothing quadratic,
+    // nothing driver-side.
+    Q("q_boilerplate_strip",
+      (s, dir) => {
+        val toks = Text.tokens(col("text"))
+        val chunks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(0), floor((size(toks) - 1) / 8).cast("int")),
+              i => array_join(slice(toks, i * 8 + 1, lit(8)), " ")))
+              .as(Seq("chunk_idx", "chunk")))
+        val boiler = chunks.select(col("doc_id"), col("chunk")).distinct()
+          .groupBy(col("chunk")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") >= 3)
+          .select(col("chunk"))
+        val kept = chunks.join(boiler, Seq("chunk"), "left_anti")
+        val re = kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("__n_kept"),
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+                x => x.getField("chunk")),
+              " ").as("clean_text"))
+        val tot = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+        tot.join(re, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chunks"),
+            (col("n_chunks") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |ch AS (SELECT doc_id, u.i AS chunk_idx,
+             |         array_to_string(t[(u.i*8+1):(u.i*8+8)], ' ') AS chunk
+             |       FROM toks CROSS JOIN LATERAL
+             |         (SELECT unnest(generate_series(0, (len(t)-1)//8)) AS i) u),
+             |boiler AS (
+             |  SELECT chunk FROM (
+             |    SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY chunk) d
+             |  WHERE df >= 3),
+             |kept AS (SELECT * FROM ch
+             |         WHERE chunk NOT IN (SELECT chunk FROM boiler)),
+             |re AS (SELECT doc_id, count(*) AS n_kept,
+             |         string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+             |       FROM kept GROUP BY doc_id),
+             |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_chunks,
+             |       t.n_chunks - coalesce(re.n_kept, 0) AS n_removed,
+             |       coalesce(re.clean_text, '') AS clean_text
+             |FROM tot t LEFT JOIN re USING (doc_id) ORDER BY t.doc_id""".stripMargin))
   )
 }
