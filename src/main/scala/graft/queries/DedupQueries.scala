@@ -307,6 +307,71 @@ object DedupQueries {
               |SELECT m.doc_id, m.cluster_id, CAST(m.ttr_ppm AS BIGINT) AS ttr_ppm,
               |       m.doc_id = b.keep_doc AS keep
               |FROM members m JOIN best b USING (cluster_id)
-              |ORDER BY m.doc_id""".stripMargin))
+              |ORDER BY m.doc_id""".stripMargin)),
+
+    // ---- incremental dedup: new batch vs existing corpus ------------------
+    // The shape every recurring crawl runs: a small new batch (docs with
+    // id ≡ 7 mod 10 stand in for today's arrivals) checked against the
+    // standing corpus. Each new doc gets its best-matching corpus doc by
+    // shingle Jaccard and a verdict: dup_exact (identical shingle set),
+    // dup_near (≥ 0.5), or keep. Scale: the NEW side's shingles broadcast
+    // (a daily batch is GBs against a 100 TB corpus); the corpus is
+    // scanned once and only hash-matching shingles enter the aggregate —
+    // the corpus never self-joins and never shuffles its text.
+    Q("q_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sh = Text.shingleHashes(col("text"))
+        val shNew = docs.filter(col("doc_id") % 10 === 7)
+          .select(col("doc_id").as("new_id"), explode(sh).as("h"))
+        val shCorp = docs.filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id").as("corp_id"), explode(sh).as("h"))
+        val sizesN = shNew.groupBy(col("new_id")).agg(count(lit(1)).as("na"))
+        val sizesC = shCorp.groupBy(col("corp_id")).agg(count(lit(1)).as("nb"))
+        val jac = shCorp.join(broadcast(shNew), Seq("h"))
+          .groupBy(col("new_id"), col("corp_id")).agg(count(lit(1)).as("i"))
+          .join(broadcast(sizesN), Seq("new_id"))
+          .join(sizesC, Seq("corp_id"))
+          .withColumn("j", expr("i * 1000000L div (na + nb - i)"))
+        val best = jac.groupBy(col("new_id"))
+          .agg(max(struct(col("j"), (-col("corp_id")).as("negid"))).as("__b"))
+          .select(col("new_id"), col("__b.j").as("jaccard_ppm"),
+            (-col("__b.negid")).as("match_id"))
+        docs.filter(col("doc_id") % 10 === 7).select(col("doc_id").as("new_id"))
+          .join(best, Seq("new_id"), "left")
+          .withColumn("jaccard_ppm", coalesce(col("jaccard_ppm"), lit(0L)))
+          .withColumn("match_id", coalesce(col("match_id"), lit(-1L)))
+          .select(col("new_id").as("doc_id"),
+            when(col("jaccard_ppm") === 1000000L, "dup_exact")
+              .when(col("jaccard_ppm") >= 500000L, "dup_near")
+              .otherwise("keep").as("verdict"),
+            col("match_id"), col("jaccard_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, unnest(${Text.shingleHashesSql("text")}) AS h FROM documents),
+              |shn AS (SELECT doc_id AS new_id, h FROM sh WHERE doc_id % 10 = 7),
+              |shc AS (SELECT doc_id AS corp_id, h FROM sh WHERE doc_id % 10 <> 7),
+              |sn AS (SELECT new_id, count(*) AS na FROM shn GROUP BY 1),
+              |sc AS (SELECT corp_id, count(*) AS nb FROM shc GROUP BY 1),
+              |jac AS (
+              |  SELECT new_id, corp_id, i * 1000000 // (na + nb - i) AS j
+              |  FROM (SELECT new_id, corp_id, count(*) AS i
+              |        FROM shn JOIN shc USING (h) GROUP BY 1, 2) x
+              |  JOIN sn USING (new_id) JOIN sc USING (corp_id)),
+              |best AS (
+              |  SELECT new_id, corp_id AS match_id, j FROM (
+              |    SELECT new_id, corp_id, j,
+              |      row_number() OVER (PARTITION BY new_id ORDER BY j DESC, corp_id) AS rn
+              |    FROM jac) t WHERE rn = 1)
+              |SELECT d.doc_id,
+              |  CASE WHEN coalesce(j, 0) = 1000000 THEN 'dup_exact'
+              |       WHEN coalesce(j, 0) >= 500000 THEN 'dup_near'
+              |       ELSE 'keep' END AS verdict,
+              |  coalesce(match_id, -1) AS match_id,
+              |  CAST(coalesce(j, 0) AS BIGINT) AS jaccard_ppm
+              |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+              |LEFT JOIN best ON d.doc_id = best.new_id
+              |ORDER BY d.doc_id""".stripMargin))
   )
 }
