@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimExpr, PolyHashExpr, ShingleHashExpr}
+import graft.functions.{CosineSimExpr, NormalizeExpr, PolyHashExpr, ShingleHashExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** SparkSessionExtensions entry point: registers the engine's custom
@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSessionExtensions
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import GraftExtensions.{buildCosine, buildShingle}
+  import GraftExtensions.{buildCosine, buildNormalize, buildShingle}
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(
@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[ShingleHashExpr].getName, "shingle_hashes"),
         buildShingle))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("normalize_text"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[NormalizeExpr].getName, "normalize_text"),
+        buildNormalize))
   }
 }
 
@@ -60,6 +65,20 @@ object GraftExtensions {
     ShingleHashExpr(exprs.head, n)
   }
 
+  /** normalize_text(text, 'nfc'|'nfkc'|'nfd'|'strip_accents') — the form
+    * must be a string literal. */
+  private[graft] val buildNormalize: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2,
+      s"normalize_text expects 2 arguments, got ${exprs.length}")
+    val form = exprs(1) match {
+      case Literal(v, org.apache.spark.sql.types.StringType) if v != null =>
+        v.toString
+      case other => throw new IllegalArgumentException(
+        s"normalize_text form must be a string literal, got $other")
+    }
+    NormalizeExpr(exprs.head, form)
+  }
+
   /** Register on an ALREADY-RUNNING session (builder extensions are
     * silently ignored once a session is active in the JVM). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -69,5 +88,7 @@ object GraftExtensions {
       "cosine_sim", buildCosine, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes", buildShingle, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "normalize_text", buildNormalize, "built-in")
   }
 }

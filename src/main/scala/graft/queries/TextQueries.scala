@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.functions.Text
+import graft.functions.{NormalizeExpr, Text}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: token stats, quality
@@ -281,6 +281,38 @@ object TextQueries {
              |  (cum - n_tokens) // 2048 AS start_seq,
              |  (cum - 1) // 2048 AS end_seq,
              |  (cum - n_tokens) % 2048 AS start_off
-             |FROM c ORDER BY doc_id""".stripMargin))
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ---- Unicode normalization (native NormalizeExpr) --------------------
+    // The ASCII corpus is first given deterministic diacritics two ways —
+    // precomposed (translate a→á, e→é) and decomposed (o followed by
+    // U+0301 combining acute) — then NFC-normalized (composing the o+mark
+    // into ó) and accent-stripped back to ASCII. Both engines implement
+    // UAX #15 (JDK Normalizer ↔ DuckDB nfc_normalize/strip_accents), so
+    // the strings hash-compare exactly. Narrow per-row codegen'd work —
+    // zero shuffle; the ORDER BY exists for the oracle.
+    Q("q_text_normalize",
+      (s, dir) => {
+        val acc = translate(col("text"), "ae", "\u00e1\u00e9")
+        val decomp = regexp_replace(acc, "o", "o\u0301")
+        Tables.documents(s, dir)
+          .withColumn("__d", decomp)
+          .select(col("doc_id"),
+            NormalizeExpr(col("__d"), "nfc").as("nfc_text"),
+            NormalizeExpr(NormalizeExpr(col("__d"), "nfc"), "strip_accents")
+              .as("ascii_text"),
+            length(NormalizeExpr(col("__d"), "nfc")).cast("long").as("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    replace(translate(text, 'ae', chr(225) || chr(233)),
+             |            'o', 'o' || chr(769)) AS dt
+             |  FROM documents)
+             |SELECT doc_id,
+             |  nfc_normalize(dt) AS nfc_text,
+             |  strip_accents(nfc_normalize(dt)) AS ascii_text,
+             |  length(nfc_normalize(dt)) AS n_chars
+             |FROM d ORDER BY doc_id""".stripMargin))
   )
 }
