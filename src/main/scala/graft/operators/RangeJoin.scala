@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Binned range join: `points.t ∈ [intervals.lo, intervals.hi)` without a
+  * nested-loop plan.
+  *
+  * Spark executes a keyless interval predicate as BroadcastNestedLoopJoin
+  * (or a cartesian product when neither side fits in memory) — O(N·M) row
+  * comparisons, the classic 100 TB range-join killer. The standard fix
+  * (the same one Databricks' range-join hints and PostGIS tiling use) is
+  * to discretize the range axis into fixed-width bins:
+  *
+  *   - each interval is exploded to every bin it overlaps
+  *     (`sequence(lo div w, (hi-1) div w)` — bounded by interval_span/w+1
+  *     copies, so pick `w` on the order of the typical interval width);
+  *   - each point computes its single containing bin `t div w`;
+  *   - the join becomes an EQUI-join on the bin id followed by the exact
+  *     `[lo, hi)` re-check.
+  *
+  * Because a point has exactly ONE bin, a (point, interval) pair can meet
+  * at most once — no post-join dedup is needed. Work is
+  * Σ_bins points(bin)·intervals(bin): linear in data for any fixed bin
+  * occupancy, shuffled by bin id (add the bin to an existing equi-key for
+  * skew-free co-partitioning when the join also has one).
+  *
+  * Both inputs keep all their columns; the helper only appends the exact
+  * containment predicate. All bin arithmetic is integer (`div`), so the
+  * result is engine-portable and oracle-checkable against the plain theta
+  * join.
+  */
+object RangeJoin {
+
+  /** @param points    left side, one row per point event
+    * @param intervals right side, one row per interval
+    * @param tCol      long point coordinate on `points`
+    * @param loCol     long inclusive lower bound on `intervals`
+    * @param hiCol     long exclusive upper bound on `intervals`
+    * @param binWidth  bin width in the coordinate's units; intervals
+    *                  explode to span/binWidth+1 copies */
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      tCol: String,
+      loCol: String,
+      hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val binned = intervals
+      .withColumn("__bin",
+        explode(sequence(
+          expr(s"$loCol div ${binWidth}L"),
+          expr(s"($hiCol - 1L) div ${binWidth}L"))))
+    points
+      .withColumn("__bin", expr(s"$tCol div ${binWidth}L"))
+      .join(binned, Seq("__bin"))
+      .filter(col(tCol) >= col(loCol) && col(tCol) < col(hiCol))
+      .drop("__bin")
+  }
+}

@@ -91,6 +91,106 @@ object DataOpsQueries {
              |FROM lineitem
              |WHERE l_orderkey IN (
              |  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
-             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- SCD Type-2 dimension build --------------------------------------
+    // Collapse an append-only change log (events as per-user state
+    // changes: event_type is "the attribute") into validity intervals:
+    // one row per consecutive run of the same state, [valid_from,
+    // valid_to) epochs, open-ended current row. Gaps-and-islands via
+    // lag → change flag → running sum, then lead() for the interval end.
+    // Scale: two windows, both partitioned by the dimension key — per-key
+    // state is bounded by that key's history, the corpus shuffles once on
+    // user_id and every window reuses that partitioning.
+    Q("q_scd2_build",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byTs = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val runs = Tables.events(s, dir)
+          .withColumn("__chg",
+            when(lag(col("event_type"), 1).over(byTs).isNull ||
+              lag(col("event_type"), 1).over(byTs) =!= col("event_type"), 1L)
+              .otherwise(0L))
+          .withColumn("version", sum(col("__chg")).over(
+            byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("version"))
+          .agg(first(col("event_type")).as("state"),
+            min(unix_timestamp(col("ts"))).as("valid_from"),
+            count(lit(1)).as("n_events"))
+        val byVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+        runs
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(byVer))
+          .withColumn("is_current", col("valid_to").isNull)
+          .select(col("user_id"), col("version"), col("state"),
+            col("valid_from"), col("valid_to"), col("n_events"),
+            col("is_current"))
+          .orderBy(col("user_id"), col("version"))
+      },
+      Some("""WITH chg AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |    CASE WHEN lag(event_type) OVER w IS NULL
+             |           OR lag(event_type) OVER w <> event_type
+             |         THEN 1 ELSE 0 END AS c
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |runs AS (
+             |  SELECT user_id, event_type, ts,
+             |    CAST(sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS version
+             |  FROM chg),
+             |dim AS (
+             |  SELECT user_id, version, min(event_type) AS state,
+             |    CAST(min(floor(epoch(ts))) AS BIGINT) AS valid_from,
+             |    count(*) AS n_events
+             |  FROM runs GROUP BY user_id, version)
+             |SELECT user_id, version, state, valid_from,
+             |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             |    AS valid_to,
+             |  n_events,
+             |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             |    IS NULL AS is_current
+             |FROM dim ORDER BY user_id, version""".stripMargin)),
+
+    // ---- Z-order layout: multi-dimensional data skipping ------------------
+    // Morton-interleave (user_id low byte, coarse time bucket) into a
+    // 16-bit z-value and summarize the 16 z-range "files" the clustered
+    // write would produce: each file's min/max span on BOTH dimensions
+    // stays narrow simultaneously — the property that lets per-file
+    // min/max stats prune scans filtered on either column. A 1-D sort
+    // would bound one dimension and leave the other spanning the whole
+    // domain. Pure integer shift/mask arithmetic on both engines.
+    Q("q_zorder_layout",
+      (s, dir) => {
+        val xb = pmod(col("user_id"), lit(256L))
+        val yb = pmod(expr("unix_timestamp(ts) div 10000L"), lit(256L))
+        Tables.events(s, dir)
+          .withColumn("__x", xb).withColumn("__y", yb)
+          .withColumn("__z", graft.operators.ZOrder.interleave(
+            col("__x"), col("__y"), bits = 8))
+          .withColumn("file_id", expr("__z div 4096L"))
+          .groupBy(col("file_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("__x")).as("min_user"), max(col("__x")).as("max_user"),
+            min(col("__y")).as("min_tb"), max(col("__y")).as("max_tb"),
+            min(col("__z")).as("min_z"), max(col("__z")).as("max_z"))
+          .orderBy(col("file_id"))
+      },
+      Some {
+        val z = (0 until 8).flatMap(b => Seq(
+          s"(((x >> $b) & 1) << ${2 * b})",
+          s"(((y >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
+        s"""WITH d AS (
+           |  SELECT user_id % 256 AS x,
+           |         (CAST(floor(epoch(ts)) AS BIGINT) // 10000) % 256 AS y
+           |  FROM events),
+           |z AS (SELECT x, y, $z AS zv FROM d)
+           |SELECT zv // 4096 AS file_id, count(*) AS n_rows,
+           |  min(x) AS min_user, max(x) AS max_user,
+           |  min(y) AS min_tb, max(y) AS max_tb,
+           |  min(zv) AS min_z, max(zv) AS max_z
+           |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+      })
   )
 }

@@ -176,6 +176,61 @@ object JoinQueries {
              |       c.event_id AS next_click_id, c.ts AS next_click_ts
              |FROM err e ASOF LEFT JOIN clk c
              |  ON e.user_id = c.user_id AND e.ts <= c.ts
-             |ORDER BY e.event_id""".stripMargin))
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // ---- keyless interval join via range binning -------------------------
+    // "How many lineitems shipped (corpus-wide) during each high-value
+    // order's 7-day promo window?" — a point-in-interval join with NO
+    // equi-key, which Spark would otherwise plan as
+    // BroadcastNestedLoopJoin: O(points × intervals) comparisons, the
+    // classic range-join scale killer. RangeJoin.pointInInterval
+    // discretizes time into 7-day bins (intervals explode to ≤2 bins,
+    // each point hits exactly one) so the plan is an EQUI-join on the bin
+    // plus an exact [lo, hi) re-check — work is Σ_bin points·intervals
+    // per bin, linear for bounded bin occupancy. PlanShapeSpec asserts no
+    // nested-loop/cartesian node survives. Day arithmetic is all-integer
+    // (epoch div 86400), so the plain theta-join oracle hash-matches.
+    Q("q_range_join_binned",
+      (s, dir) => {
+        val points = Tables.lineitem(s, dir)
+          .select(expr("unix_timestamp(l_shipdate) div 86400L").as("ship_day"),
+            col("l_quantity"))
+        val promos = Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 450000.0)
+          .select(col("o_orderkey"),
+            expr("unix_timestamp(o_orderdate) div 86400L").as("lo"))
+          .withColumn("hi", col("lo") + 7L)
+        val shipped = graft.operators.RangeJoin.pointInInterval(
+            points, promos, "ship_day", "lo", "hi", binWidth = 7L)
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_shipped"),
+            sum(floor(col("l_quantity") * 100)).cast("long").as("qty_cents"))
+        promos.join(shipped, Seq("o_orderkey"), "left")
+          .select(col("o_orderkey"), col("lo").as("promo_day"),
+            coalesce(col("n_shipped"), lit(0L)).as("n_shipped"),
+            coalesce(col("qty_cents"), lit(0L)).as("qty_cents"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH promo AS (
+             |  SELECT o_orderkey,
+             |         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS lo
+             |  FROM orders WHERE o_totalprice > 450000.0),
+             |pts AS (
+             |  SELECT CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400
+             |           AS ship_day,
+             |         l_quantity
+             |  FROM lineitem),
+             |hits AS (
+             |  SELECT p.o_orderkey, count(*) AS n_shipped,
+             |         CAST(sum(CAST(floor(l.l_quantity * 100) AS BIGINT))
+             |           AS BIGINT) AS qty_cents
+             |  FROM promo p JOIN pts l
+             |    ON l.ship_day >= p.lo AND l.ship_day < p.lo + 7
+             |  GROUP BY p.o_orderkey)
+             |SELECT p.o_orderkey, p.lo AS promo_day,
+             |       coalesce(h.n_shipped, 0) AS n_shipped,
+             |       coalesce(h.qty_cents, 0) AS qty_cents
+             |FROM promo p LEFT JOIN hits h USING (o_orderkey)
+             |ORDER BY p.o_orderkey""".stripMargin))
   )
 }

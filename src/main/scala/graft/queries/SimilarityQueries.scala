@@ -411,13 +411,162 @@ object SimilarityQueries {
           .select(col("vec_id"), col("cluster"), col("dist2"))
           .orderBy(col("vec_id"))
       },
-      Some(kmeansOracle(k = 8, dim = 64, assignRounds = 3)))
+      Some(kmeansOracle(k = 8, dim = 64, assignRounds = 3))),
+
+    // ---- semantic dedup (SemDeDup): cluster, then prune within ----------
+    // The embedding-space dedup used on web-scale pretraining corpora:
+    // k-means partitions the corpus into semantic clusters, then ONLY
+    // within-cluster pairs are cosine-checked — a vector is a duplicate
+    // if a lower-id vector in its cluster exceeds the threshold (greedy
+    // keep-first). Scale: the clustering is the quadratic-killer — pair
+    // work is Σ_c |c|², and k grows ∝ N (FAISS-style) so cluster sizes
+    // stay ~constant ⇒ linear total work; the corpus shuffles once on
+    // the cluster id. Oracle: the k-means assignment CTE unrolled +
+    // the same pair predicate, so the approximation itself (cluster
+    // boundaries cutting true near-dup pairs and all) is hash-checked.
+    Q("q_semantic_dedup",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val quant = emb.select(col("vec_id"),
+          KMeans.quantize(col("embedding")).as("qv"))
+        val assigned = KMeans.lloyd(quant, "vec_id", k = 8, updates = 1)
+          .select(col("vec_id"), col("cluster"))
+          .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+          col("embedding").as("__ea"))
+        val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+          col("embedding").as("__eb"))
+        val dups = a.join(b, Seq("cluster"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("__sim_ppm",
+            floor(Knn.cosine(col("__ea"), col("__eb")) * 1e6).cast("long"))
+          .filter(col("__sim_ppm") >= 450000L)
+          .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"))
+          .withColumnRenamed("id_b", "vec_id")
+        assigned.select(col("vec_id"), col("cluster"))
+          .join(dups, Seq("vec_id"), "left")
+          .withColumn("is_dup", col("dup_of").isNotNull)
+          .orderBy(col("vec_id"))
+      },
+      Some(kmeansAssignCte(k = 8, dim = 64, assignRounds = 2) +
+        s""",
+           |asg AS (
+           |  SELECT a2.vec_id, a2.cid AS cluster, e.embedding
+           |  FROM a2 JOIN embeddings e USING (vec_id)),
+           |dups AS (
+           |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+           |  FROM asg a JOIN asg b
+           |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           |  WHERE CAST(floor(($cosSql) * 1e6) AS BIGINT) >= 450000
+           |  GROUP BY b.vec_id)
+           |SELECT g.vec_id, g.cluster, d.dup_of,
+           |       d.dup_of IS NOT NULL AS is_dup
+           |FROM asg g LEFT JOIN dups d USING (vec_id)
+           |ORDER BY g.vec_id""".stripMargin)),
+
+    // ---- JL sign random projection (64 → 8 dims) --------------------------
+    // Johnson–Lindenstrauss embedding as exact integer arithmetic: micro-
+    // quantized inputs × a deterministic ±1 sign matrix derived from pure
+    // integer hashing — both engines recompute the matrix from the
+    // formula, so the projection is hash-checked without shipping
+    // weights. Scale: narrow per-row map (zero shuffle), output 8 longs
+    // per vector ≈ 4× smaller than the 64-float source; downstream ANN /
+    // clustering / near-dup then run on the compact table.
+    Q("q_jl_project",
+      (s, dir) => graft.operators.RandomProjection.project(
+          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+          "embedding", dim = 64, outDims = 8)
+        .drop("embedding")
+        .orderBy(col("vec_id")),
+      Some("""WITH q AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    v -> CAST(floor(v::DOUBLE * 1e6) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |s AS (
+             |  SELECT j, list(CASE WHEN ((i*8+j)*2654435761) % 1048576 >= 524288
+             |                      THEN -1 ELSE 1 END ORDER BY i) AS sv
+             |  FROM range(8) t(j), range(64) u(i) GROUP BY j),
+             |p AS (
+             |  SELECT vec_id, j,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      [qv[i] * sv[i] for i in generate_series(1, 64)]),
+             |      (a, b) -> a + b) AS pv
+             |  FROM q, s)
+             |SELECT vec_id,
+             |  max(CASE WHEN j=0 THEN pv END) AS p0,
+             |  max(CASE WHEN j=1 THEN pv END) AS p1,
+             |  max(CASE WHEN j=2 THEN pv END) AS p2,
+             |  max(CASE WHEN j=3 THEN pv END) AS p3,
+             |  max(CASE WHEN j=4 THEN pv END) AS p4,
+             |  max(CASE WHEN j=5 THEN pv END) AS p5,
+             |  max(CASE WHEN j=6 THEN pv END) AS p6,
+             |  max(CASE WHEN j=7 THEN pv END) AS p7
+             |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // ---- NN search in the projected space ---------------------------------
+    // Top-3 neighbors by exact integer L2² over the 8 projected longs —
+    // the JL guarantee made operational: candidate generation runs on the
+    // 8-long table (the full-precision re-rank would then touch only
+    // k·|Q| vectors). The whole approximate result set is hash-checked.
+    Q("q_jl_nn",
+      (s, dir) => {
+        val p = graft.operators.RandomProjection.project(
+            Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+            "embedding", dim = 64, outDims = 8)
+          .drop("embedding")
+        val qs = p.filter(col("vec_id") < 10)
+        val renamedQ = qs.columns.foldLeft(qs)((d, c) => d.withColumnRenamed(c, s"q_$c"))
+        val d2 = (0 until 8)
+          .map(j => (col(s"q_p$j") - col(s"p$j")) * (col(s"q_p$j") - col(s"p$j")))
+          .reduce(_ + _)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("d2"), col("neighbor_id"))
+        broadcast(renamedQ).crossJoin(p)
+          .filter(col("q_vec_id") =!= col("vec_id"))
+          .select(col("q_vec_id").as("query_id"),
+            col("vec_id").as("neighbor_id"), d2.as("d2"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    v -> CAST(floor(v::DOUBLE * 1e6) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |s AS (
+             |  SELECT j, list(CASE WHEN ((i*8+j)*2654435761) % 1048576 >= 524288
+             |                      THEN -1 ELSE 1 END ORDER BY i) AS sv
+             |  FROM range(8) t(j), range(64) u(i) GROUP BY j),
+             |p AS (
+             |  SELECT vec_id, j,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      [qv[i] * sv[i] for i in generate_series(1, 64)]),
+             |      (a, b) -> a + b) AS pv
+             |  FROM q, s),
+             |pairs AS (
+             |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |         CAST(sum((a.pv - b.pv) * (a.pv - b.pv)) AS BIGINT) AS d2
+             |  FROM p a JOIN p b ON a.j = b.j AND a.vec_id <> b.vec_id
+             |  WHERE a.vec_id < 10
+             |  GROUP BY a.vec_id, b.vec_id)
+             |SELECT query_id, neighbor_id, d2, CAST(rn AS INTEGER) AS rank
+             |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             |               ORDER BY d2, neighbor_id) AS rn FROM pairs) t
+             |WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin))
   )
 
   /** DuckDB mirror of KMeans.lloyd: `assignRounds`-1 update rounds fully
     * unrolled as CTEs (a<r> = argmin assignment, c<r> = truncating-mean
     * update with empty-cluster carry), identical integer arithmetic. */
-  private def kmeansOracle(k: Int, dim: Int, assignRounds: Int): String = {
+  private def kmeansOracle(k: Int, dim: Int, assignRounds: Int): String =
+    kmeansAssignCte(k, dim, assignRounds) +
+      s"\nSELECT vec_id, cid AS cluster, dist AS dist2 FROM a$assignRounds ORDER BY vec_id"
+
+  /** The WITH-body of [[kmeansOracle]] up to the final assignment CTE
+    * `a<assignRounds>` (vec_id, cid, dist) — reusable prefix for queries
+    * that post-process a k-means clustering. */
+  private def kmeansAssignCte(k: Int, dim: Int, assignRounds: Int): String = {
     val sb = new StringBuilder(
       s"""WITH q AS (
          |  SELECT vec_id, list_transform(embedding,
@@ -447,8 +596,6 @@ object SimilarityQueries {
            |c$r AS (SELECT c${r - 1}.cid, coalesce(cl$r.qv, c${r - 1}.qv) AS qv
            |  FROM c${r - 1} LEFT JOIN cl$r USING (cid))""".stripMargin)
     }
-    sb.append(
-      s"\nSELECT vec_id, cid AS cluster, dist AS dist2 FROM a$assignRounds ORDER BY vec_id")
     sb.toString
   }
 }

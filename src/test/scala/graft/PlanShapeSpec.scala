@@ -100,4 +100,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(s.contains("__qb"),
       s"expected the rank window to partition by the quality bucket:\n$s")
   }
+
+  test("binned range join plans an equi-join: no nested-loop/cartesian node") {
+    val s = render(plan("q_range_join_binned"))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"the keyless interval join must bin into an equi-join:\n$s")
+  }
 }
