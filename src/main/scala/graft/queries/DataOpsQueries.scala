@@ -4,14 +4,109 @@ import graft.{Q, Tables}
 import graft.operators.{BloomPrune, Merge, SaltedJoin}
 import org.apache.spark.sql.functions._
 
-/** Warehouse-maintenance data operations: batch merge/upsert and explicit
-  * skew-salted joins. Both oracle-checked against the semantically-plain
-  * SQL form — the operators change the PLAN (partitioning, straggler
-  * behavior), never the result.
+/** Warehouse-maintenance data operations: batch merge/upsert, explicit
+  * skew-salted joins, CDC changelog apply, and GDPR cascade deletion.
+  * All oracle-checked against the semantically-plain SQL form — the
+  * operators change the PLAN (partitioning, straggler behavior), never
+  * the result.
   */
 object DataOpsQueries {
 
   val all: Seq[Q] = Seq(
+
+    // ---- CDC changelog apply ----------------------------------------------
+    // Collapse an insert/update/delete change stream into the current
+    // snapshot: events is read as a CDC log keyed by user_id ('error'
+    // rows are tombstones, everything else an upsert carrying `value`);
+    // a key whose LATEST op is a delete is absent from the snapshot.
+    // Shape: ONE map-side-combinable hash aggregate — `max_by` keeps the
+    // newest (ts, event_id) change per key, so only one partial row per
+    // (key × map task) crosses the shuffle, never the full log. The
+    // window/row_number formulation (the oracle) would shuffle and sort
+    // every row; at 100 TB of changelog the aggregate form is the only
+    // one that survives.
+    Q("q_cdc_apply",
+      (s, dir) => {
+        val log = Tables.events(s, dir)
+          .withColumn("__op",
+            when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+          .withColumn("__cents", floor(col("value") * 100).cast("long"))
+          .withColumn("__ep", unix_timestamp(col("ts")))
+        log.groupBy(col("user_id"))
+          .agg(
+            max_by(struct(col("__op"), col("__cents"), col("__ep")),
+              struct(col("ts"), col("event_id"))).as("__last"),
+            count(lit(1)).as("n_ops"))
+          .filter(col("__last.__op") === "U")
+          .select(col("user_id"),
+            col("__last.__cents").as("value_cents"),
+            col("__last.__ep").as("last_epoch"),
+            col("n_ops"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id,
+             |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             |    CAST(floor(value * 100) AS BIGINT) AS cents,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+             |    row_number() OVER (PARTITION BY user_id
+             |                       ORDER BY ts DESC, event_id DESC) AS rn,
+             |    count(*) OVER (PARTITION BY user_id) AS n_ops
+             |  FROM events)
+             |SELECT user_id, cents AS value_cents, ep AS last_epoch, n_ops
+             |FROM c WHERE rn = 1 AND op = 'U'
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- GDPR cascade delete audit -----------------------------------------
+    // Right-to-be-forgotten: a forget-set of customer keys cascades
+    // through orders to lineitem; the audit reports per-table
+    // before/deleted/after counts. Shape: the forget-set is tiny by
+    // nature (individual erasure requests) → broadcast semi joins against
+    // customer and orders; lineitem reaches its deleted set through a
+    // key equi-join on o_orderkey (a plain shuffle join at scale — the
+    // forgotten-order set grows with the forget-set, so it is NOT
+    // broadcast). Nothing scans any table more than once per count.
+    Q("q_gdpr_delete",
+      (s, dir) => {
+        val forget = Tables.customer(s, dir)
+          .filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+        val ordGone = Tables.orders(s, dir)
+          .join(broadcast(forget), col("o_custkey") === col("c_custkey"), "left_semi")
+        val liGone = Tables.lineitem(s, dir)
+          .join(ordGone.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")
+        def audit(name: String, total: org.apache.spark.sql.DataFrame,
+                  deleted: org.apache.spark.sql.DataFrame) =
+          total.agg(count(lit(1)).as("__t"))
+            .crossJoin(deleted.agg(count(lit(1)).as("__d")))
+            .select(lit(name).as("tbl"), col("__t").as("n_before"),
+              col("__d").as("n_deleted"), (col("__t") - col("__d")).as("n_after"))
+        audit("customer", Tables.customer(s, dir), forget)
+          .unionAll(audit("lineitem", Tables.lineitem(s, dir), liGone))
+          .unionAll(audit("orders", Tables.orders(s, dir), ordGone))
+          .orderBy(col("tbl"))
+      },
+      Some("""WITH f  AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+             |fo AS (SELECT o_orderkey FROM orders
+             |       WHERE o_custkey IN (SELECT c_custkey FROM f))
+             |SELECT 'customer' AS tbl,
+             |  (SELECT count(*) FROM customer) AS n_before,
+             |  (SELECT count(*) FROM f) AS n_deleted,
+             |  (SELECT count(*) FROM customer) - (SELECT count(*) FROM f) AS n_after
+             |UNION ALL
+             |SELECT 'lineitem',
+             |  (SELECT count(*) FROM lineitem),
+             |  (SELECT count(*) FROM lineitem
+             |   WHERE l_orderkey IN (SELECT o_orderkey FROM fo)),
+             |  (SELECT count(*) FROM lineitem)
+             |    - (SELECT count(*) FROM lineitem
+             |       WHERE l_orderkey IN (SELECT o_orderkey FROM fo))
+             |UNION ALL
+             |SELECT 'orders',
+             |  (SELECT count(*) FROM orders),
+             |  (SELECT count(*) FROM fo),
+             |  (SELECT count(*) FROM orders) - (SELECT count(*) FROM fo)
+             |ORDER BY tbl""".stripMargin)),
 
     // ---- batch MERGE / SCD1 upsert ---------------------------------------
     // A change set (every 7th order re-priced +100.00) folded into the
