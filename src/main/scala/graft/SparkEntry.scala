@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.CurationQueries.all ++
       graft.queries.DataOpsQueries.all ++
       graft.queries.PQQueries.all ++
-      graft.queries.SearchQueries.all
+      graft.queries.SearchQueries.all ++
+      graft.queries.GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Latest event per user (the reference's signature DISTINCT ON operator,
