@@ -264,6 +264,85 @@ object CurationQueries {
              |       min(n) AS min_tokens, max(n) AS max_tokens
              |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- RAG chunking: fixed-size windows with overlap ---------------------
+    // Split every document into 64-token retrieval chunks on a 48-token
+    // stride (16-token overlap keeps sentences that straddle a boundary
+    // findable from both sides). A trailing window that would start
+    // within the previous chunk's overlap region (start ≥ n−16) is
+    // dropped — it contains no new tokens. Scale: pure per-row explode,
+    // zero shuffle; chunk count is ⌈(n−16)/48⌉ so output volume is
+    // ~4/3× the corpus regardless of document sizes.
+    Q("q_chunk_overlap",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("__t", Text.tokens(col("text")))
+          .withColumn("__n", size(col("__t")).cast("long"))
+        docs.select(col("doc_id"), col("__n"),
+            posexplode(transform(
+              sequence(lit(0L), greatest(expr("(__n - 17) div 48L"), lit(0L))),
+              i => array_join(slice(col("__t"), (i * 48 + 1).cast("int"), lit(64)), " ")))
+              .as(Seq("chunk_id", "chunk_text")))
+          .withColumn("chunk_id", col("chunk_id").cast("long"))
+          .withColumn("start_tok", col("chunk_id") * 48L)
+          .withColumn("n_tokens", least(col("__n") - col("start_tok"), lit(64L)))
+          .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+            col("n_tokens"), col("chunk_text"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t,
+             |         len(string_split(text, ' ')) AS n
+             |  FROM documents),
+             |ch AS (
+             |  SELECT doc_id, u.i AS chunk_id, u.i * 48 AS start_tok,
+             |         least(n - u.i * 48, 64) AS n_tokens,
+             |         array_to_string(t[(u.i*48+1):(u.i*48+64)], ' ') AS chunk_text
+             |  FROM t CROSS JOIN LATERAL
+             |    (SELECT unnest(generate_series(0, greatest((n-17)//48, 0))) AS i) u)
+             |SELECT doc_id, chunk_id, start_tok, n_tokens, chunk_text
+             |FROM ch ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ---- containment search (asymmetric near-dup / subset detection) ------
+    // Jaccard treats "doc A is wholly contained in much-larger doc B" as
+    // dissimilar; containment |A∩B|/|A| is the right measure for quote
+    // extraction, template expansion, and prompt-in-corpus lookup. Query
+    // set = docs 0–9; every corpus doc reports the query docs covering
+    // ≥ 10% of its distinct shingles. Scale: query-set shingles broadcast
+    // (queries are human-scale); the corpus side is one explode + two
+    // hash aggregates — the 100 TB side shuffles (doc_id, q_id) count
+    // rows, never text.
+    Q("q_containment",
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(Text.shingleHashes(col("text"))).as("h"))
+        val qSh = sh.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("q_id"), col("h"))
+        val cSh = sh.filter(col("doc_id") >= 10)
+        val sizes = cSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+        cSh.join(broadcast(qSh), Seq("h"))
+          .groupBy(col("doc_id"), col("q_id")).agg(count(lit(1)).as("n_inter"))
+          .join(sizes, Seq("doc_id"))
+          .withColumn("containment_ppm",
+            expr("n_inter * 1000000L div n_shingles"))
+          .filter(col("containment_ppm") >= 100000L)
+          .select(col("doc_id"), col("q_id"), col("n_inter"),
+            col("n_shingles"), col("containment_ppm"))
+          .orderBy(col("doc_id"), col("q_id"))
+      },
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, unnest(${Text.shingleHashesSql("text")}) AS h
+              |  FROM documents),
+              |q AS (SELECT doc_id AS q_id, h FROM sh WHERE doc_id < 10),
+              |c AS (SELECT doc_id, h FROM sh WHERE doc_id >= 10),
+              |sz AS (SELECT doc_id, count(*) AS n_shingles FROM c GROUP BY doc_id),
+              |i AS (SELECT c.doc_id, q.q_id, count(*) AS n_inter
+              |      FROM c JOIN q USING (h) GROUP BY 1, 2)
+              |SELECT i.doc_id, i.q_id, i.n_inter, sz.n_shingles,
+              |       i.n_inter * 1000000 // sz.n_shingles AS containment_ppm
+              |FROM i JOIN sz USING (doc_id)
+              |WHERE i.n_inter * 1000000 // sz.n_shingles >= 100000
+              |ORDER BY i.doc_id, i.q_id""".stripMargin)),
+
     // ---- boilerplate stripping (CCNet-style, chunk granularity) -----------
     // Documents are split into consecutive 8-token chunks; a chunk whose
     // exact text occurs in ≥ 3 distinct documents is boilerplate (headers,
