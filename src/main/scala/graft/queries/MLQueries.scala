@@ -107,6 +107,70 @@ object MLQueries {
              |            THEN 'train' ELSE 'test' END AS split,
              |       count(*) AS n, count(DISTINCT user_id) AS n_users,
              |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-             |FROM events GROUP BY split ORDER BY split""".stripMargin))
+             |FROM events GROUP BY split ORDER BY split""".stripMargin)),
+
+    // ---- feature-drift detection (total variation distance) --------------
+    // Model-monitoring drift check between the first and second half of
+    // the time range: per event_type, histogram `value` into 10
+    // fixed-width buckets per period, compare the two share vectors by
+    // total variation distance TVD = Σ|p_A − p_B| / 2, in exact integer
+    // ppm. (PSI is the textbook statistic but needs ln(), which is not
+    // bit-portable across engines; TVD ranks drift identically for
+    // monitoring thresholds.) Scale: two hash aggregates to
+    // (type × period × 10) rows plus a tiny self-join — the events table
+    // is scanned once and shuffles only count rows.
+    Q("q_drift_tvd",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("__ep", unix_timestamp(col("ts")))
+        val rng = ev.agg(min(col("__ep")).as("__mn"), max(col("__ep")).as("__mx"))
+        val hist = ev.crossJoin(broadcast(rng))
+          .withColumn("period",
+            when(col("__ep") * 2 <= col("__mn") + col("__mx"), "A").otherwise("B"))
+          .withColumn("bucket", least(floor(col("value") / 50).cast("long"), lit(9L)))
+          .groupBy(col("event_type"), col("period"), col("bucket"))
+          .agg(count(lit(1)).as("__c"))
+        val tot = hist.groupBy(col("event_type"), col("period"))
+          .agg(sum(col("__c")).as("__t"))
+        val sh = hist.join(tot, Seq("event_type", "period"))
+          .withColumn("__p", expr("__c * 1000000L div __t"))
+        val a = sh.filter(col("period") === "A")
+          .select(col("event_type"), col("bucket"), col("__p").as("__pa"))
+        val b = sh.filter(col("period") === "B")
+          .select(col("event_type"), col("bucket"), col("__p").as("__pb"))
+        a.join(b, Seq("event_type", "bucket"), "full_outer")
+          .groupBy(col("event_type"))
+          .agg(sum(abs(coalesce(col("__pa"), lit(0L))
+            - coalesce(col("__pb"), lit(0L)))).as("__sd"),
+            count(lit(1)).as("n_buckets"))
+          .select(col("event_type"), expr("__sd div 2").as("tvd_ppm"),
+            col("n_buckets"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, value,
+             |         CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+             |r AS (SELECT min(ep) AS mn, max(ep) AS mx FROM e),
+             |h AS (
+             |  SELECT event_type,
+             |    CASE WHEN ep * 2 <= mn + mx THEN 'A' ELSE 'B' END AS period,
+             |    least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket,
+             |    count(*) AS c
+             |  FROM e, r GROUP BY 1, 2, 3),
+             |t AS (SELECT event_type, period, CAST(sum(c) AS BIGINT) AS t
+             |      FROM h GROUP BY 1, 2),
+             |s AS (SELECT h.event_type, h.period, h.bucket,
+             |             h.c * 1000000 // t.t AS p
+             |      FROM h JOIN t USING (event_type, period)),
+             |j AS (
+             |  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+             |         coalesce(a.p, 0) AS pa, coalesce(b.p, 0) AS pb
+             |  FROM (SELECT * FROM s WHERE period = 'A') a
+             |  FULL OUTER JOIN (SELECT * FROM s WHERE period = 'B') b
+             |    ON a.event_type = b.event_type AND a.bucket = b.bucket)
+             |SELECT event_type,
+             |       CAST(sum(abs(pa - pb)) AS BIGINT) // 2 AS tvd_ppm,
+             |       count(*) AS n_buckets
+             |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -313,6 +313,43 @@ object TextQueries {
              |  nfc_normalize(dt) AS nfc_text,
              |  strip_accents(nfc_normalize(dt)) AS ascii_text,
              |  length(nfc_normalize(dt)) AS n_chars
-             |FROM d ORDER BY doc_id""".stripMargin))
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // ---- model-based quality classifier (hashed linear scorer) -----------
+    // The fastText-style complement to the heuristic quality score: each
+    // token hashes into one of 64 weight buckets; the document's score is
+    // the mean bucket weight. Weights here are a deterministic function
+    // of the bucket id (production swaps in trained weights as a 64-row
+    // broadcast — identical plan); weights live in [0, 2000] with 1000
+    // neutral so every quantity stays non-negative BIGINT (Spark `div`
+    // truncates toward zero, DuckDB `//` floors — they only agree ≥ 0).
+    // Scale: narrow per-row fold over the token array, zero shuffle,
+    // nothing leaves the row until the final ORDER BY (oracle-only).
+    Q("q_quality_classifier",
+      (s, dir) => {
+        val weight = (t: org.apache.spark.sql.Column) =>
+          pmod(pmod(Text.polyHash(t), lit(64L)) * 2654435761L, lit(2001L))
+        Tables.documents(s, dir)
+          .withColumn("__toks", Text.tokens(col("text")))
+          .withColumn("__n", size(col("__toks")).cast("long"))
+          .withColumn("raw_score",
+            aggregate(transform(col("__toks"), weight), lit(0L), (a, x) => a + x))
+          .withColumn("score_milli", expr("raw_score * 1000L div __n"))
+          .select(col("doc_id"), col("__n").as("n_tokens"), col("raw_score"),
+            col("score_milli"), (col("score_milli") >= 1000000L).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              |sc AS (
+              |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+              |    list_reduce(list_prepend(0::BIGINT, list_transform(toks,
+              |      tok -> ((${Text.polyHashSql("tok")}) % 64 * 2654435761) % 2001)),
+              |      (a, x) -> a + x) AS sw
+              |  FROM t)
+              |SELECT doc_id, n AS n_tokens, sw AS raw_score,
+              |       sw * 1000 // n AS score_milli,
+              |       sw * 1000 // n >= 1000000 AS keep
+              |FROM sc ORDER BY doc_id""".stripMargin))
   )
 }
