@@ -229,6 +229,27 @@ object MiscQueries {
              |FROM events WHERE (event_id * 2654435761) % 97 < 10
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ---- deterministic weighted sampling without replacement -------------
+    // The integer A-ES idiom: every document gets priority
+    // hash(id)·1e6 div weight (weight = n_chars, so longer documents are
+    // proportionally likelier), and the k smallest priorities win. No RNG
+    // state to coordinate — the same k rows come back on any engine,
+    // partitioning, or rerun, and appends only perturb the selection at
+    // the priority boundary. Scale: priorities are a narrow per-row map
+    // and the global top-k is TakeOrderedAndProject (per-partition heaps,
+    // k rows to the driver) — never a global sort.
+    Q("q_weighted_sample",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("priority",
+          expr("pmod(doc_id * 2654435761L, 1000000007L) * 1000000L div n_chars"))
+        .select(col("doc_id"), col("n_chars").as("weight"), col("priority"))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(25),
+      Some("""SELECT doc_id, n_chars AS weight,
+             |  (doc_id * 2654435761) % 1000000007 * 1000000 // n_chars AS priority
+             |FROM documents
+             |ORDER BY priority, doc_id LIMIT 25""".stripMargin)),
+
     // ---- data profiling: one row of per-column stats per column ---------
     // The standard pre-ingest profiling report (null counts, cardinality,
     // numeric range) as a single scan: per-column aggregates computed

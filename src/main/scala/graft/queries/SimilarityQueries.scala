@@ -464,6 +464,42 @@ object SimilarityQueries {
            |FROM asg g LEFT JOIN dups d USING (vec_id)
            |ORDER BY g.vec_id""".stripMargin)),
 
+    // ---- diversity-balanced sampling (cluster quotas) ---------------------
+    // Uniform hash sampling over-represents dense regions of embedding
+    // space; sampling a FIXED quota per semantic cluster keeps rare modes
+    // in the training mix. k-means (same integer-exact Lloyd round as
+    // q_kmeans) partitions the space, then each cluster contributes its 8
+    // smallest-hash members. Scale: clustering is one scan per round
+    // (centroids broadcast); the quota pick is a per-cluster window whose
+    // sort parallelizes across clusters — with k ∝ N (FAISS sizing)
+    // cluster sizes stay bounded, so no partition outgrows its executor.
+    Q("q_diversity_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val quant = Tables.embeddings(s, dir)
+          .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
+        val assigned = KMeans.lloyd(quant, "vec_id", k = 8, updates = 1)
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("__h"), col("vec_id"))
+        assigned
+          .withColumn("__h", pmod(col("vec_id") * 2654435761L, lit(1000003L)))
+          .withColumn("pick_rank", row_number().over(w).cast("long"))
+          .filter(col("pick_rank") <= 8)
+          .select(col("vec_id"), col("cluster"), col("pick_rank"))
+          .orderBy(col("cluster"), col("pick_rank"))
+      },
+      Some(kmeansAssignCte(k = 8, dim = 64, assignRounds = 2) +
+        """,
+          |h AS (SELECT vec_id, cid AS cluster,
+          |        (vec_id * 2654435761) % 1000003 AS hk FROM a2),
+          |r AS (SELECT vec_id, cluster, hk,
+          |        row_number() OVER (PARTITION BY cluster
+          |                           ORDER BY hk, vec_id) AS rn
+          |      FROM h)
+          |SELECT vec_id, cluster, CAST(rn AS BIGINT) AS pick_rank
+          |FROM r WHERE rn <= 8
+          |ORDER BY cluster, pick_rank""".stripMargin)),
+
     // ---- JL sign random projection (64 → 8 dims) --------------------------
     // Johnson–Lindenstrauss embedding as exact integer arithmetic: micro-
     // quantized inputs × a deterministic ±1 sign matrix derived from pure
