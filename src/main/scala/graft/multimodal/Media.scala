@@ -41,14 +41,38 @@ object Media {
     hist
   }
 
+  /** Byte offsets of n evenly-spaced 16-byte "frames" (ascending,
+    * deduplicated — short payloads yield fewer than n). */
+  private[graft] def frameOffsets(len: Int, n: Int): Seq[Int] =
+    if (len < 16 || n <= 0) Seq.empty
+    else {
+      val step = math.max(1, (len - 16) / math.max(n - 1, 1))
+      (0 until n).map(i => math.min(i * step, len - 16)).distinct
+    }
+
   /** Deterministic frame sampling: n evenly-spaced 16-byte "frames". */
   private[graft] def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
-    if (bytes.length < 16 || n <= 0) Seq.empty
-    else {
-      val step = math.max(1, (bytes.length - 16) / math.max(n - 1, 1))
-      (0 until n).map(i => math.min(i * step, bytes.length - 16))
-        .distinct.map(off => bytes.slice(off, off + 16))
+    frameOffsets(bytes.length, n).map(off => bytes.slice(off, off + 16))
+
+  final case class FrameRow(
+      media_id: Long, frame_idx: Int, byte_offset: Long, frame: Array[Byte])
+
+  /** Explode each media item into its sampled frames — the video/audio
+    * frame-extraction plumbing (a real decoder replaces the byte-slice
+    * "frame grab", nothing else changes). Partition-parallel flatMap, no
+    * shuffle; output rows are fixed-width so downstream per-frame work
+    * (embedding, dedup, quality) shuffles 16-byte frames, never payloads. */
+  def frameRows(media: Dataset[MediaRow], framesPerItem: Int = 4): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        frameOffsets(r.bytes.length, framesPerItem).zipWithIndex.map {
+          case (off, idx) =>
+            FrameRow(r.media_id, idx, off.toLong, r.bytes.slice(off, off + 16))
+        }
+      }
     }
+  }
 
   /** Batch feature extraction over the binary column — partition-parallel,
     * no shuffle, constant memory per row. */

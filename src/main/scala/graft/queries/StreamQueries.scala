@@ -364,6 +364,47 @@ object StreamQueries {
              |      i -> least(i * greatest(1, (strlen(text) - 16) // 3),
              |                 strlen(text) - 16))))
              |  END AS frames_sampled
-             |FROM documents ORDER BY media_id""".stripMargin))
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // ---- multimodal frame table: per-frame rows with portable hashes ----
+    // The frame-sampling plumbing exploded to one row per sampled frame —
+    // the shape a video/audio pipeline feeds to per-frame embedding or
+    // dedup. The 16-byte "frame grab" stands in for a decoder; offsets
+    // and frame BYTES are deterministic (UTF-8 payload), so the whole
+    // table — offsets, indices, and a portable hash of each frame's
+    // bytes — is oracle-checked, proving the typed mapPartitions path
+    // emits exactly the rows the offset formula promises. Scale: flatMap,
+    // no shuffle, 4 fixed-width rows per item.
+    Q("q_media_frames",
+      (s, dir) => {
+        import s.implicits._
+        val media = Media.synthesize(
+          graft.Tables.documents(s, dir), "doc_id", "text").as[Media.MediaRow]
+        Media.frameRows(media, framesPerItem = 4)
+          .select(col("media_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            col("byte_offset"),
+            graft.functions.Text.polyHash(decode(col("frame"), "UTF-8"))
+              .as("frame_hash"))
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some(s"""WITH m AS (
+              |  SELECT doc_id AS media_id, text, strlen(text) AS n
+              |  FROM documents WHERE strlen(text) >= 16),
+              |p AS (SELECT media_id, text, n,
+              |        greatest(1, (n - 16) // 3) AS step FROM m),
+              |f AS (SELECT DISTINCT media_id, text,
+              |        least(u.i * step, n - 16) AS off
+              |      FROM p CROSS JOIN LATERAL
+              |        (SELECT unnest(range(4)) AS i) u),
+              |r AS (SELECT media_id, off,
+              |        row_number() OVER (PARTITION BY media_id
+              |                           ORDER BY off) - 1 AS frame_idx,
+              |        substring(text, CAST(off + 1 AS INTEGER), 16) AS frame_s
+              |      FROM f)
+              |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+              |       off AS byte_offset,
+              |       ${graft.functions.Text.polyHashSql("frame_s")} AS frame_hash
+              |FROM r ORDER BY media_id, frame_idx""".stripMargin))
   )
 }
