@@ -212,6 +212,68 @@ object MiscQueries {
              |FROM events GROUP BY event_type
              |ORDER BY event_type NULLS FIRST""".stripMargin)),
 
+    // ---- CSV round-trip (the reference's ingest format) -------------------
+    // Write → schema'd read-back → aggregate, proving CSV serialization
+    // is lossless for the pipeline's types (Spark prints doubles with
+    // round-trip precision). Same uniqueness discipline as the JSON
+    // round-trip: path keyed by (input dir, applicationId).
+    Q("q_csv_roundtrip",
+      (s, dir) => {
+        val path = s"/tmp/graft_csv_roundtrip_${math.abs(dir.hashCode)}_" +
+          s.sparkContext.applicationId
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").option("header", "true").csv(path)
+        s.read
+          .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+          .option("header", "true")
+          .csv(path)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  count(DISTINCT user_id) AS n_users,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type NULLS FIRST""".stripMargin)),
+
+    // ---- incremental materialized-view maintenance ------------------------
+    // The 100 TB rollup discipline: never recompute an aggregate from
+    // scratch — keep per-key PARTIALS (count/sum/min/max are all
+    // combinable) and fold each new batch in. Here the "standing" rollup
+    // (events before Jan 15) and the "delta" batch (after) are aggregated
+    // independently and combined; the oracle is the from-scratch
+    // aggregate over everything, so the hash match proves the combine
+    // algebra exactly. Scale: the standing side is rollup-sized (one row
+    // per key), only the delta is scanned per refresh; avg/stddev derive
+    // from (n, sum, sum²) the same way.
+    Q("q_incremental_rollup",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("__c", floor(col("value") * 100).cast("long"))
+          .withColumn("__ep", unix_timestamp(col("ts")))
+        def partial(f: org.apache.spark.sql.Column) = ev.filter(f)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("__n"), sum(col("__c")).as("__s"),
+            min(col("__c")).as("__mn"), max(col("__c")).as("__mx"))
+        val split = 1705276800L // 2024-01-15T00:00:00Z
+        partial(col("__ep") < split)
+          .unionAll(partial(col("__ep") >= split))
+          .groupBy(col("user_id"))
+          .agg(sum(col("__n")).as("n_events"), sum(col("__s")).as("sum_cents"),
+            min(col("__mn")).as("min_cents"), max(col("__mx")).as("max_cents"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents,
+             |  min(CAST(floor(value * 100) AS BIGINT)) AS min_cents,
+             |  max(CAST(floor(value * 100) AS BIGINT)) AS max_cents
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ---- deterministic hash-based sampling ------------------------------
     // Multiplicative hash on the key → ~10.3% Bernoulli sample that is
     // reproducible across runs, engines, and cluster sizes (no RNG state,
