@@ -372,6 +372,99 @@ object DedupQueries {
               |  CAST(coalesce(j, 0) AS BIGINT) AS jaccard_ppm
               |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
               |LEFT JOIN best ON d.doc_id = best.new_id
-              |ORDER BY d.doc_id""".stripMargin))
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- exact-substring dedup (duplicated-span accounting) ---------------
+    // Document-level dedup misses the web's real duplication shape:
+    // shared SPANS (quotes, licenses, templates) inside otherwise-unique
+    // pages. The ExactSubstr discipline: a position is duplicated when
+    // its 8-token gram occurs anywhere else in the corpus; overlapping
+    // duplicated grams merge into maximal spans (gaps-and-islands over
+    // positions), and each document reports its duplicated-token count —
+    // the quantity a span-removal pass would cut. Scale: the corpus
+    // shuffles (8-byte hash, position) pairs — never text — into one
+    // occurrence-count aggregate; the span merge is two windows
+    // partitioned by doc_id, so per-task state is bounded by document
+    // length. This is the honest distributed form of suffix-array
+    // ExactSubstr: same output, no global suffix sort.
+    Q("q_exact_substr",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+          .withColumn("__t", Text.tokens(col("text")))
+          .withColumn("__n", size(col("__t")).cast("long"))
+        val grams = docs.filter(col("__n") >= 8)
+          .select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(0L), col("__n") - 8),
+              p => Text.polyHash(
+                array_join(slice(col("__t"), (p + 1).cast("int"), lit(8)), " "))))
+              .as(Seq("p", "h")))
+          .withColumn("p", col("p").cast("long"))
+        val occ = grams.groupBy(col("h")).agg(count(lit(1)).as("__c"))
+        val dup = grams.join(occ, Seq("h")).filter(col("__c") > 1)
+          .select(col("doc_id"), col("p"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        val prevMax = max(col("p") + 8)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        val isl = dup
+          .withColumn("__brk",
+            when(prevMax.isNull || col("p") >= prevMax, 1L).otherwise(0L))
+          .withColumn("__island", sum(col("__brk"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val per = isl.groupBy(col("doc_id"), col("__island"))
+          .agg(min(col("p")).as("__s"), max(col("p") + 8).as("__e"),
+            count(lit(1)).as("__np"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("__e") - col("__s")).as("__dt"), sum(col("__np")).as("__dp"))
+        docs.select(col("doc_id"), col("__n"))
+          .join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("__n").as("n_tokens"),
+            coalesce(col("__dp"), lit(0L)).as("n_dup_positions"),
+            coalesce(col("__dt"), lit(0L)).as("dup_tokens"),
+            expr("coalesce(__dt, 0L) * 1000000L div __n").as("dup_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val gram = "array_to_string(t[(u.p+1):(u.p+8)], ' ')"
+        s"""WITH tk AS (
+           |  SELECT doc_id, string_split(text, ' ') AS t,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id, u.p AS p, ${Text.polyHashSql(gram)} AS h
+           |  FROM tk CROSS JOIN LATERAL
+           |    (SELECT unnest(range(n - 7)) AS p) u
+           |  WHERE n >= 8),
+           |occ AS (SELECT h, count(*) AS c FROM g GROUP BY h),
+           |d AS (SELECT g.doc_id, g.p FROM g JOIN occ USING (h) WHERE occ.c > 1),
+           |brk AS (
+           |  SELECT doc_id, p,
+           |    CASE WHEN max(p + 8) OVER prev IS NULL
+           |           OR p >= max(p + 8) OVER prev THEN 1 ELSE 0 END AS b
+           |  FROM d
+           |  WINDOW prev AS (PARTITION BY doc_id ORDER BY p
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+           |isl AS (
+           |  SELECT doc_id, p,
+           |    CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY p
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS island
+           |  FROM brk),
+           |spans AS (
+           |  SELECT doc_id, island, min(p) AS s, max(p + 8) AS e,
+           |         count(*) AS np
+           |  FROM isl GROUP BY 1, 2),
+           |per AS (
+           |  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS dt,
+           |         CAST(sum(np) AS BIGINT) AS dp
+           |  FROM spans GROUP BY 1)
+           |SELECT tk.doc_id, tk.n AS n_tokens,
+           |  coalesce(per.dp, 0) AS n_dup_positions,
+           |  coalesce(per.dt, 0) AS dup_tokens,
+           |  coalesce(per.dt, 0) * 1000000 // tk.n AS dup_ppm
+           |FROM tk LEFT JOIN per USING (doc_id)
+           |ORDER BY tk.doc_id""".stripMargin
+      })
   )
 }
