@@ -248,6 +248,78 @@ object DataOpsQueries {
              |    IS NULL AS is_current
              |FROM dim ORDER BY user_id, version""".stripMargin)),
 
+    // ---- record linkage (blocked entity resolution) ------------------------
+    // Match a "dirty" feed (every customer name with one digit among the
+    // last four cyclically bumped — a deterministic typo both engines can
+    // reproduce) back to the master table. All-pairs edit distance is
+    // O(N²); the classic fix is multi-index exact blocking: split the
+    // varying suffix into two 2-char blocks — one substitution can only
+    // corrupt ONE of them (pigeonhole), so the union of the two
+    // block-equality joins provably contains every true match. Edit
+    // distance verifies candidates only; best match = (min distance,
+    // min key). Same (k,L) multi-table trick as the embedding LSH
+    // operators, on strings. Scale: two equi-joins on short keys + a
+    // candidate-bounded verify — never N².
+    Q("q_record_linkage",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+        val dirty = base.select(
+          col("c_custkey").as("dirty_id"),
+          expr("""concat(
+                 |  substring(c_name, 1, CAST(14 + c_custkey % 4 AS INT)),
+                 |  char(48 + (ascii(substring(c_name, CAST(15 + c_custkey % 4 AS INT), 1)) - 48 + 1) % 10),
+                 |  substring(c_name, CAST(16 + c_custkey % 4 AS INT)))""".stripMargin)
+            .as("dirty_name"))
+        def block(from: Int) = dirty
+          .withColumn("__bk", expr(s"substring(dirty_name, $from, 2)"))
+          .join(base.withColumn("__bk", expr(s"substring(c_name, $from, 2)")), Seq("__bk"))
+          .select(col("dirty_id"), col("dirty_name"), col("c_custkey"), col("c_name"))
+        val cand = block(15).unionAll(block(17)).distinct()
+        val wN = Window.partitionBy(col("dirty_id"))
+        val wBest = Window.partitionBy(col("dirty_id"))
+          .orderBy(col("edit_dist"), col("c_custkey"))
+        cand
+          .withColumn("edit_dist",
+            levenshtein(col("dirty_name"), col("c_name")).cast("long"))
+          .withColumn("n_candidates", count(lit(1)).over(wN))
+          .filter(col("edit_dist") <= 1)
+          .withColumn("__rn", row_number().over(wBest))
+          .filter(col("__rn") === 1)
+          .select(col("dirty_id"), col("c_custkey").as("matched_custkey"),
+            col("edit_dist"), col("n_candidates"))
+          .orderBy(col("dirty_id"))
+      },
+      Some("""WITH dirty AS (
+             |  SELECT c_custkey AS dirty_id,
+             |    substring(c_name, 1, CAST(14 + c_custkey % 4 AS INT))
+             |      || chr(48 + (ascii(substring(c_name,
+             |           CAST(15 + c_custkey % 4 AS INT), 1)) - 48 + 1) % 10)
+             |      || substring(c_name, CAST(16 + c_custkey % 4 AS INT))
+             |      AS dirty_name
+             |  FROM customer),
+             |cand AS (
+             |  SELECT DISTINCT d.dirty_id, d.dirty_name, b.c_custkey, b.c_name
+             |  FROM dirty d JOIN customer b
+             |    ON substring(d.dirty_name, 15, 2) = substring(b.c_name, 15, 2)
+             |  UNION
+             |  SELECT DISTINCT d.dirty_id, d.dirty_name, b.c_custkey, b.c_name
+             |  FROM dirty d JOIN customer b
+             |    ON substring(d.dirty_name, 17, 2) = substring(b.c_name, 17, 2)),
+             |scored AS (
+             |  SELECT dirty_id, c_custkey,
+             |    CAST(levenshtein(dirty_name, c_name) AS BIGINT) AS edit_dist,
+             |    count(*) OVER (PARTITION BY dirty_id) AS n_candidates
+             |  FROM cand),
+             |best AS (
+             |  SELECT dirty_id, c_custkey AS matched_custkey, edit_dist,
+             |         n_candidates,
+             |         row_number() OVER (PARTITION BY dirty_id
+             |                            ORDER BY edit_dist, c_custkey) AS rn
+             |  FROM scored WHERE edit_dist <= 1)
+             |SELECT dirty_id, matched_custkey, edit_dist, n_candidates
+             |FROM best WHERE rn = 1 ORDER BY dirty_id""".stripMargin)),
+
     // ---- Z-order layout: multi-dimensional data skipping ------------------
     // Morton-interleave (user_id low byte, coarse time bucket) into a
     // 16-bit z-value and summarize the 16 z-range "files" the clustered

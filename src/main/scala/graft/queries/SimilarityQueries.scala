@@ -464,6 +464,46 @@ object SimilarityQueries {
            |FROM asg g LEFT JOIN dups d USING (vec_id)
            |ORDER BY g.vec_id""".stripMargin)),
 
+    // ---- hard-negative mining (contrastive training pairs) ---------------
+    // For each anchor (every 10th vector), the most cosine-similar vector
+    // with a DIFFERENT label — the "hard negative" a contrastive loss
+    // wants: close in embedding space, wrong class. Scale: same shape as
+    // q_knn_brute — anchors are a designed-small broadcast set, the
+    // corpus is scanned once and keeps only a top-1 per anchor via
+    // window (bounded by anchor count per task); the label filter rides
+    // the scan. The production path swaps the scan for the sign-LSH
+    // bucketed candidates (Knn.neardupPairs) exactly as q_nn_lsh_bucketed
+    // does for positives.
+    Q("q_hard_negatives",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, dir)
+        val anchors = emb.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+            col("embedding").as("__qa"))
+        val w = Window.partitionBy(col("anchor_id"))
+          .orderBy(col("__sim").desc, col("vec_id"))
+        emb.join(broadcast(anchors), col("label") =!= col("a_label"))
+          .withColumn("__sim", Knn.cosine(col("__qa"), col("embedding")))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("anchor_id"), col("a_label").cast("int").as("anchor_label"),
+            col("vec_id").as("neg_id"), col("label").cast("int").as("neg_label"),
+            floor(col("__sim") * 1e6).cast("long").as("neg_sim_ppm"))
+          .orderBy(col("anchor_id"))
+      },
+      Some(s"""SELECT anchor_id, anchor_label, neg_id, neg_label, neg_sim_ppm
+              |FROM (
+              |  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+              |         b.vec_id AS neg_id, b.label AS neg_label,
+              |         CAST(floor($cosSql * 1e6) AS BIGINT) AS neg_sim_ppm,
+              |         row_number() OVER (PARTITION BY a.vec_id
+              |                            ORDER BY $cosSql DESC, b.vec_id) AS rn
+              |  FROM embeddings a
+              |  JOIN embeddings b ON a.label <> b.label
+              |  WHERE a.vec_id % 10 = 0) t
+              |WHERE rn = 1 ORDER BY anchor_id""".stripMargin)),
+
     // ---- diversity-balanced sampling (cluster quotas) ---------------------
     // Uniform hash sampling over-represents dense regions of embedding
     // space; sampling a FIXED quota per semantic cluster keeps rare modes
