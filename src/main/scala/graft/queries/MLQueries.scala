@@ -109,6 +109,89 @@ object MLQueries {
              |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY split ORDER BY split""".stripMargin)),
 
+    // ---- winsorization (outlier clipping at exact rank percentiles) ------
+    // Feature prep for outlier-sensitive models: per event_type, clip
+    // `value` to its [p5, p95] band. Thresholds come from EXACT ranks
+    // (row_number at ⌊5n/100⌋ / ⌊95n/100⌋+1) so both engines agree
+    // bit-for-bit — percentile_cont/approx interpolate differently
+    // across engines. Scale: the rank window sorts within each type
+    // (parallel across types); at 100 TB the thresholds would come from
+    // an approx-quantile sketch instead — the clip/aggregate shape
+    // (broadcast thresholds, one scan) is identical.
+    Q("q_winsorize",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .withColumn("__c", floor(col("value") * 100).cast("long"))
+        val wRn = Window.partitionBy(col("event_type"))
+          .orderBy(col("__c"), col("event_id"))
+        val wN = Window.partitionBy(col("event_type"))
+        val ranked = ev
+          .withColumn("__rn", row_number().over(wRn).cast("long"))
+          .withColumn("__n", count(lit(1)).over(wN))
+        val lo = ranked
+          .filter(col("__rn") === greatest(expr("__n * 5 div 100"), lit(1L)))
+          .select(col("event_type"), col("__c").as("lo_cents"))
+        val hi = ranked
+          .filter(col("__rn") === least(expr("__n * 95 div 100 + 1"), col("__n")))
+          .select(col("event_type"), col("__c").as("hi_cents"))
+        ev.join(broadcast(lo), Seq("event_type"))
+          .join(broadcast(hi), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(first(col("lo_cents")).as("lo_cents"),
+            first(col("hi_cents")).as("hi_cents"),
+            sum((col("__c") < col("lo_cents")).cast("long")).as("n_clipped_lo"),
+            sum((col("__c") > col("hi_cents")).cast("long")).as("n_clipped_hi"),
+            sum(least(greatest(col("__c"), col("lo_cents")), col("hi_cents")))
+              .as("sum_winsorized_cents"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, event_id,
+             |         CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+             |r AS (
+             |  SELECT event_type, c,
+             |    row_number() OVER (PARTITION BY event_type
+             |                       ORDER BY c, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM e),
+             |lo AS (SELECT event_type, c AS lo_cents FROM r
+             |       WHERE rn = greatest(n * 5 // 100, 1)),
+             |hi AS (SELECT event_type, c AS hi_cents FROM r
+             |       WHERE rn = least(n * 95 // 100 + 1, n))
+             |SELECT e.event_type, min(lo_cents) AS lo_cents,
+             |  min(hi_cents) AS hi_cents,
+             |  CAST(sum(CASE WHEN c < lo_cents THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_clipped_lo,
+             |  CAST(sum(CASE WHEN c > hi_cents THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_clipped_hi,
+             |  CAST(sum(least(greatest(c, lo_cents), hi_cents)) AS BIGINT)
+             |    AS sum_winsorized_cents
+             |FROM e JOIN lo USING (event_type) JOIN hi USING (event_type)
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
+    // ---- leakage-free grouped cross-validation folds ----------------------
+    // K-fold assignment hashed on user_id, not event_id: every event of a
+    // user lands in the same fold BY CONSTRUCTION, so no user's behavior
+    // leaks from train into validation — the grouped-CV discipline
+    // sklearn's GroupKFold enforces, as a pure stateless map (no RNG, no
+    // shuffle, reproducible on any engine). The per-fold distinct-user
+    // counts are the check: they sum to the global distinct count iff no
+    // user straddles folds.
+    Q("q_group_kfold",
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("fold", pmod(col("user_id") * 2654435761L, lit(5L)))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+        .orderBy(col("fold")),
+      Some("""SELECT (user_id * 2654435761) % 5 AS fold, count(*) AS n_events,
+             |  count(DISTINCT user_id) AS n_users,
+             |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents
+             |FROM events GROUP BY fold ORDER BY fold""".stripMargin)),
+
     // ---- feature-drift detection (total variation distance) --------------
     // Model-monitoring drift check between the first and second half of
     // the time range: per event_type, histogram `value` into 10

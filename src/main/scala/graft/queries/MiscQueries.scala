@@ -291,6 +291,34 @@ object MiscQueries {
              |FROM events WHERE (event_id * 2654435761) % 97 < 10
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ---- recency-weighted trending (exponential decay, integer-exact) ----
+    // "What's hot": event counts where each occurrence is worth
+    // 2^30 >> age_days — a half-life of one day as pure bit-shift
+    // arithmetic (exp(-λt) ranks identically but isn't bit-portable).
+    // One scan + one hash aggregate; the max-timestamp anchor is a
+    // broadcast scalar.
+    Q("q_trending",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("__ep", unix_timestamp(col("ts")))
+        val mx = ev.agg(max(col("__ep")).as("__mx"))
+        ev.crossJoin(broadcast(mx))
+          .withColumn("__age", expr("(__mx - __ep) div 86400L"))
+          .withColumn("__w", expr("shiftright(1073741824L, cast(__age AS INT))"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(col("__w")).as("trend_score"))
+          .orderBy(col("trend_score").desc, col("event_type"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+             |m AS (SELECT max(ep) AS mx FROM e)
+             |SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(1073741824::BIGINT >> CAST((mx - ep) // 86400 AS INTEGER))
+             |    AS BIGINT) AS trend_score
+             |FROM e, m GROUP BY event_type
+             |ORDER BY trend_score DESC, event_type""".stripMargin)),
+
     // ---- deterministic weighted sampling without replacement -------------
     // The integer A-ES idiom: every document gets priority
     // hash(id)·1e6 div weight (weight = n_chars, so longer documents are

@@ -464,6 +464,111 @@ object SimilarityQueries {
            |FROM asg g LEFT JOIN dups d USING (vec_id)
            |ORDER BY g.vec_id""".stripMargin)),
 
+    // ---- deterministic negative sampling (contrastive batches) -----------
+    // Four random-but-reproducible negatives per anchor via a hash ring
+    // over the dense id space — no RNG state, so every engine, cluster
+    // size, and rerun draws the same negatives (the property a resumable
+    // training pipeline needs). is_false_negative flags draws that
+    // accidentally share the anchor's label — the statistic that decides
+    // whether sampled softmax needs label-aware correction. Scale: a
+    // narrow per-row explode + one equi-join on neg_id; nothing scans
+    // more than once.
+    Q("q_negative_sample",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val n = emb.agg(count(lit(1)).as("__n"))
+        val negs = emb.select(col("vec_id").as("anchor_id"), col("label").as("__al"))
+          .crossJoin(broadcast(n))
+          .select(col("anchor_id"), col("__al"), col("__n"),
+            explode(sequence(lit(1L), lit(4L))).as("neg_rank"))
+          .withColumn("neg_id",
+            pmod(col("anchor_id") * 2654435761L + col("neg_rank") * 9973L, col("__n")))
+          .filter(col("neg_id") =!= col("anchor_id"))
+        negs.join(emb.select(col("vec_id"), col("label")),
+            col("neg_id") === col("vec_id"))
+          .select(col("anchor_id"), col("neg_rank"), col("neg_id"),
+            col("label").cast("int").as("neg_label"),
+            (col("label") === col("__al")).as("is_false_negative"))
+          .orderBy(col("anchor_id"), col("neg_rank"))
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM embeddings),
+             |negs AS (
+             |  SELECT a.vec_id AS anchor_id, a.label AS al, u.i AS neg_rank,
+             |         (a.vec_id * 2654435761 + u.i * 9973) % n.n AS neg_id
+             |  FROM embeddings a, n,
+             |    LATERAL (SELECT unnest(range(1, 5)) AS i) u)
+             |SELECT anchor_id, neg_rank, neg_id, b.label AS neg_label,
+             |       b.label = negs.al AS is_false_negative
+             |FROM negs JOIN embeddings b ON negs.neg_id = b.vec_id
+             |WHERE neg_id <> anchor_id
+             |ORDER BY anchor_id, neg_rank""".stripMargin)),
+
+    // ---- matryoshka retrieval (truncated-dimension ANN) ------------------
+    // Matryoshka-style embeddings let retrieval run on a PREFIX of the
+    // vector (here 16 of 64 dims) at 4× less compute and memory; this
+    // query retrieves top-1 under both the truncated and the full cosine
+    // and flags agreement — the recall measurement that decides how many
+    // dims the serving tier can drop. Scale: one anchors×corpus pass
+    // computing both similarities, two windows on the same anchor
+    // partitioning (one shuffle), then a tiny self-join of the two
+    // top-1 tables.
+    Q("q_matryoshka_nn",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, dir)
+        val anchors = emb.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("anchor_id"), col("embedding").as("__qa"))
+        val scored = emb.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+          .withColumn("__s16",
+            Knn.cosine(slice(col("__qa"), 1, 16), slice(col("embedding"), 1, 16)))
+          .withColumn("__s64", Knn.cosine(col("__qa"), col("embedding")))
+        val w16 = Window.partitionBy(col("anchor_id"))
+          .orderBy(col("__s16").desc, col("vec_id"))
+        val w64 = Window.partitionBy(col("anchor_id"))
+          .orderBy(col("__s64").desc, col("vec_id"))
+        val ranked = scored
+          .withColumn("__r16", row_number().over(w16))
+          .withColumn("__r64", row_number().over(w64))
+        val nn16 = ranked.filter(col("__r16") === 1)
+          .select(col("anchor_id"), col("vec_id").as("nn16_id"),
+            floor(col("__s16") * 1e6).cast("long").as("sim16_ppm"))
+        val nn64 = ranked.filter(col("__r64") === 1)
+          .select(col("anchor_id"), col("vec_id").as("nn64_id"))
+        nn16.join(nn64, Seq("anchor_id"))
+          .withColumn("agree", col("nn16_id") === col("nn64_id"))
+          .orderBy(col("anchor_id"))
+      },
+      Some {
+        def cosN(d: Int) = {
+          def nrm(side: String) =
+            s"sqrt(list_reduce(list_prepend(0::DOUBLE, list_transform(range($d), " +
+              s"i -> $side.embedding[i+1]::DOUBLE * $side.embedding[i+1]::DOUBLE)), (acc, v) -> acc + v))"
+          s"(list_reduce(list_prepend(0::DOUBLE, list_transform(range($d), " +
+            s"i -> a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)), (acc, v) -> acc + v) " +
+            s"/ (${nrm("a")} * ${nrm("b")}))"
+        }
+        s"""WITH sc AS (
+           |  SELECT a.vec_id AS anchor_id, b.vec_id,
+           |         ${cosN(16)} AS s16, ${cosN(64)} AS s64
+           |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+           |  WHERE a.vec_id % 10 = 0),
+           |r AS (
+           |  SELECT anchor_id, vec_id, s16, s64,
+           |    row_number() OVER (PARTITION BY anchor_id
+           |                       ORDER BY s16 DESC, vec_id) AS r16,
+           |    row_number() OVER (PARTITION BY anchor_id
+           |                       ORDER BY s64 DESC, vec_id) AS r64
+           |  FROM sc),
+           |n16 AS (SELECT anchor_id, vec_id AS nn16_id,
+           |          CAST(floor(s16 * 1e6) AS BIGINT) AS sim16_ppm
+           |        FROM r WHERE r16 = 1),
+           |n64 AS (SELECT anchor_id, vec_id AS nn64_id FROM r WHERE r64 = 1)
+           |SELECT n16.anchor_id, n16.nn16_id, n16.sim16_ppm, n64.nn64_id,
+           |       n16.nn16_id = n64.nn64_id AS agree
+           |FROM n16 JOIN n64 USING (anchor_id)
+           |ORDER BY anchor_id""".stripMargin
+      }),
+
     // ---- hard-negative mining (contrastive training pairs) ---------------
     // For each anchor (every 10th vector), the most cosine-similar vector
     // with a DIFFERENT label — the "hard negative" a contrastive loss
