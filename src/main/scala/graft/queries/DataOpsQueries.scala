@@ -248,6 +248,63 @@ object DataOpsQueries {
              |    IS NULL AS is_current
              |FROM dim ORDER BY user_id, version""".stripMargin)),
 
+    // ---- snapshot diff (CDC extraction) ------------------------------------
+    // The inverse of q_cdc_apply: given yesterday's and today's snapshots,
+    // emit the minimal change feed (I/U/D per key) a downstream consumer
+    // replays. Snapshots are per-user rollups of events before/including
+    // vs after a split date; the diff is ONE full-outer join on the key
+    // with null-side classification — inserts have no old row, deletes no
+    // new row, updates differ in payload. Scale: both sides are
+    // rollup-sized; the join shuffles each side once on the key and
+    // nothing else moves.
+    Q("q_snapshot_diff",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("__ep", unix_timestamp(col("ts")))
+        // snapshots = per-(user, type) activity rollups over two windows
+        // (before Jan 10 vs after Jan 20) — sparse enough that all three
+        // op kinds genuinely occur
+        def snap(f: org.apache.spark.sql.Column) = ev.filter(f)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val old = snap(col("__ep") < 1704844800L)
+          .withColumnRenamed("n", "__no")
+        val neu = snap(col("__ep") >= 1705708800L)
+          .withColumnRenamed("n", "__nn")
+        old.join(neu, Seq("user_id", "event_type"), "full_outer")
+          .withColumn("op",
+            when(col("__no").isNull, "I")
+              .when(col("__nn").isNull, "D")
+              .when(col("__no") =!= col("__nn"), "U"))
+          .filter(col("op").isNotNull)
+          .select(col("user_id"), col("event_type"), col("op"),
+            coalesce(col("__nn"), lit(0L)).as("new_n"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |         CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+             |old AS (
+             |  SELECT user_id, event_type, count(*) AS no
+             |  FROM e WHERE ep < 1704844800 GROUP BY 1, 2),
+             |new AS (
+             |  SELECT user_id, event_type, count(*) AS nn
+             |  FROM e WHERE ep >= 1705708800 GROUP BY 1, 2),
+             |d AS (
+             |  SELECT coalesce(old.user_id, new.user_id) AS user_id,
+             |    coalesce(old.event_type, new.event_type) AS event_type,
+             |    CASE WHEN old.user_id IS NULL THEN 'I'
+             |         WHEN new.user_id IS NULL THEN 'D'
+             |         WHEN old.no <> new.nn THEN 'U'
+             |    END AS op,
+             |    coalesce(new.nn, 0) AS new_n
+             |  FROM old FULL OUTER JOIN new
+             |    ON old.user_id = new.user_id
+             |   AND old.event_type = new.event_type)
+             |SELECT user_id, event_type, op, new_n
+             |FROM d WHERE op IS NOT NULL
+             |ORDER BY user_id, event_type""".stripMargin)),
+
     // ---- record linkage (blocked entity resolution) ------------------------
     // Match a "dirty" feed (every customer name with one digit among the
     // last four cyclically bumped — a deterministic typo both engines can

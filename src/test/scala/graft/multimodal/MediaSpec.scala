@@ -34,4 +34,27 @@ class MediaSpec extends AnyFunSuite {
     val frames = Media.sampleFrames(Array.fill[Byte](100)(7), 4)
     assert(frames.nonEmpty && frames.forall(_.length == 16))
   }
+
+  test("frame offsets: ascending, deduplicated, in-bounds") {
+    assert(Media.frameOffsets(15, 4).isEmpty)           // too short
+    assert(Media.frameOffsets(16, 4) == Seq(0))         // all windows collapse
+    assert(Media.frameOffsets(100, 1) == Seq(0))        // single frame at start
+    val offs = Media.frameOffsets(1000, 4)
+    assert(offs == offs.sorted && offs.distinct == offs)
+    assert(offs.forall(o => o >= 0 && o + 16 <= 1000))
+    assert(offs.size == 4)
+  }
+
+  test("frameRows explodes exactly the offset-formula rows") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
+    val media = Media.synthesize(docs, "doc_id", "text").as[Media.MediaRow]
+    val rows = Media.frameRows(media, framesPerItem = 4).collect()
+    val byId = rows.groupBy(_.media_id)
+    media.collect().foreach { m =>
+      val expect = Media.frameOffsets(m.bytes.length, 4)
+      val got = byId.getOrElse(m.media_id, Array.empty).sortBy(_.frame_idx)
+      assert(got.map(_.byte_offset).toSeq == expect.map(_.toLong))
+      assert(got.forall(_.frame.length == 16))
+    }
+  }
 }
