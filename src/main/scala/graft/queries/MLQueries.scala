@@ -109,6 +109,76 @@ object MLQueries {
              |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY split ORDER BY split""".stripMargin)),
 
+    // ---- distributed OLS via normal equations, exact integer solve -------
+    // Linear regression y = β₁·hour + β₂·weekday + β₀ (cents) the way a
+    // 100 TB fit actually runs: ONE scan accumulates the 9 second-moment
+    // sums (map-side combinable longs — X is 3-wide, so XᵀX is 9
+    // numbers regardless of row count), then Cramer's rule solves the
+    // 3×3 system in 128-bit integer arithmetic (decimal(38,0) ↔
+    // HUGEINT). No float ever appears, so the fit is bit-identical on
+    // any engine or cluster size — unlike gradient descent or float
+    // Cholesky. Determinant reported as a string (exceeds int64; the
+    // comparator would float-ize a 128-bit value). β in ppm via
+    // sign·(|det_i|·1e6 div |det|) — truncation-toward-zero decomposed
+    // explicitly because Spark `div` truncates while DuckDB `//` floors,
+    // and they only agree on non-negatives.
+    Q("q_linreg_normal",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .selectExpr("CAST(hour(ts) AS LONG) AS x1",
+            "CAST(weekday(ts) AS LONG) AS x2",
+            "CAST(floor(value * 100) AS LONG) AS y")
+          .selectExpr("count(1) AS n", "sum(x1) AS s1", "sum(x2) AS s2",
+            "sum(x1*x1) AS s11", "sum(x2*x2) AS s22", "sum(x1*x2) AS s12",
+            "sum(y) AS sy", "sum(x1*y) AS s1y", "sum(x2*y) AS s2y")
+          .selectExpr("n",
+            "CAST(s1 AS DECIMAL(38,0)) AS s1", "CAST(s2 AS DECIMAL(38,0)) AS s2",
+            "CAST(s11 AS DECIMAL(38,0)) AS s11", "CAST(s22 AS DECIMAL(38,0)) AS s22",
+            "CAST(s12 AS DECIMAL(38,0)) AS s12", "CAST(sy AS DECIMAL(38,0)) AS sy",
+            "CAST(s1y AS DECIMAL(38,0)) AS s1y", "CAST(s2y AS DECIMAL(38,0)) AS s2y",
+            "CAST(n AS DECIMAL(38,0)) AS nd")
+          .selectExpr("n",
+            "s11*(s22*nd - s2*s2) - s12*(s12*nd - s2*s1) + s1*(s12*s2 - s22*s1) AS det",
+            "s1y*(s22*nd - s2*s2) - s12*(s2y*nd - s2*sy) + s1*(s2y*s2 - s22*sy) AS det1",
+            "s11*(s2y*nd - sy*s2) - s1y*(s12*nd - s2*s1) + s1*(s12*sy - s2y*s1) AS det2",
+            "s11*(s22*sy - s2*s2y) - s12*(s12*sy - s1*s2y) + s1y*(s12*s2 - s22*s1) AS det0")
+          .selectExpr("n", "CAST(det AS STRING) AS det_str",
+            "CAST(sign(det1)*sign(det) AS BIGINT) * CAST((abs(det1)*1000000) div abs(det) AS BIGINT) AS beta1_ppm",
+            "CAST(sign(det2)*sign(det) AS BIGINT) * CAST((abs(det2)*1000000) div abs(det) AS BIGINT) AS beta2_ppm",
+            "CAST(sign(det0)*sign(det) AS BIGINT) * CAST((abs(det0)*1000000) div abs(det) AS BIGINT) AS beta0_ppm")
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(hour(ts) AS BIGINT) AS x1,
+             |         CAST(isodow(ts) - 1 AS BIGINT) AS x2,
+             |         CAST(floor(value * 100) AS BIGINT) AS y FROM events),
+             |m AS (
+             |  SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
+             |         sum(x1*x1) AS s11, sum(x2*x2) AS s22, sum(x1*x2) AS s12,
+             |         sum(y) AS sy, sum(x1*y) AS s1y, sum(x2*y) AS s2y
+             |  FROM e),
+             |d AS (
+             |  SELECT CAST(n AS BIGINT) AS n, CAST(n AS HUGEINT) AS nd,
+             |    CAST(s1 AS HUGEINT) AS s1, CAST(s2 AS HUGEINT) AS s2,
+             |    CAST(s11 AS HUGEINT) AS s11, CAST(s22 AS HUGEINT) AS s22,
+             |    CAST(s12 AS HUGEINT) AS s12, CAST(sy AS HUGEINT) AS sy,
+             |    CAST(s1y AS HUGEINT) AS s1y, CAST(s2y AS HUGEINT) AS s2y
+             |  FROM m),
+             |dets AS (
+             |  SELECT n,
+             |    s11*(s22*nd - s2*s2) - s12*(s12*nd - s2*s1) + s1*(s12*s2 - s22*s1) AS det,
+             |    s1y*(s22*nd - s2*s2) - s12*(s2y*nd - s2*sy) + s1*(s2y*s2 - s22*sy) AS det1,
+             |    s11*(s2y*nd - sy*s2) - s1y*(s12*nd - s2*s1) + s1*(s12*sy - s2y*s1) AS det2,
+             |    s11*(s22*sy - s2*s2y) - s12*(s12*sy - s1*s2y) + s1y*(s12*s2 - s22*s1) AS det0
+             |  FROM d)
+             |SELECT n, CAST(det AS VARCHAR) AS det_str,
+             |  CAST(sign(det1)*sign(det) AS BIGINT)
+             |    * CAST((abs(det1)*1000000) // abs(det) AS BIGINT) AS beta1_ppm,
+             |  CAST(sign(det2)*sign(det) AS BIGINT)
+             |    * CAST((abs(det2)*1000000) // abs(det) AS BIGINT) AS beta2_ppm,
+             |  CAST(sign(det0)*sign(det) AS BIGINT)
+             |    * CAST((abs(det0)*1000000) // abs(det) AS BIGINT) AS beta0_ppm
+             |FROM dets""".stripMargin)),
+
     // ---- winsorization (outlier clipping at exact rank percentiles) ------
     // Feature prep for outlier-sensitive models: per event_type, clip
     // `value` to its [p5, p95] band. Thresholds come from EXACT ranks
