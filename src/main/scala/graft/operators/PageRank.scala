@@ -49,17 +49,24 @@ object PageRank {
       .localCheckpoint(true)
 
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank_ppm"))
-    for (_ <- 1 to iters) {
-      val contrib = e.join(ranks, e("src") === ranks("node"))
-        .select(col("dst"), expr("rank_ppm * w div __out_w").as("__c"))
-        .groupBy(col("dst")).agg(sum(col("__c")).as("__cs"))
-      ranks = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(nodes("node"),
-          (lit(basePpm) + expr(s"$dampPct * coalesce(__cs, 0L) div 100"))
-            .as("rank_ppm"))
-        .localCheckpoint(true)
-    }
+    for (_ <- 1 to iters)
+      ranks = step(nodes, e, ranks, dampPct).localCheckpoint(true)
     ranks
+  }
+
+  /** One damped round over a pre-weighted edge table `e`
+    * (src, dst, w, __out_w). Exposed for plan-shape testing — `run`
+    * checkpoints each round, which truncates the observable plan. */
+  private[graft] def step(nodes: DataFrame, e: DataFrame, ranks: DataFrame,
+                          dampPct: Int): DataFrame = {
+    val basePpm = (100 - dampPct) * 10000L
+    val contrib = e.join(ranks, e("src") === ranks("node"))
+      .select(col("dst"), expr("rank_ppm * w div __out_w").as("__c"))
+      .groupBy(col("dst")).agg(sum(col("__c")).as("__cs"))
+    nodes
+      .join(contrib, nodes("node") === contrib("dst"), "left")
+      .select(nodes("node"),
+        (lit(basePpm) + expr(s"$dampPct * coalesce(__cs, 0L) div 100"))
+          .as("rank_ppm"))
   }
 }

@@ -106,4 +106,50 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
       s"the keyless interval join must bin into an equi-join:\n$s")
   }
+
+  test("record linkage blocks into equi-joins: no nested-loop/cartesian node") {
+    val s = render(plan("q_record_linkage"))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"blocked linkage must never plan an all-pairs join:\n$s")
+  }
+
+  test("exact-substring dedup joins on gram hash only: no loop join") {
+    val s = render(plan("q_exact_substr"))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"span dedup must stay equi-join-only:\n$s")
+  }
+
+  test("CDC apply is a max_by hash aggregate, one data shuffle") {
+    val p = plan("q_cdc_apply")
+    val s = render(p)
+    assert(s.contains("max_by"), s"expected the max_by aggregate form:\n$s")
+    // one aggregate exchange + one range partition for the oracle ORDER BY
+    assert(countShuffles(p) <= 2,
+      s"CDC apply must not shuffle beyond agg + final sort:\n$s")
+  }
+
+  test("weighted sampling plans the top-k as TakeOrderedAndProject") {
+    assert(render(plan("q_weighted_sample")).contains("TakeOrderedAndProject"))
+  }
+
+  test("a PageRank step broadcasts the rank side, no cartesian node") {
+    // run() checkpoints each round (truncating the observable plan), so
+    // assert on one step directly: edges ⋈ ranks must hash-join with the
+    // node-count-sized rank table broadcast, never a loop join.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val nodes = (0L to 200L).toDF("node")
+    val edges = (0L until 1000L)
+      .map(i => (i % 200, (i * 7) % 200, 1L)).toDF("src", "dst", "w")
+    val e = edges.join(
+      edges.groupBy(col("src")).agg(sum(col("w")).as("__out_w")), Seq("src"))
+    val ranks = nodes.select(col("node"), lit(1000000L).as("rank_ppm"))
+    val p = graft.operators.PageRank.step(nodes, e, ranks, dampPct = 85)
+      .queryExecution.executedPlan
+    val s = render(p)
+    assert(s.contains("BroadcastHashJoin"),
+      s"expected ranks (node-count rows) on the broadcast side:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"no loop join in a PageRank step:\n$s")
+  }
 }
