@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   *                           embeddings
   *   mode "contam":          decontamination (shingle-hash overlap vs a
   *                           broadcast eval set) over N× documents
+  *   mode "substr":          exact-substring span accounting over N×
+  *                           documents (replication makes EVERY gram a
+  *                           duplicate — worst case for the span merge)
+  *   mode "pagerank":        3 PageRank rounds over copies×100k nodes /
+  *                           copies×1M edges (rank side too big to
+  *                           broadcast — the honest graph-scale path)
   * The measured numbers live in SCALE.md ("Measured" table).
   */
 object Stress {
@@ -185,6 +191,62 @@ object Stress {
           .count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"""{"docs":$n%d,"contaminated_docs":$nr%d,"seconds":$dt%.1f}""")
+
+      case "substr" =>
+        // Scale path of q_exact_substr (xxhash64 grams): (hash, pos) pairs
+        // shuffle into the occurrence count, span merge windows per doc.
+        // N× replication turns every gram into a duplicate, so the merge
+        // stage sees its maximum possible input.
+        import org.apache.spark.sql.expressions.Window
+        val docs0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val big = (0 until copies).map(i =>
+            docs0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+          .reduce(_ unionByName _).cache()
+        val n = big.count()
+        val t0 = System.nanoTime()
+        val withT = big
+          .withColumn("__t", functions.Text.tokens(col("text")))
+          .withColumn("__n", size(col("__t")).cast("long"))
+        val grams = withT.filter(col("__n") >= 8)
+          .select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(0L), col("__n") - 8),
+              p => functions.Text.fastHash(
+                array_join(slice(col("__t"), (p + 1).cast("int"), lit(8)), " "))))
+              .as(Seq("p", "h")))
+          .withColumn("p", col("p").cast("long"))
+        val occ = grams.groupBy(col("h")).agg(count(lit(1)).as("__c"))
+        val dup = grams.join(occ, Seq("h")).filter(col("__c") > 1)
+          .select(col("doc_id"), col("p"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        val prevMax = max(col("p") + 8)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        val spans = dup
+          .withColumn("__brk",
+            when(prevMax.isNull || col("p") >= prevMax, 1L).otherwise(0L))
+          .withColumn("__island", sum(col("__brk"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("doc_id"), col("__island"))
+          .agg(min(col("p")).as("s"), max(col("p") + 8).as("e"))
+          .groupBy(col("doc_id")).agg(sum(col("e") - col("s")).as("dt"))
+        val nr = spans.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"docs":$n%d,"docs_with_spans":$nr%d,"seconds":$dt%.1f}""")
+
+      case "pagerank" =>
+        val nNodes = copies * 100000L
+        val nodes = spark.range(nNodes).select(col("id").as("node")).cache()
+        val edges = spark.range(copies * 1000000L).select(
+            pmod(col("id") * 2654435761L, lit(nNodes)).as("src"),
+            pmod(col("id") * 40503L + 7, lit(nNodes)).as("dst"),
+            lit(1L).as("w")).cache()
+        nodes.count(); edges.count()
+        val t0 = System.nanoTime()
+        val ranks = operators.PageRank.run(nodes, edges, iters = 3)
+        val nr = ranks.count()
+        val mass = ranks.agg(sum(col("rank_ppm"))).head().getLong(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"nodes":$nNodes%d,"edges":${copies * 1000000L}%d,"ranked":$nr%d,"total_mass_ppm":$mass%d,"seconds":$dt%.1f}""")
 
       case _ =>
         val docs0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
