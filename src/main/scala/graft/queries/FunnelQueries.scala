@@ -75,6 +75,43 @@ object FunnelQueries {
              |       date_diff('day', cohort.cohort_wk, wk) // 7 AS week_k,
              |       count(DISTINCT w.user_id) AS n_active
              |FROM w JOIN cohort ON w.user_id = cohort.user_id
-             |GROUP BY 1, 2 ORDER BY cohort_wk, week_k""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY cohort_wk, week_k""".stripMargin)),
+
+    // ---- last-touch attribution --------------------------------------------
+    // Which channel gets credit for each purchase: the user's most recent
+    // PRIOR non-purchase event (forward-fill over the user's timeline —
+    // the ignore-nulls last_value idiom); purchases with no prior touch
+    // attribute to 'direct'. Scale: one window partitioned by user_id
+    // (per-task state = one carried value), then a 5-row aggregate.
+    Q("q_attribution_last_touch",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, dir)
+          .withColumn("__touch",
+            last(when(col("event_type") =!= "purchase", col("event_type")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("__touch"), lit("direct")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+          .orderBy(col("channel"))
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id, event_type, value,
+             |    last_value(CASE WHEN event_type <> 'purchase'
+             |                    THEN event_type END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS touch
+             |  FROM events)
+             |SELECT coalesce(touch, 'direct') AS channel,
+             |  count(*) AS n_purchases,
+             |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents
+             |FROM t WHERE event_type = 'purchase'
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

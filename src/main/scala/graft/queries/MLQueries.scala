@@ -109,6 +109,38 @@ object MLQueries {
              |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY split ORDER BY split""".stripMargin)),
 
+    // ---- smoothed target encoding (categorical feature engineering) ------
+    // The classic high-cardinality categorical encoder: replace each
+    // category with a shrunk mean of the target, enc = (Σy + prior·m) /
+    // (n + m) — low-count categories pull toward the global prior
+    // (m = 50 virtual rows). All integer-cent arithmetic. Scale: one hash
+    // aggregate to category cardinality + a broadcast scalar; the encoder
+    // table then broadcast-joins back onto any scoring scan.
+    Q("q_target_encode",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("__c", floor(col("value") * 100).cast("long"))
+        val prior = ev.agg(expr("sum(__c) div count(1)").as("__p"))
+        ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("__c")).as("sum_cents"))
+          .crossJoin(broadcast(prior))
+          .select(col("event_type"), col("n"), col("sum_cents"),
+            col("__p").as("prior_cents"),
+            expr("(sum_cents + __p * 50L) div (n + 50L)").as("enc_cents"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |         CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+             |p AS (SELECT CAST(sum(c) AS BIGINT) // count(*) AS p FROM e)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(sum(c) AS BIGINT) AS sum_cents,
+             |  p.p AS prior_cents,
+             |  (CAST(sum(c) AS BIGINT) + p.p * 50) // (count(*) + 50)
+             |    AS enc_cents
+             |FROM e, p GROUP BY event_type, p.p
+             |ORDER BY event_type""".stripMargin)),
+
     // ---- distributed OLS via normal equations, exact integer solve -------
     // Linear regression y = β₁·hour + β₂·weekday + β₀ (cents) the way a
     // 100 TB fit actually runs: ONE scan accumulates the 9 second-moment
