@@ -197,7 +197,6 @@ object Stress {
         // shuffle into the occurrence count, span merge windows per doc.
         // N× replication turns every gram into a duplicate, so the merge
         // stage sees its maximum possible input.
-        import org.apache.spark.sql.expressions.Window
         val docs0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
         val big = (0 until copies).map(i =>
             docs0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
@@ -218,18 +217,7 @@ object Stress {
         val occ = grams.groupBy(col("h")).agg(count(lit(1)).as("__c"))
         val dup = grams.join(occ, Seq("h")).filter(col("__c") > 1)
           .select(col("doc_id"), col("p"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-        val prevMax = max(col("p") + 8)
-          .over(w.rowsBetween(Window.unboundedPreceding, -1))
-        val spans = dup
-          .withColumn("__brk",
-            when(prevMax.isNull || col("p") >= prevMax, 1L).otherwise(0L))
-          .withColumn("__island", sum(col("__brk"))
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy(col("doc_id"), col("__island"))
-          .agg(min(col("p")).as("s"), max(col("p") + 8).as("e"))
-          .groupBy(col("doc_id")).agg(sum(col("e") - col("s")).as("dt"))
-        val nr = spans.count()
+        val nr = operators.Spans.coveredLength(dup, "doc_id", "p", width = 8).count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"""{"docs":$n%d,"docs_with_spans":$nr%d,"seconds":$dt%.1f}""")
 

@@ -389,7 +389,6 @@ object DedupQueries {
     // ExactSubstr: same output, no global suffix sort.
     Q("q_exact_substr",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, dir)
           .withColumn("__t", Text.tokens(col("text")))
           .withColumn("__n", size(col("__t")).cast("long"))
@@ -404,25 +403,13 @@ object DedupQueries {
         val occ = grams.groupBy(col("h")).agg(count(lit(1)).as("__c"))
         val dup = grams.join(occ, Seq("h")).filter(col("__c") > 1)
           .select(col("doc_id"), col("p"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-        val prevMax = max(col("p") + 8)
-          .over(w.rowsBetween(Window.unboundedPreceding, -1))
-        val isl = dup
-          .withColumn("__brk",
-            when(prevMax.isNull || col("p") >= prevMax, 1L).otherwise(0L))
-          .withColumn("__island", sum(col("__brk"))
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val per = isl.groupBy(col("doc_id"), col("__island"))
-          .agg(min(col("p")).as("__s"), max(col("p") + 8).as("__e"),
-            count(lit(1)).as("__np"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("__e") - col("__s")).as("__dt"), sum(col("__np")).as("__dp"))
+        val per = graft.operators.Spans.coveredLength(dup, "doc_id", "p", width = 8)
         docs.select(col("doc_id"), col("__n"))
           .join(per, Seq("doc_id"), "left")
           .select(col("doc_id"), col("__n").as("n_tokens"),
-            coalesce(col("__dp"), lit(0L)).as("n_dup_positions"),
-            coalesce(col("__dt"), lit(0L)).as("dup_tokens"),
-            expr("coalesce(__dt, 0L) * 1000000L div __n").as("dup_ppm"))
+            coalesce(col("n_intervals"), lit(0L)).as("n_dup_positions"),
+            coalesce(col("covered"), lit(0L)).as("dup_tokens"),
+            expr("coalesce(covered, 0L) * 1000000L div __n").as("dup_ppm"))
           .orderBy(col("doc_id"))
       },
       Some {

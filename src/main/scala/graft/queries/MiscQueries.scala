@@ -240,6 +240,29 @@ object MiscQueries {
              |FROM events GROUP BY event_type
              |ORDER BY event_type NULLS FIRST""".stripMargin)),
 
+    // ---- ORC round-trip (columnar interchange beyond parquet) -------------
+    // Spark ships the ORC source natively; same lossless write → read-back
+    // → aggregate contract as the CSV/JSON round-trips.
+    Q("q_orc_roundtrip",
+      (s, dir) => {
+        val path = s"/tmp/graft_orc_roundtrip_${math.abs(dir.hashCode)}_" +
+          s.sparkContext.applicationId
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").orc(path)
+        s.read.orc(path)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  count(DISTINCT user_id) AS n_users,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type NULLS FIRST""".stripMargin)),
+
     // ---- incremental materialized-view maintenance ------------------------
     // The 100 TB rollup discipline: never recompute an aggregate from
     // scratch — keep per-key PARTIALS (count/sum/min/max are all

@@ -115,6 +115,96 @@ object StarJoinQueries {
              |  count(*) AS count_order
              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-01'
              |GROUP BY l_returnflag, l_linestatus
-             |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- shipping priority (TPC-H Q3 shape) --------------------------------
+    // Top-10 unshipped high-revenue orders for one market segment: both
+    // date filters ride the scans (PushedFilters), customer broadcasts,
+    // lineitem partially aggregates by orderkey before the top-k, and
+    // the final LIMIT plans as TakeOrderedAndProject — the fact table
+    // never fully sorts. Revenue in exact cents×percent (see file
+    // doc-comment).
+    Q("q_star_ship_priority",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+          .select(col("l_orderkey"),
+            (floor(col("l_extendedprice") * 100).cast("long")
+              * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .as("__rev"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(sum(col("__rev")).as("revenue_cp"))
+          .select(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("revenue_cp"))
+          .orderBy(col("revenue_cp").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l.l_orderkey AS o_orderkey,
+             |  strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+             |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+             |      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+             |    AS revenue_cp
+             |FROM lineitem l
+             |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+             |JOIN customer c ON o.o_custkey  = c.c_custkey
+             |WHERE c.c_mktsegment = 'BUILDING'
+             |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+             |GROUP BY 1, 2
+             |ORDER BY revenue_cp DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // ---- nation trade volume (TPC-H Q7 shape) -------------------------------
+    // Yearly revenue between every (supplier nation → customer nation)
+    // pair: the two nation-keyed dimension chains broadcast; lineitem
+    // joins orders on the key both tables already carry and aggregates
+    // to |nations|²×years rows. The same plan at 100 TB: only the fact
+    // scan grows.
+    Q("q_star_nation_volume",
+      (s, dir) => {
+        val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+        val cust = Tables.customer(s, dir)
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        val supp = Tables.supplier(s, dir)
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val ord = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"))
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+            (floor(col("l_extendedprice") * 100).cast("long")
+              * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .as("__rev"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("ship_year"))
+          .agg(count(lit(1)).as("n_items"), sum(col("__rev")).as("revenue_cp"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+      },
+      Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             |  CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+             |  count(*) AS n_items,
+             |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+             |      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+             |    AS revenue_cp
+             |FROM lineitem l
+             |JOIN orders o    ON l.l_orderkey = o.o_orderkey
+             |JOIN customer c  ON o.o_custkey  = c.c_custkey
+             |JOIN supplier s  ON l.l_suppkey  = s.s_suppkey
+             |JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+             |JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+             |GROUP BY 1, 2, 3
+             |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin))
   )
 }
