@@ -4,7 +4,9 @@ import graft.functions.{CosineSimExpr, NormalizeExpr, PolyHashExpr, ShingleHashE
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** SparkSessionExtensions entry point: registers the engine's custom
-  * Catalyst expressions for SQL use.
+  * Catalyst expressions for SQL use, plus the latest-per-key optimizer
+  * rewrite (window row_number=1 → max_by aggregate,
+  * [[graft.plans.LatestPerKeyRule]]).
   *
   * {{{
   *   SparkSession.builder()
@@ -18,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions.{buildCosine, buildNormalize, buildShingle}
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.LatestPerKeyRule)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("poly_hash"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
