@@ -326,7 +326,10 @@ object MiscQueries {
           .withColumn("__ep", unix_timestamp(col("ts")))
         val mx = ev.agg(max(col("__ep")).as("__mx"))
         ev.crossJoin(broadcast(mx))
-          .withColumn("__age", expr("(__mx - __ep) div 86400L"))
+          // cap the shift: JVM shifts wrap at 64 (x >> 64 == x) while
+          // DuckDB saturates to 0 — ages past 62 days must mean weight 0
+          // on BOTH engines
+          .withColumn("__age", expr("least((__mx - __ep) div 86400L, 62L)"))
           .withColumn("__w", expr("shiftright(1073741824L, cast(__age AS INT))"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_events"), sum(col("__w")).as("trend_score"))
@@ -337,7 +340,8 @@ object MiscQueries {
              |    CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
              |m AS (SELECT max(ep) AS mx FROM e)
              |SELECT event_type, count(*) AS n_events,
-             |  CAST(sum(1073741824::BIGINT >> CAST((mx - ep) // 86400 AS INTEGER))
+             |  CAST(sum(1073741824::BIGINT
+             |    >> CAST(least((mx - ep) // 86400, 62) AS INTEGER))
              |    AS BIGINT) AS trend_score
              |FROM e, m GROUP BY event_type
              |ORDER BY trend_score DESC, event_type""".stripMargin)),
