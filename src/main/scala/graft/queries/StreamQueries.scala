@@ -323,6 +323,51 @@ object StreamQueries {
              |FROM t WHERE from_type IS NOT NULL AND from_type <> to_type
              |ORDER BY user_id, at_epoch, from_type, to_type""".stripMargin)),
 
+    // ---- Spark 4 transformWithState: per-key running totals --------------
+    // The StatefulProcessor/ValueState API (RocksDB-backed) driven end to
+    // end: per-user running count + integer-cent sum, Update-mode
+    // emissions. The memory sink holds one row per (key × batch); totals
+    // are monotone, so max() per key is the final state however the
+    // source got micro-batched — and equals the batch GROUP BY, which is
+    // the oracle.
+    Q("q_stream_running_totals",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        import s.implicits._
+        val stream = s.readStream.schema(rawEventSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[StreamingIngest.Event]
+        val name = s"totals_${System.nanoTime()}"
+        val prevProvider = s.conf.getOption(
+          "spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try withStreamPartitions(s) {
+          val q = StreamingIngest.runningTotals(stream)
+            .writeStream.outputMode("update")
+            .format("memory").queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+        } finally prevProvider match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        s.table(name)
+          .groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"),
+            max(col("sum_cents")).as("sum_cents"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ---- multimodal: binary column → partition-local feature extraction -
     Q("q_media_features",
       (s, dir) => {

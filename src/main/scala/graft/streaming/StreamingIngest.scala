@@ -104,6 +104,49 @@ object StreamingIngest {
         })
   }
 
+  final case class RunningTotal(user_id: Long, n_events: Long, sum_cents: Long)
+
+  /** Per-key running totals via the Spark 4 `transformWithState` API
+    * (StatefulProcessor + typed ValueState, RocksDB-backed): the
+    * arbitrary-state successor to flatMapGroupsWithState. Emits the
+    * updated totals for every key seen in a batch (Update semantics), so
+    * the latest row per key is the true running count/sum regardless of
+    * how the input was micro-batched. Integer-cent sums — exact and
+    * batching-invariant. Scale: one row of state per key in the RocksDB
+    * store, one shuffle per batch on the key. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, RunningTotal] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    @transient private var totals: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[RunningTotal] = {
+      var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { e =>
+        n += 1
+        cents += math.floor(e.value * 100).toLong
+      }
+      totals.update((n, cents))
+      Iterator.single(RunningTotal(key, n, cents))
+    }
+  }
+
+  def runningTotals(events: Dataset[Event]): Dataset[RunningTotal] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming upsert sink: maintain "latest row per key" as a parquet
     * state table via foreachBatch — the merge-into pattern on plain files.
     * Each micro-batch unions the incoming rows with the current state and

@@ -50,6 +50,41 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    val src = Files.createTempDirectory("twstate_src").toString
+    writeBatch(src)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = StreamingIngest.runningTotals(
+        StreamingIngest.readEventStream(spark, src).as[StreamingIngest.Event])
+      .writeStream.outputMode("update")
+      .format("memory").queryName("tw_totals").start()
+    try {
+      q.processAllAvailable()
+      def totals() = spark.table("tw_totals")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("sum_cents").as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      // batch 1: user 1 has events 1,2,3,5 (100+200+300+500 cents), user 2 has 4
+      assert(totals() == Seq((1L, 4L, 1100L), (2L, 1L, 400L)))
+
+      // batch 2 must ADD onto RocksDB state, not restart from zero
+      Seq(
+        (6L, Timestamp.valueOf("2024-01-01 02:00:00"), 1L, "view", 6.0),
+        (7L, Timestamp.valueOf("2024-01-01 02:01:00"), 3L, "click", 7.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      assert(totals() == Seq((1L, 5L, 1700L), (2L, 1L, 400L), (3L, 1L, 700L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session windows split on the 30-minute inactivity gap") {
     val dir = Files.createTempDirectory("stream_sess").toString
     writeBatch(dir)
