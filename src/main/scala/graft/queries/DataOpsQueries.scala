@@ -248,6 +248,52 @@ object DataOpsQueries {
              |    IS NULL AS is_current
              |FROM dim ORDER BY user_id, version""".stripMargin)),
 
+    // ---- data-quality constraint audit -------------------------------------
+    // The ingest-time expectations check: row rules (not-null, range,
+    // domain) fold into ONE scan as conditional sums; key uniqueness and
+    // referential integrity contribute one aggregate each. The range rule
+    // genuinely fires on this data (one event with value > 400) — the
+    // audit is not vacuously green.
+    Q("q_dq_checks",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val rows = graft.operators.Quality.rowRules(ev, Seq(
+          "user_not_null" -> col("user_id").isNull,
+          "value_in_range" -> (col("value") <= 0 || col("value") > 400),
+          "known_event_type" -> !col("event_type")
+            .isin("click", "error", "purchase", "signup", "view")))
+        val uniq = graft.operators.Quality.uniqueKey(
+          ev, "event_id_unique", Seq("event_id"))
+        val ref = graft.operators.Quality.refIntegrity(
+          Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey", "orders_have_customer")
+        rows.unionAll(uniq).unionAll(ref)
+          .withColumn("pass", col("n_violations") === 0L)
+          .orderBy(col("rule"))
+      },
+      Some("""SELECT rule, n_violations, n_violations = 0 AS pass FROM (
+             |  SELECT 'user_not_null' AS rule,
+             |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_violations FROM events
+             |  UNION ALL
+             |  SELECT 'value_in_range',
+             |    CAST(sum(CASE WHEN value <= 0 OR value > 400 THEN 1 ELSE 0 END)
+             |      AS BIGINT) FROM events
+             |  UNION ALL
+             |  SELECT 'known_event_type',
+             |    CAST(sum(CASE WHEN event_type NOT IN
+             |      ('click','error','purchase','signup','view')
+             |      THEN 1 ELSE 0 END) AS BIGINT) FROM events
+             |  UNION ALL
+             |  SELECT 'event_id_unique',
+             |    count(*) - count(DISTINCT event_id) FROM events
+             |  UNION ALL
+             |  SELECT 'orders_have_customer',
+             |    (SELECT count(*) FROM orders o
+             |     WHERE o.o_custkey IS NOT NULL
+             |       AND o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+             |) ORDER BY rule""".stripMargin)),
+
     // ---- snapshot diff (CDC extraction) ------------------------------------
     // The inverse of q_cdc_apply: given yesterday's and today's snapshots,
     // emit the minimal change feed (I/U/D per key) a downstream consumer
