@@ -212,6 +212,34 @@ object MiscQueries {
              |FROM events GROUP BY event_type
              |ORDER BY event_type NULLS FIRST""".stripMargin)),
 
+    // ---- Count-Min heavy hitters (frequency sketch) -----------------------
+    // The streaming-friendly frequency sketch next to HLL (distinct) and
+    // t-digest (quantiles): CMS construction is a distributed mergeable
+    // aggregate; estimates are served from the broadcast sketch. CMS
+    // NEVER underestimates, and with eps=0.001 the overestimate bound is
+    // ⌈eps·N⌉ counts — the oracle asserts that guarantee holds for the
+    // exact top-10 keys (estimates themselves are engine-specific, same
+    // discipline as q_approx_sketches).
+    Q("q_heavy_hitters",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val n = ev.count()
+        val cms = ev.stat.countMinSketch(
+          col("user_id"), eps = 0.001, confidence = 0.99, seed = 42)
+        val est = udf((u: Long) => cms.estimateCount(u))
+        ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+          .orderBy(col("n_events").desc, col("user_id"))
+          .limit(10)
+          .withColumn("__est", est(col("user_id")))
+          .select(col("user_id"), col("n_events"),
+            (col("__est") >= col("n_events") &&
+              col("__est") <= col("n_events") + math.ceil(0.001 * n).toLong)
+              .as("cms_within_bound"))
+      },
+      Some("""SELECT user_id, count(*) AS n_events, true AS cms_within_bound
+             |FROM events GROUP BY user_id
+             |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin)),
+
     // ---- CSV round-trip (the reference's ingest format) -------------------
     // Write → schema'd read-back → aggregate, proving CSV serialization
     // is lossless for the pipeline's types (Spark prints doubles with
