@@ -369,6 +369,12 @@ object StreamQueries {
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // ---- multimodal: binary column → partition-local feature extraction -
+    // The decode STUB is deterministic (byte-nibble histogram over the
+    // UTF-8 payload), so even this "decoded features" rollup is
+    // oracle-checkable: DuckDB recomputes the histogram bin with a
+    // per-char fold. A real codec swap makes the features opaque again —
+    // but the hash match here proves the mapPartitions batch path emits
+    // exactly the per-row features the decode contract promises.
     Q("q_media_features",
       (s, dir) => {
         import s.implicits._
@@ -383,7 +389,21 @@ object StreamQueries {
             sum(element_at(col("histogram"), 8)).as("hist_bin7_total"))
           .orderBy(col("kind"))
       },
-      None),
+      Some("""SELECT
+             |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+             |       WHEN doc_id % 3 = 1 THEN 'audio'
+             |       ELSE 'video' END AS kind,
+             |  count(*) AS n_items,
+             |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+             |  CAST(sum(CASE WHEN strlen(text) < 16 THEN 0 ELSE
+             |    len(list_distinct(list_transform(range(4),
+             |      i -> least(i * greatest(1, (strlen(text) - 16) // 3),
+             |                 strlen(text) - 16))))
+             |  END) AS BIGINT) AS total_frames,
+             |  CAST(sum(len(list_filter(range(strlen(text)),
+             |    i -> unicode(text[i+1]) // 16 = 7))) AS BIGINT)
+             |    AS hist_bin7_total
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- multimodal metadata, oracle-checked: the deterministic parts of
     //      the media pipeline (byte sizes from the UTF-8 payload, frame-
