@@ -81,6 +81,24 @@ class LatestPerKeyRuleSpec extends AnyFunSuite {
     assert(custom.queryExecution.optimizedPlan.toString.contains("Window"))
   }
 
+  test("randomized: rewritten plan matches Scala-computed ground truth") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(500)((rnd.nextInt(20).toLong,
+      rnd.nextInt(10).toLong, rnd.nextInt(5).toLong))
+    val df = rows.toDF("k", "o", "v")
+    val w = Window.partitionBy(col("k")).orderBy(col("o").desc, col("v").desc)
+    val got = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("k", "o", "v").collect().map(_.toSeq).toSet
+    // duplicates of the full (o, v) key make several rows equally "latest";
+    // any of them is a valid pick, so compare on the (o, v) value
+    val expect = rows.groupBy(_._1).map { case (k, rs) =>
+      val (_, o, v) = rs.maxBy(r => (r._2, r._3))
+      Seq(k, o, v)
+    }.toSet
+    assert(got == expect)
+  }
+
   test("null order keys rank like the window default (desc nulls last)") {
     import spark.implicits._
     val df = Seq((1L, Some(3L), "a"), (1L, None, "b"), (2L, None, "c"))
