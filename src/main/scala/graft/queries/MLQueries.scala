@@ -309,12 +309,16 @@ object MLQueries {
         val ev = Tables.events(s, dir)
           .withColumn("__ep", unix_timestamp(col("ts")))
         val rng = ev.agg(min(col("__ep")).as("__mn"), max(col("__ep")).as("__mx"))
+        // materialize the tiny histogram (≤ types×2×10 rows): the A/B
+        // branches below would otherwise each recompute it — 4 full
+        // event scans where one suffices
         val hist = ev.crossJoin(broadcast(rng))
           .withColumn("period",
             when(col("__ep") * 2 <= col("__mn") + col("__mx"), "A").otherwise("B"))
           .withColumn("bucket", least(floor(col("value") / 50).cast("long"), lit(9L)))
           .groupBy(col("event_type"), col("period"), col("bucket"))
           .agg(count(lit(1)).as("__c"))
+          .localCheckpoint(true)
         val tot = hist.groupBy(col("event_type"), col("period"))
           .agg(sum(col("__c")).as("__t"))
         val sh = hist.join(tot, Seq("event_type", "period"))
