@@ -315,6 +315,39 @@ object TextQueries {
              |  length(nfc_normalize(dt)) AS n_chars
              |FROM d ORDER BY doc_id""".stripMargin)),
 
+    // ---- k-anonymity audit (re-identification risk) ----------------------
+    // Before a dataset ships, count how many quasi-identifier
+    // combinations are rarer than k=5 — each such combo re-identifies
+    // its members. Quasi-identifiers here: (user cohort, event type,
+    // hour-of-day). Output is the per-type risk rollup: distinct combos,
+    // combos under k, and rows exposed by them. Two hash aggregates —
+    // the second is over combo-count rows, not events.
+    Q("q_k_anonymity",
+      (s, dir) => {
+        val combos = Tables.events(s, dir)
+          .groupBy((col("user_id") % 20).as("cohort"), col("event_type"),
+            hour(col("ts")).cast("long").as("hr"))
+          .agg(count(lit(1)).as("__n"))
+        combos.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_combos"),
+            sum((col("__n") < 5).cast("long")).as("n_under_k"),
+            sum(when(col("__n") < 5, col("__n")).otherwise(0L))
+              .as("rows_exposed"),
+            min(col("__n")).as("min_combo_size"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id % 20 AS cohort, event_type,
+             |         CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n
+             |  FROM events GROUP BY 1, 2, 3)
+             |SELECT event_type, count(*) AS n_combos,
+             |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_under_k,
+             |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             |    AS rows_exposed,
+             |  min(n) AS min_combo_size
+             |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- model-based quality classifier (hashed linear scorer) -----------
     // The fastText-style complement to the heuristic quality score: each
     // token hashes into one of 64 weight buckets; the document's score is
