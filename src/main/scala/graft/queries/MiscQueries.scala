@@ -212,6 +212,35 @@ object MiscQueries {
              |FROM events GROUP BY event_type
              |ORDER BY event_type NULLS FIRST""".stripMargin)),
 
+    // ---- mergeable HLL sketches (incremental distinct counting) -----------
+    // The 100 TB distinct-count discipline: persist one HLL sketch per
+    // day (Datasketches binary, a few KB) and UNION them at query time —
+    // no rescan of history. Union-of-daily and the direct whole-range
+    // sketch must BOTH land within tolerance of the exact count (they
+    // are equal in sparse mode but may diverge by a register encoding
+    // once dense, so estimate equality is not the portable claim —
+    // tolerance vs exact is, same discipline as q_approx_sketches).
+    Q("q_hll_mergeable",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val daily = ev.groupBy(to_date(col("ts")).as("d"))
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        val merged = daily.agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("__m"))
+        ev.agg(
+            countDistinct(col("user_id")).as("exact_users"),
+            expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("__w"))
+          .crossJoin(broadcast(merged))
+          .select(col("exact_users"),
+            (abs(col("__m") - col("exact_users")) <=
+              col("exact_users") * 0.05).as("merged_within_5pct"),
+            (abs(col("__w") - col("exact_users")) <=
+              col("exact_users") * 0.05).as("whole_within_5pct"))
+      },
+      Some("""SELECT count(DISTINCT user_id) AS exact_users,
+             |  true AS merged_within_5pct, true AS whole_within_5pct
+             |FROM events""".stripMargin)),
+
     // ---- Count-Min heavy hitters (frequency sketch) -----------------------
     // The streaming-friendly frequency sketch next to HLL (distinct) and
     // t-digest (quantiles): CMS construction is a distributed mergeable
