@@ -48,7 +48,7 @@ object Ingest {
   /** P1/P3/P5/P2: rename via mapping (fallback lowercase), null-pad missing
     * required columns, impute defaults. */
   def normalize(raw: DataFrame): DataFrame = {
-    val renamed = raw.select(raw.columns.map(c =>
+    val renamed = raw.select(raw.columns.toIndexedSeq.map(c =>
       col(s"`$c`").as(columnMapping.getOrElse(c, c.toLowerCase))): _*)
     val padded = requiredColumns.foldLeft(renamed)((d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))

@@ -84,7 +84,7 @@ final class Warehouse(spark: SparkSession, rootDir: String) {
       else d.withColumn(f.name, lit(null).cast(f.dataType))
     }
     padded
-      .select(schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+      .select(schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType)): _*)
       .write.mode("append").parquet(dir(t))
   }
 
