@@ -60,11 +60,15 @@ object PQ {
       .as(Seq("s", "sub")))
 
   /** (vec_id, s, code, err_ppm): nearest sub-codeword per subspace, ties
-    * to the smallest label; err_ppm = floor(L2²·1e6) to that codeword. */
+    * to the smallest label; err_ppm = floor(L2²·1e6) to that codeword.
+    * Pass `cb` (from [[codebook]]) when the caller also needs the codebook
+    * elsewhere — one training aggregate instead of two. */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, subspaces: Int, subDim: Int): DataFrame =
+      labelCol: String, subspaces: Int, subDim: Int,
+      cb: Option[DataFrame] = None): DataFrame =
     subvectors(corpus, idCol, vecCol, subspaces, subDim)
-      .join(broadcast(codebook(corpus, labelCol, vecCol, subspaces, subDim)), Seq("s"))
+      .join(broadcast(cb.getOrElse(
+        codebook(corpus, labelCol, vecCol, subspaces, subDim))), Seq("s"))
       .withColumn("__d2", l2sq(col("sub"), col("cw")))
       .groupBy(col("vec_id"), col("s"))
       .agg(min_by(
@@ -82,12 +86,14 @@ object PQ {
       vecCol: String, labelCol: String, k: Int,
       subspaces: Int, subDim: Int,
       codes: Option[DataFrame] = None): DataFrame = {
+    val cb = codebook(corpus, labelCol, vecCol, subspaces, subDim)
     val lut = subvectors(queries, idCol, vecCol, subspaces, subDim)
       .withColumnRenamed("vec_id", "query_id")
-      .join(broadcast(codebook(corpus, labelCol, vecCol, subspaces, subDim)), Seq("s"))
+      .join(broadcast(cb), Seq("s"))
       .select(col("query_id"), col("s"), col("c_label"),
         floor(l2sq(col("sub"), col("cw")) * 1e6).cast("long").as("qd_ppm"))
-    val enc = codes.getOrElse(encode(corpus, idCol, vecCol, labelCol, subspaces, subDim))
+    val enc = codes.getOrElse(
+      encode(corpus, idCol, vecCol, labelCol, subspaces, subDim, Some(cb)))
     val sums = enc.as("e")
       .join(broadcast(lut).as("l"),
         col("e.s") === col("l.s") && col("e.code") === col("l.c_label"))
@@ -148,9 +154,15 @@ object PQ {
       .select(col("vec_id"), col("__list"),
         zip_with(col("__v"), col("__cent"),
           (x, y) => x.cast("double") - y).as("__r"))
-    // PQ codebook + codes over the residuals, codewords keyed by home list
-    val codes = encode(resid, "vec_id", "__r", "__list", subspaces, subDim)
-      .join(resid.select(col("vec_id"), col("__list")), Seq("vec_id"))
+    // PQ codebook + codes over the residuals, codewords keyed by home
+    // list; the residual codebook trains ONCE and serves encode + LUT.
+    // Home list re-attaches from the plain corpus projection (a narrow
+    // scan), not from resid — no point recomputing the residual join
+    // just to drop the residuals.
+    val rcw = codebook(resid, "__list", "__r", subspaces, subDim)
+    val codes = encode(resid, "vec_id", "__r", "__list", subspaces, subDim,
+        Some(rcw))
+      .join(c.select(col("vec_id"), col("__list")), Seq("vec_id"))
     // probe: nProbe nearest centroids per query by exact L2², query
     // residual computed against each probed centroid
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
@@ -164,7 +176,6 @@ object PQ {
         zip_with(col("__qv"), col("__cent"),
           (x, y) => x.cast("double") - y).as("__qr"))
     // per-(query, probed list) LUT of floored subspace distances
-    val rcw = codebook(resid, "__list", "__r", subspaces, subDim)
     val lut = probed
       .select(col("query_id"), col("__list"), posexplode(
         array((0 until subspaces).map(s =>
