@@ -16,6 +16,53 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries {
 
+  // ---- shared BPE oracle SQL (composed WITHOUT stripMargin: the spliced
+  // SQL is full of `||` concatenations, which a margin strip would
+  // truncate to `|`) ----------------------------------------------------
+  /** One BPE round: pair counts over `prev` → argmax b$i → recursive
+    * first-occurrence merge apply a$i → final states f$i → symbol
+    * inventory n$i. */
+  private def bpeStageSql(i: Int, prev: String) =
+    s"""p$i AS (
+  SELECT l[j+1] AS x, l[j+2] AS y, CAST(sum(c) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s), ' ') AS l, c FROM $prev) t,
+       unnest(range(len(l)-1)) AS u(j)
+  GROUP BY x, y),
+b$i AS (SELECT x, y, cnt FROM p$i ORDER BY cnt DESC, x, y LIMIT 1),
+a$i AS (
+  SELECT w, c, s FROM $prev
+  UNION ALL
+  SELECT a$i.w, a$i.c,
+    substr(s, 1, instr(s, ' ' || x || ' ' || y || ' ') - 1) ||
+      ' ' || x || y ||
+      substr(s, instr(s, ' ' || x || ' ' || y || ' ') + 2 + len(x) + len(y))
+  FROM a$i, b$i WHERE instr(s, ' ' || x || ' ' || y || ' ') > 0),
+f$i AS (SELECT a$i.w, a$i.c, a$i.s FROM a$i, b$i
+        WHERE instr(a$i.s, ' ' || x || ' ' || y || ' ') = 0),
+n$i AS (SELECT count(DISTINCT sym) AS n FROM (
+  SELECT unnest(string_split(trim(s), ' ')) AS sym FROM f$i) u)"""
+
+  /** Word-frequency table + spaced char representation + 3 learn rounds:
+    * ends with f3 = per-word final symbol sequences. */
+  private val bpePrefixSql =
+    s"""WITH RECURSIVE
+w0 AS (
+  SELECT t AS w, count(*) AS c FROM (
+    SELECT unnest(string_split(text, ' ')) AS t FROM documents) u
+  WHERE len(t) > 0 GROUP BY t),
+f0 AS (SELECT w, c,
+  ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+  FROM w0),
+${bpeStageSql(1, "f0")},
+${bpeStageSql(2, "f1")},
+${bpeStageSql(3, "f2")}"""
+
+  /** Corpus word-frequency table, shared by the BPE queries. */
+  private def corpusWords(docs: org.apache.spark.sql.DataFrame) = docs
+    .select(explode(split(col("text"), " ")).as("w"))
+    .filter(length(col("w")) > 0)
+    .groupBy(col("w")).agg(count(lit(1)).as("c"))
+
   val all: Seq[Q] = Seq(
 
     // ---- benchmark decontamination --------------------------------------
@@ -398,6 +445,141 @@ object CurationQueries {
              |SELECT t.doc_id, t.n_chunks,
              |       t.n_chunks - coalesce(re.n_kept, 0) AS n_removed,
              |       coalesce(re.clean_text, '') AS clean_text
-             |FROM tot t LEFT JOIN re USING (doc_id) ORDER BY t.doc_id""".stripMargin))
+             |FROM tot t LEFT JOIN re USING (doc_id) ORDER BY t.doc_id""".stripMargin)),
+
+    // ---- BPE merge learning (tokenizer training) --------------------------
+    // Three rounds of byte-pair-encoding merge learning over the corpus
+    // (operators.BPE): collapse the corpus to a word-frequency table (ONE
+    // corpus scan — the shape industrial BPE trainers use), then iterate
+    // on the vocab table: adjacency counts weighted by word frequency,
+    // deterministic argmax (count desc, pair asc), greedy first-occurrence
+    // apply. The oracle replays each round with a recursive CTE that
+    // splices out the first ` x y ` occurrence until none remains —
+    // verified equivalent to the engine's lookahead-regex single pass, so
+    // the learned merge TABLE (winning pair, weighted count, symbol
+    // inventory after applying) hash-matches, not just row counts.
+    // Scale: vocab ≪ corpus (Zipf); rounds never rescan the corpus; the
+    // driver holds one (pair, count) row per round, as KMeans holds
+    // centroids.
+    Q("q_bpe_merges",
+      (s, dir) => {
+        val words = corpusWords(Tables.documents(s, dir))
+        s.createDataFrame(
+          graft.operators.BPE.learnMerges(words, "w", "c", nMerges = 3))
+          .orderBy(col("step"))
+      },
+      Some(s"""$bpePrefixSql
+SELECT 1 AS step, x AS left_sym, y AS right_sym,
+       cnt AS pair_count, n AS n_symbols_after FROM b1, n1
+UNION ALL SELECT 2, x, y, cnt, n FROM b2, n2
+UNION ALL SELECT 3, x, y, cnt, n FROM b3, n3
+ORDER BY step""")),
+
+    // ---- BPE encode (tokenizer apply) -------------------------------------
+    // Tokenize the corpus with the merges just learned: per-word symbol
+    // counts come from ONE narrow pass over the vocab table (3 chained
+    // merge regexes — the encode side of a tokenizer is shuffle-free),
+    // then each document aggregates its words' counts through a broadcast
+    // vocab join. Compression ppm = chars per BPE token. The oracle
+    // replays learning AND application (f3's final per-word states), so
+    // the whole learn→encode path is hash-checked end-to-end.
+    Q("q_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val words = corpusWords(docs)
+        val merges = graft.operators.BPE.learnMerges(words, "w", "c", 3)
+          .map(m => (m.left_sym, m.right_sym))
+        val lex = graft.operators.BPE.applyMerges(
+            words.select(col("w")), "w", merges)
+          .select(col("w"), size(col("bpe_syms")).cast("long").as("__nsym"))
+        docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .join(broadcast(lex), Seq("w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(length(col("w")).cast("long")).as("n_chars"),
+            sum(col("__nsym")).as("n_bpe_tokens"))
+          .withColumn("compression_ppm",
+            expr("n_chars * 1000000L div n_bpe_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$bpePrefixSql,
+lex AS (SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS nsym
+        FROM f3),
+dw AS (SELECT doc_id, t AS w FROM (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         FROM documents) u
+       WHERE len(t) > 0)
+SELECT dw.doc_id, count(*) AS n_words,
+       CAST(sum(len(w)) AS BIGINT) AS n_chars,
+       CAST(sum(nsym) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(len(w)) AS BIGINT) * 1000000
+         // CAST(sum(nsym) AS BIGINT) AS compression_ppm
+FROM dw JOIN lex USING (w) GROUP BY dw.doc_id ORDER BY dw.doc_id""")),
+
+    // ---- DSIR-style importance weighting ----------------------------------
+    // Data Selection via Importance Resampling (hashed n-gram features,
+    // Xie et al. 2023), integer-exact: unigram tokens hash into 64
+    // feature buckets; a target domain (source 'src0' stands in for the
+    // curated corpus) and the full raw corpus each fit +1-smoothed bucket
+    // frequencies; a bucket's weight is the target/raw relative-frequency
+    // ratio in ppm, and a document's importance is its tokens' mean
+    // bucket weight (ratio-sum surrogate for the log-likelihood ratio —
+    // log() is not bit-portable across engines; ranking is preserved for
+    // the resampling step downstream, cf. q_weighted_sample). Scale: two
+    // vocab-free hash aggregates to 64 rows (map-side combinable),
+    // weights broadcast back; the corpus shuffles only (doc_id, bucket)
+    // pairs, never text.
+    Q("q_dsir_weights",
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            explode(Text.tokens(col("text"))).as("t"))
+          .filter(length(col("t")) > 0)
+          .withColumn("b", pmod(Text.polyHash(col("t")), lit(64L)))
+        val tgt = tok.filter(col("source") === "src0")
+          .groupBy(col("b")).agg(count(lit(1)).as("__tc"))
+        val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("__rc"))
+        val buckets = s.range(64).select(col("id").as("b"))
+          .join(tgt, Seq("b"), "left").join(raw, Seq("b"), "left")
+          .select(col("b"),
+            (coalesce(col("__tc"), lit(0L)) + lit(1L)).as("tc"),
+            (coalesce(col("__rc"), lit(0L)) + lit(1L)).as("rc"))
+        val tots = buckets.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
+        val weights = buckets.crossJoin(broadcast(tots))
+          .withColumn("w_ppm", expr(
+            "(tc * 1000000L div tt) * 1000000L div greatest(rc * 1000000L div rt, 1L)"))
+          .select(col("b"), col("w_ppm"))
+        tok.join(broadcast(weights), Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("w_ppm")).as("__sw"))
+          .select(col("doc_id"), col("n_tokens"),
+            expr("__sw div n_tokens").as("dsir_weight_ppm"),
+            (expr("__sw div n_tokens") >= 1000000L).as("target_like"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (
+  SELECT doc_id, source, (${Text.polyHashSql("t")}) % 64 AS b FROM (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+    FROM documents) u
+  WHERE len(t) > 0),
+tgt AS (SELECT b, count(*) AS c FROM tok WHERE source = 'src0' GROUP BY b),
+raw AS (SELECT b, count(*) AS c FROM tok GROUP BY b),
+bk AS (
+  SELECT r.b, coalesce(t.c, 0) + 1 AS tc, coalesce(raw.c, 0) + 1 AS rc
+  FROM (SELECT range AS b FROM range(64)) r
+  LEFT JOIN tgt t ON r.b = t.b
+  LEFT JOIN raw ON r.b = raw.b),
+tot AS (SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(rc) AS BIGINT) AS rt
+        FROM bk),
+wt AS (
+  SELECT b, (tc * 1000000 // tt) * 1000000
+              // greatest(rc * 1000000 // rt, 1) AS w_ppm
+  FROM bk, tot)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(w_ppm) AS BIGINT) // count(*) AS dsir_weight_ppm,
+       CAST(sum(w_ppm) AS BIGINT) // count(*) >= 1000000 AS target_like
+FROM tok JOIN wt USING (b)
+GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
