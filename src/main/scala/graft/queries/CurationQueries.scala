@@ -63,6 +63,40 @@ ${bpeStageSql(3, "f2")}"""
     .filter(length(col("w")) > 0)
     .groupBy(col("w")).agg(count(lit(1)).as("c"))
 
+  /** Bigram-LM fluency score per doc (shared by q_bigram_lm and
+    * q_perplexity_buckets): mean conditional bigram probability in ppm. */
+  private def lmScores(docs: org.apache.spark.sql.DataFrame) = {
+    val bgs = docs
+      .select(col("doc_id"), explode(Text.shingles(col("text"), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val c2 = bgs.groupBy(col("bg")).agg(count(lit(1)).as("__c2"))
+    val c1 = bgs.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+    bgs.join(c2, Seq("bg")).join(c1, Seq("w1"))
+      .withColumn("__p_ppm", expr("__c2 * 1000000L div __c1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__p_ppm")).as("__sp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("__sp div n_bigrams").as("mean_p_ppm"))
+  }
+
+  /** DuckDB mirror of [[lmScores]]: CTEs ending in `lm` =
+    * (doc_id, n_bigrams, mean_p_ppm). */
+  private val lmScoresSql =
+    """tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bgs AS (
+      |  SELECT doc_id, t[i+1] || ' ' || t[i+2] AS bg, t[i+1] AS w1
+      |  FROM tok, unnest(range(len(t)-1)) AS u(i)),
+      |c2 AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY bg),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bgs GROUP BY w1),
+      |p AS (
+      |  SELECT doc_id, c2.c2 * 1000000 // c1.c1 AS p_ppm
+      |  FROM bgs JOIN c2 USING (bg) JOIN c1 USING (w1)),
+      |lm AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |         CAST(sum(p_ppm) AS BIGINT) // count(*) AS mean_p_ppm
+      |  FROM p GROUP BY doc_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- benchmark decontamination --------------------------------------
@@ -180,33 +214,43 @@ ${bpeStageSql(3, "f2")}"""
     // equi-joins on the bigram/prefix keys — never quadratic, and the
     // model tables shuffle instead of the corpus text.
     Q("q_bigram_lm",
+      (s, dir) => lmScores(Tables.documents(s, dir)).orderBy(col("doc_id")),
+      Some(s"""WITH $lmScoresSql
+              |SELECT doc_id, n_bigrams, mean_p_ppm
+              |FROM lm ORDER BY doc_id""".stripMargin)),
+
+    // ---- CCNet-style perplexity buckets -----------------------------------
+    // The head/middle/tail split CCNet applies per language before
+    // training-data selection, here per SOURCE: rank every document by
+    // LM fluency within its source and cut into tertiles (ntile is
+    // deterministic given the total order: score desc, doc_id). Scale:
+    // the LM scoring is the q_bigram_lm plan; the bucketing adds one
+    // window partitioned by source — parallel across sources, and within
+    // a source the rank can fall back to the distributed prefix-sum
+    // stitching q_shard_assign proves when a single source outgrows a
+    // partition.
+    Q("q_perplexity_buckets",
       (s, dir) => {
-        val bgs = Tables.documents(s, dir)
-          .select(col("doc_id"), explode(Text.shingles(col("text"), 2)).as("bg"))
-          .withColumn("w1", substring_index(col("bg"), " ", 1))
-        val c2 = bgs.groupBy(col("bg")).agg(count(lit(1)).as("__c2"))
-        val c1 = bgs.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
-        bgs.join(c2, Seq("bg")).join(c1, Seq("w1"))
-          .withColumn("__p_ppm", expr("__c2 * 1000000L div __c1"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("__p_ppm")).as("__sp"))
-          .select(col("doc_id"), col("n_bigrams"),
-            expr("__sp div n_bigrams").as("mean_p_ppm"))
+        val docs = Tables.documents(s, dir)
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("mean_p_ppm").desc, col("doc_id"))
+        lmScores(docs)
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .withColumn("__t", ntile(3).over(w))
+          .select(col("doc_id"), col("source"), col("mean_p_ppm"),
+            when(col("__t") === 1, "head")
+              .when(col("__t") === 2, "middle")
+              .otherwise("tail").as("bucket"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH tok AS (
-             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-             |bgs AS (
-             |  SELECT doc_id, t[i+1] || ' ' || t[i+2] AS bg, t[i+1] AS w1
-             |  FROM tok, unnest(range(len(t)-1)) AS u(i)),
-             |c2 AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY bg),
-             |c1 AS (SELECT w1, count(*) AS c1 FROM bgs GROUP BY w1),
-             |p AS (
-             |  SELECT doc_id, c2.c2 * 1000000 // c1.c1 AS p_ppm
-             |  FROM bgs JOIN c2 USING (bg) JOIN c1 USING (w1))
-             |SELECT doc_id, count(*) AS n_bigrams,
-             |       CAST(sum(p_ppm) AS BIGINT) // count(*) AS mean_p_ppm
-             |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH $lmScoresSql
+              |SELECT lm.doc_id, d.source, lm.mean_p_ppm,
+              |  CASE ntile(3) OVER (PARTITION BY d.source
+              |                      ORDER BY lm.mean_p_ppm DESC, lm.doc_id)
+              |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+              |  END AS bucket
+              |FROM lm JOIN documents d ON lm.doc_id = d.doc_id
+              |ORDER BY lm.doc_id""".stripMargin)),
 
     // ---- canonicalization dedup ------------------------------------------
     // Exact dedup after text normalization (lowercase, strip punctuation,
