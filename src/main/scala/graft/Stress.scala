@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   *   mode "pagerank":        3 PageRank rounds over copies×100k nodes /
   *                           copies×1M edges (rank side too big to
   *                           broadcast — the honest graph-scale path)
+  *   mode "bpe":             5 BPE merge rounds over a synthetic
+  *                           copies×100k-word vocabulary (~web-scale
+  *                           post-normalization English at copies=10;
+  *                           sfDir unused) — stresses the per-round
+  *                           vocab explode/aggregate/argmax/apply loop
   * The measured numbers live in SCALE.md ("Measured" table).
   */
 object Stress {
@@ -235,6 +240,25 @@ object Stress {
         val mass = ranks.agg(sum(col("rank_ppm"))).head().getLong(0)
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"""{"nodes":$nNodes%d,"edges":${copies * 1000000L}%d,"ranked":$nr%d,"total_mass_ppm":$mass%d,"seconds":$dt%.1f}""")
+
+      case "bpe" =>
+        // synthetic vocab: ~copies×100k distinct 4–10-char words over a
+        // 26-letter alphabet, Zipf-ish counts — deterministic via hash(id)
+        val words = spark.range(copies * 100000L)
+          .select(
+            expr("array_join(transform(sequence(0, cast(3 + id % 7 as int)), " +
+              "j -> chr(97 + pmod(hash(id, j), 26))), '')").as("w"),
+            (lit(1L) + pmod(expr("hash(id)").cast("long"), lit(1000L))).as("c0"))
+          .groupBy(col("w")).agg(sum(col("c0")).as("c"))
+          .cache()
+        val nVocab = words.count()
+        val t0 = System.nanoTime()
+        val merges = operators.BPE.learnMerges(words, "w", "c", nMerges = 5)
+        val dt = (System.nanoTime() - t0) / 1e9
+        words.unpersist()
+        val tops = merges.map(m => s""""${m.left_sym}${m.right_sym}"""")
+          .mkString("[", ",", "]")
+        println(f"""{"vocab":$nVocab%d,"rounds":${merges.size}%d,"merged":$tops,"seconds":$dt%.1f}""")
 
       case _ =>
         val docs0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))

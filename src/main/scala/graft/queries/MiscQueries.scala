@@ -159,9 +159,12 @@ object MiscQueries {
       (s, dir) => Tables.events(s, dir)
         .agg(
           countDistinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("user_id")).as("__au"),
+          // rsd explicit and ≥4σ inside the asserted tolerance: the
+          // default 5% rsd made the 5%-band check a coin flip (observed
+          // failing at sf0.1 — a 1σ band is not a tolerance)
+          approx_count_distinct(col("user_id"), 0.01).as("__au"),
           countDistinct(col("event_id")).as("exact_events"),
-          approx_count_distinct(col("event_id")).as("__ae"),
+          approx_count_distinct(col("event_id"), 0.02).as("__ae"),
           expr("percentile(value, 0.5)").as("__exact_med"),
           expr("approx_percentile(value, 0.5, 10000)").as("__am"))
         .select(

@@ -152,4 +152,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
       s"no loop join in a PageRank step:\n$s")
   }
+
+  test("DSIR weighting broadcasts the 64-row weight table to the token stream") {
+    val s = render(plan("q_dsir_weights"))
+    assert(s.contains("BroadcastHashJoin"),
+      s"expected the bucket-weight join to broadcast:\n$s")
+    // the one BroadcastNestedLoopJoin is the intentional 64-row × 1-row
+    // totals crossJoin — metadata-sized by construction; what must never
+    // appear is an unbroadcast cartesian over data-sized inputs
+    assert(!s.contains("CartesianProduct"),
+      s"no cartesian in DSIR weighting:\n$s")
+  }
+
+  test("BPE encode broadcasts the tokenized vocab to the document stream") {
+    val s = render(plan("q_bpe_encode"))
+    assert(s.contains("BroadcastHashJoin"),
+      s"expected the vocab join to broadcast:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"no loop join in BPE encode:\n$s")
+  }
 }
