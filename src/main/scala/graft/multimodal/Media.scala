@@ -92,6 +92,46 @@ object Media {
     }
   }
 
+  final case class ResizedMedia(
+      media_id: Long, kind: String, out_w: Int, out_h: Int,
+      thumb: Array[Byte], px_sum: Long, px_checksum: Long)
+
+  /** Nearest-neighbor resize to tw×th — the thumbnailing step of an image
+    * pipeline. The index arithmetic IS the real nearest-neighbor kernel
+    * (src_y = y·h÷th, src_x = x·w÷tw, row-major); only the pixel source
+    * is the stub's bytes-as-pixels model (payloads shorter than
+    * width·height read 0 past the end — a truncated image). A real
+    * deployment decodes first and runs the identical kernel. px_sum /
+    * px_checksum (fold (a·31+px) mod 1e9+7) come out of the same pass —
+    * the per-thumb stats a dedup or quality filter consumes downstream.
+    * Partition-parallel map, no shuffle, constant memory per row. */
+  def resize(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val out = new Array[Byte](tw * th)
+        var sum = 0L
+        var ck = 0L
+        var y = 0
+        while (y < th) {
+          val sy = y * r.height / th
+          var x = 0
+          while (x < tw) {
+            val sx = x * r.width / tw
+            val idx = sy * r.width + sx
+            val px = if (idx < r.bytes.length) r.bytes(idx) & 0xff else 0
+            out(y * tw + x) = px.toByte
+            sum += px
+            ck = (ck * 31 + px) % 1000000007L
+            x += 1
+          }
+          y += 1
+        }
+        ResizedMedia(r.media_id, r.kind, tw, th, out, sum, ck)
+      }
+    }
+  }
+
   /** Build a media frame from any table with an id + string payload —
     * test/bench helper producing deterministic binary content. */
   def synthesize(df: DataFrame, idCol: String, payloadCol: String): DataFrame =

@@ -470,6 +470,52 @@ object StreamQueries {
               |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
               |       off AS byte_offset,
               |       ${graft.functions.Text.polyHashSql("frame_s")} AS frame_hash
-              |FROM r ORDER BY media_id, frame_idx""".stripMargin))
+              |FROM r ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // ---- multimodal resize: 8×8 nearest-neighbor thumbnails -------------
+    // The thumbnailing step, oracle-checked end to end: the DuckDB mirror
+    // replays the SAME nearest-neighbor index arithmetic (src_y = y·h÷8,
+    // src_x = x·w÷8 over the row-major bytes-as-pixels stub, 0 past the
+    // payload end) and folds the identical checksum, so the kernel —
+    // not just row counts — hash-matches. A real codec swap changes the
+    // pixel source only; kernel, schema, and plan shape stay. Scale:
+    // partition-local map, payloads never shuffle, output is 64 bytes +
+    // two longs per item.
+    Q("q_media_resize",
+      (s, dir) => {
+        import s.implicits._
+        val media = Media.synthesize(
+          graft.Tables.documents(s, dir), "doc_id", "text").as[Media.MediaRow]
+        Media.resize(media, tw = 8, th = 8)
+          .select(col("media_id"), col("kind"),
+            col("out_w").cast("long").as("out_w"),
+            col("out_h").cast("long").as("out_h"),
+            col("px_sum"), col("px_checksum"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id AS media_id,
+             |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+             |         WHEN doc_id % 3 = 1 THEN 'audio'
+             |         ELSE 'video' END AS kind,
+             |    text, strlen(text) AS n,
+             |    doc_id % 640 + 16 AS w, doc_id % 480 + 16 AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT media_id, kind,
+             |    list_transform(range(64), p ->
+             |      CASE WHEN (p // 8) * h // 8 * w + (p % 8) * w // 8 < n
+             |           THEN unicode(text[CAST((p // 8) * h // 8 * w
+             |                  + (p % 8) * w // 8 AS INTEGER) + 1])
+             |           ELSE 0 END) AS pxs
+             |  FROM m)
+             |SELECT media_id, kind,
+             |  CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+             |  CAST(list_reduce(list_prepend(0::BIGINT, pxs),
+             |    (a, x) -> a + x) AS BIGINT) AS px_sum,
+             |  CAST(list_reduce(list_prepend(0::BIGINT, pxs),
+             |    (a, x) -> (a * 31 + x) % 1000000007) AS BIGINT)
+             |    AS px_checksum
+             |FROM px ORDER BY media_id""".stripMargin))
   )
 }

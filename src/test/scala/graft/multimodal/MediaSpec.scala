@@ -57,4 +57,29 @@ class MediaSpec extends AnyFunSuite {
       assert(got.forall(_.frame.length == 16))
     }
   }
+
+  test("resize: nearest-neighbor kernel against a hand-computed 4x2 -> 2x2 case") {
+    // image 4 wide × 2 high, pixels 10..17 row-major:
+    //   10 11 12 13
+    //   14 15 16 17
+    // 2×2 thumb: sy = y*2/2 = y, sx = x*4/2 = 2x → picks (0,0)(0,2)(1,0)(1,2)
+    val bytes = Array[Byte](10, 11, 12, 13, 14, 15, 16, 17)
+    val media = Seq(Media.MediaRow(7L, "image", bytes, 4, 2, 0)).toDS()
+    val r = Media.resize(media, tw = 2, th = 2).head()
+    assert(r.thumb.toSeq == Seq[Byte](10, 12, 14, 16))
+    assert(r.px_sum == 10 + 12 + 14 + 16)
+    val expCk = Seq(10, 12, 14, 16).foldLeft(0L)((a, x) => (a * 31 + x) % 1000000007L)
+    assert(r.px_checksum == expCk)
+    assert((r.out_w, r.out_h) == (2, 2))
+  }
+
+  test("resize reads 0 past a truncated payload and never shuffles bytes") {
+    // metadata claims 4×4 but only 5 bytes exist → indices ≥ 5 read 0
+    val media = Seq(Media.MediaRow(1L, "image",
+      Array[Byte](1, 2, 3, 4, 5), 4, 4, 0)).toDS()
+    val r = Media.resize(media, tw = 4, th = 4).head()
+    assert(r.thumb.toSeq.take(5) == Seq[Byte](1, 2, 3, 4, 5))
+    assert(r.thumb.toSeq.drop(5).forall(_ == 0))
+    assert(r.px_sum == 1 + 2 + 3 + 4 + 5)
+  }
 }
