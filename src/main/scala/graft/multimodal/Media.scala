@@ -114,12 +114,17 @@ object Media {
         var ck = 0L
         var y = 0
         while (y < th) {
-          val sy = y * r.height / th
+          // Long index arithmetic + both-bounds guard: corrupt metadata
+          // (negative dims, width·height past Int.MaxValue) must degrade
+          // to 0-pixels like any other out-of-range read, never throw
+          val sy = y.toLong * r.height / th
           var x = 0
           while (x < tw) {
-            val sx = x * r.width / tw
+            val sx = x.toLong * r.width / tw
             val idx = sy * r.width + sx
-            val px = if (idx < r.bytes.length) r.bytes(idx) & 0xff else 0
+            val px =
+              if (idx >= 0 && idx < r.bytes.length) r.bytes(idx.toInt) & 0xff
+              else 0
             out(y * tw + x) = px.toByte
             sum += px
             ck = (ck * 31 + px) % 1000000007L

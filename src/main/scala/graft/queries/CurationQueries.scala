@@ -21,7 +21,12 @@ object CurationQueries {
   // truncate to `|`) ----------------------------------------------------
   /** One BPE round: pair counts over `prev` → argmax b$i → recursive
     * first-occurrence merge apply a$i → final states f$i → symbol
-    * inventory n$i. */
+    * inventory n$i. bp$i pads an EMPTY argmax (merges exhausted — every
+    * word already one symbol) to a sentinel whose pattern `'   '` can
+    * never match a spaced representation (symbols are non-empty, so no
+    * two spaces are ever adjacent): the apply stage then passes all rows
+    * through unchanged, mirroring the engine's early stop, instead of
+    * the bare cross join silently emptying every downstream CTE. */
   private def bpeStageSql(i: Int, prev: String) =
     s"""p$i AS (
   SELECT l[j+1] AS x, l[j+2] AS y, CAST(sum(c) AS BIGINT) AS cnt
@@ -29,6 +34,8 @@ object CurationQueries {
        unnest(range(len(l)-1)) AS u(j)
   GROUP BY x, y),
 b$i AS (SELECT x, y, cnt FROM p$i ORDER BY cnt DESC, x, y LIMIT 1),
+bp$i AS (SELECT coalesce(max(x), '') AS x, coalesce(max(y), '') AS y
+         FROM b$i),
 a$i AS (
   SELECT w, c, s FROM $prev
   UNION ALL
@@ -36,8 +43,8 @@ a$i AS (
     substr(s, 1, instr(s, ' ' || x || ' ' || y || ' ') - 1) ||
       ' ' || x || y ||
       substr(s, instr(s, ' ' || x || ' ' || y || ' ') + 2 + len(x) + len(y))
-  FROM a$i, b$i WHERE instr(s, ' ' || x || ' ' || y || ' ') > 0),
-f$i AS (SELECT a$i.w, a$i.c, a$i.s FROM a$i, b$i
+  FROM a$i, bp$i WHERE instr(s, ' ' || x || ' ' || y || ' ') > 0),
+f$i AS (SELECT a$i.w, a$i.c, a$i.s FROM a$i, bp$i
         WHERE instr(a$i.s, ' ' || x || ' ' || y || ' ') = 0),
 n$i AS (SELECT count(DISTINCT sym) AS n FROM (
   SELECT unnest(string_split(trim(s), ' ')) AS sym FROM f$i) u)"""
@@ -530,7 +537,12 @@ ORDER BY step""")),
     Q("q_bpe_encode",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val words = corpusWords(docs)
+        // eager localCheckpoint: the corpus-wide word-frequency aggregate
+        // materializes ONCE and serves both learnMerges and the lex build
+        // (a plain cache could not be unpersisted here — the returned
+        // frame executes after this function returns; checkpoint blocks
+        // are GC'd by the ContextCleaner when the frame is dropped)
+        val words = corpusWords(docs).localCheckpoint(true)
         val merges = graft.operators.BPE.learnMerges(words, "w", "c", 3)
           .map(m => (m.left_sym, m.right_sym))
         val lex = graft.operators.BPE.applyMerges(
@@ -581,11 +593,14 @@ FROM dw JOIN lex USING (w) GROUP BY dw.doc_id ORDER BY dw.doc_id""")),
             explode(Text.tokens(col("text"))).as("t"))
           .filter(length(col("t")) > 0)
           .withColumn("b", pmod(Text.polyHash(col("t")), lit(64L)))
-        val tgt = tok.filter(col("source") === "src0")
-          .groupBy(col("b")).agg(count(lit(1)).as("__tc"))
-        val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("__rc"))
+        // target + raw frequencies from ONE token-stream scan (conditional
+        // aggregate), not one scan per side — at 100 TB the fit side then
+        // costs a single pass and the score side a second
+        val counts = tok.groupBy(col("b")).agg(
+          count(when(col("source") === "src0", lit(1))).as("__tc"),
+          count(lit(1)).as("__rc"))
         val buckets = s.range(64).select(col("id").as("b"))
-          .join(tgt, Seq("b"), "left").join(raw, Seq("b"), "left")
+          .join(counts, Seq("b"), "left")
           .select(col("b"),
             (coalesce(col("__tc"), lit(0L)) + lit(1L)).as("tc"),
             (coalesce(col("__rc"), lit(0L)) + lit(1L)).as("rc"))
@@ -607,13 +622,13 @@ FROM dw JOIN lex USING (w) GROUP BY dw.doc_id ORDER BY dw.doc_id""")),
     SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
     FROM documents) u
   WHERE len(t) > 0),
-tgt AS (SELECT b, count(*) AS c FROM tok WHERE source = 'src0' GROUP BY b),
-raw AS (SELECT b, count(*) AS c FROM tok GROUP BY b),
+cnt AS (SELECT b, count(*) FILTER (source = 'src0') AS tc0,
+               count(*) AS rc0
+        FROM tok GROUP BY b),
 bk AS (
-  SELECT r.b, coalesce(t.c, 0) + 1 AS tc, coalesce(raw.c, 0) + 1 AS rc
+  SELECT r.b, coalesce(c.tc0, 0) + 1 AS tc, coalesce(c.rc0, 0) + 1 AS rc
   FROM (SELECT range AS b FROM range(64)) r
-  LEFT JOIN tgt t ON r.b = t.b
-  LEFT JOIN raw ON r.b = raw.b),
+  LEFT JOIN cnt c ON r.b = c.b),
 tot AS (SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(rc) AS BIGINT) AS rt
         FROM bk),
 wt AS (

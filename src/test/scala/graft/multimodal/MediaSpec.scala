@@ -82,4 +82,17 @@ class MediaSpec extends AnyFunSuite {
     assert(r.thumb.toSeq.drop(5).forall(_ == 0))
     assert(r.px_sum == 1 + 2 + 3 + 4 + 5)
   }
+
+  test("resize degrades corrupt metadata to 0-pixels instead of throwing") {
+    // negative dims and an Int-overflowing width×height product must both
+    // land in the out-of-range branch, not AIOOBE the executor
+    val media = Seq(
+      Media.MediaRow(1L, "image", Array[Byte](9, 9), -4, 4, 0),
+      Media.MediaRow(2L, "image", Array[Byte](9, 9), 100000, 50000, 0)).toDS()
+    val rs = Media.resize(media, tw = 8, th = 8).collect().sortBy(_.media_id)
+    assert(rs.forall(_.thumb.length == 64))
+    // every pixel is either an in-range payload byte (9) or the 0 pad —
+    // never garbage from a wrapped negative index
+    assert(rs.forall(_.thumb.forall(b => b == 9 || b == 0)))
+  }
 }

@@ -14,7 +14,14 @@ Usage: python3 tools/check.py [sfdir] [--skip-verify] [query ...]
 import json, math, subprocess, sys, glob, os
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# per-sfdir dump dir: concurrent gate runs on different scale factors
+# must never clobber each other's Spark outputs mid-compare
 OUT = "/tmp/graft_verify_out"
+
+
+def set_out(sfdir):
+    global OUT
+    OUT = f"/tmp/graft_verify_out_{os.path.basename(sfdir.rstrip('/'))}"
 
 ADD_OPENS = [
     "java.base/java.lang", "java.base/java.lang.invoke",
@@ -95,6 +102,7 @@ def main():
     args = [a for a in args if a != "--skip-verify"]
     sfdir = args[0] if args and args[0].startswith("/") else "/root/testdata/sf0.01"
     only = [a for a in args if not a.startswith("/")]
+    set_out(sfdir)
 
     if not skip:
         run_verify(sfdir)
