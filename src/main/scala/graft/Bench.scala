@@ -33,6 +33,7 @@ object Bench {
     "q_sessionize",            // gap sessionization window
     "q_doc_quality",           // text analysis
     "q_decontaminate",         // corpus curation (eval-overlap scrub)
+    "q_bpe_merges",            // tokenizer training (iterative vocab rounds)
     "q_zscore_events",         // ML standardization
     "q_iforest_top_anomalies", // custom ML scoring
     "q_stream_hourly_rollup")  // structured streaming
