@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.DataOpsQueries.all ++
       graft.queries.PQQueries.all ++
       graft.queries.SearchQueries.all ++
-      graft.queries.GraphQueries.all
+      graft.queries.GraphQueries.all ++
+      graft.queries.EvalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Latest event per user (the reference's signature DISTINCT ON operator,

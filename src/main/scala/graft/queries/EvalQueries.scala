@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed model-evaluation and distribution-comparison statistics.
+  *
+  * Both queries use the same scale shape: the raw table collapses to one
+  * row PER DISTINCT SCORE via a map-side-combinable hash aggregate (the
+  * only full-data scan), and the order-dependent part — a prefix sum —
+  * runs as an unpartitioned window over that distinct-score table, whose
+  * size is bounded by score cardinality, not corpus rows (6.4k distinct
+  * cent-values against 10M events; a calibrated model emits a few
+  * thousand distinct scores against billions of examples). All arithmetic
+  * is integer — counts, cross-multiplied cumulative counts, and a single
+  * final ppm division — so Spark and DuckDB agree bit-for-bit. At
+  * extreme scale the products `cum·N` approach 2⁶³ around 3·10⁹ rows per
+  * side; past that, bucket scores first (the statistics degrade
+  * gracefully to their histogram forms, same plan).
+  */
+object EvalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- rank-sum AUC (Mann–Whitney) ---------------------------------------
+    // AUC of `n_chars` as a score predicting lang = 'en', tie-aware:
+    // AUC = Σ_s npos(s)·(cumneg_below(s) + nneg(s)/2) / (P·N), computed
+    // ×2 to stay integral. This is THE distributed AUC: no global sort
+    // of examples, no pair enumeration — one hash agg to distinct
+    // scores, one tiny prefix-sum window, one row out.
+    Q("q_auc_rank",
+      (s, dir) => {
+        val g = Tables.documents(s, dir)
+          .select(col("n_chars").as("score"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+          .groupBy(col("score"))
+          .agg(sum(col("pos")).as("np"), sum(lit(1L) - col("pos")).as("nn"))
+        val w = Window.orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        g.withColumn("cb", coalesce(sum(col("nn")).over(w), lit(0L)))
+          .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+            sum(col("np") * (lit(2L) * col("cb") + col("nn"))).as("u2"))
+          .select(col("n_pos"), col("n_neg"),
+            expr("u2 * 1000000L div (2L * n_pos * n_neg)").as("auc_ppm"))
+      },
+      Some("""WITH g AS (
+             |  SELECT n_chars AS score,
+             |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS np,
+             |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+             |              AS BIGINT) AS nn
+             |  FROM documents GROUP BY 1),
+             |c AS (
+             |  SELECT np, nn,
+             |         CAST(coalesce(sum(nn) OVER (ORDER BY score
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |           0) AS BIGINT) AS cb
+             |  FROM g)
+             |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+             |       CAST(sum(nn) AS BIGINT) AS n_neg,
+             |       CAST(sum(np * (2 * cb + nn)) * 1000000 //
+             |            (2 * sum(np) * sum(nn)) AS BIGINT) AS auc_ppm
+             |FROM c""".stripMargin)),
+
+    // ---- Kolmogorov–Smirnov two-sample drift -------------------------------
+    // KS statistic between the first and second time-half of `events.value`
+    // (same A/B split as q_drift_tvd, but distribution-free: the max CDF
+    // gap over the EXACT empirical CDFs, not a fixed histogram).
+    // D = max_s |cumA(s)·nB − cumB(s)·nA| / (nA·nB), kept integral by
+    // cross-multiplying; reported in ppm.
+    Q("q_ks_drift",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("__ep", unix_timestamp(col("ts")))
+        val rng = ev.agg(min(col("__ep")).as("__mn"), max(col("__ep")).as("__mx"))
+        // materialize the tiny distinct-score table: the totals branch and
+        // the prefix-sum branch below would otherwise each rescan events
+        val g = ev.crossJoin(broadcast(rng))
+          .select(floor(col("value") * 100).cast("long").as("score"),
+            when(col("__ep") * 2 <= col("__mn") + col("__mx"), 1L)
+              .otherwise(0L).as("ina"))
+          .groupBy(col("score"))
+          .agg(sum(col("ina")).as("ca"), sum(lit(1L) - col("ina")).as("cb"))
+          .localCheckpoint(true)
+        val tot = g.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+        val w = Window.orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        g.withColumn("cuma", sum(col("ca")).over(w))
+          .withColumn("cumb", sum(col("cb")).over(w))
+          .crossJoin(broadcast(tot))
+          .agg(first(col("ta")).as("n_a"), first(col("tb")).as("n_b"),
+            max(abs(col("cuma") * col("tb") - col("cumb") * col("ta")))
+              .as("d_num"))
+          .select(col("n_a"), col("n_b"),
+            expr("d_num * 1000000L div (n_a * n_b)").as("ks_ppm"))
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(floor(value * 100) AS BIGINT) AS score,
+             |         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+             |  FROM events),
+             |r AS (SELECT min(ep) AS mn, max(ep) AS mx FROM e),
+             |g AS (
+             |  SELECT score,
+             |         CAST(sum(CASE WHEN ep * 2 <= mn + mx THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS ca,
+             |         CAST(sum(CASE WHEN ep * 2 <= mn + mx THEN 0 ELSE 1 END)
+             |              AS BIGINT) AS cb
+             |  FROM e, r GROUP BY score),
+             |t AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+             |             CAST(sum(cb) AS BIGINT) AS tb FROM g),
+             |c AS (
+             |  SELECT ca, cb,
+             |    CAST(sum(ca) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+             |    CAST(sum(cb) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+             |  FROM g)
+             |SELECT t.ta AS n_a, t.tb AS n_b,
+             |       CAST(max(abs(cuma * t.tb - cumb * t.ta)) * 1000000 //
+             |            (t.ta * t.tb) AS BIGINT) AS ks_ppm
+             |FROM c, t GROUP BY t.ta, t.tb""".stripMargin)),
+
+    // ---- Gini coefficient of revenue concentration -------------------------
+    // How concentrated order revenue is across customers, from the sorted
+    // formula Gini = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) in exact integer
+    // ppm (x = per-customer revenue in cents, ranks ascending with
+    // deterministic custkey tie-break). Scale: the global rank is
+    // BUCKET-STITCHED, not a single-partition window — rows rank inside
+    // fixed-width revenue bands (parallel partitioned windows), and each
+    // band adds the broadcast count of all lower bands. Same-value rows
+    // always share a band, so stitching cannot split ties. The oracle
+    // uses a plain global row_number — identical ranks, different plan.
+    Q("q_gini_concentration",
+      (s, dir) => {
+        val rev = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+          .withColumn("__b", expr("cents div 1000000L"))
+        val wB = Window.partitionBy(col("__b"))
+          .orderBy(col("cents"), col("o_custkey"))
+        val ranked = rev.withColumn("__rn", row_number().over(wB).cast("long"))
+        val bands = rev.groupBy(col("__b")).agg(count(lit(1)).as("__bn"))
+        val wOff = Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = bands.withColumn("__off",
+          coalesce(sum(col("__bn")).over(wOff), lit(0L)))
+        ranked
+          .join(broadcast(offs.select(col("__b"), col("__off"))), Seq("__b"))
+          .withColumn("rank", col("__off") + col("__rn"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("cents")).as("total_cents"),
+            sum(col("rank") * col("cents")).as("rs"))
+          // ppm numerator ~ n·Σcents·10⁶ overflows int64 past ~10k
+          // customers → 128-bit decimal, mirroring DuckDB's HUGEINT sums
+          .select(col("n_customers"), col("total_cents"),
+            expr("(2L * CAST(rs AS DECIMAL(38,0)) - (n_customers + 1L) * " +
+              "CAST(total_cents AS DECIMAL(38,0))) * 1000000L " +
+              "div (n_customers * CAST(total_cents AS DECIMAL(38,0)))")
+              .as("gini_ppm"))
+      },
+      Some("""WITH r AS (
+             |  SELECT o_custkey,
+             |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+             |              AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |k AS (
+             |  SELECT cents,
+             |         CAST(row_number() OVER (ORDER BY cents, o_custkey)
+             |              AS BIGINT) AS rn
+             |  FROM r)
+             |SELECT count(*) AS n_customers,
+             |       CAST(sum(cents) AS BIGINT) AS total_cents,
+             |       CAST((2 * sum(rn * cents) - (count(*) + 1) * sum(cents))
+             |            * 1000000 // (count(*) * sum(cents)) AS BIGINT)
+             |         AS gini_ppm
+             |FROM k""".stripMargin))
+  )
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.PageRank
+import graft.operators.{PageRank, Triangles}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over relationship graphs derived from the warehouse.
@@ -73,6 +73,114 @@ object GraphQueries {
         PageRank.run(nodes, edges, iters = 3, dampPct = 85)
           .orderBy(col("node"))
       },
-      Some(pagerankOracle(iters = 3, dampPct = 85)))
+      Some(pagerankOracle(iters = 3, dampPct = 85))),
+
+    // ---- triangle census of the co-trade graph -----------------------------
+    // Undirected nation↔nation graph: an edge where customer nation and
+    // supplier nation exchange at least the MEAN per-pair lineitem count
+    // (a relative threshold, so the subgraph stays meaningful at any
+    // scale factor). Reports edge/wedge/triangle counts and the global
+    // clustering coefficient in exact integer ppm. The Spark side runs
+    // the degree-ordered orientation (operators.Triangles — bounded
+    // wedge fan-out on power-law graphs); the oracle closes a<b<c
+    // wedges directly. Any acyclic orientation counts each triangle
+    // exactly once, so the two agree bit-for-bit — the differential is
+    // also property-tested on random graphs in TrianglesSpec.
+    Q("q_triangle_count",
+      (s, dir) => {
+        val e0 = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)
+              .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, dir)
+              .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .filter(col("c_nationkey") =!= col("s_nationkey"))
+          .groupBy(
+            least(col("c_nationkey"), col("s_nationkey")).cast("long").as("a"),
+            greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("b"))
+          .agg(count(lit(1)).as("w"))
+        val stats = e0.agg(sum(col("w")).as("sw"), count(lit(1)).as("ne"))
+        val edges = e0.crossJoin(broadcast(stats))
+          .filter(col("w") * col("ne") >= col("sw"))
+          .select(col("a"), col("b"))
+        Triangles.count(edges)
+          .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+            expr("CASE WHEN n_wedges > 0 THEN n_triangles * 3000000L div n_wedges " +
+              "ELSE 0L END").as("clustering_ppm"))
+      },
+      // MATERIALIZED: e0/e are each referenced from several CTEs; left
+      // to inline them, DuckDB re-expands the 4-way fact join per
+      // reference and (observed at sf0.1) plans itself into tens of GB.
+      Some("""WITH e0 AS MATERIALIZED (
+             |  SELECT least(c.c_nationkey, s.s_nationkey)    AS a,
+             |         greatest(c.c_nationkey, s.s_nationkey) AS b,
+             |         count(*) AS w
+             |  FROM lineitem l
+             |  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+             |  JOIN customer c ON o.o_custkey  = c.c_custkey
+             |  JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+             |  WHERE c.c_nationkey <> s.s_nationkey
+             |  GROUP BY 1, 2),
+             |st AS (SELECT CAST(sum(w) AS BIGINT) AS sw, count(*) AS ne FROM e0),
+             |e AS MATERIALIZED (
+             |      SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+             |      FROM e0, st WHERE w * ne >= sw),
+             |d AS (SELECT node, count(*) AS deg FROM (
+             |        SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+             |      GROUP BY node),
+             |tri AS (SELECT count(*) AS t
+             |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+             |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |wg AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS ws FROM d)
+             |SELECT (SELECT count(*) FROM d) AS n_nodes,
+             |       (SELECT count(*) FROM e) AS n_edges,
+             |       (SELECT t FROM tri)      AS n_triangles,
+             |       CASE WHEN (SELECT ws FROM wg) > 0
+             |            THEN CAST((SELECT t FROM tri) * 3000000 //
+             |                      (SELECT ws FROM wg) AS BIGINT)
+             |            ELSE 0 END AS clustering_ppm""".stripMargin)),
+
+    // ---- market-basket co-occurrence mining --------------------------------
+    // Brand pairs that appear together in the same order, ranked by
+    // co-occurrence count — the support-counting kernel of frequent-
+    // itemset mining. Scale: the per-order distinct-brand list is bounded
+    // by order size (TPC-H ≤ 7 lineitems), so the orderkey self-join
+    // fans out at most C(7,2) = 21 pairs per order — linear in orders,
+    // never quadratic in the catalog; the part dimension broadcasts and
+    // the pair aggregation is one map-side-combinable hash agg over a
+    // keyspace capped at C(|brands|, 2). Ordering is fully deterministic
+    // (count desc, then both keys), so top-k survives ties.
+    Q("q_copurchase_pairs",
+      (s, dir) => {
+        val ob = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(broadcast(Tables.part(s, dir)
+              .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand"))
+          .distinct()
+        ob.select(col("l_orderkey"), col("p_brand").as("brand_a"))
+          .join(ob.select(col("l_orderkey"), col("p_brand").as("brand_b")),
+            "l_orderkey")
+          .filter(col("brand_a") < col("brand_b"))
+          .groupBy(col("brand_a"), col("brand_b"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("n_orders").desc, col("brand_a"), col("brand_b"))
+          .limit(100)
+      },
+      Some("""WITH ob AS (
+             |  SELECT DISTINCT l.l_orderkey, p.p_brand
+             |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+             |SELECT x.p_brand AS brand_a, y.p_brand AS brand_b,
+             |       count(*) AS n_orders
+             |FROM ob x JOIN ob y
+             |  ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+             |GROUP BY 1, 2
+             |ORDER BY n_orders DESC, brand_a, brand_b
+             |LIMIT 100""".stripMargin))
   )
 }

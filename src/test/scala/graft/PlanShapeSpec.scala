@@ -171,4 +171,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
       s"no loop join in BPE encode:\n$s")
   }
+
+  test("triangle census: every join is a hash equi-join (wedge closure " +
+    "never plans a loop join)") {
+    val s = render(plan("q_triangle_count"))
+    assert(!s.contains("CartesianProduct"),
+      s"no cartesian in the triangle census:\n$s")
+    // the only nested-loop joins are the 1-row stats crossJoins
+    // (threshold + final assembly), never the wedge/closure joins:
+    // those must stay hash equi-joins on node ids
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin") ||
+      s.contains("ShuffledHashJoin"),
+      s"wedge closure must be an equi-join:\n$s")
+  }
+
+  test("co-purchase mining broadcasts the part dimension; the pair " +
+    "self-join is an equi-join on orderkey") {
+    val s = render(plan("q_copurchase_pairs"))
+    assert(s.contains("BroadcastHashJoin"),
+      s"expected the part dim to broadcast:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"no loop join in co-purchase mining:\n$s")
+  }
 }
