@@ -76,4 +76,32 @@ class EvalStatsSpec extends AnyFunSuite {
     assert(na == a.size.toLong && nb == b.size.toLong)
     assert(ksPpm == dNum * 1000000L / (a.size.toLong * b.size))
   }
+
+  test("bucket-stitched Gini equals the directly sorted formula") {
+    import spark.implicits._
+    val rnd = new Random(17)
+    // revenues spanning several stitch bands (band width = 10^6 cents),
+    // with duplicated values to exercise the tie rule
+    val orders = (0 until 500).map { i =>
+      val custkey = (i % 180).toLong
+      val price = (rnd.nextInt(40000) + 100) / 1.0
+      (i.toLong, custkey, price)
+    }
+    val dir = fixtureDir()
+    orders.toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val r = SparkEntry.queries("q_gini_concentration")(spark, dir).collect().head
+    val (n, total, giniPpm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+
+    val byCust = orders.groupBy(_._2).view
+      .mapValues(_.map(o => math.floor(o._3 * 100).toLong).sum).toMap
+    val xs = byCust.values.toSeq.sorted
+    val s = xs.map(BigInt(_)).sum
+    val rs = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val expected = (2 * rs - BigInt(xs.size + 1) * s) * 1000000 /
+      (BigInt(xs.size) * s)
+    assert(n == byCust.size.toLong && total == s.toLong)
+    assert(giniPpm == expected.toLong)
+  }
 }
