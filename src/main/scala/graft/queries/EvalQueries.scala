@@ -121,6 +121,78 @@ object EvalQueries {
              |            (t.ta * t.tb) AS BIGINT) AS ks_ppm
              |FROM c, t GROUP BY t.ta, t.tb""".stripMargin)),
 
+    // ---- average precision (PR-curve area) ---------------------------------
+    // AP = Σ_s npos(s)·precision(s) / P over DISTINCT scores descending,
+    // where precision(s) = cumpos(s)·10⁶ div cum(s) at threshold ≥ s.
+    // Same distinct-score collapse as q_auc_rank; precision terms are
+    // floored per distinct score (identically on both engines), so the
+    // statistic is bit-exact. Complements ROC-AUC: AP is the metric that
+    // stays informative under the extreme class imbalance of web-scale
+    // quality filtering (positives ≪ negatives).
+    Q("q_avg_precision",
+      (s, dir) => {
+        val g = Tables.documents(s, dir)
+          .select(col("n_chars").as("score"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+          .groupBy(col("score"))
+          .agg(sum(col("pos")).as("np"), count(lit(1)).as("nt"))
+        val w = Window.orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        g.withColumn("cp", sum(col("np")).over(w))
+          .withColumn("ct", sum(col("nt")).over(w))
+          .withColumn("prec_ppm", expr("cp * 1000000L div ct"))
+          .agg(sum(col("np")).as("n_pos"),
+            sum(col("np") * col("prec_ppm")).as("wsum"))
+          .select(col("n_pos"),
+            expr("wsum div n_pos").as("ap_ppm"))
+      },
+      Some("""WITH g AS (
+             |  SELECT n_chars AS score,
+             |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS np,
+             |         count(*) AS nt
+             |  FROM documents GROUP BY 1),
+             |c AS (
+             |  SELECT np,
+             |         CAST(sum(np) OVER (ORDER BY score DESC ROWS BETWEEN
+             |           UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+             |         CAST(sum(nt) OVER (ORDER BY score DESC ROWS BETWEEN
+             |           UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ct
+             |  FROM g),
+             |p AS (SELECT np, cp * 1000000 // ct AS prec_ppm FROM c)
+             |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+             |       CAST(sum(np * prec_ppm) // sum(np) AS BIGINT) AS ap_ppm
+             |FROM p""".stripMargin)),
+
+    // ---- calibration table (reliability diagram) ---------------------------
+    // Decile-bucket a pseudo-probability (clipped length score) and
+    // compare mean predicted vs observed positive rate per bucket — the
+    // tabular form of a reliability diagram, with everything in integer
+    // ppm. Scale: one narrow projection + one 10-key hash aggregate;
+    // nothing order-dependent.
+    Q("q_calibration_bins",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(
+            expr("least(n_chars, 2000L) * 1000000L div 2000").as("pred_ppm"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+          .withColumn("bin", least(expr("pred_ppm div 100000L"), lit(9L)))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            expr("sum(pred_ppm) div count(1)").as("mean_pred_ppm"),
+            expr("sum(pos) * 1000000L div count(1)").as("actual_ppm"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH d AS (
+             |  SELECT least(n_chars, 2000) * 1000000 // 2000 AS pred_ppm,
+             |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+             |  FROM documents)
+             |SELECT least(pred_ppm // 100000, 9) AS bin,
+             |       count(*) AS n,
+             |       CAST(sum(pred_ppm) // count(*) AS BIGINT) AS mean_pred_ppm,
+             |       CAST(sum(pos) * 1000000 // count(*) AS BIGINT) AS actual_ppm
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- Gini coefficient of revenue concentration -------------------------
     // How concentrated order revenue is across customers, from the sorted
     // formula Gini = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) in exact integer

@@ -42,6 +42,35 @@ class EvalStatsSpec extends AnyFunSuite {
       wins * 1000000L / (2L * posScores.size * negScores.size))
   }
 
+  test("average precision equals the per-threshold definition") {
+    import spark.implicits._
+    val rnd = new Random(29)
+    val docs = (0 until 300).map { i =>
+      val pos = rnd.nextInt(4) == 0 // imbalanced, AP's home turf
+      val score = (if (pos) rnd.nextInt(25) + 8 else rnd.nextInt(25)).toLong
+      (i.toLong, score, if (pos) "en" else "fr")
+    }
+    val dir = fixtureDir()
+    docs.toDF("doc_id", "n_chars", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val r = SparkEntry.queries("q_avg_precision")(spark, dir).collect().head
+    val (p, apPpm) = (r.getLong(0), r.getLong(1))
+
+    val byScore = docs.groupBy(_._2).view.mapValues { ds =>
+      (ds.count(_._3 == "en").toLong, ds.size.toLong)
+    }.toMap
+    val desc = byScore.keys.toSeq.sorted.reverse
+    var (cp, ct, wsum) = (0L, 0L, 0L)
+    for (s <- desc) {
+      val (np, nt) = byScore(s)
+      cp += np; ct += nt
+      wsum += np * (cp * 1000000L / ct)
+    }
+    assert(p == cp)
+    assert(apPpm == wsum / cp)
+  }
+
   test("KS statistic equals the brute max CDF gap over both halves") {
     import spark.implicits._
     val rnd = new Random(13)
