@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.{PageRank, Triangles}
+import graft.operators.{LabelProp, PageRank, Triangles}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over relationship graphs derived from the warehouse.
@@ -39,6 +40,81 @@ object GraphQueries {
        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
        |$rounds
        |SELECT node, r AS rank_ppm FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** Undirected nation↔nation co-trade edges (a < b) kept when the pair
+    * exchanges at least the MEAN per-pair lineitem count — a relative
+    * threshold, so the subgraph stays meaningful at any scale factor. */
+  private def coTradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(
+        least(col("c_nationkey"), col("s_nationkey")).cast("long").as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("b"))
+      .agg(count(lit(1)).as("w"))
+    val stats = e0.agg(sum(col("w")).as("sw"), count(lit(1)).as("ne"))
+    e0.crossJoin(broadcast(stats))
+      .filter(col("w") * col("ne") >= col("sw"))
+      .select(col("a"), col("b"))
+  }
+
+  /** DuckDB mirror of [[coTradeEdges]]: CTEs `e0`/`st`/`e` with `e(a, b)`
+    * the filtered undirected edge set. MATERIALIZED because the callers
+    * reference `e` from several CTEs — left to inline, DuckDB re-expands
+    * the 4-way fact join per reference and (observed at sf0.1) plans
+    * itself into tens of GB. */
+  private val coTradeSql: String =
+    """e0 AS MATERIALIZED (
+      |  SELECT least(c.c_nationkey, s.s_nationkey)    AS a,
+      |         greatest(c.c_nationkey, s.s_nationkey) AS b,
+      |         count(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey  = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey
+      |  GROUP BY 1, 2),
+      |st AS (SELECT CAST(sum(w) AS BIGINT) AS sw, count(*) AS ne FROM e0),
+      |e AS MATERIALIZED (
+      |      SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+      |      FROM e0, st WHERE w * ne >= sw)""".stripMargin
+
+  /** Unrolled-CTE DuckDB mirror of LabelProp.run over the symmetrized
+    * co-trade graph: per round, a (node, label) vote count from labeled
+    * in-neighbors, arg-max with smallest-label ties, seeds clamped. */
+  private def labelPropOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""v$i AS (
+         |  SELECT ed.dst AS node, p.label AS lab, count(*) AS c
+         |  FROM ed JOIN l${i - 1} p ON ed.src = p.node
+         |  WHERE p.label IS NOT NULL GROUP BY 1, 2),
+         |m$i AS (
+         |  SELECT node, lab FROM v$i
+         |  QUALIFY row_number() OVER (PARTITION BY node
+         |                             ORDER BY c DESC, lab) = 1),
+         |l$i AS (
+         |  SELECT n.node, coalesce(n.seed, m$i.lab) AS label
+         |  FROM n LEFT JOIN m$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coTradeSql,
+       |ed AS (SELECT a AS src, b AS dst FROM e
+       |       UNION ALL SELECT b, a FROM e),
+       |n AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
+       |             CASE WHEN n_nationkey % 2 = 0
+       |                  THEN CAST(n_regionkey AS BIGINT) END AS seed
+       |      FROM nation),
+       |l0 AS (SELECT node, seed AS label FROM n),
+       |$rounds
+       |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -88,47 +164,12 @@ object GraphQueries {
     // also property-tested on random graphs in TrianglesSpec.
     Q("q_triangle_count",
       (s, dir) => {
-        val e0 = Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_suppkey"))
-          .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(s, dir)
-              .select(col("c_custkey"), col("c_nationkey"))),
-            col("o_custkey") === col("c_custkey"))
-          .join(broadcast(Tables.supplier(s, dir)
-              .select(col("s_suppkey"), col("s_nationkey"))),
-            col("l_suppkey") === col("s_suppkey"))
-          .filter(col("c_nationkey") =!= col("s_nationkey"))
-          .groupBy(
-            least(col("c_nationkey"), col("s_nationkey")).cast("long").as("a"),
-            greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("b"))
-          .agg(count(lit(1)).as("w"))
-        val stats = e0.agg(sum(col("w")).as("sw"), count(lit(1)).as("ne"))
-        val edges = e0.crossJoin(broadcast(stats))
-          .filter(col("w") * col("ne") >= col("sw"))
-          .select(col("a"), col("b"))
-        Triangles.count(edges)
+        Triangles.count(coTradeEdges(s, dir))
           .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
             expr("CASE WHEN n_wedges > 0 THEN n_triangles * 3000000L div n_wedges " +
               "ELSE 0L END").as("clustering_ppm"))
       },
-      // MATERIALIZED: e0/e are each referenced from several CTEs; left
-      // to inline them, DuckDB re-expands the 4-way fact join per
-      // reference and (observed at sf0.1) plans itself into tens of GB.
-      Some("""WITH e0 AS MATERIALIZED (
-             |  SELECT least(c.c_nationkey, s.s_nationkey)    AS a,
-             |         greatest(c.c_nationkey, s.s_nationkey) AS b,
-             |         count(*) AS w
-             |  FROM lineitem l
-             |  JOIN orders o   ON l.l_orderkey = o.o_orderkey
-             |  JOIN customer c ON o.o_custkey  = c.c_custkey
-             |  JOIN supplier s ON l.l_suppkey  = s.s_suppkey
-             |  WHERE c.c_nationkey <> s.s_nationkey
-             |  GROUP BY 1, 2),
-             |st AS (SELECT CAST(sum(w) AS BIGINT) AS sw, count(*) AS ne FROM e0),
-             |e AS MATERIALIZED (
-             |      SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
-             |      FROM e0, st WHERE w * ne >= sw),
+      Some(s"""WITH $coTradeSql,
              |d AS (SELECT node, count(*) AS deg FROM (
              |        SELECT a AS node FROM e UNION ALL SELECT b FROM e)
              |      GROUP BY node),
@@ -181,6 +222,30 @@ object GraphQueries {
              |  ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
              |GROUP BY 1, 2
              |ORDER BY n_orders DESC, brand_a, brand_b
-             |LIMIT 100""".stripMargin))
+             |LIMIT 100""".stripMargin)),
+
+    // ---- semi-supervised label propagation ---------------------------------
+    // Spread region labels from even-keyed nations (the seeds, clamped)
+    // to the rest of the co-trade graph: 3 rounds of neighbor-majority
+    // voting with smallest-label tie-break (operators.LabelProp) — the
+    // entity/community-assignment kernel. Scale: per round ONE
+    // edges⋈labels hash equi-join + one (dst, label) map-side-combinable
+    // vote aggregate + one max_by; labels are node-count rows (broadcast
+    // side while nodes ≪ edges); lineage cut per round. The oracle
+    // unrolls all 3 rounds as CTEs, so clamping, majority counts, and
+    // the tie rule are hash-checked.
+    Q("q_label_propagation",
+      (s, dir) => {
+        val e = coTradeEdges(s, dir)
+        val edges = e.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+        val nodes = Tables.nation(s, dir)
+          .select(col("n_nationkey").cast("long").as("node"),
+            when(col("n_nationkey") % 2 === 0,
+              col("n_regionkey").cast("long")).as("seed"))
+        LabelProp.run(nodes, edges, iters = 3)
+          .orderBy(col("node"))
+      },
+      Some(labelPropOracle(iters = 3)))
   )
 }

@@ -211,6 +211,61 @@ object TimeSeriesQueries {
              |       ELSE pv + (nv - pv) * (CAST(hour_ep - ph AS DOUBLE)
              |                              / CAST(nh - ph AS DOUBLE)) END AS filled,
              |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_interp
-             |FROM w ORDER BY user_id, hour_ep""".stripMargin))
+             |FROM w ORDER BY user_id, hour_ep""".stripMargin)),
+
+    // ---- CUSUM changepoint detection ---------------------------------------
+    // Where each event type's value level shifts: the classic CUSUM
+    // statistic D_t = |n·cumsum_t − t·total| (the cumulative deviation
+    // from the series mean, scaled by n to stay integral) peaks at the
+    // most likely changepoint. Reports, per type, the peak position and
+    // scaled deviation with a first-peak tie rule. Scale: one prefix-sum
+    // window partitioned by type (parallel across types; a type that
+    // outgrows a partition takes the bucket-stitched rank of
+    // q_shard_assign), then a single max_by hash aggregate — the series
+    // itself never leaves its partition.
+    Q("q_cusum_changepoint",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("ts"), col("event_id"),
+            floor(col("value") * 100).cast("long").as("cents"))
+        val wOrd = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val wAll = wOrd.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        ev.withColumn("rn", row_number().over(wOrd).cast("long"))
+          .withColumn("cs", sum(col("cents")).over(wOrd))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("tot", sum(col("cents")).over(wAll))
+          .withColumn("dev", abs(col("n") * col("cs") - col("rn") * col("tot")))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n_events"),
+            max_by(col("rn"), struct(col("dev"), -col("rn"))).as("peak_pos"),
+            max(col("dev")).as("peak_dev"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, ts, event_id,
+             |         CAST(floor(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |w AS (
+             |  SELECT event_type,
+             |    CAST(row_number() OVER (PARTITION BY event_type
+             |      ORDER BY ts, event_id) AS BIGINT) AS rn,
+             |    CAST(sum(cents) OVER (PARTITION BY event_type
+             |      ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND CURRENT ROW) AS BIGINT) AS cs,
+             |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             |    CAST(sum(cents) OVER (PARTITION BY event_type)
+             |         AS BIGINT) AS tot
+             |  FROM e),
+             |d AS (SELECT event_type, rn, n, abs(n * cs - rn * tot) AS dev
+             |      FROM w)
+             |SELECT event_type, n AS n_events, rn AS peak_pos,
+             |       CAST(dev AS BIGINT) AS peak_dev
+             |FROM d
+             |QUALIFY row_number() OVER (PARTITION BY event_type
+             |                           ORDER BY dev DESC, rn) = 1
+             |ORDER BY event_type""".stripMargin))
   )
 }
