@@ -185,6 +185,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"wedge closure must be an equi-join:\n$s")
   }
 
+  test("label propagation step: vote joins are hash equi-joins, never " +
+    "loops (the run output itself is checkpoint-truncated)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val nodes = Seq((1L, Some(1L)), (2L, None)).toDF("node", "seed")
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val labels = nodes.select(col("node"), col("seed").as("label"))
+    val p = graft.operators.LabelProp.step(nodes, edges, labels)
+      .queryExecution.executedPlan
+    val s = render(p)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"no loop join in a label-propagation step:\n$s")
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin") ||
+      s.contains("ShuffledHashJoin"),
+      s"edges⋈labels must be an equi-join:\n$s")
+  }
+
   test("co-purchase mining broadcasts the part dimension; the pair " +
     "self-join is an equi-join on orderkey") {
     val s = render(plan("q_copurchase_pairs"))
