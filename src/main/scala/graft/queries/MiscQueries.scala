@@ -323,6 +323,36 @@ object MiscQueries {
              |FROM events GROUP BY event_type
              |ORDER BY event_type NULLS FIRST""".stripMargin)),
 
+    // ---- XML source/sink round-trip ---------------------------------------
+    // Spark 4's native XML data source (the spark-xml connector merged
+    // into core): write events as row-tagged XML, read back with an
+    // explicit schema (no inference pass at scale), prove losslessness by
+    // aggregating the round-tripped rows against the original table.
+    // Same discipline as the ORC/JSON round-trips: distributed
+    // splittable read, decimal-exact sum.
+    Q("q_xml_roundtrip",
+      (s, dir) => {
+        val path = s"/tmp/graft_xml_roundtrip_${math.abs(dir.hashCode)}_" +
+          s.sparkContext.applicationId
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").option("rowTag", "event")
+          .format("xml").save(path)
+        s.read.format("xml").option("rowTag", "event")
+          .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+          .load(path)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  count(DISTINCT user_id) AS n_users,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type NULLS FIRST""".stripMargin)),
+
     // ---- incremental materialized-view maintenance ------------------------
     // The 100 TB rollup discipline: never recompute an aggregate from
     // scratch — keep per-key PARTIALS (count/sum/min/max are all
