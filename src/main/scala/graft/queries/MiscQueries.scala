@@ -1,6 +1,9 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.operators.Sketches
+import org.apache.datasketches.kll.{KllDoublesSketch, KllSketch}
+import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
 import org.apache.spark.sql.functions._
 
 /** Set operations, pivots, lateral explode, conditional aggregation, and
@@ -271,6 +274,108 @@ object MiscQueries {
       Some("""SELECT user_id, count(*) AS n_events, true AS cms_within_bound
              |FROM events GROUP BY user_id
              |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin)),
+
+    // ---- mergeable KLL quantile sketches (incremental percentiles) --------
+    // The quantile member of the sketch family (HLL = distinct, CMS =
+    // frequency): persist one KLL sketch per day — KBs — and MERGE them at
+    // query time for any-date-range percentiles with no rescan of history.
+    // KLL compaction is randomized, so the portable claim is the library's
+    // GUARANTEE, not the estimate: the true rank of each estimated
+    // quantile must lie within ±2·eps of the target rank (eps = published
+    // single-quantile normalized rank error for k; doubled for a
+    // multi-sigma band, same discipline as q_approx_sketches). Checked for
+    // BOTH the merged-daily sketch and a whole-corpus direct sketch —
+    // proving the merge path loses nothing beyond the published bound.
+    // Day keys are epoch-day integers (portable: floor(epoch) // 86400).
+    Q("q_kll_mergeable",
+      (s, dir) => {
+        val k = 200
+        val eps = KllSketch.getNormalizedRankError(k, false)
+        val tol = 2 * eps
+        val ranks = Seq(0.5, 0.9, 0.99)
+        val ev = Tables.events(s, dir)
+          .select((unix_timestamp(col("ts")).cast("long") / 86400L)
+              .cast("long").cast("string").as("d"),
+            col("value"), lit("all").as("w"))
+        def quantiles(keyCol: String): Array[Double] = {
+          val parts = Sketches
+            .kllMergeByKey(Sketches.kllPartials(ev, keyCol, "value", k), keyCol, k)
+            .select(col("kll")).collect()
+          val acc = KllDoublesSketch.newHeapInstance(k)
+          parts.foreach(r => acc.merge(Sketches.kllFromBytes(r.getAs[Array[Byte]](0))))
+          ranks.map(p => acc.getQuantile(p, QuantileSearchCriteria.INCLUSIVE)).toArray
+        }
+        val merged = quantiles("d")   // one sketch per day, merged
+        val whole = quantiles("w")    // single direct sketch
+        def ok(prefix: String, est: Array[Double]) =
+          ranks.zipWithIndex.map { case (p, i) =>
+            // exact inclusive rank of the estimate vs target rank p
+            (sum(when(col("value") <= est(i), 1L).otherwise(0L)) / count(col("value"))
+              between (p - tol, p + tol)).as(s"${prefix}_p${(p * 100).toInt}_ok")
+          }
+        val outCols = Seq(count(col("value")).as("n_values"),
+          countDistinct(col("d")).as("n_days")) ++
+          ok("merged", merged) ++ ok("whole", whole)
+        ev.agg(outCols.head, outCols.tail: _*)
+      },
+      Some("""SELECT count(value) AS n_values,
+             |  count(DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS n_days,
+             |  true AS merged_p50_ok, true AS merged_p90_ok,
+             |  true AS merged_p99_ok, true AS whole_p50_ok,
+             |  true AS whole_p90_ok, true AS whole_p99_ok
+             |FROM events""".stripMargin)),
+
+    // ---- Theta-sketch audience overlap (set INTERSECTION) -----------------
+    // The set-operation member of the sketch family: Theta sketches
+    // estimate |A ∩ B| — which HLL structurally cannot — so per-segment
+    // distinct-user sketches (KBs each) answer pairwise audience-overlap
+    // questions without re-scanning events. Per-type sketches are built
+    // distributed (partials per partition, union per key); the pairwise
+    // intersections run on the driver over the collected KB-scale
+    // sketches (|types|² tiny rows — the KMeans-centroid pattern). The
+    // exact pairwise overlap via the distinct self-join is the
+    // verification harness; the asserted portable claim is the sketch's
+    // published confidence interval: exact ∈ [lb(3σ), ub(3σ)].
+    Q("q_theta_overlap",
+      (s, dir) => {
+        val lgK = 12
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("user_id"))
+          .where(col("event_type").isNotNull)
+        val perType = Sketches.thetaMergeByKey(
+          Sketches.thetaPartials(ev, "event_type", "user_id", lgK),
+          "event_type", lgK)
+        val sk = perType.collect()
+          .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+          .sortBy(_._1)
+        val bounds = for {
+          i <- sk.indices; j <- (i + 1) until sk.length
+        } yield {
+          val inter = Sketches.thetaIntersect(sk(i)._2, sk(j)._2)
+          (sk(i)._1, sk(j)._1, inter.getLowerBound(3), inter.getUpperBound(3))
+        }
+        val boundsDf = s.createDataFrame(bounds)
+          .toDF("type_a", "type_b", "lb", "ub")
+        val u = ev.distinct()
+        val exact = u.as("a")
+          .join(u.as("b"), col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("exact_both"))
+        exact.join(broadcast(boundsDf), Seq("type_a", "type_b"))
+          .select(col("type_a"), col("type_b"), col("exact_both"),
+            (col("exact_both") >= col("lb") &&
+              col("exact_both") <= col("ub")).as("within_bounds"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT event_type, user_id FROM events
+             |          WHERE event_type IS NOT NULL)
+             |SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |  count(*) AS exact_both, true AS within_bounds
+             |FROM u a JOIN u b
+             |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+             |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin)),
 
     // ---- CSV round-trip (the reference's ingest format) -------------------
     // Write → schema'd read-back → aggregate, proving CSV serialization
