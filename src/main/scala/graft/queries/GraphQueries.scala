@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.{LabelProp, PageRank, Triangles}
+import graft.operators.{Bfs, LabelProp, PageRank, Triangles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -115,6 +115,31 @@ object GraphQueries {
        |l0 AS (SELECT node, seed AS label FROM n),
        |$rounds
        |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled-CTE DuckDB mirror of Bfs.run: per round, the min-hop
+    * relaxation from in-neighbors with seeds at distance 0. */
+  private def bfsOracle(hops: Int): String = {
+    val rounds = (1 to hops).map { i =>
+      s"""d$i AS (
+         |  SELECT d.node,
+         |    CASE WHEN d.dist IS NULL THEN v.via
+         |         WHEN v.via IS NULL THEN d.dist
+         |         ELSE least(d.dist, v.via) END AS dist
+         |  FROM d${i - 1} d LEFT JOIN (
+         |    SELECT ed.dst AS node, min(p.dist) + 1 AS via
+         |    FROM ed JOIN d${i - 1} p ON ed.src = p.node
+         |    WHERE p.dist IS NOT NULL GROUP BY ed.dst) v USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coTradeSql,
+       |ed AS (SELECT a AS src, b AS dst FROM e
+       |       UNION ALL SELECT b, a FROM e),
+       |d0 AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
+       |              CASE WHEN n_regionkey = 0
+       |                   THEN CAST(0 AS BIGINT) END AS dist
+       |       FROM nation),
+       |$rounds
+       |SELECT node, dist FROM d$hops ORDER BY node""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -246,6 +271,28 @@ object GraphQueries {
         LabelProp.run(nodes, edges, iters = 3)
           .orderBy(col("node"))
       },
-      Some(labelPropOracle(iters = 3)))
+      Some(labelPropOracle(iters = 3))),
+
+    // ---- multi-source BFS reach --------------------------------------------
+    // Hop distance from the region-0 nations through the co-trade graph
+    // (operators.Bfs): the "within-k-hops" kernel — blast radius,
+    // influence reach. 3 relaxation rounds; unreached nations stay null
+    // (exact up to 3 hops — BFS truncation is sound, unlike label-prop).
+    // Scale: per round one edges⋈dist equi-join (dist = node-count rows,
+    // the broadcast side) + one map-side-combinable min agg; lineage cut
+    // per round. The oracle unrolls the same 3 rounds as CTEs, so seed
+    // init, min-relaxation, and null handling are all hash-checked.
+    Q("q_bfs_reach",
+      (s, dir) => {
+        val e = coTradeEdges(s, dir)
+        val edges = e.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+        val nodes = Tables.nation(s, dir)
+          .select(col("n_nationkey").cast("long").as("node"),
+            when(col("n_regionkey") === 0, lit(0L)).as("dist"))
+        Bfs.run(nodes, edges, maxHops = 3)
+          .orderBy(col("node"))
+      },
+      Some(bfsOracle(hops = 3)))
   )
 }
