@@ -106,6 +106,48 @@ object StreamQueries {
              |FROM events GROUP BY event_type
              |ORDER BY event_type NULLS FIRST""".stripMargin)),
 
+    // ---- streaming dedup with BOUNDED state: the production variant ------
+    // q_stream_dedup keys state by id alone (exact but unbounded);
+    // dropDuplicatesWithinWatermark is the Spark-4 bounded-state form —
+    // state entries are EVICTED once the watermark passes their event
+    // time + delay, so state size tracks the dedup window, not history.
+    // Both copies of every event arrive in the same micro-batch (well
+    // inside the 2h window), so the output is exactly the distinct set
+    // and the batch oracle hash-checks the engine end-to-end; rows are
+    // sunk in append mode (dedup emits immediately) and aggregated as a
+    // batch afterwards — the chained-stateful-op restriction at work.
+    Q("q_stream_dedup_watermark",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        def src = s.readStream.schema(rawEventSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val deduped = src.unionByName(src)
+          .withWatermark("ts", "2 hours")
+          .dropDuplicatesWithinWatermark("event_id")
+        val name = s"dedupw_${System.nanoTime()}"
+        withStreamPartitions(s) {
+          val q = deduped
+            .select(col("event_id"), col("event_type"), col("value"))
+            .writeStream.outputMode("append")
+            .format("memory").queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(name)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("event_id")).as("n_ids"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  count(DISTINCT event_id) AS n_ids,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type NULLS FIRST""".stripMargin)),
+
     // ---- sliding-window rollups through the streaming engine ------------
     // 1h windows every 15min: each event lands in exactly 4 overlapping
     // windows (epoch-aligned slide). The oracle regenerates the 4 window
