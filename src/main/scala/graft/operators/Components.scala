@@ -81,4 +81,84 @@ object Components {
       s"did not converge in $maxIter rounds")
     comp
   }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the deep-chain-safe variant: converges in O(log² n) rounds
+    * regardless of component diameter, where min-label propagation above
+    * needs O(diameter) rounds. Use this when components can be long
+    * chains (web link graphs, citation chains); the per-round plan is
+    * two hash aggregates + two equi-joins on node ids, all
+    * map-side-combinable, lineage cut per round.
+    *
+    * large-star: every node points its LARGER neighbors at the minimum
+    * of its neighborhood (incl. itself); small-star: every node points
+    * its smaller-or-equal neighbors (and itself) at that minimum. The
+    * edge set monotonically contracts toward min-rooted stars; fixpoint
+    * is detected by an (edge-count, hash-sum) signature staying stable.
+    *
+    * Output matches [[connectedComponents]]: (id, cluster_id = component
+    * minimum) for every node with at least one edge.
+    */
+  def connectedComponentsStar(
+      edges: DataFrame,
+      idACol: String,
+      idBCol: String,
+      maxIter: Int = 50): DataFrame = {
+    var e = edges
+      .select(greatest(col(idACol), col(idBCol)).cast("long").as("u"),
+        least(col(idACol), col(idBCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // nodes that only ever appear in self-loop input edges still need a
+    // label; capture the full node set up front
+    val nodes = edges.select(col(idACol).cast("long").as("id"))
+      .union(edges.select(col(idBCol).cast("long").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+
+    def signature(d: DataFrame): (Long, String) = {
+      // decimal sum: the hash-sum of a large edge set overflows long
+      val r = d.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1).toPlainString)
+    }
+
+    var sig = signature(e)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: center u sends neighbors v > u to m = min(N(u) ∪ {u})
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("__m0"))
+        .select(col("u"), least(col("__m0"), col("u")).as("__m"))
+      val ls = sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("__m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: each (u, v≤u) edge group sends N(u) ∪ {u} to its min
+      val mins2 = ls.groupBy(col("u")).agg(min(col("v")).as("__m"))
+      val withM = ls.join(mins2, "u")
+      val ss = withM
+        .select(col("v").as("u"), col("__m").as("v"))
+        .union(withM.select(col("u"), col("__m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val nsig = signature(ss)
+      converged = nsig == sig && i > 0
+      sig = nsig
+      e = ss
+      i += 1
+    }
+    require(converged, s"did not converge in $maxIter rounds")
+    // fixpoint edges are (node, component-min) stars; roots label themselves
+    nodes
+      .join(e.select(col("u").as("id"), col("v").as("__c")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("cluster_id"))
+  }
 }

@@ -211,6 +211,47 @@ ${bpeStageSql(3, "f2")}"""
              |  tot_chars * td * 1000000 // (tc * n_docs) AS weight_ppm
              |FROM per, tot ORDER BY source""".stripMargin)),
 
+    // ---- temperature-based source mixing ----------------------------------
+    // The multilingual/multi-source sampling rule (w_s ∝ mass_s^α):
+    // α < 1 flattens the mixture so small sources aren't drowned —
+    // α = 1/2 here, computed as sqrt, which IEEE-754 specifies correctly
+    // rounded in both engines (general pow() is NOT bit-portable, the
+    // same reason the LM queries avoid ln). floor(sqrt·1e6) moves the
+    // one inexact-typed quantity into exact integer space immediately;
+    // everything after is integer div, bit-identical on any cluster.
+    // weight_ppm = temperature share / proportional share: > 1e6 means
+    // the source is upsampled. Scale: one hash aggregate to |sources|
+    // rows + a broadcast scalar — free at any corpus size.
+    Q("q_temperature_mix",
+      (s, dir) => {
+        val w = Tables.documents(s, dir)
+          .groupBy(col("source"))
+          .agg(sum(col("n_chars")).cast("long").as("mass"))
+          .select(col("source"), col("mass"),
+            floor(sqrt(col("mass").cast("double")) * 1e6).cast("long").as("w"))
+        val tot = w.agg(sum(col("w")).as("tw"), sum(col("mass")).as("tm"))
+        w.crossJoin(broadcast(tot))
+          .select(col("source"), col("mass"),
+            expr("w * 1000000L div tw").as("sample_ppm"),
+            expr("(w * 1000000L div tw) * 1000000L div " +
+              "(mass * 1000000L div tm)").as("weight_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH per AS (
+             |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+             |  FROM documents GROUP BY source),
+             |w AS (
+             |  SELECT source, mass,
+             |    CAST(floor(sqrt(CAST(mass AS DOUBLE)) * 1000000) AS BIGINT) AS w
+             |  FROM per),
+             |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+             |             CAST(sum(mass) AS BIGINT) AS tm FROM w)
+             |SELECT source, mass,
+             |  w * 1000000 // tw AS sample_ppm,
+             |  (w * 1000000 // tw) * 1000000 // (mass * 1000000 // tm)
+             |    AS weight_ppm
+             |FROM w, t ORDER BY source""".stripMargin)),
+
     // ---- bigram language-model scoring ------------------------------------
     // KenLM-style corpus fluency scoring without the log: train bigram and
     // prefix counts over the whole corpus, score each document by the mean

@@ -25,6 +25,34 @@ class ComponentsSpec extends AnyFunSuite {
       30L -> 30L, 31L -> 30L))
   }
 
+  test("star contraction labels a 200-node chain in O(log n) rounds") {
+    import spark.implicits._
+    // diameter 199: min-label propagation would need ~200 rounds, the
+    // large-star/small-star form stays well under its default 50
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    val comp = Components
+      .connectedComponentsStar(chain.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 200)
+    assert(comp.values.forall(_ == 0L))
+  }
+
+  test("star contraction matches min-label propagation on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val n = 40
+      val edges = (1 to 50).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val byStar = Components
+        .connectedComponentsStar(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byLabel = run(edges)
+      assert(byStar == byLabel, s"trial $trial")
+    }
+  }
+
   test("two chains merged by a bridge edge collapse to one component") {
     val comp = run(Seq(
       (1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L),
