@@ -202,6 +202,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"edges⋈labels must be an equi-join:\n$s")
   }
 
+  test("BFS step: relaxation joins are hash equi-joins, never loops") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dist = Seq((1L, Some(0L)), (2L, None)).toDF("node", "dist")
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val p = graft.operators.Bfs.step(dist, edges)
+      .queryExecution.executedPlan
+    val s = render(p)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"no loop join in a BFS relaxation step:\n$s")
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin") ||
+      s.contains("ShuffledHashJoin"),
+      s"edges⋈dist must be an equi-join:\n$s")
+  }
+
   test("co-purchase mining broadcasts the part dimension; the pair " +
     "self-join is an equi-join on orderkey") {
     val s = render(plan("q_copurchase_pairs"))
