@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
   *   mode "pagerank":        3 PageRank rounds over copies×100k nodes /
   *                           copies×1M edges (rank side too big to
   *                           broadcast — the honest graph-scale path)
+  *   mode "cc":              connected components over a copies×100k-node
+  *                           PATH graph (diameter = n−1 — the worst case
+  *                           min-label propagation cannot finish; the
+  *                           star contraction converges in O(log² n)
+  *                           rounds; sfDir unused)
+  *   mode "kll":             mergeable KLL quantile sketch build+merge
+  *                           over copies×1M doubles in 30 day-keys, with
+  *                           the p50/p99 rank bound verified exactly
+  *                           (sfDir unused)
   *   mode "bpe":             5 BPE merge rounds over a synthetic
   *                           copies×100k-word vocabulary (~web-scale
   *                           post-normalization English at copies=10;
@@ -259,6 +268,48 @@ object Stress {
         val tops = merges.map(m => s""""${m.left_sym}${m.right_sym}"""")
           .mkString("[", ",", "]")
         println(f"""{"vocab":$nVocab%d,"rounds":${merges.size}%d,"merged":$tops,"seconds":$dt%.1f}""")
+
+      case "cc" =>
+        // one path graph of copies×100k nodes: diameter = n-1, the case
+        // where min-label propagation needs O(n) rounds and the
+        // large-star/small-star contraction stays O(log² n)
+        val n = copies * 100000L
+        val edges = spark.range(n - 1)
+          .select(col("id").as("a"), (col("id") + 1).as("b")).cache()
+        edges.count()
+        val t0 = System.nanoTime()
+        val comp = operators.Components.connectedComponentsStar(edges, "a", "b")
+        val labeled = comp.count()
+        val roots = comp.select(col("cluster_id")).distinct().count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        edges.unpersist()
+        println(f"""{"nodes":$n%d,"diameter":${n - 1}%d,"labeled":$labeled%d,"components":$roots%d,"seconds":$dt%.1f}""")
+
+      case "kll" =>
+        // copies×1M skewed doubles in 30 "days": build per-partition
+        // partials, merge, then verify the p50/p99 rank bound exactly
+        val rows = spark.range(copies * 1000000L)
+          .select(pmod(col("id"), lit(30L)).cast("string").as("d"),
+            (expr("abs(hash(id))").cast("double") *
+              expr("abs(hash(id, 1))").cast("double")).as("v"))
+          .cache()
+        val nRows = rows.count()
+        val t0 = System.nanoTime()
+        val daily = operators.Sketches.kllMergeByKey(
+          operators.Sketches.kllPartials(rows, "d", "v", 200), "d", 200)
+        val acc = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(200)
+        daily.select(col("kll")).collect().foreach(r =>
+          acc.merge(operators.Sketches.kllFromBytes(r.getAs[Array[Byte]](0))))
+        val dt = (System.nanoTime() - t0) / 1e9
+        val est50 = acc.getQuantile(0.5,
+          org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE)
+        val est99 = acc.getQuantile(0.99,
+          org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE)
+        val r = rows.agg(
+          (sum(when(col("v") <= est50, 1L).otherwise(0L)) / count(lit(1))).as("r50"),
+          (sum(when(col("v") <= est99, 1L).otherwise(0L)) / count(lit(1))).as("r99")).head()
+        rows.unpersist()
+        println(f"""{"rows":$nRows%d,"sketch_n":${acc.getN}%d,"rank_of_p50_est":${r.getDouble(0)}%.4f,"rank_of_p99_est":${r.getDouble(1)}%.4f,"seconds":$dt%.1f}""")
 
       case _ =>
         val docs0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
