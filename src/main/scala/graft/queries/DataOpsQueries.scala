@@ -431,6 +431,47 @@ object DataOpsQueries {
     // min/max stats prune scans filtered on either column. A 1-D sort
     // would bound one dimension and leave the other spanning the whole
     // domain. Pure integer shift/mask arithmetic on both engines.
+    // ---- corrupt-record quarantine at ingest ------------------------------
+    // Real feeds carry malformed rows; at 100 TB an ingest that dies on
+    // the first bad record (FAILFAST) or silently drops rows (DROPMALFORMED)
+    // is wrong — PERMISSIVE + columnNameOfCorruptRecord quarantines bad
+    // rows into a side column in the SAME single pass, no pre-validation
+    // scan. The query writes events as JSON lines, plants 5 deterministic
+    // MALFORMED lines, reads the mixed directory back schema'd, and
+    // proves every planted line is quarantined (_corrupt carries the raw
+    // line for replay) while the good rows aggregate exactly — nothing
+    // dropped, nothing leaked into the aggregates. (Mis-TYPED fields in
+    // well-formed JSON are deliberately not asserted: their PERMISSIVE
+    // classification flips with column pruning — corrupt only if the
+    // offending field is in the pruned read schema — so any claim about
+    // them would encode a plan detail, not a data contract.)
+    Q("q_corrupt_records",
+      (s, dir) => {
+        val path = s"/tmp/graft_corrupt_${math.abs(dir.hashCode)}_" +
+          s.sparkContext.applicationId
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").json(path)
+        import s.implicits._
+        Seq("{broken", "not json at all", "\"unterminated", "[1,2,", "}{")
+          .toDF("value").coalesce(1).write.mode("append").text(path)
+        s.read
+          .schema("event_id LONG, event_type STRING, value DOUBLE, _corrupt STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .json(path)
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+            sum(when(col("_corrupt").isNull && col("event_id").isNull, 1L)
+              .otherwise(0L)).as("n_good_null_id"),
+            sum(when(col("_corrupt").isNull, col("value").cast("decimal(18,6)")))
+              .cast("double").as("sum_value_good"))
+      },
+      Some("""SELECT count(*) + 5 AS n_total, CAST(5 AS BIGINT) AS n_corrupt,
+             |  CAST(0 AS BIGINT) AS n_good_null_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value_good
+             |FROM events""".stripMargin)),
+
     Q("q_zorder_layout",
       (s, dir) => {
         val xb = pmod(col("user_id"), lit(256L))
