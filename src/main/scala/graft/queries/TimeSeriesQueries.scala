@@ -266,6 +266,46 @@ object TimeSeriesQueries {
              |FROM d
              |QUALIFY row_number() OVER (PARTITION BY event_type
              |                           ORDER BY dev DESC, rn) = 1
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ---- seasonal baseline profile + residual anomalies --------------------
+    // The forecasting-prep primitive: a (event_type × hour-of-day)
+    // seasonal profile — the naive seasonal baseline — and, per cell, how
+    // many observations sit above their own cell's mean (the residual
+    // side of anomaly triage; z-score against the GLOBAL mean lives in
+    // q_anomaly_zscore, this is the seasonality-adjusted counterpart).
+    // Scale: one hash aggregate to ≤ types×24 rows, broadcast back to a
+    // second scan for the above-mean counts — the profile moves, the
+    // events never shuffle. avg is the decimal-exact sum / count idiom
+    // (order-free); the above-mean comparison multiplies through by the
+    // cell count so BOTH sides compare integers (no division rounding).
+    Q("q_seasonal_baseline",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), hour(col("ts")).as("h"),
+            col("value").cast("decimal(18,6)").as("v"))
+        val prof = ev.groupBy(col("event_type"), col("h"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("__sv"))
+        ev.join(broadcast(prof), Seq("event_type", "h"))
+          .groupBy(col("event_type"), col("h"))
+          .agg(max(col("n")).as("n"),
+            (max(col("__sv")).cast("double") / max(col("n"))).as("avg_value"),
+            sum(when(col("v") * col("n") > col("__sv"), 1L).otherwise(0L))
+              .as("n_above_mean"))
+          .orderBy(col("event_type"), col("h"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, CAST(hour(ts) AS INT) AS h,
+             |         CAST(value AS DECIMAL(18,6)) AS v
+             |  FROM events),
+             |p AS (
+             |  SELECT event_type, h, count(*) AS n, sum(v) AS sv
+             |  FROM e GROUP BY 1, 2)
+             |SELECT e.event_type, e.h, CAST(max(p.n) AS BIGINT) AS n,
+             |  CAST(max(sv) AS DOUBLE) / max(p.n) AS avg_value,
+             |  CAST(sum(CASE WHEN e.v * p.n > p.sv THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_above_mean
+             |FROM e JOIN p USING (event_type, h)
+             |GROUP BY 1, 2 ORDER BY event_type, h""".stripMargin))
   )
 }
