@@ -458,6 +458,36 @@ object MiscQueries {
              |FROM events GROUP BY event_type
              |ORDER BY event_type NULLS FIRST""".stripMargin)),
 
+    // ---- custom DataSource V2 scan, oracle-checked ------------------------
+    // graft.sources.SyntheticSource is this repo's DSv2 table (column
+    // pruning + event_id partition pruning at planning time — see the
+    // source scaladoc and SyntheticSourceSpec). Its generator is pure
+    // integer modular arithmetic, so DuckDB reproduces the TABLE ITSELF
+    // from range(N) and the whole custom-source read path — pruning,
+    // residual filters, row generation — is hash-checked, not just
+    // spec-tested. The event_id predicate drops ~40% of input partitions
+    // before any task runs.
+    Q("q_synthetic_source",
+      (s, dir) => s.read.format("graft.sources.SyntheticSource")
+        .option("rows", "1000000").option("partitions", "32").load()
+        .filter(col("event_id") < 600000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("cents")).as("sum_cents"),
+          max(col("ts_epoch")).as("max_ts"))
+        .orderBy(col("event_type")),
+      Some("""WITH t AS (
+             |  SELECT range AS id, 1704067200 + range AS ts_epoch,
+             |         range % 1000 AS user_id,
+             |         'type' || CAST(range % 5 AS VARCHAR) AS event_type,
+             |         (range * 2654435761) % 1000000 AS cents
+             |  FROM range(1000000) WHERE range < 600000)
+             |SELECT event_type, count(*) AS n,
+             |  count(DISTINCT user_id) AS n_users,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents, max(ts_epoch) AS max_ts
+             |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- incremental materialized-view maintenance ------------------------
     // The 100 TB rollup discipline: never recompute an aggregate from
     // scratch — keep per-key PARTIALS (count/sum/min/max are all
