@@ -148,6 +148,45 @@ object JoinQueries {
              |  ON e.user_id = c.user_id AND c.ts <= e.ts
              |ORDER BY e.event_id""".stripMargin)),
 
+    // ---- backward as-of join through the CUSTOM PHYSICAL OPERATOR --------
+    // Same semantics and oracle as q_asof_join, executed by
+    // plans.AsOfMergeJoinExec — the custom logical-node → strategy →
+    // SparkPlan pipeline: EnsureRequirements plans the key-clustered
+    // exchanges and (key, time) sorts the operator DECLARES, then the
+    // exec runs one forward merge pass per partition, O(|L| + |R|).
+    // Hash-matching DuckDB's native ASOF JOIN proves the whole custom
+    // pipeline end to end in the driver gate, not just in specs.
+    Q("q_asof_physical",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val err = e.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val clk = LatestPerKey.maxBy(
+          e.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+            .withColumn("__k", concat_ws("|", col("user_id"), unix_micros(col("ts")))),
+          "__k", Seq(col("event_id"))).drop("__k")
+          .select(col("user_id").as("c_uid"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"), col("value").as("click_value"))
+        graft.plans.PhysicalAsOf.backward(
+            err, clk, "user_id", "ts", "c_uid", "click_ts")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("click_id"), col("click_ts"), col("click_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH err AS (
+             |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'error'),
+             |clk AS (
+             |  SELECT user_id, ts, event_id, value FROM (
+             |    SELECT user_id, ts, event_id, value,
+             |           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+             |    FROM events WHERE event_type = 'click') t WHERE rn = 1)
+             |SELECT e.event_id, e.user_id, e.ts,
+             |       c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
+             |FROM err e ASOF LEFT JOIN clk c
+             |  ON e.user_id = c.user_id AND c.ts <= e.ts
+             |ORDER BY e.event_id""".stripMargin)),
+
     // ---- forward as-of join: earliest click at/after each error ---------
     Q("q_asof_forward",
       (s, dir) => {
