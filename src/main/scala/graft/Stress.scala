@@ -148,11 +148,23 @@ object Stress {
         def time(f: => Long): Double = {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
         }
+        // consume the CARRIED column, not count(): under a bare count()
+        // Catalyst prunes the whole window/merge away and the number
+        // measures the union scan, not the join
         val tB = time(operators.AsOfJoin.backward(
-          l, r, "key", "t", "t", Seq("payload")).count())
+            l, r, "key", "t", "t", Seq("payload"))
+          .agg(coalesce(sum(col("asof_payload")), lit(0L))).head().getLong(0))
         val tF = time(operators.AsOfJoin.forward(
-          l, r, "key", "t", "t", Seq("payload")).count())
-        println(f"""{"rows_per_side":$rows%d,"backward_s":$tB%.1f,"forward_s":$tF%.1f}""")
+            l, r, "key", "t", "t", Seq("payload"))
+          .agg(coalesce(sum(col("asof_payload")), lit(0L))).head().getLong(0))
+        // the custom physical operator on the same inputs (right columns
+        // renamed: the merge-exec contract)
+        val rP = r.select(col("key").as("rkey"), col("t").as("rt"),
+          col("payload").as("rpayload"))
+        val tP = time(graft.plans.PhysicalAsOf.backward(
+            l, rP, "key", "t", "rkey", "rt")
+          .agg(coalesce(sum(col("rpayload")), lit(0L))).head().getLong(0))
+        println(f"""{"rows_per_side":$rows%d,"backward_s":$tB%.1f,"forward_s":$tF%.1f,"physical_backward_s":$tP%.1f}""")
 
       case "pq" =>
         // Encode is the corpus-wide cost (one broadcast join + min_by per
