@@ -488,6 +488,35 @@ object MiscQueries {
              |  CAST(sum(cents) AS BIGINT) AS sum_cents, max(ts_epoch) AS max_ts
              |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ---- custom DataSource V2 SINK: the batch commit protocol -------------
+    // graft.sources.DigestSink exercises the V2 write path end to end:
+    // per-task DataWriters fold their partition into (count, XOR digest)
+    // commit messages, and the driver's BatchWrite.commit aggregates only
+    // successful attempts — the exactly-once machinery every distributed
+    // sink rides on. The same events are committed through two DIFFERENT
+    // partitionings; the XOR fold makes the digest partition-invariant,
+    // so agreement proves the commit aggregation saw every row exactly
+    // once both times. Row counts are oracle-checked; digest equality is
+    // the engine-side exactly-once claim.
+    Q("q_digest_sink",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        val runId = s.sparkContext.applicationId
+        ev.repartition(32).write.format("graft.sources.DigestSink")
+          .option("id", s"${runId}_a").mode("append").save()
+        ev.repartition(7, col("user_id")).write.format("graft.sources.DigestSink")
+          .option("id", s"${runId}_b").mode("append").save()
+        val a = graft.sources.DigestSink.committed.get(s"${runId}_a")
+        val b = graft.sources.DigestSink.committed.get(s"${runId}_b")
+        import s.implicits._
+        Seq((a._1, b._1, a._2 == b._2))
+          .toDF("n_rows_a", "n_rows_b", "digests_agree")
+      },
+      Some("""SELECT count(*) AS n_rows_a, count(*) AS n_rows_b,
+             |  true AS digests_agree
+             |FROM events""".stripMargin)),
+
     // ---- incremental materialized-view maintenance ------------------------
     // The 100 TB rollup discipline: never recompute an aggregate from
     // scratch — keep per-key PARTIALS (count/sum/min/max are all
