@@ -148,6 +148,70 @@ object StreamQueries {
              |FROM events GROUP BY event_type
              |ORDER BY event_type NULLS FIRST""".stripMargin)),
 
+    // ---- foreachBatch streaming upsert: the production sink pattern ------
+    // Streams land in warehouses via foreachBatch + MERGE: each
+    // micro-batch collapses to its latest row per key (max_by — partials
+    // only), upserts into the keyed snapshot table, and the new snapshot
+    // replaces the old via a staged write + atomic rename (never
+    // overwrite what you are reading). After the stream drains, the
+    // snapshot must equal the batch latest-per-key over the whole input —
+    // the oracle proves the merge loop loses nothing across batches.
+    Q("q_stream_foreach_upsert",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val path = s"/tmp/graft_stream_upsert_${math.abs(dir.hashCode)}_" +
+          s.sparkContext.applicationId
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val stream = s.readStream.schema(rawEventSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+        val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            val upd = batch
+              .groupBy(col("user_id"))
+              .agg(max_by(
+                struct(col("event_id"), col("ts"), col("value")),
+                struct(col("ts"), col("event_id"))).as("__r"))
+              .select(col("user_id"), col("__r.event_id").as("last_event_id"),
+                col("__r.ts").as("__ts"), col("__r.value").as("last_value"))
+            val dst = new org.apache.hadoop.fs.Path(path)
+            val merged =
+              if (fs.exists(dst)) {
+                val base = s.read.parquet(path)
+                // re-resolve latest across base + update (ts tiebreak id)
+                base.unionByName(upd)
+                  .groupBy(col("user_id"))
+                  .agg(max_by(
+                    struct(col("last_event_id"), col("__ts"), col("last_value")),
+                    struct(col("__ts"), col("last_event_id"))).as("__r"))
+                  .select(col("user_id"),
+                    col("__r.last_event_id").as("last_event_id"),
+                    col("__r.__ts").as("__ts"),
+                    col("__r.last_value").as("last_value"))
+              } else upd
+            val stage = new org.apache.hadoop.fs.Path(s"${path}_stage_$batchId")
+            merged.write.mode("overwrite").parquet(stage.toString)
+            fs.delete(dst, true)
+            fs.rename(stage, dst)
+            ()
+        }.start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(path)
+          .select(col("user_id"), col("last_event_id"),
+            expr("timestamp_micros(__ts div 1000)").as("last_ts"),
+            col("last_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+             |       value AS last_value
+             |FROM (SELECT user_id, event_id, ts, value,
+             |        row_number() OVER (PARTITION BY user_id
+             |          ORDER BY ts DESC, event_id DESC) AS rn
+             |      FROM events) t
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
     // ---- sliding-window rollups through the streaming engine ------------
     // 1h windows every 15min: each event lands in exactly 4 overlapping
     // windows (epoch-aligned slide). The oracle regenerates the 4 window
