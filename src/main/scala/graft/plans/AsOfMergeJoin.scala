@@ -39,7 +39,8 @@ case class AsOfJoinNode(
     leftKey: Attribute,
     rightKey: Attribute,
     leftTime: Attribute,
-    rightTime: Attribute) extends BinaryNode {
+    rightTime: Attribute,
+    forward: Boolean) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -52,8 +53,8 @@ case class AsOfJoinNode(
   * lazily by [[PhysicalAsOf.backward]]). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
-      AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, fwd) =>
+      AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -64,7 +65,8 @@ case class AsOfMergeJoinExec(
     leftKey: Attribute,
     rightKey: Attribute,
     leftTime: Attribute,
-    rightTime: Attribute) extends BinaryExecNode {
+    rightTime: Attribute,
+    forward: Boolean) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -115,7 +117,25 @@ case class AsOfMergeJoinExec(
         val lk = lRow.get(lKeyIdx, keyType)
         val lt = lRow.get(lTimeIdx, timeType)
         if (lk == null || lt == null) proj(joined(lRow, nullRight))
-        else {
+        else if (forward) {
+          // consume strictly-before rows; the head (if same key) is then
+          // the EARLIEST right row at/after lt — peeked, not consumed,
+          // because it may also match later left rows
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rk = rBuf.head.get(rKeyIdx, keyType)
+            val rt = rBuf.head.get(rTimeIdx, timeType)
+            val keyCmp = if (rk == null) -1 else keyOrd.compare(rk, lk)
+            if (keyCmp < 0 || (keyCmp == 0 &&
+                (rt == null || timeOrd.compare(rt, lt) < 0))) rBuf.next()
+            else advancing = false
+          }
+          val matches = rBuf.hasNext && {
+            val rk = rBuf.head.get(rKeyIdx, keyType)
+            rk != null && keyOrd.compare(rk, lk) == 0
+          }
+          proj(joined(lRow, if (matches) rBuf.head else nullRight))
+        } else {
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val rk = rBuf.head.get(rKeyIdx, keyType)
@@ -165,6 +185,27 @@ object PhysicalAsOf {
           s"column $n not found in ${p.output.map(_.name).mkString(", ")}"))
     GraftColumnBridge.ofRows(spark,
       AsOfJoinNode(l, r, attr(l, leftKey), attr(r, rightKey),
-        attr(l, leftTime), attr(r, rightTime)))
+        attr(l, leftTime), attr(r, rightTime), forward = false))
+  }
+
+  /** Earliest right row at/after each left row's time, per key — the
+    * peek-ahead merge (the matched head may serve later left rows too,
+    * so it is never consumed on match). */
+  def forward(left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val l = left.queryExecution.analyzed
+    val r = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not found in ${p.output.map(_.name).mkString(", ")}"))
+    GraftColumnBridge.ofRows(spark,
+      AsOfJoinNode(l, r, attr(l, leftKey), attr(r, rightKey),
+        attr(l, leftTime), attr(r, rightTime), forward = true))
   }
 }

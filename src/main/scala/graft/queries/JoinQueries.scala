@@ -187,6 +187,41 @@ object JoinQueries {
              |  ON e.user_id = c.user_id AND c.ts <= e.ts
              |ORDER BY e.event_id""".stripMargin)),
 
+    // ---- forward as-of through the custom physical operator --------------
+    // q_asof_forward's semantics via AsOfMergeJoinExec's peek-ahead merge
+    // (the matched right head can serve several left rows, so it is
+    // peeked, never consumed). Same DuckDB ASOF >= oracle.
+    Q("q_asof_physical_fwd",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val err = e.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clk = LatestPerKey.maxBy(
+          e.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("event_id"))
+            .withColumn("__k", concat_ws("|", col("user_id"), unix_micros(col("ts")))),
+          "__k", Seq(col("event_id"))).drop("__k")
+          .select(col("user_id").as("c_uid"), col("ts").as("next_click_ts"),
+            col("event_id").as("next_click_id"))
+        graft.plans.PhysicalAsOf.forward(
+            err, clk, "user_id", "ts", "c_uid", "next_click_ts")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("next_click_id"), col("next_click_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH err AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+             |clk AS (
+             |  SELECT user_id, ts, event_id FROM (
+             |    SELECT user_id, ts, event_id,
+             |           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+             |    FROM events WHERE event_type = 'click') t WHERE rn = 1)
+             |SELECT e.event_id, e.user_id, e.ts,
+             |       c.event_id AS next_click_id, c.ts AS next_click_ts
+             |FROM err e ASOF LEFT JOIN clk c
+             |  ON e.user_id = c.user_id AND e.ts <= c.ts
+             |ORDER BY e.event_id""".stripMargin)),
+
     // ---- forward as-of join: earliest click at/after each error ---------
     Q("q_asof_forward",
       (s, dir) => {

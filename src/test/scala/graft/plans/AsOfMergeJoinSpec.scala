@@ -71,6 +71,46 @@ class AsOfMergeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("forward hand case: earliest right at/after each left time, peeked not consumed") {
+    val left = Seq((1L, 10L, "a"), (1L, 12L, "b"), (1L, 20L, "c"), (2L, 5L, "d"))
+      .toDF("k", "t", "tag")
+    // one right row serves BOTH a and b (peek semantics)
+    val right = Seq((1L, 14L, 100L), (1L, 25L, 200L), (2L, 4L, 300L))
+      .toDF("rk", "rt", "v")
+    val m = PhysicalAsOf.forward(left, right, "k", "t", "rk", "rt")
+      .collect().map(r => (r.getString(2),
+        Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+    assert(m == Map("a" -> Some(100L), "b" -> Some(100L),
+      "c" -> Some(200L), "d" -> None))
+  }
+
+  test("forward randomized differential vs the union+carry composition form") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 4) {
+      val nKeys = 5
+      val left = (1 to 300).map { i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(1000).toLong, i.toLong)
+      }
+      val right = (1 to 200).map { i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(1000).toLong, i.toLong * 10)
+      }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val lDf = left.toDF("k", "t", "lid")
+      val rDf = right.toDF("k", "t", "rv")
+        .select(col("k").as("rk"), col("t").as("rt"), col("rv"))
+
+      val phys = PhysicalAsOf.forward(lDf, rDf, "k", "t", "rk", "rt")
+        .select(col("lid"), col("rv"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+
+      val comp = graft.operators.AsOfJoin.forward(
+          lDf, right.toDF("k", "t", "rv"), "k", "t", "t", Seq("rv"))
+        .select(col("lid"), col("asof_rv"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+
+      assert(phys == comp, s"trial $trial")
+    }
+  }
+
   test("null keys and times match nothing; null right rows are skipped") {
     val left = Seq((Some(1L), Some(10L), "a"), (None, Some(10L), "b"),
       (Some(1L), None, "c")).toDF("k", "t", "tag")
