@@ -431,6 +431,50 @@ object DataOpsQueries {
     // min/max stats prune scans filtered on either column. A 1-D sort
     // would bound one dimension and leave the other spanning the whole
     // domain. Pure integer shift/mask arithmetic on both engines.
+    // ---- Benford's-law leading-digit audit --------------------------------
+    // The classic fabricated-numbers screen: naturally-occurring money
+    // amounts follow Benford's leading-digit distribution; a synthetic or
+    // tampered feed drifts from it. All-integer plan: leading digit via
+    // BIGINT-cents string head (bigint formatting is identical across
+    // engines — double formatting is NOT), observed share in exact ppm,
+    // expected shares as the hardcoded Benford constants (log10 itself
+    // is not bit-portable). One hash aggregate to 9 rows + a broadcast
+    // total; deviation left to the caller's threshold.
+    Q("q_benford_audit",
+      (s, dir) => {
+        val exp = array((Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+          66947L, 57992L, 51153L, 45757L)).map(lit): _*)
+        val d = Tables.orders(s, dir)
+          .select(floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .filter(col("cents") > 0)
+          .select(substring(col("cents").cast("string"), 1, 1)
+            .cast("int").as("digit"))
+        val tot = d.agg(count(lit(1)).as("__n"))
+        d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            expr("n * 1000000L div __n").as("obs_ppm"),
+            element_at(exp, col("digit")).as("exp_ppm"),
+            abs(expr("n * 1000000L div __n") - element_at(exp, col("digit")))
+              .as("dev_ppm"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(left(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+             |                      AS VARCHAR), 1) AS INT) AS digit
+             |  FROM orders WHERE floor(o_totalprice * 100) > 0),
+             |t AS (SELECT count(*) AS tn FROM d),
+             |e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+             |        (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+             |        (8, 51153), (9, 45757)) v(digit, exp_ppm))
+             |SELECT d.digit, count(*) AS n,
+             |  count(*) * 1000000 // tn AS obs_ppm,
+             |  CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+             |  abs(count(*) * 1000000 // tn - e.exp_ppm) AS dev_ppm
+             |FROM d, t JOIN e ON e.digit = d.digit
+             |GROUP BY d.digit, tn, e.exp_ppm
+             |ORDER BY d.digit""".stripMargin)),
+
     // ---- corrupt-record quarantine at ingest ------------------------------
     // Real feeds carry malformed rows; at 100 TB an ingest that dies on
     // the first bad record (FAILFAST) or silently drops rows (DROPMALFORMED)
