@@ -24,8 +24,13 @@ import org.apache.spark.sql.functions._
 object CurationPipeline {
 
   def run(spark: SparkSession, sfDir: String, outDir: String,
+      seqLen: Long = 128L, nShards: Int = 8): Seq[(String, Long)] =
+    runDocs(spark, Tables.documents(spark, sfDir), outDir, seqLen, nShards)
+
+  /** Same pipeline over an arbitrary documents frame (doc_id, text,
+    * n_chars, ...) — the entry the stress harness replicates into. */
+  def runDocs(spark: SparkSession, docs: DataFrame, outDir: String,
       seqLen: Long = 128L, nShards: Int = 8): Seq[(String, Long)] = {
-    val docs = Tables.documents(spark, sfDir)
     val raw = docs.count()
 
     // 1. quality gate: length bounds + unique-token ratio (integer ppm)

@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   *   mode "pagerank":        3 PageRank rounds over copies×100k nodes /
   *                           copies×1M edges (rank side too big to
   *                           broadcast — the honest graph-scale path)
+  *   mode "curation":        the full CurationPipeline over an N×
+  *                           exact-replicated corpus — exact dedup must
+  *                           collapse the replicas, LSH the planted
+  *                           near-dups; survivor count must equal the
+  *                           single-copy run's
   *   mode "cc":              connected components over a copies×100k-node
   *                           PATH graph (diameter = n−1 — the worst case
   *                           min-label propagation cannot finish; the
@@ -280,6 +285,25 @@ object Stress {
         val tops = merges.map(m => s""""${m.left_sym}${m.right_sym}"""")
           .mkString("[", ",", "]")
         println(f"""{"vocab":$nVocab%d,"rounds":${merges.size}%d,"merged":$tops,"seconds":$dt%.1f}""")
+
+      case "curation" =>
+        // every replica of a doc is an EXACT dup of copy 0 (same text,
+        // new id) — the pipeline must collapse the corpus back to its
+        // single-copy survivor count via the exact-dedup stage, with the
+        // LSH stage then removing the corpus's own planted near-dups
+        val docs0 = Tables.documents(spark, sfDir)
+        val big = (0 until copies).map(i =>
+            docs0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+              col("text"), col("lang"), col("source"), col("n_chars")))
+          .reduce(_ unionByName _).cache()
+        big.count()
+        val out = s"/tmp/graft_curation_stress_${System.nanoTime()}"
+        val t0 = System.nanoTime()
+        val counts = CurationPipeline.runDocs(spark, big, out)
+        val dt = (System.nanoTime() - t0) / 1e9
+        big.unpersist()
+        println(counts.map { case (k, v) => s""""$k":$v""" }
+          .mkString("{", ",", f""","seconds":$dt%.1f}"""))
 
       case "cc" =>
         // one path graph of copies×100k nodes: diameter = n-1, the case
