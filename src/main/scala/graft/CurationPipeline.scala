@@ -49,7 +49,10 @@ object CurationPipeline {
       .withColumn("__digest", md5(lower(col("text"))))
       .groupBy(col("__digest")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
+    // three consumers (count, LSH signatures, final anti-join): cut the
+    // lineage once so none recomputes the gate+dedup chain from the scan
     val exactDeduped = scored.join(canonicalIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
     val afterExact = exactDeduped.count()
 
     // 3. near-dup dedup: LSH candidates at >= 80% estimated Jaccard →
