@@ -117,6 +117,73 @@ object SearchQueries {
               |  count(*) AS n_terms
               |FROM tf JOIN df USING (token) JOIN dl USING (doc_id), corpus
               |GROUP BY tf.doc_id
-              |ORDER BY score_ppm DESC, tf.doc_id LIMIT 20""".stripMargin))
+              |ORDER BY score_ppm DESC, tf.doc_id LIMIT 20""".stripMargin)),
+
+    // ---- exact sparse cosine pairs via postings join ----------------------
+    // The exact-similarity member of the near-dup family: MinHash
+    // ESTIMATES Jaccard, SimHash estimates hamming proximity — this
+    // computes the exact term-frequency cosine between documents, through
+    // the inverted index. Scale: the postings self-join fans out Σ df²
+    // over the term vocabulary, so HIGH-df terms are pruned first (df >
+    // DfCap ⇒ stop-term, the standard IR bound — at web scale the cap
+    // keeps join work ≈ corpus-linear while dropping only terms that
+    // carry no discriminative signal); dot products and norms live in the
+    // pruned term space, all-integer until the final sqrt (IEEE-exact in
+    // both engines, the q_temperature_mix discipline). Deterministic
+    // top-100 by (sim desc, pair).
+    Q("q_sparse_cosine_pairs",
+      (s, dir) => {
+        val dfCap = 50
+        val tf = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val rare = tf.groupBy(col("token"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") <= dfCap)
+          .select(col("token"))
+        val pruned = tf.join(rare, Seq("token"), "left_semi")
+        val norms = pruned.groupBy(col("doc_id"))
+          .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("norm"))
+        val dots = pruned.as("a")
+          .join(pruned.as("b"),
+            col("a.token") === col("b.token") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+        dots
+          .join(norms.select(col("doc_id").as("id_a"), col("norm").as("na")), "id_a")
+          .join(norms.select(col("doc_id").as("id_b"), col("norm").as("nb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            floor(col("dot").cast("double") * 1e6 / (col("na") * col("nb")))
+              .cast("long").as("sim_ppm"))
+          .orderBy(col("sim_ppm").desc, col("id_a"), col("id_b"))
+          .limit(100)
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, t.token, count(*) AS tf
+             |  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+             |  GROUP BY doc_id, t.token),
+             |rare AS (
+             |  SELECT token FROM (
+             |    SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token)
+             |  WHERE df <= 50),
+             |p AS (SELECT tf.* FROM tf SEMI JOIN rare USING (token)),
+             |norms AS (
+             |  SELECT doc_id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS norm
+             |  FROM p GROUP BY doc_id),
+             |dots AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+             |  FROM p a JOIN p b
+             |    ON a.token = b.token AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  CAST(floor(CAST(dot AS DOUBLE) * 1e6 / (na.norm * nb.norm))
+             |       AS BIGINT) AS sim_ppm
+             |FROM dots
+             |JOIN norms na ON na.doc_id = id_a
+             |JOIN norms nb ON nb.doc_id = id_b
+             |ORDER BY sim_ppm DESC, id_a, id_b LIMIT 100""".stripMargin))
   )
 }

@@ -217,6 +217,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"edges⋈dist must be an equi-join:\n$s")
   }
 
+  test("sparse cosine pairs: postings self-join is an equi-join on token") {
+    val s = render(plan("q_sparse_cosine_pairs"))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"no loop join in the postings self-join:\n$s")
+  }
+
   test("co-purchase mining broadcasts the part dimension; the pair " +
     "self-join is an equi-join on orderkey") {
     val s = render(plan("q_copurchase_pairs"))
