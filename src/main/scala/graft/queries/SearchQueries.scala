@@ -122,25 +122,31 @@ object SearchQueries {
     // ---- exact sparse cosine pairs via postings join ----------------------
     // The exact-similarity member of the near-dup family: MinHash
     // ESTIMATES Jaccard, SimHash estimates hamming proximity — this
-    // computes the exact term-frequency cosine between documents, through
-    // the inverted index. Scale: the postings self-join fans out Σ df²
-    // over the term vocabulary, so HIGH-df terms are pruned first (df >
-    // DfCap ⇒ stop-term, the standard IR bound — at web scale the cap
-    // keeps join work ≈ corpus-linear while dropping only terms that
-    // carry no discriminative signal); dot products and norms live in the
-    // pruned term space, all-integer until the final sqrt (IEEE-exact in
-    // both engines, the q_temperature_mix discipline). Deterministic
-    // top-100 by (sim desc, pair).
+    // computes the exact cosine over 3-gram-shingle frequency vectors,
+    // through the inverted index (shingles, not unigrams: a natural
+    // vocabulary's stopwords — or this synthetic corpus's 40-word
+    // vocabulary — would otherwise appear in every document and carry no
+    // signal). Scale: the postings self-join fans out Σ df² over the
+    // shingle vocabulary, so high-df shingles are pruned first with a
+    // CORPUS-RELATIVE cap (df ≤ N/10 — boilerplate grams drop, the bound
+    // scales with the corpus instead of silently emptying at 10× like an
+    // absolute cap would); dot products and norms live in the pruned
+    // space, all-integer until the final sqrt (IEEE-exact in both
+    // engines, the q_temperature_mix discipline). Deterministic top-100
+    // by (sim desc, pair).
     Q("q_sparse_cosine_pairs",
       (s, dir) => {
-        val dfCap = 50
-        val tf = Tables.documents(s, dir)
-          .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        val docs = Tables.documents(s, dir)
+        val tot = docs.agg(count(lit(1)).as("__n"))
+        val tf = docs
+          .select(col("doc_id"),
+            explode(Text.shingles(col("text"), 3)).as("token"))
           .groupBy(col("doc_id"), col("token"))
           .agg(count(lit(1)).as("tf"))
         val rare = tf.groupBy(col("token"))
           .agg(countDistinct(col("doc_id")).as("df"))
-          .filter(col("df") <= dfCap)
+          .crossJoin(broadcast(tot))
+          .filter(col("df") * 10 <= col("__n"))
           .select(col("token"))
         val pruned = tf.join(rare, Seq("token"), "left_semi")
         val norms = pruned.groupBy(col("doc_id"))
@@ -162,12 +168,18 @@ object SearchQueries {
       },
       Some("""WITH tf AS (
              |  SELECT doc_id, t.token, count(*) AS tf
-             |  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+             |  FROM (SELECT doc_id, list_transform(
+             |          range(len(string_split(text, ' ')) - 2),
+             |          j -> string_split(text, ' ')[j+1] || ' ' ||
+             |               string_split(text, ' ')[j+2] || ' ' ||
+             |               string_split(text, ' ')[j+3]) AS gs
+             |        FROM documents) d, unnest(d.gs) AS t(token)
              |  GROUP BY doc_id, t.token),
+             |n AS (SELECT count(*) AS nd FROM documents),
              |rare AS (
              |  SELECT token FROM (
-             |    SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token)
-             |  WHERE df <= 50),
+             |    SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token), n
+             |  WHERE df * 10 <= nd),
              |p AS (SELECT tf.* FROM tf SEMI JOIN rare USING (token)),
              |norms AS (
              |  SELECT doc_id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS norm
