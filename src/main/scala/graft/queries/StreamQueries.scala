@@ -578,6 +578,63 @@ object StreamQueries {
               |       ${graft.functions.Text.polyHashSql("frame_s")} AS frame_hash
               |FROM r ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // ---- multimodal scene-cut detection over the frame table -------------
+    // The video-segmentation step: a CUT is a consecutive-frame pair
+    // whose content hashes differ (the stub's 16-byte grabs stand in for
+    // perceptual frame hashes; a real decoder changes the hash source,
+    // not the shape). Per-media window ordered by frame_idx — frames per
+    // item are BOUNDED (sampling rate), so the window is constant-width
+    // and parallel across items, never a corpus-wide sort. Cut counts
+    // and the first cut position are hash-checked via the same portable
+    // frame-hash construction q_media_frames proves.
+    Q("q_media_scenes",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val media = Media.synthesize(
+          graft.Tables.documents(s, dir), "doc_id", "text").as[Media.MediaRow]
+        val frames = Media.frameRows(media, framesPerItem = 4)
+          .select(col("media_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            graft.functions.Text.polyHash(decode(col("frame"), "UTF-8"))
+              .as("frame_hash"))
+        val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+        val isCut = col("__prev").isNotNull && col("__prev") =!= col("frame_hash")
+        frames.withColumn("__prev", lag(col("frame_hash"), 1).over(w))
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            sum(when(isCut, 1L).otherwise(0L)).as("n_cuts"),
+            min(when(isCut, col("frame_idx"))).as("first_cut_idx"))
+          .orderBy(col("media_id"))
+      },
+      Some(s"""WITH m AS (
+              |  SELECT doc_id AS media_id, text, strlen(text) AS n
+              |  FROM documents WHERE strlen(text) >= 16),
+              |p AS (SELECT media_id, text, n,
+              |        greatest(1, (n - 16) // 3) AS step FROM m),
+              |f AS (SELECT DISTINCT media_id, text,
+              |        least(u.i * step, n - 16) AS off
+              |      FROM p CROSS JOIN LATERAL
+              |        (SELECT unnest(range(4)) AS i) u),
+              |r AS (SELECT media_id, off,
+              |        row_number() OVER (PARTITION BY media_id
+              |                           ORDER BY off) - 1 AS frame_idx,
+              |        substring(text, CAST(off + 1 AS INTEGER), 16) AS frame_s
+              |      FROM f),
+              |h AS (SELECT media_id, frame_idx,
+              |        ${graft.functions.Text.polyHashSql("frame_s")} AS fh
+              |      FROM r),
+              |c AS (SELECT media_id, frame_idx, fh,
+              |        lag(fh) OVER (PARTITION BY media_id
+              |                      ORDER BY frame_idx) AS prev
+              |      FROM h)
+              |SELECT media_id, count(*) AS n_frames,
+              |  CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> fh
+              |                THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+              |  min(CASE WHEN prev IS NOT NULL AND prev <> fh
+              |           THEN frame_idx END) AS first_cut_idx
+              |FROM c GROUP BY media_id ORDER BY media_id""".stripMargin)),
+
     // ---- multimodal resize: 8×8 nearest-neighbor thumbnails -------------
     // The thumbnailing step, oracle-checked end to end: the DuckDB mirror
     // replays the SAME nearest-neighbor index arithmetic (src_y = y·h÷8,
