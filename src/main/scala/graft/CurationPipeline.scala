@@ -64,12 +64,17 @@ object CurationPipeline {
     val clusters = Components.connectedComponentsStar(pairs, "id_a", "id_b")
     val dupIds = clusters.filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("doc_id"))
+    // same multi-consumer discipline as exactDeduped: count, packing, and
+    // the final shard join must not re-run the anti-join chain
     val clean = exactDeduped.join(dupIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
     val afterNearDup = clean.count()
 
     // 4. pack the token stream into fixed-length training sequences
     val packed = Packing.packSequences(clean, "doc_id", col("n_toks"), seqLen)
-    val nSeqs = packed.agg(max(col("end_seq"))).head().getLong(0) + 1
+      .localCheckpoint(true)
+    val nSeqs = packed
+      .agg(coalesce(max(col("end_seq")) + 1, lit(0L))).head().getLong(0)
 
     // 5. deterministic shard + write: reproducible multiplicative hash,
     //    hash-partitioned parquet layout

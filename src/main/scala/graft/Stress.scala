@@ -326,8 +326,10 @@ object Stress {
         // partials, merge, then verify the p50/p99 rank bound exactly
         val rows = spark.range(copies * 1000000L)
           .select(pmod(col("id"), lit(30L)).cast("string").as("d"),
-            (expr("abs(hash(id))").cast("double") *
-              expr("abs(hash(id, 1))").cast("double")).as("v"))
+            // abs over BIGINT: abs(hash()) on INT hits ANSI overflow at
+            // Int.MinValue (~1% odds somewhere in a 20M-row run)
+            (expr("abs(cast(hash(id) as bigint))").cast("double") *
+              expr("abs(cast(hash(id, 1) as bigint))").cast("double")).as("v"))
           .cache()
         val nRows = rows.count()
         val t0 = System.nanoTime()

@@ -28,13 +28,17 @@ object Retention {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
     val prefix = s"$partitionCol="
-    val dropped = fs.listStatus(root).toSeq
+    val expired = fs.listStatus(root).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
       .filter(_.getName.startsWith(prefix))
       .map(p => (p, p.getName.stripPrefix(prefix)))
       .filter { case (_, v) => v < cutoff }
-    dropped.foreach { case (p, _) => fs.delete(p, true) }
-    dropped.map(_._2).sorted
+    // retention is an enforcement op: a failed delete must fail LOUDLY,
+    // never be reported as expired while the files remain on disk
+    val failed = expired.filterNot { case (p, _) => fs.delete(p, true) }
+    require(failed.isEmpty,
+      s"retention failed to delete: ${failed.map(_._2).sorted.mkString(", ")}")
+    expired.map(_._2).sorted
   }
 }

@@ -172,28 +172,20 @@ object PhysicalAsOf {
     * mints fresh exprIds) so they never collide with left names. */
   def backward(left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
-      rightKey: String, rightTime: String): DataFrame = {
-    val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
-    val l = left.queryExecution.analyzed
-    val r = right.queryExecution.analyzed
-    def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $n not found in ${p.output.map(_.name).mkString(", ")}"))
-    GraftColumnBridge.ofRows(spark,
-      AsOfJoinNode(l, r, attr(l, leftKey), attr(r, rightKey),
-        attr(l, leftTime), attr(r, rightTime), forward = false))
-  }
+      rightKey: String, rightTime: String): DataFrame =
+    build(left, right, leftKey, leftTime, rightKey, rightTime, forward = false)
 
   /** Earliest right row at/after each left row's time, per key — the
     * peek-ahead merge (the matched head may serve later left rows too,
     * so it is never consumed on match). */
   def forward(left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
-      rightKey: String, rightTime: String): DataFrame = {
+      rightKey: String, rightTime: String): DataFrame =
+    build(left, right, leftKey, leftTime, rightKey, rightTime, forward = true)
+
+  private def build(left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String, forward: Boolean): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -204,8 +196,15 @@ object PhysicalAsOf {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"column $n not found in ${p.output.map(_.name).mkString(", ")}"))
+    val (lk, rk) = (attr(l, leftKey), attr(r, rightKey))
+    val (lt, rt) = (attr(l, leftTime), attr(r, rightTime))
+    // the merge builds its orderings from the LEFT types: a mismatch
+    // must fail here, not as a ClassCastException inside executor tasks
+    require(lk.dataType == rk.dataType,
+      s"as-of key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"as-of time types differ: ${lt.dataType} vs ${rt.dataType}")
     GraftColumnBridge.ofRows(spark,
-      AsOfJoinNode(l, r, attr(l, leftKey), attr(r, rightKey),
-        attr(l, leftTime), attr(r, rightTime), forward = true))
+      AsOfJoinNode(l, r, lk, rk, lt, rt, forward))
   }
 }

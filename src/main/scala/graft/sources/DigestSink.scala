@@ -80,7 +80,12 @@ private[sources] class DigestTable(writeSchema: StructType, id: String)
       TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    // SupportsTruncate backs the advertised TRUNCATE capability (without
+    // it, mode("overwrite") passes the capability check then fails at
+    // write planning); truncating a sink that materializes nothing is a
+    // no-op
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new DigestBatchWrite(
           info.schema(), id)

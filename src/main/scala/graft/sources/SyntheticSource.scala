@@ -94,13 +94,17 @@ private[sources] class SyntheticScanBuilder(rows: Long, parts: Int)
     * filter as residual — Spark re-applies them post-scan, so pruning
     * can only skip work, never change results. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // saturating +1: v + 1 on Long.MaxValue wraps NEGATIVE and would
+    // silently prune every partition — the one way pruning could change
+    // results
+    def succ(v: Long): Long = if (v == Long.MaxValue) v else v + 1
     val accepted = filters.filter {
-      case GreaterThan("event_id", v: Long)        => lo = math.max(lo, v + 1); true
+      case GreaterThan("event_id", v: Long)        => lo = math.max(lo, succ(v)); true
       case GreaterThanOrEqual("event_id", v: Long) => lo = math.max(lo, v); true
       case LessThan("event_id", v: Long)           => hi = math.min(hi, v); true
-      case LessThanOrEqual("event_id", v: Long)    => hi = math.min(hi, v + 1); true
+      case LessThanOrEqual("event_id", v: Long)    => hi = math.min(hi, succ(v)); true
       case EqualTo("event_id", v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+        lo = math.max(lo, v); hi = math.min(hi, succ(v)); true
       case _ => false
     }
     pushed = accepted

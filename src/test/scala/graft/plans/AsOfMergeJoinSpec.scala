@@ -43,6 +43,14 @@ class AsOfMergeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("mismatched key/time types fail at entry, not in executor tasks") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq(("1", 9L)).toDF("rk", "rt")
+    intercept[IllegalArgumentException] {
+      PhysicalAsOf.backward(left, right, "k", "t", "rk", "rt")
+    }
+  }
+
   test("randomized differential vs the union+carry composition form") {
     val rnd = new scala.util.Random(29)
     for (trial <- 1 to 4) {

@@ -24,6 +24,11 @@ class DigestSinkSpec extends AnyFunSuite {
     assert(a._2 == b._2)
   }
 
+  test("overwrite mode rides the no-op truncate") {
+    df.write.format("graft-digest").option("id", "ow").mode("overwrite").save()
+    assert(DigestSink.committed.get("ow")._1 == 10000L)
+  }
+
   test("different data yields a different digest") {
     df.limit(9999).write.format("graft-digest")
       .option("id", "c").mode("append").save()

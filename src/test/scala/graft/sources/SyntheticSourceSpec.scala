@@ -43,6 +43,14 @@ class SyntheticSourceSpec extends AnyFunSuite {
     assert(SyntheticSource.lastPlannedPartitions.get() == 1)
   }
 
+  test("Long.MaxValue bounds never wrap into false pruning") {
+    import org.apache.spark.sql.functions.col
+    val df = load(1000, 4).filter(col("event_id") <= Long.MaxValue)
+    assert(df.count() == 1000)
+    val eq = load(1000, 4).filter(col("event_id") === Long.MaxValue)
+    assert(eq.count() == 0) // genuinely out of range, but no crash/wrap
+  }
+
   test("projection pruning reaches the source: only required columns generate") {
     val n = load(5000, 5).select(col("event_type")).distinct().count()
     assert(n == 5)
