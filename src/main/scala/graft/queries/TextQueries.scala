@@ -383,6 +383,135 @@ object TextQueries {
               |SELECT doc_id, n AS n_tokens, sw AS raw_score,
               |       sw * 1000 // n AS score_milli,
               |       sw * 1000 // n >= 1000000 AS keep
-              |FROM sc ORDER BY doc_id""".stripMargin))
+              |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // ---- winnowing fingerprints (Schleimer et al., the MOSS algorithm) --
+    // k=8 char k-grams, window w=4: every window of 4 consecutive k-gram
+    // hashes contributes its RIGHTMOST minimum, so any two documents
+    // sharing a substring of length >= k+w-1 = 11 are guaranteed to share
+    // a fingerprint, at ~2/(w+1) sampling density — the position-robust
+    // sibling of q_doc_fingerprint's global min-hash. The (hash, position)
+    // pair is packed into one BIGINT — hash < 1e9+7 < 2^30 shifted left 20
+    // bits, position INVERTED in the low 20 bits — so "minimum hash,
+    // rightmost tie-break" is a plain array_min in both engines: no custom
+    // comparator, exact parity. (Positions must fit 20 bits: documents are
+    // capped at ~1M chars; longer docs would chunk first.)
+    // Scale: narrow per-row array pipeline, zero shuffle; O(n·w) per doc
+    // like any vectorized winnowing. Fingerprints stay aggregated here
+    // (count / sum / min / max — all exact integers); the dedup consumer
+    // would explode the selected set and group by hash, which is the same
+    // bounded-fanout explode the MinHash band join already demonstrates.
+    Q("q_winnow_fingerprint",
+      (s, dir) => {
+        val k = 8
+        val w = 4
+        val mb = 1048576L // 2^20 position packing
+        Tables.documents(s, dir)
+          .withColumn("__h",
+            when(length(col("text")) >= k,
+              transform(sequence(lit(0), length(col("text")) - k),
+                i => Text.polyHash(col("text").substr(i + 1, lit(k))))))
+          .withColumn("__enc",
+            transform(col("__h"), (x, i) => x * mb + (lit(mb - 1) - i)))
+          .withColumn("__sel",
+            when(size(col("__enc")) >= w,
+              array_distinct(transform(
+                sequence(lit(0), size(col("__enc")) - w),
+                p => array_min(slice(col("__enc"), p + 1, lit(w)))))))
+          .withColumn("__fp", expr("transform(__sel, e -> e div 1048576L)"))
+          .select(col("doc_id"),
+            size(col("__h")).cast("long").as("n_grams"),
+            size(col("__sel")).cast("long").as("n_fp"),
+            expr("aggregate(__fp, 0L, (a, x) -> a + x)").as("fp_sum"),
+            array_min(col("__fp")).as("fp_min"),
+            array_max(col("__fp")).as("fp_max"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH h AS (
+              |  SELECT doc_id,
+              |    CASE WHEN len(text) >= 8 THEN
+              |      list_transform(range(len(text) - 7),
+              |        i -> ${Text.polyHashSql("substr(text, i + 1, 8)")})
+              |    END AS hs
+              |  FROM documents),
+              |e AS (
+              |  SELECT doc_id, hs,
+              |    list_transform(range(len(hs)),
+              |      i -> hs[i + 1] * 1048576 + (1048575 - i)) AS enc
+              |  FROM h),
+              |sel AS (
+              |  SELECT doc_id, hs,
+              |    CASE WHEN len(enc) >= 4 THEN
+              |      list_transform(
+              |        list_distinct(list_transform(range(len(enc) - 3),
+              |          p -> list_min(list_slice(enc, p + 1, p + 4)))),
+              |        x -> x // 1048576)
+              |    END AS fp
+              |  FROM e)
+              |SELECT doc_id,
+              |  len(hs) AS n_grams,
+              |  len(fp) AS n_fp,
+              |  CAST(list_sum(fp) AS BIGINT) AS fp_sum,
+              |  list_min(fp) AS fp_min,
+              |  list_max(fp) AS fp_max
+              |FROM sel ORDER BY doc_id""".stripMargin)),
+
+    // ---- collocation extraction: bigram lift, exact integer ppm ---------
+    // PMI-style collocation mining for LM corpus analysis, with the log
+    // dropped: lift = P(xy) / (P(x)·P(y)) is the same ranking (log is
+    // monotone) and — unlike log — is computable EXACTLY as integer ppm:
+    // lift_ppm = n_xy·N² · 1e6 div (M·n_x·n_y), evaluated in DECIMAL(38,0)
+    // (Spark) / HUGEINT (DuckDB) so the product can't overflow at benched
+    // scales (at ≥ ~1e13 tokens the 1e6 factor must drop a digit or N be
+    // pre-scaled — the ranking is unchanged).
+    // Scale: two hash aggregates (unigrams, bigrams) with map-side
+    // partials; the unigram table is vocabulary-sized, so both count
+    // lookups broadcast — the big bigram table never shuffles again. The
+    // 1-row totals cross-join is a broadcast of literals.
+    Q("q_collocations",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(explode(Text.tokens(col("text"))).as("w"))
+        val uni = toks.groupBy("w").agg(count(lit(1)).as("n_w"))
+        val bi = Tables.documents(s, dir)
+          .select(explode(Text.shingles(col("text"), 2)).as("sh"))
+          .select(
+            substring_index(col("sh"), " ", 1).as("w1"),
+            substring_index(col("sh"), " ", -1).as("w2"))
+        val bic = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+        bic.filter(col("n_xy") >= 10)
+          .join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_w1"))), "w1")
+          .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_w2"))), "w2")
+          .crossJoin(broadcast(uni.agg(sum("n_w").as("n_total"))))
+          .crossJoin(broadcast(bic.agg(sum("n_xy").as("m_total"))))
+          .withColumn("lift_ppm", expr(
+            """CAST(CAST(n_xy AS DECIMAL(38,0)) * n_total * n_total * 1000000
+              |  div (CAST(m_total AS DECIMAL(38,0)) * n_w1 * n_w2) AS BIGINT)"""
+              .stripMargin))
+          .select(col("w1"), col("w2"), col("n_xy"), col("n_w1"), col("n_w2"),
+            col("lift_ppm"))
+          .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+          .limit(100)
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+             |uni AS (SELECT w, count(*)::BIGINT AS n_w FROM toks GROUP BY w),
+             |tl AS (SELECT string_split(text, ' ') AS ts FROM documents),
+             |big AS (
+             |  SELECT unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+             |  FROM tl),
+             |bic AS (
+             |  SELECT w1, w2, count(*)::BIGINT AS n_xy FROM big GROUP BY w1, w2),
+             |tot AS (SELECT sum(n_w)::BIGINT AS n_total FROM uni),
+             |m AS (SELECT sum(n_xy)::BIGINT AS m_total FROM bic)
+             |SELECT b.w1, b.w2, b.n_xy, u1.n_w AS n_w1, u2.n_w AS n_w2,
+             |  CAST(b.n_xy::HUGEINT * n_total * n_total * 1000000
+             |       // (m_total::HUGEINT * u1.n_w * u2.n_w) AS BIGINT) AS lift_ppm
+             |FROM bic b
+             |JOIN uni u1 ON b.w1 = u1.w
+             |JOIN uni u2 ON b.w2 = u2.w
+             |CROSS JOIN tot CROSS JOIN m
+             |WHERE b.n_xy >= 10
+             |ORDER BY lift_ppm DESC, b.w1, b.w2 LIMIT 100""".stripMargin))
   )
 }
