@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * All loaders are plain parquet scans — Catalyst pushes filters and column
   * pruning into the scan, so callers should NOT pre-select columns here.
   *
-  * `events.ts` is physically INT64 TIMESTAMP(NANOS), which Spark refuses to
-  * read as a timestamp; we read it as nanosecond longs
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds,
-  * which is exactly what DuckDB (micro-precision timestamps) does on the
-  * same file — required for oracle parity.
+  * `events.ts` has appeared in two physical encodings across driver data
+  * generations: INT64 TIMESTAMP(NANOS) (which Spark refuses to read as a
+  * timestamp — we read it as nanosecond longs via
+  * `spark.sql.legacy.parquet.nanosAsLong` and truncate to microseconds,
+  * matching DuckDB's micro-precision read of the same file) and plain
+  * TIMESTAMP(MICROS) (read as-is). We branch on the decoded Spark type so
+  * either generation loads identically.
   */
 object Tables {
   private def p(spark: SparkSession, dir: String, t: String): DataFrame =
@@ -20,8 +22,16 @@ object Tables {
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    p(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = p(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        // TIMESTAMP(MICROS) decodes as TIMESTAMP_NTZ; cast to session-local
+        // TIMESTAMP (UTC session) so downstream expressions see the same
+        // type either way — value-preserving under a UTC session timezone.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame  = p(spark, dir, "lineitem")

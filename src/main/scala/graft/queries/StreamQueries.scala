@@ -13,15 +13,31 @@ import org.apache.spark.sql.types._
   */
 object StreamQueries {
 
-  /** events.parquet carries TIMESTAMP(NANOS) → stream it as long nanos and
-    * truncate, mirroring graft.Tables.events. */
-  private val rawEventSchema = StructType(Seq(
+  /** events.parquet's `ts` has shipped as both INT64 TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across driver data generations (mirrors
+    * graft.Tables.events). readStream needs the schema up front, so probe
+    * the physical type with a batch schema read (footer-only, no data
+    * scan), then normalize `ts` to session-local TIMESTAMP either way. */
+  private def rawEventSchema(tsType: DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  private def eventStream(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val physical = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = s.readStream.schema(rawEventSchema(physical))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    physical match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** State-store partition count is fixed at stream START from
     * spark.sql.shuffle.partitions; for these registry queries the state is
@@ -40,13 +56,9 @@ object StreamQueries {
     // ---- §7.5: hourly rollups through the real streaming engine ---------
     Q("q_stream_hourly_rollup",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        // FileStreamSource needs a directory: stream the sf dir, glob to
-        // the events file only.
-        val stream = s.readStream.schema(rawEventSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // FileStreamSource needs a directory: eventStream globs the sf dir
+        // to the events file only.
+        val stream = eventStream(s, dir)
         val name = s"rollup_${System.nanoTime()}"
         withStreamPartitions(s) {
           val q = StreamingIngest.hourlyRollups(stream)
@@ -78,11 +90,7 @@ object StreamQueries {
     //      duplicate was removed by the streaming engine. --------------
     Q("q_stream_dedup",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        def src = s.readStream.schema(rawEventSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        def src = eventStream(s, dir)
         val deduped = src.unionByName(src)
           .withWatermark("ts", "2 hours")
           .dropDuplicates("event_id")
@@ -118,11 +126,7 @@ object StreamQueries {
     // batch afterwards — the chained-stateful-op restriction at work.
     Q("q_stream_dedup_watermark",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        def src = s.readStream.schema(rawEventSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        def src = eventStream(s, dir)
         val deduped = src.unionByName(src)
           .withWatermark("ts", "2 hours")
           .dropDuplicatesWithinWatermark("event_id")
@@ -158,14 +162,11 @@ object StreamQueries {
     // the oracle proves the merge loop loses nothing across batches.
     Q("q_stream_foreach_upsert",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val path = s"/tmp/graft_stream_upsert_${math.abs(dir.hashCode)}_" +
           s.sparkContext.applicationId
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val stream = s.readStream.schema(rawEventSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
+        val stream = eventStream(s, dir)
         val q = stream.writeStream.foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
               batchId: Long) =>
@@ -200,8 +201,7 @@ object StreamQueries {
         try q.processAllAvailable() finally q.stop()
         s.read.parquet(path)
           .select(col("user_id"), col("last_event_id"),
-            expr("timestamp_micros(__ts div 1000)").as("last_ts"),
-            col("last_value"))
+            col("__ts").as("last_ts"), col("last_value"))
           .orderBy(col("user_id"))
       },
       Some("""SELECT user_id, event_id AS last_event_id, ts AS last_ts,
@@ -220,11 +220,7 @@ object StreamQueries {
     // just the aggregate. avg is decimal-exact sum / count (order-free).
     Q("q_stream_sliding",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val stream = s.readStream.schema(rawEventSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val stream = eventStream(s, dir)
         val name = s"slide_${System.nanoTime()}"
         withStreamPartitions(s) {
           val q = StreamingIngest.slidingRollups(stream)
@@ -259,11 +255,7 @@ object StreamQueries {
     // the oracle hash-checks the stream-stream matching end to end.
     Q("q_stream_stream_join",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        def src = s.readStream.schema(rawEventSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        def src = eventStream(s, dir)
         val views = src.filter(col("event_type") === "view")
           .select(col("user_id"), col("event_id").as("view_id"),
             col("ts").as("view_ts"))
@@ -305,11 +297,7 @@ object StreamQueries {
     // stream-static path.
     Q("q_stream_enrich",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val stream = s.readStream.schema(rawEventSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val stream = eventStream(s, dir)
         val dim = graft.Tables.customer(s, dir)
           .select(col("c_custkey"), col("c_mktsegment"))
         val name = s"enrich_${System.nanoTime()}"
@@ -346,11 +334,7 @@ object StreamQueries {
     // result is arrival-order independent.
     Q("q_stream_sessions",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val stream = s.readStream.schema(rawEventSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val stream = eventStream(s, dir)
         val name = s"sess_${System.nanoTime()}"
         withStreamPartitions(s) {
           val q = StreamingIngest.sessionRollups(stream)
@@ -396,11 +380,7 @@ object StreamQueries {
     Q("q_stream_transitions",
       (s, dir) => {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val stream = s.readStream.schema(rawEventSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val stream = eventStream(s, dir)
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"))
           .as[StreamingIngest.Event]
@@ -438,12 +418,8 @@ object StreamQueries {
     // the oracle.
     Q("q_stream_running_totals",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         import s.implicits._
-        val stream = s.readStream.schema(rawEventSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val stream = eventStream(s, dir)
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"))
           .as[StreamingIngest.Event]
