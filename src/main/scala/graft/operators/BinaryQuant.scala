@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Binary quantization for embedding search: each vector collapses to one
+  * sign bit per dimension (v > per-dim threshold), packed into a single
+  * 64-bit code. Search becomes `bit_count(code XOR query_code)` — an
+  * integer popcount instead of a float dot product — with an exact-cosine
+  * rerank over the small Hamming-candidate set. The classic two-stage ANN
+  * shape (cf. faiss binary indexes; reference keeps all vectors float-only,
+  * this is the beyond-reference scale path for its KNN surface).
+  *
+  * Scale shape at 100 TB: the fit is one 64-group aggregate; codes are 8
+  * bytes/vector (32× smaller than the float[64] they stand for), packed in
+  * a narrow partition-local scan; the coarse search scans codes only —
+  * payload vectors are touched for the ≤`rerankWidth` candidates per
+  * query. Popcount + XOR stay inside whole-stage codegen.
+  *
+  * Determinism: the threshold is the exact lower median — an ORDER
+  * STATISTIC, picked not computed — so the fitted thresholds carry no
+  * float-arithmetic order dependence and the codes are bit-identical on
+  * any engine/partitioning (the property the DuckDB oracle checks).
+  * Production swaps the exact median for approx_percentile; the contract
+  * (pick a split point, compare, pack) is unchanged.
+  */
+object BinaryQuant {
+
+  /** One row, one `array<float>` column `__thr`: per-dimension lower median
+    * (the ceil(n/2)-th smallest value of that dimension). */
+  def fitThresholds(emb: DataFrame, vecCol: String): DataFrame = {
+    val rnW = Window.partitionBy(col("pos")).orderBy(col("v"))
+    val nW  = Window.partitionBy(col("pos"))
+    emb.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn("__rn", row_number().over(rnW))
+      .withColumn("__n", count(lit(1)).over(nW))
+      .filter(col("__rn") === expr("(__n + 1) div 2"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("__ps"))
+      .select(transform(col("__ps"), x => x.getField("v")).as("__thr"))
+  }
+
+  /** `vecCol` + broadcast thresholds → packed 64-bit sign code.
+    * shiftleft(1L, 63) is Long.MinValue in Spark (Java << semantics); the
+    * DuckDB mirror must special-case bit 63 (its BIGINT << overflows). */
+  def withCode(emb: DataFrame, vecCol: String, thresholds: DataFrame,
+      codeCol: String = "code"): DataFrame =
+    emb.crossJoin(broadcast(thresholds))
+      .withColumn(codeCol, expr(
+        s"""aggregate(
+           |  transform($vecCol, (v, i) ->
+           |    IF(v > element_at(__thr, i + 1), shiftleft(1L, i), 0L)),
+           |  0L, (acc, x) -> acc | x)""".stripMargin))
+      .drop("__thr")
+
+  /** Two-stage search: Hamming top-`rerankWidth` over packed codes, exact
+    * cosine rerank to top-`k`. Queries (small) broadcast with their codes
+    * AND vectors; the corpus side scans codes for the coarse stage and
+    * only candidate rows ever evaluate the float cosine. */
+  def hammingRerankTopK(coded: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, rerankWidth: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col("code").as("__qc"), col(vecCol).as("__qv")))
+    val coarse = coded
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"), col("code"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming", expr("bit_count(code ^ __qc)"))
+    val hamW = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val simW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("neighbor_id"))
+    coarse
+      .withColumn("__hrn", row_number().over(hamW))
+      .filter(col("__hrn") <= rerankWidth)
+      .withColumn("__sim", Knn.cosine(col("__qv"), col("__v")))
+      .withColumn("__rn", row_number().over(simW))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        floor(col("__sim") * 1e6).cast("long").as("sim_ppm"),
+        col("__rn").cast("int").as("rank"))
+  }
+}

@@ -734,8 +734,94 @@ object SimilarityQueries {
              |SELECT query_id, neighbor_id, d2, CAST(rn AS INTEGER) AS rank
              |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
              |               ORDER BY d2, neighbor_id) AS rn FROM pairs) t
-             |WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin))
+             |WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- binary quantization: 64-dim float → one 64-bit sign code --------
+    // Each dimension contributes one bit (v > per-dim lower median — an
+    // order statistic, so the fit carries no float-arithmetic order
+    // dependence and codes are bit-identical across engines). 8 bytes per
+    // vector, 32× smaller than the float payload; the popcount search
+    // below runs on THIS table. DuckDB's BIGINT << overflows on bit 63,
+    // so the mirror special-cases it with the Long.MinValue literal.
+    Q("q_binary_quantize",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val thr = graft.operators.BinaryQuant.fitThresholds(emb, "embedding")
+        graft.operators.BinaryQuant.withCode(emb, "embedding", thr)
+          .select(col("vec_id"), col("code"),
+            expr("bit_count(code)").as("n_bits"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""$binaryCodesCte
+              |SELECT vec_id, code, CAST(bit_count(code) AS INTEGER) AS n_bits
+              |FROM codes ORDER BY vec_id""".stripMargin)),
+
+    // ---- two-stage ANN: Hamming popcount coarse search + cosine rerank ---
+    // The binary-index search shape: scan packed codes with
+    // bit_count(code XOR qcode) (integer ops, whole-stage codegen), keep
+    // the 32 Hamming-nearest per query, then rerank ONLY those by exact
+    // cosine to top-3. At 100 TB the coarse scan touches 8-byte codes —
+    // vectors load for ≤32 candidates/query; both stages are the same
+    // broadcast-queries-scan-corpus plan q_knn_brute proves, minus the
+    // float math on the wide side.
+    Q("q_hamming_rerank",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val thr = graft.operators.BinaryQuant.fitThresholds(emb, "embedding")
+        val coded = graft.operators.BinaryQuant.withCode(emb, "embedding", thr)
+        graft.operators.BinaryQuant.hammingRerankTopK(
+            coded, "vec_id", "embedding",
+            coded.filter(col("vec_id") < 10), k = 3, rerankWidth = 32)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""$binaryCodesCte,
+              |cand AS (
+              |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+              |         CAST(bit_count(xor(q.code, c.code)) AS INTEGER) AS ham
+              |  FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 10),
+              |top AS (SELECT qid, nid, ham,
+              |          row_number() OVER (PARTITION BY qid
+              |                             ORDER BY ham, nid) AS rn
+              |        FROM cand),
+              |rr AS (SELECT t.qid, t.nid, t.ham, $cosSql AS sim
+              |       FROM top t
+              |       JOIN embeddings a ON a.vec_id = t.qid
+              |       JOIN embeddings b ON b.vec_id = t.nid
+              |       WHERE t.rn <= 32),
+              |f AS (SELECT qid, nid, ham, sim,
+              |        row_number() OVER (PARTITION BY qid
+              |                           ORDER BY sim DESC, nid) AS rn2
+              |      FROM rr)
+              |SELECT qid AS query_id, nid AS neighbor_id, ham AS hamming,
+              |       CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm,
+              |       CAST(rn2 AS INTEGER) AS rank
+              |FROM f WHERE rn2 <= 3 ORDER BY query_id, rank""".stripMargin))
   )
+
+  /** DuckDB mirror of BinaryQuant.fitThresholds + withCode: per-dim lower
+    * median thresholds, sign bits packed into a BIGINT (bit 63 via the
+    * Long.MinValue literal — DuckDB's BIGINT << 63 overflows). */
+  private def binaryCodesCte: String =
+    """WITH x AS (
+      |  SELECT u.i AS pos, e.embedding[u.i + 1] AS v
+      |  FROM embeddings e CROSS JOIN (SELECT unnest(range(64)) AS i) u),
+      |r AS (SELECT pos, v,
+      |        row_number() OVER (PARTITION BY pos ORDER BY v) AS rn,
+      |        count(*) OVER (PARTITION BY pos) AS n
+      |      FROM x),
+      |thr AS (SELECT list(v ORDER BY pos) AS t
+      |        FROM r WHERE rn = (n + 1) // 2),
+      |codes AS (
+      |  SELECT e.vec_id, e.label,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(range(64), i ->
+      |        CASE WHEN e.embedding[i + 1] > t[i + 1] THEN
+      |          (CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+      |                ELSE 1::BIGINT << i END)
+      |        ELSE 0::BIGINT END)),
+      |      (a, x) -> a | x) AS code
+      |  FROM embeddings e CROSS JOIN thr)""".stripMargin
 
   /** DuckDB mirror of KMeans.lloyd: `assignRounds`-1 update rounds fully
     * unrolled as CTEs (a<r> = argmin assignment, c<r> = truncating-mean
