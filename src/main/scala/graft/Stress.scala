@@ -198,6 +198,45 @@ object Stress {
         }
         println(f"""{"vectors":$n%d,"encode_s":$tEnc%.1f,"search_s":$tSearch%.1f,"result_rows":$nr%d}""")
 
+      case "binquant" =>
+        // Binary quantization: fit (64-row order-stat aggregate) + pack is
+        // the corpus-wide cost; the coarse search scans 8-byte codes with
+        // an integer popcount and only the Hamming top-32 per query ever
+        // evaluates a float cosine. Timed against brute cosine over the
+        // SAME corpus/queries — the measured gap is the reason the code
+        // table exists.
+        val emb0 = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val big = (0 until copies).map(i =>
+            emb0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+              col("embedding")))
+          .reduce(_ unionByName _).cache()
+        val n = big.count()
+        def time[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime(); val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val (coded, tFit) = time {
+          val thr = operators.BinaryQuant.fitThresholds(big, "embedding")
+          val c = operators.BinaryQuant.withCode(big, "embedding", thr)
+            .localCheckpoint(true)
+          c.count(); c
+        }
+        // 500 queries so distance compute dominates the fixed join/window
+        // overhead; brute runs FIRST so page-cache/JIT warm-up cannot
+        // flatter the popcount path.
+        val queries = coded.filter(col("vec_id") < 500)
+        val (nBrute, tBrute) = time {
+          operators.Knn.bruteTopK(big, big.filter(col("vec_id") < 500),
+            "vec_id", "embedding", k = 10).count()
+        }
+        val (nApprox, tHam) = time {
+          operators.BinaryQuant.hammingRerankTopK(
+            coded, "vec_id", "embedding", queries, k = 10, rerankWidth = 32)
+            .count()
+        }
+        println(f"""{"vectors":$n%d,"fit_pack_s":$tFit%.1f,"hamming_s":$tHam%.1f,"brute_s":$tBrute%.1f,"approx_rows":$nApprox%d,"brute_rows":$nBrute%d}""")
+
       case "contam" =>
         // Corpus side: explode + broadcast join + hash agg — linear in
         // corpus shingles; the eval set stays fixed (benchmarks are small).

@@ -60,19 +60,49 @@ object BinaryQuant {
     * only candidate rows ever evaluate the float cosine. */
   def hammingRerankTopK(coded: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int, rerankWidth: Int): DataFrame = {
-    val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col("code").as("__qc"), col(vecCol).as("__qv")))
-    val coarse = coded
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"), col("code"))
-      .join(q, col("neighbor_id") =!= col("query_id"))
+    // Coarse stage touches NOTHING but (id, code), and never sorts the
+    // query×corpus row set: Hamming is an integer in [0, 64], so the
+    // top-rerankWidth cutoff per query comes from a 65-bucket HISTOGRAM —
+    // a hash aggregate with map-side combine (≤65 rows per query per
+    // partition cross the shuffle) — instead of a row_number window over
+    // every pair. Only rows at-or-under the cutoff (≈rerankWidth + ties)
+    // reach the final tiny sort. Distances compute twice; at 100 TB a
+    // second pass over 8-byte codes is noise next to shuffling the pair
+    // set.
+    val qCodes = broadcast(queries.select(
+      col(idCol).as("query_id"), col("code").as("__qc")))
+    def scored = coded
+      .select(col(idCol).as("neighbor_id"), col("code"))
+      .join(qCodes, col("neighbor_id") =!= col("query_id"))
       .withColumn("hamming", expr("bit_count(code ^ __qc)"))
+    val cumW = Window.partitionBy(col("query_id")).orderBy(col("hamming"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cutoffs = scored
+      .groupBy(col("query_id"), col("hamming")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(cumW))
+      .groupBy(col("query_id"))
+      .agg(coalesce(
+        min(when(col("__cum") >= rerankWidth, col("hamming"))), lit(64))
+        .as("__cut"))
     val hamW = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming"), col("neighbor_id"))
-    val simW = Window.partitionBy(col("query_id"))
-      .orderBy(col("__sim").desc, col("neighbor_id"))
-    coarse
+    val cand = scored
+      .join(broadcast(cutoffs), Seq("query_id"))
+      .filter(col("hamming") <= col("__cut"))
       .withColumn("__hrn", row_number().over(hamW))
       .filter(col("__hrn") <= rerankWidth)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+    // Vectors load only for the ≤rerankWidth×|queries| candidates: the
+    // candidate set broadcasts back against the corpus (no shuffle of the
+    // wide side), query vectors ride a second small broadcast.
+    val qVecs = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val simW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("neighbor_id"))
+    coded
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(qVecs, Seq("query_id"))
       .withColumn("__sim", Knn.cosine(col("__qv"), col("__v")))
       .withColumn("__rn", row_number().over(simW))
       .filter(col("__rn") <= k)
