@@ -33,6 +33,29 @@ object Text {
   /** Codegen-friendly 64-bit hash for the scale path. */
   def fastHash(c: Column): Column = xxhash64(c)
 
+  /** Content-defined chunk spans: `array<struct<s,e>>` of 1-based
+    * inclusive [s, e] char ranges. A boundary falls after position i when
+    * polyHash(chars [i−7, i]) ≡ 0 (mod 16) — boundaries depend only on an
+    * 8-char local window, so an edit shifts just the chunks it touches
+    * and later boundaries RE-SYNC (the dedup-friendly property fixed-width
+    * chunking lacks; cf. FastCDC. Simplified: no min/max chunk clamp).
+    * Pure per-row expression — no shuffle, no UDF. */
+  def cdcSpans(t: Column): Column = {
+    val bounds = when(length(t) >= 8,
+      filter(
+        transform(sequence(lit(8), length(t)),
+          i => when(pmod(polyHash(t.substr(i - lit(7), lit(8))),
+            lit(16)) === 0, i.cast("long"))),
+        x => x.isNotNull))
+      .otherwise(array().cast("array<bigint>"))
+    filter(
+      zip_with(
+        concat(array(lit(1L)), transform(bounds, b => b + 1L)),
+        concat(bounds, array(length(t).cast("long"))),
+        (st, en) => struct(st.as("s"), en.as("e"))),
+      p => p.getField("e") >= p.getField("s"))
+  }
+
   /** Word n-gram shingles ("a b c" 3-grams) as an array column.
     *
     * Built by zipping n shifted slices of the token array rather than

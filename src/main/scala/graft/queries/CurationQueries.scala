@@ -680,6 +680,54 @@ SELECT doc_id, count(*) AS n_tokens,
        CAST(sum(w_ppm) AS BIGINT) // count(*) AS dsir_weight_ppm,
        CAST(sum(w_ppm) AS BIGINT) // count(*) >= 1000000 AS target_like
 FROM tok JOIN wt USING (b)
-GROUP BY doc_id ORDER BY doc_id"""))
+GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- content-defined chunking (CDC) -----------------------------------
+    // Storage-dedup-style chunk boundaries decided by LOCAL content: cut
+    // after position i when poly_hash(last 8 chars) ≡ 0 (mod 16) — so an
+    // insertion shifts only the chunks it touches and boundaries re-sync,
+    // unlike fixed-width chunking where one edit shifts every later chunk
+    // (the property that makes CDC the dedup-friendly chunker; cf.
+    // FastCDC). Simplified: no min/max chunk clamp. Per-row narrow map —
+    // boundaries, substrings, and hashes all compute inside one projection,
+    // zero shuffle before the output explode; chunk hashes then feed the
+    // usual dedup machinery (group-by-digest, never payload).
+    Q("q_cdc_chunks",
+      (s, dir) => {
+        val t = col("text")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), t,
+            posexplode(Text.cdcSpans(t)).as(Seq("chunk_idx", "p")))
+          .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+            col("p.s").as("start_pos"),
+            (col("p.e") - col("p.s") + 1L).as("chunk_len"),
+            Text.polyHash(t.substr(col("p.s").cast("int"),
+              (col("p.e") - col("p.s") + 1L).cast("int"))).as("chunk_hash"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some(s"""WITH b AS (
+  SELECT doc_id, text,
+    list_filter(list_transform(range(8, strlen(text) + 1),
+      i -> CASE WHEN (${Text.polyHashSql(
+        "substring(text, CAST(i AS INT) - 7, 8)")}) % 16 = 0
+                THEN i END),
+      x -> x IS NOT NULL) AS bnds
+  FROM documents),
+c AS (
+  SELECT doc_id, text,
+    list_prepend(1::BIGINT, list_transform(bnds, v -> v + 1)) AS starts,
+    list_append(bnds, strlen(text)::BIGINT) AS ends
+  FROM b),
+u AS (
+  SELECT doc_id, text, starts[v.i + 1] AS s, ends[v.i + 1] AS e
+  FROM c CROSS JOIN LATERAL (SELECT unnest(range(len(starts))) AS i) v
+  WHERE ends[v.i + 1] >= starts[v.i + 1])
+SELECT doc_id,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT)
+    AS chunk_idx,
+  s AS start_pos, e - s + 1 AS chunk_len,
+  (${Text.polyHashSql(
+    "substring(text, CAST(s AS INT), CAST(e - s + 1 AS INT))")}) AS chunk_hash
+FROM u ORDER BY doc_id, chunk_idx"""))
   )
 }

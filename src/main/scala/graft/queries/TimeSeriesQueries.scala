@@ -306,6 +306,49 @@ object TimeSeriesQueries {
              |  CAST(sum(CASE WHEN e.v * p.n > p.sv THEN 1 ELSE 0 END)
              |       AS BIGINT) AS n_above_mean
              |FROM e JOIN p USING (event_type, h)
-             |GROUP BY 1, 2 ORDER BY event_type, h""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY event_type, h""".stripMargin)),
+
+    // ---- OHLC downsampling (per-key hourly bars) --------------------------
+    // The metrics/finance resample shape: per (user, hour) emit open (first
+    // value by time), high, low, close (last value by time), count. The
+    // engine side is ONE hash aggregate — min_by/max_by on (ts, event_id)
+    // are algebraic partials, so no window, no per-key sort, map-side
+    // combine at 100 TB; the window formulation the oracle uses is exactly
+    // what this plan avoids. (ts, event_id) is a total order, so
+    // first/last are deterministic under any arrival order.
+    Q("q_ohlc_downsample",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"),
+            unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ep"),
+            col("ts"), col("event_id"), col("value"))
+        ev.groupBy(col("user_id"), col("hour_ep"))
+          .agg(
+            min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+            count(lit(1)).as("n"))
+          .orderBy(col("user_id"), col("hour_ep"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id,
+             |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+             |      AS hour_ep,
+             |    ts, event_id, value
+             |  FROM events),
+             |r AS (
+             |  SELECT user_id, hour_ep, value,
+             |    row_number() OVER (PARTITION BY user_id, hour_ep
+             |                       ORDER BY ts, event_id) AS rf,
+             |    row_number() OVER (PARTITION BY user_id, hour_ep
+             |                       ORDER BY ts DESC, event_id DESC) AS rl
+             |  FROM e)
+             |SELECT user_id, hour_ep,
+             |  max(CASE WHEN rf = 1 THEN value END) AS open,
+             |  max(value) AS high, min(value) AS low,
+             |  max(CASE WHEN rl = 1 THEN value END) AS close,
+             |  count(*) AS n
+             |FROM r GROUP BY 1, 2 ORDER BY user_id, hour_ep""".stripMargin))
   )
 }
