@@ -85,6 +85,48 @@ class StreamingIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("append-mode windows finalize on watermark advance; late rows drop") {
+    val src = Files.createTempDirectory("wm_src").toString
+    def drop(rows: (Long, String, Long, String, Double)*): Unit =
+      rows.map { case (id, ts, u, t, v) => (id, Timestamp.valueOf(ts), u, t, v) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+
+    // batch 1: two events inside hour 10:00
+    drop((1L, "2024-01-01 10:05:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 10:10:00", 1L, "view", 2.0))
+    val name = "wm_rollup"
+    val q = StreamingIngest.hourlyRollups(
+        StreamingIngest.readEventStream(spark, src))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      def rows() = spark.table(name)
+        .select(col("hour_start").cast("string"), col("n"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+      // watermark (10:10 − 2h) has not passed the window end → no output
+      assert(rows().isEmpty, "open window must not emit in append mode")
+
+      // batch 2: an event at 14:30 pushes the watermark to 12:30 > 11:00,
+      // so the hour-10 window FINALIZES and emits exactly once
+      drop((3L, "2024-01-01 14:30:00", 1L, "view", 4.0))
+      q.processAllAvailable()
+      assert(rows() == Seq(("2024-01-01 10:00:00", 2L, 3.0)))
+
+      // batch 3: a late row back inside hour 10 — below the watermark —
+      // is DROPPED: the finalized window's result never changes
+      drop((4L, "2024-01-01 10:20:00", 1L, "view", 100.0))
+      q.processAllAvailable()
+      assert(rows() == Seq(("2024-01-01 10:00:00", 2L, 3.0)),
+        "late data below the watermark must not re-open the window")
+
+      // the 14:00 window is still open (watermark never passed 15:00)
+      assert(!rows().exists(_._1.startsWith("2024-01-01 14")))
+    } finally q.stop()
+  }
+
   test("session windows split on the 30-minute inactivity gap") {
     val dir = Files.createTempDirectory("stream_sess").toString
     writeBatch(dir)
