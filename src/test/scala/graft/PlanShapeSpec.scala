@@ -217,6 +217,48 @@ class PlanShapeSpec extends AnyFunSuite {
       s"edges⋈dist must be an equi-join:\n$s")
   }
 
+  test("popcount ANN: the coarse Hamming scan never carries the vector " +
+    "payload, and the rerank joins broadcast") {
+    val p = plan("q_hamming_rerank")
+    val s = render(p)
+    // loop joins appear twice legitimately: the condition-free 1-row
+    // thresholds cross join (may carry the vector column it thresholds),
+    // and the CONDITIONED id≠id pair expansions — the latter are the
+    // coarse scans and must move 16-byte code rows, never an array
+    val loops = (p +: p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+      }).flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+          if j.condition.isDefined => j
+    })
+    assert(loops.nonEmpty, s"expected the coarse code-scan loop join:\n$s")
+    loops.foreach { j =>
+      assert(!j.output.exists(_.dataType.typeName.startsWith("array")),
+        s"coarse pair expansion must not materialize vectors:\n$s")
+    }
+    assert(s.contains("BroadcastHashJoin"),
+      s"candidate/vector fetch must be broadcast equi-joins:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("OHLC downsample: one hash-aggregate shuffle, no Window") {
+    val p = plan("q_ohlc_downsample")
+    val s = render(p)
+    assert(!s.contains("Window"),
+      s"min_by/max_by bars must not plan a Window:\n$s")
+    // partial→final agg exchange + the output orderBy range exchange
+    assert(countShuffles(p) <= 2, s"expected ≤2 shuffles:\n$s")
+  }
+
+  test("CDC chunking: boundaries/spans/hashes compute before any exchange") {
+    val p = plan("q_cdc_chunks")
+    // the only exchange is the final orderBy — chunking itself is a
+    // narrow per-row projection + generate
+    assert(countShuffles(p) <= 1,
+      s"CDC chunking must not shuffle before the output sort:\n${render(p)}")
+  }
+
   test("sparse cosine pairs: postings self-join is an equi-join on token") {
     val s = render(plan("q_sparse_cosine_pairs"))
     // the one BroadcastNestedLoopJoin is the intentional 1-row
