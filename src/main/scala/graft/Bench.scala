@@ -30,6 +30,7 @@ object Bench {
     "q_ivf_search",            // similarity search (IVF train/probe/search)
     "q_pq_adc",                // similarity search (quantized codes + ADC)
     "q_ivfpq_search",          // similarity search (IVF lists + residual PQ)
+    "q_hamming_rerank",        // similarity search (binary codes + popcount)
     "q_sessionize",            // gap sessionization window
     "q_doc_quality",           // text analysis
     "q_decontaminate",         // corpus curation (eval-overlap scrub)

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistence for the binary-quantization ANN index — the faiss-style
+  * index lifecycle (build → save → load → search → append) on Spark-native
+  * storage, the similarity-search analog of [[graft.ml.ModelRegistry]]'s
+  * model persistence:
+  *
+  *  - the fitted artifact is the per-dim threshold row (the part that must
+  *    NOT be refit on append — codes are only comparable under one
+  *    threshold vector), stored as a 1-row parquet;
+  *  - codes are the searchable payload (8 B/vector), stored partitioned
+  *    and appendable;
+  *  - `appendBinary` encodes new vectors with the SAVED thresholds — how a
+  *    production index absorbs a new corpus drop without invalidating the
+  *    standing codes.
+  *
+  * Scale note: save/load of the artifact moves one row; the codes table
+  * is 32× smaller than its float source, and append is a narrow encode +
+  * parquet append — no touch of existing index files.
+  */
+object VectorIndex {
+
+  /** Build from raw vectors and persist: fits thresholds, packs codes,
+    * writes `path/thresholds` (1 row) + `path/codes`. */
+  def buildBinary(emb: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val thr = BinaryQuant.fitThresholds(emb, vecCol)
+    thr.write.mode("overwrite").parquet(s"$path/thresholds")
+    BinaryQuant.withCode(emb, vecCol, thr)
+      .select(col(idCol).as("vec_id"), col("code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Encode NEW vectors under the saved thresholds and append their codes
+    * — never refits (refitting would silently shift bit meanings under
+    * every code already in the index). */
+  def appendBinary(emb: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val thr = emb.sparkSession.read.parquet(s"$path/thresholds")
+    BinaryQuant.withCode(emb, vecCol, thr)
+      .select(col(idCol).as("vec_id"), col("code"))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Codes table of a saved index: (vec_id, code). */
+  def loadBinaryCodes(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/codes")
+
+  /** Saved threshold artifact: the 1-row `__thr` frame `withCode` takes. */
+  def loadBinaryThresholds(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/thresholds")
+
+  /** Search a SAVED index: coarse Hamming over the loaded codes, rerank
+    * against the vector source (joined by id — only candidates load
+    * vectors). Result is identical to searching the in-memory build. */
+  def searchBinary(spark: SparkSession, path: String, vectors: DataFrame,
+      idCol: String, vecCol: String, queryIds: DataFrame => DataFrame,
+      k: Int, rerankWidth: Int): DataFrame = {
+    val src = vectors.select(col(idCol).as("vec_id"), col(vecCol))
+    val coded = loadBinaryCodes(spark, path).join(src, "vec_id")
+    BinaryQuant.hammingRerankTopK(coded, "vec_id", vecCol,
+      queryIds(coded), k, rerankWidth)
+  }
+}

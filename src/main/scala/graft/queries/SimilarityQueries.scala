@@ -774,30 +774,57 @@ object SimilarityQueries {
             coded.filter(col("vec_id") < 10), k = 3, rerankWidth = 32)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(s"""$binaryCodesCte,
-              |cand AS (
-              |  SELECT q.vec_id AS qid, c.vec_id AS nid,
-              |         CAST(bit_count(xor(q.code, c.code)) AS INTEGER) AS ham
-              |  FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
-              |  WHERE q.vec_id < 10),
-              |top AS (SELECT qid, nid, ham,
-              |          row_number() OVER (PARTITION BY qid
-              |                             ORDER BY ham, nid) AS rn
-              |        FROM cand),
-              |rr AS (SELECT t.qid, t.nid, t.ham, $cosSql AS sim
-              |       FROM top t
-              |       JOIN embeddings a ON a.vec_id = t.qid
-              |       JOIN embeddings b ON b.vec_id = t.nid
-              |       WHERE t.rn <= 32),
-              |f AS (SELECT qid, nid, ham, sim,
-              |        row_number() OVER (PARTITION BY qid
-              |                           ORDER BY sim DESC, nid) AS rn2
-              |      FROM rr)
-              |SELECT qid AS query_id, nid AS neighbor_id, ham AS hamming,
-              |       CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm,
-              |       CAST(rn2 AS INTEGER) AS rank
-              |FROM f WHERE rn2 <= 3 ORDER BY query_id, rank""".stripMargin))
+      Some(hammingRerankOracle)),
+
+    // ---- ANN index persistence: build → save → load → search -------------
+    // The faiss-style index lifecycle on Spark-native storage
+    // (operators.VectorIndex): the fitted threshold row and the 8-byte
+    // codes persist as parquet; the search runs over the LOADED index with
+    // vectors joined back by id for the rerank only. The oracle is
+    // q_hamming_rerank's, verbatim — a hash match proves the round-trip
+    // loses nothing. (ModelRegistry is the ML-artifact analog; this is
+    // the similarity-search one.)
+    Q("q_index_persist",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_vindex").toString
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.VectorIndex.buildBinary(emb, "vec_id", "embedding", path)
+        graft.operators.VectorIndex.searchBinary(s, path, emb,
+            "vec_id", "embedding", _.filter(col("vec_id") < 10),
+            k = 3, rerankWidth = 32)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(hammingRerankOracle))
   )
+
+  /** DuckDB mirror of BinaryQuant.hammingRerankTopK over the codes CTE —
+    * shared verbatim by q_hamming_rerank and q_index_persist (their equal
+    * hashes are the persistence-losslessness proof). */
+  private def hammingRerankOracle: String =
+    s"""$binaryCodesCte,
+       |cand AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |         CAST(bit_count(xor(q.code, c.code)) AS INTEGER) AS ham
+       |  FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |top AS (SELECT qid, nid, ham,
+       |          row_number() OVER (PARTITION BY qid
+       |                             ORDER BY ham, nid) AS rn
+       |        FROM cand),
+       |rr AS (SELECT t.qid, t.nid, t.ham, $cosSql AS sim
+       |       FROM top t
+       |       JOIN embeddings a ON a.vec_id = t.qid
+       |       JOIN embeddings b ON b.vec_id = t.nid
+       |       WHERE t.rn <= 32),
+       |f AS (SELECT qid, nid, ham, sim,
+       |        row_number() OVER (PARTITION BY qid
+       |                           ORDER BY sim DESC, nid) AS rn2
+       |      FROM rr)
+       |SELECT qid AS query_id, nid AS neighbor_id, ham AS hamming,
+       |       CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm,
+       |       CAST(rn2 AS INTEGER) AS rank
+       |FROM f WHERE rn2 <= 3 ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB mirror of BinaryQuant.fitThresholds + withCode: per-dim lower
     * median thresholds, sign bits packed into a BIGINT (bit 63 via the
