@@ -728,6 +728,45 @@ SELECT doc_id,
   s AS start_pos, e - s + 1 AS chunk_len,
   (${Text.polyHashSql(
     "substring(text, CAST(s AS INT), CAST(e - s + 1 AS INT))")}) AS chunk_hash
-FROM u ORDER BY doc_id, chunk_idx"""))
+FROM u ORDER BY doc_id, chunk_idx""")),
+
+    // ---- multi-epoch deterministic shuffle --------------------------------
+    // Each training epoch re-shuffles the corpus under a seeded hash
+    // permutation key — reproducible across engines, reruns and cluster
+    // sizes (no RNG state), different per epoch, and appendable (a new
+    // doc's position never moves existing keys). The query emits each
+    // epoch's order HEAD (top-20 by key) — per-epoch bounded top-k, not a
+    // global sort; at 100 TB the full epoch order is realized by
+    // sort-on-write with the same key, positions never materialize.
+    Q("q_epoch_shuffle",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("epoch"))
+          .orderBy(col("key"), col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("epoch"))
+          .withColumn("key",
+            pmod((col("doc_id") + col("epoch") * 1000003L) * 2654435761L,
+              lit(1000000007L)))
+          .withColumn("pos", row_number().over(w))
+          .filter(col("pos") <= 20)
+          .select(col("epoch"), col("pos"), col("doc_id"), col("key"))
+          .orderBy(col("epoch"), col("pos"))
+      },
+      Some("""WITH e AS (
+             |  SELECT doc_id, CAST(u.e AS INTEGER) AS epoch
+             |  FROM documents
+             |  CROSS JOIN (SELECT unnest(range(3)) AS e) u),
+             |k AS (
+             |  SELECT doc_id, epoch,
+             |    ((doc_id + epoch * 1000003) * 2654435761) % 1000000007 AS key
+             |  FROM e),
+             |r AS (
+             |  SELECT doc_id, epoch, key,
+             |    row_number() OVER (PARTITION BY epoch
+             |                       ORDER BY key, doc_id) AS pos
+             |  FROM k)
+             |SELECT epoch, CAST(pos AS INTEGER) AS pos, doc_id, key
+             |FROM r WHERE pos <= 20 ORDER BY epoch, pos""".stripMargin))
   )
 }
