@@ -216,8 +216,13 @@ object Stress {
           val t0 = System.nanoTime(); val r = f
           (r, (System.nanoTime() - t0) / 1e9)
         }
+        // exact order-stat fit (oracle parity) vs the sketch fit the scale
+        // path uses — same downstream plan, different fit aggregate
+        val (_, tFitExact) = time {
+          operators.BinaryQuant.fitThresholds(big, "embedding").count()
+        }
         val (coded, tFit) = time {
-          val thr = operators.BinaryQuant.fitThresholds(big, "embedding")
+          val thr = operators.BinaryQuant.fitThresholdsApprox(big, "embedding")
           val c = operators.BinaryQuant.withCode(big, "embedding", thr)
             .localCheckpoint(true)
           c.count(); c
@@ -235,7 +240,7 @@ object Stress {
             coded, "vec_id", "embedding", queries, k = 10, rerankWidth = 32)
             .count()
         }
-        println(f"""{"vectors":$n%d,"fit_pack_s":$tFit%.1f,"hamming_s":$tHam%.1f,"brute_s":$tBrute%.1f,"approx_rows":$nApprox%d,"brute_rows":$nBrute%d}""")
+        println(f"""{"vectors":$n%d,"fit_exact_s":$tFitExact%.1f,"fit_sketch_pack_s":$tFit%.1f,"hamming_s":$tHam%.1f,"brute_s":$tBrute%.1f,"approx_rows":$nApprox%d,"brute_rows":$nBrute%d}""")
 
       case "contam" =>
         // Corpus side: explode + broadcast join + hash agg — linear in

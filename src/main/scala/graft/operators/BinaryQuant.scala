@@ -28,7 +28,9 @@ import org.apache.spark.sql.functions._
 object BinaryQuant {
 
   /** One row, one `array<float>` column `__thr`: per-dimension lower median
-    * (the ceil(n/2)-th smallest value of that dimension). */
+    * (the ceil(n/2)-th smallest value of that dimension). Exact order
+    * statistic — sorts each dimension's N values (the oracle-parity fit;
+    * at corpus scale use [[fitThresholdsApprox]]). */
   def fitThresholds(emb: DataFrame, vecCol: String): DataFrame = {
     val rnW = Window.partitionBy(col("pos")).orderBy(col("v"))
     val nW  = Window.partitionBy(col("pos"))
@@ -40,6 +42,24 @@ object BinaryQuant {
       .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("__ps"))
       .select(transform(col("__ps"), x => x.getField("v")).as("__thr"))
   }
+
+  /** Scale-path fit: per-dim approximate median via `approx_percentile`
+    * (mergeable sketch — ONE map-side-combinable hash aggregate, no
+    * per-dimension sort). Accuracy 100 on purpose: the threshold only
+    * needs to split the mass roughly in half for balanced codes, and the
+    * sketch's cost is superlinear in accuracy (measured 1.8 s at 100 vs
+    * 68 s at 1000 on 400k×64) — but codes are only comparable under ONE
+    * fit, so an index must persist whichever thresholds built it
+    * (VectorIndex does). */
+  def fitThresholdsApprox(emb: DataFrame, vecCol: String,
+      accuracy: Int = 100): DataFrame =
+    emb.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(expr(s"approx_percentile(v, 0.5D, $accuracy)").as("v"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("__ps"))
+      .select(transform(col("__ps"),
+        x => x.getField("v").cast("float")).as("__thr"))
 
   /** `vecCol` + broadcast thresholds → packed 64-bit sign code.
     * shiftleft(1L, 63) is Long.MinValue in Spark (Java << semantics); the

@@ -68,6 +68,19 @@ class BinaryQuantSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("sim_ppm") > 0L))
   }
 
+  test("sketch fit yields balanced codes like the exact fit") {
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def meanBits(thr: org.apache.spark.sql.DataFrame): Double =
+      BinaryQuant.withCode(emb, "embedding", thr)
+        .agg(avg(expr("bit_count(code)"))).collect()(0).getDouble(0)
+    val exact = meanBits(BinaryQuant.fitThresholds(emb, "embedding"))
+    val approx = meanBits(BinaryQuant.fitThresholdsApprox(emb, "embedding"))
+    // a median threshold splits every dim ~50/50 → ~32 of 64 bits set
+    assert(exact > 24 && exact < 40, s"exact fit unbalanced: $exact")
+    assert(math.abs(approx - exact) < 4,
+      s"sketch fit drifted from exact: $approx vs $exact")
+  }
+
   test("Hamming coarse recall vs brute cosine on the sf0.001 embeddings") {
     val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val thr = BinaryQuant.fitThresholds(emb, "embedding")
