@@ -11,8 +11,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("query names are unique — nothing is shadowed in the registry Map") {
-    val names = graft.queries.CoreQueries.all.map(_.name) ++
-      SparkEntry.queries.keys.toSeq
     // SparkEntry.queries is already the Map; recover the raw count from
     // the per-module seqs to detect collapses
     val modules = Seq(
