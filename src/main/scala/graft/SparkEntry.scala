@@ -9,7 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private lazy val registry: Seq[Q] =
+  /** Raw pre-Map registry — package-visible so RegistrySpec can detect
+    * name collisions the Map construction would silently collapse. */
+  private[graft] lazy val registry: Seq[Q] =
     graft.queries.CoreQueries.all ++
       graft.queries.JoinQueries.all ++
       graft.queries.TextQueries.all ++

@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   *                           copies×1M left + right rows (sfDir unused)
   *   mode "pq":              PQ encode + 100-query ADC search over N×
   *                           embeddings
+  *   mode "binquant":        binary-quantization ANN over N× embeddings —
+  *                           exact vs sketch threshold fit, popcount
+  *                           Hamming+rerank search timed against brute
+  *                           cosine on the same corpus/queries
   *   mode "contam":          decontamination (shingle-hash overlap vs a
   *                           broadcast eval set) over N× documents
   *   mode "substr":          exact-substring span accounting over N×

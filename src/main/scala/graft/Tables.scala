@@ -22,17 +22,21 @@ object Tables {
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = p(spark, dir, "events")
+    normalizeEventTs(p(spark, dir, "events"))
+  }
+
+  /** Normalize a raw events `ts` (either physical generation — long nanos
+    * read under nanosAsLong, or TIMESTAMP(MICROS) decoded as
+    * TIMESTAMP_NTZ) to session-local TIMESTAMP. NTZ→LTZ is
+    * value-preserving under the UTC session timezone; the single branch
+    * here is shared by the batch loader and the streaming source
+    * (StreamQueries) so a third encoding generation is a one-place fix. */
+  private[graft] def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ =>
-        // TIMESTAMP(MICROS) decodes as TIMESTAMP_NTZ; cast to session-local
-        // TIMESTAMP (UTC session) so downstream expressions see the same
-        // type either way — value-preserving under a UTC session timezone.
-        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
     }
-  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame  = p(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = p(spark, dir, "orders")

@@ -52,27 +52,37 @@ object Verify {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
+    // Pre-delete this run's output dirs: a query that fails (or never
+    // runs before the timeout) must leave a MISSING dir — which the
+    // comparator reports — never a stale previous-run result it would
+    // silently re-compare as green.
+    names.foreach { name =>
+      val d = new java.io.File(s"$outDir/$name")
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
     val pool = Executors.newFixedThreadPool(par)
     val t0 = System.nanoTime()
     names.foreach { name =>
       pool.submit(new Runnable {
-        def run(): Unit = {
+        def run(): Unit = try {
           val session = spark.newSession()
-          try {
-            SparkEntry.queries(name)(session, sfDir)
-              .coalesce(1).write.mode("overwrite")
-              .parquet(s"$outDir/$name")
-            val dt = (System.nanoTime() - t0) / 1e9
-            System.err.println(f"[verify] $name done at $dt%.1f s")
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          }
+          SparkEntry.queries(name)(session, sfDir)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[verify] $name done at $dt%.1f s")
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       })
     }
     pool.shutdown()
-    pool.awaitTermination(4, TimeUnit.HOURS)
+    if (!pool.awaitTermination(4, TimeUnit.HOURS))
+      System.err.println(
+        "[verify] TIMEOUT: worker pool did not drain in 4h — dump truncated")
     spark.stop()
   }
 }

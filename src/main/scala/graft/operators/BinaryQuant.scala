@@ -63,15 +63,20 @@ object BinaryQuant {
 
   /** `vecCol` + broadcast thresholds → packed 64-bit sign code.
     * shiftleft(1L, 63) is Long.MinValue in Spark (Java << semantics); the
-    * DuckDB mirror must special-case bit 63 (its BIGINT << overflows). */
+    * DuckDB mirror must special-case bit 63 (its BIGINT << overflows).
+    * Dimensions beyond 64 would silently ALIAS bits (Java shifts wrap the
+    * amount mod 64), so over-wide vectors fail loudly instead. */
   def withCode(emb: DataFrame, vecCol: String, thresholds: DataFrame,
       codeCol: String = "code"): DataFrame =
     emb.crossJoin(broadcast(thresholds))
       .withColumn(codeCol, expr(
-        s"""aggregate(
-           |  transform($vecCol, (v, i) ->
-           |    IF(v > element_at(__thr, i + 1), shiftleft(1L, i), 0L)),
-           |  0L, (acc, x) -> acc | x)""".stripMargin))
+        s"""IF(size($vecCol) > 64,
+           |  CAST(raise_error(
+           |    'BinaryQuant packs at most 64 dims into one code') AS BIGINT),
+           |  aggregate(
+           |    transform($vecCol, (v, i) ->
+           |      IF(v > element_at(__thr, i + 1), shiftleft(1L, i), 0L)),
+           |    0L, (acc, x) -> acc | x))""".stripMargin))
       .drop("__thr")
 
   /** Two-stage search: Hamming top-`rerankWidth` over packed codes, exact

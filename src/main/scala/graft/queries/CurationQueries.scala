@@ -707,7 +707,7 @@ GROUP BY doc_id ORDER BY doc_id""")),
       },
       Some(s"""WITH b AS (
   SELECT doc_id, text,
-    list_filter(list_transform(range(8, strlen(text) + 1),
+    list_filter(list_transform(range(8, length(text) + 1),
       i -> CASE WHEN (${Text.polyHashSql(
         "substring(text, CAST(i AS INT) - 7, 8)")}) % 16 = 0
                 THEN i END),
@@ -716,7 +716,7 @@ GROUP BY doc_id ORDER BY doc_id""")),
 c AS (
   SELECT doc_id, text,
     list_prepend(1::BIGINT, list_transform(bnds, v -> v + 1)) AS starts,
-    list_append(bnds, strlen(text)::BIGINT) AS ends
+    list_append(bnds, length(text)::BIGINT) AS ends
   FROM b),
 u AS (
   SELECT doc_id, text, starts[v.i + 1] AS s, ends[v.i + 1] AS e

@@ -30,13 +30,10 @@ object StreamQueries {
       dir: String): org.apache.spark.sql.DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val physical = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
-    val raw = s.readStream.schema(rawEventSchema(physical))
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    physical match {
-      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
-    }
+    graft.Tables.normalizeEventTs(
+      s.readStream.schema(rawEventSchema(physical))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** State-store partition count is fixed at stream START from

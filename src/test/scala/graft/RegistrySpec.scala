@@ -11,20 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("query names are unique — nothing is shadowed in the registry Map") {
-    // SparkEntry.queries is already the Map; recover the raw count from
-    // the per-module seqs to detect collapses
-    val modules = Seq(
-      graft.queries.CoreQueries.all, graft.queries.JoinQueries.all,
-      graft.queries.TextQueries.all, graft.queries.DedupQueries.all,
-      graft.queries.SimilarityQueries.all, graft.queries.MLQueries.all,
-      graft.queries.StreamQueries.all, graft.queries.AdvancedQueries.all,
-      graft.queries.MiscQueries.all, graft.queries.WindowQueries.all,
-      graft.queries.StarJoinQueries.all, graft.queries.FunnelQueries.all,
-      graft.queries.TimeSeriesQueries.all, graft.queries.CurationQueries.all,
-      graft.queries.DataOpsQueries.all, graft.queries.PQQueries.all,
-      graft.queries.SearchQueries.all, graft.queries.GraphQueries.all,
-      graft.queries.EvalQueries.all)
-    val raw = modules.flatten.map(_.name)
+    val raw = SparkEntry.registry.map(_.name)
     val dupes = raw.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
     assert(dupes.isEmpty, s"duplicate query names shadow entries: $dupes")
     assert(SparkEntry.queries.size == raw.size)
