@@ -244,7 +244,14 @@ object Stress {
             coded, "vec_id", "embedding", queries, k = 10, rerankWidth = 32)
             .count()
         }
-        println(f"""{"vectors":$n%d,"fit_exact_s":$tFitExact%.1f,"fit_sketch_pack_s":$tFit%.1f,"hamming_s":$tHam%.1f,"brute_s":$tBrute%.1f,"approx_rows":$nApprox%d,"brute_rows":$nBrute%d}""")
+        // single-pass partition-local coarse (no pair materialization) —
+        // the scale path; must return the same row count
+        val (nPart, tPart) = time {
+          operators.BinaryQuant.hammingRerankTopKPartitioned(
+            coded, "vec_id", "embedding", queries, k = 10, rerankWidth = 32)
+            .count()
+        }
+        println(f"""{"vectors":$n%d,"fit_exact_s":$tFitExact%.1f,"fit_sketch_pack_s":$tFit%.1f,"hamming_s":$tHam%.1f,"hamming_1pass_s":$tPart%.1f,"brute_s":$tBrute%.1f,"approx_rows":$nApprox%d,"onepass_rows":$nPart%d,"brute_rows":$nBrute%d}""")
 
       case "contam" =>
         // Corpus side: explode + broadcast join + hash agg — linear in

@@ -79,6 +79,72 @@ object BinaryQuant {
            |    0L, (acc, x) -> acc | x))""".stripMargin))
       .drop("__thr")
 
+  /** Coarse Hamming top-`r` in ONE corpus pass with NO pair
+    * materialization: each partition keeps a bounded per-query candidate
+    * list (worst-first replacement under the (hamming, id) order) over a
+    * tight popcount loop, emitting ≤ queries×r rows per partition; a tiny
+    * global window then merges partition winners. The declarative
+    * pair-join form ([[hammingRerankTopK]]'s coarse stage) materializes
+    * |corpus|·|queries| joined rows — measured to bound the whole search
+    * at 1M×500 (Spark's per-joined-row cost dwarfs a popcount) — so this
+    * is the scale path, spec-proven equal to the declarative form.
+    * mapPartitions is justified the same way IsolationForest's scorer is:
+    * per-partition bounded state that no stateless Expression can hold. */
+  def coarseHammingTopR(coded: DataFrame, idCol: String,
+      queries: Array[(Long, Long)], r: Int): DataFrame = {
+    val spark = coded.sparkSession
+    import spark.implicits._
+    val q = queries.sortBy(_._1)
+    val cand = coded
+      .select(col(idCol).cast("long"), col("code").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val nq = q.length
+        // per query: parallel arrays of the r best (hamming, id), kept
+        // sorted worst-first at position 0 for O(1) replacement checks
+        val hams = Array.fill(nq)(Array.fill(r)(Int.MaxValue))
+        val ids  = Array.fill(nq)(Array.fill(r)(Long.MaxValue))
+        while (it.hasNext) {
+          val (id, code) = it.next()
+          var i = 0
+          while (i < nq) {
+            val (qid, qcode) = q(i)
+            if (id != qid) {
+              val h = java.lang.Long.bitCount(code ^ qcode)
+              val hs = hams(i); val is = ids(i)
+              // replace the current worst if strictly better under (h, id)
+              if (h < hs(0) || (h == hs(0) && id < is(0))) {
+                hs(0) = h; is(0) = id
+                // restore worst-first: bubble the new entry down
+                var j = 0
+                while (j + 1 < r &&
+                    (hs(j) < hs(j + 1) ||
+                      (hs(j) == hs(j + 1) && is(j) < is(j + 1)))) {
+                  val th = hs(j); hs(j) = hs(j + 1); hs(j + 1) = th
+                  val ti = is(j); is(j) = is(j + 1); is(j + 1) = ti
+                  j += 1
+                }
+              }
+            }
+            i += 1
+          }
+        }
+        q.indices.iterator.flatMap { i =>
+          val (qid, _) = q(i)
+          hams(i).indices.collect {
+            case j if hams(i)(j) != Int.MaxValue =>
+              (qid, ids(i)(j), hams(i)(j))
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "hamming")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= r)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+  }
+
   /** Two-stage search: Hamming top-`rerankWidth` over packed codes, exact
     * cosine rerank to top-`k`. Queries (small) broadcast with their codes
     * AND vectors; the corpus side scans codes for the coarse stage and
@@ -117,9 +183,29 @@ object BinaryQuant {
       .withColumn("__hrn", row_number().over(hamW))
       .filter(col("__hrn") <= rerankWidth)
       .select(col("query_id"), col("neighbor_id"), col("hamming"))
-    // Vectors load only for the ≤rerankWidth×|queries| candidates: the
-    // candidate set broadcasts back against the corpus (no shuffle of the
-    // wide side), query vectors ride a second small broadcast.
+    rerankCandidates(coded, idCol, vecCol, queries, cand, k)
+  }
+
+  /** [[hammingRerankTopK]] with the coarse stage swapped for the
+    * single-pass [[coarseHammingTopR]] — identical results (spec-proven),
+    * no pair materialization. Query codes collect to the driver: queries
+    * are a designed-small broadcast set by contract. */
+  def hammingRerankTopKPartitioned(coded: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, k: Int,
+      rerankWidth: Int): DataFrame = {
+    val qArr = queries.select(col(idCol).cast("long"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cand = coarseHammingTopR(coded, idCol, qArr, rerankWidth)
+    rerankCandidates(coded, idCol, vecCol, queries, cand, k)
+  }
+
+  /** Exact-cosine rerank over a coarse candidate set: vectors load only
+    * for the ≤rerankWidth×|queries| candidates — the candidate set
+    * broadcasts back against the corpus (no shuffle of the wide side),
+    * query vectors ride a second small broadcast. */
+  private def rerankCandidates(coded: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, cand: DataFrame,
+      k: Int): DataFrame = {
     val qVecs = broadcast(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("__qv")))
     val simW = Window.partitionBy(col("query_id"))

@@ -81,6 +81,19 @@ class BinaryQuantSpec extends AnyFunSuite {
       s"sketch fit drifted from exact: $approx vs $exact")
   }
 
+  test("one-pass partitioned search equals the declarative pair-join form") {
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .repartition(7) // uneven partitions: the per-partition heaps must merge
+    val thr = BinaryQuant.fitThresholds(emb, "embedding")
+    val coded = BinaryQuant.withCode(emb, "embedding", thr)
+    val queries = coded.filter(col("vec_id") < 25)
+    val declarative = BinaryQuant.hammingRerankTopK(
+      coded, "vec_id", "embedding", queries, k = 4, rerankWidth = 16)
+    val onePass = BinaryQuant.hammingRerankTopKPartitioned(
+      coded, "vec_id", "embedding", queries, k = 4, rerankWidth = 16)
+    assert(onePass.collect().toSet == declarative.collect().toSet)
+  }
+
   test("Hamming coarse recall vs brute cosine on the sf0.001 embeddings") {
     val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val thr = BinaryQuant.fitThresholds(emb, "embedding")
