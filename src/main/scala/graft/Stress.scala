@@ -239,6 +239,11 @@ object Stress {
           operators.Knn.bruteTopK(big, big.filter(col("vec_id") < 500),
             "vec_id", "embedding", k = 10).count()
         }
+        val (nBruteP, tBruteP) = time {
+          operators.Knn.bruteTopKPartitioned(big,
+            big.filter(col("vec_id") < 500), "vec_id", "embedding", k = 10)
+            .count()
+        }
         val (nApprox, tHam) = time {
           operators.BinaryQuant.hammingRerankTopK(
             coded, "vec_id", "embedding", queries, k = 10, rerankWidth = 32)
@@ -251,7 +256,7 @@ object Stress {
             coded, "vec_id", "embedding", queries, k = 10, rerankWidth = 32)
             .count()
         }
-        println(f"""{"vectors":$n%d,"fit_exact_s":$tFitExact%.1f,"fit_sketch_pack_s":$tFit%.1f,"hamming_s":$tHam%.1f,"hamming_1pass_s":$tPart%.1f,"brute_s":$tBrute%.1f,"approx_rows":$nApprox%d,"onepass_rows":$nPart%d,"brute_rows":$nBrute%d}""")
+        println(f"""{"vectors":$n%d,"fit_exact_s":$tFitExact%.1f,"fit_sketch_pack_s":$tFit%.1f,"hamming_s":$tHam%.1f,"hamming_1pass_s":$tPart%.1f,"brute_s":$tBrute%.1f,"brute_1pass_s":$tBruteP%.1f,"approx_rows":$nApprox%d,"onepass_rows":$nPart%d,"brute_rows":$nBrute%d,"brute_1pass_rows":$nBruteP%d}""")
 
       case "contam" =>
         // Corpus side: explode + broadcast join + hash agg — linear in

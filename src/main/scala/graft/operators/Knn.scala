@@ -71,6 +71,83 @@ object Knn {
         col("__rn").cast("int").as("rank"))
   }
 
+  /** [[bruteTopK]] with NO pair materialization: one mapPartitions pass
+    * holding bounded per-query top-k lists over a tight JVM cosine loop
+    * (the exact [[graft.functions.CosineSimExpr]] fold — sequential
+    * double accumulation, `dot / (sqrt(na)·sqrt(nb))` — so similarities
+    * are bit-identical to the declarative form), emitting ≤ queries×k
+    * rows per partition; a tiny global window merges partition winners.
+    * The declarative join form materializes |corpus|·|queries| rows and
+    * Spark's per-joined-row cost dominates at scale (measured on the
+    * binary-ANN coarse stage, same shape). Spec-proven equal on real
+    * data; one honest divergence: zero-norm vectors (NaN cosine) are
+    * dropped here, while the window form ranks NaN first under DESC.
+    * Query codes collect to the driver: queries are a designed-small
+    * broadcast set by contract. */
+  def bruteTopKPartitioned(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val cand = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val nq = q.length
+        val sims = Array.fill(nq)(Array.fill(k)(Double.NegativeInfinity))
+        val ids  = Array.fill(nq)(Array.fill(k)(Long.MaxValue))
+        while (it.hasNext) {
+          val (id, v) = it.next()
+          var i = 0
+          while (i < nq) {
+            val (qid, qv) = q(i)
+            if (id != qid) {
+              var dot = 0.0; var na = 0.0; var nb = 0.0
+              var j = 0
+              while (j < qv.length) {
+                val x = qv(j).toDouble; val y = v(j).toDouble
+                dot += x * y; na += x * x; nb += y * y
+                j += 1
+              }
+              val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+              val ss = sims(i); val is = ids(i)
+              // replace the worst (index 0) if better under (sim desc, id)
+              if (sim > ss(0) || (sim == ss(0) && id < is(0))) {
+                ss(0) = sim; is(0) = id
+                var b = 0
+                while (b + 1 < k &&
+                    (ss(b) > ss(b + 1) ||
+                      (ss(b) == ss(b + 1) && is(b) < is(b + 1)))) {
+                  val ts = ss(b); ss(b) = ss(b + 1); ss(b + 1) = ts
+                  val ti = is(b); is(b) = is(b + 1); is(b + 1) = ti
+                  b += 1
+                }
+              }
+            }
+            i += 1
+          }
+        }
+        q.indices.iterator.flatMap { i =>
+          val (qid, _) = q(i)
+          sims(i).indices.collect {
+            case j if sims(i)(j) != Double.NegativeInfinity =>
+              (qid, ids(i)(j), sims(i)(j))
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "__sim")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("neighbor_id"))
+    cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        floor(col("__sim") * 1e6).cast("long").as("sim_ppm"),
+        col("__rn").cast("int").as("rank"))
+  }
+
   /** Random-hyperplane LSH bucketing: `planes` sign bits of dot products
     * with deterministic pseudo-random hyperplanes (seeded arithmetic, no
     * RNG state — replayable across runs and engines). Vectors whose sign

@@ -94,6 +94,15 @@ class DedupKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("one-pass brute top-k equals the declarative join form") {
+    val emb = Tables.embeddings(spark, sf).repartition(5)
+    val queries = emb.filter(col("vec_id") < 20)
+    val declarative = Knn.bruteTopK(emb, queries, "vec_id", "embedding", k = 5)
+    val onePass = Knn.bruteTopKPartitioned(
+      emb, queries, "vec_id", "embedding", k = 5)
+    assert(onePass.collect().toSet == declarative.collect().toSet)
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)))
