@@ -246,6 +246,65 @@ object EvalQueries {
              |       CAST((2 * sum(rn * cents) - (count(*) + 1) * sum(cents))
              |            * 1000000 // (count(*) * sum(cents)) AS BIGINT)
              |         AS gini_ppm
-             |FROM k""".stripMargin))
+             |FROM k""".stripMargin)),
+
+    // ---- Poisson bootstrap confidence intervals ---------------------------
+    // Resampling-based uncertainty for a corpus statistic (here the mean
+    // event value), the eval-pipeline staple — deterministically: each
+    // row's multiplicity in replicate r is Poisson(1) drawn by inverting
+    // the CDF at a seeded hash uniform (fixed ppm thresholds e⁻¹·Σ1/k! as
+    // shared literals, like the sign-LSH hyperplanes), so replicates are
+    // reproducible across engines/partitionings/reruns — no RNG state.
+    // Scale: corpus×R rows feed ONE map-side-combinable aggregate per
+    // replicate (R tiny); nothing is ever collected or re-scanned per
+    // replicate. The replicate-mean table IS the CI: downstream takes
+    // percentiles of 20 numbers.
+    Q("q_bootstrap_ci",
+      (s, dir) => {
+        val reps = 20
+        val u = pmod(
+          (col("event_id") + col("rep") * lit(1000003L)) * lit(2654435761L),
+          lit(1000000007L)) % lit(1000000L)
+        // Poisson(1) inverse CDF, cumulative ppm: P(X<=k), capped at 5
+        val cnt = when(col("__u") < 367879L, 0L)
+          .when(col("__u") < 735759L, 1L)
+          .when(col("__u") < 919699L, 2L)
+          .when(col("__u") < 981012L, 3L)
+          .when(col("__u") < 996340L, 4L)
+          .otherwise(5L)
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            floor(col("value") * 1e6).cast("long").as("v_ppm"),
+            explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+          .withColumn("__u", u)
+          .withColumn("__cnt", cnt)
+          .groupBy(col("rep"))
+          .agg(sum(col("__cnt")).as("n_eff"),
+            sum(col("__cnt") * col("v_ppm")).as("__sv"))
+          .select(col("rep"), col("n_eff"),
+            expr("__sv div n_eff").as("mean_v_ppm"))
+          .orderBy(col("rep"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id,
+             |         CAST(floor(value * 1e6) AS BIGINT) AS v_ppm,
+             |         CAST(u.r AS INTEGER) AS rep
+             |  FROM events
+             |  CROSS JOIN (SELECT unnest(range(20)) AS r) u),
+             |h AS (
+             |  SELECT rep, v_ppm,
+             |    ((event_id + rep * 1000003) * 2654435761) % 1000000007
+             |      % 1000000 AS uu
+             |  FROM e),
+             |c AS (
+             |  SELECT rep, v_ppm,
+             |    CASE WHEN uu < 367879 THEN 0 WHEN uu < 735759 THEN 1
+             |         WHEN uu < 919699 THEN 2 WHEN uu < 981012 THEN 3
+             |         WHEN uu < 996340 THEN 4 ELSE 5 END AS cnt
+             |  FROM h)
+             |SELECT rep, CAST(sum(cnt) AS BIGINT) AS n_eff,
+             |       CAST(CAST(sum(cnt * v_ppm) AS BIGINT) // sum(cnt)
+             |            AS BIGINT) AS mean_v_ppm
+             |FROM c GROUP BY rep ORDER BY rep""".stripMargin))
   )
 }
