@@ -42,10 +42,11 @@ object VectorPipeline {
     VectorIndex.appendBinary(second, "vec_id", "embedding", indexDir)
     val indexed = VectorIndex.loadBinaryCodes(spark, indexDir).count()
 
-    // 3. search the loaded index
+    // 3. search the loaded index — the one-pass coarse stage (the scale
+    //    path; spec-equal to the declarative form the oracle query runs)
     val approx = VectorIndex.searchBinary(spark, indexDir, emb,
         "vec_id", "embedding", _.filter(col("vec_id") < nQueries),
-        k, rerankWidth)
+        k, rerankWidth, onePass = true)
       .select(col("query_id"), col("neighbor_id"))
     val nApprox = approx.count()
 

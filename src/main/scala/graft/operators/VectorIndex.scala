@@ -55,13 +55,21 @@ object VectorIndex {
 
   /** Search a SAVED index: coarse Hamming over the loaded codes, rerank
     * against the vector source (joined by id — only candidates load
-    * vectors). Result is identical to searching the in-memory build. */
+    * vectors). Result is identical to searching the in-memory build.
+    * `onePass = true` runs the coarse stage as the single
+    * partition-local pass ([[BinaryQuant.coarseHammingTopR]], no pair
+    * materialization — the scale path, spec-equal to the declarative
+    * form). */
   def searchBinary(spark: SparkSession, path: String, vectors: DataFrame,
       idCol: String, vecCol: String, queryIds: DataFrame => DataFrame,
-      k: Int, rerankWidth: Int): DataFrame = {
+      k: Int, rerankWidth: Int, onePass: Boolean = false): DataFrame = {
     val src = vectors.select(col(idCol).as("vec_id"), col(vecCol))
     val coded = loadBinaryCodes(spark, path).join(src, "vec_id")
-    BinaryQuant.hammingRerankTopK(coded, "vec_id", vecCol,
-      queryIds(coded), k, rerankWidth)
+    if (onePass)
+      BinaryQuant.hammingRerankTopKPartitioned(coded, "vec_id", vecCol,
+        queryIds(coded), k, rerankWidth)
+    else
+      BinaryQuant.hammingRerankTopK(coded, "vec_id", vecCol,
+        queryIds(coded), k, rerankWidth)
   }
 }
