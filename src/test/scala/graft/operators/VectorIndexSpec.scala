@@ -25,6 +25,43 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(loaded.collect().toSet == direct.collect().toSet)
   }
 
+  test("streaming ingestion: foreachBatch appends drops into the index") {
+    import org.apache.spark.sql.types._
+    val srcDir = Files.createTempDirectory("vindex_stream_src").toString
+    val path = Files.createTempDirectory("vindex_stream").toString
+    // index built on an initial corpus; the stream delivers later drops
+    val first = emb.filter(col("vec_id") < 300)
+    VectorIndex.buildBinary(first, "vec_id", "embedding", path)
+    emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val q = s.readStream.schema(schema).parquet(srcDir)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          VectorIndex.appendBinary(batch, "vec_id", "embedding", path)
+          ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(VectorIndex.loadBinaryCodes(s, path).count() == 400)
+      // a second micro-batch lands incrementally
+      emb.filter(col("vec_id") >= 400)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      assert(VectorIndex.loadBinaryCodes(s, path).count() == emb.count())
+    } finally q.stop()
+    // the streamed index equals a batch build with the SAME thresholds
+    val thrFirst = BinaryQuant.fitThresholds(first, "embedding")
+    val expected = BinaryQuant.withCode(emb, "embedding", thrFirst)
+      .select(col("vec_id"), col("code"))
+    assert(VectorIndex.loadBinaryCodes(s, path).collect().toSet ==
+      expected.collect().toSet)
+  }
+
   test("append encodes under the SAVED thresholds, never refits") {
     val path = Files.createTempDirectory("vindex_app").toString
     val first = emb.filter(col("vec_id") < 400)
