@@ -58,4 +58,40 @@ object RangeJoin {
       .filter(col(tCol) >= col(loCol) && col(tCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join: pairs where `[left.lo1, left.hi1)` and
+    * `[right.lo2, right.hi2)` intersect, still as a binned equi-join.
+    *
+    * Unlike point-in-interval, BOTH sides explode to their bins and an
+    * overlapping pair shares EVERY bin their intersection spans — a naive
+    * bin join emits it once per shared bin. The standard exactly-once
+    * trick (used by spatial tilers as "reference-point dedup") avoids the
+    * expensive post-join `distinct`: a pair is emitted ONLY in the bin
+    * that contains the intersection's first point, `max(lo1, lo2)` —
+    * every overlapping pair has exactly one such bin, so no dedup stage
+    * and no duplicate ever crosses downstream.
+    *
+    * Work is Σ_bins left(bin)·right(bin) — linear for bounded bin
+    * occupancy, shuffled by bin id. Column names on the two sides must be
+    * disjoint (the helper joins them into one row). */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      lo1: String, hi1: String,
+      lo2: String, hi2: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val l = left.withColumn("__bin",
+      explode(sequence(
+        expr(s"$lo1 div ${binWidth}L"),
+        expr(s"($hi1 - 1L) div ${binWidth}L"))))
+    val r = right.withColumn("__bin",
+      explode(sequence(
+        expr(s"$lo2 div ${binWidth}L"),
+        expr(s"($hi2 - 1L) div ${binWidth}L"))))
+    l.join(r, Seq("__bin"))
+      .filter(col(lo1) < col(hi2) && col(lo2) < col(hi1))
+      .filter(expr(s"greatest($lo1, $lo2) div ${binWidth}L") === col("__bin"))
+      .drop("__bin")
+  }
 }

@@ -305,6 +305,55 @@ object JoinQueries {
              |       coalesce(h.n_shipped, 0) AS n_shipped,
              |       coalesce(h.qty_cents, 0) AS qty_cents
              |FROM promo p LEFT JOIN hits h USING (o_orderkey)
-             |ORDER BY p.o_orderkey""".stripMargin))
+             |ORDER BY p.o_orderkey""".stripMargin)),
+
+    // ---- keyless interval-OVERLAP join via range binning ------------------
+    // "Which urgent-order activity windows overlap each high-value promo
+    // window?" — intervals on BOTH sides, the case where a naive bin join
+    // emits a pair once per shared bin. RangeJoin.intervalOverlap emits
+    // each pair only in the bin holding max(lo, lo) — the intersection's
+    // first point — so the equi-join is exactly-once with NO distinct
+    // stage (spatial tilers call this reference-point dedup). Work stays
+    // Σ_bin left·right per bin; all-integer day arithmetic keeps the
+    // plain theta-join oracle hash-exact, and the summed overlap LENGTH
+    // (not just counts) would expose any duplicate emission loudly.
+    Q("q_interval_overlap",
+      (s, dir) => {
+        val day = (c: String) => expr(s"unix_timestamp($c) div 86400L")
+        val promos = Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 450000.0)
+          .select(col("o_orderkey").as("promo_key"),
+            day("o_orderdate").as("p_lo"))
+          .withColumn("p_hi", col("p_lo") + 7L)
+        val urgents = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("urgent_key"),
+            day("o_orderdate").as("u_lo"))
+          .withColumn("u_hi", col("u_lo") + 3L)
+        graft.operators.RangeJoin.intervalOverlap(
+            promos, urgents, "p_lo", "p_hi", "u_lo", "u_hi", binWidth = 7L)
+          .groupBy(col("promo_key"), col("p_lo"))
+          .agg(count(lit(1)).as("n_overlaps"),
+            sum(least(col("p_hi"), col("u_hi")) -
+              greatest(col("p_lo"), col("u_lo"))).as("overlap_days"))
+          .orderBy(col("promo_key"))
+      },
+      Some("""WITH promo AS (
+             |  SELECT o_orderkey AS promo_key,
+             |         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
+             |           AS p_lo
+             |  FROM orders WHERE o_totalprice > 450000.0),
+             |p2 AS (SELECT promo_key, p_lo, p_lo + 7 AS p_hi FROM promo),
+             |urg AS (
+             |  SELECT o_orderkey AS urgent_key,
+             |         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
+             |           AS u_lo
+             |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+             |u2 AS (SELECT urgent_key, u_lo, u_lo + 3 AS u_hi FROM urg)
+             |SELECT promo_key, p_lo, count(*) AS n_overlaps,
+             |       CAST(sum(least(p_hi, u_hi) - greatest(p_lo, u_lo))
+             |            AS BIGINT) AS overlap_days
+             |FROM p2 JOIN u2 ON p_lo < u_hi AND u_lo < p_hi
+             |GROUP BY 1, 2 ORDER BY promo_key""".stripMargin))
   )
 }

@@ -101,6 +101,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the rank window to partition by the quality bucket:\n$s")
   }
 
+  test("interval-overlap join plans an equi-join on the bin: no loop node") {
+    val s = render(plan("q_interval_overlap"))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"interval overlap must bin into an equi-join:\n$s")
+  }
+
   test("binned range join plans an equi-join: no nested-loop/cartesian node") {
     val s = render(plan("q_range_join_binned"))
     assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),

@@ -53,4 +53,42 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
       s"range join must stay an equi-join:\n$s")
   }
+
+  private def naiveOverlap(as: Seq[(Long, Long, Long)],
+      bs: Seq[(Long, Long, Long)]) =
+    (for {
+      (aid, alo, ahi) <- as
+      (bid, blo, bhi) <- bs
+      if alo < bhi && blo < ahi
+    } yield (aid, bid)).sorted
+
+  private def binnedOverlap(as: Seq[(Long, Long, Long)],
+      bs: Seq[(Long, Long, Long)], w: Long): Seq[(Long, Long)] = {
+    val a = as.toDF("aid", "alo", "ahi")
+    val b = bs.toDF("bid", "blo", "bhi")
+    RangeJoin.intervalOverlap(a, b, "alo", "ahi", "blo", "bhi", w)
+      .select($"aid", $"bid").as[(Long, Long)].collect().toSeq.sorted
+  }
+
+  test("interval overlap matches the theta join on adversarial layouts") {
+    val as = Seq(
+      (1L, 0L, 100L),   // spans many bins
+      (2L, 15L, 18L),   // inside one bin
+      (3L, 9L, 11L),    // straddles a bin edge
+      (4L, 200L, 210L)) // disjoint region
+    val bs = Seq(
+      (10L, 50L, 60L),  // inside a's 1 long span
+      (11L, 17L, 30L),  // overlaps 1 and 2
+      (12L, 10L, 11L),  // touches 3's tail, bin-edge aligned
+      (13L, 100L, 110L))// abuts a1 exactly (hi exclusive: NO overlap)
+    for (w <- Seq(1L, 7L, 10L, 64L))
+      assert(binnedOverlap(as, bs, w) == naiveOverlap(as, bs),
+        s"divergence at binWidth=$w")
+  }
+
+  test("an overlapping pair sharing MANY bins still emits exactly once") {
+    val as = Seq((1L, 0L, 100L))
+    val bs = Seq((2L, 5L, 95L)) // shares ~10 bins at w=10
+    assert(binnedOverlap(as, bs, 10L) == Seq((1L, 2L)))
+  }
 }
