@@ -56,11 +56,17 @@ object Verify {
     // runs before the timeout) must leave a MISSING dir — which the
     // comparator reports — never a stale previous-run result it would
     // silently re-compare as green.
+    // Recursive, null-safe delete: the stale path may be a plain file
+    // (listFiles() == null) or hold nested dirs (a crashed run's
+    // _temporary tree) that a flat two-level delete would silently skip.
+    def deleteRec(f: java.io.File): Unit = {
+      val children = f.listFiles()
+      if (children != null) children.foreach(deleteRec)
+      f.delete()
+    }
     names.foreach { name =>
       val d = new java.io.File(s"$outDir/$name")
-      if (d.exists()) {
-        d.listFiles().foreach(_.delete()); d.delete()
-      }
+      if (d.exists()) deleteRec(d)
     }
     val pool = Executors.newFixedThreadPool(par)
     val t0 = System.nanoTime()

@@ -82,8 +82,9 @@ object Knn {
     * binary-ANN coarse stage, same shape). Spec-proven equal on real
     * data; one honest divergence: zero-norm vectors (NaN cosine) are
     * dropped here, while the window form ranks NaN first under DESC.
-    * Query codes collect to the driver: queries are a designed-small
-    * broadcast set by contract. */
+    * Query float vectors collect to the driver (4·dim bytes each, not
+    * 8-byte codes — this path has no codes): queries are a
+    * designed-small broadcast set by contract. */
   def bruteTopKPartitioned(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val spark = corpus.sparkSession

@@ -47,7 +47,11 @@ object RangeJoin {
       hiCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // Degenerate intervals guard: an empty [x,x) can contain no point, and
+    // an inverted hi < lo would make `sequence` count DOWNWARD — exploding
+    // one corrupt row into up to (lo-hi)/w bin rows. Drop both up front.
     val binned = intervals
+      .filter(col(hiCol) > col(loCol))
       .withColumn("__bin",
         explode(sequence(
           expr(s"$loCol div ${binWidth}L"),
@@ -81,11 +85,16 @@ object RangeJoin {
       lo2: String, hi2: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    val l = left.withColumn("__bin",
+    // Same degenerate-input guard as pointInInterval: empty [x,x) intervals
+    // have an empty intersection with everything (yet satisfy the strict
+    // overlap predicate against intervals ending exactly at x), and an
+    // inverted hi < lo would generate a descending — explosively long —
+    // bin sequence from a single corrupt row.
+    val l = left.filter(col(hi1) > col(lo1)).withColumn("__bin",
       explode(sequence(
         expr(s"$lo1 div ${binWidth}L"),
         expr(s"($hi1 - 1L) div ${binWidth}L"))))
-    val r = right.withColumn("__bin",
+    val r = right.filter(col(hi2) > col(lo2)).withColumn("__bin",
       explode(sequence(
         expr(s"$lo2 div ${binWidth}L"),
         expr(s"($hi2 - 1L) div ${binWidth}L"))))

@@ -11,6 +11,30 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
+  /** Shared oracle for the two MinHash+LSH pair queries: both signature
+    * paths (fused MinHashSigExpr; explode + min aggregates over portable
+    * shingle hashes) are bit-identical, so one DuckDB mirror checks both. */
+  private val lshPairsOracleSql: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id, ${Text.minhashSigSql("text", 64)} AS sig FROM documents),
+       |buckets AS (
+       |  SELECT doc_id, sig, i AS band,
+       |         md5(array_to_string(sig[i*4+1 : i*4+4], ',')) AS bkey
+       |  FROM sig, range(16) t(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM buckets a
+       |  JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey
+       |                AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT id_a, id_b,
+       |         len(list_filter(range(64), i -> sa.sig[i+1] = sb.sig[i+1])) * 15625 AS est_ppm
+       |  FROM cand
+       |  JOIN sig sa ON cand.id_a = sa.doc_id
+       |  JOIN sig sb ON cand.id_b = sb.doc_id)
+       |SELECT id_a, id_b, est_ppm FROM est
+       |WHERE est_ppm >= 500000 ORDER BY id_a, id_b""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- exact dedup: group identical text, keep lowest id ---------------
@@ -59,25 +83,7 @@ object DedupQueries {
           Tables.documents(s, dir), "doc_id", "text",
           k = 64, bands = 16, minEstPpm = 500000L)
         .orderBy(col("id_a"), col("id_b")),
-      Some(s"""WITH sig AS (
-              |  SELECT doc_id, ${Text.minhashSigSql("text", 64)} AS sig FROM documents),
-              |buckets AS (
-              |  SELECT doc_id, sig, i AS band,
-              |         md5(array_to_string(sig[i*4+1 : i*4+4], ',')) AS bkey
-              |  FROM sig, range(16) t(i)),
-              |cand AS (
-              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM buckets a
-              |  JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey
-              |                AND a.doc_id < b.doc_id),
-              |est AS (
-              |  SELECT id_a, id_b,
-              |         len(list_filter(range(64), i -> sa.sig[i+1] = sb.sig[i+1])) * 15625 AS est_ppm
-              |  FROM cand
-              |  JOIN sig sa ON cand.id_a = sa.doc_id
-              |  JOIN sig sb ON cand.id_b = sb.doc_id)
-              |SELECT id_a, id_b, est_ppm FROM est
-              |WHERE est_ppm >= 500000 ORDER BY id_a, id_b""".stripMargin)),
+      Some(lshPairsOracleSql)),
 
     // ---- dedup materialization: the cleaned corpus itself ---------------
     // Remove every doc that appears as the larger id of a pair whose
@@ -116,16 +122,23 @@ object DedupQueries {
               |WHERE doc_id NOT IN (SELECT id_b FROM dups)
               |ORDER BY doc_id""".stripMargin)),
 
-    // ---- MinHash+LSH on xxhash64 — the non-oracle scale path (codegen'd
-    //      64-bit hashing; rows-only, recall asserted in DedupKnnSpec) ----
+    // ---- MinHash+LSH, explode-and-aggregate signature path ---------------
+    // The "fast" variant exercises candidatePairs' OTHER signature shape:
+    // explode shingle hashes + 64 codegen'd min() aggregates with map-side
+    // partials (vs the default fused MinHashSigExpr narrow pass). The
+    // shingle hasher is the fused portable ShingleHashExpr (polyhash), so
+    // — hashes already in [0, P) make the explode path's pmod-folded
+    // permutation identical to the fused form — the output is
+    // bit-identical to q_minhash_lsh_pairs and shares its DuckDB oracle.
+    // (xxhash64 banding, which DuckDB cannot mirror, remains the Stress
+    // harness's scale variant.)
     Q("q_minhash_lsh_pairs_fast",
       (s, dir) => MinHashLSH.candidatePairs(
           Tables.documents(s, dir), "doc_id", "text",
           k = 64, bands = 16, minEstPpm = 500000L,
-          shingleFn = c => graft.functions.Text.shingleHashesWith(
-            c, 3, graft.functions.Text.fastHash))
+          shingleFn = c => Text.shingleHashes(c))
         .orderBy(col("id_a"), col("id_b")),
-      None),
+      Some(lshPairsOracleSql)),
 
     // ---- candidate verification: LSH candidates re-checked by edit
     //      distance — the standard two-phase dedup (cheap recall-oriented

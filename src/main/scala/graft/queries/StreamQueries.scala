@@ -48,6 +48,26 @@ object StreamQueries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Scope the RocksDB state-store provider to one streaming run. The
+    * default HDFS-backed provider keeps every state row on the JVM heap —
+    * fine for these registry inputs, memory-bound at 100 TB-scale state
+    * (billions of dedup keys / open sessions / join buffers). RocksDB
+    * keeps state off-heap with incremental snapshot checkpointing, so the
+    * heavy stateful queries run it as their default; provider choice never
+    * changes results (StreamingIngestSpec proves multi-batch equivalence),
+    * which the unchanged oracles of the queries below re-verify each round. */
+  private def withRocksDb[T](s: org.apache.spark.sql.SparkSession)(
+      body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- §7.5: hourly rollups through the real streaming engine ---------
@@ -128,13 +148,13 @@ object StreamQueries {
           .withWatermark("ts", "2 hours")
           .dropDuplicatesWithinWatermark("event_id")
         val name = s"dedupw_${System.nanoTime()}"
-        withStreamPartitions(s) {
+        withRocksDb(s) { withStreamPartitions(s) {
           val q = deduped
             .select(col("event_id"), col("event_type"), col("value"))
             .writeStream.outputMode("append")
             .format("memory").queryName(name).start()
           try q.processAllAvailable() finally q.stop()
-        }
+        } }
         s.table(name)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -262,7 +282,7 @@ object StreamQueries {
             col("ts").as("click_ts"))
           .withWatermark("click_ts", "2 hours")
         val name = s"ssj_${System.nanoTime()}"
-        withStreamPartitions(s) {
+        withRocksDb(s) { withStreamPartitions(s) {
           val q = views.join(clicks,
               col("user_id") === col("__cu") &&
                 col("click_ts") >= col("view_ts") &&
@@ -273,7 +293,7 @@ object StreamQueries {
             .writeStream.outputMode("append")
             .format("memory").queryName(name).start()
           try q.processAllAvailable() finally q.stop()
-        }
+        } }
         s.table(name).orderBy(col("user_id"), col("view_id"), col("click_id"))
       },
       Some("""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
@@ -333,12 +353,12 @@ object StreamQueries {
       (s, dir) => {
         val stream = eventStream(s, dir)
         val name = s"sess_${System.nanoTime()}"
-        withStreamPartitions(s) {
+        withRocksDb(s) { withStreamPartitions(s) {
           val q = StreamingIngest.sessionRollups(stream)
             .writeStream.outputMode("complete")
             .format("memory").queryName(name).start()
           try q.processAllAvailable() finally q.stop()
-        }
+        } }
         s.table(name)
           .select(col("user_id"),
             unix_micros(col("s_start")).as("s_start_us"),
@@ -421,21 +441,12 @@ object StreamQueries {
             col("event_type"), col("value"))
           .as[StreamingIngest.Event]
         val name = s"totals_${System.nanoTime()}"
-        val prevProvider = s.conf.getOption(
-          "spark.sql.streaming.stateStore.providerClass")
-        s.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try withStreamPartitions(s) {
+        withRocksDb(s) { withStreamPartitions(s) {
           val q = StreamingIngest.runningTotals(stream)
             .writeStream.outputMode("update")
             .format("memory").queryName(name).start()
           try q.processAllAvailable() finally q.stop()
-        } finally prevProvider match {
-          case Some(p) =>
-            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-          case None =>
-            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        }
+        } }
         s.table(name)
           .groupBy(col("user_id"))
           .agg(max(col("n_events")).as("n_events"),

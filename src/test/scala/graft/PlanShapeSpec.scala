@@ -69,6 +69,30 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("brute quadratic baselines never hold a headline bench slot") {
+    // q_jaccard_pairs / q_embedding_neardup / q_ts_profile_nn are declared
+    // O(N²) oracle/recall baselines for their banded counterparts. They
+    // stay in the Verify registry (correctness anchors) but must never be
+    // what the bench grades — the benched slot belongs to the scale path.
+    for (q <- Seq("q_jaccard_pairs", "q_embedding_neardup", "q_ts_profile_nn")) {
+      assert(SparkEntry.queries.contains(q), s"$q must stay oracle-registered")
+      assert(!Bench.headline.contains(q),
+        s"brute baseline $q must not be a headline bench query")
+    }
+    // and each baseline's scale-safe counterpart IS registered
+    for (q <- Seq("q_minhash_lsh_pairs", "q_embedding_neardup_lsh",
+        "q_ts_profile_nn_lsh"))
+      assert(SparkEntry.queries.contains(q), s"scale path $q missing")
+  }
+
+  test("minhash LSH pairs (both signature paths) plan no loop join") {
+    for (q <- Seq("q_minhash_lsh_pairs", "q_minhash_lsh_pairs_fast")) {
+      val s = render(plan(q))
+      assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+        s"$q must stay a banded equi-join:\n$s")
+    }
+  }
+
   test("IVF search: probed-list join broadcasts (corpus never shuffles to join)") {
     val s = render(plan("q_ivf_search"))
     // candidate generation must be a broadcast hash join on the list key —

@@ -10,9 +10,12 @@ class VectorPipelineSpec extends AnyFunSuite {
     val idx = Files.createTempDirectory("vpipe_spec").toString
     val counts = VectorPipeline.run(s, "/root/testdata/sf0.001", idx).toMap
 
-    assert(counts("vectors") == 500)
-    assert(counts("built") == 250)          // first drop only
-    assert(counts("indexed") == 500)        // append completed the corpus
+    // Expectations derived from the data, not hardcoded: the driver
+    // regenerates testdata between rounds and the corpus size may move.
+    val n = Tables.embeddings(s, "/root/testdata/sf0.001").count()
+    assert(counts("vectors") == n)
+    assert(counts("built") == n / 2)        // first drop only
+    assert(counts("indexed") == n)          // append completed the corpus
     assert(counts("searched") == 50 * 5)    // k rows per query
     // thresholds fit on HALF the corpus still give a usable coarse stage
     // (measured 604000 ppm on this corpus; floor set well below so a
