@@ -136,7 +136,21 @@ object PQ {
   def ivfPqSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, listCol: String, k: Int, nProbe: Int,
       subspaces: Int, subDim: Int): DataFrame = {
-    val dim = subspaces * subDim
+    val (cents, rcw, codes) =
+      ivfPqTrain(corpus, idCol, vecCol, listCol, subspaces, subDim)
+    ivfPqProbeSearch(cents, rcw, codes, queries, idCol, vecCol, k, nProbe,
+      subspaces, subDim)
+  }
+
+  /** The training half of [[ivfPqSearch]]: fits the coarse quantizer and
+    * residual sub-codebooks and encodes the corpus. Returns the three
+    * index artifacts — `(centroids (__list, __cent), codebooks
+    * (c_label, s, cw), codes (vec_id, __list, s, code))` — the frames
+    * [[VectorIndex]] persists for the faiss-style save/load/append
+    * lifecycle. */
+  def ivfPqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      listCol: String, subspaces: Int, subDim: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__v"),
       col(listCol).as("__list"))
     // coarse quantizer: exact integer-sum per-list means (broadcast)
@@ -163,6 +177,33 @@ object PQ {
     val codes = encode(resid, "vec_id", "__r", "__list", subspaces, subDim,
         Some(rcw))
       .join(c.select(col("vec_id"), col("__list")), Seq("vec_id"))
+      .select(col("vec_id"), col("__list"), col("s"), col("code"))
+    (cents, rcw, codes)
+  }
+
+  /** Assign vectors to their NEAREST centroid (exact L2², ties to the
+    * smallest list id) and compute the residual against it — how new
+    * vectors enter a trained IVF index whose quantizer must not move
+    * (faiss `add` semantics). Returns (vec_id, __list, __r). */
+  def assignNearestList(emb: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame =
+    emb.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__d2", l2sq(col("__v"), col("__cent")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("__list"), col("__cent"), col("__v")),
+        struct(col("__d2"), col("__list"))).as("__a"))
+      .select(col("vec_id"), col("__a.__list").as("__list"),
+        zip_with(col("__a.__v"), col("__a.__cent"),
+          (x, y) => x.cast("double") - y).as("__r"))
+
+  /** The search half of [[ivfPqSearch]], over pre-built (or loaded)
+    * artifacts: probe the `nProbe` nearest centroids per query, build the
+    * per-(query, probed list) residual LUT, scan only the CODES of probed
+    * lists. Artifact schemas are [[ivfPqTrain]]'s. */
+  def ivfPqProbeSearch(cents: DataFrame, rcw: DataFrame, codes: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int, nProbe: Int,
+      subspaces: Int, subDim: Int): DataFrame = {
     // probe: nProbe nearest centroids per query by exact L2², query
     // residual computed against each probed centroid
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))

@@ -72,4 +72,68 @@ object VectorIndex {
       BinaryQuant.hammingRerankTopK(coded, "vec_id", vecCol,
         queryIds(coded), k, rerankWidth)
   }
+
+  // ---- IVF-PQ lifecycle ----------------------------------------------------
+  // Same faiss-shaped contract as the binary index, with a three-part
+  // quantizer artifact: coarse centroids + residual sub-codebooks are the
+  // parts that must NOT be refit on append (codes are only comparable
+  // under one quantizer — faiss train() vs add()); the coded lists are the
+  // searchable payload. All three persist as parquet; search runs
+  // [[PQ.ivfPqProbeSearch]] over the loaded frames, so a saved-and-loaded
+  // index returns exactly what the in-memory build returns.
+
+  /** Train on `emb` (lists from `listCol`), encode it, persist
+    * `path/{centroids,codebooks,codes,meta}`. */
+  def buildIvfPq(emb: DataFrame, idCol: String, vecCol: String,
+      listCol: String, path: String, subspaces: Int, subDim: Int): Unit = {
+    val (cents, rcw, codes) =
+      PQ.ivfPqTrain(emb, idCol, vecCol, listCol, subspaces, subDim)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    rcw.write.mode("overwrite").parquet(s"$path/codebooks")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    // geometry travels with the index: search/append must never guess it
+    emb.sparkSession.sql(s"SELECT $subspaces AS subspaces, $subDim AS sub_dim")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append NEW vectors under the SAVED quantizer: each is assigned to
+    * its nearest saved centroid, its residual encoded with the saved
+    * sub-codebooks, and only `path/codes` grows — centroids and codebooks
+    * are read, never rewritten. */
+  def appendIvfPq(emb: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = emb.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (subspaces, subDim) =
+      (meta.getAs[Int]("subspaces"), meta.getAs[Int]("sub_dim"))
+    val cents = spark.read.parquet(s"$path/centroids")
+    val rcw = spark.read.parquet(s"$path/codebooks")
+    val assigned = PQ.assignNearestList(emb, idCol, vecCol, cents)
+    PQ.encode(assigned, "vec_id", "__r", "__list", subspaces, subDim,
+        Some(rcw))
+      .join(assigned.select(col("vec_id"), col("__list")), Seq("vec_id"))
+      .select(col("vec_id"), col("__list"), col("s"), col("code"))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  def loadIvfPqCentroids(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/centroids")
+  def loadIvfPqCodebooks(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/codebooks")
+  def loadIvfPqCodes(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/codes")
+
+  /** ADC search over a SAVED index: probe the loaded centroids, LUT from
+    * the loaded codebooks, scan the loaded codes — identical results to
+    * searching the in-memory build (the q_ivfpq_persist hash proof). */
+  def searchIvfPq(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    PQ.ivfPqProbeSearch(
+      loadIvfPqCentroids(spark, path),
+      loadIvfPqCodebooks(spark, path),
+      loadIvfPqCodes(spark, path),
+      queries, idCol, vecCol, k, nProbe,
+      meta.getAs[Int]("subspaces"), meta.getAs[Int]("sub_dim"))
+  }
 }

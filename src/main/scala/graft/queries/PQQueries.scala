@@ -130,7 +130,36 @@ object PQQueries {
             subspaces = S, subDim = D)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some("""WITH cparts AS (
+      Some(ivfPqOracle)),
+
+    // ---- IVF-PQ index persistence: build → save → load → search ---------
+    // The faiss-style lifecycle for the composed index (the binary-quant
+    // analog is q_index_persist): centroids + residual codebooks + coded
+    // lists persist as parquet, search runs over the LOADED artifacts.
+    // The oracle is q_ivfpq_search's verbatim — the equal hash is the
+    // round-trip-losslessness proof. Append-under-saved-quantizer
+    // semantics (nearest-centroid assignment, no refit) are spec-locked
+    // in IvfPqIndexSpec.
+    Q("q_ivfpq_persist",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq").toString
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.VectorIndex.buildIvfPq(
+          emb, "vec_id", "embedding", "label", path, S, D)
+        graft.operators.VectorIndex.searchIvfPq(
+            s, path, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 5, nProbe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfPqOracle))
+  )
+
+  /** DuckDB replay of the full IVF-PQ pipeline (centroids → residuals →
+    * residual codebooks → probe → per-list LUT → ADC) — shared verbatim
+    * by q_ivfpq_search and q_ivfpq_persist. */
+  private def ivfPqOracle: String =
+      ("""WITH cparts AS (
              |  SELECT label AS l, generate_subscripts(embedding, 1) - 1 AS pos,
              |         unnest(embedding) AS v
              |  FROM embeddings),
@@ -209,6 +238,5 @@ object PQQueries {
              |SELECT query_id, neighbor_id, adist_ppm, CAST(rn AS INTEGER) AS rank
              |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
              |               ORDER BY adist_ppm, neighbor_id) AS rn FROM approx) t
-             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin))
-  )
+             |WHERE rn <= 5 ORDER BY query_id, rank""").stripMargin
 }

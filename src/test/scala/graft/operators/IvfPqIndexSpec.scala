@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Lifecycle of the persisted IVF-PQ index (build → save → load → search
+  * → append): the composed-quantizer analog of VectorIndexSpec. The
+  * invariants locked here are the faiss contract — search over loaded
+  * artifacts equals the in-memory search, and append encodes under the
+  * SAVED quantizer (nearest-centroid assignment, residual codes from the
+  * saved codebooks) without ever rewriting centroids or codebooks. */
+class IvfPqIndexSpec extends AnyFunSuite {
+  private lazy val s = SparkSpec.session
+
+  private def emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("build → save → load → search equals the in-memory IVF-PQ search") {
+    val path = Files.createTempDirectory("ivfpq_idx").toString
+    VectorIndex.buildIvfPq(emb, "vec_id", "embedding", "label", path, 8, 8)
+    val direct = PQ.ivfPqSearch(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", "label", k = 5, nProbe = 2,
+      subspaces = 8, subDim = 8)
+    val loaded = VectorIndex.searchIvfPq(s, path,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5, nProbe = 2)
+    assert(loaded.collect().toSet == direct.collect().toSet)
+  }
+
+  test("append encodes under the saved quantizer and never refits it") {
+    val path = Files.createTempDirectory("ivfpq_append").toString
+    VectorIndex.buildIvfPq(emb, "vec_id", "embedding", "label", path, 8, 8)
+    val centsBefore = VectorIndex.loadIvfPqCentroids(s, path)
+      .collect().map(r => (r.get(0), r.getSeq[Double](1))).toSet
+    val cbBefore = VectorIndex.loadIvfPqCodebooks(s, path)
+      .collect().map(r => (r.get(0), r.get(1), r.getSeq[Double](2))).toSet
+    val n = emb.count()
+    val subspaces = 8
+
+    // append a DUPLICATE of vector 3 under a fresh id: deterministic
+    // assignment/encode means its list must be the brute nearest saved
+    // centroid and its codes must be searchable alongside the originals
+    val newId = n + 1000
+    val dup = emb.filter(col("vec_id") === 3)
+      .select(lit(newId).cast("long").as("vec_id"), col("embedding"),
+        col("label"))
+    VectorIndex.appendIvfPq(dup, "vec_id", "embedding", path)
+
+    // quantizer artifacts byte-identical; only the coded lists grew
+    assert(VectorIndex.loadIvfPqCentroids(s, path)
+      .collect().map(r => (r.get(0), r.getSeq[Double](1))).toSet
+      == centsBefore, "append must not move centroids")
+    assert(VectorIndex.loadIvfPqCodebooks(s, path)
+      .collect().map(r => (r.get(0), r.get(1), r.getSeq[Double](2))).toSet
+      == cbBefore, "append must not retrain codebooks")
+    val codes = VectorIndex.loadIvfPqCodes(s, path)
+    assert(codes.count() == (n + 1) * subspaces,
+      "append adds exactly one code row per subspace")
+
+    // the appended row's home list is the argmin-L2² saved centroid
+    val v3 = emb.filter(col("vec_id") === 3)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val bruteList = centsBefore.toSeq.map { case (l, c) =>
+      (c.zip(v3).map { case (x, y) => (x - y) * (x - y) }.sum, l)
+    }.minBy(_._1)._2
+    val storedLists = codes.filter(col("vec_id") === newId)
+      .select(col("__list")).distinct().collect().map(_.get(0)).toSeq
+    assert(storedLists == Seq(bruteList),
+      s"appended vector must join list $bruteList, got $storedLists")
+
+    // and it is searchable: querying with its source vector finds the
+    // duplicate at the minimum approximate distance of the result set
+    val res = VectorIndex.searchIvfPq(s, path, emb.filter(col("vec_id") === 3),
+        "vec_id", "embedding", k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val dupDist = res.collectFirst { case (id, d) if id == newId => d }
+    assert(dupDist.nonEmpty, s"appended duplicate $newId absent from top-k")
+    assert(dupDist.get == res.map(_._2).min,
+      "the appended exact duplicate must sit at the minimum ADC distance")
+  }
+}
