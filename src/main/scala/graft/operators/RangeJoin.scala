@@ -46,21 +46,15 @@ object RangeJoin {
       loCol: String,
       hiCol: String,
       binWidth: Long): DataFrame = {
-    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    // Degenerate intervals guard: an empty [x,x) can contain no point, and
-    // an inverted hi < lo would make `sequence` count DOWNWARD — exploding
-    // one corrupt row into up to (lo-hi)/w bin rows. Drop both up front.
-    val binned = intervals
-      .filter(col(hiCol) > col(loCol))
-      .withColumn("__bin",
-        explode(sequence(
-          expr(s"$loCol div ${binWidth}L"),
-          expr(s"($hiCol - 1L) div ${binWidth}L"))))
-    points
-      .withColumn("__bin", expr(s"$tCol div ${binWidth}L"))
-      .join(binned, Seq("__bin"))
-      .filter(col(tCol) >= col(loCol) && col(tCol) < col(hiCol))
-      .drop("__bin")
+    // One binned code path for both range-join forms: a point t IS the
+    // unit interval [t, t+1), so point-in-interval is intervalOverlap with
+    // a synthetic exclusive bound — t < hi && lo < t+1 ⟺ lo ≤ t < hi, and
+    // the exactly-once emission bin max(t, lo) div w is the point's own
+    // bin (overlap implies lo ≤ t), so the point side still explodes to
+    // exactly one row per point.
+    intervalOverlap(points.withColumn("__pt_hi", col(tCol) + 1L),
+        intervals, tCol, "__pt_hi", loCol, hiCol, binWidth)
+      .drop("__pt_hi")
   }
 
   /** Interval-OVERLAP join: pairs where `[left.lo1, left.hi1)` and
