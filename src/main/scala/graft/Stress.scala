@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   *                           exact vs sketch threshold fit, popcount
   *                           Hamming+rerank search timed against brute
   *                           cosine on the same corpus/queries
+  *   mode "ivfpq":           persisted IVF-PQ lifecycle over N×
+  *                           embeddings — build (train+encode+write
+  *                           artifacts), append a drop under the saved
+  *                           quantizer, search 100 queries through the
+  *                           loaded index
   *   mode "contam":          decontamination (shingle-hash overlap vs a
   *                           broadcast eval set) over N× documents
   *   mode "substr":          exact-substring span accounting over N×
@@ -257,6 +262,44 @@ object Stress {
             .count()
         }
         println(f"""{"vectors":$n%d,"fit_exact_s":$tFitExact%.1f,"fit_sketch_pack_s":$tFit%.1f,"hamming_s":$tHam%.1f,"hamming_1pass_s":$tPart%.1f,"brute_s":$tBrute%.1f,"brute_1pass_s":$tBruteP%.1f,"approx_rows":$nApprox%d,"onepass_rows":$nPart%d,"brute_rows":$nBrute%d,"brute_1pass_rows":$nBruteP%d}""")
+
+      case "ivfpq" =>
+        // Persisted IVF-PQ lifecycle at N× scale: build = train (two
+        // broadcast-sized aggregates) + encode + the parquet write of all
+        // three artifacts; append = one replica drop encoded under the
+        // SAVED quantizer (nearest-centroid assign + residual encode, no
+        // refit); search = 100 queries through the LOADED index. Numbers
+        // include the artifact round trips — the real persistence path,
+        // not just the plan.
+        val emb0 = Tables.embeddings(spark, sfDir)
+        val big = (0 until copies).map(i =>
+            emb0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+              col("embedding"), col("label")))
+          .reduce(_ unionByName _).cache()
+        val n = big.count()
+        def time[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime(); val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_stress_ivfpq").toString
+        val (_, tBuild) = time {
+          operators.VectorIndex.buildIvfPq(
+            big, "vec_id", "embedding", "label", path, 8, 8)
+        }
+        val extra = emb0.select(
+          (col("vec_id") + lit(copies * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+        val (_, tAppend) = time {
+          operators.VectorIndex.appendIvfPq(extra, "vec_id", "embedding", path)
+        }
+        val (nr, tSearch) = time {
+          operators.VectorIndex.searchIvfPq(spark, path,
+            big.filter(col("vec_id") < 100), "vec_id", "embedding",
+            k = 10, nProbe = 4).count()
+        }
+        val nCodes = operators.VectorIndex.loadIvfPqCodes(spark, path).count()
+        println(f"""{"vectors":$n%d,"build_s":$tBuild%.1f,"append_s":$tAppend%.1f,"search_s":$tSearch%.1f,"result_rows":$nr%d,"code_rows":$nCodes%d}""")
 
       case "contam" =>
         // Corpus side: explode + broadcast join + hash agg — linear in
