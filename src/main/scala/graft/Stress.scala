@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   *                           exact vs sketch threshold fit, popcount
   *                           Hamming+rerank search timed against brute
   *                           cosine on the same corpus/queries
+  *   mode "state":           streaming-dedup state store under
+  *                           copies×100k keys, default HDFS-backed vs
+  *                           RocksDB provider, per-batch times + equal
+  *                           output asserted (sfDir unused)
   *   mode "ivfpq":           persisted IVF-PQ lifecycle over N×
   *                           embeddings — build (train+encode+write
   *                           artifacts), append a drop under the saved
@@ -262,6 +266,60 @@ object Stress {
             .count()
         }
         println(f"""{"vectors":$n%d,"fit_exact_s":$tFitExact%.1f,"fit_sketch_pack_s":$tFit%.1f,"hamming_s":$tHam%.1f,"hamming_1pass_s":$tPart%.1f,"brute_s":$tBrute%.1f,"brute_1pass_s":$tBruteP%.1f,"approx_rows":$nApprox%d,"onepass_rows":$nPart%d,"brute_rows":$nBrute%d,"brute_1pass_rows":$nBruteP%d}""")
+
+      case "state" =>
+        // Stateful-streaming state-store providers under real key volume:
+        // exact streaming dedup (dropDuplicates by id, NO watermark — state
+        // only grows) over two copies×100k-key drops, second drop half
+        // duplicate / half new, run under the default HDFS-backed provider
+        // and under RocksDB. The default keeps every state row on the JVM
+        // heap; RocksDB keeps it off-heap with incremental snapshots — the
+        // registry's default for the heavy stateful queries. Output counts
+        // are asserted equal (provider choice must never change results);
+        // sink is foreachBatch-count, so sink memory never pollutes the
+        // state measurement.
+        import org.apache.spark.sql.types._
+        val nKeys = copies * 100000L
+        val schema = StructType(Seq(StructField("event_id", LongType),
+          StructField("user_id", LongType)))
+        def runProvider(provider: Option[String]): (Double, Double, Long) = {
+          val key = "spark.sql.streaming.stateStore.providerClass"
+          provider match {
+            case Some(p) => spark.conf.set(key, p)
+            case None => spark.conf.unset(key)
+          }
+          val dir = java.nio.file.Files
+            .createTempDirectory("stress_state_src").toString
+          def drop(lo: Long, hi: Long): Unit =
+            spark.range(lo, hi).select(col("id").as("event_id"),
+                pmod(col("id"), lit(997L)).as("user_id"))
+              .write.mode("append").parquet(dir)
+          val seen = spark.sparkContext.longAccumulator("rows_out")
+          drop(0L, nKeys)
+          val q = spark.readStream.schema(schema).parquet(dir)
+            .dropDuplicates("event_id")
+            .writeStream.outputMode("append")
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  _: Long) => seen.add(b.count()); ()
+            }.start()
+          def timed(f: => Unit): Double = {
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          try {
+            val t1 = timed(q.processAllAvailable())
+            drop(nKeys / 2, nKeys * 3 / 2) // half dup — state must catch it
+            val t2 = timed(q.processAllAvailable())
+            (t1, t2, seen.value)
+          } finally { q.stop(); spark.conf.unset(key) }
+        }
+        val (h1, h2, hOut) = runProvider(None)
+        val (r1, r2, rOut) = runProvider(Some("org.apache.spark.sql." +
+          "execution.streaming.state.RocksDBStateStoreProvider"))
+        val want = nKeys * 3 / 2
+        require(hOut == want && rOut == want,
+          s"provider changed results: hdfs=$hOut rocks=$rOut want=$want")
+        println(f"""{"keys":$want%d,"hdfs_batch1_s":$h1%.1f,"hdfs_batch2_s":$h2%.1f,"rocksdb_batch1_s":$r1%.1f,"rocksdb_batch2_s":$r2%.1f,"rows_out":$rOut%d}""")
 
       case "ivfpq" =>
         // Persisted IVF-PQ lifecycle at N× scale: build = train (two
