@@ -116,6 +116,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ search (in-memory and loaded-index): centroids/codebooks/LUT " +
+    "broadcast; codes never shuffle into a sort-merge join") {
+    for (q <- Seq("q_ivfpq_search", "q_ivfpq_persist")) {
+      val s = render(plan(q))
+      assert(s.contains("BroadcastHashJoin"),
+        s"$q must broadcast the LUT against the codes scan:\n$s")
+      assert(!s.contains("CartesianProduct"), s)
+      assert(!s.contains("SortMergeJoin"),
+        s"$q: codes must not shuffle into a sort-merge join:\n$s")
+    }
+  }
+
   test("shard assignment: the per-document rank window partitions by bucket") {
     val s = render(plan("q_shard_assign"))
     // the only windows allowed over the full document set are partitioned
