@@ -153,7 +153,15 @@ object PQ {
       : (DataFrame, DataFrame, DataFrame) = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__v"),
       col(listCol).as("__list"))
-    // coarse quantizer: exact integer-sum per-list means (broadcast)
+    // coarse quantizer: exact integer-sum per-list means (broadcast).
+    // Both quantizer artifacts are MATERIALIZED eagerly (localCheckpoint —
+    // they are lists×dim / lists×subspaces rows, metadata-sized): every
+    // downstream consumer references them at least twice across separate
+    // actions (residuals + probe; encode + LUT; and VectorIndex.buildIvfPq
+    // writes three artifacts as three jobs), and without a cut each
+    // reference re-runs the corpus-wide training aggregate. The
+    // corpus-sized residual frame deliberately stays a recomputable narrow
+    // projection — at scale you re-scan, never cache, the big side.
     val cents = c
       .select(col("__list"), posexplode(col("__v")).as(Seq("__pos", "__x")))
       .groupBy(col("__list"), col("__pos"))
@@ -163,6 +171,7 @@ object PQ {
       .agg(transform(array_sort(collect_list(struct(col("__pos"),
           (col("__sv").cast("double") / col("__n") / 1e6).as("c")))),
         x => x("c")).as("__cent"))
+      .localCheckpoint(true)
     // residuals stay with their row — a narrow broadcast-join projection
     val resid = c.join(broadcast(cents), Seq("__list"))
       .select(col("vec_id"), col("__list"),
@@ -174,6 +183,7 @@ object PQ {
     // scan), not from resid — no point recomputing the residual join
     // just to drop the residuals.
     val rcw = codebook(resid, "__list", "__r", subspaces, subDim)
+      .localCheckpoint(true)
     val codes = encode(resid, "vec_id", "__r", "__list", subspaces, subDim,
         Some(rcw))
       .join(c.select(col("vec_id"), col("__list")), Seq("vec_id"))
