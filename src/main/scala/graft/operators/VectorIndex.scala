@@ -27,7 +27,10 @@ object VectorIndex {
     * writes `path/thresholds` (1 row) + `path/codes`. */
   def buildBinary(emb: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
-    val thr = BinaryQuant.fitThresholds(emb, vecCol)
+    // materialize the 1-row fit once: the artifact write and the codes
+    // write are separate jobs, and the fit is a corpus-wide per-dim order
+    // statistic that would otherwise execute for each
+    val thr = BinaryQuant.fitThresholds(emb, vecCol).localCheckpoint(true)
     thr.write.mode("overwrite").parquet(s"$path/thresholds")
     BinaryQuant.withCode(emb, vecCol, thr)
       .select(col(idCol).as("vec_id"), col("code"))
