@@ -44,16 +44,21 @@ object VectorPipeline {
 
     // 3. search the loaded index — the one-pass coarse stage (the scale
     //    path; spec-equal to the declarative form the oracle query runs)
+    // both result frames are ≤ nQueries×k rows but carry the whole search
+    // lineage — checkpoint so the recall arithmetic below (count +
+    // intersect + count) doesn't re-run the index scan / brute KNN
     val approx = VectorIndex.searchBinary(spark, indexDir, emb,
         "vec_id", "embedding", _.filter(col("vec_id") < nQueries),
         k, rerankWidth, onePass = true)
       .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
     val nApprox = approx.count()
 
     // 4. recall vs brute-force cosine over the same corpus/queries
     val exact = Knn.bruteTopK(emb, emb.filter(col("vec_id") < nQueries),
         "vec_id", "embedding", k)
       .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
     val hits = approx.intersect(exact).count()
     val recallPpm = hits * 1000000L / math.max(1L, exact.count())
 
