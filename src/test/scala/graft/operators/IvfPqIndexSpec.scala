@@ -27,6 +27,50 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(loaded.collect().toSet == direct.collect().toSet)
   }
 
+  test("streaming ingestion: foreachBatch appends drops under the saved quantizer") {
+    import org.apache.spark.sql.types._
+    val srcDir = Files.createTempDirectory("ivfpq_stream_src").toString
+    val path = Files.createTempDirectory("ivfpq_stream").toString
+    val n = emb.count()
+    // quantizer trained on the full corpus, index built from it; the
+    // stream only APPENDS — so the streamed index must equal the batch
+    // build exactly (same quantizer ⇒ same codes, whatever the batching)
+    VectorIndex.buildIvfPq(
+      emb.filter(col("vec_id") < n / 2), "vec_id", "embedding", "label",
+      path, 8, 8)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    emb.filter(col("vec_id") >= n / 2)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q = s.readStream.schema(schema).parquet(srcDir)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          VectorIndex.appendIvfPq(batch, "vec_id", "embedding", path)
+          ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(VectorIndex.loadIvfPqCodes(s, path).count() == n * 8)
+    } finally q.stop()
+    // and the streamed index is indistinguishable from a BATCH append of
+    // the same drop under the same quantizer: full codes tables equal
+    val path2 = Files.createTempDirectory("ivfpq_batch").toString
+    VectorIndex.buildIvfPq(
+      emb.filter(col("vec_id") < n / 2), "vec_id", "embedding", "label",
+      path2, 8, 8)
+    VectorIndex.appendIvfPq(
+      emb.filter(col("vec_id") >= n / 2), "vec_id", "embedding", path2)
+    val streamed = VectorIndex.loadIvfPqCodes(s, path)
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3))).toSet
+    val batch = VectorIndex.loadIvfPqCodes(s, path2)
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3))).toSet
+    assert(streamed == batch,
+      "streamed appends must equal a batch append under the same quantizer")
+  }
+
   test("append encodes under the saved quantizer and never refits it") {
     val path = Files.createTempDirectory("ivfpq_append").toString
     VectorIndex.buildIvfPq(emb, "vec_id", "embedding", "label", path, 8, 8)
