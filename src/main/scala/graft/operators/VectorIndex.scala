@@ -111,7 +111,12 @@ object VectorIndex {
       (meta.getAs[Int]("subspaces"), meta.getAs[Int]("sub_dim"))
     val cents = spark.read.parquet(s"$path/centroids")
     val rcw = spark.read.parquet(s"$path/codebooks")
+    // materialize once: encode consumes `assigned` AND the __list
+    // re-attach joins it again — without a cut the nearest-centroid
+    // crossJoin + min_by would execute twice per append (drop-sized, so
+    // the checkpoint is cheap; same discipline as ivfPqTrain's artifacts)
     val assigned = PQ.assignNearestList(emb, idCol, vecCol, cents)
+      .localCheckpoint(true)
     PQ.encode(assigned, "vec_id", "__r", "__list", subspaces, subDim,
         Some(rcw))
       .join(assigned.select(col("vec_id"), col("__list")), Seq("vec_id"))

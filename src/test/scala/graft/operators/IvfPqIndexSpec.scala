@@ -112,14 +112,15 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(storedLists == Seq(bruteList),
       s"appended vector must join list $bruteList, got $storedLists")
 
-    // and it is searchable: querying with its source vector finds the
-    // duplicate at the minimum approximate distance of the result set
+    // and it is searchable: querying with its source vector surfaces the
+    // appended duplicate in the top-k. (Its ADC distance is the
+    // quantization error of its own residual — small, but NOT provably
+    // the set minimum: a reconstruction under the OTHER probed centroid
+    // can land closer, so membership is the sound invariant here.)
     val res = VectorIndex.searchIvfPq(s, path, emb.filter(col("vec_id") === 3),
         "vec_id", "embedding", k = 5, nProbe = 2)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
-    val dupDist = res.collectFirst { case (id, d) if id == newId => d }
-    assert(dupDist.nonEmpty, s"appended duplicate $newId absent from top-k")
-    assert(dupDist.get == res.map(_._2).min,
-      "the appended exact duplicate must sit at the minimum ADC distance")
+    assert(res.exists(_._1 == newId),
+      s"appended duplicate $newId absent from top-k $res")
   }
 }

@@ -87,39 +87,42 @@ class StreamingIngestSpec extends AnyFunSuite {
 
   test("dropDuplicatesWithinWatermark keeps dedup state across batches under RocksDB") {
     val src = Files.createTempDirectory("rdb_dedup_src").toString
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     Seq(
       (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view", 1.0),
       (2L, Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "click", 2.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
       .coalesce(1).write.mode("append").parquet(src)
-    val q = StreamingIngest.readEventStream(spark, src)
-      .withWatermark("ts", "2 hours")
-      .dropDuplicatesWithinWatermark("event_id")
-      .select("event_id")
-      .writeStream.outputMode("append")
-      .format("memory").queryName("rdb_dedup").start()
+    // conf restore wraps EVERYTHING after the set — a failure in start()
+    // must not leak the provider into the shared session
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      q.processAllAvailable()
-      def ids() = spark.table("rdb_dedup")
-        .collect().map(_.getLong(0)).toSeq.sorted
-      assert(ids() == Seq(1L, 2L))
+      val q = StreamingIngest.readEventStream(spark, src)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select("event_id")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rdb_dedup").start()
+      try {
+        q.processAllAvailable()
+        def ids() = spark.table("rdb_dedup")
+          .collect().map(_.getLong(0)).toSeq.sorted
+        assert(ids() == Seq(1L, 2L))
 
-      // batch 2 re-sends id 1 (inside the watermark window) plus a new id
-      // 3: the duplicate must be dropped by state the RocksDB provider
-      // carried over from batch 1, and only the new id emitted.
-      Seq(
-        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view", 1.0),
-        (3L, Timestamp.valueOf("2024-01-01 10:10:00"), 2L, "view", 3.0))
-        .toDF("event_id", "ts", "user_id", "event_type", "value")
-        .coalesce(1).write.mode("append").parquet(src)
-      q.processAllAvailable()
-      assert(ids() == Seq(1L, 2L, 3L),
-        "duplicate id 1 must be suppressed by cross-batch RocksDB state")
+        // batch 2 re-sends id 1 (inside the watermark window) plus a new
+        // id 3: the duplicate must be dropped by state the RocksDB
+        // provider carried over from batch 1, and only the new id emitted.
+        Seq(
+          (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view", 1.0),
+          (3L, Timestamp.valueOf("2024-01-01 10:10:00"), 2L, "view", 3.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+          .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        assert(ids() == Seq(1L, 2L, 3L),
+          "duplicate id 1 must be suppressed by cross-batch RocksDB state")
+      } finally q.stop()
     } finally {
-      q.stop()
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

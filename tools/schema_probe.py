@@ -41,17 +41,25 @@ def probe_dir(sfdir):
 def main():
     args = sys.argv[1:]
     update = "--update" in args
-    dirs = [a for a in args if a != "--update"] or DEFAULT_DIRS
-    dirs = [d for d in dirs if os.path.isdir(d)]
+    explicit = [a for a in args if a != "--update"]
+    requested = explicit or DEFAULT_DIRS
+    dirs = [d for d in requested if os.path.isdir(d)]
 
     # all SFs share one logical schema; probe each and keep per-dir results
     # so a drift in ONE scale factor (it has happened) is still attributed
     probed = {d: probe_dir(d) for d in dirs}
 
     if update:
+        # MERGE into any existing snapshot: an explicit-dir update must
+        # refresh only those dirs, never truncate the other baselines
+        merged = {}
+        if os.path.exists(SNAPSHOT):
+            merged = json.load(open(SNAPSHOT))
+        merged.update(probed)
         with open(SNAPSHOT, "w") as f:
-            json.dump(probed, f, indent=1, sort_keys=True)
-        print(f"snapshot written: {SNAPSHOT} ({len(probed)} dirs)")
+            json.dump(merged, f, indent=1, sort_keys=True)
+        print(f"snapshot written: {SNAPSHOT} "
+              f"({len(probed)} dirs probed, {len(merged)} total)")
         return 0
 
     if not os.path.exists(SNAPSHOT):
@@ -59,8 +67,19 @@ def main():
         return 1
     expected = json.load(open(SNAPSHOT))
     drift = 0
-    for d, tables in probed.items():
+    # compare every REQUESTED dir (a requested dir missing on disk is
+    # drift), and on a default run also every SNAPSHOTTED dir — a dir that
+    # vanished or was renamed by a driver regeneration is itself drift,
+    # the silent-pass this tool exists to prevent. An explicit targeted
+    # run compares only its targets.
+    scope = set(requested) | (set(expected) if not explicit else set())
+    for d in sorted(scope):
+        tables = probed.get(d)
         exp_tables = expected.get(d)
+        if tables is None:
+            print(f"! {d}: SNAPSHOTTED DIR MISSING from /root/testdata")
+            drift += 1
+            continue
         if exp_tables is None:
             print(f"~ {d}: not in snapshot (new scale factor?)")
             continue
