@@ -152,8 +152,145 @@ object PQQueries {
             "vec_id", "embedding", k = 5, nProbe = 2)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(ivfPqOracle))
+      Some(ivfPqOracle)),
+
+    // ---- IVF-PQ append under the saved quantizer, oracle-gated ----------
+    // The faiss add() semantics end to end: quantizer trained on the
+    // FIRST half of the corpus only, the second half APPENDED — assigned
+    // to its nearest saved centroid (not its label), residual-encoded
+    // under the saved codebooks — then searched through the loaded index.
+    // The oracle replays all of it, including the argmin centroid
+    // assignment of the appended drop, so append is driver-hash-gated,
+    // not just spec-tested.
+    Q("q_ivfpq_append",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_app").toString
+        val emb = Tables.embeddings(s, dir)
+        val split = emb.count() / 2
+        graft.operators.VectorIndex.buildIvfPq(
+          emb.filter(col("vec_id") < split), "vec_id", "embedding", "label",
+          path, S, D)
+        graft.operators.VectorIndex.appendIvfPq(
+          emb.filter(col("vec_id") >= split), "vec_id", "embedding", path)
+        graft.operators.VectorIndex.searchIvfPq(
+            s, path, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 5, nProbe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfPqAppendOracle))
   )
+
+  /** DuckDB replay of the build-on-half + append-half lifecycle: quantizer
+    * (centroids + residual codebooks) trained on `vec_id < count()//2`
+    * ONLY; the second half is assigned to its argmin-L2² saved centroid
+    * (ties to the smallest list — `PQ.assignNearestList`'s order) and
+    * residual-encoded under the saved codebooks; search probes the
+    * half-trained quantizer over the UNION of built + appended codes. */
+  private def ivfPqAppendOracle: String =
+    """WITH half AS (SELECT count(*) // 2 AS m FROM embeddings),
+      |base AS (SELECT e.* FROM embeddings e, half WHERE e.vec_id < half.m),
+      |newv AS (SELECT e.* FROM embeddings e, half WHERE e.vec_id >= half.m),
+      |cparts AS (
+      |  SELECT label AS l, generate_subscripts(embedding, 1) - 1 AS pos,
+      |         unnest(embedding) AS v
+      |  FROM base),
+      |csums AS (
+      |  SELECT l, pos, sum(CAST(floor(v * 1e6) AS BIGINT)) AS sv,
+      |         count(*) AS n
+      |  FROM cparts GROUP BY l, pos),
+      |cent AS (
+      |  SELECT l, list(CAST(sv AS DOUBLE) / n / 1e6 ORDER BY pos) AS cv
+      |  FROM csums GROUP BY l),
+      |resid1 AS (
+      |  SELECT e.vec_id, e.label AS l,
+      |    list_transform(range(64),
+      |      i -> e.embedding[i+1]::DOUBLE - c.cv[i+1]) AS r
+      |  FROM base e JOIN cent c ON e.label = c.l),
+      |rparts AS (
+      |  SELECT l, generate_subscripts(r, 1) - 1 AS pos, unnest(r) AS v
+      |  FROM resid1),
+      |rsums AS (
+      |  SELECT l, pos, sum(CAST(floor(v * 1e6) AS BIGINT)) AS sv,
+      |         count(*) AS n
+      |  FROM rparts GROUP BY l, pos),
+      |rcw AS (
+      |  SELECT l AS c_label, pos // 8 AS s,
+      |         list(CAST(sv AS DOUBLE) / n / 1e6 ORDER BY pos) AS cwv
+      |  FROM rsums GROUP BY l, pos // 8),
+      |ad AS (
+      |  SELECT e.vec_id, c.l,
+      |    list_reduce(list_prepend(0::DOUBLE,
+      |        list_transform(range(64),
+      |          i -> (e.embedding[i+1]::DOUBLE - c.cv[i+1])
+      |             * (e.embedding[i+1]::DOUBLE - c.cv[i+1]))),
+      |      (acc, x) -> acc + x) AS d2
+      |  FROM newv e CROSS JOIN cent c),
+      |asg AS (
+      |  SELECT vec_id, l
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                   ORDER BY d2, l) AS rn FROM ad) t
+      |  WHERE rn = 1),
+      |resid2 AS (
+      |  SELECT e.vec_id, a.l,
+      |    list_transform(range(64),
+      |      i -> e.embedding[i+1]::DOUBLE - c.cv[i+1]) AS r
+      |  FROM newv e JOIN asg a USING (vec_id) JOIN cent c ON a.l = c.l),
+      |resid AS (
+      |  SELECT * FROM resid1 UNION ALL SELECT * FROM resid2),
+      |rsubs AS (
+      |  SELECT vec_id, l, s,
+      |         list_transform(range(8), i -> r[s*8 + i + 1]) AS sub
+      |  FROM resid, range(8) t(s)),
+      |rscored AS (
+      |  SELECT vec_id, l, s, c_label,
+      |    list_reduce(list_prepend(0::DOUBLE,
+      |        list_transform(range(8),
+      |          i -> (sub[i+1] - cwv[i+1]) * (sub[i+1] - cwv[i+1]))),
+      |      (acc, x) -> acc + x) AS d2
+      |  FROM rsubs JOIN rcw USING (s)),
+      |enc AS (
+      |  SELECT vec_id, l, s, c_label AS code
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+      |                   ORDER BY d2, c_label) AS rn FROM rscored) t
+      |  WHERE rn = 1),
+      |qd AS (
+      |  SELECT q.vec_id AS query_id, c.l,
+      |    list_reduce(list_prepend(0::DOUBLE,
+      |        list_transform(range(64),
+      |          i -> (q.embedding[i+1]::DOUBLE - c.cv[i+1])
+      |             * (q.embedding[i+1]::DOUBLE - c.cv[i+1]))),
+      |      (acc, x) -> acc + x) AS d2,
+      |    list_transform(range(64),
+      |      i -> q.embedding[i+1]::DOUBLE - c.cv[i+1]) AS qr
+      |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5),
+      |probed AS (
+      |  SELECT query_id, l, qr
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                   ORDER BY d2, l) AS pr FROM qd) t
+      |  WHERE pr <= 2),
+      |qsubs AS (
+      |  SELECT query_id, l, s,
+      |         list_transform(range(8), i -> qr[s*8 + i + 1]) AS sub
+      |  FROM probed, range(8) t(s)),
+      |lut AS (
+      |  SELECT query_id, l, s, c_label,
+      |    CAST(floor(list_reduce(list_prepend(0::DOUBLE,
+      |        list_transform(range(8),
+      |          i -> (sub[i+1] - cwv[i+1]) * (sub[i+1] - cwv[i+1]))),
+      |      (acc, x) -> acc + x) * 1e6) AS BIGINT) AS qd_ppm
+      |  FROM qsubs JOIN rcw USING (s)),
+      |approx AS (
+      |  SELECT u.query_id, e.vec_id AS neighbor_id,
+      |         CAST(sum(u.qd_ppm) AS BIGINT) AS adist_ppm
+      |  FROM enc e JOIN lut u
+      |    ON u.l = e.l AND u.s = e.s AND u.c_label = e.code
+      |  WHERE e.vec_id <> u.query_id
+      |  GROUP BY u.query_id, e.vec_id)
+      |SELECT query_id, neighbor_id, adist_ppm, CAST(rn AS INTEGER) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |               ORDER BY adist_ppm, neighbor_id) AS rn FROM approx) t
+      |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB replay of the full IVF-PQ pipeline (centroids → residuals →
     * residual codebooks → probe → per-list LUT → ADC) — shared verbatim
