@@ -148,6 +148,57 @@ ${bpeStageSql(3, "f2")}"""
               |FROM tr LEFT JOIN ev ON tr.h = ev.h
               |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin)),
 
+    // ---- SEMANTIC decontamination: embedding similarity vs the eval set -
+    // The n-gram scrub above misses paraphrased leakage; the standard
+    // complement checks each training item's max cosine against the eval
+    // EMBEDDINGS. Eval benchmark sets are small by nature → broadcast;
+    // the corpus never shuffles (one narrow pass: broadcast loop join over
+    // |eval| rows + a max_by partial aggregate — q_knn_brute's shape with
+    // the big/small sides swapped). Similarity is the bit-portable
+    // CosineSimExpr fold, so the verdict — nearest eval item, max
+    // similarity, over-threshold flag — hash-checks exactly.
+    Q("q_semantic_decontam",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val eval = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("__ev"))
+        emb.filter(col("vec_id") >= 20)
+          .crossJoin(broadcast(eval))
+          .withColumn("__sim",
+            graft.functions.CosineSimExpr(col("embedding"), col("__ev")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(
+            struct(col("eval_id"),
+              floor(col("__sim") * 1e6).cast("long").as("__sp")),
+            struct(col("__sim"), -col("eval_id"))).as("__m"))
+          .select(col("vec_id"), col("__m.eval_id").as("nearest_eval_id"),
+            col("__m.__sp").as("max_sim_ppm"),
+            (col("__m.__sp") >= 900000L).as("contaminated"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT vec_id AS eval_id, embedding FROM embeddings
+             |  WHERE vec_id < 20),
+             |scored AS (
+             |  SELECT a.vec_id, b.eval_id,
+             |    list_reduce(list_prepend(0::DOUBLE,
+             |        list_transform(range(len(a.embedding)),
+             |          i -> a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)),
+             |      (acc, v) -> acc + v)
+             |    / (sqrt(list_reduce(list_prepend(0::DOUBLE,
+             |         list_transform(a.embedding, v -> v::DOUBLE * v::DOUBLE)),
+             |       (acc, v) -> acc + v))
+             |     * sqrt(list_reduce(list_prepend(0::DOUBLE,
+             |         list_transform(b.embedding, v -> v::DOUBLE * v::DOUBLE)),
+             |       (acc, v) -> acc + v))) AS sim
+             |  FROM embeddings a CROSS JOIN ev b WHERE a.vec_id >= 20)
+             |SELECT vec_id, eval_id AS nearest_eval_id,
+             |  CAST(floor(sim * 1e6) AS BIGINT) AS max_sim_ppm,
+             |  floor(sim * 1e6) >= 900000 AS contaminated
+             |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+             |               ORDER BY sim DESC, eval_id) AS rn FROM scored) t
+             |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
     // ---- stratified sampling with exact per-stratum quotas ---------------
     // ceil(20%) of each source, chosen by smallest deterministic
     // multiplicative hash — reproducible across engines, partitionings,
