@@ -185,8 +185,14 @@ object Knn {
     * corpus grows. */
   def planesFor(n: Long, targetBucket: Int = 8): Int = {
     require(n > 0 && targetBucket > 0)
-    val p = math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
-    math.max(4, math.min(24, p))
+    // integer form of ceil(log2(n/target)) — the smallest p with
+    // 2^p·target ≥ n. Pure integer arithmetic (no float log whose last-ulp
+    // rounding could flip a power-of-two boundary), so the DuckDB oracles
+    // derive the SAME count from count(*) and stay hash-exact at any
+    // corpus size.
+    var p = 0
+    while (p < 24 && (1L << p) * targetBucket < n) p += 1
+    math.max(4, p)
   }
 
   /** Embedding near-duplicate pairs via multi-table (k,L) sign-LSH — the

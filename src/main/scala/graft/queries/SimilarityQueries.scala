@@ -35,6 +35,38 @@ object SimilarityQueries {
       s"CASE WHEN ($dot) >= 0 THEN ${1L << p} ELSE 0 END"
     }.mkString(" + ")
 
+  /** CTE mirroring [[graft.operators.Knn.planesFor]] FROM THE DATA: the
+    * smallest p in [4,24] with 2^p·target ≥ count(*) — both sides are
+    * pure integer arithmetic, so the oracle derives the same plane count
+    * at ANY corpus size (no more hardcoded-count loud failures at other
+    * scale factors). */
+  private[queries] def planesCte(countFrom: String, target: Int = 8): String =
+    s"""np AS (
+       |  SELECT greatest(4, coalesce(min(p), 24))::INT AS planes
+       |  FROM range(0, 25) t(p)
+       |  WHERE (1::BIGINT << p) * $target >= (SELECT count(*) FROM $countFrom))""".stripMargin
+
+  /** Dynamic-plane-count mirror of [[graft.functions.SignBucketExpr]]:
+    * the weight `frac((p·1315423911 + i·2654435761) mod 1000003 / 1000003)
+    * − 0.5` is computed in SQL (bit-identical to the Scala literal — all
+    * integer ops plus one correctly-rounded IEEE division), the per-plane
+    * dot is the same ascending-i left fold, planes taken from the `np`
+    * CTE. `castDouble` matches the vector element type (float columns
+    * cast, double columns don't — same op tree as the Scala side). */
+  private[queries] def dynBucketSql(vec: String, dim: Int,
+      castDouble: Boolean = true): String = {
+    val elem = if (castDouble) s"($vec)[i+1]::DOUBLE" else s"($vec)[i+1]"
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |  list_transform(range(np.planes), p ->
+       |    CASE WHEN list_reduce(list_prepend(0::DOUBLE,
+       |        list_transform(range($dim), i ->
+       |          $elem * (((p * 1315423911 + i * 2654435761) % 1000003)::DOUBLE
+       |                   / 1000003.0 - 0.5))),
+       |      (a, x) -> a + x) >= 0
+       |    THEN (1::BIGINT << p) ELSE 0::BIGINT END)),
+       |  (a, x) -> a | x)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- brute-force cosine top-5 for a broadcast query set --------------
@@ -57,13 +89,13 @@ object SimilarityQueries {
               |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     // ---- ANN scale path: random-hyperplane LSH bucket + NN inside it ----
-    // The plane count is DERIVED from corpus size (planes ≈ log₂(n/8),
-    // Knn.planesFor) so expected bucket width stays constant as the corpus
-    // grows — a fixed plane count degenerates toward N²/2^planes. At the
-    // driver's sf0.01 (500 vectors) the derivation yields 6 planes, which
-    // is what the static oracle mirrors: the 6×64 weighted sign terms are
-    // compile-time constants embedded as identical double literals on both
-    // sides, and both engines evaluate the term sum left-to-right. Recall
+    // The plane count is DERIVED from corpus size (smallest p with
+    // 2^p·8 ≥ n, Knn.planesFor) so expected bucket width stays constant
+    // as the corpus grows — a fixed plane count degenerates toward
+    // N²/2^planes. The oracle re-derives the same count from count(*)
+    // and computes the same integer-hash hyperplane weights in SQL, so
+    // the bucketing is hash-checked at any corpus size; both engines
+    // evaluate the dot as the same ascending-dimension left fold. Recall
     // vs brute force is additionally asserted in DedupKnnSpec.
     Q("q_nn_lsh_bucketed",
       (s, dir) => {
@@ -74,12 +106,15 @@ object SimilarityQueries {
         Knn.nnWithinBucket(emb, "vec_id", "embedding", "bucket")
           .orderBy(col("vec_id"))
       },
-      // the mirror uses the plane count planesFor derives for the driver's
-      // 500-vector verify corpus; the WHERE guard makes any other corpus
-      // size fail LOUDLY (DuckDB error()) instead of as a silent oracle
-      // mismatch — planesFor(n) would diverge from the literal 6 planes
-      Some(s"""WITH bk AS (SELECT vec_id, embedding,
-              |              CAST(${bucketSql(6)} AS BIGINT) AS bucket FROM embeddings)
+      // the mirror derives the plane count from count(*) exactly as
+      // Knn.planesFor does (both pure integer arithmetic) and computes
+      // the hyperplane weights in SQL — hash-exact at ANY corpus size,
+      // replacing the earlier literal-6-planes mirror that error()'d
+      // loudly away from the 500-vector verify corpus
+      Some(s"""WITH ${planesCte("embeddings")},
+              |bk AS (SELECT vec_id, embedding,
+              |         CAST(${dynBucketSql("embedding", 64)} AS BIGINT) AS bucket
+              |       FROM embeddings, np)
               |SELECT vec_id, bucket, nn_id, nn_sim_ppm FROM (
               |  SELECT a.vec_id, a.bucket, b.vec_id AS nn_id,
               |         CAST(floor($cosSql * 1e6) AS BIGINT) AS nn_sim_ppm,
@@ -88,8 +123,6 @@ object SimilarityQueries {
               |  FROM bk a
               |  JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id) t
               |WHERE rn = 1
-              |  AND (CASE WHEN (SELECT count(*) FROM embeddings) = 500 THEN TRUE
-              |       ELSE error('q_nn_lsh_bucketed oracle hardcodes 6 planes = planesFor(500): re-derive bucketSql for this corpus size') END)
               |ORDER BY vec_id""".stripMargin)),
 
     // ---- embedding near-dup pairs, multi-table (k,L) sign-LSH -----------
@@ -312,8 +345,10 @@ object SimilarityQueries {
               |                         ORDER BY $cosSql DESC, b.vec_id) AS rn
               |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
               |    WHERE a.vec_id < 50) t WHERE rn = 1),
+              |${planesCte("embeddings")},
               |bk AS (SELECT vec_id, embedding,
-              |         CAST(${bucketSql(6)} AS BIGINT) AS bucket FROM embeddings),
+              |         CAST(${dynBucketSql("embedding", 64)} AS BIGINT) AS bucket
+              |       FROM embeddings, np),
               |lsh AS (
               |  SELECT vec_id, nn_id AS lsh_nn, nn_sim_ppm AS lsh_sim_ppm FROM (
               |    SELECT a.vec_id, b.vec_id AS nn_id,
@@ -321,9 +356,7 @@ object SimilarityQueries {
               |      row_number() OVER (PARTITION BY a.vec_id
               |                         ORDER BY $cosSql DESC, b.vec_id) AS rn
               |    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id) t
-              |  WHERE rn = 1 AND vec_id < 50
-              |    AND (CASE WHEN (SELECT count(*) FROM embeddings) = 500 THEN TRUE
-              |         ELSE error('q_ann_recall oracle hardcodes 6 planes = planesFor(500): re-derive bucketSql for this corpus size') END))
+              |  WHERE rn = 1 AND vec_id < 50)
               |SELECT count(*) AS n_queries,
               |  CAST(sum(CASE WHEN lsh_nn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
               |    AS n_retrieved,

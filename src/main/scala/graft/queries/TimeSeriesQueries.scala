@@ -95,8 +95,10 @@ object TimeSeriesQueries {
     // ---- the same search through the ANN scale path ---------------------
     // Profiles drop into Knn.nnWithinBucket behind a sign-LSH bucket with
     // a corpus-derived plane count — the shape the header comment promises
-    // for corpus scale, oracle-checked end to end via literal hyperplane
-    // weights (5 planes = planesFor of the driver's 150-user corpus).
+    // for corpus scale. The oracle re-derives the count from count(*) and
+    // computes the hyperplane weights in SQL (both pure integer
+    // arithmetic + one IEEE division), so it hash-checks at any profile
+    // count, not just the driver's 150-user corpus.
     Q("q_ts_profile_nn_lsh",
       (s, dir) => {
         val prof = profiles(s, dir)
@@ -109,15 +111,11 @@ object TimeSeriesQueries {
           .orderBy(col("user_id"))
       },
       Some {
-        val bucketSql = (0 until 5).map { p =>
-          val dot = (0 until 24)
-            .map(i => s"profile[${i + 1}] * (${graft.functions.SignBucketExpr.weight(p, i)})")
-            .mkString(" + ")
-          s"CASE WHEN ($dot) >= 0 THEN ${1L << p} ELSE 0 END"
-        }.mkString(" + ")
         s"""WITH $profCtes,
+           |${SimilarityQueries.planesCte("prof")},
            |bk AS (SELECT user_id, profile,
-           |         CAST($bucketSql AS BIGINT) AS bucket FROM prof),
+           |         CAST(${SimilarityQueries.dynBucketSql("profile", 24,
+                castDouble = false)} AS BIGINT) AS bucket FROM prof, np),
            |pairs AS (
            |  SELECT a.user_id, a.bucket, b.user_id AS nid,
            |    list_reduce(list_prepend(0::DOUBLE,
@@ -134,8 +132,6 @@ object TimeSeriesQueries {
            |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
            |              ORDER BY sim DESC, nid) AS rn FROM pairs) t
            |WHERE rn = 1
-           |  AND (CASE WHEN (SELECT count(*) FROM prof) = 150 THEN TRUE
-           |       ELSE error('q_ts_profile_nn_lsh oracle hardcodes 5 planes = planesFor(150): re-derive bucketSql for this corpus size') END)
            |ORDER BY user_id""".stripMargin
       }),
 
