@@ -176,21 +176,11 @@ ${bpeStageSql(3, "f2")}"""
             (col("__m.__sp") >= 900000L).as("contaminated"))
           .orderBy(col("vec_id"))
       },
-      Some("""WITH ev AS (
+      Some(s"""WITH ev AS (
              |  SELECT vec_id AS eval_id, embedding FROM embeddings
              |  WHERE vec_id < 20),
              |scored AS (
-             |  SELECT a.vec_id, b.eval_id,
-             |    list_reduce(list_prepend(0::DOUBLE,
-             |        list_transform(range(len(a.embedding)),
-             |          i -> a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)),
-             |      (acc, v) -> acc + v)
-             |    / (sqrt(list_reduce(list_prepend(0::DOUBLE,
-             |         list_transform(a.embedding, v -> v::DOUBLE * v::DOUBLE)),
-             |       (acc, v) -> acc + v))
-             |     * sqrt(list_reduce(list_prepend(0::DOUBLE,
-             |         list_transform(b.embedding, v -> v::DOUBLE * v::DOUBLE)),
-             |       (acc, v) -> acc + v))) AS sim
+             |  SELECT a.vec_id, b.eval_id, ${SimilarityQueries.cosSql} AS sim
              |  FROM embeddings a CROSS JOIN ev b WHERE a.vec_id >= 20)
              |SELECT vec_id, eval_id AS nearest_eval_id,
              |  CAST(floor(sim * 1e6) AS BIGINT) AS max_sim_ppm,

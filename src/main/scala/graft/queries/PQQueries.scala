@@ -180,65 +180,46 @@ object PQQueries {
       },
       Some(ivfPqAppendOracle))
   )
+  /** Training-prefix CTEs of the IVF-PQ replay over `src`: coarse
+    * centroids from labels, residuals (`resid1`), residual sub-codebooks
+    * (`rcw`). Shared by all three IVF-PQ oracles — one copy of the
+    * quantizer arithmetic. */
+  private def ivfPqTrainCtes(src: String): String =
+    s"""cparts AS (
+       |  SELECT label AS l, generate_subscripts(embedding, 1) - 1 AS pos,
+       |         unnest(embedding) AS v
+       |  FROM $src),
+       |csums AS (
+       |  SELECT l, pos, sum(CAST(floor(v * 1e6) AS BIGINT)) AS sv,
+       |         count(*) AS n
+       |  FROM cparts GROUP BY l, pos),
+       |cent AS (
+       |  SELECT l, list(CAST(sv AS DOUBLE) / n / 1e6 ORDER BY pos) AS cv
+       |  FROM csums GROUP BY l),
+       |resid1 AS (
+       |  SELECT e.vec_id, e.label AS l,
+       |    list_transform(range(64),
+       |      i -> e.embedding[i+1]::DOUBLE - c.cv[i+1]) AS r
+       |  FROM $src e JOIN cent c ON e.label = c.l),
+       |rparts AS (
+       |  SELECT l, generate_subscripts(r, 1) - 1 AS pos, unnest(r) AS v
+       |  FROM resid1),
+       |rsums AS (
+       |  SELECT l, pos, sum(CAST(floor(v * 1e6) AS BIGINT)) AS sv,
+       |         count(*) AS n
+       |  FROM rparts GROUP BY l, pos),
+       |rcw AS (
+       |  SELECT l AS c_label, pos // 8 AS s,
+       |         list(CAST(sv AS DOUBLE) / n / 1e6 ORDER BY pos) AS cwv
+       |  FROM rsums GROUP BY l, pos // 8)""".stripMargin
 
-  /** DuckDB replay of the build-on-half + append-half lifecycle: quantizer
-    * (centroids + residual codebooks) trained on `vec_id < count()//2`
-    * ONLY; the second half is assigned to its argmin-L2² saved centroid
-    * (ties to the smallest list — `PQ.assignNearestList`'s order) and
-    * residual-encoded under the saved codebooks; search probes the
-    * half-trained quantizer over the UNION of built + appended codes. */
-  private def ivfPqAppendOracle: String =
-    """WITH half AS (SELECT count(*) // 2 AS m FROM embeddings),
-      |base AS (SELECT e.* FROM embeddings e, half WHERE e.vec_id < half.m),
-      |newv AS (SELECT e.* FROM embeddings e, half WHERE e.vec_id >= half.m),
-      |cparts AS (
-      |  SELECT label AS l, generate_subscripts(embedding, 1) - 1 AS pos,
-      |         unnest(embedding) AS v
-      |  FROM base),
-      |csums AS (
-      |  SELECT l, pos, sum(CAST(floor(v * 1e6) AS BIGINT)) AS sv,
-      |         count(*) AS n
-      |  FROM cparts GROUP BY l, pos),
-      |cent AS (
-      |  SELECT l, list(CAST(sv AS DOUBLE) / n / 1e6 ORDER BY pos) AS cv
-      |  FROM csums GROUP BY l),
-      |resid1 AS (
-      |  SELECT e.vec_id, e.label AS l,
-      |    list_transform(range(64),
-      |      i -> e.embedding[i+1]::DOUBLE - c.cv[i+1]) AS r
-      |  FROM base e JOIN cent c ON e.label = c.l),
-      |rparts AS (
-      |  SELECT l, generate_subscripts(r, 1) - 1 AS pos, unnest(r) AS v
-      |  FROM resid1),
-      |rsums AS (
-      |  SELECT l, pos, sum(CAST(floor(v * 1e6) AS BIGINT)) AS sv,
-      |         count(*) AS n
-      |  FROM rparts GROUP BY l, pos),
-      |rcw AS (
-      |  SELECT l AS c_label, pos // 8 AS s,
-      |         list(CAST(sv AS DOUBLE) / n / 1e6 ORDER BY pos) AS cwv
-      |  FROM rsums GROUP BY l, pos // 8),
-      |ad AS (
-      |  SELECT e.vec_id, c.l,
-      |    list_reduce(list_prepend(0::DOUBLE,
-      |        list_transform(range(64),
-      |          i -> (e.embedding[i+1]::DOUBLE - c.cv[i+1])
-      |             * (e.embedding[i+1]::DOUBLE - c.cv[i+1]))),
-      |      (acc, x) -> acc + x) AS d2
-      |  FROM newv e CROSS JOIN cent c),
-      |asg AS (
-      |  SELECT vec_id, l
-      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-      |                   ORDER BY d2, l) AS rn FROM ad) t
-      |  WHERE rn = 1),
-      |resid2 AS (
-      |  SELECT e.vec_id, a.l,
-      |    list_transform(range(64),
-      |      i -> e.embedding[i+1]::DOUBLE - c.cv[i+1]) AS r
-      |  FROM newv e JOIN asg a USING (vec_id) JOIN cent c ON a.l = c.l),
-      |resid AS (
-      |  SELECT * FROM resid1 UNION ALL SELECT * FROM resid2),
-      |rsubs AS (
+  /** ADC search tail over the `resid` (rows to encode), `cent`, and `rcw`
+    * CTEs: encode → probe the 2 nearest centroids per query (vec_id < 5)
+    * → per-(query, list) LUT → ADC top-5. Shared VERBATIM by all three
+    * IVF-PQ oracles, so a change to the probe or flooring can never
+    * desynchronize them. */
+  private def ivfPqSearchTail: String =
+    """rsubs AS (
       |  SELECT vec_id, l, s,
       |         list_transform(range(8), i -> r[s*8 + i + 1]) AS sub
       |  FROM resid, range(8) t(s)),
@@ -296,84 +277,40 @@ object PQQueries {
     * residual codebooks → probe → per-list LUT → ADC) — shared verbatim
     * by q_ivfpq_search and q_ivfpq_persist. */
   private def ivfPqOracle: String =
-      ("""WITH cparts AS (
-             |  SELECT label AS l, generate_subscripts(embedding, 1) - 1 AS pos,
-             |         unnest(embedding) AS v
-             |  FROM embeddings),
-             |csums AS (
-             |  SELECT l, pos, sum(CAST(floor(v * 1e6) AS BIGINT)) AS sv,
-             |         count(*) AS n
-             |  FROM cparts GROUP BY l, pos),
-             |cent AS (
-             |  SELECT l, list(CAST(sv AS DOUBLE) / n / 1e6 ORDER BY pos) AS cv
-             |  FROM csums GROUP BY l),
-             |resid AS (
-             |  SELECT e.vec_id, e.label AS l,
-             |    list_transform(range(64),
-             |      i -> e.embedding[i+1]::DOUBLE - c.cv[i+1]) AS r
-             |  FROM embeddings e JOIN cent c ON e.label = c.l),
-             |rparts AS (
-             |  SELECT l, generate_subscripts(r, 1) - 1 AS pos, unnest(r) AS v
-             |  FROM resid),
-             |rsums AS (
-             |  SELECT l, pos, sum(CAST(floor(v * 1e6) AS BIGINT)) AS sv,
-             |         count(*) AS n
-             |  FROM rparts GROUP BY l, pos),
-             |rcw AS (
-             |  SELECT l AS c_label, pos // 8 AS s,
-             |         list(CAST(sv AS DOUBLE) / n / 1e6 ORDER BY pos) AS cwv
-             |  FROM rsums GROUP BY l, pos // 8),
-             |rsubs AS (
-             |  SELECT vec_id, l, s,
-             |         list_transform(range(8), i -> r[s*8 + i + 1]) AS sub
-             |  FROM resid, range(8) t(s)),
-             |rscored AS (
-             |  SELECT vec_id, l, s, c_label,
-             |    list_reduce(list_prepend(0::DOUBLE,
-             |        list_transform(range(8),
-             |          i -> (sub[i+1] - cwv[i+1]) * (sub[i+1] - cwv[i+1]))),
-             |      (acc, x) -> acc + x) AS d2
-             |  FROM rsubs JOIN rcw USING (s)),
-             |enc AS (
-             |  SELECT vec_id, l, s, c_label AS code
-             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
-             |                   ORDER BY d2, c_label) AS rn FROM rscored) t
-             |  WHERE rn = 1),
-             |qd AS (
-             |  SELECT q.vec_id AS query_id, c.l,
-             |    list_reduce(list_prepend(0::DOUBLE,
-             |        list_transform(range(64),
-             |          i -> (q.embedding[i+1]::DOUBLE - c.cv[i+1])
-             |             * (q.embedding[i+1]::DOUBLE - c.cv[i+1]))),
-             |      (acc, x) -> acc + x) AS d2,
-             |    list_transform(range(64),
-             |      i -> q.embedding[i+1]::DOUBLE - c.cv[i+1]) AS qr
-             |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5),
-             |probed AS (
-             |  SELECT query_id, l, qr
-             |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-             |                   ORDER BY d2, l) AS pr FROM qd) t
-             |  WHERE pr <= 2),
-             |qsubs AS (
-             |  SELECT query_id, l, s,
-             |         list_transform(range(8), i -> qr[s*8 + i + 1]) AS sub
-             |  FROM probed, range(8) t(s)),
-             |lut AS (
-             |  SELECT query_id, l, s, c_label,
-             |    CAST(floor(list_reduce(list_prepend(0::DOUBLE,
-             |        list_transform(range(8),
-             |          i -> (sub[i+1] - cwv[i+1]) * (sub[i+1] - cwv[i+1]))),
-             |      (acc, x) -> acc + x) * 1e6) AS BIGINT) AS qd_ppm
-             |  FROM qsubs JOIN rcw USING (s)),
-             |approx AS (
-             |  SELECT u.query_id, e.vec_id AS neighbor_id,
-             |         CAST(sum(u.qd_ppm) AS BIGINT) AS adist_ppm
-             |  FROM enc e JOIN lut u
-             |    ON u.l = e.l AND u.s = e.s AND u.c_label = e.code
-             |  WHERE e.vec_id <> u.query_id
-             |  GROUP BY u.query_id, e.vec_id)
-             |SELECT query_id, neighbor_id, adist_ppm, CAST(rn AS INTEGER) AS rank
-             |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-             |               ORDER BY adist_ppm, neighbor_id) AS rn FROM approx) t
-             |WHERE rn <= 5 ORDER BY query_id, rank""").stripMargin
+    s"""WITH ${ivfPqTrainCtes("embeddings")},
+       |resid AS (SELECT * FROM resid1),
+       |$ivfPqSearchTail""".stripMargin
+
+  /** DuckDB replay of the build-on-half + append-half lifecycle: quantizer
+    * (centroids + residual codebooks) trained on `vec_id < count()//2`
+    * ONLY; the second half is assigned to its argmin-L2² saved centroid
+    * (ties to the smallest list — `PQ.assignNearestList`'s order) and
+    * residual-encoded under the saved codebooks; search probes the
+    * half-trained quantizer over the UNION of built + appended codes. */
+  private def ivfPqAppendOracle: String =
+    s"""WITH half AS (SELECT count(*) // 2 AS m FROM embeddings),
+       |base AS (SELECT e.* FROM embeddings e, half WHERE e.vec_id < half.m),
+       |newv AS (SELECT e.* FROM embeddings e, half WHERE e.vec_id >= half.m),
+       |${ivfPqTrainCtes("base")},
+       |ad AS (
+       |  SELECT e.vec_id, c.l,
+       |    list_reduce(list_prepend(0::DOUBLE,
+       |        list_transform(range(64),
+       |          i -> (e.embedding[i+1]::DOUBLE - c.cv[i+1])
+       |             * (e.embedding[i+1]::DOUBLE - c.cv[i+1]))),
+       |      (acc, x) -> acc + x) AS d2
+       |  FROM newv e CROSS JOIN cent c),
+       |asg AS (
+       |  SELECT vec_id, l
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                   ORDER BY d2, l) AS rn FROM ad) t
+       |  WHERE rn = 1),
+       |resid2 AS (
+       |  SELECT e.vec_id, a.l,
+       |    list_transform(range(64),
+       |      i -> e.embedding[i+1]::DOUBLE - c.cv[i+1]) AS r
+       |  FROM newv e JOIN asg a USING (vec_id) JOIN cent c ON a.l = c.l),
+       |resid AS (
+       |  SELECT * FROM resid1 UNION ALL SELECT * FROM resid2),
+       |$ivfPqSearchTail""".stripMargin
 }

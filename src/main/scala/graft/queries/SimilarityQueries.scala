@@ -21,7 +21,10 @@ object SimilarityQueries {
        |    list_transform($side.embedding, v -> v::DOUBLE * v::DOUBLE)),
        |  (acc, v) -> acc + v))""".stripMargin
 
-  private val cosSql = s"$dotSql / (${normSql("a")} * ${normSql("b")})"
+  /** a.embedding ↔ b.embedding cosine — the bit-portability-critical fold
+    * (sequential left fold, 0-prepend, double casts). Shared across every
+    * query family that mirrors CosineSimExpr (private[queries]: one copy). */
+  private[queries] val cosSql = s"$dotSql / (${normSql("a")} * ${normSql("b")})"
 
   /** DuckDB mirror of Knn.signBucket's deterministic hyperplane weights at
     * a fixed plane count — the literal-weight construction that lets the
@@ -50,16 +53,19 @@ object SimilarityQueries {
     * the weight `frac((p·1315423911 + i·2654435761) mod 1000003 / 1000003)
     * − 0.5` is computed in SQL (bit-identical to the Scala literal — all
     * integer ops plus one correctly-rounded IEEE division), the per-plane
-    * dot is the same ascending-i left fold, planes taken from the `np`
-    * CTE. `castDouble` matches the vector element type (float columns
-    * cast, double columns don't — same op tree as the Scala side). */
-  private[queries] def dynBucketSql(vec: String, dim: Int,
+    * dot is the same ascending-i left fold over `len(vec)` dimensions
+    * (derived from the data exactly as `bucket()` uses numElements — a
+    * testdata dim change cannot silently desynchronize the mirror),
+    * planes taken from the `np` CTE. `castDouble` matches the vector
+    * element type (float columns cast, double columns don't — same op
+    * tree as the Scala side). */
+  private[queries] def dynBucketSql(vec: String,
       castDouble: Boolean = true): String = {
     val elem = if (castDouble) s"($vec)[i+1]::DOUBLE" else s"($vec)[i+1]"
     s"""list_reduce(list_prepend(0::BIGINT,
        |  list_transform(range(np.planes), p ->
        |    CASE WHEN list_reduce(list_prepend(0::DOUBLE,
-       |        list_transform(range($dim), i ->
+       |        list_transform(range(len($vec)), i ->
        |          $elem * (((p * 1315423911 + i * 2654435761) % 1000003)::DOUBLE
        |                   / 1000003.0 - 0.5))),
        |      (a, x) -> a + x) >= 0
@@ -113,7 +119,7 @@ object SimilarityQueries {
       // loudly away from the 500-vector verify corpus
       Some(s"""WITH ${planesCte("embeddings")},
               |bk AS (SELECT vec_id, embedding,
-              |         CAST(${dynBucketSql("embedding", 64)} AS BIGINT) AS bucket
+              |         CAST(${dynBucketSql("embedding")} AS BIGINT) AS bucket
               |       FROM embeddings, np)
               |SELECT vec_id, bucket, nn_id, nn_sim_ppm FROM (
               |  SELECT a.vec_id, a.bucket, b.vec_id AS nn_id,
@@ -347,7 +353,7 @@ object SimilarityQueries {
               |    WHERE a.vec_id < 50) t WHERE rn = 1),
               |${planesCte("embeddings")},
               |bk AS (SELECT vec_id, embedding,
-              |         CAST(${dynBucketSql("embedding", 64)} AS BIGINT) AS bucket
+              |         CAST(${dynBucketSql("embedding")} AS BIGINT) AS bucket
               |       FROM embeddings, np),
               |lsh AS (
               |  SELECT vec_id, nn_id AS lsh_nn, nn_sim_ppm AS lsh_sim_ppm FROM (

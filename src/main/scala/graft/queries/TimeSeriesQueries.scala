@@ -114,7 +114,7 @@ object TimeSeriesQueries {
         s"""WITH $profCtes,
            |${SimilarityQueries.planesCte("prof")},
            |bk AS (SELECT user_id, profile,
-           |         CAST(${SimilarityQueries.dynBucketSql("profile", 24,
+           |         CAST(${SimilarityQueries.dynBucketSql("profile",
                 castDouble = false)} AS BIGINT) AS bucket FROM prof, np),
            |pairs AS (
            |  SELECT a.user_id, a.bucket, b.user_id AS nid,
