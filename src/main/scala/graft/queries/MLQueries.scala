@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.ml.IsolationForest
+import graft.ml.{DetIsolationForest, IsolationForest}
 import org.apache.spark.sql.functions._
 
 /** ML-adjacent operators. The standardization/anomaly queries use
@@ -87,6 +87,32 @@ object MLQueries {
           .limit(100)
       },
       None),
+
+    // ---- M5 det: hash-split isolation forest, fully oracled -------------
+    // Same anomaly semantics (shallow isolation + sparse leaves = low
+    // score), but every split is a pure function of (tree, depth, node) +
+    // global feature ranges, so the ENTIRE forest walk is replayed by the
+    // DuckDB mirror — the hash-checkable sibling of the spec-tested
+    // classic forest above. Integer-exact scoring end to end (the leaf
+    // adjustment is the rational surrogate documented in
+    // DetIsolationForest's scaladoc — no transcendental ln to desync
+    // engines). Scale: nTrees-way explode + maxDepth codegen projections;
+    // occupancy tables ≤ nTrees·2^maxDepth rows, broadcast; corpus never
+    // shuffles.
+    Q("q_iforest_det",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("h", hour(col("ts")).cast("double"))
+          .withColumn("wd", weekday(col("ts")).cast("double"))
+          .select(col("event_id"), col("value"), col("h"), col("wd"))
+        DetIsolationForest.score(e, idCols = Seq("event_id", "value"),
+            featCols = Seq("value", "h", "wd"))
+          .orderBy(col("iso_score"), col("event_id"))
+          .limit(100)
+      },
+      Some(DetIsolationForest.oracleSql("events",
+        idCols = Seq("event_id", "value"),
+        featSql = Seq("value", "hour(ts)", "isodow(ts) - 1")))),
 
     // ---- deterministic 80/20 train/test split ---------------------------
     // The scale-correct analog of the reference's sklearn split
