@@ -43,6 +43,30 @@ object MinHashLSH {
       bands: Int = 16,
       minEstPpm: Long = 500000L,
       shingleFn: Column => Column = null): DataFrame = {
+    val (out, sig) =
+      candidatePairsPlan(df, idCol, textCol, k, bands, minEstPpm, shingleFn)
+    // Bound the signature cache's lifetime to this call: materialize the
+    // (tiny) pair set eagerly — all three sig consumers run in this one
+    // job — then release the cache. The checkpoint blocks are cleaned by
+    // the ContextCleaner when the result is dropped, unlike .cache()
+    // entries which live for the session.
+    val materialized = out.localCheckpoint(true)
+    sig.unpersist()
+    materialized
+  }
+
+  /** The un-materialized pair plan + its cached signature table —
+    * package-visible so PlanShapeSpec can assert the banded equi-join
+    * shape BEFORE the lineage-cutting localCheckpoint erases it from the
+    * executed plan. Callers outside tests use [[candidatePairs]]. */
+  private[graft] def candidatePairsPlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      bands: Int,
+      minEstPpm: Long,
+      shingleFn: Column => Column): (DataFrame, DataFrame) = {
     require(k % bands == 0 && 1000000 % k == 0)
     val r = k / bands
 
@@ -99,15 +123,7 @@ object MinHashLSH {
     val out = withEst
       .filter(col("est_ppm") >= minEstPpm)
       .select(col("id_a"), col("id_b"), col("est_ppm"))
-
-    // Bound the signature cache's lifetime to this call: materialize the
-    // (tiny) pair set eagerly — all three sig consumers run in this one
-    // job — then release the cache. The checkpoint blocks are cleaned by
-    // the ContextCleaner when the result is dropped, unlike .cache()
-    // entries which live for the session.
-    val materialized = out.localCheckpoint(true)
-    sig.unpersist()
-    materialized
+    (out, sig)
   }
 
   /** Exact n-gram Jaccard pairs ≥ threshold via distinct-shingle explode +

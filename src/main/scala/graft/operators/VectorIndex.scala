@@ -48,6 +48,56 @@ object VectorIndex {
       .write.mode("append").parquet(s"$path/codes")
   }
 
+  // ---- delete + compaction (shared by both index kinds) --------------------
+  // faiss remove_ids, Spark-native: deletes are (vec_id) TOMBSTONES —
+  // append-only metadata, never a rewrite of the standing codes files —
+  // and search masks them with a broadcast anti-join (tombstones are tiny
+  // relative to the corpus by construction; a delete-heavy index should
+  // compact). `compact` folds the tombstones in: codes are rewritten
+  // minus deleted ids into a fresh directory that is swapped in, and the
+  // tombstone log is cleared. Not atomic versus a concurrent reader
+  // mid-swap — production would layer a manifest/table format on top; the
+  // data movement (full codes rewrite, nothing else) is the real contract.
+
+  /** Tombstone ids out of the index at `path` (binary or IVF-PQ — the
+    * layout is shared). Append-only; O(deleted) bytes. */
+  def deleteIds(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Current tombstone set: (vec_id), distinct; empty frame when none
+    * have been written yet. */
+  def loadTombstones(spark: SparkSession, path: String): DataFrame = {
+    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(t)) spark.read.parquet(t.toString).distinct()
+    else spark.range(0).select(col("id").as("vec_id"))
+  }
+
+  /** Mask `codes` against the tombstone set — the search-path filter.
+    * Broadcast anti-join: the codes scan never shuffles. */
+  private def minusTombstones(spark: SparkSession, path: String,
+      codes: DataFrame): DataFrame =
+    codes.join(broadcast(loadTombstones(spark, path)), Seq("vec_id"),
+      "left_anti")
+
+  /** Rewrite `path/codes` minus tombstones and clear the tombstone log.
+    * Writes to a scratch dir first, then swaps — existing code files are
+    * never modified in place. No-op (beyond a read) when nothing is
+    * tombstoned. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones"))) return
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/codes_compacting")
+    minusTombstones(spark, path, spark.read.parquet(s"$path/codes"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val live = new org.apache.hadoop.fs.Path(s"$path/codes")
+    fs.delete(live, true)
+    fs.rename(tmp, live)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+  }
+
   /** Codes table of a saved index: (vec_id, code). */
   def loadBinaryCodes(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/codes")
@@ -67,7 +117,8 @@ object VectorIndex {
       idCol: String, vecCol: String, queryIds: DataFrame => DataFrame,
       k: Int, rerankWidth: Int, onePass: Boolean = false): DataFrame = {
     val src = vectors.select(col(idCol).as("vec_id"), col(vecCol))
-    val coded = loadBinaryCodes(spark, path).join(src, "vec_id")
+    val coded = minusTombstones(spark, path, loadBinaryCodes(spark, path))
+      .join(src, "vec_id")
     if (onePass)
       BinaryQuant.hammingRerankTopKPartitioned(coded, "vec_id", vecCol,
         queryIds(coded), k, rerankWidth)
@@ -102,7 +153,13 @@ object VectorIndex {
   /** Append NEW vectors under the SAVED quantizer: each is assigned to
     * its nearest saved centroid, its residual encoded with the saved
     * sub-codebooks, and only `path/codes` grows — centroids and codebooks
-    * are read, never rewritten. */
+    * are read, never rewritten.
+    *
+    * At-least-once caveat: the append itself is a plain parquet append
+    * with no idempotency key, so a caller replaying a failed batch (e.g.
+    * Structured Streaming `foreachBatch`, which is at-least-once) can
+    * double-append code rows. Exactly-once callers must either gate on
+    * the batchId or dedup codes on (vec_id, s) at load. */
   def appendIvfPq(emb: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
     val spark = emb.sparkSession
@@ -140,7 +197,7 @@ object VectorIndex {
     PQ.ivfPqProbeSearch(
       loadIvfPqCentroids(spark, path),
       loadIvfPqCodebooks(spark, path),
-      loadIvfPqCodes(spark, path),
+      minusTombstones(spark, path, loadIvfPqCodes(spark, path)),
       queries, idCol, vecCol, k, nProbe,
       meta.getAs[Int]("subspaces"), meta.getAs[Int]("sub_dim"))
   }

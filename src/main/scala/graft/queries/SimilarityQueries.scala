@@ -834,18 +834,46 @@ object SimilarityQueries {
             k = 3, rerankWidth = 32)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(hammingRerankOracle))
+      Some(hammingRerankOracle)),
+
+    // ---- ANN index delete + compaction -----------------------------------
+    // faiss remove_ids on Spark-native storage: delete writes (vec_id)
+    // tombstones (append-only — standing code files untouched), search
+    // masks them with a broadcast anti-join, and compact swaps in a codes
+    // rewrite minus the deleted ids and clears the log. The query runs the
+    // SAME search in both lifecycle states — tombstone-masked, then
+    // compacted — and the oracle pins both to one relation: deleted ids
+    // must vanish from results, and compaction must change nothing else.
+    Q("q_index_delete",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_vindex_del").toString
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.VectorIndex.buildBinary(emb, "vec_id", "embedding", path)
+        graft.operators.VectorIndex.deleteIds(
+          emb.filter(col("vec_id") % 7 === 0), "vec_id", path)
+        def search() = graft.operators.VectorIndex.searchBinary(s, path, emb,
+          "vec_id", "embedding", _.filter(col("vec_id") < 10),
+          k = 3, rerankWidth = 32)
+        // materialize BEFORE compacting — the lazy plan must read the
+        // tombstone-masked state, not the rewritten files
+        val masked = search().withColumn("stage", lit("tombstoned"))
+          .localCheckpoint(true)
+        graft.operators.VectorIndex.compact(s, path)
+        masked.unionByName(
+            search().withColumn("stage", lit("compacted")))
+          .orderBy(col("stage"), col("query_id"), col("rank"))
+      },
+      Some(indexDeleteOracle))
   )
 
-  /** DuckDB mirror of BinaryQuant.hammingRerankTopK over the codes CTE —
-    * shared verbatim by q_hamming_rerank and q_index_persist (their equal
-    * hashes are the persistence-losslessness proof). */
-  private def hammingRerankOracle: String =
-    s"""$binaryCodesCte,
-       |cand AS (
+  /** Hamming-coarse + cosine-rerank CTE chain over a codes relation
+    * `rel` — the shared core of BinaryQuant.hammingRerankTopK's mirror. */
+  private def rerankCtes(rel: String): String =
+    s"""cand AS (
        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
        |         CAST(bit_count(xor(q.code, c.code)) AS INTEGER) AS ham
-       |  FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+       |  FROM $rel q JOIN $rel c ON c.vec_id <> q.vec_id
        |  WHERE q.vec_id < 10),
        |top AS (SELECT qid, nid, ham,
        |          row_number() OVER (PARTITION BY qid
@@ -859,11 +887,36 @@ object SimilarityQueries {
        |f AS (SELECT qid, nid, ham, sim,
        |        row_number() OVER (PARTITION BY qid
        |                           ORDER BY sim DESC, nid) AS rn2
-       |      FROM rr)
+       |      FROM rr)""".stripMargin
+
+  /** DuckDB mirror of BinaryQuant.hammingRerankTopK over the codes CTE —
+    * shared verbatim by q_hamming_rerank and q_index_persist (their equal
+    * hashes are the persistence-losslessness proof). */
+  private def hammingRerankOracle: String =
+    s"""$binaryCodesCte,
+       |${rerankCtes("codes")}
        |SELECT qid AS query_id, nid AS neighbor_id, ham AS hamming,
        |       CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm,
        |       CAST(rn2 AS INTEGER) AS rank
        |FROM f WHERE rn2 <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Mirror of the delete lifecycle: the same rerank chain over codes
+    * MINUS the deleted ids, emitted twice — once per lifecycle stage. Both
+    * stages must equal this one relation: the tombstone-masked search and
+    * the post-compaction search are required to return identical rows, so
+    * a compaction that loses or resurrects a vector breaks the hash. */
+  private def indexDeleteOracle: String =
+    s"""$binaryCodesCte,
+       |live AS (SELECT * FROM codes WHERE vec_id % 7 <> 0),
+       |${rerankCtes("live")},
+       |sel AS (SELECT qid AS query_id, nid AS neighbor_id, ham AS hamming,
+       |          CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm,
+       |          CAST(rn2 AS INTEGER) AS rank
+       |        FROM f WHERE rn2 <= 3)
+       |SELECT 'tombstoned' AS stage, * FROM sel
+       |UNION ALL
+       |SELECT 'compacted' AS stage, * FROM sel
+       |ORDER BY stage, query_id, rank""".stripMargin
 
   /** DuckDB mirror of BinaryQuant.fitThresholds + withCode: per-dim lower
     * median thresholds, sign bits packed into a BIGINT (bit 63 via the

@@ -86,10 +86,24 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("minhash LSH pairs (both signature paths) plan no loop join") {
-    for (q <- Seq("q_minhash_lsh_pairs", "q_minhash_lsh_pairs_fast")) {
-      val s = render(plan(q))
+    // candidatePairs ends in localCheckpoint, which erases the join from
+    // the result's executed plan — assert on the PRE-checkpoint plan the
+    // operator exposes for exactly this purpose, with each registry
+    // query's own arguments (fused MinHashSigExpr path, then the
+    // explode+min() shingleFn path).
+    val docs = Tables.documents(spark, sf)
+    for ((label, shingleFn) <- Seq(
+        ("q_minhash_lsh_pairs", null),
+        ("q_minhash_lsh_pairs_fast",
+          (c: org.apache.spark.sql.Column) => graft.functions.Text.shingleHashes(c)))) {
+      val (pre, sig) = operators.MinHashLSH.candidatePairsPlan(
+        docs, "doc_id", "text", k = 64, bands = 16, minEstPpm = 500000L,
+        shingleFn = shingleFn)
+      val s = render(pre.queryExecution.executedPlan)
+      sig.unpersist()
+      assert(s.contains("Join"), s"$label pre-checkpoint plan must contain the band join:\n$s")
       assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
-        s"$q must stay a banded equi-join:\n$s")
+        s"$label must stay a banded equi-join:\n$s")
     }
   }
 

@@ -32,9 +32,12 @@ class IvfPqIndexSpec extends AnyFunSuite {
     val srcDir = Files.createTempDirectory("ivfpq_stream_src").toString
     val path = Files.createTempDirectory("ivfpq_stream").toString
     val n = emb.count()
-    // quantizer trained on the full corpus, index built from it; the
-    // stream only APPENDS — so the streamed index must equal the batch
-    // build exactly (same quantizer ⇒ same codes, whatever the batching)
+    // quantizer trained on the FIRST HALF of the corpus, index built from
+    // it; the stream only APPENDS the second half — so the streamed index
+    // must equal a BATCH append of the same drop under the same
+    // half-trained quantizer (same quantizer ⇒ same codes, whatever the
+    // batching). Note foreachBatch is at-least-once: this test relies on
+    // no batch retry occurring (see appendIvfPq's scaladoc caveat).
     VectorIndex.buildIvfPq(
       emb.filter(col("vec_id") < n / 2), "vec_id", "embedding", "label",
       path, 8, 8)
