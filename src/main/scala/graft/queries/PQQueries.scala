@@ -178,7 +178,29 @@ object PQQueries {
             "vec_id", "embedding", k = 5, nProbe = 2)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(ivfPqAppendOracle))
+      Some(ivfPqAppendOracle)),
+
+    // ---- OPQ-rotated IVF-PQ: energy-balancing rotation before the split -
+    // Ge et al.'s OPQ, in its structured HD form: corpus AND queries pass
+    // through the fixed orthonormal sign-flip + Walsh–Hadamard rotation
+    // (one fused codegen pass, d·log d integer adds per row — see
+    // HadamardRotateExpr) before the standard IVF-PQ train/probe/ADC.
+    // Rotation preserves exact L2, so the coarse geometry is unchanged;
+    // what changes is how vector energy spreads across the 8 subspaces —
+    // the recall lift is measured in Stress mode "recall" (SCALE.md).
+    // The oracle replays the rotation naively in exact BIGINT arithmetic
+    // and then runs the shared train/search CTEs over the rotated rows.
+    Q("q_ivfpq_opq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val rot = emb.select(col("vec_id"), col("label"),
+          graft.functions.HadamardRotateExpr(col("embedding")).as("embedding"))
+        graft.operators.PQ.ivfPqSearch(rot, rot.filter(col("vec_id") < 5),
+            "vec_id", "embedding", "label", k = 5, nProbe = 2,
+            subspaces = S, subDim = D)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfPqOpqOracle))
   )
   /** Training-prefix CTEs of the IVF-PQ replay over `src`: coarse
     * centroids from labels, residuals (`resid1`), residual sub-codebooks
@@ -215,11 +237,12 @@ object PQQueries {
 
   /** ADC search tail over the `resid` (rows to encode), `cent`, and `rcw`
     * CTEs: encode → probe the 2 nearest centroids per query (vec_id < 5)
-    * → per-(query, list) LUT → ADC top-5. Shared VERBATIM by all three
+    * → per-(query, list) LUT → ADC top-5. Shared VERBATIM by all the
     * IVF-PQ oracles, so a change to the probe or flooring can never
-    * desynchronize them. */
-  private def ivfPqSearchTail: String =
-    """rsubs AS (
+    * desynchronize them. `qsrc` is the relation query vectors come from —
+    * `embeddings` normally, the rotated CTE for the OPQ variant. */
+  private def ivfPqSearchTail(qsrc: String = "embeddings"): String =
+    s"""rsubs AS (
       |  SELECT vec_id, l, s,
       |         list_transform(range(8), i -> r[s*8 + i + 1]) AS sub
       |  FROM resid, range(8) t(s)),
@@ -244,7 +267,7 @@ object PQQueries {
       |      (acc, x) -> acc + x) AS d2,
       |    list_transform(range(64),
       |      i -> q.embedding[i+1]::DOUBLE - c.cv[i+1]) AS qr
-      |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5),
+      |  FROM $qsrc q CROSS JOIN cent c WHERE q.vec_id < 5),
       |probed AS (
       |  SELECT query_id, l, qr
       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -279,7 +302,7 @@ object PQQueries {
   private def ivfPqOracle: String =
     s"""WITH ${ivfPqTrainCtes("embeddings")},
        |resid AS (SELECT * FROM resid1),
-       |$ivfPqSearchTail""".stripMargin
+       |${ivfPqSearchTail()}""".stripMargin
 
   /** DuckDB replay of the build-on-half + append-half lifecycle: quantizer
     * (centroids + residual codebooks) trained on `vec_id < count()//2`
@@ -312,5 +335,35 @@ object PQQueries {
        |  FROM newv e JOIN asg a USING (vec_id) JOIN cent c ON a.l = c.l),
        |resid AS (
        |  SELECT * FROM resid1 UNION ALL SELECT * FROM resid2),
-       |$ivfPqSearchTail""".stripMargin
+       |${ivfPqSearchTail()}""".stripMargin
+
+  /** The OPQ rotation as a CTE: ppm-quantize with the ±1 sign diagonal,
+    * naive O(d²) Walsh–Hadamard row sums in EXACT BIGINT arithmetic, then
+    * `CAST(... AS DOUBLE) / sqrt(64) / 1e6` — term-for-term the contract
+    * of [[graft.functions.HadamardRotateExpr]] (whose O(d·log d) butterfly
+    * is equal by long-arithmetic associativity, not float luck). */
+  private def opqRotCte: String =
+    """rotq AS (
+      |  SELECT vec_id, label,
+      |    list_transform(range(64), j ->
+      |      CASE WHEN ((j * 2654435761) % 97) % 2 = 0 THEN 1 ELSE -1 END
+      |        * CAST(floor(embedding[j+1] * 1e6) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |rot AS (
+      |  SELECT vec_id, label,
+      |    list_transform(range(64), i ->
+      |      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(64), j ->
+      |            CASE WHEN bit_count(i & j) % 2 = 0
+      |                 THEN q[j+1] ELSE -q[j+1] END)),
+      |        (acc, x) -> acc + x) AS DOUBLE) / sqrt(64) / 1e6) AS embedding
+      |  FROM rotq)""".stripMargin
+
+  /** DuckDB replay of the OPQ-rotated IVF-PQ search: rotate first, then
+    * the verbatim train CTEs + search tail over the rotated relation. */
+  private def ivfPqOpqOracle: String =
+    s"""WITH $opqRotCte,
+       |${ivfPqTrainCtes("rot")},
+       |resid AS (SELECT * FROM resid1),
+       |${ivfPqSearchTail("rot")}""".stripMargin
 }
