@@ -104,6 +104,27 @@ ${bpeStageSql(3, "f2")}"""
       |         CAST(sum(p_ppm) AS BIGINT) // count(*) AS mean_p_ppm
       |  FROM p GROUP BY doc_id)""".stripMargin
 
+  /** DuckDB replay of the shingle-overlap scrub — shared VERBATIM by the
+    * batch entry (q_decontaminate) and the ingest-time streaming entry
+    * (q_stream_decontam): both run the rows through
+    * [[graft.streaming.StreamingIngest.decontamScrub]], so one oracle
+    * gates both and the two paths cannot drift. */
+  private[queries] val decontamOracleSql: String =
+    s"""WITH ev AS (
+       |  SELECT DISTINCT h FROM (
+       |    SELECT unnest(${Text.shingleHashesSql("text")}) AS h
+       |    FROM documents WHERE doc_id < 20) u),
+       |tr AS (
+       |  SELECT doc_id, unnest(${Text.shingleHashesSql("text")}) AS h
+       |  FROM documents WHERE doc_id >= 20)
+       |SELECT tr.doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_contaminated,
+       |  CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000 // count(*) AS contam_ppm
+       |FROM tr LEFT JOIN ev ON tr.h = ev.h
+       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- benchmark decontamination --------------------------------------
@@ -121,32 +142,11 @@ ${bpeStageSql(3, "f2")}"""
         val docs = Tables.documents(s, dir)
         val evalH = docs.filter(col("doc_id") < 20)
           .select(explode(Text.shingleHashes(col("text"))).as("h"))
-          .distinct()
-          .withColumn("__hit", lit(1L))
-        docs.filter(col("doc_id") >= 20)
-          .select(col("doc_id"), explode(Text.shingleHashes(col("text"))).as("h"))
-          .join(broadcast(evalH), Seq("h"), "left")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_shingles"),
-            sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
-          .withColumn("contam_ppm",
-            expr("n_contaminated * 1000000L div n_shingles"))
+        graft.streaming.StreamingIngest.decontamScrub(
+            docs.filter(col("doc_id") >= 20), evalH)
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH ev AS (
-              |  SELECT DISTINCT h FROM (
-              |    SELECT unnest(${Text.shingleHashesSql("text")}) AS h
-              |    FROM documents WHERE doc_id < 20) u),
-              |tr AS (
-              |  SELECT doc_id, unnest(${Text.shingleHashesSql("text")}) AS h
-              |  FROM documents WHERE doc_id >= 20)
-              |SELECT tr.doc_id, count(*) AS n_shingles,
-              |  CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-              |    AS n_contaminated,
-              |  CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-              |    * 1000000 // count(*) AS contam_ppm
-              |FROM tr LEFT JOIN ev ON tr.h = ev.h
-              |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin)),
+      Some(CurationQueries.decontamOracleSql)),
 
     // ---- SEMANTIC decontamination: embedding similarity vs the eval set -
     // The n-gram scrub above misses paraphrased leakage; the standard

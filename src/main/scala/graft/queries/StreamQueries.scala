@@ -663,6 +663,47 @@ object StreamQueries {
              |  CAST(list_reduce(list_prepend(0::BIGINT, pxs),
              |    (a, x) -> (a * 31 + x) % 1000000007) AS BIGINT)
              |    AS px_checksum
-             |FROM px ORDER BY media_id""".stripMargin))
+             |FROM px ORDER BY media_id""".stripMargin)),
+
+    // ---- ingest-time decontamination: the streaming scrub ---------------
+    // q_decontaminate runs the n-gram eval-overlap scrub as a BATCH pass;
+    // a production pipeline scrubs at INGEST so contaminated documents
+    // never land in the training corpus. Same shape as the streaming
+    // index append: readStream over document drops → foreachBatch runs
+    // the SHARED scrub core (StreamingIngest.decontamScrub — one code
+    // path with the batch entry) against the broadcast eval-set hashes
+    // and appends verdicts to the sink. Each doc arrives in exactly one
+    // batch and the scrub is per-doc, so output is batching-invariant and
+    // the BATCH oracle gates the streaming engine end-to-end. Scale: the
+    // eval side is fixed and KB-sized (rebuilt per batch here for
+    // session-safety; production pins it once); per-batch work is linear
+    // in the drop's shingles, and state is zero — the scrub is stateless,
+    // unlike the dedup/session queries above.
+    Q("q_stream_decontam",
+      (s, dir) => {
+        // footer-only schema probe, as eventStream does for events.ts
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val sink = java.nio.file.Files
+          .createTempDirectory("graft_stream_decontam").toString
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+            .writeStream.foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  _: Long) =>
+                val docs = graft.Tables.documents(batch.sparkSession, dir)
+                val evalH = docs.filter(col("doc_id") < 20)
+                  .select(explode(graft.functions.Text
+                    .shingleHashes(col("text"))).as("h"))
+                StreamingIngest.decontamScrub(
+                    batch.filter(col("doc_id") >= 20), evalH)
+                  .write.mode("append").parquet(sink)
+                ()
+            }.start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.read.parquet(sink).orderBy(col("doc_id"))
+      },
+      Some(CurationQueries.decontamOracleSql))
   )
 }

@@ -147,6 +147,27 @@ object StreamingIngest {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** N-gram decontamination scrub over one batch of training documents:
+    * per-doc distinct-shingle counts and how many hit the eval set. The
+    * shared core of the BATCH scrub (q_decontaminate) and the INGEST-TIME
+    * scrub (q_stream_decontam's foreachBatch) — one code path, so the two
+    * can never drift. `evalHashes` is the eval corpus's distinct shingle
+    * hashes as (h) — benchmark sets are KBs, so it broadcasts; the
+    * training side is one explode + one hash aggregate, and the text
+    * itself never shuffles (only (doc_id, hash) pairs cross the wire).
+    * Output: (doc_id, n_shingles, n_contaminated, contam_ppm). */
+  def decontamScrub(train: DataFrame, evalHashes: DataFrame): DataFrame =
+    train
+      .select(col("doc_id"),
+        explode(graft.functions.Text.shingleHashes(col("text"))).as("h"))
+      .join(broadcast(evalHashes.select(col("h")).distinct()
+        .withColumn("__hit", lit(1L))), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contam_ppm",
+        expr("n_contaminated * 1000000L div n_shingles"))
+
   /** Streaming upsert sink: maintain "latest row per key" as a parquet
     * state table via foreachBatch — the merge-into pattern on plain files.
     * Each micro-batch unions the incoming rows with the current state and
