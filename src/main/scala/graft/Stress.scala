@@ -50,6 +50,16 @@ import org.apache.spark.sql.functions._
   *                           over copies×1M doubles in 30 day-keys, with
   *                           the p50/p99 rank bound verified exactly
   *                           (sfDir unused)
+  *   mode "recall":          recall@10 of every ANN path vs the exact
+  *                           answer on the SAME N× corpus (copies are
+  *                           deterministically jittered — recall over
+  *                           exact clones is degenerate): IVF-PQ and
+  *                           OPQ-rotated IVF-PQ at nProbe 1/2/4 vs exact
+  *                           L2, binary-quant Hamming+rerank at
+  *                           rerankWidth 16/32/64 vs exact cosine —
+  *                           the number a user tuning nProbe/rerankWidth
+  *                           actually needs, at the corpus size where
+  *                           recall has already degraded
   *   mode "bpe":             5 BPE merge rounds over a synthetic
   *                           copies×100k-word vocabulary (~web-scale
   *                           post-normalization English at copies=10;
@@ -427,6 +437,143 @@ object Stress {
         val mass = ranks.agg(sum(col("rank_ppm"))).head().getLong(0)
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"""{"nodes":$nNodes%d,"edges":${copies * 1000000L}%d,"ranked":$nr%d,"total_mass_ppm":$mass%d,"seconds":$dt%.1f}""")
+
+      case "recall" =>
+        // Approximate-ANN recall vs ground truth at a corpus size where
+        // recall has actually degraded (fixed planes/nProbe lose recall as
+        // n grows — the effect a bench at sf0.1 cannot show). Copies get a
+        // deterministic ±0.025 per-coordinate jitter (~10% of coordinate
+        // scale): exact clones would make every true top-10 a list of
+        // clones and recall trivially 1.0 or 0.0. All paths are scored
+        // against the same 100 copy-0 queries.
+        val emb0 = Tables.embeddings(spark, sfDir)
+        // jitter computed in double, stored back as float — every ANN
+        // operator's corpus contract is array<float>
+        val big = (0 until copies).map { i =>
+          if (i == 0) emb0.select(col("vec_id"), col("embedding"), col("label"))
+          else
+            emb0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+              transform(col("embedding"), (x, j) =>
+                (x.cast("double") +
+                  (pmod(hash(col("vec_id"), j, lit(i)).cast("long"), lit(997L))
+                    .cast("double") / 997.0 * 0.05 - 0.025)).cast("float"))
+                .as("embedding"),
+              col("label"))
+        }.reduce(_ unionByName _).cache()
+        val n = big.count()
+        val queries = big.filter(col("vec_id") < 100).localCheckpoint(true)
+        val nq = queries.count()
+        def time[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime(); val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        // exact L2 truth (IVF-PQ approximates L2) — the declarative brute
+        // form; ties to the smallest id, same as every approximate path
+        def l2Truth(corpus: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame = {
+          val wq = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("__d"), col("neighbor_id"))
+          val t = corpus
+            .select(col("vec_id").as("neighbor_id"), col("embedding").as("__v"))
+            .join(broadcast(corpus.filter(col("vec_id") < 100)
+              .select(col("vec_id").as("query_id"),
+                col("embedding").as("__qv"))),
+              col("query_id") =!= col("neighbor_id"))
+            .withColumn("__d", functions.L2SqExpr(col("__qv"), col("__v")))
+            .withColumn("__rn", row_number().over(wq))
+            .filter(col("__rn") <= 10)
+            .select(col("query_id"), col("neighbor_id"))
+            .localCheckpoint(true)
+          t.count(); t
+        }
+        val (truthL2, tTruthL2) = time(l2Truth(big))
+        def recallOf(approx: org.apache.spark.sql.DataFrame,
+            truth: org.apache.spark.sql.DataFrame): Double =
+          approx.select(col("query_id"), col("neighbor_id"))
+            .join(truth, Seq("query_id", "neighbor_id"))
+            .count().toDouble / (nq * 10)
+        // IVF-PQ: train ONCE, search at each nProbe over the same codes.
+        // Residual codebooks are the production per-subspace k-means fit
+        // (64 codewords, 3 Lloyd rounds) — the label-mean oracle quantizer
+        // has only |lists| codewords per subspace, so within a list every
+        // vector shares one code and ADC ranking degenerates to id order
+        // (recall ≈ 0 by construction; measured before this harness
+        // switched fits). Recall here is therefore the number a production
+        // IVFx,PQ8 deployment would see.
+        // nProbe 1/2/4 measure the probe/recall trade a user tunes;
+        // nProbe 10 probes ALL lists, isolating pure ADC-quantization
+        // recall (the number the codebook quality — and the OPQ
+        // rotation — actually moves; smaller probes are bounded by
+        // coarse-list mass, not quantization). At 2M vectors the np10
+        // ADC join materializes |codes|·|queries| rows — the pure-ADC
+        // point comes from the 200k run, so trim the sweep above 500k.
+        val probes = if (n > 500000) Seq(1, 2, 4) else Seq(1, 2, 4, 10)
+        def ivfPqRecalls(corpus: org.apache.spark.sql.DataFrame,
+            truth: org.apache.spark.sql.DataFrame)
+            : (Map[Int, Double], Double) = {
+          val ((cents, rcw, codes), tTrain) = time {
+            val (c, r, k) = operators.PQ.ivfPqTrain(
+              corpus, "vec_id", "embedding", "label", 8, 8,
+              residCodebook = Some(resid => operators.PQ.kmeansCodebook(
+                resid, "vec_id", "__r", 8, 8, k = 64, iters = 3)))
+            val kc = k.localCheckpoint(true); kc.count(); (c, r, kc)
+          }
+          val rs = probes.map { np =>
+            np -> recallOf(operators.PQ.ivfPqProbeSearch(cents, rcw, codes,
+              corpus.filter(col("vec_id") < 100), "vec_id", "embedding",
+              k = 10, nProbe = np, subspaces = 8, subDim = 8), truth)
+          }.toMap
+          (rs, tTrain)
+        }
+        def rotated(corpus: org.apache.spark.sql.DataFrame) =
+          corpus.select(col("vec_id"), col("label"),
+            functions.HadamardRotateExpr(col("embedding")).as("embedding"))
+        val (pqRec, tPqTrain) = ivfPqRecalls(big, truthL2)
+        // OPQ: the same pipeline over the rotated corpus. Rotation is
+        // orthonormal, so the original-space L2 truth is still the
+        // yardstick — neighbor ids, not distances, are compared.
+        val (opqRec, tOpqTrain) = ivfPqRecalls(rotated(big), truthL2)
+        // Energy-skewed corpus (≤300k only — a mechanism demonstration,
+        // not a scale point): subspace s scaled 2^(1.5 − s/2), so
+        // subspace 0 carries ~128× subspace 7's energy. This is the case
+        // OPQ exists for — a fixed per-subspace code budget starves the
+        // hot subspace, and the rotation re-spreads the energy. On the
+        // isotropic synthetic corpus plain-vs-OPQ is a wash by design;
+        // here the gap is the operator's value, measured.
+        val skewRecs: Option[(Map[Int, Double], Map[Int, Double])] =
+          if (n > 300000) None else {
+            val skew = big.select(col("vec_id"), col("label"),
+              transform(col("embedding"), (x, j) =>
+                (x.cast("double") *
+                  pow(lit(2.0), lit(1.5) - floor(j / 8).cast("double") * 0.5))
+                  .cast("float")).as("embedding"))
+              .localCheckpoint(true)
+            val truthSkew = l2Truth(skew)
+            Some((ivfPqRecalls(skew, truthSkew)._1,
+              ivfPqRecalls(rotated(skew), truthSkew)._1))
+          }
+        // binary quantization vs exact COSINE truth (its rerank metric)
+        val (truthCos, tTruthCos) = time {
+          val t = operators.Knn.bruteTopKPartitioned(big, queries,
+              "vec_id", "embedding", k = 10)
+            .select(col("query_id"), col("neighbor_id"))
+            .localCheckpoint(true)
+          t.count(); t
+        }
+        val thr = operators.BinaryQuant.fitThresholdsApprox(big, "embedding")
+        val coded = operators.BinaryQuant.withCode(big, "embedding", thr)
+          .localCheckpoint(true)
+        val bqRec = Seq(16, 32, 64).map { rw =>
+          rw -> recallOf(operators.BinaryQuant.hammingRerankTopKPartitioned(
+            coded, "vec_id", "embedding", coded.filter(col("vec_id") < 100),
+            k = 10, rerankWidth = rw), truthCos)
+        }.toMap
+        def m(r: Map[Int, Double], p: String) = r.toSeq.sortBy(_._1)
+          .map { case (k, v) => f""""$p$k%d":$v%.3f""" }.mkString(",")
+        val skewJson = skewRecs.map { case (p, o) =>
+          s""",${m(p, "skew_np")},${m(o, "skew_opq_np")}""" }.getOrElse("")
+        println(f"""{"vectors":$n%d,"queries":$nq%d,"truth_l2_s":$tTruthL2%.1f,"truth_cos_s":$tTruthCos%.1f,"ivfpq_train_s":$tPqTrain%.1f,"opq_train_s":$tOpqTrain%.1f,${m(pqRec, "ivfpq_np")},${m(opqRec, "opq_np")},${m(bqRec, "binquant_rw")}$skewJson}""")
 
       case "bpe" =>
         // synthetic vocab: ~copies×100k distinct 4–10-char words over a

@@ -51,6 +51,76 @@ object PQ {
     .agg(transform(array_sort(collect_list(struct(col("pos"), col("__c")))),
       x => x("__c")).as("cw"))
 
+  /** Per-subspace k-means sub-codebooks — the production PQ quantizer
+    * (the label-mean [[codebook]] is the oracle-portable stand-in; its
+    * |labels| codewords per subspace give real compression but coarse
+    * ADC granularity: at scale, whole lists share one code and ranking
+    * within them degenerates — measured in Stress mode "recall").
+    * Deterministic end to end, so results are engine/partitioning/rerun
+    * stable: init picks the k hash-ranked subvectors per subspace via
+    * pure modular arithmetic (no RNG; `pmod` guards keep every product
+    * far from Long overflow under ANSI mode), each Lloyd round assigns
+    * to the nearest codeword (exact L2², ties to the smallest index) and
+    * recomputes exact integer-sum ppm means. Empty clusters drop out
+    * (codebook may shrink below k — standard Lloyd behavior).
+    *
+    * Output schema is [[codebook]]'s `(c_label, s, cw)`, so [[encode]],
+    * [[adcSearch]] and [[ivfPqProbeSearch]] consume it unchanged — the
+    * quantizer swap the Scaladoc above promises, with zero plan changes.
+    *
+    * Scale shape per round: one broadcast of k·subspaces·subDim doubles
+    * against the subvector stream + one min_by aggregate (map-side
+    * combinable) + one ppm-mean aggregate to k·subspaces·subDim rows —
+    * the corpus never shuffles its vectors, rounds are O(iters) scans. */
+  def kmeansCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      subspaces: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
+    // The Lloyd loop re-scans the subvectors iters+1 times (init ranking
+    // + one assignment pass per round), each as its own job — materialize
+    // ONCE instead of re-deriving the slice lineage per job (measured 3×
+    // end-to-end on a 20k-vector fit). This is the standard "cache the
+    // training set" shape: at 100 TB a k-means fit runs on a bounded
+    // deterministic sample (faiss trains codebooks on ≤ millions of
+    // vectors), so the materialized frame is capped by design.
+    val subs = subvectors(corpus, idCol, vecCol, subspaces, subDim)
+      .localCheckpoint(true)
+    val wInit = Window.partitionBy(col("s")).orderBy(
+      pmod(pmod(col("vec_id"), lit(999983L)) * 2654435761L +
+        col("s") * 40503L, lit(1000003L)),
+      col("vec_id"))
+    var cb = subs
+      .withColumn("__r", row_number().over(wInit))
+      .filter(col("__r") <= k)
+      .select(col("s"), (col("__r") - 1).cast("long").as("c_label"),
+        transform(col("sub"), x => x.cast("double")).as("cw"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      // argmin as min(struct(d2, cid, sub)): a DeclarativeAggregate that
+      // stays inside whole-stage codegen — min_by's typed-imperative
+      // buffer measured 2.4× slower on the same input. (d2, c_label) is
+      // unique per codeword, so the carried sub array never reaches the
+      // struct comparison and the result is identical to min_by's.
+      val assigned = subs.join(broadcast(cb), Seq("s"))
+        .withColumn("__d2", l2sq(col("sub"), col("cw")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(col("__d2"), col("c_label"), col("sub"))).as("__a"))
+        .select(col("s"), col("__a.c_label").as("c_label"),
+          col("__a.sub").as("sub"))
+      cb = assigned
+        .select(col("s"), col("c_label"),
+          posexplode(col("sub")).as(Seq("pos", "v")))
+        .groupBy(col("s"), col("c_label"), col("pos"))
+        .agg(sum(floor(col("v") * 1e6).cast("long")).as("__sv"),
+          count(lit(1)).as("__n"))
+        .groupBy(col("s"), col("c_label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+            (col("__sv").cast("double") / col("__n") / 1e6).as("c")))),
+          x => x("c")).as("cw"))
+        .localCheckpoint(true)
+    }
+    subs.unpersist()
+    cb
+  }
+
   /** (vec_id, s, sub): the contiguous subDim-wide slices of every vector. */
   def subvectors(corpus: DataFrame, idCol: String, vecCol: String,
       subspaces: Int, subDim: Int): DataFrame = corpus
@@ -71,9 +141,13 @@ object PQ {
         codebook(corpus, labelCol, vecCol, subspaces, subDim))), Seq("s"))
       .withColumn("__d2", l2sq(col("sub"), col("cw")))
       .groupBy(col("vec_id"), col("s"))
-      .agg(min_by(
-        struct(col("c_label"), floor(col("__d2") * 1e6).cast("long").as("__dp")),
-        struct(col("__d2"), col("c_label"))).as("__r"))
+      // argmin as min(struct): declarative, stays in whole-stage codegen
+      // (min_by is a typed-imperative buffer — measured 2.4× slower on
+      // the k-means assignment, same shape). Ordering (d2, c_label) is
+      // exactly min_by's tie rule; __dp rides along and is never compared
+      // because (d2, c_label) is unique per codeword.
+      .agg(min(struct(col("__d2"), col("c_label"),
+        floor(col("__d2") * 1e6).cast("long").as("__dp"))).as("__r"))
       .select(col("vec_id"), col("s"),
         col("__r.c_label").as("code"), col("__r.__dp").as("err_ppm"))
 
@@ -149,7 +223,8 @@ object PQ {
     * [[VectorIndex]] persists for the faiss-style save/load/append
     * lifecycle. */
   def ivfPqTrain(corpus: DataFrame, idCol: String, vecCol: String,
-      listCol: String, subspaces: Int, subDim: Int)
+      listCol: String, subspaces: Int, subDim: Int,
+      residCodebook: Option[DataFrame => DataFrame] = None)
       : (DataFrame, DataFrame, DataFrame) = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__v"),
       col(listCol).as("__list"))
@@ -177,12 +252,17 @@ object PQ {
       .select(col("vec_id"), col("__list"),
         zip_with(col("__v"), col("__cent"),
           (x, y) => x.cast("double") - y).as("__r"))
-    // PQ codebook + codes over the residuals, codewords keyed by home
-    // list; the residual codebook trains ONCE and serves encode + LUT.
-    // Home list re-attaches from the plain corpus projection (a narrow
-    // scan), not from resid — no point recomputing the residual join
-    // just to drop the residuals.
-    val rcw = codebook(resid, "__list", "__r", subspaces, subDim)
+    // PQ codebook + codes over the residuals; the residual codebook
+    // trains ONCE and serves encode + LUT. Default: codewords keyed by
+    // home list (the oracle-portable label-mean quantizer); pass
+    // `residCodebook` (e.g. `r => kmeansCodebook(r, "vec_id", "__r", …)`)
+    // to swap in the production per-subspace k-means fit — downstream
+    // encode/probe/ADC consume either unchanged. Home list re-attaches
+    // from the plain corpus projection (a narrow scan), not from resid —
+    // no point recomputing the residual join just to drop the residuals.
+    val rcw = residCodebook.getOrElse((r: DataFrame) =>
+        codebook(r, "__list", "__r", subspaces, subDim))
+      .apply(resid)
       .localCheckpoint(true)
     val codes = encode(resid, "vec_id", "__r", "__list", subspaces, subDim,
         Some(rcw))
