@@ -137,11 +137,16 @@ object VectorIndex {
   // index returns exactly what the in-memory build returns.
 
   /** Train on `emb` (lists from `listCol`), encode it, persist
-    * `path/{centroids,codebooks,codes,meta}`. */
+    * `path/{centroids,codebooks,codes,meta}`. Pass `residCodebook` (e.g.
+    * the per-subspace k-means fit) to persist a production-quantizer
+    * index — search and append read the saved codebooks and never care
+    * how they were fit, so the whole lifecycle works unchanged. */
   def buildIvfPq(emb: DataFrame, idCol: String, vecCol: String,
-      listCol: String, path: String, subspaces: Int, subDim: Int): Unit = {
+      listCol: String, path: String, subspaces: Int, subDim: Int,
+      residCodebook: Option[DataFrame => DataFrame] = None): Unit = {
     val (cents, rcw, codes) =
-      PQ.ivfPqTrain(emb, idCol, vecCol, listCol, subspaces, subDim)
+      PQ.ivfPqTrain(emb, idCol, vecCol, listCol, subspaces, subDim,
+        residCodebook)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     rcw.write.mode("overwrite").parquet(s"$path/codebooks")
     codes.write.mode("overwrite").parquet(s"$path/codes")

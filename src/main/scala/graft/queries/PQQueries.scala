@@ -200,7 +200,35 @@ object PQQueries {
             subspaces = S, subDim = D)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(ivfPqOpqOracle))
+      Some(ivfPqOpqOracle)),
+
+    // ---- k-means PQ codebooks: the production quantizer, oracle-gated ---
+    // The label-mean codebook above is the oracle-portable stand-in; real
+    // deployments fit per-subspace k-means (faiss's PQ training). That fit
+    // is deterministic here end to end — hash-ranked init via pure modular
+    // arithmetic, Lloyd assignment with (d2, cid) tie order, exact
+    // integer-sum ppm means — so the WHOLE training loop replays in SQL:
+    // the oracle unrolls both Lloyd rounds as chained CTEs and re-encodes,
+    // proving init, both argmin passes, and the mean updates bit-for-bit.
+    // Output is q_pq_codes' shape (codes string + total quantization
+    // error), so the two quantizers' error columns are directly
+    // comparable — k-means strictly tightens err_ppm.
+    Q("q_pq_kmeans",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cb = graft.operators.PQ.kmeansCodebook(
+          emb, "vec_id", "embedding", S, D, k = 8, iters = 2)
+        graft.operators.PQ.encode(emb, "vec_id", "embedding", "label", S, D,
+            Some(cb))
+          .groupBy(col("vec_id"))
+          .agg(
+            concat_ws(",", transform(
+              array_sort(collect_list(struct(col("s"), col("code")))),
+              x => x("code").cast("string"))).as("codes"),
+            sum(col("err_ppm")).as("quant_err_ppm"))
+          .orderBy(col("vec_id"))
+      },
+      Some(kmeansOracle))
   )
   /** Training-prefix CTEs of the IVF-PQ replay over `src`: coarse
     * centroids from labels, residuals (`resid1`), residual sub-codebooks
@@ -366,4 +394,67 @@ object PQQueries {
        |${ivfPqTrainCtes("rot")},
        |resid AS (SELECT * FROM resid1),
        |${ivfPqSearchTail("rot")}""".stripMargin
+
+  /** Shared fold: exact sequential L2² between two 8-element lists. */
+  private def l2sqSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0::DOUBLE,
+       |        list_transform(range(8),
+       |          i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1]))),
+       |      (acc, x) -> acc + x)""".stripMargin
+
+  /** DuckDB replay of the FULL k-means PQ training loop + encode:
+    * hash-ranked init → `iters` unrolled Lloyd rounds → final encode,
+    * aggregated to q_pq_codes' (codes, quant_err_ppm) shape. Each round
+    * reuses the proven cparts/csums/cent explode-sum-list pattern. */
+  private def kmeansOracle: String = {
+    val iters = 2
+    val rounds = (1 to iters).map { r =>
+      val prev = if (r == 1) "kcb0" else s"kcb${r - 1}"
+      s"""asg$r AS (
+         |  SELECT vec_id, s, sub, c_label
+         |  FROM (SELECT u.vec_id, u.s, u.sub, c.c_label,
+         |          row_number() OVER (PARTITION BY u.vec_id, u.s
+         |            ORDER BY ${l2sqSql("u.sub", "c.cw")}, c.c_label) AS rn
+         |        FROM subs u JOIN $prev c USING (s)) t
+         |  WHERE rn = 1),
+         |kp$r AS (
+         |  SELECT s, c_label, generate_subscripts(sub, 1) - 1 AS pos,
+         |         unnest(sub) AS v
+         |  FROM asg$r),
+         |ks$r AS (
+         |  SELECT s, c_label, pos,
+         |         sum(CAST(floor(v * 1e6) AS BIGINT)) AS sv, count(*) AS n
+         |  FROM kp$r GROUP BY s, c_label, pos),
+         |kcb$r AS (
+         |  SELECT s, c_label,
+         |         list(CAST(sv AS DOUBLE) / n / 1e6 ORDER BY pos) AS cw
+         |  FROM ks$r GROUP BY s, c_label)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH subs AS (
+       |  SELECT vec_id, s,
+       |         list_transform(range(8), i -> embedding[s*8 + i + 1]::DOUBLE) AS sub
+       |  FROM embeddings, range(8) t(s)),
+       |kcb0 AS (
+       |  SELECT s, CAST(rn - 1 AS BIGINT) AS c_label, cw
+       |  FROM (SELECT s, sub AS cw,
+       |          row_number() OVER (PARTITION BY s
+       |            ORDER BY ((vec_id % 999983) * 2654435761 + s * 40503)
+       |                       % 1000003, vec_id) AS rn
+       |        FROM subs) t
+       |  WHERE rn <= 8),
+       |$rounds,
+       |enc AS (
+       |  SELECT vec_id, s, c_label AS code,
+       |         CAST(floor(d2 * 1e6) AS BIGINT) AS err_ppm
+       |  FROM (SELECT u.vec_id, u.s, c.c_label,
+       |          ${l2sqSql("u.sub", "c.cw")} AS d2,
+       |          row_number() OVER (PARTITION BY u.vec_id, u.s
+       |            ORDER BY ${l2sqSql("u.sub", "c.cw")}, c.c_label) AS rn
+       |        FROM subs u JOIN kcb$iters c USING (s)) t
+       |  WHERE rn = 1)
+       |SELECT vec_id,
+       |       array_to_string(list(code ORDER BY s), ',') AS codes,
+       |       CAST(sum(err_ppm) AS BIGINT) AS quant_err_ppm
+       |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
 }
