@@ -511,7 +511,7 @@ object Stress {
         val probes = if (n > 500000) Seq(1, 2, 4) else Seq(1, 2, 4, 10)
         def ivfPqRecalls(corpus: org.apache.spark.sql.DataFrame,
             truth: org.apache.spark.sql.DataFrame)
-            : (Map[Int, Double], Double) = {
+            : (Map[Int, Double], Double, Double) = {
           val ((cents, rcw, codes), tTrain) = time {
             val (c, r, k) = operators.PQ.ivfPqTrain(
               corpus, "vec_id", "embedding", "label", 8, 8,
@@ -524,16 +524,24 @@ object Stress {
               corpus.filter(col("vec_id") < 100), "vec_id", "embedding",
               k = 10, nProbe = np, subspaces = 8, subDim = 8), truth)
           }.toMap
-          (rs, tTrain)
+          // the production serving config (faiss refine): ADC top-100 →
+          // exact rerank top-10 at the sweep's largest nProbe — the
+          // candidate set is what ADC is actually good for; ranking
+          // within it belongs to exact floats
+          val rerank = recallOf(operators.PQ.ivfPqSearchRerank(
+            cents, rcw, codes, corpus, corpus.filter(col("vec_id") < 100),
+            "vec_id", "embedding", k = 10, rerankWidth = 100,
+            nProbe = probes.max, subspaces = 8, subDim = 8), truth)
+          (rs, rerank, tTrain)
         }
         def rotated(corpus: org.apache.spark.sql.DataFrame) =
           corpus.select(col("vec_id"), col("label"),
             functions.HadamardRotateExpr(col("embedding")).as("embedding"))
-        val (pqRec, tPqTrain) = ivfPqRecalls(big, truthL2)
+        val (pqRec, pqRerank, tPqTrain) = ivfPqRecalls(big, truthL2)
         // OPQ: the same pipeline over the rotated corpus. Rotation is
         // orthonormal, so the original-space L2 truth is still the
         // yardstick — neighbor ids, not distances, are compared.
-        val (opqRec, tOpqTrain) = ivfPqRecalls(rotated(big), truthL2)
+        val (opqRec, opqRerank, tOpqTrain) = ivfPqRecalls(rotated(big), truthL2)
         // Energy-skewed corpus (≤300k only — a mechanism demonstration,
         // not a scale point): subspace s scaled 2^(1.5 − s/2), so
         // subspace 0 carries ~128× subspace 7's energy. This is the case
@@ -553,6 +561,9 @@ object Stress {
             Some((ivfPqRecalls(skew, truthSkew)._1,
               ivfPqRecalls(rotated(skew), truthSkew)._1))
           }
+        val rerankJson =
+          f""","ivfpq_rerank_np${probes.max}%d":$pqRerank%.3f""" +
+          f""","opq_rerank_np${probes.max}%d":$opqRerank%.3f"""
         // binary quantization vs exact COSINE truth (its rerank metric)
         val (truthCos, tTruthCos) = time {
           val t = operators.Knn.bruteTopKPartitioned(big, queries,
@@ -573,7 +584,7 @@ object Stress {
           .map { case (k, v) => f""""$p$k%d":$v%.3f""" }.mkString(",")
         val skewJson = skewRecs.map { case (p, o) =>
           s""",${m(p, "skew_np")},${m(o, "skew_opq_np")}""" }.getOrElse("")
-        println(f"""{"vectors":$n%d,"queries":$nq%d,"truth_l2_s":$tTruthL2%.1f,"truth_cos_s":$tTruthCos%.1f,"ivfpq_train_s":$tPqTrain%.1f,"opq_train_s":$tOpqTrain%.1f,${m(pqRec, "ivfpq_np")},${m(opqRec, "opq_np")},${m(bqRec, "binquant_rw")}$skewJson}""")
+        println(f"""{"vectors":$n%d,"queries":$nq%d,"truth_l2_s":$tTruthL2%.1f,"truth_cos_s":$tTruthCos%.1f,"ivfpq_train_s":$tPqTrain%.1f,"opq_train_s":$tOpqTrain%.1f,${m(pqRec, "ivfpq_np")},${m(opqRec, "opq_np")}$rerankJson,${m(bqRec, "binquant_rw")}$skewJson}""")
 
       case "bpe" =>
         // synthetic vocab: ~copies×100k distinct 4–10-char words over a

@@ -228,7 +228,26 @@ object PQQueries {
             sum(col("err_ppm")).as("quant_err_ppm"))
           .orderBy(col("vec_id"))
       },
-      Some(kmeansOracle))
+      Some(kmeansOracle)),
+
+    // ---- IVF-PQ + exact rerank: the faiss refine stage, oracle-gated ----
+    // Pure ADC ranking cannot resolve distance gaps below its
+    // quantization error — at 200k near-duplicate vectors its recall@10
+    // is ~0.1 (SCALE.md "ANN recall"). Production serves ADC top-R →
+    // exact-rerank top-k; here R=10 → k=5, the candidate set broadcasts
+    // against the vector source so only candidates' floats ever load.
+    // The oracle replays ADC candidates AND the exact-L2 rerank.
+    Q("q_ivfpq_rerank",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val (cents, rcw, codes) = graft.operators.PQ.ivfPqTrain(
+          emb, "vec_id", "embedding", "label", S, D)
+        graft.operators.PQ.ivfPqSearchRerank(cents, rcw, codes, emb,
+            emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 5, rerankWidth = 10, nProbe = 2, subspaces = S, subDim = D)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfPqRerankOracle))
   )
   /** Training-prefix CTEs of the IVF-PQ replay over `src`: coarse
     * centroids from labels, residuals (`resid1`), residual sub-codebooks
@@ -270,6 +289,15 @@ object PQQueries {
     * desynchronize them. `qsrc` is the relation query vectors come from —
     * `embeddings` normally, the rotated CTE for the OPQ variant. */
   private def ivfPqSearchTail(qsrc: String = "embeddings"): String =
+    s"""${ivfPqAdcCtes(qsrc)}
+      |SELECT query_id, neighbor_id, adist_ppm, CAST(rn AS INTEGER) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |               ORDER BY adist_ppm, neighbor_id) AS rn FROM approx) t
+      |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** The tail's CTE chain up to `approx` (per-candidate ADC sums) — the
+    * shared prefix of the plain top-5 select and the rerank variant. */
+  private def ivfPqAdcCtes(qsrc: String): String =
     s"""rsubs AS (
       |  SELECT vec_id, l, s,
       |         list_transform(range(8), i -> r[s*8 + i + 1]) AS sub
@@ -318,11 +346,12 @@ object PQQueries {
       |  FROM enc e JOIN lut u
       |    ON u.l = e.l AND u.s = e.s AND u.c_label = e.code
       |  WHERE e.vec_id <> u.query_id
-      |  GROUP BY u.query_id, e.vec_id)
-      |SELECT query_id, neighbor_id, adist_ppm, CAST(rn AS INTEGER) AS rank
-      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-      |               ORDER BY adist_ppm, neighbor_id) AS rn FROM approx) t
-      |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+      |  GROUP BY u.query_id, e.vec_id)""".stripMargin
+
+  /** q_ivfpq_search's oracle, exposed for the streamed-serving entry
+    * (q_stream_ann_search): the streamed path answers the same queries
+    * from the same saved index, so the batch replay gates it verbatim. */
+  private[queries] def ivfPqStreamOracle: String = ivfPqOracle
 
   /** DuckDB replay of the full IVF-PQ pipeline (centroids → residuals →
     * residual codebooks → probe → per-list LUT → ADC) — shared verbatim
@@ -394,6 +423,35 @@ object PQQueries {
        |${ivfPqTrainCtes("rot")},
        |resid AS (SELECT * FROM resid1),
        |${ivfPqSearchTail("rot")}""".stripMargin
+
+  /** DuckDB replay of ADC top-10 candidates + exact-L2 rerank to top-5:
+    * the train/ADC CTEs verbatim, then candidates join their float
+    * vectors and re-rank by the same sequential L2² fold Spark runs. */
+  private def ivfPqRerankOracle: String =
+    s"""WITH ${ivfPqTrainCtes("embeddings")},
+       |resid AS (SELECT * FROM resid1),
+       |${ivfPqAdcCtes("embeddings")},
+       |cand AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                 ORDER BY adist_ppm, neighbor_id) AS rn FROM approx) t
+       |  WHERE rn <= 10),
+       |rr AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_reduce(list_prepend(0::DOUBLE,
+       |        list_transform(range(64),
+       |          i -> (q.embedding[i+1]::DOUBLE - v.embedding[i+1]::DOUBLE)
+       |             * (q.embedding[i+1]::DOUBLE - v.embedding[i+1]::DOUBLE))),
+       |      (acc, x) -> acc + x) AS d
+       |  FROM cand c
+       |  JOIN embeddings v ON v.vec_id = c.neighbor_id
+       |  JOIN embeddings q ON q.vec_id = c.query_id)
+       |SELECT query_id, neighbor_id,
+       |       CAST(floor(d * 1e6) AS BIGINT) AS dist_ppm,
+       |       CAST(rn AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |               ORDER BY d, neighbor_id) AS rn FROM rr) t
+       |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Shared fold: exact sequential L2² between two 8-element lists. */
   private def l2sqSql(a: String, b: String): String =

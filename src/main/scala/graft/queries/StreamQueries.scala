@@ -704,6 +704,48 @@ object StreamQueries {
         }
         s.read.parquet(sink).orderBy(col("doc_id"))
       },
-      Some(CurationQueries.decontamOracleSql))
+      Some(CurationQueries.decontamOracleSql)),
+
+    // ---- streaming ANN search: query stream vs the persisted index ------
+    // The serving-side complement of the streaming index APPEND
+    // (IvfPqIndexSpec): queries arrive as a stream and each micro-batch
+    // is answered from the SAVED IVF-PQ index — build once, readStream
+    // the query vectors, foreachBatch runs searchIvfPq over the loaded
+    // artifacts and appends results. Search is stateless per query, so
+    // output is batching-invariant and q_ivfpq_search's own oracle gates
+    // the streamed path end to end (same index, same queries, same k).
+    // Scale: per batch, centroids/codebooks/LUT broadcast; only probed
+    // code lists scan — the index never reloads into memory between
+    // batches beyond parquet reads production would cache.
+    Q("q_stream_ann_search",
+      (s, dir) => {
+        val emb = graft.Tables.embeddings(s, dir)
+        val idxPath = java.nio.file.Files
+          .createTempDirectory("graft_stream_ann_idx").toString
+        graft.operators.VectorIndex.buildIvfPq(
+          emb, "vec_id", "embedding", "label", idxPath, 8, 8)
+        val qSrc = java.nio.file.Files
+          .createTempDirectory("graft_stream_ann_q").toString
+        emb.filter(col("vec_id") < 5)
+          .coalesce(1).write.mode("append").parquet(qSrc)
+        val sink = java.nio.file.Files
+          .createTempDirectory("graft_stream_ann_out").toString
+        val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(schema).parquet(qSrc)
+            .writeStream.foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  _: Long) =>
+                graft.operators.VectorIndex.searchIvfPq(
+                    batch.sparkSession, idxPath, batch,
+                    "vec_id", "embedding", k = 5, nProbe = 2)
+                  .write.mode("append").parquet(sink)
+                ()
+            }.start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.read.parquet(sink).orderBy(col("query_id"), col("rank"))
+      },
+      Some(PQQueries.ivfPqStreamOracle))
   )
 }
