@@ -149,6 +149,81 @@ object Knn {
         col("__rn").cast("int").as("rank"))
   }
 
+  /** Exact top-k by L2² distance, one partition-local pass — the L2
+    * sibling of [[bruteTopKPartitioned]] (cosine), and the truth oracle
+    * the ANN recall harness runs: IVF-PQ/ADC approximates L2, so its
+    * ground truth must be L2 too. Same structure: bounded per-query
+    * smallest-k heaps over a tight JVM loop (the exact
+    * [[graft.functions.L2SqExpr]] fold — sequential double accumulation
+    * over float→double widened components, so distances are bit-identical
+    * to the declarative window form and the DuckDB mirror), ≤ queries×k
+    * rows emitted per partition, a tiny global window merges partition
+    * winners. Measured at 2M vectors × 100 queries: 15 s vs 153 s for
+    * the declarative join+window form — pair materialization is the
+    * cost, not the arithmetic. Ties to the smallest neighbor id. */
+  def bruteTopKPartitionedL2(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val cand = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val nq = q.length
+        val ds  = Array.fill(nq)(Array.fill(k)(Double.PositiveInfinity))
+        val ids = Array.fill(nq)(Array.fill(k)(Long.MaxValue))
+        while (it.hasNext) {
+          val (id, v) = it.next()
+          var i = 0
+          while (i < nq) {
+            val (qid, qv) = q(i)
+            if (id != qid) {
+              var d = 0.0
+              var j = 0
+              while (j < qv.length) {
+                val t = qv(j).toDouble - v(j).toDouble
+                d += t * t
+                j += 1
+              }
+              val dd = ds(i); val is = ids(i)
+              // replace the worst (index 0) if better under (d asc, id)
+              if (d < dd(0) || (d == dd(0) && id < is(0))) {
+                dd(0) = d; is(0) = id
+                var b = 0
+                while (b + 1 < k &&
+                    (dd(b) < dd(b + 1) ||
+                      (dd(b) == dd(b + 1) && is(b) < is(b + 1)))) {
+                  val ts = dd(b); dd(b) = dd(b + 1); dd(b + 1) = ts
+                  val ti = is(b); is(b) = is(b + 1); is(b + 1) = ti
+                  b += 1
+                }
+              }
+            }
+            i += 1
+          }
+        }
+        q.indices.iterator.flatMap { i =>
+          val (qid, _) = q(i)
+          ds(i).indices.collect {
+            case j if ds(i)(j) != Double.PositiveInfinity =>
+              (qid, ids(i)(j), ds(i)(j))
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "__d")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d"), col("neighbor_id"))
+    cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        floor(col("__d") * 1e6).cast("long").as("dist_ppm"),
+        col("__rn").cast("int").as("rank"))
+  }
+
   /** Random-hyperplane LSH bucketing: `planes` sign bits of dot products
     * with deterministic pseudo-random hyperplanes (seeded arithmetic, no
     * RNG state — replayable across runs and engines). Vectors whose sign

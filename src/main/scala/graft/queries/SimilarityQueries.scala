@@ -94,6 +94,43 @@ object SimilarityQueries {
               |  WHERE a.vec_id < 10) t
               |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- exact L2 top-k, ONE-PASS partition-local form, oracle-gated ----
+    // The L2 sibling of q_knn_brute, run through the SCALE path
+    // (Knn.bruteTopKPartitionedL2: bounded per-query heaps, no pair
+    // materialization — measured 10× the declarative form at 2M vectors)
+    // rather than the declarative join+window. The oracle replays the
+    // declarative definition, so the hash match proves the one-pass
+    // heap merge IS the exact answer — candidate generation truth for
+    // the ANN recall harness comes from this operator. Distances fold
+    // sequentially over float→double widened components (L2SqExpr's
+    // order), bit-identical in both engines; ties to smaller id.
+    Q("q_knn_brute_l2",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Knn.bruteTopKPartitionedL2(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""SELECT query_id, neighbor_id,
+             |       CAST(floor(d * 1e6) AS BIGINT) AS dist_ppm,
+             |       CAST(rn AS INTEGER) AS rank
+             |FROM (
+             |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |    list_reduce(list_prepend(0::DOUBLE,
+             |        list_transform(range(64),
+             |          i -> (a.embedding[i+1]::DOUBLE - b.embedding[i+1]::DOUBLE)
+             |             * (a.embedding[i+1]::DOUBLE - b.embedding[i+1]::DOUBLE))),
+             |      (acc, x) -> acc + x) AS d,
+             |    row_number() OVER (PARTITION BY a.vec_id
+             |      ORDER BY list_reduce(list_prepend(0::DOUBLE,
+             |          list_transform(range(64),
+             |            i -> (a.embedding[i+1]::DOUBLE - b.embedding[i+1]::DOUBLE)
+             |               * (a.embedding[i+1]::DOUBLE - b.embedding[i+1]::DOUBLE))),
+             |        (acc, x) -> acc + x), b.vec_id) AS rn
+             |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+             |  WHERE a.vec_id < 10) t
+             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // ---- ANN scale path: random-hyperplane LSH bucket + NN inside it ----
     // The plane count is DERIVED from corpus size (smallest p with
     // 2^p·8 ≥ n, Knn.planesFor) so expected bucket width stays constant
