@@ -23,8 +23,42 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
+  // ---- batch-partitioned codes: the exactly-once append mechanism ---------
+  // Codes live under `codes/__batch=<id>/` (-1 = the build, so the
+  // 0-based foreachBatch ids can never collide with it). An append
+  // that carries a batch id writes its partition with DYNAMIC partition
+  // overwrite, so a replayed batch (Structured Streaming foreachBatch is
+  // at-least-once) replaces ITS OWN partition instead of double-appending
+  // — pass the foreachBatch batchId and ingest is exactly-once. Appends
+  // without an id allocate the next free partition (plain at-least-once,
+  // fine for one-shot batch adds — do not mix unkeyed appends with keyed
+  // streaming on one index: the keys share the partition space). Loaders
+  // drop the partition column, so nothing downstream sees the layout.
+
+  private def nextBatchId(spark: SparkSession, codes: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(codes)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("__batch=") =>
+        n.stripPrefix("__batch=").toLong }
+    if (ids.isEmpty) 0L else math.max(ids.max + 1L, 0L)
+  }
+
+  private def writeCodes(codes: DataFrame, path: String,
+      batchId: Option[Long]): Unit = {
+    val batch = batchId.getOrElse(
+      nextBatchId(codes.sparkSession, s"$path/codes"))
+    codes.withColumn("__batch", lit(batch))
+      .write.partitionBy("__batch")
+      .mode(if (batchId.isDefined) "overwrite" else "append")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$path/codes")
+  }
+
   /** Build from raw vectors and persist: fits thresholds, packs codes,
-    * writes `path/thresholds` (1 row) + `path/codes`. */
+    * writes `path/thresholds` (1 row) + `path/codes` (partition
+    * `__batch=-1`). */
   def buildBinary(emb: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
     // materialize the 1-row fit once: the artifact write and the codes
@@ -34,18 +68,23 @@ object VectorIndex {
     thr.write.mode("overwrite").parquet(s"$path/thresholds")
     BinaryQuant.withCode(emb, vecCol, thr)
       .select(col(idCol).as("vec_id"), col("code"))
-      .write.mode("overwrite").parquet(s"$path/codes")
+      .withColumn("__batch", lit(-1L))
+      .write.partitionBy("__batch").mode("overwrite")
+      .parquet(s"$path/codes")
   }
 
   /** Encode NEW vectors under the saved thresholds and append their codes
     * — never refits (refitting would silently shift bit meanings under
-    * every code already in the index). */
+    * every code already in the index). Pass the streaming `batchId` for
+    * replay-safe (exactly-once) ingest; without it the append is plain
+    * at-least-once. */
   def appendBinary(emb: DataFrame, idCol: String, vecCol: String,
-      path: String): Unit = {
+      path: String, batchId: Option[Long] = None): Unit = {
     val thr = emb.sparkSession.read.parquet(s"$path/thresholds")
-    BinaryQuant.withCode(emb, vecCol, thr)
-      .select(col(idCol).as("vec_id"), col("code"))
-      .write.mode("append").parquet(s"$path/codes")
+    writeCodes(
+      BinaryQuant.withCode(emb, vecCol, thr)
+        .select(col(idCol).as("vec_id"), col("code")),
+      path, batchId)
   }
 
   // ---- delete + compaction (shared by both index kinds) --------------------
@@ -83,15 +122,16 @@ object VectorIndex {
 
   /** Rewrite `path/codes` minus tombstones and clear the tombstone log.
     * Writes to a scratch dir first, then swaps — existing code files are
-    * never modified in place. No-op (beyond a read) when nothing is
-    * tombstoned. */
+    * never modified in place; batch partitioning is preserved so
+    * post-compaction appends keep their replay safety. No-op (beyond a
+    * read) when nothing is tombstoned. */
   def compact(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones"))) return
     val tmp = new org.apache.hadoop.fs.Path(s"$path/codes_compacting")
     minusTombstones(spark, path, spark.read.parquet(s"$path/codes"))
-      .write.mode("overwrite").parquet(tmp.toString)
+      .write.partitionBy("__batch").mode("overwrite").parquet(tmp.toString)
     val live = new org.apache.hadoop.fs.Path(s"$path/codes")
     fs.delete(live, true)
     fs.rename(tmp, live)
@@ -100,7 +140,7 @@ object VectorIndex {
 
   /** Codes table of a saved index: (vec_id, code). */
   def loadBinaryCodes(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/codes")
+    spark.read.parquet(s"$path/codes").drop("__batch")
 
   /** Saved threshold artifact: the 1-row `__thr` frame `withCode` takes. */
   def loadBinaryThresholds(spark: SparkSession, path: String): DataFrame =
@@ -149,7 +189,9 @@ object VectorIndex {
         residCodebook)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     rcw.write.mode("overwrite").parquet(s"$path/codebooks")
-    codes.write.mode("overwrite").parquet(s"$path/codes")
+    codes.withColumn("__batch", lit(-1L))
+      .write.partitionBy("__batch").mode("overwrite")
+      .parquet(s"$path/codes")
     // geometry travels with the index: search/append must never guess it
     emb.sparkSession.sql(s"SELECT $subspaces AS subspaces, $subDim AS sub_dim")
       .write.mode("overwrite").parquet(s"$path/meta")
@@ -160,13 +202,14 @@ object VectorIndex {
     * sub-codebooks, and only `path/codes` grows — centroids and codebooks
     * are read, never rewritten.
     *
-    * At-least-once caveat: the append itself is a plain parquet append
-    * with no idempotency key, so a caller replaying a failed batch (e.g.
-    * Structured Streaming `foreachBatch`, which is at-least-once) can
-    * double-append code rows. Exactly-once callers must either gate on
-    * the batchId or dedup codes on (vec_id, s) at load. */
+    * Replay safety: pass the Structured Streaming `batchId` and the
+    * append writes its own `__batch` partition with dynamic overwrite --
+    * a foreachBatch retry (at-least-once) REPLACES the partition instead
+    * of double-appending, making streaming ingest exactly-once
+    * (spec-locked in IvfPqIndexSpec). Without a batchId the append
+    * allocates the next free partition and is plain at-least-once. */
   def appendIvfPq(emb: DataFrame, idCol: String, vecCol: String,
-      path: String): Unit = {
+      path: String, batchId: Option[Long] = None): Unit = {
     val spark = emb.sparkSession
     val meta = spark.read.parquet(s"$path/meta").head()
     val (subspaces, subDim) =
@@ -179,11 +222,12 @@ object VectorIndex {
     // the checkpoint is cheap; same discipline as ivfPqTrain's artifacts)
     val assigned = PQ.assignNearestList(emb, idCol, vecCol, cents)
       .localCheckpoint(true)
-    PQ.encode(assigned, "vec_id", "__r", "__list", subspaces, subDim,
-        Some(rcw))
-      .join(assigned.select(col("vec_id"), col("__list")), Seq("vec_id"))
-      .select(col("vec_id"), col("__list"), col("s"), col("code"))
-      .write.mode("append").parquet(s"$path/codes")
+    writeCodes(
+      PQ.encode(assigned, "vec_id", "__r", "__list", subspaces, subDim,
+          Some(rcw))
+        .join(assigned.select(col("vec_id"), col("__list")), Seq("vec_id"))
+        .select(col("vec_id"), col("__list"), col("s"), col("code")),
+      path, batchId)
   }
 
   def loadIvfPqCentroids(spark: SparkSession, path: String): DataFrame =
@@ -191,7 +235,7 @@ object VectorIndex {
   def loadIvfPqCodebooks(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/codebooks")
   def loadIvfPqCodes(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/codes")
+    spark.read.parquet(s"$path/codes").drop("__batch")
 
   /** ADC search over a SAVED index: probe the loaded centroids, LUT from
     * the loaded codebooks, scan the loaded codes — identical results to

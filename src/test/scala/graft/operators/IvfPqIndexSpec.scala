@@ -36,8 +36,9 @@ class IvfPqIndexSpec extends AnyFunSuite {
     // it; the stream only APPENDS the second half — so the streamed index
     // must equal a BATCH append of the same drop under the same
     // half-trained quantizer (same quantizer ⇒ same codes, whatever the
-    // batching). Note foreachBatch is at-least-once: this test relies on
-    // no batch retry occurring (see appendIvfPq's scaladoc caveat).
+    // batching). The foreachBatch batchId is passed through, so a
+    // replayed batch would overwrite its own partition (exactly-once —
+    // replay idempotence itself is locked by the test below).
     VectorIndex.buildIvfPq(
       emb.filter(col("vec_id") < n / 2), "vec_id", "embedding", "label",
       path, 8, 8)
@@ -50,8 +51,9 @@ class IvfPqIndexSpec extends AnyFunSuite {
     val q = s.readStream.schema(schema).parquet(srcDir)
       .writeStream.foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-            _: Long) =>
-          VectorIndex.appendIvfPq(batch, "vec_id", "embedding", path)
+            bid: Long) =>
+          VectorIndex.appendIvfPq(batch, "vec_id", "embedding", path,
+            batchId = Some(bid))
           ()
       }.start()
     try {
@@ -72,6 +74,35 @@ class IvfPqIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3))).toSet
     assert(streamed == batch,
       "streamed appends must equal a batch append under the same quantizer")
+  }
+
+  test("replayed keyed batch overwrites its own partition: exactly-once") {
+    val path = Files.createTempDirectory("ivfpq_replay").toString
+    val n = emb.count()
+    VectorIndex.buildIvfPq(
+      emb.filter(col("vec_id") < n / 2), "vec_id", "embedding", "label",
+      path, 8, 8)
+    val built = VectorIndex.loadIvfPqCodes(s, path).count()
+    val drop = emb.filter(col("vec_id") >= n / 2)
+    VectorIndex.appendIvfPq(drop, "vec_id", "embedding", path,
+      batchId = Some(0L))
+    val after = VectorIndex.loadIvfPqCodes(s, path).count()
+    assert(after > built)
+    // the at-least-once retry: same batch id, same rows — must be a
+    // no-op on the totals (the partition is REPLACED, not appended)
+    VectorIndex.appendIvfPq(drop, "vec_id", "embedding", path,
+      batchId = Some(0L))
+    assert(VectorIndex.loadIvfPqCodes(s, path).count() == after,
+      "replaying a keyed batch must not grow the index")
+    // batch id 0 must never collide with the build's partition
+    assert(VectorIndex.loadIvfPqCodes(s, path).count() == n * 8)
+    // a NEW batch id still appends
+    val extra = drop.limit(3)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+        col("label"))
+    VectorIndex.appendIvfPq(extra, "vec_id", "embedding", path,
+      batchId = Some(1L))
+    assert(VectorIndex.loadIvfPqCodes(s, path).count() == (n + 3) * 8)
   }
 
   test("append encodes under the saved quantizer and never refits it") {
