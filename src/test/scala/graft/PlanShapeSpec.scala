@@ -335,4 +335,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
       s"no loop join in co-purchase mining:\n$s")
   }
+
+  test("IVF-PQ rerank: candidates broadcast against the vector source; " +
+    "the corpus never shuffles into a sort-merge join") {
+    val s = render(plan("q_ivfpq_rerank"))
+    assert(s.contains("BroadcastHashJoin"),
+      s"candidate set and query set must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("SortMergeJoin"),
+      s"rerank must stay broadcast equi-joins:\n$s")
+  }
+
+  test("k-means PQ encode: codebook broadcasts, argmin is the declarative " +
+    "min(struct) — not a min_by typed-imperative buffer") {
+    val s = render(plan("q_pq_kmeans"))
+    assert(s.contains("BroadcastHashJoin"),
+      s"the fitted codebook must broadcast against the subvectors:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"encode must stay an equi-join:\n$s")
+    // min(struct(d2, cid, …)) plans as a map-side-combinable
+    // SortAggregate (struct buffers are immutable — measured 2.4× over
+    // min_by's per-row serialized buffer); the only ObjectHashAggregate
+    // allowed is the 8-element collect_list assembling the codes string
+    assert(s.contains("min(struct") && !s.contains("min_by"),
+      s"argmin must be the declarative min(struct), not min_by:\n$s")
+  }
+
+  test("one-pass exact L2 top-k: no join operator at all — the pair " +
+    "join is the anti-pattern this operator exists to avoid") {
+    val s = render(plan("q_knn_brute_l2"))
+    assert(!s.contains("Join"), s"one-pass form must not plan a join:\n$s")
+    assert(s.contains("MapPartitions"),
+      s"expected the partition-local heap pass:\n$s")
+  }
 }
