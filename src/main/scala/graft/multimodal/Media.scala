@@ -137,6 +137,56 @@ object Media {
     }
   }
 
+  final case class PHashRow(media_id: Long, ph_hi: Long, ph_lo: Long)
+
+  /** 64-bit difference hash (dHash — the standard perceptual image hash):
+    * resize to 9×8 with the SAME nearest-neighbor kernel as [[resize]],
+    * then bit (y,x) = thumb(y,x) > thumb(y,x+1) — a horizontal-gradient
+    * sign map, robust to uniform brightness/contrast shifts a mean-
+    * threshold aHash is not. Packed as two 32-bit halves (`ph_hi` bits
+    * 32–63, `ph_lo` bits 0–31, both non-negative) so the oracle mirror
+    * never has to build a sign-bit literal (DuckDB raises on `1<<63`).
+    *
+    * Near-duplicate search over the hashes is a banded Hamming join
+    * ([[graft.operators.MinHashLSH.hammingBandPairs]]) — pairs, never a
+    * cross join. Scale: one narrow typed map after the resize pass;
+    * payload bytes never shuffle, 2 longs per item cross the wire. */
+  def dHash(media: Dataset[MediaRow]): Dataset[PHashRow] = {
+    import media.sparkSession.implicits._
+    resize(media, tw = 9, th = 8).map { r =>
+      var lo = 0L; var hi = 0L
+      var j = 0
+      while (j < 64) {
+        val y = j / 8; val x = j % 8
+        if ((r.thumb(y * 9 + x) & 0xff) > (r.thumb(y * 9 + x + 1) & 0xff)) {
+          if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+        }
+        j += 1
+      }
+      PHashRow(r.media_id, hi, lo)
+    }
+  }
+
+  /** Like [[synthesize]] but with dimensions derived from the payload —
+    * `w = max(8, ⌊√n⌋)`, `h = ⌈n/w⌉` — so the bytes-as-pixels raster
+    * COVERS the payload instead of reading past it. [[synthesize]]'s
+    * id-derived dims leave all but the first thumb row past the end of
+    * typical payloads, which collapses every perceptual hash toward the
+    * all-zero image; covering dims make hashes track content. */
+  def synthesizeCovering(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val n = octet_length(col(payloadCol)).cast("long")
+    val w = greatest(lit(8L), floor(sqrt(n.cast("double"))).cast("long"))
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit("image").as("kind"),
+      encode(col(payloadCol), "UTF-8").as("bytes"),
+      w.cast("int").as("width"),
+      // floor of a correctly-rounded double division is exact here: the
+      // true quotient is ≥ 1/w away from any integer it doesn't hit
+      floor((n + w - lit(1L)) / w).cast("int").as("height"),
+      lit(16000).as("sample_rate"))
+  }
+
   /** Build a media frame from any table with an id + string payload —
     * test/bench helper producing deterministic binary content. */
   def synthesize(df: DataFrame, idCol: String, payloadCol: String): DataFrame =

@@ -202,4 +202,51 @@ object MinHashLSH {
         bit_count(col("a.__sh").bitwiseXOR(col("b.__sh"))).cast("long").as("hamming"))
       .distinct()
   }
+
+  /** [[simhashBandPairs]] for a 64-bit hash carried as two non-negative
+    * 32-bit halves (`hiCol` bits 32–63, `loCol` bits 0–31) — the portable
+    * representation perceptual hashes use so SQL mirrors never build a
+    * sign-bit literal. Bands split each half into 32/bandBits keys; with
+    * `maxHamming < 64/bandBits` the pigeonhole guarantee holds and the
+    * output is bit-identical to the quadratic Hamming self-join. Same
+    * scale shape: bandCount×N tiny rows shuffle, Σ bucket² work inside
+    * bandBits-bit buckets, no cross join.
+    */
+  def hammingBandPairs(
+      df: DataFrame,
+      idCol: String,
+      hiCol: String,
+      loCol: String,
+      maxHamming: Int,
+      bandBits: Int = 4): DataFrame = {
+    require(32 % bandBits == 0, s"bandBits must divide 32, got $bandBits")
+    val perHalf = 32 / bandBits
+    val bandCount = 2 * perHalf
+    require(maxHamming < bandCount,
+      s"recall-1.0 banding needs maxHamming < bands ($maxHamming >= $bandCount)")
+    val mask = (1L << bandBits) - 1
+    val banded = df.select(
+        col(idCol).as("__id"), col(hiCol).as("__hi"), col(loCol).as("__lo"),
+        explode(sequence(lit(0), lit(bandCount - 1))).as("__band"))
+      .withColumn("__key",
+        when(col("__band") < perHalf,
+          expr(s"shiftright(__lo, __band * $bandBits)").bitwiseAND(lit(mask)))
+          .otherwise(
+            expr(s"shiftright(__hi, (__band - $perHalf) * $bandBits)")
+              .bitwiseAND(lit(mask))))
+      .select(col("__id"), col("__hi"), col("__lo"), col("__band"), col("__key"))
+
+    val ham =
+      bit_count(col("a.__hi").bitwiseXOR(col("b.__hi"))) +
+        bit_count(col("a.__lo").bitwiseXOR(col("b.__lo")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__key") === col("b.__key") &&
+          col("a.__id") < col("b.__id") &&
+          ham <= maxHamming)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        ham.cast("long").as("hamming"))
+      .distinct()
+  }
 }

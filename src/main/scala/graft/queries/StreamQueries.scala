@@ -665,6 +665,61 @@ object StreamQueries {
              |    AS px_checksum
              |FROM px ORDER BY media_id""".stripMargin)),
 
+    // ---- multimodal near-dedup: perceptual hash + banded Hamming join ---
+    // Image dedup the way production pipelines run it: a 64-bit dHash
+    // (9×8 nearest-neighbor thumb → horizontal-gradient sign bits, the
+    // standard perceptual hash) per item, then near-duplicate pairs via
+    // the 16×4-bit banded Hamming join — maxHamming=12 < 16 bands, so the
+    // pigeonhole guarantee makes the banded output bit-identical to the
+    // quadratic self-join the oracle runs. Dims derive from the payload
+    // (synthesizeCovering) so the raster covers the content; a real codec
+    // swap changes the pixel source, not the hash or the join. Scale:
+    // payloads never shuffle — 2 longs per item feed the band join.
+    Q("q_media_phash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val media = Media.synthesizeCovering(
+          graft.Tables.documents(s, dir), "doc_id", "text").as[Media.MediaRow]
+        graft.operators.MinHashLSH.hammingBandPairs(
+            Media.dHash(media).toDF(), "media_id", "ph_hi", "ph_lo",
+            maxHamming = 12)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id AS media_id, text, strlen(text) AS n,
+             |    greatest(8, CAST(floor(sqrt(strlen(text))) AS BIGINT)) AS w
+             |  FROM documents),
+             |m2 AS (SELECT media_id, text, n, w, (n + w - 1) // w AS h FROM m),
+             |px AS (
+             |  SELECT media_id,
+             |    list_transform(range(72), p ->
+             |      CASE WHEN (p // 9) * h // 8 * w + (p % 9) * w // 9 < n
+             |           THEN unicode(text[CAST((p // 9) * h // 8 * w
+             |                  + (p % 9) * w // 9 AS INTEGER) + 1])
+             |           ELSE 0 END) AS pxs
+             |  FROM m2),
+             |h AS (
+             |  SELECT media_id,
+             |    list_reduce(list_prepend(0::BIGINT,
+             |      list_transform(range(32), i ->
+             |        CASE WHEN pxs[(i // 8) * 9 + (i % 8) + 1]
+             |                  > pxs[(i // 8) * 9 + (i % 8) + 2]
+             |             THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
+             |      (a, x) -> a + x) AS lo,
+             |    list_reduce(list_prepend(0::BIGINT,
+             |      list_transform(range(32), i ->
+             |        CASE WHEN pxs[((i + 32) // 8) * 9 + ((i + 32) % 8) + 1]
+             |                  > pxs[((i + 32) // 8) * 9 + ((i + 32) % 8) + 2]
+             |             THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
+             |      (a, x) -> a + x) AS hi
+             |  FROM px)
+             |SELECT a.media_id AS id_a, b.media_id AS id_b,
+             |  CAST(bit_count(xor(a.hi, b.hi))
+             |     + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+             |FROM h a JOIN h b ON a.media_id < b.media_id
+             |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 12
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- ingest-time decontamination: the streaming scrub ---------------
     // q_decontaminate runs the n-gram eval-overlap scrub as a BATCH pass;
     // a production pipeline scrubs at INGEST so contaminated documents
