@@ -36,6 +36,41 @@ object StreamQueries {
         .parquet(dir))
   }
 
+  /** Shared oracle CTE: the dHash construction over `documents` — covering
+    * dims (w=max(8,⌊√n⌋), h=⌈n/w⌉), the 9×8 nearest-neighbor resize kernel
+    * (same arithmetic q_media_resize proves), horizontal-gradient sign
+    * bits packed as two non-negative 32-bit halves. Ends with CTE `h`
+    * (media_id, lo, hi); consumers add their own pair/cluster logic. */
+  private val phashCte: String =
+    """m AS (
+      |  SELECT doc_id AS media_id, text, strlen(text) AS n,
+      |    greatest(8, CAST(floor(sqrt(strlen(text))) AS BIGINT)) AS w
+      |  FROM documents),
+      |m2 AS (SELECT media_id, text, n, w, (n + w - 1) // w AS h FROM m),
+      |px AS (
+      |  SELECT media_id,
+      |    list_transform(range(72), p ->
+      |      CASE WHEN (p // 9) * h // 8 * w + (p % 9) * w // 9 < n
+      |           THEN unicode(text[CAST((p // 9) * h // 8 * w
+      |                  + (p % 9) * w // 9 AS INTEGER) + 1])
+      |           ELSE 0 END) AS pxs
+      |  FROM m2),
+      |h AS (
+      |  SELECT media_id,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(range(32), i ->
+      |        CASE WHEN pxs[(i // 8) * 9 + (i % 8) + 1]
+      |                  > pxs[(i // 8) * 9 + (i % 8) + 2]
+      |             THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
+      |      (a, x) -> a + x) AS lo,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(range(32), i ->
+      |        CASE WHEN pxs[((i + 32) // 8) * 9 + ((i + 32) % 8) + 1]
+      |                  > pxs[((i + 32) // 8) * 9 + ((i + 32) % 8) + 2]
+      |             THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
+      |      (a, x) -> a + x) AS hi
+      |  FROM px)""".stripMargin
+
   /** State-store partition count is fixed at stream START from
     * spark.sql.shuffle.partitions; for these registry queries the state is
     * tiny (hundreds of windows/ids from one static file) so 32 partitions
@@ -685,40 +720,54 @@ object StreamQueries {
             maxHamming = 12)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""WITH m AS (
-             |  SELECT doc_id AS media_id, text, strlen(text) AS n,
-             |    greatest(8, CAST(floor(sqrt(strlen(text))) AS BIGINT)) AS w
-             |  FROM documents),
-             |m2 AS (SELECT media_id, text, n, w, (n + w - 1) // w AS h FROM m),
-             |px AS (
-             |  SELECT media_id,
-             |    list_transform(range(72), p ->
-             |      CASE WHEN (p // 9) * h // 8 * w + (p % 9) * w // 9 < n
-             |           THEN unicode(text[CAST((p // 9) * h // 8 * w
-             |                  + (p % 9) * w // 9 AS INTEGER) + 1])
-             |           ELSE 0 END) AS pxs
-             |  FROM m2),
-             |h AS (
-             |  SELECT media_id,
-             |    list_reduce(list_prepend(0::BIGINT,
-             |      list_transform(range(32), i ->
-             |        CASE WHEN pxs[(i // 8) * 9 + (i % 8) + 1]
-             |                  > pxs[(i // 8) * 9 + (i % 8) + 2]
-             |             THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
-             |      (a, x) -> a + x) AS lo,
-             |    list_reduce(list_prepend(0::BIGINT,
-             |      list_transform(range(32), i ->
-             |        CASE WHEN pxs[((i + 32) // 8) * 9 + ((i + 32) % 8) + 1]
-             |                  > pxs[((i + 32) // 8) * 9 + ((i + 32) % 8) + 2]
-             |             THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
-             |      (a, x) -> a + x) AS hi
-             |  FROM px)
+      Some(s"""WITH $phashCte
              |SELECT a.media_id AS id_a, b.media_id AS id_b,
              |  CAST(bit_count(xor(a.hi, b.hi))
              |     + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
              |FROM h a JOIN h b ON a.media_id < b.media_id
              |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 12
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- multimodal dedup clusters: phash pairs → connected components --
+    // The step after pair generation: union-find over the perceptual-hash
+    // pair graph (near-dup similarity is only locally transitive), one
+    // cluster row per clustered media item with its size — what a keeper
+    // policy consumes. Same distributed min-label propagation as
+    // q_dedup_clusters (operators.Components); the oracle re-derives the
+    // pairs from the phash CTE and closes them with a recursive CTE, so
+    // the hash match proves the fixpoint over perceptual edges.
+    Q("q_media_phash_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val media = Media.synthesizeCovering(
+          graft.Tables.documents(s, dir), "doc_id", "text").as[Media.MediaRow]
+        val edges = graft.operators.MinHashLSH.hammingBandPairs(
+            Media.dHash(media).toDF(), "media_id", "ph_hi", "ph_lo",
+            maxHamming = 12)
+          .select(col("id_a"), col("id_b"))
+        val comps = graft.operators.Components
+          .connectedComponents(edges, "id_a", "id_b")
+        val sizes = comps.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+        comps.join(broadcast(sizes), Seq("cluster_id"))
+          .select(col("id").as("media_id"), col("cluster_id"), col("cluster_size"))
+          .orderBy(col("media_id"))
+      },
+      Some(s"""WITH RECURSIVE $phashCte,
+             |pairs AS (
+             |  SELECT a.media_id AS id_a, b.media_id AS id_b
+             |  FROM h a JOIN h b ON a.media_id < b.media_id
+             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 12),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT src AS id, src AS r FROM edges
+             |  UNION
+             |  SELECT e.src AS id, rc.r FROM edges e JOIN reach rc ON rc.id = e.dst),
+             |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+             |SELECT id AS media_id, cluster_id,
+             |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+             |FROM lab ORDER BY media_id""".stripMargin)),
 
     // ---- ingest-time decontamination: the streaming scrub ---------------
     // q_decontaminate runs the n-gram eval-overlap scrub as a BATCH pass;

@@ -61,6 +61,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"banded simhash must plan an equi-join:\n$s")
   }
 
+  test("phash dedup (two-half Hamming banding) is a banded equi-join") {
+    val s = render(plan("q_media_phash_dedup"))
+    assert(s.contains("Join"), s"phash dedup must contain the band join:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"banded phash dedup must plan an equi-join:\n$s")
+  }
+
   test("LSH scale paths (embedding near-dup, profile NN) plan no loop join") {
     for (q <- Seq("q_embedding_neardup_lsh", "q_ts_profile_nn_lsh")) {
       val s = render(plan(q))
