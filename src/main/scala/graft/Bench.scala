@@ -35,6 +35,7 @@ object Bench {
     "q_doc_quality",           // text analysis
     "q_decontaminate",         // corpus curation (eval-overlap scrub)
     "q_bpe_merges",            // tokenizer training (iterative vocab rounds)
+    "q_media_phash_dedup",     // multimodal (perceptual-hash near-dedup)
     "q_zscore_events",         // ML standardization
     "q_iforest_top_anomalies", // custom ML scoring
     "q_stream_hourly_rollup")  // structured streaming

@@ -617,6 +617,36 @@ object Stress {
         println(counts.map { case (k, v) => s""""$k":$v""" }
           .mkString("{", ",", f""","seconds":$dt%.1f}"""))
 
+      case "phash" =>
+        // copies× exact-replicated docs: every replica pair is a
+        // hamming-0 perceptual dup by construction, so pair volume is
+        // known (docs × C(copies,2) + the corpus's own near-dup pairs).
+        // At this scale the banding config shifts: 8-bit bands (256-way
+        // buckets) with maxHamming=6 < 8 bands — the 4-bit registry
+        // config's 16-way buckets would put ~n/16 rows per bucket and
+        // Σ bucket² work grows quadratically in n. Wider bands buy
+        // bucket width at the cost of a tighter provable tau: the
+        // banding knob IS the scale knob.
+        val dph0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val bigd = (0 until copies).map(i =>
+            dph0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+              col("text")))
+          .reduce(_ unionByName _).cache()
+        val nItems = bigd.count()
+        val tp0 = System.nanoTime()
+        val phMedia = multimodal.Media.synthesizeCovering(bigd, "doc_id", "text")
+          .as[multimodal.Media.MediaRow](
+            org.apache.spark.sql.Encoders.product[multimodal.Media.MediaRow])
+        val ph = multimodal.Media.dHash(phMedia).toDF().localCheckpoint(true)
+        val tHash = (System.nanoTime() - tp0) / 1e9
+        val tp1 = System.nanoTime()
+        val phPairs = operators.MinHashLSH.hammingBandPairs(
+          ph, "media_id", "ph_hi", "ph_lo", maxHamming = 6, bandBits = 8)
+        val nPairs = phPairs.count()
+        val tPair = (System.nanoTime() - tp1) / 1e9
+        bigd.unpersist()
+        println(f"""{"items":$nItems%d,"hash_seconds":$tHash%.1f,"pairs":$nPairs%d,"pair_seconds":$tPair%.1f}""")
+
       case "cc" =>
         // one path graph of copies×100k nodes: diameter = n-1, the case
         // where min-label propagation needs O(n) rounds and the

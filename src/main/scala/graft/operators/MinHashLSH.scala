@@ -235,6 +235,12 @@ object MinHashLSH {
             expr(s"shiftright(__hi, (__band - $perHalf) * $bandBits)")
               .bitwiseAND(lit(mask))))
       .select(col("__id"), col("__hi"), col("__lo"), col("__band"), col("__key"))
+      // hash-partition on the band key: the explode inherits the scan's
+      // partitioning (often ONE task for a small file), and without this
+      // every Σ bucket² candidate evaluation lands on that one task. The
+      // shuffle moves only bandCount×N tiny rows — the design's stated
+      // cost — and parallelizes the bucket work across the cluster.
+      .repartition(col("__band"), col("__key"))
 
     val ham =
       bit_count(col("a.__hi").bitwiseXOR(col("b.__hi"))) +

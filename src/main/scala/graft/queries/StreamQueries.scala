@@ -716,7 +716,11 @@ object StreamQueries {
         val media = Media.synthesizeCovering(
           graft.Tables.documents(s, dir), "doc_id", "text").as[Media.MediaRow]
         graft.operators.MinHashLSH.hammingBandPairs(
-            Media.dHash(media).toDF(), "media_id", "ph_hi", "ph_lo",
+            // materialize the 2-longs-per-item hash table once: the banded
+            // self-join consumes it on both sides, and without the cut the
+            // resize+hash pass runs twice
+            Media.dHash(media).toDF().localCheckpoint(true),
+            "media_id", "ph_hi", "ph_lo",
             maxHamming = 12)
           .orderBy(col("id_a"), col("id_b"))
       },
@@ -742,7 +746,11 @@ object StreamQueries {
         val media = Media.synthesizeCovering(
           graft.Tables.documents(s, dir), "doc_id", "text").as[Media.MediaRow]
         val edges = graft.operators.MinHashLSH.hammingBandPairs(
-            Media.dHash(media).toDF(), "media_id", "ph_hi", "ph_lo",
+            // materialize the 2-longs-per-item hash table once: the banded
+            // self-join consumes it on both sides, and without the cut the
+            // resize+hash pass runs twice
+            Media.dHash(media).toDF().localCheckpoint(true),
+            "media_id", "ph_hi", "ph_lo",
             maxHamming = 12)
           .select(col("id_a"), col("id_b"))
         val comps = graft.operators.Components
