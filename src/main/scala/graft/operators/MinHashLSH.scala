@@ -191,6 +191,10 @@ object MinHashLSH {
       .withColumn("__key",
         expr(s"shiftright(__sh, __band * $bandBits)").bitwiseAND(lit(mask)))
       .select(col("__id"), col("__sh"), col("__band"), col("__key"))
+      // same partitioning rule as hammingBandPairs: without it the explode
+      // inherits the scan's (often single-file, single-task) partitioning
+      // and the whole Σ bucket² evaluation serializes on one core
+      .repartition(col("__band"), col("__key"))
 
     banded.as("a").filter(probePred(col("a.__id")))
       .join(banded.as("b"),
