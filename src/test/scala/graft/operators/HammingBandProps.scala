@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Property check for the two-half banded Hamming join: on ARBITRARY
+  * 64-bit hashes (not just corpus-derived ones) and any legal
+  * (maxHamming, bandBits), the banded output equals a from-scratch JVM
+  * popcount model — the pigeonhole recall-1.0 claim, exercised across the
+  * whole hash space including adversarial all-zero / all-one values. */
+object HammingBandProps extends Properties("graft.hammingband") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = SparkSpec.session
+
+  private val genHalf: Gen[Long] = Gen.oneOf(
+    Gen.chooseNum(0L, (1L << 32) - 1),
+    Gen.oneOf(0L, (1L << 32) - 1, 0x55555555L, 0xAAAAAAAAL))
+  private val genRows: Gen[List[(Long, Long)]] =
+    Gen.chooseNum(2, 14).flatMap(n => Gen.listOfN(n, Gen.zip(genHalf, genHalf)))
+  private val genCfg: Gen[(Int, Int)] = for {
+    bandBits <- Gen.oneOf(4, 8, 16)
+    tau <- Gen.chooseNum(0, 64 / bandBits - 1)
+  } yield (bandBits, tau)
+
+  property("banded pairs ≡ JVM popcount model for any hashes and config") =
+    Prop.forAll(genRows, genCfg) { case (rows, (bandBits, tau)) =>
+      import spark.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((hi, lo), i) => (i.toLong, hi, lo) }
+        .toDF("id", "hi", "lo")
+      val got = MinHashLSH.hammingBandPairs(df, "id", "hi", "lo",
+          maxHamming = tau, bandBits = bandBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+      val idx = rows.zipWithIndex
+      val expected = (for {
+        ((ha, la), a) <- idx
+        ((hb, lb), b) <- idx if a < b
+        ham = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+        if ham <= tau
+      } yield (a.toLong, b.toLong, ham.toLong)).toSet
+
+      Prop(got == expected) :| s"got=$got expected=$expected tau=$tau bb=$bandBits"
+    }
+}
