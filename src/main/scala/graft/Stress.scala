@@ -647,6 +647,31 @@ object Stress {
         bigd.unpersist()
         println(f"""{"items":$nItems%d,"hash_seconds":$tHash%.1f,"pairs":$nPairs%d,"pair_seconds":$tPair%.1f}""")
 
+      case "phashq" =>
+        // phash quality vs the repo's own text-near-dup truth
+        // (shingle-hash Jaccard ≥ 0.5, the q_jaccard_pairs definition):
+        // how much of TEXT near-dup structure does the image-modality
+        // hash recover, and at what precision? Expected shape (SCALE.md):
+        // precision ≈ 1, recall bounded well below 1 by translation
+        // variance — insert/delete edits shift every downstream raster
+        // byte, which no Hamming radius recovers.
+        val docsq = Tables.documents(spark, sfDir)
+        val truth = operators.MinHashLSH.jaccardPairs(
+            docsq, "doc_id", "text", minJaccardPpm = 500000L)
+          .select(col("id_a"), col("id_b")).cache()
+        val qMedia = multimodal.Media.synthesizeCovering(docsq, "doc_id", "text")
+          .as[multimodal.Media.MediaRow](
+            org.apache.spark.sql.Encoders.product[multimodal.Media.MediaRow])
+        val qPairs = operators.MinHashLSH.hammingBandPairs(
+            multimodal.Media.dHash(qMedia).toDF().localCheckpoint(true),
+            "media_id", "ph_hi", "ph_lo", maxHamming = 12)
+          .select(col("id_a"), col("id_b")).cache()
+        val nTruth = truth.count()
+        val nPhash = qPairs.count()
+        val nBoth = qPairs.join(truth, Seq("id_a", "id_b")).count()
+        truth.unpersist(); qPairs.unpersist()
+        println(f"""{"truth_pairs":$nTruth%d,"phash_pairs":$nPhash%d,"both":$nBoth%d,"precision_ppm":${if (nPhash == 0) 0 else nBoth * 1000000 / nPhash}%d,"recall_ppm":${if (nTruth == 0) 0 else nBoth * 1000000 / nTruth}%d}""")
+
       case "cc" =>
         // one path graph of copies×100k nodes: diameter = n-1, the case
         // where min-label propagation needs O(n) rounds and the
