@@ -777,6 +777,59 @@ object StreamQueries {
              |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
              |FROM lab ORDER BY media_id""".stripMargin)),
 
+    // ---- media cluster canonicalization: keep the richest item ----------
+    // The keeper policy over the phash clusters (q_cluster_keep_best's
+    // media analog): within each perceptual-dup cluster keep the item
+    // with the LARGEST payload (the richest encode — the media stand-in
+    // for text quality), ties to the smallest id. One max_by hash
+    // aggregate over the clustered subset; emits per-item rows a drop
+    // pass consumes directly.
+    Q("q_media_keep_best",
+      (s, dir) => {
+        import s.implicits._
+        val docs = graft.Tables.documents(s, dir)
+        val media = Media.synthesizeCovering(docs, "doc_id", "text")
+          .as[Media.MediaRow]
+        val edges = graft.operators.MinHashLSH.hammingBandPairs(
+            Media.dHash(media).toDF().localCheckpoint(true),
+            "media_id", "ph_hi", "ph_lo", maxHamming = 12)
+          .select(col("id_a"), col("id_b"))
+        val comps = graft.operators.Components
+          .connectedComponents(edges, "id_a", "id_b")
+        val sized = comps.join(
+          docs.select(col("doc_id").as("id"),
+            octet_length(col("text")).cast("long").as("__nb")),
+          "id")
+        val keepers = sized.groupBy(col("cluster_id"))
+          .agg(max_by(col("id"), struct(col("__nb"), -col("id")))
+            .as("keeper_id"))
+        sized.join(broadcast(keepers), Seq("cluster_id"))
+          .select(col("id").as("media_id"), col("cluster_id"), col("keeper_id"))
+          .orderBy(col("media_id"))
+      },
+      Some(s"""WITH RECURSIVE $phashCte,
+             |pairs AS (
+             |  SELECT a.media_id AS id_a, b.media_id AS id_b
+             |  FROM h a JOIN h b ON a.media_id < b.media_id
+             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 12),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT src AS id, src AS r FROM edges
+             |  UNION
+             |  SELECT e.src AS id, rc.r FROM edges e JOIN reach rc ON rc.id = e.dst),
+             |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+             |keep AS (
+             |  SELECT cluster_id, id AS keeper_id FROM (
+             |    SELECT lab.cluster_id, lab.id,
+             |           row_number() OVER (PARTITION BY lab.cluster_id
+             |             ORDER BY strlen(d.text) DESC, lab.id) AS rn
+             |    FROM lab JOIN documents d ON d.doc_id = lab.id) t
+             |  WHERE rn = 1)
+             |SELECT lab.id AS media_id, lab.cluster_id, keep.keeper_id
+             |FROM lab JOIN keep ON lab.cluster_id = keep.cluster_id
+             |ORDER BY media_id""".stripMargin)),
+
     // ---- ingest-time decontamination: the streaming scrub ---------------
     // q_decontaminate runs the n-gram eval-overlap scrub as a BATCH pass;
     // a production pipeline scrubs at INGEST so contaminated documents
