@@ -223,13 +223,58 @@ object MinHashLSH {
       loCol: String,
       maxHamming: Int,
       bandBits: Int = 4): DataFrame = {
+    val banded = bandTwoHalves(df, idCol, hiCol, loCol, maxHamming, bandBits)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__key") === col("b.__key") &&
+          col("a.__id") < col("b.__id") &&
+          twoHalfHamming <= maxHamming)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        twoHalfHamming.cast("long").as("hamming"))
+      .distinct()
+  }
+
+  /** Asymmetric [[hammingBandPairs]]: match a PROBE set (an incoming
+    * drop/stream batch) against a REFERENCE set (the standing corpus) —
+    * the ingest-time dedup shape, where new items must never pairwise-join
+    * each other, only the index. Emits distinct `(id_p, id_r, hamming)`
+    * with no id-order constraint; same pigeonhole recall-1.0 guarantee and
+    * the same bandCount×N tiny-row shuffle bound on BOTH inputs. */
+  def hammingBandJoin(
+      probe: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      hiCol: String,
+      loCol: String,
+      maxHamming: Int,
+      bandBits: Int = 4): DataFrame = {
+    bandTwoHalves(probe, idCol, hiCol, loCol, maxHamming, bandBits).as("a")
+      .join(bandTwoHalves(ref, idCol, hiCol, loCol, maxHamming, bandBits).as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__key") === col("b.__key") &&
+          twoHalfHamming <= maxHamming)
+      .select(col("a.__id").as("id_p"), col("b.__id").as("id_r"),
+        twoHalfHamming.cast("long").as("hamming"))
+      .distinct()
+  }
+
+  private def twoHalfHamming: Column =
+    bit_count(col("a.__hi").bitwiseXOR(col("b.__hi"))) +
+      bit_count(col("a.__lo").bitwiseXOR(col("b.__lo")))
+
+  /** Band a (id, hi, lo) two-half hash frame: one row per (item, band)
+    * with the band's bandBits-bit key. Shared by the symmetric pair join
+    * and the probe-vs-reference join. */
+  private def bandTwoHalves(df: DataFrame, idCol: String, hiCol: String,
+      loCol: String, maxHamming: Int, bandBits: Int): DataFrame = {
     require(32 % bandBits == 0, s"bandBits must divide 32, got $bandBits")
     val perHalf = 32 / bandBits
     val bandCount = 2 * perHalf
     require(maxHamming < bandCount,
       s"recall-1.0 banding needs maxHamming < bands ($maxHamming >= $bandCount)")
     val mask = (1L << bandBits) - 1
-    val banded = df.select(
+    df.select(
         col(idCol).as("__id"), col(hiCol).as("__hi"), col(loCol).as("__lo"),
         explode(sequence(lit(0), lit(bandCount - 1))).as("__band"))
       .withColumn("__key",
@@ -245,18 +290,5 @@ object MinHashLSH {
       // shuffle moves only bandCount×N tiny rows — the design's stated
       // cost — and parallelizes the bucket work across the cluster.
       .repartition(col("__band"), col("__key"))
-
-    val ham =
-      bit_count(col("a.__hi").bitwiseXOR(col("b.__hi"))) +
-        bit_count(col("a.__lo").bitwiseXOR(col("b.__lo")))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.__band") === col("b.__band") &&
-          col("a.__key") === col("b.__key") &&
-          col("a.__id") < col("b.__id") &&
-          ham <= maxHamming)
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        ham.cast("long").as("hamming"))
-      .distinct()
   }
 }

@@ -830,6 +830,64 @@ object StreamQueries {
              |FROM lab JOIN keep ON lab.cluster_id = keep.cluster_id
              |ORDER BY media_id""".stripMargin)),
 
+    // ---- ingest-time media dedup: stream drops vs the standing corpus ---
+    // The image-modality sibling of q_stream_decontam: incoming media
+    // items are perceptual-hashed per micro-batch and band-joined against
+    // the STANDING corpus's hash table (MinHashLSH.hammingBandJoin — the
+    // asymmetric probe-vs-reference form: new items never pairwise-join
+    // each other, only the index). Each item's verdict (how many standing
+    // near-dups it collides with) depends on the fixed standing set only,
+    // so output is batching-invariant and the batch oracle gates the
+    // streamed path. Scale: the standing side ships as 2 longs per item
+    // (here rebuilt per batch for session-safety; production pins the
+    // banded table once and appends survivors to it).
+    Q("q_stream_phash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val sink = java.nio.file.Files
+          .createTempDirectory("graft_stream_phash").toString
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+            .writeStream.foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  _: Long) =>
+                val ss = batch.sparkSession
+                import ss.implicits._
+                val standing = graft.Tables.documents(ss, dir)
+                  .filter(col("doc_id") < 250)
+                val standingPh = Media.dHash(
+                  Media.synthesizeCovering(standing, "doc_id", "text")
+                    .as[Media.MediaRow]).toDF()
+                val batchPh = Media.dHash(
+                  Media.synthesizeCovering(
+                      batch.filter(col("doc_id") >= 250), "doc_id", "text")
+                    .as[Media.MediaRow]).toDF()
+                val matches = graft.operators.MinHashLSH.hammingBandJoin(
+                    batchPh, standingPh, "media_id", "ph_hi", "ph_lo",
+                    maxHamming = 12)
+                  .groupBy(col("id_p"))
+                  .agg(count(lit(1)).as("__nm"))
+                batchPh.select(col("media_id").as("doc_id"))
+                  .join(matches, col("doc_id") === col("id_p"), "left")
+                  .select(col("doc_id"),
+                    coalesce(col("__nm"), lit(0L)).as("n_dup_matches"))
+                  .write.mode("append").parquet(sink)
+                ()
+            }.start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.read.parquet(sink).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $phashCte
+             |SELECT p.media_id AS doc_id,
+             |       CAST(count(r.media_id) AS BIGINT) AS n_dup_matches
+             |FROM (SELECT * FROM h WHERE media_id >= 250) p
+             |LEFT JOIN (SELECT * FROM h WHERE media_id < 250) r
+             |  ON bit_count(xor(p.hi, r.hi)) + bit_count(xor(p.lo, r.lo)) <= 12
+             |GROUP BY p.media_id ORDER BY doc_id""".stripMargin)),
+
     // ---- ingest-time decontamination: the streaming scrub ---------------
     // q_decontaminate runs the n-gram eval-overlap scrub as a BATCH pass;
     // a production pipeline scrubs at INGEST so contaminated documents

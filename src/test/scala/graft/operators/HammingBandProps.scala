@@ -45,4 +45,27 @@ object HammingBandProps extends Properties("graft.hammingband") {
 
       Prop(got == expected) :| s"got=$got expected=$expected tau=$tau bb=$bandBits"
     }
+
+  property("asymmetric band join ≡ JVM popcount model (probe × reference)") =
+    Prop.forAll(genRows, genRows, genCfg) { case (ps, rs, (bandBits, tau)) =>
+      import spark.implicits._
+      val probe = ps.zipWithIndex
+        .map { case ((hi, lo), i) => (i.toLong, hi, lo) }
+        .toDF("id", "hi", "lo")
+      val ref = rs.zipWithIndex
+        .map { case ((hi, lo), i) => (1000L + i, hi, lo) }
+        .toDF("id", "hi", "lo")
+      val got = MinHashLSH.hammingBandJoin(probe, ref, "id", "hi", "lo",
+          maxHamming = tau, bandBits = bandBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+      val expected = (for {
+        ((ha, la), a) <- ps.zipWithIndex
+        ((hb, lb), b) <- rs.zipWithIndex
+        ham = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+        if ham <= tau
+      } yield (a.toLong, 1000L + b, ham.toLong)).toSet
+
+      Prop(got == expected) :| s"got=$got expected=$expected tau=$tau bb=$bandBits"
+    }
 }
