@@ -178,7 +178,9 @@ object Media {
     val w = greatest(lit(8L), floor(sqrt(n.cast("double"))).cast("long"))
     df.select(
       col(idCol).cast("long").as("media_id"),
-      lit("image").as("kind"),
+      (when(col(idCol) % 3 === 0, "image")
+        .when(col(idCol) % 3 === 1, "audio")
+        .otherwise("video")).as("kind"),
       encode(col(payloadCol), "UTF-8").as("bytes"),
       w.cast("int").as("width"),
       // floor of a correctly-rounded double division is exact here: the
