@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver benchmark: headline queries on SPARK_GRAFT_SF_DIR, one JSON line
   * on stdout. Headlines cover every operator family (scan-agg, window/
-  * latest-per-key, joins incl. as-of, dedup/LSH, similarity, text, ML,
-  * streaming) — the full registry still runs in Verify; benching a
-  * representative set keeps the timing signal per family readable.
+  * latest-per-key, joins incl. as-of, dedup/LSH, similarity, text,
+  * multimodal, ML, streaming) — the full registry still runs in Verify;
+  * benching a representative set keeps the timing signal per family
+  * readable.
   */
 object Bench {
 
