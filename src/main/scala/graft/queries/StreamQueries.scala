@@ -6,10 +6,14 @@ import graft.streaming.StreamingIngest
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Streaming + multimodal entries. Both are rows-only (no ANSI-SQL oracle:
-  * one runs the Structured Streaming engine, the other a typed
-  * mapPartitions pipeline); unit tests assert their semantics, and these
-  * registry entries make the driver exercise them end-to-end each round.
+/** Streaming + multimodal entries. Nearly all are DuckDB-hash-gated
+  * despite running the Structured Streaming engine or typed mapPartitions
+  * pipelines: streaming queries are phrased so their final state equals a
+  * batch aggregate (complete-mode rollups, batching-invariant per-item
+  * verdicts), and the media stub's determinism makes the multimodal
+  * pipeline — resize kernel, frame offsets, perceptual hashes — exactly
+  * replayable in SQL. Only codec-dependent feature rollups stay
+  * rows-only, with specs asserting their semantics.
   */
 object StreamQueries {
 
