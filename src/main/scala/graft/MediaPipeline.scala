@@ -47,8 +47,9 @@ object MediaPipeline {
     // 2. perceptual hash: 2 longs per item — the only thing dedup shuffles
     val ph = Media.dHash(gated.as[Media.MediaRow]).toDF().localCheckpoint(true)
 
-    // 3. near-dup pairs via the banded Hamming join (recall 1.0 for
-    //    maxHamming < 16 by pigeonhole)
+    // 3. near-dup pairs via the banded Hamming join — band width derived
+    //    from the corpus size (MinHashLSH.bandBitsFor), recall exactly
+    //    1.0 at any width via sub-radius probe enumeration
     val pairs = MinHashLSH.hammingBandPairs(
       ph, "media_id", "ph_hi", "ph_lo", maxHamming)
     val nPairs = pairs.count()
@@ -67,9 +68,16 @@ object MediaPipeline {
       "id")
     val keepers = sized.groupBy(col("cluster_id"))
       .agg(max_by(col("id"), struct(col("__nb"), -col("id"))).as("keeper_id"))
-    val dropIds = sized.join(broadcast(keepers), Seq("cluster_id"))
+    // no broadcast() hint: keepers has one row per dup cluster, which at
+    // corpus scale is corpus-order, not dimension-order — a forced hint
+    // builds an unbounded driver-side table. Plain equi-join on
+    // cluster_id; AQE broadcasts when it actually fits.
+    val dropIds = sized.join(keepers, Seq("cluster_id"))
       .filter(col("id") =!= col("keeper_id"))
       .select(col("id").as("media_id"))
+    // counted independently (not derived as clustered − clusters) so the
+    // spec's count-algebra assertion checks the keeper policy for real
+    val dropped = dropIds.count()
     val survivors = gated.join(dropIds, Seq("media_id"), "left_anti")
       .localCheckpoint(true)
 
@@ -79,7 +87,7 @@ object MediaPipeline {
 
     Seq("raw" -> raw, "after_gate" -> afterGate, "neardup_pairs" -> nPairs,
       "clustered_items" -> clustered, "dup_clusters" -> nClusters,
-      "dropped" -> (clustered - nClusters), "written" -> written)
+      "dropped" -> dropped, "written" -> written)
   }
 
   def main(args: Array[String]): Unit = {

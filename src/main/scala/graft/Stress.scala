@@ -621,12 +621,12 @@ object Stress {
         // copies× exact-replicated docs: every replica pair is a
         // hamming-0 perceptual dup by construction, so pair volume is
         // known (docs × C(copies,2) + the corpus's own near-dup pairs).
-        // At this scale the banding config shifts: 8-bit bands (256-way
-        // buckets) with maxHamming=6 < 8 bands — the 4-bit registry
-        // config's 16-way buckets would put ~n/16 rows per bucket and
-        // Σ bucket² work grows quadratically in n. Wider bands buy
-        // bucket width at the cost of a tighter provable tau: the
-        // banding knob IS the scale knob.
+        // This point keeps the HAND-PICKED 8-bit/maxHamming=6 config as
+        // the historical baseline; "phashauto" below runs the same corpus
+        // with the width DERIVED from count(*) (bandBitsFor) at the
+        // registry's own maxHamming=12 — the derivation that retired the
+        // hand-picking (a fixed 4-bit width puts ~n/16 rows per bucket
+        // and Σ bucket² grows quadratically in n).
         val dph0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
         val bigd = (0 until copies).map(i =>
             dph0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
@@ -646,6 +646,40 @@ object Stress {
         val tPair = (System.nanoTime() - tp1) / 1e9
         bigd.unpersist()
         println(f"""{"items":$nItems%d,"hash_seconds":$tHash%.1f,"pairs":$nPairs%d,"pair_seconds":$tPair%.1f}""")
+
+      case "phashauto" =>
+        // the "phash" point WITHOUT the hand-picked 8×8 config: bandBits
+        // derived from count(*) (MinHashLSH.bandBitsFor) at the registry's
+        // own maxHamming=12 — the setting whose fixed 4-bit default went
+        // quadratic at 100k+ in earlier rounds. Run next to "phash" at the
+        // same copies to show the engine now picks the scale-safe width
+        // (and pays the sub-radius probe expansion) by itself.
+        val dpa0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val bigda = (0 until copies).map(i =>
+            dpa0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+              col("text")))
+          .reduce(_ unionByName _).cache()
+        val nItemsA = bigda.count()
+        // optional overrides for counterfactual measurement: args(3) = tau
+        // (default 12, the registry radius), args(4) = forced bandBits
+        // (default 0 = derive via bandBitsFor — the shipped path)
+        val tauA = if (args.length > 3) args(3).toInt else 12
+        val forcedB = if (args.length > 4) args(4).toInt else 0
+        val usedB = if (forcedB > 0) forcedB
+          else operators.MinHashLSH.bandBitsFor(nItemsA, tauA)
+        val ta0 = System.nanoTime()
+        val phMediaA = multimodal.Media.synthesizeCovering(bigda, "doc_id", "text")
+          .as[multimodal.Media.MediaRow](
+            org.apache.spark.sql.Encoders.product[multimodal.Media.MediaRow])
+        val phA = multimodal.Media.dHash(phMediaA).toDF().localCheckpoint(true)
+        val tHashA = (System.nanoTime() - ta0) / 1e9
+        val ta1 = System.nanoTime()
+        val nPairsA = operators.MinHashLSH.hammingBandPairs(
+          phA, "media_id", "ph_hi", "ph_lo", maxHamming = tauA,
+          bandBits = forcedB).count()
+        val tPairA = (System.nanoTime() - ta1) / 1e9
+        bigda.unpersist()
+        println(f"""{"items":$nItemsA%d,"tau":$tauA%d,"band_bits":$usedB%d,"derived":${forcedB == 0}%b,"hash_seconds":$tHashA%.1f,"pairs":$nPairsA%d,"pair_seconds":$tPairA%.1f}""")
 
       case "phashq" =>
         // phash quality vs the repo's own text-near-dup truth

@@ -207,14 +207,82 @@ object MinHashLSH {
       .distinct()
   }
 
+  /** Band width for the two-half 64-bit Hamming join, derived from corpus
+    * size — the [[graft.operators.Knn.planesFor]] pattern applied to
+    * dedup, so the SHIPPED DEFAULT is never quadratic past the scale it
+    * was tuned at. Picks bandBits ∈ {4, 8, 16} minimizing the estimated
+    * join cost
+    *
+    *   SHUFFLE_WEIGHT · n·bands·probes  +  n²·bands·probes / 2^bandBits
+    *
+    * where `bands = 64/bandBits`, `probesPerBand = Σ_{k≤s} C(bandBits,k)`
+    * is the probe-side key-enumeration factor at sub-radius
+    * `s = ⌊maxHamming/bands⌋`, the first term is the shuffled-probe-row
+    * (linear) cost and the second the in-bucket candidate-check
+    * (quadratic) cost at expected bucket width n/2^bandBits.
+    * SHUFFLE_WEIGHT = 128 is MEASURED, not guessed (SCALE.md, `Stress
+    * phashauto` at 100k items): emitting one (band,key) probe row through
+    * explode+exchange costs ~two orders of magnitude more than one
+    * codegen'd in-bucket popcount check — an unweighted model picks
+    * 16-bit bands with 697-key enumeration at 100k and measures 214 s
+    * where weighted 8-bit/9-key runs in seconds. With the weight,
+    * maxHamming=12 picks 4-bit exact bands for small corpora, 8-bit with
+    * 9-key probes past ~10k, and 16-bit with 697-key probes only past
+    * ~1.5M items, where the n²/2^b term genuinely dominates the
+    * expansion. All integer arithmetic (BigInt — no float whose rounding
+    * could flip a boundary), so the choice is reproducible from count(*)
+    * alone. Recall does NOT depend on the choice (see
+    * [[hammingBandPairs]]) — this knob is cost-only. */
+  def bandBitsFor(n: Long, maxHamming: Int): Int = {
+    require(n > 0 && maxHamming >= 0)
+    val shuffleWeight = 128
+    def cost(b: Int): BigInt = {
+      val bands = 64 / b
+      val s = maxHamming / bands
+      val probes = (0 to s).map(k => binom(b, k)).sum
+      BigInt(n) * bands * probes * shuffleWeight +
+        BigInt(n) * n * bands * probes / (BigInt(1) << b)
+    }
+    Seq(4, 8, 16).minBy(cost)
+  }
+
+  private def binom(n: Int, k: Int): BigInt =
+    (1 to k).foldLeft(BigInt(1))((acc, i) => acc * (n - i + 1) / i)
+
+  /** All `bandBits`-wide masks with ≤ s bits set — the probe-side key
+    * flips of multi-index Hamming hashing (Norouzi, Punjani & Fleet,
+    * "Fast Search in Hamming Space with Multi-Index Hashing", CVPR 2012).
+    * Σ_{k≤s} C(bandBits,k) masks, built combinatorially (never 2^bandBits
+    * enumeration). */
+  private[operators] def flipMasks(bandBits: Int, s: Int): Seq[Long] = {
+    def choose(start: Int, left: Int): Seq[Long] =
+      if (left == 0) Seq(0L)
+      else (start to bandBits - left).flatMap(p =>
+        choose(p + 1, left - 1).map(_ | (1L << p)))
+    (0 to s).flatMap(k => choose(0, k))
+  }
+
   /** [[simhashBandPairs]] for a 64-bit hash carried as two non-negative
     * 32-bit halves (`hiCol` bits 32–63, `loCol` bits 0–31) — the portable
     * representation perceptual hashes use so SQL mirrors never build a
-    * sign-bit literal. Bands split each half into 32/bandBits keys; with
-    * `maxHamming < 64/bandBits` the pigeonhole guarantee holds and the
-    * output is bit-identical to the quadratic Hamming self-join. Same
-    * scale shape: bandCount×N tiny rows shuffle, Σ bucket² work inside
-    * bandBits-bit buckets, no cross join.
+    * sign-bit literal.
+    *
+    * Bands split each half into 32/bandBits keys. Recall is EXACTLY 1.0
+    * for any legal config — the output is bit-identical to the quadratic
+    * Hamming self-join, which is why the DuckDB oracles need no banding
+    * mirror: with m = 64/bandBits bands and s = ⌊maxHamming/m⌋, a pair
+    * within maxHamming has some band at Hamming ≤ s (else total ≥
+    * m·(s+1) > maxHamming), and the probe side enumerates every key
+    * within s flips of its own ([[flipMasks]] — multi-index hashing,
+    * Norouzi et al. CVPR'12), so the pair collides in that band. s = 0
+    * (maxHamming < bands) degenerates to the plain exact-key band join.
+    *
+    * `bandBits = 0` (the default) derives the width from count(*) via
+    * [[bandBitsFor]] — one count job over the 2-longs-per-item hash
+    * table, the price of a default that stays non-quadratic at any
+    * corpus size. Scale shape: bands×N tiny reference rows plus
+    * bands×probes×N probe rows shuffle; Σ bucket² candidate work inside
+    * 2^bandBits-wide buckets; payloads never move; no cross join.
     */
   def hammingBandPairs(
       df: DataFrame,
@@ -222,10 +290,15 @@ object MinHashLSH {
       hiCol: String,
       loCol: String,
       maxHamming: Int,
-      bandBits: Int = 4): DataFrame = {
-    val banded = bandTwoHalves(df, idCol, hiCol, loCol, maxHamming, bandBits)
-    banded.as("a")
-      .join(banded.as("b"),
+      bandBits: Int = 0): DataFrame = {
+    val b = resolveBandBits(df, maxHamming, bandBits)
+    val s = maxHamming / (64 / b)
+    val exact = bandTwoHalves(df, idCol, hiCol, loCol, b, Seq(0L))
+    val probe =
+      if (s == 0) exact
+      else bandTwoHalves(df, idCol, hiCol, loCol, b, flipMasks(b, s))
+    probe.as("a")
+      .join(exact.as("b"),
         col("a.__band") === col("b.__band") &&
           col("a.__key") === col("b.__key") &&
           col("a.__id") < col("b.__id") &&
@@ -239,8 +312,11 @@ object MinHashLSH {
     * drop/stream batch) against a REFERENCE set (the standing corpus) —
     * the ingest-time dedup shape, where new items must never pairwise-join
     * each other, only the index. Emits distinct `(id_p, id_r, hamming)`
-    * with no id-order constraint; same pigeonhole recall-1.0 guarantee and
-    * the same bandCount×N tiny-row shuffle bound on BOTH inputs. */
+    * with no id-order constraint; same recall-1.0 guarantee (probe side
+    * enumerates sub-radius flips, reference keys stay exact — the true
+    * multi-index-hashing query shape) and the same tiny-row shuffle bound
+    * on BOTH inputs. `bandBits = 0` derives the width from the REFERENCE
+    * side's count(*) — the standing corpus is what sizes the buckets. */
   def hammingBandJoin(
       probe: DataFrame,
       ref: DataFrame,
@@ -248,9 +324,12 @@ object MinHashLSH {
       hiCol: String,
       loCol: String,
       maxHamming: Int,
-      bandBits: Int = 4): DataFrame = {
-    bandTwoHalves(probe, idCol, hiCol, loCol, maxHamming, bandBits).as("a")
-      .join(bandTwoHalves(ref, idCol, hiCol, loCol, maxHamming, bandBits).as("b"),
+      bandBits: Int = 0): DataFrame = {
+    val b = resolveBandBits(ref, maxHamming, bandBits)
+    val s = maxHamming / (64 / b)
+    val probeFlips = if (s == 0) Seq(0L) else flipMasks(b, s)
+    bandTwoHalves(probe, idCol, hiCol, loCol, b, probeFlips).as("a")
+      .join(bandTwoHalves(ref, idCol, hiCol, loCol, b, Seq(0L)).as("b"),
         col("a.__band") === col("b.__band") &&
           col("a.__key") === col("b.__key") &&
           twoHalfHamming <= maxHamming)
@@ -259,36 +338,48 @@ object MinHashLSH {
       .distinct()
   }
 
+  private def resolveBandBits(sized: DataFrame, maxHamming: Int,
+      bandBits: Int): Int =
+    if (bandBits > 0) {
+      require(32 % bandBits == 0, s"bandBits must divide 32, got $bandBits")
+      bandBits
+    } else bandBitsFor(sized.count(), maxHamming)
+
   private def twoHalfHamming: Column =
     bit_count(col("a.__hi").bitwiseXOR(col("b.__hi"))) +
       bit_count(col("a.__lo").bitwiseXOR(col("b.__lo")))
 
-  /** Band a (id, hi, lo) two-half hash frame: one row per (item, band)
-    * with the band's bandBits-bit key. Shared by the symmetric pair join
-    * and the probe-vs-reference join. */
+  /** Band a (id, hi, lo) two-half hash frame: one row per (item, band,
+    * flip) with the band's bandBits-bit key XOR the flip mask. `flips =
+    * Seq(0L)` is the exact-key (reference) side; a sub-radius flip set
+    * makes the probe side of the multi-index join. Shared by the
+    * symmetric pair join and the probe-vs-reference join. */
   private def bandTwoHalves(df: DataFrame, idCol: String, hiCol: String,
-      loCol: String, maxHamming: Int, bandBits: Int): DataFrame = {
+      loCol: String, bandBits: Int, flips: Seq[Long]): DataFrame = {
     require(32 % bandBits == 0, s"bandBits must divide 32, got $bandBits")
     val perHalf = 32 / bandBits
     val bandCount = 2 * perHalf
-    require(maxHamming < bandCount,
-      s"recall-1.0 banding needs maxHamming < bands ($maxHamming >= $bandCount)")
     val mask = (1L << bandBits) - 1
-    df.select(
+    val exact = df.select(
         col(idCol).as("__id"), col(hiCol).as("__hi"), col(loCol).as("__lo"),
         explode(sequence(lit(0), lit(bandCount - 1))).as("__band"))
-      .withColumn("__key",
+      .withColumn("__key0",
         when(col("__band") < perHalf,
           expr(s"shiftright(__lo, __band * $bandBits)").bitwiseAND(lit(mask)))
           .otherwise(
             expr(s"shiftright(__hi, (__band - $perHalf) * $bandBits)")
               .bitwiseAND(lit(mask))))
+    val keyed =
+      if (flips == Seq(0L)) exact.withColumn("__key", col("__key0"))
+      else exact.withColumn("__key",
+        explode(array(flips.map(m => col("__key0").bitwiseXOR(lit(m))): _*)))
+    keyed
       .select(col("__id"), col("__hi"), col("__lo"), col("__band"), col("__key"))
       // hash-partition on the band key: the explode inherits the scan's
       // partitioning (often ONE task for a small file), and without this
       // every Σ bucket² candidate evaluation lands on that one task. The
-      // shuffle moves only bandCount×N tiny rows — the design's stated
-      // cost — and parallelizes the bucket work across the cluster.
+      // shuffle moves only tiny rows — the design's stated cost — and
+      // parallelizes the bucket work across the cluster.
       .repartition(col("__band"), col("__key"))
   }
 }

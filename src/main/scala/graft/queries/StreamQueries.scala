@@ -44,7 +44,14 @@ object StreamQueries {
     * dims (w=max(8,⌊√n⌋), h=⌈n/w⌉), the 9×8 nearest-neighbor resize kernel
     * (same arithmetic q_media_resize proves), horizontal-gradient sign
     * bits packed as two non-negative 32-bit halves. Ends with CTE `h`
-    * (media_id, lo, hi); consumers add their own pair/cluster logic. */
+    * (media_id, lo, hi); consumers add their own pair/cluster logic.
+    *
+    * ENCODING ASSUMPTION: the Scala path reads UTF-8 BYTES
+    * (octet_length, bytes-as-pixels) while this mirror indexes
+    * CHARACTERS (strlen, text[i], unicode()) — the two agree only while
+    * the corpus is pure ASCII, which the driver's documents.parquet is.
+    * A multi-byte corpus would need byte-oriented DuckDB expressions
+    * (encode()/blob indexing) on this side. */
   private val phashCte: String =
     """m AS (
       |  SELECT doc_id AS media_id, text, strlen(text) AS n,
@@ -708,9 +715,12 @@ object StreamQueries {
     // Image dedup the way production pipelines run it: a 64-bit dHash
     // (9×8 nearest-neighbor thumb → horizontal-gradient sign bits, the
     // standard perceptual hash) per item, then near-duplicate pairs via
-    // the 16×4-bit banded Hamming join — maxHamming=12 < 16 bands, so the
-    // pigeonhole guarantee makes the banded output bit-identical to the
-    // quadratic self-join the oracle runs. Dims derive from the payload
+    // the banded Hamming join with the band width DERIVED from count(*)
+    // (MinHashLSH.bandBitsFor — no hand-picked config to go quadratic at
+    // another scale); recall is exactly 1.0 at any derived width (exact
+    // pigeonhole or sub-radius multi-index probes), so the banded output
+    // stays bit-identical to the quadratic self-join the oracle runs,
+    // with no banding mirror needed. Dims derive from the payload
     // (synthesizeCovering) so the raster covers the content; a real codec
     // swap changes the pixel source, not the hash or the join. Scale:
     // payloads never shuffle — 2 longs per item feed the band join.
@@ -761,7 +771,9 @@ object StreamQueries {
           .connectedComponents(edges, "id_a", "id_b")
         val sizes = comps.groupBy(col("cluster_id"))
           .agg(count(lit(1)).as("cluster_size"))
-        comps.join(broadcast(sizes), Seq("cluster_id"))
+        // no broadcast() hint: sizes is cluster-count-sized — corpus-order
+        // at 100 TB, not dimension-order. AQE broadcasts when it fits.
+        comps.join(sizes, Seq("cluster_id"))
           .select(col("id").as("media_id"), col("cluster_id"), col("cluster_size"))
           .orderBy(col("media_id"))
       },
@@ -807,7 +819,9 @@ object StreamQueries {
         val keepers = sized.groupBy(col("cluster_id"))
           .agg(max_by(col("id"), struct(col("__nb"), -col("id")))
             .as("keeper_id"))
-        sized.join(broadcast(keepers), Seq("cluster_id"))
+        // no broadcast() hint: keepers is cluster-count-sized — corpus-
+        // order at 100 TB, not dimension-order. AQE broadcasts when it fits.
+        sized.join(keepers, Seq("cluster_id"))
           .select(col("id").as("media_id"), col("cluster_id"), col("keeper_id"))
           .orderBy(col("media_id"))
       },

@@ -16,7 +16,9 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(counts("after_gate") <= counts("raw"))
     // the corpus plants near-dups: the perceptual stage must bite
     assert(counts("dropped") > 0)
-    // exactly one keeper survives per cluster
+    // exactly one keeper survives per cluster — a real check now that
+    // runMedia counts the drop set itself (dropIds.count()) rather than
+    // deriving "dropped" from this same difference
     assert(counts("dropped") == counts("clustered_items") - counts("dup_clusters"))
     assert(counts("written") == counts("after_gate") - counts("dropped"))
 

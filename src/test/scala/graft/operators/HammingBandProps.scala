@@ -20,9 +20,16 @@ object HammingBandProps extends Properties("graft.hammingband") {
     Gen.oneOf(0L, (1L << 32) - 1, 0x55555555L, 0xAAAAAAAAL))
   private val genRows: Gen[List[(Long, Long)]] =
     Gen.chooseNum(2, 14).flatMap(n => Gen.listOfN(n, Gen.zip(genHalf, genHalf)))
+  // bandBits = 0 exercises the derived-width default (bandBitsFor from
+  // count(*)); tau past the band count exercises the sub-radius
+  // multi-index probe path (s = ⌊tau/bands⌋ ≥ 1), capped per width so the
+  // flip-mask enumeration stays small in a property run
   private val genCfg: Gen[(Int, Int)] = for {
-    bandBits <- Gen.oneOf(4, 8, 16)
-    tau <- Gen.chooseNum(0, 64 / bandBits - 1)
+    bandBits <- Gen.oneOf(0, 4, 8, 16)
+    tau <- Gen.chooseNum(0, bandBits match {
+      case 16 => 11 // s ≤ 2 → ΣC(16,≤2) = 137 probe masks
+      case _ => 24 // 4-bit: s ≤ 1; 8-bit: s ≤ 3 (93 masks); derived: any
+    })
   } yield (bandBits, tau)
 
   property("banded pairs ≡ JVM popcount model for any hashes and config") =
