@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed batch-at-a-time inside `mapPartitions`.
   *
   * The Spark-side plumbing — schema, partition-parallel batch iteration,
-  * feature output shape — is real and tested. The codec step is a STUB
-  * (`decodeStub`): this container ships no image/audio libraries, so decode
-  * is a deterministic fake that reads the fake header we also write. A
-  * production deployment swaps ONLY `decodeStub` for a real codec (e.g.
-  * javax.imageio / ffmpeg via JNI); everything around it is unchanged.
+  * feature output shape — is real and tested. The IMAGE codec is real:
+  * `decodeRaster` decodes PNG/JPEG payloads via the JDK's javax.imageio
+  * to a grayscale raster, and `resize`/`dHash` hash the decoded pixels
+  * (PHashDedupSpec drives a real encoded PNG pair end to end). Payloads
+  * that are not real images — the synthetic text fixtures, audio/video
+  * blobs — fall back to the deterministic bytes-as-pixels model
+  * (`decodeStub` for the feature histogram), which is what keeps the
+  * DuckDB oracles replayable; an audio/video deployment swaps only that
+  * fallback (e.g. ffmpeg via JNI), everything around it is unchanged.
   *
   * Scale notes: per-row transforms with no shuffle; binary payloads never
   * leave their partition; feature extraction emits small fixed-width rows
@@ -28,9 +32,65 @@ object Media {
       histogram: Array[Long], // 16-bin byte histogram
       frames_sampled: Int)
 
-  /** STUB — deterministic fake decode. Real deployments replace this with
-    * an actual codec; signature (bytes → fixed-width features) is the
-    * contract the pipeline depends on. */
+  /** Decoded 8-bit grayscale raster of a REAL image payload. */
+  private[graft] final case class Raster(w: Int, h: Int, gray: Array[Byte])
+
+  /** REAL image codec: decode a PNG or JPEG payload via `javax.imageio`
+    * (JDK built-in — no external dependency) to an 8-bit grayscale
+    * raster (integer ITU-R BT.601 luma). Gated on the container magic
+    * bytes, NOT on ImageIO's own sniffing: a synthetic text payload is
+    * valid UTF-8, where neither 0x89 (PNG signature byte 0) nor 0xFF
+    * (JPEG SOI byte 0) can ever be the FIRST byte, so a text payload can
+    * never be misread as an image and silently change its perceptual
+    * hash — which is what keeps the text-fixture oracles hash-exact
+    * while real encoded images take this path. Returns None for
+    * anything that is not a decodable real image; callers fall back to
+    * the bytes-as-pixels model. */
+  private[graft] def decodeRaster(bytes: Array[Byte]): Option[Raster] = {
+    val isPng = bytes.length >= 8 &&
+      (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G' &&
+      (bytes(4) & 0xff) == 0x0d && (bytes(5) & 0xff) == 0x0a &&
+      (bytes(6) & 0xff) == 0x1a && (bytes(7) & 0xff) == 0x0a
+    val isJpeg = bytes.length >= 3 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
+      (bytes(2) & 0xff) == 0xff
+    if (!isPng && !isJpeg) None
+    else
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val gray = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val l = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              gray(y * w + x) = l.toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some(Raster(w, h, gray))
+        }
+      } catch {
+        // a corrupt-but-signatured payload degrades to the fallback
+        // model, never a task failure
+        case _: Exception => None
+      }
+  }
+
+  /** STUB — deterministic fake decode (feature histogram). Real image
+    * payloads go through [[decodeRaster]]; this remains the no-dependency
+    * fallback for the synthetic fixtures and non-image modalities;
+    * signature (bytes → fixed-width features) is the contract the
+    * pipeline depends on. */
   private[multimodal] def decodeStub(bytes: Array[Byte]): Array[Long] = {
     val hist = new Array[Long](16)
     var i = 0
@@ -98,10 +158,12 @@ object Media {
 
   /** Nearest-neighbor resize to tw×th — the thumbnailing step of an image
     * pipeline. The index arithmetic IS the real nearest-neighbor kernel
-    * (src_y = y·h÷th, src_x = x·w÷tw, row-major); only the pixel source
-    * is the stub's bytes-as-pixels model (payloads shorter than
-    * width·height read 0 past the end — a truncated image). A real
-    * deployment decodes first and runs the identical kernel. px_sum /
+    * (src_y = y·h÷th, src_x = x·w÷tw, row-major). The pixel source is
+    * the REAL codec for real image payloads ([[decodeRaster]] — PNG/JPEG
+    * via javax.imageio, grayscale luma raster with the image's own
+    * dims) and the bytes-as-pixels model otherwise (payloads shorter
+    * than width·height read 0 past the end — a truncated image); the
+    * kernel, stats, and plan shape are identical either way. px_sum /
     * px_checksum (fold (a·31+px) mod 1e9+7) come out of the same pass —
     * the per-thumb stats a dedup or quality filter consumes downstream.
     * Partition-parallel map, no shuffle, constant memory per row. */
@@ -109,6 +171,10 @@ object Media {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
+        val (src, srcW, srcH) = decodeRaster(r.bytes) match {
+          case Some(raster) => (raster.gray, raster.w, raster.h)
+          case None => (r.bytes, r.width, r.height)
+        }
         val out = new Array[Byte](tw * th)
         var sum = 0L
         var ck = 0L
@@ -117,13 +183,13 @@ object Media {
           // Long index arithmetic + both-bounds guard: corrupt metadata
           // (negative dims, width·height past Int.MaxValue) must degrade
           // to 0-pixels like any other out-of-range read, never throw
-          val sy = y.toLong * r.height / th
+          val sy = y.toLong * srcH / th
           var x = 0
           while (x < tw) {
-            val sx = x.toLong * r.width / tw
-            val idx = sy * r.width + sx
+            val sx = x.toLong * srcW / tw
+            val idx = sy * srcW + sx
             val px =
-              if (idx >= 0 && idx < r.bytes.length) r.bytes(idx.toInt) & 0xff
+              if (idx >= 0 && idx < src.length) src(idx.toInt) & 0xff
               else 0
             out(y * tw + x) = px.toByte
             sum += px

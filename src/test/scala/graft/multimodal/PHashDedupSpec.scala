@@ -70,6 +70,60 @@ class PHashDedupSpec extends AnyFunSuite {
     assert(banded == quadratic)
   }
 
+  // ---- real-codec path: encoded PNGs through javax.imageio ------------
+
+  private def pngBytes(px: (Int, Int) => Int, w: Int = 64, h: Int = 64): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = px(x, y) & 0xff
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("decodeRaster: real PNG decodes to its own dims and luma bytes") {
+    val bytes = pngBytes((x, y) => x * 3 + y, w = 16, h = 8)
+    val r = Media.decodeRaster(bytes).get
+    assert(r.w == 16 && r.h == 8)
+    // gray pixel (x,y) = the luma of the RGB we wrote = the gray value
+    assert((r.gray(0) & 0xff) == 0)
+    assert((r.gray(3) & 0xff) == 9) // x=3,y=0
+    assert((r.gray(2 * 16 + 1) & 0xff) == 5) // x=1,y=2
+    // a text payload is never misread as an image
+    assert(Media.decodeRaster("BMnot really a bitmap".getBytes("UTF-8")).isEmpty)
+    // a corrupt payload with a real PNG signature degrades to None
+    assert(Media.decodeRaster(bytes.take(20)).isEmpty)
+  }
+
+  test("real PNG pair: re-encoded brightness shift is a near-dup, a different image is not") {
+    import spark.implicits._
+    // horizontal gradient picture; sibling = same picture +6 brightness
+    // (dHash is a gradient-SIGN map, so a uniform shift preserves it);
+    // stranger = the gradient flipped (every sign inverts)
+    val base = pngBytes((x, y) => 16 + x * 3)
+    val shifted = pngBytes((x, y) => 22 + x * 3)
+    val flipped = pngBytes((x, y) => 16 + (63 - x) * 3)
+    val media = Seq(
+      Media.MediaRow(1L, "image", base, 0, 0, 0),
+      Media.MediaRow(2L, "image", shifted, 0, 0, 0),
+      Media.MediaRow(3L, "image", flipped, 0, 0, 0)).toDS()
+    // width/height metadata is 0 — the REAL dims must come from the codec
+    val hashes = Media.dHash(media).collect().map(r => r.media_id -> (r.ph_hi, r.ph_lo)).toMap
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    assert(ham(hashes(1L), hashes(2L)) == 0) // brightness-invariant
+    assert(ham(hashes(1L), hashes(3L)) > 40) // structure flip ⇒ far
+
+    // and the banded join surfaces exactly the near pair
+    val pairs = MinHashLSH.hammingBandPairs(
+        Media.dHash(media).toDF(), "media_id", "ph_hi", "ph_lo", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("an exact duplicate payload surfaces as a hamming-0 pair") {
     val base = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text").limit(40)
