@@ -746,6 +746,125 @@ object StreamQueries {
              |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 12
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- same dedup, multi-index probe config forced ---------------------
+    // q_media_phash_dedup with bandBits pinned to 8 (bands=8 ≤ tau=12),
+    // which forces the sub-radius probe path (s=1, 9-key enumeration per
+    // band) that the derived width only selects at larger corpora — so
+    // the multi-index machinery itself sits under the driver's hash gate
+    // at every SF, not just under ScalaCheck. Recall-1.0 means the oracle
+    // is the SAME quadratic self-join; matching hashes across the two
+    // configs is the invariance proof, driver-checked.
+    Q("q_media_phash_dedup_mih",
+      (s, dir) => {
+        import s.implicits._
+        val media = Media.synthesizeCovering(
+          graft.Tables.documents(s, dir), "doc_id", "text").as[Media.MediaRow]
+        graft.operators.MinHashLSH.hammingBandPairs(
+            Media.dHash(media).toDF().localCheckpoint(true),
+            "media_id", "ph_hi", "ph_lo",
+            maxHamming = 12, bandBits = 8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $phashCte
+             |SELECT a.media_id AS id_a, b.media_id AS id_b,
+             |  CAST(bit_count(xor(a.hi, b.hi))
+             |     + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+             |FROM h a JOIN h b ON a.media_id < b.media_id
+             |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 12
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- video-clip dedup: per-frame dHash sequence + banded frame join --
+    // The temporal sibling of q_media_phash_dedup: each clip explodes to
+    // its sampled frames (q_media_frames' plumbing), every FRAME gets its
+    // own 64-bit dHash (the 16-byte grab as an 8×2 covering raster — the
+    // same w=max(8,⌊√n⌋) rule the item-level hash uses, constant here
+    // since frames are fixed-width), frame hashes meet in the banded
+    // Hamming join under a composite (clip, frame) id, and clip pairs
+    // emerge by aggregating matching frame pairs with a min-matching-
+    // frames threshold — a pair of clips is a dup when ≥2 distinct frame
+    // alignments agree, which tolerates per-frame noise no single-hash
+    // scheme can. Composite ids decompose exactly (frame_idx < 4 ≪ 16),
+    // and ma<mb falls out of id_a<id_b once same-clip pairs are dropped.
+    // The oracle replays frame offsets, the 9×8-from-8×2 resize kernel,
+    // the gradient bits, and the pair aggregation as chained CTEs — the
+    // whole temporal stack is hash-gated. Scale: frames are 4 fixed-width
+    // rows per clip; the join shuffles 2 longs per frame; payloads never
+    // move; the threshold aggregation groups pair rows, never clips².
+    Q("q_media_clip_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val media = Media.synthesizeCovering(
+          graft.Tables.documents(s, dir), "doc_id", "text").as[Media.MediaRow]
+        val frames = Media.frameRows(media, framesPerItem = 4)
+        val frameMedia = frames.select(
+            (col("media_id") * 16 + col("frame_idx")).as("media_id"),
+            lit("video").as("kind"),
+            col("frame").as("bytes"),
+            lit(8).as("width"), lit(2).as("height"),
+            lit(16000).as("sample_rate"))
+          .as[Media.MediaRow]
+        val fh = Media.dHash(frameMedia).toDF().localCheckpoint(true)
+        graft.operators.MinHashLSH.hammingBandPairs(
+            fh, "media_id", "ph_hi", "ph_lo", maxHamming = 6)
+          .select(
+            expr("id_a div 16").as("ma"), pmod(col("id_a"), lit(16L)).as("fa"),
+            expr("id_b div 16").as("mb"), pmod(col("id_b"), lit(16L)).as("fb"),
+            col("hamming"))
+          .filter(col("ma") =!= col("mb"))
+          .groupBy(col("ma").as("id_a"), col("mb").as("id_b"))
+          .agg(
+            countDistinct(col("fa") * 16 + col("fb")).as("n_frame_matches"),
+            min(col("hamming")).as("min_hamming"))
+          .filter(col("n_frame_matches") >= 2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id AS media_id, text, strlen(text) AS n
+             |  FROM documents WHERE strlen(text) >= 16),
+             |p AS (SELECT media_id, text, n,
+             |        greatest(1, (n - 16) // 3) AS step FROM m),
+             |f AS (SELECT DISTINCT media_id, text,
+             |        least(u.i * step, n - 16) AS off
+             |      FROM p CROSS JOIN LATERAL
+             |        (SELECT unnest(range(4)) AS i) u),
+             |r AS (SELECT media_id, off,
+             |        row_number() OVER (PARTITION BY media_id
+             |                           ORDER BY off) - 1 AS frame_idx,
+             |        substring(text, CAST(off + 1 AS INTEGER), 16) AS frame_s
+             |      FROM f),
+             |px AS (
+             |  SELECT media_id, frame_idx,
+             |    list_transform(range(72), pp ->
+             |      unicode(frame_s[CAST((pp // 9) * 2 // 8 * 8
+             |                         + (pp % 9) * 8 // 9 AS INTEGER) + 1])) AS pxs
+             |  FROM r),
+             |h AS (
+             |  SELECT media_id, frame_idx,
+             |    list_reduce(list_prepend(0::BIGINT,
+             |      list_transform(range(32), i ->
+             |        CASE WHEN pxs[(i // 8) * 9 + (i % 8) + 1]
+             |                  > pxs[(i // 8) * 9 + (i % 8) + 2]
+             |             THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
+             |      (a, x) -> a + x) AS lo,
+             |    list_reduce(list_prepend(0::BIGINT,
+             |      list_transform(range(32), i ->
+             |        CASE WHEN pxs[((i + 32) // 8) * 9 + ((i + 32) % 8) + 1]
+             |                  > pxs[((i + 32) // 8) * 9 + ((i + 32) % 8) + 2]
+             |             THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
+             |      (a, x) -> a + x) AS hi
+             |  FROM px)
+             |SELECT a.media_id AS id_a, b.media_id AS id_b,
+             |  CAST(count(DISTINCT a.frame_idx * 16 + b.frame_idx) AS BIGINT)
+             |    AS n_frame_matches,
+             |  min(CAST(bit_count(xor(a.hi, b.hi))
+             |         + bit_count(xor(a.lo, b.lo)) AS BIGINT)) AS min_hamming
+             |FROM h a JOIN h b
+             |  ON a.media_id < b.media_id
+             | AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+             |GROUP BY a.media_id, b.media_id
+             |HAVING count(DISTINCT a.frame_idx * 16 + b.frame_idx) >= 2
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- multimodal dedup clusters: phash pairs → connected components --
     // The step after pair generation: union-find over the perceptual-hash
     // pair graph (near-dup similarity is only locally transitive), one
