@@ -886,45 +886,71 @@ object SimilarityQueries {
         val path = java.nio.file.Files
           .createTempDirectory("graft_vindex_del").toString
         val emb = Tables.embeddings(s, dir)
+        // clone batches: base vectors under shifted ids — the appendable
+        // "new corpus drops" whose codes the oracle can derive (appends
+        // encode under the SAVED thresholds, so a clone's code equals its
+        // source's)
+        val clones1 = emb.filter(col("vec_id") % 5 === 1)
+          .withColumn("vec_id", col("vec_id") + 100000L)
+        val clones2 = emb.filter(col("vec_id") % 5 === 3)
+          .withColumn("vec_id", col("vec_id") + 200000L)
+        val allVecs = emb.unionByName(clones1).unionByName(clones2)
         graft.operators.VectorIndex.buildBinary(emb, "vec_id", "embedding", path)
+        // interleaving under test: append → delete SOME standing and SOME
+        // appended ids → search → compact → search → append again → search
+        graft.operators.VectorIndex.appendBinary(
+          clones1, "vec_id", "embedding", path)
         graft.operators.VectorIndex.deleteIds(
-          emb.filter(col("vec_id") % 7 === 0), "vec_id", path)
-        def search() = graft.operators.VectorIndex.searchBinary(s, path, emb,
-          "vec_id", "embedding", _.filter(col("vec_id") < 10),
+          emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+            .unionByName(clones1
+              .filter((col("vec_id") - 100000L) % 10 === 1)
+              .select(col("vec_id"))),
+          "vec_id", path)
+        def search() = graft.operators.VectorIndex.searchBinary(s, path,
+          allVecs, "vec_id", "embedding", _.filter(col("vec_id") < 10),
           k = 3, rerankWidth = 32)
-        // materialize BEFORE compacting — the lazy plan must read the
-        // tombstone-masked state, not the rewritten files
+        // materialize BEFORE the next lifecycle step — each lazy plan
+        // must read ITS stage's files/tombstones, not a later state
         val masked = search().withColumn("stage", lit("tombstoned"))
           .localCheckpoint(true)
         graft.operators.VectorIndex.compact(s, path)
-        masked.unionByName(
-            search().withColumn("stage", lit("compacted")))
+        val compacted = search().withColumn("stage", lit("compacted"))
+          .localCheckpoint(true)
+        graft.operators.VectorIndex.appendBinary(
+          clones2, "vec_id", "embedding", path)
+        masked.unionByName(compacted)
+          .unionByName(search().withColumn("stage", lit("reappended")))
           .orderBy(col("stage"), col("query_id"), col("rank"))
       },
       Some(indexDeleteOracle))
   )
 
   /** Hamming-coarse + cosine-rerank CTE chain over a codes relation
-    * `rel` — the shared core of BinaryQuant.hammingRerankTopK's mirror. */
-  private def rerankCtes(rel: String): String =
-    s"""cand AS (
+    * `rel` — the shared core of BinaryQuant.hammingRerankTopK's mirror.
+    * `sfx` disambiguates CTE names when one query instantiates the chain
+    * over several lifecycle states; `embRel` is the (vec_id, embedding)
+    * vector source the rerank joins (a UNION CTE when appended clones
+    * carry ids outside the base table). */
+  private def rerankCtes(rel: String, sfx: String = "",
+      embRel: String = "embeddings"): String =
+    s"""cand$sfx AS (
        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
        |         CAST(bit_count(xor(q.code, c.code)) AS INTEGER) AS ham
        |  FROM $rel q JOIN $rel c ON c.vec_id <> q.vec_id
        |  WHERE q.vec_id < 10),
-       |top AS (SELECT qid, nid, ham,
+       |top$sfx AS (SELECT qid, nid, ham,
        |          row_number() OVER (PARTITION BY qid
        |                             ORDER BY ham, nid) AS rn
-       |        FROM cand),
-       |rr AS (SELECT t.qid, t.nid, t.ham, $cosSql AS sim
-       |       FROM top t
-       |       JOIN embeddings a ON a.vec_id = t.qid
-       |       JOIN embeddings b ON b.vec_id = t.nid
+       |        FROM cand$sfx),
+       |rr$sfx AS (SELECT t.qid, t.nid, t.ham, $cosSql AS sim
+       |       FROM top$sfx t
+       |       JOIN $embRel a ON a.vec_id = t.qid
+       |       JOIN $embRel b ON b.vec_id = t.nid
        |       WHERE t.rn <= 32),
-       |f AS (SELECT qid, nid, ham, sim,
+       |f$sfx AS (SELECT qid, nid, ham, sim,
        |        row_number() OVER (PARTITION BY qid
        |                           ORDER BY sim DESC, nid) AS rn2
-       |      FROM rr)""".stripMargin
+       |      FROM rr$sfx)""".stripMargin
 
   /** DuckDB mirror of BinaryQuant.hammingRerankTopK over the codes CTE —
     * shared verbatim by q_hamming_rerank and q_index_persist (their equal
@@ -937,22 +963,50 @@ object SimilarityQueries {
        |       CAST(rn2 AS INTEGER) AS rank
        |FROM f WHERE rn2 <= 3 ORDER BY query_id, rank""".stripMargin
 
-  /** Mirror of the delete lifecycle: the same rerank chain over codes
-    * MINUS the deleted ids, emitted twice — once per lifecycle stage. Both
-    * stages must equal this one relation: the tombstone-masked search and
-    * the post-compaction search are required to return identical rows, so
-    * a compaction that loses or resurrects a vector breaks the hash. */
+  /** Mirror of the FULL interleaved delete lifecycle: build → append a
+    * clone batch → tombstone some standing AND some appended ids →
+    * search (`tombstoned`) → compact → search (`compacted`) → append a
+    * second clone batch → search (`reappended`). Clones reuse base
+    * vectors under shifted ids (+100000 / +200000), so their codes and
+    * rerank vectors are derivable in SQL (appends encode under the SAVED
+    * thresholds — same code as the source vector, which is exactly the
+    * never-refit contract). The first two stages must equal the live1
+    * relation (a compaction that loses or resurrects a vector breaks the
+    * hash); the third must equal live1 + the second batch — proving the
+    * tombstone mask, the compaction swap, and post-compaction appends
+    * compose. */
   private def indexDeleteOracle: String =
     s"""$binaryCodesCte,
-       |live AS (SELECT * FROM codes WHERE vec_id % 7 <> 0),
-       |${rerankCtes("live")},
-       |sel AS (SELECT qid AS query_id, nid AS neighbor_id, ham AS hamming,
+       |app1 AS (SELECT vec_id + 100000 AS vec_id, label, code
+       |         FROM codes WHERE vec_id % 5 = 1),
+       |app2 AS (SELECT vec_id + 200000 AS vec_id, label, code
+       |         FROM codes WHERE vec_id % 5 = 3),
+       |live1 AS (SELECT * FROM codes WHERE vec_id % 7 <> 0
+       |          UNION ALL
+       |          SELECT * FROM app1 WHERE (vec_id - 100000) % 10 <> 1),
+       |live2 AS (SELECT * FROM live1 UNION ALL SELECT * FROM app2),
+       |emb2 AS (SELECT vec_id, embedding FROM embeddings
+       |         UNION ALL
+       |         SELECT vec_id + 100000, embedding FROM embeddings
+       |         WHERE vec_id % 5 = 1
+       |         UNION ALL
+       |         SELECT vec_id + 200000, embedding FROM embeddings
+       |         WHERE vec_id % 5 = 3),
+       |${rerankCtes("live1", "1", "emb2")},
+       |${rerankCtes("live2", "2", "emb2")},
+       |sel1 AS (SELECT qid AS query_id, nid AS neighbor_id, ham AS hamming,
        |          CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm,
        |          CAST(rn2 AS INTEGER) AS rank
-       |        FROM f WHERE rn2 <= 3)
-       |SELECT 'tombstoned' AS stage, * FROM sel
+       |        FROM f1 WHERE rn2 <= 3),
+       |sel2 AS (SELECT qid AS query_id, nid AS neighbor_id, ham AS hamming,
+       |          CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm,
+       |          CAST(rn2 AS INTEGER) AS rank
+       |        FROM f2 WHERE rn2 <= 3)
+       |SELECT 'tombstoned' AS stage, * FROM sel1
        |UNION ALL
-       |SELECT 'compacted' AS stage, * FROM sel
+       |SELECT 'compacted' AS stage, * FROM sel1
+       |UNION ALL
+       |SELECT 'reappended' AS stage, * FROM sel2
        |ORDER BY stage, query_id, rank""".stripMargin
 
   /** DuckDB mirror of BinaryQuant.fitThresholds + withCode: per-dim lower

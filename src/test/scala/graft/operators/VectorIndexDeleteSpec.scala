@@ -76,6 +76,67 @@ class VectorIndexDeleteSpec extends AnyFunSuite {
       "compaction must drop every subspace row of a deleted vector")
   }
 
+  test("IVF-PQ interleaving: append, delete some of it, append again, compact, search") {
+    val path = Files.createTempDirectory("vidx_del_pq_il").toString
+    val subspaces = 8
+    val base = emb.filter(col("vec_id") < 400)
+    VectorIndex.buildIvfPq(base, "vec_id", "embedding", "label", path,
+      subspaces, 8)
+
+    // append a drop, then tombstone PART of that very drop plus part of
+    // the standing corpus — the interleaving the lifecycle must survive
+    val drop1 = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    VectorIndex.appendIvfPq(drop1, "vec_id", "embedding", path)
+    VectorIndex.deleteIds(
+      emb.filter((col("vec_id") >= 440 && col("vec_id") < 450) ||
+        col("vec_id") % 50 === 0), "vec_id", path)
+
+    def hits() = VectorIndex.searchIvfPq(s, path,
+      emb.filter(col("vec_id") === 3), "vec_id", "embedding",
+      k = 8, nProbe = 2).collect().map(_.getLong(1)).toSet
+
+    val masked = hits()
+    assert(masked.nonEmpty)
+    assert(!masked.exists(id => (id >= 440 && id < 450) || id % 50 == 0),
+      "deleted appended ids and deleted standing ids must both be masked")
+
+    // compact mid-lifecycle, then append AGAIN — post-compaction appends
+    // must land live (tombstone log is clear) while old deletes stay gone
+    VectorIndex.compact(s, path)
+    assert(hits() == masked, "compaction must not change search results")
+    // 451.. not 450: 450 is a tombstoned id, and re-appending a
+    // deleted id after compaction legitimately resurrects it (the
+    // explicit-re-append contract q_index_delete exercises) - this case
+    // checks the opposite: ids NOT re-appended stay gone
+    val drop2 = emb.filter(col("vec_id") > 450 && col("vec_id") <= 460)
+    VectorIndex.appendIvfPq(drop2, "vec_id", "embedding", path)
+
+    val after = hits()
+    assert(!after.exists(id => (id >= 440 && id < 450) || id % 50 == 0),
+      "compacted-away ids must not resurrect through the new append")
+    val codeIds = VectorIndex.loadIvfPqCodes(s, path)
+      .select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert((451L to 460L).forall(codeIds.contains),
+      "the post-compaction drop must be present in the coded lists")
+    assert(!codeIds.exists(id => (id >= 440 && id < 450) || id % 50 == 0))
+    // and the second drop is SEARCHABLE, not just stored: probe with
+    // 455's own VECTOR under a fresh query id (search excludes the
+    // query's id from results, so a literal self-query can never return
+    // itself) and k covering the probed lists — the vector's nearest
+    // centroid is its append-time list, which is always among its
+    // nProbe probes, so 455 must surface. (No top-1 assertion: ADC
+    // distance is quantized, and a neighbor's reconstruction can land
+    // closer to the query than 455's own quantization error.)
+    val wide = VectorIndex.searchIvfPq(s, path,
+      emb.filter(col("vec_id") === 455)
+        .withColumn("vec_id", lit(999999L)),
+      "vec_id", "embedding",
+      k = 1000, nProbe = 2).collect().map(_.getLong(1)).toSet
+    assert(wide.contains(455L))
+    assert(!wide.exists(id => (id >= 440 && id < 450) || id % 50 == 0))
+  }
+
   test("compact with no tombstones is a no-op; loadTombstones on a fresh index is empty") {
     val path = Files.createTempDirectory("vidx_del_noop").toString
     VectorIndex.buildBinary(emb, "vec_id", "embedding", path)
