@@ -233,6 +233,57 @@ object Media {
     }
   }
 
+  final case class AudioFpRow(media_id: Long, fp_hi: Long, fp_lo: Long)
+
+  /** 64-bit audio fingerprint — the Haitsma–Kalker robust-hash scheme
+    * (Philips, ISMIR 2002: overlapping windows → sub-band energies → sign
+    * of the time- and band-difference of energies), the audio-modality
+    * sibling of [[dHash]]. The payload's bytes stand in for PCM samples
+    * (a real deployment decodes first; windowing, energies, and the
+    * difference bits are the real algorithm): 17 evenly-spaced 32-byte
+    * windows (hop = max(1, (n−32)/16), clamped like [[frameOffsets]]),
+    * 5 six-byte sub-band energies per window, and
+    *
+    *   bit(t,f) = [ (E(t,f)−E(t,f+1)) − (E(t−1,f)−E(t−1,f+1)) > 0 ]
+    *
+    * for t ∈ 1..16, f ∈ 0..3 — 64 bits, packed as two non-negative
+    * 32-bit halves like every hash the banded Hamming join consumes.
+    * The double difference cancels any uniform gain/offset (E shifts by
+    * a per-window constant per band), which the spec asserts directly.
+    * Payloads under one window yield no row. Narrow typed flatMap, no
+    * shuffle; 2 longs per item feed the dedup join. */
+  def audioFingerprint(media: Dataset[MediaRow]): Dataset[AudioFpRow] = {
+    import media.sparkSession.implicits._
+    val win = 32
+    val windows = 17
+    media.flatMap { r =>
+      val n = r.bytes.length
+      if (n < win) None
+      else {
+        val hop = math.max(1, (n - win) / (windows - 1))
+        def energy(t: Int, f: Int): Long = {
+          val off = math.min(t * hop, n - win)
+          var s = 0L
+          var k = f * 6
+          while (k < f * 6 + 6) { s += r.bytes(off + k) & 0xff; k += 1 }
+          s
+        }
+        var lo = 0L
+        var hi = 0L
+        var j = 0
+        while (j < 64) {
+          val t = j / 4 + 1
+          val f = j % 4
+          val d = (energy(t, f) - energy(t, f + 1)) -
+            (energy(t - 1, f) - energy(t - 1, f + 1))
+          if (d > 0) { if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32) }
+          j += 1
+        }
+        Some(AudioFpRow(r.media_id, hi, lo))
+      }
+    }
+  }
+
   /** Like [[synthesize]] but with dimensions derived from the payload —
     * `w = max(8, ⌊√n⌋)`, `h = ⌈n/w⌉` — so the bytes-as-pixels raster
     * COVERS the payload instead of reading past it. [[synthesize]]'s

@@ -82,6 +82,44 @@ object StreamQueries {
       |      (a, x) -> a + x) AS hi
       |  FROM px)""".stripMargin
 
+  /** Shared oracle CTE: the Haitsma–Kalker audio fingerprint over the
+    * `documents` audio modality (doc_id % 3 = 1) — 17 evenly-spaced
+    * 32-byte windows, 5 six-byte sub-band energies each, bit(t,f) =
+    * sign of the time×band energy double difference, packed as two
+    * non-negative 32-bit halves. Mirrors [[graft.multimodal.Media
+    * .audioFingerprint]] exactly (same ASCII-corpus assumption as
+    * [[phashCte]]). Ends with CTE `afp` (media_id, lo, hi). */
+  private val audioFpCte: String =
+    """am AS (
+      |  SELECT doc_id AS media_id, text, strlen(text) AS n
+      |  FROM documents WHERE doc_id % 3 = 1 AND strlen(text) >= 32),
+      |ap AS (SELECT media_id, text, n,
+      |         greatest(1, (n - 32) // 16) AS hop FROM am),
+      |ae AS (SELECT media_id,
+      |         list_transform(range(17), t ->
+      |           list_transform(range(5), f ->
+      |             list_reduce(list_prepend(0::BIGINT,
+      |               list_transform(range(6), k ->
+      |                 unicode(text[CAST(least(t * hop, n - 32)
+      |                   + f * 6 + k AS INTEGER) + 1])::BIGINT)),
+      |               (a, x) -> a + x))) AS en
+      |       FROM ap),
+      |afp AS (
+      |  SELECT media_id,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(range(32), j ->
+      |        CASE WHEN (en[j // 4 + 2][j % 4 + 1] - en[j // 4 + 2][j % 4 + 2])
+      |                - (en[j // 4 + 1][j % 4 + 1] - en[j // 4 + 1][j % 4 + 2]) > 0
+      |             THEN (1::BIGINT << j) ELSE 0::BIGINT END)),
+      |      (a, x) -> a + x) AS lo,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(range(32), j ->
+      |        CASE WHEN (en[j // 4 + 10][j % 4 + 1] - en[j // 4 + 10][j % 4 + 2])
+      |                - (en[j // 4 + 9][j % 4 + 1] - en[j // 4 + 9][j % 4 + 2]) > 0
+      |             THEN (1::BIGINT << j) ELSE 0::BIGINT END)),
+      |      (a, x) -> a + x) AS hi
+      |  FROM ae)""".stripMargin
+
   /** State-store partition count is fixed at stream START from
     * spark.sql.shuffle.partitions; for these registry queries the state is
     * tiny (hundreds of windows/ids from one static file) so 32 partitions
@@ -863,6 +901,58 @@ object StreamQueries {
              | AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
              |GROUP BY a.media_id, b.media_id
              |HAVING count(DISTINCT a.frame_idx * 16 + b.frame_idx) >= 2
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- audio fingerprint: Haitsma–Kalker robust hash, oracle-gated ----
+    // The audio-modality fingerprint itself under the driver's hash gate:
+    // per-item 64-bit robust hash from windowed sub-band energy double
+    // differences (Haitsma & Kalker, ISMIR 2002 — the published scheme;
+    // bytes stand in for PCM samples, the windowing/energy/difference
+    // pipeline is the real algorithm). The double difference cancels
+    // uniform gain, the audio analog of dHash's brightness invariance.
+    // Scale: narrow typed flatMap, no shuffle, 2 longs per item out.
+    Q("q_media_audio_fp",
+      (s, dir) => {
+        import s.implicits._
+        val media = Media.synthesizeCovering(
+          graft.Tables.documents(s, dir), "doc_id", "text").as[Media.MediaRow]
+        Media.audioFingerprint(media.filter(col("kind") === "audio"))
+          .toDF()
+          .orderBy(col("media_id"))
+      },
+      Some(s"""WITH $audioFpCte
+             |SELECT media_id, hi AS fp_hi, lo AS fp_lo
+             |FROM afp ORDER BY media_id""".stripMargin)),
+
+    // ---- audio near-dedup over the fingerprints -------------------------
+    // The dedup step: banded Hamming join over the audio fingerprints —
+    // identical machinery to the image path (band width derived from
+    // count(*), sub-radius probes when wide), same recall-1.0 guarantee,
+    // so the oracle is again the quadratic self-join with no banding
+    // mirror. tau=16 (BER 0.25 on the 64-bit mini-fingerprint, inside
+    // Haitsma-Kalker's published 0.35 operating threshold): the corpus's
+    // planted near-dups are insert/delete edits that SHIFT the windows,
+    // so their fingerprints sit at Hamming >= 13 (measured) - the audio
+    // analog of the phash family's documented translation variance. Completes the modality set: dHash (image), frame-sequence
+    // clip dedup (video), Haitsma–Kalker (audio), all three feeding one
+    // Hamming-join operator.
+    Q("q_media_audio_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val media = Media.synthesizeCovering(
+          graft.Tables.documents(s, dir), "doc_id", "text").as[Media.MediaRow]
+        val fp = Media.audioFingerprint(media.filter(col("kind") === "audio"))
+          .toDF().localCheckpoint(true)
+        graft.operators.MinHashLSH.hammingBandPairs(
+            fp, "media_id", "fp_hi", "fp_lo", maxHamming = 16)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $audioFpCte
+             |SELECT a.media_id AS id_a, b.media_id AS id_b,
+             |  CAST(bit_count(xor(a.hi, b.hi))
+             |     + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+             |FROM afp a JOIN afp b ON a.media_id < b.media_id
+             |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 16
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- multimodal dedup clusters: phash pairs → connected components --
