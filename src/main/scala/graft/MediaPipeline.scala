@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * artifact — the media analog of [[CurationPipeline]]:
   *
   *   media items (binary payload + typed metadata) → payload gate →
-  *   perceptual hash (dHash) → banded Hamming near-dup pairs →
-  *   connected-component dup clusters → keeper per cluster (largest
-  *   payload, ties to smallest id) → partitioned parquet of survivors
+  *   modality-routed perceptual hash (dHash for image/video,
+  *   Haitsma–Kalker fingerprint for audio) → banded Hamming near-dup
+  *   pairs per modality → connected-component dup clusters → keeper per
+  *   cluster (largest payload, ties to smallest id) → partitioned
+  *   parquet of survivors
   *
   * Every stage is one of the library's operators; this main composes
   * them and reports per-stage counts. Scale shape inherited from the
@@ -32,26 +34,43 @@ object MediaPipeline {
 
   /** Same pipeline over an arbitrary media frame (media_id, kind, bytes,
     * width, height, sample_rate) — the entry specs and stress runs feed
-    * directly. */
+    * directly. Dedup is MODALITY-ROUTED: image/video payloads hash with
+    * [[Media.dHash]] (visual gradient signs), audio payloads with
+    * [[Media.audioFingerprint]] (Haitsma–Kalker energy differences) —
+    * each modality meets only its own hash space in the banded join (a
+    * dHash and an audio fingerprint agreeing at Hamming ≤ tau would be
+    * coincidence, not similarity), and the union of both pair sets
+    * feeds one clustering + keeper pass. */
   def runMedia(spark: SparkSession, mediaDf: DataFrame, outDir: String,
-      maxHamming: Int = 12, minBytes: Int = 32): Seq[(String, Long)] = {
+      maxHamming: Int = 12, minBytes: Int = 32,
+      audioTau: Int = 16): Seq[(String, Long)] = {
     import spark.implicits._
     val raw = mediaDf.count()
 
     // 1. payload gate: truncated/empty items carry no raster signal and
-    //    would all collide near the blank hash — drop them first
+    //    would all collide near the blank hash — drop them first.
+    //    minBytes ≥ 32 also guarantees every audio item spans at least
+    //    one fingerprint window.
     val gated = mediaDf.filter(length(col("bytes")) >= minBytes)
       .localCheckpoint(true) // consumed by hash, sizes, and the final anti-join
     val afterGate = gated.count()
 
-    // 2. perceptual hash: 2 longs per item — the only thing dedup shuffles
-    val ph = Media.dHash(gated.as[Media.MediaRow]).toDF().localCheckpoint(true)
+    // 2. per-modality hash: 2 longs per item — the only thing dedup shuffles
+    val visual = Media.dHash(
+        gated.filter(col("kind") =!= "audio").as[Media.MediaRow])
+      .toDF().localCheckpoint(true)
+    val audio = Media.audioFingerprint(
+        gated.filter(col("kind") === "audio").as[Media.MediaRow])
+      .toDF().localCheckpoint(true)
 
-    // 3. near-dup pairs via the banded Hamming join — band width derived
-    //    from the corpus size (MinHashLSH.bandBitsFor), recall exactly
-    //    1.0 at any width via sub-radius probe enumeration
+    // 3. near-dup pairs via the banded Hamming join, per modality — band
+    //    width derived from each hash table's own size
+    //    (MinHashLSH.bandBitsFor), recall exactly 1.0 at any width via
+    //    sub-radius probe enumeration
     val pairs = MinHashLSH.hammingBandPairs(
-      ph, "media_id", "ph_hi", "ph_lo", maxHamming)
+        visual, "media_id", "ph_hi", "ph_lo", maxHamming)
+      .unionByName(MinHashLSH.hammingBandPairs(
+        audio, "media_id", "fp_hi", "fp_lo", audioTau))
     val nPairs = pairs.count()
 
     // 4. transitive closure over the pair graph

@@ -955,6 +955,60 @@ object StreamQueries {
              |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 16
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- ingest-time audio dedup: stream drops vs the standing corpus ---
+    // The audio sibling of q_stream_phash_dedup: incoming audio items are
+    // Haitsma–Kalker-fingerprinted per micro-batch and band-joined
+    // against the STANDING corpus's fingerprint table via the asymmetric
+    // probe-vs-reference join (drops never pairwise-join each other,
+    // only the index). Verdicts depend on the fixed standing set only ⇒
+    // batching-invariant, and the batch oracle gates the streamed path.
+    // Same scale shape as the image variant: 2 longs per standing item.
+    Q("q_stream_audio_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val sink = java.nio.file.Files
+          .createTempDirectory("graft_stream_audiofp").toString
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+            .writeStream.foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  _: Long) =>
+                val ss = batch.sparkSession
+                import ss.implicits._
+                def fpOf(df: org.apache.spark.sql.DataFrame) =
+                  Media.audioFingerprint(
+                    Media.synthesizeCovering(df, "doc_id", "text")
+                      .as[Media.MediaRow]
+                      .filter(col("kind") === "audio")).toDF()
+                val standingFp = fpOf(
+                  graft.Tables.documents(ss, dir).filter(col("doc_id") < 250))
+                val batchFp = fpOf(batch.filter(col("doc_id") >= 250))
+                val matches = graft.operators.MinHashLSH.hammingBandJoin(
+                    batchFp, standingFp, "media_id", "fp_hi", "fp_lo",
+                    maxHamming = 16)
+                  .groupBy(col("id_p"))
+                  .agg(count(lit(1)).as("__nm"))
+                batchFp.select(col("media_id").as("doc_id"))
+                  .join(matches, col("doc_id") === col("id_p"), "left")
+                  .select(col("doc_id"),
+                    coalesce(col("__nm"), lit(0L)).as("n_dup_matches"))
+                  .write.mode("append").parquet(sink)
+                ()
+            }.start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.read.parquet(sink).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $audioFpCte
+             |SELECT p.media_id AS doc_id,
+             |       CAST(count(r.media_id) AS BIGINT) AS n_dup_matches
+             |FROM (SELECT * FROM afp WHERE media_id >= 250) p
+             |LEFT JOIN (SELECT * FROM afp WHERE media_id < 250) r
+             |  ON bit_count(xor(p.hi, r.hi)) + bit_count(xor(p.lo, r.lo)) <= 16
+             |GROUP BY p.media_id ORDER BY doc_id""".stripMargin)),
+
     // ---- multimodal dedup clusters: phash pairs → connected components --
     // The step after pair generation: union-find over the perceptual-hash
     // pair graph (near-dup similarity is only locally transitive), one

@@ -32,6 +32,23 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(again("written") == counts("written"))
   }
 
+  test("an injected AUDIO exact duplicate collapses through the fingerprint route") {
+    val docs = Tables.documents(s, "/root/testdata/sf0.001")
+      .select("doc_id", "text").limit(40)
+    val base = Media.synthesizeCovering(docs, "doc_id", "text")
+    // doc_id 1 → kind "audio": its dedup runs through audioFingerprint,
+    // not dHash — same payload ⇒ same fingerprint ⇒ hamming-0 pair, and
+    // the smaller id (1) is the keeper at equal size
+    val dup = base.filter(col("media_id") === 1)
+      .withColumn("media_id", col("media_id") + 800000L)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_media_adup").toString + "/m"
+    MediaPipeline.runMedia(s, base.unionByName(dup), out)
+    val ids = s.read.parquet(out).select("media_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.contains(1L) && !ids.contains(800001L))
+  }
+
   test("an injected exact duplicate loses to the larger payload keeper") {
     val docs = Tables.documents(s, "/root/testdata/sf0.001")
       .select("doc_id", "text").limit(30)
