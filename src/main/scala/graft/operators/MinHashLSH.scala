@@ -161,12 +161,17 @@ object MinHashLSH {
 
   /** SimHash near-dup pairs via banded LSH — the scale-safe form of the
     * hamming-distance self-join. The `bits`-bit simhash is split into
-    * ceil(bits/bandBits) bands; pairs within hamming distance `maxHamming`
-    * are GUARANTEED to agree on at least one band whenever
-    * maxHamming < bandCount (pigeonhole), so recall is exactly 1.0 and the
-    * output is bit-identical to the quadratic form. Cost: one shuffle of
-    * bandCount×N tiny rows (id + simhash + 2 ints) and Σ bucket² work
-    * inside 4-bit buckets — no cross join anywhere.
+    * ceil(bits/bandBits) bands; recall is EXACTLY 1.0 at any legal
+    * config, same mechanism as [[hammingBandPairs]]: with s =
+    * ⌊maxHamming/bands⌋, some band of a qualifying pair sits at band
+    * distance ≤ s, and the probe side enumerates every key within s
+    * flips ([[flipMasks]] — multi-index hashing), so the output is
+    * bit-identical to the quadratic form; s = 0 (maxHamming < bands) is
+    * the plain exact-key join. `bandBits = 0` (the default) derives the
+    * width from count(*) via [[simhashBandBitsFor]]. Cost: one shuffle
+    * of bands×N tiny reference rows (+ the probe expansion) and
+    * Σ bucket² work inside 2^bandBits-wide buckets — no cross join
+    * anywhere.
     *
     * @param sh       (id, simhash) input — simhash a long of `bits` bits
     * @param probePred optional extra predicate on the probe (smaller-id)
@@ -179,25 +184,40 @@ object MinHashLSH {
       shCol: String,
       maxHamming: Int,
       bits: Int = 30,
-      bandBits: Int = 4,
+      bandBits: Int = 0,
       probePred: Column => Column = _ => lit(true)): DataFrame = {
-    val bandCount = (bits + bandBits - 1) / bandBits
-    require(maxHamming < bandCount,
-      s"recall-1.0 banding needs maxHamming < bands ($maxHamming >= $bandCount)")
-    val mask = (1L << bandBits) - 1
-    val banded = sh.select(
-        col(idCol).as("__id"), col(shCol).as("__sh"),
-        explode(sequence(lit(0), lit(bandCount - 1))).as("__band"))
-      .withColumn("__key",
-        expr(s"shiftright(__sh, __band * $bandBits)").bitwiseAND(lit(mask)))
-      .select(col("__id"), col("__sh"), col("__band"), col("__key"))
-      // same partitioning rule as hammingBandPairs: without it the explode
-      // inherits the scan's (often single-file, single-task) partitioning
-      // and the whole Σ bucket² evaluation serializes on one core
-      .repartition(col("__band"), col("__key"))
+    val b =
+      if (bandBits > 0) bandBits
+      else simhashBandBitsFor(sh.count(), bits, maxHamming)
+    val bandCount = (bits + b - 1) / b
+    val s = maxHamming / bandCount
+    val mask = (1L << b) - 1
+    def banded(flips: Seq[Long]): DataFrame = {
+      val base = sh.select(
+          col(idCol).as("__id"), col(shCol).as("__sh"),
+          explode(sequence(lit(0), lit(bandCount - 1))).as("__band"))
+        .withColumn("__key0",
+          expr(s"shiftright(__sh, __band * $b)").bitwiseAND(lit(mask)))
+      val keyed =
+        if (flips == Seq(0L)) base.withColumn("__key", col("__key0"))
+        else base.withColumn("__key",
+          explode(array(flips.map(m => col("__key0").bitwiseXOR(lit(m))): _*)))
+      keyed.select(col("__id"), col("__sh"), col("__band"), col("__key"))
+        // same partitioning rule as hammingBandPairs: without it the
+        // explode inherits the scan's (often single-file, single-task)
+        // partitioning and the whole Σ bucket² evaluation serializes on
+        // one core
+        .repartition(col("__band"), col("__key"))
+    }
+    // top band may be narrower than b (bits not a multiple): flips of
+    // its phantom high bits produce keys no exact key carries — wasted
+    // probe rows, never wrong pairs; pigeonhole still holds because the
+    // real differing bits are always within the enumerated positions
+    val exact = banded(Seq(0L))
+    val probe = if (s == 0) exact else banded(flipMasks(b, s))
 
-    banded.as("a").filter(probePred(col("a.__id")))
-      .join(banded.as("b"),
+    probe.as("a").filter(probePred(col("a.__id")))
+      .join(exact.as("b"),
         col("a.__band") === col("b.__band") &&
           col("a.__key") === col("b.__key") &&
           col("a.__id") < col("b.__id") &&
@@ -206,6 +226,14 @@ object MinHashLSH {
         bit_count(col("a.__sh").bitwiseXOR(col("b.__sh"))).cast("long").as("hamming"))
       .distinct()
   }
+
+  /** [[bandBitsFor]] for a single-long `bits`-wide simhash: same measured
+    * cost model over widths sensible for a ≤32-bit hash (bandCount =
+    * ⌈bits/b⌉ — no divisibility requirement; a narrower top band only
+    * wastes a few probe rows, see [[simhashBandPairs]]). */
+  def simhashBandBitsFor(n: Long, bits: Int, maxHamming: Int): Int =
+    bestBandBits(n, bits, maxHamming,
+      Seq(4, 6, 10, 15).filter(_ <= bits))
 
   /** Band width for the two-half 64-bit Hamming join, derived from corpus
     * size — the [[graft.operators.Knn.planesFor]] pattern applied to
@@ -233,17 +261,23 @@ object MinHashLSH {
     * could flip a boundary), so the choice is reproducible from count(*)
     * alone. Recall does NOT depend on the choice (see
     * [[hammingBandPairs]]) — this knob is cost-only. */
-  def bandBitsFor(n: Long, maxHamming: Int): Int = {
-    require(n > 0 && maxHamming >= 0)
+  def bandBitsFor(n: Long, maxHamming: Int): Int =
+    bestBandBits(n, 64, maxHamming, Seq(4, 8, 16))
+
+  /** Shared width chooser: minimize SHUFFLE_WEIGHT·n·bands·probes +
+    * n²·bands·probes/2^b over the candidate widths, bands = ⌈bits/b⌉. */
+  private def bestBandBits(n: Long, bits: Int, maxHamming: Int,
+      cands: Seq[Int]): Int = {
+    require(n > 0 && maxHamming >= 0 && cands.nonEmpty)
     val shuffleWeight = 128
     def cost(b: Int): BigInt = {
-      val bands = 64 / b
+      val bands = (bits + b - 1) / b
       val s = maxHamming / bands
       val probes = (0 to s).map(k => binom(b, k)).sum
       BigInt(n) * bands * probes * shuffleWeight +
         BigInt(n) * n * bands * probes / (BigInt(1) << b)
     }
-    Seq(4, 8, 16).minBy(cost)
+    cands.minBy(cost)
   }
 
   private def binom(n: Int, k: Int): BigInt =

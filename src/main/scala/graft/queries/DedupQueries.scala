@@ -225,10 +225,12 @@ object DedupQueries {
               |FROM lab ORDER BY doc_id""".stripMargin)),
 
     // ---- SimHash near-dup pairs: sampled probe side, hamming ≤ 6 ---------
-    // Banded-LSH equi-join (8 bands × 4 bits over the 30-bit simhash):
-    // recall is provably 1.0 for hamming ≤ 6 < 8 bands, so the output is
-    // bit-identical to the quadratic cross-join form the oracle runs —
-    // with no cross join in the Spark plan (asserted in PlanShapeSpec).
+    // Banded-LSH equi-join over the 30-bit simhash with the band width
+    // DERIVED from count(*) (simhashBandBitsFor — round 7, same derivation
+    // and sub-radius recall-1.0 machinery as the 64-bit Hamming join), so
+    // the output is bit-identical to the quadratic cross-join form the
+    // oracle runs — with no cross join in the Spark plan (asserted in
+    // PlanShapeSpec).
     Q("q_simhash_pairs",
       (s, dir) => {
         val sh = Tables.documents(s, dir)
@@ -236,7 +238,7 @@ object DedupQueries {
             transform(Text.tokens(col("text")), t => Text.polyHash(t)))
           .select(col("doc_id"), Text.simhash30("__tokh").as("sh"))
         MinHashLSH.simhashBandPairs(sh, "doc_id", "sh",
-            maxHamming = 6, bits = 30, bandBits = 4,
+            maxHamming = 6, bits = 30,
             probePred = id => id % 20 === 0)
           .orderBy(col("id_a"), col("id_b"))
       },

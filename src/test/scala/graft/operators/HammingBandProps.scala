@@ -53,6 +53,27 @@ object HammingBandProps extends Properties("graft.hammingband") {
       Prop(got == expected) :| s"got=$got expected=$expected tau=$tau bb=$bandBits"
     }
 
+  property("simhash banded pairs ≡ JVM popcount model (derived + sub-radius)") =
+    Prop.forAll(
+      Gen.chooseNum(2, 14).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0L, (1L << 30) - 1))),
+      Gen.oneOf(0, 4, 6, 10), // 0 = derived width
+      Gen.chooseNum(0, 12)) { (hashes, bandBits, tau) =>
+      import spark.implicits._
+      val df = hashes.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+        .toDF("id", "sh")
+      val got = MinHashLSH.simhashBandPairs(df, "id", "sh",
+          maxHamming = tau, bits = 30, bandBits = bandBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = (for {
+        (ha, a) <- hashes.zipWithIndex
+        (hb, b) <- hashes.zipWithIndex if a < b
+        ham = java.lang.Long.bitCount(ha ^ hb)
+        if ham <= tau
+      } yield (a.toLong, b.toLong, ham.toLong)).toSet
+      Prop(got == expected) :| s"got=$got expected=$expected tau=$tau bb=$bandBits"
+    }
+
   property("asymmetric band join ≡ JVM popcount model (probe × reference)") =
     Prop.forAll(genRows, genRows, genCfg) { case (ps, rs, (bandBits, tau)) =>
       import spark.implicits._
