@@ -681,6 +681,35 @@ object Stress {
         bigda.unpersist()
         println(f"""{"items":$nItemsA%d,"tau":$tauA%d,"band_bits":$usedB%d,"derived":${forcedB == 0}%b,"hash_seconds":$tHashA%.1f,"pairs":$nPairsA%d,"pair_seconds":$tPairA%.1f}""")
 
+      case "audiofp" =>
+        // the audio-modality twin of "phashauto": copies× exact-replicated
+        // docs through Haitsma–Kalker fingerprinting + the derived banded
+        // join at the registry's tau=16 — replica pairs are hamming-0 by
+        // construction, so the floor on pairs is known and the join cost
+        // at 100k is the measured number SCALE.md cites
+        val dau0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val bigau = (0 until copies).map(i =>
+            dau0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+              col("text")))
+          .reduce(_ unionByName _).cache()
+        bigau.count()
+        val au0 = System.nanoTime()
+        val auMedia = multimodal.Media.synthesizeCovering(bigau, "doc_id", "text")
+          .as[multimodal.Media.MediaRow](
+            org.apache.spark.sql.Encoders.product[multimodal.Media.MediaRow])
+        val afp = multimodal.Media.audioFingerprint(
+            auMedia.filter(col("kind") === "audio"))
+          .toDF().localCheckpoint(true)
+        val nFp = afp.count()
+        val tFp = (System.nanoTime() - au0) / 1e9
+        val au1 = System.nanoTime()
+        val derivedAu = operators.MinHashLSH.bandBitsFor(nFp, maxHamming = 16)
+        val nPairsAu = operators.MinHashLSH.hammingBandPairs(
+          afp, "media_id", "fp_hi", "fp_lo", maxHamming = 16).count()
+        val tPairAu = (System.nanoTime() - au1) / 1e9
+        bigau.unpersist()
+        println(f"""{"audio_items":$nFp%d,"derived_band_bits":$derivedAu%d,"fp_seconds":$tFp%.1f,"pairs":$nPairsAu%d,"pair_seconds":$tPairAu%.1f}""")
+
       case "phashq" =>
         // phash quality vs the repo's own text-near-dup truth
         // (shingle-hash Jaccard ≥ 0.5, the q_jaccard_pairs definition):

@@ -68,6 +68,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"banded phash dedup must plan an equi-join:\n$s")
   }
 
+  test("clip dedup (frame-hash banding) and audio dedup are banded equi-joins") {
+    // the sub-radius probe expansion must still meet the reference side
+    // in an equi-join on (band, key) — never a cross/loop join, at any
+    // derived width
+    for (q <- Seq("q_media_clip_dedup", "q_media_audio_dedup",
+        "q_media_phash_dedup_mih")) {
+      val s = render(plan(q))
+      assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+        s"$q must plan an equi-join:\n$s")
+    }
+  }
+
   test("LSH scale paths (embedding near-dup, profile NN) plan no loop join") {
     for (q <- Seq("q_embedding_neardup_lsh", "q_ts_profile_nn_lsh")) {
       val s = render(plan(q))
