@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted near-dup HASH INDEX — the standing corpus's side of the
+  * banded Hamming join as a saved artifact, so ingest-time dedup stops
+  * rebuilding it per batch (the seam the streaming media queries note as
+  * "production pins the banded table once and appends survivors" — this
+  * is that mechanism). The searchable payload is 2 longs + an id per
+  * item (the perceptual hash / audio fingerprint halves); probes run the
+  * asymmetric [[MinHashLSH.hammingBandJoin]] against it, clean drops
+  * APPEND to it, GDPR-style removals tombstone it.
+  *
+  * Storage contract shared VERBATIM with [[VectorIndex]] (payload under
+  * `path/codes/__batch=<id>`, append-only `path/tombstones`): the id
+  * column persists as `vec_id` so [[VectorIndex.deleteIds]],
+  * [[VectorIndex.loadTombstones]], and [[VectorIndex.compact]] operate
+  * on a Hamming index unchanged — one lifecycle implementation, three
+  * index kinds (binary ANN, IVF-PQ, near-dup hash). Batch-partitioned
+  * appends give streaming ingest the same exactly-once replay story:
+  * pass the foreachBatch batchId and a replayed batch overwrites its own
+  * partition instead of double-appending.
+  *
+  * Scale: the index is 20 B/item (≲ a GB per 50M items); probes shuffle
+  * bands×(probe expansion) tiny rows per side, never payloads; append is
+  * a narrow write of the drop's hashes; compact rewrites only this tiny
+  * table. The 100 TB corpus never re-hashes — only new drops do.
+  */
+object HammingIndex {
+
+  /** Persist the standing hash table (build partition `__batch=-1`). */
+  def build(hashes: DataFrame, idCol: String, hiCol: String, loCol: String,
+      path: String): Unit =
+    hashes.select(col(idCol).cast("long").as("vec_id"),
+        col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo"))
+      .withColumn("__batch", lit(-1L))
+      .write.partitionBy("__batch").mode("overwrite")
+      .parquet(s"$path/codes")
+
+  /** Append new items' hashes. Pass the streaming `batchId` for
+    * replay-safe (exactly-once) ingest; without it the append allocates
+    * the next free partition and is plain at-least-once. */
+  def append(hashes: DataFrame, idCol: String, hiCol: String, loCol: String,
+      path: String, batchId: Option[Long] = None): Unit =
+    VectorIndex.writeCodes(
+      hashes.select(col(idCol).cast("long").as("vec_id"),
+        col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo")),
+      path, batchId)
+
+  /** The live hash table: (vec_id, hi, lo), tombstones masked out. */
+  def load(spark: SparkSession, path: String): DataFrame =
+    VectorIndex.minusTombstones(spark, path,
+      spark.read.parquet(s"$path/codes").drop("__batch"))
+
+  /** Probe a drop against the live index — the asymmetric banded join:
+    * drop items never pairwise-join each other, only the index. Emits
+    * distinct (id_p, id_r, hamming); `bandBits = 0` derives the width
+    * from the LIVE index size. */
+  def probe(drops: DataFrame, idCol: String, hiCol: String, loCol: String,
+      path: String, maxHamming: Int, bandBits: Int = 0): DataFrame =
+    MinHashLSH.hammingBandJoin(
+      drops.select(col(idCol).cast("long").as("vec_id"),
+        col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo")),
+      load(drops.sparkSession, path),
+      "vec_id", "hi", "lo", maxHamming, bandBits)
+
+  /** Per-drop-item dup verdicts against the live index: (doc_id,
+    * n_dup_matches) for EVERY probe item, zero when clean — the row a
+    * scrub consumes directly. */
+  def verdicts(drops: DataFrame, idCol: String, hiCol: String, loCol: String,
+      path: String, maxHamming: Int): DataFrame = {
+    val matches = probe(drops, idCol, hiCol, loCol, path, maxHamming)
+      .groupBy(col("id_p")).agg(count(lit(1)).as("__nm"))
+    drops.select(col(idCol).cast("long").as("doc_id"))
+      .join(matches, col("doc_id") === col("id_p"), "left")
+      .select(col("doc_id"), coalesce(col("__nm"), lit(0L)).as("n_dup_matches"))
+  }
+}

@@ -35,7 +35,7 @@ object VectorIndex {
   // streaming on one index: the keys share the partition space). Loaders
   // drop the partition column, so nothing downstream sees the layout.
 
-  private def nextBatchId(spark: SparkSession, codes: String): Long = {
+  private[operators] def nextBatchId(spark: SparkSession, codes: String): Long = {
     val p = new org.apache.hadoop.fs.Path(codes)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = fs.listStatus(p).filter(_.isDirectory)
@@ -45,7 +45,7 @@ object VectorIndex {
     if (ids.isEmpty) 0L else math.max(ids.max + 1L, 0L)
   }
 
-  private def writeCodes(codes: DataFrame, path: String,
+  private[operators] def writeCodes(codes: DataFrame, path: String,
       batchId: Option[Long]): Unit = {
     val batch = batchId.getOrElse(
       nextBatchId(codes.sparkSession, s"$path/codes"))
@@ -115,7 +115,7 @@ object VectorIndex {
 
   /** Mask `codes` against the tombstone set — the search-path filter.
     * Broadcast anti-join: the codes scan never shuffles. */
-  private def minusTombstones(spark: SparkSession, path: String,
+  private[operators] def minusTombstones(spark: SparkSession, path: String,
       codes: DataFrame): DataFrame =
     codes.join(broadcast(loadTombstones(spark, path)), Seq("vec_id"),
       "left_anti")

@@ -955,6 +955,79 @@ object StreamQueries {
              |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 16
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- persisted dedup index: the standing hash table as an artifact --
+    // The production form of ingest-time dedup (operators.HammingIndex):
+    // the standing corpus's perceptual hashes persist ONCE as a 20 B/item
+    // index (same storage contract as the vector indexes — shared
+    // tombstone/compact machinery, batch-partitioned exactly-once
+    // appends), and each drop probes it instead of re-hashing the corpus.
+    // The oracle replays the full lifecycle: build → GDPR-delete some
+    // standing ids → probe drop 1 → append its clean items → compact
+    // (folds the deletes; must change nothing observable — it sits inside
+    // the hash) → delete some of the just-appended survivors → probe
+    // drop 2 against standing∪survivors. Two verdict stages, one hash.
+    Q("q_dedup_index",
+      (s, dir) => {
+        import s.implicits._
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_hidx").toString
+        val docs = graft.Tables.documents(s, dir)
+        def phOf(pred: org.apache.spark.sql.Column) = Media.dHash(
+          Media.synthesizeCovering(docs.filter(pred), "doc_id", "text")
+            .as[Media.MediaRow]).toDF()
+        graft.operators.HammingIndex.build(
+          phOf(col("doc_id") < 250), "media_id", "ph_hi", "ph_lo", path)
+        // GDPR-style removal from the standing index (tombstones)
+        graft.operators.VectorIndex.deleteIds(
+          docs.filter(col("doc_id") < 250 && col("doc_id") % 11 === 0),
+          "doc_id", path)
+        val drop1 = phOf(col("doc_id") >= 250 && col("doc_id") < 400)
+          .localCheckpoint(true)
+        // checkpoint BEFORE mutating the index: verdicts are lazy plans
+        val v1 = graft.operators.HammingIndex.verdicts(
+            drop1, "media_id", "ph_hi", "ph_lo", path, maxHamming = 12)
+          .localCheckpoint(true)
+        val survIds = v1.filter(col("n_dup_matches") === 0)
+          .select(col("doc_id").as("__sid"))
+        graft.operators.HammingIndex.append(
+          drop1.join(survIds, col("media_id") === col("__sid"))
+            .select(col("media_id"), col("ph_hi"), col("ph_lo")),
+          "media_id", "ph_hi", "ph_lo", path)
+        graft.operators.VectorIndex.compact(s, path)
+        graft.operators.VectorIndex.deleteIds(
+          survIds.filter(col("__sid") % 13 === 0), "__sid", path)
+        val v2 = graft.operators.HammingIndex.verdicts(
+          phOf(col("doc_id") >= 400), "media_id", "ph_hi", "ph_lo", path,
+          maxHamming = 12)
+        v1.withColumn("stage", lit("drop1"))
+          .unionByName(v2.withColumn("stage", lit("drop2")))
+          .orderBy(col("stage"), col("doc_id"))
+      },
+      Some(s"""WITH $phashCte,
+             |stand AS (SELECT * FROM h
+             |          WHERE media_id < 250 AND media_id % 11 <> 0),
+             |d1 AS (SELECT * FROM h WHERE media_id >= 250 AND media_id < 400),
+             |v1 AS (SELECT p.media_id AS doc_id,
+             |         CAST(count(r.media_id) AS BIGINT) AS n_dup_matches
+             |       FROM d1 p LEFT JOIN stand r
+             |         ON bit_count(xor(p.hi, r.hi))
+             |          + bit_count(xor(p.lo, r.lo)) <= 12
+             |       GROUP BY p.media_id),
+             |surv AS (SELECT h.* FROM h JOIN v1 ON h.media_id = v1.doc_id
+             |         WHERE v1.n_dup_matches = 0 AND h.media_id % 13 <> 0),
+             |live2 AS (SELECT * FROM stand UNION ALL SELECT * FROM surv),
+             |d2 AS (SELECT * FROM h WHERE media_id >= 400),
+             |v2 AS (SELECT p.media_id AS doc_id,
+             |         CAST(count(r.media_id) AS BIGINT) AS n_dup_matches
+             |       FROM d2 p LEFT JOIN live2 r
+             |         ON bit_count(xor(p.hi, r.hi))
+             |          + bit_count(xor(p.lo, r.lo)) <= 12
+             |       GROUP BY p.media_id)
+             |SELECT 'drop1' AS stage, * FROM v1
+             |UNION ALL
+             |SELECT 'drop2' AS stage, * FROM v2
+             |ORDER BY stage, doc_id""".stripMargin)),
+
     // ---- ingest-time audio dedup: stream drops vs the standing corpus ---
     // The audio sibling of q_stream_phash_dedup: incoming audio items are
     // Haitsma–Kalker-fingerprinted per micro-batch and band-joined
@@ -1111,23 +1184,31 @@ object StreamQueries {
              |FROM lab JOIN keep ON lab.cluster_id = keep.cluster_id
              |ORDER BY media_id""".stripMargin)),
 
-    // ---- ingest-time media dedup: stream drops vs the standing corpus ---
-    // The image-modality sibling of q_stream_decontam: incoming media
-    // items are perceptual-hashed per micro-batch and band-joined against
-    // the STANDING corpus's hash table (MinHashLSH.hammingBandJoin — the
-    // asymmetric probe-vs-reference form: new items never pairwise-join
-    // each other, only the index). Each item's verdict (how many standing
-    // near-dups it collides with) depends on the fixed standing set only,
-    // so output is batching-invariant and the batch oracle gates the
-    // streamed path. Scale: the standing side ships as 2 longs per item
-    // (here rebuilt per batch for session-safety; production pins the
-    // banded table once and appends survivors to it).
+    // ---- ingest-time media dedup: stream drops vs the PINNED index ------
+    // The image-modality sibling of q_stream_decontam: the standing
+    // corpus's perceptual hashes persist ONCE as a HammingIndex (round 7
+    // — the "production pins the banded table" seam closed), and each
+    // micro-batch probes the saved artifact via the asymmetric
+    // probe-vs-reference band join (new items never pairwise-join each
+    // other, only the index). Each item's verdict depends on the fixed
+    // standing index only, so output is batching-invariant and the batch
+    // oracle gates the streamed path. Scale: 20 B/item index read per
+    // batch, never a corpus re-hash.
     Q("q_stream_phash_dedup",
       (s, dir) => {
         import s.implicits._
         val schema = s.read.parquet(s"$dir/documents.parquet").schema
         val sink = java.nio.file.Files
           .createTempDirectory("graft_stream_phash").toString
+        val idxPath = java.nio.file.Files
+          .createTempDirectory("graft_stream_phash_idx").toString
+        graft.operators.HammingIndex.build(
+          Media.dHash(
+            Media.synthesizeCovering(
+                graft.Tables.documents(s, dir).filter(col("doc_id") < 250),
+                "doc_id", "text")
+              .as[Media.MediaRow]).toDF(),
+          "media_id", "ph_hi", "ph_lo", idxPath)
         withStreamPartitions(s) {
           val q = s.readStream.schema(schema)
             .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -1136,24 +1217,13 @@ object StreamQueries {
                   _: Long) =>
                 val ss = batch.sparkSession
                 import ss.implicits._
-                val standing = graft.Tables.documents(ss, dir)
-                  .filter(col("doc_id") < 250)
-                val standingPh = Media.dHash(
-                  Media.synthesizeCovering(standing, "doc_id", "text")
-                    .as[Media.MediaRow]).toDF()
                 val batchPh = Media.dHash(
                   Media.synthesizeCovering(
                       batch.filter(col("doc_id") >= 250), "doc_id", "text")
                     .as[Media.MediaRow]).toDF()
-                val matches = graft.operators.MinHashLSH.hammingBandJoin(
-                    batchPh, standingPh, "media_id", "ph_hi", "ph_lo",
+                graft.operators.HammingIndex.verdicts(
+                    batchPh, "media_id", "ph_hi", "ph_lo", idxPath,
                     maxHamming = 12)
-                  .groupBy(col("id_p"))
-                  .agg(count(lit(1)).as("__nm"))
-                batchPh.select(col("media_id").as("doc_id"))
-                  .join(matches, col("doc_id") === col("id_p"), "left")
-                  .select(col("doc_id"),
-                    coalesce(col("__nm"), lit(0L)).as("n_dup_matches"))
                   .write.mode("append").parquet(sink)
                 ()
             }.start()
