@@ -85,6 +85,98 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b")),
       Some(lshPairsOracleSql)),
 
+    // ---- persisted MinHash signature index: text ingest-dedup artifact --
+    // The text twin of q_dedup_index (operators.MinHashIndex): the
+    // standing corpus's 64-perm signatures persist ONCE (~0.5 KB/item —
+    // the text never re-shingles), drops probe the saved artifact with
+    // the asymmetric banded bucket join, clean items append under the
+    // SAVED geometry (k/shingle travel in meta — the never-refit
+    // contract), and GDPR deletes run VectorIndex's shared tombstone
+    // machinery. Oracle replays the full lifecycle: build → delete some
+    // standing ids → probe drop 1 → append its clean survivors → compact
+    // (observable change breaks the hash) → delete some survivors →
+    // probe drop 2 against standing∪survivors.
+    Q("q_minhash_index",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_mhidx").toString
+        val docs = Tables.documents(s, dir)
+        graft.operators.MinHashIndex.build(
+          docs.filter(col("doc_id") < 250), "doc_id", "text", path)
+        graft.operators.VectorIndex.deleteIds(
+          docs.filter(col("doc_id") < 250 && col("doc_id") % 11 === 0),
+          "doc_id", path)
+        val drop1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 400)
+        // checkpoint BEFORE mutating the index: verdicts are lazy plans
+        val v1 = graft.operators.MinHashIndex.verdicts(
+            drop1, "doc_id", "text", path)
+          .localCheckpoint(true)
+        val survIds = v1.filter(col("n_dup_matches") === 0)
+          .select(col("doc_id").as("__sid"))
+        graft.operators.MinHashIndex.append(
+          drop1.join(survIds, col("doc_id") === col("__sid"))
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", path)
+        graft.operators.VectorIndex.compact(s, path)
+        graft.operators.VectorIndex.deleteIds(
+          survIds.filter(col("__sid") % 13 === 0), "__sid", path)
+        val v2 = graft.operators.MinHashIndex.verdicts(
+          docs.filter(col("doc_id") >= 400), "doc_id", "text", path)
+        v1.withColumn("stage", lit("drop1"))
+          .unionByName(v2.withColumn("stage", lit("drop2")))
+          .orderBy(col("stage"), col("doc_id"))
+      },
+      Some(s"""WITH sig AS (
+              |  SELECT doc_id, ${Text.minhashSigSql("text", 64)} AS sig
+              |  FROM documents),
+              |stand AS (SELECT * FROM sig
+              |          WHERE doc_id < 250 AND doc_id % 11 <> 0),
+              |d1 AS (SELECT * FROM sig WHERE doc_id >= 250 AND doc_id < 400),
+              |bstand AS (SELECT doc_id, i AS band,
+              |             md5(array_to_string(sig[i*4+1 : i*4+4], ',')) AS bkey
+              |           FROM stand, range(16) t(i)),
+              |bd1 AS (SELECT doc_id, i AS band,
+              |          md5(array_to_string(sig[i*4+1 : i*4+4], ',')) AS bkey
+              |        FROM d1, range(16) t(i)),
+              |c1 AS (SELECT DISTINCT a.doc_id AS id_p, b.doc_id AS id_r
+              |       FROM bd1 a JOIN bstand b
+              |         ON a.band = b.band AND a.bkey = b.bkey),
+              |m1 AS (SELECT id_p, id_r FROM c1
+              |       JOIN sig sa ON c1.id_p = sa.doc_id
+              |       JOIN sig sb ON c1.id_r = sb.doc_id
+              |       WHERE len(list_filter(range(64),
+              |         i -> sa.sig[i+1] = sb.sig[i+1])) * 15625 >= 500000),
+              |v1 AS (SELECT d.doc_id,
+              |         CAST(count(m1.id_r) AS BIGINT) AS n_dup_matches
+              |       FROM d1 d LEFT JOIN m1 ON m1.id_p = d.doc_id
+              |       GROUP BY d.doc_id),
+              |surv AS (SELECT sig.* FROM sig JOIN v1 USING (doc_id)
+              |         WHERE v1.n_dup_matches = 0 AND sig.doc_id % 13 <> 0),
+              |live2 AS (SELECT * FROM stand UNION ALL SELECT * FROM surv),
+              |d2 AS (SELECT * FROM sig WHERE doc_id >= 400),
+              |blive2 AS (SELECT doc_id, i AS band,
+              |             md5(array_to_string(sig[i*4+1 : i*4+4], ',')) AS bkey
+              |           FROM live2, range(16) t(i)),
+              |bd2 AS (SELECT doc_id, i AS band,
+              |          md5(array_to_string(sig[i*4+1 : i*4+4], ',')) AS bkey
+              |        FROM d2, range(16) t(i)),
+              |c2 AS (SELECT DISTINCT a.doc_id AS id_p, b.doc_id AS id_r
+              |       FROM bd2 a JOIN blive2 b
+              |         ON a.band = b.band AND a.bkey = b.bkey),
+              |m2 AS (SELECT id_p, id_r FROM c2
+              |       JOIN sig sa ON c2.id_p = sa.doc_id
+              |       JOIN sig sb ON c2.id_r = sb.doc_id
+              |       WHERE len(list_filter(range(64),
+              |         i -> sa.sig[i+1] = sb.sig[i+1])) * 15625 >= 500000),
+              |v2 AS (SELECT d.doc_id,
+              |         CAST(count(m2.id_r) AS BIGINT) AS n_dup_matches
+              |       FROM d2 d LEFT JOIN m2 ON m2.id_p = d.doc_id
+              |       GROUP BY d.doc_id)
+              |SELECT 'drop1' AS stage, * FROM v1
+              |UNION ALL
+              |SELECT 'drop2' AS stage, * FROM v2
+              |ORDER BY stage, doc_id""".stripMargin)),
+
     // ---- dedup materialization: the cleaned corpus itself ---------------
     // Remove every doc that appears as the larger id of a pair whose
     // MinHash-ESTIMATED Jaccard is >= 0.8 (canonical representative =
