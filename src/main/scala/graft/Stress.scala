@@ -65,6 +65,19 @@ import org.apache.spark.sql.functions._
   *                           post-normalization English at copies=10;
   *                           sfDir unused) — stresses the per-round
   *                           vocab explode/aggregate/argmax/apply loop
+  *   mode "phash":           perceptual-hash dedup over N× media items,
+  *                           historical hand-picked 8-bit/tau=6 config
+  *   mode "phashauto":       same corpus with bandBits DERIVED from
+  *                           count(*) at the registry's tau (args(3) =
+  *                           tau override, args(4) = forced bandBits for
+  *                           counterfactual measurement)
+  *   mode "audiofp":         Haitsma–Kalker audio fingerprint + derived
+  *                           banded dedup over the N× corpus's audio items
+  *   mode "phashq":          phash precision/recall vs shingle-Jaccard
+  *                           text-near-dup truth
+  *   mode "dedupindex":      persisted HammingIndex build-once vs
+  *                           re-hash-per-batch: 100k standing corpus,
+  *                           5k drop, cold + steady-state probe times
   * The measured numbers live in SCALE.md ("Measured" table).
   */
 object Stress {
@@ -709,6 +722,59 @@ object Stress {
         val tPairAu = (System.nanoTime() - au1) / 1e9
         bigau.unpersist()
         println(f"""{"audio_items":$nFp%d,"derived_band_bits":$derivedAu%d,"fp_seconds":$tFp%.1f,"pairs":$nPairsAu%d,"pair_seconds":$tPairAu%.1f}""")
+
+      case "dedupindex" =>
+        // the measured case FOR the persisted dedup indexes: a 100k-item
+        // standing corpus (copies× replicated docs), a 5k-doc drop. Path
+        // A (the seam the round closed): build the index ONCE, probe the
+        // drop against the artifact. Path B (what the per-batch rebuild
+        // did): re-hash the standing corpus AND band-join per drop. The
+        // build cost amortizes over every future drop; the probe cost is
+        // what an ingest pipeline actually pays per batch.
+        val di0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val standingDocs = (0 until copies).map(i =>
+            di0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+              col("text")))
+          .reduce(_ unionByName _).cache()
+        val nStand = standingDocs.count()
+        val dropDocs = di0.select((col("doc_id") + lit(777000000L)).as("doc_id"),
+          col("text")).cache()
+        val nDrop = dropDocs.count()
+        val idxDir = s"/tmp/graft_hidx_stress_${System.nanoTime()}"
+
+        def phashOf(df: org.apache.spark.sql.DataFrame) =
+          multimodal.Media.dHash(
+            multimodal.Media.synthesizeCovering(df, "doc_id", "text")
+              .as[multimodal.Media.MediaRow](
+                org.apache.spark.sql.Encoders.product[multimodal.Media.MediaRow]))
+            .toDF()
+
+        // path A: one-time build, then the per-drop probe
+        val tb0 = System.nanoTime()
+        operators.HammingIndex.build(phashOf(standingDocs),
+          "media_id", "ph_hi", "ph_lo", idxDir)
+        val tBuild = (System.nanoTime() - tb0) / 1e9
+        // probe twice: the first pays one-time JIT/codegen warmup, the
+        // second is the steady-state per-batch cost an ingest pipeline
+        // actually repeats — report both
+        val tp0 = System.nanoTime()
+        val nProbe = operators.HammingIndex.probe(phashOf(dropDocs),
+          "media_id", "ph_hi", "ph_lo", idxDir, maxHamming = 12).count()
+        val tProbeCold = (System.nanoTime() - tp0) / 1e9
+        val tp1 = System.nanoTime()
+        operators.HammingIndex.probe(phashOf(dropDocs),
+          "media_id", "ph_hi", "ph_lo", idxDir, maxHamming = 12).count()
+        val tProbe = (System.nanoTime() - tp1) / 1e9
+
+        // path B: what every batch paid before the index — re-hash the
+        // standing corpus and band-join in one go
+        val tr0 = System.nanoTime()
+        val nRebuild = operators.MinHashLSH.hammingBandJoin(
+          phashOf(dropDocs), phashOf(standingDocs),
+          "media_id", "ph_hi", "ph_lo", maxHamming = 12).count()
+        val tRebuild = (System.nanoTime() - tr0) / 1e9
+        standingDocs.unpersist(); dropDocs.unpersist()
+        println(f"""{"standing":$nStand%d,"drop":$nDrop%d,"build_seconds":$tBuild%.1f,"probe_matches":$nProbe%d,"probe_cold_seconds":$tProbeCold%.1f,"probe_seconds":$tProbe%.1f,"rebuild_matches":$nRebuild%d,"rebuild_seconds":$tRebuild%.1f}""")
 
       case "phashq" =>
         // phash quality vs the repo's own text-near-dup truth

@@ -1239,6 +1239,64 @@ object StreamQueries {
              |  ON bit_count(xor(p.hi, r.hi)) + bit_count(xor(p.lo, r.lo)) <= 12
              |GROUP BY p.media_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- ingest-time text dedup: stream drops vs the pinned sig index ---
+    // Completes the streaming dedup matrix (text here, image
+    // q_stream_phash_dedup, audio q_stream_audio_dedup): the standing
+    // corpus's minhash signatures persist ONCE (operators.MinHashIndex),
+    // and each micro-batch of document drops probes the saved artifact —
+    // banded bucket join, Jaccard estimate on candidates only, per-doc
+    // verdict rows. Verdicts depend on the fixed standing index only ⇒
+    // batching-invariant, batch oracle gates the streamed path. Scale:
+    // the corpus text never re-shingles; per batch, only the drop hashes.
+    Q("q_stream_minhash_dedup",
+      (s, dir) => {
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val sink = java.nio.file.Files
+          .createTempDirectory("graft_stream_mh").toString
+        val idxPath = java.nio.file.Files
+          .createTempDirectory("graft_stream_mh_idx").toString
+        graft.operators.MinHashIndex.build(
+          graft.Tables.documents(s, dir).filter(col("doc_id") < 250),
+          "doc_id", "text", idxPath)
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+            .writeStream.foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  _: Long) =>
+                graft.operators.MinHashIndex.verdicts(
+                    batch.filter(col("doc_id") >= 250), "doc_id", "text",
+                    idxPath)
+                  .write.mode("append").parquet(sink)
+                ()
+            }.start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.read.parquet(sink).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH sig AS (
+              |  SELECT doc_id, ${graft.functions.Text.minhashSigSql("text", 64)} AS sig
+              |  FROM documents),
+              |stand AS (SELECT * FROM sig WHERE doc_id < 250),
+              |d AS (SELECT * FROM sig WHERE doc_id >= 250),
+              |bs AS (SELECT doc_id, i AS band,
+              |         md5(array_to_string(sig[i*4+1 : i*4+4], ',')) AS bkey
+              |       FROM stand, range(16) t(i)),
+              |bd AS (SELECT doc_id, i AS band,
+              |         md5(array_to_string(sig[i*4+1 : i*4+4], ',')) AS bkey
+              |       FROM d, range(16) t(i)),
+              |c AS (SELECT DISTINCT a.doc_id AS id_p, b.doc_id AS id_r
+              |      FROM bd a JOIN bs b ON a.band = b.band AND a.bkey = b.bkey),
+              |m AS (SELECT id_p, id_r FROM c
+              |      JOIN sig sa ON c.id_p = sa.doc_id
+              |      JOIN sig sb ON c.id_r = sb.doc_id
+              |      WHERE len(list_filter(range(64),
+              |        i -> sa.sig[i+1] = sb.sig[i+1])) * 15625 >= 500000)
+              |SELECT d.doc_id,
+              |       CAST(count(m.id_r) AS BIGINT) AS n_dup_matches
+              |FROM d LEFT JOIN m ON m.id_p = d.doc_id
+              |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
     // ---- ingest-time decontamination: the streaming scrub ---------------
     // q_decontaminate runs the n-gram eval-overlap scrub as a BATCH pass;
     // a production pipeline scrubs at INGEST so contaminated documents
