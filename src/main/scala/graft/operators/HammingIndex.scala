@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * asymmetric [[MinHashLSH.hammingBandJoin]] against it, clean drops
   * APPEND to it, GDPR-style removals tombstone it.
   *
-  * Storage contract shared VERBATIM with [[VectorIndex]] (payload under
-  * `path/codes/__batch=<id>`, append-only `path/tombstones`): the id
+  * Storage contract shared VERBATIM with [[VectorIndex]] (manifest-
+  * versioned batch-partitioned payload, append-only tombstones): the id
   * column persists as `vec_id` so [[VectorIndex.deleteIds]],
   * [[VectorIndex.loadTombstones]], and [[VectorIndex.compact]] operate
   * on a Hamming index unchanged — one lifecycle implementation, three
@@ -29,14 +29,17 @@ import org.apache.spark.sql.functions._
   */
 object HammingIndex {
 
-  /** Persist the standing hash table (build partition `__batch=-1`). */
+  /** Persist the standing hash table (build partition `__batch=-1`,
+    * manifest version 0). */
   def build(hashes: DataFrame, idCol: String, hiCol: String, loCol: String,
-      path: String): Unit =
+      path: String): Unit = {
     hashes.select(col(idCol).cast("long").as("vec_id"),
         col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo"))
       .withColumn("__batch", lit(-1L))
       .write.partitionBy("__batch").mode("overwrite")
-      .parquet(s"$path/codes")
+      .parquet(s"$path/codes_v0")
+    IndexManifest.commit(hashes.sparkSession, path, 0L)
+  }
 
   /** Append new items' hashes. Pass the streaming `batchId` for
     * replay-safe (exactly-once) ingest; without it the append allocates
@@ -51,7 +54,8 @@ object HammingIndex {
   /** The live hash table: (vec_id, hi, lo), tombstones masked out. */
   def load(spark: SparkSession, path: String): DataFrame =
     VectorIndex.minusTombstones(spark, path,
-      spark.read.parquet(s"$path/codes").drop("__batch"))
+      spark.read.parquet(IndexManifest.codesDir(spark, path))
+        .drop("__batch"))
 
   /** Probe a drop against the live index — the asymmetric banded join:
     * drop items never pairwise-join each other, only the index. Emits

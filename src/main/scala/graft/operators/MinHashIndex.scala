@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * the SAME fused signature expression, meet the standing buckets on
   * (band, md5-of-slice) keys, and only candidates estimate Jaccard from
   * the two signature arrays. Same storage contract as every index here
-  * (`codes/__batch=`, append-only tombstones), so
+  * (manifest-versioned batch-partitioned payload, tombstones), so
   * [[VectorIndex.deleteIds]]/[[VectorIndex.compact]] run unchanged —
   * GDPR removal from the dedup index is the same one-liner as removal
   * from the ANN indexes.
@@ -45,7 +45,8 @@ object MinHashIndex {
     sigOf(docs, idCol, textCol, k, shingle)
       .withColumn("__batch", lit(-1L))
       .write.partitionBy("__batch").mode("overwrite")
-      .parquet(s"$path/codes")
+      .parquet(s"$path/codes_v0")
+    IndexManifest.commit(docs.sparkSession, path, 0L)
     docs.sparkSession.sql(s"SELECT $k AS k, $shingle AS shingle")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
@@ -62,7 +63,8 @@ object MinHashIndex {
   /** The live signature table: (vec_id, sig), tombstones masked. */
   def load(spark: SparkSession, path: String): DataFrame =
     VectorIndex.minusTombstones(spark, path,
-      spark.read.parquet(s"$path/codes").drop("__batch"))
+      spark.read.parquet(IndexManifest.codesDir(spark, path))
+        .drop("__batch"))
 
   /** Probe a drop against the live index: (id_p, id_r, est_ppm) for every
     * candidate pair at estimated Jaccard ≥ `minEstPpm` — drop docs never

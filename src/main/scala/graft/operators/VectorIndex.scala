@@ -47,13 +47,13 @@ object VectorIndex {
 
   private[operators] def writeCodes(codes: DataFrame, path: String,
       batchId: Option[Long]): Unit = {
-    val batch = batchId.getOrElse(
-      nextBatchId(codes.sparkSession, s"$path/codes"))
+    val dir = IndexManifest.codesDir(codes.sparkSession, path)
+    val batch = batchId.getOrElse(nextBatchId(codes.sparkSession, dir))
     codes.withColumn("__batch", lit(batch))
       .write.partitionBy("__batch")
       .mode(if (batchId.isDefined) "overwrite" else "append")
       .option("partitionOverwriteMode", "dynamic")
-      .parquet(s"$path/codes")
+      .parquet(dir)
   }
 
   /** Build from raw vectors and persist: fits thresholds, packs codes,
@@ -70,7 +70,8 @@ object VectorIndex {
       .select(col(idCol).as("vec_id"), col("code"))
       .withColumn("__batch", lit(-1L))
       .write.partitionBy("__batch").mode("overwrite")
-      .parquet(s"$path/codes")
+      .parquet(s"$path/codes_v0")
+    IndexManifest.commit(emb.sparkSession, path, 0L)
   }
 
   /** Encode NEW vectors under the saved thresholds and append their codes
@@ -93,21 +94,25 @@ object VectorIndex {
   // and search masks them with a broadcast anti-join (tombstones are tiny
   // relative to the corpus by construction; a delete-heavy index should
   // compact). `compact` folds the tombstones in: codes are rewritten
-  // minus deleted ids into a fresh directory that is swapped in, and the
-  // tombstone log is cleared. Not atomic versus a concurrent reader
-  // mid-swap — production would layer a manifest/table format on top; the
-  // data movement (full codes rewrite, nothing else) is the real contract.
+  // minus deleted ids into the NEXT manifest version and committed with
+  // one atomic marker rename (IndexManifest) — concurrent readers pinned
+  // to the old version keep fully intact files until an explicit
+  // `vacuum` reclaims them, the Iceberg/Delta expire-snapshots contract
+  // kept minimal. (Pre-manifest legacy layouts still get the old
+  // swap-in-place.)
 
   /** Tombstone ids out of the index at `path` (binary or IVF-PQ — the
     * layout is shared). Append-only; O(deleted) bytes. */
   def deleteIds(ids: DataFrame, idCol: String, path: String): Unit =
     ids.select(col(idCol).cast("long").as("vec_id")).distinct()
-      .write.mode("append").parquet(s"$path/tombstones")
+      .write.mode("append")
+      .parquet(IndexManifest.tombstonesDir(ids.sparkSession, path))
 
   /** Current tombstone set: (vec_id), distinct; empty frame when none
     * have been written yet. */
   def loadTombstones(spark: SparkSession, path: String): DataFrame = {
-    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val t = new org.apache.hadoop.fs.Path(
+      IndexManifest.tombstonesDir(spark, path))
     val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(t)) spark.read.parquet(t.toString).distinct()
     else spark.range(0).select(col("id").as("vec_id"))
@@ -120,27 +125,46 @@ object VectorIndex {
     codes.join(broadcast(loadTombstones(spark, path)), Seq("vec_id"),
       "left_anti")
 
-  /** Rewrite `path/codes` minus tombstones and clear the tombstone log.
-    * Writes to a scratch dir first, then swaps — existing code files are
-    * never modified in place; batch partitioning is preserved so
-    * post-compaction appends keep their replay safety. No-op (beyond a
-    * read) when nothing is tombstoned. */
+  /** Rewrite the live codes minus tombstones into the next manifest
+    * version and commit it atomically; the tombstone log of the new
+    * version starts empty. Existing files are never modified OR deleted
+    * — a reader that resolved the previous version mid-compact keeps a
+    * complete directory until [[vacuum]]; batch partitioning is
+    * preserved so post-compaction appends keep their replay safety.
+    * No-op (beyond a read) when nothing is tombstoned. Legacy
+    * (pre-manifest) indexes keep the old swap-in-place. */
   def compact(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones"))) return
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/codes_compacting")
-    minusTombstones(spark, path, spark.read.parquet(s"$path/codes"))
-      .write.partitionBy("__batch").mode("overwrite").parquet(tmp.toString)
-    val live = new org.apache.hadoop.fs.Path(s"$path/codes")
-    fs.delete(live, true)
-    fs.rename(tmp, live)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    val tomb = new org.apache.hadoop.fs.Path(
+      IndexManifest.tombstonesDir(spark, path))
+    if (!fs.exists(tomb)) return
+    IndexManifest.currentVersion(spark, path) match {
+      case Some(v) =>
+        minusTombstones(spark, path,
+            spark.read.parquet(IndexManifest.codesDir(spark, path)))
+          .write.partitionBy("__batch").mode("overwrite")
+          .parquet(s"$path/codes_v${v + 1}")
+        IndexManifest.commit(spark, path, v + 1)
+      case None => // legacy layout: the old swap
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/codes_compacting")
+        minusTombstones(spark, path, spark.read.parquet(s"$path/codes"))
+          .write.partitionBy("__batch").mode("overwrite").parquet(tmp.toString)
+        val live = new org.apache.hadoop.fs.Path(s"$path/codes")
+        fs.delete(live, true)
+        fs.rename(tmp, live)
+        fs.delete(tomb, true)
+    }
   }
+
+  /** Reclaim index versions older than the `keep` most recent — the
+    * explicit GC that pairs with snapshot-safe [[compact]]. */
+  def vacuum(spark: SparkSession, path: String, keep: Int = 1): Unit =
+    IndexManifest.vacuum(spark, path, keep)
 
   /** Codes table of a saved index: (vec_id, code). */
   def loadBinaryCodes(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/codes").drop("__batch")
+    spark.read.parquet(IndexManifest.codesDir(spark, path)).drop("__batch")
 
   /** Saved threshold artifact: the 1-row `__thr` frame `withCode` takes. */
   def loadBinaryThresholds(spark: SparkSession, path: String): DataFrame =
@@ -191,7 +215,8 @@ object VectorIndex {
     rcw.write.mode("overwrite").parquet(s"$path/codebooks")
     codes.withColumn("__batch", lit(-1L))
       .write.partitionBy("__batch").mode("overwrite")
-      .parquet(s"$path/codes")
+      .parquet(s"$path/codes_v0")
+    IndexManifest.commit(emb.sparkSession, path, 0L)
     // geometry travels with the index: search/append must never guess it
     emb.sparkSession.sql(s"SELECT $subspaces AS subspaces, $subDim AS sub_dim")
       .write.mode("overwrite").parquet(s"$path/meta")
@@ -235,7 +260,7 @@ object VectorIndex {
   def loadIvfPqCodebooks(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/codebooks")
   def loadIvfPqCodes(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/codes").drop("__batch")
+    spark.read.parquet(IndexManifest.codesDir(spark, path)).drop("__batch")
 
   /** ADC search over a SAVED index: probe the loaded centroids, LUT from
     * the loaded codebooks, scan the loaded codes — identical results to

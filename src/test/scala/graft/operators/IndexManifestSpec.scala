@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The snapshot layer under index compaction: readers pinned to an old
+  * manifest version keep fully intact files after compact, commits are
+  * monotone version markers, and vacuum (and only vacuum) reclaims. */
+class IndexManifestSpec extends AnyFunSuite {
+  private lazy val s = SparkSpec.session
+
+  private def emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("compact commits a new version; the old version stays readable until vacuum") {
+    val path = Files.createTempDirectory("manifest_spec").toString
+    VectorIndex.buildBinary(emb, "vec_id", "embedding", path)
+    assert(IndexManifest.currentVersion(s, path).contains(0L))
+
+    val v0Rows = s.read.parquet(s"$path/codes_v0").count()
+    VectorIndex.deleteIds(emb.filter(col("vec_id") % 4 === 0), "vec_id", path)
+    val nDeleted = emb.filter(col("vec_id") % 4 === 0).count()
+
+    // a "reader" resolves the pre-compact version...
+    val pinnedDir = IndexManifest.codesDir(s, path)
+    VectorIndex.compact(s, path)
+    // ...and its directory is COMPLETELY intact afterwards — the
+    // guarantee the old swap-in-place could not give
+    assert(IndexManifest.currentVersion(s, path).contains(1L))
+    assert(s.read.parquet(pinnedDir).count() == v0Rows,
+      "compact must never delete or modify the previous version's files")
+    assert(s.read.parquet(s"$path/codes_v1").count() == v0Rows - nDeleted)
+    // the new version starts with an empty delete log
+    assert(VectorIndex.loadTombstones(s, path).count() == 0)
+    // and the live view is the compacted one
+    assert(VectorIndex.loadBinaryCodes(s, path).count() == v0Rows - nDeleted)
+
+    // vacuum reclaims everything but the current version
+    VectorIndex.vacuum(s, path, keep = 1)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_v0")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_v1")))
+    assert(IndexManifest.currentVersion(s, path).contains(1L))
+    // the live view is untouched by vacuum
+    assert(VectorIndex.loadBinaryCodes(s, path).count() == v0Rows - nDeleted)
+  }
+
+  test("repeated compacts chain versions; vacuum keep=2 retains the last two") {
+    val path = Files.createTempDirectory("manifest_chain").toString
+    VectorIndex.buildBinary(emb, "vec_id", "embedding", path)
+    VectorIndex.deleteIds(emb.filter(col("vec_id") === 1), "vec_id", path)
+    VectorIndex.compact(s, path) // v1
+    VectorIndex.deleteIds(emb.filter(col("vec_id") === 2), "vec_id", path)
+    VectorIndex.compact(s, path) // v2
+    assert(IndexManifest.currentVersion(s, path).contains(2L))
+    VectorIndex.vacuum(s, path, keep = 2)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_v0")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_v1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_v2")))
+    val n = emb.count()
+    assert(VectorIndex.loadBinaryCodes(s, path).count() == n - 2)
+  }
+
+  test("post-compact appends land in the current version and survive the next compact") {
+    val path = Files.createTempDirectory("manifest_append").toString
+    VectorIndex.buildBinary(emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", path)
+    VectorIndex.deleteIds(emb.filter(col("vec_id") === 5), "vec_id", path)
+    VectorIndex.compact(s, path) // v1
+    VectorIndex.appendBinary(
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 110),
+      "vec_id", "embedding", path)
+    assert(VectorIndex.loadBinaryCodes(s, path).count() == 99 + 10)
+    VectorIndex.deleteIds(emb.filter(col("vec_id") === 100), "vec_id", path)
+    VectorIndex.compact(s, path) // v2 — must carry the appended batch
+    assert(VectorIndex.loadBinaryCodes(s, path).count() == 99 + 10 - 1)
+    assert(VectorIndex.loadBinaryCodes(s, path)
+      .filter(col("vec_id") === 105).count() == 1)
+  }
+}
