@@ -24,6 +24,59 @@ object SearchQueries {
   /** Fixed retrieval query for q_bm25_rank. */
   private val QueryTerms = Seq("spark", "hash", "window")
 
+  /** BM25 scores over `docs` for [[QueryTerms]] — the scoring core shared
+    * by q_bm25_rank and the hybrid-fusion query (one copy, one oracle
+    * mirror). Returns (doc_id, score_ppm, n_terms); integer-exact. */
+  private def bm25Scores(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dl = docs.select(col("doc_id"),
+      size(Text.tokens(col("text"))).cast("long").as("dl"))
+    val corpus = dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tok = docs.select(col("doc_id"),
+      explode(Text.tokens(col("text"))).as("token"))
+      .filter(col("token").isin(QueryTerms: _*))
+    val df = docs.select(
+        explode(array_distinct(Text.tokens(col("text")))).as("token"))
+      .filter(col("token").isin(QueryTerms: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(df), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf_ppm",
+        expr("(2*n_docs - 2*df + 1) * 1000000L div (2*df + 1)"))
+      .withColumn("tf_ppm",
+        expr("44*tf*sum_dl * 1000000L div (20*tf*sum_dl + 6*sum_dl + 18*dl*n_docs)"))
+      .withColumn("contrib_ppm", expr("idf_ppm * tf_ppm div 1000000L"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib_ppm")).as("score_ppm"),
+        count(lit(1)).as("n_terms"))
+  }
+
+  /** The BM25 CTE chain (ends with `bm` = doc_id, score_ppm, n_terms) —
+    * the DuckDB mirror of [[bm25Scores]], shared by both consumers. */
+  private def bm25Ctes: String =
+    s"""dl AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |    FROM documents) u
+       |  WHERE token IN (${QueryTerms.map("'" + _ + "'").mkString(", ")})
+       |  GROUP BY doc_id, token),
+       |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+       |bm AS (
+       |  SELECT tf.doc_id,
+       |    CAST(sum((2*n_docs - 2*df + 1) * 1000000 // (2*df + 1)
+       |         * (44*tf*sum_dl * 1000000 // (20*tf*sum_dl + 6*sum_dl + 18*dl.dl*n_docs))
+       |         // 1000000) AS BIGINT) AS score_ppm,
+       |    count(*) AS n_terms
+       |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id), corpus
+       |  GROUP BY tf.doc_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- inverted index with capped posting lists ------------------------
@@ -70,54 +123,82 @@ object SearchQueries {
     //   44·tf·S / (20·tf·S + 6·S + 18·dl·N)
     // — pure BIGINT arithmetic, exact in both engines.
     Q("q_bm25_rank",
+      (s, dir) => bm25Scores(Tables.documents(s, dir))
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+        .limit(20),
+      Some(s"""WITH $bm25Ctes
+              |SELECT doc_id, score_ppm, n_terms
+              |FROM bm ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ---- hybrid retrieval: BM25 + dense ANN, reciprocal-rank fusion ------
+    // The retrieval shape RAG pipelines actually serve: a sparse arm (the
+    // BM25 scorer above) and a dense arm (cosine vs a query embedding)
+    // each produce a ranked top-20, fused with reciprocal-rank fusion
+    // RRF(d) = Σ 1/(60+rank_i(d)) (Cormack, Clarke & Buettcher's k=60) in
+    // integer ppm, so the fused ordering is exact and engine-portable.
+    // Both arms rank on FLOORED ppm scores (sim never compares at raw
+    // float resolution across engines). Scale: each arm is the already-
+    // proven retrieval plan; fusion joins two ≤k-row frames — the fused
+    // stage costs nothing at any corpus size.
+    Q("q_hybrid_rrf",
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, dir)
-        val terms = QueryTerms.map(lit(_))
-        val dl = docs.select(col("doc_id"),
-          size(Text.tokens(col("text"))).cast("long").as("dl"))
-        val corpus = dl.agg(
-          count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-        val tok = docs.select(col("doc_id"),
-          explode(Text.tokens(col("text"))).as("token"))
-          .filter(col("token").isin(QueryTerms: _*))
-        val df = docs.select(
-            explode(array_distinct(Text.tokens(col("text")))).as("token"))
-          .filter(col("token").isin(QueryTerms: _*))
-          .groupBy(col("token")).agg(count(lit(1)).as("df"))
-        val tf = tok.groupBy(col("doc_id"), col("token"))
-          .agg(count(lit(1)).as("tf"))
-        tf.join(broadcast(df), Seq("token"))
-          .join(dl, Seq("doc_id"))
-          .crossJoin(broadcast(corpus))
-          .withColumn("idf_ppm",
-            expr("(2*n_docs - 2*df + 1) * 1000000L div (2*df + 1)"))
-          .withColumn("tf_ppm",
-            expr("44*tf*sum_dl * 1000000L div (20*tf*sum_dl + 6*sum_dl + 18*dl*n_docs)"))
-          .withColumn("contrib_ppm", expr("idf_ppm * tf_ppm div 1000000L"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("contrib_ppm")).as("score_ppm"),
-            count(lit(1)).as("n_terms"))
-          .orderBy(col("score_ppm").desc, col("doc_id"))
-          .limit(20)
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("__qv"))
+        val denseScored = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .withColumn("__sp",
+            floor(graft.functions.CosineSimExpr(col("embedding"), col("__qv"))
+              * 1e6).cast("long"))
+          .select(col("vec_id").as("doc_id"), col("__sp"))
+        // rank windows run over ≤20 rows (post-TakeOrdered) — the global
+        // window is k-sized by construction, never corpus-sized
+        val dense = denseScored
+          .orderBy(col("__sp").desc, col("doc_id")).limit(20)
+          .withColumn("rank_dense", row_number()
+            .over(Window.orderBy(col("__sp").desc, col("doc_id")))
+            .cast("long"))
+          .select(col("doc_id"), col("rank_dense"))
+        val sparse = bm25Scores(docs)
+          .orderBy(col("score_ppm").desc, col("doc_id")).limit(20)
+          .withColumn("rank_sparse", row_number()
+            .over(Window.orderBy(col("score_ppm").desc, col("doc_id")))
+            .cast("long"))
+          .select(col("doc_id"), col("rank_sparse"))
+        dense.join(sparse, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            coalesce(col("rank_dense"), lit(0L)).as("rank_dense"),
+            coalesce(col("rank_sparse"), lit(0L)).as("rank_sparse"),
+            (coalesce(expr("1000000L div (60 + rank_dense)"), lit(0L)) +
+              coalesce(expr("1000000L div (60 + rank_sparse)"), lit(0L)))
+              .as("rrf_ppm"))
+          .orderBy(col("rrf_ppm").desc, col("doc_id"))
       },
-      Some(s"""WITH dl AS (
-              |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
-              |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-              |tf AS (
-              |  SELECT doc_id, token, count(*) AS tf FROM (
-              |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
-              |    FROM documents) u
-              |  WHERE token IN (${QueryTerms.map("'" + _ + "'").mkString(", ")})
-              |  GROUP BY doc_id, token),
-              |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token)
-              |SELECT tf.doc_id,
-              |  CAST(sum((2*n_docs - 2*df + 1) * 1000000 // (2*df + 1)
-              |       * (44*tf*sum_dl * 1000000 // (20*tf*sum_dl + 6*sum_dl + 18*dl.dl*n_docs))
-              |       // 1000000) AS BIGINT) AS score_ppm,
-              |  count(*) AS n_terms
-              |FROM tf JOIN df USING (token) JOIN dl USING (doc_id), corpus
-              |GROUP BY tf.doc_id
-              |ORDER BY score_ppm DESC, tf.doc_id LIMIT 20""".stripMargin)),
+      Some(s"""WITH $bm25Ctes,
+              |spr AS (SELECT doc_id, rank_sparse FROM (
+              |          SELECT doc_id, CAST(row_number() OVER (
+              |            ORDER BY score_ppm DESC, doc_id) AS BIGINT)
+              |            AS rank_sparse
+              |          FROM bm) t WHERE rank_sparse <= 20),
+              |dsc AS (SELECT a.vec_id AS doc_id,
+              |          CAST(floor(${SimilarityQueries.cosSql} * 1e6) AS BIGINT) AS sp
+              |        FROM embeddings a CROSS JOIN
+              |          (SELECT embedding FROM embeddings WHERE vec_id = 0) b
+              |        WHERE a.vec_id <> 0),
+              |den AS (SELECT doc_id, rank_dense FROM (
+              |          SELECT doc_id, CAST(row_number() OVER (
+              |            ORDER BY sp DESC, doc_id) AS BIGINT) AS rank_dense
+              |          FROM dsc) t WHERE rank_dense <= 20)
+              |SELECT coalesce(den.doc_id, spr.doc_id) AS doc_id,
+              |  coalesce(den.rank_dense, 0) AS rank_dense,
+              |  coalesce(spr.rank_sparse, 0) AS rank_sparse,
+              |  CAST(coalesce(1000000 // (60 + den.rank_dense), 0)
+              |     + coalesce(1000000 // (60 + spr.rank_sparse), 0) AS BIGINT)
+              |    AS rrf_ppm
+              |FROM den FULL OUTER JOIN spr ON den.doc_id = spr.doc_id
+              |ORDER BY rrf_ppm DESC, doc_id""".stripMargin)),
 
     // ---- exact sparse cosine pairs via postings join ----------------------
     // The exact-similarity member of the near-dup family: MinHash
