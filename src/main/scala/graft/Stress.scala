@@ -73,6 +73,9 @@ import org.apache.spark.sql.functions._
   *                           counterfactual measurement)
   *   mode "audiofp":         Haitsma–Kalker audio fingerprint + derived
   *                           banded dedup over the N× corpus's audio items
+  *                           (args(3) = tau, default 8)
+  *   mode "audiofpq":        audio-fp precision/recall vs shingle-Jaccard
+  *                           truth at args(3) = tau
   *   mode "phashq":          phash precision/recall vs shingle-Jaccard
   *                           text-near-dup truth
   *   mode "dedupindex":      persisted HammingIndex build-once vs
@@ -715,13 +718,14 @@ object Stress {
           .toDF().localCheckpoint(true)
         val nFp = afp.count()
         val tFp = (System.nanoTime() - au0) / 1e9
+        val tauAu = if (args.length > 3) args(3).toInt else 8
         val au1 = System.nanoTime()
-        val derivedAu = operators.MinHashLSH.bandBitsFor(nFp, maxHamming = 16)
+        val derivedAu = operators.MinHashLSH.bandBitsFor(nFp, maxHamming = tauAu)
         val nPairsAu = operators.MinHashLSH.hammingBandPairs(
-          afp, "media_id", "fp_hi", "fp_lo", maxHamming = 16).count()
+          afp, "media_id", "fp_hi", "fp_lo", maxHamming = tauAu).count()
         val tPairAu = (System.nanoTime() - au1) / 1e9
         bigau.unpersist()
-        println(f"""{"audio_items":$nFp%d,"derived_band_bits":$derivedAu%d,"fp_seconds":$tFp%.1f,"pairs":$nPairsAu%d,"pair_seconds":$tPairAu%.1f}""")
+        println(f"""{"audio_items":$nFp%d,"tau":$tauAu%d,"derived_band_bits":$derivedAu%d,"fp_seconds":$tFp%.1f,"pairs":$nPairsAu%d,"pair_seconds":$tPairAu%.1f}""")
 
       case "dedupindex" =>
         // the measured case FOR the persisted dedup indexes: a 100k-item
@@ -800,6 +804,31 @@ object Stress {
         val nBoth = qPairs.join(truth, Seq("id_a", "id_b")).count()
         truth.unpersist(); qPairs.unpersist()
         println(f"""{"truth_pairs":$nTruth%d,"phash_pairs":$nPhash%d,"both":$nBoth%d,"precision_ppm":${if (nPhash == 0) 0 else nBoth * 1000000 / nPhash}%d,"recall_ppm":${if (nTruth == 0) 0 else nBoth * 1000000 / nTruth}%d}""")
+
+      case "audiofpq" =>
+        // audio-fingerprint quality vs the repo's own text-near-dup truth
+        // (shingle-hash Jaccard ≥ 0.5 over the AUDIO-modality docs) — the
+        // audio twin of "phashq". Expected shape: precision high, recall
+        // bounded by translation variance (insert/delete edits shift the
+        // energy windows), same structural story as the image hash.
+        val aq = Tables.documents(spark, sfDir).filter(col("doc_id") % 3 === 1)
+        val truthA = operators.MinHashLSH.jaccardPairs(
+            aq, "doc_id", "text", minJaccardPpm = 500000L)
+          .select(col("id_a"), col("id_b")).cache()
+        val aqMedia = multimodal.Media.synthesizeCovering(aq, "doc_id", "text")
+          .as[multimodal.Media.MediaRow](
+            org.apache.spark.sql.Encoders.product[multimodal.Media.MediaRow])
+        val tauQ = if (args.length > 3) args(3).toInt else 16
+        val aPairs = operators.MinHashLSH.hammingBandPairs(
+            multimodal.Media.audioFingerprint(aqMedia)
+              .toDF().localCheckpoint(true),
+            "media_id", "fp_hi", "fp_lo", maxHamming = tauQ)
+          .select(col("id_a"), col("id_b")).cache()
+        val nTruthA = truthA.count()
+        val nFpA = aPairs.count()
+        val nBothA = aPairs.join(truthA, Seq("id_a", "id_b")).count()
+        truthA.unpersist(); aPairs.unpersist()
+        println(f"""{"tau":$tauQ%d,"truth_pairs":$nTruthA%d,"audiofp_pairs":$nFpA%d,"both":$nBothA%d,"precision_ppm":${if (nFpA == 0) 0 else nBothA * 1000000 / nFpA}%d,"recall_ppm":${if (nTruthA == 0) 0 else nBothA * 1000000 / nTruthA}%d}""")
 
       case "cc" =>
         // one path graph of copies×100k nodes: diameter = n-1, the case

@@ -929,11 +929,15 @@ object StreamQueries {
     // identical machinery to the image path (band width derived from
     // count(*), sub-radius probes when wide), same recall-1.0 guarantee,
     // so the oracle is again the quadratic self-join with no banding
-    // mirror. tau=16 (BER 0.25 on the 64-bit mini-fingerprint, inside
-    // Haitsma-Kalker's published 0.35 operating threshold): the corpus's
-    // planted near-dups are insert/delete edits that SHIFT the windows,
-    // so their fingerprints sit at Hamming >= 13 (measured) - the audio
-    // analog of the phash family's documented translation variance. Completes the modality set: dHash (image), frame-sequence
+    // mirror. tau=8 is the MEASURED operating point (Stress audiofpq,
+    // SCALE.md): against the corpus's own shingle-Jaccard truth,
+    // precision is .95/.62/.18/.02 at tau 4/8/12/16 while recall stays
+    // FLAT at .60 across all four - insert/delete edits SHIFT the
+    // energy windows, so no radius recovers them (the audio analog of
+    // the phash family's translation variance) and widening tau only
+    // buys false positives. At sf0.01 the audio third contains no true
+    // near-dup pairs (measured), so the correct result here is empty;
+    // the sf0.1 sweep exercises the nonzero case. Completes the modality set: dHash (image), frame-sequence
     // clip dedup (video), Haitsma–Kalker (audio), all three feeding one
     // Hamming-join operator.
     Q("q_media_audio_dedup",
@@ -944,7 +948,7 @@ object StreamQueries {
         val fp = Media.audioFingerprint(media.filter(col("kind") === "audio"))
           .toDF().localCheckpoint(true)
         graft.operators.MinHashLSH.hammingBandPairs(
-            fp, "media_id", "fp_hi", "fp_lo", maxHamming = 16)
+            fp, "media_id", "fp_hi", "fp_lo", maxHamming = 8)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH $audioFpCte
@@ -952,7 +956,7 @@ object StreamQueries {
              |  CAST(bit_count(xor(a.hi, b.hi))
              |     + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
              |FROM afp a JOIN afp b ON a.media_id < b.media_id
-             |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 16
+             |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- persisted dedup index: the standing hash table as an artifact --
@@ -1060,7 +1064,7 @@ object StreamQueries {
                 val batchFp = fpOf(batch.filter(col("doc_id") >= 250))
                 val matches = graft.operators.MinHashLSH.hammingBandJoin(
                     batchFp, standingFp, "media_id", "fp_hi", "fp_lo",
-                    maxHamming = 16)
+                    maxHamming = 8)
                   .groupBy(col("id_p"))
                   .agg(count(lit(1)).as("__nm"))
                 batchFp.select(col("media_id").as("doc_id"))
@@ -1079,7 +1083,7 @@ object StreamQueries {
              |       CAST(count(r.media_id) AS BIGINT) AS n_dup_matches
              |FROM (SELECT * FROM afp WHERE media_id >= 250) p
              |LEFT JOIN (SELECT * FROM afp WHERE media_id < 250) r
-             |  ON bit_count(xor(p.hi, r.hi)) + bit_count(xor(p.lo, r.lo)) <= 16
+             |  ON bit_count(xor(p.hi, r.hi)) + bit_count(xor(p.lo, r.lo)) <= 8
              |GROUP BY p.media_id ORDER BY doc_id""".stripMargin)),
 
     // ---- multimodal dedup clusters: phash pairs → connected components --
