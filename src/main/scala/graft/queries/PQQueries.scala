@@ -132,6 +132,30 @@ object PQQueries {
       },
       Some(ivfPqOracle)),
 
+    // ---- filtered vector search: metadata predicate + ANN ---------------
+    // The production "filtered top-k" every vector store ships: search
+    // only among vectors passing a metadata predicate. Done the CORRECT
+    // way — the predicate PRE-filters the coded lists before ADC, so
+    // every query still gets k results from the allowed set (POST-
+    // filtering a top-k under-fills it whenever ≥1 of the k is
+    // disallowed — the classic bug). Composes from the public pieces:
+    // train once, filter the codes relation, probe-search the rest.
+    // Scale: the predicate is a pushed filter (or a semi-join with a
+    // metadata table) on the codes scan — candidate volume shrinks BY
+    // the selectivity, everything else is the proven plan.
+    Q("q_ivfpq_filtered",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val (cents, rcw, codes) = graft.operators.PQ.ivfPqTrain(
+          emb, "vec_id", "embedding", "label", S, D)
+        graft.operators.PQ.ivfPqProbeSearch(cents, rcw,
+            codes.filter(col("vec_id") % 2 === 0),
+            emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 5, nProbe = 2, subspaces = S, subDim = D)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfPqFilteredOracle)),
+
     // ---- IVF-PQ index persistence: build → save → load → search ---------
     // The faiss-style lifecycle for the composed index (the binary-quant
     // analog is q_index_persist): centroids + residual codebooks + coded
@@ -288,8 +312,9 @@ object PQQueries {
     * IVF-PQ oracles, so a change to the probe or flooring can never
     * desynchronize them. `qsrc` is the relation query vectors come from —
     * `embeddings` normally, the rotated CTE for the OPQ variant. */
-  private def ivfPqSearchTail(qsrc: String = "embeddings"): String =
-    s"""${ivfPqAdcCtes(qsrc)}
+  private def ivfPqSearchTail(qsrc: String = "embeddings",
+      candPred: String = "TRUE"): String =
+    s"""${ivfPqAdcCtes(qsrc, candPred)}
       |SELECT query_id, neighbor_id, adist_ppm, CAST(rn AS INTEGER) AS rank
       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
       |               ORDER BY adist_ppm, neighbor_id) AS rn FROM approx) t
@@ -297,7 +322,8 @@ object PQQueries {
 
   /** The tail's CTE chain up to `approx` (per-candidate ADC sums) — the
     * shared prefix of the plain top-5 select and the rerank variant. */
-  private def ivfPqAdcCtes(qsrc: String): String =
+  private def ivfPqAdcCtes(qsrc: String,
+      candPred: String = "TRUE"): String =
     s"""rsubs AS (
       |  SELECT vec_id, l, s,
       |         list_transform(range(8), i -> r[s*8 + i + 1]) AS sub
@@ -345,8 +371,17 @@ object PQQueries {
       |         CAST(sum(u.qd_ppm) AS BIGINT) AS adist_ppm
       |  FROM enc e JOIN lut u
       |    ON u.l = e.l AND u.s = e.s AND u.c_label = e.code
-      |  WHERE e.vec_id <> u.query_id
+      |  WHERE e.vec_id <> u.query_id AND ($candPred)
       |  GROUP BY u.query_id, e.vec_id)""".stripMargin
+
+  /** DuckDB replay of the FILTERED search: the verbatim pipeline with the
+    * metadata predicate applied to the candidate (coded) side before ADC
+    * aggregation — k results AMONG the allowed set, the pre-filter
+    * semantics. */
+  private def ivfPqFilteredOracle: String =
+    s"""WITH ${ivfPqTrainCtes("embeddings")},
+       |resid AS (SELECT * FROM resid1),
+       |${ivfPqSearchTail(candPred = "e.vec_id % 2 = 0")}""".stripMargin
 
   /** q_ivfpq_search's oracle, exposed for the streamed-serving entry
     * (q_stream_ann_search): the streamed path answers the same queries
