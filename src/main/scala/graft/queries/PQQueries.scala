@@ -156,6 +156,56 @@ object PQQueries {
       },
       Some(ivfPqFilteredOracle)),
 
+    // ---- SQ8 scalar quantization: fit → uint8 codes → integer search ----
+    // The remaining classic quantizer (faiss QT_8bit) next to the 1-bit
+    // sign code and the PQ codebooks: per-dim [min,max] fit, one byte per
+    // dimension, and a search loop of exact BIGINT (qa−qb)² sums — no
+    // float anywhere past encoding, so the WHOLE pipeline (fit, clamp,
+    // floor, distances, ranks) hash-matches the DuckDB replay. Scale: the
+    // fit is one 64-group min/max aggregate; codes are 4× under float32;
+    // search scans codes only (the one-pass bounded-heap shape is the
+    // established scale path for bigger query sets).
+    Q("q_sq8_search",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val fit = graft.operators.SQ.fitMinMax(emb, "embedding")
+          .localCheckpoint(true) // consumed by both encode passes
+        val coded = graft.operators.SQ.withCodes(emb, "embedding", fit)
+        graft.operators.SQ.searchTopK(coded, "vec_id", "qcode",
+            coded.filter(col("vec_id") < 5), k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH mm AS (
+             |  SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
+             |  FROM (
+             |    SELECT u.i AS pos,
+             |           min(e.embedding[u.i + 1]::DOUBLE) AS mn,
+             |           max(e.embedding[u.i + 1]::DOUBLE) AS mx
+             |    FROM embeddings e
+             |    CROSS JOIN (SELECT unnest(range(64)) AS i) u
+             |    GROUP BY u.i)),
+             |qc AS (
+             |  SELECT e.vec_id,
+             |    list_transform(range(64), i ->
+             |      CASE WHEN mx[i + 1] = mn[i + 1] THEN 0
+             |           ELSE CAST(least(255.0, greatest(0.0,
+             |             floor((e.embedding[i + 1]::DOUBLE - mn[i + 1]) * 255.0
+             |               / (mx[i + 1] - mn[i + 1])))) AS INT) END) AS qcode
+             |  FROM embeddings e CROSS JOIN mm),
+             |d AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    list_reduce(list_prepend(0::BIGINT,
+             |      list_transform(range(64), i ->
+             |        CAST((q.qcode[i + 1] - c.qcode[i + 1])
+             |           * (q.qcode[i + 1] - c.qcode[i + 1]) AS BIGINT))),
+             |      (a, x) -> a + x) AS sqdist
+             |  FROM qc q JOIN qc c ON c.vec_id <> q.vec_id
+             |  WHERE q.vec_id < 5)
+             |SELECT query_id, neighbor_id, sqdist, CAST(rn AS INTEGER) AS rank
+             |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             |               ORDER BY sqdist, neighbor_id) AS rn FROM d) t
+             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // ---- IVF-PQ index persistence: build → save → load → search ---------
     // The faiss-style lifecycle for the composed index (the binary-quant
     // analog is q_index_persist): centroids + residual codebooks + coded

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQ8 scalar quantization: code arithmetic on crafted vectors (range
+  * ends, clamping, degenerate dims) and distance exactness. */
+class SQSpec extends AnyFunSuite {
+  private lazy val s = SparkSpec.session
+  import s.implicits._
+
+  test("codes: range endpoints map to 0/255, degenerate dim to 0") {
+    val emb = Seq(
+      (1L, Array(0.0f, 5.0f, 7.0f)),
+      (2L, Array(10.0f, 5.0f, 3.0f)),
+      (3L, Array(5.0f, 5.0f, 5.0f))).toDF("vec_id", "embedding")
+    val fit = SQ.fitMinMax(emb, "embedding")
+    val codes = SQ.withCodes(emb, "embedding", fit)
+      .select(col("vec_id"), col("qcode"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // dim 0 spans [0,10]: 0→0, 10→255, 5→floor(5*25.5)=127
+    assert(codes(1L)(0) == 0 && codes(2L)(0) == 255 && codes(3L)(0) == 127)
+    // dim 1 is degenerate (all 5.0) → 0 everywhere, no div-by-zero
+    assert(Seq(1L, 2L, 3L).forall(id => codes(id)(1) == 0))
+    // dim 2 spans [3,7]: 3→0, 7→255, 5→floor(2*63.75)=127
+    assert(codes(2L)(2) == 0 && codes(1L)(2) == 255 && codes(3L)(2) == 127)
+  }
+
+  test("search: exact integer distances, self excluded, deterministic ties") {
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val fit = SQ.fitMinMax(emb, "embedding")
+    val coded = SQ.withCodes(emb, "embedding", fit)
+    val res = SQ.searchTopK(coded, "vec_id", "qcode",
+        coded.filter(col("vec_id") === 0), k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    // codes: 0→(0,0), 1→(255,0), 2→(0,255), 3→(255,255)
+    // dists from 0: 1 and 2 at 255², 3 at 2·255²; tie broken by id
+    assert(res.toSeq == Seq((1L, 65025L, 1), (2L, 65025L, 2), (3L, 130050L, 3)))
+  }
+}
