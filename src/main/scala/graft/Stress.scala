@@ -589,11 +589,28 @@ object Stress {
             coded, "vec_id", "embedding", coded.filter(col("vec_id") < 100),
             k = 10, rerankWidth = rw), truthCos)
         }.toMap
+        // SQ8 vs the exact-L2 truth: the declarative symmetric-code
+        // search is corpus×queries-shaped, so score it at ≤300k only
+        // (the quantizer-CHOICE point — at 8 bits/dim the codes are
+        // near-lossless for ranking, the reason faiss defaults to SQ8
+        // when 4× compression is enough and PQ when it is not)
+        val sq8Rec: Option[Double] =
+          if (n > 300000) None
+          else {
+            val fit = operators.SQ.fitMinMax(big, "embedding")
+              .localCheckpoint(true)
+            val sqCoded = operators.SQ.withCodes(big, "embedding", fit)
+              .localCheckpoint(true)
+            Some(recallOf(operators.SQ.searchTopK(sqCoded, "vec_id",
+              "qcode", sqCoded.filter(col("vec_id") < 100), k = 10),
+              truthL2))
+          }
         def m(r: Map[Int, Double], p: String) = r.toSeq.sortBy(_._1)
           .map { case (k, v) => f""""$p$k%d":$v%.3f""" }.mkString(",")
         val skewJson = skewRecs.map { case (p, o) =>
           s""",${m(p, "skew_np")},${m(o, "skew_opq_np")}""" }.getOrElse("")
-        println(f"""{"vectors":$n%d,"queries":$nq%d,"truth_l2_s":$tTruthL2%.1f,"truth_cos_s":$tTruthCos%.1f,"ivfpq_train_s":$tPqTrain%.1f,"opq_train_s":$tOpqTrain%.1f,${m(pqRec, "ivfpq_np")},${m(opqRec, "opq_np")}$rerankJson,${m(bqRec, "binquant_rw")}$skewJson}""")
+        val sq8Json = sq8Rec.map(r => f""","sq8":$r%.3f""").getOrElse("")
+        println(f"""{"vectors":$n%d,"queries":$nq%d,"truth_l2_s":$tTruthL2%.1f,"truth_cos_s":$tTruthCos%.1f,"ivfpq_train_s":$tPqTrain%.1f,"opq_train_s":$tOpqTrain%.1f,${m(pqRec, "ivfpq_np")},${m(opqRec, "opq_np")}$rerankJson,${m(bqRec, "binquant_rw")}$sq8Json$skewJson}""")
 
       case "bpe" =>
         // synthetic vocab: ~copies×100k distinct 4–10-char words over a
