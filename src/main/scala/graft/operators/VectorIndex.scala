@@ -162,6 +162,56 @@ object VectorIndex {
   def vacuum(spark: SparkSession, path: String, keep: Int = 1): Unit =
     IndexManifest.vacuum(spark, path, keep)
 
+  // ---- SQ8 lifecycle -------------------------------------------------------
+  // Same faiss-shaped contract as the other quantizers: the per-dim
+  // [min,max] fit is the artifact that must NOT be refit on append
+  // (codes are only comparable under one range), codes are the
+  // searchable payload on the shared manifest-versioned layout — so
+  // deleteIds/compact/vacuum run on an SQ8 index unchanged.
+
+  /** Fit the SQ8 range on `emb`, encode it, persist `path/sqfit` (1 row)
+    * + manifest-versioned codes. */
+  def buildSq8(emb: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val fit = SQ.fitMinMax(emb, vecCol).localCheckpoint(true)
+    fit.write.mode("overwrite").parquet(s"$path/sqfit")
+    SQ.withCodes(emb, vecCol, fit)
+      .select(col(idCol).as("vec_id"), col("qcode"))
+      .withColumn("__batch", lit(-1L))
+      .write.partitionBy("__batch").mode("overwrite")
+      .parquet(s"$path/codes_v0")
+    IndexManifest.commit(emb.sparkSession, path, 0L)
+  }
+
+  /** Encode NEW vectors under the SAVED range and append — never refits.
+    * Keyed appends are exactly-once under replay, as everywhere. */
+  def appendSq8(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, batchId: Option[Long] = None): Unit = {
+    val fit = emb.sparkSession.read.parquet(s"$path/sqfit")
+    writeCodes(
+      SQ.withCodes(emb, vecCol, fit)
+        .select(col(idCol).as("vec_id"), col("qcode")),
+      path, batchId)
+  }
+
+  /** Live SQ8 codes: (vec_id, qcode), tombstones masked. */
+  def loadSq8Codes(spark: SparkSession, path: String): DataFrame =
+    minusTombstones(spark, path,
+      spark.read.parquet(IndexManifest.codesDir(spark, path))
+        .drop("__batch"))
+
+  /** Search a SAVED SQ8 index: queries encode under the saved fit, then
+    * the exact-integer symmetric-distance top-k over the live codes —
+    * identical results to searching the in-memory build. */
+  def searchSq8(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val fit = spark.read.parquet(s"$path/sqfit")
+    SQ.searchTopK(loadSq8Codes(spark, path), "vec_id", "qcode",
+      SQ.withCodes(queries, vecCol, fit)
+        .select(col(idCol).as("vec_id"), col("qcode")),
+      k)
+  }
+
   /** Codes table of a saved index: (vec_id, code). */
   def loadBinaryCodes(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(IndexManifest.codesDir(spark, path)).drop("__batch")

@@ -175,36 +175,27 @@ object PQQueries {
             coded.filter(col("vec_id") < 5), k = 5)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some("""WITH mm AS (
-             |  SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
-             |  FROM (
-             |    SELECT u.i AS pos,
-             |           min(e.embedding[u.i + 1]::DOUBLE) AS mn,
-             |           max(e.embedding[u.i + 1]::DOUBLE) AS mx
-             |    FROM embeddings e
-             |    CROSS JOIN (SELECT unnest(range(64)) AS i) u
-             |    GROUP BY u.i)),
-             |qc AS (
-             |  SELECT e.vec_id,
-             |    list_transform(range(64), i ->
-             |      CASE WHEN mx[i + 1] = mn[i + 1] THEN 0
-             |           ELSE CAST(least(255.0, greatest(0.0,
-             |             floor((e.embedding[i + 1]::DOUBLE - mn[i + 1]) * 255.0
-             |               / (mx[i + 1] - mn[i + 1])))) AS INT) END) AS qcode
-             |  FROM embeddings e CROSS JOIN mm),
-             |d AS (
-             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             |    list_reduce(list_prepend(0::BIGINT,
-             |      list_transform(range(64), i ->
-             |        CAST((q.qcode[i + 1] - c.qcode[i + 1])
-             |           * (q.qcode[i + 1] - c.qcode[i + 1]) AS BIGINT))),
-             |      (a, x) -> a + x) AS sqdist
-             |  FROM qc q JOIN qc c ON c.vec_id <> q.vec_id
-             |  WHERE q.vec_id < 5)
-             |SELECT query_id, neighbor_id, sqdist, CAST(rn AS INTEGER) AS rank
-             |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-             |               ORDER BY sqdist, neighbor_id) AS rn FROM d) t
-             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+      Some(sq8Oracle)),
+
+    // ---- SQ8 index persistence: build → save → load → search -------------
+    // The lifecycle for the fourth quantizer, same contract as the rest:
+    // the per-dim [min,max] fit persists as the never-refit artifact,
+    // codes live on the shared manifest-versioned layout (so tombstone
+    // delete/compact/vacuum run unchanged), queries encode under the
+    // LOADED fit. The oracle is q_sq8_search's verbatim — the equal hash
+    // is the round-trip-losslessness proof (the q_index_persist /
+    // q_ivfpq_persist pattern).
+    Q("q_sq8_persist",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_sq8idx").toString
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.VectorIndex.buildSq8(emb, "vec_id", "embedding", path)
+        graft.operators.VectorIndex.searchSq8(s, path,
+            emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(sq8Oracle)),
 
     // ---- IVF-PQ index persistence: build → save → load → search ---------
     // The faiss-style lifecycle for the composed index (the binary-quant
@@ -423,6 +414,42 @@ object PQQueries {
       |    ON u.l = e.l AND u.s = e.s AND u.c_label = e.code
       |  WHERE e.vec_id <> u.query_id AND ($candPred)
       |  GROUP BY u.query_id, e.vec_id)""".stripMargin
+
+  /** DuckDB replay of the SQ8 pipeline (min/max fit → clamped uint8
+    * codes → exact integer symmetric distances → top-5) — shared
+    * VERBATIM by q_sq8_search and q_sq8_persist (their equal hashes are
+    * the persistence-losslessness proof). */
+  private def sq8Oracle: String =
+    """WITH mm AS (
+      |  SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
+      |  FROM (
+      |    SELECT u.i AS pos,
+      |           min(e.embedding[u.i + 1]::DOUBLE) AS mn,
+      |           max(e.embedding[u.i + 1]::DOUBLE) AS mx
+      |    FROM embeddings e
+      |    CROSS JOIN (SELECT unnest(range(64)) AS i) u
+      |    GROUP BY u.i)),
+      |qc AS (
+      |  SELECT e.vec_id,
+      |    list_transform(range(64), i ->
+      |      CASE WHEN mx[i + 1] = mn[i + 1] THEN 0
+      |           ELSE CAST(least(255.0, greatest(0.0,
+      |             floor((e.embedding[i + 1]::DOUBLE - mn[i + 1]) * 255.0
+      |               / (mx[i + 1] - mn[i + 1])))) AS INT) END) AS qcode
+      |  FROM embeddings e CROSS JOIN mm),
+      |d AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(range(64), i ->
+      |        CAST((q.qcode[i + 1] - c.qcode[i + 1])
+      |           * (q.qcode[i + 1] - c.qcode[i + 1]) AS BIGINT))),
+      |      (a, x) -> a + x) AS sqdist
+      |  FROM qc q JOIN qc c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 5)
+      |SELECT query_id, neighbor_id, sqdist, CAST(rn AS INTEGER) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |               ORDER BY sqdist, neighbor_id) AS rn FROM d) t
+      |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB replay of the FILTERED search: the verbatim pipeline with the
     * metadata predicate applied to the candidate (coded) side before ADC

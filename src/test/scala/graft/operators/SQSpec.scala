@@ -27,6 +27,34 @@ class SQSpec extends AnyFunSuite {
     assert(codes(2L)(2) == 0 && codes(1L)(2) == 255 && codes(3L)(2) == 127)
   }
 
+  test("persisted SQ8 index: append under the saved fit, tombstone, compact") {
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("sq8idx").toString
+    VectorIndex.buildSq8(emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", path)
+    // append encodes under the SAVED range — probing an appended vector's
+    // own embedding must return it at distance 0 (same fit ⇒ same code)
+    VectorIndex.appendSq8(emb.filter(col("vec_id") === 200),
+      "vec_id", "embedding", path)
+    val hit = VectorIndex.searchSq8(s, path,
+        emb.filter(col("vec_id") === 200)
+          .withColumn("vec_id", lit(9999L)),
+        "vec_id", "embedding", k = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(hit.toSeq == Seq((200L, 0L)))
+
+    // shared lifecycle machinery: tombstone + compact work unchanged
+    VectorIndex.deleteIds(emb.filter(col("vec_id") === 200), "vec_id", path)
+    val afterDel = VectorIndex.searchSq8(s, path,
+        emb.filter(col("vec_id") === 200)
+          .withColumn("vec_id", lit(9999L)),
+        "vec_id", "embedding", k = 1)
+      .collect().map(_.getLong(1))
+    assert(!afterDel.contains(200L))
+    VectorIndex.compact(s, path)
+    assert(VectorIndex.loadSq8Codes(s, path).count() == 100)
+  }
+
   test("search: exact integer distances, self excluded, deterministic ties") {
     val emb = Seq(
       (0L, Array(0.0f, 0.0f)),
