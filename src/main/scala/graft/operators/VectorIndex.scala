@@ -162,6 +162,42 @@ object VectorIndex {
   def vacuum(spark: SparkSession, path: String, keep: Int = 1): Unit =
     IndexManifest.vacuum(spark, path, keep)
 
+  /** One-row ops view of any index at `path` (the layout is shared, so
+    * this works for all five kinds): current manifest version, number of
+    * retained versions, live/raw row counts, batch partitions, pending
+    * tombstones, and payload bytes — what a retention/compaction policy
+    * reads before deciding to compact or vacuum. Filesystem +
+    * metadata-sized aggregates only; never scans payload values. */
+  def describe(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val version = IndexManifest.currentVersion(spark, path)
+    val manifestDir = new Path(s"$path/manifest")
+    val nVersions =
+      if (fs.exists(manifestDir))
+        fs.listStatus(manifestDir).count(_.getPath.getName.startsWith("v"))
+      else 0
+    val codesDir = new Path(IndexManifest.codesDir(spark, path))
+    val batches = fs.listStatus(codesDir).filter(_.isDirectory)
+      .count(_.getPath.getName.startsWith("__batch="))
+    val bytes = fs.getContentSummary(codesDir).getLength
+    val raw = spark.read.parquet(codesDir.toString)
+      .select(col("vec_id")).distinct().count()
+    val tombs = loadTombstones(spark, path).count()
+    val live = raw - spark.read.parquet(codesDir.toString)
+      .select(col("vec_id")).distinct()
+      .join(broadcast(loadTombstones(spark, path)), Seq("vec_id"), "left_semi")
+      .count()
+    spark.sql(
+      s"""SELECT ${version.getOrElse(-1L)}L AS version,
+         |  $nVersions AS retained_versions,
+         |  ${live}L AS live_items, ${raw}L AS raw_items,
+         |  $batches AS batch_partitions,
+         |  ${tombs}L AS pending_tombstones,
+         |  ${bytes}L AS payload_bytes""".stripMargin)
+  }
+
   // ---- SQ8 lifecycle -------------------------------------------------------
   // Same faiss-shaped contract as the other quantizers: the per-dim
   // [min,max] fit is the artifact that must NOT be refit on append

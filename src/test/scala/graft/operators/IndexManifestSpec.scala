@@ -47,6 +47,32 @@ class IndexManifestSpec extends AnyFunSuite {
     assert(VectorIndex.loadBinaryCodes(s, path).count() == v0Rows - nDeleted)
   }
 
+  test("describe reports version, live/raw counts, batches, tombstones, bytes") {
+    val path = Files.createTempDirectory("manifest_describe").toString
+    VectorIndex.buildBinary(emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", path)
+    VectorIndex.appendBinary(
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+      "vec_id", "embedding", path)
+    VectorIndex.deleteIds(emb.filter(col("vec_id") < 10), "vec_id", path)
+
+    val d1 = VectorIndex.describe(s, path).head()
+    assert(d1.getAs[Long]("version") == 0L)
+    assert(d1.getAs[Long]("raw_items") == 120L)
+    assert(d1.getAs[Long]("live_items") == 110L)
+    assert(d1.getAs[Int]("batch_partitions") == 2) // build + one append
+    assert(d1.getAs[Long]("pending_tombstones") == 10L)
+    assert(d1.getAs[Long]("payload_bytes") > 0L)
+
+    VectorIndex.compact(s, path)
+    val d2 = VectorIndex.describe(s, path).head()
+    assert(d2.getAs[Long]("version") == 1L)
+    assert(d2.getAs[Int]("retained_versions") == 2)
+    assert(d2.getAs[Long]("raw_items") == 110L)
+    assert(d2.getAs[Long]("live_items") == 110L)
+    assert(d2.getAs[Long]("pending_tombstones") == 0L)
+  }
+
   test("repeated compacts chain versions; vacuum keep=2 retains the last two") {
     val path = Files.createTempDirectory("manifest_chain").toString
     VectorIndex.buildBinary(emb, "vec_id", "embedding", path)
