@@ -797,6 +797,61 @@ object Stress {
         standingDocs.unpersist(); dropDocs.unpersist()
         println(f"""{"standing":$nStand%d,"drop":$nDrop%d,"build_seconds":$tBuild%.1f,"probe_matches":$nProbe%d,"probe_cold_seconds":$tProbeCold%.1f,"probe_seconds":$tProbe%.1f,"rebuild_matches":$nRebuild%d,"rebuild_seconds":$tRebuild%.1f}""")
 
+      case "mhindex" =>
+        // the text twin of "dedupindex": MinHashIndex build-once vs the
+        // re-shingle-per-batch path. 100k standing docs, 5k drop; the
+        // rebuild path must re-run the fused signature expression over
+        // the WHOLE standing corpus per batch (the cost candidatePairs
+        // pays), the probe path reads the ~0.5 KB/item signature
+        // artifact and shingles only the drop.
+        val mi0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val standMi = (0 until copies).map(i =>
+            mi0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+              col("text")))
+          .reduce(_ unionByName _).cache()
+        val nStandMi = standMi.count()
+        val dropMi = mi0.select((col("doc_id") + lit(777000000L)).as("doc_id"),
+          col("text")).cache()
+        val nDropMi = dropMi.count()
+        val miDir = s"/tmp/graft_mhidx_stress_${System.nanoTime()}"
+
+        val tb1 = System.nanoTime()
+        operators.MinHashIndex.build(standMi, "doc_id", "text", miDir)
+        val tBuildMi = (System.nanoTime() - tb1) / 1e9
+        // steady-state per-batch cost: probe twice, report the second
+        val tw0 = System.nanoTime()
+        val nP1 = operators.MinHashIndex.probe(dropMi, "doc_id", "text", miDir)
+          .count()
+        val tProbeCold2 = (System.nanoTime() - tw0) / 1e9
+        val tw1 = System.nanoTime()
+        operators.MinHashIndex.probe(dropMi, "doc_id", "text", miDir).count()
+        val tProbeMi = (System.nanoTime() - tw1) / 1e9
+
+        // rebuild path: shingle+sign the standing corpus AND the drop,
+        // band-join — what every batch paid without the artifact
+        val tr1 = System.nanoTime()
+        val standSig = standMi.select(col("doc_id").as("vec_id"),
+          graft.functions.MinHashSigExpr(col("text"), 64, 3).as("sig"))
+          .filter(size(col("sig")) > 0)
+        val dropSig = dropMi.select(col("doc_id").as("vec_id"),
+          graft.functions.MinHashSigExpr(col("text"), 64, 3).as("sig"))
+          .filter(size(col("sig")) > 0)
+        def bkt(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("vec_id"), col("sig"),
+            explode(sequence(lit(0), lit(15))).as("__band"))
+          .withColumn("__bkey", md5(concat_ws(",", transform(
+            slice(col("sig"), col("__band") * 4 + 1, lit(4)),
+            x => x.cast("string")))))
+          .select(col("vec_id"), col("__band"), col("__bkey"))
+        val nRebuildMi = bkt(dropSig).as("a")
+          .join(bkt(standSig).as("b"),
+            col("a.__band") === col("b.__band") &&
+              col("a.__bkey") === col("b.__bkey"))
+          .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
+        val tRebuildMi = (System.nanoTime() - tr1) / 1e9
+        standMi.unpersist(); dropMi.unpersist()
+        println(f"""{"standing":$nStandMi%d,"drop":$nDropMi%d,"build_seconds":$tBuildMi%.1f,"probe_pairs":$nP1%d,"probe_cold_seconds":$tProbeCold2%.1f,"probe_seconds":$tProbeMi%.1f,"rebuild_candidates":$nRebuildMi%d,"rebuild_seconds":$tRebuildMi%.1f}""")
+
       case "phashq" =>
         // phash quality vs the repo's own text-near-dup truth
         // (shingle-hash Jaccard ≥ 0.5, the q_jaccard_pairs definition):
