@@ -29,16 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object HammingIndex {
 
-  /** Persist the standing hash table (build partition `__batch=-1`,
-    * manifest version 0). */
+  /** Persist the standing hash table (build partition `__batch=-1`).
+    * A rebuild into an existing index commits the NEXT manifest version
+    * — atomic for readers, never silently ignored. */
   def build(hashes: DataFrame, idCol: String, hiCol: String, loCol: String,
       path: String): Unit = {
+    val v = IndexManifest.nextBuildVersion(hashes.sparkSession, path)
     hashes.select(col(idCol).cast("long").as("vec_id"),
         col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo"))
       .withColumn("__batch", lit(-1L))
       .write.partitionBy("__batch").mode("overwrite")
-      .parquet(s"$path/codes_v0")
-    IndexManifest.commit(hashes.sparkSession, path, 0L)
+      .parquet(s"$path/codes_v$v")
+    IndexManifest.commit(hashes.sparkSession, path, v)
   }
 
   /** Append new items' hashes. Pass the streaming `batchId` for
@@ -51,10 +53,15 @@ object HammingIndex {
         col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo")),
       path, batchId)
 
-  /** The live hash table: (vec_id, hi, lo), tombstones masked out. */
+  /** The live hash table: (vec_id, hi, lo), tombstones masked out. The
+    * explicit schema makes an EMPTY index readable (a zero-row build
+    * writes no parquet footers to infer from) — the modality-split
+    * pipelines legitimately build per-modality indexes that may start
+    * empty. */
   def load(spark: SparkSession, path: String): DataFrame =
     VectorIndex.minusTombstones(spark, path,
-      spark.read.parquet(IndexManifest.codesDir(spark, path))
+      spark.read.schema("vec_id LONG, hi LONG, lo LONG, __batch LONG")
+        .parquet(IndexManifest.codesDir(spark, path))
         .drop("__batch"))
 
   /** Probe a drop against the live index — the asymmetric banded join:

@@ -27,6 +27,18 @@ import org.apache.spark.sql.SparkSession
   * Legacy layout (no `manifest/` dir — indexes written before this
   * layer) resolves to the unversioned `codes`/`tombstones` names, and
   * compact falls back to the old swap there.
+  *
+  * Concurrency contract: READERS are isolated (any resolved version
+  * stays intact until an explicit vacuum), but MUTATORS (build, append,
+  * deleteIds, compact, vacuum) assume a single writer per index path —
+  * the standard one-committer contract of table formats at this layer
+  * (Iceberg/Delta serialize committers via a catalog/log; this minimal
+  * manifest has no lock service, so the orchestration layer owns the
+  * serialization, as the pipelines here do by construction). Compact
+  * does carry forward tombstones that land in the old version's log
+  * while it rewrites (see [[VectorIndex.compact]]), so the one
+  * delete-vs-compact race a single logical writer can still hit through
+  * async delete ingestion is closed.
   */
 private[operators] object IndexManifest {
 
@@ -52,6 +64,17 @@ private[operators] object IndexManifest {
   def tombstonesDir(spark: SparkSession, path: String): String =
     currentVersion(spark, path)
       .map(v => s"$path/tombstones_v$v").getOrElse(s"$path/tombstones")
+
+  /** Version a fresh build() must write and then commit: 0 on a virgin
+    * path, current+1 when a manifest already exists (a REBUILD).
+    * Re-committing version 0 over a compacted index (current ≥ 1) would
+    * be silently ignored by [[currentVersion]]'s max rule — readers
+    * would keep serving the old payload while build() had already
+    * overwritten the unversioned geometry artifacts, reinterpreting live
+    * codes under the new geometry. Building into the NEXT version makes
+    * rebuild an atomic switch instead. */
+  def nextBuildVersion(spark: SparkSession, path: String): Long =
+    currentVersion(spark, path).map(_ + 1).getOrElse(0L)
 
   /** Atomically commit `version`: the marker appears via one rename. */
   def commit(spark: SparkSession, path: String, version: Long): Unit = {

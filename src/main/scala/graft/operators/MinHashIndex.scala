@@ -39,16 +39,24 @@ object MinHashIndex {
   }
 
   /** Shingle + sign the standing corpus once and persist (`__batch=-1`),
-    * with the signature geometry alongside. */
+    * with the signature geometry alongside. Building into a path that
+    * already holds an index commits the NEXT manifest version — a
+    * rebuild atomically replaces the old payload for new readers instead
+    * of being silently ignored by the version-max rule. The commit
+    * marker lands LAST, after payload and geometry: a crash mid-build
+    * leaves the previous version current, never a committed index whose
+    * meta is missing. */
   def build(docs: DataFrame, idCol: String, textCol: String, path: String,
       k: Int = 64, shingle: Int = 3): Unit = {
+    val spark = docs.sparkSession
+    val v = IndexManifest.nextBuildVersion(spark, path)
     sigOf(docs, idCol, textCol, k, shingle)
       .withColumn("__batch", lit(-1L))
       .write.partitionBy("__batch").mode("overwrite")
-      .parquet(s"$path/codes_v0")
-    IndexManifest.commit(docs.sparkSession, path, 0L)
-    docs.sparkSession.sql(s"SELECT $k AS k, $shingle AS shingle")
+      .parquet(s"$path/codes_v$v")
+    spark.sql(s"SELECT $k AS k, $shingle AS shingle")
       .write.mode("overwrite").parquet(s"$path/meta")
+    IndexManifest.commit(spark, path, v)
   }
 
   /** Sign new docs under the SAVED geometry and append. Pass the
@@ -60,10 +68,14 @@ object MinHashIndex {
       path, batchId)
   }
 
-  /** The live signature table: (vec_id, sig), tombstones masked. */
+  /** The live signature table: (vec_id, sig), tombstones masked. The
+    * explicit schema keeps an EMPTY index readable (zero-row builds
+    * write no footers to infer from), matching [[HammingIndex.load]]. */
   def load(spark: SparkSession, path: String): DataFrame =
     VectorIndex.minusTombstones(spark, path,
-      spark.read.parquet(IndexManifest.codesDir(spark, path))
+      spark.read
+        .schema("vec_id LONG, sig ARRAY<LONG> NOT NULL, __batch LONG")
+        .parquet(IndexManifest.codesDir(spark, path))
         .drop("__batch"))
 
   /** Probe a drop against the live index: (id_p, id_r, est_ppm) for every
@@ -104,7 +116,9 @@ object MinHashIndex {
       .withColumn("__match",
         size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y),
           b => b)))
-      .withColumn("est_ppm", col("__match").cast("long") * (1000000L / k))
+      // multiply before the integer division — exact for every k, not
+      // just the k | 1e6 defaults (see MinHashLSH.candidatePairs)
+      .withColumn("est_ppm", expr(s"cast(__match AS bigint) * 1000000 div $k"))
       .filter(col("est_ppm") >= minEstPpm)
       .select(col("id_p"), col("id_r"), col("est_ppm"))
 

@@ -118,7 +118,10 @@ object MinHashLSH {
       .join(sig.withColumnRenamed("__id", "id_b").withColumnRenamed("__sig", "__sb"), "id_b")
       .withColumn("__match",
         size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y), b => b)))
-      .withColumn("est_ppm", col("__match").cast("long") * (1000000L / k))
+      // multiply BEFORE the integer division: (1000000/k) truncates when
+      // k doesn't divide 1e6 (k=48 would cap estimates at 999984 ppm and
+      // shift the minEstPpm threshold); this form is exact for every k
+      .withColumn("est_ppm", expr(s"cast(__match AS bigint) * 1000000 div $k"))
 
     val out = withEst
       .filter(col("est_ppm") >= minEstPpm)
@@ -268,7 +271,12 @@ object MinHashLSH {
     * n²·bands·probes/2^b over the candidate widths, bands = ⌈bits/b⌉. */
   private def bestBandBits(n: Long, bits: Int, maxHamming: Int,
       cands: Seq[Int]): Int = {
-    require(n > 0 && maxHamming >= 0 && cands.nonEmpty)
+    require(n >= 0 && maxHamming >= 0 && cands.nonEmpty)
+    // n == 0: every candidate costs zero and the join below is empty
+    // anyway — return the narrowest width instead of failing, so a
+    // modality-split pipeline with an empty side (no audio items, say)
+    // degrades to zero pairs rather than crashing the whole run
+    if (n == 0) return cands.min
     val shuffleWeight = 128
     def cost(b: Int): BigInt = {
       val bands = (bits + b - 1) / b

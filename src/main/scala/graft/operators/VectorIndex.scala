@@ -65,13 +65,17 @@ object VectorIndex {
     // write are separate jobs, and the fit is a corpus-wide per-dim order
     // statistic that would otherwise execute for each
     val thr = BinaryQuant.fitThresholds(emb, vecCol).localCheckpoint(true)
+    // rebuild = NEXT manifest version (never a silently-ignored
+    // re-commit of v0 over a compacted index); the commit marker lands
+    // last so a crash mid-build leaves the previous version current
+    val v = IndexManifest.nextBuildVersion(emb.sparkSession, path)
     thr.write.mode("overwrite").parquet(s"$path/thresholds")
     BinaryQuant.withCode(emb, vecCol, thr)
       .select(col(idCol).as("vec_id"), col("code"))
       .withColumn("__batch", lit(-1L))
       .write.partitionBy("__batch").mode("overwrite")
-      .parquet(s"$path/codes_v0")
-    IndexManifest.commit(emb.sparkSession, path, 0L)
+      .parquet(s"$path/codes_v$v")
+    IndexManifest.commit(emb.sparkSession, path, v)
   }
 
   /** Encode NEW vectors under the saved thresholds and append their codes
@@ -126,14 +130,22 @@ object VectorIndex {
       "left_anti")
 
   /** Rewrite the live codes minus tombstones into the next manifest
-    * version and commit it atomically; the tombstone log of the new
-    * version starts empty. Existing files are never modified OR deleted
+    * version and commit it atomically; the new version's tombstone log
+    * starts with only the deletes (if any) that arrived after the
+    * compaction snapshot — late deletes are carried forward, not lost. Existing files are never modified OR deleted
     * — a reader that resolved the previous version mid-compact keeps a
     * complete directory until [[vacuum]]; batch partitioning is
     * preserved so post-compaction appends keep their replay safety.
     * No-op (beyond a read) when nothing is tombstoned. Legacy
     * (pre-manifest) indexes keep the old swap-in-place. */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String): Unit =
+    compactWithHook(spark, path, () => ())
+
+  /** [[compact]] with a seam between the tombstone snapshot and the
+    * commit — test-only, to inject the delete-during-rewrite race the
+    * carry-forward below closes. */
+  private[operators] def compactWithHook(spark: SparkSession, path: String,
+      afterSnapshot: () => Unit): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tomb = new org.apache.hadoop.fs.Path(
@@ -141,11 +153,25 @@ object VectorIndex {
     if (!fs.exists(tomb)) return
     IndexManifest.currentVersion(spark, path) match {
       case Some(v) =>
-        minusTombstones(spark, path,
-            spark.read.parquet(IndexManifest.codesDir(spark, path)))
+        // pin the tombstone SNAPSHOT the rewrite folds in: deleteIds
+        // appends to the old version's log, so a delete ingested while
+        // the rewrite runs (async delete feed under one logical writer)
+        // would otherwise be dropped when the new version starts with an
+        // empty log — a silently lost removal
+        val snapshot = loadTombstones(spark, path).localCheckpoint(true)
+        afterSnapshot()
+        spark.read.parquet(IndexManifest.codesDir(spark, path))
+          .join(broadcast(snapshot), Seq("vec_id"), "left_anti")
           .write.partitionBy("__batch").mode("overwrite")
           .parquet(s"$path/codes_v${v + 1}")
         IndexManifest.commit(spark, path, v + 1)
+        // carry forward any delete that landed after the snapshot: the
+        // old log minus the folded set moves into the new version's log
+        val late = spark.read.parquet(tomb.toString).distinct()
+          .join(broadcast(snapshot), Seq("vec_id"), "left_anti")
+        if (!late.isEmpty)
+          late.write.mode("append")
+            .parquet(IndexManifest.tombstonesDir(spark, path))
       case None => // legacy layout: the old swap
         val tmp = new org.apache.hadoop.fs.Path(s"$path/codes_compacting")
         minusTombstones(spark, path, spark.read.parquet(s"$path/codes"))
@@ -210,13 +236,14 @@ object VectorIndex {
   def buildSq8(emb: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
     val fit = SQ.fitMinMax(emb, vecCol).localCheckpoint(true)
+    val v = IndexManifest.nextBuildVersion(emb.sparkSession, path)
     fit.write.mode("overwrite").parquet(s"$path/sqfit")
     SQ.withCodes(emb, vecCol, fit)
       .select(col(idCol).as("vec_id"), col("qcode"))
       .withColumn("__batch", lit(-1L))
       .write.partitionBy("__batch").mode("overwrite")
-      .parquet(s"$path/codes_v0")
-    IndexManifest.commit(emb.sparkSession, path, 0L)
+      .parquet(s"$path/codes_v$v")
+    IndexManifest.commit(emb.sparkSession, path, v)
   }
 
   /** Encode NEW vectors under the SAVED range and append — never refits.
@@ -297,15 +324,18 @@ object VectorIndex {
     val (cents, rcw, codes) =
       PQ.ivfPqTrain(emb, idCol, vecCol, listCol, subspaces, subDim,
         residCodebook)
+    val v = IndexManifest.nextBuildVersion(emb.sparkSession, path)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     rcw.write.mode("overwrite").parquet(s"$path/codebooks")
-    codes.withColumn("__batch", lit(-1L))
-      .write.partitionBy("__batch").mode("overwrite")
-      .parquet(s"$path/codes_v0")
-    IndexManifest.commit(emb.sparkSession, path, 0L)
     // geometry travels with the index: search/append must never guess it
+    // — and it lands BEFORE the commit marker, so no reader can resolve
+    // a committed version whose meta is still missing
     emb.sparkSession.sql(s"SELECT $subspaces AS subspaces, $subDim AS sub_dim")
       .write.mode("overwrite").parquet(s"$path/meta")
+    codes.withColumn("__batch", lit(-1L))
+      .write.partitionBy("__batch").mode("overwrite")
+      .parquet(s"$path/codes_v$v")
+    IndexManifest.commit(emb.sparkSession, path, v)
   }
 
   /** Append NEW vectors under the SAVED quantizer: each is assigned to

@@ -80,6 +80,32 @@ class HammingIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("empty sides under derived band width return zero pairs, not a crash") {
+    // the modality-split pipeline shape: a corpus with no items of one
+    // modality band-joins an EMPTY frame — bandBits=0 derives the width
+    // from count(*)=0 and must degrade to an empty result
+    val empty = phash(col("doc_id") < 0).localCheckpoint(true)
+    val some = phash(col("doc_id") < 20).localCheckpoint(true)
+    assert(MinHashLSH.hammingBandPairs(
+      empty, "media_id", "ph_hi", "ph_lo", maxHamming = 12).count() == 0)
+    // empty REFERENCE side (the side that sizes the buckets)
+    assert(MinHashLSH.hammingBandJoin(
+      some, empty, "media_id", "ph_hi", "ph_lo", maxHamming = 12).count() == 0)
+    // empty probe side against a real reference
+    assert(MinHashLSH.hammingBandJoin(
+      empty, some, "media_id", "ph_hi", "ph_lo", maxHamming = 12).count() == 0)
+    // simhash twin, same derive-from-count default
+    import s.implicits._
+    val emptySh = Seq.empty[(Long, Long)].toDF("id", "sh")
+    assert(MinHashLSH.simhashBandPairs(
+      emptySh, "id", "sh", maxHamming = 3).count() == 0)
+    // and a probe against an empty PERSISTED index
+    val path = Files.createTempDirectory("hidx_empty").toString
+    HammingIndex.build(empty, "media_id", "ph_hi", "ph_lo", path)
+    assert(HammingIndex.probe(some, "media_id", "ph_hi", "ph_lo",
+      path, maxHamming = 12).count() == 0)
+  }
+
   test("keyed append is exactly-once under replay: same batchId overwrites, not doubles") {
     val path = Files.createTempDirectory("hidx_replay").toString
     HammingIndex.build(phash(col("doc_id") < 50), "media_id", "ph_hi", "ph_lo", path)

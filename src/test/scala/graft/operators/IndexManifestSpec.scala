@@ -91,6 +91,49 @@ class IndexManifestSpec extends AnyFunSuite {
     assert(VectorIndex.loadBinaryCodes(s, path).count() == n - 2)
   }
 
+  test("rebuild into a compacted index commits the NEXT version, not a dead v0") {
+    val path = Files.createTempDirectory("manifest_rebuild").toString
+    VectorIndex.buildBinary(emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", path)
+    VectorIndex.deleteIds(emb.filter(col("vec_id") === 5), "vec_id", path)
+    VectorIndex.compact(s, path) // current = v1
+    // rebuild from a DIFFERENT corpus slice: before the versioned-build
+    // fix this wrote codes_v0 + committed 0, which currentVersion's max
+    // rule silently ignored — readers kept serving the old v1 payload
+    VectorIndex.buildBinary(emb.filter(col("vec_id") >= 100),
+      "vec_id", "embedding", path)
+    assert(IndexManifest.currentVersion(s, path).contains(2L))
+    val live = VectorIndex.loadBinaryCodes(s, path)
+    val expect = emb.filter(col("vec_id") >= 100).count()
+    assert(live.count() == expect, "rebuild must serve the new corpus")
+    assert(live.filter(col("vec_id") < 100).count() == 0)
+    // the old version's tombstones do not leak into the rebuilt index
+    assert(VectorIndex.loadTombstones(s, path).count() == 0)
+  }
+
+  test("a delete landing during compact's rewrite is carried forward, not lost") {
+    val path = Files.createTempDirectory("manifest_race").toString
+    VectorIndex.buildBinary(emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", path)
+    VectorIndex.deleteIds(emb.filter(col("vec_id") === 1), "vec_id", path)
+    // inject the race: a delete ingested between compact's tombstone
+    // snapshot and its commit (the async-delete-feed window)
+    VectorIndex.compactWithHook(s, path, () =>
+      VectorIndex.deleteIds(emb.filter(col("vec_id") === 2), "vec_id", path))
+    assert(IndexManifest.currentVersion(s, path).contains(1L))
+    // the late delete was carried into v1's log — the live (masked) view
+    // must not serve vec_id 2 even though codes_v1 still contains it
+    assert(VectorIndex.loadTombstones(s, path).count() == 1)
+    val masked = VectorIndex.minusTombstones(s, path,
+      VectorIndex.loadBinaryCodes(s, path))
+    assert(masked.filter(col("vec_id") === 2).count() == 0)
+    assert(masked.count() == 98)
+    // and the next compact folds it in for good
+    VectorIndex.compact(s, path)
+    assert(VectorIndex.loadTombstones(s, path).count() == 0)
+    assert(VectorIndex.loadBinaryCodes(s, path).count() == 98)
+  }
+
   test("post-compact appends land in the current version and survive the next compact") {
     val path = Files.createTempDirectory("manifest_append").toString
     VectorIndex.buildBinary(emb.filter(col("vec_id") < 100),

@@ -50,6 +50,42 @@ class MinHashIndexSpec extends AnyFunSuite {
     assert(hit.contains((200L, 1000000L)))
   }
 
+  test("est_ppm is exact when k does not divide 1e6 (k=48 clone probes at 1000000)") {
+    val path = Files.createTempDirectory("mhidx_k48").toString
+    MinHashIndex.build(docs.filter(col("doc_id") < 50), "doc_id", "text",
+      path, k = 48, shingle = 3)
+    val clone = docs.filter(col("doc_id") === 3)
+      .select(lit(7777L).as("doc_id"), col("text"))
+    // truncating (1e6/48)=20833 per match would cap the estimate at
+    // 999984 ppm; multiply-then-divide restores the exact 1e6
+    val hit = MinHashIndex.probe(clone, "doc_id", "text", path, bands = 16)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(hit.contains((3L, 1000000L)))
+  }
+
+  test("rebuild under NEW geometry atomically replaces a compacted index") {
+    val path = Files.createTempDirectory("mhidx_rebuild").toString
+    MinHashIndex.build(docs.filter(col("doc_id") < 50), "doc_id", "text", path)
+    VectorIndex.deleteIds(docs.filter(col("doc_id") === 3), "doc_id", path)
+    VectorIndex.compact(s, path) // current = v1
+    // rebuild with different k/shingle over a different corpus slice:
+    // pre-fix this left readers on the v1 signatures while meta claimed
+    // the new geometry — silently wrong probes
+    MinHashIndex.build(
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 150),
+      "doc_id", "text", path, k = 32, shingle = 4)
+    assert(IndexManifest.currentVersion(s, path).contains(2L))
+    val clone = docs.filter(col("doc_id") === 120)
+      .select(lit(8888L).as("doc_id"), col("text"))
+    val hit = MinHashIndex.probe(clone, "doc_id", "text", path, bands = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(hit.contains((120L, 1000000L)),
+      "probe must sign under the rebuilt geometry and hit the new corpus")
+    // nothing from the old build is served
+    assert(MinHashIndex.load(s, path)
+      .filter(col("vec_id") < 100).count() == 0)
+  }
+
   test("tombstoned ids stop matching; keyed append replay is exactly-once") {
     val path = Files.createTempDirectory("mhidx_del").toString
     MinHashIndex.build(docs.filter(col("doc_id") < 100), "doc_id", "text", path)
