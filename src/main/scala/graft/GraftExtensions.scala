@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.LatestPerKeyRule)
+    e.injectOptimizerRule(_ => graft.plans.HammingJoinRule)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("poly_hash"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

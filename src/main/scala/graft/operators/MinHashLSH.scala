@@ -296,7 +296,7 @@ object MinHashLSH {
     * "Fast Search in Hamming Space with Multi-Index Hashing", CVPR 2012).
     * Σ_{k≤s} C(bandBits,k) masks, built combinatorially (never 2^bandBits
     * enumeration). */
-  private[operators] def flipMasks(bandBits: Int, s: Int): Seq[Long] = {
+  private[graft] def flipMasks(bandBits: Int, s: Int): Seq[Long] = {
     def choose(start: Int, left: Int): Seq[Long] =
       if (left == 0) Seq(0L)
       else (start to bandBits - left).flatMap(p =>

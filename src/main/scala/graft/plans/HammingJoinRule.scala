@@ -1,0 +1,222 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: rewrite a NON-EQUI join whose condition bounds a
+  * Hamming distance,
+  *
+  * {{{
+  *   SELECT ... FROM a JOIN b
+  *     ON bit_count(a.h ^ b.h) <= 12 AND <anything else>
+  *   -- or the two-half 64-bit form the perceptual hashes use:
+  *     ON bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo) <= 12 AND ...
+  * }}}
+  *
+  * into the banded multi-index equi-join ([[graft.operators.MinHashLSH
+  * .hammingBandPairs]] as a PLAN TRANSFORM): both sides explode into
+  * (band, key) entries, the probe side enumerating every key within
+  * `s = ⌊tau/bands⌋` bit-flips of its own (multi-index hashing — Norouzi,
+  * Punjani & Fleet, CVPR'12), and the join gains `band = band AND
+  * key = key` equi-keys, so Catalyst plans a hash/sort-merge join on
+  * bucket keys instead of the O(n²) BroadcastNestedLoopJoin the naive
+  * predicate forces. The pigeonhole argument makes the rewrite EXACT:
+  * a pair within `tau` total bits has some band within `s` (else total
+  * ≥ bands·(s+1) > tau), and banding even a SUBSET of the value bits
+  * preserves that bound (banded differences ≤ total differences), so
+  * false negatives are impossible and false positives die on the
+  * original predicate, which is kept verbatim as a residual.
+  *
+  * Row MULTIPLICITY is preserved exactly — no Distinct is inserted.
+  * A pair can collide in several bands, so the join condition adds a
+  * first-band guard: the pair is emitted only in the FIRST band whose
+  * band-Hamming is ≤ s (a CASE over the band index testing the earlier
+  * bands' popcounts on the original columns). Within one band a pair
+  * collides at most once (the reference key is a single point in the
+  * probe's flip enumeration), so each qualifying row pair appears
+  * exactly once, exactly as the nested-loop join would emit it.
+  *
+  * Fires only when ALL hold:
+  *  - inner join with a condition, and NO equi conjunct already present
+  *    (if the user has an equality, Spark already hash-joins on it; the
+  *    rewrite targets the otherwise-quadratic case — this guard also
+  *    makes the rule idempotent, since the rewritten join is equi)
+  *  - a conjunct matches the one- or two-column popcount-of-XOR bound
+  *    with a literal threshold, each XOR operand deterministic, LONG,
+  *    and referencing exactly one side
+  *  - the probe-side key enumeration stays bounded (≤ `maxProbes`
+  *    entries per band) — a huge radius would explode the expansion,
+  *    and past tau ≥ 64 the predicate is vacuous anyway
+  *
+  * Band width comes from `spark.graft.hammingRewrite.bandBits`
+  * (default 8 — the measured sweet spot for 100k–1M corpora, SCALE.md
+  * `Stress phashauto`); `spark.graft.hammingRewrite.enabled=false`
+  * turns the rule off. A logical rule cannot run count() for the
+  * corpus-adaptive derivation the DataFrame operator uses, so the knob
+  * is a conf, not a scan.
+  */
+object HammingJoinRule extends Rule[LogicalPlan] {
+
+  /** One matched Hamming bound: column-expression pairs (left side,
+    * right side) — one pair for the single-long form, two for the
+    * two-half form — and the inclusive radius. */
+  private case class HammingBound(pairs: Seq[(Expression, Expression)],
+      tau: Int, conjunct: Expression)
+
+  def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("spark.graft.hammingRewrite.enabled", "true")
+        .toBoolean) return plan
+    val bandBits = conf
+      .getConfString("spark.graft.hammingRewrite.bandBits", "8").toInt
+    require(bandBits > 0 && 32 % bandBits == 0,
+      s"spark.graft.hammingRewrite.bandBits must divide 32, got $bandBits")
+    val maxProbes = conf
+      .getConfString("spark.graft.hammingRewrite.maxProbes", "512").toInt
+
+    plan.transform {
+      case j @ Join(left, right, Inner, Some(cond), _) =>
+        val conjuncts = splitAnd(cond)
+        val hasEqui = conjuncts.exists {
+          case EqualTo(a, b) => straddles(a, b, left, right)
+          case EqualNullSafe(a, b) => straddles(a, b, left, right)
+          case _ => false
+        }
+        if (hasEqui) j
+        else findBound(conjuncts, left, right) match {
+          case Some(bound) =>
+            val bandsPerCol = 32 / bandBits
+            val bands = bound.pairs.length * bandsPerCol
+            val s = bound.tau / bands
+            val flips = graft.operators.MinHashLSH.flipMasks(bandBits, s)
+            if (flips.length > maxProbes || bound.tau < 0) j
+            else rewrite(j, left, right, cond, bound, bandBits, bandsPerCol, s,
+              flips)
+          case None => j
+        }
+    }
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** a references only one side, b only the other (either orientation). */
+  private def straddles(a: Expression, b: Expression,
+      left: LogicalPlan, right: LogicalPlan): Boolean =
+    (a.references.subsetOf(left.outputSet) && b.references.nonEmpty &&
+      b.references.subsetOf(right.outputSet)) ||
+    (a.references.subsetOf(right.outputSet) && b.references.nonEmpty &&
+      b.references.subsetOf(left.outputSet))
+
+  /** Orient (x, y) of one XOR so ._1 is the LEFT side's expression. */
+  private def orient(x: Expression, y: Expression,
+      left: LogicalPlan, right: LogicalPlan): Option[(Expression, Expression)] =
+    if (!x.deterministic || !y.deterministic) None
+    else if (x.dataType != LongType || y.dataType != LongType) None
+    else if (x.references.nonEmpty && x.references.subsetOf(left.outputSet) &&
+      y.references.nonEmpty && y.references.subsetOf(right.outputSet))
+      Some((x, y))
+    else if (x.references.nonEmpty && x.references.subsetOf(right.outputSet) &&
+      y.references.nonEmpty && y.references.subsetOf(left.outputSet))
+      Some((y, x))
+    else None
+
+  private object IntLit {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, IntegerType) => Some(v)
+      case Literal(v: Long, LongType) if v.isValidInt => Some(v.toInt)
+      case Cast(IntLit(v), _, _, _) => Some(v)
+      case _ => None
+    }
+  }
+
+  private def findBound(conjuncts: Seq[Expression], left: LogicalPlan,
+      right: LogicalPlan): Option[HammingBound] = {
+    def popXor(e: Expression): Option[(Expression, Expression)] = e match {
+      case BitwiseCount(BitwiseXor(x, y)) => orient(x, y, left, right)
+      case _ => None
+    }
+    def ham(e: Expression): Option[Seq[(Expression, Expression)]] = e match {
+      case Add(a, b, _) => for (p <- popXor(a); q <- popXor(b)) yield Seq(p, q)
+      case other => popXor(other).map(Seq(_))
+    }
+    conjuncts.iterator.flatMap { c =>
+      val m = c match {
+        case LessThanOrEqual(h, IntLit(t)) => ham(h).map((_, t))
+        case LessThan(h, IntLit(t)) => ham(h).map((_, t - 1))
+        case GreaterThanOrEqual(IntLit(t), h) => ham(h).map((_, t))
+        case GreaterThan(IntLit(t), h) => ham(h).map((_, t - 1))
+        case _ => None
+      }
+      m.map { case (pairs, tau) => HammingBound(pairs, tau, c) }
+    }.toSeq.headOption
+  }
+
+  /** popcount of band `j`'s bits of the pair's XOR — evaluated on the
+    * ORIGINAL columns, post-join (the first-band dedup guard). */
+  private def bandHamming(bound: HammingBound, j: Int, bandBits: Int,
+      bandsPerCol: Int): Expression = {
+    val (l, r) = bound.pairs(j / bandsPerCol)
+    val shift = (j % bandsPerCol) * bandBits
+    val mask = (1L << bandBits) - 1
+    BitwiseCount(BitwiseAnd(
+      ShiftRightUnsigned(BitwiseXor(l, r), Literal(shift)), Literal(mask)))
+  }
+
+  /** Band key of band `j` computed on ONE side's expression. */
+  private def bandKey(side: Expression, j: Int, bandBits: Int,
+      bandsPerCol: Int): Expression = {
+    val shift = (j % bandsPerCol) * bandBits
+    val mask = (1L << bandBits) - 1
+    BitwiseAnd(ShiftRightUnsigned(side, Literal(shift)), Literal(mask))
+  }
+
+  /** Explode `child` into (band, key) struct entries — the probe side
+    * passes the flip enumeration, the reference side Seq(0L). */
+  private def banded(child: LogicalPlan, sides: Seq[Expression],
+      bands: Int, bandBits: Int, bandsPerCol: Int, flips: Seq[Long],
+      name: String): (LogicalPlan, Attribute) = {
+    val entries = for (j <- 0 until bands; f <- flips) yield {
+      val key = bandKey(sides(j / bandsPerCol), j, bandBits, bandsPerCol)
+      CreateStruct(Seq(Literal(j),
+        if (f == 0L) key else BitwiseXor(key, Literal(f))))
+    }
+    val arr = CreateArray(entries)
+    val elemT = arr.dataType.asInstanceOf[ArrayType]
+    val attr = AttributeReference(name, elemT.elementType, elemT.containsNull)()
+    (Generate(Explode(arr), Nil, outer = false, None, Seq(attr), child), attr)
+  }
+
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+      cond: Expression, bound: HammingBound, bandBits: Int, bandsPerCol: Int,
+      s: Int, flips: Seq[Long]): LogicalPlan = {
+    val bands = bound.pairs.length * bandsPerCol
+    val (probe, aBk) = banded(left, bound.pairs.map(_._1), bands, bandBits,
+      bandsPerCol, flips, "__graft_bk_a")
+    val (exact, bBk) = banded(right, bound.pairs.map(_._2), bands, bandBits,
+      bandsPerCol, Seq(0L), "__graft_bk_b")
+    val bandOf = GetStructField(aBk, 0)
+    val equi = And(
+      EqualTo(bandOf, GetStructField(bBk, 0)),
+      EqualTo(GetStructField(aBk, 1), GetStructField(bBk, 1)))
+    // first-band guard: emit only in the first band with band-ham ≤ s
+    val firstBand =
+      if (bands == 1) Literal.TrueLiteral
+      else CaseWhen(
+        (1 until bands).map { b =>
+          val earlierMiss = (0 until b)
+            .map(e => GreaterThan(bandHamming(bound, e, bandBits, bandsPerCol),
+              Literal(s)))
+            .reduce[Expression](And)
+          (EqualTo(bandOf, Literal(b)), earlierMiss)
+        },
+        Some(Literal.TrueLiteral)) // band 0 has no earlier bands
+    val newJoin = Join(probe, exact, Inner,
+      Some(And(And(equi, firstBand), cond)), JoinHint.NONE)
+    Project(j.output, newJoin)
+  }
+}

@@ -811,6 +811,45 @@ object StreamQueries {
              |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 12
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- the SAME dedup as NAIVE SQL, banded by the OPTIMIZER ----------
+    // The user writes the textbook quadratic Hamming self-join; the
+    // injected Catalyst rule (plans.HammingJoinRule) rewrites it into
+    // the banded multi-index equi-join at plan time — no operator call,
+    // no banding in the query text. Exactness is the same pigeonhole
+    // argument as hammingBandPairs (plus a first-band guard preserving
+    // row multiplicity, since no Distinct is inserted), so the oracle is
+    // the IDENTICAL naive SQL run by DuckDB. HammingJoinRuleSpec locks
+    // the plan shape (no NestedLoop); this entry hash-gates the rewrite
+    // end to end at both SFs.
+    Q("q_hamming_rewrite",
+      (s, dir) => {
+        import s.implicits._
+        if (!s.experimental.extraOptimizations
+            .contains(graft.plans.HammingJoinRule))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.HammingJoinRule
+        val media = Media.synthesizeCovering(
+          graft.Tables.documents(s, dir), "doc_id", "text").as[Media.MediaRow]
+        Media.dHash(media).toDF().localCheckpoint(true)
+          .createOrReplaceTempView("hamming_rewrite_h")
+        s.sql(
+          """SELECT a.media_id AS id_a, b.media_id AS id_b,
+            |  CAST(bit_count(a.ph_hi ^ b.ph_hi)
+            |     + bit_count(a.ph_lo ^ b.ph_lo) AS BIGINT) AS hamming
+            |FROM hamming_rewrite_h a JOIN hamming_rewrite_h b
+            |  ON a.media_id < b.media_id
+            | AND bit_count(a.ph_hi ^ b.ph_hi)
+            |   + bit_count(a.ph_lo ^ b.ph_lo) <= 12
+            |ORDER BY id_a, id_b""".stripMargin)
+      },
+      Some(s"""WITH $phashCte
+             |SELECT a.media_id AS id_a, b.media_id AS id_b,
+             |  CAST(bit_count(xor(a.hi, b.hi))
+             |     + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+             |FROM h a JOIN h b ON a.media_id < b.media_id
+             |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 12
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- video-clip dedup: per-frame dHash sequence + banded frame join --
     // The temporal sibling of q_media_phash_dedup: each clip explodes to
     // its sampled frames (q_media_frames' plumbing), every FRAME gets its

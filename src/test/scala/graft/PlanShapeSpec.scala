@@ -80,6 +80,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("naive Hamming SQL through the optimizer rule plans a banded equi-join") {
+    // the registry entry writes the textbook quadratic self-join; the
+    // injected HammingJoinRule must leave NO loop join in the physical
+    // plan — this is the rewrite's plan-shape gate at registry level
+    val s = render(plan("q_hamming_rewrite"))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"q_hamming_rewrite must be rewritten to an equi-join:\n$s")
+  }
+
   test("LSH scale paths (embedding near-dup, profile NN) plan no loop join") {
     for (q <- Seq("q_embedding_neardup_lsh", "q_ts_profile_nn_lsh")) {
       val s = render(plan(q))

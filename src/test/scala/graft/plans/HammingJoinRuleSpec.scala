@@ -1,0 +1,145 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Hamming-join rewrite must (a) fire on the naive popcount-of-XOR
+  * bound and plan an equi-join instead of a nested-loop join, and
+  * (b) never change results — including row MULTIPLICITY (no Distinct
+  * is inserted; the first-band guard dedups band collisions), both
+  * predicate forms, residual conjuncts, and the fire/skip guards. */
+class HammingJoinRuleSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkSpec.session
+    if (!s.experimental.extraOptimizations.contains(HammingJoinRule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ HammingJoinRule
+    s
+  }
+
+  /** Deterministic 64-bit-ish hashes with planted near-dups: pairs of
+    * ids (i, i+1000) differ in exactly (i mod 5) low bits; everything
+    * else is far apart. Ids 7 and 8 share ONE hash value (multiplicity
+    * trap: both must pair with their clones independently). */
+  private def hashes: DataFrame = {
+    import spark.implicits._
+    val base = (0L until 60L).map { i =>
+      val h = i * 0x9E3779B97F4A7C15L
+      (i, h)
+    }
+    val nears = (0L until 60L by 7L).map { i =>
+      val h = i * 0x9E3779B97F4A7C15L
+      (i + 1000L, h ^ ((1L << (i % 5).toInt) - 1L)) // (i%5) low bits flipped
+    }
+    (base ++ nears ++ Seq((8L, 7L * 0x9E3779B97F4A7C15L)))
+      .toDF("id", "h")
+  }
+
+  private def withRule[T](on: Boolean)(f: => T): T = {
+    spark.conf.set("spark.graft.hammingRewrite.enabled", on.toString)
+    try f finally
+      spark.conf.set("spark.graft.hammingRewrite.enabled", "true")
+  }
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.toVector).toSeq.sortBy(_.toString)
+
+  test("single-long form: fires, plans an equi-join, exact same rows as rule-off") {
+    hashes.createOrReplaceTempView("hjr_t")
+    val sql =
+      """SELECT a.id AS id_a, b.id AS id_b,
+        |       bit_count(a.h ^ b.h) AS hamming
+        |FROM hjr_t a JOIN hjr_t b
+        |  ON a.id < b.id AND bit_count(a.h ^ b.h) <= 4""".stripMargin
+    val on = spark.sql(sql)
+    val plan = on.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"rewrite did not remove the nested-loop join:\n$plan")
+    val expect = withRule(on = false)(rows(spark.sql(sql)))
+    assert(expect.nonEmpty, "fixture must produce pairs")
+    assert(rows(on) == expect)
+  }
+
+  test("two-half form over 32-bit halves: parity with rule-off") {
+    import spark.implicits._
+    val df = hashes.selectExpr("id",
+      "shiftright(h, 32) & 4294967295L AS hi", "h & 4294967295L AS lo")
+    df.createOrReplaceTempView("hjr_halves")
+    val sql =
+      """SELECT a.id AS id_a, b.id AS id_b
+        |FROM hjr_halves a JOIN hjr_halves b
+        |  ON a.id < b.id
+        | AND bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo) <= 4""".stripMargin
+    val on = spark.sql(sql)
+    assert(!on.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    assert(rows(on) == withRule(on = false)(rows(spark.sql(sql))))
+  }
+
+  test("multiplicity: duplicate hash values pair once per ROW, as nested-loop would") {
+    // ids 7 and 8 carry the same hash → the clone of 7 (id 1007) must
+    // pair with BOTH; a distinct-inserting rewrite would collapse rows
+    // in aggregations over the join
+    hashes.createOrReplaceTempView("hjr_m")
+    val sql =
+      """SELECT count(*) AS n FROM hjr_m a JOIN hjr_m b
+        |  ON a.id < b.id AND bit_count(a.h ^ b.h) <= 4""".stripMargin
+    val n = spark.sql(sql).head().getLong(0)
+    val nOff = withRule(on = false)(spark.sql(sql).head().getLong(0))
+    assert(n == nOff, s"rewrite changed multiplicity: $n vs $nOff")
+  }
+
+  test("strict '<' bound and reversed literal-first orientation both fire") {
+    hashes.createOrReplaceTempView("hjr_lt")
+    for (pred <- Seq("bit_count(a.h ^ b.h) < 5", "5 > bit_count(a.h ^ b.h)",
+        "4 >= bit_count(a.h ^ b.h)")) {
+      val sql = s"""SELECT a.id, b.id FROM hjr_lt a JOIN hjr_lt b
+        ON a.id < b.id AND $pred"""
+      val on = spark.sql(sql)
+      assert(!on.queryExecution.executedPlan.toString.contains("NestedLoop"),
+        s"did not fire for: $pred")
+      assert(rows(on) == withRule(on = false)(rows(spark.sql(sql))))
+    }
+  }
+
+  test("does not fire when an equi conjunct exists (hash join already planned)") {
+    import spark.implicits._
+    val df = hashes.withColumn("grp",
+      org.apache.spark.sql.functions.expr("id % 3"))
+    df.createOrReplaceTempView("hjr_eq")
+    val on = spark.sql(
+      """SELECT a.id, b.id FROM hjr_eq a JOIN hjr_eq b
+        |  ON a.grp = b.grp AND a.id < b.id
+        | AND bit_count(a.h ^ b.h) <= 4""".stripMargin)
+    val plan = on.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__graft_bk"),
+      s"rule must leave equi-joins alone:\n$plan")
+  }
+
+  test("huge radius skips the rewrite (probe cap) but results still correct") {
+    hashes.createOrReplaceTempView("hjr_big")
+    val sql =
+      """SELECT count(*) AS n FROM hjr_big a JOIN hjr_big b
+        |  ON a.id < b.id AND bit_count(a.h ^ b.h) <= 60""".stripMargin
+    // s = 60/8 = 7 → C(8,≤7) = 255 flips ≤ default cap 512: still fires;
+    // crank the cap down to force the skip path
+    spark.conf.set("spark.graft.hammingRewrite.maxProbes", "8")
+    try {
+      val n = spark.sql(sql).head().getLong(0)
+      val nOff = withRule(on = false)(spark.sql(sql).head().getLong(0))
+      assert(n == nOff)
+    } finally spark.conf.unset("spark.graft.hammingRewrite.maxProbes")
+  }
+
+  test("tau = 0 degenerates to the exact-key band join and keeps parity") {
+    hashes.createOrReplaceTempView("hjr_z")
+    val sql =
+      """SELECT a.id AS id_a, b.id AS id_b FROM hjr_z a JOIN hjr_z b
+        |  ON a.id < b.id AND bit_count(a.h ^ b.h) <= 0""".stripMargin
+    val on = spark.sql(sql)
+    assert(!on.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    val got = rows(on)
+    assert(got == withRule(on = false)(rows(spark.sql(sql))))
+    assert(got.nonEmpty, "the shared-hash ids 7/8 must collide at tau=0")
+  }
+}
