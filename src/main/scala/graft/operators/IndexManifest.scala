@@ -45,17 +45,19 @@ private[operators] object IndexManifest {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Highest committed version; None = legacy (pre-manifest) layout. */
-  def currentVersion(spark: SparkSession, path: String): Option[Long] = {
+  /** All committed versions, ascending; empty = legacy layout. */
+  def committedVersions(spark: SparkSession, path: String): Seq[Long] = {
     val dir = new Path(s"$path/manifest")
     val f = fs(spark, path)
-    if (!f.exists(dir)) None
-    else {
-      val vs = f.listStatus(dir).map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") => n.stripPrefix("v").toLong }
-      if (vs.isEmpty) None else Some(vs.max)
-    }
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.stripPrefix("v").toLong }
+      .sorted.toSeq
   }
+
+  /** Highest committed version; None = legacy (pre-manifest) layout. */
+  def currentVersion(spark: SparkSession, path: String): Option[Long] =
+    committedVersions(spark, path).lastOption
 
   def codesDir(spark: SparkSession, path: String): String =
     currentVersion(spark, path)

@@ -129,6 +129,92 @@ object VectorIndex {
     codes.join(broadcast(loadTombstones(spark, path)), Seq("vec_id"),
       "left_anti")
 
+  // ---- time travel ---------------------------------------------------------
+  // The manifest already gives every reader snapshot isolation; these
+  // expose it as an API — the Iceberg/Delta "VERSION AS OF" read, kept
+  // minimal. A version's live view is its codes minus its OWN tombstone
+  // log; once a version is superseded (compact or rebuild), that log is
+  // frozen, so the view is stable until vacuum reclaims the files.
+  // Version boundaries are builds and compactions — deletes mutate the
+  // CURRENT version's log in place (monotone, same as appends), so "as
+  // of version v" means "what a reader pinned to v serves now", not a
+  // point-in-time before v's deletes.
+
+  /** All committed versions still resolvable, ascending. */
+  def versions(spark: SparkSession, path: String): Seq[Long] =
+    IndexManifest.committedVersions(spark, path)
+
+  private def tombstonesAt(spark: SparkSession, path: String,
+      version: Long): DataFrame = {
+    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones_v$version")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(t)) spark.read.parquet(t.toString).distinct()
+    else spark.range(0).select(col("id").as("vec_id"))
+  }
+
+  /** The live payload AS OF a retained `version` (codes minus that
+    * version's tombstones) — works for every index kind on the shared
+    * layout (the schema is whatever the kind persists). Fails fast when
+    * the version was never committed or its payload was vacuumed away. */
+  def loadCodesAt(spark: SparkSession, path: String,
+      version: Long): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/codes_v$version")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(IndexManifest.committedVersions(spark, path).contains(version),
+      s"version $version was never committed at $path")
+    require(fs.exists(dir),
+      s"version $version of $path has been vacuumed — raise vacuum(keep)")
+    spark.read.parquet(dir.toString).drop("__batch")
+      .join(broadcast(tombstonesAt(spark, path, version)), Seq("vec_id"),
+        "left_anti")
+  }
+
+  /** [[searchBinary]] pinned to a retained historical `version` — what
+    * the index answered as of that snapshot. Same plan shape; only the
+    * codes/tombstone directories differ. */
+  def searchBinaryAt(spark: SparkSession, path: String, version: Long,
+      vectors: DataFrame, idCol: String, vecCol: String,
+      queryIds: DataFrame => DataFrame, k: Int, rerankWidth: Int,
+      onePass: Boolean = false): DataFrame = {
+    val src = vectors.select(col(idCol).as("vec_id"), col(vecCol))
+    val coded = loadCodesAt(spark, path, version).join(src, "vec_id")
+    if (onePass)
+      BinaryQuant.hammingRerankTopKPartitioned(coded, "vec_id", vecCol,
+        queryIds(coded), k, rerankWidth)
+    else
+      BinaryQuant.hammingRerankTopK(coded, "vec_id", vecCol,
+        queryIds(coded), k, rerankWidth)
+  }
+
+  /** One row PER RETAINED VERSION (ascending): the audit view a
+    * retention policy or an incident review reads — which snapshots
+    * exist, how big, how many live rows each still serves. Filesystem +
+    * metadata aggregates only, like [[describe]]. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = IndexManifest.currentVersion(spark, path).getOrElse(-1L)
+    val rows = IndexManifest.committedVersions(spark, path).map { v =>
+      val dir = new Path(s"$path/codes_v$v")
+      if (!fs.exists(dir)) // vacuumed: marker retained, payload gone
+        s"SELECT ${v}L AS version, ${v == cur} AS is_current, " +
+          "false AS readable, CAST(NULL AS BIGINT) AS live_items, " +
+          "CAST(NULL AS BIGINT) AS pending_tombstones, " +
+          "CAST(NULL AS BIGINT) AS payload_bytes"
+      else {
+        val live = loadCodesAt(spark, path, v)
+          .select(col("vec_id")).distinct().count()
+        val tombs = tombstonesAt(spark, path, v).count()
+        val bytes = fs.getContentSummary(dir).getLength
+        s"SELECT ${v}L AS version, ${v == cur} AS is_current, " +
+          s"true AS readable, ${live}L AS live_items, " +
+          s"${tombs}L AS pending_tombstones, ${bytes}L AS payload_bytes"
+      }
+    }
+    rows.map(spark.sql).reduce(_ unionByName _)
+  }
+
   /** Rewrite the live codes minus tombstones into the next manifest
     * version and commit it atomically; the new version's tombstone log
     * starts with only the deletes (if any) that arrived after the

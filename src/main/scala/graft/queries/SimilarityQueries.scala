@@ -922,8 +922,77 @@ object SimilarityQueries {
           .unionByName(search().withColumn("stage", lit("reappended")))
           .orderBy(col("stage"), col("query_id"), col("rank"))
       },
-      Some(indexDeleteOracle))
+      Some(indexDeleteOracle)),
+
+    // ---- index time travel: VERSION AS OF reads over the manifest --------
+    // The snapshot layer as an API (VectorIndex.searchBinaryAt): after
+    // delete → compact (v1) → append, a search pinned to v0 must answer
+    // from v0's frozen live view (codes_v0 minus its tombstone log — so
+    // the deletes ARE visible at v0, but the post-compact append is NOT),
+    // while the current search sees the appended clones. Both states
+    // replay as SQL relations: asof_v0 = codes minus tombstoned ids,
+    // current = that plus the appended batch — one oracle pins that the
+    // pinned read neither resurrects deleted ids nor leaks later writes.
+    // Scale: time travel costs nothing at read time (the old version's
+    // files simply persist until vacuum); only retention policy changes.
+    Q("q_index_time_travel",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_vindex_tt").toString
+        val emb = Tables.embeddings(s, dir)
+        val clones = emb.filter(col("vec_id") % 5 === 1)
+          .withColumn("vec_id", col("vec_id") + 100000L)
+        val allVecs = emb.unionByName(clones)
+        graft.operators.VectorIndex.buildBinary(
+          emb, "vec_id", "embedding", path) // v0
+        graft.operators.VectorIndex.deleteIds(
+          emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")),
+          "vec_id", path)
+        graft.operators.VectorIndex.compact(s, path) // v1
+        graft.operators.VectorIndex.appendBinary(
+          clones, "vec_id", "embedding", path) // v1 only
+        graft.operators.VectorIndex.searchBinaryAt(s, path, 0L, allVecs,
+            "vec_id", "embedding", _.filter(col("vec_id") < 10),
+            k = 3, rerankWidth = 32)
+          .withColumn("stage", lit("asof_v0"))
+          .unionByName(
+            graft.operators.VectorIndex.searchBinary(s, path, allVecs,
+                "vec_id", "embedding", _.filter(col("vec_id") < 10),
+                k = 3, rerankWidth = 32)
+              .withColumn("stage", lit("current")))
+          .orderBy(col("stage"), col("query_id"), col("rank"))
+      },
+      Some(timeTravelOracle))
   )
+
+  /** Mirror of the time-travel lifecycle: v0's frozen live view (codes
+    * minus its tombstones) vs the current view (plus the post-compact
+    * clone batch). Clones reuse base vectors under +100000 ids, so the
+    * appended codes are derivable exactly as in [[indexDeleteOracle]]. */
+  private def timeTravelOracle: String =
+    s"""$binaryCodesCte,
+       |app1 AS (SELECT vec_id + 100000 AS vec_id, label, code
+       |         FROM codes WHERE vec_id % 5 = 1),
+       |live1 AS (SELECT * FROM codes WHERE vec_id % 7 <> 0),
+       |live2 AS (SELECT * FROM live1 UNION ALL SELECT * FROM app1),
+       |emb2 AS (SELECT vec_id, embedding FROM embeddings
+       |         UNION ALL
+       |         SELECT vec_id + 100000, embedding FROM embeddings
+       |         WHERE vec_id % 5 = 1),
+       |${rerankCtes("live1", "1", "emb2")},
+       |${rerankCtes("live2", "2", "emb2")},
+       |sel1 AS (SELECT qid AS query_id, nid AS neighbor_id, ham AS hamming,
+       |          CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm,
+       |          CAST(rn2 AS INTEGER) AS rank
+       |        FROM f1 WHERE rn2 <= 3),
+       |sel2 AS (SELECT qid AS query_id, nid AS neighbor_id, ham AS hamming,
+       |          CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm,
+       |          CAST(rn2 AS INTEGER) AS rank
+       |        FROM f2 WHERE rn2 <= 3)
+       |SELECT 'asof_v0' AS stage, * FROM sel1
+       |UNION ALL
+       |SELECT 'current' AS stage, * FROM sel2
+       |ORDER BY stage, query_id, rank""".stripMargin
 
   /** Hamming-coarse + cosine-rerank CTE chain over a codes relation
     * `rel` — the shared core of BinaryQuant.hammingRerankTopK's mirror.

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** VERSION AS OF reads over the manifest layer: a superseded version
+  * keeps serving its stable live view until vacuum, searches pin to it,
+  * and history() audits what is retained. */
+class TimeTravelSpec extends AnyFunSuite {
+  private lazy val s = SparkSpec.session
+
+  private def emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("loadCodesAt serves each version's stable view across compact and append") {
+    val path = Files.createTempDirectory("tt_spec").toString
+    val base = emb.filter(col("vec_id") < 100)
+    VectorIndex.buildBinary(base, "vec_id", "embedding", path)
+    VectorIndex.deleteIds(emb.filter(col("vec_id") % 7 === 0), "vec_id", path)
+    val nDel = base.filter(col("vec_id") % 7 === 0).count()
+    VectorIndex.compact(s, path) // v1
+    VectorIndex.appendBinary(
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 110),
+      "vec_id", "embedding", path) // lands in v1 only
+    assert(VectorIndex.versions(s, path) == Seq(0L, 1L))
+    // v0 = its codes minus its (frozen) tombstone log — no appended rows
+    assert(VectorIndex.loadCodesAt(s, path, 0L).count() == 100 - nDel)
+    assert(VectorIndex.loadCodesAt(s, path, 0L)
+      .filter(col("vec_id") >= 100).count() == 0)
+    // v1 = compacted + the append
+    assert(VectorIndex.loadCodesAt(s, path, 1L).count() == 100 - nDel + 10)
+    // current loader agrees with the pinned-current read
+    assert(VectorIndex.loadBinaryCodes(s, path).count() == 100 - nDel + 10)
+  }
+
+  test("searchBinaryAt pins results to the snapshot (pre-append vs current)") {
+    val path = Files.createTempDirectory("tt_search").toString
+    val base = emb.filter(col("vec_id") < 100).localCheckpoint(true)
+    VectorIndex.buildBinary(base, "vec_id", "embedding", path)
+    VectorIndex.deleteIds(emb.filter(col("vec_id") === 5), "vec_id", path)
+    VectorIndex.compact(s, path) // v1
+    def q(df: org.apache.spark.sql.DataFrame) = df.filter(col("vec_id") < 5)
+    val atV0 = VectorIndex.searchBinaryAt(s, path, 0L, base,
+      "vec_id", "embedding", q, k = 3, rerankWidth = 16)
+      .collect().map(_.toSeq).toSet
+    // clones of the base under shifted ids enter ONLY the current version
+    val clones = base.withColumn("vec_id", col("vec_id") + 5000L)
+    VectorIndex.appendBinary(clones, "vec_id", "embedding", path)
+    val all = base.unionByName(clones)
+    val atV0After = VectorIndex.searchBinaryAt(s, path, 0L, all,
+      "vec_id", "embedding", q, k = 3, rerankWidth = 16)
+      .collect().map(_.toSeq).toSet
+    val current = VectorIndex.searchBinary(s, path, all,
+      "vec_id", "embedding", q, k = 3, rerankWidth = 16)
+      .collect().map(_.toSeq).toSet
+    assert(atV0After == atV0,
+      "the pinned snapshot must not see the later append")
+    // every query vector's exact clone is its top hamming-0 hit now
+    assert(current != atV0,
+      "the current view must see the appended clones")
+    assert(current.exists(_.exists { case id: Long => id >= 5000L; case _ => false }))
+  }
+
+  test("rebuild: old version keeps the old corpus, current serves the new") {
+    val path = Files.createTempDirectory("tt_rebuild").toString
+    VectorIndex.buildBinary(emb.filter(col("vec_id") < 50),
+      "vec_id", "embedding", path) // v0
+    VectorIndex.buildBinary(emb.filter(col("vec_id") >= 200),
+      "vec_id", "embedding", path) // v1 (rebuild)
+    assert(VectorIndex.loadCodesAt(s, path, 0L)
+      .agg(max(col("vec_id"))).head().getLong(0) < 50L)
+    assert(VectorIndex.loadCodesAt(s, path, 1L)
+      .agg(min(col("vec_id"))).head().getLong(0) >= 200L)
+  }
+
+  test("history audits retained versions; vacuumed and bogus versions fail fast") {
+    val path = Files.createTempDirectory("tt_hist").toString
+    VectorIndex.buildBinary(emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", path)
+    VectorIndex.deleteIds(emb.filter(col("vec_id") < 10), "vec_id", path)
+    VectorIndex.compact(s, path)
+    val h = VectorIndex.history(s, path).orderBy(col("version")).collect()
+    assert(h.map(_.getAs[Long]("version")).toSeq == Seq(0L, 1L))
+    assert(h.map(_.getAs[Boolean]("is_current")).toSeq == Seq(false, true))
+    assert(h.forall(_.getAs[Boolean]("readable")))
+    assert(h.map(_.getAs[Long]("live_items")).toSeq == Seq(90L, 90L))
+    assert(h.map(_.getAs[Long]("pending_tombstones")).toSeq == Seq(10L, 0L))
+    intercept[IllegalArgumentException] {
+      VectorIndex.loadCodesAt(s, path, 7L)
+    }
+    VectorIndex.vacuum(s, path, keep = 1)
+    // the marker went with the payload: the version list shrinks
+    assert(VectorIndex.versions(s, path) == Seq(1L))
+    intercept[IllegalArgumentException] {
+      VectorIndex.loadCodesAt(s, path, 0L)
+    }
+  }
+}
