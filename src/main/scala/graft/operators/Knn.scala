@@ -270,6 +270,110 @@ object Knn {
     math.max(4, p)
   }
 
+  /** Per-plane signed margins of `vec` against the [[signBucket]]
+    * hyperplane family: margins[p] = Σ_i v[i]·w(p,i), the same
+    * ascending-dimension fold and the same integer-hash weights as
+    * [[graft.functions.SignBucketExpr]] — so `margins[p] >= 0` IS bit p
+    * of the bucket, and |margins[p]| is how confidently the vector sits
+    * on its side of plane p. The multi-probe sequence ranks these. */
+  def planeMargins(vec: Column, planes: Int): Column =
+    transform(sequence(lit(0), lit(planes - 1)), p =>
+      aggregate(sequence(lit(0), size(vec) - 1), lit(0.0), (acc, i) =>
+        acc + element_at(vec, i + 1).cast("double") *
+          (((p.cast("long") * lit(1315423911L) +
+             i.cast("long") * lit(2654435761L)) % lit(1000003L))
+            .cast("double") / lit(1000003.0) - lit(0.5))))
+
+  /** Multi-probe sign-LSH top-k search (Lv, Josephson, Wang, Charikar &
+    * Li, "Multi-Probe LSH", VLDB 2007, applied to the hyperplane family):
+    * each query probes its OWN bucket plus the buckets reached by its
+    * best PERTURBATION SETS — non-empty subsets of its 4 least-confident
+    * planes (smallest |margin|), ranked by the summed |margin| of the
+    * flipped set (ties to the smaller subset mask) — because a true
+    * neighbor that missed the query's bucket differs exactly in
+    * low-margin sign bits, usually several at once; subset probing
+    * recovers the recall that would otherwise need many independent
+    * hash tables (the (k,L) memory multiplier).
+    *
+    * Deterministic end to end (integer-hash planes, sequential double
+    * folds, integer tie-breaks), hence fully oracle-able.
+    *
+    * Plan shape at 100 TB: the corpus never shuffles — one narrow pass
+    * computes (id, bucket) per corpus vector; the query side explodes to
+    * queries×probes TINY key rows, broadcast to the corpus key table;
+    * only candidate ids re-join the vector source for exact-cosine
+    * verification and the per-query top-k window. A corpus vector sits
+    * in exactly one bucket and the probe keys are distinct (distinct
+    * subsets flip distinct masks), so no candidate dedup is needed.
+    * Probe count trades recall for candidate work linearly; plane count
+    * still derives from corpus size ([[planesFor]]). */
+  def multiProbeSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, probes: Int,
+      planesOverride: Int = 0): DataFrame = {
+    val perturbPlanes = 4 // planesFor clamps planes >= 4, so always legal
+    require(probes >= 1 && probes <= (1 << perturbPlanes),
+      s"probes must be in [1, ${1 << perturbPlanes}], got $probes")
+    val planes =
+      if (planesOverride > 0) planesOverride else planesFor(corpus.count())
+    require(planes >= perturbPlanes,
+      s"planes $planes below the $perturbPlanes-plane perturbation window")
+    val pow2 = array((0 until planes).map(i => lit(1L << i)): _*)
+    val pow2i = array((0 until perturbPlanes).map(i => lit(1 << i)): _*)
+
+    val corpusKeys = corpus.select(col(idCol).cast("long").as("__cid"),
+      graft.functions.SignBucketExpr(col(vecCol), planes).as("__cbk"))
+    val probeKeys = queries
+      .select(col(idCol).cast("long").as("__qid"),
+        planeMargins(col(vecCol), planes).as("__m"),
+        graft.functions.SignBucketExpr(col(vecCol), planes).as("__qbk"))
+      // the 4 least-confident planes, (|margin| asc, plane asc)
+      .withColumn("__low",
+        slice(array_sort(zip_with(col("__m"),
+          sequence(lit(0), lit(planes - 1)),
+          (m, p) => struct(abs(m).as("a"), p.as("p")))), 1, perturbPlanes))
+      // every non-empty subset of them as (score = Σ flipped |margin|,
+      // mask, flip-key), ranked (score asc, mask asc)
+      .withColumn("__sets",
+        array_sort(transform(sequence(lit(1), lit((1 << perturbPlanes) - 1)),
+          mm => struct(
+            aggregate(sequence(lit(0), lit(perturbPlanes - 1)), lit(0.0),
+              (acc, j) => acc + when(
+                mm.bitwiseAND(element_at(pow2i, j + 1)) =!= 0,
+                element_at(col("__low"), j + 1).getField("a"))
+                .otherwise(lit(0.0))).as("s"),
+            mm.as("m"),
+            aggregate(sequence(lit(0), lit(perturbPlanes - 1)), lit(0L),
+              (acc, j) => acc + when(
+                mm.bitwiseAND(element_at(pow2i, j + 1)) =!= 0,
+                element_at(pow2,
+                  element_at(col("__low"), j + 1).getField("p") + 1))
+                .otherwise(lit(0L))).as("f")))))
+      .select(col("__qid"),
+        explode(concat(array(col("__qbk")),
+          transform(slice(col("__sets"), 1, probes - 1), s =>
+            col("__qbk").bitwiseXOR(s.getField("f"))))).as("__pk"))
+
+    val cand = broadcast(probeKeys)
+      .join(corpusKeys, col("__pk") === col("__cbk") &&
+        col("__qid") =!= col("__cid"))
+      .select(col("__qid"), col("__cid"))
+    // query vectors come from the QUERIES frame (not necessarily a
+    // corpus subset), corpus vectors load for candidates only
+    val scored = cand
+      .join(broadcast(queries.select(col(idCol).cast("long").as("__qid"),
+        col(vecCol).as("__qv"))), "__qid")
+      .join(corpus.select(col(idCol).cast("long").as("__cid"),
+        col(vecCol).as("__cv")), "__cid")
+      .withColumn("__sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("__sim").desc, col("__cid"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        floor(col("__sim") * 1e6).cast("long").as("sim_ppm"),
+        col("__rn").cast("int").as("rank"))
+  }
+
   /** Embedding near-duplicate pairs via multi-table (k,L) sign-LSH — the
     * scale-safe replacement for the brute `id_a < id_b` theta join.
     *

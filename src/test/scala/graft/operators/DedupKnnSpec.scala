@@ -170,6 +170,32 @@ class DedupKnnSpec extends AnyFunSuite {
       s"recall ${lsh.size}/${brute.size} below 0.7")
   }
 
+  test("multi-probe sign-LSH: recall rises monotonically with probes") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 20)
+    val truth = Knn.bruteTopK(emb, queries, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fix planes so the probe sweep is stable regardless of corpus count
+    val planes = 6
+    def recall(probes: Int): Double = {
+      val got = Knn.multiProbeSearch(emb, queries, "vec_id", "embedding",
+          k = 3, probes = probes, planesOverride = planes)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val r1 = recall(1); val r4 = recall(4); val r16 = recall(16)
+    info(f"multi-probe recall@3: probes=1 $r1%.3f, 4 $r4%.3f, 16 $r16%.3f")
+    assert(r1 <= r4 && r4 <= r16,
+      s"recall must not drop as probes grow: $r1 -> $r4 -> $r16")
+    assert(r4 > r1,
+      s"probing low-margin subsets must lift recall here: $r1 -> $r4")
+    assert(r16 >= 2 * r1,
+      s"the full 4-plane perturbation window should at least double " +
+        s"single-probe recall on this fixture: $r1 -> $r16")
+  }
+
   test("label centroid arrays reassemble from the exploded (label,pos,c) rows") {
     val emb = Tables.embeddings(spark, sf)
     val exploded = emb
