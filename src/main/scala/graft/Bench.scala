@@ -37,6 +37,7 @@ object Bench {
     "q_decontaminate",         // corpus curation (eval-overlap scrub)
     "q_bpe_merges",            // tokenizer training (iterative vocab rounds)
     "q_media_phash_dedup",     // multimodal (perceptual-hash near-dedup)
+    "q_hamming_rewrite",       // optimizer rule (naive SQL → banded join)
     "q_hybrid_rrf",            // retrieval (BM25 + dense arms, RRF fusion)
     "q_zscore_events",         // ML standardization
     "q_iforest_top_anomalies", // custom ML scoring

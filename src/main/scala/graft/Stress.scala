@@ -714,6 +714,84 @@ object Stress {
         bigda.unpersist()
         println(f"""{"items":$nItemsA%d,"tau":$tauA%d,"band_bits":$usedB%d,"derived":${forcedB == 0}%b,"hash_seconds":$tHashA%.1f,"pairs":$nPairsA%d,"pair_seconds":$tPairA%.1f}""")
 
+      case "rewriterule" =>
+        // the Catalyst HammingJoinRule at scale: the NAIVE quadratic SQL
+        // self-join (the query a user actually writes) through the
+        // optimizer, next to the hammingBandPairs operator at the same
+        // derived width — same corpus as "phashauto". The rewrite must
+        // land within noise of the hand-called operator (identical plan
+        // family), while rule-off would be the quadratic nested-loop
+        // this harness does NOT run past 20k (214 s at 100k, measured
+        // for the unweighted-width model in round 7).
+        val drr0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val bigrr = (0 until copies).map(i =>
+            drr0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+              col("text")))
+          .reduce(_ unionByName _).cache()
+        bigrr.count()
+        val rrMedia = multimodal.Media.synthesizeCovering(bigrr, "doc_id", "text")
+          .as[multimodal.Media.MediaRow](
+            org.apache.spark.sql.Encoders.product[multimodal.Media.MediaRow])
+        val rrHash = multimodal.Media.dHash(rrMedia).toDF().localCheckpoint(true)
+        val nRr = rrHash.count()
+        if (!spark.experimental.extraOptimizations.contains(plans.HammingJoinRule))
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ plans.HammingJoinRule
+        rrHash.createOrReplaceTempView("rr_h")
+        val rr0 = System.nanoTime()
+        val nPairsRule = spark.sql(
+          """SELECT a.media_id, b.media_id
+            |FROM rr_h a JOIN rr_h b
+            |  ON a.media_id < b.media_id
+            | AND bit_count(a.ph_hi ^ b.ph_hi)
+            |   + bit_count(a.ph_lo ^ b.ph_lo) <= 12""".stripMargin).count()
+        val tRule = (System.nanoTime() - rr0) / 1e9
+        val rr1 = System.nanoTime()
+        val nPairsOp = operators.MinHashLSH.hammingBandPairs(
+          rrHash, "media_id", "ph_hi", "ph_lo", maxHamming = 12).count()
+        val tOp = (System.nanoTime() - rr1) / 1e9
+        bigrr.unpersist()
+        println(f"""{"items":$nRr%d,"rule_pairs":$nPairsRule%d,"rule_seconds":$tRule%.1f,"operator_pairs":$nPairsOp%d,"operator_seconds":$tOp%.1f}""")
+
+      case "multiprobe" =>
+        // multi-probe sign-LSH recall/cost trade at a corpus size where
+        // single-probe recall has genuinely collapsed (same jittered
+        // corpus as "recall"): recall@10 vs exact cosine truth and
+        // seconds for probes 1/4/8/16 — the number that shows probing
+        // low-margin perturbation sets buys back recall without (k,L)
+        // index copies.
+        val mpe0 = Tables.embeddings(spark, sfDir)
+        val bigmp = (0 until copies).map { i =>
+          if (i == 0) mpe0.select(col("vec_id"), col("embedding"))
+          else
+            mpe0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+              transform(col("embedding"), (x, j) =>
+                (x.cast("double") +
+                  (pmod(hash(col("vec_id"), j, lit(i)).cast("long"), lit(997L))
+                    .cast("double") / 997.0 * 0.05 - 0.025)).cast("float"))
+                .as("embedding"))
+        }.reduce(_ unionByName _).cache()
+        val nMp = bigmp.count()
+        val mpQueries = bigmp.filter(col("vec_id") < 100).localCheckpoint(true)
+        val nMpq = mpQueries.count()
+        val mp0 = System.nanoTime()
+        val mpTruth = operators.Knn.bruteTopK(bigmp, mpQueries,
+            "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+        mpTruth.count()
+        val tMpTruth = (System.nanoTime() - mp0) / 1e9
+        val sweep = Seq(1, 4, 8, 16).map { p =>
+          val t0 = System.nanoTime()
+          val hits = operators.Knn.multiProbeSearch(bigmp, mpQueries,
+              "vec_id", "embedding", k = 10, probes = p)
+            .select(col("query_id"), col("neighbor_id"))
+            .join(mpTruth, Seq("query_id", "neighbor_id")).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          f""""p$p%d":{"recall":${hits.toDouble / (nMpq * 10)}%.3f,"seconds":$dt%.1f}"""
+        }.mkString(",")
+        bigmp.unpersist()
+        println(f"""{"vectors":$nMp%d,"planes":${operators.Knn.planesFor(nMp)}%d,"truth_seconds":$tMpTruth%.1f,$sweep}""")
+
       case "audiofp" =>
         // the audio-modality twin of "phashauto": copies× exact-replicated
         // docs through Haitsma–Kalker fingerprinting + the derived banded
