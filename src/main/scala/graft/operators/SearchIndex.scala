@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted TEXT-SEARCH index — the retrieval family's production seam,
+  * the way [[HammingIndex]]/[[MinHashIndex]] are the dedup family's: BM25
+  * serving stops re-tokenizing the standing corpus per query batch. The
+  * searchable payload is the POSTINGS table — one row per (doc, token)
+  * with its term frequency, plus one reserved-token row per doc carrying
+  * the document length — persisted on the SAME storage contract as every
+  * index here (manifest-versioned batch-partitioned payload keyed by
+  * `vec_id`, append-only tombstones), so [[VectorIndex.deleteIds]],
+  * [[VectorIndex.compact]], [[VectorIndex.vacuum]], and the VERSION AS OF
+  * readers run on a search index unchanged. Storing per-doc rows (not
+  * aggregated df/N artifacts) is what makes deletes exact: corpus
+  * statistics are re-aggregated from the LIVE rows at probe time, so a
+  * tombstoned document leaves df, N, and Σdl the moment it is deleted —
+  * no stale-statistics window, no decrement bookkeeping.
+  *
+  * Scale: the probe reads postings FILTERED to the query terms (a pushed
+  * parquet predicate — `build` sorts within partitions by token so row
+  * groups prune) plus the token-pruned doc-length rows for corpus stats
+  * (12 B/doc); scoring is the same integer-ppm BM25 arithmetic the
+  * from-scratch scorer uses, so a probe is hash-identical to recomputing
+  * over the live documents — which is exactly how the oracle checks it.
+  * Appends tokenize only the drop (exactly-once under a streaming
+  * batchId, as everywhere).
+  */
+object SearchIndex {
+
+  /** Reserved token key for per-doc length rows: the NUL character —
+    * whitespace tokenization of any real text never yields it, and the
+    * load path would only confuse it with a term if a document carried
+    * a bare NUL between two spaces. */
+  val DlToken = "\u0000"
+
+  private def postingsOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("vec_id"),
+      split(col(textCol), " ").as("__toks"))
+    val tf = toks
+      .select(col("vec_id"), explode(col("__toks")).as("token"))
+      .groupBy(col("vec_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.select(col("vec_id"), lit(DlToken).as("token"),
+      size(col("__toks")).cast("long").as("tf"))
+    tf.unionByName(dl).sortWithinPartitions(col("token"))
+  }
+
+  /** Tokenize + persist the standing corpus (build partition
+    * `__batch=-1`). Rebuild into an existing index commits the NEXT
+    * manifest version, like every build here. */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    val v = IndexManifest.nextBuildVersion(spark, path)
+    postingsOf(docs, idCol, textCol)
+      .withColumn("__batch", lit(-1L))
+      .write.partitionBy("__batch").mode("overwrite")
+      .parquet(s"$path/codes_v$v")
+    IndexManifest.commit(spark, path, v)
+  }
+
+  /** Tokenize NEW docs only and append their postings. Pass the
+    * streaming `batchId` for exactly-once replay. */
+  def append(docs: DataFrame, idCol: String, textCol: String, path: String,
+      batchId: Option[Long] = None): Unit =
+    VectorIndex.writeCodes(postingsOf(docs, idCol, textCol), path, batchId)
+
+  /** Live postings (vec_id, token, tf) including the reserved doc-length
+    * rows, tombstones masked. Explicit schema keeps an empty index
+    * readable, as with the other text indexes. */
+  def load(spark: SparkSession, path: String): DataFrame =
+    VectorIndex.minusTombstones(spark, path,
+      spark.read.schema("vec_id LONG, token STRING, tf LONG, __batch LONG")
+        .parquet(IndexManifest.codesDir(spark, path))
+        .drop("__batch"))
+
+  /** BM25 top-`k` over the live index for `terms` — identical integer-ppm
+    * arithmetic (k1=1.2, b=0.75, log-free Robertson idf) to the
+    * from-scratch scorer, so serving from the index is hash-equal to
+    * recomputing over the live documents. Returns (doc_id, score_ppm,
+    * n_terms) ranked (score desc, doc_id). */
+  def bm25(spark: SparkSession, path: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    val live = load(spark, path)
+    // corpus stats from the reserved rows: N docs, total length — these
+    // see deletes immediately because the mask is already applied
+    val corpus = live.filter(col("token") === DlToken)
+      .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_dl"))
+    val dl = live.filter(col("token") === DlToken)
+      .select(col("vec_id"), col("tf").as("dl"))
+    val tf = live.filter(col("token").isin(terms: _*))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("token"))
+      .join(dl, Seq("vec_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf_ppm",
+        expr("(2*n_docs - 2*df + 1) * 1000000L div (2*df + 1)"))
+      .withColumn("tf_ppm",
+        expr("44*tf*sum_dl * 1000000L div (20*tf*sum_dl + 6*sum_dl + 18*dl*n_docs)"))
+      .withColumn("contrib_ppm", expr("idf_ppm * tf_ppm div 1000000L"))
+      .groupBy(col("vec_id").as("doc_id"))
+      .agg(sum(col("contrib_ppm")).as("score_ppm"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -55,27 +55,33 @@ object SearchQueries {
         count(lit(1)).as("n_terms"))
   }
 
-  /** The BM25 CTE chain (ends with `bm` = doc_id, score_ppm, n_terms) —
-    * the DuckDB mirror of [[bm25Scores]], shared by both consumers. */
-  private def bm25Ctes: String =
-    s"""dl AS (
-       |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
-       |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-       |tf AS (
+  /** The BM25 CTE chain over relation `rel` (ends with `bm$sfx` =
+    * doc_id, score_ppm, n_terms) — the DuckDB mirror of [[bm25Scores]].
+    * `sfx` disambiguates when one oracle scores several corpus states
+    * (the [[graft.operators.SearchIndex]] lifecycle query). */
+  private def bm25CtesFor(rel: String, sfx: String = ""): String =
+    s"""dl$sfx AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM $rel),
+       |corpus$sfx AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl$sfx),
+       |tf$sfx AS (
        |  SELECT doc_id, token, count(*) AS tf FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
-       |    FROM documents) u
+       |    FROM $rel) u
        |  WHERE token IN (${QueryTerms.map("'" + _ + "'").mkString(", ")})
        |  GROUP BY doc_id, token),
-       |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
-       |bm AS (
-       |  SELECT tf.doc_id,
+       |df$sfx AS (SELECT token, count(DISTINCT doc_id) AS df
+       |           FROM tf$sfx GROUP BY token),
+       |bm$sfx AS (
+       |  SELECT tf$sfx.doc_id,
        |    CAST(sum((2*n_docs - 2*df + 1) * 1000000 // (2*df + 1)
-       |         * (44*tf*sum_dl * 1000000 // (20*tf*sum_dl + 6*sum_dl + 18*dl.dl*n_docs))
+       |         * (44*tf*sum_dl * 1000000 // (20*tf*sum_dl + 6*sum_dl + 18*dl$sfx.dl*n_docs))
        |         // 1000000) AS BIGINT) AS score_ppm,
        |    count(*) AS n_terms
-       |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id), corpus
-       |  GROUP BY tf.doc_id)""".stripMargin
+       |  FROM tf$sfx JOIN df$sfx USING (token) JOIN dl$sfx USING (doc_id),
+       |       corpus$sfx
+       |  GROUP BY tf$sfx.doc_id)""".stripMargin
+
+  private def bm25Ctes: String = bm25CtesFor("documents")
 
   val all: Seq[Q] = Seq(
 
@@ -129,6 +135,53 @@ object SearchQueries {
       Some(s"""WITH $bm25Ctes
               |SELECT doc_id, score_ppm, n_terms
               |FROM bm ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ---- persisted search index: BM25 serving without re-tokenizing ------
+    // The retrieval family's production seam (operators.SearchIndex), the
+    // analog of the dedup/ANN indexes: postings + reserved doc-length
+    // rows persist ONCE on the shared manifest/tombstone layout, and a
+    // probe re-aggregates df/N/Σdl from the LIVE rows — so serving from
+    // the index is hash-equal to recomputing over the live documents,
+    // and a tombstoned doc leaves every corpus statistic the moment it
+    // is deleted (no stale-stats window). Three driver-gated states in
+    // one hash: full index, after deleting doc_id % 9 = 0 (both the
+    // rankings AND the df/idf shifts must track), and after compaction
+    // (which must change nothing). Scale: probes read token-pruned
+    // postings + 12 B/doc length rows; only appends tokenize new text.
+    Q("q_search_index",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_searchidx").toString
+        val docs = Tables.documents(s, dir)
+        graft.operators.SearchIndex.build(docs, "doc_id", "text", path)
+        val full = graft.operators.SearchIndex
+          .bm25(s, path, QueryTerms, 20)
+          .withColumn("stage", lit("full")).localCheckpoint(true)
+        graft.operators.VectorIndex.deleteIds(
+          docs.filter(col("doc_id") % 9 === 0), "doc_id", path)
+        val deleted = graft.operators.SearchIndex
+          .bm25(s, path, QueryTerms, 20)
+          .withColumn("stage", lit("deleted")).localCheckpoint(true)
+        graft.operators.VectorIndex.compact(s, path)
+        full.unionByName(deleted)
+          .unionByName(graft.operators.SearchIndex
+            .bm25(s, path, QueryTerms, 20)
+            .withColumn("stage", lit("compacted")))
+          .orderBy(col("stage"), col("score_ppm").desc, col("doc_id"))
+      },
+      Some(s"""WITH ${bm25CtesFor("documents")},
+              |d2 AS (SELECT * FROM documents WHERE doc_id % 9 <> 0),
+              |${bm25CtesFor("d2", "2")},
+              |sel1 AS (SELECT doc_id, score_ppm, n_terms FROM bm
+              |         ORDER BY score_ppm DESC, doc_id LIMIT 20),
+              |sel2 AS (SELECT doc_id, score_ppm, n_terms FROM bm2
+              |         ORDER BY score_ppm DESC, doc_id LIMIT 20)
+              |SELECT 'full' AS stage, * FROM sel1
+              |UNION ALL
+              |SELECT 'deleted' AS stage, * FROM sel2
+              |UNION ALL
+              |SELECT 'compacted' AS stage, * FROM sel2
+              |ORDER BY stage, score_ppm DESC, doc_id""".stripMargin)),
 
     // ---- hybrid retrieval: BM25 + dense ANN, reciprocal-rank fusion ------
     // The retrieval shape RAG pipelines actually serve: a sparse arm (the

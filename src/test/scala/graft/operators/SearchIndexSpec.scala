@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Persisted BM25 search index: serving equals recomputing, appends
+  * tokenize only the drop, keyed replay is exactly-once, deletes shift
+  * corpus statistics immediately, empty indexes serve empty results. */
+class SearchIndexSpec extends AnyFunSuite {
+  private lazy val s = SparkSpec.session
+  private val sf = "/root/testdata/sf0.001"
+  private val terms = Seq("spark", "hash", "window")
+
+  private def docs = Tables.documents(s, sf)
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq.toVector).toVector
+
+  test("append extends the corpus: probe equals a fresh build over the union") {
+    val pathA = Files.createTempDirectory("sidx_a").toString
+    val pathB = Files.createTempDirectory("sidx_b").toString
+    val base = docs.filter(col("doc_id") < 300)
+    val drop = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    SearchIndex.build(base, "doc_id", "text", pathA)
+    SearchIndex.append(drop, "doc_id", "text", pathA)
+    SearchIndex.build(base.unionByName(drop), "doc_id", "text", pathB)
+    assert(rows(SearchIndex.bm25(s, pathA, terms, 20)) ==
+      rows(SearchIndex.bm25(s, pathB, terms, 20)),
+      "append + probe must equal build-from-scratch over the union")
+  }
+
+  test("keyed append replay is exactly-once; df/N shift the moment a doc is deleted") {
+    val path = Files.createTempDirectory("sidx_replay").toString
+    SearchIndex.build(docs.filter(col("doc_id") < 300), "doc_id", "text", path)
+    val batch = docs.filter(col("doc_id") >= 300 && col("doc_id") < 350)
+      .localCheckpoint(true)
+    SearchIndex.append(batch, "doc_id", "text", path, batchId = Some(0L))
+    SearchIndex.append(batch, "doc_id", "text", path, batchId = Some(0L))
+    val nDocs = SearchIndex.load(s, path)
+      .filter(col("token") === SearchIndex.DlToken).count()
+    assert(nDocs == 350, s"replayed keyed append must not double docs: $nDocs")
+
+    // delete, no compaction: every statistic must already reflect it
+    VectorIndex.deleteIds(
+      docs.filter(col("doc_id") < 50), "doc_id", path)
+    val fresh = Files.createTempDirectory("sidx_fresh").toString
+    SearchIndex.build(
+      docs.filter(col("doc_id") >= 50 && col("doc_id") < 350),
+      "doc_id", "text", fresh)
+    assert(rows(SearchIndex.bm25(s, path, terms, 20)) ==
+      rows(SearchIndex.bm25(s, fresh, terms, 20)),
+      "tombstoned docs must vanish from rankings AND corpus stats")
+    // compaction folds the tombstones and changes nothing
+    VectorIndex.compact(s, path)
+    assert(rows(SearchIndex.bm25(s, path, terms, 20)) ==
+      rows(SearchIndex.bm25(s, fresh, terms, 20)))
+    assert(VectorIndex.loadTombstones(s, path).count() == 0)
+  }
+
+  test("an empty index serves empty results, not a crash") {
+    val path = Files.createTempDirectory("sidx_empty").toString
+    SearchIndex.build(docs.filter(col("doc_id") < 0), "doc_id", "text", path)
+    assert(SearchIndex.bm25(s, path, terms, 20).count() == 0)
+  }
+}
