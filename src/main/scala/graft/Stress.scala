@@ -792,6 +792,38 @@ object Stress {
         bigmp.unpersist()
         println(f"""{"vectors":$nMp%d,"planes":${operators.Knn.planesFor(nMp)}%d,"truth_seconds":$tMpTruth%.1f,$sweep}""")
 
+      case "searchindex" =>
+        // persisted BM25 index vs per-batch recompute at 100k docs: the
+        // recompute path re-tokenizes the WHOLE standing corpus on every
+        // query batch (cost ∝ corpus text bytes), the index probe reads
+        // token-pruned postings + 12 B/doc length rows. Steady-state
+        // probe reported separately from the first (JIT-warm) call, the
+        // dedupindex discipline.
+        val dsi0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val bigsi = (0 until copies).map(i =>
+            dsi0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+              col("text")))
+          .reduce(_ unionByName _).cache()
+        val nSi = bigsi.count()
+        val siTerms = Seq("spark", "hash", "window")
+        val siPath = java.nio.file.Files
+          .createTempDirectory("stress_sidx").toString
+        val si0 = System.nanoTime()
+        operators.SearchIndex.build(bigsi, "doc_id", "text", siPath)
+        val tSiBuild = (System.nanoTime() - si0) / 1e9
+        val si1 = System.nanoTime()
+        val n1 = operators.SearchIndex.bm25(spark, siPath, siTerms, 20).count()
+        val tProbeCold = (System.nanoTime() - si1) / 1e9
+        val si2 = System.nanoTime()
+        operators.SearchIndex.bm25(spark, siPath, siTerms, 20).count()
+        val tProbeWarm = (System.nanoTime() - si2) / 1e9
+        val si3 = System.nanoTime()
+        val n2 = operators.SearchIndex.bm25FromDocs(bigsi, "doc_id", "text",
+          siTerms, 20).count()
+        val tScratch = (System.nanoTime() - si3) / 1e9
+        bigsi.unpersist()
+        println(f"""{"docs":$nSi%d,"build_seconds":$tSiBuild%.1f,"probe_cold_seconds":$tProbeCold%.1f,"probe_seconds":$tProbeWarm%.1f,"recompute_seconds":$tScratch%.1f,"rows":$n1%d,"rows_scratch":$n2%d}""")
+
       case "audiofp" =>
         // the audio-modality twin of "phashauto": copies× exact-replicated
         // docs through Haitsma–Kalker fingerprinting + the derived banded

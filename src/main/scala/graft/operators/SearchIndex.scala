@@ -83,8 +83,19 @@ object SearchIndex {
     * recomputing over the live documents. Returns (doc_id, score_ppm,
     * n_terms) ranked (score desc, doc_id). */
   def bm25(spark: SparkSession, path: String, terms: Seq[String],
+      k: Int): DataFrame =
+    scorePostings(load(spark, path), terms, k)
+
+  /** The same scorer straight from a documents frame, no persistence —
+    * what a pipeline without a standing index pays per query batch (the
+    * Stress `searchindex` comparison), and the proof body shared with
+    * the index path. */
+  def bm25FromDocs(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame =
+    scorePostings(postingsOf(docs, idCol, textCol), terms, k)
+
+  private def scorePostings(live: DataFrame, terms: Seq[String],
       k: Int): DataFrame = {
-    val live = load(spark, path)
     // corpus stats from the reserved rows: N docs, total length — these
     // see deletes immediately because the mask is already applied
     val corpus = live.filter(col("token") === DlToken)

@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
 object SearchQueries {
 
   /** Fixed retrieval query for q_bm25_rank. */
-  private val QueryTerms = Seq("spark", "hash", "window")
+  private[queries] val QueryTerms = Seq("spark", "hash", "window")
 
   /** BM25 scores over `docs` for [[QueryTerms]] — the scoring core shared
     * by q_bm25_rank and the hybrid-fusion query (one copy, one oracle
@@ -59,7 +59,7 @@ object SearchQueries {
     * doc_id, score_ppm, n_terms) — the DuckDB mirror of [[bm25Scores]].
     * `sfx` disambiguates when one oracle scores several corpus states
     * (the [[graft.operators.SearchIndex]] lifecycle query). */
-  private def bm25CtesFor(rel: String, sfx: String = ""): String =
+  private[queries] def bm25CtesFor(rel: String, sfx: String = ""): String =
     s"""dl$sfx AS (
        |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM $rel),
        |corpus$sfx AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl$sfx),

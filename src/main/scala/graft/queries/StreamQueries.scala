@@ -1421,6 +1421,47 @@ object StreamQueries {
         }
         s.read.parquet(sink).orderBy(col("query_id"), col("rank"))
       },
-      Some(PQQueries.ivfPqStreamOracle))
+      Some(PQQueries.ivfPqStreamOracle)),
+
+    // ---- streaming search-index ingest → live BM25 serving ---------------
+    // The search index fed the way production feeds it: the standing
+    // corpus builds once, a document STREAM appends postings per
+    // micro-batch through the keyed exactly-once path (foreachBatch
+    // batchId → partition overwrite under replay), and serving reads the
+    // live index afterwards. The oracle scores the FULL corpus from
+    // scratch — hash equality proves streamed ingest left the index
+    // exactly equal to a batch build, including the df/N statistics the
+    // late docs shift. Batching-invariant by the same argument as every
+    // keyed append here.
+    Q("q_stream_search_ingest",
+      (s, dir) => {
+        val docs = graft.Tables.documents(s, dir)
+        val idxPath = java.nio.file.Files
+          .createTempDirectory("graft_stream_sidx").toString
+        graft.operators.SearchIndex.build(
+          docs.filter(col("doc_id") < 250), "doc_id", "text", idxPath)
+        val srcDir = java.nio.file.Files
+          .createTempDirectory("graft_stream_sidx_src").toString
+        docs.filter(col("doc_id") >= 250)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(schema).parquet(srcDir)
+            .writeStream.foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  batchId: Long) =>
+                graft.operators.SearchIndex.append(
+                  batch, "doc_id", "text", idxPath, batchId = Some(batchId))
+                ()
+            }.start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        graft.operators.SearchIndex
+          .bm25(s, idxPath, SearchQueries.QueryTerms, 20)
+          .orderBy(col("score_ppm").desc, col("doc_id"))
+      },
+      Some(s"""WITH ${SearchQueries.bm25CtesFor("documents")}
+              |SELECT doc_id, score_ppm, n_terms
+              |FROM bm ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin))
   )
 }
