@@ -82,6 +82,65 @@ object Components {
     comp
   }
 
+  /** INCREMENTAL component maintenance — the continuous-dedup update
+    * step: fold a batch of NEW edges into a STANDING (id, cluster_id)
+    * assignment without re-clustering the corpus. Only the contracted
+    * graph of TOUCHED clusters recomputes:
+    *
+    *  1. each new edge's endpoints resolve to their standing cluster
+    *     (their own id when unseen — a brand-new doc is its own
+    *     singleton);
+    *  2. the new edges contract to edges between those cluster labels;
+    *  3. [[connectedComponents]] runs on that contracted graph — sized
+    *     by the BATCH, not the corpus (a drop connecting c clusters
+    *     yields ≤ \|batch edges\| contracted edges, and chains of new
+    *     edges merge transitively there);
+    *  4. standing rows relabel through the (old label → new label)
+    *     remap (broadcast — remap is batch-sized), untouched rows pass
+    *     through; new nodes take their component's label.
+    *
+    * Labels stay canonical (min member id): a merged component's new
+    * label is the min over merged clusters' labels = the global min
+    * member, so the result is IDENTICAL to a full recompute over
+    * old ∪ new edges — which is exactly how the oracle checks it.
+    *
+    * Scale: the standing assignment is read once and joined by key; all
+    * propagation happens on the batch-sized contracted graph. The full
+    * corpus never re-clusters — the difference between O(batch) and
+    * O(corpus) work per ingest cycle. */
+  def incrementalComponents(standing: DataFrame,
+      newEdges: DataFrame, idACol: String = "id_a",
+      idBCol: String = "id_b"): DataFrame = {
+    val e = newEdges.select(col(idACol).cast("long").as("__a"),
+      col(idBCol).cast("long").as("__b"))
+      .filter(col("__a") =!= col("__b")).localCheckpoint(true)
+    val base = standing.select(col("id").cast("long").as("id"),
+      col("cluster_id").cast("long").as("cluster_id"))
+    val nodes = e.select(col("__a").as("id"))
+      .union(e.select(col("__b").as("id"))).distinct()
+    val resolved = nodes.join(base, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("__c"))
+      .localCheckpoint(true)
+    val contracted = e
+      .join(resolved.select(col("id").as("__a"), col("__c").as("__ca")), "__a")
+      .join(resolved.select(col("id").as("__b"), col("__c").as("__cb")), "__b")
+      .select(col("__ca"), col("__cb"))
+      .filter(col("__ca") =!= col("__cb")).distinct()
+    // remap: old cluster label -> merged component label (batch-sized)
+    val remap = connectedComponents(contracted, "__ca", "__cb")
+      .select(col("id").as("__old"), col("cluster_id").as("__new"))
+      .filter(col("__old") =!= col("__new"))
+      .localCheckpoint(true)
+    val relabeled = base
+      .join(broadcast(remap), base("cluster_id") === col("__old"), "left")
+      .select(col("id"),
+        coalesce(col("__new"), col("cluster_id")).as("cluster_id"))
+    val fresh = resolved.join(base.select("id"), Seq("id"), "left_anti")
+      .join(broadcast(remap), col("__c") === col("__old"), "left")
+      .select(col("id"), coalesce(col("__new"), col("__c")).as("cluster_id"))
+    relabeled.unionByName(fresh)
+  }
+
   /** Connected components by alternating large-star/small-star contraction
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     * the deep-chain-safe variant: converges in O(log² n) rounds

@@ -35,6 +35,35 @@ object DedupQueries {
        |SELECT id_a, id_b, est_ppm FROM est
        |WHERE est_ppm >= 500000 ORDER BY id_a, id_b""".stripMargin
 
+  /** Full-recompute transitive closure over ALL near-dup pairs — shared
+    * verbatim by q_dedup_clusters (batch clustering) and
+    * q_dedup_incremental (standing + drop maintenance): their equal
+    * hashes are the proof incremental == full recompute. */
+  private def dedupClustersOracle: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, unnest(${Text.shingleHashesSql("text")}) AS h FROM documents),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b
+       |  FROM inter
+       |  JOIN sizes sa ON id_a = sa.doc_id
+       |  JOIN sizes sb ON id_b = sb.doc_id
+       |  WHERE i * 1000000 // (sa.n + sb.n - i) >= 500000),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src AS id, rc.r FROM edges e JOIN reach rc ON rc.id = e.dst),
+       |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT id AS doc_id, cluster_id,
+       |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM lab ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- exact dedup: group identical text, keep lowest id ---------------
@@ -292,29 +321,43 @@ object DedupQueries {
           .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH RECURSIVE sh AS (
-              |  SELECT doc_id, unnest(${Text.shingleHashesSql("text")}) AS h FROM documents),
-              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-              |inter AS (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-              |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-              |  GROUP BY 1, 2),
-              |pairs AS (
-              |  SELECT id_a, id_b
-              |  FROM inter
-              |  JOIN sizes sa ON id_a = sa.doc_id
-              |  JOIN sizes sb ON id_b = sb.doc_id
-              |  WHERE i * 1000000 // (sa.n + sb.n - i) >= 500000),
-              |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-              |          UNION SELECT id_b, id_a FROM pairs),
-              |reach AS (
-              |  SELECT src AS id, src AS r FROM edges
-              |  UNION
-              |  SELECT e.src AS id, rc.r FROM edges e JOIN reach rc ON rc.id = e.dst),
-              |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-              |SELECT id AS doc_id, cluster_id,
-              |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-              |FROM lab ORDER BY doc_id""".stripMargin)),
+      Some(dedupClustersOracle)),
+
+    // ---- INCREMENTAL dedup clustering: fold a drop into the standing ----
+    // The continuous-dedup maintenance step (Components.
+    // incrementalComponents): the standing corpus (doc_id < 350) is
+    // clustered once; the drop's edges — every near-dup pair touching a
+    // new doc, including drop↔drop and the cluster-MERGING drop↔standing
+    // bridges — fold in by contracting touched clusters to a BATCH-sized
+    // graph, re-solving components there, and broadcast-relabeling. The
+    // oracle is the full transitive closure over ALL pairs — the same
+    // text as q_dedup_clusters — so the hash match proves incremental
+    // maintenance is indistinguishable from re-clustering the corpus,
+    // transitive multi-cluster merges included. Scale: per ingest cycle
+    // the corpus assignment is joined by key, never re-propagated —
+    // O(batch) propagation instead of O(corpus).
+    Q("q_dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val standingEdges = MinHashLSH.jaccardPairs(
+            docs.filter(col("doc_id") < 350), "doc_id", "text",
+            minJaccardPpm = 500000L)
+          .select(col("id_a"), col("id_b"))
+        val standing = graft.operators.Components
+          .connectedComponents(standingEdges, "id_a", "id_b")
+        val newEdges = MinHashLSH.jaccardPairs(
+            docs, "doc_id", "text", minJaccardPpm = 500000L)
+          .filter(col("id_a") >= 350 || col("id_b") >= 350)
+          .select(col("id_a"), col("id_b"))
+        val comps = graft.operators.Components
+          .incrementalComponents(standing, newEdges)
+        val sizes = comps.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+        comps.join(broadcast(sizes), Seq("cluster_id"))
+          .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+          .orderBy(col("doc_id"))
+      },
+      Some(dedupClustersOracle)),
 
     // ---- SimHash near-dup pairs: sampled probe side, hamming ≤ 6 ---------
     // Banded-LSH equi-join over the 30-bit simhash with the band width
