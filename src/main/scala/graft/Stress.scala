@@ -1028,6 +1028,47 @@ object Stress {
         edges.unpersist()
         println(f"""{"nodes":$n%d,"diameter":${n - 1}%d,"labeled":$labeled%d,"components":$roots%d,"seconds":$dt%.1f}""")
 
+      case "incrcc" =>
+        // incremental component maintenance vs full recompute: copies×1M
+        // nodes in 10-node star clusters (the near-dup cluster shape),
+        // then a 10k-node drop where each new node bridges two random
+        // standing clusters (worst case: every drop edge is a merge).
+        // The incremental path must cost ~the drop, the full path ~the
+        // corpus; both must agree on the final labeling signature.
+        val nBase = copies * 1000000L
+        val baseEdges = spark.range(nBase)
+          .filter(col("id") % 10 =!= 0)
+          .select(col("id").as("id_a"), (col("id") - col("id") % 10).as("id_b"))
+          .localCheckpoint(true)
+        val i0 = System.nanoTime()
+        val standingCc = operators.Components.connectedComponents(
+          baseEdges, "id_a", "id_b").localCheckpoint(true)
+        val tStand = (System.nanoTime() - i0) / 1e9
+        // 10k new nodes, each bridging two hash-random standing clusters
+        val dropEdges = spark.range(10000)
+          .select((col("id") + nBase).as("nid"),
+            (pmod(hash(col("id"), lit(1)).cast("long"), lit(nBase))).as("t1"),
+            (pmod(hash(col("id"), lit(2)).cast("long"), lit(nBase))).as("t2"))
+          .select(col("nid"), explode(array(col("t1"), col("t2"))).as("tgt"))
+          .select(col("nid").as("id_a"), col("tgt").as("id_b"))
+          .localCheckpoint(true)
+        val i1 = System.nanoTime()
+        val incr = operators.Components.incrementalComponents(
+          standingCc, dropEdges).localCheckpoint(true)
+        val nIncr = incr.count()
+        val tIncr = (System.nanoTime() - i1) / 1e9
+        val i2 = System.nanoTime()
+        val full = operators.Components.connectedComponents(
+          baseEdges.unionByName(dropEdges), "id_a", "id_b", maxIter = 40)
+          .localCheckpoint(true)
+        val nFull = full.count()
+        val tFull = (System.nanoTime() - i2) / 1e9
+        val sigIncr = incr.agg(sum(hash(col("id"), col("cluster_id"))
+          .cast("long"))).head().getLong(0)
+        val sigFull = full.agg(sum(hash(col("id"), col("cluster_id"))
+          .cast("long"))).head().getLong(0)
+        println(f"""{"nodes":$nBase%d,"drop_nodes":10000,"standing_seconds":$tStand%.1f,"incremental_seconds":$tIncr%.1f,"full_seconds":$tFull%.1f,"rows_incr":$nIncr%d,"rows_full":$nFull%d,"signatures_equal":${sigIncr == sigFull}%b}""")
+
       case "kll" =>
         // copies×1M skewed doubles in 30 "days": build per-partition
         // partials, merge, then verify the p50/p99 rank bound exactly
