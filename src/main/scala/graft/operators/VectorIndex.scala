@@ -310,6 +310,31 @@ object VectorIndex {
          |  ${bytes}L AS payload_bytes""".stripMargin)
   }
 
+  /** One-call retention policy — what a scheduled maintenance task runs
+    * against every index path: compact when pending tombstones exceed
+    * `maxTombstoneRatio` of live items (or when any exist and live is
+    * zero), then vacuum to the `keepVersions` most recent. Decisions
+    * read [[describe]] (filesystem + metadata aggregates only); returns
+    * a one-row report of what was done so the task can log it. */
+  def maintain(spark: SparkSession, path: String,
+      maxTombstoneRatio: Double = 0.1, keepVersions: Int = 2): DataFrame = {
+    require(maxTombstoneRatio >= 0 && keepVersions >= 1)
+    val d = describe(spark, path).head()
+    val live = d.getAs[Long]("live_items")
+    val tombs = d.getAs[Long]("pending_tombstones")
+    val doCompact =
+      tombs > 0 && (live == 0 || tombs.toDouble / live > maxTombstoneRatio)
+    if (doCompact) compact(spark, path)
+    val before = IndexManifest.committedVersions(spark, path).length
+    vacuum(spark, path, keepVersions)
+    val after = IndexManifest.committedVersions(spark, path).length
+    spark.sql(
+      s"""SELECT $doCompact AS compacted, ${tombs}L AS folded_tombstones,
+         |  ${before - after} AS vacuumed_versions,
+         |  ${IndexManifest.currentVersion(spark, path).getOrElse(-1L)}L
+         |    AS current_version""".stripMargin)
+  }
+
   // ---- SQ8 lifecycle -------------------------------------------------------
   // Same faiss-shaped contract as the other quantizers: the per-dim
   // [min,max] fit is the artifact that must NOT be refit on append

@@ -74,6 +74,30 @@ class TimeTravelSpec extends AnyFunSuite {
       .agg(min(col("vec_id"))).head().getLong(0) >= 200L)
   }
 
+  test("maintain applies the retention policy: compacts past the ratio, vacuums to keep") {
+    val path = Files.createTempDirectory("tt_maint").toString
+    VectorIndex.buildBinary(emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", path)
+    // 5 tombstones over 95 live = 5.3% — below the 10% default: no-op
+    VectorIndex.deleteIds(emb.filter(col("vec_id") < 5), "vec_id", path)
+    val r1 = VectorIndex.maintain(s, path).head()
+    assert(!r1.getAs[Boolean]("compacted"))
+    assert(VectorIndex.loadTombstones(s, path).count() == 5)
+    // 15 over 85 = 17.6% — compacts, then vacuums to keep=2 (both fit)
+    VectorIndex.deleteIds(emb.filter(col("vec_id") < 15), "vec_id", path)
+    val r2 = VectorIndex.maintain(s, path).head()
+    assert(r2.getAs[Boolean]("compacted"))
+    assert(r2.getAs[Long]("current_version") == 1L)
+    assert(VectorIndex.loadTombstones(s, path).count() == 0)
+    assert(VectorIndex.versions(s, path) == Seq(0L, 1L)) // keep=2 retains both
+    // a second policy pass with keep=1 reclaims the old version, no compact
+    val r3 = VectorIndex.maintain(s, path, keepVersions = 1).head()
+    assert(!r3.getAs[Boolean]("compacted"))
+    assert(r3.getAs[Int]("vacuumed_versions") == 1)
+    assert(VectorIndex.versions(s, path) == Seq(1L))
+    assert(VectorIndex.loadBinaryCodes(s, path).count() == 85)
+  }
+
   test("history audits retained versions; vacuumed and bogus versions fail fast") {
     val path = Files.createTempDirectory("tt_hist").toString
     VectorIndex.buildBinary(emb.filter(col("vec_id") < 100),
