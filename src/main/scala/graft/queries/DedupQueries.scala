@@ -39,7 +39,7 @@ object DedupQueries {
     * verbatim by q_dedup_clusters (batch clustering) and
     * q_dedup_incremental (standing + drop maintenance): their equal
     * hashes are the proof incremental == full recompute. */
-  private def dedupClustersOracle: String =
+  private[queries] def dedupClustersOracle: String =
     s"""WITH RECURSIVE sh AS (
        |  SELECT doc_id, unnest(${Text.shingleHashesSql("text")}) AS h FROM documents),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -1462,6 +1462,83 @@ object StreamQueries {
       },
       Some(s"""WITH ${SearchQueries.bm25CtesFor("documents")}
               |SELECT doc_id, score_ppm, n_terms
-              |FROM bm ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin))
+              |FROM bm ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ---- CONTINUOUS dedup clustering: streamed drops fold into the ------
+    // standing assignment — round 8's pieces composed end to end: per
+    // micro-batch (maxFilesPerTrigger=1 forces several), the drop's
+    // near-dup edges against everything ingested so far fold in via
+    // Components.incrementalComponents, and the assignment state
+    // advances as per-batch parquet versions (disk state, the pattern
+    // every stream here uses). The oracle is the full transitive
+    // closure over ALL pairs — the same SQL as q_dedup_clusters — so
+    // the hash proves the STREAMED fold-chain is indistinguishable from
+    // re-clustering the whole corpus, across arbitrary batch splits.
+    // Scale note: edges here are exact-Jaccard for oracle exactness
+    // (re-shingles the corpus per batch at fixture size); production
+    // swaps in the MinHashIndex probe for candidate edges — the
+    // clustering fold is the part this query gates.
+    Q("q_stream_incremental_clusters",
+      (s, dir) => {
+        val docs = graft.Tables.documents(s, dir)
+        val standingDocs = docs.filter(col("doc_id") < 350)
+        val stateDir = java.nio.file.Files
+          .createTempDirectory("graft_stream_cc_state").toString
+        graft.operators.Components.connectedComponents(
+            graft.operators.MinHashLSH.jaccardPairs(
+                standingDocs, "doc_id", "text", minJaccardPpm = 500000L)
+              .select(col("id_a"), col("id_b")),
+            "id_a", "id_b")
+          .write.parquet(s"$stateDir/v_init")
+        val corpusDir = java.nio.file.Files
+          .createTempDirectory("graft_stream_cc_corpus").toString
+        standingDocs.write.mode("append").parquet(corpusDir)
+        val srcDir = java.nio.file.Files
+          .createTempDirectory("graft_stream_cc_src").toString
+        // two files → two micro-batches: the fold must chain across them
+        docs.filter(col("doc_id") >= 350 && col("doc_id") < 425)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        docs.filter(col("doc_id") >= 425)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        @volatile var stateVersion = "v_init"
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir)
+            .writeStream.foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  batchId: Long) =>
+                val bs = batch.sparkSession
+                val b = batch.localCheckpoint(true)
+                val soFar = bs.read.parquet(corpusDir)
+                val union = soFar.unionByName(b)
+                val pairs = graft.operators.MinHashLSH.jaccardPairs(
+                    union, "doc_id", "text", minJaccardPpm = 500000L)
+                  .select(col("id_a"), col("id_b")).localCheckpoint(true)
+                val bIds = b.select(col("doc_id"))
+                val touching = pairs
+                  .join(bIds.withColumnRenamed("doc_id", "id_a"),
+                    Seq("id_a"), "left_semi")
+                  .unionByName(pairs
+                    .join(bIds.withColumnRenamed("doc_id", "id_b"),
+                      Seq("id_b"), "left_semi"))
+                  .distinct()
+                graft.operators.Components.incrementalComponents(
+                    bs.read.parquet(s"$stateDir/$stateVersion"), touching)
+                  .write.parquet(s"$stateDir/v$batchId")
+                stateVersion = s"v$batchId"
+                b.write.mode("append").parquet(corpusDir)
+                ()
+            }.start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        val comps = s.read.parquet(s"$stateDir/$stateVersion")
+        val sizes = comps.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+        comps.join(broadcast(sizes), Seq("cluster_id"))
+          .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+          .orderBy(col("doc_id"))
+      },
+      Some(DedupQueries.dedupClustersOracle))
   )
 }
