@@ -253,6 +253,70 @@ object SearchQueries {
               |FROM den FULL OUTER JOIN spr ON den.doc_id = spr.doc_id
               |ORDER BY rrf_ppm DESC, doc_id""".stripMargin)),
 
+    // ---- hybrid retrieval SERVED FROM the persisted indexes --------------
+    // q_hybrid_rrf's production form: the sparse arm reads the persisted
+    // BM25 postings index (operators.SearchIndex), the dense arm reads
+    // the persisted binary ANN index (VectorIndex.searchBinary — coarse
+    // popcount + exact-cosine rerank), and RRF fuses the two ranked
+    // top-20s. NOTHING recomputes from raw text or raw floats at serve
+    // time. The oracle replays BOTH serving paths — the from-scratch
+    // BM25 chain (which the index probe provably equals) and the binary
+    // coarse+rerank chain (the q_hamming_rerank mirror, query pinned to
+    // vec 0) — plus the same integer RRF, so the whole index-served
+    // pipeline is one hash. Scale: each arm is its index's proven probe
+    // plan; fusion joins two 20-row frames.
+    Q("q_hybrid_index_serve",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val sPath = java.nio.file.Files
+          .createTempDirectory("graft_hybrid_sidx").toString
+        val bPath = java.nio.file.Files
+          .createTempDirectory("graft_hybrid_bidx").toString
+        graft.operators.SearchIndex.build(docs, "doc_id", "text", sPath)
+        graft.operators.VectorIndex.buildBinary(
+          emb, "vec_id", "embedding", bPath)
+        val sparse = graft.operators.SearchIndex
+          .bm25(s, sPath, QueryTerms, 20)
+          .withColumn("rank_sparse", row_number()
+            .over(Window.orderBy(col("score_ppm").desc, col("doc_id")))
+            .cast("long"))
+          .select(col("doc_id"), col("rank_sparse"))
+        val dense = graft.operators.VectorIndex.searchBinary(s, bPath,
+            emb, "vec_id", "embedding", _.filter(col("vec_id") === 0),
+            k = 20, rerankWidth = 32)
+          .select(col("neighbor_id").as("doc_id"),
+            col("rank").cast("long").as("rank_dense"))
+        dense.join(sparse, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            coalesce(col("rank_dense"), lit(0L)).as("rank_dense"),
+            coalesce(col("rank_sparse"), lit(0L)).as("rank_sparse"),
+            (coalesce(expr("1000000L div (60 + rank_dense)"), lit(0L)) +
+              coalesce(expr("1000000L div (60 + rank_sparse)"), lit(0L)))
+              .as("rrf_ppm"))
+          .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      },
+      Some(s"""${SimilarityQueries.binaryCodesCte},
+              |${SimilarityQueries.rerankCtes("codes", queryPred = "q.vec_id = 0")},
+              |den AS (SELECT nid AS doc_id,
+              |          CAST(rn2 AS BIGINT) AS rank_dense
+              |        FROM f WHERE rn2 <= 20),
+              |${bm25CtesFor("documents")},
+              |spr AS (SELECT doc_id, rank_sparse FROM (
+              |          SELECT doc_id, CAST(row_number() OVER (
+              |            ORDER BY score_ppm DESC, doc_id) AS BIGINT)
+              |            AS rank_sparse
+              |          FROM bm) t WHERE rank_sparse <= 20)
+              |SELECT coalesce(den.doc_id, spr.doc_id) AS doc_id,
+              |  coalesce(den.rank_dense, 0) AS rank_dense,
+              |  coalesce(spr.rank_sparse, 0) AS rank_sparse,
+              |  CAST(coalesce(1000000 // (60 + den.rank_dense), 0)
+              |     + coalesce(1000000 // (60 + spr.rank_sparse), 0) AS BIGINT)
+              |    AS rrf_ppm
+              |FROM den FULL OUTER JOIN spr ON den.doc_id = spr.doc_id
+              |ORDER BY rrf_ppm DESC, doc_id""".stripMargin)),
+
     // ---- exact sparse cosine pairs via postings join ----------------------
     // The exact-similarity member of the near-dup family: MinHash
     // ESTIMATES Jaccard, SimHash estimates hamming proximity — this

@@ -1073,13 +1073,14 @@ object SimilarityQueries {
     * over several lifecycle states; `embRel` is the (vec_id, embedding)
     * vector source the rerank joins (a UNION CTE when appended clones
     * carry ids outside the base table). */
-  private def rerankCtes(rel: String, sfx: String = "",
-      embRel: String = "embeddings"): String =
+  private[queries] def rerankCtes(rel: String, sfx: String = "",
+      embRel: String = "embeddings",
+      queryPred: String = "q.vec_id < 10"): String =
     s"""cand$sfx AS (
        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
        |         CAST(bit_count(xor(q.code, c.code)) AS INTEGER) AS ham
        |  FROM $rel q JOIN $rel c ON c.vec_id <> q.vec_id
-       |  WHERE q.vec_id < 10),
+       |  WHERE $queryPred),
        |top$sfx AS (SELECT qid, nid, ham,
        |          row_number() OVER (PARTITION BY qid
        |                             ORDER BY ham, nid) AS rn
@@ -1154,7 +1155,7 @@ object SimilarityQueries {
   /** DuckDB mirror of BinaryQuant.fitThresholds + withCode: per-dim lower
     * median thresholds, sign bits packed into a BIGINT (bit 63 via the
     * Long.MinValue literal — DuckDB's BIGINT << 63 overflows). */
-  private def binaryCodesCte: String =
+  private[queries] def binaryCodesCte: String =
     """WITH x AS (
       |  SELECT u.i AS pos, e.embedding[u.i + 1] AS v
       |  FROM embeddings e CROSS JOIN (SELECT unnest(range(64)) AS i) u),
