@@ -39,12 +39,18 @@ object SearchIndex {
       textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).cast("long").as("vec_id"),
       split(col(textCol), " ").as("__toks"))
+    // positional postings (1-based, sorted): tf rides along; positions
+    // cost ~one int per token occurrence — the standard positional-index
+    // trade, what phrase queries pay for
     val tf = toks
-      .select(col("vec_id"), explode(col("__toks")).as("token"))
+      .select(col("vec_id"),
+        posexplode(col("__toks")).as(Seq("__i", "token")))
       .groupBy(col("vec_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("__i") + 1)).as("pos"))
     val dl = toks.select(col("vec_id"), lit(DlToken).as("token"),
-      size(col("__toks")).cast("long").as("tf"))
+      size(col("__toks")).cast("long").as("tf"),
+      array().cast("array<int>").as("pos"))
     tf.unionByName(dl).sortWithinPartitions(col("token"))
   }
 
@@ -73,9 +79,36 @@ object SearchIndex {
     * readable, as with the other text indexes. */
   def load(spark: SparkSession, path: String): DataFrame =
     VectorIndex.minusTombstones(spark, path,
-      spark.read.schema("vec_id LONG, token STRING, tf LONG, __batch LONG")
+      spark.read
+        .schema("vec_id LONG, token STRING, tf LONG, pos ARRAY<INT>, __batch LONG")
         .parquet(IndexManifest.codesDir(spark, path))
         .drop("__batch"))
+
+  /** Exact-phrase occurrence counts over the live index: (doc_id,
+    * n_matches > 0) for every doc containing `terms` as CONSECUTIVE
+    * tokens, multiplicity = number of starting positions. Serves from
+    * positional postings only — the document text is never read: the
+    * first term's positions seed the candidates and each later term
+    * joins on (doc, position + offset), so per-term work is that term's
+    * posting list, never the corpus. (Indexes persisted before
+    * positional postings read `pos` as null and must be rebuilt for
+    * phrase queries; BM25 is unaffected.) */
+  def phrase(spark: SparkSession, path: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && !terms.contains(DlToken))
+    val live = load(spark, path)
+    def positionsOf(t: String, as: String): DataFrame =
+      live.filter(col("token") === t)
+        .select(col("vec_id"), explode(col("pos")).as(as))
+    var cur = positionsOf(terms.head, "__start")
+    terms.zipWithIndex.drop(1).foreach { case (t, offset) =>
+      cur = cur.join(positionsOf(t, "__pn"), Seq("vec_id"))
+        .filter(col("__pn") === col("__start") + offset)
+        .drop("__pn")
+    }
+    cur.groupBy(col("vec_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
 
   /** BM25 top-`k` over the live index for `terms` — identical integer-ppm
     * arithmetic (k1=1.2, b=0.75, log-free Robertson idf) to the

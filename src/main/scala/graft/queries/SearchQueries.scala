@@ -253,6 +253,46 @@ object SearchQueries {
               |FROM den FULL OUTER JOIN spr ON den.doc_id = spr.doc_id
               |ORDER BY rrf_ppm DESC, doc_id""".stripMargin)),
 
+    // ---- exact-phrase search from positional postings --------------------
+    // The index's positional dimension: (doc, token) postings carry the
+    // sorted 1-based position list, and a phrase probe chains each term
+    // onto the previous at (doc, position + offset) — the document text
+    // is never read, per-term work is that term's posting list. The
+    // oracle computes phrase occurrences DIRECTLY from the text with a
+    // sliding window, so the hash proves the positional index path is
+    // exactly the textual definition, multiplicity (number of starting
+    // positions) included. Two phrase lengths gate the chaining.
+    Q("q_phrase_search",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_phrase_idx").toString
+        graft.operators.SearchIndex.build(
+          Tables.documents(s, dir), "doc_id", "text", path)
+        graft.operators.SearchIndex.phrase(s, path, Seq("the", "table"))
+          .withColumn("phrase", lit("the table"))
+          .unionByName(graft.operators.SearchIndex
+            .phrase(s, path, Seq("fast", "table", "value"))
+            .withColumn("phrase", lit("fast table value")))
+          .select(col("phrase"), col("doc_id"), col("n_matches"))
+          .orderBy(col("phrase"), col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |p2 AS (SELECT 'the table' AS phrase, doc_id,
+             |         CAST(len(list_filter(range(1, len(t)), i ->
+             |           t[i] = 'the' AND t[i+1] = 'table')) AS BIGINT)
+             |           AS n_matches
+             |       FROM t),
+             |p3 AS (SELECT 'fast table value' AS phrase, doc_id,
+             |         CAST(len(list_filter(range(1, len(t) - 1), i ->
+             |           t[i] = 'fast' AND t[i+1] = 'table'
+             |           AND t[i+2] = 'value')) AS BIGINT) AS n_matches
+             |       FROM t)
+             |SELECT phrase, doc_id, n_matches FROM p2 WHERE n_matches > 0
+             |UNION ALL
+             |SELECT phrase, doc_id, n_matches FROM p3 WHERE n_matches > 0
+             |ORDER BY phrase, doc_id""".stripMargin)),
+
     // ---- hybrid retrieval SERVED FROM the persisted indexes --------------
     // q_hybrid_rrf's production form: the sparse arm reads the persisted
     // BM25 postings index (operators.SearchIndex), the dense arm reads
