@@ -59,6 +59,28 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(VectorIndex.loadTombstones(s, path).count() == 0)
   }
 
+  test("phrase search: multiplicity, overlap, append visibility, tombstone masking") {
+    import s.implicits._
+    val path = Files.createTempDirectory("sidx_phrase").toString
+    SearchIndex.build(Seq(
+        (1L, "a b a b a b"),   // "a b a" overlaps: starts at 1 and 3
+        (2L, "b a b"),
+        (3L, "a b c a b c")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    def hits(terms: String*) = SearchIndex.phrase(s, path, terms)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits("a", "b") == Map(1L -> 3L, 2L -> 1L, 3L -> 2L))
+    assert(hits("a", "b", "a") == Map(1L -> 2L), "overlapping starts both count")
+    assert(hits("c", "a") == Map(3L -> 1L))
+    assert(hits("z", "b").isEmpty)
+    // appended docs serve phrases immediately; tombstoned docs drop out
+    SearchIndex.append(Seq((4L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    assert(hits("a", "b") == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+    VectorIndex.deleteIds(Seq(1L).toDF("doc_id"), "doc_id", path)
+    assert(hits("a", "b") == Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
   test("an empty index serves empty results, not a crash") {
     val path = Files.createTempDirectory("sidx_empty").toString
     SearchIndex.build(docs.filter(col("doc_id") < 0), "doc_id", "text", path)

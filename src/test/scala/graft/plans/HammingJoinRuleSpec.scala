@@ -102,6 +102,20 @@ class HammingJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("fires on a join between two DIFFERENT tables (probe vs reference shape)") {
+    hashes.filter("id < 40").createOrReplaceTempView("hjr_ref")
+    hashes.filter("id >= 1000").createOrReplaceTempView("hjr_probe")
+    val sql =
+      """SELECT p.id AS id_p, r.id AS id_r
+        |FROM hjr_probe p JOIN hjr_ref r
+        |  ON bit_count(p.h ^ r.h) <= 4""".stripMargin
+    val on = spark.sql(sql)
+    assert(!on.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    val got = rows(on)
+    assert(got == withRule(on = false)(rows(spark.sql(sql))))
+    assert(got.nonEmpty, "planted near-dups must match across the tables")
+  }
+
   test("does not fire when an equi conjunct exists (hash join already planned)") {
     import spark.implicits._
     val df = hashes.withColumn("grp",
