@@ -150,6 +150,9 @@ object HammingJoinRule extends Rule[LogicalPlan] {
         case LessThan(h, IntLit(t)) => ham(h).map((_, t - 1))
         case GreaterThanOrEqual(IntLit(t), h) => ham(h).map((_, t))
         case GreaterThan(IntLit(t), h) => ham(h).map((_, t - 1))
+        // the exact-duplicate spelling: bit_count(a.h ^ b.h) = 0
+        case EqualTo(h, IntLit(0)) => ham(h).map((_, 0))
+        case EqualTo(IntLit(0), h) => ham(h).map((_, 0))
         case _ => None
       }
       m.map { case (pairs, tau) => HammingBound(pairs, tau, c) }

@@ -89,6 +89,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q_hamming_rewrite must be rewritten to an equi-join:\n$s")
   }
 
+  test("phrase search plans pure equi-joins over posting lists") {
+    // the positional chain is (vec_id) equi-joins with position filters;
+    // no loop node anywhere. (The BM25 entries are NOT in this lock: the
+    // scorer's 1-row corpus-stats crossJoin(broadcast) legitimately
+    // plans as a broadcast loop over one row — the metadata-stats
+    // pattern used across the repo.)
+    val s = render(plan("q_phrase_search"))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"q_phrase_search must stay equi-join served:\n$s")
+  }
+
   test("LSH scale paths (embedding near-dup, profile NN) plan no loop join") {
     for (q <- Seq("q_embedding_neardup_lsh", "q_ts_profile_nn_lsh")) {
       val s = render(plan(q))

@@ -92,7 +92,7 @@ class HammingJoinRuleSpec extends AnyFunSuite {
   test("strict '<' bound and reversed literal-first orientation both fire") {
     hashes.createOrReplaceTempView("hjr_lt")
     for (pred <- Seq("bit_count(a.h ^ b.h) < 5", "5 > bit_count(a.h ^ b.h)",
-        "4 >= bit_count(a.h ^ b.h)")) {
+        "4 >= bit_count(a.h ^ b.h)", "bit_count(a.h ^ b.h) = 0")) {
       val sql = s"""SELECT a.id, b.id FROM hjr_lt a JOIN hjr_lt b
         ON a.id < b.id AND $pred"""
       val on = spark.sql(sql)
