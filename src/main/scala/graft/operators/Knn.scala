@@ -313,8 +313,15 @@ object Knn {
     val perturbPlanes = 4 // planesFor clamps planes >= 4, so always legal
     require(probes >= 1 && probes <= (1 << perturbPlanes),
       s"probes must be in [1, ${1 << perturbPlanes}], got $probes")
+    // an empty corpus answers every query with zero neighbors — don't
+    // let the plane derivation throw on n = 0 (the bestBandBits lesson)
+    val n = if (planesOverride > 0) 1L else corpus.count()
+    if (n == 0)
+      return corpus.sparkSession.range(0).select(
+        col("id").as("query_id"), col("id").as("neighbor_id"),
+        col("id").as("sim_ppm"), col("id").cast("int").as("rank"))
     val planes =
-      if (planesOverride > 0) planesOverride else planesFor(corpus.count())
+      if (planesOverride > 0) planesOverride else planesFor(n)
     require(planes >= perturbPlanes,
       s"planes $planes below the $perturbPlanes-plane perturbation window")
     val pow2 = array((0 until planes).map(i => lit(1L << i)): _*)

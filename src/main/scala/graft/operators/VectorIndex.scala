@@ -203,8 +203,9 @@ object VectorIndex {
           "CAST(NULL AS BIGINT) AS pending_tombstones, " +
           "CAST(NULL AS BIGINT) AS payload_bytes"
       else {
-        val live = loadCodesAt(spark, path, v)
-          .select(col("vec_id")).distinct().count()
+        // Try: a zero-row version has no footers to infer a schema from
+        val live = scala.util.Try(loadCodesAt(spark, path, v)
+          .select(col("vec_id")).distinct().count()).getOrElse(0L)
         val tombs = tombstonesAt(spark, path, v).count()
         val bytes = fs.getContentSummary(dir).getLength
         s"SELECT ${v}L AS version, ${v == cur} AS is_current, " +
@@ -294,11 +295,14 @@ object VectorIndex {
     val batches = fs.listStatus(codesDir).filter(_.isDirectory)
       .count(_.getPath.getName.startsWith("__batch="))
     val bytes = fs.getContentSummary(codesDir).getLength
-    val raw = spark.read.parquet(codesDir.toString)
-      .select(col("vec_id")).distinct().count()
+    // a zero-row build writes no parquet footers — schema inference
+    // fails, but the honest answer is simply an empty index
+    val rawIds = scala.util.Try(
+        spark.read.parquet(codesDir.toString).select(col("vec_id")))
+      .getOrElse(spark.range(0).select(col("id").as("vec_id")))
+    val raw = rawIds.distinct().count()
     val tombs = loadTombstones(spark, path).count()
-    val live = raw - spark.read.parquet(codesDir.toString)
-      .select(col("vec_id")).distinct()
+    val live = raw - rawIds.distinct()
       .join(broadcast(loadTombstones(spark, path)), Seq("vec_id"), "left_semi")
       .count()
     spark.sql(

@@ -194,6 +194,10 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(r16 >= 2 * r1,
       s"the full 4-plane perturbation window should at least double " +
         s"single-probe recall on this fixture: $r1 -> $r16")
+    // empty corpus: every query answers with zero neighbors, no crash
+    // (the derive-from-count n=0 lesson)
+    assert(Knn.multiProbeSearch(emb.filter(col("vec_id") < 0), queries,
+      "vec_id", "embedding", k = 3, probes = 4).count() == 0)
   }
 
   test("label centroid arrays reassemble from the exploded (label,pos,c) rows") {

@@ -85,5 +85,11 @@ class SearchIndexSpec extends AnyFunSuite {
     val path = Files.createTempDirectory("sidx_empty").toString
     SearchIndex.build(docs.filter(col("doc_id") < 0), "doc_id", "text", path)
     assert(SearchIndex.bm25(s, path, terms, 20).count() == 0)
+    assert(SearchIndex.phrase(s, path, Seq("the", "table")).count() == 0)
+    // the ops views survive a footerless (zero-row) payload too
+    val d = VectorIndex.describe(s, path).head()
+    assert(d.getAs[Long]("live_items") == 0L)
+    val h = VectorIndex.history(s, path).head()
+    assert(h.getAs[Boolean]("readable") && h.getAs[Long]("live_items") == 0L)
   }
 }
