@@ -127,6 +127,45 @@ object SearchIndex {
       terms: Seq[String], k: Int): DataFrame =
     scorePostings(postingsOf(docs, idCol, textCol), terms, k)
 
+  /** BATCHED BM25 serving — the production shape: a whole query set
+    * (query_id, token rows) scored against the live index in ONE pass.
+    * Per-term work is that term's posting list regardless of how many
+    * queries share it (the query table joins the postings once,
+    * broadcast); df/N/Σdl aggregate from live rows exactly as the
+    * single-query path. Returns (query_id, doc_id, score_ppm, n_terms,
+    * rank ≤ k), rank by (score desc, doc_id) within each query. */
+  def bm25Batch(spark: SparkSession, path: String, queries: DataFrame,
+      queryIdCol: String, termCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val live = load(spark, path)
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      col(termCol).as("token")).distinct()
+    val corpus = live.filter(col("token") === DlToken)
+      .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_dl"))
+    val dl = live.filter(col("token") === DlToken)
+      .select(col("vec_id"), col("tf").as("dl"))
+    // postings for any requested term, read once; df is per TOKEN (not
+    // per query), so it aggregates before the query join fans out
+    val tf = live.join(broadcast(q.select(col("token")).distinct()), "token")
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(q), Seq("token"))
+      .join(broadcast(df), Seq("token"))
+      .join(dl, Seq("vec_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf_ppm",
+        expr("(2*n_docs - 2*df + 1) * 1000000L div (2*df + 1)"))
+      .withColumn("tf_ppm",
+        expr("44*tf*sum_dl * 1000000L div (20*tf*sum_dl + 6*sum_dl + 18*dl*n_docs)"))
+      .withColumn("contrib_ppm", expr("idf_ppm * tf_ppm div 1000000L"))
+      .groupBy(col("query_id"), col("vec_id").as("doc_id"))
+      .agg(sum(col("contrib_ppm")).as("score_ppm"),
+        count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   private def scorePostings(live: DataFrame, terms: Seq[String],
       k: Int): DataFrame = {
     // corpus stats from the reserved rows: N docs, total length — these

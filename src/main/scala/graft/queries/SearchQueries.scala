@@ -253,6 +253,55 @@ object SearchQueries {
               |FROM den FULL OUTER JOIN spr ON den.doc_id = spr.doc_id
               |ORDER BY rrf_ppm DESC, doc_id""".stripMargin)),
 
+    // ---- batched BM25 serving: a query SET in one pass -------------------
+    // The production serving shape: a whole batch of (query_id, term)
+    // rows scores against the live index at once — postings for any
+    // requested term read once however many queries share it, df/N/Σdl
+    // from live rows as always, per-query top-k by window. The oracle
+    // replays the same math from the raw text with the query table as a
+    // VALUES relation. Scale: one token-pruned postings read + one
+    // shuffle to (query, doc) aggregation, queries broadcast.
+    Q("q_bm25_batch",
+      (s, dir) => {
+        import s.implicits._
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bm25_batch").toString
+        graft.operators.SearchIndex.build(
+          Tables.documents(s, dir), "doc_id", "text", path)
+        val qset = (QueryTerms.map((0L, _)) ++ Seq((1L, "table"), (1L, "fast")))
+          .toDF("query_id", "token")
+        graft.operators.SearchIndex
+          .bm25Batch(s, path, qset, "query_id", "token", k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH qt(query_id, token) AS (
+              |  VALUES ${QueryTerms.map(t => s"(0, '$t')").mkString(", ")},
+              |         (1, 'table'), (1, 'fast')),
+              |dl AS (
+              |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+              |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+              |tok AS (
+              |  SELECT doc_id, token, count(*) AS tf FROM (
+              |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              |    FROM documents) u
+              |  WHERE token IN (SELECT token FROM qt)
+              |  GROUP BY doc_id, token),
+              |df AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+              |sc AS (
+              |  SELECT qt.query_id, tok.doc_id,
+              |    CAST(sum((2*n_docs - 2*df + 1) * 1000000 // (2*df + 1)
+              |         * (44*tf*sum_dl * 1000000 // (20*tf*sum_dl + 6*sum_dl + 18*dl.dl*n_docs))
+              |         // 1000000) AS BIGINT) AS score_ppm,
+              |    count(*) AS n_terms
+              |  FROM tok JOIN qt USING (token) JOIN df USING (token)
+              |       JOIN dl USING (doc_id), corpus
+              |  GROUP BY qt.query_id, tok.doc_id)
+              |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_ppm,
+              |       n_terms, CAST(rn AS INTEGER) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              |        ORDER BY score_ppm DESC, doc_id) AS rn FROM sc) t
+              |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin)),
+
     // ---- exact-phrase search from positional postings --------------------
     // The index's positional dimension: (doc, token) postings carry the
     // sorted 1-based position list, and a phrase probe chains each term
