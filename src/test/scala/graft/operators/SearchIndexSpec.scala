@@ -81,6 +81,20 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(hits("a", "b") == Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("bm25Batch with one query equals the single-query scorer") {
+    import s.implicits._
+    val path = Files.createTempDirectory("sidx_batch1").toString
+    SearchIndex.build(docs.filter(col("doc_id") < 200), "doc_id", "text", path)
+    val single = SearchIndex.bm25(s, path, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = SearchIndex.bm25Batch(s, path,
+        terms.map((7L, _)).toDF("query_id", "token"), "query_id", "token", 10)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_ppm"),
+        r.getAs[Long]("n_terms"))).toSeq
+    assert(batch == single, "one-query batch must equal the single path")
+  }
+
   test("an empty index serves empty results, not a crash") {
     val path = Files.createTempDirectory("sidx_empty").toString
     SearchIndex.build(docs.filter(col("doc_id") < 0), "doc_id", "text", path)
