@@ -329,7 +329,24 @@ object Knn {
 
     val corpusKeys = corpus.select(col(idCol).cast("long").as("__cid"),
       graft.functions.SignBucketExpr(col(vecCol), planes).as("__cbk"))
-    val probeKeys = queries
+    val probeKeys = multiProbeKeys(queries, idCol, vecCol, planes, probes)
+
+    val cand = broadcast(probeKeys)
+      .join(corpusKeys, col("__pk") === col("__cbk") &&
+        col("__qid") =!= col("__cid"))
+      .select(col("__qid"), col("__cid"))
+    multiProbeRerank(cand, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** The multi-probe PROBE-KEY table: (`__qid`, `__pk`) — one row per
+    * (query, probe bucket). Shared by [[multiProbeSearch]] and the
+    * persisted sign-LSH index ([[VectorIndex.searchSignLsh]]). */
+  private[operators] def multiProbeKeys(queries: DataFrame, idCol: String,
+      vecCol: String, planes: Int, probes: Int): DataFrame = {
+    val perturbPlanes = 4
+    val pow2 = array((0 until planes).map(i => lit(1L << i)): _*)
+    val pow2i = array((0 until perturbPlanes).map(i => lit(1 << i)): _*)
+    queries
       .select(col(idCol).cast("long").as("__qid"),
         planeMargins(col(vecCol), planes).as("__m"),
         graft.functions.SignBucketExpr(col(vecCol), planes).as("__qbk"))
@@ -359,11 +376,14 @@ object Knn {
         explode(concat(array(col("__qbk")),
           transform(slice(col("__sets"), 1, probes - 1), s =>
             col("__qbk").bitwiseXOR(s.getField("f"))))).as("__pk"))
+  }
 
-    val cand = broadcast(probeKeys)
-      .join(corpusKeys, col("__pk") === col("__cbk") &&
-        col("__qid") =!= col("__cid"))
-      .select(col("__qid"), col("__cid"))
+  /** Exact-cosine verification + per-query top-k over a candidate table
+    * (`__qid`, `__cid`) — the multi-probe tail, shared with the
+    * persisted index path. */
+  private[operators] def multiProbeRerank(cand: DataFrame,
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
     // query vectors come from the QUERIES frame (not necessarily a
     // corpus subset), corpus vectors load for candidates only
     val scored = cand

@@ -339,6 +339,71 @@ object VectorIndex {
          |    AS current_version""".stripMargin)
   }
 
+  // ---- sign-LSH lifecycle --------------------------------------------------
+  // The multi-probe serving seam: repeatedly searching with
+  // Knn.multiProbeSearch re-hashes the WHOLE corpus's bucket keys per
+  // query batch (a full corpus scan each time). This index pins the
+  // (vec_id, bucket) table once — 16 B/vector — on the shared
+  // manifest/tombstone layout; the plane count is the never-refit
+  // artifact (buckets are only comparable under one plane family, so it
+  // travels in meta and appends reuse it). Searches then cost probe-key
+  // broadcast + bucket equi-join + candidates-only vector loads.
+
+  /** Hash the corpus once (planes derived from count via
+    * [[Knn.planesFor]]) and persist keys + plane count. Rebuild commits
+    * the NEXT version, as everywhere. */
+  def buildSignLsh(emb: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = emb.sparkSession
+    val n = emb.count()
+    val planes = if (n == 0) 4 else Knn.planesFor(n)
+    val v = IndexManifest.nextBuildVersion(spark, path)
+    emb.select(col(idCol).cast("long").as("vec_id"),
+        graft.functions.SignBucketExpr(col(vecCol), planes).as("bucket"))
+      .withColumn("__batch", lit(-1L))
+      .write.partitionBy("__batch").mode("overwrite")
+      .parquet(s"$path/codes_v$v")
+    spark.sql(s"SELECT $planes AS planes")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    IndexManifest.commit(spark, path, v)
+  }
+
+  /** Hash NEW vectors under the SAVED plane count and append — never
+    * refits. Keyed appends are exactly-once under replay. */
+  def appendSignLsh(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, batchId: Option[Long] = None): Unit = {
+    val planes = emb.sparkSession.read.parquet(s"$path/meta")
+      .head().getAs[Int]("planes")
+    writeCodes(
+      emb.select(col(idCol).cast("long").as("vec_id"),
+        graft.functions.SignBucketExpr(col(vecCol), planes).as("bucket")),
+      path, batchId)
+  }
+
+  /** Live bucket keys (vec_id, bucket), tombstones masked. */
+  def loadSignLshKeys(spark: SparkSession, path: String): DataFrame =
+    minusTombstones(spark, path,
+      spark.read.schema("vec_id LONG, bucket LONG, __batch LONG")
+        .parquet(IndexManifest.codesDir(spark, path))
+        .drop("__batch"))
+
+  /** Multi-probe search over the SAVED keys: the probe sequence derives
+    * from the saved plane count, candidates meet the pinned bucket
+    * table, and only candidates load vectors from `vectors` (joined by
+    * id). Identical results to [[Knn.multiProbeSearch]] over the same
+    * corpus — the persistence-losslessness proof is the shared oracle. */
+  def searchSignLsh(spark: SparkSession, path: String, vectors: DataFrame,
+      idCol: String, vecCol: String, queries: DataFrame, k: Int,
+      probes: Int): DataFrame = {
+    val planes = spark.read.parquet(s"$path/meta").head().getAs[Int]("planes")
+    val cand = broadcast(
+        Knn.multiProbeKeys(queries, idCol, vecCol, planes, probes))
+      .join(loadSignLshKeys(spark, path),
+        col("__pk") === col("bucket") && col("__qid") =!= col("vec_id"))
+      .select(col("__qid"), col("vec_id").as("__cid"))
+    Knn.multiProbeRerank(cand, vectors, queries, idCol, vecCol, k)
+  }
+
   // ---- SQ8 lifecycle -------------------------------------------------------
   // Same faiss-shaped contract as the other quantizers: the per-dim
   // [min,max] fit is the artifact that must NOT be refit on append

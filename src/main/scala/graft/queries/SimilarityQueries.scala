@@ -73,6 +73,68 @@ object SimilarityQueries {
        |  (a, x) -> a | x)""".stripMargin
   }
 
+  /** Query side of the multi-probe mirror (shared by q_nn_multiprobe and
+    * the persisted sign-LSH index's lifecycle stages): margins, the 4
+    * least-confident planes, the 15 ranked perturbation sets, the probe
+    * keys. Requires the `np` CTE in scope. */
+  private def multiProbeQueryCtes: String =
+    s"""qm AS (SELECT vec_id, np.planes AS planes,
+       |         CAST(${dynBucketSql("embedding")} AS BIGINT) AS qbk,
+       |         list_transform(range(np.planes), p ->
+       |           list_reduce(list_prepend(0::DOUBLE,
+       |             list_transform(range(len(embedding)), i ->
+       |               (embedding)[i+1]::DOUBLE *
+       |                 (((p * 1315423911 + i * 2654435761) % 1000003)::DOUBLE
+       |                  / 1000003.0 - 0.5))),
+       |             (a, x) -> a + x)) AS m
+       |       FROM embeddings, np WHERE vec_id < 10),
+       |qo AS (SELECT vec_id, qbk,
+       |         list_sort(list_transform(range(planes), p ->
+       |           {'a': abs(m[p+1]), 'p': p}))[1:4] AS low
+       |       FROM qm),
+       |mk AS (SELECT vec_id, qbk,
+       |         list_sort(list_transform(range(1, 16), mm -> {
+       |           's': list_reduce(list_prepend(0::DOUBLE,
+       |                  list_transform(range(4), j ->
+       |                    CASE WHEN (mm & (1 << j)) <> 0 THEN low[j+1].a
+       |                         ELSE 0.0 END)), (x, y) -> x + y),
+       |           'm': mm,
+       |           'f': list_reduce(list_prepend(0::BIGINT,
+       |                  list_transform(range(4), j ->
+       |                    CASE WHEN (mm & (1 << j)) <> 0
+       |                      THEN (1::BIGINT << low[j+1].p)
+       |                      ELSE 0::BIGINT END)), (x, y) -> x + y)
+       |           })) AS masks
+       |       FROM qo),
+       |pk AS (SELECT vec_id AS qid,
+       |         unnest([qbk] || list_transform(masks[1:3], s ->
+       |           xor(qbk, s.f))) AS pk
+       |       FROM mk)""".stripMargin
+
+  /** Corpus side of the multi-probe mirror under `corpusPred` — the
+    * live-rows predicate a tombstone stage restricts with. */
+  private def multiProbeCorpusCtes(sfx: String, corpusPred: String): String =
+    s"""cb$sfx AS (SELECT vec_id,
+       |         CAST(${dynBucketSql("embedding")} AS BIGINT) AS cbk
+       |       FROM embeddings, np WHERE $corpusPred),
+       |cand$sfx AS (SELECT q.qid, c.vec_id AS cid
+       |         FROM pk q JOIN cb$sfx c ON q.pk = c.cbk AND c.vec_id <> q.qid)""".stripMargin
+
+  /** Final ranked SELECT over `cand$sfx` (top-3, floored-ppm output). */
+  private def multiProbeSelect(sfx: String): String =
+    s"""SELECT query_id, neighbor_id,
+       |       CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm,
+       |       CAST(rn AS INTEGER) AS rank
+       |FROM (
+       |  SELECT cand$sfx.qid AS query_id, cand$sfx.cid AS neighbor_id,
+       |         $cosSql AS sim,
+       |         row_number() OVER (PARTITION BY cand$sfx.qid
+       |                            ORDER BY $cosSql DESC, cand$sfx.cid) AS rn
+       |  FROM cand$sfx
+       |  JOIN embeddings a ON a.vec_id = cand$sfx.qid
+       |  JOIN embeddings b ON b.vec_id = cand$sfx.cid) t
+       |WHERE rn <= 3""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- brute-force cosine top-5 for a broadcast query set --------------
@@ -191,55 +253,56 @@ object SimilarityQueries {
           .orderBy(col("query_id"), col("rank"))
       },
       Some(s"""WITH ${planesCte("embeddings")},
-              |cb AS (SELECT vec_id,
-              |         CAST(${dynBucketSql("embedding")} AS BIGINT) AS cbk
-              |       FROM embeddings, np),
-              |qm AS (SELECT vec_id, np.planes AS planes,
-              |         CAST(${dynBucketSql("embedding")} AS BIGINT) AS qbk,
-              |         list_transform(range(np.planes), p ->
-              |           list_reduce(list_prepend(0::DOUBLE,
-              |             list_transform(range(len(embedding)), i ->
-              |               (embedding)[i+1]::DOUBLE *
-              |                 (((p * 1315423911 + i * 2654435761) % 1000003)::DOUBLE
-              |                  / 1000003.0 - 0.5))),
-              |             (a, x) -> a + x)) AS m
-              |       FROM embeddings, np WHERE vec_id < 10),
-              |qo AS (SELECT vec_id, qbk,
-              |         list_sort(list_transform(range(planes), p ->
-              |           {'a': abs(m[p+1]), 'p': p}))[1:4] AS low
-              |       FROM qm),
-              |mk AS (SELECT vec_id, qbk,
-              |         list_sort(list_transform(range(1, 16), mm -> {
-              |           's': list_reduce(list_prepend(0::DOUBLE,
-              |                  list_transform(range(4), j ->
-              |                    CASE WHEN (mm & (1 << j)) <> 0 THEN low[j+1].a
-              |                         ELSE 0.0 END)), (x, y) -> x + y),
-              |           'm': mm,
-              |           'f': list_reduce(list_prepend(0::BIGINT,
-              |                  list_transform(range(4), j ->
-              |                    CASE WHEN (mm & (1 << j)) <> 0
-              |                      THEN (1::BIGINT << low[j+1].p)
-              |                      ELSE 0::BIGINT END)), (x, y) -> x + y)
-              |           })) AS masks
-              |       FROM qo),
-              |pk AS (SELECT vec_id AS qid,
-              |         unnest([qbk] || list_transform(masks[1:3], s ->
-              |           xor(qbk, s.f))) AS pk
-              |       FROM mk),
-              |cand AS (SELECT q.qid, c.vec_id AS cid
-              |         FROM pk q JOIN cb c ON q.pk = c.cbk AND c.vec_id <> q.qid)
-              |SELECT query_id, neighbor_id,
-              |       CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm,
-              |       CAST(rn AS INTEGER) AS rank
-              |FROM (
-              |  SELECT cand.qid AS query_id, cand.cid AS neighbor_id,
-              |         $cosSql AS sim,
-              |         row_number() OVER (PARTITION BY cand.qid
-              |                            ORDER BY $cosSql DESC, cand.cid) AS rn
-              |  FROM cand
-              |  JOIN embeddings a ON a.vec_id = cand.qid
-              |  JOIN embeddings b ON b.vec_id = cand.cid) t
-              |WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin)),
+              |$multiProbeQueryCtes,
+              |${multiProbeCorpusCtes("", "TRUE")}
+              |${multiProbeSelect("")}
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- persisted sign-LSH index: multi-probe serving without re-hash ---
+    // The sixth index kind on the shared lifecycle: repeatedly serving
+    // Knn.multiProbeSearch re-hashes the whole corpus's bucket keys per
+    // query batch; this pins the (vec_id, bucket) table once (16 B/vec,
+    // plane count in meta — the never-refit artifact) so a search costs
+    // probe-key broadcast + bucket equi-join + candidate vector loads.
+    // One oracle gates three lifecycle states: full (must equal
+    // q_nn_multiprobe — the persistence-losslessness proof), after
+    // tombstoning vec_id % 7 = 0 (deleted corpus entries vanish from
+    // candidates the moment they are deleted), and after compaction
+    // (changes nothing). deleteIds/compact/vacuum/describe run on it
+    // unchanged, as on every kind.
+    Q("q_signlsh_index",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_signlsh_idx").toString
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10)
+        graft.operators.VectorIndex.buildSignLsh(
+          emb, "vec_id", "embedding", path)
+        def search() = graft.operators.VectorIndex.searchSignLsh(
+          s, path, emb, "vec_id", "embedding", queries, k = 3, probes = 4)
+        val full = search().withColumn("stage", lit("full"))
+          .localCheckpoint(true)
+        graft.operators.VectorIndex.deleteIds(
+          emb.filter(col("vec_id") % 7 === 0), "vec_id", path)
+        val deleted = search().withColumn("stage", lit("deleted"))
+          .localCheckpoint(true)
+        graft.operators.VectorIndex.compact(s, path)
+        full.unionByName(deleted)
+          .unionByName(search().withColumn("stage", lit("compacted")))
+          .orderBy(col("stage"), col("query_id"), col("rank"))
+      },
+      Some(s"""WITH ${planesCte("embeddings")},
+              |$multiProbeQueryCtes,
+              |${multiProbeCorpusCtes("1", "TRUE")},
+              |${multiProbeCorpusCtes("2", "vec_id % 7 <> 0")},
+              |sel1 AS (${multiProbeSelect("1")}),
+              |sel2 AS (${multiProbeSelect("2")})
+              |SELECT 'full' AS stage, * FROM sel1
+              |UNION ALL
+              |SELECT 'deleted' AS stage, * FROM sel2
+              |UNION ALL
+              |SELECT 'compacted' AS stage, * FROM sel2
+              |ORDER BY stage, query_id, rank""".stripMargin)),
 
     // ---- embedding near-dup pairs, multi-table (k,L) sign-LSH -----------
     // The scale-safe counterpart of q_embedding_neardup's declared-brute

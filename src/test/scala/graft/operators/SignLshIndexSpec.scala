@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Persisted sign-LSH index: saved-key search equals the in-memory
+  * multi-probe path, appends hash under the saved plane count with
+  * exactly-once keyed replay. (Delete/compact are oracle-gated by
+  * q_signlsh_index.) */
+class SignLshIndexSpec extends AnyFunSuite {
+  private lazy val s = SparkSpec.session
+
+  private def emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  test("saved-key search equals in-memory multi-probe; keyed replay is exactly-once") {
+    val path = Files.createTempDirectory("signlsh_spec").toString
+    val queries = emb.filter(col("vec_id") < 10).localCheckpoint(true)
+    VectorIndex.buildSignLsh(emb, "vec_id", "embedding", path)
+    val fromIndex = VectorIndex.searchSignLsh(s, path, emb,
+        "vec_id", "embedding", queries, k = 3, probes = 4)
+      .collect().map(_.toSeq).toSet
+    val inMemory = Knn.multiProbeSearch(emb, queries,
+        "vec_id", "embedding", k = 3, probes = 4)
+      .collect().map(_.toSeq).toSet
+    assert(fromIndex == inMemory,
+      "the persisted index must lose nothing vs the in-memory path")
+
+    // exact clones of the queries appended under shifted ids: same
+    // vector ⇒ same saved-plane bucket ⇒ each query finds its clone at
+    // sim_ppm ≥ 999999 after ONE append (a replayed keyed append must
+    // not double the keys)
+    val clones = queries.withColumn("vec_id", col("vec_id") + 5000L)
+      .localCheckpoint(true)
+    val n0 = VectorIndex.loadSignLshKeys(s, path).count()
+    VectorIndex.appendSignLsh(clones, "vec_id", "embedding", path,
+      batchId = Some(0L))
+    VectorIndex.appendSignLsh(clones, "vec_id", "embedding", path,
+      batchId = Some(0L))
+    assert(VectorIndex.loadSignLshKeys(s, path).count() == n0 + 10)
+    val after = VectorIndex.searchSignLsh(s, path,
+        emb.unionByName(clones), "vec_id", "embedding", queries,
+        k = 3, probes = 4)
+      .filter(col("neighbor_id") >= 5000L && col("rank") === 1)
+    assert(after.count() == 10,
+      "every query's appended exact clone must be its top hit")
+  }
+}
