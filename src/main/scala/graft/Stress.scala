@@ -824,6 +824,43 @@ object Stress {
         bigsi.unpersist()
         println(f"""{"docs":$nSi%d,"build_seconds":$tSiBuild%.1f,"probe_cold_seconds":$tProbeCold%.1f,"probe_seconds":$tProbeWarm%.1f,"recompute_seconds":$tScratch%.1f,"rows":$n1%d,"rows_scratch":$n2%d}""")
 
+      case "signlshindex" =>
+        // persisted sign-LSH keys vs re-hash-per-batch at scale: the
+        // in-memory multi-probe path recomputes every corpus bucket key
+        // per query batch (a full corpus scan), the index probe reads
+        // the pinned 16 B/vector key table. Same jittered corpus as
+        // "multiprobe"; identical results asserted by count.
+        val sle0 = Tables.embeddings(spark, sfDir)
+        val bigsl = (0 until copies).map { i =>
+          if (i == 0) sle0.select(col("vec_id"), col("embedding"))
+          else
+            sle0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+              transform(col("embedding"), (x, j) =>
+                (x.cast("double") +
+                  (pmod(hash(col("vec_id"), j, lit(i)).cast("long"), lit(997L))
+                    .cast("double") / 997.0 * 0.05 - 0.025)).cast("float"))
+                .as("embedding"))
+        }.reduce(_ unionByName _).cache()
+        val nSl = bigsl.count()
+        val slq = bigsl.filter(col("vec_id") < 100).localCheckpoint(true)
+        val slPath = java.nio.file.Files
+          .createTempDirectory("stress_signlsh").toString
+        val sl0 = System.nanoTime()
+        operators.VectorIndex.buildSignLsh(bigsl, "vec_id", "embedding", slPath)
+        val tSlBuild = (System.nanoTime() - sl0) / 1e9
+        def idxSearch() = operators.VectorIndex.searchSignLsh(spark, slPath,
+          bigsl, "vec_id", "embedding", slq, k = 10, probes = 8).count()
+        val nIdx = idxSearch() // warm
+        val sl1 = System.nanoTime()
+        idxSearch()
+        val tProbe = (System.nanoTime() - sl1) / 1e9
+        val sl2 = System.nanoTime()
+        val nMem = operators.Knn.multiProbeSearch(bigsl, slq,
+          "vec_id", "embedding", k = 10, probes = 8).count()
+        val tMem = (System.nanoTime() - sl2) / 1e9
+        bigsl.unpersist()
+        println(f"""{"vectors":$nSl%d,"build_seconds":$tSlBuild%.1f,"probe_seconds":$tProbe%.1f,"rehash_seconds":$tMem%.1f,"rows_idx":$nIdx%d,"rows_mem":$nMem%d}""")
+
       case "audiofp" =>
         // the audio-modality twin of "phashauto": copies× exact-replicated
         // docs through Haitsma–Kalker fingerprinting + the derived banded
