@@ -89,6 +89,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q_hamming_rewrite must be rewritten to an equi-join:\n$s")
   }
 
+  test("multi-probe search (in-memory and index-served) plans no loop join") {
+    // probe keys broadcast into a bucket equi-join; candidates re-join
+    // vectors by id — a loop node would mean the probe degenerated
+    for (q <- Seq("q_nn_multiprobe", "q_signlsh_index")) {
+      val s = render(plan(q))
+      assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+        s"$q must stay a bucket equi-join:\n$s")
+    }
+  }
+
   test("phrase search plans pure equi-joins over posting lists") {
     // the positional chain is (vec_id) equi-joins with position filters;
     // no loop node anywhere. (The BM25 entries are NOT in this lock: the
