@@ -344,6 +344,12 @@ object Knn {
   private[operators] def multiProbeKeys(queries: DataFrame, idCol: String,
       vecCol: String, planes: Int, probes: Int): DataFrame = {
     val perturbPlanes = 4
+    // validate HERE, not just in multiProbeSearch: the persisted-index
+    // path (VectorIndex.searchSignLsh) enters through this function, and
+    // the slice below would otherwise silently cap probes > 16 —
+    // returning fewer probes than requested instead of erring
+    require(probes >= 1 && probes <= (1 << perturbPlanes),
+      s"probes must be in [1, ${1 << perturbPlanes}], got $probes")
     val pow2 = array((0 until planes).map(i => lit(1L << i)): _*)
     val pow2i = array((0 until perturbPlanes).map(i => lit(1 << i)): _*)
     queries

@@ -71,7 +71,7 @@ object VectorIndex {
     val v = IndexManifest.nextBuildVersion(emb.sparkSession, path)
     thr.write.mode("overwrite").parquet(s"$path/thresholds")
     BinaryQuant.withCode(emb, vecCol, thr)
-      .select(col(idCol).as("vec_id"), col("code"))
+      .select(col(idCol).cast("long").as("vec_id"), col("code"))
       .withColumn("__batch", lit(-1L))
       .write.partitionBy("__batch").mode("overwrite")
       .parquet(s"$path/codes_v$v")
@@ -88,7 +88,7 @@ object VectorIndex {
     val thr = emb.sparkSession.read.parquet(s"$path/thresholds")
     writeCodes(
       BinaryQuant.withCode(emb, vecCol, thr)
-        .select(col(idCol).as("vec_id"), col("code")),
+        .select(col(idCol).cast("long").as("vec_id"), col("code")),
       path, batchId)
   }
 
@@ -419,7 +419,7 @@ object VectorIndex {
     val v = IndexManifest.nextBuildVersion(emb.sparkSession, path)
     fit.write.mode("overwrite").parquet(s"$path/sqfit")
     SQ.withCodes(emb, vecCol, fit)
-      .select(col(idCol).as("vec_id"), col("qcode"))
+      .select(col(idCol).cast("long").as("vec_id"), col("qcode"))
       .withColumn("__batch", lit(-1L))
       .write.partitionBy("__batch").mode("overwrite")
       .parquet(s"$path/codes_v$v")
@@ -433,14 +433,17 @@ object VectorIndex {
     val fit = emb.sparkSession.read.parquet(s"$path/sqfit")
     writeCodes(
       SQ.withCodes(emb, vecCol, fit)
-        .select(col(idCol).as("vec_id"), col("qcode")),
+        .select(col(idCol).cast("long").as("vec_id"), col("qcode")),
       path, batchId)
   }
 
-  /** Live SQ8 codes: (vec_id, qcode), tombstones masked. */
+  /** Live SQ8 codes: (vec_id, qcode), tombstones masked. Explicit schema
+    * keeps an empty index (zero-row build, or a compact that folded every
+    * row away — a footerless dir) readable, like the other kinds. */
   def loadSq8Codes(spark: SparkSession, path: String): DataFrame =
     minusTombstones(spark, path,
-      spark.read.parquet(IndexManifest.codesDir(spark, path))
+      spark.read.schema("vec_id LONG, qcode ARRAY<INT>, __batch LONG")
+        .parquet(IndexManifest.codesDir(spark, path))
         .drop("__batch"))
 
   /** Search a SAVED SQ8 index: queries encode under the saved fit, then
@@ -455,9 +458,11 @@ object VectorIndex {
       k)
   }
 
-  /** Codes table of a saved index: (vec_id, code). */
+  /** Codes table of a saved index: (vec_id, code). Explicit schema keeps
+    * an empty index readable (no footers to infer from). */
   def loadBinaryCodes(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(IndexManifest.codesDir(spark, path)).drop("__batch")
+    spark.read.schema("vec_id LONG, code LONG, __batch LONG")
+      .parquet(IndexManifest.codesDir(spark, path)).drop("__batch")
 
   /** Saved threshold artifact: the 1-row `__thr` frame `withCode` takes. */
   def loadBinaryThresholds(spark: SparkSession, path: String): DataFrame =
@@ -512,7 +517,9 @@ object VectorIndex {
     // a committed version whose meta is still missing
     emb.sparkSession.sql(s"SELECT $subspaces AS subspaces, $subDim AS sub_dim")
       .write.mode("overwrite").parquet(s"$path/meta")
-    codes.withColumn("__batch", lit(-1L))
+    codes.select(col("vec_id").cast("long"), col("__list").cast("long"),
+        col("s").cast("int"), col("code").cast("long"))
+      .withColumn("__batch", lit(-1L))
       .write.partitionBy("__batch").mode("overwrite")
       .parquet(s"$path/codes_v$v")
     IndexManifest.commit(emb.sparkSession, path, v)
@@ -547,7 +554,8 @@ object VectorIndex {
       PQ.encode(assigned, "vec_id", "__r", "__list", subspaces, subDim,
           Some(rcw))
         .join(assigned.select(col("vec_id"), col("__list")), Seq("vec_id"))
-        .select(col("vec_id"), col("__list"), col("s"), col("code")),
+        .select(col("vec_id").cast("long"), col("__list").cast("long"),
+          col("s").cast("int"), col("code").cast("long")),
       path, batchId)
   }
 
@@ -556,7 +564,8 @@ object VectorIndex {
   def loadIvfPqCodebooks(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/codebooks")
   def loadIvfPqCodes(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(IndexManifest.codesDir(spark, path)).drop("__batch")
+    spark.read.schema("vec_id LONG, __list LONG, s INT, code LONG, __batch LONG")
+      .parquet(IndexManifest.codesDir(spark, path)).drop("__batch")
 
   /** ADC search over a SAVED index: probe the loaded centroids, LUT from
     * the loaded codebooks, scan the loaded codes — identical results to

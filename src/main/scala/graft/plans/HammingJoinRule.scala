@@ -104,13 +104,17 @@ object HammingJoinRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** a references only one side, b only the other (either orientation). */
+  /** a references only one side, b only the other (either orientation).
+    * BOTH sides must reference something: an empty reference set is a
+    * subset of anything, so without the symmetric nonEmpty guard a
+    * literal-first conjunct like `5 = b.flag` would classify as an
+    * equi-join KEY and suppress the rewrite, leaving the O(n²) plan. */
   private def straddles(a: Expression, b: Expression,
       left: LogicalPlan, right: LogicalPlan): Boolean =
-    (a.references.subsetOf(left.outputSet) && b.references.nonEmpty &&
-      b.references.subsetOf(right.outputSet)) ||
-    (a.references.subsetOf(right.outputSet) && b.references.nonEmpty &&
-      b.references.subsetOf(left.outputSet))
+    (a.references.nonEmpty && a.references.subsetOf(left.outputSet) &&
+      b.references.nonEmpty && b.references.subsetOf(right.outputSet)) ||
+    (a.references.nonEmpty && a.references.subsetOf(right.outputSet) &&
+      b.references.nonEmpty && b.references.subsetOf(left.outputSet))
 
   /** Orient (x, y) of one XOR so ._1 is the LEFT side's expression. */
   private def orient(x: Expression, y: Expression,

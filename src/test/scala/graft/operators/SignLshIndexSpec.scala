@@ -15,6 +15,17 @@ class SignLshIndexSpec extends AnyFunSuite {
   private def emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     .select(col("vec_id"), col("embedding"))
 
+  test("persisted path validates probes like the in-memory path") {
+    val path = Files.createTempDirectory("signlsh_probes").toString
+    VectorIndex.buildSignLsh(emb, "vec_id", "embedding", path)
+    val q = emb.filter(col("vec_id") < 3)
+    for (bad <- Seq(0, 17, -1))
+      assertThrows[IllegalArgumentException] {
+        VectorIndex.searchSignLsh(s, path, emb, "vec_id", "embedding",
+          q, k = 3, probes = bad).collect()
+      }
+  }
+
   test("saved-key search equals in-memory multi-probe; keyed replay is exactly-once") {
     val path = Files.createTempDirectory("signlsh_spec").toString
     val queries = emb.filter(col("vec_id") < 10).localCheckpoint(true)

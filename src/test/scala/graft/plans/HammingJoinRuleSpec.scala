@@ -130,6 +130,22 @@ class HammingJoinRuleSpec extends AnyFunSuite {
       s"rule must leave equi-joins alone:\n$plan")
   }
 
+  test("literal-first one-sided equality is NOT an equi key — rewrite still fires") {
+    // `0 = b.id % 2` references only ONE side; the empty-reference-set
+    // subset trap would classify it as an equi conjunct and leave the
+    // nested-loop plan (the column-first spelling already worked)
+    hashes.createOrReplaceTempView("hjr_lit")
+    for (pred <- Seq("0 = b.id % 2", "b.id % 2 = 0")) {
+      val sql = s"""SELECT a.id AS id_a, b.id AS id_b
+        FROM hjr_lit a JOIN hjr_lit b
+        ON a.id < b.id AND bit_count(a.h ^ b.h) <= 4 AND $pred"""
+      val on = spark.sql(sql)
+      assert(!on.queryExecution.executedPlan.toString.contains("NestedLoop"),
+        s"one-sided equality '$pred' must not suppress the rewrite")
+      assert(rows(on) == withRule(on = false)(rows(spark.sql(sql))))
+    }
+  }
+
   test("huge radius skips the rewrite (probe cap) but results still correct") {
     hashes.createOrReplaceTempView("hjr_big")
     val sql =
