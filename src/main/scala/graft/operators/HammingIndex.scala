@@ -40,7 +40,7 @@ object HammingIndex {
       .withColumn("__batch", lit(-1L))
       .write.partitionBy("__batch").mode("overwrite")
       .parquet(s"$path/codes_v$v")
-    IndexManifest.commit(hashes.sparkSession, path, v)
+    VectorIndex.commitBuild(hashes.sparkSession, path, v, Seq.empty)
   }
 
   /** Append new items' hashes. Pass the streaming `batchId` for

@@ -3,42 +3,60 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
-/** Snapshot manifest for the persisted indexes — the missing atomicity
-  * layer under compaction. Versioned layout:
+/** Snapshot manifest for the persisted indexes — the atomicity layer
+  * under every mutation. Versioned layout:
   *
-  *   path/manifest/v<N>     zero-byte committed-version markers
-  *   path/codes_v<N>        the version's payload (batch-partitioned)
-  *   path/tombstones_v<N>   the version's append-only delete log
+  *   path/manifest/v<N>       committed-version markers; the file BODY is
+  *                            the version's append WATERMARK (the highest
+  *                            `__batch` partition id visible to it)
+  *   path/codes_v<P>          a PAYLOAD version's files (build/compact)
+  *   path/tombstones_v<D>     a DELETE version's segment: the ids removed
+  *                            by commit D
+  *   path/<artifact>_v<P>     a payload version's GEOMETRY artifacts
+  *                            (thresholds/meta/sqfit/centroids/codebooks)
   *
-  * The CURRENT version is the highest committed marker; a commit is one
-  * filesystem rename of a marker file into `manifest/`, which readers
-  * either see or don't — never a half-state. Compaction writes the new
-  * version's payload COMPLETELY, then commits: a reader that resolved
-  * the old version keeps a fully intact directory under it for as long
-  * as it needs (the old files are never deleted by compact), which is
-  * exactly the guarantee the pre-manifest swap-in-place lacked. Old
-  * versions are reclaimed explicitly by [[VectorIndex.vacuum]] — the
-  * Iceberg/Delta expire-snapshots contract, kept deliberately minimal.
+  * EVERY mutation commits one marker: builds and compactions commit a
+  * payload version, deletes commit a delete version. A version `v`
+  * resolves COMPOSITELY:
   *
-  * Tombstones are version-scoped and append-only WITHIN a version:
-  * concurrent readers of the current version observe some prefix of the
-  * delete log, the same monotone guarantee appends already had.
+  *   payload(v)   = the largest payload version ≤ v
+  *   tombstones(v)= the union of delete segments D with payload(v) < D ≤ v
+  *   geometry(v)  = per artifact, the largest artifact version ≤ v
+  *   live view(v) = payload(v)'s rows with __batch ≤ v's watermark,
+  *                  minus tombstones(v)
+  *
+  * so "VERSION AS OF v" is FULLY immutable once v is superseded — later
+  * deletes land in segments > v (never in v's mask), later appends land
+  * in `__batch` partitions above v's watermark, and later rebuilds write
+  * their geometry under the NEW version's names (a crash mid-rebuild
+  * before the marker leaves the previous version — payload, mask, AND
+  * geometry — exactly as it was). Old versions are reclaimed explicitly
+  * by [[VectorIndex.vacuum]] — the Iceberg/Delta expire-snapshots
+  * contract, kept deliberately minimal.
+  *
+  * A commit is one marker appearing in `manifest/` (tmp write + rename,
+  * preceded by an existence check). [[tryCommit]] surfaces the loser of
+  * a version-number race, and the mutators retry: deletes re-stamp their
+  * segment at the new next version; compact re-snapshots and re-folds
+  * (so a delete that commits mid-rewrite is folded, not lost — the race
+  * the old carry-forward only narrowed is now closed by construction);
+  * rebuilds rename their already-written payload+geometry to the new
+  * number. This is optimistic concurrency on a filesystem: atomic
+  * no-overwrite rename is real on HDFS/ABFS; on raw local filesystems
+  * the exists-check narrows the window, and the documented contract
+  * below makes collisions rare by construction.
+  *
+  * Concurrency contract: READERS are isolated (any resolved version
+  * stays intact until an explicit vacuum). MUTATORS assume one logical
+  * writer per index path for builds/appends/compactions (the standard
+  * one-committer contract of table formats at this layer), PLUS an
+  * asynchronous delete feed: deleteIds commits through the same
+  * optimistic path, so delete-vs-compact interleavings serialize
+  * cleanly instead of silently losing removals.
   *
   * Legacy layout (no `manifest/` dir — indexes written before this
   * layer) resolves to the unversioned `codes`/`tombstones` names, and
   * compact falls back to the old swap there.
-  *
-  * Concurrency contract: READERS are isolated (any resolved version
-  * stays intact until an explicit vacuum), but MUTATORS (build, append,
-  * deleteIds, compact, vacuum) assume a single writer per index path —
-  * the standard one-committer contract of table formats at this layer
-  * (Iceberg/Delta serialize committers via a catalog/log; this minimal
-  * manifest has no lock service, so the orchestration layer owns the
-  * serialization, as the pipelines here do by construction). Compact
-  * does carry forward tombstones that land in the old version's log
-  * while it rewrites (see [[VectorIndex.compact]]), so the one
-  * delete-vs-compact race a single logical writer can still hit through
-  * async delete ingestion is closed.
   */
 private[operators] object IndexManifest {
 
@@ -51,7 +69,8 @@ private[operators] object IndexManifest {
     val f = fs(spark, path)
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") => n.stripPrefix("v").toLong }
+      .collect { case n if n.startsWith("v") && !n.contains("_") =>
+        n.stripPrefix("v").toLong }
       .sorted.toSeq
   }
 
@@ -59,50 +78,142 @@ private[operators] object IndexManifest {
   def currentVersion(spark: SparkSession, path: String): Option[Long] =
     committedVersions(spark, path).lastOption
 
+  /** Versions of `base` dirs present on disk: `base_v<N>` → N, ascending.
+    * One listing RPC; used for payload, segment, and geometry resolution. */
+  def diskVersions(spark: SparkSession, path: String,
+      base: String): Seq[Long] = {
+    val p = new Path(path)
+    val f = fs(spark, path)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith(base + "_v") =>
+        n.stripPrefix(base + "_v") }
+      .collect { case n if n.nonEmpty && n.forall(_.isDigit) => n.toLong }
+      .sorted.toSeq
+  }
+
+  /** The payload version a composite `version` resolves to: the largest
+    * codes_v<P> ON DISK with P ≤ version (vacuum keeps this sound by
+    * never deleting a payload a retained version still resolves to). */
+  def payloadVersionAt(spark: SparkSession, path: String,
+      version: Long): Option[Long] =
+    diskVersions(spark, path, "codes").filter(_ <= version).lastOption
+
+  /** Delete-segment versions masking composite `version`:
+    * payload(version) < D ≤ version. */
+  def segmentVersionsAt(spark: SparkSession, path: String,
+      version: Long): Seq[Long] = {
+    val p = payloadVersionAt(spark, path, version).getOrElse(-1L)
+    diskVersions(spark, path, "tombstones").filter(d => d > p && d <= version)
+  }
+
+  /** Current live payload dir. */
   def codesDir(spark: SparkSession, path: String): String =
     currentVersion(spark, path)
-      .map(v => s"$path/codes_v$v").getOrElse(s"$path/codes")
+      .flatMap(v => payloadVersionAt(spark, path, v))
+      .map(p => s"$path/codes_v$p").getOrElse(s"$path/codes")
 
-  def tombstonesDir(spark: SparkSession, path: String): String =
-    currentVersion(spark, path)
-      .map(v => s"$path/tombstones_v$v").getOrElse(s"$path/tombstones")
+  /** Geometry artifact dir for composite `version` (None = current):
+    * the largest `name_v<W>` with W ≤ version; legacy unversioned `name`
+    * when no versioned artifact exists (pre-geometry-versioning builds). */
+  def artifactDirAt(spark: SparkSession, path: String, name: String,
+      version: Option[Long] = None): String = {
+    val bound = version.orElse(currentVersion(spark, path))
+    bound.flatMap(v => diskVersions(spark, path, name)
+        .filter(_ <= v).lastOption)
+      .map(w => s"$path/${name}_v$w").getOrElse(s"$path/$name")
+  }
 
   /** Version a fresh build() must write and then commit: 0 on a virgin
     * path, current+1 when a manifest already exists (a REBUILD).
     * Re-committing version 0 over a compacted index (current ≥ 1) would
     * be silently ignored by [[currentVersion]]'s max rule — readers
-    * would keep serving the old payload while build() had already
-    * overwritten the unversioned geometry artifacts, reinterpreting live
-    * codes under the new geometry. Building into the NEXT version makes
-    * rebuild an atomic switch instead. */
+    * would keep serving the old payload. Building into the NEXT version
+    * makes rebuild an atomic switch instead. */
   def nextBuildVersion(spark: SparkSession, path: String): Long =
     currentVersion(spark, path).map(_ + 1).getOrElse(0L)
 
-  /** Atomically commit `version`: the marker appears via one rename. */
-  def commit(spark: SparkSession, path: String, version: Long): Unit = {
+  /** Watermark recorded in `version`'s marker: the highest `__batch`
+    * visible to readers pinned there (-1 = the build partition only).
+    * Empty/unparseable bodies (markers from before watermarks) read as
+    * Long.MaxValue — no append filtering, the old semantics. */
+  def watermarkAt(spark: SparkSession, path: String, version: Long): Long = {
     val f = fs(spark, path)
-    f.mkdirs(new Path(s"$path/manifest"))
-    val tmp = new Path(s"$path/manifest/.v${version}_tmp")
-    f.create(tmp, true).close()
-    f.rename(tmp, new Path(s"$path/manifest/v$version"))
+    val m = new Path(s"$path/manifest/v$version")
+    if (!f.exists(m)) Long.MaxValue
+    else {
+      val in = f.open(m)
+      val body = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      if (body.nonEmpty && body.forall(c => c.isDigit || c == '-'))
+        body.toLong
+      else Long.MaxValue
+    }
   }
 
-  /** Reclaim version dirs older than the `keep` most recent committed
-    * versions (markers, payloads, and delete logs). Never touches the
+  /** Attempt to commit `version` (marker body = `watermark`). False when
+    * the version number was already taken — the caller re-resolves the
+    * current version and retries at the new next number. */
+  def tryCommit(spark: SparkSession, path: String, version: Long,
+      watermark: Long): Boolean = {
+    val f = fs(spark, path)
+    f.mkdirs(new Path(s"$path/manifest"))
+    val dst = new Path(s"$path/manifest/v$version")
+    if (f.exists(dst)) return false
+    val tmp = new Path(s"$path/manifest/.v${version}_tmp")
+    val out = f.create(tmp, true)
+    try out.writeBytes(watermark.toString) finally out.close()
+    if (f.exists(dst)) { f.delete(tmp, false); false }
+    else f.rename(tmp, dst)
+  }
+
+  /** Commit `version`, asserting the number was free — build-path use
+    * where the caller already holds [[nextBuildVersion]]'s number under
+    * the single-writer contract. */
+  def commit(spark: SparkSession, path: String, version: Long,
+      watermark: Long = Long.MaxValue): Unit =
+    require(tryCommit(spark, path, version, watermark),
+      s"version $version already committed at $path")
+
+  /** Reclaim versions no longer reachable from the `keep` most recent
+    * committed versions. A retained composite version needs its payload,
+    * its masking segments, and its geometry — so the reclaim CUTOFF is
+    * the payload version the OLDEST kept version resolves to, and per
+    * geometry artifact the newest below-cutoff version survives when no
+    * at-or-above-cutoff artifact supersedes it. Never touches the
     * current version; no-op on legacy layouts. */
   def vacuum(spark: SparkSession, path: String, keep: Int): Unit = {
     require(keep >= 1)
     val f = fs(spark, path)
-    currentVersion(spark, path).foreach { cur =>
-      val dir = new Path(s"$path/manifest")
-      val vs = f.listStatus(dir).map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") => n.stripPrefix("v").toLong }
-        .sorted
-      vs.dropRight(keep).filter(_ < cur).foreach { v =>
-        f.delete(new Path(s"$path/codes_v$v"), true)
-        f.delete(new Path(s"$path/tombstones_v$v"), true)
-        f.delete(new Path(s"$path/manifest/v$v"), false)
+    val vs = committedVersions(spark, path)
+    if (vs.isEmpty) return
+    val keepSet = vs.takeRight(keep)
+    val cutoff = payloadVersionAt(spark, path, keepSet.min)
+      .getOrElse(keepSet.min)
+    vs.filter(_ < cutoff).foreach { v =>
+      f.delete(new Path(s"$path/codes_v$v"), true)
+      f.delete(new Path(s"$path/tombstones_v$v"), true)
+      f.delete(new Path(s"$path/manifest/v$v"), false)
+    }
+    // geometry: list every `<base>_v<N>` dir that is not payload/segments
+    val bases = f.listStatus(new Path(path)).map(_.getPath.getName)
+      .flatMap { n =>
+        val i = n.lastIndexOf("_v")
+        if (i <= 0) None
+        else {
+          val (base, ver) = (n.substring(0, i), n.substring(i + 2))
+          if (ver.nonEmpty && ver.forall(_.isDigit) &&
+              base != "codes" && base != "tombstones")
+            Some(base -> ver.toLong)
+          else None
+        }
       }
+    bases.groupBy(_._1).foreach { case (base, entries) =>
+      val below = entries.map(_._2).filter(_ <= cutoff).sorted
+      // the newest at-or-below-cutoff artifact serves every retained
+      // version until a newer artifact takes over — keep it, drop older
+      below.dropRight(1).foreach(w =>
+        f.delete(new Path(s"$path/${base}_v$w"), true))
     }
   }
 }

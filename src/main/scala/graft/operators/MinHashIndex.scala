@@ -34,7 +34,8 @@ object MinHashIndex {
       .filter(size(col("sig")) > 0)
 
   private def meta(spark: SparkSession, path: String): (Int, Int) = {
-    val m = spark.read.parquet(s"$path/meta").head()
+    val m = spark.read.parquet(
+      IndexManifest.artifactDirAt(spark, path, "meta")).head()
     (m.getAs[Int]("k"), m.getAs[Int]("shingle"))
   }
 
@@ -50,13 +51,13 @@ object MinHashIndex {
       k: Int = 64, shingle: Int = 3): Unit = {
     val spark = docs.sparkSession
     val v = IndexManifest.nextBuildVersion(spark, path)
+    spark.sql(s"SELECT $k AS k, $shingle AS shingle")
+      .write.mode("overwrite").parquet(s"$path/meta_v$v")
     sigOf(docs, idCol, textCol, k, shingle)
       .withColumn("__batch", lit(-1L))
       .write.partitionBy("__batch").mode("overwrite")
       .parquet(s"$path/codes_v$v")
-    spark.sql(s"SELECT $k AS k, $shingle AS shingle")
-      .write.mode("overwrite").parquet(s"$path/meta")
-    IndexManifest.commit(spark, path, v)
+    VectorIndex.commitBuild(spark, path, v, Seq("meta"))
   }
 
   /** Sign new docs under the SAVED geometry and append. Pass the

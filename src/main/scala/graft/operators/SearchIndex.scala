@@ -65,7 +65,7 @@ object SearchIndex {
       .withColumn("__batch", lit(-1L))
       .write.partitionBy("__batch").mode("overwrite")
       .parquet(s"$path/codes_v$v")
-    IndexManifest.commit(spark, path, v)
+    VectorIndex.commitBuild(spark, path, v, Seq.empty)
   }
 
   /** Tokenize NEW docs only and append their postings. Pass the

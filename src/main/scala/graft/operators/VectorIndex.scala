@@ -47,13 +47,51 @@ object VectorIndex {
 
   private[operators] def writeCodes(codes: DataFrame, path: String,
       batchId: Option[Long]): Unit = {
-    val dir = IndexManifest.codesDir(codes.sparkSession, path)
-    val batch = batchId.getOrElse(nextBatchId(codes.sparkSession, dir))
+    val spark = codes.sparkSession
+    val dir = IndexManifest.codesDir(spark, path)
+    val batch = batchId.getOrElse(nextBatchId(spark, dir))
     codes.withColumn("__batch", lit(batch))
       .write.partitionBy("__batch")
       .mode(if (batchId.isDefined) "overwrite" else "append")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(dir)
+    // appends COMMIT like every other mutation: the new version's
+    // watermark covers the batch just written, so loadCodesAt(current)
+    // always equals the live view and earlier pins never see the drop.
+    // (A replayed keyed batch re-commits — an extra audit row, same
+    // view.) Legacy layouts stay versionless.
+    if (IndexManifest.currentVersion(spark, path).isDefined) {
+      var committed = false
+      while (!committed) {
+        val cur = IndexManifest.currentVersion(spark, path).get
+        committed = IndexManifest.tryCommit(spark, path, cur + 1,
+          nextBatchId(spark, dir) - 1L)
+      }
+    }
+  }
+
+  /** Commit a freshly-built payload version, retrying past version-number
+    * races (an async delete committing between [[IndexManifest
+    * .nextBuildVersion]] and the marker): the already-written payload and
+    * geometry dirs are RENAMED to the new number — builds are
+    * self-contained, so a rename is a complete retry. Returns the version
+    * actually committed. Build watermark is -1: only the `__batch=-1`
+    * build partition is visible to readers pinned at this version. */
+  private[operators] def commitBuild(spark: SparkSession, path: String,
+      first: Long, artifacts: Seq[String]): Long = {
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var v = first
+    while (!IndexManifest.tryCommit(spark, path, v, watermark = -1L)) {
+      val nv = IndexManifest.nextBuildVersion(spark, path)
+      f.rename(new org.apache.hadoop.fs.Path(s"$path/codes_v$v"),
+        new org.apache.hadoop.fs.Path(s"$path/codes_v$nv"))
+      artifacts.foreach(a =>
+        f.rename(new org.apache.hadoop.fs.Path(s"$path/${a}_v$v"),
+          new org.apache.hadoop.fs.Path(s"$path/${a}_v$nv")))
+      v = nv
+    }
+    v
   }
 
   /** Build from raw vectors and persist: fits thresholds, packs codes,
@@ -66,16 +104,18 @@ object VectorIndex {
     // statistic that would otherwise execute for each
     val thr = BinaryQuant.fitThresholds(emb, vecCol).localCheckpoint(true)
     // rebuild = NEXT manifest version (never a silently-ignored
-    // re-commit of v0 over a compacted index); the commit marker lands
-    // last so a crash mid-build leaves the previous version current
+    // re-commit of v0 over a compacted index); geometry writes under the
+    // NEW version's name and the commit marker lands last, so a crash
+    // mid-build leaves the previous version — payload, mask, AND
+    // thresholds — exactly as it was
     val v = IndexManifest.nextBuildVersion(emb.sparkSession, path)
-    thr.write.mode("overwrite").parquet(s"$path/thresholds")
+    thr.write.mode("overwrite").parquet(s"$path/thresholds_v$v")
     BinaryQuant.withCode(emb, vecCol, thr)
       .select(col(idCol).cast("long").as("vec_id"), col("code"))
       .withColumn("__batch", lit(-1L))
       .write.partitionBy("__batch").mode("overwrite")
       .parquet(s"$path/codes_v$v")
-    IndexManifest.commit(emb.sparkSession, path, v)
+    commitBuild(emb.sparkSession, path, v, Seq("thresholds"))
   }
 
   /** Encode NEW vectors under the saved thresholds and append their codes
@@ -85,42 +125,86 @@ object VectorIndex {
     * at-least-once. */
   def appendBinary(emb: DataFrame, idCol: String, vecCol: String,
       path: String, batchId: Option[Long] = None): Unit = {
-    val thr = emb.sparkSession.read.parquet(s"$path/thresholds")
+    val thr = emb.sparkSession.read.parquet(
+      IndexManifest.artifactDirAt(emb.sparkSession, path, "thresholds"))
     writeCodes(
       BinaryQuant.withCode(emb, vecCol, thr)
         .select(col(idCol).cast("long").as("vec_id"), col("code")),
       path, batchId)
   }
 
-  // ---- delete + compaction (shared by both index kinds) --------------------
+  // ---- delete + compaction (shared by all index kinds) ---------------------
   // faiss remove_ids, Spark-native: deletes are (vec_id) TOMBSTONES —
-  // append-only metadata, never a rewrite of the standing codes files —
-  // and search masks them with a broadcast anti-join (tombstones are tiny
+  // metadata segments, never a rewrite of the standing codes files — and
+  // search masks them with a broadcast anti-join (tombstones are tiny
   // relative to the corpus by construction; a delete-heavy index should
-  // compact). `compact` folds the tombstones in: codes are rewritten
-  // minus deleted ids into the NEXT manifest version and committed with
-  // one atomic marker rename (IndexManifest) — concurrent readers pinned
-  // to the old version keep fully intact files until an explicit
-  // `vacuum` reclaims them, the Iceberg/Delta expire-snapshots contract
-  // kept minimal. (Pre-manifest legacy layouts still get the old
-  // swap-in-place.)
+  // compact). Each deleteIds call COMMITS its own manifest version whose
+  // segment holds exactly the ids it removed, so (a) a delete becomes
+  // visible atomically with its marker, and (b) a reader pinned to an
+  // earlier version NEVER sees it — delete-immutable snapshots, the part
+  // of VERSION AS OF the old mutate-current-log design could not give.
+  // `compact` folds the pending segments in: codes are rewritten minus
+  // the masked ids into the NEXT version under an optimistic commit loop
+  // (a delete committing mid-rewrite steals the version number, compact
+  // re-snapshots and re-folds — nothing is ever lost or half-applied).
+  // Readers pinned to any superseded version keep fully intact files
+  // until an explicit `vacuum`, the Iceberg/Delta expire-snapshots
+  // contract kept minimal. (Pre-manifest legacy layouts still get the
+  // old swap-in-place and the unversioned append-only log.)
 
-  /** Tombstone ids out of the index at `path` (binary or IVF-PQ — the
-    * layout is shared). Append-only; O(deleted) bytes. */
-  def deleteIds(ids: DataFrame, idCol: String, path: String): Unit =
-    ids.select(col(idCol).cast("long").as("vec_id")).distinct()
-      .write.mode("append")
-      .parquet(IndexManifest.tombstonesDir(ids.sparkSession, path))
-
-  /** Current tombstone set: (vec_id), distinct; empty frame when none
-    * have been written yet. */
-  def loadTombstones(spark: SparkSession, path: String): DataFrame = {
-    val t = new org.apache.hadoop.fs.Path(
-      IndexManifest.tombstonesDir(spark, path))
-    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(t)) spark.read.parquet(t.toString).distinct()
-    else spark.range(0).select(col("id").as("vec_id"))
+  /** Tombstone ids out of the index at `path` (any kind — the layout is
+    * shared): writes one delete segment and commits it as the next
+    * manifest version. O(deleted) bytes; retries version-number races
+    * with concurrent committers. */
+  def deleteIds(ids: DataFrame, idCol: String, path: String): Unit = {
+    val spark = ids.sparkSession
+    val dedup = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+    IndexManifest.currentVersion(spark, path) match {
+      case None => // legacy layout: the unversioned append-only log
+        dedup.write.mode("append").parquet(s"$path/tombstones")
+      case Some(_) =>
+        // the segment is written ONCE to a hidden temp dir and RENAMED to
+        // its version number per attempt (renamed back on a lost commit
+        // race): an uncommitted segment never sits at a number another
+        // mutation might commit, so no reader transiently sees a delete
+        // that has not committed yet. A segment numbered above every
+        // marker is invisible anyway (segmentVersionsAt bounds at the
+        // read version), so rename-before-commit exposes nothing early.
+        val fsys = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$path/.tombstones_pending_${java.util.UUID.randomUUID}")
+        dedup.write.mode("overwrite").parquet(tmp.toString)
+        var committed = false
+        while (!committed) {
+          val cur = IndexManifest.currentVersion(spark, path).get
+          val d = cur + 1
+          val seg = new org.apache.hadoop.fs.Path(s"$path/tombstones_v$d")
+          // rename refuses an existing dst: a racing delete at the same
+          // number makes us spin until its marker lands, then retry at d+1
+          if (fsys.rename(tmp, seg)) {
+            // the pinned watermark is whatever the payload holds right
+            // now, so a pin at d also freezes the append frontier
+            val wm = nextBatchId(spark,
+              IndexManifest.codesDir(spark, path)) - 1L
+            committed = IndexManifest.tryCommit(spark, path, d, wm)
+            if (!committed) fsys.rename(seg, tmp) // take it back, retry
+          }
+        }
+    }
   }
+
+  /** Tombstone set masking the CURRENT version: the union of its
+    * pending delete segments, distinct; empty when none apply. */
+  def loadTombstones(spark: SparkSession, path: String): DataFrame =
+    IndexManifest.currentVersion(spark, path) match {
+      case Some(cur) => tombstonesAt(spark, path, cur)
+      case None =>
+        val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+        val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(t)) spark.read.parquet(t.toString).distinct()
+        else spark.range(0).select(col("id").as("vec_id"))
+    }
 
   /** Mask `codes` against the tombstone set — the search-path filter.
     * Broadcast anti-join: the codes scan never shuffles. */
@@ -130,15 +214,15 @@ object VectorIndex {
       "left_anti")
 
   // ---- time travel ---------------------------------------------------------
-  // The manifest already gives every reader snapshot isolation; these
-  // expose it as an API — the Iceberg/Delta "VERSION AS OF" read, kept
-  // minimal. A version's live view is its codes minus its OWN tombstone
-  // log; once a version is superseded (compact or rebuild), that log is
-  // frozen, so the view is stable until vacuum reclaims the files.
-  // Version boundaries are builds and compactions — deletes mutate the
-  // CURRENT version's log in place (monotone, same as appends), so "as
-  // of version v" means "what a reader pinned to v serves now", not a
-  // point-in-time before v's deletes.
+  // The manifest gives every reader snapshot isolation; these expose it
+  // as an API — the Iceberg/Delta "VERSION AS OF" read, kept minimal.
+  // A version resolves COMPOSITELY (see IndexManifest): the newest
+  // payload at-or-below it, minus the delete segments committed after
+  // that payload up to it, restricted to `__batch` partitions at-or-below
+  // its watermark. Every mutation commits its own version, so a pinned
+  // view is IMMUTABLE: later deletes land in higher segments, later
+  // appends in higher batch partitions, later rebuilds in higher payload
+  // and geometry versions — only vacuum can take a pinned view away.
 
   /** All committed versions still resolvable, ascending. */
   def versions(spark: SparkSession, path: String): Seq[Long] =
@@ -146,25 +230,26 @@ object VectorIndex {
 
   private def tombstonesAt(spark: SparkSession, path: String,
       version: Long): DataFrame = {
-    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones_v$version")
-    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(t)) spark.read.parquet(t.toString).distinct()
-    else spark.range(0).select(col("id").as("vec_id"))
+    val segs = IndexManifest.segmentVersionsAt(spark, path, version)
+      .map(d => s"$path/tombstones_v$d")
+    if (segs.isEmpty) spark.range(0).select(col("id").as("vec_id"))
+    else spark.read.schema("vec_id LONG").parquet(segs: _*).distinct()
   }
 
-  /** The live payload AS OF a retained `version` (codes minus that
-    * version's tombstones) — works for every index kind on the shared
-    * layout (the schema is whatever the kind persists). Fails fast when
+  /** The live payload AS OF a retained `version` — works for every index
+    * kind on the shared layout (the schema is whatever the kind
+    * persists). Immutable once `version` is superseded; fails fast when
     * the version was never committed or its payload was vacuumed away. */
   def loadCodesAt(spark: SparkSession, path: String,
       version: Long): DataFrame = {
-    val dir = new org.apache.hadoop.fs.Path(s"$path/codes_v$version")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(IndexManifest.committedVersions(spark, path).contains(version),
       s"version $version was never committed at $path")
-    require(fs.exists(dir),
+    val p = IndexManifest.payloadVersionAt(spark, path, version)
+    require(p.isDefined,
       s"version $version of $path has been vacuumed — raise vacuum(keep)")
-    spark.read.parquet(dir.toString).drop("__batch")
+    val wm = IndexManifest.watermarkAt(spark, path, version)
+    spark.read.parquet(s"$path/codes_v${p.get}")
+      .filter(col("__batch") <= wm).drop("__batch")
       .join(broadcast(tombstonesAt(spark, path, version)), Seq("vec_id"),
         "left_anti")
   }
@@ -196,8 +281,8 @@ object VectorIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = IndexManifest.currentVersion(spark, path).getOrElse(-1L)
     val rows = IndexManifest.committedVersions(spark, path).map { v =>
-      val dir = new Path(s"$path/codes_v$v")
-      if (!fs.exists(dir)) // vacuumed: marker retained, payload gone
+      val p = IndexManifest.payloadVersionAt(spark, path, v)
+      if (p.isEmpty) // vacuumed: marker retained, payload gone
         s"SELECT ${v}L AS version, ${v == cur} AS is_current, " +
           "false AS readable, CAST(NULL AS BIGINT) AS live_items, " +
           "CAST(NULL AS BIGINT) AS pending_tombstones, " +
@@ -207,7 +292,8 @@ object VectorIndex {
         val live = scala.util.Try(loadCodesAt(spark, path, v)
           .select(col("vec_id")).distinct().count()).getOrElse(0L)
         val tombs = tombstonesAt(spark, path, v).count()
-        val bytes = fs.getContentSummary(dir).getLength
+        val bytes = fs.getContentSummary(
+          new Path(s"$path/codes_v${p.get}")).getLength
         s"SELECT ${v}L AS version, ${v == cur} AS is_current, " +
           s"true AS readable, ${live}L AS live_items, " +
           s"${tombs}L AS pending_tombstones, ${bytes}L AS payload_bytes"
@@ -216,50 +302,63 @@ object VectorIndex {
     rows.map(spark.sql).reduce(_ unionByName _)
   }
 
-  /** Rewrite the live codes minus tombstones into the next manifest
-    * version and commit it atomically; the new version's tombstone log
-    * starts with only the deletes (if any) that arrived after the
-    * compaction snapshot — late deletes are carried forward, not lost. Existing files are never modified OR deleted
-    * — a reader that resolved the previous version mid-compact keeps a
-    * complete directory until [[vacuum]]; batch partitioning is
-    * preserved so post-compaction appends keep their replay safety.
-    * No-op (beyond a read) when nothing is tombstoned. Legacy
-    * (pre-manifest) indexes keep the old swap-in-place. */
+  /** Rewrite the live codes minus the pending delete segments into the
+    * next manifest version and commit it atomically under an OPTIMISTIC
+    * loop: if a concurrent delete steals the version number, compact
+    * re-snapshots (now including that delete) and re-folds — a removal
+    * can be folded or left pending for the next compact, never lost.
+    * Existing files are never modified OR deleted — a reader that
+    * resolved any previous version mid-compact keeps complete
+    * directories until [[vacuum]]; batch partitioning is preserved so
+    * post-compaction appends keep their replay safety. No-op (beyond a
+    * listing) when nothing is tombstoned. Legacy (pre-manifest) indexes
+    * keep the old swap-in-place. */
   def compact(spark: SparkSession, path: String): Unit =
     compactWithHook(spark, path, () => ())
 
   /** [[compact]] with a seam between the tombstone snapshot and the
     * commit — test-only, to inject the delete-during-rewrite race the
-    * carry-forward below closes. */
+    * optimistic loop folds in. The hook fires on the FIRST attempt only
+    * (a per-attempt hook would chase its own tail). */
   private[operators] def compactWithHook(spark: SparkSession, path: String,
       afterSnapshot: () => Unit): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tomb = new org.apache.hadoop.fs.Path(
-      IndexManifest.tombstonesDir(spark, path))
-    if (!fs.exists(tomb)) return
     IndexManifest.currentVersion(spark, path) match {
-      case Some(v) =>
-        // pin the tombstone SNAPSHOT the rewrite folds in: deleteIds
-        // appends to the old version's log, so a delete ingested while
-        // the rewrite runs (async delete feed under one logical writer)
-        // would otherwise be dropped when the new version starts with an
-        // empty log — a silently lost removal
-        val snapshot = loadTombstones(spark, path).localCheckpoint(true)
-        afterSnapshot()
-        spark.read.parquet(IndexManifest.codesDir(spark, path))
-          .join(broadcast(snapshot), Seq("vec_id"), "left_anti")
-          .write.partitionBy("__batch").mode("overwrite")
-          .parquet(s"$path/codes_v${v + 1}")
-        IndexManifest.commit(spark, path, v + 1)
-        // carry forward any delete that landed after the snapshot: the
-        // old log minus the folded set moves into the new version's log
-        val late = spark.read.parquet(tomb.toString).distinct()
-          .join(broadcast(snapshot), Seq("vec_id"), "left_anti")
-        if (!late.isEmpty)
-          late.write.mode("append")
-            .parquet(IndexManifest.tombstonesDir(spark, path))
+      case Some(_) =>
+        var hookPending = true
+        var committed = false
+        // the rewrite lands in a HIDDEN temp dir and is renamed to its
+        // payload name only AFTER the marker commits: until the rename, a
+        // reader at the new version resolves the OLD payload minus the
+        // folded segments — the identical live view — so there is no
+        // window where a racing delete's own ids go unmasked (writing
+        // codes_v<target> first would create one if a delete stole the
+        // number mid-rewrite). A crash between commit and rename leaves
+        // that composite view permanently correct, just uncompacted.
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/.codes_compacting")
+        while (!committed) {
+          val cur = IndexManifest.currentVersion(spark, path).get
+          if (IndexManifest.segmentVersionsAt(spark, path, cur).isEmpty)
+            return // nothing pending to fold
+          val snapshot = tombstonesAt(spark, path, cur).localCheckpoint(true)
+          if (hookPending) { hookPending = false; afterSnapshot() }
+          val target = cur + 1
+          val dir = IndexManifest.codesDir(spark, path)
+          spark.read.parquet(dir)
+            .join(broadcast(snapshot), Seq("vec_id"), "left_anti")
+            .write.partitionBy("__batch").mode("overwrite")
+            .parquet(tmp.toString)
+          val wm = nextBatchId(spark, tmp.toString) - 1L
+          committed = IndexManifest.tryCommit(spark, path, target, wm)
+          if (committed)
+            fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$path/codes_v$target"))
+          // a delete took the number: re-fold with a fresh snapshot (the
+          // overwrite mode reuses the temp dir)
+        }
       case None => // legacy layout: the old swap
+        val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+        if (!fs.exists(tomb)) return
         val tmp = new org.apache.hadoop.fs.Path(s"$path/codes_compacting")
         minusTombstones(spark, path, spark.read.parquet(s"$path/codes"))
           .write.partitionBy("__batch").mode("overwrite").parquet(tmp.toString)
@@ -358,21 +457,24 @@ object VectorIndex {
     val n = emb.count()
     val planes = if (n == 0) 4 else Knn.planesFor(n)
     val v = IndexManifest.nextBuildVersion(spark, path)
+    // geometry lands under the NEW version's name BEFORE the marker, so
+    // a crash mid-rebuild leaves the previous version snapshot-complete
+    spark.sql(s"SELECT $planes AS planes")
+      .write.mode("overwrite").parquet(s"$path/meta_v$v")
     emb.select(col(idCol).cast("long").as("vec_id"),
         graft.functions.SignBucketExpr(col(vecCol), planes).as("bucket"))
       .withColumn("__batch", lit(-1L))
       .write.partitionBy("__batch").mode("overwrite")
       .parquet(s"$path/codes_v$v")
-    spark.sql(s"SELECT $planes AS planes")
-      .write.mode("overwrite").parquet(s"$path/meta")
-    IndexManifest.commit(spark, path, v)
+    commitBuild(spark, path, v, Seq("meta"))
   }
 
   /** Hash NEW vectors under the SAVED plane count and append — never
     * refits. Keyed appends are exactly-once under replay. */
   def appendSignLsh(emb: DataFrame, idCol: String, vecCol: String,
       path: String, batchId: Option[Long] = None): Unit = {
-    val planes = emb.sparkSession.read.parquet(s"$path/meta")
+    val planes = emb.sparkSession.read.parquet(
+        IndexManifest.artifactDirAt(emb.sparkSession, path, "meta"))
       .head().getAs[Int]("planes")
     writeCodes(
       emb.select(col(idCol).cast("long").as("vec_id"),
@@ -395,7 +497,9 @@ object VectorIndex {
   def searchSignLsh(spark: SparkSession, path: String, vectors: DataFrame,
       idCol: String, vecCol: String, queries: DataFrame, k: Int,
       probes: Int): DataFrame = {
-    val planes = spark.read.parquet(s"$path/meta").head().getAs[Int]("planes")
+    val planes = spark.read.parquet(
+        IndexManifest.artifactDirAt(spark, path, "meta"))
+      .head().getAs[Int]("planes")
     val cand = broadcast(
         Knn.multiProbeKeys(queries, idCol, vecCol, planes, probes))
       .join(loadSignLshKeys(spark, path),
@@ -417,20 +521,21 @@ object VectorIndex {
       path: String): Unit = {
     val fit = SQ.fitMinMax(emb, vecCol).localCheckpoint(true)
     val v = IndexManifest.nextBuildVersion(emb.sparkSession, path)
-    fit.write.mode("overwrite").parquet(s"$path/sqfit")
+    fit.write.mode("overwrite").parquet(s"$path/sqfit_v$v")
     SQ.withCodes(emb, vecCol, fit)
       .select(col(idCol).cast("long").as("vec_id"), col("qcode"))
       .withColumn("__batch", lit(-1L))
       .write.partitionBy("__batch").mode("overwrite")
       .parquet(s"$path/codes_v$v")
-    IndexManifest.commit(emb.sparkSession, path, v)
+    commitBuild(emb.sparkSession, path, v, Seq("sqfit"))
   }
 
   /** Encode NEW vectors under the SAVED range and append — never refits.
     * Keyed appends are exactly-once under replay, as everywhere. */
   def appendSq8(emb: DataFrame, idCol: String, vecCol: String,
       path: String, batchId: Option[Long] = None): Unit = {
-    val fit = emb.sparkSession.read.parquet(s"$path/sqfit")
+    val fit = emb.sparkSession.read.parquet(
+      IndexManifest.artifactDirAt(emb.sparkSession, path, "sqfit"))
     writeCodes(
       SQ.withCodes(emb, vecCol, fit)
         .select(col(idCol).cast("long").as("vec_id"), col("qcode")),
@@ -451,7 +556,8 @@ object VectorIndex {
     * identical results to searching the in-memory build. */
   def searchSq8(spark: SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val fit = spark.read.parquet(s"$path/sqfit")
+    val fit = spark.read.parquet(
+      IndexManifest.artifactDirAt(spark, path, "sqfit"))
     SQ.searchTopK(loadSq8Codes(spark, path), "vec_id", "qcode",
       SQ.withCodes(queries, vecCol, fit)
         .select(col(idCol).as("vec_id"), col("qcode")),
@@ -466,7 +572,8 @@ object VectorIndex {
 
   /** Saved threshold artifact: the 1-row `__thr` frame `withCode` takes. */
   def loadBinaryThresholds(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/thresholds")
+    spark.read.parquet(
+      IndexManifest.artifactDirAt(spark, path, "thresholds"))
 
   /** Search a SAVED index: coarse Hamming over the loaded codes, rerank
     * against the vector source (joined by id — only candidates load
@@ -510,19 +617,21 @@ object VectorIndex {
       PQ.ivfPqTrain(emb, idCol, vecCol, listCol, subspaces, subDim,
         residCodebook)
     val v = IndexManifest.nextBuildVersion(emb.sparkSession, path)
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
-    rcw.write.mode("overwrite").parquet(s"$path/codebooks")
     // geometry travels with the index: search/append must never guess it
-    // — and it lands BEFORE the commit marker, so no reader can resolve
-    // a committed version whose meta is still missing
+    // — and it lands under the NEW version's names BEFORE the commit
+    // marker, so no reader can resolve a committed version whose
+    // quantizer is missing or (worse) a rebuild's replacement
+    cents.write.mode("overwrite").parquet(s"$path/centroids_v$v")
+    rcw.write.mode("overwrite").parquet(s"$path/codebooks_v$v")
     emb.sparkSession.sql(s"SELECT $subspaces AS subspaces, $subDim AS sub_dim")
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .write.mode("overwrite").parquet(s"$path/meta_v$v")
     codes.select(col("vec_id").cast("long"), col("__list").cast("long"),
         col("s").cast("int"), col("code").cast("long"))
       .withColumn("__batch", lit(-1L))
       .write.partitionBy("__batch").mode("overwrite")
       .parquet(s"$path/codes_v$v")
-    IndexManifest.commit(emb.sparkSession, path, v)
+    commitBuild(emb.sparkSession, path, v,
+      Seq("centroids", "codebooks", "meta"))
   }
 
   /** Append NEW vectors under the SAVED quantizer: each is assigned to
@@ -539,11 +648,12 @@ object VectorIndex {
   def appendIvfPq(emb: DataFrame, idCol: String, vecCol: String,
       path: String, batchId: Option[Long] = None): Unit = {
     val spark = emb.sparkSession
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val meta = spark.read.parquet(
+      IndexManifest.artifactDirAt(spark, path, "meta")).head()
     val (subspaces, subDim) =
       (meta.getAs[Int]("subspaces"), meta.getAs[Int]("sub_dim"))
-    val cents = spark.read.parquet(s"$path/centroids")
-    val rcw = spark.read.parquet(s"$path/codebooks")
+    val cents = loadIvfPqCentroids(spark, path)
+    val rcw = loadIvfPqCodebooks(spark, path)
     // materialize once: encode consumes `assigned` AND the __list
     // re-attach joins it again — without a cut the nearest-centroid
     // crossJoin + min_by would execute twice per append (drop-sized, so
@@ -560,9 +670,11 @@ object VectorIndex {
   }
 
   def loadIvfPqCentroids(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/centroids")
+    spark.read.parquet(
+      IndexManifest.artifactDirAt(spark, path, "centroids"))
   def loadIvfPqCodebooks(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/codebooks")
+    spark.read.parquet(
+      IndexManifest.artifactDirAt(spark, path, "codebooks"))
   def loadIvfPqCodes(spark: SparkSession, path: String): DataFrame =
     spark.read.schema("vec_id LONG, __list LONG, s INT, code LONG, __batch LONG")
       .parquet(IndexManifest.codesDir(spark, path)).drop("__batch")
@@ -572,7 +684,8 @@ object VectorIndex {
     * searching the in-memory build (the q_ivfpq_persist hash proof). */
   def searchIvfPq(spark: SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val meta = spark.read.parquet(
+      IndexManifest.artifactDirAt(spark, path, "meta")).head()
     PQ.ivfPqProbeSearch(
       loadIvfPqCentroids(spark, path),
       loadIvfPqCodebooks(spark, path),

@@ -1061,15 +1061,18 @@ object SimilarityQueries {
       Some(indexDeleteOracle)),
 
     // ---- index time travel: VERSION AS OF reads over the manifest --------
-    // The snapshot layer as an API (VectorIndex.searchBinaryAt): after
-    // delete → compact (v1) → append, a search pinned to v0 must answer
-    // from v0's frozen live view (codes_v0 minus its tombstone log — so
-    // the deletes ARE visible at v0, but the post-compact append is NOT),
-    // while the current search sees the appended clones. Both states
-    // replay as SQL relations: asof_v0 = codes minus tombstoned ids,
-    // current = that plus the appended batch — one oracle pins that the
-    // pinned read neither resurrects deleted ids nor leaks later writes.
-    // Scale: time travel costs nothing at read time (the old version's
+    // The snapshot layer as an API (VectorIndex.searchBinaryAt). EVERY
+    // mutation commits its own manifest version (build v0, delete v1,
+    // compact v2, append v3, delete v4), and a version resolves
+    // compositely — newest payload at-or-below it, minus the delete
+    // segments after that payload, under its append watermark — so a
+    // pinned view is IMMUTABLE: v0 predates the first delete entirely,
+    // v1 masks it without seeing the append, and v3 (pinned BEFORE the
+    // second delete) keeps serving the ids that delete later removes
+    // while the current view masks them. All four states replay as SQL
+    // relations over one codes CTE — one oracle pins that pinned reads
+    // neither resurrect deleted ids nor leak later writes in EITHER
+    // direction. Scale: time travel costs nothing at read time (old
     // files simply persist until vacuum); only retention policy changes.
     Q("q_index_time_travel",
       (s, dir) => {
@@ -1079,18 +1082,26 @@ object SimilarityQueries {
         val clones = emb.filter(col("vec_id") % 5 === 1)
           .withColumn("vec_id", col("vec_id") + 100000L)
         val allVecs = emb.unionByName(clones)
+        def at(v: Long, stage: String) =
+          graft.operators.VectorIndex.searchBinaryAt(s, path, v, allVecs,
+              "vec_id", "embedding", _.filter(col("vec_id") < 10),
+              k = 3, rerankWidth = 32)
+            .withColumn("stage", lit(stage))
         graft.operators.VectorIndex.buildBinary(
           emb, "vec_id", "embedding", path) // v0
         graft.operators.VectorIndex.deleteIds(
           emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")),
-          "vec_id", path)
-        graft.operators.VectorIndex.compact(s, path) // v1
+          "vec_id", path) // v1
+        graft.operators.VectorIndex.compact(s, path) // v2
         graft.operators.VectorIndex.appendBinary(
-          clones, "vec_id", "embedding", path) // v1 only
-        graft.operators.VectorIndex.searchBinaryAt(s, path, 0L, allVecs,
-            "vec_id", "embedding", _.filter(col("vec_id") < 10),
-            k = 3, rerankWidth = 32)
-          .withColumn("stage", lit("asof_v0"))
+          clones, "vec_id", "embedding", path) // v3
+        graft.operators.VectorIndex.deleteIds( // the post-pin delete: v4
+          clones.filter((col("vec_id") - 100000L) % 10 === 1)
+            .select(col("vec_id")),
+          "vec_id", path)
+        at(0L, "asof_v0")
+          .unionByName(at(1L, "asof_v1"))
+          .unionByName(at(3L, "asof_v3"))
           .unionByName(
             graft.operators.VectorIndex.searchBinary(s, path, allVecs,
                 "vec_id", "embedding", _.filter(col("vec_id") < 10),
@@ -1101,33 +1112,52 @@ object SimilarityQueries {
       Some(timeTravelOracle))
   )
 
-  /** Mirror of the time-travel lifecycle: v0's frozen live view (codes
-    * minus its tombstones) vs the current view (plus the post-compact
-    * clone batch). Clones reuse base vectors under +100000 ids, so the
-    * appended codes are derivable exactly as in [[indexDeleteOracle]]. */
+  /** Mirror of the composite-versioned lifecycle: v0 = the full build
+    * (predates every delete), v1 = minus the first delete, v3 = that
+    * plus the appended clones (pinned BEFORE the second delete, which
+    * must stay invisible), current = v3 minus the second delete. Clones
+    * reuse base vectors under +100000 ids, so the appended codes are
+    * derivable exactly as in [[indexDeleteOracle]]. */
   private def timeTravelOracle: String =
     s"""$binaryCodesCte,
        |app1 AS (SELECT vec_id + 100000 AS vec_id, label, code
        |         FROM codes WHERE vec_id % 5 = 1),
+       |live0 AS (SELECT * FROM codes),
        |live1 AS (SELECT * FROM codes WHERE vec_id % 7 <> 0),
-       |live2 AS (SELECT * FROM live1 UNION ALL SELECT * FROM app1),
+       |live3 AS (SELECT * FROM live1 UNION ALL SELECT * FROM app1),
+       |live4 AS (SELECT * FROM live3
+       |          WHERE vec_id < 100000 OR (vec_id - 100000) % 10 <> 1),
        |emb2 AS (SELECT vec_id, embedding FROM embeddings
        |         UNION ALL
        |         SELECT vec_id + 100000, embedding FROM embeddings
        |         WHERE vec_id % 5 = 1),
+       |${rerankCtes("live0", "0", "emb2")},
        |${rerankCtes("live1", "1", "emb2")},
-       |${rerankCtes("live2", "2", "emb2")},
+       |${rerankCtes("live3", "3", "emb2")},
+       |${rerankCtes("live4", "4", "emb2")},
+       |sel0 AS (SELECT qid AS query_id, nid AS neighbor_id, ham AS hamming,
+       |          CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm,
+       |          CAST(rn2 AS INTEGER) AS rank
+       |        FROM f0 WHERE rn2 <= 3),
        |sel1 AS (SELECT qid AS query_id, nid AS neighbor_id, ham AS hamming,
        |          CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm,
        |          CAST(rn2 AS INTEGER) AS rank
        |        FROM f1 WHERE rn2 <= 3),
-       |sel2 AS (SELECT qid AS query_id, nid AS neighbor_id, ham AS hamming,
+       |sel3 AS (SELECT qid AS query_id, nid AS neighbor_id, ham AS hamming,
        |          CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm,
        |          CAST(rn2 AS INTEGER) AS rank
-       |        FROM f2 WHERE rn2 <= 3)
-       |SELECT 'asof_v0' AS stage, * FROM sel1
+       |        FROM f3 WHERE rn2 <= 3),
+       |sel4 AS (SELECT qid AS query_id, nid AS neighbor_id, ham AS hamming,
+       |          CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm,
+       |          CAST(rn2 AS INTEGER) AS rank
+       |        FROM f4 WHERE rn2 <= 3)
+       |SELECT 'asof_v0' AS stage, * FROM sel0
        |UNION ALL
-       |SELECT 'current' AS stage, * FROM sel2
+       |SELECT 'asof_v1' AS stage, * FROM sel1
+       |UNION ALL
+       |SELECT 'asof_v3' AS stage, * FROM sel3
+       |UNION ALL
+       |SELECT 'current' AS stage, * FROM sel4
        |ORDER BY stage, query_id, rank""".stripMargin
 
   /** Hamming-coarse + cosine-rerank CTE chain over a codes relation

@@ -22,15 +22,17 @@ class IndexManifestSpec extends AnyFunSuite {
     VectorIndex.deleteIds(emb.filter(col("vec_id") % 4 === 0), "vec_id", path)
     val nDeleted = emb.filter(col("vec_id") % 4 === 0).count()
 
-    // a "reader" resolves the pre-compact version...
+    // the delete committed its own version (v1); a "reader" resolves
+    // the pre-compact payload...
+    assert(IndexManifest.currentVersion(s, path).contains(1L))
     val pinnedDir = IndexManifest.codesDir(s, path)
     VectorIndex.compact(s, path)
     // ...and its directory is COMPLETELY intact afterwards — the
     // guarantee the old swap-in-place could not give
-    assert(IndexManifest.currentVersion(s, path).contains(1L))
+    assert(IndexManifest.currentVersion(s, path).contains(2L))
     assert(s.read.parquet(pinnedDir).count() == v0Rows,
       "compact must never delete or modify the previous version's files")
-    assert(s.read.parquet(s"$path/codes_v1").count() == v0Rows - nDeleted)
+    assert(s.read.parquet(s"$path/codes_v2").count() == v0Rows - nDeleted)
     // the new version starts with an empty delete log
     assert(VectorIndex.loadTombstones(s, path).count() == 0)
     // and the live view is the compacted one
@@ -41,8 +43,8 @@ class IndexManifestSpec extends AnyFunSuite {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_v0")))
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_v1")))
-    assert(IndexManifest.currentVersion(s, path).contains(1L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_v2")))
+    assert(IndexManifest.currentVersion(s, path).contains(2L))
     // the live view is untouched by vacuum
     assert(VectorIndex.loadBinaryCodes(s, path).count() == v0Rows - nDeleted)
   }
@@ -56,18 +58,20 @@ class IndexManifestSpec extends AnyFunSuite {
       "vec_id", "embedding", path)
     VectorIndex.deleteIds(emb.filter(col("vec_id") < 10), "vec_id", path)
 
+    // build, append, and delete each committed a version: current = 2
     val d1 = VectorIndex.describe(s, path).head()
-    assert(d1.getAs[Long]("version") == 0L)
+    assert(d1.getAs[Long]("version") == 2L)
     assert(d1.getAs[Long]("raw_items") == 120L)
     assert(d1.getAs[Long]("live_items") == 110L)
     assert(d1.getAs[Int]("batch_partitions") == 2) // build + one append
+    assert(d1.getAs[Int]("retained_versions") == 3)
     assert(d1.getAs[Long]("pending_tombstones") == 10L)
     assert(d1.getAs[Long]("payload_bytes") > 0L)
 
     VectorIndex.compact(s, path)
     val d2 = VectorIndex.describe(s, path).head()
-    assert(d2.getAs[Long]("version") == 1L)
-    assert(d2.getAs[Int]("retained_versions") == 2)
+    assert(d2.getAs[Long]("version") == 3L)
+    assert(d2.getAs[Int]("retained_versions") == 4)
     assert(d2.getAs[Long]("raw_items") == 110L)
     assert(d2.getAs[Long]("live_items") == 110L)
     assert(d2.getAs[Long]("pending_tombstones") == 0L)
@@ -76,17 +80,19 @@ class IndexManifestSpec extends AnyFunSuite {
   test("repeated compacts chain versions; vacuum keep=2 retains the last two") {
     val path = Files.createTempDirectory("manifest_chain").toString
     VectorIndex.buildBinary(emb, "vec_id", "embedding", path)
-    VectorIndex.deleteIds(emb.filter(col("vec_id") === 1), "vec_id", path)
-    VectorIndex.compact(s, path) // v1
-    VectorIndex.deleteIds(emb.filter(col("vec_id") === 2), "vec_id", path)
+    VectorIndex.deleteIds(emb.filter(col("vec_id") === 1), "vec_id", path) // v1
     VectorIndex.compact(s, path) // v2
-    assert(IndexManifest.currentVersion(s, path).contains(2L))
+    VectorIndex.deleteIds(emb.filter(col("vec_id") === 2), "vec_id", path) // v3
+    VectorIndex.compact(s, path) // v4
+    assert(IndexManifest.currentVersion(s, path).contains(4L))
+    // keep=2 retains v3+v4; v3 resolves to payload codes_v2, so the
+    // reclaim cutoff is 2 — only the v0/v1 generation goes
     VectorIndex.vacuum(s, path, keep = 2)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_v0")))
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_v1")))
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_v2")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_v4")))
     val n = emb.count()
     assert(VectorIndex.loadBinaryCodes(s, path).count() == n - 2)
   }
@@ -95,14 +101,14 @@ class IndexManifestSpec extends AnyFunSuite {
     val path = Files.createTempDirectory("manifest_rebuild").toString
     VectorIndex.buildBinary(emb.filter(col("vec_id") < 100),
       "vec_id", "embedding", path)
-    VectorIndex.deleteIds(emb.filter(col("vec_id") === 5), "vec_id", path)
-    VectorIndex.compact(s, path) // current = v1
+    VectorIndex.deleteIds(emb.filter(col("vec_id") === 5), "vec_id", path) // v1
+    VectorIndex.compact(s, path) // current = v2
     // rebuild from a DIFFERENT corpus slice: before the versioned-build
     // fix this wrote codes_v0 + committed 0, which currentVersion's max
-    // rule silently ignored — readers kept serving the old v1 payload
+    // rule silently ignored — readers kept serving the old payload
     VectorIndex.buildBinary(emb.filter(col("vec_id") >= 100),
       "vec_id", "embedding", path)
-    assert(IndexManifest.currentVersion(s, path).contains(2L))
+    assert(IndexManifest.currentVersion(s, path).contains(3L))
     val live = VectorIndex.loadBinaryCodes(s, path)
     val expect = emb.filter(col("vec_id") >= 100).count()
     assert(live.count() == expect, "rebuild must serve the new corpus")
@@ -115,23 +121,25 @@ class IndexManifestSpec extends AnyFunSuite {
     val path = Files.createTempDirectory("manifest_race").toString
     VectorIndex.buildBinary(emb.filter(col("vec_id") < 100),
       "vec_id", "embedding", path)
-    VectorIndex.deleteIds(emb.filter(col("vec_id") === 1), "vec_id", path)
-    // inject the race: a delete ingested between compact's tombstone
-    // snapshot and its commit (the async-delete-feed window)
+    VectorIndex.deleteIds(emb.filter(col("vec_id") === 1), "vec_id", path) // v1
+    // inject the race: a delete committing between compact's tombstone
+    // snapshot and its marker — it steals version 2, compact's optimistic
+    // loop re-snapshots (now seeing BOTH segments) and commits v3
     VectorIndex.compactWithHook(s, path, () =>
       VectorIndex.deleteIds(emb.filter(col("vec_id") === 2), "vec_id", path))
-    assert(IndexManifest.currentVersion(s, path).contains(1L))
-    // the late delete was carried into v1's log — the live (masked) view
-    // must not serve vec_id 2 even though codes_v1 still contains it
-    assert(VectorIndex.loadTombstones(s, path).count() == 1)
-    val masked = VectorIndex.minusTombstones(s, path,
-      VectorIndex.loadBinaryCodes(s, path))
-    assert(masked.filter(col("vec_id") === 2).count() == 0)
-    assert(masked.count() == 98)
-    // and the next compact folds it in for good
-    VectorIndex.compact(s, path)
+    assert(IndexManifest.currentVersion(s, path).contains(3L))
+    // the racing delete was folded by the retry, not lost: the compacted
+    // payload holds neither id and no tombstones remain pending
     assert(VectorIndex.loadTombstones(s, path).count() == 0)
+    assert(VectorIndex.loadBinaryCodes(s, path)
+      .filter(col("vec_id").isin(1, 2)).count() == 0)
     assert(VectorIndex.loadBinaryCodes(s, path).count() == 98)
+    // a reader pinned to the stolen version 2 sees the racing delete
+    // exactly once it committed — and nothing of the later compact
+    assert(VectorIndex.loadCodesAt(s, path, 2L).count() == 98)
+    // compact again: nothing pending, a clean no-op
+    VectorIndex.compact(s, path)
+    assert(IndexManifest.currentVersion(s, path).contains(3L))
   }
 
   test("post-compact appends land in the current version and survive the next compact") {

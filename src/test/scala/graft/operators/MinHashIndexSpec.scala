@@ -67,14 +67,14 @@ class MinHashIndexSpec extends AnyFunSuite {
     val path = Files.createTempDirectory("mhidx_rebuild").toString
     MinHashIndex.build(docs.filter(col("doc_id") < 50), "doc_id", "text", path)
     VectorIndex.deleteIds(docs.filter(col("doc_id") === 3), "doc_id", path)
-    VectorIndex.compact(s, path) // current = v1
+    VectorIndex.compact(s, path) // delete = v1, compact = v2
     // rebuild with different k/shingle over a different corpus slice:
     // pre-fix this left readers on the v1 signatures while meta claimed
     // the new geometry — silently wrong probes
     MinHashIndex.build(
       docs.filter(col("doc_id") >= 100 && col("doc_id") < 150),
       "doc_id", "text", path, k = 32, shingle = 4)
-    assert(IndexManifest.currentVersion(s, path).contains(2L))
+    assert(IndexManifest.currentVersion(s, path).contains(3L))
     val clone = docs.filter(col("doc_id") === 120)
       .select(lit(8888L).as("doc_id"), col("text"))
     val hit = MinHashIndex.probe(clone, "doc_id", "text", path, bands = 8)

@@ -19,17 +19,20 @@ class TimeTravelSpec extends AnyFunSuite {
     VectorIndex.buildBinary(base, "vec_id", "embedding", path)
     VectorIndex.deleteIds(emb.filter(col("vec_id") % 7 === 0), "vec_id", path)
     val nDel = base.filter(col("vec_id") % 7 === 0).count()
-    VectorIndex.compact(s, path) // v1
+    VectorIndex.compact(s, path) // v2
     VectorIndex.appendBinary(
       emb.filter(col("vec_id") >= 100 && col("vec_id") < 110),
-      "vec_id", "embedding", path) // lands in v1 only
-    assert(VectorIndex.versions(s, path) == Seq(0L, 1L))
-    // v0 = its codes minus its (frozen) tombstone log — no appended rows
-    assert(VectorIndex.loadCodesAt(s, path, 0L).count() == 100 - nDel)
+      "vec_id", "embedding", path) // commits v3
+    assert(VectorIndex.versions(s, path) == Seq(0L, 1L, 2L, 3L))
+    // v0 predates the delete: the FULL build, no later mutation visible
+    assert(VectorIndex.loadCodesAt(s, path, 0L).count() == 100)
     assert(VectorIndex.loadCodesAt(s, path, 0L)
       .filter(col("vec_id") >= 100).count() == 0)
-    // v1 = compacted + the append
-    assert(VectorIndex.loadCodesAt(s, path, 1L).count() == 100 - nDel + 10)
+    // v1 = the delete's snapshot; v2 = the compacted equal view
+    assert(VectorIndex.loadCodesAt(s, path, 1L).count() == 100 - nDel)
+    assert(VectorIndex.loadCodesAt(s, path, 2L).count() == 100 - nDel)
+    // v3 = compacted + the append
+    assert(VectorIndex.loadCodesAt(s, path, 3L).count() == 100 - nDel + 10)
     // current loader agrees with the pinned-current read
     assert(VectorIndex.loadBinaryCodes(s, path).count() == 100 - nDel + 10)
   }
@@ -39,7 +42,7 @@ class TimeTravelSpec extends AnyFunSuite {
     val base = emb.filter(col("vec_id") < 100).localCheckpoint(true)
     VectorIndex.buildBinary(base, "vec_id", "embedding", path)
     VectorIndex.deleteIds(emb.filter(col("vec_id") === 5), "vec_id", path)
-    VectorIndex.compact(s, path) // v1
+    VectorIndex.compact(s, path) // v2
     def q(df: org.apache.spark.sql.DataFrame) = df.filter(col("vec_id") < 5)
     val atV0 = VectorIndex.searchBinaryAt(s, path, 0L, base,
       "vec_id", "embedding", q, k = 3, rerankWidth = 16)
@@ -84,17 +87,19 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(!r1.getAs[Boolean]("compacted"))
     assert(VectorIndex.loadTombstones(s, path).count() == 5)
     // 15 over 85 = 17.6% — compacts, then vacuums to keep=2 (both fit)
-    VectorIndex.deleteIds(emb.filter(col("vec_id") < 15), "vec_id", path)
+    VectorIndex.deleteIds(emb.filter(col("vec_id") < 15), "vec_id", path) // v2
     val r2 = VectorIndex.maintain(s, path).head()
     assert(r2.getAs[Boolean]("compacted"))
-    assert(r2.getAs[Long]("current_version") == 1L)
+    assert(r2.getAs[Long]("current_version") == 3L)
     assert(VectorIndex.loadTombstones(s, path).count() == 0)
-    assert(VectorIndex.versions(s, path) == Seq(0L, 1L)) // keep=2 retains both
-    // a second policy pass with keep=1 reclaims the old version, no compact
+    // keep=2 retains v2+v3; v2 still resolves to payload codes_v0, so
+    // the whole chain survives this pass
+    assert(VectorIndex.versions(s, path) == Seq(0L, 1L, 2L, 3L))
+    // a keep=1 pass reclaims everything below the compacted payload
     val r3 = VectorIndex.maintain(s, path, keepVersions = 1).head()
     assert(!r3.getAs[Boolean]("compacted"))
-    assert(r3.getAs[Int]("vacuumed_versions") == 1)
-    assert(VectorIndex.versions(s, path) == Seq(1L))
+    assert(r3.getAs[Int]("vacuumed_versions") == 3)
+    assert(VectorIndex.versions(s, path) == Seq(3L))
     assert(VectorIndex.loadBinaryCodes(s, path).count() == 85)
   }
 
@@ -105,17 +110,20 @@ class TimeTravelSpec extends AnyFunSuite {
     VectorIndex.deleteIds(emb.filter(col("vec_id") < 10), "vec_id", path)
     VectorIndex.compact(s, path)
     val h = VectorIndex.history(s, path).orderBy(col("version")).collect()
-    assert(h.map(_.getAs[Long]("version")).toSeq == Seq(0L, 1L))
-    assert(h.map(_.getAs[Boolean]("is_current")).toSeq == Seq(false, true))
+    assert(h.map(_.getAs[Long]("version")).toSeq == Seq(0L, 1L, 2L))
+    assert(h.map(_.getAs[Boolean]("is_current")).toSeq ==
+      Seq(false, false, true))
     assert(h.forall(_.getAs[Boolean]("readable")))
-    assert(h.map(_.getAs[Long]("live_items")).toSeq == Seq(90L, 90L))
-    assert(h.map(_.getAs[Long]("pending_tombstones")).toSeq == Seq(10L, 0L))
+    // v0 predates the delete entirely; v1 masks it; v2 folded it
+    assert(h.map(_.getAs[Long]("live_items")).toSeq == Seq(100L, 90L, 90L))
+    assert(h.map(_.getAs[Long]("pending_tombstones")).toSeq ==
+      Seq(0L, 10L, 0L))
     intercept[IllegalArgumentException] {
       VectorIndex.loadCodesAt(s, path, 7L)
     }
     VectorIndex.vacuum(s, path, keep = 1)
-    // the marker went with the payload: the version list shrinks
-    assert(VectorIndex.versions(s, path) == Seq(1L))
+    // the markers went with the payload: the version list shrinks
+    assert(VectorIndex.versions(s, path) == Seq(2L))
     intercept[IllegalArgumentException] {
       VectorIndex.loadCodesAt(s, path, 0L)
     }
