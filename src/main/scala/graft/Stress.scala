@@ -796,9 +796,12 @@ object Stress {
         // persisted BM25 index vs per-batch recompute at 100k docs: the
         // recompute path re-tokenizes the WHOLE standing corpus on every
         // query batch (cost ∝ corpus text bytes), the index probe reads
-        // token-pruned postings + 12 B/doc length rows. Steady-state
-        // probe reported separately from the first (JIT-warm) call, the
-        // dedupindex discipline.
+        // token-pruned postings + one O(#batches) stats-artifact row set
+        // (corpus stats never rescan doc-length rows). A second index at
+        // 1× the corpus pins the scale claim: probe cost should be ~flat
+        // as docs grow `copies`× (probe_seconds vs probe_seconds_base).
+        // Steady-state probe reported separately from the first
+        // (JIT-warm) call, the dedupindex discipline.
         val dsi0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
         val bigsi = (0 until copies).map(i =>
             dsi0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
@@ -821,8 +824,17 @@ object Stress {
         val n2 = operators.SearchIndex.bm25FromDocs(bigsi, "doc_id", "text",
           siTerms, 20).count()
         val tScratch = (System.nanoTime() - si3) / 1e9
+        // the 1×-corpus index: same probe, `copies`× fewer docs — a flat
+        // probe_seconds/probe_seconds_base ratio is the serving claim
+        val siPathB = java.nio.file.Files
+          .createTempDirectory("stress_sidx_base").toString
+        operators.SearchIndex.build(dsi0, "doc_id", "text", siPathB)
+        operators.SearchIndex.bm25(spark, siPathB, siTerms, 20).count() // warm
+        val si4 = System.nanoTime()
+        operators.SearchIndex.bm25(spark, siPathB, siTerms, 20).count()
+        val tProbeBase = (System.nanoTime() - si4) / 1e9
         bigsi.unpersist()
-        println(f"""{"docs":$nSi%d,"build_seconds":$tSiBuild%.1f,"probe_cold_seconds":$tProbeCold%.1f,"probe_seconds":$tProbeWarm%.1f,"recompute_seconds":$tScratch%.1f,"rows":$n1%d,"rows_scratch":$n2%d}""")
+        println(f"""{"docs":$nSi%d,"build_seconds":$tSiBuild%.1f,"probe_cold_seconds":$tProbeCold%.1f,"probe_seconds":$tProbeWarm%.1f,"probe_seconds_base":$tProbeBase%.1f,"recompute_seconds":$tScratch%.1f,"rows":$n1%d,"rows_scratch":$n2%d}""")
 
       case "signlshindex" =>
         // persisted sign-LSH keys vs re-hash-per-batch at scale: the

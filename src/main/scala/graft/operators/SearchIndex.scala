@@ -7,25 +7,47 @@ import org.apache.spark.sql.functions._
   * the way [[HammingIndex]]/[[MinHashIndex]] are the dedup family's: BM25
   * serving stops re-tokenizing the standing corpus per query batch. The
   * searchable payload is the POSTINGS table — one row per (doc, token)
-  * with its term frequency, plus one reserved-token row per doc carrying
-  * the document length — persisted on the SAME storage contract as every
-  * index here (manifest-versioned batch-partitioned payload keyed by
-  * `vec_id`, append-only tombstones), so [[VectorIndex.deleteIds]],
-  * [[VectorIndex.compact]], [[VectorIndex.vacuum]], and the VERSION AS OF
-  * readers run on a search index unchanged. Storing per-doc rows (not
-  * aggregated df/N artifacts) is what makes deletes exact: corpus
-  * statistics are re-aggregated from the LIVE rows at probe time, so a
-  * tombstoned document leaves df, N, and Σdl the moment it is deleted —
-  * no stale-statistics window, no decrement bookkeeping.
+  * with its term frequency, the DOC LENGTH denormalized onto every row,
+  * and its positions, plus one reserved-token row per doc — persisted on
+  * the SAME storage contract as every index here (manifest-versioned
+  * batch-partitioned payload keyed by `vec_id`, versioned delete
+  * segments), so [[VectorIndex.deleteIds]], [[VectorIndex.compact]],
+  * [[VectorIndex.vacuum]], and the VERSION AS OF readers run on a search
+  * index unchanged.
+  *
+  * Corpus statistics (N docs, Σ doc length) are what BM25 needs beyond
+  * the query terms' postings, and re-aggregating them from per-doc rows
+  * at probe time — exact, but O(corpus docs) per query batch — is a
+  * serving scale-killer at 10 B docs. Instead the index persists a
+  * per-batch STATS artifact (`stats_v<P>`, one 24-byte row per `__batch`
+  * partition of payload P, written at build and maintained by each
+  * append under the same dynamic-partition-overwrite replay key as the
+  * codes), and a probe reads corpus stats as
+  *
+  *   Σ stats rows  −  (count, Σdl) of the PENDING-DELETED docs,
+  *
+  * where the correction aggregates the reserved doc-length rows
+  * semi-joined to the pending tombstone set — O(drop), not O(corpus):
+  * the tombstone set is small by contract (maintain() compacts past 10%)
+  * and the doc-length rows are token-pruned (the reserved token sorts
+  * first; `build`/`append` sort within partitions by token so row groups
+  * prune). Deletes therefore still shift df, N, and Σdl the moment they
+  * commit — no stale-statistics window — which is exactly what the
+  * oracle's post-delete hash proves. Whenever the CURRENT payload has no
+  * stats artifact (an index persisted before this artifact existed, or a
+  * payload produced by the kind-agnostic [[VectorIndex.compact]]),
+  * probes FALL BACK to the exact live-row aggregate — correctness never
+  * depends on the artifact — and [[refreshStats]] / [[maintain]] restore
+  * the O(1) path.
   *
   * Scale: the probe reads postings FILTERED to the query terms (a pushed
-  * parquet predicate — `build` sorts within partitions by token so row
-  * groups prune) plus the token-pruned doc-length rows for corpus stats
-  * (12 B/doc); scoring is the same integer-ppm BM25 arithmetic the
-  * from-scratch scorer uses, so a probe is hash-identical to recomputing
-  * over the live documents — which is exactly how the oracle checks it.
-  * Appends tokenize only the drop (exactly-once under a streaming
-  * batchId, as everywhere).
+  * parquet predicate over token-sorted row groups) plus one stats read
+  * of O(#batches) rows; scoring is the same integer-ppm BM25 arithmetic
+  * the from-scratch scorer uses, so a probe is hash-identical to
+  * recomputing over the live documents. Appends tokenize only the drop
+  * (exactly-once under a streaming batchId, as everywhere). Indexes
+  * persisted before doc-length denormalization must be rebuilt (their
+  * files lack the `dl` column, as pre-positional ones lack `pos`).
   */
 object SearchIndex {
 
@@ -35,28 +57,44 @@ object SearchIndex {
     * a bare NUL between two spaces. */
   val DlToken = "\u0000"
 
+  private val PostingSchema =
+    "vec_id LONG, token STRING, tf LONG, dl LONG, pos ARRAY<INT>"
+  private val PostingSchemaB = PostingSchema + ", __batch LONG"
+  private val StatsSchema = "n_docs LONG, sum_dl LONG, __batch LONG"
+
   private def postingsOf(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).cast("long").as("vec_id"),
       split(col(textCol), " ").as("__toks"))
     // positional postings (1-based, sorted): tf rides along; positions
     // cost ~one int per token occurrence — the standard positional-index
-    // trade, what phrase queries pay for
+    // trade, what phrase queries pay for. The doc length rides on EVERY
+    // posting row (8 B) so scoring never joins a per-doc table: the
+    // probe's only reads are the query terms' own postings.
     val tf = toks
-      .select(col("vec_id"),
+      .select(col("vec_id"), size(col("__toks")).cast("long").as("dl"),
         posexplode(col("__toks")).as(Seq("__i", "token")))
       .groupBy(col("vec_id"), col("token"))
-      .agg(count(lit(1)).as("tf"),
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"),
         sort_array(collect_list(col("__i") + 1)).as("pos"))
+      .select(col("vec_id"), col("token"), col("tf"), col("dl"), col("pos"))
     val dl = toks.select(col("vec_id"), lit(DlToken).as("token"),
       size(col("__toks")).cast("long").as("tf"),
+      size(col("__toks")).cast("long").as("dl"),
       array().cast("array<int>").as("pos"))
     tf.unionByName(dl).sortWithinPartitions(col("token"))
   }
 
+  /** Per-batch corpus-stats rows of `postings` (already batch-stamped):
+    * (n_docs, Σdl) per `__batch`, from the reserved rows. */
+  private def batchStatsOf(postings: DataFrame): DataFrame =
+    postings.filter(col("token") === DlToken)
+      .groupBy(col("__batch"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_dl"))
+
   /** Tokenize + persist the standing corpus (build partition
-    * `__batch=-1`). Rebuild into an existing index commits the NEXT
-    * manifest version, like every build here. */
+    * `__batch=-1`) plus its stats artifact. Rebuild into an existing
+    * index commits the NEXT manifest version, like every build here. */
   def build(docs: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
     val spark = docs.sparkSession
@@ -65,22 +103,117 @@ object SearchIndex {
       .withColumn("__batch", lit(-1L))
       .write.partitionBy("__batch").mode("overwrite")
       .parquet(s"$path/codes_v$v")
-    VectorIndex.commitBuild(spark, path, v, Seq.empty)
+    // stats from the payload just written (a token-pruned read-back, not
+    // a second tokenization), landing BEFORE the commit marker like every
+    // geometry artifact — a crash mid-build leaves the previous version
+    // payload+stats complete
+    batchStatsOf(
+        spark.read.schema(PostingSchemaB).parquet(s"$path/codes_v$v"))
+      .write.partitionBy("__batch").mode("overwrite")
+      .parquet(s"$path/stats_v$v")
+    VectorIndex.commitBuild(spark, path, v, Seq("stats"))
   }
 
-  /** Tokenize NEW docs only and append their postings. Pass the
-    * streaming `batchId` for exactly-once replay. */
+  /** Tokenize NEW docs only, append their postings, and upsert the
+    * batch's stats row. Pass the streaming `batchId` for exactly-once
+    * replay — the stats row is keyed by the same `__batch` partition as
+    * the codes, so a replay replaces both instead of double-counting. */
   def append(docs: DataFrame, idCol: String, textCol: String, path: String,
-      batchId: Option[Long] = None): Unit =
-    VectorIndex.writeCodes(postingsOf(docs, idCol, textCol), path, batchId)
+      batchId: Option[Long] = None): Unit = {
+    val spark = docs.sparkSession
+    val batch = VectorIndex.writeCodes(postingsOf(docs, idCol, textCol),
+      path, batchId)
+    currentStatsDir(spark, path).foreach { statsDir =>
+      batchStatsOf(
+          spark.read.schema(PostingSchemaB)
+            .parquet(IndexManifest.codesDir(spark, path))
+            .filter(col("__batch") === batch))
+        .write.partitionBy("__batch").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(statsDir)
+    }
+  }
 
-  /** Live postings (vec_id, token, tf) including the reserved doc-length
-    * rows, tombstones masked. Explicit schema keeps an empty index
-    * readable, as with the other text indexes. */
+  /** The stats artifact dir of the CURRENT payload, when it exists —
+    * stats are payload-exact (batch rows describe that payload's
+    * partitions), so resolution is an exact version match, never
+    * [[IndexManifest.artifactDirAt]]'s newest-at-or-below rule: a
+    * compacted payload must NOT inherit the pre-compact artifact. */
+  private def currentStatsDir(spark: SparkSession,
+      path: String): Option[String] = {
+    val dir = for {
+      v <- IndexManifest.currentVersion(spark, path)
+      p <- IndexManifest.payloadVersionAt(spark, path, v)
+    } yield s"$path/stats_v$p"
+    dir.filter { d =>
+      val hp = new org.apache.hadoop.fs.Path(d)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
+  }
+
+  /** 1-row (n_docs, sum_dl) of the LIVE corpus: the stats artifact minus
+    * the pending-deleted docs' contribution when the artifact exists,
+    * else the exact aggregate over `live`'s reserved rows. */
+  private def corpusStats(spark: SparkSession, path: String,
+      live: DataFrame): DataFrame =
+    currentStatsDir(spark, path) match {
+      case None =>
+        live.filter(col("token") === DlToken)
+          .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_dl"))
+      case Some(statsDir) =>
+        val base = spark.read.schema(StatsSchema).parquet(statsDir)
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("sum_dl")).as("sum_dl"))
+        val cur = IndexManifest.currentVersion(spark, path).get
+        if (IndexManifest.segmentVersionsAt(spark, path, cur).isEmpty) base
+        else {
+          // pending deletes: subtract the deleted docs' reserved rows —
+          // a token-pruned read semi-joined to the (tiny, broadcast)
+          // tombstone set, O(drop) not O(corpus)
+          val deleted = spark.read.schema(PostingSchemaB)
+            .parquet(IndexManifest.codesDir(spark, path))
+            .filter(col("token") === DlToken)
+            .join(broadcast(VectorIndex.loadTombstones(spark, path)),
+              Seq("vec_id"), "left_semi")
+            .agg(count(lit(1)).as("__dn"),
+              coalesce(sum(col("tf")), lit(0L)).as("__ddl"))
+          base.crossJoin(broadcast(deleted))
+            .select((col("n_docs") - col("__dn")).as("n_docs"),
+              (col("sum_dl") - col("__ddl")).as("sum_dl"))
+        }
+    }
+
+  /** Recompute the stats artifact for the CURRENT payload from its raw
+    * batch rows — the repair after a kind-agnostic [[VectorIndex
+    * .compact]] produced a payload without one (probes stay exact via
+    * the fallback; this restores the O(1)-stats path). One token-pruned
+    * pass; no-op on legacy layouts. */
+  def refreshStats(spark: SparkSession, path: String): Unit =
+    for {
+      v <- IndexManifest.currentVersion(spark, path)
+      p <- IndexManifest.payloadVersionAt(spark, path, v)
+    } batchStatsOf(
+        spark.read.schema(PostingSchemaB).parquet(s"$path/codes_v$p"))
+      .write.partitionBy("__batch").mode("overwrite")
+      .parquet(s"$path/stats_v$p")
+
+  /** [[VectorIndex.maintain]] + stats repair: compaction writes a new
+    * payload (no stats artifact yet — probes fall back to the exact live
+    * aggregate), so a search index's maintenance recomputes it. */
+  def maintain(spark: SparkSession, path: String,
+      maxTombstoneRatio: Double = 0.1, keepVersions: Int = 2): DataFrame = {
+    val report =
+      VectorIndex.maintain(spark, path, maxTombstoneRatio, keepVersions)
+    if (report.head().getAs[Boolean]("compacted")) refreshStats(spark, path)
+    report
+  }
+
+  /** Live postings (vec_id, token, tf, dl, pos) including the reserved
+    * doc-length rows, tombstones masked. Explicit schema keeps an empty
+    * index readable, as with the other text indexes. */
   def load(spark: SparkSession, path: String): DataFrame =
     VectorIndex.minusTombstones(spark, path,
-      spark.read
-        .schema("vec_id LONG, token STRING, tf LONG, pos ARRAY<INT>, __batch LONG")
+      spark.read.schema(PostingSchemaB)
         .parquet(IndexManifest.codesDir(spark, path))
         .drop("__batch"))
 
@@ -116,41 +249,45 @@ object SearchIndex {
     * recomputing over the live documents. Returns (doc_id, score_ppm,
     * n_terms) ranked (score desc, doc_id). */
   def bm25(spark: SparkSession, path: String, terms: Seq[String],
-      k: Int): DataFrame =
-    scorePostings(load(spark, path), terms, k)
+      k: Int): DataFrame = {
+    require(!terms.contains(DlToken))
+    val live = load(spark, path)
+    scorePostings(live, corpusStats(spark, path, live), terms, k)
+  }
 
   /** The same scorer straight from a documents frame, no persistence —
     * what a pipeline without a standing index pays per query batch (the
     * Stress `searchindex` comparison), and the proof body shared with
     * the index path. */
   def bm25FromDocs(docs: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String], k: Int): DataFrame =
-    scorePostings(postingsOf(docs, idCol, textCol), terms, k)
+      terms: Seq[String], k: Int): DataFrame = {
+    val postings = postingsOf(docs, idCol, textCol)
+    val corpus = postings.filter(col("token") === DlToken)
+      .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_dl"))
+    scorePostings(postings, corpus, terms, k)
+  }
 
   /** BATCHED BM25 serving — the production shape: a whole query set
     * (query_id, token rows) scored against the live index in ONE pass.
     * Per-term work is that term's posting list regardless of how many
     * queries share it (the query table joins the postings once,
-    * broadcast); df/N/Σdl aggregate from live rows exactly as the
-    * single-query path. Returns (query_id, doc_id, score_ppm, n_terms,
-    * rank ≤ k), rank by (score desc, doc_id) within each query. */
+    * broadcast); corpus stats come from the stats artifact, so batch
+    * cost is the requested terms' postings plus O(#batches) rows.
+    * Returns (query_id, doc_id, score_ppm, n_terms, rank ≤ k), rank by
+    * (score desc, doc_id) within each query. */
   def bm25Batch(spark: SparkSession, path: String, queries: DataFrame,
       queryIdCol: String, termCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val live = load(spark, path)
     val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
       col(termCol).as("token")).distinct()
-    val corpus = live.filter(col("token") === DlToken)
-      .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_dl"))
-    val dl = live.filter(col("token") === DlToken)
-      .select(col("vec_id"), col("tf").as("dl"))
+    val corpus = corpusStats(spark, path, live)
     // postings for any requested term, read once; df is per TOKEN (not
     // per query), so it aggregates before the query join fans out
     val tf = live.join(broadcast(q.select(col("token")).distinct()), "token")
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(q), Seq("token"))
       .join(broadcast(df), Seq("token"))
-      .join(dl, Seq("vec_id"))
       .crossJoin(broadcast(corpus))
       .withColumn("idf_ppm",
         expr("(2*n_docs - 2*df + 1) * 1000000L div (2*df + 1)"))
@@ -166,18 +303,11 @@ object SearchIndex {
       .filter(col("rank") <= k)
   }
 
-  private def scorePostings(live: DataFrame, terms: Seq[String],
-      k: Int): DataFrame = {
-    // corpus stats from the reserved rows: N docs, total length — these
-    // see deletes immediately because the mask is already applied
-    val corpus = live.filter(col("token") === DlToken)
-      .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_dl"))
-    val dl = live.filter(col("token") === DlToken)
-      .select(col("vec_id"), col("tf").as("dl"))
+  private def scorePostings(live: DataFrame, corpus: DataFrame,
+      terms: Seq[String], k: Int): DataFrame = {
     val tf = live.filter(col("token").isin(terms: _*))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), Seq("token"))
-      .join(dl, Seq("vec_id"))
       .crossJoin(broadcast(corpus))
       .withColumn("idf_ppm",
         expr("(2*n_docs - 2*df + 1) * 1000000L div (2*df + 1)"))

@@ -45,8 +45,11 @@ object VectorIndex {
     if (ids.isEmpty) 0L else math.max(ids.max + 1L, 0L)
   }
 
+  /** Returns the `__batch` partition id the drop landed in (kinds with
+    * per-batch side artifacts — the search index's stats rows — key them
+    * by it). */
   private[operators] def writeCodes(codes: DataFrame, path: String,
-      batchId: Option[Long]): Unit = {
+      batchId: Option[Long]): Long = {
     val spark = codes.sparkSession
     val dir = IndexManifest.codesDir(spark, path)
     val batch = batchId.getOrElse(nextBatchId(spark, dir))
@@ -68,6 +71,7 @@ object VectorIndex {
           nextBatchId(spark, dir) - 1L)
       }
     }
+    batch
   }
 
   /** Commit a freshly-built payload version, retrying past version-number

@@ -95,6 +95,63 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(batch == single, "one-query batch must equal the single path")
   }
 
+  test("stats artifact: per-batch rows track build/append/replay exactly") {
+    val path = Files.createTempDirectory("sidx_stats").toString
+    val base = docs.filter(col("doc_id") < 300)
+    SearchIndex.build(base, "doc_id", "text", path)
+    def stats() = s.read
+      .schema("n_docs LONG, sum_dl LONG, __batch LONG")
+      .parquet(s"$path/stats_v0")
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toVector
+    def expected(d: org.apache.spark.sql.DataFrame) = (
+      d.count(),
+      d.select(sum(size(split(col("text"), " ")))).head().getLong(0))
+    assert(stats().map(t => (t._1, t._2, t._3)) ==
+      Vector((-1L, expected(base)._1, expected(base)._2)))
+    // a keyed append adds ITS row; replaying it must not double-count
+    val drop = docs.filter(col("doc_id") >= 300 && col("doc_id") < 350)
+      .localCheckpoint(true)
+    SearchIndex.append(drop, "doc_id", "text", path, batchId = Some(0L))
+    SearchIndex.append(drop, "doc_id", "text", path, batchId = Some(0L))
+    assert(stats() == Vector(
+      (-1L, expected(base)._1, expected(base)._2),
+      (0L, expected(drop)._1, expected(drop)._2)),
+      "replayed keyed append must replace, not double, its stats row")
+  }
+
+  test("generic compact falls back to exact stats; refreshStats restores the artifact") {
+    val path = Files.createTempDirectory("sidx_restat").toString
+    SearchIndex.build(docs.filter(col("doc_id") < 300), "doc_id", "text", path)
+    VectorIndex.deleteIds(docs.filter(col("doc_id") < 60), "doc_id", path)
+    val before = rows(SearchIndex.bm25(s, path, terms, 20))
+    // kind-agnostic compact: new payload, no stats artifact — probes must
+    // fall back to the exact live aggregate, not inherit stale stats
+    VectorIndex.compact(s, path)
+    val p = IndexManifest.payloadVersionAt(s, path,
+      IndexManifest.currentVersion(s, path).get).get
+    val statsDir = new org.apache.hadoop.fs.Path(s"$path/stats_v$p")
+    val fs = statsDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(statsDir), "compact must not inherit pre-compact stats")
+    assert(rows(SearchIndex.bm25(s, path, terms, 20)) == before,
+      "fallback stats must serve the identical ranking")
+    SearchIndex.refreshStats(s, path)
+    assert(fs.exists(statsDir))
+    assert(rows(SearchIndex.bm25(s, path, terms, 20)) == before,
+      "refreshed artifact must serve the identical ranking")
+    // search-aware maintenance does the repair in one call
+    val path2 = Files.createTempDirectory("sidx_maintain").toString
+    SearchIndex.build(docs.filter(col("doc_id") < 300), "doc_id", "text", path2)
+    VectorIndex.deleteIds(docs.filter(col("doc_id") < 60), "doc_id", path2)
+    val r = SearchIndex.maintain(s, path2).head()
+    assert(r.getAs[Boolean]("compacted"))
+    val p2 = IndexManifest.payloadVersionAt(s, path2,
+      IndexManifest.currentVersion(s, path2).get).get
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path2/stats_v$p2")),
+      "maintain must recompute the stats artifact after compacting")
+    assert(rows(SearchIndex.bm25(s, path2, terms, 20)) == before)
+  }
+
   test("an empty index serves empty results, not a crash") {
     val path = Files.createTempDirectory("sidx_empty").toString
     SearchIndex.build(docs.filter(col("doc_id") < 0), "doc_id", "text", path)
