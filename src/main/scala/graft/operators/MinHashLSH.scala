@@ -267,6 +267,17 @@ object MinHashLSH {
   def bandBitsFor(n: Long, maxHamming: Int): Int =
     bestBandBits(n, 64, maxHamming, Seq(4, 8, 16))
 
+  /** [[bandBitsFor]] generalized to the optimizer rule's banding domain
+    * ([[graft.plans.HammingJoinRule]] bands the low 32 bits of each LONG
+    * operand, so `bits` = 32·columns and widths must divide 32): the
+    * identical measured cost model, only the bit budget and the
+    * candidate set differ — the rule pre-filters `cands` to widths whose
+    * probe expansion fits its `maxProbes` cap, so the chosen width is
+    * always one the rewrite can actually ship. */
+  def rewriteBandBitsFor(n: Long, bits: Int, maxHamming: Int,
+      cands: Seq[Int] = Seq(4, 8, 16)): Int =
+    bestBandBits(n, bits, maxHamming, cands)
+
   /** Shared width chooser: minimize SHUFFLE_WEIGHT·n·bands·probes +
     * n²·bands·probes/2^b over the candidate widths, bands = ⌈bits/b⌉. */
   private def bestBandBits(n: Long, bits: Int, maxHamming: Int,

@@ -51,12 +51,22 @@ import org.apache.spark.sql.types._
   *    entries per band) — a huge radius would explode the expansion,
   *    and past tau ≥ 64 the predicate is vacuous anyway
   *
-  * Band width comes from `spark.graft.hammingRewrite.bandBits`
-  * (default 8 — the measured sweet spot for 100k–1M corpora, SCALE.md
-  * `Stress phashauto`); `spark.graft.hammingRewrite.enabled=false`
-  * turns the rule off. A logical rule cannot run count() for the
-  * corpus-adaptive derivation the DataFrame operator uses, so the knob
-  * is a conf, not a scan.
+  * Band width is derived from the PLAN'S OWN STATISTICS at rewrite
+  * time — the corpus-adaptive choice the DataFrame operator makes from
+  * count(*), without running a scan: `n` is the larger child's
+  * `stats.rowCount` (exact under CBO/ANALYZE), falling back to
+  * `sizeInBytes / row-width` (always available — Spark's own join-side
+  * estimation basis), fed to the measured cost model
+  * ([[graft.operators.MinHashLSH.rewriteBandBitsFor]] — the
+  * SHUFFLE_WEIGHT=128 model of `bandBitsFor`, bits = 32·columns). A
+  * small corpus thus gets cheap 4-bit exact bands instead of paying a
+  * fixed width's probe expansion, and a 100M-row corpus gets the wide
+  * bands its n²/2^b term demands. `spark.graft.hammingRewrite.bandBits`
+  * OVERRIDES the derivation when set (must divide 32); an unknown-size
+  * plan (sizeInBytes defaults to the max) derives the widest band —
+  * conservative against the quadratic term, never against correctness
+  * (recall is width-invariant by the pigeonhole argument above).
+  * `spark.graft.hammingRewrite.enabled=false` turns the rule off.
   */
 object HammingJoinRule extends Rule[LogicalPlan] {
 
@@ -69,10 +79,6 @@ object HammingJoinRule extends Rule[LogicalPlan] {
   def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString("spark.graft.hammingRewrite.enabled", "true")
         .toBoolean) return plan
-    val bandBits = conf
-      .getConfString("spark.graft.hammingRewrite.bandBits", "8").toInt
-    require(bandBits > 0 && 32 % bandBits == 0,
-      s"spark.graft.hammingRewrite.bandBits must divide 32, got $bandBits")
     val maxProbes = conf
       .getConfString("spark.graft.hammingRewrite.maxProbes", "512").toInt
 
@@ -86,16 +92,68 @@ object HammingJoinRule extends Rule[LogicalPlan] {
         }
         if (hasEqui) j
         else findBound(conjuncts, left, right) match {
-          case Some(bound) =>
-            val bandsPerCol = 32 / bandBits
-            val bands = bound.pairs.length * bandsPerCol
-            val s = bound.tau / bands
-            val flips = graft.operators.MinHashLSH.flipMasks(bandBits, s)
-            if (flips.length > maxProbes || bound.tau < 0) j
-            else rewrite(j, left, right, cond, bound, bandBits, bandsPerCol, s,
-              flips)
-          case None => j
+          case Some(bound) if bound.tau >= 0 =>
+            chooseBandBits(bound, left, right, maxProbes) match {
+              case Some(bandBits) =>
+                val bandsPerCol = 32 / bandBits
+                val bands = bound.pairs.length * bandsPerCol
+                val s = bound.tau / bands
+                val flips = graft.operators.MinHashLSH.flipMasks(bandBits, s)
+                if (flips.length > maxProbes) j // explicit-override overflow
+                else rewrite(j, left, right, cond, bound, bandBits,
+                  bandsPerCol, s, flips)
+              case None => j // no width fits the probe cap at this radius
+            }
+          case _ => j
         }
+    }
+  }
+
+  /** Probe-expansion factor of width `b` at sub-radius `s`:
+    * Σ_{k≤s} C(b,k) — counted without materializing the masks. */
+  private def probeCount(b: Int, s: Int): Long =
+    (0 to math.min(s, b)).map { k =>
+      (1 to k).foldLeft(1L)((acc, i) => acc * (b - i + 1) / i)
+    }.sum
+
+  /** Band width: the conf override when set, else the measured cost
+    * model over the larger join side's statistics-estimated row count —
+    * restricted to widths whose probe expansion fits `maxProbes`, so the
+    * derivation can never pick a width the cap then rejects (which would
+    * silently fall back to the nested-loop plan at exactly the scale
+    * where the quadratic hurts most). None = no width fits. */
+  private def chooseBandBits(bound: HammingBound, left: LogicalPlan,
+      right: LogicalPlan, maxProbes: Int): Option[Int] =
+    conf.getConfString("spark.graft.hammingRewrite.bandBits", "") match {
+      case "" =>
+        val feasible = Seq(4, 8, 16).filter { b =>
+          val bands = bound.pairs.length * (32 / b)
+          probeCount(b, bound.tau / bands) <= maxProbes
+        }
+        if (feasible.isEmpty) None
+        else {
+          val n = math.max(estimatedRows(left), estimatedRows(right))
+          Some(graft.operators.MinHashLSH.rewriteBandBitsFor(n,
+            bound.pairs.length * 32, bound.tau, feasible))
+        }
+      case set =>
+        val b = set.toInt
+        require(b > 0 && 32 % b == 0,
+          s"spark.graft.hammingRewrite.bandBits must divide 32, got $b")
+        Some(b)
+    }
+
+  /** Statistics-estimated row count: exact `rowCount` when the plan has
+    * one (CBO/ANALYZE), else `sizeInBytes` over the output row width —
+    * the same basis Spark's own join-side estimation uses. An
+    * unknown-size plan (sizeInBytes = defaultSizeInBytes = Long.Max)
+    * estimates huge, deriving the widest band — safe: width never
+    * affects the result set, only cost. */
+  private def estimatedRows(p: LogicalPlan): Long = {
+    val st = p.stats
+    st.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong).getOrElse {
+      val width = math.max(8, p.output.map(_.dataType.defaultSize).sum + 8)
+      (st.sizeInBytes / width).min(BigInt(Long.MaxValue)).toLong.max(1L)
     }
   }
 

@@ -161,6 +161,39 @@ class HammingJoinRuleSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.hammingRewrite.maxProbes")
   }
 
+  test("band width derives from plan statistics: small plans 4-bit, huge plans 8-bit") {
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Explode}
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    // plan-only (never executed): the probe-side Generate's array arity
+    // identifies the chosen width — bands×flips at tau=12 over one LONG
+    // column is 8×5=40 entries for 4-bit bands, 4×93=372 for 8-bit
+    // (16-bit needs 14,893 probes > maxProbes=512: filtered as
+    // infeasible BEFORE costing, so scale can never silently skip the
+    // rewrite). The cost model's 4→8 boundary at this shape is ~40k rows.
+    def probeArity(n: Long): Seq[Int] = {
+      spark.range(n).selectExpr("id", "id * 123L AS h")
+        .createOrReplaceTempView("hjr_stats")
+      val df = spark.sql(
+        """SELECT a.id FROM hjr_stats a JOIN hjr_stats b
+          |  ON a.id < b.id AND bit_count(a.h ^ b.h) <= 12""".stripMargin)
+      df.queryExecution.optimizedPlan.collect {
+        case g: Generate => g.generator match {
+          case Explode(arr: CreateArray) => arr.children.length
+          case _ => 0
+        }
+      }
+    }
+    assert(probeArity(1000L).max == 40,
+      "a 1k-row plan must derive cheap 4-bit exact bands")
+    assert(probeArity(10000000L).max == 372,
+      "a 10M-row plan must derive 8-bit bands (n²/2^b dominates)")
+    // the conf override still wins over the derivation
+    spark.conf.set("spark.graft.hammingRewrite.bandBits", "8")
+    try assert(probeArity(1000L).max == 372,
+      "explicit bandBits must override the statistics derivation")
+    finally spark.conf.unset("spark.graft.hammingRewrite.bandBits")
+  }
+
   test("tau = 0 degenerates to the exact-key band join and keeps parity") {
     hashes.createOrReplaceTempView("hjr_z")
     val sql =
