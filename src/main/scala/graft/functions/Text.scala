@@ -25,6 +25,48 @@ object Text {
 
   def tokens(c: Column): Column = split(c, " ")
 
+  /** Split pattern of [[unicodeTokens]]: runs of anything that is not a
+    * Unicode letter or digit. `\p{L}`/`\p{N}` are Unicode general
+    * categories in BOTH Java regex (Spark) and RE2 (DuckDB), which is
+    * what keeps the two engines token-identical — measured on
+    * punctuation, tabs, NBSP/thin/ideographic spaces, accents, CJK, and
+    * mixed case (the q_unicode_* oracles gate it). */
+  val TokenSplitRegex = "[^\\p{L}\\p{N}]+"
+
+  /** Canonical UNICODE tokenizer for the search/analysis family (BM25 +
+    * phrase indexes, token counting, quality, language-ID, TF-IDF, BPE
+    * vocabulary): lowercase, split on [[TokenSplitRegex]], drop empties.
+    * Production-true on real web text where the fixed single-space
+    * [[tokens]] is not. All codegen'd builtins — no UDF.
+    *
+    * The SHINGLE/fingerprint family ([[shingles]], [[shingleHashes]],
+    * simhash, winnowing, CDC chunking) deliberately stays on the
+    * byte-faithful single-space split: its native expressions
+    * ([[ShingleHashExpr]], [[MinHashSigExpr]]) pin that contract in
+    * codegen, and near-dup fingerprints should see the text as-is —
+    * case-folding there would alias genuinely different documents. */
+  def unicodeTokens(c: Column): Column =
+    filter(split(lower(c), TokenSplitRegex), t => length(t) > 0)
+
+  /** SQL fragment mirroring [[unicodeTokens]] for the DuckDB oracle. */
+  def unicodeTokensSql(textExpr: String): String =
+    s"list_filter(regexp_split_to_array(lower($textExpr), " +
+      "'[^\\p{L}\\p{N}]+'), t -> len(t) > 0)"
+
+  /** Deterministic HARD-TEXT decorator — one SQL expression over
+    * documents(doc_id, text) valid verbatim in BOTH Spark SQL and DuckDB:
+    * wraps the synthetic space-separated fixture with punctuation
+    * (guillemets, em-dash, comma/semicolon around 'the', ellipsis, bang),
+    * MIXED CASE (upper() on even doc_ids), an accented token and digits,
+    * and Unicode whitespace (NBSP chr(160), thin space chr(8201), tab
+    * chr(9)). The q_*_unicode oracles run the search/analysis family over
+    * this fixture, proving engine-identical tokenization on text the raw
+    * fixture never exercises. */
+  val DecoratedTextSql: String =
+    "'«Gráft»—' || chr(160) || replace(" +
+      "CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END, " +
+      "' the ', ',the;' || chr(8201)) || chr(9) || 'Tail…42!'"
+
   /** Portable polynomial hash over code points: fold(h*31 + cp) mod P.
     * Backed by the codegen'd [[PolyHashExpr]]; the DuckDB mirror is
     * [[polyHashSql]]. */
@@ -114,6 +156,19 @@ object Text {
   /** Tokens of `c` that appear in `dict`, counted. */
   def dictHits(c: Column, dict: Seq[String]): Column =
     size(filter(tokens(c), t => array_contains(array(dict.map(lit): _*), t)))
+
+  /** [[dictHits]] over [[unicodeTokens]] — the quality/language-ID
+    * scorers match stopwords on normalized tokens, so `The,` counts. */
+  def unicodeDictHits(c: Column, dict: Seq[String]): Column =
+    size(filter(unicodeTokens(c),
+      t => array_contains(array(dict.map(lit): _*), t)))
+
+  /** SQL fragment mirroring [[unicodeDictHits]]. */
+  def unicodeDictHitsSql(textExpr: String, dict: Seq[String]): String = {
+    val lits = dict.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(${unicodeTokensSql(textExpr)}, " +
+      s"t -> list_contains([$lits], t)))"
+  }
 
   /** Stopword list used by quality scoring + language ID (English). */
   val StopEn = Seq("the", "and", "of", "to", "in", "is", "that", "it", "a", "for")

@@ -52,9 +52,9 @@ import org.apache.spark.sql.functions._
 object SearchIndex {
 
   /** Reserved token key for per-doc length rows: the NUL character —
-    * whitespace tokenization of any real text never yields it, and the
-    * load path would only confuse it with a term if a document carried
-    * a bare NUL between two spaces. */
+    * the Unicode tokenizer can never emit it (NUL is neither letter nor
+    * digit, so it is always a separator), and it sorts before every real
+    * token, clustering the reserved rows in the leading row groups. */
   val DlToken = "\u0000"
 
   private val PostingSchema =
@@ -64,8 +64,12 @@ object SearchIndex {
 
   private def postingsOf(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // Unicode tokenization (graft.functions.Text.unicodeTokens):
+    // lowercase + split on non-letter/digit runs — production-true on
+    // real web text (punctuation, tabs, Unicode whitespace, mixed case),
+    // mirrored exactly by the DuckDB oracles via unicodeTokensSql
     val toks = docs.select(col(idCol).cast("long").as("vec_id"),
-      split(col(textCol), " ").as("__toks"))
+      graft.functions.Text.unicodeTokens(col(textCol)).as("__toks"))
     // positional postings (1-based, sorted): tf rides along; positions
     // cost ~one int per token occurrence — the standard positional-index
     // trade, what phrase queries pay for. The doc length rides on EVERY

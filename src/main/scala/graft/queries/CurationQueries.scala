@@ -49,13 +49,13 @@ f$i AS (SELECT a$i.w, a$i.c, a$i.s FROM a$i, bp$i
 n$i AS (SELECT count(DISTINCT sym) AS n FROM (
   SELECT unnest(string_split(trim(s), ' ')) AS sym FROM f$i) u)"""
 
-  /** Word-frequency table + spaced char representation + 3 learn rounds:
-    * ends with f3 = per-word final symbol sequences. */
-  private val bpePrefixSql =
-    s"""WITH RECURSIVE
-w0 AS (
+  /** Word-frequency table + spaced char representation + 3 learn rounds
+    * over relation `rel(doc_id, text)`: ends with f3 = per-word final
+    * symbol sequences. */
+  private def bpeChainSql(rel: String) =
+    s"""w0 AS (
   SELECT t AS w, count(*) AS c FROM (
-    SELECT unnest(string_split(text, ' ')) AS t FROM documents) u
+    SELECT unnest(${Text.unicodeTokensSql("text")}) AS t FROM $rel) u
   WHERE len(t) > 0 GROUP BY t),
 f0 AS (SELECT w, c,
   ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
@@ -64,9 +64,13 @@ ${bpeStageSql(1, "f0")},
 ${bpeStageSql(2, "f1")},
 ${bpeStageSql(3, "f2")}"""
 
-  /** Corpus word-frequency table, shared by the BPE queries. */
+  private val bpePrefixSql = s"WITH RECURSIVE\n${bpeChainSql("documents")}"
+
+  /** Corpus word-frequency table, shared by the BPE queries — words come
+    * from the Unicode tokenizer (BPE vocabularies are case-folded,
+    * punctuation-free word lists in practice). */
   private def corpusWords(docs: org.apache.spark.sql.DataFrame) = docs
-    .select(explode(split(col("text"), " ")).as("w"))
+    .select(explode(Text.unicodeTokens(col("text"))).as("w"))
     .filter(length(col("w")) > 0)
     .groupBy(col("w")).agg(count(lit(1)).as("c"))
 
@@ -608,6 +612,31 @@ UNION ALL SELECT 2, x, y, cnt, n FROM b2, n2
 UNION ALL SELECT 3, x, y, cnt, n FROM b3, n3
 ORDER BY step""")),
 
+    // BPE learning on the DECORATED fixture (the q_search_unicode /
+    // q_unicode_tokenize hard-text expression): the vocabulary now
+    // carries an accented word ('gráft'), digit words, and case-folded
+    // duplicates — the merges and symbol counts must match DuckDB's
+    // replay exactly, proving the Unicode tokenizer feeds BPE
+    // identically in both engines (including per-CODE-POINT character
+    // splitting of 'á', not per-byte).
+    Q("q_bpe_unicode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(Text.DecoratedTextSql).as("text"))
+        s.createDataFrame(
+          graft.operators.BPE.learnMerges(corpusWords(docs), "w", "c",
+            nMerges = 3))
+          .orderBy(col("step"))
+      },
+      Some(s"""WITH RECURSIVE
+dd AS (SELECT doc_id, ${Text.DecoratedTextSql} AS text FROM documents),
+${bpeChainSql("dd")}
+SELECT 1 AS step, x AS left_sym, y AS right_sym,
+       cnt AS pair_count, n AS n_symbols_after FROM b1, n1
+UNION ALL SELECT 2, x, y, cnt, n FROM b2, n2
+UNION ALL SELECT 3, x, y, cnt, n FROM b3, n3
+ORDER BY step""")),
+
     // ---- BPE encode (tokenizer apply) -------------------------------------
     // Tokenize the corpus with the merges just learned: per-word symbol
     // counts come from ONE narrow pass over the vocab table (3 chained
@@ -630,7 +659,8 @@ ORDER BY step""")),
         val lex = graft.operators.BPE.applyMerges(
             words.select(col("w")), "w", merges)
           .select(col("w"), size(col("bpe_syms")).cast("long").as("__nsym"))
-        docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        docs.select(col("doc_id"),
+            explode(Text.unicodeTokens(col("text"))).as("w"))
           .filter(length(col("w")) > 0)
           .join(broadcast(lex), Seq("w"))
           .groupBy(col("doc_id"))
@@ -645,7 +675,7 @@ ORDER BY step""")),
 lex AS (SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS nsym
         FROM f3),
 dw AS (SELECT doc_id, t AS w FROM (
-         SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         SELECT doc_id, unnest(${Text.unicodeTokensSql("text")}) AS t
          FROM documents) u
        WHERE len(t) > 0)
 SELECT dw.doc_id, count(*) AS n_words,

@@ -88,13 +88,14 @@ object MiscQueries {
     // ---- lateral explode: global token frequencies ----------------------
     Q("q_token_frequencies",
       (s, dir) => Tables.documents(s, dir)
-        .select(explode(split(col("text"), " ")).as("token"))
+        .select(explode(
+          graft.functions.Text.unicodeTokens(col("text"))).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(50),
-      Some("""SELECT token, count(*) AS n
-             |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      Some(s"""SELECT token, count(*) AS n
+             |FROM (SELECT unnest(${graft.functions.Text.unicodeTokensSql("text")}) AS token FROM documents) t
              |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin)),
 
     // ---- conditional aggregation (FILTER clause semantics) --------------

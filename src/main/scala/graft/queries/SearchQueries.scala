@@ -30,14 +30,14 @@ object SearchQueries {
   private def bm25Scores(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val dl = docs.select(col("doc_id"),
-      size(Text.tokens(col("text"))).cast("long").as("dl"))
+      size(Text.unicodeTokens(col("text"))).cast("long").as("dl"))
     val corpus = dl.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val tok = docs.select(col("doc_id"),
-      explode(Text.tokens(col("text"))).as("token"))
+      explode(Text.unicodeTokens(col("text"))).as("token"))
       .filter(col("token").isin(QueryTerms: _*))
     val df = docs.select(
-        explode(array_distinct(Text.tokens(col("text")))).as("token"))
+        explode(array_distinct(Text.unicodeTokens(col("text")))).as("token"))
       .filter(col("token").isin(QueryTerms: _*))
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val tf = tok.groupBy(col("doc_id"), col("token"))
@@ -59,15 +59,16 @@ object SearchQueries {
     * doc_id, score_ppm, n_terms) — the DuckDB mirror of [[bm25Scores]].
     * `sfx` disambiguates when one oracle scores several corpus states
     * (the [[graft.operators.SearchIndex]] lifecycle query). */
-  private[queries] def bm25CtesFor(rel: String, sfx: String = ""): String =
+  private[queries] def bm25CtesFor(rel: String, sfx: String = "",
+      terms: Seq[String] = QueryTerms): String =
     s"""dl$sfx AS (
-       |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM $rel),
+       |  SELECT doc_id, len(${Text.unicodeTokensSql("text")}) AS dl FROM $rel),
        |corpus$sfx AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl$sfx),
        |tf$sfx AS (
        |  SELECT doc_id, token, count(*) AS tf FROM (
-       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |    SELECT doc_id, unnest(${Text.unicodeTokensSql("text")}) AS token
        |    FROM $rel) u
-       |  WHERE token IN (${QueryTerms.map("'" + _ + "'").mkString(", ")})
+       |  WHERE token IN (${terms.map("'" + _ + "'").mkString(", ")})
        |  GROUP BY doc_id, token),
        |df$sfx AS (SELECT token, count(DISTINCT doc_id) AS df
        |           FROM tf$sfx GROUP BY token),
@@ -96,7 +97,7 @@ object SearchQueries {
         val cap = 10
         val tok = Tables.documents(s, dir)
           .select(col("doc_id"),
-            explode(array_distinct(Text.tokens(col("text")))).as("token"))
+            explode(array_distinct(Text.unicodeTokens(col("text")))).as("token"))
         val df = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
         // rank ascending by doc_id: TopK orders value DESC (tie: id ASC),
         // so feed the negated id as the value.
@@ -108,9 +109,9 @@ object SearchQueries {
           .select(col("token"), col("df"), col("rank"), col("doc_id"))
           .orderBy(col("token"), col("rank"))
       },
-      Some("""WITH tok AS (
+      Some(s"""WITH tok AS (
              |  SELECT DISTINCT doc_id, token FROM (
-             |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |    SELECT doc_id, unnest(${Text.unicodeTokensSql("text")}) AS token
              |    FROM documents) u),
              |df AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
              |r AS (SELECT token, doc_id,
@@ -278,11 +279,11 @@ object SearchQueries {
               |  VALUES ${QueryTerms.map(t => s"(0, '$t')").mkString(", ")},
               |         (1, 'table'), (1, 'fast')),
               |dl AS (
-              |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+              |  SELECT doc_id, len(${Text.unicodeTokensSql("text")}) AS dl FROM documents),
               |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
               |tok AS (
               |  SELECT doc_id, token, count(*) AS tf FROM (
-              |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              |    SELECT doc_id, unnest(${Text.unicodeTokensSql("text")}) AS token
               |    FROM documents) u
               |  WHERE token IN (SELECT token FROM qt)
               |  GROUP BY doc_id, token),
@@ -325,8 +326,8 @@ object SearchQueries {
           .select(col("phrase"), col("doc_id"), col("n_matches"))
           .orderBy(col("phrase"), col("doc_id"))
       },
-      Some("""WITH t AS (
-             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, ${Text.unicodeTokensSql("text")} AS t FROM documents),
              |p2 AS (SELECT 'the table' AS phrase, doc_id,
              |         CAST(len(list_filter(range(1, len(t)), i ->
              |           t[i] = 'the' AND t[i+1] = 'table')) AS BIGINT)
@@ -336,6 +337,87 @@ object SearchQueries {
              |         CAST(len(list_filter(range(1, len(t) - 1), i ->
              |           t[i] = 'fast' AND t[i+1] = 'table'
              |           AND t[i+2] = 'value')) AS BIGINT) AS n_matches
+             |       FROM t)
+             |SELECT phrase, doc_id, n_matches FROM p2 WHERE n_matches > 0
+             |UNION ALL
+             |SELECT phrase, doc_id, n_matches FROM p3 WHERE n_matches > 0
+             |ORDER BY phrase, doc_id""".stripMargin)),
+
+    // ---- the Unicode-tokenization proof on HARD text ----------------------
+    // The whole BM25 index lifecycle (build → probe → delete → probe) on
+    // the DECORATED fixture: punctuation, mixed case, an accented term,
+    // digits, NBSP/thin-space/tab separators (Text.DecoratedTextSql — the
+    // identical expression evaluates in both engines). The query terms
+    // include the accent-born 'gráft' and the digit token '42', so the
+    // hash proves tokenizer parity END TO END through the persisted
+    // postings, the stats artifact, and the delete path — not just on a
+    // tokenize-and-count surface.
+    Q("q_search_unicode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(Text.DecoratedTextSql).as("text"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_sidx_uni").toString
+        val terms = Seq("gráft", "42", "the")
+        graft.operators.SearchIndex.build(docs, "doc_id", "text", path)
+        val full = graft.operators.SearchIndex.bm25(s, path, terms, 20)
+          .withColumn("stage", lit("full"))
+        graft.operators.VectorIndex.deleteIds(
+          docs.filter(col("doc_id") < 50), "doc_id", path)
+        val deleted = graft.operators.SearchIndex.bm25(s, path, terms, 20)
+          .withColumn("stage", lit("deleted"))
+        full.unionByName(deleted)
+          .select(col("stage"), col("doc_id"), col("score_ppm"),
+            col("n_terms"))
+          .orderBy(col("stage"), col("doc_id"))
+      },
+      Some(s"""WITH dd AS (
+              |  SELECT doc_id, ${Text.DecoratedTextSql} AS text FROM documents),
+              |dd2 AS (SELECT * FROM dd WHERE doc_id >= 50),
+              |${bm25CtesFor("dd", terms = Seq("gráft", "42", "the"))},
+              |${bm25CtesFor("dd2", "2", terms = Seq("gráft", "42", "the"))}
+              |SELECT 'full' AS stage, doc_id, score_ppm, n_terms FROM
+              |  (SELECT * FROM bm ORDER BY score_ppm DESC, doc_id LIMIT 20)
+              |UNION ALL
+              |SELECT 'deleted', doc_id, score_ppm, n_terms FROM
+              |  (SELECT * FROM bm2 ORDER BY score_ppm DESC, doc_id LIMIT 20)
+              |ORDER BY stage, doc_id""".stripMargin)),
+
+    // Phrase search on the decorated fixture: 'tail 42' is adjacency
+    // born ENTIRELY from decoration ('Tail…42!' — ellipsis separator,
+    // mixed case, digit token), and 'the table' must still match where
+    // the decoration replaced the spaces around 'the' with ',' and a
+    // thin space — punctuation runs separate tokens but never break
+    // adjacency, exactly what a positional index over a real tokenizer
+    // must preserve.
+    Q("q_phrase_unicode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(Text.DecoratedTextSql).as("text"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_phrase_uni").toString
+        graft.operators.SearchIndex.build(docs, "doc_id", "text", path)
+        graft.operators.SearchIndex.phrase(s, path, Seq("tail", "42"))
+          .withColumn("phrase", lit("tail 42"))
+          .unionByName(graft.operators.SearchIndex
+            .phrase(s, path, Seq("the", "table"))
+            .withColumn("phrase", lit("the table")))
+          .select(col("phrase"), col("doc_id"), col("n_matches"))
+          .orderBy(col("phrase"), col("doc_id"))
+      },
+      Some(s"""WITH dd AS (
+             |  SELECT doc_id, ${Text.DecoratedTextSql} AS text FROM documents),
+             |t AS (
+             |  SELECT doc_id, ${Text.unicodeTokensSql("text")} AS t FROM dd),
+             |p2 AS (SELECT 'tail 42' AS phrase, doc_id,
+             |         CAST(len(list_filter(range(1, len(t)), i ->
+             |           t[i] = 'tail' AND t[i+1] = '42')) AS BIGINT)
+             |           AS n_matches
+             |       FROM t),
+             |p3 AS (SELECT 'the table' AS phrase, doc_id,
+             |         CAST(len(list_filter(range(1, len(t)), i ->
+             |           t[i] = 'the' AND t[i+1] = 'table')) AS BIGINT)
+             |           AS n_matches
              |       FROM t)
              |SELECT phrase, doc_id, n_matches FROM p2 WHERE n_matches > 0
              |UNION ALL

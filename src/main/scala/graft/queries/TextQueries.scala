@@ -26,27 +26,112 @@ object TextQueries {
       (s, dir) => Tables.documents(s, dir)
         .select(
           col("doc_id"),
-          size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
-          size(array_distinct(Text.tokens(col("text")))).cast("long").as("n_distinct"),
+          size(Text.unicodeTokens(col("text"))).cast("long").as("n_tokens"),
+          size(array_distinct(Text.unicodeTokens(col("text")))).cast("long").as("n_distinct"),
           length(col("text")).cast("long").as("n_chars_m"))
         .orderBy(col("doc_id")),
-      Some("""SELECT doc_id,
-             |  len(string_split(text, ' ')) AS n_tokens,
-             |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      Some(s"""SELECT doc_id,
+             |  len(${Text.unicodeTokensSql("text")}) AS n_tokens,
+             |  len(list_distinct(${Text.unicodeTokensSql("text")})) AS n_distinct,
              |  len(text) AS n_chars_m
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Unicode tokenizer parity on HARD text ---------------------------
+    // Token statistics over the DECORATED fixture (Text.DecoratedTextSql:
+    // punctuation, mixed case, accents, digits, NBSP/thin-space/tab) —
+    // all counts are collation-free integers (sizes, equality-filtered
+    // counts, summed code-point lengths), so the hash compares the two
+    // engines' TOKENIZERS and nothing else.
+    Q("q_unicode_tokenize",
+      (s, dir) => {
+        val toks = Text.unicodeTokens(expr(Text.DecoratedTextSql))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            size(array_distinct(toks)).cast("long").as("n_distinct"),
+            size(filter(toks, t => t === "gráft")).cast("long").as("n_accent"),
+            size(filter(toks, t => t === "the")).cast("long").as("n_the"),
+            size(filter(toks, t => t === "42")).cast("long").as("n_digit"),
+            aggregate(toks, lit(0L), (a, t) => a + length(t)).as("sum_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val tok = Text.unicodeTokensSql("t")
+        s"""WITH d AS (
+           |  SELECT doc_id, ${Text.DecoratedTextSql} AS t FROM documents)
+           |SELECT doc_id,
+           |  len($tok) AS n_tokens,
+           |  len(list_distinct($tok)) AS n_distinct,
+           |  len(list_filter($tok, x -> x = 'gráft')) AS n_accent,
+           |  len(list_filter($tok, x -> x = 'the')) AS n_the,
+           |  len(list_filter($tok, x -> x = '42')) AS n_digit,
+           |  list_reduce(list_prepend(0::BIGINT,
+           |    list_transform($tok, w -> len(w)::BIGINT)), (a, x) -> a + x)
+           |    AS sum_len
+           |FROM d ORDER BY doc_id""".stripMargin
+      }),
+
+    // TF-IDF over the decorated fixture: per-doc top-2 terms — the
+    // ranked-retrieval surface of the tokenizer-parity proof (term
+    // frequencies, document frequencies, and the binary-collation
+    // tie-break all flow through the Unicode tokenizer).
+    Q("q_tfidf_unicode",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(Text.DecoratedTextSql).as("text"))
+        val nDocs = docs.agg(count(lit(1)).as("__n"))
+        val tf = docs
+          .select(col("doc_id"),
+            explode(Text.unicodeTokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("__score").desc, col("term"))
+        tf.join(broadcast(df), Seq("term"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("__score",
+            col("tf").cast("double") * (col("__n") - col("df")) / col("df"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= 2)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            floor(col("__score") * 1000).cast("long").as("score_ppk"),
+            col("__rn").cast("int").as("rank"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, ${Text.DecoratedTextSql} AS text FROM documents),
+             |tok AS (
+             |  SELECT doc_id, unnest(${Text.unicodeTokensSql("text")}) AS term
+             |  FROM d),
+             |tf AS (
+             |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+             |df AS (
+             |  SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |n AS (SELECT count(*) AS n FROM d),
+             |scored AS (
+             |  SELECT doc_id, term, tf, df,
+             |    CAST(tf AS DOUBLE) * (n - df) / df AS score,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY CAST(tf AS DOUBLE) * (n - df) / df DESC, term) AS rn
+             |  FROM tf JOIN df USING (term) CROSS JOIN n)
+             |SELECT doc_id, term, tf, df,
+             |       CAST(floor(score * 1000) AS BIGINT) AS score_ppk,
+             |       CAST(rn AS INTEGER) AS rank
+             |FROM scored WHERE rn <= 2 ORDER BY doc_id, rank""".stripMargin)),
 
     // ---- quality scoring: type-token ratio, mean word length, stopword
     //      ratio, punctuation count — integer ppm everywhere ---------------
     Q("q_doc_quality",
       (s, dir) => {
-        val t = Text.tokens(col("text"))
+        val t = Text.unicodeTokens(col("text"))
         Tables.documents(s, dir)
           .withColumn("__n", size(t).cast("long"))
           .withColumn("__nd", size(array_distinct(t)).cast("long"))
           .withColumn("__sumlen",
             aggregate(t, lit(0L), (a, w) => a + length(w)))
-          .withColumn("__stop", Text.dictHits(col("text"), Text.StopEn).cast("long"))
+          .withColumn("__stop", Text.unicodeDictHits(col("text"), Text.StopEn).cast("long"))
           .withColumn("__punct",
             length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long"))
           .select(
@@ -57,20 +142,24 @@ object TextQueries {
             col("__punct").as("n_punct"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-              |  len(list_distinct(string_split(text, ' '))) * 1000000 // len(string_split(text, ' ')) AS ttr_ppm,
-              |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ' '), w -> len(w)::BIGINT)), (a, x) -> a + x)
-              |    * 1000000 // len(string_split(text, ' ')) AS mean_len_ppm,
-              |  ${Text.dictHitsSql("text", Text.StopEn)} * 1000000 // len(string_split(text, ' ')) AS stop_ppm,
-              |  len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
-              |FROM documents ORDER BY doc_id""".stripMargin)),
+      Some {
+        val tok = Text.unicodeTokensSql("text")
+        s"""SELECT doc_id, len($tok) AS n_tokens,
+           |  len(list_distinct($tok)) * 1000000 // len($tok) AS ttr_ppm,
+           |  list_reduce(list_prepend(0::BIGINT, list_transform($tok, w -> len(w)::BIGINT)), (a, x) -> a + x)
+           |    * 1000000 // len($tok) AS mean_len_ppm,
+           |  ${Text.unicodeDictHitsSql("text", Text.StopEn)} * 1000000 // len($tok) AS stop_ppm,
+           |  len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
 
     // ---- language-ID heuristic: stopword-dictionary voting ---------------
     Q("q_doc_lang_guess",
       (s, dir) => {
         val scored = langDicts.foldLeft(Tables.documents(s, dir)) {
           case (d, (l, dict)) =>
-            d.withColumn(s"s_$l", Text.dictHits(col("text"), dict).cast("long"))
+            d.withColumn(s"s_$l",
+              Text.unicodeDictHits(col("text"), dict).cast("long"))
         }
         val guess =
           when(col("s_en") > 0 &&
@@ -89,7 +178,7 @@ object TextQueries {
       },
       Some {
         val hits = langDicts.map { case (l, d) =>
-          s"${Text.dictHitsSql("text", d)} AS s_$l"
+          s"${Text.unicodeDictHitsSql("text", d)} AS s_$l"
         }.mkString(",\n  ")
         s"""WITH scored AS (SELECT doc_id, lang, $hits FROM documents)
            |SELECT doc_id, lang, s_en, s_es, s_de, s_fr, s_zh,
@@ -221,7 +310,8 @@ object TextQueries {
         val docs = Tables.documents(s, dir)
         val nDocs = docs.agg(count(lit(1)).as("__n"))
         val tf = docs
-          .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+          .select(col("doc_id"),
+            explode(Text.unicodeTokens(col("text"))).as("term"))
           .groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
         val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -238,8 +328,8 @@ object TextQueries {
             col("__rn").cast("int").as("rank"))
           .orderBy(col("doc_id"), col("rank"))
       },
-      Some("""WITH tok AS (
-             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, unnest(${Text.unicodeTokensSql("text")}) AS term
              |  FROM documents),
              |tf AS (
              |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
