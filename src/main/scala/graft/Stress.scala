@@ -792,6 +792,36 @@ object Stress {
         bigmp.unpersist()
         println(f"""{"vectors":$nMp%d,"planes":${operators.Knn.planesFor(nMp)}%d,"truth_seconds":$tMpTruth%.1f,$sweep}""")
 
+      case "hotbucket" =>
+        // degenerate-bucket skew guard: a 30k flood sharing ONE 32-bit
+        // half (blank-media low bits) but scattered in the other — every
+        // flood row lands in the same 4 hot (band, key) buckets, so the
+        // untiled join serializes ~4 × C(30k,2) popcount CHECKS on 4
+        // tasks while 28 threads idle, and almost no pair passes the
+        // radius (pure check cost — the worst case, since output-bound
+        // floods parallelize through distinct anyway). Tiled (maxBucket)
+        // the same checks spread over ⌈width/maxBucket⌉ tiles per band.
+        // Identical counts asserted.
+        import spark.implicits._
+        val nFlood = 30000
+        val flood = (0 until nFlood).map(i =>
+          (i.toLong, (i * 0x9E3779B9L) & 0xFFFFFFFFL, 0x00FF00FFL))
+        val tail = (0 until 50000).map(i =>
+          (1000000L + i, (i * 1315423911L) & 0xFFFFFFFFL,
+            (i * 2654435761L) & 0xFFFFFFFFL))
+        val hb = (flood ++ tail).toDF("id", "hi", "lo").localCheckpoint(true)
+        def run(mb: Int): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val c = operators.MinHashLSH.hammingBandPairs(hb, "id", "hi", "lo",
+            maxHamming = 4, bandBits = 8, maxBucket = mb).count()
+          (c, (System.nanoTime() - t0) / 1e9)
+        }
+        run(512) // JIT/codegen warm
+        val (cTiled, tTiled) = run(512)      // ~59 tiles over the flood
+        val (cPlain, tPlain) = run(Int.MaxValue)
+        require(cTiled == cPlain, s"tiling changed the result: $cTiled vs $cPlain")
+        println(f"""{"flood":$nFlood%d,"pairs":$cTiled%d,"tiled_seconds":$tTiled%.1f,"untiled_seconds":$tPlain%.1f}""")
+
       case "searchindex" =>
         // persisted BM25 index vs per-batch recompute at 100k docs: the
         // recompute path re-tokenizes the WHOLE standing corpus on every

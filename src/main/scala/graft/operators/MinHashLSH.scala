@@ -343,22 +343,79 @@ object MinHashLSH {
       hiCol: String,
       loCol: String,
       maxHamming: Int,
-      bandBits: Int = 0): DataFrame = {
+      bandBits: Int = 0,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val b = resolveBandBits(df, maxHamming, bandBits)
     val s = maxHamming / (64 / b)
-    val exact = bandTwoHalves(df, idCol, hiCol, loCol, b, Seq(0L))
-    val probe =
-      if (s == 0) exact
-      else bandTwoHalves(df, idCol, hiCol, loCol, b, flipMasks(b, s))
-    probe.as("a")
-      .join(exact.as("b"),
-        col("a.__band") === col("b.__band") &&
-          col("a.__key") === col("b.__key") &&
-          col("a.__id") < col("b.__id") &&
-          twoHalfHamming <= maxHamming)
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        twoHalfHamming.cast("long").as("hamming"))
-      .distinct()
+    if (maxBucket == Int.MaxValue) {
+      val exact = bandTwoHalves(df, idCol, hiCol, loCol, b, Seq(0L))
+      val probe =
+        if (s == 0) exact
+        else bandTwoHalves(df, idCol, hiCol, loCol, b, flipMasks(b, s))
+      probe.as("a")
+        .join(exact.as("b"),
+          col("a.__band") === col("b.__band") &&
+            col("a.__key") === col("b.__key") &&
+            col("a.__id") < col("b.__id") &&
+            twoHalfHamming <= maxHamming)
+        .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+          twoHalfHamming.cast("long").as("hamming"))
+        .distinct()
+    } else {
+      // skew guard: a degenerate (band, key) bucket — e.g. a flood of
+      // near-constant hashes from blank media — serializes its quadratic
+      // candidate work on ONE task under the plain (band, key)
+      // partitioning. Tile the hot buckets (see [[tileHot]]): output is
+      // bit-identical, the hot bucket's work spreads over its tiles.
+      val exactRaw = bandTwoHalves(df, idCol, hiCol, loCol, b, Seq(0L),
+        repartitionKeys = false)
+      val probeRaw =
+        if (s == 0) exactRaw
+        else bandTwoHalves(df, idCol, hiCol, loCol, b, flipMasks(b, s),
+          repartitionKeys = false)
+      val hot = exactRaw.groupBy(col("__band"), col("__key"))
+        .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBucket)
+      tileHot(probeRaw, hot, maxBucket, probeSide = true).as("a")
+        .join(tileHot(exactRaw, hot, maxBucket, probeSide = false).as("b"),
+          col("a.__band") === col("b.__band") &&
+            col("a.__key") === col("b.__key") &&
+            col("a.__tile") === col("b.__tile") &&
+            col("a.__id") < col("b.__id") &&
+            twoHalfHamming <= maxHamming)
+        .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+          twoHalfHamming.cast("long").as("hamming"))
+        .distinct()
+    }
+  }
+
+  /** Sub-split the HOT (band, key) buckets of a banded join into
+    * `g = ⌈width/maxBucket⌉` TILES without losing a single pair: the
+    * exact (reference) side maps each row to its own tile (deterministic
+    * id hash mod g), the probe side replicates each row to EVERY tile of
+    * its bucket — a pair therefore meets exactly once, in the reference
+    * row's tile, so the join output is bit-identical to the untiled one
+    * while a degenerate bucket's quadratic work spreads over g tasks
+    * instead of one straggler. Buckets absent from the (broadcast,
+    * skew-small by definition) `hot` width table keep tile 0 on both
+    * sides — zero replication on the non-skewed corpus. Probe replication
+    * inside a hot bucket is g× = width/maxBucket — the n²/maxBucket row
+    * budget an EXACT quadratic output cannot avoid (contrast
+    * [[Knn.nnWithinBucket]]'s maxBucket, which trades recall instead:
+    * that is the right call for ANN, never for an exact dedup join). */
+  private def tileHot(banded: DataFrame, hot: DataFrame, maxBucket: Int,
+      probeSide: Boolean): DataFrame = {
+    val joined = banded.join(broadcast(hot), Seq("__band", "__key"), "left")
+      .withColumn("__g", when(col("__bn").isNull, lit(1L))
+        .otherwise(ceil(col("__bn").cast("double") / maxBucket).cast("long")))
+    val tiled =
+      if (probeSide)
+        joined.withColumn("__tile", explode(sequence(lit(0L), col("__g") - 1)))
+      else
+        joined.withColumn("__tile", pmod(xxhash64(col("__id")), col("__g")))
+    tiled.drop("__bn", "__g")
+      // the hot bucket's tiles must land on DIFFERENT tasks — that is the
+      // whole point; tiny rows, same budget as the plain repartition
+      .repartition(col("__band"), col("__key"), col("__tile"))
   }
 
   /** Asymmetric [[hammingBandPairs]]: match a PROBE set (an incoming
@@ -377,18 +434,41 @@ object MinHashLSH {
       hiCol: String,
       loCol: String,
       maxHamming: Int,
-      bandBits: Int = 0): DataFrame = {
+      bandBits: Int = 0,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val b = resolveBandBits(ref, maxHamming, bandBits)
     val s = maxHamming / (64 / b)
     val probeFlips = if (s == 0) Seq(0L) else flipMasks(b, s)
-    bandTwoHalves(probe, idCol, hiCol, loCol, b, probeFlips).as("a")
-      .join(bandTwoHalves(ref, idCol, hiCol, loCol, b, Seq(0L)).as("b"),
-        col("a.__band") === col("b.__band") &&
-          col("a.__key") === col("b.__key") &&
-          twoHalfHamming <= maxHamming)
-      .select(col("a.__id").as("id_p"), col("b.__id").as("id_r"),
-        twoHalfHamming.cast("long").as("hamming"))
-      .distinct()
+    if (maxBucket == Int.MaxValue)
+      bandTwoHalves(probe, idCol, hiCol, loCol, b, probeFlips).as("a")
+        .join(bandTwoHalves(ref, idCol, hiCol, loCol, b, Seq(0L)).as("b"),
+          col("a.__band") === col("b.__band") &&
+            col("a.__key") === col("b.__key") &&
+            twoHalfHamming <= maxHamming)
+        .select(col("a.__id").as("id_p"), col("b.__id").as("id_r"),
+          twoHalfHamming.cast("long").as("hamming"))
+        .distinct()
+    else {
+      // same tiled skew guard as [[hammingBandPairs]]: hot REFERENCE
+      // buckets sub-split; each probe row replicates over the bucket's
+      // tiles, each reference row sits in its own — every (probe, ref)
+      // pair meets exactly once, no straggler task
+      val refRaw = bandTwoHalves(ref, idCol, hiCol, loCol, b, Seq(0L),
+        repartitionKeys = false)
+      val probeRaw = bandTwoHalves(probe, idCol, hiCol, loCol, b, probeFlips,
+        repartitionKeys = false)
+      val hot = refRaw.groupBy(col("__band"), col("__key"))
+        .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBucket)
+      tileHot(probeRaw, hot, maxBucket, probeSide = true).as("a")
+        .join(tileHot(refRaw, hot, maxBucket, probeSide = false).as("b"),
+          col("a.__band") === col("b.__band") &&
+            col("a.__key") === col("b.__key") &&
+            col("a.__tile") === col("b.__tile") &&
+            twoHalfHamming <= maxHamming)
+        .select(col("a.__id").as("id_p"), col("b.__id").as("id_r"),
+          twoHalfHamming.cast("long").as("hamming"))
+        .distinct()
+    }
   }
 
   private def resolveBandBits(sized: DataFrame, maxHamming: Int,
@@ -408,7 +488,8 @@ object MinHashLSH {
     * makes the probe side of the multi-index join. Shared by the
     * symmetric pair join and the probe-vs-reference join. */
   private def bandTwoHalves(df: DataFrame, idCol: String, hiCol: String,
-      loCol: String, bandBits: Int, flips: Seq[Long]): DataFrame = {
+      loCol: String, bandBits: Int, flips: Seq[Long],
+      repartitionKeys: Boolean = true): DataFrame = {
     require(32 % bandBits == 0, s"bandBits must divide 32, got $bandBits")
     val perHalf = 32 / bandBits
     val bandCount = 2 * perHalf
@@ -426,13 +507,14 @@ object MinHashLSH {
       if (flips == Seq(0L)) exact.withColumn("__key", col("__key0"))
       else exact.withColumn("__key",
         explode(array(flips.map(m => col("__key0").bitwiseXOR(lit(m))): _*)))
-    keyed
+    val out = keyed
       .select(col("__id"), col("__hi"), col("__lo"), col("__band"), col("__key"))
-      // hash-partition on the band key: the explode inherits the scan's
-      // partitioning (often ONE task for a small file), and without this
-      // every Σ bucket² candidate evaluation lands on that one task. The
-      // shuffle moves only tiny rows — the design's stated cost — and
-      // parallelizes the bucket work across the cluster.
-      .repartition(col("__band"), col("__key"))
+    // hash-partition on the band key: the explode inherits the scan's
+    // partitioning (often ONE task for a small file), and without this
+    // every Σ bucket² candidate evaluation lands on that one task. The
+    // shuffle moves only tiny rows — the design's stated cost — and
+    // parallelizes the bucket work across the cluster. Callers applying
+    // the tiled skew guard repartition on (band, key, tile) themselves.
+    if (repartitionKeys) out.repartition(col("__band"), col("__key")) else out
   }
 }

@@ -74,6 +74,45 @@ object HammingBandProps extends Properties("graft.hammingband") {
       Prop(got == expected) :| s"got=$got expected=$expected tau=$tau bb=$bandBits"
     }
 
+  property("tiled skew guard (maxBucket) ≡ untiled pair set, symmetric + asymmetric") =
+    Prop.forAll(genRows, genCfg, Gen.chooseNum(1, 6)) {
+      case (rows, (bandBits, tau), maxBucket) =>
+        import spark.implicits._
+        val df = rows.zipWithIndex
+          .map { case ((hi, lo), i) => (i.toLong, hi, lo) }
+          .toDF("id", "hi", "lo")
+        def pairs(mb: Int) = MinHashLSH.hammingBandPairs(df, "id", "hi", "lo",
+            maxHamming = tau, bandBits = bandBits, maxBucket = mb)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        def joined(mb: Int) = MinHashLSH.hammingBandJoin(df, df, "id", "hi",
+            "lo", maxHamming = tau, bandBits = bandBits, maxBucket = mb)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        // tiny maxBucket forces tiling on ~every bucket — the guard must
+        // be a pure parallelization, never a result change
+        Prop(pairs(maxBucket) == pairs(Int.MaxValue) &&
+          joined(maxBucket) == joined(Int.MaxValue)) :|
+          s"tau=$tau bb=$bandBits mb=$maxBucket"
+    }
+
+  property("degenerate bucket flood: identical hashes complete tiled, exact count") = {
+    // the blank-media scenario: a flood of IDENTICAL hashes makes one
+    // (band, key) bucket quadratic — with the guard the C(n,2) true
+    // pairs still all emerge (count-verified against the closed form)
+    // while the work spreads over ⌈n/maxBucket⌉ tiles per band instead
+    // of serializing on one task
+    import spark.implicits._
+    val n = 3000
+    val flood = (0 until n).map(i => (i.toLong, 0xABCD1234L, 0x00FF00FFL))
+    val strays = (0 until 50).map(i =>
+      (100000L + i, (0x10000000L + i * 1315423911L) & 0xFFFFFFFFL,
+        (i * 2654435761L) & 0xFFFFFFFFL))
+    val df = (flood ++ strays).toDF("id", "hi", "lo")
+    val got = MinHashLSH.hammingBandPairs(df, "id", "hi", "lo",
+      maxHamming = 0, bandBits = 16, maxBucket = 256)
+    val floodPairs = got.filter("id_a < 100000 AND id_b < 100000").count()
+    Prop(floodPairs == n.toLong * (n - 1) / 2) :| s"floodPairs=$floodPairs"
+  }
+
   property("asymmetric band join ≡ JVM popcount model (probe × reference)") =
     Prop.forAll(genRows, genRows, genCfg) { case (ps, rs, (bandBits, tau)) =>
       import spark.implicits._
