@@ -792,6 +792,62 @@ object Stress {
         bigmp.unpersist()
         println(f"""{"vectors":$nMp%d,"planes":${operators.Knn.planesFor(nMp)}%d,"truth_seconds":$tMpTruth%.1f,$sweep}""")
 
+      case "hybridbatch" =>
+        // batched hybrid serving: ONE pass per index for a whole query
+        // set. Per-query cost must FALL as the batch grows — postings
+        // reads amortize over queries sharing terms, the code-table scan
+        // over all query vectors. Indexes built once over the enlarged
+        // corpus; batch sizes 1/8/32, each timed steady-state (second
+        // call) after a warm first call.
+        import spark.implicits._
+        val hbd0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val hbDocs = (0 until copies).map(i =>
+            hbd0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+              col("text")))
+          .reduce(_ unionByName _).localCheckpoint(true)
+        val hbe0 = Tables.embeddings(spark, sfDir)
+        val hbEmb = (0 until copies).map { i =>
+          if (i == 0) hbe0.select(col("vec_id"), col("embedding"))
+          else hbe0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+            transform(col("embedding"), (x, j) =>
+              (x.cast("double") +
+                (pmod(hash(col("vec_id"), j, lit(i)).cast("long"), lit(997L))
+                  .cast("double") / 997.0 * 0.05 - 0.025)).cast("float"))
+              .as("embedding"))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+        val nHb = hbDocs.count()
+        val sP = java.nio.file.Files.createTempDirectory("stress_hb_s").toString
+        val bP = java.nio.file.Files.createTempDirectory("stress_hb_b").toString
+        val hb0 = System.nanoTime()
+        operators.SearchIndex.build(hbDocs, "doc_id", "text", sP)
+        operators.VectorIndex.buildBinary(hbEmb, "vec_id", "embedding", bP)
+        val tHbBuild = (System.nanoTime() - hb0) / 1e9
+        val vocab = Seq("spark", "hash", "window", "table", "fast", "join",
+          "merge", "sort", "data", "stream", "filter", "group", "key",
+          "row", "agg", "scan", "batch", "query", "value", "line")
+        def serve(nq: Int): Long = {
+          val qset = (0 until nq).flatMap(q =>
+            (0 until 3).map(j => (q.toLong, vocab((q * 3 + j) % vocab.size))))
+            .toDF("query_id", "token")
+          val sparse = operators.SearchIndex
+            .bm25Batch(spark, sP, qset, "query_id", "token", k = 10)
+          val dense = operators.VectorIndex.searchBinary(spark, bP, hbEmb, "vec_id",
+            "embedding", _.filter(col("vec_id") < nq), k = 10,
+            rerankWidth = 32, onePass = true)
+          sparse.select(col("query_id"), col("doc_id"))
+            .unionByName(dense.select(col("query_id"),
+              col("neighbor_id").as("doc_id")))
+            .count()
+        }
+        val sweep = Seq(1, 8, 32).map { nq =>
+          serve(nq) // warm
+          val t0 = System.nanoTime()
+          val rows = serve(nq)
+          val dt = (System.nanoTime() - t0) / 1e9
+          f""""b$nq%d":{"rows":$rows%d,"seconds":$dt%.2f,"per_query":${dt / nq}%.3f}"""
+        }.mkString(",")
+        println(f"""{"docs":$nHb%d,"build_seconds":$tHbBuild%.1f,$sweep}""")
+
       case "hotbucket" =>
         // degenerate-bucket skew guard: a 30k flood sharing ONE 32-bit
         // half (blank-media low bits) but scattered in the other — every

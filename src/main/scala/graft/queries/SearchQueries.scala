@@ -84,6 +84,41 @@ object SearchQueries {
 
   private def bm25Ctes: String = bm25CtesFor("documents")
 
+  /** The BATCHED BM25 CTE chain (requires a `qt(query_id, token)` CTE in
+    * scope; ends with `sc` = query_id, doc_id, score_ppm, n_terms) — the
+    * DuckDB mirror of [[graft.operators.SearchIndex.bm25Batch]], shared
+    * by q_bm25_batch and the batched hybrid-serving oracle. */
+  private def bm25BatchCtes: String =
+    s"""dl AS (
+       |  SELECT doc_id, len(${Text.unicodeTokensSql("text")}) AS dl FROM documents),
+       |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+       |tok AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(${Text.unicodeTokensSql("text")}) AS token
+       |    FROM documents) u
+       |  WHERE token IN (SELECT token FROM qt)
+       |  GROUP BY doc_id, token),
+       |df AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+       |sc AS (
+       |  SELECT qt.query_id, tok.doc_id,
+       |    CAST(sum((2*n_docs - 2*df + 1) * 1000000 // (2*df + 1)
+       |         * (44*tf*sum_dl * 1000000 // (20*tf*sum_dl + 6*sum_dl + 18*dl.dl*n_docs))
+       |         // 1000000) AS BIGINT) AS score_ppm,
+       |    count(*) AS n_terms
+       |  FROM tok JOIN qt USING (token) JOIN df USING (token)
+       |       JOIN dl USING (doc_id), corpus
+       |  GROUP BY qt.query_id, tok.doc_id)""".stripMargin
+
+  /** Query set of the batched hybrid-serving query: five queries, each
+    * with its own term set (sparse arm) and its own query vector by id
+    * (dense arm). */
+  private val HybridBatchTerms: Seq[(Long, String)] = Seq(
+    0L -> "spark", 0L -> "hash", 0L -> "window",
+    1L -> "table", 1L -> "fast",
+    2L -> "join", 2L -> "merge", 2L -> "sort",
+    3L -> "data", 3L -> "stream",
+    4L -> "filter", 4L -> "group")
+
   val all: Seq[Q] = Seq(
 
     // ---- inverted index with capped posting lists ------------------------
@@ -278,25 +313,7 @@ object SearchQueries {
       Some(s"""WITH qt(query_id, token) AS (
               |  VALUES ${QueryTerms.map(t => s"(0, '$t')").mkString(", ")},
               |         (1, 'table'), (1, 'fast')),
-              |dl AS (
-              |  SELECT doc_id, len(${Text.unicodeTokensSql("text")}) AS dl FROM documents),
-              |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-              |tok AS (
-              |  SELECT doc_id, token, count(*) AS tf FROM (
-              |    SELECT doc_id, unnest(${Text.unicodeTokensSql("text")}) AS token
-              |    FROM documents) u
-              |  WHERE token IN (SELECT token FROM qt)
-              |  GROUP BY doc_id, token),
-              |df AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
-              |sc AS (
-              |  SELECT qt.query_id, tok.doc_id,
-              |    CAST(sum((2*n_docs - 2*df + 1) * 1000000 // (2*df + 1)
-              |         * (44*tf*sum_dl * 1000000 // (20*tf*sum_dl + 6*sum_dl + 18*dl.dl*n_docs))
-              |         // 1000000) AS BIGINT) AS score_ppm,
-              |    count(*) AS n_terms
-              |  FROM tok JOIN qt USING (token) JOIN df USING (token)
-              |       JOIN dl USING (doc_id), corpus
-              |  GROUP BY qt.query_id, tok.doc_id)
+              |$bm25BatchCtes
               |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_ppm,
               |       n_terms, CAST(rn AS INTEGER) AS rank
               |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -487,6 +504,73 @@ object SearchQueries {
               |    AS rrf_ppm
               |FROM den FULL OUTER JOIN spr ON den.doc_id = spr.doc_id
               |ORDER BY rrf_ppm DESC, doc_id""".stripMargin)),
+
+    // ---- hybrid serving at BATCH scale ------------------------------------
+    // q_hybrid_index_serve pins query 0; this is its production shape: a
+    // whole query SET (five queries, each with its own term set and its
+    // own query vector) served in ONE pass per index — bm25Batch reads
+    // each requested term's postings once however many queries share it,
+    // and the binary ANN arm scans the code table once for all five query
+    // vectors (the coarse stage keys every query's candidate heap in the
+    // same pass). RRF fuses per (query, doc). The oracle replays the
+    // batched BM25 chain, the multi-query coarse+rerank chain, and the
+    // fusion — the entire batched serving pipeline in one hash.
+    Q("q_hybrid_batch_serve",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val sPath = java.nio.file.Files
+          .createTempDirectory("graft_hb_sidx").toString
+        val bPath = java.nio.file.Files
+          .createTempDirectory("graft_hb_bidx").toString
+        graft.operators.SearchIndex.build(docs, "doc_id", "text", sPath)
+        graft.operators.VectorIndex.buildBinary(
+          emb, "vec_id", "embedding", bPath)
+        val qset = HybridBatchTerms.toDF("query_id", "token")
+        val sparse = graft.operators.SearchIndex
+          .bm25Batch(s, sPath, qset, "query_id", "token", k = 20)
+          .select(col("query_id"), col("doc_id"),
+            col("rank").cast("long").as("rank_sparse"))
+        val dense = graft.operators.VectorIndex.searchBinary(s, bPath,
+            emb, "vec_id", "embedding", _.filter(col("vec_id") < 5),
+            k = 20, rerankWidth = 32)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank").cast("long").as("rank_dense"))
+        dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
+          .select(col("query_id"), col("doc_id"),
+            coalesce(col("rank_dense"), lit(0L)).as("rank_dense"),
+            coalesce(col("rank_sparse"), lit(0L)).as("rank_sparse"),
+            (coalesce(expr("1000000L div (60 + rank_dense)"), lit(0L)) +
+              coalesce(expr("1000000L div (60 + rank_sparse)"), lit(0L)))
+              .as("rrf_ppm"))
+          .orderBy(col("query_id"), col("rrf_ppm").desc, col("doc_id"))
+      },
+      Some(s"""${SimilarityQueries.binaryCodesCte},
+              |${SimilarityQueries.rerankCtes("codes", queryPred = "q.vec_id < 5")},
+              |den AS (SELECT qid AS query_id, nid AS doc_id,
+              |          CAST(rn2 AS BIGINT) AS rank_dense
+              |        FROM f WHERE rn2 <= 20),
+              |qt(query_id, token) AS (VALUES ${HybridBatchTerms
+                .map { case (q, t) => s"($q, '$t')" }.mkString(", ")}),
+              |$bm25BatchCtes,
+              |spr AS (SELECT query_id, doc_id, rank_sparse FROM (
+              |          SELECT query_id, doc_id, CAST(row_number() OVER (
+              |            PARTITION BY query_id
+              |            ORDER BY score_ppm DESC, doc_id) AS BIGINT)
+              |            AS rank_sparse
+              |          FROM sc) t WHERE rank_sparse <= 20)
+              |SELECT CAST(coalesce(den.query_id, spr.query_id) AS BIGINT)
+              |         AS query_id,
+              |  coalesce(den.doc_id, spr.doc_id) AS doc_id,
+              |  coalesce(den.rank_dense, 0) AS rank_dense,
+              |  coalesce(spr.rank_sparse, 0) AS rank_sparse,
+              |  CAST(coalesce(1000000 // (60 + den.rank_dense), 0)
+              |     + coalesce(1000000 // (60 + spr.rank_sparse), 0) AS BIGINT)
+              |    AS rrf_ppm
+              |FROM den FULL OUTER JOIN spr
+              |  ON den.query_id = spr.query_id AND den.doc_id = spr.doc_id
+              |ORDER BY query_id, rrf_ppm DESC, doc_id""".stripMargin)),
 
     // ---- exact sparse cosine pairs via postings join ----------------------
     // The exact-similarity member of the near-dup family: MinHash
