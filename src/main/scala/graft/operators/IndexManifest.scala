@@ -93,11 +93,12 @@ private[operators] object IndexManifest {
   }
 
   /** The payload version a composite `version` resolves to: the largest
-    * codes_v<P> ON DISK with P ≤ version (vacuum keeps this sound by
-    * never deleting a payload a retained version still resolves to). */
+    * `<base>_v<P>` ON DISK with P ≤ version (vacuum keeps this sound by
+    * never deleting a payload a retained version still resolves to).
+    * Indexes use base `codes`; [[TableManifest]] data tables use `data`. */
   def payloadVersionAt(spark: SparkSession, path: String,
-      version: Long): Option[Long] =
-    diskVersions(spark, path, "codes").filter(_ <= version).lastOption
+      version: Long, base: String = "codes"): Option[Long] =
+    diskVersions(spark, path, base).filter(_ <= version).lastOption
 
   /** Delete-segment versions masking composite `version`:
     * payload(version) < D ≤ version. */

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** DATA-TABLE commits on the index layer's marker protocol — one commit
+  * mechanism for the whole storage surface, instead of the ad-hoc
+  * staged-write+rename the warehouse appends and the streaming upsert
+  * sink previously managed by hand. Layout (the [[IndexManifest]] rules
+  * with payload base `data`, no tombstones, no geometry):
+  *
+  *   path/manifest/v<N>   committed markers; body = append watermark
+  *   path/data_v<P>       a payload version (snapshot commits write one;
+  *                        appends add `__batch=<id>` partitions to the
+  *                        current one)
+  *
+  * Two mutation shapes, both one-marker atomic:
+  *
+  *  - [[commitSnapshot]] — REPLACE the table (the MERGE/upsert sink
+  *    shape): the new snapshot is written COMPLETELY under the next
+  *    payload version, then one marker rename publishes it. Readers
+  *    resolve either the old complete snapshot or the new one — never a
+  *    half-state, and never the old delete-then-rename window where the
+  *    table briefly did not exist.
+  *  - [[append]] — add a drop (the log-table shape): the drop lands in
+  *    its own `__batch` partition of the CURRENT payload and the marker
+  *    carries the new watermark. Keyed appends (a streaming `batchId`)
+  *    overwrite their own partition on replay — exactly-once, the
+  *    [[VectorIndex]] contract verbatim.
+  *
+  * Reads: [[read]] serves the current version; [[readAt]] is VERSION AS
+  * OF — the newest payload at-or-below the pinned version, restricted to
+  * `__batch` partitions at-or-below its watermark, so a pinned view is
+  * IMMUTABLE under later appends and snapshot replacements (later
+  * appends land above the watermark, later snapshots under higher
+  * payload numbers). [[IndexManifest.vacuum]] reclaims old versions
+  * unchanged: table payloads fall under its newest-at-or-below-cutoff
+  * artifact rule, which is exactly the payload-retention a pinned
+  * version needs.
+  *
+  * Single logical writer per table path (the warehouse/sink contract, as
+  * for index builds); commits go through the optimistic [[IndexManifest
+  * .tryCommit]] loop, so even racing committers serialize rather than
+  * corrupt. Schemas: pass `schema` to keep zero-row snapshots readable
+  * (an empty table writes no parquet footers).
+  */
+object TableManifest {
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def payloadDir(spark: SparkSession, path: String): Option[String] =
+    for {
+      v <- IndexManifest.currentVersion(spark, path)
+      p <- IndexManifest.payloadVersionAt(spark, path, v, "data")
+    } yield s"$path/data_v$p"
+
+  /** Write `df` as the table's NEXT complete snapshot and publish it with
+    * one marker. Returns the committed version. */
+  def commitSnapshot(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val first = IndexManifest.nextBuildVersion(spark, path)
+    df.withColumn("__batch", lit(-1L))
+      .write.partitionBy("__batch").mode("overwrite")
+      .parquet(s"$path/data_v$first")
+    val f = fs(spark, path)
+    var v = first
+    while (!IndexManifest.tryCommit(spark, path, v, watermark = -1L)) {
+      val nv = IndexManifest.nextBuildVersion(spark, path)
+      f.rename(new org.apache.hadoop.fs.Path(s"$path/data_v$v"),
+        new org.apache.hadoop.fs.Path(s"$path/data_v$nv"))
+      v = nv
+    }
+    v
+  }
+
+  /** Append `df` as a `__batch` partition of the current payload and
+    * commit the next version with the advanced watermark. Pass the
+    * streaming `batchId` for exactly-once replay. Returns the committed
+    * version. */
+  def append(df: DataFrame, path: String,
+      batchId: Option[Long] = None): Long = {
+    val spark = df.sparkSession
+    require(IndexManifest.currentVersion(spark, path).isDefined,
+      s"append into $path requires an initial commitSnapshot")
+    val dir = payloadDir(spark, path).get
+    val batch = batchId.getOrElse(VectorIndex.nextBatchId(spark, dir))
+    df.withColumn("__batch", lit(batch))
+      .write.partitionBy("__batch")
+      .mode(if (batchId.isDefined) "overwrite" else "append")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(dir)
+    var v = -1L
+    var committed = false
+    while (!committed) {
+      val cur = IndexManifest.currentVersion(spark, path).get
+      v = cur + 1
+      committed = IndexManifest.tryCommit(spark, path, v,
+        VectorIndex.nextBatchId(spark, dir) - 1L)
+    }
+    v
+  }
+
+  /** The current live table. `schema` keeps a zero-row snapshot readable
+    * (footerless dir); include `__batch LONG` is NOT needed — it is
+    * appended internally. */
+  def read(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val dir = payloadDir(spark, path).getOrElse(
+      sys.error(s"no committed table at $path"))
+    val base = schema match {
+      case Some(s) =>
+        spark.read.schema(s.add("__batch", "long")).parquet(dir)
+      case None => spark.read.parquet(dir)
+    }
+    base.drop("__batch")
+  }
+
+  /** VERSION AS OF `version`: the newest payload at-or-below it, batches
+    * at-or-below its watermark — immutable once superseded. */
+  def readAt(spark: SparkSession, path: String, version: Long,
+      schema: Option[StructType] = None): DataFrame = {
+    require(IndexManifest.committedVersions(spark, path).contains(version),
+      s"version $version was never committed at $path")
+    val p = IndexManifest.payloadVersionAt(spark, path, version, "data")
+    require(p.isDefined,
+      s"version $version of $path has been vacuumed — raise vacuum(keep)")
+    val wm = IndexManifest.watermarkAt(spark, path, version)
+    val dir = s"$path/data_v${p.get}"
+    val base = schema match {
+      case Some(s) =>
+        spark.read.schema(s.add("__batch", "long")).parquet(dir)
+      case None => spark.read.parquet(dir)
+    }
+    base.filter(col("__batch") <= wm).drop("__batch")
+  }
+
+  /** All committed versions still resolvable, ascending. */
+  def versions(spark: SparkSession, path: String): Seq[Long] =
+    IndexManifest.committedVersions(spark, path)
+
+  /** Reclaim versions older than the `keep` most recent (the index
+    * layer's expire-snapshots, unchanged). */
+  def vacuum(spark: SparkSession, path: String, keep: Int = 2): Unit =
+    IndexManifest.vacuum(spark, path, keep)
+}

@@ -14,6 +14,69 @@ object MiscQueries {
 
   val all: Seq[Q] = Seq(
 
+    // ---- table-level time travel on the manifest layer --------------------
+    // operators.TableManifest gives DATA tables the index layer's commit
+    // protocol: a snapshot commit (v0, half the events), an append commit
+    // (v1, the other half as a __batch partition + watermark), and a
+    // snapshot REPLACEMENT (v2, the latest-per-user MERGE — the upsert
+    // sink's shape). All three states are then read AT THE END, after
+    // every mutation: the v0 pin must show only the first half (later
+    // appends land above its watermark, later snapshots under higher
+    // payload versions), v1 both halves, v2 the merged table — three
+    // immutable VERSION AS OF states in one hash, each replayed in SQL.
+    Q("q_table_time_travel",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_table_tt").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val v0 = TableManifest.commitSnapshot(
+          e.filter(col("event_id") % 2 === 0), path)
+        val v1 = TableManifest.append(
+          e.filter(col("event_id") % 2 === 1), path)
+        val v2 = TableManifest.commitSnapshot(
+          TableManifest.read(s, path)
+            .groupBy(col("user_id"))
+            .agg(max_by(struct(col("event_id"), col("ts"), col("value")),
+              struct(col("ts"), col("event_id"))).as("__r"))
+            .select(col("__r.event_id").as("event_id"), col("user_id"),
+              col("__r.ts").as("ts"), col("__r.value").as("value")),
+          path)
+        def state(v: Long, name: String) =
+          TableManifest.readAt(s, path, v)
+            .groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,6)")).cast("double")
+                .as("sum_value"))
+            .withColumn("stage", lit(name))
+        state(v0, "v0_snapshot")
+          .unionByName(state(v1, "v1_appended"))
+          .unionByName(state(v2, "v2_merged"))
+          .select(col("stage"), col("user_id"), col("n"), col("sum_value"))
+          .orderBy(col("stage"), col("user_id"))
+      },
+      Some("""WITH half0 AS (
+             |  SELECT * FROM events WHERE event_id % 2 = 0),
+             |merged AS (
+             |  SELECT user_id, event_id, ts, value FROM (
+             |    SELECT user_id, event_id, ts, value,
+             |      row_number() OVER (PARTITION BY user_id
+             |        ORDER BY ts DESC, event_id DESC) AS rn
+             |    FROM events) t WHERE rn = 1)
+             |SELECT 'v0_snapshot' AS stage, user_id, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM half0 GROUP BY user_id
+             |UNION ALL
+             |SELECT 'v1_appended', user_id, count(*),
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |FROM events GROUP BY user_id
+             |UNION ALL
+             |SELECT 'v2_merged', user_id, count(*),
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |FROM merged GROUP BY user_id
+             |ORDER BY stage, user_id""".stripMargin)),
+
     // ---- INTERSECT / EXCEPT over key sets -------------------------------
     Q("q_set_ops",
       (s, dir) => {

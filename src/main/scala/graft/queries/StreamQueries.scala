@@ -256,17 +256,20 @@ object StreamQueries {
     // ---- foreachBatch streaming upsert: the production sink pattern ------
     // Streams land in warehouses via foreachBatch + MERGE: each
     // micro-batch collapses to its latest row per key (max_by — partials
-    // only), upserts into the keyed snapshot table, and the new snapshot
-    // replaces the old via a staged write + atomic rename (never
-    // overwrite what you are reading). After the stream drains, the
+    // only), upserts into the keyed snapshot table, and the merged
+    // snapshot commits through operators.TableManifest — one atomic
+    // marker per batch, so readers resolve either the previous complete
+    // snapshot or the new one (the old hand-rolled delete-then-rename had
+    // a window where the table did not exist), every batch's snapshot is
+    // a retained VERSION AS OF until vacuum, and the commit protocol is
+    // THE SAME one the six index kinds use. After the stream drains, the
     // snapshot must equal the batch latest-per-key over the whole input —
     // the oracle proves the merge loop loses nothing across batches.
     Q("q_stream_foreach_upsert",
       (s, dir) => {
+        import graft.operators.TableManifest
         val path = s"/tmp/graft_stream_upsert_${math.abs(dir.hashCode)}_" +
           s.sparkContext.applicationId
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
         val stream = eventStream(s, dir)
         val q = stream.writeStream.foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -278,10 +281,9 @@ object StreamQueries {
                 struct(col("ts"), col("event_id"))).as("__r"))
               .select(col("user_id"), col("__r.event_id").as("last_event_id"),
                 col("__r.ts").as("__ts"), col("__r.value").as("last_value"))
-            val dst = new org.apache.hadoop.fs.Path(path)
             val merged =
-              if (fs.exists(dst)) {
-                val base = s.read.parquet(path)
+              if (TableManifest.versions(s, path).nonEmpty) {
+                val base = TableManifest.read(s, path)
                 // re-resolve latest across base + update (ts tiebreak id)
                 base.unionByName(upd)
                   .groupBy(col("user_id"))
@@ -293,14 +295,11 @@ object StreamQueries {
                     col("__r.__ts").as("__ts"),
                     col("__r.last_value").as("last_value"))
               } else upd
-            val stage = new org.apache.hadoop.fs.Path(s"${path}_stage_$batchId")
-            merged.write.mode("overwrite").parquet(stage.toString)
-            fs.delete(dst, true)
-            fs.rename(stage, dst)
+            TableManifest.commitSnapshot(merged, path)
             ()
         }.start()
         try q.processAllAvailable() finally q.stop()
-        s.read.parquet(path)
+        TableManifest.read(s, path)
           .select(col("user_id"), col("last_event_id"),
             col("__ts").as("last_ts"), col("last_value"))
           .orderBy(col("user_id"))

@@ -30,21 +30,41 @@ final class Warehouse(spark: SparkSession, rootDir: String) {
 
   private def dir(table: String) = s"$rootDir/$table"
 
-  /** CREATE TABLE IF NOT EXISTS ×3 (db.py:76-124). Idempotent. */
-  def init(): Unit =
-    Seq("telemetry" -> TelemetrySchema.canonicalSchema,
-        "user_query_log" -> queryLogSchema,
+  /** CREATE TABLE IF NOT EXISTS ×3 (db.py:76-124). Idempotent.
+    *
+    * The two append-log tables commit through [[graft.operators
+    * .TableManifest]] — every insert is one atomic versioned marker, and
+    * the tables gain VERSION AS OF reads and vacuum, the same
+    * audit/rollback story the reference gets from transactional Postgres
+    * (db.py:74). `telemetry` keeps its machineid-partitioned,
+    * time-sorted physical layout (that layout IS its index — S4), so its
+    * bulk inserts stay on [[Ingest.writeParquet]]. */
+  def init(): Unit = {
+    val tPath = new org.apache.hadoop.fs.Path(dir("telemetry"))
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tPath))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        TelemetrySchema.canonicalSchema)
+        .write.parquet(dir("telemetry"))
+    Seq("user_query_log" -> queryLogSchema,
         "predictions" -> predictionsSchema)
       .foreach { case (t, schema) =>
-        val path = new org.apache.hadoop.fs.Path(dir(t))
-        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(path))
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-            .write.parquet(dir(t))
+        if (graft.operators.TableManifest.versions(spark, dir(t)).isEmpty)
+          graft.operators.TableManifest.commitSnapshot(
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+            dir(t))
       }
+  }
 
-  def table(name: String): DataFrame = spark.read.parquet(dir(name))
+  def table(name: String): DataFrame = name match {
+    case "telemetry" => spark.read.parquet(dir(name))
+    case "user_query_log" =>
+      graft.operators.TableManifest.read(spark, dir(name), Some(queryLogSchema))
+    case "predictions" =>
+      graft.operators.TableManifest.read(spark, dir(name), Some(predictionsSchema))
+  }
 
   /** S2: bulk telemetry insert — machineid-partitioned, time-sorted. */
   def insertTelemetry(cleaned: DataFrame): Unit =
@@ -83,9 +103,11 @@ final class Warehouse(spark: SparkSession, rootDir: String) {
         d.withColumn("ts_epoch", unix_timestamp(current_timestamp()))
       else d.withColumn(f.name, lit(null).cast(f.dataType))
     }
-    padded
-      .select(schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType)): _*)
-      .write.mode("append").parquet(dir(t))
+    graft.operators.TableManifest.append(
+      padded.select(
+        schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType)): _*),
+      dir(t))
+    ()
   }
 
   /** verify_database_setup (database_and_model_tools.py:117-125):

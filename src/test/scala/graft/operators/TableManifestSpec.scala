@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, LongType, StringType}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Table-level manifest commits: snapshot/append atomicity, exactly-once
+  * keyed replay, VERSION AS OF immutability, vacuum retention, and
+  * zero-row readability — the index commit protocol on data tables. */
+class TableManifestSpec extends AnyFunSuite {
+  private lazy val s = SparkSpec.session
+
+  private def df(rows: (Long, String)*) = {
+    import s.implicits._
+    rows.toDF("id", "v")
+  }
+
+  private def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+    d.select("id").collect().map(_.getLong(0)).toSet
+
+  test("snapshot + append + keyed replay: exactly-once, watermarked versions") {
+    val path = Files.createTempDirectory("tm_base").toString
+    val v0 = TableManifest.commitSnapshot(df(1L -> "a", 2L -> "b"), path)
+    assert(ids(TableManifest.read(s, path)) == Set(1L, 2L))
+    val v1 = TableManifest.append(df(3L -> "c"), path, batchId = Some(0L))
+    TableManifest.append(df(3L -> "c"), path, batchId = Some(0L)) // replay
+    assert(ids(TableManifest.read(s, path)) == Set(1L, 2L, 3L),
+      "replayed keyed append must replace its partition, not double rows")
+    assert(TableManifest.versions(s, path).take(2) == Seq(v0, v1))
+  }
+
+  test("pinned VERSION AS OF is immutable under appends AND snapshot replacement") {
+    val path = Files.createTempDirectory("tm_pin").toString
+    val v0 = TableManifest.commitSnapshot(df(1L -> "a"), path)
+    val v1 = TableManifest.append(df(2L -> "b"), path)
+    val v2 = TableManifest.commitSnapshot(df(9L -> "z"), path)
+    TableManifest.append(df(10L -> "y"), path)
+    assert(ids(TableManifest.readAt(s, path, v0)) == Set(1L),
+      "the v0 pin must not see later appends or snapshots")
+    assert(ids(TableManifest.readAt(s, path, v1)) == Set(1L, 2L))
+    assert(ids(TableManifest.readAt(s, path, v2)) == Set(9L))
+    assert(ids(TableManifest.read(s, path)) == Set(9L, 10L))
+  }
+
+  test("vacuum reclaims unreferenced payloads; kept pins stay readable") {
+    val path = Files.createTempDirectory("tm_vac").toString
+    val v0 = TableManifest.commitSnapshot(df(1L -> "a"), path)
+    TableManifest.commitSnapshot(df(2L -> "b"), path)
+    val v2 = TableManifest.commitSnapshot(df(3L -> "c"), path)
+    val v3 = TableManifest.append(df(4L -> "d"), path)
+    TableManifest.vacuum(s, path, keep = 2)
+    assert(ids(TableManifest.readAt(s, path, v2)) == Set(3L))
+    assert(ids(TableManifest.readAt(s, path, v3)) == Set(3L, 4L))
+    intercept[IllegalArgumentException] {
+      TableManifest.readAt(s, path, v0)
+    }
+  }
+
+  test("a zero-row snapshot reads back empty under an explicit schema") {
+    val path = Files.createTempDirectory("tm_empty").toString
+    val schema = StructType(Seq.empty)
+      .add("id", LongType).add("v", StringType)
+    TableManifest.commitSnapshot(
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema), path)
+    assert(TableManifest.read(s, path, Some(schema)).count() == 0)
+    TableManifest.append(df(5L -> "e"), path)
+    assert(ids(TableManifest.read(s, path, Some(schema))) == Set(5L))
+  }
+}
