@@ -221,6 +221,74 @@ object SearchIndex {
         .parquet(IndexManifest.codesDir(spark, path))
         .drop("__batch"))
 
+  /** Live postings AS OF a retained `version` — [[VectorIndex
+    * .loadCodesAt]]'s composite resolution (payload ≤ v, batches ≤ its
+    * watermark, minus its pending delete segments) with the posting
+    * schema, so zero-row historical payloads stay readable. */
+  def loadAt(spark: SparkSession, path: String, version: Long): DataFrame = {
+    require(IndexManifest.committedVersions(spark, path).contains(version),
+      s"version $version was never committed at $path")
+    val p = IndexManifest.payloadVersionAt(spark, path, version)
+    require(p.isDefined,
+      s"version $version of $path has been vacuumed — raise vacuum(keep)")
+    val wm = IndexManifest.watermarkAt(spark, path, version)
+    spark.read.schema(PostingSchemaB).parquet(s"$path/codes_v${p.get}")
+      .filter(col("__batch") <= wm).drop("__batch")
+      .join(broadcast(VectorIndex.tombstonesAt(spark, path, version)),
+        Seq("vec_id"), "left_anti")
+  }
+
+  /** [[bm25]] pinned to a retained historical `version` — what the index
+    * ranked as of that snapshot, IMMUTABLE under later deletes, appends,
+    * and rebuilds (the composite-manifest guarantee). Corpus stats
+    * resolve the pinned payload's stats artifact restricted to the pin's
+    * watermark, corrected by the pin's own pending-delete segments —
+    * same O(drop) probe cost as the live path, same exact-live-aggregate
+    * fallback when the artifact is absent. */
+  def bm25At(spark: SparkSession, path: String, version: Long,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(!terms.contains(DlToken))
+    val live = loadAt(spark, path, version)
+    scorePostings(live, corpusStatsAt(spark, path, version, live), terms, k)
+  }
+
+  /** 1-row (n_docs, sum_dl) of the view AS OF `version`: the pinned
+    * payload's stats rows at-or-below the watermark, minus the pinned
+    * segments' deleted docs; exact live aggregate when no artifact. */
+  private def corpusStatsAt(spark: SparkSession, path: String,
+      version: Long, live: DataFrame): DataFrame = {
+    val p = IndexManifest.payloadVersionAt(spark, path, version)
+    val statsDir = p.map(pv => s"$path/stats_v$pv").filter { d =>
+      val hp = new org.apache.hadoop.fs.Path(d)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
+    statsDir match {
+      case None =>
+        live.filter(col("token") === DlToken)
+          .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_dl"))
+      case Some(dir) =>
+        val wm = IndexManifest.watermarkAt(spark, path, version)
+        val base = spark.read.schema(StatsSchema).parquet(dir)
+          .filter(col("__batch") <= wm)
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("sum_dl")).as("sum_dl"))
+        if (IndexManifest.segmentVersionsAt(spark, path, version).isEmpty)
+          base
+        else {
+          val deleted = spark.read.schema(PostingSchemaB)
+            .parquet(s"$path/codes_v${p.get}")
+            .filter(col("token") === DlToken && col("__batch") <= wm)
+            .join(broadcast(VectorIndex.tombstonesAt(spark, path, version)),
+              Seq("vec_id"), "left_semi")
+            .agg(count(lit(1)).as("__dn"),
+              coalesce(sum(col("tf")), lit(0L)).as("__ddl"))
+          base.crossJoin(broadcast(deleted))
+            .select((col("n_docs") - col("__dn")).as("n_docs"),
+              (col("sum_dl") - col("__ddl")).as("sum_dl"))
+        }
+    }
+  }
+
   /** Exact-phrase occurrence counts over the live index: (doc_id,
     * n_matches > 0) for every doc containing `terms` as CONSECUTIVE
     * tokens, multiplicity = number of starting positions. Serves from

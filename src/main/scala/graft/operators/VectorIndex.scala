@@ -232,7 +232,7 @@ object VectorIndex {
   def versions(spark: SparkSession, path: String): Seq[Long] =
     IndexManifest.committedVersions(spark, path)
 
-  private def tombstonesAt(spark: SparkSession, path: String,
+  private[operators] def tombstonesAt(spark: SparkSession, path: String,
       version: Long): DataFrame = {
     val segs = IndexManifest.segmentVersionsAt(spark, path, version)
       .map(d => s"$path/tombstones_v$d")

@@ -505,6 +505,61 @@ object SearchQueries {
               |FROM den FULL OUTER JOIN spr ON den.doc_id = spr.doc_id
               |ORDER BY rrf_ppm DESC, doc_id""".stripMargin)),
 
+    // ---- search-index time travel ------------------------------------------
+    // The BM25 index gains the vector indexes' VERSION AS OF surface:
+    // build (v0) → delete (v1) → append clones (v2), then ALL THREE
+    // rankings are probed at the end, after every mutation — the v0 pin
+    // must rank the full original corpus (later deletes land in higher
+    // segments, later appends above its watermark), the v1 pin the
+    // post-delete corpus, the current one deletes + clones. Corpus stats
+    // at a pin resolve that payload's stats artifact under the pin's
+    // watermark, corrected by its own pending segments — so the pinned
+    // df/N/Σdl shift exactly as a frozen corpus would, which is what
+    // each stage's from-scratch BM25 CTE replay proves.
+    Q("q_search_time_travel",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_sidx_tt").toString
+        graft.operators.SearchIndex.build(docs, "doc_id", "text", path)
+        val v0 = graft.operators.VectorIndex.versions(s, path).last
+        graft.operators.VectorIndex.deleteIds(
+          docs.filter(col("doc_id") < 40), "doc_id", path)
+        val v1 = graft.operators.VectorIndex.versions(s, path).last
+        graft.operators.SearchIndex.append(
+          docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+          "doc_id", "text", path)
+        def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("stage", lit(name))
+        stage("v0_full",
+            graft.operators.SearchIndex.bm25At(s, path, v0, QueryTerms, 20))
+          .unionByName(stage("v1_deleted",
+            graft.operators.SearchIndex.bm25At(s, path, v1, QueryTerms, 20)))
+          .unionByName(stage("v2_current",
+            graft.operators.SearchIndex.bm25(s, path, QueryTerms, 20)))
+          .select(col("stage"), col("doc_id"), col("score_ppm"),
+            col("n_terms"))
+          .orderBy(col("stage"), col("doc_id"))
+      },
+      Some(s"""WITH dd2 AS (SELECT * FROM documents WHERE doc_id >= 40),
+              |dd3 AS (SELECT * FROM dd2
+              |        UNION ALL
+              |        SELECT doc_id + 1000000 AS doc_id, text, lang, source,
+              |               n_chars
+              |        FROM documents),
+              |${bm25CtesFor("documents")},
+              |${bm25CtesFor("dd2", "2")},
+              |${bm25CtesFor("dd3", "3")}
+              |SELECT 'v0_full' AS stage, doc_id, score_ppm, n_terms FROM
+              |  (SELECT * FROM bm ORDER BY score_ppm DESC, doc_id LIMIT 20)
+              |UNION ALL
+              |SELECT 'v1_deleted', doc_id, score_ppm, n_terms FROM
+              |  (SELECT * FROM bm2 ORDER BY score_ppm DESC, doc_id LIMIT 20)
+              |UNION ALL
+              |SELECT 'v2_current', doc_id, score_ppm, n_terms FROM
+              |  (SELECT * FROM bm3 ORDER BY score_ppm DESC, doc_id LIMIT 20)
+              |ORDER BY stage, doc_id""".stripMargin)),
+
     // ---- hybrid serving at BATCH scale ------------------------------------
     // q_hybrid_index_serve pins query 0; this is its production shape: a
     // whole query SET (five queries, each with its own term set and its

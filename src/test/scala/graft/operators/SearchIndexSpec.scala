@@ -152,6 +152,37 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(rows(SearchIndex.bm25(s, path2, terms, 20)) == before)
   }
 
+  test("bm25At: a pinned ranking is immutable under delete, append, AND rebuild") {
+    val path = Files.createTempDirectory("sidx_tt").toString
+    SearchIndex.build(docs.filter(col("doc_id") < 300), "doc_id", "text", path)
+    val v0 = VectorIndex.versions(s, path).last
+    val pinned = rows(SearchIndex.bm25At(s, path, v0, terms, 20))
+    assert(pinned == rows(SearchIndex.bm25(s, path, terms, 20)),
+      "the current-version pin must equal the live probe")
+    VectorIndex.deleteIds(docs.filter(col("doc_id") < 50), "doc_id", path)
+    assert(rows(SearchIndex.bm25At(s, path, v0, terms, 20)) == pinned,
+      "a later delete must not reach the pin")
+    SearchIndex.append(
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 350),
+      "doc_id", "text", path)
+    assert(rows(SearchIndex.bm25At(s, path, v0, terms, 20)) == pinned,
+      "a later append must not reach the pin")
+    // rebuild with a DIFFERENT corpus: new payload + new stats artifact —
+    // the pin keeps resolving its own
+    SearchIndex.build(docs.filter(col("doc_id") >= 100), "doc_id", "text", path)
+    assert(rows(SearchIndex.bm25At(s, path, v0, terms, 20)) == pinned,
+      "a rebuild must not reach the pin")
+    // and the pinned DELETE state is itself a stable snapshot
+    val v1 = VectorIndex.versions(s, path)(1)
+    val afterDelete = rows(SearchIndex.bm25At(s, path, v1, terms, 20))
+    val fresh = Files.createTempDirectory("sidx_tt_fresh").toString
+    SearchIndex.build(
+      docs.filter(col("doc_id") >= 50 && col("doc_id") < 300),
+      "doc_id", "text", fresh)
+    assert(afterDelete == rows(SearchIndex.bm25(s, fresh, terms, 20)),
+      "the v1 pin must rank exactly the post-delete corpus")
+  }
+
   test("an empty index serves empty results, not a crash") {
     val path = Files.createTempDirectory("sidx_empty").toString
     SearchIndex.build(docs.filter(col("doc_id") < 0), "doc_id", "text", path)
