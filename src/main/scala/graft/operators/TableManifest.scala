@@ -141,6 +141,40 @@ object TableManifest {
   def versions(spark: SparkSession, path: String): Seq[Long] =
     IndexManifest.committedVersions(spark, path)
 
+  /** One row per retained version (ascending): readable?, row count,
+    * payload bytes — the audit view a retention policy reads, the
+    * [[VectorIndex.history]] shape on tables. */
+  def history(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val f = fs(spark, path)
+    val cur = IndexManifest.currentVersion(spark, path).getOrElse(-1L)
+    val rows = versions(spark, path).map { v =>
+      IndexManifest.payloadVersionAt(spark, path, v, "data") match {
+        case None =>
+          s"SELECT ${v}L AS version, ${v == cur} AS is_current, " +
+            "false AS readable, CAST(NULL AS BIGINT) AS n_rows, " +
+            "CAST(NULL AS BIGINT) AS payload_bytes"
+        case Some(p) =>
+          val n = scala.util.Try(readAt(spark, path, v, schema).count())
+            .getOrElse(0L)
+          val bytes = f.getContentSummary(
+            new org.apache.hadoop.fs.Path(s"$path/data_v$p")).getLength
+          s"SELECT ${v}L AS version, ${v == cur} AS is_current, " +
+            s"true AS readable, ${n}L AS n_rows, ${bytes}L AS payload_bytes"
+      }
+    }
+    rows.map(spark.sql).reduce(_ unionByName _)
+  }
+
+  /** Fold the current payload's batch partitions into one fresh snapshot
+    * — the table analog of index compaction (a long-lived append-log
+    * table accumulates one `__batch` dir per insert; folding restores
+    * big-file scans). One marker; earlier pins keep their own payload
+    * until vacuum. Returns the committed version. */
+  def compactBatches(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): Long =
+    commitSnapshot(read(spark, path, schema), path)
+
   /** Reclaim versions older than the `keep` most recent (the index
     * layer's expire-snapshots, unchanged). */
   def vacuum(spark: SparkSession, path: String, keep: Int = 2): Unit =

@@ -253,6 +253,39 @@ object StreamQueries {
              |FROM events GROUP BY event_type
              |ORDER BY event_type NULLS FIRST""".stripMargin)),
 
+    // ---- streaming append into a manifest table ---------------------------
+    // The log-table ingest shape: each micro-batch appends its rows as a
+    // keyed `__batch` partition of a TableManifest table (one atomic
+    // watermarked marker per batch — foreachBatch is at-least-once, the
+    // batchId key makes the landed table exactly-once). After the stream
+    // drains, the table must equal the batch input row-for-row; every
+    // intermediate batch remains a retained VERSION AS OF.
+    Q("q_stream_table_append",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_stream_tbl").toString
+        val stream = eventStream(s, dir)
+        val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            val proj = batch.select(col("event_id"), col("user_id"),
+              col("ts"), col("value"))
+            // zero-row snapshot seeds the payload (CREATE TABLE); the
+            // batches themselves land as appends
+            if (TableManifest.versions(s, path).isEmpty)
+              TableManifest.commitSnapshot(proj.limit(0), path)
+            TableManifest.append(proj, path, batchId = Some(batchId))
+            ()
+        }.start()
+        try q.processAllAvailable() finally q.stop()
+        TableManifest.read(s, path)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, ts, value
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // ---- foreachBatch streaming upsert: the production sink pattern ------
     // Streams land in warehouses via foreachBatch + MERGE: each
     // micro-batch collapses to its latest row per key (max_by — partials

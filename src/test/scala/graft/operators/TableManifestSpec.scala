@@ -58,6 +58,34 @@ class TableManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("history audits every retained version; compactBatches folds the append log") {
+    val path = Files.createTempDirectory("tm_hist").toString
+    TableManifest.commitSnapshot(df(1L -> "a"), path)
+    TableManifest.append(df(2L -> "b"), path)
+    TableManifest.append(df(3L -> "c"), path)
+    val h0 = TableManifest.history(s, path).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getLong(3))).toList
+    assert(h0.map(_._1) == List(0L, 1L, 2L))
+    assert(h0.map(_._3) == List(1L, 2L, 3L), s"per-version rows: $h0")
+    val vC = TableManifest.compactBatches(s, path)
+    assert(ids(TableManifest.read(s, path)) == Set(1L, 2L, 3L),
+      "compaction must not change the live table")
+    // the folded snapshot is one payload: its own batch structure is
+    // just the build partition
+    val p = new org.apache.hadoop.fs.Path(s"$path/data_v$vC")
+    val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val batchDirs = fsys.listStatus(p).map(_.getPath.getName)
+      .count(_.startsWith("__batch="))
+    assert(batchDirs == 1, s"folded payload must hold one partition: $batchDirs")
+    // earlier pins still resolve their own payload until vacuum
+    assert(ids(TableManifest.readAt(s, path, 1L)) == Set(1L, 2L))
+    TableManifest.vacuum(s, path, keep = 1)
+    assert(ids(TableManifest.read(s, path)) == Set(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      TableManifest.readAt(s, path, 1L)
+    }
+  }
+
   test("a zero-row snapshot reads back empty under an explicit schema") {
     val path = Files.createTempDirectory("tm_empty").toString
     val schema = StructType(Seq.empty)
