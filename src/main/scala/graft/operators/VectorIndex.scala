@@ -512,6 +512,28 @@ object VectorIndex {
     Knn.multiProbeRerank(cand, vectors, queries, idCol, vecCol, k)
   }
 
+  /** [[searchSignLsh]] pinned to a retained historical `version`: the
+    * probe keys derive from the PINNED plane count (geometry resolves
+    * through the manifest at the pinned version — a later rebuild's
+    * plane family can never decode a pinned key table) and candidates
+    * meet the pinned composite view. The proof that geometry versioning
+    * matters: bucket keys are only comparable under one plane family. */
+  def searchSignLshAt(spark: SparkSession, path: String, version: Long,
+      vectors: DataFrame, idCol: String, vecCol: String, queries: DataFrame,
+      k: Int, probes: Int): DataFrame = {
+    val planes = spark.read.parquet(
+        IndexManifest.artifactDirAt(spark, path, "meta", Some(version)))
+      .head().getAs[Int]("planes")
+    val keys = loadCodesAt(spark, path, version)
+      .select(col("vec_id"), col("bucket"))
+    val cand = broadcast(
+        Knn.multiProbeKeys(queries, idCol, vecCol, planes, probes))
+      .join(keys,
+        col("__pk") === col("bucket") && col("__qid") =!= col("vec_id"))
+      .select(col("__qid"), col("vec_id").as("__cid"))
+    Knn.multiProbeRerank(cand, vectors, queries, idCol, vecCol, k)
+  }
+
   // ---- SQ8 lifecycle -------------------------------------------------------
   // Same faiss-shaped contract as the other quantizers: the per-dim
   // [min,max] fit is the artifact that must NOT be refit on append

@@ -58,4 +58,35 @@ class SignLshIndexSpec extends AnyFunSuite {
     assert(after.count() == 10,
       "every query's appended exact clone must be its top hit")
   }
+
+  test("searchSignLshAt: a pinned probe uses the PINNED plane geometry across a rebuild") {
+    val path = Files.createTempDirectory("signlsh_tt").toString
+    val corpus0 = emb.filter(col("vec_id") < 200).localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < 5).localCheckpoint(true)
+    VectorIndex.buildSignLsh(corpus0, "vec_id", "embedding", path)
+    val v0 = VectorIndex.versions(s, path).last
+    val planes0 = s.read.parquet(s"$path/meta_v$v0").head().getAs[Int]("planes")
+    val pinned = VectorIndex.searchSignLshAt(s, path, v0, corpus0,
+        "vec_id", "embedding", queries, k = 3, probes = 4)
+      .collect().map(_.toSeq).toSet
+    // rebuild over a corpus big enough to derive a DIFFERENT plane count:
+    // bucket keys are only comparable within one plane family, so a
+    // pinned probe that read the new geometry would silently miss
+    VectorIndex.buildSignLsh(emb, "vec_id", "embedding", path)
+    val v1 = VectorIndex.versions(s, path).last
+    val planes1 = s.read.parquet(
+        IndexManifest.artifactDirAt(s, path, "meta", Some(v1)))
+      .head().getAs[Int]("planes")
+    assert(planes0 != planes1,
+      s"fixture must change geometry across the rebuild: $planes0 vs $planes1")
+    assert(VectorIndex.searchSignLshAt(s, path, v0, corpus0,
+        "vec_id", "embedding", queries, k = 3, probes = 4)
+      .collect().map(_.toSeq).toSet == pinned,
+      "the pin must keep its own plane family and key table")
+    // and the current probe equals the in-memory path over the new corpus
+    assert(VectorIndex.searchSignLsh(s, path, emb, "vec_id", "embedding",
+        queries, k = 3, probes = 4).collect().map(_.toSeq).toSet ==
+      Knn.multiProbeSearch(emb, queries, "vec_id", "embedding",
+        k = 3, probes = 4).collect().map(_.toSeq).toSet)
+  }
 }
