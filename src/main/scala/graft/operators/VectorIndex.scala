@@ -590,6 +590,21 @@ object VectorIndex {
       k)
   }
 
+  /** [[searchSq8]] pinned to a retained `version`: queries encode under
+    * the PINNED fit (a rebuild's new range would shift every code's
+    * meaning under the pinned table) against the pinned composite view. */
+  def searchSq8At(spark: SparkSession, path: String, version: Long,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val fit = spark.read.parquet(
+      IndexManifest.artifactDirAt(spark, path, "sqfit", Some(version)))
+    SQ.searchTopK(
+      loadCodesAt(spark, path, version).select(col("vec_id"), col("qcode")),
+      "vec_id", "qcode",
+      SQ.withCodes(queries, vecCol, fit)
+        .select(col(idCol).as("vec_id"), col("qcode")),
+      k)
+  }
+
   /** Codes table of a saved index: (vec_id, code). Explicit schema keeps
     * an empty index readable (no footers to infer from). */
   def loadBinaryCodes(spark: SparkSession, path: String): DataFrame =
@@ -716,6 +731,24 @@ object VectorIndex {
       loadIvfPqCentroids(spark, path),
       loadIvfPqCodebooks(spark, path),
       minusTombstones(spark, path, loadIvfPqCodes(spark, path)),
+      queries, idCol, vecCol, k, nProbe,
+      meta.getAs[Int]("subspaces"), meta.getAs[Int]("sub_dim"))
+  }
+
+  /** [[searchIvfPq]] pinned to a retained `version`: the whole quantizer
+    * (centroids, sub-codebooks, meta) resolves at the pin — codes are
+    * only decodable under the quantizer that produced them, so a pinned
+    * ADC scan under a rebuild's artifacts would be silently wrong. */
+  def searchIvfPqAt(spark: SparkSession, path: String, version: Long,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int): DataFrame = {
+    def at(name: String) = spark.read.parquet(
+      IndexManifest.artifactDirAt(spark, path, name, Some(version)))
+    val meta = at("meta").head()
+    PQ.ivfPqProbeSearch(
+      at("centroids"), at("codebooks"),
+      loadCodesAt(spark, path, version)
+        .select(col("vec_id"), col("__list"), col("s"), col("code")),
       queries, idCol, vecCol, k, nProbe,
       meta.getAs[Int]("subspaces"), meta.getAs[Int]("sub_dim"))
   }

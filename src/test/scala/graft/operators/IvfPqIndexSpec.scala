@@ -157,4 +157,23 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(res.exists(_._1 == newId),
       s"appended duplicate $newId absent from top-k $res")
   }
+  test("searchIvfPqAt: a pinned probe resolves the PINNED quantizer across a rebuild") {
+    val path = Files.createTempDirectory("ivfpq_tt").toString
+    val corpus0 = emb.filter(col("vec_id") < 150).localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < 3).localCheckpoint(true)
+    VectorIndex.buildIvfPq(corpus0, "vec_id", "embedding", "label", path, 8, 8)
+    val v0 = VectorIndex.versions(s, path).last
+    val pinned = VectorIndex.searchIvfPqAt(s, path, v0, queries,
+        "vec_id", "embedding", k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    // rebuild trains a NEW quantizer (different corpus): centroids,
+    // codebooks, and codes all change — the pinned ADC scan must keep
+    // decoding its own codes under its own quantizer
+    VectorIndex.buildIvfPq(emb.filter(col("vec_id") >= 50),
+      "vec_id", "embedding", "label", path, 8, 8)
+    assert(VectorIndex.searchIvfPqAt(s, path, v0, queries,
+        "vec_id", "embedding", k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSet == pinned,
+      "a rebuild's quantizer must never reach a pinned IVF-PQ probe")
+  }
 }

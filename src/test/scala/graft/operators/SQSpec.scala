@@ -70,4 +70,23 @@ class SQSpec extends AnyFunSuite {
     // dists from 0: 1 and 2 at 255², 3 at 2·255²; tie broken by id
     assert(res.toSeq == Seq((1L, 65025L, 1), (2L, 65025L, 2), (3L, 130050L, 3)))
   }
+  test("searchSq8At: a pinned probe uses the PINNED fit across a rebuild") {
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("sq8_tt").toString
+    val corpus0 = emb.filter(col("vec_id") < 100).localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < 3).localCheckpoint(true)
+    VectorIndex.buildSq8(corpus0, "vec_id", "embedding", path)
+    val v0 = VectorIndex.versions(s, path).last
+    val pinned = VectorIndex.searchSq8At(s, path, v0, queries,
+        "vec_id", "embedding", k = 3)
+      .collect().map(_.toSeq).toSet
+    // rebuild over a DIFFERENT slice: new min/max fit, new codes — the
+    // pin must keep encoding queries under ITS fit against ITS codes
+    VectorIndex.buildSq8(emb.filter(col("vec_id") >= 50),
+      "vec_id", "embedding", path)
+    assert(VectorIndex.searchSq8At(s, path, v0, queries,
+        "vec_id", "embedding", k = 3)
+      .collect().map(_.toSeq).toSet == pinned,
+      "a rebuild's fit must never reach a pinned SQ8 probe")
+  }
 }
