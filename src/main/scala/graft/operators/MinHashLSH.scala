@@ -188,7 +188,8 @@ object MinHashLSH {
       maxHamming: Int,
       bits: Int = 30,
       bandBits: Int = 0,
-      probePred: Column => Column = _ => lit(true)): DataFrame = {
+      probePred: Column => Column = _ => lit(true),
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val b =
       if (bandBits > 0) bandBits
       else simhashBandBitsFor(sh.count(), bits, maxHamming)
@@ -206,23 +207,36 @@ object MinHashLSH {
         else base.withColumn("__key",
           explode(array(flips.map(m => col("__key0").bitwiseXOR(lit(m))): _*)))
       keyed.select(col("__id"), col("__sh"), col("__band"), col("__key"))
-        // same partitioning rule as hammingBandPairs: without it the
-        // explode inherits the scan's (often single-file, single-task)
-        // partitioning and the whole Σ bucket² evaluation serializes on
-        // one core
-        .repartition(col("__band"), col("__key"))
     }
+    // same partitioning rule as hammingBandPairs: without a (band, key)
+    // repartition the explode inherits the scan's (often single-file,
+    // single-task) partitioning and the whole Σ bucket² evaluation
+    // serializes on one core. With maxBucket, hot buckets additionally
+    // tile (see [[tileHot]] — exact output, no straggler task).
+    //
     // top band may be narrower than b (bits not a multiple): flips of
     // its phantom high bits produce keys no exact key carries — wasted
     // probe rows, never wrong pairs; pigeonhole still holds because the
     // real differing bits are always within the enumerated positions
-    val exact = banded(Seq(0L))
-    val probe = if (s == 0) exact else banded(flipMasks(b, s))
+    val exactRaw = banded(Seq(0L))
+    val probeRaw = if (s == 0) exactRaw else banded(flipMasks(b, s))
+    val (probe, exact, tileCond) =
+      if (maxBucket == Int.MaxValue)
+        (probeRaw.repartition(col("__band"), col("__key")),
+          exactRaw.repartition(col("__band"), col("__key")),
+          lit(true))
+      else {
+        val hot = exactRaw.groupBy(col("__band"), col("__key"))
+          .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBucket)
+        (tileHot(probeRaw, hot, maxBucket, probeSide = true),
+          tileHot(exactRaw, hot, maxBucket, probeSide = false),
+          col("a.__tile") === col("b.__tile"))
+      }
 
     probe.as("a").filter(probePred(col("a.__id")))
       .join(exact.as("b"),
         col("a.__band") === col("b.__band") &&
-          col("a.__key") === col("b.__key") &&
+          col("a.__key") === col("b.__key") && tileCond &&
           col("a.__id") < col("b.__id") &&
           bit_count(col("a.__sh").bitwiseXOR(col("b.__sh"))) <= maxHamming)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),

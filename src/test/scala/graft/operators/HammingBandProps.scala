@@ -87,10 +87,16 @@ object HammingBandProps extends Properties("graft.hammingband") {
         def joined(mb: Int) = MinHashLSH.hammingBandJoin(df, df, "id", "hi",
             "lo", maxHamming = tau, bandBits = bandBits, maxBucket = mb)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        def sim(mb: Int) = MinHashLSH.simhashBandPairs(
+            df.selectExpr("id", "hi & 1073741823 AS sh"), "id", "sh",
+            maxHamming = tau, bits = 30,
+            bandBits = if (bandBits == 16) 0 else bandBits, maxBucket = mb)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
         // tiny maxBucket forces tiling on ~every bucket — the guard must
         // be a pure parallelization, never a result change
         Prop(pairs(maxBucket) == pairs(Int.MaxValue) &&
-          joined(maxBucket) == joined(Int.MaxValue)) :|
+          joined(maxBucket) == joined(Int.MaxValue) &&
+          sim(maxBucket) == sim(Int.MaxValue)) :|
           s"tau=$tau bb=$bandBits mb=$maxBucket"
     }
 
