@@ -39,6 +39,7 @@ object Bench {
     "q_media_phash_dedup",     // multimodal (perceptual-hash near-dedup)
     "q_hamming_rewrite",       // optimizer rule (naive SQL → banded join)
     "q_hybrid_rrf",            // retrieval (BM25 + dense arms, RRF fusion)
+    "q_hybrid_batch_serve",    // retrieval at batch scale (index-served)
     "q_zscore_events",         // ML standardization
     "q_iforest_top_anomalies", // custom ML scoring
     "q_stream_hourly_rollup")  // structured streaming

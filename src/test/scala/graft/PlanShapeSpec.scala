@@ -99,6 +99,12 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase search on the decorated Unicode fixture stays equi-join served") {
+    val s = render(plan("q_phrase_unicode"))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"q_phrase_unicode must stay equi-join served:\n$s")
+  }
+
   test("phrase search plans pure equi-joins over posting lists") {
     // the positional chain is (vec_id) equi-joins with position filters;
     // no loop node anywhere. (The BM25 entries are NOT in this lock: the
