@@ -93,19 +93,53 @@ private[operators] object IndexManifest {
   }
 
   /** The payload version a composite `version` resolves to: the largest
-    * `<base>_v<P>` ON DISK with P ≤ version (vacuum keeps this sound by
-    * never deleting a payload a retained version still resolves to).
-    * Indexes use base `codes`; [[TableManifest]] data tables use `data`. */
+    * COMMITTED `<base>_v<P>` ON DISK with P ≤ version (vacuum keeps this
+    * sound by never deleting a payload a retained version still resolves
+    * to). The committed-marker filter excludes ORPHANS — dirs parked by
+    * a crash between the payload write and its marker — which must never
+    * enter any resolution (see [[nextMutationVersion]]). Indexes use
+    * base `codes`; [[TableManifest]] data tables use `data`. */
   def payloadVersionAt(spark: SparkSession, path: String,
-      version: Long, base: String = "codes"): Option[Long] =
-    diskVersions(spark, path, base).filter(_ <= version).lastOption
+      version: Long, base: String = "codes"): Option[Long] = {
+    val committed = committedVersions(spark, path).toSet
+    diskVersions(spark, path, base)
+      .filter(p => p <= version && committed.contains(p)).lastOption
+  }
 
   /** Delete-segment versions masking composite `version`:
-    * payload(version) < D ≤ version. */
+    * payload(version) < D ≤ version, committed markers only (an orphan
+    * segment from a crashed delete must never mask anything). */
   def segmentVersionsAt(spark: SparkSession, path: String,
       version: Long): Seq[Long] = {
     val p = payloadVersionAt(spark, path, version).getOrElse(-1L)
-    diskVersions(spark, path, "tombstones").filter(d => d > p && d <= version)
+    val committed = committedVersions(spark, path).toSet
+    diskVersions(spark, path, "tombstones")
+      .filter(d => d > p && d <= version && committed.contains(d))
+  }
+
+  /** The version number the NEXT mutation must use: past the current
+    * marker AND past every versioned dir on disk (payloads, segments,
+    * geometry — committed or orphaned). Without the orphan skip, a
+    * mutation committing at an orphan's number would RESURRECT it: the
+    * marker legitimizes the crashed write into the composite resolution
+    * (a half-built payload served, a dead delete masking live rows, a
+    * stale quantizer decoding fresh codes). */
+  def nextMutationVersion(spark: SparkSession, path: String): Long = {
+    val afterMarker = currentVersion(spark, path).map(_ + 1).getOrElse(0L)
+    val p = new Path(path)
+    val f = fs(spark, path)
+    if (!f.exists(p)) return afterMarker
+    val afterDisk = f.listStatus(p).map(_.getPath.getName)
+      .flatMap { n =>
+        val i = n.lastIndexOf("_v")
+        if (i <= 0) None
+        else {
+          val ver = n.substring(i + 2)
+          if (ver.nonEmpty && ver.forall(_.isDigit)) Some(ver.toLong + 1)
+          else None
+        }
+      }
+    (afterMarker +: afterDisk.toSeq).max
   }
 
   /** Current live payload dir. */
@@ -115,24 +149,29 @@ private[operators] object IndexManifest {
       .map(p => s"$path/codes_v$p").getOrElse(s"$path/codes")
 
   /** Geometry artifact dir for composite `version` (None = current):
-    * the largest `name_v<W>` with W ≤ version; legacy unversioned `name`
-    * when no versioned artifact exists (pre-geometry-versioning builds). */
+    * the largest COMMITTED `name_v<W>` with W ≤ version (an orphan
+    * artifact from a crashed rebuild must never decode live codes);
+    * legacy unversioned `name` when no versioned artifact exists
+    * (pre-geometry-versioning builds). */
   def artifactDirAt(spark: SparkSession, path: String, name: String,
       version: Option[Long] = None): String = {
     val bound = version.orElse(currentVersion(spark, path))
+    val committed = committedVersions(spark, path).toSet
     bound.flatMap(v => diskVersions(spark, path, name)
-        .filter(_ <= v).lastOption)
+        .filter(w => w <= v && committed.contains(w)).lastOption)
       .map(w => s"$path/${name}_v$w").getOrElse(s"$path/$name")
   }
 
   /** Version a fresh build() must write and then commit: 0 on a virgin
-    * path, current+1 when a manifest already exists (a REBUILD).
-    * Re-committing version 0 over a compacted index (current ≥ 1) would
-    * be silently ignored by [[currentVersion]]'s max rule — readers
-    * would keep serving the old payload. Building into the NEXT version
-    * makes rebuild an atomic switch instead. */
+    * path, past the current marker when a manifest already exists (a
+    * REBUILD). Re-committing version 0 over a compacted index (current
+    * ≥ 1) would be silently ignored by [[currentVersion]]'s max rule —
+    * readers would keep serving the old payload. Building into the NEXT
+    * version makes rebuild an atomic switch instead; orphan dirs are
+    * skipped ([[nextMutationVersion]]), so a rebuild never writes into
+    * a crashed predecessor's directory. */
   def nextBuildVersion(spark: SparkSession, path: String): Long =
-    currentVersion(spark, path).map(_ + 1).getOrElse(0L)
+    nextMutationVersion(spark, path)
 
   /** Watermark recorded in `version`'s marker: the highest `__batch`
     * visible to readers pinned there (-1 = the build partition only).

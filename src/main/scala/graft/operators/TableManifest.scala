@@ -58,20 +58,29 @@ object TableManifest {
     } yield s"$path/data_v$p"
 
   /** Write `df` as the table's NEXT complete snapshot and publish it with
-    * one marker. Returns the committed version. */
+    * one marker. The payload lands in a UNIQUE hidden dir first and is
+    * renamed per commit attempt (the [[VectorIndex.deleteIds]] pattern),
+    * so even RACING snapshot committers never write into one directory —
+    * each lands completely on its own version number. Returns the
+    * committed version. */
   def commitSnapshot(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession
-    val first = IndexManifest.nextBuildVersion(spark, path)
-    df.withColumn("__batch", lit(-1L))
-      .write.partitionBy("__batch").mode("overwrite")
-      .parquet(s"$path/data_v$first")
     val f = fs(spark, path)
-    var v = first
-    while (!IndexManifest.tryCommit(spark, path, v, watermark = -1L)) {
-      val nv = IndexManifest.nextBuildVersion(spark, path)
-      f.rename(new org.apache.hadoop.fs.Path(s"$path/data_v$v"),
-        new org.apache.hadoop.fs.Path(s"$path/data_v$nv"))
-      v = nv
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/.data_pending_${java.util.UUID.randomUUID}")
+    df.withColumn("__batch", lit(-1L))
+      .write.partitionBy("__batch").mode("overwrite").parquet(tmp.toString)
+    var v = -1L
+    var committed = false
+    while (!committed) {
+      v = IndexManifest.nextMutationVersion(spark, path)
+      val dst = new org.apache.hadoop.fs.Path(s"$path/data_v$v")
+      // rename refuses an existing dst: a racing committer at the same
+      // number makes us spin until its marker lands, then retry above it
+      if (f.rename(tmp, dst)) {
+        committed = IndexManifest.tryCommit(spark, path, v, watermark = -1L)
+        if (!committed) f.rename(dst, tmp) // lost the marker race: retry
+      }
     }
     v
   }
@@ -95,8 +104,7 @@ object TableManifest {
     var v = -1L
     var committed = false
     while (!committed) {
-      val cur = IndexManifest.currentVersion(spark, path).get
-      v = cur + 1
+      v = IndexManifest.nextMutationVersion(spark, path)
       committed = IndexManifest.tryCommit(spark, path, v,
         VectorIndex.nextBatchId(spark, dir) - 1L)
     }

@@ -65,11 +65,10 @@ object VectorIndex {
     // view.) Legacy layouts stay versionless.
     if (IndexManifest.currentVersion(spark, path).isDefined) {
       var committed = false
-      while (!committed) {
-        val cur = IndexManifest.currentVersion(spark, path).get
-        committed = IndexManifest.tryCommit(spark, path, cur + 1,
+      while (!committed)
+        committed = IndexManifest.tryCommit(spark, path,
+          IndexManifest.nextMutationVersion(spark, path),
           nextBatchId(spark, dir) - 1L)
-      }
     }
     batch
   }
@@ -181,6 +180,11 @@ object VectorIndex {
         dedup.write.mode("overwrite").parquet(tmp.toString)
         var committed = false
         while (!committed) {
+          // STRICTLY cur+1 — the marker number is the CAS that makes
+          // concurrent mutations visible to each other (compact's
+          // re-fold loop depends on stealing/losing this exact number);
+          // orphan-skipping applies only to mutations with no
+          // read-modify-write (appends, fresh builds)
           val cur = IndexManifest.currentVersion(spark, path).get
           val d = cur + 1
           val seg = new org.apache.hadoop.fs.Path(s"$path/tombstones_v$d")
@@ -347,7 +351,18 @@ object VectorIndex {
             return // nothing pending to fold
           val snapshot = tombstonesAt(spark, path, cur).localCheckpoint(true)
           if (hookPending) { hookPending = false; afterSnapshot() }
+          // STRICTLY cur+1: losing this marker to a concurrent delete is
+          // exactly how compact learns its snapshot went stale — a
+          // skipped-ahead number would commit the stale fold silently.
+          // An orphan codes dir parked at the target by a crashed
+          // predecessor is uncommitted garbage nothing resolves
+          // (payloadVersionAt filters by markers): clear it so the
+          // post-commit rename cannot collide into it.
           val target = cur + 1
+          val orphan = new org.apache.hadoop.fs.Path(s"$path/codes_v$target")
+          if (!IndexManifest.committedVersions(spark, path).contains(target)
+              && fs.exists(orphan))
+            fs.delete(orphan, true)
           val dir = IndexManifest.codesDir(spark, path)
           spark.read.parquet(dir)
             .join(broadcast(snapshot), Seq("vec_id"), "left_anti")

@@ -86,6 +86,35 @@ class TableManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("schema evolution: each version keeps its own schema; pins read theirs") {
+    import s.implicits._
+    val path = Files.createTempDirectory("tm_schema").toString
+    val v0 = TableManifest.commitSnapshot(df(1L -> "a"), path)
+    val v1 = TableManifest.commitSnapshot(
+      Seq((2L, "b", 3.5)).toDF("id", "v", "w"), path)
+    assert(TableManifest.readAt(s, path, v0).columns.toSeq == Seq("id", "v"))
+    assert(TableManifest.readAt(s, path, v1).columns.toSeq ==
+      Seq("id", "v", "w"))
+    assert(TableManifest.read(s, path).columns.toSeq == Seq("id", "v", "w"))
+  }
+
+  test("racing snapshot committers both land, on distinct versions") {
+    val path = Files.createTempDirectory("tm_race").toString
+    TableManifest.commitSnapshot(df(0L -> "seed"), path)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = (1 to 4).map { i =>
+      new Thread(() => results.add(
+        TableManifest.commitSnapshot(df(i.toLong -> s"t$i"), path)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val vs = results.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSet
+    assert(vs.size == 4, s"every committer must land a distinct version: $vs")
+    assert(TableManifest.versions(s, path).toSet == vs + 0L)
+    // the current table is exactly the winner's snapshot (a 1-row df)
+    assert(TableManifest.read(s, path).count() == 1)
+    vs.foreach(v => assert(TableManifest.readAt(s, path, v).count() == 1))
+  }
+
   test("a zero-row snapshot reads back empty under an explicit schema") {
     val path = Files.createTempDirectory("tm_empty").toString
     val schema = StructType(Seq.empty)
