@@ -38,8 +38,13 @@ object Bench {
     "q_bpe_merges",            // tokenizer training (iterative vocab rounds)
     "q_media_phash_dedup",     // multimodal (perceptual-hash near-dedup)
     "q_hamming_rewrite",       // optimizer rule (naive SQL → banded join)
+    // batched index-served retrieval (q_hybrid_batch_serve) is NOT a
+    // headline: a registry entry must be self-contained, so each timed
+    // run would rebuild BOTH persisted indexes — a build benchmark, not
+    // a serving one. Its serving economics are measured where they are
+    // visible: `Stress hybridbatch` (per-query 1.83→0.073 s as the batch
+    // grows 1→32 against standing indexes, SCALE.md).
     "q_hybrid_rrf",            // retrieval (BM25 + dense arms, RRF fusion)
-    "q_hybrid_batch_serve",    // retrieval at batch scale (index-served)
     "q_zscore_events",         // ML standardization
     "q_iforest_top_anomalies", // custom ML scoring
     "q_stream_hourly_rollup")  // structured streaming
