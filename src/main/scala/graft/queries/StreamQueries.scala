@@ -286,6 +286,75 @@ object StreamQueries {
       Some("""SELECT event_id, user_id, ts, value
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // ---- merge-on-read streaming upsert -----------------------------------
+    // The SCALE shape of the keyed upsert sink. q_stream_foreach_upsert
+    // is copy-on-write: each micro-batch commits a full merged snapshot
+    // — bounded-size tables, instant reads, but O(table) write per
+    // batch, which at 1 B keys is a per-batch table rewrite (the same
+    // cost class as the BM25 O(corpus) stats scan was). This variant is
+    // merge-on-read: each batch APPENDS its per-key latest rows
+    // (O(batch) write, exactly-once under the batchId key) and the READ
+    // resolves latest-per-key across batches; compactBatches folds the
+    // accumulated log back into one snapshot whenever read amplification
+    // warrants — and folding must change NOTHING, which is what the
+    // second output stage hashes. CoW and MoR are both real strategies
+    // (Delta/Hudi ship exactly this pair); the sink picks by write- vs
+    // read-amplification, and both are now oracle-locked.
+    Q("q_stream_upsert_mor",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_stream_mor").toString
+        val stream = eventStream(s, dir)
+        val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            val upd = batch
+              .groupBy(col("user_id"))
+              .agg(max_by(
+                struct(col("event_id"), col("ts"), col("value")),
+                struct(col("ts"), col("event_id"))).as("__r"))
+              .select(col("user_id"), col("__r.event_id").as("last_event_id"),
+                col("__r.ts").as("__ts"), col("__r.value").as("last_value"))
+            if (TableManifest.versions(s, path).isEmpty)
+              TableManifest.commitSnapshot(upd.limit(0), path)
+            TableManifest.append(upd, path, batchId = Some(batchId))
+            ()
+        }.start()
+        try q.processAllAvailable() finally q.stop()
+        // merge-on-read resolve: latest per key across the batch log
+        def resolve(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("user_id"))
+          .agg(max_by(
+            struct(col("last_event_id"), col("__ts"), col("last_value")),
+            struct(col("__ts"), col("last_event_id"))).as("__r"))
+          .select(col("user_id"),
+            col("__r.last_event_id").as("last_event_id"),
+            col("__r.__ts").as("last_ts"),
+            col("__r.last_value").as("last_value"))
+        val mor = resolve(TableManifest.read(s, path))
+          .withColumn("stage", lit("mor"))
+        graft.operators.TableManifest.compactBatches(s, path)
+        val folded = resolve(TableManifest.read(s, path))
+          .withColumn("stage", lit("folded"))
+        mor.unionByName(folded)
+          .select(col("stage"), col("user_id"), col("last_event_id"),
+            col("last_ts"), col("last_value"))
+          .orderBy(col("stage"), col("user_id"))
+      },
+      Some("""WITH latest AS (
+             |  SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+             |         value AS last_value
+             |  FROM (SELECT user_id, event_id, ts, value,
+             |          row_number() OVER (PARTITION BY user_id
+             |            ORDER BY ts DESC, event_id DESC) AS rn
+             |        FROM events) t
+             |  WHERE rn = 1)
+             |SELECT 'folded' AS stage, * FROM latest
+             |UNION ALL
+             |SELECT 'mor', * FROM latest
+             |ORDER BY stage, user_id""".stripMargin)),
+
     // ---- foreachBatch streaming upsert: the production sink pattern ------
     // Streams land in warehouses via foreachBatch + MERGE: each
     // micro-batch collapses to its latest row per key (max_by — partials
