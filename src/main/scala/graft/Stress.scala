@@ -792,6 +792,66 @@ object Stress {
         bigmp.unpersist()
         println(f"""{"vectors":$nMp%d,"planes":${operators.Knn.planesFor(nMp)}%d,"truth_seconds":$tMpTruth%.1f,$sweep}""")
 
+      case "upsert" =>
+        // CoW vs MoR keyed-upsert sinks at a standing-table scale the
+        // bench fixtures can't show: 2M standing keys, 20k-row drops.
+        // CoW pays a full merged-snapshot rewrite per batch (cost ∝
+        // table); MoR appends the drop and defers merging to the read
+        // (cost ∝ batch). Reported: per-batch sink seconds for each,
+        // plus the MoR read-resolve and compact cost — the complete
+        // trade, measured.
+        import spark.implicits._
+        val nKeys = 2000000L
+        val batchRows = 20000
+        def drop(seed: Int) = spark.range(batchRows)
+          .select((pmod(hash(col("id"), lit(seed)).cast("long"), lit(nKeys)))
+              .as("user_id"),
+            (col("id") + seed * 1000000L).as("last_event_id"),
+            (col("id") % 1000L).as("__ts"),
+            (col("id") % 97L).cast("double").as("last_value"))
+          .localCheckpoint(true)
+        val standing = spark.range(nKeys)
+          .select(col("id").as("user_id"), col("id").as("last_event_id"),
+            lit(0L).as("__ts"), lit(0.0).as("last_value"))
+        def resolve(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("user_id"))
+          .agg(max_by(
+            struct(col("last_event_id"), col("__ts"), col("last_value")),
+            struct(col("__ts"), col("last_event_id"))).as("__r"))
+          .select(col("user_id"), col("__r.last_event_id").as("last_event_id"),
+            col("__r.__ts").as("__ts"), col("__r.last_value").as("last_value"))
+        // CoW sink: merge + full snapshot per batch
+        val cowPath = java.nio.file.Files
+          .createTempDirectory("stress_upsert_cow").toString
+        operators.TableManifest.commitSnapshot(standing, cowPath)
+        val tCow = (1 to 3).map { i =>
+          val d = drop(i)
+          val t0 = System.nanoTime()
+          operators.TableManifest.commitSnapshot(
+            resolve(operators.TableManifest.read(spark, cowPath)
+              .unionByName(d)), cowPath)
+          (System.nanoTime() - t0) / 1e9
+        }
+        // MoR sink: append per batch, resolve at read, compact once
+        val morPath = java.nio.file.Files
+          .createTempDirectory("stress_upsert_mor").toString
+        operators.TableManifest.commitSnapshot(standing, morPath)
+        val tMor = (1 to 3).map { i =>
+          val d = drop(i)
+          val t0 = System.nanoTime()
+          operators.TableManifest.append(d, morPath, batchId = Some(i.toLong))
+          (System.nanoTime() - t0) / 1e9
+        }
+        val tr0 = System.nanoTime()
+        val nMor = resolve(operators.TableManifest.read(spark, morPath)).count()
+        val tMorRead = (System.nanoTime() - tr0) / 1e9
+        val tc0 = System.nanoTime()
+        operators.TableManifest.compactBatches(spark, morPath)
+        val tMorCompact = (System.nanoTime() - tc0) / 1e9
+        val nCow = operators.TableManifest.read(spark, cowPath).count()
+        require(nCow == nKeys && nMor == nKeys)
+        println(f"""{"keys":$nKeys%d,"batch_rows":$batchRows%d,"cow_batch_seconds":[${tCow.map(t => f"$t%.1f").mkString(",")}],"mor_batch_seconds":[${tMor.map(t => f"$t%.1f").mkString(",")}],"mor_read_seconds":$tMorRead%.1f,"mor_compact_seconds":$tMorCompact%.1f}""")
+
       case "hybridbatch" =>
         // batched hybrid serving: ONE pass per index for a whole query
         // set. Per-query cost must FALL as the batch grows — postings
