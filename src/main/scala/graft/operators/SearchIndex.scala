@@ -121,7 +121,13 @@ object SearchIndex {
   /** Tokenize NEW docs only, append their postings, and upsert the
     * batch's stats row. Pass the streaming `batchId` for exactly-once
     * replay — the stats row is keyed by the same `__batch` partition as
-    * the codes, so a replay replaces both instead of double-counting. */
+    * the codes, so a replay replaces both instead of double-counting.
+    * The stats row lands AFTER the codes commit: a concurrent
+    * current-version reader in that window sees the batch's postings
+    * with pre-batch corpus stats (the same read-what's-on-disk window
+    * any current read has for a mid-flight append); keyed replay repairs
+    * a crash between the two writes, and pinned readers ([[bm25At]])
+    * never observe the window — their stats are watermark-bounded. */
   def append(docs: DataFrame, idCol: String, textCol: String, path: String,
       batchId: Option[Long] = None): Unit = {
     val spark = docs.sparkSession

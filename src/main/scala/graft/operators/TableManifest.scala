@@ -145,6 +145,25 @@ object TableManifest {
     base.filter(col("__batch") <= wm).drop("__batch")
   }
 
+  /** Merge-on-read resolve: latest row per `keyCols`, ordered by
+    * `orderCols` (descending significance left-to-right, ties broken by
+    * the later column) — the read side of an append-log upsert table
+    * (each batch appends its rows, [[readLatest]] collapses across the
+    * log, [[compactBatches]] folds it back; the folded snapshot resolves
+    * identically — q_stream_upsert_mor's hash). One map-side-combinable
+    * max_by aggregate: no window, no sort. */
+  def readLatest(spark: SparkSession, path: String, keyCols: Seq[String],
+      orderCols: Seq[String], schema: Option[StructType] = None): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty)
+    val df = read(spark, path, schema)
+    val payload = df.columns.filterNot(keyCols.contains)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(orderCols.map(col): _*)).as("__r"))
+      .select(keyCols.map(col) ++
+        payload.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
   /** All committed versions still resolvable, ascending. */
   def versions(spark: SparkSession, path: String): Seq[Long] =
     IndexManifest.committedVersions(spark, path)

@@ -323,20 +323,14 @@ object StreamQueries {
         }.start()
         try q.processAllAvailable() finally q.stop()
         // merge-on-read resolve: latest per key across the batch log
-        def resolve(df: org.apache.spark.sql.DataFrame) = df
-          .groupBy(col("user_id"))
-          .agg(max_by(
-            struct(col("last_event_id"), col("__ts"), col("last_value")),
-            struct(col("__ts"), col("last_event_id"))).as("__r"))
-          .select(col("user_id"),
-            col("__r.last_event_id").as("last_event_id"),
-            col("__r.__ts").as("last_ts"),
-            col("__r.last_value").as("last_value"))
-        val mor = resolve(TableManifest.read(s, path))
-          .withColumn("stage", lit("mor"))
+        def resolve() = TableManifest.readLatest(s, path,
+            keyCols = Seq("user_id"),
+            orderCols = Seq("__ts", "last_event_id"))
+          .select(col("user_id"), col("last_event_id"),
+            col("__ts").as("last_ts"), col("last_value"))
+        val mor = resolve().withColumn("stage", lit("mor"))
         graft.operators.TableManifest.compactBatches(s, path)
-        val folded = resolve(TableManifest.read(s, path))
-          .withColumn("stage", lit("folded"))
+        val folded = resolve().withColumn("stage", lit("folded"))
         mor.unionByName(folded)
           .select(col("stage"), col("user_id"), col("last_event_id"),
             col("last_ts"), col("last_value"))
