@@ -54,6 +54,23 @@ import org.apache.spark.sql.SparkSession
   * optimistic path, so delete-vs-compact interleavings serialize
   * cleanly instead of silently losing removals.
   *
+  * Crash-recovery windows (stated, not hidden): a mutation that dies
+  * between writing a versioned dir and its marker leaves an ORPHAN —
+  * resolution ignores it (committed-marker filters everywhere) and
+  * fresh builds/appends allocate past it, but a crashed delete's orphan
+  * SEGMENT blocks the cur+1 CAS slot: deleteIds fails after a bounded
+  * spin with the recovery action (remove the dir) rather than spinning
+  * forever or deleting what might be an in-flight partner's segment.
+  * And because a delete's segment is renamed into place BEFORE its
+  * marker, an async delete racing an append for the same number has a
+  * transient window where a reader at the append's fresh version can
+  * observe the delete early (the loser renames its segment back
+  * immediately); a crash inside that exact window attributes the
+  * segment to the append's version — the one interleaving the
+  * filesystem-only protocol cannot close, which is where a real
+  * deployment reaches for the lock service table formats keep at this
+  * layer.
+  *
   * Legacy layout (no `manifest/` dir — indexes written before this
   * layer) resolves to the unversioned `codes`/`tombstones` names, and
   * compact falls back to the old swap there.
@@ -218,24 +235,27 @@ private[operators] object IndexManifest {
   /** Reclaim versions no longer reachable from the `keep` most recent
     * committed versions. A retained composite version needs its payload,
     * its masking segments, and its geometry — so the reclaim CUTOFF is
-    * the payload version the OLDEST kept version resolves to, and per
-    * geometry artifact the newest below-cutoff version survives when no
-    * at-or-above-cutoff artifact supersedes it. Never touches the
-    * current version; no-op on legacy layouts. */
-  def vacuum(spark: SparkSession, path: String, keep: Int): Unit = {
+    * the payload version the OLDEST kept version resolves to (payload
+    * base `codes` for indexes, `data` for [[TableManifest]] tables), and
+    * per geometry artifact the newest below-cutoff version survives when
+    * no at-or-above-cutoff artifact supersedes it. A RETAINED dir's
+    * marker is retained WITH it: resolution requires committed markers
+    * (the orphan guard), so deleting a marker whose geometry still
+    * serves retained versions would strand that geometry — live probes
+    * would fall back to a legacy path that never existed. Never touches
+    * the current version; no-op on legacy layouts. */
+  def vacuum(spark: SparkSession, path: String, keep: Int,
+      payloadBase: String = "codes"): Unit = {
     require(keep >= 1)
     val f = fs(spark, path)
     val vs = committedVersions(spark, path)
     if (vs.isEmpty) return
     val keepSet = vs.takeRight(keep)
-    val cutoff = payloadVersionAt(spark, path, keepSet.min)
+    val cutoff = payloadVersionAt(spark, path, keepSet.min, payloadBase)
       .getOrElse(keepSet.min)
-    vs.filter(_ < cutoff).foreach { v =>
-      f.delete(new Path(s"$path/codes_v$v"), true)
-      f.delete(new Path(s"$path/tombstones_v$v"), true)
-      f.delete(new Path(s"$path/manifest/v$v"), false)
-    }
-    // geometry: list every `<base>_v<N>` dir that is not payload/segments
+    // geometry survivors first: per `<base>_v<N>` family (anything that
+    // is not the payload or a segment), the newest at-or-below-cutoff
+    // version keeps serving retained versions — keep dir AND marker
     val bases = f.listStatus(new Path(path)).map(_.getPath.getName)
       .flatMap { n =>
         val i = n.lastIndexOf("_v")
@@ -243,17 +263,22 @@ private[operators] object IndexManifest {
         else {
           val (base, ver) = (n.substring(0, i), n.substring(i + 2))
           if (ver.nonEmpty && ver.forall(_.isDigit) &&
-              base != "codes" && base != "tombstones")
+              base != payloadBase && base != "tombstones")
             Some(base -> ver.toLong)
           else None
         }
       }
-    bases.groupBy(_._1).foreach { case (base, entries) =>
+    val keptGeometry = bases.groupBy(_._1).flatMap { case (base, entries) =>
       val below = entries.map(_._2).filter(_ <= cutoff).sorted
-      // the newest at-or-below-cutoff artifact serves every retained
-      // version until a newer artifact takes over — keep it, drop older
       below.dropRight(1).foreach(w =>
         f.delete(new Path(s"$path/${base}_v$w"), true))
+      below.lastOption
+    }.toSet
+    vs.filter(_ < cutoff).foreach { v =>
+      f.delete(new Path(s"$path/${payloadBase}_v$v"), true)
+      f.delete(new Path(s"$path/tombstones_v$v"), true)
+      if (!keptGeometry.contains(v))
+        f.delete(new Path(s"$path/manifest/v$v"), false)
     }
   }
 }

@@ -161,36 +161,17 @@ object SearchIndex {
     }
   }
 
-  /** 1-row (n_docs, sum_dl) of the LIVE corpus: the stats artifact minus
-    * the pending-deleted docs' contribution when the artifact exists,
-    * else the exact aggregate over `live`'s reserved rows. */
+  /** 1-row (n_docs, sum_dl) of the LIVE corpus — [[corpusStatsAt]] at
+    * the current version (legacy layouts fall straight to the exact
+    * aggregate; the current marker's watermark covers every on-disk
+    * batch, so the watermark bound is a no-op here). */
   private def corpusStats(spark: SparkSession, path: String,
       live: DataFrame): DataFrame =
-    currentStatsDir(spark, path) match {
+    IndexManifest.currentVersion(spark, path) match {
+      case Some(cur) => corpusStatsAt(spark, path, cur, live)
       case None =>
         live.filter(col("token") === DlToken)
           .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_dl"))
-      case Some(statsDir) =>
-        val base = spark.read.schema(StatsSchema).parquet(statsDir)
-          .agg(sum(col("n_docs")).as("n_docs"),
-            sum(col("sum_dl")).as("sum_dl"))
-        val cur = IndexManifest.currentVersion(spark, path).get
-        if (IndexManifest.segmentVersionsAt(spark, path, cur).isEmpty) base
-        else {
-          // pending deletes: subtract the deleted docs' reserved rows —
-          // a token-pruned read semi-joined to the (tiny, broadcast)
-          // tombstone set, O(drop) not O(corpus)
-          val deleted = spark.read.schema(PostingSchemaB)
-            .parquet(IndexManifest.codesDir(spark, path))
-            .filter(col("token") === DlToken)
-            .join(broadcast(VectorIndex.loadTombstones(spark, path)),
-              Seq("vec_id"), "left_semi")
-            .agg(count(lit(1)).as("__dn"),
-              coalesce(sum(col("tf")), lit(0L)).as("__ddl"))
-          base.crossJoin(broadcast(deleted))
-            .select((col("n_docs") - col("__dn")).as("n_docs"),
-              (col("sum_dl") - col("__ddl")).as("sum_dl"))
-        }
     }
 
   /** Recompute the stats artifact for the CURRENT payload from its raw
@@ -339,6 +320,7 @@ object SearchIndex {
     * the index path. */
   def bm25FromDocs(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int): DataFrame = {
+    require(!terms.contains(DlToken))
     val postings = postingsOf(docs, idCol, textCol)
     val corpus = postings.filter(col("token") === DlToken)
       .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_dl"))
@@ -357,8 +339,12 @@ object SearchIndex {
       queryIdCol: String, termCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val live = load(spark, path)
+    // the reserved token is filtered, not required-away: query tokens
+    // arrive as DATA here, and a NUL row would otherwise join every
+    // doc-length row as a bogus corpus-wide term
     val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
-      col(termCol).as("token")).distinct()
+        col(termCol).as("token"))
+      .filter(col("token") =!= DlToken).distinct()
     val corpus = corpusStats(spark, path, live)
     // postings for any requested term, read once; df is per TOKEN (not
     // per query), so it aggregates before the query join fans out

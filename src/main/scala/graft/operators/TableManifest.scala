@@ -175,6 +175,11 @@ object TableManifest {
       schema: Option[StructType] = None): DataFrame = {
     val f = fs(spark, path)
     val cur = IndexManifest.currentVersion(spark, path).getOrElse(-1L)
+    if (versions(spark, path).isEmpty) // nothing committed: empty audit
+      return spark.sql(
+        """SELECT CAST(NULL AS BIGINT) AS version, false AS is_current,
+          |  false AS readable, CAST(NULL AS BIGINT) AS n_rows,
+          |  CAST(NULL AS BIGINT) AS payload_bytes""".stripMargin).limit(0)
     val rows = versions(spark, path).map { v =>
       IndexManifest.payloadVersionAt(spark, path, v, "data") match {
         case None =>
@@ -202,8 +207,12 @@ object TableManifest {
       schema: Option[StructType] = None): Long =
     commitSnapshot(read(spark, path, schema), path)
 
-  /** Reclaim versions older than the `keep` most recent (the index
-    * layer's expire-snapshots, unchanged). */
+  /** Reclaim versions older than the `keep` most recent — the index
+    * layer's expire-snapshots with the TABLE payload base: the reclaim
+    * cutoff must resolve against `data_v` payloads, or an append-log
+    * table (one old snapshot + many append markers — the warehouse
+    * shape) would lose the marker that makes its only payload
+    * resolvable. */
   def vacuum(spark: SparkSession, path: String, keep: Int = 2): Unit =
-    IndexManifest.vacuum(spark, path, keep)
+    IndexManifest.vacuum(spark, path, keep, payloadBase = "data")
 }

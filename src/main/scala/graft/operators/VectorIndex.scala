@@ -179,6 +179,8 @@ object VectorIndex {
           s"$path/.tombstones_pending_${java.util.UUID.randomUUID}")
         dedup.write.mode("overwrite").parquet(tmp.toString)
         var committed = false
+        var blockedAt = -1L
+        var blockedTries = 0
         while (!committed) {
           // STRICTLY cur+1 — the marker number is the CAS that makes
           // concurrent mutations visible to each other (compact's
@@ -189,14 +191,29 @@ object VectorIndex {
           val d = cur + 1
           val seg = new org.apache.hadoop.fs.Path(s"$path/tombstones_v$d")
           // rename refuses an existing dst: a racing delete at the same
-          // number makes us spin until its marker lands, then retry at d+1
+          // number makes us spin until its marker lands, then retry at
+          // d+1. BOUNDED: if the blocking dir's marker never lands it is
+          // a crashed delete's orphan — fail with the recovery action
+          // instead of spinning forever (deleting it ourselves could
+          // race an in-flight partner about to commit that number).
           if (fsys.rename(tmp, seg)) {
+            blockedAt = -1L; blockedTries = 0
             // the pinned watermark is whatever the payload holds right
             // now, so a pin at d also freezes the append frontier
             val wm = nextBatchId(spark,
               IndexManifest.codesDir(spark, path)) - 1L
             committed = IndexManifest.tryCommit(spark, path, d, wm)
             if (!committed) fsys.rename(seg, tmp) // take it back, retry
+          } else {
+            if (blockedAt == d) blockedTries += 1
+            else { blockedAt = d; blockedTries = 1 }
+            if (blockedTries > 100)
+              throw new IllegalStateException(
+                s"delete segment $seg blocks version $d with no marker " +
+                  "arriving: a crashed deleteIds likely left it orphaned " +
+                  "— verify no delete is in flight, remove the directory, " +
+                  "and retry")
+            Thread.sleep(20)
           }
         }
     }

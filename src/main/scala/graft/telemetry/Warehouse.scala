@@ -50,11 +50,23 @@ final class Warehouse(spark: SparkSession, rootDir: String) {
     Seq("user_query_log" -> queryLogSchema,
         "predictions" -> predictionsSchema)
       .foreach { case (t, schema) =>
-        if (graft.operators.TableManifest.versions(spark, dir(t)).isEmpty)
-          graft.operators.TableManifest.commitSnapshot(
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-            dir(t))
+        if (graft.operators.TableManifest.versions(spark, dir(t)).isEmpty) {
+          // MIGRATE a legacy (pre-manifest) layout: plain parquet files
+          // at the table root become the seed snapshot — an empty seed
+          // over existing rows would silently shadow them. The file
+          // listing is captured before the snapshot write, so the new
+          // payload subdir never enters its own input; legacy files
+          // stay in place, unread (table() resolves the manifest).
+          val root = new org.apache.hadoop.fs.Path(dir(t))
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val legacy = fs.exists(root) && fs.listStatus(root)
+            .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          val seed =
+            if (legacy) spark.read.schema(schema).parquet(dir(t))
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          graft.operators.TableManifest.commitSnapshot(seed, dir(t))
+        }
       }
   }
 

@@ -86,6 +86,27 @@ class TableManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum on the append-log shape keeps the one payload resolvable") {
+    // the warehouse shape: one seed snapshot + endless append markers.
+    // The reclaim cutoff must resolve against DATA payloads — a cutoff
+    // computed on the index base would delete the seed's marker and
+    // strand the table's only payload behind the committed-marker filter
+    val path = Files.createTempDirectory("tm_vac_log").toString
+    TableManifest.commitSnapshot(df(1L -> "a"), path)
+    (0 to 3).foreach(i => TableManifest.append(df(10L + i -> "x"), path))
+    TableManifest.vacuum(s, path, keep = 2)
+    assert(ids(TableManifest.read(s, path)) == Set(1L, 10L, 11L, 12L, 13L),
+      "a routine vacuum must never make an append-log table unreadable")
+    assert(ids(TableManifest.readAt(s, path,
+      TableManifest.versions(s, path).takeRight(2).head)).nonEmpty)
+    assert(TableManifest.history(s, path).count() >= 2)
+  }
+
+  test("history on an uncommitted path returns an empty audit, not a crash") {
+    val path = Files.createTempDirectory("tm_hist_empty").toString
+    assert(TableManifest.history(s, path).count() == 0)
+  }
+
   test("schema evolution: each version keeps its own schema; pins read theirs") {
     import s.implicits._
     val path = Files.createTempDirectory("tm_schema").toString

@@ -95,12 +95,28 @@ class TimeTravelSpec extends AnyFunSuite {
     // keep=2 retains v2+v3; v2 still resolves to payload codes_v0, so
     // the whole chain survives this pass
     assert(VectorIndex.versions(s, path) == Seq(0L, 1L, 2L, 3L))
-    // a keep=1 pass reclaims everything below the compacted payload
+    // a keep=1 pass reclaims everything below the compacted payload —
+    // EXCEPT v0's marker: thresholds_v0 still serves every retained
+    // version (compact writes no geometry), and resolution requires a
+    // committed marker, so the marker travels with the retained artifact
     val r3 = VectorIndex.maintain(s, path, keepVersions = 1).head()
     assert(!r3.getAs[Boolean]("compacted"))
-    assert(r3.getAs[Int]("vacuumed_versions") == 3)
-    assert(VectorIndex.versions(s, path) == Seq(3L))
+    assert(r3.getAs[Int]("vacuumed_versions") == 2)
+    assert(VectorIndex.versions(s, path) == Seq(0L, 3L))
     assert(VectorIndex.loadBinaryCodes(s, path).count() == 85)
+    // the retained geometry must still RESOLVE: a post-vacuum append
+    // encodes under the kept thresholds and a search serves — the
+    // regression where vacuum stranded live geometry behind a deleted
+    // marker (probes fell back to a legacy path that never existed)
+    VectorIndex.appendBinary(emb.filter(col("vec_id") === 200),
+      "vec_id", "embedding", path)
+    assert(VectorIndex.searchBinary(s, path, emb, "vec_id", "embedding",
+      _.filter(col("vec_id") === 200), k = 3, rerankWidth = 8).count() == 3)
+    // v0 itself stays fail-fast: its payload is gone, only its marker
+    // (as geometry anchor) remains
+    assertThrows[IllegalArgumentException] {
+      VectorIndex.loadCodesAt(s, path, 0L)
+    }
   }
 
   test("history audits retained versions; vacuumed and bogus versions fail fast") {
@@ -122,10 +138,16 @@ class TimeTravelSpec extends AnyFunSuite {
       VectorIndex.loadCodesAt(s, path, 7L)
     }
     VectorIndex.vacuum(s, path, keep = 1)
-    // the markers went with the payload: the version list shrinks
-    assert(VectorIndex.versions(s, path) == Seq(2L))
+    // v1's marker went with its payload; v0's marker STAYS because
+    // thresholds_v0 still serves the retained chain (marker-with-
+    // geometry retention) — its payload is gone, so it reads as a
+    // fail-fast non-resolvable version, and history shows it unreadable
+    assert(VectorIndex.versions(s, path) == Seq(0L, 2L))
     intercept[IllegalArgumentException] {
       VectorIndex.loadCodesAt(s, path, 0L)
     }
+    val h2 = VectorIndex.history(s, path).orderBy(col("version")).collect()
+    assert(h2.map(r => (r.getAs[Long]("version"),
+      r.getAs[Boolean]("readable"))).toSeq == Seq(0L -> false, 2L -> true))
   }
 }

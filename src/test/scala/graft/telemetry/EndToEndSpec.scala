@@ -169,4 +169,30 @@ class EndToEndSpec extends AnyFunSuite {
     assert(a.length == 7200)
     assert(a.sameElements(b), "reloaded model must score bit-identically")
   }
+  test("warehouse init migrates a legacy (pre-manifest) layout without data loss") {
+    // a warehouse written by the pre-TableManifest code: plain parquet
+    // rows at the table root, no manifest/. init() must seed the
+    // manifest snapshot FROM those rows — an empty seed would silently
+    // shadow every pre-upgrade row
+    val root = Files.createTempDirectory("wh_migrate").toString
+    val legacyRows = Seq(
+      (1L, "user", "q1", "intent_a", 0.9, "M001", 100L, 1000L),
+      (2L, "user", "q2", "intent_b", 0.8, "M002", 200L, 2000L))
+      .toDF(Warehouse.queryLogSchema.fields.map(_.name).toIndexedSeq: _*)
+    legacyRows.write.parquet(s"$root/user_query_log")
+    val wh = new Warehouse(spark, root)
+    wh.init()
+    assert(wh.table("user_query_log").count() == 2,
+      "legacy rows must survive the manifest migration")
+    // and the migrated table keeps working: append continues past max id
+    wh.insertQueryLog(Seq(("user", "q3", "intent_c", 0.7))
+      .toDF("role", "query", "intent", "confidence"))
+    val after = wh.table("user_query_log")
+    assert(after.count() == 3)
+    assert(after.agg(org.apache.spark.sql.functions.max("id"))
+      .head().getLong(0) == 3L)
+    // idempotent: a second init neither duplicates nor resets
+    wh.init()
+    assert(wh.table("user_query_log").count() == 3)
+  }
 }
