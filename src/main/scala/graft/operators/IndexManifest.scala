@@ -179,6 +179,50 @@ private[operators] object IndexManifest {
       .map(w => s"$path/${name}_v$w").getOrElse(s"$path/$name")
   }
 
+  /** One-shot composite resolution: the two listing RPCs (manifest dir +
+    * index root) captured once, every version question answered from the
+    * snapshot. The SERVING paths use this — the helper-per-question form
+    * re-lists the filesystem a dozen times per probe, and on the object
+    * stores the docs target, listing is the expensive RPC. Mutators keep
+    * the always-fresh helpers (their loops must see concurrent commits). */
+  final case class Resolved(committed: Seq[Long],
+      disk: Map[String, Seq[Long]]) {
+    private val committedSet = committed.toSet
+    def current: Option[Long] = committed.lastOption
+    def payloadAt(version: Long, base: String = "codes"): Option[Long] =
+      disk.getOrElse(base, Nil)
+        .filter(p => p <= version && committedSet.contains(p)).lastOption
+    def segmentsAt(version: Long, base: String = "codes"): Seq[Long] = {
+      val p = payloadAt(version, base).getOrElse(-1L)
+      disk.getOrElse("tombstones", Nil)
+        .filter(d => d > p && d <= version && committedSet.contains(d))
+    }
+    def artifactVersionAt(name: String, version: Long): Option[Long] =
+      disk.getOrElse(name, Nil)
+        .filter(w => w <= version && committedSet.contains(w)).lastOption
+  }
+
+  def resolve(spark: SparkSession, path: String): Resolved = {
+    val committed = committedVersions(spark, path)
+    val p = new Path(path)
+    val f = fs(spark, path)
+    val disk: Map[String, Seq[Long]] =
+      if (!f.exists(p)) Map.empty
+      else f.listStatus(p).map(_.getPath.getName).toSeq
+        .flatMap { n =>
+          val i = n.lastIndexOf("_v")
+          if (i <= 0) None
+          else {
+            val ver = n.substring(i + 2)
+            if (ver.nonEmpty && ver.forall(_.isDigit))
+              Some(n.substring(0, i) -> ver.toLong)
+            else None
+          }
+        }
+        .groupBy(_._1).map { case (b, vs) => b -> vs.map(_._2).sorted }
+    Resolved(committed, disk)
+  }
+
   /** Version a fresh build() must write and then commit: 0 on a virgin
     * path, past the current marker when a manifest already exists (a
     * REBUILD). Re-committing version 0 over a compacted index (current

@@ -161,19 +161,6 @@ object SearchIndex {
     }
   }
 
-  /** 1-row (n_docs, sum_dl) of the LIVE corpus — [[corpusStatsAt]] at
-    * the current version (legacy layouts fall straight to the exact
-    * aggregate; the current marker's watermark covers every on-disk
-    * batch, so the watermark bound is a no-op here). */
-  private def corpusStats(spark: SparkSession, path: String,
-      live: DataFrame): DataFrame =
-    IndexManifest.currentVersion(spark, path) match {
-      case Some(cur) => corpusStatsAt(spark, path, cur, live)
-      case None =>
-        live.filter(col("token") === DlToken)
-          .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_dl"))
-    }
-
   /** Recompute the stats artifact for the CURRENT payload from its raw
     * batch rows — the repair after a kind-agnostic [[VectorIndex
     * .compact]] produced a payload without one (probes stay exact via
@@ -202,27 +189,56 @@ object SearchIndex {
   /** Live postings (vec_id, token, tf, dl, pos) including the reserved
     * doc-length rows, tombstones masked. Explicit schema keeps an empty
     * index readable, as with the other text indexes. */
-  def load(spark: SparkSession, path: String): DataFrame =
-    VectorIndex.minusTombstones(spark, path,
-      spark.read.schema(PostingSchemaB)
-        .parquet(IndexManifest.codesDir(spark, path))
-        .drop("__batch"))
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val r = IndexManifest.resolve(spark, path)
+    r.current match {
+      case Some(cur) => liveResolved(spark, path, r, cur, bounded = false)
+      case None => // legacy (pre-manifest) layout
+        VectorIndex.minusTombstones(spark, path,
+          spark.read.schema(PostingSchemaB)
+            .parquet(IndexManifest.codesDir(spark, path))
+            .drop("__batch"))
+    }
+  }
 
   /** Live postings AS OF a retained `version` — [[VectorIndex
     * .loadCodesAt]]'s composite resolution (payload ≤ v, batches ≤ its
     * watermark, minus its pending delete segments) with the posting
     * schema, so zero-row historical payloads stay readable. */
   def loadAt(spark: SparkSession, path: String, version: Long): DataFrame = {
-    require(IndexManifest.committedVersions(spark, path).contains(version),
+    val r = IndexManifest.resolve(spark, path)
+    require(r.committed.contains(version),
       s"version $version was never committed at $path")
-    val p = IndexManifest.payloadVersionAt(spark, path, version)
+    liveResolved(spark, path, r, version, bounded = true)
+  }
+
+  /** The composite view's postings from ONE resolution snapshot (all
+    * probe entry points resolve once — [[IndexManifest.resolve]] — so a
+    * probe costs two listing RPCs, not a dozen). `bounded` applies the
+    * version's append watermark (pinned reads); the current-version live
+    * read deliberately does not, matching every live reader here. */
+  private def liveResolved(spark: SparkSession, path: String,
+      r: IndexManifest.Resolved, version: Long, bounded: Boolean): DataFrame = {
+    val p = r.payloadAt(version)
     require(p.isDefined,
       s"version $version of $path has been vacuumed — raise vacuum(keep)")
-    val wm = IndexManifest.watermarkAt(spark, path, version)
-    spark.read.schema(PostingSchemaB).parquet(s"$path/codes_v${p.get}")
-      .filter(col("__batch") <= wm).drop("__batch")
-      .join(broadcast(VectorIndex.tombstonesAt(spark, path, version)),
+    val base = spark.read.schema(PostingSchemaB)
+      .parquet(s"$path/codes_v${p.get}")
+    val wmF =
+      if (bounded)
+        base.filter(col("__batch") <=
+          IndexManifest.watermarkAt(spark, path, version))
+      else base
+    wmF.drop("__batch")
+      .join(broadcast(segTombstones(spark, path, r, version)),
         Seq("vec_id"), "left_anti")
+  }
+
+  private def segTombstones(spark: SparkSession, path: String,
+      r: IndexManifest.Resolved, version: Long): DataFrame = {
+    val segs = r.segmentsAt(version).map(d => s"$path/tombstones_v$d")
+    if (segs.isEmpty) spark.range(0).select(col("id").as("vec_id"))
+    else spark.read.schema("vec_id LONG").parquet(segs: _*).distinct()
   }
 
   /** [[bm25]] pinned to a retained historical `version` — what the index
@@ -235,37 +251,37 @@ object SearchIndex {
   def bm25At(spark: SparkSession, path: String, version: Long,
       terms: Seq[String], k: Int): DataFrame = {
     require(!terms.contains(DlToken))
-    val live = loadAt(spark, path, version)
-    scorePostings(live, corpusStatsAt(spark, path, version, live), terms, k)
+    val r = IndexManifest.resolve(spark, path)
+    require(r.committed.contains(version),
+      s"version $version was never committed at $path")
+    val live = liveResolved(spark, path, r, version, bounded = true)
+    scorePostings(live, statsResolved(spark, path, r, version, live),
+      terms, k)
   }
 
-  /** 1-row (n_docs, sum_dl) of the view AS OF `version`: the pinned
-    * payload's stats rows at-or-below the watermark, minus the pinned
-    * segments' deleted docs; exact live aggregate when no artifact. */
-  private def corpusStatsAt(spark: SparkSession, path: String,
-      version: Long, live: DataFrame): DataFrame = {
-    val p = IndexManifest.payloadVersionAt(spark, path, version)
-    val statsDir = p.map(pv => s"$path/stats_v$pv").filter { d =>
-      val hp = new org.apache.hadoop.fs.Path(d)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
-    }
-    statsDir match {
+  /** 1-row (n_docs, sum_dl) of the view AS OF `version` from the shared
+    * resolution snapshot: the payload's stats rows at-or-below the
+    * watermark, minus the pending-deleted docs; exact live aggregate
+    * when no artifact exists for that payload. */
+  private def statsResolved(spark: SparkSession, path: String,
+      r: IndexManifest.Resolved, version: Long, live: DataFrame): DataFrame =
+    r.payloadAt(version)
+      .filter(pv => r.disk.getOrElse("stats", Nil).contains(pv)) match {
       case None =>
         live.filter(col("token") === DlToken)
           .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_dl"))
-      case Some(dir) =>
+      case Some(pv) =>
         val wm = IndexManifest.watermarkAt(spark, path, version)
-        val base = spark.read.schema(StatsSchema).parquet(dir)
+        val base = spark.read.schema(StatsSchema).parquet(s"$path/stats_v$pv")
           .filter(col("__batch") <= wm)
           .agg(sum(col("n_docs")).as("n_docs"),
             sum(col("sum_dl")).as("sum_dl"))
-        if (IndexManifest.segmentVersionsAt(spark, path, version).isEmpty)
-          base
+        if (r.segmentsAt(version).isEmpty) base
         else {
           val deleted = spark.read.schema(PostingSchemaB)
-            .parquet(s"$path/codes_v${p.get}")
+            .parquet(s"$path/codes_v$pv")
             .filter(col("token") === DlToken && col("__batch") <= wm)
-            .join(broadcast(VectorIndex.tombstonesAt(spark, path, version)),
+            .join(broadcast(segTombstones(spark, path, r, version)),
               Seq("vec_id"), "left_semi")
             .agg(count(lit(1)).as("__dn"),
               coalesce(sum(col("tf")), lit(0L)).as("__ddl"))
@@ -274,7 +290,6 @@ object SearchIndex {
               (col("sum_dl") - col("__ddl")).as("sum_dl"))
         }
     }
-  }
 
   /** Exact-phrase occurrence counts over the live index: (doc_id,
     * n_matches > 0) for every doc containing `terms` as CONSECUTIVE
@@ -310,8 +325,19 @@ object SearchIndex {
   def bm25(spark: SparkSession, path: String, terms: Seq[String],
       k: Int): DataFrame = {
     require(!terms.contains(DlToken))
-    val live = load(spark, path)
-    scorePostings(live, corpusStats(spark, path, live), terms, k)
+    val r = IndexManifest.resolve(spark, path)
+    r.current match {
+      case Some(cur) =>
+        val live = liveResolved(spark, path, r, cur, bounded = false)
+        scorePostings(live, statsResolved(spark, path, r, cur, live),
+          terms, k)
+      case None => // legacy: exact aggregate over the live rows
+        val live = load(spark, path)
+        scorePostings(live,
+          live.filter(col("token") === DlToken)
+            .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_dl")),
+          terms, k)
+    }
   }
 
   /** The same scorer straight from a documents frame, no persistence —
@@ -338,14 +364,23 @@ object SearchIndex {
   def bm25Batch(spark: SparkSession, path: String, queries: DataFrame,
       queryIdCol: String, termCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val live = load(spark, path)
+    val r = IndexManifest.resolve(spark, path)
+    val live = r.current match {
+      case Some(cur) => liveResolved(spark, path, r, cur, bounded = false)
+      case None => load(spark, path)
+    }
     // the reserved token is filtered, not required-away: query tokens
     // arrive as DATA here, and a NUL row would otherwise join every
     // doc-length row as a bogus corpus-wide term
     val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
         col(termCol).as("token"))
       .filter(col("token") =!= DlToken).distinct()
-    val corpus = corpusStats(spark, path, live)
+    val corpus = r.current match {
+      case Some(cur) => statsResolved(spark, path, r, cur, live)
+      case None =>
+        live.filter(col("token") === DlToken)
+          .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_dl"))
+    }
     // postings for any requested term, read once; df is per TOKEN (not
     // per query), so it aggregates before the query join fans out
     val tf = live.join(broadcast(q.select(col("token")).distinct()), "token")
