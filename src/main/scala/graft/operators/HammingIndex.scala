@@ -59,10 +59,9 @@ object HammingIndex {
     * pipelines legitimately build per-modality indexes that may start
     * empty. */
   def load(spark: SparkSession, path: String): DataFrame =
-    VectorIndex.minusTombstones(spark, path,
-      spark.read.schema("vec_id LONG, hi LONG, lo LONG, __batch LONG")
-        .parquet(IndexManifest.codesDir(spark, path))
-        .drop("__batch"))
+    VectorIndex.liveCodesResolved(spark, path,
+      IndexManifest.resolve(spark, path),
+      "vec_id LONG, hi LONG, lo LONG, __batch LONG")
 
   /** Probe a drop against the live index — the asymmetric banded join:
     * drop items never pairwise-join each other, only the index. Emits

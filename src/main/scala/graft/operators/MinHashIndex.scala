@@ -73,11 +73,9 @@ object MinHashIndex {
     * explicit schema keeps an EMPTY index readable (zero-row builds
     * write no footers to infer from), matching [[HammingIndex.load]]. */
   def load(spark: SparkSession, path: String): DataFrame =
-    VectorIndex.minusTombstones(spark, path,
-      spark.read
-        .schema("vec_id LONG, sig ARRAY<LONG> NOT NULL, __batch LONG")
-        .parquet(IndexManifest.codesDir(spark, path))
-        .drop("__batch"))
+    VectorIndex.liveCodesResolved(spark, path,
+      IndexManifest.resolve(spark, path),
+      "vec_id LONG, sig ARRAY<LONG> NOT NULL, __batch LONG")
 
   /** Probe a drop against the live index: (id_p, id_r, est_ppm) for every
     * candidate pair at estimated Jaccard ≥ `minEstPpm` — drop docs never

@@ -238,6 +238,44 @@ object VectorIndex {
     codes.join(broadcast(loadTombstones(spark, path)), Seq("vec_id"),
       "left_anti")
 
+  /** Union of `version`'s pending delete segments from a resolution
+    * snapshot — no extra listing RPCs. */
+  private[operators] def segTombstones(spark: SparkSession, path: String,
+      r: IndexManifest.Resolved, version: Long): DataFrame = {
+    val segs = r.segmentsAt(version).map(d => s"$path/tombstones_v$d")
+    if (segs.isEmpty) spark.range(0).select(col("id").as("vec_id"))
+    else spark.read.schema("vec_id LONG").parquet(segs: _*).distinct()
+  }
+
+  /** Current live codes (schema'd) from ONE resolution snapshot — the
+    * serving-path core shared by every index kind's search: two listing
+    * RPCs total instead of one per helper question. Legacy layouts fall
+    * back to the unversioned read. */
+  private[operators] def liveCodesResolved(spark: SparkSession, path: String,
+      r: IndexManifest.Resolved, schema: String): DataFrame =
+    r.current match {
+      case Some(cur) =>
+        val p = r.payloadAt(cur)
+        require(p.isDefined, s"no resolvable payload at $path")
+        spark.read.schema(schema).parquet(s"$path/codes_v${p.get}")
+          .drop("__batch")
+          .join(broadcast(segTombstones(spark, path, r, cur)),
+            Seq("vec_id"), "left_anti")
+      case None =>
+        minusTombstones(spark, path,
+          spark.read.schema(schema)
+            .parquet(IndexManifest.codesDir(spark, path)).drop("__batch"))
+    }
+
+  /** Geometry artifact dir from a resolution snapshot (current-version
+    * bound unless `version` given). */
+  private[operators] def artifactDirResolved(r: IndexManifest.Resolved,
+      path: String, name: String, version: Option[Long] = None): String = {
+    val bound = version.orElse(r.current)
+    bound.flatMap(v => r.artifactVersionAt(name, v))
+      .map(w => s"$path/${name}_v$w").getOrElse(s"$path/$name")
+  }
+
   // ---- time travel ---------------------------------------------------------
   // The manifest gives every reader snapshot isolation; these expose it
   // as an API — the Iceberg/Delta "VERSION AS OF" read, kept minimal.
@@ -520,10 +558,8 @@ object VectorIndex {
 
   /** Live bucket keys (vec_id, bucket), tombstones masked. */
   def loadSignLshKeys(spark: SparkSession, path: String): DataFrame =
-    minusTombstones(spark, path,
-      spark.read.schema("vec_id LONG, bucket LONG, __batch LONG")
-        .parquet(IndexManifest.codesDir(spark, path))
-        .drop("__batch"))
+    liveCodesResolved(spark, path, IndexManifest.resolve(spark, path),
+      "vec_id LONG, bucket LONG, __batch LONG")
 
   /** Multi-probe search over the SAVED keys: the probe sequence derives
     * from the saved plane count, candidates meet the pinned bucket
@@ -533,12 +569,15 @@ object VectorIndex {
   def searchSignLsh(spark: SparkSession, path: String, vectors: DataFrame,
       idCol: String, vecCol: String, queries: DataFrame, k: Int,
       probes: Int): DataFrame = {
-    val planes = spark.read.parquet(
-        IndexManifest.artifactDirAt(spark, path, "meta"))
+    val r = IndexManifest.resolve(spark, path)
+    val planes = spark.read
+      .parquet(artifactDirResolved(r, path, "meta"))
       .head().getAs[Int]("planes")
+    val keys = liveCodesResolved(spark, path, r,
+      "vec_id LONG, bucket LONG, __batch LONG")
     val cand = broadcast(
         Knn.multiProbeKeys(queries, idCol, vecCol, planes, probes))
-      .join(loadSignLshKeys(spark, path),
+      .join(keys,
         col("__pk") === col("bucket") && col("__qid") =!= col("vec_id"))
       .select(col("__qid"), col("vec_id").as("__cid"))
     Knn.multiProbeRerank(cand, vectors, queries, idCol, vecCol, k)
@@ -604,19 +643,20 @@ object VectorIndex {
     * keeps an empty index (zero-row build, or a compact that folded every
     * row away — a footerless dir) readable, like the other kinds. */
   def loadSq8Codes(spark: SparkSession, path: String): DataFrame =
-    minusTombstones(spark, path,
-      spark.read.schema("vec_id LONG, qcode ARRAY<INT>, __batch LONG")
-        .parquet(IndexManifest.codesDir(spark, path))
-        .drop("__batch"))
+    liveCodesResolved(spark, path, IndexManifest.resolve(spark, path),
+      "vec_id LONG, qcode ARRAY<INT>, __batch LONG")
 
   /** Search a SAVED SQ8 index: queries encode under the saved fit, then
     * the exact-integer symmetric-distance top-k over the live codes —
     * identical results to searching the in-memory build. */
   def searchSq8(spark: SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val fit = spark.read.parquet(
-      IndexManifest.artifactDirAt(spark, path, "sqfit"))
-    SQ.searchTopK(loadSq8Codes(spark, path), "vec_id", "qcode",
+    val r = IndexManifest.resolve(spark, path)
+    val fit = spark.read.parquet(artifactDirResolved(r, path, "sqfit"))
+    SQ.searchTopK(
+      liveCodesResolved(spark, path, r,
+        "vec_id LONG, qcode ARRAY<INT>, __batch LONG"),
+      "vec_id", "qcode",
       SQ.withCodes(queries, vecCol, fit)
         .select(col(idCol).as("vec_id"), col("qcode")),
       k)
@@ -659,7 +699,9 @@ object VectorIndex {
       idCol: String, vecCol: String, queryIds: DataFrame => DataFrame,
       k: Int, rerankWidth: Int, onePass: Boolean = false): DataFrame = {
     val src = vectors.select(col(idCol).as("vec_id"), col(vecCol))
-    val coded = minusTombstones(spark, path, loadBinaryCodes(spark, path))
+    val coded = liveCodesResolved(spark, path,
+        IndexManifest.resolve(spark, path),
+        "vec_id LONG, code LONG, __batch LONG")
       .join(src, "vec_id")
     if (onePass)
       BinaryQuant.hammingRerankTopKPartitioned(coded, "vec_id", vecCol,
@@ -757,12 +799,14 @@ object VectorIndex {
     * searching the in-memory build (the q_ivfpq_persist hash proof). */
   def searchIvfPq(spark: SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    val meta = spark.read.parquet(
-      IndexManifest.artifactDirAt(spark, path, "meta")).head()
+    val r = IndexManifest.resolve(spark, path)
+    val meta = spark.read
+      .parquet(artifactDirResolved(r, path, "meta")).head()
     PQ.ivfPqProbeSearch(
-      loadIvfPqCentroids(spark, path),
-      loadIvfPqCodebooks(spark, path),
-      minusTombstones(spark, path, loadIvfPqCodes(spark, path)),
+      spark.read.parquet(artifactDirResolved(r, path, "centroids")),
+      spark.read.parquet(artifactDirResolved(r, path, "codebooks")),
+      liveCodesResolved(spark, path, r,
+        "vec_id LONG, __list LONG, s INT, code LONG, __batch LONG"),
       queries, idCol, vecCol, k, nProbe,
       meta.getAs[Int]("subspaces"), meta.getAs[Int]("sub_dim"))
   }
