@@ -291,6 +291,24 @@ object SearchIndex {
         }
     }
 
+  /** Term completion: the live vocabulary under `prefix`, ranked by
+    * document frequency — the search-box autocomplete surface, served
+    * entirely from the postings index. The prefix is a pushed
+    * StringStartsWith over token-sorted row groups (build/append sort
+    * within partitions by token), so the scan reads the prefix's own
+    * token range, never the corpus. Returns (token, df, n_occurrences)
+    * ranked (df desc, token), top `k`. */
+  def completeTerm(spark: SparkSession, path: String, prefix: String,
+      k: Int): DataFrame = {
+    require(prefix.nonEmpty && !prefix.startsWith(DlToken))
+    load(spark, path)
+      .filter(col("token").startsWith(prefix))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("n_occurrences"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(k)
+  }
+
   /** Exact-phrase occurrence counts over the live index: (doc_id,
     * n_matches > 0) for every doc containing `terms` as CONSECUTIVE
     * tokens, multiplicity = number of starting positions. Serves from

@@ -505,6 +505,50 @@ object SearchQueries {
               |FROM den FULL OUTER JOIN spr ON den.doc_id = spr.doc_id
               |ORDER BY rrf_ppm DESC, doc_id""".stripMargin)),
 
+    // ---- term completion from the postings index ---------------------------
+    // The autocomplete surface: live vocabulary under a prefix ranked by
+    // document frequency, served entirely from the index — the prefix is
+    // a pushed StringStartsWith over token-sorted row groups, so the
+    // probe reads the prefix's own token range. Post-delete stage proves
+    // df shifts with the tombstones like every other statistic.
+    Q("q_term_completion",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_complete").toString
+        graft.operators.SearchIndex.build(docs, "doc_id", "text", path)
+        val full = graft.operators.SearchIndex.completeTerm(s, path, "s", 10)
+          .withColumn("stage", lit("full"))
+        graft.operators.VectorIndex.deleteIds(
+          docs.filter(col("doc_id") < 100), "doc_id", path)
+        val deleted = graft.operators.SearchIndex
+          .completeTerm(s, path, "s", 10)
+          .withColumn("stage", lit("deleted"))
+        full.unionByName(deleted)
+          .select(col("stage"), col("token"), col("df"),
+            col("n_occurrences"))
+          .orderBy(col("stage"), col("df").desc, col("token"))
+      },
+      Some(s"""WITH dd2 AS (SELECT * FROM documents WHERE doc_id >= 100),
+              |comp AS (
+              |  SELECT token, count(DISTINCT doc_id) AS df,
+              |         count(*) AS n_occurrences
+              |  FROM (SELECT doc_id, unnest(${Text.unicodeTokensSql("text")}) AS token
+              |        FROM documents) u
+              |  WHERE token LIKE 's%' GROUP BY token),
+              |comp2 AS (
+              |  SELECT token, count(DISTINCT doc_id) AS df,
+              |         count(*) AS n_occurrences
+              |  FROM (SELECT doc_id, unnest(${Text.unicodeTokensSql("text")}) AS token
+              |        FROM dd2) u
+              |  WHERE token LIKE 's%' GROUP BY token)
+              |SELECT 'full' AS stage, token, df, n_occurrences FROM
+              |  (SELECT * FROM comp ORDER BY df DESC, token LIMIT 10)
+              |UNION ALL
+              |SELECT 'deleted', token, df, n_occurrences FROM
+              |  (SELECT * FROM comp2 ORDER BY df DESC, token LIMIT 10)
+              |ORDER BY stage, df DESC, token""".stripMargin)),
+
     // ---- search-index time travel ------------------------------------------
     // The BM25 index gains the vector indexes' VERSION AS OF surface:
     // build (v0) → delete (v1) → append clones (v2), then ALL THREE
