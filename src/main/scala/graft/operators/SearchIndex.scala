@@ -291,6 +291,47 @@ object SearchIndex {
         }
     }
 
+  /** Boolean retrieval over the live index: documents containing ALL of
+    * `must`, at least one of `should` (ignored when empty), and NONE of
+    * `mustNot` — ranked by the BM25 score of the positive terms (must ++
+    * should). Pure postings algebra: the conjunctive gate is an n_terms
+    * count over the must-postings (no per-term join chain), the
+    * exclusion a broadcast anti-join on the mustNot postings' doc ids —
+    * per-term work stays that term's posting list, never the corpus. */
+  def booleanSearch(spark: SparkSession, path: String, must: Seq[String],
+      should: Seq[String], mustNot: Seq[String], k: Int): DataFrame = {
+    require(must.nonEmpty || should.nonEmpty)
+    require(!(must ++ should ++ mustNot).contains(DlToken))
+    val r = IndexManifest.resolve(spark, path)
+    val live = r.current match {
+      case Some(cur) => liveResolved(spark, path, r, cur, bounded = false)
+      case None => load(spark, path)
+    }
+    val positive = (must ++ should).distinct
+    // candidate gate: docs matching every `must` term (count over the
+    // must postings — one row per (doc, term), so n = #must means all)
+    val gated =
+      if (must.isEmpty) live.filter(col("token").isin(positive: _*))
+        .select(col("vec_id")).distinct()
+      else live.filter(col("token").isin(must.distinct: _*))
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("__nm"))
+        .filter(col("__nm") === must.distinct.size)
+        .select(col("vec_id"))
+    val excluded =
+      if (mustNot.isEmpty) spark.range(0).select(col("id").as("vec_id"))
+      else live.filter(col("token").isin(mustNot.distinct: _*))
+        .select(col("vec_id")).distinct()
+    val candidates = gated.join(broadcast(excluded), Seq("vec_id"),
+      "left_anti")
+    val corpus = r.current match {
+      case Some(cur) => statsResolved(spark, path, r, cur, live)
+      case None =>
+        live.filter(col("token") === DlToken)
+          .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_dl"))
+    }
+    scorePostings(live, corpus, positive, k, Some(candidates))
+  }
+
   /** Term completion: the live vocabulary under `prefix`, ranked by
     * document frequency — the search-box autocomplete surface, served
     * entirely from the postings index. The prefix is a pushed
@@ -420,10 +461,16 @@ object SearchIndex {
       .filter(col("rank") <= k)
   }
 
+  /** `candidates`: optional (vec_id) gate applied AFTER document
+    * frequencies — boolean retrieval restricts which docs score, never
+    * what df means (df stays corpus-global, as BM25 defines it). */
   private def scorePostings(live: DataFrame, corpus: DataFrame,
-      terms: Seq[String], k: Int): DataFrame = {
-    val tf = live.filter(col("token").isin(terms: _*))
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      terms: Seq[String], k: Int,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val tfAll = live.filter(col("token").isin(terms: _*))
+    val df = tfAll.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val tf = candidates.fold(tfAll)(c =>
+      tfAll.join(broadcast(c), Seq("vec_id"), "left_semi"))
     tf.join(broadcast(df), Seq("token"))
       .crossJoin(broadcast(corpus))
       .withColumn("idf_ppm",

@@ -505,6 +505,53 @@ object SearchQueries {
               |FROM den FULL OUTER JOIN spr ON den.doc_id = spr.doc_id
               |ORDER BY rrf_ppm DESC, doc_id""".stripMargin)),
 
+    // ---- boolean retrieval from the postings index -------------------------
+    // AND/OR/NOT over terms, served from the index: the conjunctive gate
+    // is a per-doc count over the must-terms' postings (no per-term join
+    // chain), exclusion a broadcast anti-join on the mustNot postings'
+    // ids, and the survivors BM25-rank on the positive terms with
+    // CORPUS-GLOBAL document frequencies (boolean retrieval restricts
+    // which docs score, never what df means). The oracle replays gate,
+    // exclusion, and ranking from the raw text.
+    Q("q_boolean_search",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_boolean").toString
+        graft.operators.SearchIndex.build(docs, "doc_id", "text", path)
+        graft.operators.SearchIndex.booleanSearch(s, path,
+          must = Seq("table", "fast"), should = Seq("spark"),
+          mustNot = Seq("dup"), k = 20)
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, token, count(*) AS tf FROM (
+              |    SELECT doc_id, unnest(${Text.unicodeTokensSql("text")}) AS token
+              |    FROM documents) u GROUP BY doc_id, token),
+              |cand AS (
+              |  SELECT doc_id FROM tok WHERE token IN ('table', 'fast')
+              |  GROUP BY doc_id HAVING count(*) = 2),
+              |excl AS (SELECT DISTINCT doc_id FROM tok WHERE token = 'dup'),
+              |gated AS (SELECT doc_id FROM cand ANTI JOIN excl USING (doc_id)),
+              |dl AS (
+              |  SELECT doc_id, len(${Text.unicodeTokensSql("text")}) AS dl FROM documents),
+              |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+              |df AS (
+              |  SELECT token, count(*) AS df FROM tok
+              |  WHERE token IN ('table', 'fast', 'spark') GROUP BY token)
+              |SELECT doc_id, score_ppm, n_terms FROM (
+              |  SELECT tok.doc_id,
+              |    CAST(sum((2*n_docs - 2*df + 1) * 1000000 // (2*df + 1)
+              |         * (44*tf*sum_dl * 1000000 // (20*tf*sum_dl + 6*sum_dl + 18*dl.dl*n_docs))
+              |         // 1000000) AS BIGINT) AS score_ppm,
+              |    count(*) AS n_terms
+              |  FROM tok
+              |  SEMI JOIN gated ON tok.doc_id = gated.doc_id
+              |  JOIN df USING (token) JOIN dl ON dl.doc_id = tok.doc_id,
+              |       corpus
+              |  WHERE token IN ('table', 'fast', 'spark')
+              |  GROUP BY tok.doc_id) t
+              |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin)),
+
     // ---- term completion from the postings index ---------------------------
     // The autocomplete surface: live vocabulary under a prefix ranked by
     // document frequency, served entirely from the index — the prefix is
