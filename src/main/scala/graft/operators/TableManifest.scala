@@ -51,11 +51,15 @@ object TableManifest {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def payloadDir(spark: SparkSession, path: String): Option[String] =
+  private def payloadVersion(spark: SparkSession,
+      path: String): Option[Long] =
     for {
       v <- IndexManifest.currentVersion(spark, path)
       p <- IndexManifest.payloadVersionAt(spark, path, v, "data")
-    } yield s"$path/data_v$p"
+    } yield p
+
+  private def payloadDir(spark: SparkSession, path: String): Option[String] =
+    payloadVersion(spark, path).map(p => s"$path/data_v$p")
 
   /** Write `df` as the table's NEXT complete snapshot and publish it with
     * one marker. The payload lands in a UNIQUE hidden dir first and is
@@ -212,7 +216,143 @@ object TableManifest {
     * cutoff must resolve against `data_v` payloads, or an append-log
     * table (one old snapshot + many append markers — the warehouse
     * shape) would lose the marker that makes its only payload
-    * resolvable. */
+    * resolvable. Zone-map artifacts fall under the geometry-survivor
+    * rule unchanged. */
   def vacuum(spark: SparkSession, path: String, keep: Int = 2): Unit =
     IndexManifest.vacuum(spark, path, keep, payloadBase = "data")
+
+  // ---- zone maps: per-batch min/max stats → manifest-level skipping ----
+  //
+  // At 100 TB an append-log table is thousands of `__batch` partition
+  // dirs; a time- or id-range query that must LIST and FOOTER-OPEN every
+  // one pays the object-store RPC bill before reading a byte (parquet
+  // row-group stats only help after the file is opened). A zone map is
+  // the Delta/Iceberg answer at the manifest layer: one tiny stats row
+  // per (batch, column), read in a single O(#batches) metadata pass, and
+  // the range read plans `__batch` partition filters that skip the
+  // non-overlapping dirs at PLANNING time — the scan never lists them.
+  //
+  // Stats are an ACCELERATION artifact, never a correctness dependency:
+  // a batch with no stats row is always read, a payload with no stats
+  // artifact falls back to the plain filtered scan, and [[readRange]]
+  // re-applies the exact predicate after pruning — so a crash between a
+  // payload commit and its stats write, or a table whose early appends
+  // predate zone maps, degrades to the unpruned plan, not to wrong rows.
+  // Stats rows are keyed by the same `__batch` replay key as the data, so
+  // a streaming replay overwrites its own row instead of double-counting.
+  //
+  // Bounds are LONGs: exact for integral columns; fractional columns are
+  // floor/ceil-widened (conservative — never prunes a matching batch).
+
+  private val ZoneSchema = "col STRING, zmin LONG, zmax LONG, " +
+    "n_rows LONG, __batch LONG"
+
+  /** Per-(batch, column) bounds of `df` (which carries `__batch`). One
+    * scan: all columns' min/max aggregate together, then unpivot. */
+  private def zoneStatsOf(df: DataFrame, statsCols: Seq[String]): DataFrame = {
+    val integral = df.schema.fields.collect {
+      case f if f.dataType.typeName.matches("byte|short|integer|long") =>
+        f.name
+    }.toSet
+    def lo(c: String) =
+      if (integral(c)) min(col(c)).cast("long")
+      else floor(min(col(c).cast("double"))).cast("long")
+    def hi(c: String) =
+      if (integral(c)) max(col(c)).cast("long")
+      else ceil(max(col(c).cast("double"))).cast("long")
+    val agged = df.groupBy(col("__batch"))
+      .agg(count(lit(1)).as("__n"),
+        statsCols.flatMap(c => Seq(lo(c).as(s"__lo_$c"),
+          hi(c).as(s"__hi_$c"))): _*)
+    agged.select(col("__batch"), col("__n"),
+        explode(array(statsCols.map(c => struct(lit(c).as("col"),
+          col(s"__lo_$c").as("zmin"), col(s"__hi_$c").as("zmax"))): _*))
+          .as("__z"))
+      .select(col("__z.col").as("col"), col("__z.zmin").as("zmin"),
+        col("__z.zmax").as("zmax"), col("__n").as("n_rows"), col("__batch"))
+  }
+
+  /** (Re)compute the zone-map artifact for the CURRENT payload — the
+    * backfill for tables whose snapshots/appends predate zone maps, and
+    * the repair after [[compactBatches]] (whose fresh payload has no
+    * stats yet; reads fall back, this restores the pruned plan). */
+  def refreshZoneMaps(spark: SparkSession, path: String,
+      statsCols: Seq[String], schema: Option[StructType] = None): Unit = {
+    val p = payloadVersion(spark, path).getOrElse(
+      sys.error(s"no committed table at $path"))
+    val dir = s"$path/data_v$p"
+    val base = schema match {
+      case Some(s) =>
+        spark.read.schema(s.add("__batch", "long")).parquet(dir)
+      case None => spark.read.parquet(dir)
+    }
+    zoneStatsOf(base, statsCols)
+      .write.partitionBy("__batch").mode("overwrite")
+      .parquet(s"$path/zonestats_v$p")
+  }
+
+  /** Upsert ONE batch's stats rows into the current payload's zone-map
+    * artifact (dynamic partition overwrite on the batch's own replay
+    * key). Called by append-side writers after their batch commits;
+    * creates the artifact if this is the table's first stats write. */
+  def appendZoneMaps(spark: SparkSession, path: String, batch: Long,
+      statsCols: Seq[String], schema: Option[StructType] = None): Unit = {
+    val p = payloadVersion(spark, path).getOrElse(
+      sys.error(s"no committed table at $path"))
+    val dir = s"$path/data_v$p"
+    val base = schema match {
+      case Some(s) =>
+        spark.read.schema(s.add("__batch", "long")).parquet(dir)
+      case None => spark.read.parquet(dir)
+    }
+    zoneStatsOf(base.filter(col("__batch") === batch), statsCols)
+      .write.partitionBy("__batch").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$path/zonestats_v$p")
+  }
+
+  /** The current table filtered to `ranges` (conjunctive, inclusive,
+    * SQL semantics — null never matches), with `__batch` partitions the
+    * zone map PROVES disjoint pruned at planning time. The exact
+    * predicate is re-applied after pruning (zone maps are a necessary
+    * condition only), so the result is always identical to
+    * `read(...).filter(...)` — the pruned plan just never lists the
+    * skipped dirs. The excluded-batch list is driver-side metadata,
+    * O(#batches) — the same class as the file listing it replaces. */
+  def readRange(spark: SparkSession, path: String,
+      ranges: Seq[(String, Long, Long)],
+      schema: Option[StructType] = None): DataFrame = {
+    require(ranges.nonEmpty)
+    val p = payloadVersion(spark, path).getOrElse(
+      sys.error(s"no committed table at $path"))
+    val dir = s"$path/data_v$p"
+    val f = fs(spark, path)
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/zonestats_v$p")
+    val base = schema match {
+      case Some(s) =>
+        spark.read.schema(s.add("__batch", "long")).parquet(dir)
+      case None => spark.read.parquet(dir)
+    }
+    val pruned =
+      if (!f.exists(statsPath)) base
+      else {
+        // a batch is excluded only when SOME queried column's stats row
+        // proves it disjoint (zmax < lo, zmin > hi, or all-null zmin);
+        // batches with no row for a queried column are conservatively read
+        val stats = spark.read.schema(ZoneSchema).parquet(statsPath.toString)
+        val disjoint = ranges.map { case (c, lo, hi) =>
+          col("col") === c &&
+            (col("zmin").isNull || col("zmax") < lo || col("zmin") > hi)
+        }.reduce(_ || _)
+        val excluded = stats.filter(disjoint)
+          .select(col("__batch")).distinct()
+          .collect().map(_.getLong(0))
+        if (excluded.isEmpty) base
+        else base.filter(!col("__batch").isin(excluded: _*))
+      }
+    val predicate = ranges.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
+    pruned.filter(predicate).drop("__batch")
+  }
 }

@@ -77,6 +77,53 @@ object MiscQueries {
              |FROM merged GROUP BY user_id
              |ORDER BY stage, user_id""".stripMargin)),
 
+    // ---- zone-map data skipping on the manifest layer -------------------
+    // Per-batch min/max stats persisted beside the payload let a range
+    // read prune `__batch` partition dirs at PLANNING time — at 100 TB an
+    // append-log table is thousands of batch dirs and the listing/footer
+    // RPCs are the query's floor cost before a byte is read (parquet
+    // row-group stats only help after the file is open). The batches here
+    // are event_id-disjoint thirds, so the probed quarter range proves
+    // most of them away (ZoneMapSpec asserts the numFiles drop; this
+    // oracle proves the pruned read returns EXACTLY the full-scan rows —
+    // zone maps are a necessary-condition accelerator, never a filter).
+    Q("q_table_zonemap",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_table_zm").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val maxId = e.agg(max(col("event_id"))).head().getLong(0)
+        val (t1, t2) = (maxId / 3, 2 * maxId / 3)
+        TableManifest.commitSnapshot(e.filter(col("event_id") <= t1), path)
+        TableManifest.refreshZoneMaps(s, path, Seq("event_id"))
+        TableManifest.append(
+          e.filter(col("event_id") > t1 && col("event_id") <= t2),
+          path, batchId = Some(0L))
+        TableManifest.appendZoneMaps(s, path, 0L, Seq("event_id"))
+        TableManifest.append(e.filter(col("event_id") > t2),
+          path, batchId = Some(1L))
+        TableManifest.appendZoneMaps(s, path, 1L, Seq("event_id"))
+        TableManifest.readRange(s, path,
+            Seq(("event_id", maxId / 4, maxId / 2)))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("sum_value"),
+            min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH b AS (
+             |  SELECT max(event_id) // 4 AS lo, max(event_id) // 2 AS hi
+             |  FROM events)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             |  min(event_id) AS min_id, max(event_id) AS max_id
+             |FROM events, b
+             |WHERE event_id >= b.lo AND event_id <= b.hi
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- INTERSECT / EXCEPT over key sets -------------------------------
     Q("q_set_ops",
       (s, dir) => {

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Zone maps on [[TableManifest]]: per-batch min/max stats prune batch
+  * partitions at PLANNING time, results stay identical to the unpruned
+  * filtered read, and every degraded state (no artifact, a batch with no
+  * stats row, fractional bounds, all-null batches, keyed replay) is
+  * conservative — never a dropped matching row. */
+class ZoneMapSpec extends AnyFunSuite {
+  private lazy val s = SparkSpec.session
+
+  private def rows(lo: Long, hi: Long): DataFrame = {
+    import s.implicits._
+    (lo to hi).map(i => (i, s"p$i")).toDF("id", "payload")
+  }
+
+  /** One execution → (rows, files selected by the planned scan). The
+    * numFiles metric is driven by the scan's LAZY partition listing, so
+    * it is only valid after the first execution of a plan — re-collecting
+    * resets it without re-listing; hence rows and files come from the
+    * same single run. */
+  private def execAndFiles(df: DataFrame): (Array[org.apache.spark.sql.Row], Long) = {
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan
+    val scans = (plan +: plan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan })
+      .flatMap(_.collect { case f: FileSourceScanExec => f })
+    assert(scans.nonEmpty, s"no file scan in plan:\n$plan")
+    (rows, scans.map(_.metrics("numFiles").value).sum)
+  }
+
+  test("range read prunes disjoint batches at planning time, rows identical") {
+    val path = Files.createTempDirectory("zm_prune").toString
+    TableManifest.commitSnapshot(rows(0L, 99L), path)
+    TableManifest.refreshZoneMaps(s, path, Seq("id"))
+    TableManifest.append(rows(1000L, 1099L), path, batchId = Some(0L))
+    TableManifest.appendZoneMaps(s, path, 0L, Seq("id"))
+    TableManifest.append(rows(2000L, 2099L), path, batchId = Some(1L))
+    TableManifest.appendZoneMaps(s, path, 1L, Seq("id"))
+
+    val (prunedRows, prunedFiles) = execAndFiles(
+      TableManifest.readRange(s, path, Seq(("id", 1010L, 1020L))))
+    val (fullRows, fullFiles) = execAndFiles(TableManifest.read(s, path)
+      .filter(col("id") >= 1010L && col("id") <= 1020L))
+    assert(prunedRows.map(_.getLong(0)).sorted.toSeq ==
+      fullRows.map(_.getLong(0)).sorted.toSeq)
+    assert(prunedFiles < fullFiles,
+      s"zone map did not prune: $prunedFiles vs $fullFiles files")
+  }
+
+  test("no stats artifact → conservative full read, same rows") {
+    val path = Files.createTempDirectory("zm_nostats").toString
+    TableManifest.commitSnapshot(rows(0L, 49L), path)
+    TableManifest.append(rows(500L, 549L), path)
+    val r = TableManifest.readRange(s, path, Seq(("id", 500L, 510L)))
+    assert(r.count() == 11)
+  }
+
+  test("a batch with no stats row is always read") {
+    val path = Files.createTempDirectory("zm_partial").toString
+    TableManifest.commitSnapshot(rows(0L, 49L), path)
+    TableManifest.refreshZoneMaps(s, path, Seq("id"))
+    // append WITHOUT appendZoneMaps: its rows must still be served
+    TableManifest.append(rows(500L, 549L), path, batchId = Some(0L))
+    val r = TableManifest.readRange(s, path, Seq(("id", 500L, 510L)))
+    assert(r.count() == 11,
+      "rows in a stats-less batch were dropped by pruning")
+  }
+
+  test("fractional column bounds are floor/ceil-widened, never over-prune") {
+    import s.implicits._
+    val path = Files.createTempDirectory("zm_frac").toString
+    val d = Seq((1L, 10.4), (2L, 19.6)).toDF("id", "score")
+    TableManifest.commitSnapshot(d, path)
+    TableManifest.refreshZoneMaps(s, path, Seq("score"))
+    // 10.4 floors to 10 and 19.6 ceils to 20: a probe at the widened edge
+    // must keep the batch (edge values could exist below/above the long)
+    assert(TableManifest.readRange(s, path, Seq(("score", 20L, 25L)))
+      .count() == 0)
+    assert(TableManifest.readRange(s, path, Seq(("score", 10L, 11L)))
+      .count() == 1)
+  }
+
+  test("all-null batch is pruned; conjunctive ranges prune on either column") {
+    import s.implicits._
+    val path = Files.createTempDirectory("zm_null").toString
+    TableManifest.commitSnapshot(
+      Seq((1L, Some(5L)), (2L, Some(7L))).toDF("id", "x"), path)
+    TableManifest.refreshZoneMaps(s, path, Seq("id", "x"))
+    TableManifest.append(
+      Seq((10L, None: Option[Long])).toDF("id", "x"), path, batchId = Some(0L))
+    TableManifest.appendZoneMaps(s, path, 0L, Seq("id", "x"))
+    // x is all-null in batch 0 → that batch can never match an x-range
+    val (rRows, rFiles) = execAndFiles(
+      TableManifest.readRange(s, path, Seq(("x", 0L, 100L))).select("id"))
+    assert(rRows.map(_.getLong(0)).toSet == Set(1L, 2L))
+    val (_, allFiles) = execAndFiles(TableManifest.read(s, path))
+    assert(rFiles < allFiles)
+    // conjunction: an id-range matching only batch 0 + an x-range that
+    // batch 0 cannot satisfy → empty, with both batches prunable
+    assert(TableManifest.readRange(s, path,
+      Seq(("id", 10L, 10L), ("x", 0L, 100L))).count() == 0)
+  }
+
+  test("keyed replay overwrites the batch's stats row — no double counting") {
+    val path = Files.createTempDirectory("zm_replay").toString
+    TableManifest.commitSnapshot(rows(0L, 9L), path)
+    TableManifest.refreshZoneMaps(s, path, Seq("id"))
+    TableManifest.append(rows(100L, 109L), path, batchId = Some(0L))
+    TableManifest.appendZoneMaps(s, path, 0L, Seq("id"))
+    TableManifest.append(rows(200L, 209L), path, batchId = Some(0L)) // replay
+    TableManifest.appendZoneMaps(s, path, 0L, Seq("id"))
+    // after replay the batch holds 200..209: a probe at the OLD range must
+    // return nothing (and may prune), a probe at the new range everything
+    assert(TableManifest.readRange(s, path, Seq(("id", 100L, 109L)))
+      .count() == 0)
+    assert(TableManifest.readRange(s, path, Seq(("id", 200L, 209L)))
+      .count() == 10)
+  }
+}
