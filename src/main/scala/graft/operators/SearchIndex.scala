@@ -376,6 +376,33 @@ object SearchIndex {
       .agg(count(lit(1)).as("n_matches"))
   }
 
+  /** Ordered PROXIMITY ("sloppy" phrase) over the live index: documents
+    * where `terms` occur in order with each adjacent pair at most
+    * `1 + slop` positions apart (slop = 0 degenerates to [[phrase]]'s
+    * exact adjacency). Multiplicity = number of qualifying position
+    * tuples — the same chain-join plan as [[phrase]] with a bounded gap
+    * RANGE on each hop instead of a fixed offset, so per-term work is
+    * still that term's posting list: each hop is an equi-join on the doc
+    * id with the gap window as a residual filter, never a
+    * position-cross-product. */
+  def phraseNear(spark: SparkSession, path: String, terms: Seq[String],
+      slop: Int): DataFrame = {
+    require(terms.size >= 2 && slop >= 0 && !terms.contains(DlToken))
+    val live = load(spark, path)
+    def positionsOf(t: String, as: String): DataFrame =
+      live.filter(col("token") === t)
+        .select(col("vec_id"), explode(col("pos")).as(as))
+    var cur = positionsOf(terms.head, "__p")
+    terms.drop(1).foreach { t =>
+      cur = cur.join(positionsOf(t, "__pn"), Seq("vec_id"))
+        .filter(col("__pn") - col("__p") >= 1 &&
+          col("__pn") - col("__p") <= 1 + slop)
+        .drop("__p").withColumnRenamed("__pn", "__p")
+    }
+    cur.groupBy(col("vec_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   /** BM25 top-`k` over the live index for `terms` — identical integer-ppm
     * arithmetic (k1=1.2, b=0.75, log-free Robertson idf) to the
     * from-scratch scorer, so serving from the index is hash-equal to

@@ -360,6 +360,55 @@ object SearchQueries {
              |SELECT phrase, doc_id, n_matches FROM p3 WHERE n_matches > 0
              |ORDER BY phrase, doc_id""".stripMargin)),
 
+    // ---- ordered proximity: the sloppy-phrase serving surface -------------
+    // phraseNear = phrase with a bounded gap window per hop: 'fast … value'
+    // within 2 positions catches 'fast table value' (gap 2) AND any direct
+    // adjacency — the query a search box means by "near". The plan is the
+    // phrase chain with a range residual on each equi-join hop (per-term
+    // work stays that term's posting list); the oracle replays positions
+    // via unnest + self-joins with the same gap windows, both a 2-term and
+    // a 3-term chain, so the hop algebra itself is hash-gated.
+    Q("q_phrase_near",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_phrase_near").toString
+        graft.operators.SearchIndex.build(
+          Tables.documents(s, dir), "doc_id", "text", path)
+        graft.operators.SearchIndex
+          .phraseNear(s, path, Seq("fast", "value"), slop = 1)
+          .withColumn("q", lit("fast value ~1"))
+          .unionByName(graft.operators.SearchIndex
+            .phraseNear(s, path, Seq("fast", "table", "value"), slop = 1)
+            .withColumn("q", lit("fast table value ~1")))
+          .select(col("q"), col("doc_id"), col("n_matches"))
+          .orderBy(col("q"), col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, ${Text.unicodeTokensSql("text")} AS t
+             |  FROM documents),
+             |pos AS (SELECT doc_id, t[i] AS tok, i AS p
+             |        FROM t, unnest(range(1, len(t) + 1)) AS u(i)),
+             |fa AS (SELECT doc_id, p FROM pos WHERE tok = 'fast'),
+             |tb AS (SELECT doc_id, p FROM pos WHERE tok = 'table'),
+             |va AS (SELECT doc_id, p FROM pos WHERE tok = 'value'),
+             |n2 AS (SELECT 'fast value ~1' AS q, fa.doc_id,
+             |         count(*) AS n_matches
+             |       FROM fa JOIN va ON fa.doc_id = va.doc_id
+             |         AND va.p - fa.p BETWEEN 1 AND 2
+             |       GROUP BY fa.doc_id),
+             |n3 AS (SELECT 'fast table value ~1' AS q, fa.doc_id,
+             |         count(*) AS n_matches
+             |       FROM fa
+             |         JOIN tb ON fa.doc_id = tb.doc_id
+             |           AND tb.p - fa.p BETWEEN 1 AND 2
+             |         JOIN va ON tb.doc_id = va.doc_id
+             |           AND va.p - tb.p BETWEEN 1 AND 2
+             |       GROUP BY fa.doc_id)
+             |SELECT q, doc_id, n_matches FROM n2
+             |UNION ALL
+             |SELECT q, doc_id, n_matches FROM n3
+             |ORDER BY q, doc_id""".stripMargin)),
+
     // ---- the Unicode-tokenization proof on HARD text ----------------------
     // The whole BM25 index lifecycle (build → probe → delete → probe) on
     // the DECORATED fixture: punctuation, mixed case, an accented term,

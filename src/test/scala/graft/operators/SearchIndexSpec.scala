@@ -81,6 +81,31 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(hits("a", "b") == Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("phraseNear: slop 0 equals exact phrase; gap windows count tuples") {
+    import s.implicits._
+    val path = Files.createTempDirectory("sidx_near").toString
+    SearchIndex.build(Seq(
+        (1L, "a x b"),        // a..b gap 2
+        (2L, "a b"),          // adjacent
+        (3L, "a x x b"),      // gap 3 — outside slop 1
+        (4L, "a x b x b")).toDF("doc_id", "text"), // a→b(3) gap 2 AND a→b(5) gap 4
+      "doc_id", "text", path)
+    def near(slop: Int, terms: String*) =
+      SearchIndex.phraseNear(s, path, terms, slop)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(near(0, "a", "b") == Map(2L -> 1L),
+      "slop 0 must be exact adjacency")
+    assert(near(0, "a", "b") ==
+      SearchIndex.phrase(s, path, Seq("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(near(1, "a", "b") == Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
+    assert(near(2, "a", "b") == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(near(3, "a", "b") == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L),
+      "both qualifying b positions count as tuples")
+    // 3-term chain: a → b → b in doc 4 (positions 1, 3, 5 — gaps 2 and 2)
+    assert(near(1, "a", "b", "b") == Map(4L -> 1L))
+  }
+
   test("bm25Batch with one query equals the single-query scorer") {
     import s.implicits._
     val path = Files.createTempDirectory("sidx_batch1").toString
