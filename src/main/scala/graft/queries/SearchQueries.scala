@@ -320,6 +320,79 @@ object SearchQueries {
               |        ORDER BY score_ppm DESC, doc_id) AS rn FROM sc) t
               |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- ranked-retrieval evaluation over the index's own serving --------
+    // The eval loop for the search family: BM25 batch top-10 per query
+    // (served from the persisted index) scored against conjunctive
+    // relevance judgments (docs containing EVERY term of the query) with
+    // operators.RetrievalEval — hits@k, reciprocal rank, precision@k,
+    // recall@k, all exact integer ppm. The oracle replays the batch
+    // ranking (bm25BatchCtes), the judgment derivation, and the metric
+    // arithmetic, so ranking AND scoring are one hash. Scale: metrics
+    // shuffle k×#queries prediction rows and per-query qrel counts only.
+    Q("q_retrieval_eval",
+      (s, dir) => {
+        import s.implicits._
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_reteval").toString
+        graft.operators.SearchIndex.build(
+          Tables.documents(s, dir), "doc_id", "text", path)
+        val qset = (QueryTerms.map((0L, _)) ++
+            Seq((1L, "table"), (1L, "fast"),
+              (2L, "join"), (2L, "merge"), (2L, "sort")))
+          .toDF("query_id", "token")
+        val pred = graft.operators.SearchIndex
+          .bm25Batch(s, path, qset, "query_id", "token", k = 10)
+        val docToks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(Text.unicodeTokens(col("text"))).as("token"))
+          .distinct()
+        val qn = qset.groupBy(col("query_id")).agg(count(lit(1)).as("__nt"))
+        val rel = docToks.join(qset, "token")
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(count(lit(1)).as("__c"))
+          .join(qn, "query_id").filter(col("__c") === col("__nt"))
+          .select(col("query_id"), col("doc_id"))
+        graft.operators.RetrievalEval
+          .metricsAtK(pred, rel, "query_id", "doc_id", "rank", 10)
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH qt(query_id, token) AS (
+              |  VALUES ${QueryTerms.map(t => s"(0, '$t')").mkString(", ")},
+              |         (1, 'table'), (1, 'fast'),
+              |         (2, 'join'), (2, 'merge'), (2, 'sort')),
+              |$bm25BatchCtes,
+              |topk AS (
+              |  SELECT query_id, doc_id, rn AS rank
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              |          ORDER BY score_ppm DESC, doc_id) AS rn FROM sc) t
+              |  WHERE rn <= 10),
+              |tk AS (
+              |  SELECT DISTINCT doc_id, token FROM (
+              |    SELECT doc_id, unnest(${Text.unicodeTokensSql("text")})
+              |      AS token FROM documents) u),
+              |qn AS (SELECT query_id, count(*) AS nt FROM qt
+              |       GROUP BY query_id),
+              |relc AS (SELECT qt.query_id, tk.doc_id, count(*) AS c
+              |         FROM tk JOIN qt USING (token)
+              |         GROUP BY qt.query_id, tk.doc_id),
+              |rel AS (SELECT relc.query_id, relc.doc_id
+              |        FROM relc JOIN qn USING (query_id) WHERE c = nt),
+              |nr AS (SELECT query_id, count(*) AS n_rel FROM rel
+              |       GROUP BY query_id),
+              |h AS (SELECT topk.query_id, count(*) AS hits,
+              |        min(rank) AS fr
+              |      FROM topk JOIN rel USING (query_id, doc_id)
+              |      GROUP BY topk.query_id)
+              |SELECT CAST(nr.query_id AS BIGINT) AS query_id, n_rel,
+              |  coalesce(hits, 0) AS hits_at_k,
+              |  CAST(coalesce(1000000 // fr, 0) AS BIGINT) AS rr_ppm,
+              |  CAST(coalesce(hits, 0) * 1000000 // 10 AS BIGINT)
+              |    AS p_at_k_ppm,
+              |  CAST(coalesce(hits, 0) * 1000000 // n_rel AS BIGINT)
+              |    AS r_at_k_ppm
+              |FROM nr LEFT JOIN h USING (query_id)
+              |ORDER BY query_id""".stripMargin)),
+
     // ---- exact-phrase search from positional postings --------------------
     // The index's positional dimension: (doc, token) postings carry the
     // sorted 1-based position list, and a phrase probe chains each term
