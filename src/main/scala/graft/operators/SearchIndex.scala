@@ -403,6 +403,39 @@ object SearchIndex {
       .agg(count(lit(1)).as("n_matches"))
   }
 
+  /** Snippet localization: for every live document containing ALL of
+    * `terms` (any order), the MINIMAL position window covering one
+    * occurrence of each — what a result page highlights. Returns
+    * (doc_id, win_start, win_end, win_len), ties broken toward the
+    * earliest window. Served from positional postings only; the chain
+    * join carries a running (lo, hi) envelope per combination and a
+    * single min_by picks the tightest, so per-term work is that term's
+    * posting list and per-doc work is the product of ITS OWN tiny
+    * position lists (the same per-doc bound any posting-based
+    * highlighter pays), never anything corpus-sized. */
+  def snippetWindow(spark: SparkSession, path: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size &&
+      !terms.contains(DlToken))
+    val live = load(spark, path)
+    def positionsOf(t: String, as: String): DataFrame =
+      live.filter(col("token") === t)
+        .select(col("vec_id"), explode(col("pos")).as(as))
+    var cur = positionsOf(terms.head, "__p")
+      .select(col("vec_id"), col("__p").as("__lo"), col("__p").as("__hi"))
+    terms.drop(1).foreach { t =>
+      cur = cur.join(positionsOf(t, "__pn"), Seq("vec_id"))
+        .select(col("vec_id"), least(col("__lo"), col("__pn")).as("__lo"),
+          greatest(col("__hi"), col("__pn")).as("__hi"))
+    }
+    cur.groupBy(col("vec_id").as("doc_id"))
+      .agg(min_by(struct(col("__lo"), col("__hi")),
+        struct(col("__hi") - col("__lo"), col("__lo"))).as("__w"))
+      .select(col("doc_id"), col("__w.__lo").as("win_start"),
+        col("__w.__hi").as("win_end"),
+        (col("__w.__hi") - col("__w.__lo") + 1).as("win_len"))
+  }
+
   /** BM25 top-`k` over the live index for `terms` — identical integer-ppm
     * arithmetic (k1=1.2, b=0.75, log-free Robertson idf) to the
     * from-scratch scorer, so serving from the index is hash-equal to

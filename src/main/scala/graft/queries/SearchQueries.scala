@@ -482,6 +482,60 @@ object SearchQueries {
              |SELECT q, doc_id, n_matches FROM n3
              |ORDER BY q, doc_id""".stripMargin)),
 
+    // ---- snippet localization: minimal cover window per document ---------
+    // The result-page highlight surface: for every doc containing all
+    // query terms, the tightest position window covering one occurrence
+    // of each (ties toward the earliest), straight from positional
+    // postings — the document text is never read. The chain join carries
+    // a running (lo, hi) envelope and one min_by picks the winner; the
+    // oracle replays all position combinations with least/greatest and
+    // an (width, lo)-ordered row_number, so envelope algebra AND
+    // tie-breaking are hash-gated for a 2- and a 3-term query.
+    Q("q_snippet_window",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_snippet").toString
+        graft.operators.SearchIndex.build(
+          Tables.documents(s, dir), "doc_id", "text", path)
+        def win(q: String, terms: String*) =
+          graft.operators.SearchIndex.snippetWindow(s, path, terms)
+            .withColumn("q", lit(q))
+        win("fast value", "fast", "value")
+          .unionByName(win("the fast table", "the", "fast", "table"))
+          .select(col("q"), col("doc_id"),
+            col("win_start").cast("long").as("win_start"),
+            col("win_end").cast("long").as("win_end"),
+            col("win_len").cast("long").as("win_len"))
+          .orderBy(col("q"), col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, ${Text.unicodeTokensSql("text")} AS t
+             |  FROM documents),
+             |pos AS (SELECT doc_id, t[i] AS tok, i AS p
+             |        FROM t, unnest(range(1, len(t) + 1)) AS u(i)),
+             |fa AS (SELECT doc_id, p FROM pos WHERE tok = 'fast'),
+             |va AS (SELECT doc_id, p FROM pos WHERE tok = 'value'),
+             |th AS (SELECT doc_id, p FROM pos WHERE tok = 'the'),
+             |tb AS (SELECT doc_id, p FROM pos WHERE tok = 'table'),
+             |w2 AS (SELECT fa.doc_id, least(fa.p, va.p) AS lo,
+             |         greatest(fa.p, va.p) AS hi
+             |       FROM fa JOIN va USING (doc_id)),
+             |r2 AS (SELECT 'fast value' AS q, doc_id, lo, hi,
+             |         row_number() OVER (PARTITION BY doc_id
+             |           ORDER BY hi - lo, lo) AS rn FROM w2),
+             |w3 AS (SELECT th.doc_id,
+             |         least(th.p, least(fa.p, tb.p)) AS lo,
+             |         greatest(th.p, greatest(fa.p, tb.p)) AS hi
+             |       FROM th JOIN fa USING (doc_id) JOIN tb USING (doc_id)),
+             |r3 AS (SELECT 'the fast table' AS q, doc_id, lo, hi,
+             |         row_number() OVER (PARTITION BY doc_id
+             |           ORDER BY hi - lo, lo) AS rn FROM w3)
+             |SELECT q, doc_id, lo AS win_start, hi AS win_end,
+             |  hi - lo + 1 AS win_len FROM r2 WHERE rn = 1
+             |UNION ALL
+             |SELECT q, doc_id, lo, hi, hi - lo + 1 FROM r3 WHERE rn = 1
+             |ORDER BY q, doc_id""".stripMargin)),
+
     // ---- the Unicode-tokenization proof on HARD text ----------------------
     // The whole BM25 index lifecycle (build → probe → delete → probe) on
     // the DECORATED fixture: punctuation, mixed case, an accented term,

@@ -106,6 +106,25 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(near(1, "a", "b", "b") == Map(4L -> 1L))
   }
 
+  test("snippetWindow: minimal cover, earliest-window tie-break, all-terms gate") {
+    import s.implicits._
+    val path = Files.createTempDirectory("sidx_snip").toString
+    SearchIndex.build(Seq(
+        (1L, "a x x b a b"), // windows (1,4) (4,5) (5,6) → min width tie → (4,5)
+        (2L, "b x a"),       // only window (1,3)
+        (3L, "a a a")        // no b → must not appear
+      ).toDF("doc_id", "text"), "doc_id", "text", path)
+    val w = SearchIndex.snippetWindow(s, path, Seq("a", "b"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(w == Map(1L -> ((4, 5, 2)), 2L -> ((1, 3, 3))))
+    // 3-term cover in one doc
+    val w3 = SearchIndex.snippetWindow(s, path, Seq("a", "x", "b"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(w3 == Map(1L -> ((3, 5, 3)), 2L -> ((1, 3, 3))))
+  }
+
   test("bm25Batch with one query equals the single-query scorer") {
     import s.implicits._
     val path = Files.createTempDirectory("sidx_batch1").toString
