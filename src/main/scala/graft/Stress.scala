@@ -1207,6 +1207,60 @@ object Stress {
         truthA.unpersist(); aPairs.unpersist()
         println(f"""{"tau":$tauQ%d,"truth_pairs":$nTruthA%d,"audiofp_pairs":$nFpA%d,"both":$nBothA%d,"precision_ppm":${if (nFpA == 0) 0 else nBothA * 1000000 / nFpA}%d,"recall_ppm":${if (nTruthA == 0) 0 else nBothA * 1000000 / nTruthA}%d}""")
 
+      case "zonemap" =>
+        // manifest-level data skipping: an append-log table of `copies`
+        // id-disjoint batches (250k rows × ~210 B payload each); a range
+        // probe landing in ONE batch, zone-mapped vs the same predicate
+        // as an unpruned filtered scan. The pruned probe must cost
+        // ~one batch and scan ~one batch's files regardless of table
+        // size — the property that holds at 100 TB where the unpruned
+        // scan's listing+read grows with the table. Steady-state
+        // (second run) timings; file counts from the scan metric.
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        val batchRows = 250000L
+        def batchDf(b: Long) = spark.range(batchRows)
+          .select((col("id") + b * batchRows).as("id"),
+            concat(lit("p"), rpad(col("id").cast("string"), 200, "x"))
+              .as("payload"))
+        val path = java.nio.file.Files
+          .createTempDirectory("stress_zonemap").toString
+        operators.TableManifest.commitSnapshot(batchDf(0L), path)
+        operators.TableManifest.refreshZoneMaps(spark, path, Seq("id"))
+        (1 until copies).foreach { b =>
+          operators.TableManifest.append(batchDf(b.toLong), path,
+            batchId = Some(b.toLong))
+          operators.TableManifest.appendZoneMaps(spark, path, b.toLong,
+            Seq("id"))
+        }
+        val probeB = copies / 2
+        val (lo, hi) =
+          (probeB * batchRows + 1000L, probeB * batchRows + 50000L)
+        def filesOf(df: org.apache.spark.sql.DataFrame): Long = {
+          val plan = df.queryExecution.executedPlan
+          (plan +: plan.collect { case a: AdaptiveSparkPlanExec =>
+            a.executedPlan })
+            .flatMap(_.collect { case f: FileSourceScanExec => f })
+            .map(_.metrics("numFiles").value).sum
+        }
+        // execute the frame's OWN physical plan (toRdd.count materializes
+        // every column through it — count() would both build a separate
+        // metadata-only plan and leave this plan's numFiles metric unset)
+        def timed(mk: => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
+          mk.queryExecution.toRdd.count() // warm (listing caches, codegen)
+          val t0 = System.nanoTime()
+          val df = mk
+          val n = df.queryExecution.toRdd.count()
+          ((System.nanoTime() - t0) / 1e9, n, filesOf(df))
+        }
+        val (tPruned, nPruned, fPruned) = timed(
+          operators.TableManifest.readRange(spark, path, Seq(("id", lo, hi))))
+        val (tFull, nFull, fFull) = timed(
+          operators.TableManifest.read(spark, path)
+            .filter(col("id") >= lo && col("id") <= hi))
+        require(nPruned == nFull && nPruned == hi - lo + 1)
+        println(f"""{"batches":$copies%d,"rows":${copies * batchRows}%d,"pruned_seconds":$tPruned%.2f,"full_seconds":$tFull%.2f,"pruned_files":$fPruned%d,"full_files":$fFull%d}""")
+
       case "cc" =>
         // one path graph of copies×100k nodes: diameter = n-1, the case
         // where min-label propagation needs O(n) rounds and the

@@ -313,12 +313,16 @@ object TableManifest {
 
   /** The current table filtered to `ranges` (conjunctive, inclusive,
     * SQL semantics — null never matches), with `__batch` partitions the
-    * zone map PROVES disjoint pruned at planning time. The exact
-    * predicate is re-applied after pruning (zone maps are a necessary
-    * condition only), so the result is always identical to
-    * `read(...).filter(...)` — the pruned plan just never lists the
-    * skipped dirs. The excluded-batch list is driver-side metadata,
-    * O(#batches) — the same class as the file listing it replaces. */
+    * zone map PROVES disjoint never even LISTED: the scan is built from
+    * the surviving batch dirs only (one shallow child-listing RPC + the
+    * O(#batches × #cols) stats read decide the set), so both the
+    * recursive file listing and the read are proportional to the
+    * surviving batches — at 100 TB the unpruned listing alone is the
+    * floor cost this path removes. The exact predicate is re-applied
+    * after pruning (zone maps are a necessary condition only), so the
+    * result is always identical to `read(...).filter(...)`; a missing
+    * artifact or a batch without stats rows degrades conservatively to
+    * reading that batch. */
   def readRange(spark: SparkSession, path: String,
       ranges: Seq[(String, Long, Long)],
       schema: Option[StructType] = None): DataFrame = {
@@ -328,31 +332,42 @@ object TableManifest {
     val dir = s"$path/data_v$p"
     val f = fs(spark, path)
     val statsPath = new org.apache.hadoop.fs.Path(s"$path/zonestats_v$p")
-    val base = schema match {
-      case Some(s) =>
-        spark.read.schema(s.add("__batch", "long")).parquet(dir)
-      case None => spark.read.parquet(dir)
-    }
-    val pruned =
-      if (!f.exists(statsPath)) base
-      else {
-        // a batch is excluded only when SOME queried column's stats row
-        // proves it disjoint (zmax < lo, zmin > hi, or all-null zmin);
-        // batches with no row for a queried column are conservatively read
-        val stats = spark.read.schema(ZoneSchema).parquet(statsPath.toString)
-        val disjoint = ranges.map { case (c, lo, hi) =>
-          col("col") === c &&
-            (col("zmin").isNull || col("zmax") < lo || col("zmin") > hi)
-        }.reduce(_ || _)
-        val excluded = stats.filter(disjoint)
-          .select(col("__batch")).distinct()
-          .collect().map(_.getLong(0))
-        if (excluded.isEmpty) base
-        else base.filter(!col("__batch").isin(excluded: _*))
-      }
     val predicate = ranges.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi
     }.reduce(_ && _)
-    pruned.filter(predicate).drop("__batch")
+    def readAll = (schema match {
+      case Some(s) =>
+        spark.read.schema(s.add("__batch", "long")).parquet(dir)
+      case None => spark.read.parquet(dir)
+    }).filter(predicate).drop("__batch")
+    if (!f.exists(statsPath)) return readAll
+    // a batch is excluded only when SOME queried column's stats row
+    // proves it disjoint (zmax < lo, zmin > hi, or all-null zmin);
+    // batches with no row for a queried column are conservatively read
+    val stats = spark.read.schema(ZoneSchema).parquet(statsPath.toString)
+    val disjoint = ranges.map { case (c, lo, hi) =>
+      col("col") === c &&
+        (col("zmin").isNull || col("zmax") < lo || col("zmin") > hi)
+    }.reduce(_ || _)
+    val excluded = stats.filter(disjoint)
+      .select(col("__batch")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (excluded.isEmpty) return readAll
+    // shallow child listing (one RPC) → surviving partition dirs; the
+    // recursive FILE listing then touches only those
+    val survivors = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("__batch=") =>
+        n.stripPrefix("__batch=").toLong }
+      .filterNot(excluded)
+      .map(b => s"$dir/__batch=$b")
+    if (survivors.isEmpty) return readAll.filter(lit(false))
+    val base = schema match {
+      case Some(s) => spark.read.option("basePath", dir)
+        .schema(s.add("__batch", "long")).parquet(survivors.toSeq: _*)
+      case None =>
+        spark.read.option("basePath", dir).parquet(survivors.toSeq: _*)
+    }
+    base.filter(predicate).drop("__batch")
   }
 }
