@@ -982,6 +982,47 @@ object Stress {
         bigsi.unpersist()
         println(f"""{"docs":$nSi%d,"build_seconds":$tSiBuild%.1f,"probe_cold_seconds":$tProbeCold%.1f,"probe_seconds":$tProbeWarm%.1f,"probe_seconds_base":$tProbeBase%.1f,"recompute_seconds":$tScratch%.1f,"rows":$n1%d,"rows_scratch":$n2%d}""")
 
+      case "maxscore" =>
+        // MaxScore-pruned vs unpruned BM25 serving on a `copies`×-replicated
+        // corpus: the query mixes the rare term 'dup' (~5% df) with two
+        // ~80%-df common terms, so full scoring aggregates ~1.6 rows/doc
+        // while the pruned path proves the common terms non-essential and
+        // aggregates only the rare term's docs × 3 terms. Identical row
+        // sets asserted (the exactness contract the oracle also hashes);
+        // steady-state (second-call) timings, the dedupindex discipline.
+        val dms0 = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+        val bigms = (0 until copies).map(i =>
+            dms0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+              col("text")))
+          .reduce(_ unionByName _).cache()
+        val nMs = bigms.count()
+        val msTerms = Seq("dup", "batch", "scan")
+        val msPath = java.nio.file.Files
+          .createTempDirectory("stress_maxscore").toString
+        operators.SearchIndex.build(bigms, "doc_id", "text", msPath)
+        bigms.unpersist()
+        def msRows(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.toSeq.toVector).toVector
+        val warmP = msRows(
+          operators.SearchIndex.bm25Pruned(spark, msPath, msTerms, 20))
+        val warmU = msRows(
+          operators.SearchIndex.bm25(spark, msPath, msTerms, 20))
+        require(warmP == warmU, "pruned serving must be exact")
+        val ms1 = System.nanoTime()
+        operators.SearchIndex.bm25Pruned(spark, msPath, msTerms, 20).count()
+        val tPruned = (System.nanoTime() - ms1) / 1e9
+        val ms2 = System.nanoTime()
+        operators.SearchIndex.bm25(spark, msPath, msTerms, 20).count()
+        val tFull = (System.nanoTime() - ms2) / 1e9
+        // candidate volume: what actually reaches the scoring aggregate
+        val idx = operators.SearchIndex.load(spark, msPath)
+        val nCand = idx.filter(col("token") === "dup")
+          .select(col("vec_id")).distinct().count()
+        val nMatch = idx.filter(col("token").isin(msTerms: _*))
+          .select(col("vec_id")).distinct().count()
+        println(f"""{"docs":$nMs%d,"pruned_seconds":$tPruned%.2f,"full_seconds":$tFull%.2f,"candidate_docs":$nCand%d,"matching_docs":$nMatch%d}""")
+
       case "signlshindex" =>
         // persisted sign-LSH keys vs re-hash-per-batch at scale: the
         // in-memory multi-probe path recomputes every corpus bucket key

@@ -61,6 +61,8 @@ object SearchIndex {
     "vec_id LONG, token STRING, tf LONG, dl LONG, pos ARRAY<INT>"
   private val PostingSchemaB = PostingSchema + ", __batch LONG"
   private val StatsSchema = "n_docs LONG, sum_dl LONG, __batch LONG"
+  private val TstatsSchema =
+    "token STRING, df LONG, max_tf LONG, min_dl LONG, __batch LONG"
 
   private def postingsOf(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
@@ -96,6 +98,21 @@ object SearchIndex {
       .groupBy(col("__batch"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_dl"))
 
+  /** Per-(token, batch) TERM-stats rows of `postings` (already
+    * batch-stamped), excluding the reserved rows: document frequency,
+    * max term frequency, min doc length — the inputs of [[bm25Pruned]]'s
+    * per-term score upper bounds. O(vocab × batches) rows (vs the
+    * postings' per-(token, doc)); token-sorted within partitions so a
+    * probe's read is a pushed-predicate row-group scan. */
+  private def termStatsOf(postings: DataFrame): DataFrame =
+    postings.filter(col("token") =!= DlToken)
+      .groupBy(col("token"), col("__batch"))
+      .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
+        min(col("dl")).as("min_dl"))
+      .select(col("token"), col("df"), col("max_tf"), col("min_dl"),
+        col("__batch"))
+      .sortWithinPartitions(col("token"))
+
   /** Tokenize + persist the standing corpus (build partition
     * `__batch=-1`) plus its stats artifact. Rebuild into an existing
     * index commits the NEXT manifest version, like every build here. */
@@ -111,11 +128,15 @@ object SearchIndex {
     // a second tokenization), landing BEFORE the commit marker like every
     // geometry artifact — a crash mid-build leaves the previous version
     // payload+stats complete
-    batchStatsOf(
-        spark.read.schema(PostingSchemaB).parquet(s"$path/codes_v$v"))
+    val payload =
+      spark.read.schema(PostingSchemaB).parquet(s"$path/codes_v$v")
+    batchStatsOf(payload)
       .write.partitionBy("__batch").mode("overwrite")
       .parquet(s"$path/stats_v$v")
-    VectorIndex.commitBuild(spark, path, v, Seq("stats"))
+    termStatsOf(payload)
+      .write.partitionBy("__batch").mode("overwrite")
+      .parquet(s"$path/tstats_v$v")
+    VectorIndex.commitBuild(spark, path, v, Seq("stats", "tstats"))
   }
 
   /** Tokenize NEW docs only, append their postings, and upsert the
@@ -133,28 +154,34 @@ object SearchIndex {
     val spark = docs.sparkSession
     val batch = VectorIndex.writeCodes(postingsOf(docs, idCol, textCol),
       path, batchId)
-    currentStatsDir(spark, path).foreach { statsDir =>
-      batchStatsOf(
-          spark.read.schema(PostingSchemaB)
-            .parquet(IndexManifest.codesDir(spark, path))
-            .filter(col("__batch") === batch))
+    def batchRows = spark.read.schema(PostingSchemaB)
+      .parquet(IndexManifest.codesDir(spark, path))
+      .filter(col("__batch") === batch)
+    currentArtifactDir(spark, path, "stats").foreach { statsDir =>
+      batchStatsOf(batchRows)
         .write.partitionBy("__batch").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(statsDir)
     }
+    currentArtifactDir(spark, path, "tstats").foreach { tsDir =>
+      termStatsOf(batchRows)
+        .write.partitionBy("__batch").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(tsDir)
+    }
   }
 
-  /** The stats artifact dir of the CURRENT payload, when it exists —
-    * stats are payload-exact (batch rows describe that payload's
-    * partitions), so resolution is an exact version match, never
-    * [[IndexManifest.artifactDirAt]]'s newest-at-or-below rule: a
+  /** The `name` artifact dir of the CURRENT payload, when it exists —
+    * stats artifacts are payload-exact (batch rows describe that
+    * payload's partitions), so resolution is an exact version match,
+    * never [[IndexManifest.artifactDirAt]]'s newest-at-or-below rule: a
     * compacted payload must NOT inherit the pre-compact artifact. */
-  private def currentStatsDir(spark: SparkSession,
-      path: String): Option[String] = {
+  private def currentArtifactDir(spark: SparkSession, path: String,
+      name: String): Option[String] = {
     val dir = for {
       v <- IndexManifest.currentVersion(spark, path)
       p <- IndexManifest.payloadVersionAt(spark, path, v)
-    } yield s"$path/stats_v$p"
+    } yield s"$path/${name}_v$p"
     dir.filter { d =>
       val hp = new org.apache.hadoop.fs.Path(d)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
@@ -170,10 +197,16 @@ object SearchIndex {
     for {
       v <- IndexManifest.currentVersion(spark, path)
       p <- IndexManifest.payloadVersionAt(spark, path, v)
-    } batchStatsOf(
-        spark.read.schema(PostingSchemaB).parquet(s"$path/codes_v$p"))
-      .write.partitionBy("__batch").mode("overwrite")
-      .parquet(s"$path/stats_v$p")
+    } {
+      val payload =
+        spark.read.schema(PostingSchemaB).parquet(s"$path/codes_v$p")
+      batchStatsOf(payload)
+        .write.partitionBy("__batch").mode("overwrite")
+        .parquet(s"$path/stats_v$p")
+      termStatsOf(payload)
+        .write.partitionBy("__batch").mode("overwrite")
+        .parquet(s"$path/tstats_v$p")
+    }
 
   /** [[VectorIndex.maintain]] + stats repair: compaction writes a new
     * payload (no stats artifact yet — probes fall back to the exact live
@@ -459,6 +492,184 @@ object SearchIndex {
     }
   }
 
+  /** MaxScore-pruned BM25 top-`k` — EXACTLY [[bm25]]'s result (same
+    * integer-ppm arithmetic, same tie-breaking; the oracle hash proves
+    * it), computed without pushing every matching document through the
+    * scoring aggregate. The serving problem it solves: a query mixing a
+    * rare term with common ones ("dup AND the AND data") matches nearly
+    * the whole corpus through its common terms, and full scoring
+    * aggregates one row per (matching doc, term) — at 10 B docs that is
+    * a corpus-sized shuffle for every such query, though the top-k is
+    * decided almost entirely by the rare term. MaxScore (Turtle &
+    * Flood 1995) bounds each term's best possible contribution and
+    * proves most of those rows can never matter.
+    *
+    * The per-term bound comes from the `tstats` artifact (one
+    * (df, max tf, min dl) row per token × batch — O(vocab) rows, not
+    * O(postings)): contrib_ppm is monotone increasing in tf, decreasing
+    * in dl and df (integer division preserves monotonicity: A div B with
+    * A, B > 0 is nondecreasing when the real ratio is), so
+    *
+    *   UB(t) = idf_ppm(max(1, Σdf − P)) · tf_ppm(max tf, min dl) div 1e6
+    *
+    * with P = pending-tombstone count (each pending delete removes at
+    * most one doc from any term's df, so Σdf − P is a true df lower
+    * bound and idf, decreasing in df, stays an upper bound; max tf /
+    * min dl only shrink/grow under deletes, so they stay valid) and the
+    * exact live (N, Σdl) from the stats artifact. Then:
+    *
+    *  1. seed: fully score the docs of the highest-UB term t1 (its
+    *     postings are small — high UB means high idf means rare) and
+    *     take θ = the k-th best of those true final scores;
+    *  2. partition: order terms by UB ascending; the longest prefix with
+    *     Σ UB < θ (strict) is NON-ESSENTIAL — a doc containing only
+    *     those terms scores ≤ Σ UB < θ while ≥ k docs score ≥ θ, so it
+    *     can never enter the top-k regardless of tie-breaking;
+    *  3. score exactly (corpus-global df, as always) ONLY the docs
+    *     containing at least one essential term.
+    *
+    * Scale: scored-row volume drops from Σ|postings(t)| to
+    * |candidates| × |terms| — the common terms' postings still stream
+    * through the token-pruned scan for the candidate semi-join and the
+    * df count, but they no longer fan into the per-doc aggregate or its
+    * shuffle. Falls back to the unpruned path (identical result, the
+    * exactness never depends on the artifact) when the artifact is
+    * missing or incomplete (a crash between an append's codes and
+    * artifact writes — detected by comparing the artifact's batch set
+    * against the payload's partitions), when fewer than k docs contain
+    * t1, or when every term ends up essential. */
+  def bm25Pruned(spark: SparkSession, path: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 1 && terms.nonEmpty && !terms.contains(DlToken))
+    val r = IndexManifest.resolve(spark, path)
+    if (r.current.isEmpty) return bm25(spark, path, terms, k)
+    val cur = r.current.get
+    val live = liveResolved(spark, path, r, cur, bounded = false)
+    val corpus = statsResolved(spark, path, r, cur, live)
+    def unpruned = scorePostings(live, corpus, terms, k)
+    val qts = terms.distinct
+    if (qts.size < 2) return unpruned
+    val bOpt = termUpperBoundsResolved(spark, path, r, cur, corpus, qts)
+    if (bOpt.isEmpty) return unpruned
+    val bounds = bOpt.get
+    val ub = qts.map(t => t -> bounds.ub.getOrElse(t, 0L))
+    if (ub.forall(_._2 == 0L)) return unpruned // no term in the corpus
+    // with no pending deletes the artifact's per-token df sums are EXACT
+    // document frequencies — the scoring jobs then skip the count
+    // aggregate over every query term's full postings (at serving scale
+    // the common terms' postings are corpus-sized; the artifact rows are
+    // O(#batches) per token)
+    val dfExact =
+      if (bounds.pending > 0L) None
+      else Some(bounds.tstats.filter(col("token").isin(qts: _*))
+        .groupBy(col("token")).agg(sum(col("df")).as("df")))
+    val t1 = ub.maxBy { case (t, u) => (u, t) }._1
+    val seed = scorePostings(live, corpus, terms, k,
+      Some(live.filter(col("token") === t1).select(col("vec_id"))),
+      dfExact)
+      .collect()
+    if (seed.length < k) return unpruned // no k-th score to bound with
+    val theta = seed.last.getLong(1)
+    val nonEssential = nonEssentialTerms(ub, theta)
+    if (nonEssential.isEmpty) return unpruned
+    val essential = qts.filterNot(nonEssential.contains)
+    if (essential == Seq(t1)) {
+      // the common case (one rare term decides the query): the seed IS
+      // the exact answer — candidates = t1's own docs = the set the seed
+      // already scored in full — so re-running the identical job would
+      // double serving cost for nothing
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(seed.toList.asJava, seed.head.schema)
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+    }
+    val candidates = live.filter(col("token").isin(essential: _*))
+      .select(col("vec_id")).distinct()
+    scorePostings(live, corpus, terms, k, Some(candidates), dfExact)
+  }
+
+  /** [[bm25Pruned]]'s per-term contribution upper bounds from the
+    * `tstats` artifact, or None when pruning must be disabled: artifact
+    * missing for the current payload (legacy index, kind-agnostic
+    * compact), or artifact incomplete (a crash between an append's codes
+    * and artifact writes — detected by comparing the artifact's batch
+    * set against the payload's partition dirs: pruning, unlike scoring,
+    * TRUSTS the artifact, and a missing batch would read as UB = 0 for
+    * that batch's new tokens). Test entry point — the serving path
+    * shares the resolution snapshot via [[termUpperBoundsResolved]]. */
+  private[graft] def termUpperBounds(spark: SparkSession, path: String,
+      qts: Seq[String]): Option[Map[String, Long]] = {
+    val r = IndexManifest.resolve(spark, path)
+    r.current.flatMap { cur =>
+      val live = liveResolved(spark, path, r, cur, bounded = false)
+      termUpperBoundsResolved(spark, path, r, cur,
+        statsResolved(spark, path, r, cur, live), qts).map(_.ub)
+    }
+  }
+
+  /** What the pruning path needs from the artifact in one read: the
+    * per-term bounds, the pending-tombstone count (0 ⇒ the artifact's df
+    * sums are exact), and the artifact frame itself for reuse. */
+  private case class TermBounds(ub: Map[String, Long], pending: Long,
+      tstats: DataFrame)
+
+  private def termUpperBoundsResolved(spark: SparkSession, path: String,
+      r: IndexManifest.Resolved, cur: Long, corpus: DataFrame,
+      qts: Seq[String]): Option[TermBounds] = {
+    val pvOpt = r.payloadAt(cur)
+      .filter(pv => r.disk.getOrElse("tstats", Nil).contains(pv))
+    if (pvOpt.isEmpty) return None
+    val pv = pvOpt.get
+    val codesP = new org.apache.hadoop.fs.Path(s"$path/codes_v$pv")
+    val fs = codesP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val payloadBatches = fs.listStatus(codesP).map(_.getPath.getName)
+      .collect { case n if n.startsWith("__batch=") =>
+        n.stripPrefix("__batch=").toLong }.toSet
+    val tstats = spark.read.schema(TstatsSchema)
+      .parquet(s"$path/tstats_v$pv")
+    val artifactBatches = tstats.select(col("__batch")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (payloadBatches != artifactBatches) return None
+    val cRow = corpus.head()
+    if (cRow.isNullAt(0) || cRow.isNullAt(1)) return None
+    val (n, s) = (cRow.getLong(0), cRow.getLong(1))
+    if (n <= 0L || s <= 0L) return None
+    // each pending delete removes at most one doc from any term's df, so
+    // Σ artifact df − |pending| is a true df lower bound — and idf,
+    // decreasing in df, stays an upper bound; max_tf / min_dl only
+    // shrink / grow under deletes, so they stay valid bound inputs
+    val pending = segTombstones(spark, path, r, cur).count()
+    def idfPpm(df: Long): Long = (2 * n - 2 * df + 1) * 1000000L /
+      (2 * df + 1)
+    def tfPpm(tf: Long, dl: Long): Long = 44 * tf * s * 1000000L /
+      (20 * tf * s + 6 * s + 18 * dl * n)
+    Some(TermBounds(
+      tstats.filter(col("token").isin(qts: _*))
+        .groupBy(col("token"))
+        .agg(sum(col("df")).as("df"), max(col("max_tf")).as("mtf"),
+          min(col("min_dl")).as("mdl"))
+        .collect()
+        .map(r0 => r0.getString(0) ->
+          (idfPpm(math.max(1L, r0.getLong(1) - pending)) *
+            tfPpm(r0.getLong(2), math.max(1L, r0.getLong(3))) / 1000000L))
+        .toMap,
+      pending, tstats))
+  }
+
+  /** The MaxScore partition, pure: the longest ascending-UB prefix whose
+    * cumulative bound stays STRICTLY under `theta` (strictness is what
+    * makes exclusion tie-safe: an excluded doc scores ≤ cum < θ while
+    * ≥ k docs score ≥ θ, so it is outside the top-k under any
+    * tie-breaking). Never the full term set: θ is an actual document
+    * score, so Σ all UB ≥ θ stops the prefix before the last term. */
+  private[graft] def nonEssentialTerms(ub: Seq[(String, Long)],
+      theta: Long): List[String] =
+    ub.sortBy { case (t, u) => (u, t) }
+      .foldLeft((0L, false, List.empty[String])) {
+        case ((cum, stopped, acc), (t, u)) =>
+          if (!stopped && cum + u < theta) (cum + u, false, t :: acc)
+          else (cum, true, acc) // prefix is contiguous: first miss ends it
+      }._3
+
   /** The same scorer straight from a documents frame, no persistence —
     * what a pipeline without a standing index pays per query batch (the
     * Stress `searchindex` comparison), and the proof body shared with
@@ -526,9 +737,14 @@ object SearchIndex {
     * what df means (df stays corpus-global, as BM25 defines it). */
   private def scorePostings(live: DataFrame, corpus: DataFrame,
       terms: Seq[String], k: Int,
-      candidates: Option[DataFrame] = None): DataFrame = {
+      candidates: Option[DataFrame] = None,
+      dfOverride: Option[DataFrame] = None): DataFrame = {
     val tfAll = live.filter(col("token").isin(terms: _*))
-    val df = tfAll.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // dfOverride: exact per-token document frequencies a caller already
+    // has (the artifact path when no deletes pend) — skips the count
+    // aggregate over every query term's full postings
+    val df = dfOverride.getOrElse(
+      tfAll.groupBy(col("token")).agg(count(lit(1)).as("df")))
     val tf = candidates.fold(tfAll)(c =>
       tfAll.join(broadcast(c), Seq("vec_id"), "left_semi"))
     tf.join(broadcast(df), Seq("token"))

@@ -219,6 +219,59 @@ object SearchQueries {
               |SELECT 'compacted' AS stage, * FROM sel2
               |ORDER BY stage, score_ppm DESC, doc_id""".stripMargin)),
 
+    // ---- MaxScore-pruned BM25: exact top-k without scoring the corpus ----
+    // The serving-time pruning classic (Turtle & Flood 1995), Spark-form:
+    // a query mixing a rare term ('dup', df ≈ 5% here) with common ones
+    // ('batch'/'scan', df ≈ 80%) matches nearly every document, but the
+    // top-k is decided by the rare term — per-term contribution UPPER
+    // BOUNDS from the index's tstats artifact (df, max tf, min dl per
+    // token×batch, O(vocab) rows) prove the common terms non-essential,
+    // so only docs containing 'dup' ever reach the scoring aggregate.
+    // The hash against the full unpruned replay is the exactness proof:
+    // pruning may never change a score, a rank, or a tie-break. Three
+    // states in one hash: full, after deleting doc_id % 7 = 0 (bounds
+    // must stay valid under PENDING tombstones — the df lower-bound
+    // correction), and after maintain() (compact + artifact rebuild).
+    // Scale: scored-row volume drops from Σ postings(t) (corpus-sized
+    // through the common terms) to |rare-term docs| × |terms|.
+    Q("q_bm25_maxscore",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_maxscore").toString
+        val docs = Tables.documents(s, dir)
+        val q = Seq("dup", "batch", "scan")
+        graft.operators.SearchIndex.build(docs, "doc_id", "text", path)
+        val full = graft.operators.SearchIndex
+          .bm25Pruned(s, path, q, 15)
+          .withColumn("stage", lit("full")).localCheckpoint(true)
+        graft.operators.VectorIndex.deleteIds(
+          docs.filter(col("doc_id") % 7 === 0), "doc_id", path)
+        val deleted = graft.operators.SearchIndex
+          .bm25Pruned(s, path, q, 15)
+          .withColumn("stage", lit("deleted")).localCheckpoint(true)
+        graft.operators.SearchIndex.maintain(s, path,
+          maxTombstoneRatio = 0.0)
+        full.unionByName(deleted)
+          .unionByName(graft.operators.SearchIndex
+            .bm25Pruned(s, path, q, 15)
+            .withColumn("stage", lit("compacted")))
+          .orderBy(col("stage"), col("score_ppm").desc, col("doc_id"))
+      },
+      Some(s"""WITH ${bm25CtesFor("documents", "",
+                Seq("dup", "batch", "scan"))},
+              |d2 AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+              |${bm25CtesFor("d2", "2", Seq("dup", "batch", "scan"))},
+              |sel1 AS (SELECT doc_id, score_ppm, n_terms FROM bm
+              |         ORDER BY score_ppm DESC, doc_id LIMIT 15),
+              |sel2 AS (SELECT doc_id, score_ppm, n_terms FROM bm2
+              |         ORDER BY score_ppm DESC, doc_id LIMIT 15)
+              |SELECT 'full' AS stage, * FROM sel1
+              |UNION ALL
+              |SELECT 'deleted' AS stage, * FROM sel2
+              |UNION ALL
+              |SELECT 'compacted' AS stage, * FROM sel2
+              |ORDER BY stage, score_ppm DESC, doc_id""".stripMargin)),
+
     // ---- hybrid retrieval: BM25 + dense ANN, reciprocal-rank fusion ------
     // The retrieval shape RAG pipelines actually serve: a sparse arm (the
     // BM25 scorer above) and a dense arm (cosine vs a query embedding)

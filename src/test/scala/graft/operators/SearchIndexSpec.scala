@@ -227,6 +227,117 @@ class SearchIndexSpec extends AnyFunSuite {
       "the v1 pin must rank exactly the post-delete corpus")
   }
 
+  test("MaxScore-pruned BM25 equals unpruned serving across the lifecycle") {
+    val path = Files.createTempDirectory("sidx_maxscore").toString
+    SearchIndex.build(docs.filter(col("doc_id") < 350), "doc_id", "text", path)
+    // query shapes: rare+common (prunes), all-common, absent term mixed
+    // in, single term (trivial fallback), k larger than the rare df
+    val queries = Seq(
+      Seq("dup", "batch", "scan"), Seq("spark", "hash", "window"),
+      Seq("dup", "zzznosuchterm", "table"), Seq("dup"),
+      Seq("value", "key", "a", "dup"))
+    def check(tag: String): Unit = queries.foreach { q =>
+      assert(rows(SearchIndex.bm25Pruned(s, path, q, 10)) ==
+        rows(SearchIndex.bm25(s, path, q, 10)), s"$tag: $q")
+      assert(rows(SearchIndex.bm25Pruned(s, path, q, 1000)) ==
+        rows(SearchIndex.bm25(s, path, q, 1000)), s"$tag (k>corpus): $q")
+    }
+    check("build")
+    SearchIndex.append(docs.filter(col("doc_id") >= 350), "doc_id", "text",
+      path)
+    check("after append")
+    VectorIndex.deleteIds(docs.filter(col("doc_id") % 5 === 0), "doc_id",
+      path)
+    check("after delete (pending-tombstone-corrected bounds)")
+    SearchIndex.maintain(s, path, maxTombstoneRatio = 0.0)
+    check("after compact + artifact refresh")
+    // pruning ENGAGES on the rare+common shape: the common terms' summed
+    // upper bounds stay under the k-th score of the rare term's docs
+    val ub = SearchIndex.termUpperBounds(s, path,
+      Seq("dup", "batch", "scan")).get
+    val theta = rows(SearchIndex.bm25(s, path, Seq("dup", "batch", "scan"),
+      10)).last(1).asInstanceOf[Long]
+    val nonEss = SearchIndex.nonEssentialTerms(ub.toSeq, theta)
+    assert(nonEss.toSet == Set("batch", "scan"),
+      s"the common terms must be provably non-essential, got $nonEss " +
+        s"(ub=$ub theta=$theta)")
+  }
+
+  test("term upper bounds dominate every actual contribution") {
+    val path = Files.createTempDirectory("sidx_ub").toString
+    SearchIndex.build(docs.filter(col("doc_id") < 300), "doc_id", "text", path)
+    SearchIndex.append(docs.filter(col("doc_id") >= 300), "doc_id", "text",
+      path)
+    VectorIndex.deleteIds(docs.filter(col("doc_id") % 7 === 0), "doc_id",
+      path)
+    val qts = Seq("dup", "the", "spark", "batch", "value")
+    val ub = SearchIndex.termUpperBounds(s, path, qts).get
+    // actual per-(doc, term) contributions, straight from the live rows
+    // with exact df / N / Σdl — the scorer's own arithmetic
+    val live = SearchIndex.load(s, path)
+      .filter(col("token").isin(qts: _*) ||
+        col("token") === SearchIndex.DlToken)
+      .localCheckpoint(true)
+    val corpus = live.filter(col("token") === SearchIndex.DlToken)
+      .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_dl"))
+    val actual = live.filter(col("token") =!= SearchIndex.DlToken)
+      .join(live.filter(col("token") =!= SearchIndex.DlToken)
+        .groupBy(col("token")).agg(count(lit(1)).as("df")), Seq("token"))
+      .crossJoin(corpus)
+      .selectExpr("token",
+        "(2*n_docs - 2*df + 1) * 1000000L div (2*df + 1) * " +
+          "(44*tf*sum_dl * 1000000L div (20*tf*sum_dl + 6*sum_dl + 18*dl*n_docs))" +
+          " div 1000000L as contrib_ppm")
+      .groupBy(col("token")).agg(max(col("contrib_ppm")).as("mx"))
+      .collect().map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
+    actual.foreach { case (t, mx) =>
+      assert(ub(t) >= mx, s"UB must dominate: $t ub=${ub(t)} actual=$mx")
+    }
+  }
+
+  test("MaxScore partition is pure, strict, and never swallows every term") {
+    val ub = Seq("a" -> 10L, "b" -> 100L, "c" -> 1000L)
+    // strictness: cum 10 < 15 admits a; 10+100 ≥ 15 stops
+    assert(SearchIndex.nonEssentialTerms(ub, 15L) == List("a"))
+    // boundary: cum 10 < 10 is false — θ equal to the prefix sum excludes
+    assert(SearchIndex.nonEssentialTerms(ub, 10L).isEmpty)
+    // θ ≤ Σ all UB always leaves the top term essential
+    assert(!SearchIndex.nonEssentialTerms(ub, 1110L).contains("c"))
+    assert(SearchIndex.nonEssentialTerms(ub, 1110L) == List("b", "a"))
+    // prefix is contiguous from the lowest UB: b alone can never drop
+    // while a survives
+    assert(SearchIndex.nonEssentialTerms(ub, 50L) == List("a"))
+  }
+
+  test("pruning falls back safely when the artifact is missing or stale") {
+    val path = Files.createTempDirectory("sidx_fallback").toString
+    SearchIndex.build(docs, "doc_id", "text", path)
+    val full = rows(SearchIndex.bm25(s, path, Seq("dup", "batch"), 10))
+    // artifact deleted outright → unpruned path, same result
+    val pv = VectorIndex.versions(s, path).last
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/tstats_v$pv"),
+      new org.apache.hadoop.fs.Path(s"$path/tstats_stashed"))
+    assert(SearchIndex.termUpperBounds(s, path, Seq("dup")).isEmpty)
+    assert(rows(SearchIndex.bm25Pruned(s, path, Seq("dup", "batch"), 10))
+      == full, "missing artifact must serve the exact unpruned result")
+    // artifact restored but INCOMPLETE (an append whose artifact write
+    // crashed): batch-set mismatch disables pruning
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/tstats_stashed"),
+      new org.apache.hadoop.fs.Path(s"$path/tstats_v$pv"))
+    assert(SearchIndex.termUpperBounds(s, path, Seq("dup")).isDefined)
+    SearchIndex.append(docs.limit(50), "doc_id", "text", path)
+    val batches = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/tstats_v$pv"))
+      .map(_.getPath).filter(_.getName.startsWith("__batch="))
+    fs.delete(batches.maxBy(_.getName), true)
+    assert(SearchIndex.termUpperBounds(s, path, Seq("dup")).isEmpty,
+      "an artifact not covering every payload batch must disable pruning")
+    assert(rows(SearchIndex.bm25Pruned(s, path, Seq("dup", "batch"), 10))
+      == rows(SearchIndex.bm25(s, path, Seq("dup", "batch"), 10)))
+  }
+
   test("an empty index serves empty results, not a crash") {
     val path = Files.createTempDirectory("sidx_empty").toString
     SearchIndex.build(docs.filter(col("doc_id") < 0), "doc_id", "text", path)
