@@ -711,6 +711,40 @@ object VectorIndex {
         queryIds(coded), k, rerankWidth)
   }
 
+  /** FILTERED ANN over a saved binary index: [[searchBinary]] with the
+    * candidate corpus restricted to an `allowed` id set — the
+    * metadata-predicated search every serving stack needs ("nearest
+    * neighbors among label = 3 / lang = 'de' / date > X docs"). The
+    * filter applies BEFORE the coarse stage (pre-filtering): the top-k
+    * is exact among allowed vectors, where post-filtering a fixed-width
+    * unfiltered candidate list would silently lose recall as the filter
+    * gets selective (a 1% filter leaves ~0.3 of 32 candidates). Queries
+    * are selected from the UNFILTERED live index — the query point need
+    * not satisfy its own predicate. Scale: the semi-join moves 8 B ids
+    * (Spark broadcasts a small allowed set on its own); the filter
+    * composes with tombstones because it restricts the already-masked
+    * live view. `allowed` must carry an `idCol` column; any metadata
+    * predicate reduces to it via a select. */
+  def searchBinaryFiltered(spark: SparkSession, path: String,
+      vectors: DataFrame, idCol: String, vecCol: String,
+      queryIds: DataFrame => DataFrame, k: Int, rerankWidth: Int,
+      allowed: DataFrame, onePass: Boolean = false): DataFrame = {
+    val src = vectors.select(col(idCol).as("vec_id"), col(vecCol))
+    val coded = liveCodesResolved(spark, path,
+        IndexManifest.resolve(spark, path),
+        "vec_id LONG, code LONG, __batch LONG")
+      .join(src, "vec_id")
+    val corpus = coded.join(
+      allowed.select(col(idCol).cast("long").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    if (onePass)
+      BinaryQuant.hammingRerankTopKPartitioned(corpus, "vec_id", vecCol,
+        queryIds(coded), k, rerankWidth)
+    else
+      BinaryQuant.hammingRerankTopK(corpus, "vec_id", vecCol,
+        queryIds(coded), k, rerankWidth)
+  }
+
   // ---- IVF-PQ lifecycle ----------------------------------------------------
   // Same faiss-shaped contract as the binary index, with a three-part
   // quantizer artifact: coarse centroids + residual sub-codebooks are the

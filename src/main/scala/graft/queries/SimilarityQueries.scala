@@ -1060,6 +1060,61 @@ object SimilarityQueries {
       },
       Some(indexDeleteOracle)),
 
+    // ---- filtered ANN: metadata-predicated search from the saved index ---
+    // The serving feature every vector store ships (Qdrant/pgvector
+    // pre-filtering): nearest neighbors AMONG the vectors matching a
+    // metadata predicate (here label IN (1,2), ~19% of the corpus). The
+    // filter lands BEFORE the coarse stage — the top-k is exact among
+    // allowed vectors, where post-filtering a fixed-width unfiltered
+    // candidate list silently loses recall as the filter gets selective.
+    // Queries come from the UNFILTERED live view (a query point need not
+    // satisfy its own predicate). Two states in one hash: filtered
+    // search, then the same after deleting vec_id % 6 = 0 — the filter
+    // must compose with the tombstone mask on BOTH the candidate and the
+    // query side. Scale: the allowed set semi-joins as 8 B ids (broadcast
+    // when small); everything downstream is the proven coarse+rerank.
+    Q("q_ann_filtered",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_annfilt").toString
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.VectorIndex.buildBinary(emb, "vec_id", "embedding",
+          path)
+        val allowed = emb.filter(col("label").isin(1, 2))
+          .select(col("vec_id"))
+        def search() = graft.operators.VectorIndex.searchBinaryFiltered(
+          s, path, emb, "vec_id", "embedding",
+          _.filter(col("vec_id") < 10), k = 3, rerankWidth = 32,
+          allowed = allowed)
+        val full = search().withColumn("stage", lit("filtered"))
+          .localCheckpoint(true)
+        graft.operators.VectorIndex.deleteIds(
+          emb.filter(col("vec_id") % 6 === 0), "vec_id", path)
+        full.unionByName(
+            search().withColumn("stage", lit("filtered_deleted")))
+          .orderBy(col("stage"), col("query_id"), col("rank"))
+      },
+      Some(s"""$binaryCodesCte,
+             |codesf AS (SELECT * FROM codes WHERE label IN (1, 2)),
+             |${rerankCtes("codes", "", candRel = "codesf")},
+             |liveq2 AS (SELECT * FROM codes WHERE vec_id % 6 <> 0),
+             |livec2 AS (SELECT * FROM codesf WHERE vec_id % 6 <> 0),
+             |${rerankCtes("liveq2", "2", candRel = "livec2")},
+             |sel1 AS (SELECT qid AS query_id, nid AS neighbor_id,
+             |           ham AS hamming,
+             |           CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm,
+             |           CAST(rn2 AS INTEGER) AS rank
+             |         FROM f WHERE rn2 <= 3),
+             |sel2 AS (SELECT qid AS query_id, nid AS neighbor_id,
+             |           ham AS hamming,
+             |           CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm,
+             |           CAST(rn2 AS INTEGER) AS rank
+             |         FROM f2 WHERE rn2 <= 3)
+             |SELECT 'filtered' AS stage, * FROM sel1
+             |UNION ALL
+             |SELECT 'filtered_deleted' AS stage, * FROM sel2
+             |ORDER BY stage, query_id, rank""".stripMargin)),
+
     // ---- index time travel: VERSION AS OF reads over the manifest --------
     // The snapshot layer as an API (VectorIndex.searchBinaryAt). EVERY
     // mutation commits its own manifest version (build v0, delete v1,
@@ -1168,11 +1223,15 @@ object SimilarityQueries {
     * carry ids outside the base table). */
   private[queries] def rerankCtes(rel: String, sfx: String = "",
       embRel: String = "embeddings",
-      queryPred: String = "q.vec_id < 10"): String =
+      queryPred: String = "q.vec_id < 10",
+      candRel: String = ""): String = {
+    // candRel: a RESTRICTED candidate-side relation (filtered ANN) —
+    // queries still come from `rel`, the unfiltered live view
+    val cRel = if (candRel.isEmpty) rel else candRel
     s"""cand$sfx AS (
        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
        |         CAST(bit_count(xor(q.code, c.code)) AS INTEGER) AS ham
-       |  FROM $rel q JOIN $rel c ON c.vec_id <> q.vec_id
+       |  FROM $rel q JOIN $cRel c ON c.vec_id <> q.vec_id
        |  WHERE $queryPred),
        |top$sfx AS (SELECT qid, nid, ham,
        |          row_number() OVER (PARTITION BY qid
@@ -1187,6 +1246,7 @@ object SimilarityQueries {
        |        row_number() OVER (PARTITION BY qid
        |                           ORDER BY sim DESC, nid) AS rn2
        |      FROM rr$sfx)""".stripMargin
+  }
 
   /** DuckDB mirror of BinaryQuant.hammingRerankTopK over the codes CTE —
     * shared verbatim by q_hamming_rerank and q_index_persist (their equal

@@ -25,6 +25,40 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(loaded.collect().toSet == direct.collect().toSet)
   }
 
+  test("filtered search: exact among allowed, composes with tombstones") {
+    val path = Files.createTempDirectory("vindex_filt").toString
+    VectorIndex.buildBinary(emb, "vec_id", "embedding", path)
+    val allowed = emb.filter(col("label").isin(3, 4)).select(col("vec_id"))
+    // the ground truth: the same coarse+rerank over the pre-restricted
+    // coded corpus (queries unfiltered) — pre-filter semantics exactly
+    def direct(liveIds: org.apache.spark.sql.DataFrame) = {
+      val thr = BinaryQuant.fitThresholds(emb, "embedding")
+      val coded = BinaryQuant.withCode(emb, "embedding", thr)
+        .join(liveIds, Seq("vec_id"), "left_semi")
+      BinaryQuant.hammingRerankTopK(
+        coded.join(allowed, Seq("vec_id"), "left_semi"),
+        "vec_id", "embedding", coded.filter(col("vec_id") < 8),
+        k = 3, rerankWidth = 16)
+    }
+    def filtered() = VectorIndex.searchBinaryFiltered(s, path, emb,
+      "vec_id", "embedding", _.filter(col("vec_id") < 8),
+      k = 3, rerankWidth = 16, allowed = allowed)
+    assert(filtered().collect().toSet ==
+      direct(emb.select(col("vec_id"))).collect().toSet)
+    // every neighbor satisfies the predicate; post-filtering an
+    // unfiltered top-16 would NOT reach 3 allowed rows for every query
+    val labels = filtered()
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
+    assert(labels.filter(!col("label").isin(3, 4)).count() == 0)
+    // tombstones compose: deleted ids vanish from candidates AND queries
+    VectorIndex.deleteIds(emb.filter(col("vec_id") % 4 === 1), "vec_id",
+      path)
+    assert(filtered().collect().toSet ==
+      direct(emb.filter(col("vec_id") % 4 =!= 1).select(col("vec_id")))
+        .collect().toSet)
+  }
+
   test("streaming ingestion: foreachBatch appends drops into the index") {
     import org.apache.spark.sql.types._
     val srcDir = Files.createTempDirectory("vindex_stream_src").toString
