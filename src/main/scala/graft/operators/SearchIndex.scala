@@ -365,6 +365,33 @@ object SearchIndex {
     scorePostings(live, corpus, positive, k, Some(candidates))
   }
 
+  /** Faceted search: the distribution of a metadata column over the
+    * documents matching ALL of `must` — the result-page sidebar ("1,204
+    * in German, 310 in French…"). The match set comes from the index
+    * (the conjunctive postings gate, [[booleanSearch]]'s), the facet
+    * values from the caller's metadata table: Spark-first, the metadata
+    * JOIN is the natural plan — the match set moves as 8 B ids and the
+    * facet aggregate is map-side-combinable, so duplicating metadata
+    * into the index (Lucene doc values) buys nothing a semi-join does
+    * not. Returns (facet, n_docs) for the top `k` facet values by
+    * matching-doc count (ties toward the smaller facet value). */
+  def facetCounts(spark: SparkSession, path: String, must: Seq[String],
+      meta: DataFrame, idCol: String, facetCol: String,
+      k: Int): DataFrame = {
+    require(must.nonEmpty && !must.contains(DlToken))
+    val live = load(spark, path)
+    val matched = live.filter(col("token").isin(must.distinct: _*))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("__nm"))
+      .filter(col("__nm") === must.distinct.size)
+      .select(col("vec_id"))
+    meta.select(col(idCol).cast("long").as("vec_id"),
+        col(facetCol).as("facet"))
+      .join(matched, Seq("vec_id"), "left_semi")
+      .groupBy(col("facet")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("facet"))
+      .limit(k)
+  }
+
   /** Term completion: the live vocabulary under `prefix`, ranked by
     * document frequency — the search-box autocomplete surface, served
     * entirely from the postings index. The prefix is a pushed
@@ -612,9 +639,13 @@ object SearchIndex {
   private case class TermBounds(ub: Map[String, Long], pending: Long,
       tstats: DataFrame)
 
-  private def termUpperBoundsResolved(spark: SparkSession, path: String,
-      r: IndexManifest.Resolved, cur: Long, corpus: DataFrame,
-      qts: Seq[String]): Option[TermBounds] = {
+  /** The `tstats` artifact of the CURRENT payload when it can be
+    * TRUSTED for pruning: present for this exact payload AND covering
+    * every payload batch (the completeness guard over the documented
+    * crash-between-writes window — scoring never needs this, pruning
+    * does). */
+  private def trustedTstats(spark: SparkSession, path: String,
+      r: IndexManifest.Resolved, cur: Long): Option[DataFrame] = {
     val pvOpt = r.payloadAt(cur)
       .filter(pv => r.disk.getOrElse("tstats", Nil).contains(pv))
     if (pvOpt.isEmpty) return None
@@ -628,7 +659,15 @@ object SearchIndex {
       .parquet(s"$path/tstats_v$pv")
     val artifactBatches = tstats.select(col("__batch")).distinct()
       .collect().map(_.getLong(0)).toSet
-    if (payloadBatches != artifactBatches) return None
+    if (payloadBatches != artifactBatches) None else Some(tstats)
+  }
+
+  private def termUpperBoundsResolved(spark: SparkSession, path: String,
+      r: IndexManifest.Resolved, cur: Long, corpus: DataFrame,
+      qts: Seq[String]): Option[TermBounds] = {
+    val tsOpt = trustedTstats(spark, path, r, cur)
+    if (tsOpt.isEmpty) return None
+    val tstats = tsOpt.get
     val cRow = corpus.head()
     if (cRow.isNullAt(0) || cRow.isNullAt(1)) return None
     val (n, s) = (cRow.getLong(0), cRow.getLong(1))
@@ -669,6 +708,90 @@ object SearchIndex {
           if (!stopped && cum + u < theta) (cum + u, false, t :: acc)
           else (cum, true, acc) // prefix is contiguous: first miss ends it
       }._3
+
+  /** Weighted sparse retrieval — the learned-sparse (SPLADE/uniCOIL)
+    * serving shape: the query is a (token, weight) vector, the document
+    * representation is its postings' term frequencies, and the score is
+    * the sparse dot product Σ weight·tf — integer-exact, no corpus
+    * statistics involved (the model, not the corpus, decides term
+    * importance; this operator serves whatever impacts live in the
+    * index — tf today, learned impacts under the same plan). Per-term
+    * work is that term's posting list; weights broadcast. Returns
+    * (doc_id, score_ppm, n_terms) ranked (score desc, doc_id), top k. */
+  def sparseDot(spark: SparkSession, path: String, query: Seq[(String, Long)],
+      k: Int): DataFrame = {
+    require(query.nonEmpty && query.forall(_._1 != DlToken) &&
+      query.map(_._1).distinct.size == query.size)
+    sparseScore(load(spark, path), query, k)
+  }
+
+  /** [[sparseDot]] under MaxScore pruning — EXACTLY the same result (the
+    * oracle hash proves it), with per-term upper bounds that are even
+    * simpler than BM25's: UB(t) = weight(t) · max tf(t) from the tstats
+    * artifact, valid under pending deletes with NO correction (deletes
+    * only shrink a term's max tf). The same seed/partition logic as
+    * [[bm25Pruned]]: θ from fully scoring the top-bound term's docs, the
+    * ascending-UB prefix strictly under θ is non-essential, only docs
+    * with an essential term are scored. Falls back to the unpruned plan
+    * whenever the bounds cannot be trusted. */
+  def sparseDotPruned(spark: SparkSession, path: String,
+      query: Seq[(String, Long)], k: Int): DataFrame = {
+    require(k >= 1 && query.nonEmpty && query.forall(_._1 != DlToken) &&
+      query.map(_._1).distinct.size == query.size)
+    require(query.forall(_._2 >= 0L),
+      "negative weights break the upper-bound argument")
+    val r = IndexManifest.resolve(spark, path)
+    val live = r.current match {
+      case Some(cur) => liveResolved(spark, path, r, cur, bounded = false)
+      case None => load(spark, path)
+    }
+    def unpruned = sparseScore(live, query, k)
+    if (query.size < 2 || r.current.isEmpty) return unpruned
+    val tsOpt = trustedTstats(spark, path, r, r.current.get)
+    if (tsOpt.isEmpty) return unpruned
+    val weights = query.toMap
+    val maxTf = tsOpt.get
+      .filter(col("token").isin(query.map(_._1): _*))
+      .groupBy(col("token")).agg(max(col("max_tf")).as("mtf"))
+      .collect().map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
+    val ub = query.map { case (t, w) =>
+      t -> (w * maxTf.getOrElse(t, 0L))
+    }
+    if (ub.forall(_._2 == 0L)) return unpruned
+    val t1 = ub.maxBy { case (t, u) => (u, t) }._1
+    val seed = sparseScore(live, query, k,
+      Some(live.filter(col("token") === t1).select(col("vec_id"))))
+      .collect()
+    if (seed.length < k) return unpruned
+    val theta = seed.last.getLong(1)
+    val nonEssential = nonEssentialTerms(ub, theta)
+    if (nonEssential.isEmpty) return unpruned
+    val essential = query.map(_._1).filterNot(nonEssential.contains)
+    if (essential == Seq(t1)) {
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(seed.toList.asJava, seed.head.schema)
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+    }
+    val candidates = live.filter(col("token").isin(essential: _*))
+      .select(col("vec_id")).distinct()
+    sparseScore(live, query, k, Some(candidates))
+  }
+
+  private def sparseScore(live: DataFrame, query: Seq[(String, Long)],
+      k: Int, candidates: Option[DataFrame] = None): DataFrame = {
+    val spark = live.sparkSession
+    import spark.implicits._
+    val q = broadcast(query.toDF("token", "__w"))
+    val tfAll = live.filter(col("token").isin(query.map(_._1): _*))
+    val tf = candidates.fold(tfAll)(c =>
+      tfAll.join(broadcast(c), Seq("vec_id"), "left_semi"))
+    tf.join(q, Seq("token"))
+      .groupBy(col("vec_id").as("doc_id"))
+      .agg(sum(col("__w") * col("tf")).as("score_ppm"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(k)
+  }
 
   /** The same scorer straight from a documents frame, no persistence —
     * what a pipeline without a standing index pays per query batch (the

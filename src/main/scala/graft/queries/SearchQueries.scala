@@ -272,6 +272,99 @@ object SearchQueries {
               |SELECT 'compacted' AS stage, * FROM sel2
               |ORDER BY stage, score_ppm DESC, doc_id""".stripMargin)),
 
+    // ---- weighted sparse retrieval (learned-sparse serving shape) --------
+    // SPLADE/uniCOIL-style: the query is a (token, weight) vector, the
+    // score the sparse dot product Σ weight·tf — no corpus statistics,
+    // the weights (a model's, here fixed) decide term importance. Served
+    // via sparseDotPruned: MaxScore bounds UB(t) = weight·max_tf from
+    // the tstats artifact (valid under pending deletes with NO
+    // correction — deletes only shrink max tf) prune docs that provably
+    // cannot reach the top-k; the hash against the plain full replay is
+    // the exactness proof. A zero-weight and an absent term ride along
+    // to pin the edge semantics (zero contribution, but n_terms counts
+    // the zero-weight term's rows). Two states in one hash: full and
+    // post-delete.
+    Q("q_sparse_retrieval",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_sparse").toString
+        val docs = Tables.documents(s, dir)
+        graft.operators.SearchIndex.build(docs, "doc_id", "text", path)
+        val qv = Seq("dup" -> 5000L, "fast" -> 300L, "table" -> 100L,
+          "zzznosuchterm" -> 900L, "scan" -> 0L)
+        def serve() = graft.operators.SearchIndex
+          .sparseDotPruned(s, path, qv, 15)
+        val full = serve().withColumn("stage", lit("full"))
+          .localCheckpoint(true)
+        graft.operators.VectorIndex.deleteIds(
+          docs.filter(col("doc_id") % 6 === 0), "doc_id", path)
+        full.unionByName(serve().withColumn("stage", lit("deleted")))
+          .orderBy(col("stage"), col("score_ppm").desc, col("doc_id"))
+      },
+      Some(s"""WITH w(token, wt) AS (VALUES ('dup', 5000), ('fast', 300),
+             |    ('table', 100), ('zzznosuchterm', 900), ('scan', 0)),
+             |tf AS (
+             |  SELECT doc_id, token, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(${Text.unicodeTokensSql("text")}) AS token
+             |    FROM documents) u
+             |  GROUP BY doc_id, token),
+             |sc AS (SELECT doc_id, CAST(sum(wt * tf) AS BIGINT) AS score_ppm,
+             |         count(*) AS n_terms
+             |       FROM tf JOIN w USING (token) GROUP BY doc_id),
+             |s1 AS (SELECT * FROM sc
+             |       ORDER BY score_ppm DESC, doc_id LIMIT 15),
+             |s2 AS (SELECT * FROM sc WHERE doc_id % 6 <> 0
+             |       ORDER BY score_ppm DESC, doc_id LIMIT 15)
+             |SELECT 'full' AS stage, * FROM s1
+             |UNION ALL
+             |SELECT 'deleted' AS stage, * FROM s2
+             |ORDER BY stage, score_ppm DESC, doc_id""".stripMargin)),
+
+    // ---- faceted search: metadata distribution of the match set ----------
+    // The result-page sidebar: documents matching ALL query terms (the
+    // index's conjunctive postings gate), bucketed by a metadata column
+    // with top-k counts. Spark-first the metadata JOIN is the plan — the
+    // match set moves as 8 B ids, the facet aggregate is map-side-
+    // combinable — so the index never duplicates metadata (Lucene
+    // doc-values is an optimization this layout does not need). Facet
+    // counts must track deletes like every other statistic: two states
+    // in one hash.
+    Q("q_facet_search",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_facet").toString
+        val docs = Tables.documents(s, dir)
+        graft.operators.SearchIndex.build(docs, "doc_id", "text", path)
+        def facets() = graft.operators.SearchIndex.facetCounts(
+          s, path, Seq("fast", "table"), docs, "doc_id", "source", k = 10)
+        val full = facets().withColumn("stage", lit("full"))
+          .localCheckpoint(true)
+        graft.operators.VectorIndex.deleteIds(
+          docs.filter(col("doc_id") % 4 === 0), "doc_id", path)
+        full.unionByName(facets().withColumn("stage", lit("deleted")))
+          .orderBy(col("stage"), col("n_docs").desc, col("facet"))
+      },
+      Some(s"""WITH tok AS (
+             |  SELECT DISTINCT doc_id, token FROM (
+             |    SELECT doc_id, unnest(${Text.unicodeTokensSql("text")}) AS token
+             |    FROM documents) u
+             |  WHERE token IN ('fast', 'table')),
+             |m AS (SELECT doc_id FROM tok GROUP BY doc_id
+             |      HAVING count(*) = 2),
+             |f1 AS (SELECT d.source AS facet, count(*) AS n_docs
+             |       FROM documents d JOIN m USING (doc_id)
+             |       GROUP BY d.source
+             |       ORDER BY n_docs DESC, facet LIMIT 10),
+             |f2 AS (SELECT d.source AS facet, count(*) AS n_docs
+             |       FROM documents d JOIN m USING (doc_id)
+             |       WHERE d.doc_id % 4 <> 0
+             |       GROUP BY d.source
+             |       ORDER BY n_docs DESC, facet LIMIT 10)
+             |SELECT 'full' AS stage, * FROM f1
+             |UNION ALL
+             |SELECT 'deleted' AS stage, * FROM f2
+             |ORDER BY stage, n_docs DESC, facet""".stripMargin)),
+
     // ---- hybrid retrieval: BM25 + dense ANN, reciprocal-rank fusion ------
     // The retrieval shape RAG pipelines actually serve: a sparse arm (the
     // BM25 scorer above) and a dense arm (cosine vs a query embedding)

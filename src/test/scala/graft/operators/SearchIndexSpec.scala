@@ -263,6 +263,33 @@ class SearchIndexSpec extends AnyFunSuite {
         s"(ub=$ub theta=$theta)")
   }
 
+  test("sparse dot-product retrieval: pruned equals unpruned, bounds hold") {
+    val path = Files.createTempDirectory("sidx_sparse").toString
+    SearchIndex.build(docs.filter(col("doc_id") < 350), "doc_id", "text",
+      path)
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("dup", "batch", "scan", "spark", "the", "value",
+      "zzznosuch")
+    def randomQuery() = rnd.shuffle(vocab).take(2 + rnd.nextInt(4))
+      .map(t => t -> rnd.nextLong(10000L))
+    def check(tag: String): Unit = (1 to 6).foreach { _ =>
+      val q = randomQuery()
+      assert(rows(SearchIndex.sparseDotPruned(s, path, q, 10)) ==
+        rows(SearchIndex.sparseDot(s, path, q, 10)), s"$tag: $q")
+    }
+    check("build")
+    SearchIndex.append(docs.filter(col("doc_id") >= 350), "doc_id", "text",
+      path)
+    VectorIndex.deleteIds(docs.filter(col("doc_id") % 5 === 0), "doc_id",
+      path)
+    check("after append + pending deletes")
+    SearchIndex.maintain(s, path, maxTombstoneRatio = 0.0)
+    check("after compact")
+    intercept[IllegalArgumentException] {
+      SearchIndex.sparseDotPruned(s, path, Seq("dup" -> -1L), 10)
+    }
+  }
+
   test("term upper bounds dominate every actual contribution") {
     val path = Files.createTempDirectory("sidx_ub").toString
     SearchIndex.build(docs.filter(col("doc_id") < 300), "doc_id", "text", path)
