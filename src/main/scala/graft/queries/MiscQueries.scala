@@ -77,6 +77,68 @@ object MiscQueries {
              |FROM merged GROUP BY user_id
              |ORDER BY stage, user_id""".stripMargin)),
 
+    // ---- change data feed between table versions -------------------------
+    // operators.TableManifest.readChanges — what incremental consumers
+    // read instead of re-scanning the table. Two cost regimes in one
+    // hash: the APPEND feed (same payload) serves exactly the __batch
+    // partitions between the two watermarks — the scan is built from
+    // those dirs alone, O(changed batches) at any table size, inserts
+    // only; the REPLACEMENT feed (a commitSnapshot upsert: drops
+    // event_id % 3 = 0, re-adds them with a rewritten event_type) is a
+    // multiset content diff (exceptAll both ways), the honest O(table)
+    // price of replacement commits without row-level logs. Applying
+    // feed2 to v2 must reproduce v3 as a multiset — which is what the
+    // SQL replay's EXCEPT ALL mirror proves.
+    Q("q_table_cdf",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_table_cdf").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val maxId = e.agg(max(col("event_id"))).head().getLong(0)
+        val (t1, t2) = (maxId / 3, 2 * maxId / 3)
+        val v0 = TableManifest.commitSnapshot(
+          e.filter(col("event_id") <= t1), path)
+        TableManifest.append(
+          e.filter(col("event_id") > t1 && col("event_id") <= t2), path)
+        val v2 = TableManifest.append(e.filter(col("event_id") > t2), path)
+        val v3 = TableManifest.commitSnapshot(
+          e.filter(col("event_id") % 3 =!= 0)
+            .unionByName(e.filter(col("event_id") % 3 === 0)
+              .withColumn("event_type", lit("cdf_new"))), path)
+        TableManifest.readChanges(s, path, v0, v2)
+          .withColumn("stage", lit("append_feed"))
+          .unionByName(TableManifest.readChanges(s, path, v2, v3)
+            .withColumn("stage", lit("replace_feed")))
+          .orderBy(col("stage"), col("_change_type"), col("event_id"),
+            col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_id, event_type, value FROM events),
+             |mx AS (SELECT max(event_id) AS m FROM e),
+             |f1 AS (SELECT *, 'insert' AS _change_type FROM e, mx
+             |       WHERE event_id > m // 3),
+             |v2s AS (SELECT event_id, event_type, value FROM e),
+             |v3s AS (SELECT event_id, event_type, value FROM e
+             |        WHERE event_id % 3 <> 0
+             |        UNION ALL
+             |        SELECT event_id, 'cdf_new', value FROM e
+             |        WHERE event_id % 3 = 0),
+             |ins AS (SELECT *, 'insert' AS _change_type FROM
+             |          (SELECT * FROM v3s EXCEPT ALL SELECT * FROM v2s) x),
+             |del AS (SELECT *, 'delete' AS _change_type FROM
+             |          (SELECT * FROM v2s EXCEPT ALL SELECT * FROM v3s) y)
+             |SELECT 'append_feed' AS stage, event_id, event_type, value,
+             |       _change_type
+             |FROM f1
+             |UNION ALL
+             |SELECT 'replace_feed', event_id, event_type, value,
+             |       _change_type FROM ins
+             |UNION ALL
+             |SELECT 'replace_feed', event_id, event_type, value,
+             |       _change_type FROM del
+             |ORDER BY stage, _change_type, event_id, event_type""".stripMargin)),
+
     // ---- zone-map data skipping on the manifest layer -------------------
     // Per-batch min/max stats persisted beside the payload let a range
     // read prune `__batch` partition dirs at PLANNING time — at 100 TB an

@@ -136,6 +136,40 @@ class TableManifestSpec extends AnyFunSuite {
     vs.foreach(v => assert(TableManifest.readAt(s, path, v).count() == 1))
   }
 
+  test("change data feed: batch-pruned append feed, content-diff replace feed") {
+    val path = Files.createTempDirectory("tm_cdf").toString
+    val v0 = TableManifest.commitSnapshot(df(1L -> "a", 2L -> "b"), path)
+    val v1 = TableManifest.append(df(3L -> "c"), path)
+    val v2 = TableManifest.append(df(4L -> "d", 5L -> "e"), path)
+    def feed(from: Long, to: Long) = TableManifest
+      .readChanges(s, path, from, to)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    // append regime: only the batches between the watermarks, inserts only
+    assert(feed(v0, v2) ==
+      Set((3L, "c", "insert"), (4L, "d", "insert"), (5L, "e", "insert")))
+    assert(feed(v1, v2) == Set((4L, "d", "insert"), (5L, "e", "insert")))
+    assert(feed(v0, v0).isEmpty, "a version diffed with itself is empty")
+    // replacement regime: multiset diff — 2 dropped, one REWRITTEN row
+    // shows as delete+insert, untouched rows never appear in the feed
+    val v3 = TableManifest.commitSnapshot(
+      df(1L -> "a", 3L -> "c", 4L -> "REWRITTEN", 6L -> "f"), path)
+    assert(feed(v2, v3) == Set(
+      (2L, "b", "delete"), (5L, "e", "delete"),
+      (4L, "d", "delete"), (4L, "REWRITTEN", "insert"),
+      (6L, "f", "insert")))
+    // applying the feed to the from-snapshot reproduces the to-snapshot
+    val applied = ids(TableManifest.readAt(s, path, v2)
+      .unionByName(TableManifest.readChanges(s, path, v2, v3)
+        .filter(col("_change_type") === "insert").drop("_change_type"))
+      .exceptAll(TableManifest.readChanges(s, path, v2, v3)
+        .filter(col("_change_type") === "delete").drop("_change_type")))
+    assert(applied == ids(TableManifest.readAt(s, path, v3)))
+    intercept[IllegalArgumentException] {
+      TableManifest.readChanges(s, path, v3, v0)
+    }
+  }
+
   test("a zero-row snapshot reads back empty under an explicit schema") {
     val path = Files.createTempDirectory("tm_empty").toString
     val schema = StructType(Seq.empty)
