@@ -188,6 +188,48 @@ object SearchIndex {
     }
   }
 
+  /** MERGE shard indexes into one — the consolidation step of every
+    * sharded indexing pipeline (per-partition indexes built in parallel,
+    * one serving index published): each source's LIVE view (tombstones
+    * applied, current version) unions into a fresh build-shaped payload
+    * at `dst`, with both stats artifacts recomputed and ONE atomic
+    * commit — `dst` serves its previous version until the marker lands,
+    * and a crash mid-merge leaves it untouched. Doc-id spaces must be
+    * disjoint (checked with one token-pruned aggregate over the reserved
+    * doc-length rows, never the full postings). The merged index is a
+    * normal index: append/delete/compact/time-travel all apply. Scale:
+    * the merge moves each source's live postings exactly once (a read +
+    * a partitioned write, no shuffle — postings re-sort within
+    * partitions by token for row-group pruning), and sources stay
+    * readable throughout. */
+  def merge(spark: SparkSession, sources: Seq[String], dst: String): Unit = {
+    require(sources.nonEmpty)
+    val lives = sources.map(load(spark, _))
+    val perSource = lives.map(
+      _.filter(col("token") === DlToken).count())
+    val union = lives.reduce(_ unionByName _)
+    val mergedDocs =
+      union.filter(col("token") === DlToken)
+        .select(col("vec_id")).distinct().count()
+    require(mergedDocs == perSource.sum,
+      s"doc-id spaces overlap: ${perSource.sum} source docs, " +
+        s"$mergedDocs distinct ids — merge requires disjoint shards")
+    val v = IndexManifest.nextBuildVersion(spark, dst)
+    union.sortWithinPartitions(col("token"))
+      .withColumn("__batch", lit(-1L))
+      .write.partitionBy("__batch").mode("overwrite")
+      .parquet(s"$dst/codes_v$v")
+    val payload =
+      spark.read.schema(PostingSchemaB).parquet(s"$dst/codes_v$v")
+    batchStatsOf(payload)
+      .write.partitionBy("__batch").mode("overwrite")
+      .parquet(s"$dst/stats_v$v")
+    termStatsOf(payload)
+      .write.partitionBy("__batch").mode("overwrite")
+      .parquet(s"$dst/tstats_v$v")
+    VectorIndex.commitBuild(spark, dst, v, Seq("stats", "tstats"))
+  }
+
   /** Recompute the stats artifact for the CURRENT payload from its raw
     * batch rows — the repair after a kind-agnostic [[VectorIndex
     * .compact]] produced a payload without one (probes stay exact via

@@ -272,6 +272,63 @@ object SearchQueries {
               |SELECT 'compacted' AS stage, * FROM sel2
               |ORDER BY stage, score_ppm DESC, doc_id""".stripMargin)),
 
+    // ---- shard-index merge: parallel builds → one serving index ----------
+    // The consolidation step of every sharded indexing pipeline: two
+    // indexes built independently over disjoint doc-id spaces (even/odd
+    // here — in production, per-partition builds), each with its OWN
+    // tombstones, merged into one index with a single atomic commit.
+    // The merged index must rank exactly what one index over the
+    // union-minus-deletes corpus would — and must be a NORMAL index
+    // afterward: the second stage appends a clone drop into it and
+    // serves again. Scale: the merge moves each source's live postings
+    // exactly once (read + partitioned write, no shuffle); sources stay
+    // readable throughout; the disjointness check is one token-pruned
+    // aggregate over the reserved rows.
+    Q("q_index_merge",
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_merge").toString
+        val docs = Tables.documents(s, dir)
+        val (pa, pb, dst) = (s"$base/a", s"$base/b", s"$base/merged")
+        graft.operators.SearchIndex.build(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", pa)
+        graft.operators.SearchIndex.build(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", pb)
+        graft.operators.VectorIndex.deleteIds(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", pa)
+        graft.operators.VectorIndex.deleteIds(
+          docs.filter(col("doc_id") % 9 === 0), "doc_id", pb)
+        graft.operators.SearchIndex.merge(s, Seq(pa, pb), dst)
+        def serve() = graft.operators.SearchIndex
+          .bm25(s, dst, QueryTerms, 20)
+        val merged = serve().withColumn("stage", lit("merged"))
+          .localCheckpoint(true)
+        graft.operators.SearchIndex.append(
+          docs.filter(col("doc_id") % 7 === 0)
+            .withColumn("doc_id", col("doc_id") + 100000L),
+          "doc_id", "text", dst)
+        merged.unionByName(serve().withColumn("stage", lit("appended")))
+          .orderBy(col("stage"), col("score_ppm").desc, col("doc_id"))
+      },
+      Some(s"""WITH l1 AS (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE (doc_id % 2 = 0 AND doc_id % 10 <> 0)
+             |     OR (doc_id % 2 = 1 AND doc_id % 9 <> 0)),
+             |l2 AS (SELECT * FROM l1
+             |       UNION ALL
+             |       SELECT doc_id + 100000, text FROM documents
+             |       WHERE doc_id % 7 = 0),
+             |${bm25CtesFor("l1", "")},
+             |${bm25CtesFor("l2", "2")},
+             |s1 AS (SELECT doc_id, score_ppm, n_terms FROM bm
+             |       ORDER BY score_ppm DESC, doc_id LIMIT 20),
+             |s2 AS (SELECT doc_id, score_ppm, n_terms FROM bm2
+             |       ORDER BY score_ppm DESC, doc_id LIMIT 20)
+             |SELECT 'merged' AS stage, * FROM s1
+             |UNION ALL
+             |SELECT 'appended' AS stage, * FROM s2
+             |ORDER BY stage, score_ppm DESC, doc_id""".stripMargin)),
+
     // ---- weighted sparse retrieval (learned-sparse serving shape) --------
     // SPLADE/uniCOIL-style: the query is a (token, weight) vector, the
     // score the sparse dot product Σ weight·tf — no corpus statistics,

@@ -263,6 +263,38 @@ class SearchIndexSpec extends AnyFunSuite {
         s"(ub=$ub theta=$theta)")
   }
 
+  test("shard merge: one index over the union, full surface intact") {
+    val base = Files.createTempDirectory("sidx_merge").toString
+    val (pa, pb, dst) = (s"$base/a", s"$base/b", s"$base/m")
+    SearchIndex.build(docs.filter(col("doc_id") % 3 === 0), "doc_id",
+      "text", pa)
+    SearchIndex.build(docs.filter(col("doc_id") % 3 =!= 0), "doc_id",
+      "text", pb)
+    VectorIndex.deleteIds(docs.filter(col("doc_id") % 6 === 0), "doc_id",
+      pa)
+    SearchIndex.merge(s, Seq(pa, pb), dst)
+    val fresh = Files.createTempDirectory("sidx_merge_fresh").toString
+    SearchIndex.build(docs.filter(col("doc_id") % 6 =!= 0), "doc_id",
+      "text", fresh)
+    // the merged index equals a fresh build over union-minus-deletes,
+    // across the whole serving surface
+    assert(rows(SearchIndex.bm25(s, dst, terms, 20)) ==
+      rows(SearchIndex.bm25(s, fresh, terms, 20)))
+    assert(rows(SearchIndex.phrase(s, dst, Seq("fast", "table"))
+        .orderBy("doc_id")) ==
+      rows(SearchIndex.phrase(s, fresh, Seq("fast", "table"))
+        .orderBy("doc_id")))
+    // the merged stats/tstats artifacts are trusted: pruning engages
+    assert(SearchIndex.termUpperBounds(s, dst, Seq("dup")).isDefined)
+    assert(rows(SearchIndex.bm25Pruned(s, dst, Seq("dup", "batch"), 10)) ==
+      rows(SearchIndex.bm25(s, dst, Seq("dup", "batch"), 10)))
+    // overlapping doc-id spaces are rejected before anything commits
+    intercept[IllegalArgumentException] {
+      SearchIndex.merge(s, Seq(pb, fresh), s"$base/bad")
+    }
+    assert(VectorIndex.versions(s, s"$base/bad").isEmpty)
+  }
+
   test("sparse dot-product retrieval: pruned equals unpruned, bounds hold") {
     val path = Files.createTempDirectory("sidx_sparse").toString
     SearchIndex.build(docs.filter(col("doc_id") < 350), "doc_id", "text",
