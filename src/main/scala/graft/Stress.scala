@@ -1302,6 +1302,51 @@ object Stress {
         require(nPruned == nFull && nPruned == hi - lo + 1)
         println(f"""{"batches":$copies%d,"rows":${copies * batchRows}%d,"pruned_seconds":$tPruned%.2f,"full_seconds":$tFull%.2f,"pruned_files":$fPruned%d,"full_files":$fFull%d}""")
 
+      case "optimize" =>
+        // OPTIMIZE payoff on a single interleaved snapshot: `copies`×250k
+        // rows land round-robin (every batch spans the whole id range —
+        // zone maps prove nothing), then optimize(id) rewrites into
+        // range-disjoint batch dirs and the SAME probe reads ~one bucket.
+        // Steady-state timings + files touched from the scan metric.
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        val nOpt = copies * 250000L
+        val optDf = spark.range(nOpt)
+          .select(col("id"),
+            concat(lit("p"), rpad(col("id").cast("string"), 200, "x"))
+              .as("payload"))
+        val optPath = java.nio.file.Files
+          .createTempDirectory("stress_optimize").toString
+        operators.TableManifest.commitSnapshot(
+          optDf.repartition(copies, col("id") % copies), optPath)
+        operators.TableManifest.refreshZoneMaps(spark, optPath, Seq("id"))
+        val (oLo, oHi) = (nOpt / 2 + 1000L, nOpt / 2 + 50000L)
+        def optFiles(df: org.apache.spark.sql.DataFrame): Long = {
+          val plan = df.queryExecution.executedPlan
+          (plan +: plan.collect { case a: AdaptiveSparkPlanExec =>
+            a.executedPlan })
+            .flatMap(_.collect { case f: FileSourceScanExec => f })
+            .map(_.metrics("numFiles").value).sum
+        }
+        def optTimed(mk: => org.apache.spark.sql.DataFrame)
+            : (Double, Long, Long) = {
+          mk.queryExecution.toRdd.count() // warm
+          val t0 = System.nanoTime()
+          val df = mk
+          val n = df.queryExecution.toRdd.count()
+          ((System.nanoTime() - t0) / 1e9, n, optFiles(df))
+        }
+        def optProbe() = operators.TableManifest.readRange(spark, optPath,
+          Seq(("id", oLo, oHi)))
+        val (tShuf, nShuf, fShuf) = optTimed(optProbe())
+        val t0Opt = System.nanoTime()
+        operators.TableManifest.optimize(spark, optPath, Seq("id"),
+          files = copies, statsCols = Seq("id"))
+        val tRewrite = (System.nanoTime() - t0Opt) / 1e9
+        val (tOpt, nOptRows, fOpt) = optTimed(optProbe())
+        require(nShuf == nOptRows && nShuf == oHi - oLo + 1)
+        println(f"""{"rows":$nOpt%d,"probe_shuffled_seconds":$tShuf%.2f,"probe_optimized_seconds":$tOpt%.2f,"rewrite_seconds":$tRewrite%.1f,"files_shuffled":$fShuf%d,"files_optimized":$fOpt%d}""")
+
       case "cc" =>
         // one path graph of copies×100k nodes: diameter = n-1, the case
         // where min-label propagation needs O(n) rounds and the

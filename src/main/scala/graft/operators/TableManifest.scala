@@ -69,11 +69,19 @@ object TableManifest {
     * committed version. */
   def commitSnapshot(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession
-    val f = fs(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(
       s"$path/.data_pending_${java.util.UUID.randomUUID}")
     df.withColumn("__batch", lit(-1L))
       .write.partitionBy("__batch").mode("overwrite").parquet(tmp.toString)
+    commitPayloadDir(spark, path, tmp, watermark = -1L)
+  }
+
+  /** Publish an already-written (batch-partitioned) payload dir as the
+    * table's next version: rename per attempt, marker with `watermark`.
+    * The [[commitSnapshot]] loop, shared with [[optimize]]. */
+  private def commitPayloadDir(spark: SparkSession, path: String,
+      tmp: org.apache.hadoop.fs.Path, watermark: Long): Long = {
+    val f = fs(spark, path)
     var v = -1L
     var committed = false
     while (!committed) {
@@ -82,10 +90,65 @@ object TableManifest {
       // rename refuses an existing dst: a racing committer at the same
       // number makes us spin until its marker lands, then retry above it
       if (f.rename(tmp, dst)) {
-        committed = IndexManifest.tryCommit(spark, path, v, watermark = -1L)
+        committed = IndexManifest.tryCommit(spark, path, v, watermark)
         if (!committed) f.rename(dst, tmp) // lost the marker race: retry
       }
     }
+    v
+  }
+
+  /** OPTIMIZE (CLUSTER BY): rewrite the live table as ONE range-clustered
+    * snapshot commit — rows unchanged as a multiset (the oracle hash),
+    * only layout changes. Each of the `files` range partitions lands as
+    * its OWN `__batch` partition dir, so the zone-map layer
+    * ([[readRange]]) prunes at LISTING level across the clustered key —
+    * the unsorted table's range probe reads every batch, the optimized
+    * one reads the overlapping buckets — and parquet's native row-group
+    * stats sharpen inside each file. One column clusters by sampled
+    * range (distribution-adaptive, no global sort); two columns Z-order
+    * on [[ZOrder.interleave]]d `width_bucket` ranks (16 bits/dim over
+    * the columns' min–max — the uniform-bucket approximation of rank
+    * z-values; both columns must be numeric). Readers keep serving the
+    * previous version until the one commit marker lands; pre-optimize
+    * pins stay readable until vacuum. Refreshes zone maps for
+    * `statsCols` after commit. Returns the committed version. */
+  def optimize(spark: SparkSession, path: String, clusterCols: Seq[String],
+      files: Int, statsCols: Seq[String] = Nil): Long = {
+    require(clusterCols.size == 1 || clusterCols.size == 2,
+      "optimize clusters by one column (range) or two (Z-order)")
+    require(files >= 1)
+    val live = read(spark, path)
+    val clustered = clusterCols match {
+      case Seq(c) =>
+        live.repartitionByRange(files, col(c))
+          .sortWithinPartitions(col(c))
+      case Seq(x, y) =>
+        val mm = live.agg(
+          min(col(x)).cast("double").as("xlo"),
+          max(col(x)).cast("double").as("xhi"),
+          min(col(y)).cast("double").as("ylo"),
+          max(col(y)).cast("double").as("yhi")).head()
+        def bucket(c: String, lo: Double, hi: Double) =
+          if (mm.anyNull || hi <= lo) lit(0L) // degenerate axis: flat
+          else least(greatest(
+            expr(s"width_bucket($c, $lo, $hi, 65536)") - lit(1L),
+            lit(0L)), lit(65535L)) // width_bucket maps v = max to n+1
+        val z = ZOrder.interleave(
+          bucket(x, mm.getDouble(0), mm.getDouble(1)),
+          bucket(y, mm.getDouble(2), mm.getDouble(3)), bits = 16)
+        live.withColumn("__z", z)
+          .repartitionByRange(files, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+    }
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/.data_pending_${java.util.UUID.randomUUID}")
+    clustered
+      .withColumn("__batch", spark_partition_id().cast("long"))
+      .write.partitionBy("__batch").mode("overwrite").parquet(tmp.toString)
+    val wm = VectorIndex.nextBatchId(spark, tmp.toString) - 1L
+    val v = commitPayloadDir(spark, path, tmp, wm)
+    if (statsCols.nonEmpty) refreshZoneMaps(spark, path, statsCols)
     v
   }
 

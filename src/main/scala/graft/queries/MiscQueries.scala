@@ -139,6 +139,64 @@ object MiscQueries {
              |       _change_type FROM del
              |ORDER BY stage, _change_type, event_id, event_type""".stripMargin)),
 
+    // ---- OPTIMIZE: range / Z-order clustering as a snapshot commit -------
+    // TableManifest.optimize — the Delta OPTIMIZE/CLUSTER BY surface:
+    // rewrite the live table range-clustered (one column) or Z-ordered
+    // (two, width_bucket ranks interleaved), each range partition landing
+    // as its OWN __batch dir so readRange's zone maps prune at LISTING
+    // level. Rows are unchanged as a multiset — that is the hash: the
+    // same range probes answered identically in the shuffled layout,
+    // after a 1-D optimize, and after a 2-D Z-order rewrite (the probes
+    // run through readRange, so every stage exercises prune-then-refilter
+    // on its own layout). Clustering EFFECTIVENESS (batch disjointness,
+    // files touched) is spec/Stress-measured — content invariance is the
+    // only thing a result can prove.
+    Q("q_table_optimize",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_table_opt").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        val maxId = e.agg(max(col("event_id"))).head().getLong(0)
+        // a deliberately interleaved layout: round-robin by id
+        TableManifest.commitSnapshot(e.repartition(8, col("event_id") % 8),
+          path)
+        TableManifest.refreshZoneMaps(s, path, Seq("event_id", "user_id"))
+        def probe(tag: String) = TableManifest.readRange(s, path,
+            Seq(("event_id", maxId / 4, maxId / 2)))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("sum_value"))
+          .withColumn("stage", lit(tag))
+        val shuffled = probe("shuffled").localCheckpoint(true)
+        TableManifest.optimize(s, path, Seq("event_id"), files = 8,
+          statsCols = Seq("event_id", "user_id"))
+        val ranged = probe("range_clustered").localCheckpoint(true)
+        TableManifest.optimize(s, path, Seq("user_id", "event_id"),
+          files = 8, statsCols = Seq("event_id", "user_id"))
+        shuffled.unionByName(ranged)
+          .unionByName(probe("zordered"))
+          .select(col("stage"), col("event_type"), col("n"),
+            col("sum_value"))
+          .orderBy(col("stage"), col("event_type"))
+      },
+      Some("""WITH mx AS (SELECT max(event_id) AS m FROM events),
+             |p AS (SELECT event_type, count(*) AS n,
+             |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |          AS sum_value
+             |      FROM events, mx
+             |      WHERE event_id >= m // 4 AND event_id <= m // 2
+             |      GROUP BY event_type)
+             |SELECT 'shuffled' AS stage, * FROM p
+             |UNION ALL
+             |SELECT 'range_clustered', * FROM p
+             |UNION ALL
+             |SELECT 'zordered', * FROM p
+             |ORDER BY stage, event_type""".stripMargin)),
+
     // ---- zone-map data skipping on the manifest layer -------------------
     // Per-batch min/max stats persisted beside the payload let a range
     // read prune `__batch` partition dirs at PLANNING time — at 100 TB an

@@ -170,6 +170,56 @@ class TableManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("optimize: content-preserving rewrite that makes zone maps bite") {
+    val path = Files.createTempDirectory("tm_opt").toString
+    import s.implicits._
+    // interleaved layout: ids round-robin across 8 partitions
+    val data = s.range(10000)
+      .select(col("id"), (col("id") % 97).as("grp"))
+    val v0 = TableManifest.commitSnapshot(
+      data.repartition(8, col("id") % 8), path)
+    TableManifest.refreshZoneMaps(s, path, Seq("id"))
+    def zoneRanges() = s.read
+      .parquet(s"$path/zonestats_v${TableManifest.versions(s, path)
+        .flatMap(v => graft.operators.IndexManifest
+          .payloadVersionAt(s, path, v, "data")).last}")
+      .filter(col("col") === "id")
+      .select(col("zmin"), col("zmax"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // shuffled: every batch spans ~the whole id range — nothing prunable
+    val before = zoneRanges()
+    assert(before.forall { case (lo, hi) => lo < 1000 && hi > 9000 },
+      s"round-robin batches must span the range: ${before.toSeq}")
+    val v1 = TableManifest.optimize(s, path, Seq("id"), files = 8,
+      statsCols = Seq("id"))
+    // content is a multiset no-op
+    assert(TableManifest.read(s, path).exceptAll(data).isEmpty &&
+      data.exceptAll(TableManifest.read(s, path)).isEmpty)
+    // clustered: batches are (near-)disjoint — a 1/8 range probe must
+    // prove away most of them
+    val after = zoneRanges()
+    val probe = (1000L, 2000L)
+    val overlapping = after.count { case (lo, hi) =>
+      hi >= probe._1 && lo <= probe._2 }
+    assert(after.length >= 4 && overlapping <= 3,
+      s"optimized batches must be range-disjoint: ${after.toSeq}")
+    assert(rows2(TableManifest.readRange(s, path,
+        Seq(("id", probe._1, probe._2)))) ==
+      rows2(TableManifest.read(s, path)
+        .filter(col("id") >= probe._1 && col("id") <= probe._2)))
+    // the pre-optimize pin still reads the old layout's content
+    assert(TableManifest.readAt(s, path, v0).count() == 10000)
+    // 2-D: z-order on (grp, id) — content no-op, commits the next version
+    val v2 = TableManifest.optimize(s, path, Seq("grp", "id"), files = 8,
+      statsCols = Seq("id", "grp"))
+    assert(v0 < v1 && v1 < v2)
+    assert(TableManifest.read(s, path).exceptAll(data).isEmpty &&
+      data.exceptAll(TableManifest.read(s, path)).isEmpty)
+  }
+
+  private def rows2(d: org.apache.spark.sql.DataFrame) =
+    d.collect().map(_.toSeq.toVector).toVector.sortBy(_.toString)
+
   test("a zero-row snapshot reads back empty under an explicit schema") {
     val path = Files.createTempDirectory("tm_empty").toString
     val schema = StructType(Seq.empty)
