@@ -230,6 +230,42 @@ object SearchIndex {
     VectorIndex.commitBuild(spark, dst, v, Seq("stats", "tstats"))
   }
 
+  /** Incrementally maintain this index from a [[TableManifest]] change
+    * feed — the composition that keeps a serving index in step with its
+    * source table WITHOUT rebuilding: inserts append (tokenizing only
+    * the drop), deletes tombstone, and the whole step costs O(changes)
+    * on the append-feed path. The one subtlety is REWRITES (a
+    * replacement feed emits delete + insert for the same id): a
+    * tombstone masks its id across later appends by design, so when the
+    * insert set intersects the pending tombstones the sync folds them
+    * ([[VectorIndex.compact]]) before appending — detected with one
+    * O(changes) semi-join, paid only when a rewrite actually happened
+    * (never on the append-only fast path). Deletes apply before inserts,
+    * so a rewritten doc's old postings die and its new ones live. */
+  def syncFromTable(spark: SparkSession, tablePath: String,
+      indexPath: String, fromVersion: Long, toVersion: Long,
+      idCol: String, textCol: String): Unit = {
+    val feed = TableManifest
+      .readChanges(spark, tablePath, fromVersion, toVersion)
+    val dels = feed.filter(col("_change_type") === "delete")
+      .select(col(idCol)).distinct().localCheckpoint(true)
+    val ins = feed.filter(col("_change_type") === "insert")
+      .select(col(idCol), col(textCol)).localCheckpoint(true)
+    if (!dels.isEmpty) VectorIndex.deleteIds(dels, idCol, indexPath)
+    if (!ins.isEmpty) {
+      val pending = IndexManifest.currentVersion(spark, indexPath)
+        .map(v => VectorIndex.tombstonesAt(spark, indexPath, v))
+      val readded = pending.exists(t =>
+        !ins.select(col(idCol).cast("long").as("vec_id"))
+          .join(broadcast(t), Seq("vec_id"), "left_semi").isEmpty)
+      if (readded) {
+        VectorIndex.compact(spark, indexPath)
+        refreshStats(spark, indexPath) // compacted payload: new artifacts
+      }
+      append(ins, idCol, textCol, indexPath)
+    }
+  }
+
   /** Recompute the stats artifact for the CURRENT payload from its raw
     * batch rows — the repair after a kind-agnostic [[VectorIndex
     * .compact]] produced a payload without one (probes stay exact via

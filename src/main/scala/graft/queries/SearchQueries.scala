@@ -329,6 +329,72 @@ object SearchQueries {
              |SELECT 'appended' AS stage, * FROM s2
              |ORDER BY stage, score_ppm DESC, doc_id""".stripMargin)),
 
+    // ---- CDF-driven index maintenance: table changes → index sync --------
+    // The composition that keeps a serving index in step with its source
+    // table without rebuilding: TableManifest.readChanges drives
+    // SearchIndex.syncFromTable — inserts append (tokenizing only the
+    // drop), deletes tombstone, O(changes) per step on the append path.
+    // Step 2 is a snapshot REPLACEMENT whose feed contains REWRITES
+    // (delete + insert of the same doc id, text extended): the sync must
+    // fold pending tombstones before re-appending or the rewritten docs
+    // would stay masked — the one id-reuse hazard of tombstone indexes,
+    // exercised deliberately. After each sync the index must rank
+    // exactly what a fresh build over the table's current state would:
+    // both stages replayed from scratch in SQL, one hash.
+    Q("q_index_sync",
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_sync").toString
+        val (tPath, iPath) = (s"$base/table", s"$base/index")
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        import graft.operators.{SearchIndex, TableManifest}
+        val v0 = TableManifest.commitSnapshot(docs, tPath)
+        SearchIndex.build(TableManifest.read(s, tPath), "doc_id", "text",
+          iPath)
+        // step 1: an append-only drop (clones under shifted ids)
+        val v1 = TableManifest.append(
+          docs.filter(col("doc_id") % 11 === 0)
+            .withColumn("doc_id", col("doc_id") + 100000L), tPath)
+        SearchIndex.syncFromTable(s, tPath, iPath, v0, v1, "doc_id", "text")
+        val s1 = SearchIndex.bm25(s, iPath, QueryTerms, 20)
+          .withColumn("stage", lit("after_append_sync"))
+          .localCheckpoint(true)
+        // step 2: a replacement — drops doc_id % 13 = 0, REWRITES
+        // doc_id % 17 = 0 (text extended), keeps the rest
+        val v2 = TableManifest.commitSnapshot(
+          TableManifest.read(s, tPath)
+            .filter(col("doc_id") % 13 =!= 0)
+            .withColumn("text",
+              when(col("doc_id") % 17 === 0,
+                concat(col("text"), lit(" extra fast")))
+                .otherwise(col("text"))), tPath)
+        SearchIndex.syncFromTable(s, tPath, iPath, v1, v2, "doc_id", "text")
+        s1.unionByName(SearchIndex.bm25(s, iPath, QueryTerms, 20)
+            .withColumn("stage", lit("after_replace_sync")))
+          .orderBy(col("stage"), col("score_ppm").desc, col("doc_id"))
+      },
+      Some(s"""WITH c1 AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents
+             |  WHERE doc_id % 11 = 0),
+             |c2 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 17 = 0 THEN text || ' extra fast'
+             |         ELSE text END AS text
+             |  FROM c1 WHERE doc_id % 13 <> 0),
+             |${bm25CtesFor("c1", "")},
+             |${bm25CtesFor("c2", "2")},
+             |s1 AS (SELECT doc_id, score_ppm, n_terms FROM bm
+             |       ORDER BY score_ppm DESC, doc_id LIMIT 20),
+             |s2 AS (SELECT doc_id, score_ppm, n_terms FROM bm2
+             |       ORDER BY score_ppm DESC, doc_id LIMIT 20)
+             |SELECT 'after_append_sync' AS stage, * FROM s1
+             |UNION ALL
+             |SELECT 'after_replace_sync' AS stage, * FROM s2
+             |ORDER BY stage, score_ppm DESC, doc_id""".stripMargin)),
+
     // ---- weighted sparse retrieval (learned-sparse serving shape) --------
     // SPLADE/uniCOIL-style: the query is a (token, weight) vector, the
     // score the sparse dot product Σ weight·tf — no corpus statistics,

@@ -263,6 +263,44 @@ class SearchIndexSpec extends AnyFunSuite {
         s"(ub=$ub theta=$theta)")
   }
 
+  test("CDF sync: O(changes) appends, rewrites fold tombstones first") {
+    val base = Files.createTempDirectory("sidx_sync").toString
+    val (tp, ip) = (s"$base/t", s"$base/i")
+    val d = docs.select(col("doc_id"), col("text"))
+    val v0 = TableManifest.commitSnapshot(d.filter(col("doc_id") < 400), tp)
+    SearchIndex.build(TableManifest.read(s, tp), "doc_id", "text", ip)
+    def payloadOf() = IndexManifest.resolve(s, ip)
+      .payloadAt(IndexManifest.currentVersion(s, ip).get)
+    val p0 = payloadOf()
+    // append-only feed: the payload version must NOT move (no compact)
+    val v1 = TableManifest.append(
+      d.filter(col("doc_id") >= 400 && col("doc_id") < 450), tp)
+    SearchIndex.syncFromTable(s, tp, ip, v0, v1, "doc_id", "text")
+    assert(payloadOf() == p0,
+      "an insert-only sync must never pay a payload rewrite")
+    // delete-only feed: tombstones, still no rewrite
+    val v2 = TableManifest.commitSnapshot(
+      TableManifest.read(s, tp).filter(col("doc_id") % 9 =!= 0), tp)
+    SearchIndex.syncFromTable(s, tp, ip, v1, v2, "doc_id", "text")
+    assert(payloadOf() == p0,
+      "a delete-only sync must never pay a payload rewrite")
+    // rewrite feed (same ids deleted AND inserted): fold, then append
+    val v3 = TableManifest.commitSnapshot(
+      TableManifest.read(s, tp).withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" zzz")))
+          .otherwise(col("text"))), tp)
+    SearchIndex.syncFromTable(s, tp, ip, v2, v3, "doc_id", "text")
+    assert(payloadOf() != p0, "a rewrite sync must fold the tombstones")
+    val fresh = Files.createTempDirectory("sidx_sync_fresh").toString
+    SearchIndex.build(TableManifest.read(s, tp), "doc_id", "text", fresh)
+    assert(rows(SearchIndex.bm25(s, ip, terms, 20)) ==
+      rows(SearchIndex.bm25(s, fresh, terms, 20)),
+      "the synced index must rank exactly the table's current state")
+    // the rewritten docs' NEW postings are live (not masked by their
+    // old tombstones)
+    assert(SearchIndex.phrase(s, ip, Seq("zzz")).count() > 0)
+  }
+
   test("shard merge: one index over the union, full surface intact") {
     val base = Files.createTempDirectory("sidx_merge").toString
     val (pa, pb, dst) = (s"$base/a", s"$base/b", s"$base/m")
