@@ -139,6 +139,74 @@ object MiscQueries {
              |       _change_type FROM del
              |ORDER BY stage, _change_type, event_id, event_type""".stripMargin)),
 
+    // ---- incremental view maintenance from the change feed ---------------
+    // operators.IncrementalAgg over TableManifest.readChanges: a standing
+    // (key, count, sum) view folds FORWARD with each feed — O(state +
+    // changes) per step, never a re-aggregation of the base table (the
+    // IVM payoff at 100 TB: the view is key-cardinality-sized, the fact
+    // table is not). Sums carry as DECIMAL because incremental
+    // maintenance REQUIRES exact arithmetic — a float state that adds
+    // and later subtracts the same value drifts permanently. Two steps
+    // in one hash: an append feed, then a replacement feed with deletes
+    // AND value rewrites (delete+insert pairs that must net the value
+    // difference); each maintained state must equal recomputation.
+    Q("q_incremental_agg",
+      (s, dir) => {
+        import graft.operators.{IncrementalAgg, TableManifest}
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_ivm").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val v0 = TableManifest.commitSnapshot(e, path)
+        val state0 = IncrementalAgg.initialize(
+          TableManifest.readAt(s, path, v0), Seq("event_type"), "value")
+          .localCheckpoint(true)
+        val v1 = TableManifest.append(
+          e.filter(col("event_id") % 10 === 0)
+            .withColumn("event_id", col("event_id") + 1000000L), path)
+        val state1 = IncrementalAgg.maintain(state0,
+          TableManifest.readChanges(s, path, v0, v1),
+          Seq("event_type"), "value").localCheckpoint(true)
+        val v2 = TableManifest.commitSnapshot(
+          TableManifest.read(s, path)
+            .filter(col("event_id") % 5 =!= 0)
+            .withColumn("value",
+              when(col("event_id") % 7 === 0, col("value") * 2)
+                .otherwise(col("value"))), path)
+        val state2 = IncrementalAgg.maintain(state1,
+          TableManifest.readChanges(s, path, v1, v2),
+          Seq("event_type"), "value").localCheckpoint(true)
+        def shape(st: org.apache.spark.sql.DataFrame, tag: String) =
+          st.select(col("event_type"), col("n"),
+            col("sum_v").cast("double").as("sum_v"))
+            .withColumn("stage", lit(tag))
+        shape(state1, "after_append")
+          .unionByName(shape(state2, "after_replace"))
+          .select(col("stage"), col("event_type"), col("n"), col("sum_v"))
+          .orderBy(col("stage"), col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_id, event_type, value FROM events),
+             |v1 AS (SELECT * FROM e
+             |       UNION ALL
+             |       SELECT event_id + 1000000, event_type, value FROM e
+             |       WHERE event_id % 10 = 0),
+             |v2 AS (SELECT event_id, event_type,
+             |         CASE WHEN event_id % 7 = 0 THEN value * 2
+             |              ELSE value END AS value
+             |       FROM v1 WHERE event_id % 5 <> 0),
+             |a1 AS (SELECT event_type, count(*) AS n,
+             |         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+             |           AS sum_v
+             |       FROM v1 GROUP BY event_type),
+             |a2 AS (SELECT event_type, count(*) AS n,
+             |         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+             |           AS sum_v
+             |       FROM v2 GROUP BY event_type)
+             |SELECT 'after_append' AS stage, * FROM a1
+             |UNION ALL
+             |SELECT 'after_replace', * FROM a2
+             |ORDER BY stage, event_type""".stripMargin)),
+
     // ---- OPTIMIZE: range / Z-order clustering as a snapshot commit -------
     // TableManifest.optimize — the Delta OPTIMIZE/CLUSTER BY surface:
     // rewrite the live table range-clustered (one column) or Z-ordered

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental view maintenance: folding any sequence of multiset change
+  * feeds equals recomputation, keys leave the state at count zero. */
+class IncrementalAggSpec extends AnyFunSuite {
+  private lazy val s = SparkSpec.session
+
+  private def table(rows: Seq[(Long, String, Double)]): DataFrame = {
+    import s.implicits._
+    rows.toDF("id", "k", "v")
+  }
+
+  private def feedOf(from: Seq[(Long, String, Double)],
+      to: Seq[(Long, String, Double)]): DataFrame = {
+    val a = table(from); val b = table(to)
+    b.exceptAll(a).withColumn("_change_type", lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
+  }
+
+  private def stateRows(st: DataFrame) =
+    st.select(col("k"), col("n"), col("sum_v").cast("string"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet
+
+  test("randomized feed sequences: maintained state equals recomputation") {
+    val rnd = new scala.util.Random(11)
+    val keys = Vector("a", "b", "c", "d")
+    var cur = (0L until 40L).map(i =>
+      (i, keys(rnd.nextInt(4)), rnd.nextInt(1000) / 7.0))
+    var state = IncrementalAgg.initialize(table(cur), Seq("k"), "v")
+      .localCheckpoint(true)
+    (1 to 5).foreach { step =>
+      // random edit: drop some rows, rewrite some values, add new rows
+      val next = cur.filter(_ => rnd.nextDouble() > 0.2)
+        .map { case (i, k, v) =>
+          if (rnd.nextDouble() < 0.3) (i, k, v * 3 + 0.5) else (i, k, v) } ++
+        (0 until rnd.nextInt(10)).map(j =>
+          (1000L * step + j, keys(rnd.nextInt(4)),
+            rnd.nextInt(1000) / 7.0))
+      state = IncrementalAgg.maintain(state, feedOf(cur, next), Seq("k"),
+        "v").localCheckpoint(true)
+      val recomputed =
+        IncrementalAgg.initialize(table(next), Seq("k"), "v")
+      assert(stateRows(state) == stateRows(recomputed),
+        s"step $step: maintained state must equal recomputation")
+      cur = next
+    }
+  }
+
+  test("a key whose rows all die leaves the state entirely") {
+    val base = Seq((1L, "x", 2.0), (2L, "x", 3.0), (3L, "y", 4.0))
+    val after = Seq((3L, "y", 4.0))
+    val st = IncrementalAgg.maintain(
+      IncrementalAgg.initialize(table(base), Seq("k"), "v"),
+      feedOf(base, after), Seq("k"), "v")
+    assert(stateRows(st).map(_._1) == Set("y"),
+      "key x folded to zero rows and must vanish, not linger at n=0")
+  }
+}
