@@ -369,6 +369,104 @@ object TableManifest {
 
   private val ZoneSchema = "col STRING, zmin LONG, zmax LONG, " +
     "n_rows LONG, __batch LONG"
+  private val BloomSchema = "col STRING, bloom BINARY, __batch LONG"
+
+  /** (Re)compute per-batch BLOOM FILTERS for `bloomCols` (long-castable)
+    * of the CURRENT payload — the point-lookup complement of the zone
+    * maps: zone maps prune RANGE probes on clustered keys, but a
+    * high-cardinality key scattered across batches (a hash-distributed
+    * id: present in exactly one batch, yet every batch's min–max spans
+    * the domain) gives them nothing, while a per-batch Bloom filter
+    * proves most batches free of any specific value. One distributed
+    * pass per refresh (aggregateByKey builds each batch's filter on the
+    * executors and merges partials — never a per-batch job); the
+    * artifact costs ~1.2 bytes/key at 1% fpp per batch, the Iceberg/
+    * parquet-bloom catalog trade. `expectedPerBatch` sizes the filters
+    * (overshoot is wasted bytes, undershoot inflates fpp — never
+    * correctness, [[readPoint]] re-applies the exact predicate). */
+  def refreshBloomFilters(spark: SparkSession, path: String,
+      bloomCols: Seq[String], expectedPerBatch: Long,
+      fpp: Double = 0.01, schema: Option[StructType] = None): Unit = {
+    import org.apache.spark.util.sketch.BloomFilter
+    require(bloomCols.nonEmpty && expectedPerBatch > 0)
+    val p = payloadVersion(spark, path).getOrElse(
+      sys.error(s"no committed table at $path"))
+    val dir = s"$path/data_v$p"
+    val base = schema match {
+      case Some(s) =>
+        spark.read.schema(s.add("__batch", "long")).parquet(dir)
+      case None => spark.read.parquet(dir)
+    }
+    val rows = bloomCols.flatMap { c =>
+      base.select(col(c).cast("long").as("__v"),
+          col("__batch").cast("long").as("__batch"))
+        .na.drop()
+        .rdd.map(r => (r.getLong(1), r.getLong(0)))
+        .aggregateByKey(BloomFilter.create(expectedPerBatch, fpp))(
+          (f, v) => { f.putLong(v); f },
+          (a, b) => { a.mergeInPlace(b); a })
+        .map { case (batch, f) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          f.writeTo(bos)
+          (c, bos.toByteArray, batch)
+        }
+        .collect().toSeq
+    }
+    import spark.implicits._
+    rows.toDF("col", "bloom", "__batch")
+      .write.partitionBy("__batch").mode("overwrite")
+      .parquet(s"$path/bloomstats_v$p")
+  }
+
+  /** The current table filtered to `c IN values`, with `__batch`
+    * partitions whose Bloom filter proves NO probed value present never
+    * even listed (the [[readRange]] discipline for POINT lookups). The
+    * exact IN predicate is re-applied after pruning — Bloom membership
+    * is a necessary condition with false positives, so the result is
+    * always identical to `read(...).filter(isin)`; a missing artifact, a
+    * column it does not cover, or batches it does not cover degrade
+    * conservatively to the full filtered read. */
+  def readPoint(spark: SparkSession, path: String, c: String,
+      values: Seq[Long], schema: Option[StructType] = None): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
+    require(values.nonEmpty)
+    val p = payloadVersion(spark, path).getOrElse(
+      sys.error(s"no committed table at $path"))
+    val dir = s"$path/data_v$p"
+    def readAll = read(spark, path, schema)
+      .filter(col(c).isin(values: _*))
+    val bloomPath =
+      new org.apache.hadoop.fs.Path(s"$path/bloomstats_v$p")
+    val f = fs(spark, path)
+    if (!f.exists(bloomPath)) return readAll
+    val filters = spark.read.schema(BloomSchema)
+      .parquet(bloomPath.toString)
+      .filter(col("col") === c)
+      .select(col("__batch"), col("bloom"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
+      .toMap
+    if (filters.isEmpty) return readAll // column not covered
+    val payloadBatches = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("__batch=") =>
+        n.stripPrefix("__batch=").toLong }
+    // a batch the artifact does not cover (all-null column, or a write
+    // between an append and its refresh) is conservatively read
+    val survivors = payloadBatches.filter(b =>
+      filters.get(b).forall(bf => values.exists(bf.mightContainLong)))
+      .map(b => s"$dir/__batch=$b")
+    if (survivors.isEmpty) return readAll.filter(lit(false))
+    val base = schema match {
+      case Some(s) => spark.read.option("basePath", dir)
+        .schema(s.add("__batch", "long")).parquet(survivors.toSeq: _*)
+      case None =>
+        spark.read.option("basePath", dir).parquet(survivors.toSeq: _*)
+    }
+    base.filter(col(c).isin(values: _*)).drop("__batch")
+  }
 
   /** Per-(batch, column) bounds of `df` (which carries `__batch`). One
     * scan: all columns' min/max aggregate together, then unpivot. */

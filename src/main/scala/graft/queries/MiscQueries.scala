@@ -139,6 +139,65 @@ object MiscQueries {
              |       _change_type FROM del
              |ORDER BY stage, _change_type, event_id, event_type""".stripMargin)),
 
+    // ---- Bloom-pruned point lookups on the manifest layer -----------------
+    // TableManifest.readPoint + per-batch Bloom filters: the point-lookup
+    // complement of the zone maps. The table lands in batches keyed by
+    // event_id % 3 — every batch's min-max spans the whole domain, so
+    // zone maps prove NOTHING for a point probe, while each batch's
+    // Bloom filter proves the two non-matching batches away (ZoneMapSpec
+    // asserts the file-count drop; this oracle proves the pruned read is
+    // EXACTLY the plain IN filter — membership is a necessary condition
+    // with false positives, the exact predicate always re-applies).
+    // Stage 2 appends an uncovered clone batch: the conservative
+    // fall-through must still be exact; a refresh then re-covers it.
+    Q("q_table_pointlookup",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_table_pt").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        TableManifest.commitSnapshot(e.filter(col("event_id") % 3 === 0),
+          path)
+        TableManifest.append(e.filter(col("event_id") % 3 === 1), path)
+        TableManifest.append(e.filter(col("event_id") % 3 === 2), path)
+        TableManifest.refreshBloomFilters(s, path, Seq("event_id"),
+          expectedPerBatch = 100000L)
+        val probe1 = Seq(7L, 42L, 1001L, 2026L, 9998L)
+        def point(vals: Seq[Long], tag: String) =
+          TableManifest.readPoint(s, path, "event_id", vals)
+            .withColumn("stage", lit(tag))
+        val bloomed = point(probe1, "bloomed").localCheckpoint(true)
+        TableManifest.append(
+          e.filter(col("event_id") % 7 === 0)
+            .withColumn("event_id", col("event_id") + 10000000L), path)
+        val probe2 = probe1 :+ 10000007L
+        val uncovered = point(probe2, "uncovered_batch")
+          .localCheckpoint(true)
+        TableManifest.refreshBloomFilters(s, path, Seq("event_id"),
+          expectedPerBatch = 100000L)
+        bloomed.unionByName(uncovered)
+          .unionByName(point(probe2, "re_bloomed"))
+          .orderBy(col("stage"), col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, value
+             |           FROM events),
+             |e2 AS (SELECT * FROM e
+             |       UNION ALL
+             |       SELECT event_id + 10000000, user_id, event_type, value
+             |       FROM e WHERE event_id % 7 = 0),
+             |p1 AS (SELECT * FROM e
+             |       WHERE event_id IN (7, 42, 1001, 2026, 9998)),
+             |p2 AS (SELECT * FROM e2
+             |       WHERE event_id IN (7, 42, 1001, 2026, 9998, 10000007))
+             |SELECT 'bloomed' AS stage, * FROM p1
+             |UNION ALL
+             |SELECT 'uncovered_batch', * FROM p2
+             |UNION ALL
+             |SELECT 're_bloomed', * FROM p2
+             |ORDER BY stage, event_id""".stripMargin)),
+
     // ---- incremental view maintenance from the change feed ---------------
     // operators.IncrementalAgg over TableManifest.readChanges: a standing
     // (key, count, sum) view folds FORWARD with each feed — O(state +

@@ -36,6 +36,57 @@ class ZoneMapSpec extends AnyFunSuite {
     (rows, scans.map(_.metrics("numFiles").value).sum)
   }
 
+  test("bloom point lookup prunes scattered batches zone maps cannot") {
+    import s.implicits._
+    val path = Files.createTempDirectory("bloom_pt").toString
+    // ids scattered by residue: every batch spans [0, 3000) — zone maps
+    // prove nothing for a point probe; blooms pin each id to its batch
+    def residue(r: Long) = (0L until 3000L).filter(_ % 3 == r)
+      .map(i => (i, s"p$i")).toDF("id", "payload")
+    TableManifest.commitSnapshot(residue(0L), path)
+    TableManifest.append(residue(1L), path)
+    TableManifest.append(residue(2L), path)
+    TableManifest.refreshBloomFilters(s, path, Seq("id"),
+      expectedPerBatch = 2000L)
+    // all probed ids share residue 1 → exactly one batch survives
+    val (prRows, prFiles) = execAndFiles(
+      TableManifest.readPoint(s, path, "id", Seq(7L, 301L, 2026L)))
+    val (fuRows, fuFiles) = execAndFiles(TableManifest.read(s, path)
+      .filter(col("id").isin(7L, 301L, 2026L)))
+    assert(prRows.map(_.toSeq).toSet == fuRows.map(_.toSeq).toSet &&
+      prRows.length == 3)
+    assert(prFiles < fuFiles,
+      s"bloom pruning must touch fewer files: $prFiles vs $fuFiles")
+    // zone maps CANNOT prune this layout (all batches span the range)
+    TableManifest.refreshZoneMaps(s, path, Seq("id"))
+    val (_, zmFiles) = execAndFiles(
+      TableManifest.readRange(s, path, Seq(("id", 2026L, 2026L))))
+    assert(zmFiles == fuFiles,
+      "zone maps must be useless on the scattered layout — " +
+        "that contrast is the reason blooms exist")
+    // absent values → provably-empty read, not a scan
+    assert(TableManifest.readPoint(s, path, "id",
+      Seq(999999L)).count() == 0)
+    // an appended batch the artifact does not cover is read
+    // conservatively — never skipped
+    TableManifest.append(Seq((4026L, "new")).toDF("id", "payload"), path)
+    assert(TableManifest.readPoint(s, path, "id", Seq(4026L)).count() == 1,
+      "a bloom-uncovered batch must be read, not proven away")
+    // no artifact at all → the plain filtered read
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val pv = graft.operators.IndexManifest
+      .payloadVersionAt(s, path, TableManifest.versions(s, path).last,
+        "data").get
+    f.delete(new org.apache.hadoop.fs.Path(s"$path/bloomstats_v$pv"), true)
+    val (nRows, nFiles) = execAndFiles(
+      TableManifest.readPoint(s, path, "id", Seq(7L, 301L, 2026L)))
+    val (fu2Rows, fu2Files) = execAndFiles(TableManifest.read(s, path)
+      .filter(col("id").isin(7L, 301L, 2026L)))
+    assert(nRows.map(_.toSeq).toSet == fu2Rows.map(_.toSeq).toSet &&
+      nFiles == fu2Files, "no artifact → the plain filtered read")
+  }
+
   test("range read prunes disjoint batches at planning time, rows identical") {
     val path = Files.createTempDirectory("zm_prune").toString
     TableManifest.commitSnapshot(rows(0L, 99L), path)
