@@ -553,4 +553,41 @@ object Knn {
       .select(col("vec_id"), col("bucket"),
         col("__r.__nid").as("nn_id"), col("__r.__sp").as("nn_sim_ppm"))
   }
+
+  /** Late-interaction retrieval (ColBERT MaxSim, Khattab & Zaharia
+    * SIGIR'20): documents and queries are SETS of vectors, and
+    * score(q, d) = Σ over query tokens of the max cosine against any of
+    * the doc's vectors — token-level matching that single-vector
+    * retrieval collapses away. This is the exact (PLAID-less) form: one
+    * narrow pass over the doc vectors with the query set broadcast
+    * (corpus never shuffles; cosines via the codegen'd
+    * [[graft.functions.CosineSimExpr]], floored to ppm BEFORE the max so
+    * cross-engine exactness survives the aggregation), a map-side-
+    * combinable max per (query token, doc), a sum per (query, doc), and
+    * the bounded-buffer [[TopK.perGroup]] — never a corpus-wide window.
+    * Scale: cost is |doc vectors| × |query tokens| cosine evaluations —
+    * the brute-force baseline; the candidate path at 100 TB composes the
+    * binary-coarse stage per query token and reranks the candidate-doc
+    * union through this same scorer. Returns (query_id, doc_id,
+    * score_ppm, rank ≤ k), ties toward the smaller doc id. */
+  def maxSimTopK(docVecs: DataFrame, docIdCol: String, vecCol: String,
+      queryVecs: DataFrame, queryIdCol: String, qtokCol: String,
+      qvecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queryVecs.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      col(qtokCol).cast("long").as("__qt"), col(qvecCol).as("__qv")))
+    val scored = docVecs
+      .select(col(docIdCol).cast("long").as("doc_id"), col(vecCol).as("__dv"))
+      .crossJoin(q)
+      .withColumn("__sim",
+        floor(graft.functions.CosineSimExpr(col("__dv"), col("__qv")) * 1e6)
+          .cast("long"))
+      .groupBy(col("query_id"), col("__qt"), col("doc_id"))
+      .agg(max(col("__sim")).as("__mx"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__mx")).as("score_ppm"))
+    TopK.perGroup(scored, Seq("query_id"), "score_ppm", "doc_id", k)
+      .select(col("query_id"), col("id").as("doc_id"),
+        col("value").cast("long").as("score_ppm"), col("rank"))
+  }
 }

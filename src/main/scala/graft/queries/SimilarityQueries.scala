@@ -1060,6 +1060,48 @@ object SimilarityQueries {
       },
       Some(indexDeleteOracle)),
 
+    // ---- late interaction (ColBERT MaxSim): multi-vector retrieval -------
+    // Documents and queries as SETS of vectors, score = Σ per query
+    // token of the max cosine against any doc vector (Khattab & Zaharia
+    // SIGIR'20) — the token-level matching single-vector retrieval
+    // collapses away. Docs here are 8-vector groups of the embeddings
+    // table (vec_id DIV 8), two 3-token queries. Cosines floor to ppm
+    // BEFORE the max so the aggregation chain (max per token → sum per
+    // doc → top-k) is integer-exact in both engines. Plan: broadcast
+    // query set, one narrow corpus pass, map-side max/sum,
+    // bounded-buffer top-k — never a corpus-wide window.
+    Q("q_maxsim_retrieval",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val docVecs = emb.select(expr("vec_id DIV 8").as("doc_id"),
+          col("embedding"))
+        val qVecs = emb.filter(col("vec_id") < 6)
+          .select(when(col("vec_id") < 3, lit(100L)).otherwise(lit(200L))
+              .as("query_id"),
+            col("vec_id").as("qt"), col("embedding"))
+        Knn.maxSimTopK(docVecs, "doc_id", "embedding",
+            qVecs, "query_id", "qt", "embedding", k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH d AS (SELECT vec_id // 8 AS doc_id, embedding
+             |           FROM embeddings),
+             |q AS (SELECT CAST(CASE WHEN vec_id < 3 THEN 100 ELSE 200 END
+             |        AS BIGINT) AS query_id, vec_id AS qt, embedding
+             |      FROM embeddings WHERE vec_id < 6),
+             |pair AS (SELECT a.query_id, a.qt, b.doc_id,
+             |           CAST(floor($cosSql * 1e6) AS BIGINT) AS sim_ppm
+             |         FROM q a, d b),
+             |mx AS (SELECT query_id, qt, doc_id, max(sim_ppm) AS mx
+             |       FROM pair GROUP BY query_id, qt, doc_id),
+             |sc AS (SELECT query_id, doc_id,
+             |         CAST(sum(mx) AS BIGINT) AS score_ppm
+             |       FROM mx GROUP BY query_id, doc_id),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |        ORDER BY score_ppm DESC, doc_id) AS rank FROM sc)
+             |SELECT query_id, doc_id, score_ppm, CAST(rank AS INTEGER)
+             |  AS rank
+             |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
     // ---- filtered ANN: metadata-predicated search from the saved index ---
     // The serving feature every vector store ships (Qdrant/pgvector
     // pre-filtering): nearest neighbors AMONG the vectors matching a
