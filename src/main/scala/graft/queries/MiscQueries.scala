@@ -139,6 +139,116 @@ object MiscQueries {
              |       _change_type FROM del
              |ORDER BY stage, _change_type, event_id, event_type""".stripMargin)),
 
+    // ---- data-quality expectation suite (Deequ-shaped gate) --------------
+    // operators.Expectations: a declarative constraint suite whose
+    // row-level checks ALL fold in one aggregate pass (violation counts,
+    // map-side combinable — at 100 TB the audit is one scan, not one per
+    // check), plus one aggregate per uniqueness key and one anti-join
+    // per referential check. Checks are chosen to exercise both verdicts
+    // — passing constraints AND a failing range constraint plus a
+    // deliberately-broken FK (lineitem joined against a customer-keyed
+    // "parent" it does not reference) — because a gate that can only say
+    // yes proves nothing. Null semantics pinned: a null comparison is a
+    // violation, an FK pointing nowhere is a violation.
+    Q("q_expectations",
+      (s, dir) => {
+        import graft.operators.Expectations
+        val o = Tables.orders(s, dir)
+        val li = Tables.lineitem(s, dir)
+        val c = Tables.customer(s, dir)
+        Expectations.rowChecks(o, Seq(
+            "orders_price_positive" -> (col("o_totalprice") > 0),
+            "orders_status_domain" ->
+              col("o_orderstatus").isin("O", "F", "P"),
+            "orders_price_under_100k" -> (col("o_totalprice") < 100000.0),
+            "orders_date_present" -> col("o_orderdate").isNotNull))
+          .unionByName(Expectations.uniqueness(o, Seq("o_orderkey"),
+            "orders_key_unique"))
+          .unionByName(Expectations.uniqueness(li,
+            Seq("l_orderkey", "l_linenumber"), "lineitem_line_unique"))
+          .unionByName(Expectations.referential(o, "o_custkey", c,
+            "c_custkey", "orders_fk_customer"))
+          .unionByName(Expectations.referential(li, "l_orderkey", o,
+            "o_orderkey", "lineitem_fk_orders"))
+          .unionByName(Expectations.referential(li, "l_suppkey", c,
+            "c_custkey", "lineitem_fk_broken"))
+          .orderBy(col("check_name"))
+      },
+      Some("""WITH rc AS (
+             |  SELECT 'orders_price_positive' AS check_name,
+             |    sum(CASE WHEN coalesce(o_totalprice > 0, false)
+             |        THEN 0 ELSE 1 END) AS violations FROM orders
+             |  UNION ALL
+             |  SELECT 'orders_status_domain',
+             |    sum(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'),
+             |        false) THEN 0 ELSE 1 END) FROM orders
+             |  UNION ALL
+             |  SELECT 'orders_price_under_100k',
+             |    sum(CASE WHEN coalesce(o_totalprice < 100000, false)
+             |        THEN 0 ELSE 1 END) FROM orders
+             |  UNION ALL
+             |  SELECT 'orders_date_present',
+             |    sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END)
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'orders_key_unique', coalesce((
+             |    SELECT sum(k) FROM (SELECT count(*) AS k FROM orders
+             |      GROUP BY o_orderkey HAVING count(*) > 1) t), 0)
+             |  UNION ALL
+             |  SELECT 'lineitem_line_unique', coalesce((
+             |    SELECT sum(k) FROM (SELECT count(*) AS k FROM lineitem
+             |      GROUP BY l_orderkey, l_linenumber
+             |      HAVING count(*) > 1) t), 0)
+             |  UNION ALL
+             |  SELECT 'orders_fk_customer', (
+             |    SELECT count(*) FROM orders WHERE o_custkey NOT IN
+             |      (SELECT c_custkey FROM customer WHERE c_custkey
+             |       IS NOT NULL) OR o_custkey IS NULL)
+             |  UNION ALL
+             |  SELECT 'lineitem_fk_orders', (
+             |    SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+             |      (SELECT o_orderkey FROM orders WHERE o_orderkey
+             |       IS NOT NULL) OR l_orderkey IS NULL)
+             |  UNION ALL
+             |  SELECT 'lineitem_fk_broken', (
+             |    SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+             |      (SELECT c_custkey FROM customer WHERE c_custkey
+             |       IS NOT NULL) OR l_suppkey IS NULL))
+             |SELECT check_name, CAST(violations AS BIGINT) AS violations,
+             |       violations = 0 AS passed
+             |FROM rc ORDER BY check_name""".stripMargin)),
+
+    // ---- k-anonymity / l-diversity audit (privacy governance) -------------
+    // The release-gate counterpart of the PII scrubber: rows grouped by
+    // their quasi-identifier tuple (lang, source) — k-anonymity requires
+    // every group ≥ k (a small group re-identifies its members by the
+    // QI alone), l-diversity requires ≥ l distinct sensitive values per
+    // group (a k-large group whose sensitive attribute is constant still
+    // leaks it). One map-side-combinable aggregate (count + distinct
+    // sensitive per group); at 100 TB the audit output is
+    // QI-cardinality-sized. Sensitive attribute here: the n_chars
+    // length decile.
+    Q("q_k_anonymity",
+      (s, dir) => {
+        val k = 5L
+        val l = 2L
+        Tables.documents(s, dir)
+          .select(col("lang"), col("source"),
+            expr("n_chars DIV 100").as("len_decile"))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("len_decile")).as("l_distinct"))
+          .withColumn("k_anonymous", col("n") >= k)
+          .withColumn("l_diverse", col("l_distinct") >= l)
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""SELECT lang, source, count(*) AS n,
+             |  count(DISTINCT n_chars // 100) AS l_distinct,
+             |  count(*) >= 5 AS k_anonymous,
+             |  count(DISTINCT n_chars // 100) >= 2 AS l_diverse
+             |FROM documents GROUP BY lang, source
+             |ORDER BY lang, source""".stripMargin)),
+
     // ---- Bloom-pruned point lookups on the manifest layer -----------------
     // TableManifest.readPoint + per-batch Bloom filters: the point-lookup
     // complement of the zone maps. The table lands in batches keyed by
