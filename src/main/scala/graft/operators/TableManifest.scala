@@ -468,6 +468,40 @@ object TableManifest {
     base.filter(col(c).isin(values: _*)).drop("__batch")
   }
 
+  /** Metadata-only row count — `count(*)` answered from the zone-stats
+    * artifact (one `n_rows` row per batch × column, O(#batches) read)
+    * without touching a data file: the Delta/Iceberg metadata-only
+    * query-answering trick, and at 100 TB the difference between a
+    * catalog read and a full scan. Exact, never approximate: when the
+    * artifact is missing or does not cover every payload batch (an
+    * append whose stats write crashed), the count falls back to the
+    * real scan — an uncovered batch can never be silently counted as
+    * zero. */
+  def countRows(spark: SparkSession, path: String): Long = {
+    val p = payloadVersion(spark, path).getOrElse(
+      sys.error(s"no committed table at $path"))
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/zonestats_v$p")
+    val f = fs(spark, path)
+    def scanCount = read(spark, path).count()
+    if (!f.exists(statsPath)) return scanCount
+    // every column's stats row carries its batch's count; use one column
+    val allStats = spark.read.schema(ZoneSchema)
+      .parquet(statsPath.toString)
+      .select(col("col"), col("__batch"), col("n_rows"))
+      .collect()
+    if (allStats.isEmpty) return scanCount
+    val oneCol = allStats.map(_.getString(0)).min
+    val stats = allStats.filter(_.getString(0) == oneCol)
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val payloadBatches = f
+      .listStatus(new org.apache.hadoop.fs.Path(s"$path/data_v$p"))
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("__batch=") =>
+        n.stripPrefix("__batch=").toLong }
+    if (!payloadBatches.forall(stats.contains)) scanCount
+    else payloadBatches.map(stats).sum
+  }
+
   /** Per-(batch, column) bounds of `df` (which carries `__batch`). One
     * scan: all columns' min/max aggregate together, then unpivot. */
   private def zoneStatsOf(df: DataFrame, statsCols: Seq[String]): DataFrame = {

@@ -139,6 +139,43 @@ object MiscQueries {
              |       _change_type FROM del
              |ORDER BY stage, _change_type, event_id, event_type""".stripMargin)),
 
+    // ---- metadata-only count from the stats artifact ----------------------
+    // TableManifest.countRows — count(*) answered from the zone-stats
+    // rows (O(#batches) catalog read, zero data files touched): the
+    // Delta/Iceberg metadata-only trick, at 100 TB a catalog read vs a
+    // full scan. Exactness is the contract: a batch the artifact does
+    // not cover forces the real scan (stage 2 appends WITHOUT a stats
+    // upsert — the fallback must count it, not silently report the
+    // covered subtotal), and a refresh restores the metadata path.
+    Q("q_table_metacount",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_table_mc").toString
+        val e = Tables.events(s, dir).select(col("event_id"), col("value"))
+        TableManifest.commitSnapshot(e.filter(col("event_id") % 2 === 0),
+          path)
+        TableManifest.refreshZoneMaps(s, path, Seq("event_id"))
+        val covered = TableManifest.countRows(s, path)
+        TableManifest.append(e.filter(col("event_id") % 2 === 1), path)
+        val uncovered = TableManifest.countRows(s, path) // fallback scan
+        TableManifest.refreshZoneMaps(s, path, Seq("event_id"))
+        val refreshed = TableManifest.countRows(s, path)
+        s.sql(s"""SELECT 'covered' AS stage, ${covered}L AS n
+                 |UNION ALL
+                 |SELECT 'uncovered_append', ${uncovered}L
+                 |UNION ALL
+                 |SELECT 'refreshed', ${refreshed}L
+                 |ORDER BY stage""".stripMargin)
+      },
+      Some("""SELECT 'covered' AS stage,
+             |  (SELECT count(*) FROM events WHERE event_id % 2 = 0) AS n
+             |UNION ALL
+             |SELECT 'uncovered_append', (SELECT count(*) FROM events)
+             |UNION ALL
+             |SELECT 'refreshed', (SELECT count(*) FROM events)
+             |ORDER BY stage""".stripMargin)),
+
     // ---- data-quality expectation suite (Deequ-shaped gate) --------------
     // operators.Expectations: a declarative constraint suite whose
     // row-level checks ALL fold in one aggregate pass (violation counts,

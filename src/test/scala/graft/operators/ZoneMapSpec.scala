@@ -87,6 +87,44 @@ class ZoneMapSpec extends AnyFunSuite {
       nFiles == fu2Files, "no artifact → the plain filtered read")
   }
 
+  test("metadata-only count: exact from stats, exact on fallback") {
+    val path = Files.createTempDirectory("zm_count").toString
+    TableManifest.commitSnapshot(rows(0L, 99L), path)
+    TableManifest.refreshZoneMaps(s, path, Seq("id"))
+    assert(TableManifest.countRows(s, path) == 100L)
+    // keyed replay must not double the batch's count
+    TableManifest.append(rows(200L, 249L), path, batchId = Some(0L))
+    TableManifest.appendZoneMaps(s, path, 0L, Seq("id"))
+    TableManifest.append(rows(200L, 249L), path, batchId = Some(0L))
+    TableManifest.appendZoneMaps(s, path, 0L, Seq("id"))
+    assert(TableManifest.countRows(s, path) == 150L)
+    // an uncovered batch forces the scan — never a silent undercount
+    TableManifest.append(rows(300L, 309L), path)
+    assert(TableManifest.countRows(s, path) == 160L)
+    // the metadata path really is metadata-only: corrupt every data file
+    // of the covered layout and the count must still answer
+    TableManifest.refreshZoneMaps(s, path, Seq("id"))
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val pv = graft.operators.IndexManifest
+      .payloadVersionAt(s, path, TableManifest.versions(s, path).last,
+        "data").get
+    val dataDir = new org.apache.hadoop.fs.Path(s"$path/data_v$pv")
+    val iter = f.listFiles(dataDir, true)
+    var moved = 0
+    while (iter.hasNext) {
+      val st = iter.next()
+      if (st.getPath.getName.endsWith(".parquet")) {
+        f.rename(st.getPath, new org.apache.hadoop.fs.Path(
+          st.getPath.getParent, st.getPath.getName + ".hidden"))
+        moved += 1
+      }
+    }
+    assert(moved > 0)
+    assert(TableManifest.countRows(s, path) == 160L,
+      "a covered count must never open a data file")
+  }
+
   test("range read prunes disjoint batches at planning time, rows identical") {
     val path = Files.createTempDirectory("zm_prune").toString
     TableManifest.commitSnapshot(rows(0L, 99L), path)
