@@ -255,8 +255,9 @@ object MiscQueries {
              |       violations = 0 AS passed
              |FROM rc ORDER BY check_name""".stripMargin)),
 
-    // ---- k-anonymity / l-diversity audit (privacy governance) -------------
-    // The release-gate counterpart of the PII scrubber: rows grouped by
+    // ---- l-diversity audit (privacy governance) ---------------------------
+    // The attribute-disclosure complement of q_k_anonymity (which counts
+    // re-identifiable quasi-identifier combos): rows grouped by
     // their quasi-identifier tuple (lang, source) — k-anonymity requires
     // every group ≥ k (a small group re-identifies its members by the
     // QI alone), l-diversity requires ≥ l distinct sensitive values per
@@ -265,7 +266,7 @@ object MiscQueries {
     // sensitive per group); at 100 TB the audit output is
     // QI-cardinality-sized. Sensitive attribute here: the n_chars
     // length decile.
-    Q("q_k_anonymity",
+    Q("q_l_diversity",
       (s, dir) => {
         val k = 5L
         val l = 2L
