@@ -397,13 +397,12 @@ object TableManifest {
         spark.read.schema(s.add("__batch", "long")).parquet(dir)
       case None => spark.read.parquet(dir)
     }
-    val rows = bloomCols.flatMap { c =>
-      base.select(col(c).cast("long").as("__v"),
-          col("__batch").cast("long").as("__batch"))
-        .na.drop()
-        .rdd.map(r => (r.getLong(1), r.getLong(0)))
-        .aggregateByKey(BloomFilter.create(expectedPerBatch, fpp))(
-          (f, v) => { f.putLong(v); f },
+    def filtersOf[T: scala.reflect.ClassTag](
+        pairs: org.apache.spark.rdd.RDD[(Long, T)],
+        put: (BloomFilter, T) => Unit, c: String)
+        : Seq[(String, Array[Byte], Long)] =
+      pairs.aggregateByKey(BloomFilter.create(expectedPerBatch, fpp))(
+          (f, v) => { put(f, v); f },
           (a, b) => { a.mergeInPlace(b); a })
         .map { case (batch, f) =>
           val bos = new java.io.ByteArrayOutputStream()
@@ -411,6 +410,22 @@ object TableManifest {
           (c, bos.toByteArray, batch)
         }
         .collect().toSeq
+    val rows = bloomCols.flatMap { c =>
+      // string columns hash via putString, everything else via a long
+      // cast — [[readPoint]]/[[readPointString]] probes dispatch the same
+      // way, so the hashed representation always matches
+      if (base.schema(c).dataType.typeName == "string")
+        filtersOf[String](
+          base.select(col(c).as("__v"),
+              col("__batch").cast("long").as("__batch"))
+            .na.drop().rdd.map(r => (r.getLong(1), r.getString(0))),
+          (f, v) => { f.putString(v); () }, c)
+      else
+        filtersOf[Long](
+          base.select(col(c).cast("long").as("__v"),
+              col("__batch").cast("long").as("__batch"))
+            .na.drop().rdd.map(r => (r.getLong(1), r.getLong(0))),
+          (f, v) => { f.putLong(v); () }, c)
     }
     import spark.implicits._
     rows.toDF("col", "bloom", "__batch")
@@ -427,14 +442,31 @@ object TableManifest {
     * column it does not cover, or batches it does not cover degrade
     * conservatively to the full filtered read. */
   def readPoint(spark: SparkSession, path: String, c: String,
-      values: Seq[Long], schema: Option[StructType] = None): DataFrame = {
+      values: Seq[Long], schema: Option[StructType] = None): DataFrame =
+    readPointPruned(spark, path, c,
+      bf => values.exists(bf.mightContainLong),
+      col(c).isin(values: _*), schema)
+
+  /** [[readPoint]] for STRING keys — the categorical point lookup
+    * (`event_type IN (...)`, `lang = 'de'`): probes hash via
+    * `mightContainString`, matching [[refreshBloomFilters]]'s
+    * `putString` path for string columns. Same pruning, same
+    * conservative fallbacks, same exact re-filter. */
+  def readPointString(spark: SparkSession, path: String, c: String,
+      values: Seq[String], schema: Option[StructType] = None): DataFrame =
+    readPointPruned(spark, path, c,
+      bf => values.exists(bf.mightContainString),
+      col(c).isin(values: _*), schema)
+
+  private def readPointPruned(spark: SparkSession, path: String, c: String,
+      hit: org.apache.spark.util.sketch.BloomFilter => Boolean,
+      predicate: org.apache.spark.sql.Column,
+      schema: Option[StructType]): DataFrame = {
     import org.apache.spark.util.sketch.BloomFilter
-    require(values.nonEmpty)
     val p = payloadVersion(spark, path).getOrElse(
       sys.error(s"no committed table at $path"))
     val dir = s"$path/data_v$p"
-    def readAll = read(spark, path, schema)
-      .filter(col(c).isin(values: _*))
+    def readAll = read(spark, path, schema).filter(predicate)
     val bloomPath =
       new org.apache.hadoop.fs.Path(s"$path/bloomstats_v$p")
     val f = fs(spark, path)
@@ -455,8 +487,7 @@ object TableManifest {
         n.stripPrefix("__batch=").toLong }
     // a batch the artifact does not cover (all-null column, or a write
     // between an append and its refresh) is conservatively read
-    val survivors = payloadBatches.filter(b =>
-      filters.get(b).forall(bf => values.exists(bf.mightContainLong)))
+    val survivors = payloadBatches.filter(b => filters.get(b).forall(hit))
       .map(b => s"$dir/__batch=$b")
     if (survivors.isEmpty) return readAll.filter(lit(false))
     val base = schema match {
@@ -465,7 +496,7 @@ object TableManifest {
       case None =>
         spark.read.option("basePath", dir).parquet(survivors.toSeq: _*)
     }
-    base.filter(col(c).isin(values: _*)).drop("__batch")
+    base.filter(predicate).drop("__batch")
   }
 
   /** Metadata-only row count — `count(*)` answered from the zone-stats

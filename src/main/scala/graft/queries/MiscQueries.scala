@@ -139,6 +139,48 @@ object MiscQueries {
              |       _change_type FROM del
              |ORDER BY stage, _change_type, event_id, event_type""".stripMargin)),
 
+    // ---- Bloom point lookups on a STRING key -------------------------------
+    // readPointString over a type-partitioned landing (each batch holds
+    // one event_type group — the layout a routed ingest produces): a
+    // categorical probe `event_type IN (...)` prunes to the matching
+    // groups' batches via per-batch string Blooms (putString /
+    // mightContainString — the hashed representation matches the
+    // refresh path by construction). Probing a present type, a pair
+    // spanning two batches, and an ABSENT value (provably-empty read)
+    // in one hash, all identical to the plain IN filter.
+    Q("q_table_point_str",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_table_ps").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        TableManifest.commitSnapshot(
+          e.filter(col("event_type").isin("click", "view")), path)
+        TableManifest.append(
+          e.filter(col("event_type").isin("error", "signup")), path)
+        TableManifest.append(e.filter(col("event_type") === "purchase"),
+          path)
+        TableManifest.refreshBloomFilters(s, path, Seq("event_type"),
+          expectedPerBatch = 100000L)
+        def probe(vals: Seq[String], tag: String) =
+          TableManifest.readPointString(s, path, "event_type", vals)
+            .withColumn("stage", lit(tag))
+        probe(Seq("purchase"), "one_type")
+          .unionByName(probe(Seq("click", "signup"), "two_batches"))
+          .unionByName(probe(Seq("nosuchtype"), "absent"))
+          .orderBy(col("stage"), col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, event_type, value FROM events)
+             |SELECT 'one_type' AS stage, * FROM e
+             |WHERE event_type = 'purchase'
+             |UNION ALL
+             |SELECT 'two_batches', * FROM e
+             |WHERE event_type IN ('click', 'signup')
+             |UNION ALL
+             |SELECT 'absent', * FROM e WHERE event_type = 'nosuchtype'
+             |ORDER BY stage, event_id""".stripMargin)),
+
     // ---- metadata-only count from the stats artifact ----------------------
     // TableManifest.countRows — count(*) answered from the zone-stats
     // rows (O(#batches) catalog read, zero data files touched): the
