@@ -1302,6 +1302,46 @@ object Stress {
         require(nPruned == nFull && nPruned == hi - lo + 1)
         println(f"""{"batches":$copies%d,"rows":${copies * batchRows}%d,"pruned_seconds":$tPruned%.2f,"full_seconds":$tFull%.2f,"pruned_files":$fPruned%d,"full_files":$fFull%d}""")
 
+      case "maxsim" =>
+        // late-interaction MaxSim at scale: `copies`× the sf embeddings
+        // (jittered clones so scores stay distinct), 8-vector docs, two
+        // 3-token queries = 6 query vectors. Brute MaxSim is one narrow
+        // corpus pass (|vectors| × |query tokens| cosines, broadcast
+        // queries, map-side max/sum) — measured against single-vector
+        // brute top-k on the same corpus to price the multi-vector
+        // semantics (the ratio should track #query tokens / 1, not
+        // explode). Steady-state timings, result sets asserted stable
+        // across runs.
+        val embMs = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val bigEmb = (0 until copies).map(i =>
+            embMs.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+              transform(col("embedding"),
+                x => x + lit(i.toFloat * 1e-4f)).as("embedding")))
+          .reduce(_ unionByName _).cache()
+        val nVec = bigEmb.count()
+        val docVecs = bigEmb.select(expr("vec_id DIV 8").as("doc_id"),
+          col("embedding"))
+        val qVecs = embMs.filter(col("vec_id") < 6)
+          .select(when(col("vec_id") < 3, lit(100L)).otherwise(lit(200L))
+              .as("query_id"),
+            col("vec_id").as("qt"), col("embedding"))
+        def runMaxSim() = operators.Knn.maxSimTopK(docVecs, "doc_id",
+          "embedding", qVecs, "query_id", "qt", "embedding", k = 10)
+        runMaxSim().count() // warm
+        val ms0 = System.nanoTime()
+        val r1 = runMaxSim().collect().map(_.toSeq.toVector).toVector
+        val tMaxSim = (System.nanoTime() - ms0) / 1e9
+        require(r1 == runMaxSim().collect().map(_.toSeq.toVector).toVector)
+        // single-vector brute top-k baseline on the same corpus
+        val ms1 = System.nanoTime()
+        operators.Knn.bruteTopKPartitioned(bigEmb,
+          bigEmb.filter(col("vec_id") < 2), "vec_id", "embedding",
+          k = 10).count()
+        val tSingle = (System.nanoTime() - ms1) / 1e9
+        bigEmb.unpersist()
+        println(f"""{"vectors":$nVec%d,"docs":${nVec / 8}%d,"maxsim_seconds":$tMaxSim%.2f,"single_vector_brute_seconds":$tSingle%.2f,"query_tokens":6}""")
+
       case "optimize" =>
         // OPTIMIZE payoff on a single interleaved snapshot: `copies`×250k
         // rows land round-robin (every batch spans the whole id range —
