@@ -422,4 +422,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(s.contains("MapPartitions"),
       s"expected the partition-local heap pass:\n$s")
   }
+
+  test("MaxSim: queries broadcast against the corpus, top-k is the " +
+    "bounded-buffer aggregator — never a corpus-wide window") {
+    val s = render(plan("q_maxsim_retrieval"))
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"the query set must broadcast (the corpus never shuffles):\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"no shuffle-based cartesian:\n$s")
+    assert(!s.contains("Window"),
+      s"per-query top-k must be the TopK aggregate, not a window:\n$s")
+  }
+
+  test("faceted search: postings gate + metadata semi-join plan no loop join") {
+    val s = render(plan("q_facet_search"))
+    assert(!s.contains("BroadcastNestedLoopJoin") &&
+      !s.contains("CartesianProduct"),
+      s"facet counting must stay equi-join served:\n$s")
+  }
 }
