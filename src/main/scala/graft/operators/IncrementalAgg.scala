@@ -36,6 +36,47 @@ object IncrementalAgg {
       .agg(count(lit(1)).as("n"),
         sum(col(valueCol).cast("decimal(28,6)")).as("sum_v"))
 
+  /** TRANSACTIONAL incremental view: the maintained (key, n, sum) state
+    * lives on its own [[TableManifest]] table carrying an `__asof`
+    * column (the source version it has folded through), and each call
+    * advances it to the source's current version with one snapshot
+    * commit — state and progress move atomically, which is what makes
+    * streaming maintenance EXACTLY-ONCE under foreachBatch's
+    * at-least-once replays: a replayed source append overwrites its own
+    * `__batch` partition (keyed replay), so the watermark does not
+    * advance and the replayed call's change feed (asof → current) is
+    * EMPTY — the fold is idempotent by the version arithmetic, no
+    * dedup bookkeeping needed. A zero-key state cannot carry its asof
+    * (no rows), so it re-initializes from the source — a full
+    * aggregate, exact, and only reachable when the view was empty.
+    * Returns the source version the state now reflects. */
+  def maintainTable(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, statePath: String, keyCols: Seq[String],
+      valueCol: String): Long = {
+    val cur = TableManifest.versions(spark, tablePath).last
+    def fullInit() =
+      initialize(TableManifest.readAt(spark, tablePath, cur), keyCols,
+        valueCol).withColumn("__asof", lit(cur))
+    if (TableManifest.versions(spark, statePath).isEmpty) {
+      TableManifest.commitSnapshot(fullInit(), statePath)
+      return cur
+    }
+    val st = TableManifest.read(spark, statePath)
+    val asofRow = st.select(col("__asof")).limit(1).collect()
+    if (asofRow.isEmpty) { // zero-key state: re-derive, stays exact
+      TableManifest.commitSnapshot(fullInit(), statePath)
+      return cur
+    }
+    val asof = asofRow(0).getLong(0)
+    if (asof == cur) return cur // nothing new — no empty commit
+    val next = maintain(st.drop("__asof"),
+        TableManifest.readChanges(spark, tablePath, asof, cur),
+        keyCols, valueCol)
+      .withColumn("__asof", lit(cur))
+    TableManifest.commitSnapshot(next, statePath)
+    cur
+  }
+
   /** Fold a change feed (rows + `_change_type` of insert/delete, the
     * [[TableManifest.readChanges]] shape) into `state`. One aggregate
     * over the feed (map-side combinable) + one over state ∪ delta —

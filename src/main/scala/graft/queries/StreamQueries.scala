@@ -286,6 +286,46 @@ object StreamQueries {
       Some("""SELECT event_id, user_id, ts, value
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // ---- streaming incremental view maintenance ----------------------------
+    // The full loop: each micro-batch appends to the manifest table
+    // (exactly-once under the batchId key) and IncrementalAgg
+    // .maintainTable folds the batch's change feed into a STATE table on
+    // its own manifest — state and its __asof progress marker move in
+    // one atomic snapshot commit, and a replayed batch's feed is EMPTY
+    // by the version-watermark arithmetic (the keyed append does not
+    // advance the watermark), so maintenance is exactly-once with no
+    // dedup bookkeeping. The final maintained state must equal the plain
+    // batch aggregate over everything streamed.
+    Q("q_stream_ivm",
+      (s, dir) => {
+        import graft.operators.{IncrementalAgg, TableManifest}
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_stream_ivm").toString
+        val (tPath, stPath) = (s"$base/table", s"$base/state")
+        val stream = eventStream(s, dir)
+        val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            val proj = batch.select(col("event_id"), col("event_type"),
+              col("value"))
+            if (TableManifest.versions(s, tPath).isEmpty)
+              TableManifest.commitSnapshot(proj.limit(0), tPath)
+            TableManifest.append(proj, tPath, batchId = Some(batchId))
+            IncrementalAgg.maintainTable(s, tPath, stPath,
+              Seq("event_type"), "value")
+            ()
+        }.start()
+        try q.processAllAvailable() finally q.stop()
+        TableManifest.read(s, stPath)
+          .select(col("event_type"), col("n"),
+            col("sum_v").cast("double").as("sum_v"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_v
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
     // ---- merge-on-read streaming upsert -----------------------------------
     // The SCALE shape of the keyed upsert sink. q_stream_foreach_upsert
     // is copy-on-write: each micro-batch commits a full merged snapshot

@@ -52,6 +52,33 @@ class IncrementalAggSpec extends AnyFunSuite {
     }
   }
 
+  test("maintainTable: replayed batches fold exactly once, by construction") {
+    val base = java.nio.file.Files.createTempDirectory("ivm_replay")
+      .toString
+    val (tp, sp) = (s"$base/t", s"$base/s")
+    TableManifest.commitSnapshot(table(Seq((1L, "a", 2.0), (2L, "b", 3.0))),
+      tp)
+    IncrementalAgg.maintainTable(s, tp, sp, Seq("k"), "v")
+    TableManifest.append(table(Seq((3L, "a", 5.0))), tp, batchId = Some(0L))
+    IncrementalAgg.maintainTable(s, tp, sp, Seq("k"), "v")
+    val once = stateRows(TableManifest.read(s, sp).drop("__asof"))
+    // an at-least-once retry: the SAME batch replays (keyed overwrite),
+    // then maintenance runs again — the feed must be empty and the
+    // state must not double-fold
+    TableManifest.append(table(Seq((3L, "a", 5.0))), tp, batchId = Some(0L))
+    IncrementalAgg.maintainTable(s, tp, sp, Seq("k"), "v")
+    assert(stateRows(TableManifest.read(s, sp).drop("__asof")) == once,
+      "a replayed batch must fold zero times more")
+    assert(once.exists { case (k, n, sum) =>
+      k == "a" && n == 2L && sum.startsWith("7.000000") },
+      s"key a must hold exactly one fold of the batch: $once")
+    // a no-change call commits no new state version
+    val vs = TableManifest.versions(s, sp).size
+    IncrementalAgg.maintainTable(s, tp, sp, Seq("k"), "v")
+    assert(TableManifest.versions(s, sp).size == vs,
+      "nothing new must mean no empty state commit")
+  }
+
   test("a key whose rows all die leaves the state entirely") {
     val base = Seq((1L, "x", 2.0), (2L, "x", 3.0), (3L, "y", 4.0))
     val after = Seq((3L, "y", 4.0))
