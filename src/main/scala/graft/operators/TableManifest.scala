@@ -387,16 +387,37 @@ object TableManifest {
   def refreshBloomFilters(spark: SparkSession, path: String,
       bloomCols: Seq[String], expectedPerBatch: Long,
       fpp: Double = 0.01, schema: Option[StructType] = None): Unit = {
-    import org.apache.spark.util.sketch.BloomFilter
-    require(bloomCols.nonEmpty && expectedPerBatch > 0)
     val p = payloadVersion(spark, path).getOrElse(
       sys.error(s"no committed table at $path"))
+    writeBloomRows(spark, path, p, bloomCols, expectedPerBatch, fpp,
+      schema, batch = None)
+  }
+
+  /** Upsert ONE batch's Bloom rows into the current payload's artifact
+    * (dynamic partition overwrite on the batch's replay key) — the
+    * append-side maintenance that keeps [[readPoint]] on the pruned path
+    * as the log grows, the [[appendZoneMaps]] of the Bloom layer. */
+  def appendBloomFilters(spark: SparkSession, path: String, batch: Long,
+      bloomCols: Seq[String], expectedPerBatch: Long,
+      fpp: Double = 0.01, schema: Option[StructType] = None): Unit = {
+    val p = payloadVersion(spark, path).getOrElse(
+      sys.error(s"no committed table at $path"))
+    writeBloomRows(spark, path, p, bloomCols, expectedPerBatch, fpp,
+      schema, batch = Some(batch))
+  }
+
+  private def writeBloomRows(spark: SparkSession, path: String, p: Long,
+      bloomCols: Seq[String], expectedPerBatch: Long, fpp: Double,
+      schema: Option[StructType], batch: Option[Long]): Unit = {
+    import org.apache.spark.util.sketch.BloomFilter
+    require(bloomCols.nonEmpty && expectedPerBatch > 0)
     val dir = s"$path/data_v$p"
-    val base = schema match {
+    val all = schema match {
       case Some(s) =>
         spark.read.schema(s.add("__batch", "long")).parquet(dir)
       case None => spark.read.parquet(dir)
     }
+    val base = batch.fold(all)(b => all.filter(col("__batch") === b))
     def filtersOf[T: scala.reflect.ClassTag](
         pairs: org.apache.spark.rdd.RDD[(Long, T)],
         put: (BloomFilter, T) => Unit, c: String)
@@ -428,8 +449,10 @@ object TableManifest {
           (f, v) => { f.putLong(v); () }, c)
     }
     import spark.implicits._
-    rows.toDF("col", "bloom", "__batch")
+    val out = rows.toDF("col", "bloom", "__batch")
       .write.partitionBy("__batch").mode("overwrite")
+    (if (batch.isDefined) out.option("partitionOverwriteMode", "dynamic")
+     else out)
       .parquet(s"$path/bloomstats_v$p")
   }
 

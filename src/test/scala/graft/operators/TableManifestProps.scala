@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-based check of the table commit protocol: a seeded random
+  * sequence of snapshot / keyed-append / unkeyed-append / compact /
+  * optimize ops runs against BOTH the real TableManifest and an
+  * in-memory reference model (version → row multiset). After every op,
+  * the live read, a randomly chosen retained VERSION AS OF, the
+  * metadata count, and a random change feed (applied to its from-state)
+  * must all agree with the model — the protocol-level invariants no
+  * single-scenario spec can sweep. */
+class TableManifestProps extends AnyFunSuite {
+  private lazy val s = SparkSpec.session
+
+  private def df(rows: Seq[(Long, Long)]): DataFrame = {
+    import s.implicits._
+    rows.toDF("id", "v")
+  }
+
+  private def rowsOf(d: DataFrame): Map[(Long, Long), Int] =
+    d.select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+
+  test("random op sequences: live, pinned, counted, and fed reads all " +
+    "match the reference model") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 97)
+      val path = java.nio.file.Files
+        .createTempDirectory(s"tm_props_$seed").toString
+      def randRows(n: Int) =
+        (0 until n).map(_ => (rnd.nextLong(50L), rnd.nextLong(1000L)))
+
+      // the reference model: committed version -> multiset
+      var model = Map.empty[Long, Map[(Long, Long), Int]]
+      def multiset(rows: Seq[(Long, Long)]) =
+        rows.groupBy(identity).view.mapValues(_.length).toMap
+      def cur = model(model.keys.max)
+
+      val v0 = TableManifest.commitSnapshot(df(randRows(20)), path)
+      model += v0 -> rowsOf(TableManifest.read(s, path))
+
+      (1 to 10).foreach { step =>
+        val opRoll = rnd.nextInt(10)
+        if (opRoll < 3) { // snapshot replacement
+          val rows = randRows(10 + rnd.nextInt(20))
+          val v = TableManifest.commitSnapshot(df(rows), path)
+          model += v -> multiset(rows)
+        } else if (opRoll < 7) { // append (keyed half the time)
+          val rows = randRows(1 + rnd.nextInt(10))
+          val keyed = rnd.nextBoolean()
+          val v = TableManifest.append(df(rows), path,
+            batchId = if (keyed) Some(1000L + step) else None)
+          model += v -> (cur.keySet ++ multiset(rows).keySet).map { k =>
+            k -> (cur.getOrElse(k, 0) + multiset(rows).getOrElse(k, 0))
+          }.toMap
+        } else if (opRoll < 8) { // compact the append log
+          TableManifest.compactBatches(s, path)
+          val v = TableManifest.versions(s, path).max
+          model += v -> cur
+        } else { // optimize: content no-op, new version
+          val v = TableManifest.optimize(s, path, Seq("id"), files = 4,
+            statsCols = Seq("id"))
+          model += v -> cur
+        }
+
+        // 1. the live read is the newest model state
+        assert(rowsOf(TableManifest.read(s, path)) == cur,
+          s"seed=$seed step=$step: live read diverged")
+        // 2. a random retained pin replays its own state
+        val pins = TableManifest.versions(s, path)
+          .filter(model.contains)
+        val pin = pins(rnd.nextInt(pins.size))
+        assert(rowsOf(TableManifest.readAt(s, path, pin)) == model(pin),
+          s"seed=$seed step=$step: pin $pin diverged")
+        // 3. metadata count (post-refresh) and fallback count agree
+        TableManifest.refreshZoneMaps(s, path, Seq("id"))
+        assert(TableManifest.countRows(s, path) == cur.values.sum,
+          s"seed=$seed step=$step: count diverged")
+        // 4. a random change feed applied to its from-state reproduces
+        //    its to-state as a multiset
+        val (from, to) = {
+          val a = pins(rnd.nextInt(pins.size))
+          val b = pins(rnd.nextInt(pins.size))
+          (math.min(a, b), math.max(a, b))
+        }
+        val feed = TableManifest.readChanges(s, path, from, to)
+          .select(col("id"), col("v"), col("_change_type")).collect()
+        val applied = feed.foldLeft(model(from)) { (m, r) =>
+          val k = (r.getLong(0), r.getLong(1))
+          val d = if (r.getString(2) == "insert") 1 else -1
+          val n = m.getOrElse(k, 0) + d
+          if (n == 0) m - k else m + (k -> n)
+        }
+        assert(applied == model(to),
+          s"seed=$seed step=$step: feed $from->$to did not reproduce")
+      }
+    }
+  }
+}

@@ -87,6 +87,35 @@ class ZoneMapSpec extends AnyFunSuite {
       nFiles == fu2Files, "no artifact → the plain filtered read")
   }
 
+  test("appendBloomFilters keeps point probes pruned as the log grows") {
+    import s.implicits._
+    val path = Files.createTempDirectory("bloom_append").toString
+    TableManifest.commitSnapshot(
+      (0L until 1000L).map(i => (i, s"p$i")).toDF("id", "payload"), path)
+    TableManifest.refreshBloomFilters(s, path, Seq("id"),
+      expectedPerBatch = 2000L)
+    // an append maintained by the batch-level upsert (keyed replay too)
+    val b = 0L
+    TableManifest.append(
+      (5000L until 5100L).map(i => (i, s"p$i")).toDF("id", "payload"),
+      path, batchId = Some(b))
+    TableManifest.appendBloomFilters(s, path, b, Seq("id"), 2000L)
+    TableManifest.append(
+      (5000L until 5100L).map(i => (i, s"p$i")).toDF("id", "payload"),
+      path, batchId = Some(b)) // replay
+    TableManifest.appendBloomFilters(s, path, b, Seq("id"), 2000L)
+    // probing an appended id prunes to ITS batch (snapshot not read)
+    val (rows1, files1) = execAndFiles(
+      TableManifest.readPoint(s, path, "id", Seq(5042L)))
+    assert(rows1.length == 1, "replayed bloom rows must stay exact")
+    val (_, filesAll) = execAndFiles(TableManifest.read(s, path)
+      .filter(col("id") === 5042L))
+    assert(files1 < filesAll,
+      s"the covered append must prune: $files1 vs $filesAll")
+    // probing a snapshot id skips the appended batch
+    assert(TableManifest.readPoint(s, path, "id", Seq(7L)).count() == 1)
+  }
+
   test("metadata-only count: exact from stats, exact on fallback") {
     val path = Files.createTempDirectory("zm_count").toString
     TableManifest.commitSnapshot(rows(0L, 99L), path)
