@@ -272,6 +272,48 @@ object TableManifest {
     }
   }
 
+  /** DELETE WHERE as one snapshot commit: the surviving rows republish
+    * atomically (readers serve the previous version until the marker;
+    * deleted-state pins stay readable until vacuum — the audit story a
+    * GDPR erasure needs is `history()` + the retained versions, and
+    * `vacuum` is the actual forget). O(table) rewrite — the CoW DELETE
+    * every snapshot-isolated format pays; predicate-pruned deletes
+    * (rewrite only the batches the zone maps/Blooms say contain
+    * matches) are the readRange composition a caller applies when the
+    * predicate is partition-aligned. Returns the committed version. */
+  def deleteWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      schema: Option[StructType] = None): Long =
+    commitSnapshot(
+      read(spark, path, schema).filter(!coalesce(predicate, lit(false))),
+      path)
+
+  /** MERGE INTO (upsert) as one snapshot commit: a source row REPLACES
+    * any same-key current rows (WHEN MATCHED THEN UPDATE — the source
+    * always wins a matched key, via a source-priority tiebreak ahead of
+    * `orderCols`), new keys insert (WHEN NOT MATCHED); duplicate keys
+    * WITHIN a side resolve by `orderCols` descending. One max_by
+    * aggregate over current ∪ source — no window, no sort; the CoW
+    * counterpart of the MoR append+[[readLatest]] pair, picked by
+    * write- vs read-amplification exactly as with the streaming
+    * sinks. */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String], orderCols: Seq[String],
+      schema: Option[StructType] = None): Long = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty)
+    val cur = read(spark, path, schema).withColumn("__src", lit(0L))
+    val src = source.withColumn("__src", lit(1L))
+    val payload = cur.columns.filterNot(keyCols.contains)
+    val merged = cur.unionByName(src)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(("__src" +: orderCols).map(col): _*)).as("__r"))
+      .select(keyCols.map(col) ++
+        payload.filterNot(_ == "__src")
+          .map(c => col(s"__r.$c").as(c)): _*)
+    commitSnapshot(merged, path)
+  }
+
   /** Merge-on-read resolve: latest row per `keyCols`, ordered by
     * `orderCols` (descending significance left-to-right, ties broken by
     * the later column) — the read side of an append-log upsert table

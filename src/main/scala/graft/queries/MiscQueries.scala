@@ -139,6 +139,76 @@ object MiscQueries {
              |       _change_type FROM del
              |ORDER BY stage, _change_type, event_id, event_type""".stripMargin)),
 
+    // ---- table DML: DELETE WHERE + MERGE INTO as snapshot commits ---------
+    // The named DML surface over the manifest (Delta's DELETE/MERGE):
+    // deleteWhere republishes survivors atomically (null predicate rows
+    // survive — SQL DELETE semantics); mergeInto gives matched keys to
+    // the SOURCE unconditionally (WHEN MATCHED THEN UPDATE via a
+    // source-priority tiebreak — even a source row "older" than the
+    // current one wins, which a pure recency upsert would get wrong) and
+    // inserts unmatched keys, one max_by aggregate, no window. Both
+    // stages read AFTER both mutations through their pins, so the
+    // delete-state pin must also prove immune to the later merge.
+    Q("q_table_dml",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_table_dml").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        TableManifest.commitSnapshot(e, path)
+        val vDel = TableManifest.deleteWhere(s, path,
+          col("event_type") === "error" && col("value") > 0.5)
+        // source: rewrites for surviving purchase rows (value zeroed,
+        // marked) + brand-new rows under shifted ids
+        val src = TableManifest.read(s, path)
+          .filter(col("event_type") === "purchase")
+          .withColumn("value", lit(0.0))
+          .withColumn("event_type", lit("purchase_v2"))
+          .unionByName(e.filter(col("event_id") % 997 === 0)
+            .withColumn("event_id", col("event_id") + 5000000L))
+        val vMerge = TableManifest.mergeInto(s, path, src,
+          Seq("event_id"), Seq("event_type"))
+        def agg(v: Long, tag: String) =
+          TableManifest.readAt(s, path, v)
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,6)")).cast("double")
+                .as("sum_value"))
+            .withColumn("stage", lit(tag))
+        agg(vDel, "deleted").unionByName(agg(vMerge, "merged"))
+          .select(col("stage"), col("event_type"), col("n"),
+            col("sum_value"))
+          .orderBy(col("stage"), col("event_type"))
+      },
+      Some("""WITH d AS (
+             |  SELECT * FROM events
+             |  WHERE NOT coalesce(event_type = 'error' AND value > 0.5,
+             |                     false)),
+             |src AS (
+             |  SELECT event_id, user_id, 'purchase_v2' AS event_type,
+             |         0.0 AS value
+             |  FROM d WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT event_id + 5000000, user_id, event_type, value
+             |  FROM events WHERE event_id % 997 = 0),
+             |m AS (
+             |  SELECT event_id, user_id, event_type, value FROM d
+             |  WHERE event_id NOT IN (SELECT event_id FROM src)
+             |  UNION ALL
+             |  SELECT * FROM src),
+             |a1 AS (SELECT 'deleted' AS stage, event_type,
+             |         count(*) AS n,
+             |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |           AS sum_value
+             |       FROM d GROUP BY event_type),
+             |a2 AS (SELECT 'merged', event_type, count(*),
+             |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |       FROM m GROUP BY event_type)
+             |SELECT * FROM a1 UNION ALL SELECT * FROM a2
+             |ORDER BY stage, event_type""".stripMargin)),
+
     // ---- Bloom point lookups on a STRING key -------------------------------
     // readPointString over a type-partitioned landing (each batch holds
     // one event_type group — the layout a routed ingest produces): a
