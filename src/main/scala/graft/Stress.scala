@@ -1342,6 +1342,119 @@ object Stress {
         bigEmb.unpersist()
         println(f"""{"vectors":$nVec%d,"docs":${nVec / 8}%d,"maxsim_seconds":$tMaxSim%.2f,"single_vector_brute_seconds":$tSingle%.2f,"query_tokens":6}""")
 
+      case "maxsimhd" =>
+        // the HIGH-DIM regime coarse MaxSim exists for: 512-d vectors
+        // (8× the fixture's 64-d tiled, directionally jittered per
+        // clone), codes from a 64-d projection column (the JL-then-code
+        // recipe — at 768–4096 production dims codes must stay 64-bit),
+        // exact 512-d rerank on candidates only. Brute pays the full
+        // 512-d cosine over the corpus × 6 tokens.
+        val embHd0 = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val bigHd = (0 until copies).map(i =>
+            embHd0.select(
+              (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+              transform(flatten(array_repeat(col("embedding"), 8)),
+                (x, j) => x + lit(i.toFloat * 1e-4f) *
+                  (j.cast("float") - lit(255.5f)) / lit(256f))
+                .as("embedding")))
+          .reduce(_ unionByName _)
+          .withColumn("proj", slice(col("embedding"), 1, 64))
+          .cache()
+        val nHd = bigHd.count()
+        val dvHd = bigHd.select(col("vec_id"),
+          expr("vec_id DIV 8").as("doc_id"), col("embedding"), col("proj"))
+        val qvHd = bigHd.filter(col("vec_id") < 6)
+          .select(when(col("vec_id") < 3, lit(100L)).otherwise(lit(200L))
+              .as("query_id"),
+            col("vec_id").as("qt"), col("embedding"), col("proj"))
+        def topHd(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1)))
+            .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val hd0 = System.nanoTime()
+        val bruteHd = topHd(operators.Knn.maxSimTopK(dvHd, "doc_id",
+          "embedding", qvHd, "query_id", "qt", "embedding", k = 10))
+        val tBruteHd = (System.nanoTime() - hd0) / 1e9
+        // the quantizer + code table build ONCE (a standing index's
+        // build-time cost, reported separately); probes are the sweep
+        val hdB = System.nanoTime()
+        val thrHd = operators.BinaryQuant.fitThresholdsApprox(dvHd,
+          "proj", 100).localCheckpoint(true)
+        val codesHd = operators.BinaryQuant.withCode(
+            dvHd.select(col("vec_id"), col("doc_id"), col("proj")),
+            "proj", thrHd)
+          .select(col("vec_id"), col("doc_id"), col("code"))
+          .localCheckpoint(true)
+        val tBuildHd = (System.nanoTime() - hdB) / 1e9
+        val ptsHd = Seq(64, 256, 1024).map { r =>
+          val t0 = System.nanoTime()
+          val c = topHd(operators.Knn.maxSimTopKCoarse(dvHd, "vec_id",
+            "doc_id", "embedding", qvHd, "query_id", "qt", "embedding",
+            k = 10, rPerToken = r, thresholds = Some(thrHd),
+            projCols = Some(("proj", "proj")), codes = Some(codesHd)))
+          val dt = (System.nanoTime() - t0) / 1e9
+          val recall = bruteHd.keys.toSeq.map { q =>
+            c.getOrElse(q, Set.empty[Long]).intersect(bruteHd(q)).size
+              .toDouble / bruteHd(q).size
+          }.sum / bruteHd.size
+          f""""r$r":{"seconds":$dt%.2f,"recall":$recall%.3f}"""
+        }
+        bigHd.unpersist()
+        println(f"""{"vectors":$nHd%d,"dims":512,"brute_seconds":$tBruteHd%.2f,"build_seconds":$tBuildHd%.2f,${ptsHd.mkString(",")}}""")
+
+      case "maxsimcoarse" =>
+        // two-stage MaxSim at scale: per-token binary-code candidates →
+        // exact rerank, vs the brute one-pass, recall@10 and seconds at
+        // `copies`× the sf embeddings. The claim: wall-clock decouples
+        // from corpus size (the full-precision pass touches ≤ tokens·r
+        // candidate docs) at measured recall.
+        val embMc = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        // DIRECTIONAL jitter (per-dim, clone-dependent): a constant
+        // shift leaves cosine ties everywhere (scores floor to identical
+        // ppm and the top-k cut becomes a doc_id lottery recall can't
+        // measure); varying the direction makes scores distinct
+        val bigMc = (0 until copies).map(i =>
+            embMc.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+              transform(col("embedding"),
+                (x, j) => x + lit(i.toFloat * 1e-4f) *
+                  (j.cast("float") - lit(31.5f)) / lit(32f))
+                .as("embedding")))
+          .reduce(_ unionByName _).cache()
+        val nMc = bigMc.count()
+        val dv = bigMc.select(col("vec_id"),
+          expr("vec_id DIV 8").as("doc_id"), col("embedding"))
+        val qv = embMc.filter(col("vec_id") < 6)
+          .select(when(col("vec_id") < 3, lit(100L)).otherwise(lit(200L))
+              .as("query_id"),
+            col("vec_id").as("qt"), col("embedding"))
+        def top(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1)))
+            .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val mc0 = System.nanoTime()
+        val bruteT = top(operators.Knn.maxSimTopK(dv, "doc_id",
+          "embedding", qv, "query_id", "qt", "embedding", k = 10))
+        val tBrute = (System.nanoTime() - mc0) / 1e9
+        // the quantizer fits ONCE (build-time; the never-refit serving
+        // contract) — probes are what the sweep times
+        val thrMc = operators.BinaryQuant.fitThresholdsApprox(dv,
+          "embedding", 100).localCheckpoint(true)
+        val rs = Seq(64, 256, 1024)
+        val pts = rs.map { r =>
+          val t0 = System.nanoTime()
+          val c = top(operators.Knn.maxSimTopKCoarse(dv, "vec_id",
+            "doc_id", "embedding", qv, "query_id", "qt", "embedding",
+            k = 10, rPerToken = r, thresholds = Some(thrMc)))
+          val dt = (System.nanoTime() - t0) / 1e9
+          val recall = bruteT.keys.toSeq.map { q =>
+            c.getOrElse(q, Set.empty).intersect(bruteT(q)).size.toDouble /
+              bruteT(q).size
+          }.sum / bruteT.size
+          f""""r$r":{"seconds":$dt%.2f,"recall":$recall%.3f}"""
+        }
+        bigMc.unpersist()
+        println(f"""{"vectors":$nMc%d,"brute_seconds":$tBrute%.2f,${pts.mkString(",")}}""")
+
       case "optimize" =>
         // OPTIMIZE payoff on a single interleaved snapshot: `copies`×250k
         // rows land round-robin (every batch spans the whole id range —

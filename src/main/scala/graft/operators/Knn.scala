@@ -590,4 +590,99 @@ object Knn {
       .select(col("query_id"), col("id").as("doc_id"),
         col("value").cast("long").as("score_ppm"), col("rank"))
   }
+
+  /** [[maxSimTopK]]'s 100 TB serving shape — the PLAID-style two-stage:
+    * per QUERY TOKEN, binary-code candidates come from the one-pass
+    * popcount coarse stage ([[BinaryQuant.coarseHammingTopR]], 8 B/vec
+    * codes, bounded per-token heaps, no pair materialization); the
+    * candidate DOC union per query then reranks through the exact
+    * MaxSim scorer — so the full-precision pass touches only
+    * ≤ |tokens|·r candidate docs' vectors instead of the corpus.
+    * Approximate by construction (coarse misses trade recall — measured
+    * in the spec and `Stress maxsimcoarse`, the multiprobe discipline);
+    * the rerank arithmetic is the oracle-gated [[maxSimTopK]] verbatim,
+    * so candidates are the ONLY approximation. `docVecs` needs a unique
+    * per-VECTOR id (`vecIdCol`) for deterministic coarse tie-breaks
+    * alongside the doc grouping id. */
+  def maxSimTopKCoarse(docVecs: DataFrame, vecIdCol: String,
+      docIdCol: String, vecCol: String, queryVecs: DataFrame,
+      queryIdCol: String, qtokCol: String, qvecCol: String, k: Int,
+      rPerToken: Int, thresholds: Option[DataFrame] = None,
+      projCols: Option[(String, String)] = None,
+      codes: Option[DataFrame] = None): DataFrame = {
+    // `codes`: a STANDING (vec id, doc id, code) table — what a
+    // persisted binary index serves — so a probe pays only the popcount
+    // scan + rerank, never the corpus coding pass (which is build-time,
+    // like every quantizer here). Requires the thresholds that built it
+    // (query tokens must code under the same geometry).
+    require(codes.isEmpty || thresholds.isDefined,
+      "a standing code table needs the thresholds that built it")
+    // `projCols` (docProj, queryProj): code a ≤64-dim PROJECTION (a JL /
+    // RandomProjection column the caller prepared) while the rerank uses
+    // the full vectors — the production recipe at 768–4096 dims, where
+    // binary codes must stay 64-bit but the exact pass is where the
+    // dimensionality cost lives. Default: code vecCol itself (≤ 64 d).
+    val (dProj, qProj) = projCols.getOrElse((vecCol, qvecCol))
+    // serving fits the quantizer ONCE and passes it in (the corpus-wide
+    // per-dim order statistic is a build-time cost, the never-refit
+    // contract every persisted binary index here already keeps); the
+    // inline fit is the self-contained convenience path
+    val thr = thresholds.getOrElse(
+      BinaryQuant.fitThresholds(docVecs, dProj).localCheckpoint(true))
+    // materialize the NARROW code table once (24 B/vector): the coarse
+    // scan and the vec→doc candidate mapping both consume it, and
+    // without the cut each re-runs the corpus-wide coding pass — this is
+    // the in-memory analog of the persisted code table a standing index
+    // (VectorIndex) keeps on disk; callers with one pass it via `codes`
+    val coded = codes.map(_.select(
+        col(vecIdCol).cast("long").as("__vid"),
+        col(docIdCol).cast("long").as("doc_id"), col("code")))
+      .getOrElse(BinaryQuant.withCode(
+          docVecs.select(col(vecIdCol).cast("long").as("__vid"),
+            col(docIdCol).cast("long").as("doc_id"), col(dProj).as("__p")),
+          "__p", thr)
+        .select(col("__vid"), col("doc_id"), col("code"))
+        .localCheckpoint(true))
+    val qCoded0 = BinaryQuant.withCode(
+      queryVecs.select(col(queryIdCol).cast("long").as("query_id"),
+        col(qtokCol).cast("long").as("__qt"), col(qProj).as("__qp")),
+      "__qp", thr)
+    val qCoded = qCoded0.join(
+      queryVecs.select(col(qtokCol).cast("long").as("__qt"),
+        col(qvecCol).as("__qv")), Seq("__qt"))
+    val qArr = qCoded.select(col("__qt"), col("code")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // per-token coarse candidates over VECTORS, folded to candidate DOCS
+    // per query (tokens belong to queries; the union is the rerank set)
+    // the candidate set is ≤ tokens·r rows but sits behind a
+    // mapPartitions (no size statistics) — broadcast it EXPLICITLY, or
+    // the vec→doc mapping join and the rerank join both shuffle the
+    // corpus (measured: the wide-vector shuffle tripled the whole search)
+    val cand = broadcast(BinaryQuant
+      .coarseHammingTopR(coded, "__vid", qArr, rPerToken)
+      .withColumnRenamed("query_id", "__qt")
+      .join(broadcast(qCoded.select(col("query_id"), col("__qt"))),
+        Seq("__qt"))
+      .select(col("query_id"), col("neighbor_id")))
+    val candDocs = broadcast(
+      coded.select(col("__vid").as("neighbor_id"), col("doc_id"))
+        .join(cand, Seq("neighbor_id"))
+        .select(col("query_id"), col("doc_id")).distinct())
+    // exact MaxSim over the candidate docs only — the scorer verbatim
+    val scored = candDocs
+      .join(docVecs.select(col(docIdCol).cast("long").as("doc_id"),
+        col(vecCol).as("__dv")), Seq("doc_id"))
+      .join(broadcast(qCoded.select(col("query_id"), col("__qt"),
+        col("__qv"))), Seq("query_id"))
+      .withColumn("__sim",
+        floor(graft.functions.CosineSimExpr(col("__dv"), col("__qv")) * 1e6)
+          .cast("long"))
+      .groupBy(col("query_id"), col("__qt"), col("doc_id"))
+      .agg(max(col("__sim")).as("__mx"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__mx")).as("score_ppm"))
+    TopK.perGroup(scored, Seq("query_id"), "score_ppm", "doc_id", k)
+      .select(col("query_id"), col("id").as("doc_id"),
+        col("value").cast("long").as("score_ppm"), col("rank"))
+  }
 }
