@@ -1102,6 +1102,61 @@ object SimilarityQueries {
              |  AS rank
              |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- two-stage (coarse-candidate) MaxSim, the approximation hashed ----
+    // q_maxsim_retrieval's PLAID-style serving shape — and like
+    // q_nn_multiprobe, the WHOLE approximation is deterministic
+    // (exact-median codes, (hamming, id)-ordered top-r per token,
+    // candidate-doc union, exact rerank), so the two-stage pipeline
+    // hash-gates end to end: candidate generation AND the rerank
+    // arithmetic in one oracle. r=16 per token keeps pruning real at
+    // sf0.1 (≤ 96 candidate vectors against 250 docs).
+    Q("q_maxsim_coarse",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val docVecs = emb.select(col("vec_id"),
+          expr("vec_id DIV 8").as("doc_id"), col("embedding"))
+        val qVecs = emb.filter(col("vec_id") < 6)
+          .select(when(col("vec_id") < 3, lit(100L)).otherwise(lit(200L))
+              .as("query_id"),
+            col("vec_id").as("qt"), col("embedding"))
+        Knn.maxSimTopKCoarse(docVecs, "vec_id", "doc_id", "embedding",
+            qVecs, "query_id", "qt", "embedding", k = 10, rPerToken = 16)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""$binaryCodesCte,
+             |q AS (SELECT CAST(CASE WHEN vec_id < 3 THEN 100 ELSE 200 END
+             |        AS BIGINT) AS query_id, vec_id AS qt, code
+             |      FROM codes WHERE vec_id < 6),
+             |ham AS (SELECT q.query_id, q.qt, c.vec_id AS nid,
+             |          bit_count(xor(q.code, c.code)) AS h
+             |        FROM q JOIN codes c ON c.vec_id <> q.qt),
+             |topr AS (SELECT query_id, qt, nid,
+             |           row_number() OVER (PARTITION BY qt
+             |             ORDER BY h, nid) AS rn
+             |         FROM ham),
+             |cd AS (SELECT DISTINCT query_id, nid // 8 AS doc_id
+             |       FROM topr WHERE rn <= 16),
+             |qv AS (SELECT CAST(CASE WHEN vec_id < 3 THEN 100 ELSE 200 END
+             |         AS BIGINT) AS query_id, vec_id AS qt, embedding
+             |       FROM embeddings WHERE vec_id < 6),
+             |dv AS (SELECT vec_id // 8 AS doc_id, embedding
+             |       FROM embeddings),
+             |pair AS (SELECT a.query_id, a.qt, b.doc_id,
+             |           CAST(floor($cosSql * 1e6) AS BIGINT) AS sim_ppm
+             |         FROM qv a
+             |         JOIN cd ON cd.query_id = a.query_id
+             |         JOIN dv b ON b.doc_id = cd.doc_id),
+             |mx AS (SELECT query_id, qt, doc_id, max(sim_ppm) AS mx
+             |       FROM pair GROUP BY query_id, qt, doc_id),
+             |sc AS (SELECT query_id, doc_id,
+             |         CAST(sum(mx) AS BIGINT) AS score_ppm
+             |       FROM mx GROUP BY query_id, doc_id),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |         ORDER BY score_ppm DESC, doc_id) AS rank FROM sc)
+             |SELECT query_id, doc_id, score_ppm, CAST(rank AS INTEGER)
+             |  AS rank
+             |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
     // ---- filtered ANN: metadata-predicated search from the saved index ---
     // The serving feature every vector store ships (Qdrant/pgvector
     // pre-filtering): nearest neighbors AMONG the vectors matching a
