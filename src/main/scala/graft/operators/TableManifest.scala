@@ -386,6 +386,38 @@ object TableManifest {
   def vacuum(spark: SparkSession, path: String, keep: Int = 2): Unit =
     IndexManifest.vacuum(spark, path, keep, payloadBase = "data")
 
+  /** One-call table maintenance — [[VectorIndex.maintain]]'s policy
+    * surface on data tables: fold the append log when it exceeds
+    * `maxBatches` partition dirs (read amplification and the per-batch
+    * listing bill both grow with the log), refresh the pruning
+    * artifacts the caller relies on (zone maps / Blooms — a compacted
+    * payload has none until refreshed; probes stay EXACT through the
+    * conservative fallbacks either way, maintenance only restores the
+    * fast path), and expire versions past `keepVersions`. Returns a
+    * 1-row report (batches_before, compacted, batches_after). */
+  def maintain(spark: SparkSession, path: String, maxBatches: Int = 16,
+      keepVersions: Int = 2, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, expectedPerBatch: Long = 1000000L,
+      schema: Option[StructType] = None): DataFrame = {
+    require(maxBatches >= 1 && keepVersions >= 1)
+    def batchCount: Int = payloadDir(spark, path) match {
+      case None => 0
+      case Some(d) => fs(spark, path)
+        .listStatus(new org.apache.hadoop.fs.Path(d))
+        .count(_.getPath.getName.startsWith("__batch="))
+    }
+    val before = batchCount
+    val compacted = before > maxBatches
+    if (compacted) compactBatches(spark, path, schema)
+    if (statsCols.nonEmpty) refreshZoneMaps(spark, path, statsCols, schema)
+    if (bloomCols.nonEmpty)
+      refreshBloomFilters(spark, path, bloomCols, expectedPerBatch,
+        schema = schema)
+    vacuum(spark, path, keepVersions)
+    spark.sql(s"SELECT ${before} AS batches_before, " +
+      s"$compacted AS compacted, ${batchCount} AS batches_after")
+  }
+
   // ---- zone maps: per-batch min/max stats → manifest-level skipping ----
   //
   // At 100 TB an append-log table is thousands of `__batch` partition

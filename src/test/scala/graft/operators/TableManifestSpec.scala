@@ -220,6 +220,39 @@ class TableManifestSpec extends AnyFunSuite {
   private def rows2(d: org.apache.spark.sql.DataFrame) =
     d.collect().map(_.toSeq.toVector).toVector.sortBy(_.toString)
 
+  test("maintain: folds a long append log, refreshes artifacts, keeps pins") {
+    val path = Files.createTempDirectory("tm_maintain").toString
+    import s.implicits._
+    TableManifest.commitSnapshot(
+      (0L until 100L).map(i => (i, i * 3)).toDF("id", "v"), path)
+    (1 to 8).foreach { b =>
+      TableManifest.append(
+        (100L * b until 100L * b + 100L).map(i => (i, i * 3))
+          .toDF("id", "v"), path)
+    }
+    val content = TableManifest.read(s, path).collect()
+      .map(_.toSeq.toVector).toVector.sortBy(_.toString)
+    // under the threshold: no fold
+    val r1 = TableManifest.maintain(s, path, maxBatches = 16,
+      keepVersions = 100).head()
+    assert(!r1.getAs[Boolean]("compacted") &&
+      r1.getAs[Int]("batches_after") == 9)
+    // over the threshold: fold + artifact refresh, content untouched,
+    // probes pruned and exact
+    val r2 = TableManifest.maintain(s, path, maxBatches = 4,
+      keepVersions = 2, statsCols = Seq("id"), bloomCols = Seq("id"),
+      expectedPerBatch = 2000L).head()
+    assert(r2.getAs[Boolean]("compacted") &&
+      r2.getAs[Int]("batches_before") == 9 &&
+      r2.getAs[Int]("batches_after") == 1)
+    assert(TableManifest.read(s, path).collect()
+      .map(_.toSeq.toVector).toVector.sortBy(_.toString) == content)
+    assert(TableManifest.countRows(s, path) == 900L)
+    assert(TableManifest.readPoint(s, path, "id", Seq(450L)).count() == 1)
+    assert(TableManifest.readRange(s, path, Seq(("id", 100L, 150L)))
+      .count() == 51)
+  }
+
   test("a zero-row snapshot reads back empty under an explicit schema") {
     val path = Files.createTempDirectory("tm_empty").toString
     val schema = StructType(Seq.empty)
