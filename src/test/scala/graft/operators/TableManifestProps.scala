@@ -62,6 +62,11 @@ class TableManifestProps extends AnyFunSuite {
           TableManifest.compactBatches(s, path)
           val v = TableManifest.versions(s, path).max
           model += v -> cur
+        } else if (opRoll < 9) { // DELETE WHERE (a residue class of ids)
+          val res = rnd.nextInt(7)
+          val v = TableManifest.deleteWhere(s, path,
+            col("id") % 7 === res)
+          model += v -> cur.filter { case ((id, _), _) => id % 7 != res }
         } else { // optimize: content no-op, new version
           val v = TableManifest.optimize(s, path, Seq("id"), files = 4,
             statsCols = Seq("id"))
