@@ -267,6 +267,14 @@ object TableManifest {
     } else {
       val a = readAt(spark, path, fromVersion, schema)
       val b = readAt(spark, path, toVersion, schema)
+      // a replacement that EVOLVED the schema has no row-level diff
+      // (exceptAll would throw a shape error deep in analysis) — fail
+      // with the actual situation and the way out
+      require(a.columns.toSeq == b.columns.toSeq,
+        s"schema changed between versions $fromVersion " +
+          s"(${a.columns.mkString(",")}) and $toVersion " +
+          s"(${b.columns.mkString(",")}) — a cross-schema feed is " +
+          "undefined; consumers re-baseline from the new snapshot")
       b.exceptAll(a).withColumn("_change_type", lit("insert"))
         .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
     }

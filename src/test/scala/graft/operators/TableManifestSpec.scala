@@ -168,6 +168,15 @@ class TableManifestSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TableManifest.readChanges(s, path, v3, v0)
     }
+    // a schema-evolving replacement has no row-level diff: fail with the
+    // situation named, not an analysis error from inside exceptAll
+    import s.implicits._
+    val v4 = TableManifest.commitSnapshot(
+      Seq((1L, "a", 9L)).toDF("id", "v", "extra"), path)
+    val e = intercept[IllegalArgumentException] {
+      TableManifest.readChanges(s, path, v3, v4)
+    }
+    assert(e.getMessage.contains("schema changed"))
   }
 
   test("optimize: content-preserving rewrite that makes zone maps bite") {
