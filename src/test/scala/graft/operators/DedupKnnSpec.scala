@@ -352,4 +352,45 @@ class DedupKnnSpec extends AnyFunSuite {
     }.sum / brute.size
     assert(recall >= 0.5, s"coarse recall collapsed: $recall")
   }
+
+  test("coarse MaxSim serving seams: standing codes and projections " +
+    "change nothing but the cost") {
+    val emb = Tables.embeddings(spark, sf)
+    val docVecs = emb.select(col("vec_id"),
+      expr("vec_id DIV 8").as("doc_id"), col("embedding"))
+    val qVecs = emb.filter(col("vec_id") < 6)
+      .select(when(col("vec_id") < 3, lit(100L)).otherwise(lit(200L))
+          .as("query_id"),
+        col("vec_id").as("qt"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(_.toSeq.toVector).toVector
+    val inline = rows(Knn.maxSimTopKCoarse(docVecs, "vec_id", "doc_id",
+      "embedding", qVecs, "query_id", "qt", "embedding", k = 10,
+      rPerToken = 24))
+    // the standing-index seam: the same thresholds + a precomputed code
+    // table must serve byte-identical results
+    val thr = BinaryQuant.fitThresholds(docVecs, "embedding")
+      .localCheckpoint(true)
+    val codes = BinaryQuant.withCode(
+        docVecs.select(col("vec_id"), col("doc_id"), col("embedding")),
+        "embedding", thr)
+      .select(col("vec_id"), col("doc_id"), col("code"))
+      .localCheckpoint(true)
+    val standing = rows(Knn.maxSimTopKCoarse(docVecs, "vec_id", "doc_id",
+      "embedding", qVecs, "query_id", "qt", "embedding", k = 10,
+      rPerToken = 24, thresholds = Some(thr), codes = Some(codes)))
+    assert(standing == inline,
+      "standing codes must serve exactly the inline-coded result")
+    // the projection seam: coding a projection that IS the vector is the
+    // identity — same candidates, same rerank, same rows
+    val projected = rows(Knn.maxSimTopKCoarse(
+      docVecs.withColumn("proj", col("embedding")), "vec_id", "doc_id",
+      "embedding",
+      qVecs.withColumn("proj", col("embedding")), "query_id", "qt",
+      "embedding", k = 10, rPerToken = 24,
+      projCols = Some(("proj", "proj"))))
+    assert(projected == inline,
+      "an identity projection must change nothing")
+  }
 }
