@@ -1,7 +1,6 @@
 package graft
 
-import graft.operators.{IncrementalAgg, SearchIndex, TableManifest,
-  VectorIndex}
+import graft.operators.{IncrementalAgg, SearchIndex, TableManifest}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
