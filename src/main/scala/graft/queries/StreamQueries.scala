@@ -326,6 +326,58 @@ object StreamQueries {
              |FROM events GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
+    // ---- streaming CDF-driven index sync -----------------------------------
+    // The index-maintenance capstone: each micro-batch lands in the
+    // manifest table (exactly-once under the batchId key) and
+    // SearchIndex.syncFromTable folds that batch's change feed into the
+    // standing index — the index follows the stream without a rebuild,
+    // and a replayed batch's feed is EMPTY by the same version
+    // arithmetic that makes q_stream_ivm exactly-once. The final index
+    // must rank exactly what a from-scratch build over everything
+    // streamed would (the documents table, replayed by the oracle).
+    Q("q_stream_index_sync",
+      (s, dir) => {
+        import graft.operators.{SearchIndex, TableManifest}
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_stream_isync").toString
+        val (tPath, iPath) = (s"$base/table", s"$base/index")
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        // seed: an empty table + an index over it, BEFORE the stream
+        // (the zero-row payload is footerless — reads need the schema)
+        TableManifest.commitSnapshot(docs.limit(0), tPath)
+        SearchIndex.build(
+          TableManifest.read(s, tPath, Some(docs.schema)),
+          "doc_id", "text", iPath)
+        var lastV = TableManifest.versions(s, tPath).last
+        val srcDir = java.nio.file.Files
+          .createTempDirectory("graft_stream_isync_src").toString
+        docs.coalesce(1).write.mode("append").parquet(srcDir)
+        val schema = docs.schema
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir)
+            .writeStream.foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  batchId: Long) =>
+                TableManifest.append(
+                  batch.select(col("doc_id"), col("text")), tPath,
+                  batchId = Some(batchId))
+                val v = TableManifest.versions(s, tPath).last
+                SearchIndex.syncFromTable(s, tPath, iPath, lastV, v,
+                  "doc_id", "text")
+                lastV = v
+                ()
+            }.start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        SearchIndex.bm25(s, iPath, SearchQueries.QueryTerms, 20)
+          .orderBy(col("score_ppm").desc, col("doc_id"))
+      },
+      Some(s"""WITH ${SearchQueries.bm25CtesFor("documents")}
+              |SELECT doc_id, score_ppm, n_terms
+              |FROM bm ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin)),
+
     // ---- merge-on-read streaming upsert -----------------------------------
     // The SCALE shape of the keyed upsert sink. q_stream_foreach_upsert
     // is copy-on-write: each micro-batch commits a full merged snapshot
