@@ -72,7 +72,7 @@ object LakehousePipeline {
 
     // stage 3: a mutation cycle — GDPR-style erasure plus a fresh drop
     val vDel = TableManifest.deleteWhere(spark, tPath,
-      col("doc_id") % 17 === 0)
+      "doc_id % 17 = 0")
     val vNew = TableManifest.append(
       docs.filter(col("doc_id") % 11 === 0)
         .withColumn("doc_id", col("doc_id") + 100000L), tPath)

@@ -80,6 +80,22 @@ private[operators] object IndexManifest {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Rename that CLAIMS `dst`: returns false when dst was already taken.
+    * Hadoop's `FileSystem.rename(src, dst)` with an existing dst
+    * DIRECTORY moves src INSIDE dst and returns true — a racing claimer
+    * would silently nest its (hidden, dot-named) staging dir inside the
+    * winner's and lose its rows. Every claim in this layer stages under
+    * a UUID-unique name, so the nesting is detected exactly and backed
+    * out: the loser retries at the next number, nobody's data moves. */
+  private[operators] def renameExclusive(
+      f: org.apache.hadoop.fs.FileSystem, src: Path, dst: Path): Boolean = {
+    if (f.exists(dst)) return false
+    if (!f.rename(src, dst)) return false
+    val nested = new Path(dst, src.getName)
+    if (f.exists(nested)) { f.rename(nested, src); false }
+    else true
+  }
+
   /** All committed versions, ascending; empty = legacy layout. */
   def committedVersions(spark: SparkSession, path: String): Seq[Long] = {
     val dir = new Path(s"$path/manifest")
@@ -261,11 +277,19 @@ private[operators] object IndexManifest {
     f.mkdirs(new Path(s"$path/manifest"))
     val dst = new Path(s"$path/manifest/v$version")
     if (f.exists(dst)) return false
-    val tmp = new Path(s"$path/manifest/.v${version}_tmp")
+    // the tmp name is unique PER ATTEMPT: two committers racing the same
+    // version number must never share a staging file (the winner's
+    // rename would yank it from under the loser's in-flight create)
+    val tmp = new Path(
+      s"$path/manifest/.v${version}_${java.util.UUID.randomUUID}_tmp")
     val out = f.create(tmp, true)
     try out.writeBytes(watermark.toString) finally out.close()
     if (f.exists(dst)) { f.delete(tmp, false); false }
-    else f.rename(tmp, dst)
+    else {
+      val won = f.rename(tmp, dst)
+      if (!won) f.delete(tmp, false) // lost between check and rename
+      won
+    }
   }
 
   /** Commit `version`, asserting the number was free — build-path use
@@ -289,12 +313,27 @@ private[operators] object IndexManifest {
     * would fall back to a legacy path that never existed. Never touches
     * the current version; no-op on legacy layouts. */
   def vacuum(spark: SparkSession, path: String, keep: Int,
-      payloadBase: String = "codes"): Unit = {
+      payloadBase: String = "codes", retainMs: Long = 0L): Unit = {
     require(keep >= 1)
     val f = fs(spark, path)
     val vs = committedVersions(spark, path)
     if (vs.isEmpty) return
-    val keepSet = vs.takeRight(keep)
+    // retention horizon (the Delta RETAIN rule): a version COMMITTED
+    // inside the last `retainMs` is never reclaimed regardless of `keep`,
+    // so a long-running reader pinned to a recent version cannot have its
+    // files deleted mid-query — commit time is the marker's mtime, the
+    // one clock the filesystem already keeps
+    val keepSet =
+      if (retainMs <= 0L) vs.takeRight(keep)
+      else {
+        val floor = System.currentTimeMillis() - retainMs
+        val recent = vs.filter { v =>
+          scala.util.Try(
+            f.getFileStatus(new Path(s"$path/manifest/v$v"))
+              .getModificationTime >= floor).getOrElse(true)
+        }
+        (vs.takeRight(keep) ++ recent).distinct.sorted
+      }
     val cutoff = payloadVersionAt(spark, path, keepSet.min, payloadBase)
       .getOrElse(keepSet.min)
     // geometry survivors first: per `<base>_v<N>` family (anything that

@@ -603,7 +603,9 @@ object Knn {
     * the rerank arithmetic is the oracle-gated [[maxSimTopK]] verbatim,
     * so candidates are the ONLY approximation. `docVecs` needs a unique
     * per-VECTOR id (`vecIdCol`) for deterministic coarse tie-breaks
-    * alongside the doc grouping id. */
+    * alongside the doc grouping id; `qtokCol` needs uniqueness only
+    * WITHIN a query (per-query token positions are fine — probes key by
+    * array position, and every query-side join carries `query_id`). */
   def maxSimTopKCoarse(docVecs: DataFrame, vecIdCol: String,
       docIdCol: String, vecCol: String, queryVecs: DataFrame,
       queryIdCol: String, qtokCol: String, qvecCol: String, k: Int,
@@ -647,11 +649,26 @@ object Knn {
       queryVecs.select(col(queryIdCol).cast("long").as("query_id"),
         col(qtokCol).cast("long").as("__qt"), col(qProj).as("__qp")),
       "__qp", thr)
+    // full vectors rejoin on (query_id, __qt) — token ids only need to
+    // be unique WITHIN a query (the maxSimTopK contract), never across
+    // queries: a per-query token position 0..n is a legal qtokCol
     val qCoded = qCoded0.join(
-      queryVecs.select(col(qtokCol).cast("long").as("__qt"),
-        col(qvecCol).as("__qv")), Seq("__qt"))
-    val qArr = qCoded.select(col("__qt"), col("code")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      queryVecs.select(col(queryIdCol).cast("long").as("query_id"),
+        col(qtokCol).cast("long").as("__qt"), col(qvecCol).as("__qv")),
+      Seq("query_id", "__qt"))
+    // the coarse stage keys each probe by its POSITION in the collected
+    // probe array (globally unique by construction), then maps survivors
+    // back to (query_id) — duplicate token ids across queries can never
+    // cross-wire candidates or vectors between queries
+    val qRows = qCoded.select(col("query_id"), col("__qt"), col("code"))
+      .collect()
+    val qArr = qRows.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getLong(2)) }
+    val sparkQ = docVecs.sparkSession
+    import sparkQ.implicits._
+    val probeOwner = broadcast(qRows.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getLong(0)) }.toSeq
+      .toDF("__probe", "query_id"))
     // per-token coarse candidates over VECTORS, folded to candidate DOCS
     // per query (tokens belong to queries; the union is the rerank set)
     // the candidate set is ≤ tokens·r rows but sits behind a
@@ -660,9 +677,8 @@ object Knn {
     // corpus (measured: the wide-vector shuffle tripled the whole search)
     val cand = broadcast(BinaryQuant
       .coarseHammingTopR(coded, "__vid", qArr, rPerToken)
-      .withColumnRenamed("query_id", "__qt")
-      .join(broadcast(qCoded.select(col("query_id"), col("__qt"))),
-        Seq("__qt"))
+      .withColumnRenamed("query_id", "__probe")
+      .join(probeOwner, Seq("__probe"))
       .select(col("query_id"), col("neighbor_id")))
     val candDocs = broadcast(
       coded.select(col("__vid").as("neighbor_id"), col("doc_id"))

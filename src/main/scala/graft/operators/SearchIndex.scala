@@ -375,12 +375,35 @@ object SearchIndex {
     * watermark, minus the pending-deleted docs; exact live aggregate
     * when no artifact exists for that payload. */
   private def statsResolved(spark: SparkSession, path: String,
-      r: IndexManifest.Resolved, version: Long, live: DataFrame): DataFrame =
+      r: IndexManifest.Resolved, version: Long, live: DataFrame): DataFrame = {
+    def liveExact = live.filter(col("token") === DlToken)
+      .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_dl"))
+    // completeness guard (the trustedTstats rule, applied to scoring
+    // stats too): writeCodes commits the append's version BEFORE the
+    // batch's stats row lands, so a crash in between leaves a committed
+    // batch whose postings are live but absent from the artifact —
+    // trusting it would silently undercount N and Σdl forever. Both
+    // artifacts are `__batch`-partitioned, so the check is two shallow
+    // dir listings, no row read.
+    def batchDirsOf(dir: String): Option[Set[Long]] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else Some(fs.listStatus(p).map(_.getPath.getName)
+        .collect { case n if n.startsWith("__batch=") =>
+          n.stripPrefix("__batch=").toLong }.toSet)
+    }
     r.payloadAt(version)
-      .filter(pv => r.disk.getOrElse("stats", Nil).contains(pv)) match {
-      case None =>
-        live.filter(col("token") === DlToken)
-          .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_dl"))
+      .filter(pv => r.disk.getOrElse("stats", Nil).contains(pv))
+      .filter { pv =>
+        val wm = IndexManifest.watermarkAt(spark, path, version)
+        (batchDirsOf(s"$path/codes_v$pv"), batchDirsOf(s"$path/stats_v$pv"))
+          match {
+          case (Some(pb), Some(sb)) => pb.filter(_ <= wm).subsetOf(sb)
+          case _ => false
+        }
+      } match {
+      case None => liveExact
       case Some(pv) =>
         val wm = IndexManifest.watermarkAt(spark, path, version)
         val base = spark.read.schema(StatsSchema).parquet(s"$path/stats_v$pv")
@@ -401,6 +424,7 @@ object SearchIndex {
               (col("sum_dl") - col("__ddl")).as("sum_dl"))
         }
     }
+  }
 
   /** Boolean retrieval over the live index: documents containing ALL of
     * `must`, at least one of `should` (ignored when empty), and NONE of
@@ -755,10 +779,24 @@ object SearchIndex {
     // decreasing in df, stays an upper bound; max_tf / min_dl only
     // shrink / grow under deletes, so they stay valid bound inputs
     val pending = segTombstones(spark, path, r, cur).count()
-    def idfPpm(df: Long): Long = (2 * n - 2 * df + 1) * 1000000L /
-      (2 * df + 1)
-    def tfPpm(tf: Long, dl: Long): Long = 44 * tf * s * 1000000L /
-      (20 * tf * s + 6 * s + 18 * dl * n)
+    // the bound is computed in DOUBLE, not the scorer's Long arithmetic:
+    // the Long form (44·tf·s·10⁶ / …) overflows once Σdl reaches ~1e12
+    // (the 10B-doc corpus this module targets) and a wrapped-negative
+    // bound would silently prune REAL top-k docs. An upper bound only
+    // has to stay ≥ the true value, so double + a 1e-9 relative
+    // inflation + ceil dominates double rounding error, and the scorer's
+    // floor-division score is ≤ the true rational it approximates —
+    // UB ≥ score holds at every corpus size; non-finite/overflow and
+    // negative results clamp to the safe side (MaxValue / 0).
+    def ubPpm(df: Long, tf: Long, dl: Long): Long = {
+      val idf = (2.0 * n - 2.0 * df + 1.0) / (2.0 * df + 1.0)
+      val tfSat = 44.0 * tf * s /
+        (20.0 * tf * s + 6.0 * s + 18.0 * dl * n)
+      val ub = idf * tfSat * 1000000.0 * (1.0 + 1e-9) + 1.0
+      if (!java.lang.Double.isFinite(ub) || ub >= Long.MaxValue.toDouble)
+        Long.MaxValue
+      else math.max(0L, math.ceil(ub).toLong)
+    }
     Some(TermBounds(
       tstats.filter(col("token").isin(qts: _*))
         .groupBy(col("token"))
@@ -766,8 +804,8 @@ object SearchIndex {
           min(col("min_dl")).as("mdl"))
         .collect()
         .map(r0 => r0.getString(0) ->
-          (idfPpm(math.max(1L, r0.getLong(1) - pending)) *
-            tfPpm(r0.getLong(2), math.max(1L, r0.getLong(3))) / 1000000L))
+          ubPpm(math.max(1L, r0.getLong(1) - pending),
+            r0.getLong(2), math.max(1L, r0.getLong(3))))
         .toMap,
       pending, tstats))
   }

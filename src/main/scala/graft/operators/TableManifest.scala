@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -8,14 +8,16 @@ import org.apache.spark.sql.types.StructType
   * mechanism for the whole storage surface, instead of the ad-hoc
   * staged-write+rename the warehouse appends and the streaming upsert
   * sink previously managed by hand. Layout (the [[IndexManifest]] rules
-  * with payload base `data`, no tombstones, no geometry):
+  * with payload base `data`):
   *
   *   path/manifest/v<N>   committed markers; body = append watermark
   *   path/data_v<P>       a payload version (snapshot commits write one;
   *                        appends add `__batch=<id>` partitions to the
   *                        current one)
+  *   path/deletes_v<D>    a DELETE version's segment: one predicate row
+  *                        (pred SQL + the watermark it was scoped to)
   *
-  * Two mutation shapes, both one-marker atomic:
+  * Three mutation shapes, all one-marker atomic:
   *
   *  - [[commitSnapshot]] — REPLACE the table (the MERGE/upsert sink
   *    shape): the new snapshot is written COMPLETELY under the next
@@ -27,29 +29,60 @@ import org.apache.spark.sql.types.StructType
   *    its own `__batch` partition of the CURRENT payload and the marker
   *    carries the new watermark. Keyed appends (a streaming `batchId`)
   *    overwrite their own partition on replay — exactly-once, the
-  *    [[VectorIndex]] contract verbatim.
+  *    [[VectorIndex]] contract; a keyed replay whose partition was since
+  *    FOLDED by compaction/optimize is detected against the carried
+  *    watermark and no-ops (its rows already live in the snapshot).
+  *    UNKEYED appends claim their partition id by rename, so concurrent
+  *    unkeyed appenders both land on distinct batches.
+  *  - [[deleteWhere]] — merge-on-read DELETE: one predicate-tombstone
+  *    SEGMENT (O(1) bytes, match-count-independent) committed as its own
+  *    version; reads mask rows that match a live segment's predicate AND
+  *    were visible at delete time (`__batch` at-or-below the segment's
+  *    scoped watermark — point-in-time DELETE semantics: later appends
+  *    matching the predicate are NOT affected, exactly as a CoW DELETE
+  *    would have behaved). [[compactBatches]]/[[maintain]] fold pending
+  *    segments into a fresh snapshot (the physical erasure a GDPR
+  *    retention sweep completes with [[vacuum]]).
   *
-  * Reads: [[read]] serves the current version; [[readAt]] is VERSION AS
-  * OF — the newest payload at-or-below the pinned version, restricted to
-  * `__batch` partitions at-or-below its watermark, so a pinned view is
-  * IMMUTABLE under later appends and snapshot replacements (later
-  * appends land above the watermark, later snapshots under higher
-  * payload numbers). [[IndexManifest.vacuum]] reclaims old versions
-  * unchanged: table payloads fall under its newest-at-or-below-cutoff
-  * artifact rule, which is exactly the payload-retention a pinned
-  * version needs.
+  * `__batch` keyspace discipline (replay safety): streaming batchIds are
+  * `>= 0`; snapshot commits stamp `-1`; [[optimize]] stamps its clustered
+  * partitions at `-(p+2)` — NEGATIVE, outside the batchId keyspace — and
+  * every snapshot-shaped commit CARRIES the append watermark forward in
+  * its marker, so a replayed streaming batch after a fold can neither
+  * dynamic-overwrite an unrelated clustered partition nor re-insert rows
+  * the fold already owns.
   *
-  * Single logical writer per table path (the warehouse/sink contract, as
-  * for index builds); commits go through the optimistic [[IndexManifest
-  * .tryCommit]] loop, so even racing committers serialize rather than
-  * corrupt. Schemas: pass `schema` to keep zero-row snapshots readable
-  * (an empty table writes no parquet footers).
+  * Reads: [[read]] serves the current version — payload batches at-or-
+  * below the current watermark (an in-flight claimed-but-uncommitted
+  * concurrent batch, or one orphaned by a crash mid-append, is never
+  * visible), minus live delete segments; [[readAt]] is VERSION AS OF —
+  * the newest payload at-or-below the pinned version, batches at-or-below
+  * its watermark, minus segments at-or-below it — so a pinned view is
+  * IMMUTABLE under later appends, deletes, AND snapshot replacements.
+  * [[IndexManifest.vacuum]] reclaims old versions (with an optional
+  * retention horizon a long-running pinned reader hides behind).
+  *
+  * Writer contract: concurrent UNKEYED appenders and racing snapshot
+  * committers serialize safely (rename-claimed batch dirs, optimistic
+  * [[IndexManifest.tryCommit]]); keyed appends assume one stream per
+  * table (the ids share one keyspace); compaction/optimize/maintain
+  * assume a quiescent single maintenance actor (an append racing a fold
+  * could land its batch in the superseded payload). Schemas: pass
+  * `schema` to keep zero-row snapshots readable and to read evolved
+  * tables under one explicit shape (absent columns null-pad — the scale
+  * path); `mergeSchema = true` unions the batch schemas instead (a
+  * footer sweep — the convenience path).
   */
 object TableManifest {
 
   private def fs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def renameExclusive(f: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    IndexManifest.renameExclusive(f, src, dst)
 
   private def payloadVersion(spark: SparkSession,
       path: String): Option[Long] =
@@ -61,36 +94,69 @@ object TableManifest {
   private def payloadDir(spark: SparkSession, path: String): Option[String] =
     payloadVersion(spark, path).map(p => s"$path/data_v$p")
 
+  /** Append watermark of composite `version` (the highest streaming
+    * `__batch` id ever applied at-or-before it). Markers from before
+    * watermarks read as the payload's own max batch id. */
+  private def watermarkOf(spark: SparkSession, path: String,
+      version: Long): Long = {
+    val wm = IndexManifest.watermarkAt(spark, path, version)
+    if (wm != Long.MaxValue) wm
+    else payloadDir(spark, path)
+      .map(d => VectorIndex.nextBatchId(spark, d) - 1L).getOrElse(-1L)
+  }
+
+  /** Watermark carried by the CURRENT version; -1 on a fresh path. */
+  private def currentWatermark(spark: SparkSession, path: String): Long =
+    IndexManifest.currentVersion(spark, path)
+      .map(v => watermarkOf(spark, path, v)).getOrElse(-1L)
+
+  // ---- payload reads (internal): schema'd / merged / plain ---------------
+
+  private def payloadRead(spark: SparkSession, dir: String,
+      schema: Option[StructType], mergeSchema: Boolean,
+      basePath: Option[String] = None, parts: Seq[String] = Nil): DataFrame = {
+    val r0 = spark.read
+    val r1 = basePath.fold(r0)(b => r0.option("basePath", b))
+    val r2 = if (mergeSchema && schema.isEmpty)
+      r1.option("mergeSchema", "true") else r1
+    val r3 = schema.fold(r2)(s => r2.schema(s.add("__batch", "long")))
+    if (parts.isEmpty) r3.parquet(dir) else r3.parquet(parts: _*)
+  }
+
   /** Write `df` as the table's NEXT complete snapshot and publish it with
     * one marker. The payload lands in a UNIQUE hidden dir first and is
     * renamed per commit attempt (the [[VectorIndex.deleteIds]] pattern),
     * so even RACING snapshot committers never write into one directory —
-    * each lands completely on its own version number. Returns the
-    * committed version. */
+    * each lands completely on its own version number. The previous
+    * version's append watermark is CARRIED FORWARD (replay safety: a
+    * streaming batch at-or-below it no-ops instead of re-inserting rows
+    * the snapshot already owns). Returns the committed version. */
   def commitSnapshot(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession
     val tmp = new org.apache.hadoop.fs.Path(
       s"$path/.data_pending_${java.util.UUID.randomUUID}")
     df.withColumn("__batch", lit(-1L))
       .write.partitionBy("__batch").mode("overwrite").parquet(tmp.toString)
-    commitPayloadDir(spark, path, tmp, watermark = -1L)
+    commitPayloadDir(spark, path, tmp)
   }
 
   /** Publish an already-written (batch-partitioned) payload dir as the
-    * table's next version: rename per attempt, marker with `watermark`.
-    * The [[commitSnapshot]] loop, shared with [[optimize]]. */
+    * table's next version: rename per attempt, marker carrying the
+    * watermark forward. The [[commitSnapshot]] loop, shared with
+    * [[optimize]]. */
   private def commitPayloadDir(spark: SparkSession, path: String,
-      tmp: org.apache.hadoop.fs.Path, watermark: Long): Long = {
+      tmp: org.apache.hadoop.fs.Path): Long = {
     val f = fs(spark, path)
     var v = -1L
     var committed = false
     while (!committed) {
       v = IndexManifest.nextMutationVersion(spark, path)
       val dst = new org.apache.hadoop.fs.Path(s"$path/data_v$v")
-      // rename refuses an existing dst: a racing committer at the same
+      // the claim refuses an existing dst: a racing committer at the same
       // number makes us spin until its marker lands, then retry above it
-      if (f.rename(tmp, dst)) {
-        committed = IndexManifest.tryCommit(spark, path, v, watermark)
+      if (renameExclusive(f, tmp, dst)) {
+        committed = IndexManifest.tryCommit(spark, path, v,
+          currentWatermark(spark, path))
         if (!committed) f.rename(dst, tmp) // lost the marker race: retry
       }
     }
@@ -100,14 +166,16 @@ object TableManifest {
   /** OPTIMIZE (CLUSTER BY): rewrite the live table as ONE range-clustered
     * snapshot commit — rows unchanged as a multiset (the oracle hash),
     * only layout changes. Each of the `files` range partitions lands as
-    * its OWN `__batch` partition dir, so the zone-map layer
-    * ([[readRange]]) prunes at LISTING level across the clustered key —
-    * the unsorted table's range probe reads every batch, the optimized
-    * one reads the overlapping buckets — and parquet's native row-group
-    * stats sharpen inside each file. One column clusters by sampled
-    * range (distribution-adaptive, no global sort); two columns Z-order
-    * on [[ZOrder.interleave]]d `width_bucket` ranks (16 bits/dim over
-    * the columns' min–max — the uniform-bucket approximation of rank
+    * its OWN `__batch` partition dir — stamped NEGATIVE (`-(p+2)`),
+    * outside the streaming batchId keyspace, so a replayed stream batch
+    * can never dynamic-overwrite a clustered partition — and the zone-map
+    * layer ([[readRange]]) prunes at LISTING level across the clustered
+    * key: the unsorted table's range probe reads every batch, the
+    * optimized one reads the overlapping buckets — and parquet's native
+    * row-group stats sharpen inside each file. One column clusters by
+    * sampled range (distribution-adaptive, no global sort); two columns
+    * Z-order on [[ZOrder.interleave]]d `width_bucket` ranks (16 bits/dim
+    * over the columns' min–max — the uniform-bucket approximation of rank
     * z-values; both columns must be numeric). Readers keep serving the
     * previous version until the one commit marker lands; pre-optimize
     * pins stay readable until vacuum. Refreshes zone maps for
@@ -144,17 +212,21 @@ object TableManifest {
     val tmp = new org.apache.hadoop.fs.Path(
       s"$path/.data_pending_${java.util.UUID.randomUUID}")
     clustered
-      .withColumn("__batch", spark_partition_id().cast("long"))
+      .withColumn("__batch", lit(-2L) - spark_partition_id().cast("long"))
       .write.partitionBy("__batch").mode("overwrite").parquet(tmp.toString)
-    val wm = VectorIndex.nextBatchId(spark, tmp.toString) - 1L
-    val v = commitPayloadDir(spark, path, tmp, wm)
+    val v = commitPayloadDir(spark, path, tmp)
     if (statsCols.nonEmpty) refreshZoneMaps(spark, path, statsCols)
     v
   }
 
   /** Append `df` as a `__batch` partition of the current payload and
     * commit the next version with the advanced watermark. Pass the
-    * streaming `batchId` for exactly-once replay. Returns the committed
+    * streaming `batchId` for exactly-once replay: a replayed id whose
+    * partition still exists overwrites itself; one at-or-below the
+    * watermark whose partition was FOLDED (compaction/optimize) no-ops —
+    * its rows already live in the snapshot, re-inserting would duplicate
+    * them. Unkeyed appends claim a fresh partition id by rename (safe
+    * under concurrent unkeyed appenders). Returns the committed
     * version. */
   def append(df: DataFrame, path: String,
       batchId: Option[Long] = None): Long = {
@@ -162,54 +234,197 @@ object TableManifest {
     require(IndexManifest.currentVersion(spark, path).isDefined,
       s"append into $path requires an initial commitSnapshot")
     val dir = payloadDir(spark, path).get
-    val batch = batchId.getOrElse(VectorIndex.nextBatchId(spark, dir))
-    df.withColumn("__batch", lit(batch))
-      .write.partitionBy("__batch")
-      .mode(if (batchId.isDefined) "overwrite" else "append")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(dir)
+    val f = fs(spark, path)
+    val carried = currentWatermark(spark, path)
+    val batch: Long = batchId match {
+      case Some(b) =>
+        require(b >= 0L, s"streaming batchIds are >= 0, got $b " +
+          "(negative ids are the snapshot/optimize keyspace)")
+        val pdir = new org.apache.hadoop.fs.Path(s"$dir/__batch=$b")
+        if (b <= carried && !f.exists(pdir))
+          // replay of a batch the fold already owns: exactly-once no-op
+          return IndexManifest.currentVersion(spark, path).get
+        df.withColumn("__batch", lit(b))
+          .write.partitionBy("__batch").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(dir)
+        b
+      case None =>
+        // multi-writer safe: the drop is written ONCE to a pending dir,
+        // then a free partition id is CLAIMED by rename (rename refuses
+        // an existing dst — the loser re-reads and claims the next id).
+        // Ids start past the carried watermark so a fold never makes an
+        // unkeyed append reuse a replayable streaming id.
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$path/.batch_pending_${java.util.UUID.randomUUID}")
+        df.write.mode("overwrite").parquet(tmp.toString)
+        var b = -1L
+        var claimed = false
+        var tries = 0
+        while (!claimed) {
+          b = math.max(VectorIndex.nextBatchId(spark, dir),
+            currentWatermark(spark, path) + 1L)
+          claimed = renameExclusive(f, tmp,
+            new org.apache.hadoop.fs.Path(s"$dir/__batch=$b"))
+          if (!claimed) {
+            tries += 1
+            require(tries < 1000,
+              s"could not claim a batch partition under $dir " +
+                s"(last attempt __batch=$b) — filesystem rename failing?")
+            Thread.sleep(5)
+          }
+        }
+        b
+    }
     var v = -1L
     var committed = false
     while (!committed) {
       v = IndexManifest.nextMutationVersion(spark, path)
       committed = IndexManifest.tryCommit(spark, path, v,
-        VectorIndex.nextBatchId(spark, dir) - 1L)
+        math.max(currentWatermark(spark, path), batch))
     }
     v
   }
 
-  /** The current live table. `schema` keeps a zero-row snapshot readable
-    * (footerless dir); include `__batch LONG` is NOT needed — it is
-    * appended internally. */
-  def read(spark: SparkSession, path: String,
-      schema: Option[StructType] = None): DataFrame = {
-    val dir = payloadDir(spark, path).getOrElse(
-      sys.error(s"no committed table at $path"))
-    val base = schema match {
-      case Some(s) =>
-        spark.read.schema(s.add("__batch", "long")).parquet(dir)
-      case None => spark.read.parquet(dir)
-    }
-    base.drop("__batch")
+  // ---- delete segments: predicate tombstones, masked at read -------------
+
+  private val DeleteSchema = "pred STRING, wm LONG"
+
+  /** Committed delete-segment versions masking composite `version`:
+    * payload(version) < D <= version (segments at-or-below the payload
+    * were folded into it). */
+  private def deleteSegmentsAt(spark: SparkSession, path: String,
+      version: Long): Seq[Long] = {
+    val p = IndexManifest.payloadVersionAt(spark, path, version, "data")
+      .getOrElse(-1L)
+    val committed = IndexManifest.committedVersions(spark, path).toSet
+    IndexManifest.diskVersions(spark, path, "deletes")
+      .filter(d => d > p && d <= version && committed.contains(d))
   }
 
-  /** VERSION AS OF `version`: the newest payload at-or-below it, batches
-    * at-or-below its watermark — immutable once superseded. */
-  def readAt(spark: SparkSession, path: String, version: Long,
-      schema: Option[StructType] = None): DataFrame = {
-    require(IndexManifest.committedVersions(spark, path).contains(version),
-      s"version $version was never committed at $path")
+  /** The (predicate SQL, scoped watermark) rows of `segs` — O(#deletes)
+    * tiny rows, one driver read. */
+  private def deletePredsOf(spark: SparkSession, path: String,
+      segs: Seq[Long]): Seq[(String, Long)] =
+    if (segs.isEmpty) Nil
+    else spark.read.schema(DeleteSchema)
+      .parquet(segs.map(d => s"$path/deletes_v$d"): _*)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Mask `df` (which still carries `__batch`) against delete segments:
+    * a row is gone iff some segment's predicate matches it AND the row
+    * was visible when that delete ran (`__batch <= ` the segment's
+    * scoped watermark — point-in-time semantics; null predicate results
+    * never match, SQL DELETE semantics). */
+  private def maskDeletes(df: DataFrame,
+      preds: Seq[(String, Long)]): DataFrame =
+    preds.foldLeft(df) { case (d, (p, wm)) =>
+      d.filter(!(coalesce(expr(p), lit(false)) && col("__batch") <= wm))
+    }
+
+  /** Pending (unfolded) delete segments on the CURRENT version — what
+    * [[maintain]]'s fold policy and the metadata-count fallback check. */
+  def pendingDeletes(spark: SparkSession, path: String): Int =
+    IndexManifest.currentVersion(spark, path)
+      .map(v => deleteSegmentsAt(spark, path, v).size).getOrElse(0)
+
+  /** DELETE WHERE as a merge-on-read predicate tombstone: ONE segment row
+    * (the predicate SQL + the watermark it is scoped to) committed as its
+    * own version — O(1) bytes and seconds regardless of how many rows
+    * match or how big the table is (a no-match DELETE costs the same
+    * near-zero; the old full copy-on-write rewrite paid a complete table
+    * rewrite either way). Reads mask matching rows that were visible at
+    * delete time; later appends matching the predicate are unaffected
+    * (point-in-time semantics, identical to what the CoW rewrite
+    * produced). Readers pinned BELOW the delete version never see it;
+    * [[compactBatches]]/[[maintain]] fold segments into a physical
+    * rewrite, and [[vacuum]] completes the GDPR-style erasure. The
+    * predicate is analyzed against the current schema NOW — a bad
+    * predicate fails the DELETE, not every later read. Returns the
+    * committed version. */
+  def deleteWhere(spark: SparkSession, path: String, predicateSql: String,
+      schema: Option[StructType] = None): Long = {
+    require(IndexManifest.currentVersion(spark, path).isDefined,
+      s"no committed table at $path")
+    // analysis check: resolves columns, parses the SQL — fails loudly here
+    read(spark, path, schema).filter(expr(predicateSql)).schema
+    val f = fs(spark, path)
+    import spark.implicits._
+    val carried = currentWatermark(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/.deletes_pending_${java.util.UUID.randomUUID}")
+    Seq((predicateSql, carried)).toDF("pred", "wm")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    // strictly cur+1 CAS with rename-before-marker, the
+    // [[VectorIndex.deleteIds]] protocol: an uncommitted segment never
+    // sits at a number another mutation might commit
+    var committed = false
+    var d = -1L
+    var blockedAt = -1L
+    var blockedTries = 0
+    while (!committed) {
+      val cur = IndexManifest.currentVersion(spark, path).get
+      d = cur + 1
+      val seg = new org.apache.hadoop.fs.Path(s"$path/deletes_v$d")
+      if (renameExclusive(f, tmp, seg)) {
+        blockedAt = -1L; blockedTries = 0
+        committed = IndexManifest.tryCommit(spark, path, d,
+          currentWatermark(spark, path))
+        if (!committed) f.rename(seg, tmp) // lost the race: take it back
+      } else {
+        if (blockedAt == d) blockedTries += 1
+        else { blockedAt = d; blockedTries = 1 }
+        if (blockedTries > 100)
+          throw new IllegalStateException(
+            s"delete segment $seg blocks version $d with no marker " +
+              "arriving: a crashed deleteWhere likely left it orphaned " +
+              "— verify no delete is in flight, remove the directory, " +
+              "and retry")
+        Thread.sleep(20)
+      }
+    }
+    d
+  }
+
+  /** Resolved rows of composite `version` WITH the `__batch` column:
+    * payload batches at-or-below the watermark, delete segments masked.
+    * The one read everything public builds on. */
+  private def resolvedAt(spark: SparkSession, path: String, version: Long,
+      schema: Option[StructType], mergeSchema: Boolean): DataFrame = {
     val p = IndexManifest.payloadVersionAt(spark, path, version, "data")
     require(p.isDefined,
       s"version $version of $path has been vacuumed — raise vacuum(keep)")
-    val wm = IndexManifest.watermarkAt(spark, path, version)
-    val dir = s"$path/data_v${p.get}"
-    val base = schema match {
-      case Some(s) =>
-        spark.read.schema(s.add("__batch", "long")).parquet(dir)
-      case None => spark.read.parquet(dir)
-    }
-    base.filter(col("__batch") <= wm).drop("__batch")
+    val wm = watermarkOf(spark, path, version)
+    val base = payloadRead(spark, s"$path/data_v${p.get}", schema,
+      mergeSchema)
+    maskDeletes(base.filter(col("__batch") <= wm),
+      deletePredsOf(spark, path, deleteSegmentsAt(spark, path, version)))
+  }
+
+  /** The current live table: committed batches only (at-or-below the
+    * current watermark — a concurrent in-flight or crash-orphaned batch
+    * partition is invisible until its marker lands), minus live delete
+    * segments. `schema` keeps a zero-row snapshot readable and null-pads
+    * evolved history; `mergeSchema` unions batch schemas instead. */
+  def read(spark: SparkSession, path: String,
+      schema: Option[StructType] = None,
+      mergeSchema: Boolean = false): DataFrame = {
+    val v = IndexManifest.currentVersion(spark, path).getOrElse(
+      sys.error(s"no committed table at $path"))
+    resolvedAt(spark, path, v, schema, mergeSchema).drop("__batch")
+  }
+
+  /** VERSION AS OF `version`: the newest payload at-or-below it, batches
+    * at-or-below its watermark, delete segments at-or-below it —
+    * immutable once superseded (later appends land above the watermark,
+    * later deletes in higher segments, later snapshots under higher
+    * payload numbers). */
+  def readAt(spark: SparkSession, path: String, version: Long,
+      schema: Option[StructType] = None,
+      mergeSchema: Boolean = false): DataFrame = {
+    require(IndexManifest.committedVersions(spark, path).contains(version),
+      s"version $version was never committed at $path")
+    resolvedAt(spark, path, version, schema, mergeSchema).drop("__batch")
   }
 
   /** CHANGE DATA FEED between two committed versions — what downstream
@@ -219,11 +434,13 @@ object TableManifest {
     * the `from` snapshot reproduces the `to` snapshot as a multiset.
     * Two cost regimes, picked automatically:
     *
-    *  - same payload (the append-log case): changes are exactly the
-    *    `__batch` partitions in (wm_from, wm_to] — the scan is BUILT
-    *    from those dirs alone (the [[readRange]] listing discipline), so
-    *    the feed costs O(changed batches) however large the table is,
-    *    and contains only inserts;
+    *  - same payload (the append-log / MoR-delete case): inserts are
+    *    exactly the `__batch` partitions in (wm_from, wm_to] — the scan
+    *    is BUILT from those dirs alone (the [[readRange]] listing
+    *    discipline), masked by the window's delete segments (an insert
+    *    deleted within the window cancels out); deletes are the rows of
+    *    the from-view matching segments committed in the window —
+    *    match-proportional, never a table diff;
     *  - payload replaced ([[commitSnapshot]] — the upsert/merge case):
     *    a multiset content diff of the two snapshots (`exceptAll` both
     *    ways), O(table) — the honest price of replacement commits
@@ -243,9 +460,12 @@ object TableManifest {
       s"a version in [$fromVersion, $toVersion] of $path has been " +
         "vacuumed — raise vacuum(keep)")
     if (pF == pT) {
-      val wmF = IndexManifest.watermarkAt(spark, path, fromVersion)
-      val wmT = IndexManifest.watermarkAt(spark, path, toVersion)
+      val wmF = watermarkOf(spark, path, fromVersion)
+      val wmT = watermarkOf(spark, path, toVersion)
       val dir = s"$path/data_v${pT.get}"
+      val segsF = deleteSegmentsAt(spark, path, fromVersion).toSet
+      val segsT = deleteSegmentsAt(spark, path, toVersion)
+      val newSegs = segsT.filterNot(segsF)
       val survivors = fs(spark, path)
         .listStatus(new org.apache.hadoop.fs.Path(dir))
         .map(_.getPath.getName)
@@ -253,17 +473,31 @@ object TableManifest {
           n.stripPrefix("__batch=").toLong }
         .filter(b => b > wmF && b <= wmT)
         .map(b => s"$dir/__batch=$b")
-      if (survivors.isEmpty)
-        return readAt(spark, path, toVersion, schema)
-          .filter(lit(false))
-          .withColumn("_change_type", lit("insert"))
-      val base = schema match {
-        case Some(s) => spark.read.option("basePath", dir)
-          .schema(s.add("__batch", "long")).parquet(survivors.toSeq: _*)
-        case None =>
-          spark.read.option("basePath", dir).parquet(survivors.toSeq: _*)
+      val inserts =
+        if (survivors.isEmpty)
+          readAt(spark, path, toVersion, schema).filter(lit(false))
+        else
+          // masked by the TO-view's segments: a row appended then deleted
+          // inside the window never enters the feed (net zero)
+          maskDeletes(
+            payloadRead(spark, dir, schema, mergeSchema = false,
+              basePath = Some(dir), parts = survivors.toSeq),
+            deletePredsOf(spark, path, segsT)).drop("__batch")
+      val insertFeed = inserts.withColumn("_change_type", lit("insert"))
+      if (newSegs.isEmpty) insertFeed
+      else {
+        // deletes: from-view rows matching a window segment, scoped to
+        // that segment's watermark — match-proportional by construction
+        val preds = deletePredsOf(spark, path, newSegs)
+        val hitAny = preds.map { case (p, wm) =>
+          coalesce(expr(p), lit(false)) && col("__batch") <= wm
+        }.reduce(_ || _)
+        val deletes = resolvedAt(spark, path, fromVersion, schema,
+            mergeSchema = false)
+          .filter(hitAny).drop("__batch")
+          .withColumn("_change_type", lit("delete"))
+        insertFeed.unionByName(deletes)
       }
-      base.drop("__batch").withColumn("_change_type", lit("insert"))
     } else {
       val a = readAt(spark, path, fromVersion, schema)
       val b = readAt(spark, path, toVersion, schema)
@@ -279,22 +513,6 @@ object TableManifest {
         .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
     }
   }
-
-  /** DELETE WHERE as one snapshot commit: the surviving rows republish
-    * atomically (readers serve the previous version until the marker;
-    * deleted-state pins stay readable until vacuum — the audit story a
-    * GDPR erasure needs is `history()` + the retained versions, and
-    * `vacuum` is the actual forget). O(table) rewrite — the CoW DELETE
-    * every snapshot-isolated format pays; predicate-pruned deletes
-    * (rewrite only the batches the zone maps/Blooms say contain
-    * matches) are the readRange composition a caller applies when the
-    * predicate is partition-aligned. Returns the committed version. */
-  def deleteWhere(spark: SparkSession, path: String,
-      predicate: org.apache.spark.sql.Column,
-      schema: Option[StructType] = None): Long =
-    commitSnapshot(
-      read(spark, path, schema).filter(!coalesce(predicate, lit(false))),
-      path)
 
   /** MERGE INTO (upsert) as one snapshot commit: a source row REPLACES
     * any same-key current rows (WHEN MATCHED THEN UPDATE — the source
@@ -375,11 +593,13 @@ object TableManifest {
     rows.map(spark.sql).reduce(_ unionByName _)
   }
 
-  /** Fold the current payload's batch partitions into one fresh snapshot
-    * — the table analog of index compaction (a long-lived append-log
-    * table accumulates one `__batch` dir per insert; folding restores
-    * big-file scans). One marker; earlier pins keep their own payload
-    * until vacuum. Returns the committed version. */
+  /** Fold the current payload's batch partitions AND pending delete
+    * segments into one fresh snapshot — the table analog of index
+    * compaction (a long-lived append-log table accumulates one `__batch`
+    * dir per insert and one segment per DELETE; folding restores
+    * big-file scans and physically erases masked rows). One marker;
+    * earlier pins keep their own payload until vacuum. Returns the
+    * committed version. */
   def compactBatches(spark: SparkSession, path: String,
       schema: Option[StructType] = None): Long =
     commitSnapshot(read(spark, path, schema), path)
@@ -389,25 +609,34 @@ object TableManifest {
     * cutoff must resolve against `data_v` payloads, or an append-log
     * table (one old snapshot + many append markers — the warehouse
     * shape) would lose the marker that makes its only payload
-    * resolvable. Zone-map artifacts fall under the geometry-survivor
-    * rule unchanged. */
-  def vacuum(spark: SparkSession, path: String, keep: Int = 2): Unit =
-    IndexManifest.vacuum(spark, path, keep, payloadBase = "data")
+    * resolvable. `retainMs > 0` additionally refuses to reclaim any
+    * version committed inside the horizon (the Delta RETAIN rule), so a
+    * long-running pinned reader cannot have its files deleted mid-query.
+    * Zone-map artifacts fall under the geometry-survivor rule
+    * unchanged. */
+  def vacuum(spark: SparkSession, path: String, keep: Int = 2,
+      retainMs: Long = 0L): Unit =
+    IndexManifest.vacuum(spark, path, keep, payloadBase = "data",
+      retainMs = retainMs)
 
   /** One-call table maintenance — [[VectorIndex.maintain]]'s policy
     * surface on data tables: fold the append log when it exceeds
     * `maxBatches` partition dirs (read amplification and the per-batch
-    * listing bill both grow with the log), refresh the pruning
-    * artifacts the caller relies on (zone maps / Blooms — a compacted
-    * payload has none until refreshed; probes stay EXACT through the
-    * conservative fallbacks either way, maintenance only restores the
-    * fast path), and expire versions past `keepVersions`. Returns a
-    * 1-row report (batches_before, compacted, batches_after). */
+    * listing bill both grow with the log) OR when pending MoR delete
+    * segments reach `maxDeletes` (each segment is one more mask every
+    * read evaluates — and folding is what physically erases the masked
+    * rows), refresh the pruning artifacts the caller relies on (zone
+    * maps / Blooms — a compacted payload has none until refreshed;
+    * probes stay EXACT through the conservative fallbacks either way,
+    * maintenance only restores the fast path), and expire versions past
+    * `keepVersions`. Returns a 1-row report (batches_before, compacted,
+    * batches_after, deletes_before, deletes_after). */
   def maintain(spark: SparkSession, path: String, maxBatches: Int = 16,
       keepVersions: Int = 2, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, expectedPerBatch: Long = 1000000L,
-      schema: Option[StructType] = None): DataFrame = {
-    require(maxBatches >= 1 && keepVersions >= 1)
+      schema: Option[StructType] = None, maxDeletes: Int = 8,
+      retainMs: Long = 0L): DataFrame = {
+    require(maxBatches >= 1 && keepVersions >= 1 && maxDeletes >= 1)
     def batchCount: Int = payloadDir(spark, path) match {
       case None => 0
       case Some(d) => fs(spark, path)
@@ -415,15 +644,18 @@ object TableManifest {
         .count(_.getPath.getName.startsWith("__batch="))
     }
     val before = batchCount
-    val compacted = before > maxBatches
+    val deletesBefore = pendingDeletes(spark, path)
+    val compacted = before > maxBatches || deletesBefore >= maxDeletes
     if (compacted) compactBatches(spark, path, schema)
     if (statsCols.nonEmpty) refreshZoneMaps(spark, path, statsCols, schema)
     if (bloomCols.nonEmpty)
       refreshBloomFilters(spark, path, bloomCols, expectedPerBatch,
         schema = schema)
-    vacuum(spark, path, keepVersions)
+    vacuum(spark, path, keepVersions, retainMs)
     spark.sql(s"SELECT ${before} AS batches_before, " +
-      s"$compacted AS compacted, ${batchCount} AS batches_after")
+      s"$compacted AS compacted, ${batchCount} AS batches_after, " +
+      s"$deletesBefore AS deletes_before, " +
+      s"${pendingDeletes(spark, path)} AS deletes_after")
   }
 
   // ---- zone maps: per-batch min/max stats → manifest-level skipping ----
@@ -445,6 +677,10 @@ object TableManifest {
   // predate zone maps, degrades to the unpruned plan, not to wrong rows.
   // Stats rows are keyed by the same `__batch` replay key as the data, so
   // a streaming replay overwrites its own row instead of double-counting.
+  // A column added by schema evolution simply has no stats row in old
+  // batches — conservatively read; its values there are all-null, so
+  // once stats ARE refreshed the null bounds prove those batches away
+  // (null never matches a range), which is exact.
   //
   // Bounds are LONGs: exact for integral columns; fractional columns are
   // floor/ceil-widened (conservative — never prunes a matching batch).
@@ -494,11 +730,7 @@ object TableManifest {
     import org.apache.spark.util.sketch.BloomFilter
     require(bloomCols.nonEmpty && expectedPerBatch > 0)
     val dir = s"$path/data_v$p"
-    val all = schema match {
-      case Some(s) =>
-        spark.read.schema(s.add("__batch", "long")).parquet(dir)
-      case None => spark.read.parquet(dir)
-    }
+    val all = payloadRead(spark, dir, schema, mergeSchema = false)
     val base = batch.fold(all)(b => all.filter(col("__batch") === b))
     def filtersOf[T: scala.reflect.ClassTag](
         pairs: org.apache.spark.rdd.RDD[(Long, T)],
@@ -563,45 +795,52 @@ object TableManifest {
       bf => values.exists(bf.mightContainString),
       col(c).isin(values: _*), schema)
 
+  /** The might-contain decision runs WHERE THE FILTER BLOBS LIVE: each
+    * executor deserializes the bloomstats rows of its split and emits
+    * only `(batch id, hit?)` — O(#batches × 9 bytes) ever reaches the
+    * driver, instead of the old collect-every-blob plan that pulled
+    * O(#batches × ~1.2 MB) of filter bytes through the driver heap per
+    * point probe (a 10k-batch table: ~12 GB then, ~90 KB now). */
   private def readPointPruned(spark: SparkSession, path: String, c: String,
       hit: org.apache.spark.util.sketch.BloomFilter => Boolean,
-      predicate: org.apache.spark.sql.Column,
-      schema: Option[StructType]): DataFrame = {
+      predicate: Column, schema: Option[StructType]): DataFrame = {
     import org.apache.spark.util.sketch.BloomFilter
-    val p = payloadVersion(spark, path).getOrElse(
+    val v = IndexManifest.currentVersion(spark, path).getOrElse(
+      sys.error(s"no committed table at $path"))
+    val p = IndexManifest.payloadVersionAt(spark, path, v, "data").getOrElse(
       sys.error(s"no committed table at $path"))
     val dir = s"$path/data_v$p"
+    val wm = watermarkOf(spark, path, v)
+    val preds = deletePredsOf(spark, path, deleteSegmentsAt(spark, path, v))
     def readAll = read(spark, path, schema).filter(predicate)
     val bloomPath =
       new org.apache.hadoop.fs.Path(s"$path/bloomstats_v$p")
     val f = fs(spark, path)
     if (!f.exists(bloomPath)) return readAll
-    val filters = spark.read.schema(BloomSchema)
+    val hits: Map[Long, Boolean] = spark.read.schema(BloomSchema)
       .parquet(bloomPath.toString)
       .filter(col("col") === c)
       .select(col("__batch"), col("bloom"))
-      .collect()
-      .map(r => r.getLong(0) ->
-        BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
-      .toMap
-    if (filters.isEmpty) return readAll // column not covered
+      .rdd.map { r =>
+        val bf = BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        (r.getLong(0), hit(bf))
+      }.collect().toMap
+    if (hits.isEmpty) return readAll // column not covered
     val payloadBatches = f.listStatus(new org.apache.hadoop.fs.Path(dir))
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("__batch=") =>
         n.stripPrefix("__batch=").toLong }
+      .filter(_ <= wm)
     // a batch the artifact does not cover (all-null column, or a write
     // between an append and its refresh) is conservatively read
-    val survivors = payloadBatches.filter(b => filters.get(b).forall(hit))
+    val survivors = payloadBatches
+      .filter(b => hits.getOrElse(b, true))
       .map(b => s"$dir/__batch=$b")
     if (survivors.isEmpty) return readAll.filter(lit(false))
-    val base = schema match {
-      case Some(s) => spark.read.option("basePath", dir)
-        .schema(s.add("__batch", "long")).parquet(survivors.toSeq: _*)
-      case None =>
-        spark.read.option("basePath", dir).parquet(survivors.toSeq: _*)
-    }
-    base.filter(predicate).drop("__batch")
+    val base = payloadRead(spark, dir, schema, mergeSchema = false,
+      basePath = Some(dir), parts = survivors.toSeq)
+    maskDeletes(base.filter(predicate), preds).drop("__batch")
   }
 
   /** Metadata-only row count — `count(*)` answered from the zone-stats
@@ -609,16 +848,20 @@ object TableManifest {
     * without touching a data file: the Delta/Iceberg metadata-only
     * query-answering trick, and at 100 TB the difference between a
     * catalog read and a full scan. Exact, never approximate: when the
-    * artifact is missing or does not cover every payload batch (an
-    * append whose stats write crashed), the count falls back to the
-    * real scan — an uncovered batch can never be silently counted as
-    * zero. */
+    * artifact is missing, does not cover every live payload batch (an
+    * append whose stats write crashed), or MoR delete segments are
+    * pending (masked rows are not in any stats row), the count falls
+    * back to the real scan — an uncovered batch can never be silently
+    * counted as zero, a masked row never counted at all. */
   def countRows(spark: SparkSession, path: String): Long = {
-    val p = payloadVersion(spark, path).getOrElse(
+    val v = IndexManifest.currentVersion(spark, path).getOrElse(
+      sys.error(s"no committed table at $path"))
+    val p = IndexManifest.payloadVersionAt(spark, path, v, "data").getOrElse(
       sys.error(s"no committed table at $path"))
     val statsPath = new org.apache.hadoop.fs.Path(s"$path/zonestats_v$p")
     val f = fs(spark, path)
     def scanCount = read(spark, path).count()
+    if (deleteSegmentsAt(spark, path, v).nonEmpty) return scanCount
     if (!f.exists(statsPath)) return scanCount
     // every column's stats row carries its batch's count; use one column
     val allStats = spark.read.schema(ZoneSchema)
@@ -629,11 +872,13 @@ object TableManifest {
     val oneCol = allStats.map(_.getString(0)).min
     val stats = allStats.filter(_.getString(0) == oneCol)
       .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val wm = watermarkOf(spark, path, v)
     val payloadBatches = f
       .listStatus(new org.apache.hadoop.fs.Path(s"$path/data_v$p"))
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("__batch=") =>
         n.stripPrefix("__batch=").toLong }
+      .filter(_ <= wm)
     if (!payloadBatches.forall(stats.contains)) scanCount
     else payloadBatches.map(stats).sum
   }
@@ -672,12 +917,8 @@ object TableManifest {
     val p = payloadVersion(spark, path).getOrElse(
       sys.error(s"no committed table at $path"))
     val dir = s"$path/data_v$p"
-    val base = schema match {
-      case Some(s) =>
-        spark.read.schema(s.add("__batch", "long")).parquet(dir)
-      case None => spark.read.parquet(dir)
-    }
-    zoneStatsOf(base, statsCols)
+    zoneStatsOf(payloadRead(spark, dir, schema, mergeSchema = false),
+        statsCols)
       .write.partitionBy("__batch").mode("overwrite")
       .parquet(s"$path/zonestats_v$p")
   }
@@ -691,11 +932,7 @@ object TableManifest {
     val p = payloadVersion(spark, path).getOrElse(
       sys.error(s"no committed table at $path"))
     val dir = s"$path/data_v$p"
-    val base = schema match {
-      case Some(s) =>
-        spark.read.schema(s.add("__batch", "long")).parquet(dir)
-      case None => spark.read.parquet(dir)
-    }
+    val base = payloadRead(spark, dir, schema, mergeSchema = false)
     zoneStatsOf(base.filter(col("__batch") === batch), statsCols)
       .write.partitionBy("__batch").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -718,19 +955,23 @@ object TableManifest {
       ranges: Seq[(String, Long, Long)],
       schema: Option[StructType] = None): DataFrame = {
     require(ranges.nonEmpty)
-    val p = payloadVersion(spark, path).getOrElse(
+    val v = IndexManifest.currentVersion(spark, path).getOrElse(
+      sys.error(s"no committed table at $path"))
+    val p = IndexManifest.payloadVersionAt(spark, path, v, "data").getOrElse(
       sys.error(s"no committed table at $path"))
     val dir = s"$path/data_v$p"
     val f = fs(spark, path)
+    val wm = watermarkOf(spark, path, v)
+    val delPreds = deletePredsOf(spark, path,
+      deleteSegmentsAt(spark, path, v))
     val statsPath = new org.apache.hadoop.fs.Path(s"$path/zonestats_v$p")
     val predicate = ranges.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi
     }.reduce(_ && _)
-    def readAll = (schema match {
-      case Some(s) =>
-        spark.read.schema(s.add("__batch", "long")).parquet(dir)
-      case None => spark.read.parquet(dir)
-    }).filter(predicate).drop("__batch")
+    def readAll = maskDeletes(
+      payloadRead(spark, dir, schema, mergeSchema = false)
+        .filter(col("__batch") <= wm).filter(predicate),
+      delPreds).drop("__batch")
     if (!f.exists(statsPath)) return readAll
     // a batch is excluded only when SOME queried column's stats row
     // proves it disjoint (zmax < lo, zmin > hi, or all-null zmin);
@@ -750,15 +991,12 @@ object TableManifest {
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("__batch=") =>
         n.stripPrefix("__batch=").toLong }
+      .filter(_ <= wm)
       .filterNot(excluded)
       .map(b => s"$dir/__batch=$b")
     if (survivors.isEmpty) return readAll.filter(lit(false))
-    val base = schema match {
-      case Some(s) => spark.read.option("basePath", dir)
-        .schema(s.add("__batch", "long")).parquet(survivors.toSeq: _*)
-      case None =>
-        spark.read.option("basePath", dir).parquet(survivors.toSeq: _*)
-    }
-    base.filter(predicate).drop("__batch")
+    val base = payloadRead(spark, dir, schema, mergeSchema = false,
+      basePath = Some(dir), parts = survivors.toSeq)
+    maskDeletes(base.filter(predicate), delPreds).drop("__batch")
   }
 }

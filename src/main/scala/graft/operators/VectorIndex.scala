@@ -196,7 +196,7 @@ object VectorIndex {
           // a crashed delete's orphan — fail with the recovery action
           // instead of spinning forever (deleting it ourselves could
           // race an in-flight partner about to commit that number).
-          if (fsys.rename(tmp, seg)) {
+          if (IndexManifest.renameExclusive(fsys, tmp, seg)) {
             blockedAt = -1L; blockedTries = 0
             // the pinned watermark is whatever the payload holds right
             // now, so a pin at d also freezes the append frontier
@@ -444,9 +444,13 @@ object VectorIndex {
   }
 
   /** Reclaim index versions older than the `keep` most recent — the
-    * explicit GC that pairs with snapshot-safe [[compact]]. */
-  def vacuum(spark: SparkSession, path: String, keep: Int = 1): Unit =
-    IndexManifest.vacuum(spark, path, keep)
+    * explicit GC that pairs with snapshot-safe [[compact]]. `retainMs > 0`
+    * additionally refuses to reclaim versions committed inside the
+    * horizon (the Delta RETAIN rule): a long-running reader pinned to a
+    * recent version cannot have its files deleted mid-query. */
+  def vacuum(spark: SparkSession, path: String, keep: Int = 1,
+      retainMs: Long = 0L): Unit =
+    IndexManifest.vacuum(spark, path, keep, retainMs = retainMs)
 
   /** One-row ops view of any index at `path` (the layout is shared, so
     * this works for all five kinds): current manifest version, number of

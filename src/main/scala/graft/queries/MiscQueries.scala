@@ -159,7 +159,7 @@ object MiscQueries {
             col("value"))
         TableManifest.commitSnapshot(e, path)
         val vDel = TableManifest.deleteWhere(s, path,
-          col("event_type") === "error" && col("value") > 0.5)
+          "event_type = 'error' AND value > 0.5")
         // source: rewrites for surviving purchase rows (value zeroed,
         // marked) + brand-new rows under shifted ids
         val src = TableManifest.read(s, path)
@@ -287,6 +287,80 @@ object MiscQueries {
              |UNION ALL
              |SELECT 'refreshed', (SELECT count(*) FROM events)
              |ORDER BY stage""".stripMargin)),
+
+    // ---- schema evolution through the manifest read path ------------------
+    // A year of evolving ingest: the table starts narrow, later appends
+    // carry a NEW column. One explicit read schema serves the whole
+    // history (absent columns null-pad — the scale path, no footer
+    // sweep); zone maps refreshed over the late-added column prove the
+    // legacy batch away EXACTLY on a range probe (its bounds are null,
+    // and null never matches a range), and the Bloom point probe
+    // composes the same way (the legacy batch has no filter row for the
+    // column — conservatively read, exact re-filter). Three stages in
+    // one hash: the unified read (count(user_id) vs count(*) proves the
+    // null-padding), the pruned range probe ≡ the plain filter, and a
+    // point probe over the evolved column.
+    Q("q_table_evolution",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        import org.apache.spark.sql.types._
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_table_evo").toString
+        val e = Tables.events(s, dir)
+        TableManifest.commitSnapshot(
+          e.filter(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("event_type"), col("value")), path)
+        TableManifest.append(
+          e.filter(col("event_id") % 2 === 1)
+            .select(col("event_id"), col("event_type"), col("value"),
+              col("user_id")), path)
+        val full = new StructType().add("event_id", LongType)
+          .add("event_type", StringType).add("value", DoubleType)
+          .add("user_id", LongType)
+        TableManifest.refreshZoneMaps(s, path, Seq("user_id"), Some(full))
+        TableManifest.refreshBloomFilters(s, path, Seq("user_id"),
+          expectedPerBatch = 100000L, schema = Some(full))
+        def agg(d: org.apache.spark.sql.DataFrame, tag: String) =
+          d.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_rows"),
+              count(col("user_id")).as("n_evolved"),
+              sum(col("value").cast("decimal(18,6)")).cast("double")
+                .as("sum_value"))
+            .withColumn("stage", lit(tag))
+        agg(TableManifest.read(s, path, Some(full)), "unified")
+          .unionByName(agg(TableManifest.readRange(s, path,
+            Seq(("user_id", 100L, 400L)), Some(full)), "range_probe"))
+          .unionByName(agg(TableManifest.readPoint(s, path, "user_id",
+            Seq(42L), Some(full)), "point_probe"))
+          .select(col("stage"), col("event_type"), col("n_rows"),
+            col("n_evolved"), col("sum_value"))
+          .orderBy(col("stage"), col("event_type"))
+      },
+      Some("""WITH evo AS (
+             |  SELECT event_id, event_type, value,
+             |         CAST(NULL AS BIGINT) AS user_id
+             |  FROM events WHERE event_id % 2 = 0
+             |  UNION ALL
+             |  SELECT event_id, event_type, value, user_id
+             |  FROM events WHERE event_id % 2 = 1),
+             |u AS (SELECT 'unified' AS stage, event_type,
+             |        count(*) AS n_rows, count(user_id) AS n_evolved,
+             |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |          AS sum_value
+             |      FROM evo GROUP BY event_type),
+             |r AS (SELECT 'range_probe', event_type, count(*),
+             |        count(user_id),
+             |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |      FROM evo WHERE user_id BETWEEN 100 AND 400
+             |      GROUP BY event_type),
+             |p AS (SELECT 'point_probe', event_type, count(*),
+             |        count(user_id),
+             |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |      FROM evo WHERE user_id = 42
+             |      GROUP BY event_type)
+             |SELECT * FROM u UNION ALL SELECT * FROM r
+             |UNION ALL SELECT * FROM p
+             |ORDER BY stage, event_type""".stripMargin)),
 
     // ---- data-quality expectation suite (Deequ-shaped gate) --------------
     // operators.Expectations: a declarative constraint suite whose

@@ -53,16 +53,24 @@ final class Warehouse(spark: SparkSession, rootDir: String) {
         if (graft.operators.TableManifest.versions(spark, dir(t)).isEmpty) {
           // MIGRATE a legacy (pre-manifest) layout: plain parquet files
           // at the table root become the seed snapshot — an empty seed
-          // over existing rows would silently shadow them. The file
-          // listing is captured before the snapshot write, so the new
-          // payload subdir never enters its own input; legacy files
-          // stay in place, unread (table() resolves the manifest).
+          // over existing rows would silently shadow them. The seed read
+          // is built from the EXPLICIT root-level file list (never the
+          // directory): a crashed earlier migration can leave an
+          // uncommitted data_v0/pending subdir under the root, and a
+          // directory read would either fail on the non-key=value child
+          // or double-count the orphan's rows — the retry stays immune
+          // by construction. Legacy files stay in place, unread
+          // afterwards (table() resolves the manifest).
           val root = new org.apache.hadoop.fs.Path(dir(t))
           val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val legacy = fs.exists(root) && fs.listStatus(root)
-            .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          val legacyFiles =
+            if (!fs.exists(root)) Array.empty[String]
+            else fs.listStatus(root)
+              .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+              .map(_.getPath.toString)
           val seed =
-            if (legacy) spark.read.schema(schema).parquet(dir(t))
+            if (legacyFiles.nonEmpty)
+              spark.read.schema(schema).parquet(legacyFiles.toIndexedSeq: _*)
             else spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
           graft.operators.TableManifest.commitSnapshot(seed, dir(t))

@@ -164,6 +164,39 @@ class SearchIndexSpec extends AnyFunSuite {
       "replayed keyed append must replace, not double, its stats row")
   }
 
+  test("an incomplete stats artifact (crash between commit and stats " +
+    "write) falls back to the exact aggregate, never undercounts") {
+    val path = Files.createTempDirectory("sidx_crashstats").toString
+    SearchIndex.build(docs.filter(col("doc_id") < 300), "doc_id", "text",
+      path)
+    SearchIndex.append(docs.filter(col("doc_id") >= 300 &&
+      col("doc_id") < 350), "doc_id", "text", path, batchId = Some(0L))
+    val healthy = rows(SearchIndex.bm25(s, path, terms, 20))
+    // simulate the documented crash window: the append's version is
+    // committed (postings live) but its stats row never landed
+    val statsBatch = new org.apache.hadoop.fs.Path(
+      s"$path/stats_v0/__batch=0")
+    val fs = statsBatch.getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(fs.exists(statsBatch))
+    fs.delete(statsBatch, true)
+    // the completeness guard must reject the artifact and serve the
+    // exact live aggregate — identical ranking, not a silently
+    // undercounted N / Σdl forever after
+    assert(rows(SearchIndex.bm25(s, path, terms, 20)) == healthy,
+      "an artifact missing a committed batch's row must not be trusted")
+    import s.implicits._
+    val qdf = terms.map(t => (0L, t)).toDF("qid", "tok")
+    assert(rows(SearchIndex.bm25Batch(s, path, qdf, "qid", "tok", 20)
+        .select(col("doc_id"), col("score_ppm"))) ==
+      rows(SearchIndex.bm25(s, path, terms, 20)
+        .select(col("doc_id"), col("score_ppm"))),
+      "the batched scorer must take the same exact-stats fallback")
+    // refreshStats repairs the artifact and the ranking stays put
+    SearchIndex.refreshStats(s, path)
+    assert(fs.exists(statsBatch))
+    assert(rows(SearchIndex.bm25(s, path, terms, 20)) == healthy)
+  }
+
   test("generic compact falls back to exact stats; refreshStats restores the artifact") {
     val path = Files.createTempDirectory("sidx_restat").toString
     SearchIndex.build(docs.filter(col("doc_id") < 300), "doc_id", "text", path)

@@ -262,6 +262,134 @@ class TableManifestSpec extends AnyFunSuite {
       .count() == 51)
   }
 
+  test("MoR delete: O(1) segments, point-in-time semantics, folded erasure") {
+    val path = Files.createTempDirectory("tm_mor_del").toString
+    val v0 = TableManifest.commitSnapshot(
+      df(1L -> "a", 2L -> "err", 3L -> "b"), path)
+    val vD = TableManifest.deleteWhere(s, path, "v = 'err'")
+    assert(ids(TableManifest.read(s, path)) == Set(1L, 3L))
+    // pins bracket the delete: below it sees the row, at it does not
+    assert(ids(TableManifest.readAt(s, path, v0)) == Set(1L, 2L, 3L))
+    assert(ids(TableManifest.readAt(s, path, vD)) == Set(1L, 3L))
+    // point-in-time: a LATER append matching the predicate is unaffected
+    // (exactly what the CoW rewrite would have produced)
+    TableManifest.append(df(4L -> "err"), path)
+    assert(ids(TableManifest.read(s, path)) == Set(1L, 3L, 4L))
+    // the delete wrote a segment, never a payload rewrite
+    val fsx = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val payloads = fsx.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).count(_.startsWith("data_v"))
+    assert(payloads == 1, "a MoR delete must not rewrite the payload")
+    // a no-match delete is a cheap no-op mask, not a table rewrite
+    TableManifest.deleteWhere(s, path, "v = 'nope'")
+    assert(ids(TableManifest.read(s, path)) == Set(1L, 3L, 4L))
+    assert(TableManifest.pendingDeletes(s, path) == 2)
+    // folding physically erases the masked rows and clears the segments
+    TableManifest.compactBatches(s, path)
+    assert(TableManifest.pendingDeletes(s, path) == 0)
+    assert(ids(TableManifest.read(s, path)) == Set(1L, 3L, 4L))
+    // a bad predicate fails the DELETE itself, not every later read
+    intercept[Exception] {
+      TableManifest.deleteWhere(s, path, "no_such_column = 1")
+    }
+    assert(ids(TableManifest.read(s, path)) == Set(1L, 3L, 4L))
+  }
+
+  test("MoR delete: null predicate rows survive (SQL DELETE semantics)") {
+    import s.implicits._
+    val path = Files.createTempDirectory("tm_del_null").toString
+    TableManifest.commitSnapshot(
+      Seq((1L, Some(1.0)), (2L, None), (3L, Some(9.0)))
+        .toDF("id", "x"), path)
+    TableManifest.deleteWhere(s, path, "x > 5")
+    assert(ids(TableManifest.read(s, path)) == Set(1L, 2L),
+      "a null predicate result must not delete the row")
+  }
+
+  test("keyed replay after a fold neither clobbers partitions nor duplicates rows") {
+    val path = Files.createTempDirectory("tm_replay_fold").toString
+    TableManifest.commitSnapshot(df(1L -> "a"), path)
+    TableManifest.append(df(2L -> "b"), path, batchId = Some(0L))
+    TableManifest.append(df(3L -> "c"), path, batchId = Some(1L))
+    TableManifest.compactBatches(s, path)
+    // a routine stream restart replays the last batch AFTER the fold:
+    // its rows already live in the snapshot — must no-op, not re-insert
+    TableManifest.append(df(3L -> "c"), path, batchId = Some(1L))
+    assert(TableManifest.read(s, path).count() == 3,
+      "a replayed batch below the carried watermark must not duplicate")
+    // optimize stamps clustered partitions OUTSIDE the batchId keyspace:
+    // a replayed batch can never dynamic-overwrite one of them
+    TableManifest.optimize(s, path, Seq("id"), files = 2)
+    TableManifest.append(df(2L -> "b"), path, batchId = Some(0L))
+    assert(ids(TableManifest.read(s, path)) == Set(1L, 2L, 3L))
+    assert(TableManifest.read(s, path).count() == 3,
+      "a replay after optimize must neither clobber a clustered " +
+        "partition nor re-insert")
+    // a genuinely NEW batch above the carried watermark still lands
+    TableManifest.append(df(4L -> "d"), path, batchId = Some(2L))
+    assert(ids(TableManifest.read(s, path)) == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("vacuum retention horizon refuses versions committed inside it") {
+    val path = Files.createTempDirectory("tm_vac_retain").toString
+    val v0 = TableManifest.commitSnapshot(df(1L -> "a"), path)
+    TableManifest.commitSnapshot(df(2L -> "b"), path)
+    val v2 = TableManifest.commitSnapshot(df(3L -> "c"), path)
+    // every marker is seconds old: a 1h horizon must reclaim nothing,
+    // whatever `keep` says — the long-running pinned reader's guarantee
+    TableManifest.vacuum(s, path, keep = 1, retainMs = 3600L * 1000L)
+    assert(ids(TableManifest.readAt(s, path, v0)) == Set(1L),
+      "a version inside the retention horizon must stay readable")
+    // horizon elapsed (retainMs = 0): the keep rule reclaims as before
+    TableManifest.vacuum(s, path, keep = 1)
+    intercept[IllegalArgumentException] {
+      TableManifest.readAt(s, path, v0)
+    }
+    assert(ids(TableManifest.readAt(s, path, v2)) == Set(3L))
+  }
+
+  test("schema evolution through the read path: evolved appends null-pad, " +
+    "late-added columns prune conservatively then exactly") {
+    import s.implicits._
+    val path = Files.createTempDirectory("tm_evolve").toString
+    TableManifest.commitSnapshot(Seq((1L, "a")).toDF("id", "v"), path)
+    // the ingest schema GROWS: later appends carry a new column
+    TableManifest.append(Seq((2L, "b", 7L)).toDF("id", "v", "w"), path)
+    TableManifest.append(Seq((3L, "c", 40L)).toDF("id", "v", "w"), path)
+    val full = new StructType().add("id", LongType).add("v", StringType)
+      .add("w", LongType)
+    // explicit-schema read (the scale path): old batches null-pad `w`
+    val got = TableManifest.read(s, path, Some(full))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    assert(got == Set((1L, -1L), (2L, 7L), (3L, 40L)))
+    // mergeSchema read (the footer-sweep convenience path): same rows
+    val merged = TableManifest.read(s, path, mergeSchema = true)
+    assert(merged.columns.toSet == Set("id", "v", "w"))
+    assert(merged.count() == 3)
+    // zone maps over the late-added column: the old batch's bounds are
+    // null (all-null column) — a range probe proves it away EXACTLY
+    // (null never matches a range), and the result matches the filter
+    TableManifest.refreshZoneMaps(s, path, Seq("w"), Some(full))
+    val pruned = TableManifest.readRange(s, path, Seq(("w", 5L, 10L)),
+      Some(full))
+    assert(pruned.collect().map(_.getLong(0)).toSet == Set(2L))
+    // a batch the artifact does not cover is conservatively read: append
+    // another evolved batch WITHOUT refreshing stats — still found
+    TableManifest.append(Seq((4L, "d", 8L)).toDF("id", "v", "w"), path)
+    assert(TableManifest.readRange(s, path, Seq(("w", 5L, 10L)), Some(full))
+      .collect().map(_.getLong(0)).toSet == Set(2L, 4L))
+    // Bloom point probes degrade conservatively on the evolved column
+    // (no artifact yet), exactly matching the plain filtered read
+    assert(TableManifest.readPoint(s, path, "w", Seq(40L), Some(full))
+      .collect().map(_.getLong(0)).toSet == Set(3L))
+    TableManifest.refreshBloomFilters(s, path, Seq("w"), 100L,
+      schema = Some(full))
+    assert(TableManifest.readPoint(s, path, "w", Seq(40L), Some(full))
+      .collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
   test("a zero-row snapshot reads back empty under an explicit schema") {
     val path = Files.createTempDirectory("tm_empty").toString
     val schema = StructType(Seq.empty)
