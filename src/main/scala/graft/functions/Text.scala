@@ -53,6 +53,21 @@ object Text {
     s"list_filter(regexp_split_to_array(lower($textExpr), " +
       "'[^\\p{L}\\p{N}]+'), t -> len(t) > 0)"
 
+  /** Canonical NEAR-DUP normalization: the [[unicodeTokens]] stream
+    * re-joined on single spaces. The semantic near-dup family (MinHash
+    * shingles, SimHash token votes) runs its byte-faithful fingerprint
+    * machinery over THIS — so `«Gráft», the end!` and `gráft the end`
+    * fingerprint identically, while the fingerprint expressions
+    * themselves keep their pinned single-space contract (the fused
+    * codegen exprs never change). Exact-substring/CDC fingerprints stay
+    * on the raw text — their contract IS byte fidelity. */
+  def normalizeForDedup(c: Column): Column =
+    concat_ws(" ", unicodeTokens(c))
+
+  /** SQL fragment mirroring [[normalizeForDedup]]. */
+  def normalizeForDedupSql(textExpr: String): String =
+    s"array_to_string(${unicodeTokensSql(textExpr)}, ' ')"
+
   /** Deterministic HARD-TEXT decorator — one SQL expression over
     * documents(doc_id, text) valid verbatim in BOTH Spark SQL and DuckDB:
     * wraps the synthetic space-separated fixture with punctuation

@@ -11,12 +11,22 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
+  /** The near-dup fixture: the punctuation/Unicode-decorated text,
+    * normalized through the canonical Unicode tokenizer — one expression
+    * valid in BOTH engines. The MinHash/SimHash family fingerprints THIS
+    * (real web text under-tokenizes on a bare space split), while the
+    * fingerprint expressions keep their byte-faithful single-space
+    * contract underneath. */
+  private val dedupTextSql: String =
+    Text.normalizeForDedupSql(Text.DecoratedTextSql)
+
   /** Shared oracle for the two MinHash+LSH pair queries: both signature
     * paths (fused MinHashSigExpr; explode + min aggregates over portable
-    * shingle hashes) are bit-identical, so one DuckDB mirror checks both. */
+    * shingle hashes) are bit-identical, so one DuckDB mirror checks both
+    * — on the decorated-Unicode near-dup fixture. */
   private val lshPairsOracleSql: String =
     s"""WITH sig AS (
-       |  SELECT doc_id, ${Text.minhashSigSql("text", 64)} AS sig FROM documents),
+       |  SELECT doc_id, ${Text.minhashSigSql(dedupTextSql, 64)} AS sig FROM documents),
        |buckets AS (
        |  SELECT doc_id, sig, i AS band,
        |         md5(array_to_string(sig[i*4+1 : i*4+4], ',')) AS bkey
@@ -107,9 +117,15 @@ object DedupQueries {
               |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- MinHash + LSH candidate pairs (64 perms, 16 bands × 4) ----------
+    // Over the decorated-Unicode fixture, shingling the NORMALIZED token
+    // stream (Text.normalizeForDedup): punctuation, case, NBSP/thin
+    // spaces and accents no longer split near-dup fingerprints apart.
     Q("q_minhash_lsh_pairs",
       (s, dir) => MinHashLSH.candidatePairs(
-          Tables.documents(s, dir), "doc_id", "text",
+          Tables.documents(s, dir)
+            .withColumn("text",
+              Text.normalizeForDedup(expr(Text.DecoratedTextSql))),
+          "doc_id", "text",
           k = 64, bands = 16, minEstPpm = 500000L)
         .orderBy(col("id_a"), col("id_b")),
       Some(lshPairsOracleSql)),
@@ -255,7 +271,10 @@ object DedupQueries {
     // harness's scale variant.)
     Q("q_minhash_lsh_pairs_fast",
       (s, dir) => MinHashLSH.candidatePairs(
-          Tables.documents(s, dir), "doc_id", "text",
+          Tables.documents(s, dir)
+            .withColumn("text",
+              Text.normalizeForDedup(expr(Text.DecoratedTextSql))),
+          "doc_id", "text",
           k = 64, bands = 16, minEstPpm = 500000L,
           shingleFn = c => Text.shingleHashes(c))
         .orderBy(col("id_a"), col("id_b")),
@@ -370,7 +389,8 @@ object DedupQueries {
       (s, dir) => {
         val sh = Tables.documents(s, dir)
           .withColumn("__tokh",
-            transform(Text.tokens(col("text")), t => Text.polyHash(t)))
+            transform(Text.unicodeTokens(expr(Text.DecoratedTextSql)),
+              t => Text.polyHash(t)))
           .select(col("doc_id"), Text.simhash30("__tokh").as("sh"))
         MinHashLSH.simhashBandPairs(sh, "doc_id", "sh",
             maxHamming = 6, bits = 30,
@@ -378,7 +398,7 @@ object DedupQueries {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH th AS (SELECT doc_id,
-              |  list_transform(string_split(text, ' '), t -> ${Text.polyHashSql("t")}) AS h
+              |  list_transform(${Text.unicodeTokensSql(Text.DecoratedTextSql)}, t -> ${Text.polyHashSql("t")}) AS h
               |  FROM documents),
               |sh AS (SELECT doc_id,
               |  list_reduce(list_prepend(0::BIGINT, range(30)), (acc, j) ->

@@ -213,14 +213,19 @@ object TextQueries {
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- 30-bit simhash per document ------------------------------------
+    // Token votes come from the UNICODE tokenizer over the decorated
+    // fixture (near-dup fingerprints converge with the search/analysis
+    // family's tokenization — punctuation/case/Unicode whitespace no
+    // longer split semantically identical docs apart).
     Q("q_doc_simhash",
       (s, dir) => Tables.documents(s, dir)
         .withColumn("__tokh",
-          transform(Text.tokens(col("text")), t => Text.polyHash(t)))
+          transform(Text.unicodeTokens(expr(Text.DecoratedTextSql)),
+            t => Text.polyHash(t)))
         .select(col("doc_id"), Text.simhash30("__tokh").as("simhash"))
         .orderBy(col("doc_id")),
       Some(s"""WITH th AS (SELECT doc_id,
-              |  list_transform(string_split(text, ' '), t -> ${Text.polyHashSql("t")}) AS h
+              |  list_transform(${Text.unicodeTokensSql(Text.DecoratedTextSql)}, t -> ${Text.polyHashSql("t")}) AS h
               |  FROM documents)
               |SELECT doc_id,
               |  list_reduce(list_prepend(0::BIGINT, range(30)), (acc, j) ->
