@@ -1500,6 +1500,123 @@ object Stress {
         require(nShuf == nOptRows && nShuf == oHi - oLo + 1)
         println(f"""{"rows":$nOpt%d,"probe_shuffled_seconds":$tShuf%.2f,"probe_optimized_seconds":$tOpt%.2f,"rewrite_seconds":$tRewrite%.1f,"files_shuffled":$fShuf%d,"files_optimized":$fOpt%d}""")
 
+      case "mordelete" =>
+        // DELETE cost vs table volume: the MoR predicate-tombstone DELETE
+        // must stay FLAT as non-matching volume grows 10× (one O(1)
+        // segment commit, match-count- and table-size-independent), and a
+        // no-match DELETE must cost the same near-zero — measured against
+        // the old copy-on-write shape (rewrite the filtered snapshot),
+        // which pays the full table both times. Read-back after the MoR
+        // delete verifies the mask is exact at both scales.
+        def morTable(rows: Long): String = {
+          val p = java.nio.file.Files
+            .createTempDirectory(s"stress_mordel_$rows").toString
+          operators.TableManifest.commitSnapshot(
+            spark.range(rows).select(col("id"),
+              concat(lit("p"), rpad(col("id").cast("string"), 200, "x"))
+                .as("payload")), p)
+          p
+        }
+        def secs(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val rowsSmall = copies * 100000L
+        val rowsBig = rowsSmall * 10L
+        val (pS, pB) = (morTable(rowsSmall), morTable(rowsBig))
+        // MoR: one predicate segment, whatever the volume
+        val tMorS = secs(
+          operators.TableManifest.deleteWhere(spark, pS, "id % 1000 = 7"))
+        val tMorB = secs(
+          operators.TableManifest.deleteWhere(spark, pB, "id % 1000 = 7"))
+        val tNoMatch = secs(
+          operators.TableManifest.deleteWhere(spark, pB, "id < 0"))
+        val nS = operators.TableManifest.read(spark, pS).count()
+        val nB = operators.TableManifest.read(spark, pB).count()
+        require(nS == rowsSmall - rowsSmall / 1000L &&
+          nB == rowsBig - rowsBig / 1000L,
+          s"MoR mask wrong: $nS/$nB")
+        // the old CoW shape for contrast: full filtered rewrite
+        def cowDelete(p: String, pred: String): Double = secs {
+          operators.TableManifest.commitSnapshot(
+            operators.TableManifest.read(spark, p)
+              .filter(!coalesce(expr(pred), lit(false))), p)
+          ()
+        }
+        val tCowS = cowDelete(pS, "id % 1000 = 13")
+        val tCowB = cowDelete(pB, "id % 1000 = 13")
+        println(f"""{"rows_small":$rowsSmall%d,"rows_big":$rowsBig%d,"mor_small_seconds":$tMorS%.2f,"mor_big_seconds":$tMorB%.2f,"mor_nomatch_seconds":$tNoMatch%.2f,"cow_small_seconds":$tCowS%.2f,"cow_big_seconds":$tCowB%.2f}""")
+
+      case "bloomprobe" =>
+        // Bloom point-probe at an append-log's true batch count: 1024
+        // batches × 10k keys. The might-contain decision runs in
+        // EXECUTORS over the bloomstats rows and only (batch, hit) pairs
+        // reach the driver — O(#batches × 9 B) — where the old plan
+        // collected every serialized filter blob (the artifact's full
+        // bytes) through the driver heap PER PROBE. Reports both byte
+        // figures plus measured probe times and the files actually read.
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        val nBatches = 1024
+        val perBatch = 10000L
+        val bpPath = java.nio.file.Files
+          .createTempDirectory("stress_bloomprobe").toString
+        // seed the manifest, then bulk-load the batch layout in ONE
+        // partitioned write (the layout a year of keyed appends leaves —
+        // writing 1024 separate append commits would measure commit
+        // latency, not probe cost), and publish the watermark with a real
+        // keyed append of the last batch
+        operators.TableManifest.commitSnapshot(
+          spark.range(0).select(col("id"),
+            col("id").cast("string").as("payload")), bpPath)
+        spark.range(nBatches * perBatch)
+          .select(col("id"),
+            concat(lit("p"), rpad(col("id").cast("string"), 60, "x"))
+              .as("payload"),
+            (col("id") % nBatches).as("__batch"))
+          .write.partitionBy("__batch").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(s"$bpPath/data_v0")
+        operators.TableManifest.append(
+          spark.range(nBatches * perBatch - perBatch,
+              nBatches * perBatch)
+            .select(col("id"),
+              concat(lit("p"), rpad(col("id").cast("string"), 60, "x"))
+                .as("payload")),
+          bpPath, batchId = Some(nBatches - 1L))
+        operators.TableManifest.refreshBloomFilters(spark, bpPath,
+          Seq("id"), expectedPerBatch = perBatch)
+        val artifactBytes = new org.apache.hadoop.fs.Path(
+            s"$bpPath/bloomstats_v0")
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(new org.apache.hadoop.fs.Path(
+            s"$bpPath/bloomstats_v0")).getLength
+        def bpFiles(df: org.apache.spark.sql.DataFrame): Long = {
+          val plan = df.queryExecution.executedPlan
+          (plan +: plan.collect { case a: AdaptiveSparkPlanExec =>
+            a.executedPlan })
+            .flatMap(_.collect { case f: FileSourceScanExec => f })
+            .map(_.metrics("numFiles").value).sum
+        }
+        def bpTimed(mk: => org.apache.spark.sql.DataFrame)
+            : (Double, Long, Long) = {
+          mk.queryExecution.toRdd.count() // warm listing caches + codegen
+          val t0 = System.nanoTime()
+          val df = mk
+          val n = df.queryExecution.toRdd.count()
+          ((System.nanoTime() - t0) / 1e9, n, bpFiles(df))
+        }
+        // a key that lives in exactly one batch (id = batch + k·1024)
+        val probeKey = 513L * nBatches + 513L
+        val (tPoint, nPoint, fPoint) = bpTimed(
+          operators.TableManifest.readPoint(spark, bpPath, "id",
+            Seq(probeKey)))
+        val (tScan, nScan, fScan) = bpTimed(
+          operators.TableManifest.read(spark, bpPath)
+            .filter(col("id") === probeKey))
+        require(nPoint == 1L && nScan == 1L, s"probe wrong: $nPoint/$nScan")
+        val driverBytesNow = nBatches * 9L
+        println(f"""{"batches":$nBatches%d,"rows":${nBatches * perBatch}%d,"probe_seconds":$tPoint%.2f,"fullscan_seconds":$tScan%.2f,"probe_files":$fPoint%d,"fullscan_files":$fScan%d,"artifact_bytes_old_driver_cost":$artifactBytes%d,"driver_bytes_now":$driverBytesNow%d}""")
+
       case "cc" =>
         // one path graph of copies×100k nodes: diameter = n-1, the case
         // where min-label propagation needs O(n) rounds and the

@@ -194,6 +194,50 @@ class HammingJoinRuleSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.hammingRewrite.bandBits")
   }
 
+  test("e2e: an ANALYZE'd catalog table under CBO derives the corpus-true " +
+    "width where the file-size fallback overestimates") {
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Explode}
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    def arity(df: DataFrame): Int = df.queryExecution.optimizedPlan.collect {
+      case g: Generate => g.generator match {
+        case Explode(arr: CreateArray) => arr.children.length
+        case _ => 0
+      }
+    }.max
+    // 1k rows padded with ~4 KB of incompressible text each: the table's
+    // FILE size says "hundreds of thousands of rows", its true count says
+    // one thousand — exactly the gap ANALYZE closes for a real session
+    spark.sql("DROP TABLE IF EXISTS hjr_cat")
+    spark.range(1000L)
+      .selectExpr("id", "id * 123L AS h",
+        "concat_ws('', transform(sequence(1, 128), " +
+          "i -> md5(cast(id * 1000 + i AS STRING)))) AS pad")
+      .write.mode("overwrite").saveAsTable("hjr_cat")
+    val sql =
+      """SELECT a.id FROM hjr_cat a JOIN hjr_cat b
+        |  ON a.id < b.id AND bit_count(a.h ^ b.h) <= 12""".stripMargin
+    try {
+      // no stats: only file bytes to go on — the fat pad column makes the
+      // sizeInBytes fallback OVERESTIMATE and derive the wide 8-bit band
+      // (the safe direction: wider bands cost probes, never correctness)
+      assert(arity(spark.sql(sql)) == 372,
+        "the un-analyzed fallback must overestimate from file size here")
+      // the standard production step: ANALYZE + CBO → exact rowCount →
+      // the cheap 4-bit exact band a 1k-row corpus actually wants
+      spark.sql("ANALYZE TABLE hjr_cat COMPUTE STATISTICS")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      assert(arity(spark.sql(sql)) == 40,
+        "ANALYZE'd rowCount under CBO must derive the corpus-true width")
+      // and the rewrite still yields correct rows on the analyzed table
+      val n = spark.sql(sql).count()
+      val nOff = withRule(on = false)(spark.sql(sql).count())
+      assert(n == nOff)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.sql("DROP TABLE IF EXISTS hjr_cat")
+    }
+  }
+
   test("tau = 0 degenerates to the exact-key band join and keeps parity") {
     hashes.createOrReplaceTempView("hjr_z")
     val sql =
