@@ -853,22 +853,30 @@ object TableManifest {
     * pending (masked rows are not in any stats row), the count falls
     * back to the real scan — an uncovered batch can never be silently
     * counted as zero, a masked row never counted at all. */
-  def countRows(spark: SparkSession, path: String): Long = {
+  def countRows(spark: SparkSession, path: String): Long =
+    metaRowCount(spark, path).getOrElse(read(spark, path).count())
+
+  /** [[countRows]]'s provable fast path, exposed for planners: Some(n)
+    * only when the zone-stats artifact covers EVERY live payload batch
+    * and no MoR delete segments are pending — the cases where n is exact
+    * without touching a data file. None means "only a scan can answer";
+    * a PLANNING-time caller (the connector's reported statistics) must
+    * treat that as unknown, never trigger the scan. */
+  def metaRowCount(spark: SparkSession, path: String): Option[Long] = {
     val v = IndexManifest.currentVersion(spark, path).getOrElse(
       sys.error(s"no committed table at $path"))
     val p = IndexManifest.payloadVersionAt(spark, path, v, "data").getOrElse(
       sys.error(s"no committed table at $path"))
     val statsPath = new org.apache.hadoop.fs.Path(s"$path/zonestats_v$p")
     val f = fs(spark, path)
-    def scanCount = read(spark, path).count()
-    if (deleteSegmentsAt(spark, path, v).nonEmpty) return scanCount
-    if (!f.exists(statsPath)) return scanCount
+    if (deleteSegmentsAt(spark, path, v).nonEmpty) return None
+    if (!f.exists(statsPath)) return None
     // every column's stats row carries its batch's count; use one column
     val allStats = spark.read.schema(ZoneSchema)
       .parquet(statsPath.toString)
       .select(col("col"), col("__batch"), col("n_rows"))
       .collect()
-    if (allStats.isEmpty) return scanCount
+    if (allStats.isEmpty) return None
     val oneCol = allStats.map(_.getString(0)).min
     val stats = allStats.filter(_.getString(0) == oneCol)
       .map(r => r.getLong(1) -> r.getLong(2)).toMap
@@ -879,9 +887,30 @@ object TableManifest {
       .collect { case n if n.startsWith("__batch=") =>
         n.stripPrefix("__batch=").toLong }
       .filter(_ <= wm)
-    if (!payloadBatches.forall(stats.contains)) scanCount
-    else payloadBatches.map(stats).sum
+    if (!payloadBatches.forall(stats.contains)) None
+    else Some(payloadBatches.map(stats).sum)
   }
+
+  /** True when `path` holds a committed table (vs a fresh/failed path). */
+  def exists(spark: SparkSession, path: String): Boolean =
+    IndexManifest.currentVersion(spark, path).isDefined
+
+  /** Current payload bytes — one content-summary RPC, the connector's
+    * planning-time `sizeInBytes` seed (an upper bound under pruning; the
+    * figure that lets Catalyst broadcast a small graft table). */
+  def payloadBytes(spark: SparkSession, path: String): Option[Long] =
+    payloadDir(spark, path).map(d =>
+      fs(spark, path).getContentSummary(
+        new org.apache.hadoop.fs.Path(d)).getLength)
+
+  /** True when the current payload carries a Bloom artifact — the
+    * precondition under which [[readPoint]]/[[readPointString]] prune
+    * (without it they fall back to the plain filtered read, and a
+    * planner should prefer the zone-map range path instead). */
+  def hasBloomFilters(spark: SparkSession, path: String): Boolean =
+    payloadVersion(spark, path).exists(p =>
+      fs(spark, path).exists(
+        new org.apache.hadoop.fs.Path(s"$path/bloomstats_v$p")))
 
   /** Per-(batch, column) bounds of `df` (which carries `__batch`). One
     * scan: all columns' min/max aggregate together, then unpivot. */

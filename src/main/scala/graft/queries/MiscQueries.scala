@@ -1209,6 +1209,150 @@ object MiscQueries {
              |  true AS digests_agree
              |FROM events""".stripMargin)),
 
+    // ---- format("graft"): the lakehouse layer as a first-class source -----
+    // graft.sources.GraftTableSource exposes TableManifest through the
+    // DataSource API. This query drives the WHOLE connector lifecycle
+    // through public Spark surfaces only — no library calls: bootstrap
+    // via .write.format("graft"), append via SQL INSERT INTO a catalog
+    // table USING graft, serve via a temporary view USING graft with the
+    // WHERE pushed into the source (PushedFilters in the plan,
+    // pushdown-exactness spec-locked in GraftTableSourceSpec). The hash
+    // proves the commit/read protocol preserved every row across three
+    // distinct write/read surfaces.
+    Q("q_graft_source_sql",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_conn_sql").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        e.filter(col("event_id") % 2 === 0)
+          .write.format("graft").mode("overwrite").save(path)
+        val t = "gsrc_" +
+          java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+        s.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$path')")
+        try {
+          e.filter(col("event_id") % 2 === 1)
+            .createOrReplaceTempView(s"${t}_drop")
+          s.sql(s"INSERT INTO $t SELECT * FROM ${t}_drop")
+        } finally s.sql(s"DROP TABLE IF EXISTS $t")
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${t}_v USING graft " +
+          s"OPTIONS (path '$path')")
+        s.sql(
+          s"""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value,
+             |  max(event_id) AS max_id
+             |FROM ${t}_v WHERE user_id BETWEEN 10 AND 60
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value,
+             |  max(event_id) AS max_id
+             |FROM events WHERE user_id BETWEEN 10 AND 60
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Pushdown routing through the connector: an event_id range predicate
+    // reaches TableManifest.readRange (zone maps decide the batch dirs
+    // before listing) and an event_type point predicate reaches
+    // readPointString (executor-side Bloom probes) — both through plain
+    // DataFrame filters on format("graft") reads of a 4-batch append-log
+    // layout. Pruning is necessary-condition-only and the exact predicate
+    // re-applies, so one hash gates BOTH routes against the unpruned SQL
+    // replay; the pruning/cost side is spec- and Stress-measured.
+    Q("q_graft_source_pushdown",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_conn_push").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        val maxId = e.agg(max(col("event_id"))).head().getLong(0)
+        val q = maxId / 4
+        TableManifest.commitSnapshot(e.filter(col("event_id") <= q), path)
+        (1 to 3).foreach(i => TableManifest.append(
+          e.filter(col("event_id") > i * q &&
+            (if (i == 3) lit(true) else col("event_id") <= (i + 1) * q)),
+          path))
+        TableManifest.refreshZoneMaps(s, path, Seq("event_id"))
+        TableManifest.refreshBloomFilters(s, path, Seq("event_type"),
+          expectedPerBatch = math.max(1024L, maxId / 4 + 1))
+        val et = e.agg(min(col("event_type"))).head().getString(0)
+        val ranged = s.read.format("graft").load(path)
+          .filter(col("event_id") >= q && col("event_id") <= 2 * q)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("sum_value"))
+          .withColumn("probe", lit("range"))
+        val point = s.read.format("graft").load(path)
+          .filter(col("event_type") === et)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("sum_value"))
+          .withColumn("probe", lit("point"))
+        ranged.unionByName(point)
+          .select(col("probe"), col("event_type"), col("n"),
+            col("sum_value"))
+          .orderBy(col("probe"), col("event_type"))
+      },
+      Some("""WITH mx AS (SELECT max(event_id) // 4 AS q FROM events)
+             |SELECT 'range' AS probe, event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM events, mx
+             |WHERE event_id >= q AND event_id <= 2 * q
+             |GROUP BY event_type
+             |UNION ALL
+             |SELECT 'point', event_type, count(*),
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |FROM events
+             |WHERE event_type = (SELECT min(event_type) FROM events)
+             |GROUP BY event_type
+             |ORDER BY probe, event_type""".stripMargin)),
+
+    // VERSION AS OF through the reader option: the connector writes both
+    // commits itself (overwrite bootstrap, append), then serves the
+    // pinned v0 and the current version side by side from
+    // option("versionAsOf") — time travel reachable without a library
+    // import, both states replayed in one SQL hash.
+    Q("q_graft_source_time_travel",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_conn_tt").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"))
+        e.filter(col("event_id") % 2 === 0)
+          .write.format("graft").mode("overwrite").save(path)
+        e.filter(col("event_id") % 2 === 1)
+          .write.format("graft").mode("append").save(path)
+        val v0 = TableManifest.versions(s, path).head
+        def state(df: org.apache.spark.sql.DataFrame, name: String) =
+          df.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,6)")).cast("double")
+                .as("sum_value"))
+            .withColumn("stage", lit(name))
+        state(s.read.format("graft")
+            .option("versionAsOf", v0.toString).load(path), "v0_pinned")
+          .unionByName(state(s.read.format("graft").load(path), "current"))
+          .select(col("stage"), col("user_id"), col("n"), col("sum_value"))
+          .orderBy(col("stage"), col("user_id"))
+      },
+      Some("""SELECT 'v0_pinned' AS stage, user_id, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+             |UNION ALL
+             |SELECT 'current', user_id, count(*),
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |FROM events GROUP BY user_id
+             |ORDER BY stage, user_id""".stripMargin)),
+
     // ---- incremental materialized-view maintenance ------------------------
     // The 100 TB rollup discipline: never recompute an aggregate from
     // scratch — keep per-key PARTIALS (count/sum/min/max are all

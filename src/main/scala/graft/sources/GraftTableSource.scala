@@ -1,0 +1,512 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.TableManifest
+
+/** `format("graft")` — the [[TableManifest]] lakehouse layer as a
+  * first-class Spark data source, so the table protocol (one-marker
+  * atomic commits, VERSION AS OF, MoR deletes, zone maps, Bloom point
+  * pruning) is reachable from plain SQL and the DataFrame reader/writer,
+  * not only the library API:
+  *
+  *   spark.read.format("graft").load(path)                    — current version
+  *   spark.read.format("graft").option("versionAsOf", 3).load(path)
+  *   df.write.format("graft").mode("append"/"overwrite").save(path)
+  *   CREATE TABLE t USING graft OPTIONS (path '...');  INSERT INTO t ...
+  *   CREATE TEMPORARY VIEW v USING graft OPTIONS (path '...')
+  *
+  * Architecture: a DataSource V2 [[TableProvider]] whose scan implements
+  * the [[V1Scan]] bridge (the pattern Spark's own JDBC v2 connector
+  * uses) — pushdown and statistics live in the v2 planning surface,
+  * execution delegates to the TableManifest read paths, which already
+  * carry the scale machinery. What the planner gets:
+  *
+  *  - FILTER PUSHDOWN ([[SupportsPushDownFilters]]): every convertible
+  *    filter is evaluated by the source (it lands in the inner parquet
+  *    scan's codegen, and `PushedFilters` shows in explain); conjunctive
+  *    range/equality bounds on integral columns route the scan through
+  *    [[TableManifest.readRange]] — zone-map pruning decides the batch
+  *    dirs BEFORE any file listing — and point predicates on
+  *    Bloom-covered columns route through [[TableManifest.readPoint]]/
+  *    [[readPointString]]. Pruning is a necessary-condition filter only:
+  *    the exact predicate is always re-applied, so connector results are
+  *    identical to read-then-filter by construction.
+  *  - COLUMN PRUNING ([[SupportsPushDownRequiredColumns]]): the required
+  *    schema becomes a projection on the inner read, reaching the
+  *    parquet scan's ReadSchema.
+  *  - STATISTICS ([[SupportsReportStatistics]]): sizeInBytes from one
+  *    payload content-summary RPC and rowCount from the zone-stats
+  *    artifact when provable ([[TableManifest.metaRowCount]] — never a
+  *    planning-time scan), so Catalyst sizes joins over graft tables
+  *    correctly and broadcasts small ones.
+  *  - WRITES: v2 append/truncate bridge to [[V1Write]] —
+  *    `INSERT INTO` appends a `__batch` partition (multi-writer-safe
+  *    claim), `INSERT OVERWRITE`/mode("overwrite") commits a snapshot;
+  *    both one-marker atomic. A first append into a fresh path
+  *    bootstraps via commitSnapshot.
+  *
+  * The v1 [[RelationProvider]] surface is also implemented so
+  * `CREATE TEMPORARY VIEW ... USING graft` (which resolves through the
+  * v1 path) works; it shares the same planner, pushdown included.
+  */
+object GraftTableSource {
+
+  /** Pruning route the most recent scan planning chose — observable
+    * proof for specs that pushdown reached the manifest layer (the
+    * [[SyntheticSource.lastPlannedPartitions]] pattern). */
+  val lastPruning = new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graft source requires a path (load(path) or OPTIONS (path '...'))")
+    p
+  }
+
+  private[sources] def versionOf(
+      options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("versionAsOf")).map(_.toLong)
+
+  /** Append-or-bootstrap / overwrite — the one write shape every write
+    * surface (v2 bridge, v1 insert, save modes) funnels through. The
+    * table advertises ACCEPT_ANY_SCHEMA (the Delta pattern: the manifest
+    * layer's schema-evolution read path null-pads evolved appends by
+    * design), so alignment happens here: an append whose columns are the
+    * table's as a SET is realigned by NAME (positional drift from an
+    * INSERT can never silently cross columns); a genuinely evolved
+    * schema passes through for the mergeSchema/null-pad read path. */
+  private[sources] def write(data: DataFrame, path: String,
+      overwrite: Boolean): Unit = {
+    val spark = data.sparkSession
+    if (overwrite || !TableManifest.exists(spark, path)) {
+      TableManifest.commitSnapshot(data, path)
+    } else {
+      val tgt = TableManifest.read(spark, path).schema
+      val aligned =
+        if (data.columns.toSet == tgt.fieldNames.toSet)
+          // by NAME (possibly reordered), coerced to the table's types —
+          // a no-op cast folds away, a real one is the INSERT coercion
+          // Spark's resolver would have added
+          data.select(tgt.fields.map(f =>
+            col(quote(f.name)).cast(f.dataType).as(f.name))
+            .toIndexedSeq: _*)
+        else if (data.columns.length == tgt.fields.length)
+          // by POSITION (INSERT ... VALUES / aliased SELECT): rename to
+          // the table's columns, then coerce
+          data.toDF(tgt.fieldNames.toIndexedSeq: _*)
+            .select(tgt.fields.map(f =>
+              col(quote(f.name)).cast(f.dataType).as(f.name))
+              .toIndexedSeq: _*)
+        else data // true evolution: the mergeSchema/null-pad read path
+      TableManifest.append(aligned, path)
+    }
+    ()
+  }
+
+  // ---- filter → Column (exact translation or not pushed at all) ----------
+
+  private[sources] def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(quote(a)) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(quote(a)) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(quote(a)) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(quote(a)) >= lit(v))
+    case LessThan(a, v)           => Some(col(quote(a)) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(quote(a)) <= lit(v))
+    case In(a, vs)                => Some(col(quote(a)).isin(vs.toSeq: _*))
+    case IsNull(a)                => Some(col(quote(a)).isNull)
+    case IsNotNull(a)             => Some(col(quote(a)).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(quote(a)).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(quote(a)).endsWith(v))
+    case StringContains(a, v)     => Some(col(quote(a)).contains(v))
+    case And(l, r) =>
+      for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case Or(l, r) =>
+      for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _      => None
+  }
+
+  private def quote(a: String): String = s"`${a.replace("`", "``")}`"
+
+  private[sources] def convertible(f: Filter): Boolean = toColumn(f).isDefined
+
+  // ---- pruning-route derivation from the pushed conjuncts ----------------
+
+  private def conjuncts(f: Filter): Seq[Filter] = f match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case o         => Seq(o)
+  }
+
+  private def longOf(v: Any): Option[Long] = v match {
+    case b: Byte  => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int   => Some(i.toLong)
+    case l: Long  => Some(l)
+    case _        => None
+  }
+
+  // saturating neighbors: an open bound at Long's edge must not wrap —
+  // wrapping would prune batches the predicate matches
+  private def succ(v: Long): Long = if (v == Long.MaxValue) v else v + 1L
+  private def pred(v: Long): Long = if (v == Long.MinValue) v else v - 1L
+
+  /** Conjunctive inclusive bounds on INTEGRAL columns — the
+    * [[TableManifest.readRange]] input. Open bounds saturate to Long's
+    * edges (readRange's predicate is necessary-only; the exact filter is
+    * re-applied). Only integral columns: `col > v` on a double column has
+    * no exact long bound. */
+  private[sources] def zoneRanges(pushed: Seq[Filter],
+      schema: StructType): Seq[(String, Long, Long)] = {
+    val integral = schema.fields.collect {
+      case f if Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(f.dataType) => f.name
+    }.toSet
+    val bounds = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def tighten(c: String, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      bounds(c) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    pushed.flatMap(conjuncts).foreach {
+      case EqualTo(a, v) if integral(a) =>
+        longOf(v).foreach(l => tighten(a, l, l))
+      case GreaterThan(a, v) if integral(a) =>
+        longOf(v).foreach(l => tighten(a, succ(l), Long.MaxValue))
+      case GreaterThanOrEqual(a, v) if integral(a) =>
+        longOf(v).foreach(l => tighten(a, l, Long.MaxValue))
+      case LessThan(a, v) if integral(a) =>
+        longOf(v).foreach(l => tighten(a, Long.MinValue, pred(l)))
+      case LessThanOrEqual(a, v) if integral(a) =>
+        longOf(v).foreach(l => tighten(a, Long.MinValue, l))
+      case In(a, vs) if integral(a) && vs.nonEmpty =>
+        val ls = vs.flatMap(longOf)
+        if (ls.length == vs.length) tighten(a, ls.min, ls.max)
+      case _ => ()
+    }
+    bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
+      .filter { case (_, lo, hi) =>
+        lo > Long.MinValue || hi < Long.MaxValue }
+      .sortBy(_._1)
+  }
+
+  /** A Bloom-probeable point predicate: the first conjunct that pins one
+    * column to a finite value set. */
+  private[sources] def pointValues(pushed: Seq[Filter])
+      : Option[(String, Seq[Any])] =
+    pushed.flatMap(conjuncts).collectFirst {
+      case EqualTo(a, v)           => (a, Seq(v))
+      case In(a, vs) if vs.nonEmpty => (a, vs.toSeq)
+    }
+
+  /** The pruned, filtered, projected DataFrame behind every read surface.
+    * Route choice: a Bloom-covered point predicate probes
+    * readPoint/readPointString (sharpest for point lookups); otherwise
+    * integral range bounds go through readRange (zone maps); otherwise
+    * the plain manifest read. Every pushed filter is then re-applied
+    * EXACTLY, and the projection lands on the inner plan so parquet
+    * reads only the required columns. */
+  private[sources] def plan(spark: SparkSession, path: String,
+      versionAsOf: Option[Long], userSchema: Option[StructType],
+      pushed: Seq[Filter], required: Option[Seq[String]]): DataFrame = {
+    val base = versionAsOf match {
+      case Some(v) =>
+        lastPruning.set("versionAsOf")
+        TableManifest.readAt(spark, path, v, userSchema)
+      case None =>
+        val points = pointValues(pushed)
+        val longPoint = points.collect {
+          case (c, vs) if vs.forall(longOf(_).isDefined) =>
+            (c, vs.map(longOf(_).get))
+        }
+        val stringPoint = points.collect {
+          case (c, vs) if vs.forall(_.isInstanceOf[String]) =>
+            (c, vs.map(_.asInstanceOf[String]))
+        }
+        lazy val bloom = TableManifest.hasBloomFilters(spark, path)
+        lazy val ranges = zoneRanges(pushed,
+          userSchema.getOrElse(TableManifest.read(spark, path).schema))
+        if (longPoint.isDefined && bloom) {
+          lastPruning.set(s"bloom-point:${longPoint.get._1}")
+          TableManifest.readPoint(spark, path, longPoint.get._1,
+            longPoint.get._2, userSchema)
+        } else if (stringPoint.isDefined && bloom) {
+          lastPruning.set(s"bloom-point:${stringPoint.get._1}")
+          TableManifest.readPointString(spark, path, stringPoint.get._1,
+            stringPoint.get._2, userSchema)
+        } else if (ranges.nonEmpty) {
+          lastPruning.set(ranges.map { case (c, lo, hi) =>
+            s"zone-range:$c[$lo,$hi]" }.mkString(","))
+          TableManifest.readRange(spark, path, ranges, userSchema)
+        } else {
+          lastPruning.set("none")
+          TableManifest.read(spark, path, userSchema)
+        }
+    }
+    val filtered = pushed.flatMap(toColumn).foldLeft(base)(_.filter(_))
+    required.fold(filtered)(cols =>
+      filtered.select(cols.map(c => col(quote(c))): _*))
+  }
+}
+
+class GraftTableSource extends TableProvider with DataSourceRegister
+    with RelationProvider with SchemaRelationProvider
+    with CreatableRelationProvider {
+  import GraftTableSource._
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val path = pathOf(options)
+    // a FRESH path infers empty: the writer surfaces (whose getTable
+    // flows through here with no user schema) must be able to bootstrap
+    // a first commit; a read on the empty schema fails later with the
+    // manifest's own "no committed table" error
+    if (!TableManifest.exists(spark, path)) return new StructType()
+    versionOf(options) match {
+      case Some(v) => TableManifest.readAt(spark, path, v).schema
+      case None    => TableManifest.read(spark, path).schema
+    }
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GraftTable(pathOf(opts), versionOf(opts),
+      Option(schema).filter(_.fields.nonEmpty))
+  }
+
+  // ---- v1 surface: CREATE TEMPORARY VIEW ... USING graft -----------------
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    relation(sqlContext, parameters, None)
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String], schema: StructType): BaseRelation =
+    relation(sqlContext, parameters, Some(schema))
+
+  /** v1 save-mode fallback (`.write.format("graft").mode(...)` for
+    * ErrorIfExists/Ignore — Append and Overwrite take the v2 path). */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse("path",
+      sys.error("graft source requires a path"))
+    val present = TableManifest.exists(spark, path)
+    mode match {
+      case SaveMode.Overwrite => write(data, path, overwrite = true)
+      case SaveMode.Append    => write(data, path, overwrite = false)
+      case SaveMode.ErrorIfExists =>
+        require(!present, s"graft table already exists at $path " +
+          "(mode ErrorIfExists)")
+        write(data, path, overwrite = true)
+      case SaveMode.Ignore =>
+        if (!present) write(data, path, overwrite = true)
+    }
+    relation(sqlContext, parameters, None)
+  }
+
+  private def relation(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      schema: Option[StructType]): BaseRelation = {
+    import scala.jdk.CollectionConverters._
+    val opts = new CaseInsensitiveStringMap(parameters.asJava)
+    GraftRelation(pathOf(opts), versionOf(opts), schema)(
+      sqlContext.sparkSession)
+  }
+}
+
+private[sources] class GraftTable(path: String, versionAsOf: Option[Long],
+    userSchema: Option[StructType]) extends Table
+    with SupportsRead with SupportsWrite {
+  import GraftTableSource._
+
+  override def name(): String = s"graft:$path"
+
+  override def schema(): StructType = userSchema.getOrElse {
+    val spark = SparkSession.active
+    if (!TableManifest.exists(spark, path)) return new StructType()
+    versionAsOf match {
+      case Some(v) => TableManifest.readAt(spark, path, v).schema
+      case None    => TableManifest.read(spark, path).schema
+    }
+  }
+
+  // ACCEPT_ANY_SCHEMA: analysis-time output resolution is skipped (the
+  // fresh-path bootstrap write has no table schema to resolve against,
+  // and evolved appends are a manifest-layer FEATURE); the write path
+  // itself realigns positional drift by name — see GraftTableSource.write
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path,
+      versionOf(options).orElse(versionAsOf), userSchema, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(path)
+}
+
+private[sources] class GraftScanBuilder(path: String,
+    versionAsOf: Option[Long], userSchema: Option[StructType],
+    fullSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  import GraftTableSource._
+
+  private var required: StructType = fullSchema
+  private var pushed = Array.empty[Filter]
+
+  /** Keep every filter we can translate EXACTLY; the remainder is
+    * Spark's to evaluate. A kept filter is fully evaluated by the inner
+    * plan (same null semantics, same codegen), so it is NOT returned as
+    * residual. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(convertible)
+    pushed = ok
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftScan(path, versionAsOf, userSchema, required, pushed)
+}
+
+private[sources] class GraftScan(path: String, versionAsOf: Option[Long],
+    userSchema: Option[StructType], required: StructType,
+    pushed: Array[Filter]) extends V1Scan with SupportsReportStatistics {
+  import GraftTableSource._
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft path=$path" +
+      versionAsOf.map(v => s" versionAsOf=$v").getOrElse("") +
+      s" pushed=[${pushed.mkString(", ")}]" +
+      s" cols=${required.fieldNames.mkString(",")}"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val rel = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = required
+      // the inner plan's InternalRows pass through untranslated; each is
+      // consumed (projected) before the iterator advances, the v1-bridge
+      // contract Spark's own JDBC connector relies on
+      override def needConversion: Boolean = false
+      override def buildScan(): RDD[Row] =
+        plan(context.sparkSession, path, versionAsOf, userSchema,
+          pushed.toSeq, Some(required.fieldNames.toSeq))
+          .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+    }
+    rel.asInstanceOf[T]
+  }
+
+  /** Planning-time stats from metadata only: one content-summary RPC for
+    * bytes, the zone-stats artifact for the row count (exact or absent —
+    * [[TableManifest.metaRowCount]] never scans). Rows are reported only
+    * for an unfiltered current-version scan; a filtered scan's bytes are
+    * an upper bound, which is the conservative direction for join
+    * sizing. KNOWN SPARK LIMITATION: after pushdown the optimizer wraps
+    * a [[V1Scan]] in `V1ScanWrapper`, which implements only `Scan` — so
+    * `DataSourceV2ScanRelation.computeStats` (an instanceof check on
+    * `SupportsReportStatistics`, verified against the 4.1.2 bytecode)
+    * falls back to defaults on the v2 read path. These stats are still
+    * implemented (they light up the moment the wrapper forwards them);
+    * the surface that consumes metadata stats TODAY is the v1 relation —
+    * [[GraftRelation.sizeInBytes]] feeds `LogicalRelation` stats, which
+    * is what lets Catalyst broadcast a small graft table joined through
+    * `CREATE TEMPORARY VIEW ... USING graft`. */
+  override def estimateStatistics(): Statistics = {
+    val spark = SparkSession.active
+    val bytes: Option[Long] =
+      if (versionAsOf.isEmpty) TableManifest.payloadBytes(spark, path)
+      else None
+    val rows: Option[Long] =
+      if (pushed.isEmpty && versionAsOf.isEmpty)
+        TableManifest.metaRowCount(spark, path)
+      else None
+    new Statistics {
+      override def sizeInBytes(): OptionalLong =
+        bytes.map(OptionalLong.of).getOrElse(OptionalLong.empty)
+      override def numRows(): OptionalLong =
+        rows.map(OptionalLong.of).getOrElse(OptionalLong.empty)
+    }
+  }
+}
+
+private[sources] class GraftWriteBuilder(path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
+          GraftTableSource.write(data, path,
+            overwrite || overwriteFlag)
+      }
+  }
+}
+
+/** The v1 relation behind `CREATE TEMPORARY VIEW ... USING graft` — same
+  * planner, same pushdown; `unhandledFilters` tells Spark exactly which
+  * predicates the scan fully evaluates (they show as PushedFilters in
+  * explain and are not re-applied). */
+private[sources] case class GraftRelation(path: String,
+    versionAsOf: Option[Long], userSchema: Option[StructType])(
+    @transient val sparkSession: SparkSession)
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+  import GraftTableSource._
+
+  override def sqlContext: SQLContext = sparkSession.sqlContext
+
+  override val schema: StructType = userSchema.getOrElse {
+    versionAsOf match {
+      case Some(v) => TableManifest.readAt(sparkSession, path, v).schema
+      case None    => TableManifest.read(sparkSession, path).schema
+    }
+  }
+
+  /** Metadata-derived table bytes (one content-summary RPC) —
+    * `LogicalRelation` turns this into plan statistics, so a small graft
+    * table on the v1 surface broadcasts without hints. */
+  override def sizeInBytes: Long =
+    TableManifest.payloadBytes(sparkSession, path)
+      .getOrElse(super.sizeInBytes)
+
+  override def needConversion: Boolean = false
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filterNot(convertible)
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] =
+    plan(sparkSession, path, versionAsOf, userSchema,
+      filters.filter(convertible).toSeq, Some(requiredColumns.toSeq))
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit =
+    write(data, path, overwrite)
+}
