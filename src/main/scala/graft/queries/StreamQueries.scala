@@ -286,6 +286,47 @@ object StreamQueries {
       Some("""SELECT event_id, user_id, ts, value
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // ---- the manifest table AS a stream (readStream.format("graft")) ------
+    // The inverse of q_stream_table_append: the table is the SOURCE.
+    // graft.sources.GraftStreamSource serves committed versions as
+    // micro-batch offsets — first batch is the starting snapshot, each
+    // later batch is the change feed between consecutive versions (the
+    // O(changed batches) readChanges scan, never a table rescan) — so ANY
+    // downstream becomes a table follower with no library imports. Two
+    // appends land while the stream runs; the drained sink must equal
+    // the full table exactly once (count ≡ distinct ≡ the batch oracle).
+    Q("q_graft_stream_source",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_stream_src").toString
+        val e = graft.Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        TableManifest.commitSnapshot(e.filter(col("event_id") % 3 === 0), path)
+        val name = s"gsrcq_${System.nanoTime()}"
+        val q = s.readStream.format("graft").load(path)
+          .writeStream.format("memory").queryName(name).start()
+        try {
+          q.processAllAvailable() // the v0 starting snapshot
+          TableManifest.append(e.filter(col("event_id") % 3 === 1), path)
+          q.processAllAvailable() // follow: one CDF batch
+          TableManifest.append(e.filter(col("event_id") % 3 === 2), path)
+          q.processAllAvailable() // follow: the next CDF batch
+        } finally q.stop()
+        s.table(name)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("event_id")).as("n_ids"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  count(DISTINCT event_id) AS n_ids,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type NULLS FIRST""".stripMargin)),
+
     // ---- streaming incremental view maintenance ----------------------------
     // The full loop: each micro-batch appends to the manifest table
     // (exactly-once under the batchId key) and IncrementalAgg

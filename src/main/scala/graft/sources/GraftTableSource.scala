@@ -261,7 +261,7 @@ object GraftTableSource {
 
 class GraftTableSource extends TableProvider with DataSourceRegister
     with RelationProvider with SchemaRelationProvider
-    with CreatableRelationProvider {
+    with CreatableRelationProvider with GraftStreamSourceProvider {
   import GraftTableSource._
 
   override def shortName(): String = "graft"

@@ -16,4 +16,14 @@ object GraftColumnBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Bridge to `private[sql] internalCreateDataFrame(..., isStreaming)` —
+    * a V1 streaming `Source.getBatch` (graft.sources.GraftStreamSource)
+    * must return a STREAMING DataFrame (MicroBatchExecution asserts
+    * isStreaming), and the only constructor for one is private[sql]. */
+  def streamingDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
 }

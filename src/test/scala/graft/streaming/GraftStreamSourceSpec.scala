@@ -1,0 +1,119 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.TableManifest
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftStreamSourceSpec extends AnyFunSuite {
+  private lazy val s = SparkSpec.session
+
+  private def tmp(tag: String): String = java.nio.file.Files
+    .createTempDirectory(s"graft_stream_$tag").toString
+
+  private def seed(from: Long, until: Long): DataFrame =
+    s.range(from, until).select(col("id"), (col("id") % 7).as("k"))
+
+  test("initial snapshot then follow: appends arrive exactly once, and a" +
+    " stream that fell behind catches up in one batch") {
+    val p = tmp("follow")
+    TableManifest.commitSnapshot(seed(0, 100), p)
+    val q = s.readStream.format("graft").load(p)
+      .writeStream.format("memory").queryName("gss_follow")
+      .option("checkpointLocation", tmp("follow_ck")).start()
+    try {
+      q.processAllAvailable()
+      assert(s.table("gss_follow").count() == 100) // the v0 snapshot
+      TableManifest.append(seed(100, 150), p)
+      q.processAllAvailable()
+      assert(s.table("gss_follow").count() == 150)
+      // two commits between polls: one catch-up batch, no duplicates
+      TableManifest.append(seed(150, 180), p)
+      TableManifest.append(seed(180, 200), p)
+      q.processAllAvailable()
+      val got = s.table("gss_follow")
+      assert(got.count() == 200)
+      assert(got.select(col("id")).distinct().count() == 200)
+      assert(got.agg(sum(col("id"))).head().getLong(0) ==
+        (0L until 200L).sum)
+    } finally q.stop()
+  }
+
+  test("restart from the checkpoint resumes at the committed offset:" +
+    " pre-restart rows never replay, post-restart appends arrive") {
+    val p = tmp("restart")
+    val ck = tmp("restart_ck")
+    TableManifest.commitSnapshot(seed(0, 60), p)
+    // an idempotent batch-keyed collector (the memory sink refuses
+    // checkpoint recovery): a replayed batchId overwrites itself, so the
+    // union is exactly-once by construction — the TableManifest.append
+    // keyed-replay contract in miniature
+    val batches = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Long]]
+    def start() = s.readStream.format("graft").load(p)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        batches.put(id, df.select(col("id")).collect().map(_.getLong(0)).toSeq)
+        ()
+      }.start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      val ids1 = { import scala.jdk.CollectionConverters._
+        batches.values.asScala.flatten.toSeq }
+      assert(ids1.length == 60 && ids1.distinct.length == 60)
+    } finally q1.stop()
+    // appends while the stream is DOWN, then restart from the checkpoint
+    TableManifest.append(seed(60, 90), p)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val ids = { import scala.jdk.CollectionConverters._
+        batches.values.asScala.flatten.toSeq }
+      // the restarted query served exactly the missed window: union is
+      // the full table, nothing from before the checkpoint replayed
+      assert(ids.length == 90 && ids.distinct.length == 90)
+      assert(ids.sum == (0L until 90L).sum)
+    } finally q2.stop()
+  }
+
+  test("startingVersion tails new data only; changeFeed surfaces MoR" +
+    " deletes as _change_type rows") {
+    val p = tmp("tail")
+    val v0 = TableManifest.commitSnapshot(seed(0, 40), p)
+    val q = s.readStream.format("graft")
+      .option("startingVersion", v0.toString)
+      .option("changeFeed", "true").load(p)
+      .writeStream.format("memory").queryName("gss_tail")
+      .option("checkpointLocation", tmp("tail_ck")).start()
+    try {
+      q.processAllAvailable()
+      assert(s.table("gss_tail").count() == 0) // no snapshot when tailing
+      TableManifest.append(seed(40, 50), p)
+      TableManifest.deleteWhere(s, p, "id < 5")
+      q.processAllAvailable()
+      val got = s.table("gss_tail")
+      assert(got.filter(col("_change_type") === "insert").count() == 10)
+      val dels = got.filter(col("_change_type") === "delete")
+      assert(dels.count() == 5)
+      assert(dels.agg(max(col("id"))).head().getLong(0) == 4L)
+    } finally q.stop()
+  }
+
+  test("the default insert feed drops delete rows (append-stream" +
+    " contract) and keeps serving later appends") {
+    val p = tmp("ins")
+    TableManifest.commitSnapshot(seed(0, 30), p)
+    val q = s.readStream.format("graft").load(p)
+      .writeStream.format("memory").queryName("gss_ins")
+      .option("checkpointLocation", tmp("ins_ck")).start()
+    try {
+      q.processAllAvailable()
+      TableManifest.deleteWhere(s, p, "id >= 20")
+      TableManifest.append(seed(30, 35), p)
+      q.processAllAvailable()
+      // 30 snapshot + 5 appended; the 10 deletes never enter the feed
+      assert(s.table("gss_ins").count() == 35)
+    } finally q.stop()
+  }
+}
