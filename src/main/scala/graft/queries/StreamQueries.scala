@@ -327,6 +327,32 @@ object StreamQueries {
              |FROM events GROUP BY event_type
              |ORDER BY event_type NULLS FIRST""".stripMargin)),
 
+    // ---- writeStream.format("graft"): the manifest table as a SINK --------
+    // q_stream_table_append's foreachBatch shape as the one-liner public
+    // surface: every micro-batch lands as a keyed __batch append (one
+    // atomic watermarked marker per batch — at-least-once delivery made
+    // exactly-once on disk by batchId replay-overwrite), and the landed
+    // table must equal the batch input row-for-row. GraftStreamSourceSpec
+    // drives the restart/replay and Complete-mode halves.
+    Q("q_graft_stream_sink",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_stream_sink").toString
+        val q = eventStream(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .writeStream.format("graft").option("path", path)
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("graft_stream_sink_ck").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        TableManifest.read(s, path)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, ts, value
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // ---- streaming incremental view maintenance ----------------------------
     // The full loop: each micro-batch appends to the manifest table
     // (exactly-once under the batchId key) and IncrementalAgg

@@ -97,12 +97,74 @@ case class GraftVersionOffset(version: Long) extends V1Offset {
   override def json: String = version.toString
 }
 
+/** `writeStream.format("graft")` — the manifest table as a streaming
+  * SINK, completing the loop the spec-level machinery already proved
+  * (q_stream_table_append's foreachBatch shape, now a one-liner):
+  *
+  *   df.writeStream.format("graft")
+  *     .option("path", p).option("checkpointLocation", ck).start()
+  *
+  * Output modes map onto the two manifest commit shapes:
+  *  - Append  → [[TableManifest.append]] under the micro-batch's
+  *    batchId key: foreachBatch-style at-least-once delivery becomes
+  *    exactly-once on disk (a replayed batch overwrites its own
+  *    `__batch` partition; one folded by compaction no-ops against the
+  *    carried watermark).
+  *  - Complete → [[TableManifest.commitSnapshot]] per batch — each
+  *    emission REPLACES the table (the aggregate-refresh shape); a
+  *    replay rewrites identical content, idempotent by construction.
+  *  - Update is refused: the manifest has no partial-row merge commit —
+  *    use Append into a log table + readLatest (the MoR upsert), the
+  *    documented trade.
+  *
+  * A fresh path is seeded with a zero-row schema snapshot so the first
+  * micro-batch lands as a NORMAL keyed append (replayable), not a
+  * snapshot. */
+private[sources] class GraftSink(spark: SparkSession, path: String,
+    complete: Boolean) extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the engine's frame is flagged streaming and refuses .write; its
+    // rows are an ordinary batch RDD — re-wrap (the V1-sink idiom)
+    val batch = GraftColumnBridge.batchDataFrame(spark,
+      data.queryExecution.toRdd, data.schema)
+    if (complete) {
+      TableManifest.commitSnapshot(batch, path)
+    } else {
+      if (!TableManifest.exists(spark, path))
+        TableManifest.commitSnapshot(batch.limit(0), path)
+      TableManifest.append(batch, path, batchId = Some(batchId))
+    }
+    ()
+  }
+
+  override def toString: String = s"GraftSink[$path]"
+}
+
 /** The [[org.apache.spark.sql.sources.StreamSourceProvider]] half of the
   * connector — mixed into [[GraftTableSource]]'s registration so
   * `readStream.format("graft")` resolves through the same short name. */
 trait GraftStreamSourceProvider
-    extends org.apache.spark.sql.sources.StreamSourceProvider {
+    extends org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   import GraftTableSource._
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    import org.apache.spark.sql.streaming.OutputMode
+    require(outputMode != OutputMode.Update(),
+      "graft sink supports Append (keyed exactly-once appends) and " +
+        "Complete (snapshot replacement per batch); Update has no " +
+        "manifest commit shape — use Append + readLatest (MoR upsert)")
+    import scala.jdk.CollectionConverters._
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      parameters.asJava)
+    new GraftSink(sqlContext.sparkSession, pathOf(opts),
+      complete = outputMode == OutputMode.Complete())
+  }
 
   private def changeFeedOf(parameters: Map[String, String]): Boolean =
     parameters.collectFirst {

@@ -26,4 +26,14 @@ object GraftColumnBridge {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** The inverse direction: a streaming micro-batch's rows re-wrapped as
+    * a BATCH DataFrame — `Sink.addBatch`'s frame is flagged streaming
+    * and refuses `.write`, but its physical rows are an ordinary RDD
+    * (graft.sources.GraftSink hands them to the manifest commit). */
+  def batchDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
 }

@@ -100,6 +100,62 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sink: append mode lands micro-batches as keyed manifest appends," +
+    " exactly-once through a checkpoint restart") {
+    val src = tmp("sink_src")
+    val dst = tmp("sink_dst")
+    val ck = tmp("sink_ck")
+    TableManifest.commitSnapshot(seed(0, 50), src)
+    def start() = s.readStream.format("graft").load(src)
+      .writeStream.format("graft").option("path", dst)
+      .option("checkpointLocation", ck).start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(TableManifest.read(s, dst).count() == 50)
+    } finally q1.stop()
+    TableManifest.append(seed(50, 80), src)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = TableManifest.read(s, dst)
+      assert(got.count() == 80)
+      assert(got.select(col("id")).distinct().count() == 80)
+    } finally q2.stop()
+    // table -> stream -> table round trip is content-identical
+    assert(TableManifest.read(s, dst)
+      .exceptAll(TableManifest.read(s, src)).isEmpty)
+  }
+
+  test("sink: complete mode replaces the table with each emission — the" +
+    " aggregate-refresh shape, served back by any reader") {
+    val src = tmp("csink_src")
+    val dst = tmp("csink_dst")
+    TableManifest.commitSnapshot(seed(0, 40), src)
+    val q = s.readStream.format("graft").load(src)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("graft").option("path", dst)
+      .option("checkpointLocation", tmp("csink_ck")).start()
+    try {
+      q.processAllAvailable()
+      TableManifest.append(seed(40, 100), src)
+      q.processAllAvailable()
+      val agg = TableManifest.read(s, dst)
+      assert(agg.agg(sum(col("n"))).head().getLong(0) == 100L)
+      // the standing table is the LATEST aggregate, not an append log
+      assert(agg.count() == 7)
+    } finally q.stop()
+    // update mode has no manifest commit shape
+    intercept[Exception] {
+      s.readStream.format("graft").load(src)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("update")
+        .format("graft").option("path", tmp("usink"))
+        .option("checkpointLocation", tmp("usink_ck")).start()
+    }
+  }
+
   test("the default insert feed drops delete rows (append-stream" +
     " contract) and keeps serving later appends") {
     val p = tmp("ins")
