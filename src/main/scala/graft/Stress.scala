@@ -1617,6 +1617,93 @@ object Stress {
         val driverBytesNow = nBatches * 9L
         println(f"""{"batches":$nBatches%d,"rows":${nBatches * perBatch}%d,"probe_seconds":$tPoint%.2f,"fullscan_seconds":$tScan%.2f,"probe_files":$fPoint%d,"fullscan_files":$fScan%d,"artifact_bytes_old_driver_cost":$artifactBytes%d,"driver_bytes_now":$driverBytesNow%d}""")
 
+      case "connector" =>
+        // format("graft") vs the library API on the SAME table: (a) the
+        // V1-bridge row-path tax on a full-scan aggregate (the connector
+        // pays one extra per-row projection under RowDataSourceScanExec —
+        // measured, not guessed), (b) pushed range and point predicates
+        // must reach the SAME zone-map/Bloom pruning the library paths
+        // use (files-read equality is the proof the planning surface
+        // loses nothing). 256 batches × 40k rows, zone maps on id,
+        // Blooms on id.
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        val nBatches = 256
+        val perBatch = 40000L
+        val cPath = java.nio.file.Files
+          .createTempDirectory("stress_connector").toString
+        operators.TableManifest.commitSnapshot(
+          spark.range(0).select(col("id"),
+            col("id").cast("string").as("payload")), cPath)
+        spark.range(nBatches * perBatch)
+          .select(col("id"),
+            concat(lit("p"), rpad(col("id").cast("string"), 60, "x"))
+              .as("payload"),
+            (col("id") / perBatch).cast("long").as("__batch"))
+          .write.partitionBy("__batch").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(s"$cPath/data_v0")
+        // publish the watermark with a real keyed append of the LAST
+        // batch — its ids are the same contiguous tail, so the dynamic
+        // overwrite of its own partition is content-idempotent
+        operators.TableManifest.append(
+          spark.range(nBatches * perBatch - perBatch, nBatches * perBatch)
+            .select(col("id"),
+              concat(lit("p"), rpad(col("id").cast("string"), 60, "x"))
+                .as("payload")),
+          cPath, batchId = Some(nBatches - 1L))
+        operators.TableManifest.refreshZoneMaps(spark, cPath, Seq("id"))
+        operators.TableManifest.refreshBloomFilters(spark, cPath, Seq("id"),
+          expectedPerBatch = perBatch)
+        def cFiles(df: org.apache.spark.sql.DataFrame): Long = {
+          df.queryExecution.toRdd.count() // metrics exist only post-run
+          val plan = df.queryExecution.executedPlan
+          (plan +: plan.collect { case a: AdaptiveSparkPlanExec =>
+            a.executedPlan })
+            .flatMap(_.collect { case f: FileSourceScanExec => f })
+            .map(_.metrics("numFiles").value).sum
+        }
+        def cTimed(mk: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+          mk.queryExecution.toRdd.count() // warm codegen + listings
+          val t0 = System.nanoTime()
+          val n = mk.queryExecution.toRdd.count()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        def conn = spark.read.format("graft").load(cPath)
+        def lib = operators.TableManifest.read(spark, cPath)
+        // the CREATE TABLE deployment shape: schema from the catalog, so
+        // the per-query footer/listing inference is skipped
+        val cSchema = lib.schema
+        def connS = spark.read.format("graft").schema(cSchema).load(cPath)
+        // (a) full-scan aggregate: the row-path tax
+        val (tLibScan, _) = cTimed(lib.agg(sum(col("id"))))
+        val (tConnScan, _) = cTimed(conn.agg(sum(col("id"))))
+        val (tConnScanS, _) = cTimed(connS.agg(sum(col("id"))))
+        // (b) range probe landing inside ONE batch (batches are
+        // id-contiguous): both surfaces must prune to the same files
+        val lo = nBatches * perBatch - perBatch
+        val hi = lo + 999L
+        val (tLibRange, nLibR) = cTimed(
+          operators.TableManifest.readRange(spark, cPath,
+            Seq(("id", lo, hi))))
+        val (tConnRange, nConnR) = cTimed(
+          connS.filter(col("id") >= lo && col("id") <= hi))
+        require(nLibR == 1000L && nConnR == 1000L,
+          s"range probe wrong: $nLibR/$nConnR")
+        val fLibRange = cFiles(operators.TableManifest.readRange(spark,
+          cPath, Seq(("id", lo, hi))))
+        val fConnRange = cFiles(sources.GraftTableSource.plan(spark, cPath,
+          None, None,
+          Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("id", lo),
+            org.apache.spark.sql.sources.LessThanOrEqual("id", hi)), None))
+        // (c) point probe through the Bloom path, both surfaces
+        val key = lo + 123L
+        val (tLibPoint, nLibP) = cTimed(
+          operators.TableManifest.readPoint(spark, cPath, "id", Seq(key)))
+        val (tConnPoint, nConnP) = cTimed(connS.filter(col("id") === key))
+        require(nLibP == 1L && nConnP == 1L, s"point probe wrong: $nLibP/$nConnP")
+        println(f"""{"rows":${nBatches * perBatch}%d,"batches":$nBatches%d,"lib_scan_seconds":$tLibScan%.2f,"conn_scan_seconds":$tConnScan%.2f,"conn_scan_schema_seconds":$tConnScanS%.2f,"lib_range_seconds":$tLibRange%.2f,"conn_range_seconds":$tConnRange%.2f,"lib_range_files":$fLibRange%d,"conn_range_files":$fConnRange%d,"lib_point_seconds":$tLibPoint%.2f,"conn_point_seconds":$tConnPoint%.2f}""")
+
       case "cc" =>
         // one path graph of copies×100k nodes: diameter = n-1, the case
         // where min-label propagation needs O(n) rounds and the

@@ -183,7 +183,7 @@ trait GraftStreamSourceProvider
     val base = user.getOrElse {
       val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         parameters.asJava)
-      TableManifest.read(spark, pathOf(opts)).schema
+      GraftTableSource.tableSchema(spark, pathOf(opts), None)
     }
     if (changeFeedOf(parameters) && !base.fieldNames.contains("_change_type"))
       base.add("_change_type", StringType, nullable = false)

@@ -68,6 +68,23 @@ object GraftTableSource {
     * [[SyntheticSource.lastPlannedPartitions]] pattern). */
   val lastPruning = new java.util.concurrent.atomic.AtomicReference[String]("")
 
+  /** Schema inference memoized per (path, committed version): footer
+    * inference walks the payload listing — O(#batches) per call, ~0.7 s
+    * at 256 batches measured (`Stress connector`) — so pay it once per
+    * table VERSION, not per query. The version key makes the cache
+    * evolution-correct by construction: an append or replacement that
+    * changed the schema lands under a new version and re-infers; a
+    * catalog/user schema bypasses this entirely (the production shape). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), StructType]
+
+  private[sources] def tableSchema(spark: SparkSession, path: String,
+      versionAsOf: Option[Long]): StructType = {
+    val v = versionAsOf.getOrElse(TableManifest.versions(spark, path).last)
+    schemaCache.computeIfAbsent((path, v),
+      _ => TableManifest.readAt(spark, path, v).schema)
+  }
+
   private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null && p.nonEmpty,
@@ -216,7 +233,7 @@ object GraftTableSource {
     * the plain manifest read. Every pushed filter is then re-applied
     * EXACTLY, and the projection lands on the inner plan so parquet
     * reads only the required columns. */
-  private[sources] def plan(spark: SparkSession, path: String,
+  def plan(spark: SparkSession, path: String,
       versionAsOf: Option[Long], userSchema: Option[StructType],
       pushed: Seq[Filter], required: Option[Seq[String]]): DataFrame = {
     val base = versionAsOf match {
@@ -235,7 +252,7 @@ object GraftTableSource {
         }
         lazy val bloom = TableManifest.hasBloomFilters(spark, path)
         lazy val ranges = zoneRanges(pushed,
-          userSchema.getOrElse(TableManifest.read(spark, path).schema))
+          userSchema.getOrElse(tableSchema(spark, path, None)))
         if (longPoint.isDefined && bloom) {
           lastPruning.set(s"bloom-point:${longPoint.get._1}")
           TableManifest.readPoint(spark, path, longPoint.get._1,
@@ -276,10 +293,7 @@ class GraftTableSource extends TableProvider with DataSourceRegister
     // a first commit; a read on the empty schema fails later with the
     // manifest's own "no committed table" error
     if (!TableManifest.exists(spark, path)) return new StructType()
-    versionOf(options) match {
-      case Some(v) => TableManifest.readAt(spark, path, v).schema
-      case None    => TableManifest.read(spark, path).schema
-    }
+    tableSchema(spark, path, versionOf(options))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -340,10 +354,7 @@ private[sources] class GraftTable(path: String, versionAsOf: Option[Long],
   override def schema(): StructType = userSchema.getOrElse {
     val spark = SparkSession.active
     if (!TableManifest.exists(spark, path)) return new StructType()
-    versionAsOf match {
-      case Some(v) => TableManifest.readAt(spark, path, v).schema
-      case None    => TableManifest.read(spark, path).schema
-    }
+    tableSchema(spark, path, versionAsOf)
   }
 
   // ACCEPT_ANY_SCHEMA: analysis-time output resolution is skipped (the
@@ -482,12 +493,8 @@ private[sources] case class GraftRelation(path: String,
 
   override def sqlContext: SQLContext = sparkSession.sqlContext
 
-  override val schema: StructType = userSchema.getOrElse {
-    versionAsOf match {
-      case Some(v) => TableManifest.readAt(sparkSession, path, v).schema
-      case None    => TableManifest.read(sparkSession, path).schema
-    }
-  }
+  override val schema: StructType = userSchema.getOrElse(
+    tableSchema(sparkSession, path, versionAsOf))
 
   /** Metadata-derived table bytes (one content-summary RPC) —
     * `LogicalRelation` turns this into plan statistics, so a small graft
