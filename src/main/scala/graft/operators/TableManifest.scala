@@ -140,6 +140,23 @@ object TableManifest {
     commitPayloadDir(spark, path, tmp)
   }
 
+  /** CREATE TABLE: commit a ZERO-ROW snapshot that stays readable with
+    * no schema hint. A partitioned empty write emits no files at all
+    * (dynamic partitions need a value), so the schema would be lost —
+    * this writes the empty frame NON-partitioned into a literal
+    * `__batch=-1` dir, where Spark's empty-write path still emits one
+    * footer-only parquet file carrying the schema. The catalog's
+    * CREATE TABLE seam; the first append lands as a normal batch. */
+  def createEmpty(spark: SparkSession, path: String,
+      schema: StructType): Long = {
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/.data_pending_${java.util.UUID.randomUUID}")
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.parquet(s"$tmp/__batch=-1")
+    commitPayloadDir(spark, path, tmp)
+  }
+
   /** Publish an already-written (batch-partitioned) payload dir as the
     * table's next version: rename per attempt, marker carrying the
     * watermark forward. The [[commitSnapshot]] loop, shared with

@@ -1314,6 +1314,50 @@ object MiscQueries {
              |GROUP BY event_type
              |ORDER BY probe, event_type""".stripMargin)),
 
+    // The path-addressed catalog (spark.sql.catalog.graft): identifiers
+    // ARE paths, existence/schema resolve against the manifest alone,
+    // and time travel is the analyzer's NATIVE `VERSION AS OF` syntax —
+    // loadTable(ident, version) — not a reader option. One hash gates
+    // catalog SELECT, catalog INSERT INTO (a keyed manifest append), and
+    // a pinned-version read that must exclude that insert.
+    Q("q_graft_catalog_sql",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        s.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_cat_sql").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"))
+        TableManifest.commitSnapshot(e.filter(col("event_id") % 2 === 0),
+          path)
+        e.filter(col("event_id") % 2 === 1)
+          .createOrReplaceTempView("gcat_odd")
+        s.sql(s"INSERT INTO graft.`$path` SELECT * FROM gcat_odd")
+        val v0 = TableManifest.versions(s, path).head
+        s.sql(
+          s"""SELECT 'v0_pinned' AS stage, count(*) AS n,
+             |  max(event_id) AS max_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM graft.`$path` VERSION AS OF $v0
+             |UNION ALL
+             |SELECT 'current', count(*), max(event_id),
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |FROM graft.`$path`
+             |ORDER BY stage""".stripMargin)
+      },
+      Some("""SELECT 'v0_pinned' AS stage, count(*) AS n,
+             |  max(event_id) AS max_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM events WHERE event_id % 2 = 0
+             |UNION ALL
+             |SELECT 'current', count(*), max(event_id),
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |FROM events
+             |ORDER BY stage""".stripMargin)),
+
     // VERSION AS OF through the reader option: the connector writes both
     // commits itself (overwrite bootstrap, append), then serves the
     // pinned v0 and the current version side by side from

@@ -1,0 +1,121 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.TableManifest
+
+/** A path-addressed [[TableCatalog]] for graft tables — the Delta-style
+  * catalog surface, registered once per session:
+  *
+  *   spark.sql.catalog.graft = graft.sources.GraftCatalog
+  *
+  * and then the manifest layer is plain multi-part SQL, INCLUDING native
+  * time-travel syntax (the analyzer routes `VERSION AS OF` to
+  * `loadTable(ident, version)` — no reader options needed):
+  *
+  *   SELECT * FROM graft.`/data/events`
+  *   SELECT * FROM graft.`/data/events` VERSION AS OF 3
+  *   INSERT INTO graft.`/data/events` SELECT ...
+  *   CREATE TABLE graft.`/data/new` (id BIGINT, v DOUBLE)
+  *   DROP TABLE graft.`/data/new`
+  *
+  * Identifiers ARE paths (one backticked part, or namespace parts joined
+  * with `/`): the catalog holds no state of its own — existence checks,
+  * schemas, and every read/write resolve against the table's manifest on
+  * storage, so there is nothing to keep consistent between a metastore
+  * and the table (the path-catalog property that makes this safe under
+  * concurrent writers on shared storage).
+  *
+  * CREATE TABLE seeds a zero-row schema snapshot (version 0) so the
+  * first INSERT lands as a normal keyed append; DROP TABLE removes the
+  * table directory (the path-table meaning of drop); `TIMESTAMP AS OF`
+  * is refused with the version-pin guidance (manifest versions are the
+  * time axis).
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def pathOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString("/")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // paths are the identifiers; there is no namespace to list
+
+  override def tableExists(ident: Identifier): Boolean =
+    TableManifest.exists(spark, pathOf(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = pathOf(ident)
+    if (!TableManifest.exists(spark, p)) throw new NoSuchTableException(ident)
+    new GraftTable(p, None, None)
+  }
+
+  /** `VERSION AS OF <v>` — the analyzer's time-travel hook. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = pathOf(ident)
+    if (!TableManifest.exists(spark, p)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft versions are numbers (committed manifest versions); " +
+          s"got '$version'")
+    }
+    require(TableManifest.versions(spark, p).contains(v),
+      s"version $v of $p was never committed or has been vacuumed " +
+        s"(retained: ${TableManifest.versions(spark, p).mkString(", ")})")
+    new GraftTable(p, Some(v), None)
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graft time travel is by VERSION AS OF <committed version> — the " +
+        "manifest version sequence is the time axis (see " +
+        "TableManifest.history for the version audit view)")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val p = pathOf(ident)
+    if (TableManifest.exists(spark, p))
+      throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "graft tables manage their own layout (__batch partitions, " +
+        "OPTIMIZE/CLUSTER BY) — PARTITIONED BY is not a table option")
+    // seed version 0: a zero-row schema-bearing snapshot, so the first
+    // INSERT is a normal keyed append and the path is self-describing
+    TableManifest.createEmpty(spark, p, schema)
+    new GraftTable(p, None, Some(schema))
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft schemas evolve through appends (mergeSchema/null-pad read " +
+        "semantics), not ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = pathOf(ident)
+    if (!TableManifest.exists(spark, p)) return false
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(hp, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft tables are path-addressed; rename the directory")
+}

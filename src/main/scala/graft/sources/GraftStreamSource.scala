@@ -132,7 +132,7 @@ private[sources] class GraftSink(spark: SparkSession, path: String,
       TableManifest.commitSnapshot(batch, path)
     } else {
       if (!TableManifest.exists(spark, path))
-        TableManifest.commitSnapshot(batch.limit(0), path)
+        TableManifest.createEmpty(spark, path, batch.schema)
       TableManifest.append(batch, path, batchId = Some(batchId))
     }
     ()

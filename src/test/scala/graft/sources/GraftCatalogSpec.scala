@@ -1,0 +1,68 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.TableManifest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftCatalogSpec extends AnyFunSuite {
+  private lazy val s = {
+    val session = SparkSpec.session
+    session.conf.set("spark.sql.catalog.graft",
+      classOf[GraftCatalog].getName)
+    session
+  }
+
+  private def tmp(tag: String): String = java.nio.file.Files
+    .createTempDirectory(s"graft_cat_$tag").toString
+
+  test("paths are identifiers: SELECT and INSERT INTO through the" +
+    " catalog, existence resolved against the manifest alone") {
+    val p = tmp("sel")
+    TableManifest.commitSnapshot(
+      s.range(100).select(col("id"), (col("id") % 5).as("k")), p)
+    assert(s.sql(s"SELECT count(*) AS n FROM graft.`$p`")
+      .head().getLong(0) == 100)
+    s.sql(s"INSERT INTO graft.`$p` VALUES (1000, 0), (1001, 1)")
+    assert(s.sql(s"SELECT count(*) AS n FROM graft.`$p`")
+      .head().getLong(0) == 102)
+    assert(s.sql(s"SELECT k FROM graft.`$p` WHERE id = 1001")
+      .head().getLong(0) == 1L)
+    // a path with no manifest is NoSuchTable, not an empty table
+    intercept[Exception](s.sql(s"SELECT * FROM graft.`${tmp("none")}`")
+      .collect())
+  }
+
+  test("native VERSION AS OF syntax serves pinned states; a vacuumed or" +
+    " uncommitted version is refused with the retained list") {
+    val p = tmp("tt")
+    val v0 = TableManifest.commitSnapshot(
+      s.range(50).select(col("id"), (col("id") % 5).as("k")), p)
+    TableManifest.append(
+      s.range(50, 80).select(col("id"), (col("id") % 5).as("k")), p)
+    assert(s.sql(s"SELECT count(*) AS n FROM graft.`$p` VERSION AS OF $v0")
+      .head().getLong(0) == 50)
+    assert(s.sql(s"SELECT count(*) AS n FROM graft.`$p`")
+      .head().getLong(0) == 80)
+    val e = intercept[Exception](
+      s.sql(s"SELECT * FROM graft.`$p` VERSION AS OF 999").collect())
+    assert(e.getMessage.contains("never committed") ||
+      e.getMessage.contains("999"))
+  }
+
+  test("CREATE TABLE seeds a zero-row schema snapshot; the first INSERT" +
+    " is a keyed append; DROP TABLE removes the path") {
+    val p = tmp("ddl") + "/t1"
+    s.sql(s"CREATE TABLE graft.`$p` (id BIGINT, v DOUBLE)")
+    assert(TableManifest.exists(s, p))
+    assert(s.sql(s"SELECT count(*) AS n FROM graft.`$p`")
+      .head().getLong(0) == 0)
+    s.sql(s"INSERT INTO graft.`$p` VALUES (1, 1.5), (2, 2.5)")
+    assert(s.sql(s"SELECT CAST(sum(v) AS DOUBLE) FROM graft.`$p`")
+      .head().getDouble(0) == 4.0)
+    // CREATE over an existing table refuses
+    intercept[Exception](s.sql(s"CREATE TABLE graft.`$p` (id BIGINT)"))
+    s.sql(s"DROP TABLE graft.`$p`")
+    assert(!TableManifest.exists(s, p))
+  }
+}
