@@ -1358,6 +1358,43 @@ object MiscQueries {
              |FROM events
              |ORDER BY stage""".stripMargin)),
 
+    // SQL DELETE through the catalog: the analyzer pushes the WHERE as
+    // source filters, the table renders them back to predicate SQL, and
+    // the delete lands as ONE MoR tombstone segment (match-count- and
+    // table-size-independent — `Stress mordelete`), masked at read. The
+    // hash gates the Filter→SQL round trip: a quoting or 3VL slip in the
+    // rendering would surface as a row diff against the batch replay.
+    Q("q_graft_catalog_delete",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        s.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_cat_del").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        TableManifest.commitSnapshot(e, path)
+        val et = e.agg(min(col("event_type"))).head().getString(0)
+        s.sql(s"DELETE FROM graft.`$path` WHERE " +
+          s"(user_id >= 10 AND user_id <= 40) OR event_type = '$et'")
+        s.sql(
+          s"""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM graft.`$path`
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""WITH et AS (SELECT min(event_type) AS m FROM events)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM events, et
+             |WHERE NOT coalesce(
+             |  (user_id >= 10 AND user_id <= 40) OR event_type = m,
+             |  false)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // VERSION AS OF through the reader option: the connector writes both
     // commits itself (overwrite bootstrap, append), then serves the
     // pinned v0 and the current version side by side from

@@ -151,8 +151,76 @@ object GraftTableSource {
       for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
     case Or(l, r) =>
       for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
-    case Not(c) => toColumn(c).map(!_)
-    case _      => None
+    case Not(c)        => toColumn(c).map(!_)
+    case _: AlwaysTrue  => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _              => None
+  }
+
+  /** The filter conjunction as predicate SQL — [[TableManifest.deleteWhere]]
+    * stores predicate TEXT in the tombstone segment, so the SQL `DELETE`
+    * surface renders its pushed filters back to SQL. Rendering is
+    * conservative: a literal or node with no exact SQL form returns None
+    * and the DELETE is refused at analysis — never under- or
+    * over-deleted. */
+  private[sources] def toPredicateSql(filters: Seq[Filter]): Option[String] =
+    if (filters.isEmpty) Some("true")
+    else {
+      val parts = filters.map(predSql)
+      if (parts.exists(_.isEmpty)) None
+      else Some(parts.flatten.mkString(" AND "))
+    }
+
+  private def litSql(v: Any): Option[String] = v match {
+    case null                    => Some("NULL")
+    case s: String               => Some("'" + s.replace("'", "''") + "'")
+    case b: Boolean              => Some(b.toString)
+    case n: Byte                 => Some(n.toString)
+    case n: Short                => Some(n.toString)
+    case n: Int                  => Some(n.toString)
+    case n: Long                 => Some(n.toString + "L")
+    case f: Float                => Some(s"CAST('$f' AS FLOAT)")
+    case d: Double               => Some(s"CAST('$d' AS DOUBLE)")
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case d: BigDecimal           => Some(d.bigDecimal.toPlainString)
+    case d: java.sql.Date        => Some(s"DATE '$d'")
+    case t: java.sql.Timestamp   => Some(s"TIMESTAMP '$t'")
+    case d: java.time.LocalDate  => Some(s"DATE '$d'")
+    case t: java.time.Instant    => Some(s"TIMESTAMP '$t'")
+    case _                       => None
+  }
+
+  private def predSql(f: Filter): Option[String] = {
+    def bin(a: String, op: String, v: Any): Option[String] =
+      litSql(v).map(l => s"(${quote(a)} $op $l)")
+    f match {
+      case EqualTo(a, v)            => bin(a, "=", v)
+      case EqualNullSafe(a, v)      => bin(a, "<=>", v)
+      case GreaterThan(a, v)        => bin(a, ">", v)
+      case GreaterThanOrEqual(a, v) => bin(a, ">=", v)
+      case LessThan(a, v)           => bin(a, "<", v)
+      case LessThanOrEqual(a, v)    => bin(a, "<=", v)
+      case In(a, vs) if vs.nonEmpty =>
+        val ls = vs.toSeq.map(litSql)
+        if (ls.exists(_.isEmpty)) None
+        else Some(s"(${quote(a)} IN (${ls.flatten.mkString(", ")}))")
+      case IsNull(a)    => Some(s"(${quote(a)} IS NULL)")
+      case IsNotNull(a) => Some(s"(${quote(a)} IS NOT NULL)")
+      case StringStartsWith(a, v) =>
+        litSql(v).map(l => s"startswith(${quote(a)}, $l)")
+      case StringEndsWith(a, v) =>
+        litSql(v).map(l => s"endswith(${quote(a)}, $l)")
+      case StringContains(a, v) =>
+        litSql(v).map(l => s"contains(${quote(a)}, $l)")
+      case And(l, r) =>
+        for { ls <- predSql(l); rs <- predSql(r) } yield s"($ls AND $rs)"
+      case Or(l, r) =>
+        for { ls <- predSql(l); rs <- predSql(r) } yield s"($ls OR $rs)"
+      case Not(c)         => predSql(c).map(s => s"(NOT $s)")
+      case _: AlwaysTrue  => Some("true")
+      case _: AlwaysFalse => Some("false")
+      case _              => None
+    }
   }
 
   private def quote(a: String): String = s"`${a.replace("`", "``")}`"
@@ -346,8 +414,27 @@ class GraftTableSource extends TableProvider with DataSourceRegister
 
 private[sources] class GraftTable(path: String, versionAsOf: Option[Long],
     userSchema: Option[StructType]) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   import GraftTableSource._
+
+  /** SQL `DELETE FROM` lands as the manifest's merge-on-read predicate
+    * tombstone — one O(1) segment commit, match-count- and
+    * table-size-independent (`Stress mordelete`), folded by maintain,
+    * erased by vacuum. Only fully-translatable predicates are accepted
+    * (canDeleteWhere), so a DELETE can never silently under- or
+    * over-delete. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    versionAsOf.isEmpty && toPredicateSql(filters.toSeq).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(versionAsOf.isEmpty, "cannot DELETE from a pinned version")
+    val pred = toPredicateSql(filters.toSeq).getOrElse(
+      sys.error("unsupported DELETE predicate reached deleteWhere — " +
+        "canDeleteWhere should have refused it"))
+    TableManifest.deleteWhere(SparkSession.active, path, pred)
+    ()
+  }
 
   override def name(): String = s"graft:$path"
 

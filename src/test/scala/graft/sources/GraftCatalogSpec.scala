@@ -50,6 +50,23 @@ class GraftCatalogSpec extends AnyFunSuite {
       e.getMessage.contains("999"))
   }
 
+  test("SQL DELETE FROM lands as ONE MoR predicate tombstone, never a" +
+    " rewrite; untranslatable predicates are refused at analysis") {
+    val p = tmp("del")
+    TableManifest.commitSnapshot(
+      s.range(100).select(col("id"), (col("id") % 5).as("k"),
+        concat(lit("s"), col("id").cast("string")).as("tag")), p)
+    s.sql(s"DELETE FROM graft.`$p` WHERE k = 3 AND id >= 50")
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) == 90)
+    assert(TableManifest.pendingDeletes(s, p) == 1) // a segment, not CoW
+    // string literals round-trip through the predicate-SQL rendering
+    s.sql(s"DELETE FROM graft.`$p` WHERE tag = 's7'")
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) == 89)
+    // a predicate with no Filter translation must refuse, not no-op
+    intercept[Exception](s.sql(s"DELETE FROM graft.`$p` WHERE id % 7 = 0"))
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) == 89)
+  }
+
   test("CREATE TABLE seeds a zero-row schema snapshot; the first INSERT" +
     " is a keyed append; DROP TABLE removes the path") {
     val p = tmp("ddl") + "/t1"
