@@ -51,6 +51,12 @@ object Bench {
     // timed run would rebuild its index/table, benching the build.
     // Their serving economics are measured against standing artifacts in
     // `Stress maxscore` / `Stress optimize` / `Stress zonemap` (SCALE.md).
+    // The round-10 format("graft") connector queries (q_graft_source_*,
+    // q_graft_catalog_*, q_graft_stream_*) follow the same rule: each
+    // rebuilds its manifest table in-query. The connector's serving cost
+    // against a STANDING table is measured in `Stress connector` —
+    // scan/range/point within noise of the library API at identical
+    // files read (SCALE.md).
     "q_maxsim_retrieval",      // late-interaction retrieval (ColBERT MaxSim)
     "q_zscore_events",         // ML standardization
     "q_iforest_top_anomalies", // custom ML scoring

@@ -1395,6 +1395,45 @@ object MiscQueries {
              |  false)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // The full operator runbook as plain SQL: an append-log table takes a
+    // MoR DELETE, `CALL graft.maintain` folds the log and physically
+    // erases the masked rows (refreshing zone maps), `CALL
+    // graft.optimize` re-clusters the table — and the final read must
+    // still equal the batch replay. One hash over every maintenance
+    // mutation the SQL surface can issue: content invariance of
+    // fold/optimize and the 3VL-correct delete mask survive together or
+    // the hash breaks.
+    Q("q_graft_catalog_runbook",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        s.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_cat_run").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"))
+        TableManifest.commitSnapshot(e.filter(col("event_id") % 4 === 0),
+          path)
+        (1 to 3).foreach(i => TableManifest.append(
+          e.filter(col("event_id") % 4 === i), path))
+        s.sql(s"DELETE FROM graft.`$path` WHERE user_id = 7")
+        s.sql(s"CALL graft.maintain(path => '$path', max_batches => 2, " +
+          "max_deletes => 1, stats_cols => 'event_id')")
+        s.sql(s"CALL graft.optimize(path => '$path', " +
+          "cluster_by => 'event_id', files => 4, stats_cols => 'event_id')")
+        s.sql(
+          s"""SELECT user_id, count(*) AS n, max(event_id) AS max_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM graft.`$path`
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)
+      },
+      Some("""SELECT user_id, count(*) AS n, max(event_id) AS max_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM events WHERE NOT coalesce(user_id = 7, false)
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // VERSION AS OF through the reader option: the connector writes both
     // commits itself (overwrite bootstrap, append), then serves the
     // pinned v0 and the current version side by side from

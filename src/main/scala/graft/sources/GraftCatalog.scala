@@ -37,9 +37,22 @@ import graft.operators.TableManifest
   * is refused with the version-pin guidance (manifest versions are the
   * time axis).
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = "graft"
+
+  /** SQL `CALL graft.<proc>(...)` — the maintenance runbook surface
+    * (optimize / vacuum / maintain / history), see [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.all.getOrElse(ident.name(),
+      throw new RuntimeException(
+        s"unknown graft procedure '${ident.name()}' " +
+          s"(have: ${GraftProcedures.all.keys.toSeq.sorted.mkString(", ")})"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.identifiers
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit =

@@ -1,0 +1,151 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.TableManifest
+
+/** The maintenance surface as SQL stored procedures (Spark 4's DSv2
+  * procedure API — the Iceberg `CALL` shape), served by [[GraftCatalog]]:
+  *
+  *   CALL graft.optimize(path => '/p', cluster_by => 'id', files => 16)
+  *   CALL graft.vacuum(path => '/p', keep => 2, retain_ms => 86400000)
+  *   CALL graft.maintain(path => '/p', max_batches => 16)
+  *   CALL graft.history(path => '/p')
+  *
+  * Each returns its result as rows (committed version, retained
+  * versions, the maintenance report, the audit view), so an operator
+  * runbook is plain SQL end to end — create, ingest, query, optimize,
+  * vacuum, audit — with no library imports. The procedures delegate to
+  * the [[TableManifest]] maintenance entry points unchanged; everything
+  * those guarantee (one-marker atomicity, retention horizons, pruning-
+  * artifact refresh, conservative fallbacks) holds verbatim here.
+  */
+private[sources] object GraftProcedures {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def str(r: InternalRow, i: Int): String =
+    r.getUTF8String(i).toString
+
+  private def cols(r: InternalRow, i: Int): Seq[String] = {
+    val s = str(r, i).trim
+    if (s.isEmpty) Nil else s.split(",").map(_.trim).toSeq
+  }
+
+  private def toInternal(schema: StructType,
+      rows: Seq[org.apache.spark.sql.Row]): Seq[InternalRow] =
+    rows.map(r => InternalRow.fromSeq(
+      schema.fields.indices.map { i =>
+        val v = if (r.isNullAt(i)) null else r.get(i)
+        v match {
+          case s: String => UTF8String.fromString(s)
+          case other     => other
+        }
+      }))
+
+  private abstract class P(procName: String, desc: String,
+      params: Seq[ProcedureParameter], resultSchema: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    protected def run(args: InternalRow): Seq[InternalRow]
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val out = run(input).toArray
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = resultSchema
+        override def description(): String = s"graft.$procName result"
+      }).iterator()
+    }
+  }
+
+  private def in(n: String, t: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, t).build()
+  private def inD(n: String, t: DataType, d: String): ProcedureParameter =
+    ProcedureParameter.in(n, t).defaultValue(d).build()
+
+  private val optimize = new P("optimize",
+    "rewrite the live table range-/Z-order-clustered (CLUSTER BY); " +
+      "returns the committed version",
+    Seq(in("path", StringType), in("cluster_by", StringType),
+      inD("files", IntegerType, "16"),
+      inD("stats_cols", StringType, "''")),
+    new StructType().add("version", LongType, nullable = false)) {
+    override protected def run(a: InternalRow): Seq[InternalRow] = {
+      val v = TableManifest.optimize(spark, str(a, 0), cols(a, 1),
+        a.getInt(2), cols(a, 3))
+      Seq(InternalRow(v))
+    }
+  }
+
+  private val vacuum = new P("vacuum",
+    "reclaim versions past `keep`, never inside `retain_ms` (RETAIN " +
+      "rule); returns the versions still resolvable",
+    Seq(in("path", StringType), inD("keep", IntegerType, "2"),
+      inD("retain_ms", LongType, "0")),
+    new StructType().add("retained_versions", StringType,
+      nullable = false)) {
+    override protected def run(a: InternalRow): Seq[InternalRow] = {
+      val p = str(a, 0)
+      TableManifest.vacuum(spark, p, a.getInt(1), a.getLong(2))
+      Seq(InternalRow(UTF8String.fromString(
+        TableManifest.versions(spark, p).mkString(","))))
+    }
+  }
+
+  private val maintainSchema = new StructType()
+    .add("batches_before", IntegerType, nullable = false)
+    .add("compacted", BooleanType, nullable = false)
+    .add("batches_after", IntegerType, nullable = false)
+    .add("deletes_before", IntegerType, nullable = false)
+    .add("deletes_after", IntegerType, nullable = false)
+
+  private val maintain = new P("maintain",
+    "one-call policy maintenance: fold the append log / pending MoR " +
+      "deletes past their thresholds, refresh pruning artifacts, expire " +
+      "old versions; returns the maintenance report",
+    Seq(in("path", StringType), inD("max_batches", IntegerType, "16"),
+      inD("max_deletes", IntegerType, "8"),
+      inD("stats_cols", StringType, "''"),
+      inD("bloom_cols", StringType, "''"),
+      inD("keep_versions", IntegerType, "2"),
+      inD("retain_ms", LongType, "0")),
+    maintainSchema) {
+    override protected def run(a: InternalRow): Seq[InternalRow] = {
+      val report = TableManifest.maintain(spark, str(a, 0),
+        maxBatches = a.getInt(1), maxDeletes = a.getInt(2),
+        statsCols = cols(a, 3), bloomCols = cols(a, 4),
+        keepVersions = a.getInt(5), retainMs = a.getLong(6))
+      toInternal(maintainSchema, report.collect().toIndexedSeq)
+    }
+  }
+
+  private val historySchema = new StructType()
+    .add("version", LongType).add("is_current", BooleanType)
+    .add("readable", BooleanType).add("n_rows", LongType)
+    .add("payload_bytes", LongType)
+
+  private val history = new P("history",
+    "one row per retained version: readable?, rows, payload bytes — " +
+      "the retention audit view",
+    Seq(in("path", StringType)), historySchema) {
+    override protected def run(a: InternalRow): Seq[InternalRow] =
+      toInternal(historySchema, TableManifest.history(spark, str(a, 0))
+        .orderBy("version").collect().toIndexedSeq)
+  }
+
+  val all: Map[String, UnboundProcedure] = Seq(
+    optimize, vacuum, maintain, history).map(p => p.name() -> p).toMap
+
+  def identifiers: Array[Identifier] =
+    all.keys.toArray.sorted.map(Identifier.of(Array.empty[String], _))
+}

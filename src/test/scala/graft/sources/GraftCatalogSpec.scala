@@ -67,6 +67,39 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) == 89)
   }
 
+  test("CALL procedures: the maintenance runbook is plain SQL —" +
+    " optimize clusters, history audits, maintain folds, vacuum expires") {
+    val p = tmp("proc")
+    TableManifest.commitSnapshot(
+      s.range(10000).select((col("id") * 7919 % 10000).as("id"),
+        (col("id") % 5).as("k")), p)
+    (1 to 3).foreach(i => TableManifest.append(
+      s.range(i * 10000L, i * 10000L + 10000L)
+        .select((col("id") * 7919 % 10000 + i * 10000L).as("id"),
+          (col("id") % 5).as("k")), p))
+    // optimize: one clustered snapshot commit, rows unchanged
+    val before = s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0)
+    val v = s.sql(
+      s"CALL graft.optimize(path => '$p', cluster_by => 'id', " +
+        "files => 4, stats_cols => 'id')").head().getLong(0)
+    assert(TableManifest.versions(s, p).contains(v))
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`")
+      .head().getLong(0) == before)
+    // history: one row per retained version, exactly one current
+    val hist = s.sql(s"CALL graft.history(path => '$p')").collect()
+    assert(hist.length == TableManifest.versions(s, p).length)
+    assert(hist.count(_.getBoolean(1)) == 1)
+    // maintain reports; vacuum returns what stays resolvable
+    val rep = s.sql(s"CALL graft.maintain(path => '$p', " +
+      "max_batches => 2, stats_cols => 'id')").head()
+    assert(rep.getInt(0) >= 0)
+    val retained = s.sql(s"CALL graft.vacuum(path => '$p', keep => 1)")
+      .head().getString(0)
+    assert(retained.split(",").length <= 2)
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`")
+      .head().getLong(0) == before)
+  }
+
   test("CREATE TABLE seeds a zero-row schema snapshot; the first INSERT" +
     " is a keyed append; DROP TABLE removes the path") {
     val p = tmp("ddl") + "/t1"
