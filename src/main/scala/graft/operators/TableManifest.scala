@@ -137,6 +137,17 @@ object TableManifest {
       s"$path/.data_pending_${java.util.UUID.randomUUID}")
     df.withColumn("__batch", lit(-1L))
       .write.partitionBy("__batch").mode("overwrite").parquet(tmp.toString)
+    // an EMPTY snapshot's dynamic-partition write emits no files at all
+    // (no partition value → no dir), which would leave the committed
+    // version schema-less and unreadable — a replacement that deleted
+    // every row (an upsert sink draining to empty, a Complete-mode
+    // aggregate with no groups yet) must stay a READABLE empty table, so
+    // land the schema-bearing empty file the way createEmpty does
+    val f = fs(spark, path)
+    if (!f.listStatus(tmp).exists(_.getPath.getName.startsWith("__batch=")))
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+        .write.mode("overwrite").parquet(s"$tmp/__batch=-1")
     commitPayloadDir(spark, path, tmp)
   }
 

@@ -31,6 +31,27 @@ class TableManifestSpec extends AnyFunSuite {
     assert(TableManifest.versions(s, path).take(2) == Seq(v0, v1))
   }
 
+  test("an EMPTY snapshot replacement stays a readable empty table — and" +
+    " createEmpty seeds a fresh one (the CREATE TABLE shape)") {
+    val path = Files.createTempDirectory("tm_empty").toString
+    TableManifest.commitSnapshot(df(1L -> "a", 2L -> "b"), path)
+    // replacement that deleted every row (upsert sink draining to empty)
+    TableManifest.commitSnapshot(
+      TableManifest.read(s, path).filter(lit(false)), path)
+    val live = TableManifest.read(s, path) // schema survives, zero rows
+    assert(live.columns.toSeq == Seq("id", "v") && live.count() == 0)
+    // appends land normally on the empty table
+    TableManifest.append(df(9L -> "z"), path)
+    assert(ids(TableManifest.read(s, path)) == Set(9L))
+    // and the CREATE TABLE seam: a never-written schema-only table
+    val fresh = Files.createTempDirectory("tm_create").toString
+    TableManifest.createEmpty(s, fresh,
+      new StructType().add("id", LongType).add("v", StringType))
+    assert(TableManifest.read(s, fresh).count() == 0)
+    TableManifest.append(df(1L -> "a"), fresh)
+    assert(ids(TableManifest.read(s, fresh)) == Set(1L))
+  }
+
   test("pinned VERSION AS OF is immutable under appends AND snapshot replacement") {
     val path = Files.createTempDirectory("tm_pin").toString
     val v0 = TableManifest.commitSnapshot(df(1L -> "a"), path)
