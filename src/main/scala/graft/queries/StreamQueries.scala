@@ -327,6 +327,56 @@ object StreamQueries {
              |FROM events GROUP BY event_type
              |ORDER BY event_type NULLS FIRST""".stripMargin)),
 
+    // ---- the change feed AS a stream (changeFeed mode) --------------------
+    // readStream.format("graft") with option("changeFeed"): MoR deletes
+    // PROPAGATE to the stream as _change_type='delete' rows instead of
+    // being dropped — the CDC-consumer contract. A delete and an append
+    // land mid-stream; the drained sink, aggregated per change type,
+    // must replay in SQL: inserts = snapshot + appended rows, deletes =
+    // exactly the rows the predicate masked at delete time.
+    Q("q_graft_stream_cdc",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_stream_cdc").toString
+        val e = graft.Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"))
+        TableManifest.commitSnapshot(e.filter(col("event_id") % 2 === 0),
+          path)
+        val name = s"gcdc_${System.nanoTime()}"
+        val q = s.readStream.format("graft")
+          .option("changeFeed", "true").load(path)
+          .writeStream.format("memory").queryName(name).start()
+        try {
+          q.processAllAvailable() // snapshot batch (all inserts)
+          TableManifest.deleteWhere(s, path, "user_id % 10 = 3")
+          TableManifest.append(e.filter(col("event_id") % 2 === 1), path)
+          q.processAllAvailable() // delete feed + append feed
+        } finally q.stop()
+        s.table(name)
+          .groupBy(col("_change_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("event_id")).as("n_ids"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("sum_value"))
+          .orderBy(col("_change_type"))
+      },
+      Some("""WITH snap AS (
+             |  SELECT * FROM events WHERE event_id % 2 = 0),
+             |feed AS (
+             |  SELECT 'insert' AS ct, event_id, value FROM snap
+             |  UNION ALL
+             |  SELECT 'delete', event_id, value FROM snap
+             |  WHERE user_id % 10 = 3
+             |  UNION ALL
+             |  SELECT 'insert', event_id, value FROM events
+             |  WHERE event_id % 2 = 1)
+             |SELECT ct AS _change_type, count(*) AS n,
+             |  count(DISTINCT event_id) AS n_ids,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM feed GROUP BY ct ORDER BY ct""".stripMargin)),
+
     // ---- writeStream.format("graft"): the manifest table as a SINK --------
     // q_stream_table_append's foreachBatch shape as the one-liner public
     // surface: every micro-batch lands as a keyed __batch append (one

@@ -81,6 +81,10 @@ object GraftTableSource {
   private[sources] def tableSchema(spark: SparkSession, path: String,
       versionAsOf: Option[Long]): StructType = {
     val v = versionAsOf.getOrElse(TableManifest.versions(spark, path).last)
+    // bounded: a long-lived session over many short-lived tables must
+    // not grow the cache forever (entries are tiny; the bound is
+    // generous and a clear just re-infers)
+    if (schemaCache.size > 4096) schemaCache.clear()
     schemaCache.computeIfAbsent((path, v),
       _ => TableManifest.readAt(spark, path, v).schema)
   }
