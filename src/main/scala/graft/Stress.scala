@@ -1704,6 +1704,68 @@ object Stress {
         require(nLibP == 1L && nConnP == 1L, s"point probe wrong: $nLibP/$nConnP")
         println(f"""{"rows":${nBatches * perBatch}%d,"batches":$nBatches%d,"lib_scan_seconds":$tLibScan%.2f,"conn_scan_seconds":$tConnScan%.2f,"conn_scan_schema_seconds":$tConnScanS%.2f,"lib_range_seconds":$tLibRange%.2f,"conn_range_seconds":$tConnRange%.2f,"lib_range_files":$fLibRange%d,"conn_range_files":$fConnRange%d,"lib_point_seconds":$tLibPoint%.2f,"conn_point_seconds":$tConnPoint%.2f}""")
 
+      case "streamsource" =>
+        // the streaming source's scale claim, measured: a tail stream's
+        // per-micro-batch cost must track the DROP, not the standing
+        // table — readStream.format("graft") over a 32-batch table and
+        // over a 256-batch table (8×), tailing from current
+        // (startingVersion), one identical 20k-row append each; the
+        // follow-batch wall-clock must be ~equal. The initial-snapshot
+        // path (cost ∝ table, by design) is reported for contrast.
+        def ssTable(batches: Int): String = {
+          val p = java.nio.file.Files
+            .createTempDirectory(s"stress_ss_$batches").toString
+          operators.TableManifest.commitSnapshot(
+            spark.range(0).select(col("id"),
+              col("id").cast("string").as("payload")), p)
+          spark.range(batches * 40000L)
+            .select(col("id"),
+              concat(lit("p"), rpad(col("id").cast("string"), 60, "x"))
+                .as("payload"),
+              (col("id") / 40000L).cast("long").as("__batch"))
+            .write.partitionBy("__batch").mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(s"$p/data_v0")
+          operators.TableManifest.append(
+            spark.range(batches * 40000L - 40000L, batches * 40000L)
+              .select(col("id"),
+                concat(lit("p"), rpad(col("id").cast("string"), 60, "x"))
+                  .as("payload")),
+            p, batchId = Some(batches - 1L))
+          p
+        }
+        def tailFollow(p: String): (Double, Double, Long) = {
+          val cur = operators.TableManifest.versions(spark, p).last
+          val name = s"ss_${java.util.UUID.randomUUID.toString.take(8)}"
+          val q = spark.readStream.format("graft")
+            .option("startingVersion", cur.toString).load(p)
+            .writeStream.format("memory").queryName(name).start()
+          try {
+            q.processAllAvailable() // warm the stream machinery
+            val t0 = System.nanoTime()
+            operators.TableManifest.append(
+              spark.range(20000).select((col("id") + 900000000L).as("id"),
+                col("id").cast("string").as("payload")), p)
+            q.processAllAvailable()
+            val tFollow = (System.nanoTime() - t0) / 1e9
+            val n = spark.table(name).count()
+            // contrast: a fresh FULL stream (snapshot batch ∝ table)
+            val name2 = s"ssf_${java.util.UUID.randomUUID.toString.take(8)}"
+            val t1 = System.nanoTime()
+            val q2 = spark.readStream.format("graft").load(p)
+              .writeStream.format("memory").queryName(name2).start()
+            try q2.processAllAvailable() finally q2.stop()
+            val tSnap = (System.nanoTime() - t1) / 1e9
+            (tFollow, tSnap, n)
+          } finally q.stop()
+        }
+        val pSmall = ssTable(32)
+        val pBig = ssTable(256)
+        val (fS, sS, nS) = tailFollow(pSmall)
+        val (fB, sB, nB) = tailFollow(pBig)
+        require(nS == 20000L && nB == 20000L, s"tail served $nS/$nB")
+        println(f"""{"batches_small":32,"batches_big":256,"follow_small_seconds":$fS%.2f,"follow_big_seconds":$fB%.2f,"snapshot_small_seconds":$sS%.2f,"snapshot_big_seconds":$sB%.2f}""")
+
       case "cc" =>
         // one path graph of copies×100k nodes: diameter = n-1, the case
         // where min-label propagation needs O(n) rounds and the
