@@ -203,16 +203,26 @@ object Text {
     s"list_reduce(list_prepend(0::BIGINT, list_transform(range(len($strExpr)), " +
       s"k -> unicode(($strExpr)[k+1])::BIGINT)), (acc, c) -> (acc*31 + c) % $P)"
 
-  /** SQL fragment mirroring [[shingleHashes]] (distinct 3-gram hashes). */
-  def shingleHashesSql(textExpr: String): String = {
-    val tok = s"string_split($textExpr, ' ')"
-    s"list_distinct(list_transform(list_transform(range(len($tok) - 2), " +
-      s"j -> $tok[j+1] || ' ' || $tok[j+2] || ' ' || $tok[j+3]), " +
-      s"s -> ${polyHashSql("s")}))"
-  }
+  /** SQL fragment mirroring [[shingleHashes]] (distinct 3-gram hashes).
+    * The token list binds ONCE through the single-element-list lambda
+    * idiom (`list_transform([X], v -> body)[1]`) — inlining it raw costs
+    * 3 evaluations per shingle, which turns an expensive `textExpr` (the
+    * decorated-Unicode dedup fixture: regex tokenize + normalize) into a
+    * per-shingle re-tokenization; at sf0.1 that made the minhash oracles
+    * effectively non-terminating in DuckDB. Results are identical — only
+    * the evaluation count changes. */
+  def shingleHashesSql(textExpr: String): String =
+    s"list_transform([string_split($textExpr, ' ')], __tok -> " +
+      "list_distinct(list_transform(list_transform(" +
+      "range(len(__tok) - 2), " +
+      "j -> __tok[j+1] || ' ' || __tok[j+2] || ' ' || __tok[j+3]), " +
+      s"s -> ${polyHashSql("s")})))[1]"
 
-  /** SQL fragment mirroring [[minhashSig]]. */
+  /** SQL fragment mirroring [[minhashSig]]. The shingle-hash list binds
+    * ONCE (same idiom as [[shingleHashesSql]]) — inlined raw it would
+    * re-shingle the document per permutation, k=64 times per row. */
   def minhashSigSql(textExpr: String, k: Int): String =
-    s"list_transform(range($k), i -> list_min(list_transform(" +
-      s"${shingleHashesSql(textExpr)}, h -> (h*(2*i+3) + i*7 + 1) % $P)))"
+    s"list_transform([${shingleHashesSql(textExpr)}], __hs -> " +
+      s"list_transform(range($k), i -> list_min(list_transform(" +
+      s"__hs, h -> (h*(2*i+3) + i*7 + 1) % $P))))[1]"
 }

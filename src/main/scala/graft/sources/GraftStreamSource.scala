@@ -119,7 +119,12 @@ case class GraftVersionOffset(version: Long) extends V1Offset {
   *
   * A fresh path is seeded with a zero-row schema snapshot so the first
   * micro-batch lands as a NORMAL keyed append (replayable), not a
-  * snapshot. */
+  * snapshot.
+  *
+  * Writer contract (inherited from [[TableManifest.append]] verbatim):
+  * keyed batchIds share ONE keyspace per table — run one Append-mode
+  * stream per table (two streams would replay-overwrite each other's
+  * partitions); concurrent foreachBatch/unkeyed writers compose safely. */
 private[sources] class GraftSink(spark: SparkSession, path: String,
     complete: Boolean) extends org.apache.spark.sql.execution.streaming.Sink {
 
@@ -159,6 +164,10 @@ trait GraftStreamSourceProvider
       "graft sink supports Append (keyed exactly-once appends) and " +
         "Complete (snapshot replacement per batch); Update has no " +
         "manifest commit shape — use Append + readLatest (MoR upsert)")
+    require(partitionColumns.isEmpty,
+      "graft tables manage their own layout (__batch partitions, " +
+        "OPTIMIZE/CLUSTER BY) — partitionBy on the stream writer would " +
+        "be silently ignored, so it is refused")
     import scala.jdk.CollectionConverters._
     val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
       parameters.asJava)
