@@ -172,6 +172,33 @@ class GraftTableSourceSpec extends AnyFunSuite {
     assert(s.read.format("graft").load(p).count() == 800)
   }
 
+  test("option(mergeSchema) serves evolved tables as the union schema" +
+    " with null-padded history — through load(), temp views, and the" +
+    " pruned read paths") {
+    val p = tmp("evolve")
+    TableManifest.commitSnapshot(
+      s.range(100).select(col("id"), (col("id") % 5).as("k")), p)
+    // the append EVOLVED the schema: a new column the snapshot lacks
+    TableManifest.append(
+      s.range(100, 150).select(col("id"), (col("id") % 5).as("k"),
+        concat(lit("t"), col("id").cast("string")).as("tag")), p)
+    val merged = s.read.format("graft")
+      .option("mergeSchema", "true").load(p)
+    assert(merged.columns.toSeq == Seq("id", "k", "tag"))
+    assert(merged.count() == 150)
+    assert(merged.filter(col("tag").isNull).count() == 100) // null-padded
+    assert(merged.filter(col("tag") === "t120").select(col("id"))
+      .head().getLong(0) == 120L)
+    // the evolved column filters exactly through the pushdown path too
+    val viaView = {
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW gts_ev USING graft " +
+        s"OPTIONS (path '$p', mergeSchema 'true')")
+      s.sql("SELECT count(*) AS n FROM gts_ev WHERE tag IS NULL")
+        .head().getLong(0)
+    }
+    assert(viaView == 100)
+  }
+
   test("save modes: default ErrorIfExists refuses an existing table," +
     " Ignore no-ops, positional-drift appends realign by name") {
     val p = tmp("modes")
