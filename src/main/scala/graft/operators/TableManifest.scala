@@ -591,6 +591,32 @@ object TableManifest {
   def versions(spark: SparkSession, path: String): Seq[Long] =
     IndexManifest.committedVersions(spark, path)
 
+  /** The newest version committed at-or-before `tsMillis` — the
+    * TIMESTAMP AS OF resolution, from the marker files' modification
+    * times (the Delta approach, with the same caveat: commit times are
+    * filesystem mtimes, so restoring/copying a table re-stamps them;
+    * version pins are the exact time axis, timestamps the convenience).
+    * None when the table did not exist yet at `tsMillis` or the versions
+    * from back then have been vacuumed. */
+  def versionAtTime(spark: SparkSession, path: String,
+      tsMillis: Long): Option[Long] = {
+    val f = fs(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    if (!f.exists(dir)) return None
+    val committed = versions(spark, path).toSet
+    f.listStatus(dir)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v")) n.drop(1).toLongOption
+          .filter(committed)
+          .map(v => (v, st.getModificationTime))
+        else None
+      }
+      .filter(_._2 <= tsMillis)
+      .sortBy(_._1)
+      .lastOption.map(_._1)
+  }
+
   /** One row per retained version (ascending): readable?, row count,
     * payload bytes — the audit view a retention policy reads, the
     * [[VectorIndex.history]] shape on tables. */

@@ -92,11 +92,24 @@ class GraftCatalog extends TableCatalog
     new GraftTable(p, Some(v), None)
   }
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graft time travel is by VERSION AS OF <committed version> — the " +
-        "manifest version sequence is the time axis (see " +
-        "TableManifest.history for the version audit view)")
+  /** `TIMESTAMP AS OF <t>` — resolved to the newest version committed
+    * at-or-before `t` from the marker files' modification times (the
+    * Delta convention; `timestamp` arrives in MICROseconds). Version
+    * pins remain the exact time axis — a restored/copied table re-stamps
+    * mtimes — so the error on a miss points at VERSION AS OF. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = pathOf(ident)
+    if (!TableManifest.exists(spark, p)) throw new NoSuchTableException(ident)
+    val tsMillis = timestamp / 1000L
+    val v = TableManifest.versionAtTime(spark, p, tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"no version of $p was committed at-or-before " +
+          s"${java.time.Instant.ofEpochMilli(tsMillis)} (earliest " +
+          "retained commit is newer, or the table did not exist yet) — " +
+          "pin an exact version with VERSION AS OF " +
+          s"(retained: ${TableManifest.versions(spark, p).mkString(", ")})"))
+    new GraftTable(p, Some(v), None)
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],

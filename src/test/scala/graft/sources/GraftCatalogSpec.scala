@@ -50,6 +50,28 @@ class GraftCatalogSpec extends AnyFunSuite {
       e.getMessage.contains("999"))
   }
 
+  test("TIMESTAMP AS OF resolves to the newest commit at-or-before the" +
+    " instant (marker mtimes); pre-table instants are refused") {
+    val p = tmp("ts")
+    TableManifest.commitSnapshot(
+      s.range(30).select(col("id"), (col("id") % 5).as("k")), p)
+    Thread.sleep(1200)
+    val between = java.sql.Timestamp.from(java.time.Instant.now())
+    Thread.sleep(1200)
+    TableManifest.append(
+      s.range(30, 50).select(col("id"), (col("id") % 5).as("k")), p)
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p` " +
+      s"TIMESTAMP AS OF '$between'").head().getLong(0) == 30)
+    // after the append, "now" sees everything
+    val now = java.sql.Timestamp.from(java.time.Instant.now())
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p` " +
+      s"TIMESTAMP AS OF '$now'").head().getLong(0) == 50)
+    // an instant before the table existed points at VERSION AS OF
+    val e = intercept[Exception](s.sql(s"SELECT * FROM graft.`$p` " +
+      "TIMESTAMP AS OF '2001-01-01 00:00:00'").collect())
+    assert(e.getMessage.contains("VERSION AS OF"))
+  }
+
   test("SQL DELETE FROM lands as ONE MoR predicate tombstone, never a" +
     " rewrite; untranslatable predicates are refused at analysis") {
     val p = tmp("del")
