@@ -34,8 +34,8 @@ import graft.operators.TableManifest
   * CREATE TABLE seeds a zero-row schema snapshot (version 0) so the
   * first INSERT lands as a normal keyed append; DROP TABLE removes the
   * table directory (the path-table meaning of drop); `TIMESTAMP AS OF`
-  * is refused with the version-pin guidance (manifest versions are the
-  * time axis).
+  * resolves against marker commit times ([[TableManifest.versionAtTime]];
+  * version pins remain the exact time axis).
   */
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
