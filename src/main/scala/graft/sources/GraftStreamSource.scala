@@ -61,28 +61,47 @@ class GraftStreamSource(spark: SparkSession, path: String,
     else Some(GraftVersionOffset(v))
   }
 
+  /** The declared schema minus the feed's own `_change_type` — passed
+    * into every manifest read so a window whose batches have MIXED
+    * schemas (evolution mid-history) reads deterministically under the
+    * stream's contract (absent columns null-pad) instead of whatever
+    * one footer happens to say. */
+  private val baseSchema: StructType =
+    StructType(declaredSchema.fields.filterNot(_.name == "_change_type"))
+
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endV = versionOf(end)
     val from = start.map(versionOf).orElse(startingVersion)
     val batch: DataFrame = from match {
       case None =>
         // initial snapshot: the whole table at the stream's first offset
-        val snap = TableManifest.readAt(spark, path, endV)
+        val snap = TableManifest.readAt(spark, path, endV, Some(baseSchema))
         if (changeFeed) snap.withColumn("_change_type", lit("insert"))
         else snap
       case Some(fromV) if fromV == endV =>
-        val empty = TableManifest.readAt(spark, path, endV).filter(lit(false))
+        val empty = TableManifest.readAt(spark, path, endV, Some(baseSchema))
+          .filter(lit(false))
         if (changeFeed) empty.withColumn("_change_type", lit("insert"))
         else empty
       case Some(fromV) =>
-        val feed = TableManifest.readChanges(spark, path, fromV, endV)
+        val feed = TableManifest.readChanges(spark, path, fromV, endV,
+          Some(baseSchema))
         if (changeFeed) feed
         else feed.filter(col("_change_type") === "insert")
           .drop("_change_type")
     }
-    // order columns exactly as declared, and hand back a STREAMING frame
+    // serve EXACTLY the declared schema, whatever the batch's own shape:
+    // a column the stream declared but this window lacks (the stream
+    // started with mergeSchema over evolved history, or an append
+    // evolved the table mid-stream) null-pads — the manifest's evolved-
+    // read contract; columns added AFTER stream start stay invisible
+    // until a restart re-declares
+    val have = batch.columns.toSet
     val aligned = batch.select(
-      declaredSchema.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
+      declaredSchema.fields.toIndexedSeq.map { f =>
+        if (have(f.name)) col(s"`${f.name}`")
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
     GraftColumnBridge.streamingDataFrame(spark,
       aligned.queryExecution.toRdd, declaredSchema)
   }
@@ -192,7 +211,10 @@ trait GraftStreamSourceProvider
     val base = user.getOrElse {
       val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         parameters.asJava)
-      GraftTableSource.tableSchema(spark, pathOf(opts), None)
+      // option("mergeSchema"): the stream declares the UNION of the
+      // table's batch schemas — evolved history null-pads per batch
+      GraftTableSource.tableSchema(spark, pathOf(opts), None,
+        mergeSchema = GraftTableSource.mergeOf(opts))
     }
     if (changeFeedOf(parameters) && !base.fieldNames.contains("_change_type"))
       base.add("_change_type", StringType, nullable = false)

@@ -156,6 +156,37 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("schema evolution: a mergeSchema stream declares the union and" +
+    " null-pads old history; a mid-stream evolved append cannot kill a" +
+    " running stream (new columns stay invisible until restart)") {
+    val p = tmp("evolve")
+    TableManifest.commitSnapshot(seed(0, 20), p) // (id, k)
+    TableManifest.append(
+      s.range(20, 30).select(col("id"), (col("id") % 7).as("k"),
+        concat(lit("t"), col("id").cast("string")).as("tag")), p)
+    // union-declared stream: old rows null-pad tag
+    val q = s.readStream.format("graft")
+      .option("mergeSchema", "true").load(p)
+      .writeStream.format("memory").queryName("gss_ev")
+      .option("checkpointLocation", tmp("ev_ck")).start()
+    try {
+      q.processAllAvailable()
+      val got = s.table("gss_ev")
+      assert(got.columns.toSeq == Seq("id", "k", "tag"))
+      assert(got.count() == 30)
+      assert(got.filter(col("tag").isNull).count() == 20)
+      // an append that evolves FURTHER mid-stream serves the declared
+      // columns; the extra column is invisible, the stream stays alive
+      TableManifest.append(
+        s.range(30, 35).select(col("id"), (col("id") % 7).as("k"),
+          concat(lit("t"), col("id").cast("string")).as("tag"),
+          lit(1.5).as("extra")), p)
+      q.processAllAvailable()
+      assert(s.table("gss_ev").count() == 35)
+      assert(s.table("gss_ev").filter(col("tag") === "t32").count() == 1)
+    } finally q.stop()
+  }
+
   test("the default insert feed drops delete rows (append-stream" +
     " contract) and keeps serving later appends") {
     val p = tmp("ins")
