@@ -62,7 +62,17 @@ object MinHashSigExpr {
       i += 1
     }
     toks += str.substring(start)
+    signatureFromTokens(toks, k, n)
+  }
 
+  /** The shingle → poly-hash → k-minima core over an already-tokenized
+    * document — shared by the space-split form above and the fused
+    * Unicode-tokenizing form ([[UnicodeMinHashSigExpr]]). Shingle hash =
+    * base-31 code-point fold over `tok(j) ⧺ " " ⧺ … ⧺ tok(j+n-1)` mod P,
+    * exactly [[Text.polyHashSql]]'s arithmetic. */
+  private[functions] def signatureFromTokens(
+      toks: scala.collection.mutable.ArrayBuffer[String], k: Int,
+      n: Int): ArrayData = {
     val nShingles = toks.length - (n - 1)
     if (nShingles <= 0) return new GenericArrayData(new Array[Long](0))
     val mins = new Array[Long](k)

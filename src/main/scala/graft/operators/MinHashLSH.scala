@@ -42,9 +42,11 @@ object MinHashLSH {
       k: Int = 64,
       bands: Int = 16,
       minEstPpm: Long = 500000L,
-      shingleFn: Column => Column = null): DataFrame = {
+      shingleFn: Column => Column = null,
+      unicodeNormalize: Boolean = false): DataFrame = {
     val (out, sig) =
-      candidatePairsPlan(df, idCol, textCol, k, bands, minEstPpm, shingleFn)
+      candidatePairsPlan(df, idCol, textCol, k, bands, minEstPpm, shingleFn,
+        unicodeNormalize)
     // Bound the signature cache's lifetime to this call: materialize the
     // (tiny) pair set eagerly — all three sig consumers run in this one
     // job — then release the cache. The checkpoint blocks are cleaned by
@@ -66,8 +68,12 @@ object MinHashLSH {
       k: Int,
       bands: Int,
       minEstPpm: Long,
-      shingleFn: Column => Column): (DataFrame, DataFrame) = {
+      shingleFn: Column => Column,
+      unicodeNormalize: Boolean = false): (DataFrame, DataFrame) = {
     require(k % bands == 0 && 1000000 % k == 0)
+    require(!(unicodeNormalize && shingleFn != null),
+      "unicodeNormalize fuses tokenization into the native signature " +
+        "expression — a custom shingleFn supplies its own tokenization")
     val r = k / bands
 
     // Signature computation, two paths (bit-identical — spec-proven):
@@ -84,8 +90,15 @@ object MinHashLSH {
     // cached because the bucket self-join and the estimation join both
     // consume it; lifetime bounded below via localCheckpoint+unpersist.
     val sig = (if (shingleFn == null) {
-      df.select(col(idCol).as("__id"),
-          graft.functions.MinHashSigExpr(col(textCol), k, 3).as("__sig"))
+      // unicodeNormalize fuses lowercase + \p{L}\p{N} tokenization into
+      // the signature pass (UnicodeMinHashSigExpr ≡ MinHashSigExpr over
+      // Text.normalizeForDedup, property-proven) — no normalized copy of
+      // the text ever materializes
+      val sigExpr =
+        if (unicodeNormalize)
+          graft.functions.UnicodeMinHashSigExpr(col(textCol), k, 3)
+        else graft.functions.MinHashSigExpr(col(textCol), k, 3)
+      df.select(col(idCol).as("__id"), sigExpr.as("__sig"))
         .filter(size(col("__sig")) > 0)
     } else {
       df.select(col(idCol).as("__id"),

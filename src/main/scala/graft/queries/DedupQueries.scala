@@ -123,10 +123,10 @@ object DedupQueries {
     Q("q_minhash_lsh_pairs",
       (s, dir) => MinHashLSH.candidatePairs(
           Tables.documents(s, dir)
-            .withColumn("text",
-              Text.normalizeForDedup(expr(Text.DecoratedTextSql))),
+            .withColumn("text", expr(Text.DecoratedTextSql)),
           "doc_id", "text",
-          k = 64, bands = 16, minEstPpm = 500000L)
+          k = 64, bands = 16, minEstPpm = 500000L,
+          unicodeNormalize = true)
         .orderBy(col("id_a"), col("id_b")),
       Some(lshPairsOracleSql)),
 
