@@ -250,40 +250,81 @@ private[operators] object IndexManifest {
   def nextBuildVersion(spark: SparkSession, path: String): Long =
     nextMutationVersion(spark, path)
 
-  /** Watermark recorded in `version`'s marker: the highest `__batch`
-    * visible to readers pinned there (-1 = the build partition only).
+  /** Everything a marker body records. Two body formats:
+    *
+    *  - legacy/plain: one long — the (keyed) watermark; `uwm` reads -1
+    *    (no unkeyed high-range batches existed when it was written) and
+    *    `kind` reads "" (unknown — treated permissively by consumers
+    *    that filter on kind, for pre-tagging compatibility).
+    *  - tagged (`k=v` lines): `wm=<long>`, `uwm=<long>`,
+    *    `kind=<append|snapshot|delete|...>` — what [[TableManifest]]
+    *    commits write, so the keyed/unkeyed `__batch` keyspaces carry
+    *    separate watermarks and a delete SEGMENT on disk is only honored
+    *    when its version was committed BY a delete (closing the window
+    *    where a racing appender's marker briefly legitimized an
+    *    in-flight delete segment at the same number).
+    *
     * Empty/unparseable bodies (markers from before watermarks) read as
-    * Long.MaxValue — no append filtering, the old semantics. */
-  def watermarkAt(spark: SparkSession, path: String, version: Long): Long = {
+    * `wm = Long.MaxValue` — no append filtering, the old semantics. */
+  final case class MarkerInfo(wm: Long, uwm: Long, kind: String)
+
+  def markerInfoAt(spark: SparkSession, path: String,
+      version: Long): MarkerInfo = {
     val f = fs(spark, path)
     val m = new Path(s"$path/manifest/v$version")
-    if (!f.exists(m)) Long.MaxValue
-    else {
-      val in = f.open(m)
-      val body = try scala.io.Source.fromInputStream(in).mkString.trim
-      finally in.close()
-      if (body.nonEmpty && body.forall(c => c.isDigit || c == '-'))
-        body.toLong
-      else Long.MaxValue
-    }
+    if (!f.exists(m)) return MarkerInfo(Long.MaxValue, -1L, "")
+    val in = f.open(m)
+    val body = try scala.io.Source.fromInputStream(in).mkString.trim
+    finally in.close()
+    if (body.nonEmpty && body.forall(c => c.isDigit || c == '-'))
+      MarkerInfo(body.toLong, -1L, "")
+    else if (body.contains('=')) {
+      val kv = body.linesIterator.flatMap { l =>
+        l.split("=", 2) match {
+          case Array(k, v) => Some(k.trim -> v.trim)
+          case _           => None
+        }
+      }.toMap
+      def longOf(k: String, dflt: Long) =
+        kv.get(k).flatMap(_.toLongOption).getOrElse(dflt)
+      MarkerInfo(longOf("wm", Long.MaxValue), longOf("uwm", -1L),
+        kv.getOrElse("kind", ""))
+    } else MarkerInfo(Long.MaxValue, -1L, "")
   }
+
+  /** Watermark recorded in `version`'s marker: the highest KEYED/low-range
+    * `__batch` visible to readers pinned there (-1 = the build partition
+    * only). See [[markerInfoAt]] for the full record. */
+  def watermarkAt(spark: SparkSession, path: String, version: Long): Long =
+    markerInfoAt(spark, path, version).wm
 
   /** Attempt to commit `version` (marker body = `watermark`). False when
     * the version number was already taken — the caller re-resolves the
     * current version and retries at the new next number. */
   def tryCommit(spark: SparkSession, path: String, version: Long,
-      watermark: Long): Boolean = {
+      watermark: Long): Boolean =
+    tryCommitTagged(spark, path, version, watermark, -1L, "")
+
+  /** [[tryCommit]] with the full tagged body (both watermarks + the
+    * mutation kind). A plain single-long body is written when there is
+    * nothing beyond the keyed watermark to record — byte-identical to
+    * the legacy format, so index markers and old specs are unchanged. */
+  def tryCommitTagged(spark: SparkSession, path: String, version: Long,
+      watermark: Long, unkeyedWatermark: Long, kind: String): Boolean = {
     val f = fs(spark, path)
     f.mkdirs(new Path(s"$path/manifest"))
     val dst = new Path(s"$path/manifest/v$version")
     if (f.exists(dst)) return false
+    val body =
+      if (unkeyedWatermark < 0L && kind.isEmpty) watermark.toString
+      else s"wm=$watermark\nuwm=$unkeyedWatermark\nkind=$kind"
     // the tmp name is unique PER ATTEMPT: two committers racing the same
     // version number must never share a staging file (the winner's
     // rename would yank it from under the loser's in-flight create)
     val tmp = new Path(
       s"$path/manifest/.v${version}_${java.util.UUID.randomUUID}_tmp")
     val out = f.create(tmp, true)
-    try out.writeBytes(watermark.toString) finally out.close()
+    try out.writeBytes(body) finally out.close()
     if (f.exists(dst)) { f.delete(tmp, false); false }
     else {
       val won = f.rename(tmp, dst)

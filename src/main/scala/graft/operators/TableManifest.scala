@@ -45,12 +45,16 @@ import org.apache.spark.sql.types.StructType
   *    retention sweep completes with [[vacuum]]).
   *
   * `__batch` keyspace discipline (replay safety): streaming batchIds are
-  * `>= 0`; snapshot commits stamp `-1`; [[optimize]] stamps its clustered
-  * partitions at `-(p+2)` — NEGATIVE, outside the batchId keyspace — and
-  * every snapshot-shaped commit CARRIES the append watermark forward in
-  * its marker, so a replayed streaming batch after a fold can neither
-  * dynamic-overwrite an unrelated clustered partition nor re-insert rows
-  * the fold already owns.
+  * `>= 0` and below [[UnkeyedBase]]; UNKEYED appends claim ids from the
+  * disjoint high range at-or-above [[UnkeyedBase]] (a low-range claim
+  * would be some future micro-batch's own id — its dynamic partition
+  * overwrite would silently erase the unkeyed rows); snapshot commits
+  * stamp `-1`; [[optimize]] stamps its clustered partitions at `-(p+2)`
+  * — NEGATIVE, outside both append keyspaces. Each keyspace carries its
+  * own watermark in the marker, and every snapshot-shaped commit CARRIES
+  * both forward, so a replayed streaming batch after a fold can neither
+  * dynamic-overwrite an unrelated partition nor re-insert rows the fold
+  * already owns.
   *
   * Reads: [[read]] serves the current version — payload batches at-or-
   * below the current watermark (an in-flight claimed-but-uncommitted
@@ -64,8 +68,10 @@ import org.apache.spark.sql.types.StructType
   *
   * Writer contract: concurrent UNKEYED appenders and racing snapshot
   * committers serialize safely (rename-claimed batch dirs, optimistic
-  * [[IndexManifest.tryCommit]]); keyed appends assume one stream per
-  * table (the ids share one keyspace); compaction/optimize/maintain
+  * [[IndexManifest.tryCommit]]), and unkeyed appenders compose safely
+  * WITH one keyed stream (disjoint `__batch` keyspaces); keyed appends
+  * assume one stream per table (keyed ids are the stream's own dense
+  * counter); compaction/optimize/maintain
   * assume a quiescent single maintenance actor (an append racing a fold
   * could land its batch in the superseded payload). Schemas: pass
   * `schema` to keep zero-row snapshots readable and to read evolved
@@ -94,21 +100,56 @@ object TableManifest {
   private def payloadDir(spark: SparkSession, path: String): Option[String] =
     payloadVersion(spark, path).map(p => s"$path/data_v$p")
 
-  /** Append watermark of composite `version` (the highest streaming
-    * `__batch` id ever applied at-or-before it). Markers from before
-    * watermarks read as the payload's own max batch id. */
+  /** First `__batch` id of the UNKEYED keyspace. Streaming (keyed)
+    * batchIds are the stream's own dense counter from 0; unkeyed appends
+    * (SQL INSERT INTO, DataFrame mode("append")) claim ids from this
+    * disjoint HIGH range instead — an unkeyed claim in the low range
+    * would land exactly on some future micro-batch's id, and that
+    * batch's dynamic partition overwrite would silently erase the
+    * INSERT's rows. Each keyspace carries its OWN watermark in the
+    * marker ([[IndexManifest.MarkerInfo]]), so visibility, CDF windows,
+    * and delete masks stay exact on both sides. */
+  private[operators] val UnkeyedBase: Long = 1L << 61
+
+  /** Append watermark of composite `version` (the highest streaming/
+    * low-range `__batch` id ever applied at-or-before it). Markers from
+    * before watermarks read as the payload's own max batch id. */
   private def watermarkOf(spark: SparkSession, path: String,
       version: Long): Long = {
-    val wm = IndexManifest.watermarkAt(spark, path, version)
+    val wm = IndexManifest.markerInfoAt(spark, path, version).wm
     if (wm != Long.MaxValue) wm
     else payloadDir(spark, path)
       .map(d => VectorIndex.nextBatchId(spark, d) - 1L).getOrElse(-1L)
   }
 
+  /** Unkeyed (high-range) watermark of composite `version`: the highest
+    * committed unkeyed `__batch` id, or -1 when none (every pre-split
+    * marker — their unkeyed appends lived in the low range, covered by
+    * the keyed watermark). */
+  private def unkeyedWatermarkOf(spark: SparkSession, path: String,
+      version: Long): Long =
+    IndexManifest.markerInfoAt(spark, path, version).uwm
+
   /** Watermark carried by the CURRENT version; -1 on a fresh path. */
   private def currentWatermark(spark: SparkSession, path: String): Long =
     IndexManifest.currentVersion(spark, path)
       .map(v => watermarkOf(spark, path, v)).getOrElse(-1L)
+
+  private def currentUnkeyedWatermark(spark: SparkSession,
+      path: String): Long =
+    IndexManifest.currentVersion(spark, path)
+      .map(v => unkeyedWatermarkOf(spark, path, v)).getOrElse(-1L)
+
+  /** Is `__batch` id `b` visible under the (keyed, unkeyed) watermark
+    * pair? Low range (negatives + streaming ids) answers against `wm`,
+    * the high unkeyed range against `uwm`. */
+  private def visibleId(b: Long, wm: Long, uwm: Long): Boolean =
+    if (b < UnkeyedBase) b <= wm else b <= uwm
+
+  /** [[visibleId]] as a Column over the `__batch` field. */
+  private def visibleBatch(wm: Long, uwm: Long): Column =
+    when(col("__batch") < UnkeyedBase, col("__batch") <= wm)
+      .otherwise(col("__batch") <= uwm)
 
   // ---- payload reads (internal): schema'd / merged / plain ---------------
 
@@ -183,8 +224,9 @@ object TableManifest {
       // the claim refuses an existing dst: a racing committer at the same
       // number makes us spin until its marker lands, then retry above it
       if (renameExclusive(f, tmp, dst)) {
-        committed = IndexManifest.tryCommit(spark, path, v,
-          currentWatermark(spark, path))
+        committed = IndexManifest.tryCommitTagged(spark, path, v,
+          currentWatermark(spark, path),
+          currentUnkeyedWatermark(spark, path), "snapshot")
         if (!committed) f.rename(dst, tmp) // lost the marker race: retry
       }
     }
@@ -254,7 +296,11 @@ object TableManifest {
     * watermark whose partition was FOLDED (compaction/optimize) no-ops —
     * its rows already live in the snapshot, re-inserting would duplicate
     * them. Unkeyed appends claim a fresh partition id by rename (safe
-    * under concurrent unkeyed appenders). Returns the committed
+    * under concurrent unkeyed appenders) from the DISJOINT
+    * [[UnkeyedBase]] keyspace — a low-range claim would be some future
+    * micro-batch's id, and that batch's dynamic overwrite would silently
+    * erase the unkeyed rows; with split keyspaces keyed streaming and
+    * unkeyed writers compose safely on one table. Returns the committed
     * version. */
   def append(df: DataFrame, path: String,
       batchId: Option[Long] = None): Long = {
@@ -266,8 +312,10 @@ object TableManifest {
     val carried = currentWatermark(spark, path)
     val batch: Long = batchId match {
       case Some(b) =>
-        require(b >= 0L, s"streaming batchIds are >= 0, got $b " +
-          "(negative ids are the snapshot/optimize keyspace)")
+        require(b >= 0L && b < UnkeyedBase,
+          s"streaming batchIds are in [0, $UnkeyedBase), got $b " +
+            "(negative ids are the snapshot/optimize keyspace, ids at-or-" +
+            "above the base are the unkeyed claim keyspace)")
         val pdir = new org.apache.hadoop.fs.Path(s"$dir/__batch=$b")
         if (b <= carried && !f.exists(pdir))
           // replay of a batch the fold already owns: exactly-once no-op
@@ -281,8 +329,9 @@ object TableManifest {
         // multi-writer safe: the drop is written ONCE to a pending dir,
         // then a free partition id is CLAIMED by rename (rename refuses
         // an existing dst — the loser re-reads and claims the next id).
-        // Ids start past the carried watermark so a fold never makes an
-        // unkeyed append reuse a replayable streaming id.
+        // Ids live in the high unkeyed keyspace, starting past the
+        // carried unkeyed watermark so a fold never reuses an id a CDF
+        // window already counted.
         val tmp = new org.apache.hadoop.fs.Path(
           s"$path/.batch_pending_${java.util.UUID.randomUUID}")
         df.write.mode("overwrite").parquet(tmp.toString)
@@ -290,8 +339,8 @@ object TableManifest {
         var claimed = false
         var tries = 0
         while (!claimed) {
-          b = math.max(VectorIndex.nextBatchId(spark, dir),
-            currentWatermark(spark, path) + 1L)
+          b = math.max(nextUnkeyedId(spark, dir),
+            currentUnkeyedWatermark(spark, path) + 1L)
           claimed = renameExclusive(f, tmp,
             new org.apache.hadoop.fs.Path(s"$dir/__batch=$b"))
           if (!claimed) {
@@ -308,19 +357,50 @@ object TableManifest {
     var committed = false
     while (!committed) {
       v = IndexManifest.nextMutationVersion(spark, path)
-      committed = IndexManifest.tryCommit(spark, path, v,
-        math.max(currentWatermark(spark, path), batch))
+      committed =
+        if (batch < UnkeyedBase)
+          IndexManifest.tryCommitTagged(spark, path, v,
+            math.max(currentWatermark(spark, path), batch),
+            currentUnkeyedWatermark(spark, path), "append")
+        else
+          IndexManifest.tryCommitTagged(spark, path, v,
+            currentWatermark(spark, path),
+            math.max(currentUnkeyedWatermark(spark, path), batch), "append")
     }
     v
   }
 
+  /** Next free id in the UNKEYED high keyspace of payload `dir` — the
+    * [[VectorIndex.nextBatchId]] listing restricted to ids at-or-above
+    * [[UnkeyedBase]]. */
+  private def nextUnkeyedId(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(spark, dir)
+    val ids = f.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("__batch=") =>
+        n.stripPrefix("__batch=").toLong }
+      .filter(_ >= UnkeyedBase)
+    if (ids.isEmpty) UnkeyedBase else ids.max + 1L
+  }
+
   // ---- delete segments: predicate tombstones, masked at read -------------
 
-  private val DeleteSchema = "pred STRING, wm LONG"
+  private val DeleteSchema = "pred STRING, wm LONG, uwm LONG"
+
+  /** One delete segment's scope: predicate SQL + the (keyed, unkeyed)
+    * watermark pair it was committed against. Pre-split segments have no
+    * `uwm` column — they read as -1 (no high-range rows existed then,
+    * so masking none is exactly point-in-time). */
+  private final case class DeletePred(pred: String, wm: Long, uwm: Long)
 
   /** Committed delete-segment versions masking composite `version`:
     * payload(version) < D <= version (segments at-or-below the payload
-    * were folded into it). */
+    * were folded into it), and only when version D was committed BY a
+    * delete (tagged marker kind) — a racing appender's marker at the
+    * same number must not legitimize an in-flight segment a losing
+    * deleteWhere is about to take back. Pre-tagging markers ("" kind)
+    * are honored — their delete segments really were the committer. */
   private def deleteSegmentsAt(spark: SparkSession, path: String,
       version: Long): Seq[Long] = {
     val p = IndexManifest.payloadVersionAt(spark, path, version, "data")
@@ -328,26 +408,32 @@ object TableManifest {
     val committed = IndexManifest.committedVersions(spark, path).toSet
     IndexManifest.diskVersions(spark, path, "deletes")
       .filter(d => d > p && d <= version && committed.contains(d))
+      .filter { d =>
+        val k = IndexManifest.markerInfoAt(spark, path, d).kind
+        k.isEmpty || k == "delete"
+      }
   }
 
-  /** The (predicate SQL, scoped watermark) rows of `segs` — O(#deletes)
-    * tiny rows, one driver read. */
+  /** The scoped-predicate rows of `segs` — O(#deletes) tiny rows, one
+    * driver read. */
   private def deletePredsOf(spark: SparkSession, path: String,
-      segs: Seq[Long]): Seq[(String, Long)] =
+      segs: Seq[Long]): Seq[DeletePred] =
     if (segs.isEmpty) Nil
     else spark.read.schema(DeleteSchema)
       .parquet(segs.map(d => s"$path/deletes_v$d"): _*)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .collect().map(r => DeletePred(r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
 
   /** Mask `df` (which still carries `__batch`) against delete segments:
     * a row is gone iff some segment's predicate matches it AND the row
-    * was visible when that delete ran (`__batch <= ` the segment's
-    * scoped watermark — point-in-time semantics; null predicate results
-    * never match, SQL DELETE semantics). */
+    * was visible when that delete ran (`__batch` at-or-below the
+    * segment's scoped watermark for the row's keyspace — point-in-time
+    * semantics; null predicate results never match, SQL DELETE
+    * semantics). */
   private def maskDeletes(df: DataFrame,
-      preds: Seq[(String, Long)]): DataFrame =
-    preds.foldLeft(df) { case (d, (p, wm)) =>
-      d.filter(!(coalesce(expr(p), lit(false)) && col("__batch") <= wm))
+      preds: Seq[DeletePred]): DataFrame =
+    preds.foldLeft(df) { case (d, DeletePred(p, wm, uwm)) =>
+      d.filter(!(coalesce(expr(p), lit(false)) && visibleBatch(wm, uwm)))
     }
 
   /** Pending (unfolded) delete segments on the CURRENT version — what
@@ -379,9 +465,10 @@ object TableManifest {
     val f = fs(spark, path)
     import spark.implicits._
     val carried = currentWatermark(spark, path)
+    val carriedU = currentUnkeyedWatermark(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(
       s"$path/.deletes_pending_${java.util.UUID.randomUUID}")
-    Seq((predicateSql, carried)).toDF("pred", "wm")
+    Seq((predicateSql, carried, carriedU)).toDF("pred", "wm", "uwm")
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     // strictly cur+1 CAS with rename-before-marker, the
     // [[VectorIndex.deleteIds]] protocol: an uncommitted segment never
@@ -396,8 +483,9 @@ object TableManifest {
       val seg = new org.apache.hadoop.fs.Path(s"$path/deletes_v$d")
       if (renameExclusive(f, tmp, seg)) {
         blockedAt = -1L; blockedTries = 0
-        committed = IndexManifest.tryCommit(spark, path, d,
-          currentWatermark(spark, path))
+        committed = IndexManifest.tryCommitTagged(spark, path, d,
+          currentWatermark(spark, path),
+          currentUnkeyedWatermark(spark, path), "delete")
         if (!committed) f.rename(seg, tmp) // lost the race: take it back
       } else {
         if (blockedAt == d) blockedTries += 1
@@ -423,9 +511,10 @@ object TableManifest {
     require(p.isDefined,
       s"version $version of $path has been vacuumed — raise vacuum(keep)")
     val wm = watermarkOf(spark, path, version)
+    val uwm = unkeyedWatermarkOf(spark, path, version)
     val base = payloadRead(spark, s"$path/data_v${p.get}", schema,
       mergeSchema)
-    maskDeletes(base.filter(col("__batch") <= wm),
+    maskDeletes(base.filter(visibleBatch(wm, uwm)),
       deletePredsOf(spark, path, deleteSegmentsAt(spark, path, version)))
   }
 
@@ -490,6 +579,8 @@ object TableManifest {
     if (pF == pT) {
       val wmF = watermarkOf(spark, path, fromVersion)
       val wmT = watermarkOf(spark, path, toVersion)
+      val uwmF = unkeyedWatermarkOf(spark, path, fromVersion)
+      val uwmT = unkeyedWatermarkOf(spark, path, toVersion)
       val dir = s"$path/data_v${pT.get}"
       val segsF = deleteSegmentsAt(spark, path, fromVersion).toSet
       val segsT = deleteSegmentsAt(spark, path, toVersion)
@@ -499,7 +590,7 @@ object TableManifest {
         .map(_.getPath.getName)
         .collect { case n if n.startsWith("__batch=") =>
           n.stripPrefix("__batch=").toLong }
-        .filter(b => b > wmF && b <= wmT)
+        .filter(b => visibleId(b, wmT, uwmT) && !visibleId(b, wmF, uwmF))
         .map(b => s"$dir/__batch=$b")
       val inserts =
         if (survivors.isEmpty)
@@ -517,8 +608,8 @@ object TableManifest {
         // deletes: from-view rows matching a window segment, scoped to
         // that segment's watermark — match-proportional by construction
         val preds = deletePredsOf(spark, path, newSegs)
-        val hitAny = preds.map { case (p, wm) =>
-          coalesce(expr(p), lit(false)) && col("__batch") <= wm
+        val hitAny = preds.map { case DeletePred(p, wm, uwm) =>
+          coalesce(expr(p), lit(false)) && visibleBatch(wm, uwm)
         }.reduce(_ || _)
         val deletes = resolvedAt(spark, path, fromVersion, schema,
             mergeSchema = false)
@@ -865,6 +956,7 @@ object TableManifest {
       sys.error(s"no committed table at $path"))
     val dir = s"$path/data_v$p"
     val wm = watermarkOf(spark, path, v)
+    val uwm = unkeyedWatermarkOf(spark, path, v)
     val preds = deletePredsOf(spark, path, deleteSegmentsAt(spark, path, v))
     def readAll = read(spark, path, schema).filter(predicate)
     val bloomPath =
@@ -885,7 +977,7 @@ object TableManifest {
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("__batch=") =>
         n.stripPrefix("__batch=").toLong }
-      .filter(_ <= wm)
+      .filter(visibleId(_, wm, uwm))
     // a batch the artifact does not cover (all-null column, or a write
     // between an append and its refresh) is conservatively read
     val survivors = payloadBatches
@@ -935,12 +1027,13 @@ object TableManifest {
     val stats = allStats.filter(_.getString(0) == oneCol)
       .map(r => r.getLong(1) -> r.getLong(2)).toMap
     val wm = watermarkOf(spark, path, v)
+    val uwm = unkeyedWatermarkOf(spark, path, v)
     val payloadBatches = f
       .listStatus(new org.apache.hadoop.fs.Path(s"$path/data_v$p"))
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("__batch=") =>
         n.stripPrefix("__batch=").toLong }
-      .filter(_ <= wm)
+      .filter(visibleId(_, wm, uwm))
     if (!payloadBatches.forall(stats.contains)) None
     else Some(payloadBatches.map(stats).sum)
   }
@@ -1045,6 +1138,7 @@ object TableManifest {
     val dir = s"$path/data_v$p"
     val f = fs(spark, path)
     val wm = watermarkOf(spark, path, v)
+    val uwm = unkeyedWatermarkOf(spark, path, v)
     val delPreds = deletePredsOf(spark, path,
       deleteSegmentsAt(spark, path, v))
     val statsPath = new org.apache.hadoop.fs.Path(s"$path/zonestats_v$p")
@@ -1053,7 +1147,7 @@ object TableManifest {
     }.reduce(_ && _)
     def readAll = maskDeletes(
       payloadRead(spark, dir, schema, mergeSchema = false)
-        .filter(col("__batch") <= wm).filter(predicate),
+        .filter(visibleBatch(wm, uwm)).filter(predicate),
       delPreds).drop("__batch")
     if (!f.exists(statsPath)) return readAll
     // a batch is excluded only when SOME queried column's stats row
@@ -1074,7 +1168,7 @@ object TableManifest {
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("__batch=") =>
         n.stripPrefix("__batch=").toLong }
-      .filter(_ <= wm)
+      .filter(visibleId(_, wm, uwm))
       .filterNot(excluded)
       .map(b => s"$dir/__batch=$b")
     if (survivors.isEmpty) return readAll.filter(lit(false))

@@ -352,6 +352,66 @@ class TableManifestSpec extends AnyFunSuite {
     assert(ids(TableManifest.read(s, path)) == Set(1L, 2L, 3L, 4L))
   }
 
+  test("keyed stream + unkeyed INSERT interleave: the stream's next " +
+    "micro-batch never overwrites the INSERT's partition") {
+    val path = Files.createTempDirectory("tm_keyspace").toString
+    TableManifest.commitSnapshot(df(1L -> "a"), path)
+    // stream applies batch 0, then an unkeyed writer (SQL INSERT INTO /
+    // DataFrame append) lands between micro-batches
+    TableManifest.append(df(2L -> "b"), path, batchId = Some(0L))
+    TableManifest.append(df(100L -> "ins"), path)
+    // the stream's NEXT id is 1 — under the old shared keyspace the
+    // INSERT had claimed exactly this id and the micro-batch's dynamic
+    // overwrite silently erased it
+    TableManifest.append(df(3L -> "c"), path, batchId = Some(1L))
+    assert(ids(TableManifest.read(s, path)) == Set(1L, 2L, 3L, 100L),
+      "an unkeyed append must survive the stream's next micro-batch")
+    // replay of that micro-batch still exactly-once, INSERT still there
+    TableManifest.append(df(3L -> "c"), path, batchId = Some(1L))
+    assert(TableManifest.read(s, path).count() == 4)
+    // a second unkeyed append lands on its own id too
+    TableManifest.append(df(101L -> "ins2"), path)
+    TableManifest.append(df(4L -> "d"), path, batchId = Some(2L))
+    assert(ids(TableManifest.read(s, path)) ==
+      Set(1L, 2L, 3L, 4L, 100L, 101L))
+    // MoR delete masks rows from BOTH keyspaces point-in-time: rows
+    // appended after the delete (keyed or unkeyed) are unaffected
+    TableManifest.deleteWhere(s, path, "id >= 100")
+    TableManifest.append(df(102L -> "after"), path)
+    TableManifest.append(df(5L -> "e"), path, batchId = Some(3L))
+    assert(ids(TableManifest.read(s, path)) == Set(1L, 2L, 3L, 4L, 5L, 102L),
+      "delete must mask pre-delete unkeyed rows and spare post-delete ones")
+    // CDF windows cover both keyspaces
+    val vs = TableManifest.versions(s, path)
+    val feed = TableManifest.readChanges(s, path, vs.head, vs.last)
+    val inserted = feed.filter(col("_change_type") === "insert")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(inserted == Set(2L, 3L, 4L, 5L, 102L),
+      "the insert feed must carry keyed and surviving unkeyed appends " +
+        s"(got $inserted)")
+    // and a fold erases the masked rows physically, preserving the rest
+    TableManifest.compactBatches(s, path)
+    assert(ids(TableManifest.read(s, path)) == Set(1L, 2L, 3L, 4L, 5L, 102L))
+  }
+
+  test("a losing deleteWhere's on-disk segment is never honored: only " +
+    "markers committed BY a delete mask rows") {
+    val path = Files.createTempDirectory("tm_delkind").toString
+    TableManifest.commitSnapshot(df(1L -> "a", 2L -> "b"), path)
+    // simulate the race window: a delete segment parked at version d
+    // while version d's marker was committed by an APPEND (tagged
+    // kind=append) — the reader must ignore the segment
+    val v = TableManifest.append(df(3L -> "c"), path) // kind=append marker
+    import s.implicits._
+    Seq(("id = 1", Long.MaxValue, Long.MaxValue)).toDF("pred", "wm", "uwm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/deletes_v$v")
+    assert(ids(TableManifest.read(s, path)) == Set(1L, 2L, 3L),
+      "a segment at an append-committed version must not mask rows")
+    // a REAL delete still works
+    TableManifest.deleteWhere(s, path, "id = 2")
+    assert(ids(TableManifest.read(s, path)) == Set(1L, 3L))
+  }
+
   test("vacuum retention horizon refuses versions committed inside it") {
     val path = Files.createTempDirectory("tm_vac_retain").toString
     val v0 = TableManifest.commitSnapshot(df(1L -> "a"), path)

@@ -42,6 +42,62 @@ class GraftTableSourceSpec extends AnyFunSuite {
     assert(back.exceptAll(TableManifest.read(s, p)).isEmpty)
   }
 
+  test("append alignment: by-name when names match, by-position only on" +
+    " fully disjoint names, ERROR on equal-arity partial overlap") {
+    val p = tmp("align")
+    seed(0, 10).write.format("graft").mode("overwrite").save(p)
+    // reordered same-name columns realign by NAME
+    seed(10, 12).select("payload", "k", "id")
+      .write.format("graft").mode("append").save(p)
+    assert(s.read.format("graft").load(p)
+      .filter(col("payload") === "v11" && col("id") === 11).count() == 1)
+    // fully disjoint names (the INSERT ... VALUES col1..colN shape)
+    // realign by POSITION
+    seed(12, 13).toDF("col1", "col2", "col3")
+      .write.format("graft").mode("append").save(p)
+    assert(s.read.format("graft").load(p)
+      .filter(col("payload") === "v12" && col("id") === 12).count() == 1)
+    // equal arity + PARTIAL overlap is ambiguous: refuse, never coerce —
+    // positional would cross-load the renamed column silently
+    val partial = seed(13, 14)
+      .withColumnRenamed("payload", "renamed_payload")
+    val e = intercept[Exception](
+      partial.write.format("graft").mode("append").save(p))
+    assert(e.getMessage.contains("ambiguous") ||
+      Option(e.getCause).exists(_.getMessage.contains("ambiguous")))
+    assert(s.read.format("graft").load(p).count() == 13,
+      "the refused append must not have landed")
+  }
+
+  test("SQL DELETE on a timestamp column masks the same rows under ANY" +
+    " session time zone (epoch-micros literal rendering)") {
+    val p = tmp("tsdel")
+    TableManifest.commitSnapshot(
+      s.range(48).select(col("id"),
+        to_timestamp(lit("2026-01-01 00:00:00"))
+          .plus(expr(s"make_interval(0,0,0,0, CAST(id AS INT), 0, 0)"))
+          .as("ts")), p)
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val prevTz = s.conf.get("spark.sql.session.timeZone")
+    try {
+      // session TZ deliberately different from the JVM default: the old
+      // toString rendering shifted which rows the tombstone masked
+      val jvmTz = java.util.TimeZone.getDefault.getID
+      s.conf.set("spark.sql.session.timeZone",
+        if (jvmTz == "Pacific/Kiritimati") "Etc/GMT+12"
+        else "Pacific/Kiritimati")
+      val cutMicros = s.read.format("graft").load(p)
+        .filter(col("id") === 24)
+        .select(unix_micros(col("ts"))).head().getLong(0)
+      s.sql(s"DELETE FROM graft.`$p` " +
+        s"WHERE ts >= timestamp_micros(${cutMicros}L)")
+      val left = s.read.format("graft").load(p)
+      assert(left.count() == 24,
+        "exactly the first 24 hourly rows must survive")
+      assert(left.agg(max(col("id"))).head().getLong(0) == 23)
+    } finally s.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("pushdown is exact: filtered connector reads equal read-then-filter," +
     " including null semantics, and the plan shows the pushed filters") {
     val p = tmp("push")
