@@ -111,6 +111,16 @@ object TableManifest {
     * and delete masks stay exact on both sides. */
   private[operators] val UnkeyedBase: Long = 1L << 61
 
+  /** First `__batch` id of the UPDATE keyspace: [[updateWhere]]'s
+    * replacement rows land at `UpdateBase + d` where `d` is the version
+    * the update COMMITS — visibility of an update batch is "marker d
+    * committed with kind=update", never a scalar watermark, so the
+    * tombstone (old rows out) and the replacement batch (new rows in)
+    * become visible in the same atomic marker flip, and a crash between
+    * the partition rename and the marker leaves an orphan no reader
+    * ever serves. */
+  private[operators] val UpdateBase: Long = 1L << 62
+
   /** Append watermark of composite `version` (the highest streaming/
     * low-range `__batch` id ever applied at-or-before it). Markers from
     * before watermarks read as the payload's own max batch id. */
@@ -141,15 +151,44 @@ object TableManifest {
       .map(v => unkeyedWatermarkOf(spark, path, v)).getOrElse(-1L)
 
   /** Is `__batch` id `b` visible under the (keyed, unkeyed) watermark
-    * pair? Low range (negatives + streaming ids) answers against `wm`,
-    * the high unkeyed range against `uwm`. */
-  private def visibleId(b: Long, wm: Long, uwm: Long): Boolean =
-    if (b < UnkeyedBase) b <= wm else b <= uwm
+    * pair + the committed-update-version set? Low range (negatives +
+    * streaming ids) answers against `wm`, the unkeyed range
+    * [[[UnkeyedBase]], [[UpdateBase]]) against `uwm`, the update range
+    * by membership of its embedded version in `updVers`. */
+  private def visibleId(b: Long, wm: Long, uwm: Long,
+      updVers: Set[Long] = Set.empty): Boolean =
+    if (b < UnkeyedBase) b <= wm
+    else if (b < UpdateBase) b <= uwm
+    else updVers.contains(b - UpdateBase)
 
   /** [[visibleId]] as a Column over the `__batch` field. */
-  private def visibleBatch(wm: Long, uwm: Long): Column =
+  private def visibleBatch(wm: Long, uwm: Long,
+      updVers: Set[Long] = Set.empty): Column = {
+    val upd =
+      if (updVers.isEmpty) lit(false)
+      else (col("__batch") - UpdateBase).isin(updVers.toSeq: _*)
     when(col("__batch") < UnkeyedBase, col("__batch") <= wm)
-      .otherwise(col("__batch") <= uwm)
+      .when(col("__batch") < UpdateBase, col("__batch") <= uwm)
+      .otherwise(upd)
+  }
+
+  /** Versions in (payload(version), version] committed BY an update —
+    * the update batches composite `version` serves. Candidates come from
+    * the payload dir's update-range partitions (O(pending updates) —
+    * folds clear them), so old versions cost no marker reads. */
+  private def updateVersionsAt(spark: SparkSession, path: String,
+      version: Long, dir: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(spark, path)
+    if (!f.exists(p)) return Set.empty
+    f.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("__batch=") =>
+        n.stripPrefix("__batch=").toLong }
+      .filter(_ >= UpdateBase).map(_ - UpdateBase)
+      .filter(d => d <= version &&
+        IndexManifest.markerInfoAt(spark, path, d).kind == "update")
+      .toSet
+  }
 
   // ---- payload reads (internal): schema'd / merged / plain ---------------
 
@@ -370,9 +409,11 @@ object TableManifest {
     v
   }
 
-  /** Next free id in the UNKEYED high keyspace of payload `dir` — the
-    * [[VectorIndex.nextBatchId]] listing restricted to ids at-or-above
-    * [[UnkeyedBase]]. */
+  /** Next free id in the UNKEYED keyspace of payload `dir` — the
+    * [[VectorIndex.nextBatchId]] listing restricted to
+    * [[[UnkeyedBase]], [[UpdateBase]]) (an update batch's id must never
+    * seed an unkeyed claim: it would land the append in the
+    * version-gated update range and make it invisible). */
   private def nextUnkeyedId(spark: SparkSession, dir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val f = fs(spark, dir)
@@ -380,7 +421,7 @@ object TableManifest {
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("__batch=") =>
         n.stripPrefix("__batch=").toLong }
-      .filter(_ >= UnkeyedBase)
+      .filter(b => b >= UnkeyedBase && b < UpdateBase)
     if (ids.isEmpty) UnkeyedBase else ids.max + 1L
   }
 
@@ -389,10 +430,14 @@ object TableManifest {
   private val DeleteSchema = "pred STRING, wm LONG, uwm LONG"
 
   /** One delete segment's scope: predicate SQL + the (keyed, unkeyed)
-    * watermark pair it was committed against. Pre-split segments have no
-    * `uwm` column — they read as -1 (no high-range rows existed then,
-    * so masking none is exactly point-in-time). */
-  private final case class DeletePred(pred: String, wm: Long, uwm: Long)
+    * watermark pair it was committed against + its own commit version
+    * `ver` (which scopes update-range rows: an update committed BEFORE
+    * this segment is masked by it, one committed after is not).
+    * Pre-split segments have no `uwm` column — they read as -1 (no
+    * high-range rows existed then, so masking none is exactly
+    * point-in-time). */
+  private final case class DeletePred(pred: String, wm: Long, uwm: Long,
+      ver: Long)
 
   /** Committed delete-segment versions masking composite `version`:
     * payload(version) < D <= version (segments at-or-below the payload
@@ -410,30 +455,36 @@ object TableManifest {
       .filter(d => d > p && d <= version && committed.contains(d))
       .filter { d =>
         val k = IndexManifest.markerInfoAt(spark, path, d).kind
-        k.isEmpty || k == "delete"
+        k.isEmpty || k == "delete" || k == "update"
       }
   }
 
   /** The scoped-predicate rows of `segs` — O(#deletes) tiny rows, one
-    * driver read. */
+    * driver read (the segment version rides along to scope update-range
+    * rows). */
   private def deletePredsOf(spark: SparkSession, path: String,
       segs: Seq[Long]): Seq[DeletePred] =
     if (segs.isEmpty) Nil
-    else spark.read.schema(DeleteSchema)
-      .parquet(segs.map(d => s"$path/deletes_v$d"): _*)
-      .collect().map(r => DeletePred(r.getString(0), r.getLong(1),
-        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    else segs.flatMap { d =>
+      spark.read.schema(DeleteSchema).parquet(s"$path/deletes_v$d")
+        .collect().map(r => DeletePred(r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), d))
+    }
 
   /** Mask `df` (which still carries `__batch`) against delete segments:
     * a row is gone iff some segment's predicate matches it AND the row
     * was visible when that delete ran (`__batch` at-or-below the
-    * segment's scoped watermark for the row's keyspace — point-in-time
-    * semantics; null predicate results never match, SQL DELETE
-    * semantics). */
+    * segment's scoped watermark for the row's keyspace, update batches
+    * committed strictly before the segment — point-in-time semantics;
+    * null predicate results never match, SQL DELETE semantics). */
   private def maskDeletes(df: DataFrame,
       preds: Seq[DeletePred]): DataFrame =
-    preds.foldLeft(df) { case (d, DeletePred(p, wm, uwm)) =>
-      d.filter(!(coalesce(expr(p), lit(false)) && visibleBatch(wm, uwm)))
+    preds.foldLeft(df) { case (d, DeletePred(p, wm, uwm, ver)) =>
+      val wasVisible =
+        when(col("__batch") < UnkeyedBase, col("__batch") <= wm)
+          .when(col("__batch") < UpdateBase, col("__batch") <= uwm)
+          .otherwise(col("__batch") - UpdateBase < ver)
+      d.filter(!(coalesce(expr(p), lit(false)) && wasVisible))
     }
 
   /** Pending (unfolded) delete segments on the CURRENT version — what
@@ -502,6 +553,117 @@ object TableManifest {
     d
   }
 
+  /** UPDATE WHERE as one atomic merge-on-read commit, match-proportional
+    * like [[deleteWhere]]: the matching rows are re-written ONCE with the
+    * SET assignments applied (each expression sees the PRE-update row —
+    * SQL UPDATE semantics — and casts to the column's existing type),
+    * landing as an update-keyspace batch (`__batch = UpdateBase + d`),
+    * while one predicate tombstone scoped to the pre-update watermarks
+    * masks the old rows; BOTH become visible in the same marker flip
+    * (`kind=update`), so no reader ever sees the rows deleted-but-not-
+    * yet-replaced or doubled. Cost: one scan + a write of the MATCHED
+    * rows + O(1) segment — never a table rewrite; a no-match UPDATE
+    * commits nothing. Later appends matching the predicate are
+    * unaffected (point-in-time); readers pinned below `d` never see it;
+    * [[compactBatches]]/[[maintain]] fold the replacement batch and the
+    * tombstone into the next snapshot; the CDF shows the update as
+    * delete(old) + insert(new). Falls under the same single-logical-
+    * mutator contract as compaction: an update racing a DELETE whose
+    * predicate overlaps can re-materialize pre-delete values.
+    * Returns the committed version (or the current one on no-match). */
+  def updateWhere(spark: SparkSession, path: String, predicateSql: String,
+      assignments: Seq[(String, String)],
+      schema: Option[StructType] = None): Long = {
+    require(IndexManifest.currentVersion(spark, path).isDefined,
+      s"no committed table at $path")
+    require(assignments.nonEmpty,
+      "UPDATE requires at least one SET assignment")
+    val cur = read(spark, path, schema)
+    val bad = assignments.map(_._1).filterNot(cur.columns.contains)
+    require(bad.isEmpty,
+      s"unknown column(s) in SET: ${bad.mkString(", ")} " +
+        s"(table has: ${cur.columns.mkString(", ")})")
+    val asg = assignments.toMap
+    val updated = cur.filter(expr(predicateSql))
+      .select(cur.schema.fields.map { fld =>
+        asg.get(fld.name)
+          .map(sql => expr(sql).cast(fld.dataType).as(fld.name))
+          .getOrElse(col(fld.name))
+      }.toIndexedSeq: _*)
+    updated.schema // analysis check: bad SQL fails the UPDATE, not reads
+    val f = fs(spark, path)
+    val dir = payloadDir(spark, path).get
+    val carried = currentWatermark(spark, path)
+    val carriedU = currentUnkeyedWatermark(spark, path)
+    val tmpBatch = new org.apache.hadoop.fs.Path(
+      s"$path/.update_pending_${java.util.UUID.randomUUID}")
+    updated.write.mode("overwrite").parquet(tmpBatch.toString)
+    if (spark.read.parquet(tmpBatch.toString).isEmpty) {
+      f.delete(tmpBatch, true) // no-match UPDATE: zero rows, zero commits
+      return IndexManifest.currentVersion(spark, path).get
+    }
+    import spark.implicits._
+    val tmpSeg = new org.apache.hadoop.fs.Path(
+      s"$path/.deletes_pending_${java.util.UUID.randomUUID}")
+    Seq((predicateSql, carried, carriedU)).toDF("pred", "wm", "uwm")
+      .coalesce(1).write.mode("overwrite").parquet(tmpSeg.toString)
+    // strictly cur+1 CAS, the [[deleteWhere]] protocol with TWO claims:
+    // the replacement batch id embeds the version, so both renames move
+    // to the next number together on a lost race
+    var committed = false
+    var d = -1L
+    var blockedAt = -1L
+    var blockedTries = 0
+    def blocked(at: Long): Unit = {
+      if (blockedAt == at) blockedTries += 1
+      else { blockedAt = at; blockedTries = 1 }
+      if (blockedTries > 100)
+        throw new IllegalStateException(
+          s"update claim at version $at blocks with no marker arriving: " +
+            "a crashed updateWhere/deleteWhere likely left an orphan " +
+            s"batch or segment dir at $path — verify no mutation is in " +
+            "flight, remove the orphan, and retry")
+      Thread.sleep(20)
+    }
+    while (!committed) {
+      val c = IndexManifest.currentVersion(spark, path).get
+      d = c + 1
+      val bdst = new org.apache.hadoop.fs.Path(
+        s"$dir/__batch=${UpdateBase + d}")
+      val sdst = new org.apache.hadoop.fs.Path(s"$path/deletes_v$d")
+      if (!renameExclusive(f, tmpBatch, bdst)) blocked(d)
+      else if (!renameExclusive(f, tmpSeg, sdst)) {
+        f.rename(bdst, tmpBatch)
+        blocked(d)
+      } else {
+        blockedAt = -1L; blockedTries = 0
+        committed = IndexManifest.tryCommitTagged(spark, path, d,
+          currentWatermark(spark, path),
+          currentUnkeyedWatermark(spark, path), "update")
+        if (!committed) { // lost the marker race: take both claims back
+          f.rename(bdst, tmpBatch)
+          f.rename(sdst, tmpSeg)
+        }
+      }
+    }
+    d
+  }
+
+  /** Rows an [[updateWhere]] commit at `version` re-wrote — the
+    * replacement batch's count, answered from parquet footers (no column
+    * reads). 0 when `version` was not an update commit (or it has been
+    * folded). */
+  def updatedRowCount(spark: SparkSession, path: String,
+      version: Long): Long =
+    IndexManifest.payloadVersionAt(spark, path, version, "data") match {
+      case Some(p) =>
+        val dir = s"$path/data_v$p/__batch=${UpdateBase + version}"
+        if (fs(spark, path).exists(new org.apache.hadoop.fs.Path(dir)))
+          spark.read.parquet(dir).count()
+        else 0L
+      case None => 0L
+    }
+
   /** Resolved rows of composite `version` WITH the `__batch` column:
     * payload batches at-or-below the watermark, delete segments masked.
     * The one read everything public builds on. */
@@ -512,9 +674,10 @@ object TableManifest {
       s"version $version of $path has been vacuumed — raise vacuum(keep)")
     val wm = watermarkOf(spark, path, version)
     val uwm = unkeyedWatermarkOf(spark, path, version)
-    val base = payloadRead(spark, s"$path/data_v${p.get}", schema,
-      mergeSchema)
-    maskDeletes(base.filter(visibleBatch(wm, uwm)),
+    val dir = s"$path/data_v${p.get}"
+    val updVers = updateVersionsAt(spark, path, version, dir)
+    val base = payloadRead(spark, dir, schema, mergeSchema)
+    maskDeletes(base.filter(visibleBatch(wm, uwm, updVers)),
       deletePredsOf(spark, path, deleteSegmentsAt(spark, path, version)))
   }
 
@@ -582,6 +745,8 @@ object TableManifest {
       val uwmF = unkeyedWatermarkOf(spark, path, fromVersion)
       val uwmT = unkeyedWatermarkOf(spark, path, toVersion)
       val dir = s"$path/data_v${pT.get}"
+      val updF = updateVersionsAt(spark, path, fromVersion, dir)
+      val updT = updateVersionsAt(spark, path, toVersion, dir)
       val segsF = deleteSegmentsAt(spark, path, fromVersion).toSet
       val segsT = deleteSegmentsAt(spark, path, toVersion)
       val newSegs = segsT.filterNot(segsF)
@@ -590,7 +755,8 @@ object TableManifest {
         .map(_.getPath.getName)
         .collect { case n if n.startsWith("__batch=") =>
           n.stripPrefix("__batch=").toLong }
-        .filter(b => visibleId(b, wmT, uwmT) && !visibleId(b, wmF, uwmF))
+        .filter(b => visibleId(b, wmT, uwmT, updT) &&
+          !visibleId(b, wmF, uwmF, updF))
         .map(b => s"$dir/__batch=$b")
       val inserts =
         if (survivors.isEmpty)
@@ -608,8 +774,11 @@ object TableManifest {
         // deletes: from-view rows matching a window segment, scoped to
         // that segment's watermark — match-proportional by construction
         val preds = deletePredsOf(spark, path, newSegs)
-        val hitAny = preds.map { case DeletePred(p, wm, uwm) =>
-          coalesce(expr(p), lit(false)) && visibleBatch(wm, uwm)
+        val hitAny = preds.map { case DeletePred(p, wm, uwm, ver) =>
+          coalesce(expr(p), lit(false)) &&
+            when(col("__batch") < UnkeyedBase, col("__batch") <= wm)
+              .when(col("__batch") < UpdateBase, col("__batch") <= uwm)
+              .otherwise(col("__batch") - UpdateBase < ver)
         }.reduce(_ || _)
         val deletes = resolvedAt(spark, path, fromVersion, schema,
             mergeSchema = false)
@@ -957,6 +1126,7 @@ object TableManifest {
     val dir = s"$path/data_v$p"
     val wm = watermarkOf(spark, path, v)
     val uwm = unkeyedWatermarkOf(spark, path, v)
+    val updV = updateVersionsAt(spark, path, v, dir)
     val preds = deletePredsOf(spark, path, deleteSegmentsAt(spark, path, v))
     def readAll = read(spark, path, schema).filter(predicate)
     val bloomPath =
@@ -977,7 +1147,7 @@ object TableManifest {
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("__batch=") =>
         n.stripPrefix("__batch=").toLong }
-      .filter(visibleId(_, wm, uwm))
+      .filter(visibleId(_, wm, uwm, updV))
     // a batch the artifact does not cover (all-null column, or a write
     // between an append and its refresh) is conservatively read
     val survivors = payloadBatches
@@ -1028,12 +1198,13 @@ object TableManifest {
       .map(r => r.getLong(1) -> r.getLong(2)).toMap
     val wm = watermarkOf(spark, path, v)
     val uwm = unkeyedWatermarkOf(spark, path, v)
+    val updV = updateVersionsAt(spark, path, v, s"$path/data_v$p")
     val payloadBatches = f
       .listStatus(new org.apache.hadoop.fs.Path(s"$path/data_v$p"))
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("__batch=") =>
         n.stripPrefix("__batch=").toLong }
-      .filter(visibleId(_, wm, uwm))
+      .filter(visibleId(_, wm, uwm, updV))
     if (!payloadBatches.forall(stats.contains)) None
     else Some(payloadBatches.map(stats).sum)
   }
@@ -1139,6 +1310,7 @@ object TableManifest {
     val f = fs(spark, path)
     val wm = watermarkOf(spark, path, v)
     val uwm = unkeyedWatermarkOf(spark, path, v)
+    val updV = updateVersionsAt(spark, path, v, dir)
     val delPreds = deletePredsOf(spark, path,
       deleteSegmentsAt(spark, path, v))
     val statsPath = new org.apache.hadoop.fs.Path(s"$path/zonestats_v$p")
@@ -1147,7 +1319,7 @@ object TableManifest {
     }.reduce(_ && _)
     def readAll = maskDeletes(
       payloadRead(spark, dir, schema, mergeSchema = false)
-        .filter(visibleBatch(wm, uwm)).filter(predicate),
+        .filter(visibleBatch(wm, uwm, updV)).filter(predicate),
       delPreds).drop("__batch")
     if (!f.exists(statsPath)) return readAll
     // a batch is excluded only when SOME queried column's stats row
@@ -1168,7 +1340,7 @@ object TableManifest {
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("__batch=") =>
         n.stripPrefix("__batch=").toLong }
-      .filter(visibleId(_, wm, uwm))
+      .filter(visibleId(_, wm, uwm, updV))
       .filterNot(excluded)
       .map(b => s"$dir/__batch=$b")
     if (survivors.isEmpty) return readAll.filter(lit(false))

@@ -143,8 +143,56 @@ private[sources] object GraftProcedures {
         .orderBy("version").collect().toIndexedSeq)
   }
 
+  /** SET clause text → assignments: `a = expr1, b = expr2` split on
+    * TOP-LEVEL commas only (commas inside parens/quotes belong to the
+    * expression — `greatest(a, b)`, `'x,y'`). */
+  private[sources] def parseSet(set: String): Seq[(String, String)] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    set.foreach { ch =>
+      if (quote != 0) { sb += ch; if (ch == quote) quote = 0 }
+      else ch match {
+        case '\'' | '"' | '`' => quote = ch; sb += ch
+        case '(' => depth += 1; sb += ch
+        case ')' => depth -= 1; sb += ch
+        case ',' if depth == 0 => parts += sb.result(); sb.clear()
+        case c => sb += c
+      }
+    }
+    if (sb.nonEmpty) parts += sb.result()
+    parts.toSeq.map(_.trim).filter(_.nonEmpty).map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"malformed SET assignment '$a' — want col = expr")
+      (a.take(i).trim.stripPrefix("`").stripSuffix("`"),
+        a.drop(i + 1).trim)
+    }
+  }
+
+  private val update = new P("update",
+    "UPDATE ... SET ... WHERE as one atomic merge-on-read commit: " +
+      "matched rows re-written with the assignments applied, old rows " +
+      "tombstoned, one marker — match-proportional, never a table " +
+      "rewrite; returns the committed version and rows updated",
+    Seq(in("path", StringType), in("set", StringType),
+      inD("where", StringType, "'true'")),
+    new StructType().add("version", LongType, nullable = false)
+      .add("rows_updated", LongType, nullable = false)) {
+    override protected def run(a: InternalRow): Seq[InternalRow] = {
+      val p = str(a, 0)
+      val before = TableManifest.versions(spark, p).last
+      val v = TableManifest.updateWhere(spark, p, str(a, 2),
+        parseSet(str(a, 1)))
+      val n = if (v == before) 0L // no-match: nothing committed
+        else TableManifest.updatedRowCount(spark, p, v)
+      Seq(InternalRow(v, n))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] = Seq(
-    optimize, vacuum, maintain, history).map(p => p.name() -> p).toMap
+    optimize, vacuum, maintain, history, update)
+    .map(p => p.name() -> p).toMap
 
   def identifiers: Array[Identifier] =
     all.keys.toArray.sorted.map(Identifier.of(Array.empty[String], _))

@@ -412,6 +412,47 @@ class TableManifestSpec extends AnyFunSuite {
     assert(ids(TableManifest.read(s, path)) == Set(1L, 3L))
   }
 
+  test("MoR UPDATE: atomic tombstone+replacement, point-in-time, pins, " +
+    "CDF as delete+insert, folded erasure") {
+    val path = Files.createTempDirectory("tm_update").toString
+    val v0 = TableManifest.commitSnapshot(df(1L -> "a", 2L -> "b",
+      3L -> "c"), path)
+    // SET expressions see the PRE-update row
+    val vu = TableManifest.updateWhere(s, path, "id >= 2",
+      Seq("v" -> "concat(v, '+', CAST(id AS STRING))", "id" -> "id + 10"))
+    val live = TableManifest.read(s, path).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(live == Seq(1L -> "a", 12L -> "b+2", 13L -> "c+3"))
+    // pinned below the update keeps the old rows
+    assert(ids(TableManifest.readAt(s, path, v0)) == Set(1L, 2L, 3L))
+    assert(TableManifest.updatedRowCount(s, path, vu) == 2L)
+    // no-match UPDATE commits nothing
+    val cur = TableManifest.versions(s, path).last
+    assert(TableManifest.updateWhere(s, path, "id = 999",
+      Seq("v" -> "'x'")) == cur)
+    assert(TableManifest.versions(s, path).last == cur)
+    // post-update appends matching the predicate are unaffected
+    TableManifest.append(df(2L -> "reborn"), path)
+    assert(ids(TableManifest.read(s, path)) == Set(1L, 2L, 12L, 13L))
+    // CDF: the update reads as delete(old) + insert(new)
+    val feed = TableManifest.readChanges(s, path, v0, vu)
+    val byType = feed.collect()
+      .groupBy(_.getString(2)).view.mapValues(_.map(_.getLong(0)).toSet)
+    assert(byType("delete") == Set(2L, 3L) &&
+      byType("insert") == Set(12L, 13L))
+    // a later delete masks updated rows too; fold erases physically
+    TableManifest.deleteWhere(s, path, "id = 12")
+    assert(ids(TableManifest.read(s, path)) == Set(1L, 2L, 13L))
+    TableManifest.compactBatches(s, path)
+    assert(ids(TableManifest.read(s, path)) == Set(1L, 2L, 13L))
+    // bad SET column / bad SQL fail the UPDATE, not later reads
+    intercept[IllegalArgumentException](
+      TableManifest.updateWhere(s, path, "true", Seq("nope" -> "1")))
+    intercept[Exception](
+      TableManifest.updateWhere(s, path, "true", Seq("v" -> "unknown_col")))
+    assert(ids(TableManifest.read(s, path)) == Set(1L, 2L, 13L))
+  }
+
   test("vacuum retention horizon refuses versions committed inside it") {
     val path = Files.createTempDirectory("tm_vac_retain").toString
     val v0 = TableManifest.commitSnapshot(df(1L -> "a"), path)

@@ -89,6 +89,35 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) == 89)
   }
 
+  test("CALL graft.update: SQL UPDATE as one MoR commit — assignments " +
+    "see the pre-update row, no-match commits nothing") {
+    val p = tmp("upd")
+    TableManifest.commitSnapshot(
+      s.range(100).select(col("id"), (col("id") % 5).as("k"),
+        lit(0L).as("hits")), p)
+    val r = s.sql(s"CALL graft.update(path => '$p', " +
+      "set => 'hits = hits + id, k = k * 10', " +
+      "where => 'k = 3')").head()
+    assert(r.getLong(1) == 20, s"rows_updated: ${r.getLong(1)}")
+    assert(TableManifest.pendingDeletes(s, p) == 1) // a tombstone, not CoW
+    val updated = s.sql(
+      s"SELECT count(*) FROM graft.`$p` WHERE k = 30 AND hits = id")
+      .head().getLong(0)
+    assert(updated == 20)
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0)
+      == 100, "UPDATE must never change the row count")
+    // top-level commas inside function calls stay inside the assignment
+    s.sql(s"CALL graft.update(path => '$p', " +
+      "set => 'hits = greatest(hits, 7)', where => 'k = 0')")
+    assert(s.sql(s"SELECT min(hits) FROM graft.`$p` WHERE k = 0")
+      .head().getLong(0) == 7)
+    // no-match: same version back, zero rows
+    val vBefore = TableManifest.versions(s, p).last
+    val noop = s.sql(s"CALL graft.update(path => '$p', " +
+      "set => 'hits = -1', where => 'k = 999')").head()
+    assert(noop.getLong(0) == vBefore && noop.getLong(1) == 0L)
+  }
+
   test("CALL procedures: the maintenance runbook is plain SQL —" +
     " optimize clusters, history audits, maintain folds, vacuum expires") {
     val p = tmp("proc")
