@@ -308,13 +308,26 @@ private[operators] object IndexManifest {
   /** [[tryCommit]] with the full tagged body (both watermarks + the
     * mutation kind). A plain single-long body is written when there is
     * nothing beyond the keyed watermark to record — byte-identical to
-    * the legacy format, so index markers and old specs are unchanged. */
+    * the legacy format, so index markers and old specs are unchanged.
+    *
+    * Commits are TAIL-ONLY: a marker lands only when no marker ABOVE its
+    * number exists yet. Without this, a delete/update racing an append
+    * could commit OUT OF ORDER — the append's [[nextMutationVersion]]
+    * skips the mutation's parked segment/batch dirs and commits d+1
+    * first, and the mutation's marker d then lands UNDER it, so an
+    * already-committed version d+1 retroactively gains the mutation's
+    * tombstone/batch (pinned readAt(d+1)/CDF windows would not be
+    * repeatable across that instant). Refusing makes the loser re-derive
+    * at the new head; the check brackets the marker rename (once at
+    * entry, once after staging) to keep the race window at the width of
+    * one rename. */
   def tryCommitTagged(spark: SparkSession, path: String, version: Long,
       watermark: Long, unkeyedWatermark: Long, kind: String): Boolean = {
     val f = fs(spark, path)
     f.mkdirs(new Path(s"$path/manifest"))
     val dst = new Path(s"$path/manifest/v$version")
     if (f.exists(dst)) return false
+    if (currentVersion(spark, path).exists(_ > version)) return false
     val body =
       if (unkeyedWatermark < 0L && kind.isEmpty) watermark.toString
       else s"wm=$watermark\nuwm=$unkeyedWatermark\nkind=$kind"
@@ -325,8 +338,9 @@ private[operators] object IndexManifest {
       s"$path/manifest/.v${version}_${java.util.UUID.randomUUID}_tmp")
     val out = f.create(tmp, true)
     try out.writeBytes(body) finally out.close()
-    if (f.exists(dst)) { f.delete(tmp, false); false }
-    else {
+    if (f.exists(dst) || currentVersion(spark, path).exists(_ > version)) {
+      f.delete(tmp, false); false
+    } else {
       val won = f.rename(tmp, dst)
       if (!won) f.delete(tmp, false) // lost between check and rename
       won

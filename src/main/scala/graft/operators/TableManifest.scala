@@ -493,6 +493,42 @@ object TableManifest {
     IndexManifest.currentVersion(spark, path)
       .map(v => deleteSegmentsAt(spark, path, v).size).getOrElse(0)
 
+  /** Warn threshold for unfolded delete/update segments, settable via
+    * `spark.graft.table.pendingMutationsWarn` (default 64). Every live
+    * segment folds one more `when`-branch into EVERY read's
+    * [[maskDeletes]] chain — O(pending) read cost that only
+    * [[compactBatches]]/[[maintain]] clears — so a retention sweep
+    * issuing hundreds of DELETEs without a maintain in between would
+    * silently turn each read into a hundreds-deep predicate chain.
+    * Mutations past the threshold still COMMIT (the guard is a pager,
+    * not a gate: refusing a GDPR delete over a maintenance backlog
+    * would be the wrong failure mode) but log a warning and record it
+    * in [[lastDepthWarning]] (the observable hook specs assert on). */
+  private def pendingWarnThreshold(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.table.pendingMutationsWarn")
+      .flatMap(_.toIntOption).getOrElse(64)
+
+  /** Most recent pending-depth warning ("" = none since clear) — the
+    * [[graft.sources.GraftTableSource.lastPruning]] observability
+    * pattern. */
+  val lastDepthWarning =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def warnPendingDepth(spark: SparkSession, path: String): Unit = {
+    val threshold = pendingWarnThreshold(spark)
+    val pending = pendingDeletes(spark, path)
+    if (pending >= threshold) {
+      val msg = s"graft table $path has $pending unfolded delete/update " +
+        s"segments (warn threshold $threshold): every read now evaluates " +
+        s"an O($pending)-branch mask — run TableManifest.maintain (or " +
+        "CALL graft.maintain) to fold them into a fresh snapshot"
+      log.warn(msg)
+      lastDepthWarning.set(msg)
+    }
+  }
+
   /** DELETE WHERE as a merge-on-read predicate tombstone: ONE segment row
     * (the predicate SQL + the watermark it is scoped to) committed as its
     * own version — O(1) bytes and seconds regardless of how many rows
@@ -550,6 +586,7 @@ object TableManifest {
         Thread.sleep(20)
       }
     }
+    warnPendingDepth(spark, path)
     d
   }
 
@@ -567,9 +604,18 @@ object TableManifest {
     * unaffected (point-in-time); readers pinned below `d` never see it;
     * [[compactBatches]]/[[maintain]] fold the replacement batch and the
     * tombstone into the next snapshot; the CDF shows the update as
-    * delete(old) + insert(new). Falls under the same single-logical-
-    * mutator contract as compaction: an update racing a DELETE whose
-    * predicate overlaps can re-materialize pre-delete values.
+    * delete(old) + insert(new).
+    *
+    * Commit protocol: the snapshot read, the replacement payload, AND
+    * the tombstone's scoped watermarks all derive from ONE pinned
+    * version `v0`, and the marker CAS commits strictly at `v0 + 1` —
+    * any mutation that lands in between (an unkeyed append, a DELETE, a
+    * concurrent update) makes the CAS fail and the WHOLE computation
+    * restarts against the new head, so a stale payload computed before
+    * a racing DELETE can never re-materialize the deleted rows, and an
+    * append committed between the snapshot read and the tombstone can
+    * never be silently deleted-instead-of-updated (its rows sit above
+    * the pinned watermarks the tombstone stores).
     * Returns the committed version (or the current one on no-match). */
   def updateWhere(spark: SparkSession, path: String, predicateSql: String,
       assignments: Seq[(String, String)],
@@ -578,75 +624,118 @@ object TableManifest {
       s"no committed table at $path")
     require(assignments.nonEmpty,
       "UPDATE requires at least one SET assignment")
-    val cur = read(spark, path, schema)
-    val bad = assignments.map(_._1).filterNot(cur.columns.contains)
-    require(bad.isEmpty,
-      s"unknown column(s) in SET: ${bad.mkString(", ")} " +
-        s"(table has: ${cur.columns.mkString(", ")})")
-    val asg = assignments.toMap
-    val updated = cur.filter(expr(predicateSql))
-      .select(cur.schema.fields.map { fld =>
-        asg.get(fld.name)
-          .map(sql => expr(sql).cast(fld.dataType).as(fld.name))
-          .getOrElse(col(fld.name))
-      }.toIndexedSeq: _*)
-    updated.schema // analysis check: bad SQL fails the UPDATE, not reads
     val f = fs(spark, path)
-    val dir = payloadDir(spark, path).get
-    val carried = currentWatermark(spark, path)
-    val carriedU = currentUnkeyedWatermark(spark, path)
-    val tmpBatch = new org.apache.hadoop.fs.Path(
-      s"$path/.update_pending_${java.util.UUID.randomUUID}")
-    updated.write.mode("overwrite").parquet(tmpBatch.toString)
-    if (spark.read.parquet(tmpBatch.toString).isEmpty) {
-      f.delete(tmpBatch, true) // no-match UPDATE: zero rows, zero commits
-      return IndexManifest.currentVersion(spark, path).get
-    }
     import spark.implicits._
-    val tmpSeg = new org.apache.hadoop.fs.Path(
-      s"$path/.deletes_pending_${java.util.UUID.randomUUID}")
-    Seq((predicateSql, carried, carriedU)).toDF("pred", "wm", "uwm")
-      .coalesce(1).write.mode("overwrite").parquet(tmpSeg.toString)
-    // strictly cur+1 CAS, the [[deleteWhere]] protocol with TWO claims:
-    // the replacement batch id embeds the version, so both renames move
-    // to the next number together on a lost race
-    var committed = false
-    var d = -1L
-    var blockedAt = -1L
-    var blockedTries = 0
-    def blocked(at: Long): Unit = {
-      if (blockedAt == at) blockedTries += 1
-      else { blockedAt = at; blockedTries = 1 }
-      if (blockedTries > 100)
-        throw new IllegalStateException(
-          s"update claim at version $at blocks with no marker arriving: " +
-            "a crashed updateWhere/deleteWhere likely left an orphan " +
-            s"batch or segment dir at $path — verify no mutation is in " +
-            "flight, remove the orphan, and retry")
-      Thread.sleep(20)
-    }
-    while (!committed) {
-      val c = IndexManifest.currentVersion(spark, path).get
-      d = c + 1
-      val bdst = new org.apache.hadoop.fs.Path(
-        s"$dir/__batch=${UpdateBase + d}")
-      val sdst = new org.apache.hadoop.fs.Path(s"$path/deletes_v$d")
-      if (!renameExclusive(f, tmpBatch, bdst)) blocked(d)
-      else if (!renameExclusive(f, tmpSeg, sdst)) {
-        f.rename(bdst, tmpBatch)
-        blocked(d)
-      } else {
-        blockedAt = -1L; blockedTries = 0
-        committed = IndexManifest.tryCommitTagged(spark, path, d,
-          currentWatermark(spark, path),
-          currentUnkeyedWatermark(spark, path), "update")
-        if (!committed) { // lost the marker race: take both claims back
-          f.rename(bdst, tmpBatch)
-          f.rename(sdst, tmpSeg)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 20,
+        s"updateWhere at $path lost the commit race $attempt times in a " +
+          "row — retry under quieter write traffic")
+      // pin ONE version: everything below derives from v0
+      val v0 = IndexManifest.currentVersion(spark, path).get
+      val wm0 = watermarkOf(spark, path, v0)
+      val uwm0 = unkeyedWatermarkOf(spark, path, v0)
+      val cur = readAt(spark, path, v0, schema)
+      val bad = assignments.map(_._1).filterNot(cur.columns.contains)
+      require(bad.isEmpty,
+        s"unknown column(s) in SET: ${bad.mkString(", ")} " +
+          s"(table has: ${cur.columns.mkString(", ")})")
+      val asg = assignments.toMap
+      val updated = cur.filter(expr(predicateSql))
+        .select(cur.schema.fields.map { fld =>
+          asg.get(fld.name)
+            .map(sql => expr(sql).cast(fld.dataType).as(fld.name))
+            .getOrElse(col(fld.name))
+        }.toIndexedSeq: _*)
+      updated.schema // analysis check: bad SQL fails the UPDATE, not reads
+      val dir = s"$path/data_v" +
+        IndexManifest.payloadVersionAt(spark, path, v0, "data").get
+      val tmpBatch = new org.apache.hadoop.fs.Path(
+        s"$path/.update_pending_${java.util.UUID.randomUUID}")
+      updated.write.mode("overwrite").parquet(tmpBatch.toString)
+      if (spark.read.parquet(tmpBatch.toString).isEmpty) {
+        f.delete(tmpBatch, true) // no-match UPDATE: zero rows, zero commits
+        return IndexManifest.currentVersion(spark, path).get
+      }
+      val tmpSeg = new org.apache.hadoop.fs.Path(
+        s"$path/.deletes_pending_${java.util.UUID.randomUUID}")
+      Seq((predicateSql, wm0, uwm0)).toDF("pred", "wm", "uwm")
+        .coalesce(1).write.mode("overwrite").parquet(tmpSeg.toString)
+      // CAS with TWO claims (the replacement batch id embeds the
+      // version), targeting head+1. KIND-AWARE retry: when the head
+      // moves past the target, inspect what moved it. Intervening pure
+      // APPENDS keep the staged payload valid — their rows sit strictly
+      // above the tombstone's pinned (wm0, uwm0), so they are neither
+      // masked nor (point-in-time semantics) updated, and the claim just
+      // slides forward to the new head+1. Any intervening
+      // delete/update/snapshot (or an untagged legacy marker) makes the
+      // pinned snapshot stale — abort and recompute the payload from
+      // scratch, so a stale replacement batch can never resurrect rows a
+      // racing DELETE removed. A claim conflict with the head unmoved
+      // means an in-flight partner (or crashed orphan) holds the slot:
+      // spin bounded.
+      var d = v0 + 1
+      var blockedTries = 0
+      var result = -1L // >= 0 committed; -1 still claiming; -2 lost, retry
+      while (result == -1L) {
+        val head = IndexManifest.currentVersion(spark, path).get
+        if (head >= d) {
+          val appendsOnly = ((v0 + 1) to head).forall(v =>
+            IndexManifest.markerInfoAt(spark, path, v).kind == "append")
+          if (appendsOnly) { d = head + 1; blockedTries = 0 }
+          else result = -2L // a mutation landed: stale snapshot, restart
+        } else {
+          val bdst = new org.apache.hadoop.fs.Path(
+            s"$dir/__batch=${UpdateBase + d}")
+          val sdst = new org.apache.hadoop.fs.Path(s"$path/deletes_v$d")
+          if (!renameExclusive(f, tmpBatch, bdst)) {
+            blockedTries += 1
+            if (blockedTries > 100)
+              throw new IllegalStateException(
+                s"update claim at version $d blocks with no marker " +
+                  "arriving: a crashed updateWhere/deleteWhere likely " +
+                  s"left an orphan batch or segment dir at $path — " +
+                  "verify no mutation is in flight, remove the orphan, " +
+                  "and retry")
+            Thread.sleep(20)
+          } else if (!renameExclusive(f, tmpSeg, sdst)) {
+            f.rename(bdst, tmpBatch)
+            blockedTries += 1
+            if (blockedTries > 100)
+              throw new IllegalStateException(
+                s"update segment claim at version $d blocks with no " +
+                  s"marker arriving — likely a crashed deleteWhere " +
+                  s"orphan at $path")
+            Thread.sleep(20)
+          } else {
+            // both claimed; the tail-only tryCommitTagged refuses when
+            // ANY marker landed above d (a racing appender that skipped
+            // our parked dirs), closing the out-of-order commit window.
+            // The MARKER carries d-1's watermarks (== the interleaved
+            // appends' when the claim slid) so append visibility never
+            // regresses; the TOMBSTONE inside sdst keeps (wm0, uwm0).
+            if (IndexManifest.tryCommitTagged(spark, path, d,
+                watermarkOf(spark, path, d - 1),
+                unkeyedWatermarkOf(spark, path, d - 1), "update"))
+              result = d
+            else {
+              f.rename(bdst, tmpBatch)
+              f.rename(sdst, tmpSeg)
+              // loop re-reads the head: slides on appends, restarts on
+              // mutations
+            }
+          }
         }
       }
+      if (result >= 0L) {
+        warnPendingDepth(spark, path)
+        return result
+      }
+      f.delete(tmpBatch, true) // stale payload: recompute from scratch
+      f.delete(tmpSeg, true)
     }
-    d
+    -1L // unreachable
   }
 
   /** Rows an [[updateWhere]] commit at `version` re-wrote — the

@@ -453,6 +453,110 @@ class TableManifestSpec extends AnyFunSuite {
     assert(ids(TableManifest.read(s, path)) == Set(1L, 2L, 13L))
   }
 
+  test("markers commit tail-only: a marker can never land UNDER an " +
+    "already-committed higher version") {
+    val path = Files.createTempDirectory("tm_tail").toString
+    TableManifest.commitSnapshot(df(1L -> "a"), path) // marker v0
+    val head = IndexManifest.currentVersion(s, path).get
+    // a racing appender (whose version scan skipped our parked dirs)
+    // has already committed head+2
+    assert(IndexManifest.tryCommitTagged(s, path, head + 2, 0L, -1L, ""))
+    // the slower mutation's marker at head+1 must now be REFUSED —
+    // otherwise the already-committed head+2 snapshot would
+    // retroactively gain head+1's tombstone/batch
+    assert(!IndexManifest.tryCommitTagged(s, path, head + 1, 0L, -1L,
+      "delete"), "a marker below the committed head must be refused")
+    assert(IndexManifest.currentVersion(s, path).contains(head + 2))
+  }
+
+  test("updateWhere racing unkeyed appends: no appended row is ever " +
+    "silently deleted-instead-of-updated") {
+    // the pre-fix failure: the tombstone's watermarks were captured
+    // AFTER the snapshot read pinned its version, so an unkeyed append
+    // landing in that window was covered by the tombstone but absent
+    // from the replacement batch — its matching rows vanished. Now the
+    // snapshot, payload, and tombstone watermarks all derive from ONE
+    // pinned version and the CAS restarts when the head moves, so every
+    // appended row must survive (possibly updated, never lost).
+    val path = Files.createTempDirectory("tm_upd_race").toString
+    TableManifest.commitSnapshot(
+      df((1L to 50L).map(i => i -> s"v$i"): _*), path)
+    val appended = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val appender = new Thread(() => {
+      var i = 1000L
+      while (!stop.get()) {
+        TableManifest.append(df(i -> s"v$i"), path) // unkeyed, matches pred
+        appended.add(i); i += 1
+      }
+    })
+    appender.start()
+    try {
+      for (_ <- 1 to 4)
+        TableManifest.updateWhere(s, path, "v LIKE 'v%'",
+          Seq("v" -> "concat(v, '!')"))
+    } finally { stop.set(true); appender.join(30000) }
+    val live = ids(TableManifest.read(s, path))
+    val lost = appended.toArray(Array.empty[java.lang.Long])
+      .map(_.longValue).filterNot(live.contains)
+    assert(lost.isEmpty,
+      s"rows appended during the update vanished: ${lost.mkString(", ")}")
+    assert((1L to 50L).forall(live.contains))
+  }
+
+  test("updateWhere racing deleteWhere: a stale update payload never " +
+    "resurrects deleted rows") {
+    // the delete predicates on id; the update never touches id — so
+    // whichever order the two commit in, ids 1..10 must be gone at the
+    // end. The pre-fix hazard: the update's replacement batch, computed
+    // against a pre-delete snapshot, re-materializes the deleted rows.
+    for (round <- 1 to 3) {
+      val path = Files.createTempDirectory(s"tm_ud_race$round").toString
+      TableManifest.commitSnapshot(
+        df((1L to 40L).map(i => i -> s"v$i"): _*), path)
+      val del = new Thread(() =>
+        TableManifest.deleteWhere(s, path, "id <= 10"))
+      del.start()
+      TableManifest.updateWhere(s, path, "v LIKE 'v%'",
+        Seq("v" -> "concat(v, '+')"))
+      del.join(30000)
+      val live = ids(TableManifest.read(s, path))
+      assert((1L to 10L).forall(!live.contains(_)),
+        s"deleted ids resurrected by a racing update (round $round): " +
+          s"${(1L to 10L).filter(live.contains).mkString(", ")}")
+      assert((11L to 40L).forall(live.contains))
+    }
+  }
+
+  test("pending-mutation depth guard warns past the configured " +
+    "threshold and clears after maintain") {
+    val path = Files.createTempDirectory("tm_depth").toString
+    TableManifest.commitSnapshot(
+      df((1L to 20L).map(i => i -> s"v$i"): _*), path)
+    s.conf.set("spark.graft.table.pendingMutationsWarn", "3")
+    TableManifest.lastDepthWarning.set("")
+    try {
+      TableManifest.deleteWhere(s, path, "id = 1")
+      TableManifest.deleteWhere(s, path, "id = 2")
+      assert(TableManifest.lastDepthWarning.get().isEmpty,
+        "below threshold: no warning")
+      TableManifest.deleteWhere(s, path, "id = 3")
+      val msg = TableManifest.lastDepthWarning.get()
+      assert(msg.contains("3 unfolded") && msg.contains("maintain"),
+        s"threshold hit must warn with the fold remedy (got: $msg)")
+      // updateWhere is guarded too
+      TableManifest.lastDepthWarning.set("")
+      TableManifest.updateWhere(s, path, "id = 4", Seq("v" -> "'u'"))
+      assert(TableManifest.lastDepthWarning.get().nonEmpty)
+      // maintain folds the segments; the next mutation is quiet again
+      TableManifest.maintain(s, path, maxDeletes = 1).collect()
+      TableManifest.lastDepthWarning.set("")
+      TableManifest.deleteWhere(s, path, "id = 5")
+      assert(TableManifest.lastDepthWarning.get().isEmpty,
+        "after maintain the pending depth restarts from zero")
+    } finally s.conf.unset("spark.graft.table.pendingMutationsWarn")
+  }
+
   test("vacuum retention horizon refuses versions committed inside it") {
     val path = Files.createTempDirectory("tm_vac_retain").toString
     val v0 = TableManifest.commitSnapshot(df(1L -> "a"), path)
