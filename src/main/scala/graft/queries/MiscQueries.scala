@@ -209,6 +209,132 @@ object MiscQueries {
              |SELECT * FROM a1 UNION ALL SELECT * FROM a2
              |ORDER BY stage, event_type""".stripMargin)),
 
+    // ---- merge-on-read UPDATE WHERE ----------------------------------------
+    // TableManifest.updateWhere as one atomic commit: matched rows are
+    // re-written ONCE with the SET expressions applied (each reading the
+    // PRE-update row — event_type is both read and assigned, value mixes
+    // in another column), a predicate tombstone masks the old rows, and
+    // both flip visible in the same marker. The hash pins three states
+    // at once, read AFTER the update: the pre-update version (immutable
+    // — updates land in their own `__batch` keyspace above the pin), the
+    // post-update table, and the CDF window rendering the update as
+    // delete(old) + insert(new). The update spans a snapshot AND an
+    // append batch, so the replacement covers both keyspaces. Scale:
+    // cost is one scan + a write of the MATCHED rows + an O(1) segment —
+    // never a table rewrite (SCALE.md `Stress morupdate`).
+    Q("q_table_update",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_table_upd").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        TableManifest.commitSnapshot(e.filter(col("event_id") % 2 === 0),
+          path)
+        TableManifest.append(e.filter(col("event_id") % 2 === 1), path)
+        val v0 = TableManifest.versions(s, path).last
+        val vu = TableManifest.updateWhere(s, path,
+          "event_type = 'purchase' AND value < 0.5",
+          Seq(
+            "value" -> "greatest(value, 0.25) + CAST(user_id % 3 AS DOUBLE)",
+            "event_type" -> "concat(event_type, '_u')"))
+        def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,6)")).cast("double")
+                .as("sum_value"))
+            .withColumn("stage", lit(tag))
+        val cdf = TableManifest.readChanges(s, path, v0, vu)
+          .groupBy(col("_change_type"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("sum_value"))
+          .withColumn("stage", concat(lit("cdf_"), col("_change_type")))
+          .drop("_change_type")
+        agg(TableManifest.readAt(s, path, v0), "pre_pin")
+          .unionByName(agg(TableManifest.read(s, path), "post"))
+          .unionByName(cdf)
+          .select(col("stage"), col("event_type"), col("n"),
+            col("sum_value"))
+          .orderBy(col("stage"), col("event_type"))
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, event_type, value,
+             |    coalesce(event_type = 'purchase' AND value < 0.5, false)
+             |      AS m
+             |  FROM events),
+             |upd AS (
+             |  SELECT event_id, user_id, event_type || '_u' AS event_type,
+             |    greatest(value, 0.25) + CAST(user_id % 3 AS DOUBLE)
+             |      AS value
+             |  FROM p WHERE m),
+             |post AS (
+             |  SELECT event_id, user_id, event_type, value FROM p
+             |  WHERE NOT m
+             |  UNION ALL SELECT * FROM upd),
+             |a0 AS (SELECT 'pre_pin' AS stage, event_type, count(*) AS n,
+             |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |           AS sum_value
+             |       FROM events GROUP BY event_type),
+             |a1 AS (SELECT 'post', event_type, count(*),
+             |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |       FROM post GROUP BY event_type),
+             |a2 AS (SELECT 'cdf_delete', event_type, count(*),
+             |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |       FROM p WHERE m GROUP BY event_type),
+             |a3 AS (SELECT 'cdf_insert', event_type, count(*),
+             |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |       FROM upd GROUP BY event_type)
+             |SELECT * FROM a0 UNION ALL SELECT * FROM a1
+             |UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3
+             |ORDER BY stage, event_type""".stripMargin)),
+
+    // The same UPDATE through the SQL surface: `CALL graft.update` with
+    // a SET clause whose top-level split must survive a comma inside a
+    // function call (`greatest(value, 0.5)`) AND a comma inside a string
+    // literal (`',v2'`) — the parseSet quote/paren tracking, driver-
+    // gated. The procedure's rows_updated return rides in the hash too.
+    Q("q_call_update",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        s.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_call_upd").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        TableManifest.commitSnapshot(e, path)
+        val r = s.sql(s"CALL graft.update(path => '$path', " +
+          "set => 'value = greatest(value, 0.5), " +
+          "event_type = concat(event_type, \\',v2\\')', " +
+          "where => 'value < 0.75')").head()
+        s.sql(
+          s"""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM graft.`$path`
+             |GROUP BY event_type""".stripMargin)
+          .withColumn("rows_updated", lit(r.getLong(1)))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH p AS (
+             |  SELECT event_type, value,
+             |    coalesce(value < 0.75, false) AS m
+             |  FROM events),
+             |post AS (
+             |  SELECT CASE WHEN m THEN event_type || ',v2'
+             |              ELSE event_type END AS event_type,
+             |         CASE WHEN m THEN greatest(value, 0.5)
+             |              ELSE value END AS value
+             |  FROM p)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value,
+             |  (SELECT count(*) FROM p WHERE m) AS rows_updated
+             |FROM post GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
     // ---- Bloom point lookups on a STRING key -------------------------------
     // readPointString over a type-partitioned landing (each batch holds
     // one event_type group — the layout a routed ingest produces): a

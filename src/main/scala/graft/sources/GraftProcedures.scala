@@ -145,21 +145,39 @@ private[sources] object GraftProcedures {
 
   /** SET clause text → assignments: `a = expr1, b = expr2` split on
     * TOP-LEVEL commas only (commas inside parens/quotes belong to the
-    * expression — `greatest(a, b)`, `'x,y'`). */
+    * expression — `greatest(a, b)`, `'x,y'`). Inside a string literal a
+    * backslash-prefixed character (Spark's default
+    * `escapedStringLiterals=false` syntax: `'it\'s'`) and a DOUBLED
+    * closing quote (`'it''s'`, the ANSI escape) are part of the literal
+    * — without this, the escaped apostrophe closed the quote early and
+    * a comma later in the same literal split the clause into a
+    * malformed second assignment. Backticked identifiers escape only by
+    * doubling (no backslash syntax), matching the parser. */
   private[sources] def parseSet(set: String): Seq[(String, String)] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var depth = 0
     var quote: Char = 0
-    set.foreach { ch =>
-      if (quote != 0) { sb += ch; if (ch == quote) quote = 0 }
-      else ch match {
+    var i = 0
+    while (i < set.length) {
+      val ch = set.charAt(i)
+      if (quote != 0) {
+        sb += ch
+        if (ch == '\\' && quote != '`' && i + 1 < set.length) {
+          sb += set.charAt(i + 1); i += 1 // escaped char stays literal
+        } else if (ch == quote) {
+          if (i + 1 < set.length && set.charAt(i + 1) == quote) {
+            sb += quote; i += 1 // doubled quote: still inside the literal
+          } else quote = 0
+        }
+      } else ch match {
         case '\'' | '"' | '`' => quote = ch; sb += ch
         case '(' => depth += 1; sb += ch
         case ')' => depth -= 1; sb += ch
         case ',' if depth == 0 => parts += sb.result(); sb.clear()
         case c => sb += c
       }
+      i += 1
     }
     if (sb.nonEmpty) parts += sb.result()
     parts.toSeq.map(_.trim).filter(_.nonEmpty).map { a =>

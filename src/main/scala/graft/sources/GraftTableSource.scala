@@ -130,9 +130,21 @@ object GraftTableSource {
       TableManifest.commitSnapshot(data, path)
     } else {
       val tgt = TableManifest.read(spark, path).schema
-      val overlap = data.columns.toSet.intersect(tgt.fieldNames.toSet)
+      // name matching honors spark.sql.caseSensitive (default FALSE —
+      // Spark analysis is case-insensitive): an equal-arity frame whose
+      // names differ from the table's only by case must realign by
+      // NAME, not fall through the empty case-sensitive overlap into
+      // the positional branch (exactly the cross-load of reordered
+      // columns the ambiguity guard refuses)
+      val caseSensitive = spark.conf
+        .getOption("spark.sql.caseSensitive").exists(_.toBoolean)
+      def norm(n: String) =
+        if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+      val dataNames = data.columns.map(norm).toSet
+      val tgtNames = tgt.fieldNames.map(norm).toSet
+      val overlap = dataNames.intersect(tgtNames)
       val aligned =
-        if (data.columns.toSet == tgt.fieldNames.toSet)
+        if (dataNames == tgtNames)
           // by NAME (possibly reordered), coerced to the table's types —
           // a no-op cast folds away, a real one is the INSERT coercion
           // Spark's resolver would have added

@@ -69,6 +69,42 @@ class GraftTableSourceSpec extends AnyFunSuite {
       "the refused append must not have landed")
   }
 
+  test("append alignment is case-insensitive like Spark analysis: names" +
+    " differing only by case realign by NAME, never by position") {
+    // pre-fix: ('ID','PAYLOAD','K') had an EMPTY case-sensitive overlap
+    // with ('id','k','payload'), was classified fully-disjoint, and
+    // realigned by POSITION — cross-loading payload into k
+    val p = tmp("alignci")
+    seed(0, 10).write.format("graft").mode("overwrite").save(p)
+    seed(10, 11).select(col("payload").as("PAYLOAD"), col("id").as("ID"),
+        col("k").as("K"))
+      .write.format("graft").mode("append").save(p)
+    assert(s.read.format("graft").load(p)
+      .filter(col("payload") === "v10" && col("id") === 10).count() == 1,
+      "case-divergent names must realign by name")
+    // under spark.sql.caseSensitive=true the same shape has NO common
+    // names and equal arity → positional (the INSERT ... VALUES rule)
+    s.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      seed(11, 12).select(col("id").as("ID"), col("k").as("K"),
+          col("payload").as("PAYLOAD"))
+        .write.format("graft").mode("append").save(p)
+      assert(s.read.format("graft").load(p)
+        .filter(col("payload") === "v11" && col("id") === 11).count() == 1)
+    } finally s.conf.set("spark.sql.caseSensitive", "false")
+  }
+
+  test("parseSet: escaped and doubled quotes inside literals do not" +
+    " split the SET clause") {
+    assert(GraftProcedures.parseSet("""v = 'it\'s, fine', k = 2""") ==
+      Seq("v" -> """'it\'s, fine'""", "k" -> "2"))
+    assert(GraftProcedures.parseSet("v = 'it''s, fine'") ==
+      Seq("v" -> "'it''s, fine'"))
+    assert(GraftProcedures.parseSet(
+      """v = concat(v, '\\', ','), `w,x` = greatest(a, b)""") ==
+      Seq("v" -> """concat(v, '\\', ',')""", "w,x" -> "greatest(a, b)"))
+  }
+
   test("SQL DELETE on a timestamp column masks the same rows under ANY" +
     " session time zone (epoch-micros literal rendering)") {
     val p = tmp("tsdel")
