@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.LatestPerKeyRule)
     e.injectOptimizerRule(_ => graft.plans.HammingJoinRule)
+    // analyzer-native `UPDATE graft.t SET ... WHERE ...` → the
+    // match-proportional merge-on-read commit (TableManifest.updateWhere)
+    e.injectPostHocResolutionRule(_ => graft.sources.GraftUpdateRule)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("poly_hash"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

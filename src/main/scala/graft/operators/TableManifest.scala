@@ -1135,10 +1135,18 @@ object TableManifest {
     val dir = s"$path/data_v$p"
     val all = payloadRead(spark, dir, schema, mergeSchema = false)
     val base = batch.fold(all)(b => all.filter(col("__batch") === b))
+    // EXECUTOR-RESIDENT end to end: the per-batch filters are built by
+    // aggregateByKey on the executors AND written from there — the
+    // serialized blobs (~1.2 MB each at 1M keys / 1% fpp) never collect
+    // to the driver, so a 10k-batch refresh costs the driver O(1) heap
+    // instead of O(#batches × MB). The probe side was already
+    // executor-side (round 10); this closes the build side. Each batch
+    // key lives in exactly one aggregateByKey partition, so the
+    // partitionBy write emits one file per batch, same layout as before.
     def filtersOf[T: scala.reflect.ClassTag](
         pairs: org.apache.spark.rdd.RDD[(Long, T)],
         put: (BloomFilter, T) => Unit, c: String)
-        : Seq[(String, Array[Byte], Long)] =
+        : org.apache.spark.rdd.RDD[(String, Array[Byte], Long)] =
       pairs.aggregateByKey(BloomFilter.create(expectedPerBatch, fpp))(
           (f, v) => { put(f, v); f },
           (a, b) => { a.mergeInPlace(b); a })
@@ -1147,8 +1155,7 @@ object TableManifest {
           f.writeTo(bos)
           (c, bos.toByteArray, batch)
         }
-        .collect().toSeq
-    val rows = bloomCols.flatMap { c =>
+    val rows = bloomCols.map { c =>
       // string columns hash via putString, everything else via a long
       // cast — [[readPoint]]/[[readPointString]] probes dispatch the same
       // way, so the hashed representation always matches
@@ -1164,7 +1171,7 @@ object TableManifest {
               col("__batch").cast("long").as("__batch"))
             .na.drop().rdd.map(r => (r.getLong(1), r.getLong(0))),
           (f, v) => { f.putLong(v); () }, c)
-    }
+    }.reduce(_ union _)
     import spark.implicits._
     val out = rows.toDF("col", "bloom", "__batch")
       .write.partitionBy("__batch").mode("overwrite")

@@ -488,6 +488,86 @@ object MiscQueries {
              |UNION ALL SELECT * FROM p
              |ORDER BY stage, event_type""".stripMargin)),
 
+    // Schema evolution × MoR UPDATE: SET on the LATE-ADDED column must
+    // reach the legacy batches (whose parquet never heard of it — the
+    // read path null-pads, the SET expression sees the null, the
+    // replacement batch materializes the full schema), while rows
+    // outside the predicate keep their null padding. Zone maps + Blooms
+    // refreshed over the evolved column AFTER the update stay exact:
+    // the range and point probes below must equal the plain filters —
+    // legacy batches carry null bounds / no filter row (conservatively
+    // read + re-filtered), the update-keyspace batch serves the rest.
+    Q("q_table_evolution_update",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        import org.apache.spark.sql.types._
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_table_evoupd").toString
+        val e = Tables.events(s, dir)
+        TableManifest.commitSnapshot(
+          e.filter(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("event_type"), col("value")), path)
+        TableManifest.append(
+          e.filter(col("event_id") % 2 === 1)
+            .select(col("event_id"), col("event_type"), col("value"),
+              col("user_id")), path)
+        val full = new StructType().add("event_id", LongType)
+          .add("event_type", StringType).add("value", DoubleType)
+          .add("user_id", LongType)
+        TableManifest.updateWhere(s, path, "event_id % 3 = 0",
+          Seq("user_id" -> "coalesce(user_id, -1) + 1000000"), Some(full))
+        TableManifest.refreshZoneMaps(s, path, Seq("user_id"), Some(full))
+        TableManifest.refreshBloomFilters(s, path, Seq("user_id"),
+          expectedPerBatch = 100000L, schema = Some(full))
+        def agg(d: org.apache.spark.sql.DataFrame, tag: String) =
+          d.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_rows"),
+              count(col("user_id")).as("n_evolved"),
+              sum(col("value").cast("decimal(18,6)")).cast("double")
+                .as("sum_value"))
+            .withColumn("stage", lit(tag))
+        agg(TableManifest.read(s, path, Some(full)), "unified")
+          .unionByName(agg(TableManifest.readRange(s, path,
+            Seq(("user_id", 999000L, 1100000L)), Some(full)),
+            "range_probe"))
+          .unionByName(agg(TableManifest.readPoint(s, path, "user_id",
+            Seq(999999L), Some(full)), "point_probe"))
+          .select(col("stage"), col("event_type"), col("n_rows"),
+            col("n_evolved"), col("sum_value"))
+          .orderBy(col("stage"), col("event_type"))
+      },
+      Some("""WITH evo AS (
+             |  SELECT event_id, event_type, value,
+             |         CAST(NULL AS BIGINT) AS user_id
+             |  FROM events WHERE event_id % 2 = 0
+             |  UNION ALL
+             |  SELECT event_id, event_type, value, user_id
+             |  FROM events WHERE event_id % 2 = 1),
+             |upd AS (
+             |  SELECT event_id, event_type, value,
+             |    CASE WHEN event_id % 3 = 0
+             |         THEN coalesce(user_id, -1) + 1000000
+             |         ELSE user_id END AS user_id
+             |  FROM evo),
+             |u AS (SELECT 'unified' AS stage, event_type,
+             |        count(*) AS n_rows, count(user_id) AS n_evolved,
+             |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |          AS sum_value
+             |      FROM upd GROUP BY event_type),
+             |r AS (SELECT 'range_probe', event_type, count(*),
+             |        count(user_id),
+             |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |      FROM upd WHERE user_id BETWEEN 999000 AND 1100000
+             |      GROUP BY event_type),
+             |p AS (SELECT 'point_probe', event_type, count(*),
+             |        count(user_id),
+             |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |      FROM upd WHERE user_id = 999999
+             |      GROUP BY event_type)
+             |SELECT * FROM u UNION ALL SELECT * FROM r
+             |UNION ALL SELECT * FROM p
+             |ORDER BY stage, event_type""".stripMargin)),
+
     // ---- data-quality expectation suite (Deequ-shaped gate) --------------
     // operators.Expectations: a declarative constraint suite whose
     // row-level checks ALL fold in one aggregate pass (violation counts,
@@ -1520,6 +1600,61 @@ object MiscQueries {
              |  (user_id >= 10 AND user_id <= 40) OR event_type = m,
              |  false)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Analyzer-native SQL UPDATE (GraftUpdateRule via GraftExtensions):
+    // plain `UPDATE graft.t SET ... WHERE ...` — no CALL detour — lands
+    // as the match-proportional MoR commit. The rule renders the
+    // resolved condition/SET expressions back to SQL with the DELETE
+    // path's refuse-untranslatable discipline: the query also proves a
+    // subquery assignment FAILS AT ANALYSIS and leaves the table
+    // untouched (the post-refusal aggregate rides in the same hash).
+    Q("q_graft_sql_update",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        s.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_sql_upd").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        TableManifest.commitSnapshot(e, path)
+        s.sql(s"UPDATE graft.`$path` " +
+          "SET value = least(value * 2, CAST(1 AS DOUBLE)), " +
+          "event_type = upper(event_type) " +
+          "WHERE event_type IN ('click', 'view') AND user_id % 2 = 0")
+        // untranslatable (subquery) assignment: refused at analysis,
+        // nothing committed — the aggregate below must not see it
+        val refused =
+          try {
+            s.sql(s"UPDATE graft.`$path` SET value = " +
+              s"(SELECT max(value) FROM graft.`$path`)")
+            false
+          } catch { case scala.util.control.NonFatal(_) => true }
+        require(refused, "subquery UPDATE must be refused at analysis")
+        s.sql(
+          s"""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM graft.`$path`
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""WITH p AS (
+             |  SELECT event_type, value,
+             |    coalesce(event_type IN ('click', 'view')
+             |             AND user_id % 2 = 0, false) AS m
+             |  FROM events),
+             |post AS (
+             |  SELECT CASE WHEN m THEN upper(event_type)
+             |              ELSE event_type END AS event_type,
+             |         CASE WHEN m THEN least(value * 2, 1.0)
+             |              ELSE value END AS value
+             |  FROM p)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM post GROUP BY event_type ORDER BY event_type"""
+        .stripMargin)),
 
     // The full operator runbook as plain SQL: an append-log table takes a
     // MoR DELETE, `CALL graft.maintain` folds the log and physically

@@ -477,6 +477,14 @@ private[sources] class GraftTable(path: String, versionAsOf: Option[Long],
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   import GraftTableSource._
 
+  /** The manifest path — [[GraftUpdateRule]] routes a resolved SQL
+    * UPDATE on this table into [[TableManifest.updateWhere]] here. */
+  private[sources] def tablePath: String = path
+
+  /** Non-empty when this relation serves a pinned VERSION AS OF read —
+    * mutations through it must refuse. */
+  private[sources] def pinnedVersion: Option[Long] = versionAsOf
+
   /** SQL `DELETE FROM` lands as the manifest's merge-on-read predicate
     * tombstone — one O(1) segment commit, match-count- and
     * table-size-independent (`Stress mordelete`), folded by maintain,

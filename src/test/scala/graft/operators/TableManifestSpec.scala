@@ -557,6 +557,35 @@ class TableManifestSpec extends AnyFunSuite {
     } finally s.conf.unset("spark.graft.table.pendingMutationsWarn")
   }
 
+  test("updateWhere SET on a late-added column reaches null-padded " +
+    "legacy batches, and pruning artifacts stay exact across the update") {
+    val path = Files.createTempDirectory("tm_evo_upd").toString
+    TableManifest.commitSnapshot(df(1L -> "a", 2L -> "b"), path) // narrow
+    import s.implicits._
+    TableManifest.append( // evolved append carries a NEW column
+      Seq((3L, "c", "t3"), (4L, "d", "t4")).toDF("id", "v", "tag"), path)
+    val full = new StructType().add("id", LongType)
+      .add("v", StringType).add("tag", StringType)
+    // the SET expression reads the (null-padded) pre-update value
+    TableManifest.updateWhere(s, path, "id <= 3",
+      Seq("tag" -> "concat('u_', coalesce(tag, 'pad'))"), Some(full))
+    val live = TableManifest.read(s, path, Some(full)).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(live == Seq(1L -> "u_pad", 2L -> "u_pad", 3L -> "u_t3",
+      4L -> "t4"),
+      s"late-added-column SET must cover null-padded legacy rows: $live")
+    // Bloom over the evolved column built AFTER the update: the legacy
+    // batch contributes no filter row (conservatively read), the update
+    // batch's filter serves the probe, and a pre-update value is gone
+    TableManifest.refreshBloomFilters(s, path, Seq("tag"),
+      expectedPerBatch = 1000L, schema = Some(full))
+    assert(TableManifest.readPointString(s, path, "tag", Seq("u_t3"),
+      Some(full)).collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(TableManifest.readPointString(s, path, "tag", Seq("t3"),
+      Some(full)).isEmpty,
+      "a pre-update value must not survive the update in any batch")
+  }
+
   test("vacuum retention horizon refuses versions committed inside it") {
     val path = Files.createTempDirectory("tm_vac_retain").toString
     val v0 = TableManifest.commitSnapshot(df(1L -> "a"), path)

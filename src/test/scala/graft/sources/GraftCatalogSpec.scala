@@ -118,6 +118,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(noop.getLong(0) == vBefore && noop.getLong(1) == 0L)
   }
 
+  test("plain SQL UPDATE ... SET ... WHERE: analyzer-native, one MoR " +
+    "commit, refuses subqueries, nondeterminism, and pinned reads") {
+    val p = tmp("squpd")
+    TableManifest.commitSnapshot(
+      s.range(100).select(col("id"), (col("id") % 5).as("k"),
+        lit(0L).as("hits")), p)
+    // assignments see the PRE-update row; untouched columns carry over
+    val r = s.sql(
+      s"UPDATE graft.`$p` SET hits = hits + id, k = k * 10 WHERE k = 3")
+      .head()
+    assert(r.getLong(1) == 20, s"rows_updated: ${r.getLong(1)}")
+    assert(TableManifest.pendingDeletes(s, p) == 1,
+      "SQL UPDATE must be the MoR tombstone commit, not a table rewrite")
+    assert(s.sql(
+      s"SELECT count(*) FROM graft.`$p` WHERE k = 30 AND hits = id")
+      .head().getLong(0) == 20)
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0)
+      == 100, "UPDATE must never change the row count")
+    // expressions that cannot render to exact re-parseable SQL refuse
+    // at analysis — the DELETE path's discipline
+    intercept[Exception](s.sql(s"UPDATE graft.`$p` SET hits = rand()"))
+    intercept[Exception](s.sql(s"UPDATE graft.`$p` SET hits = " +
+      s"(SELECT max(hits) FROM graft.`$p`)"))
+    assert(s.sql(s"SELECT sum(hits) FROM graft.`$p` WHERE k <> 30")
+      .head().getLong(0) == 0L, "refused updates must not land")
+    // no-match UPDATE: zero rows, version unchanged
+    val vBefore = TableManifest.versions(s, p).last
+    val noop =
+      s.sql(s"UPDATE graft.`$p` SET hits = -1 WHERE k = 999").head()
+    assert(noop.getLong(0) == vBefore && noop.getLong(1) == 0L)
+  }
+
   test("CALL procedures: the maintenance runbook is plain SQL —" +
     " optimize clusters, history audits, maintain folds, vacuum expires") {
     val p = tmp("proc")
