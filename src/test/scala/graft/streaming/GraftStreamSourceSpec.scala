@@ -100,6 +100,39 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("changeFeed surfaces a MoR UPDATE as delete(old) + insert(new);" +
+    " the default feed carries only the replacement rows") {
+    val p = tmp("updfeed")
+    val v0 = TableManifest.commitSnapshot(seed(0, 30), p)
+    val cdc = s.readStream.format("graft")
+      .option("startingVersion", v0.toString)
+      .option("changeFeed", "true").load(p)
+      .writeStream.format("memory").queryName("gss_updcdc")
+      .option("checkpointLocation", tmp("updcdc_ck")).start()
+    val ins = s.readStream.format("graft")
+      .option("startingVersion", v0.toString).load(p)
+      .writeStream.format("memory").queryName("gss_updins")
+      .option("checkpointLocation", tmp("updins_ck")).start()
+    try {
+      cdc.processAllAvailable(); ins.processAllAvailable()
+      TableManifest.updateWhere(s, p, "id < 10", Seq("k" -> "k + 100"))
+      cdc.processAllAvailable(); ins.processAllAvailable()
+      val feed = s.table("gss_updcdc")
+      val dels = feed.filter(col("_change_type") === "delete")
+      val inss = feed.filter(col("_change_type") === "insert")
+      assert(dels.count() == 10 &&
+        dels.agg(max(col("k"))).head().getLong(0) < 100,
+        "the feed's delete rows must carry the PRE-update values")
+      assert(inss.count() == 10 &&
+        inss.agg(min(col("k"))).head().getLong(0) >= 100,
+        "the feed's insert rows must carry the POST-update values")
+      // default insert-only stream: just the 10 replacement rows
+      val plain = s.table("gss_updins")
+      assert(plain.count() == 10 &&
+        plain.agg(min(col("k"))).head().getLong(0) >= 100)
+    } finally { cdc.stop(); ins.stop() }
+  }
+
   test("sink: append mode lands micro-batches as keyed manifest appends," +
     " exactly-once through a checkpoint restart") {
     val src = tmp("sink_src")
