@@ -79,6 +79,31 @@ class IncrementalAggSpec extends AnyFunSuite {
       "nothing new must mean no empty state commit")
   }
 
+  test("maintainTable folds a MoR UPDATE (and a delete) exactly: the " +
+    "feed's delete+insert rendering nets the value difference") {
+    val base = java.nio.file.Files.createTempDirectory("ivm_upd")
+      .toString
+    val (tp, sp) = (s"$base/t", s"$base/s")
+    TableManifest.commitSnapshot(table(Seq((1L, "a", 2.0), (2L, "a", 3.0),
+      (3L, "b", 4.0), (4L, "b", 5.0))), tp)
+    IncrementalAgg.maintainTable(s, tp, sp, Seq("k"), "v")
+    // an UPDATE rewrites values in place (delete old + insert new in
+    // the feed); a later DELETE removes a row; the maintained state
+    // must equal recomputation after both — without re-initializing
+    TableManifest.updateWhere(s, tp, "v <= 3.0",
+      Seq("v" -> "v + 100.0"))
+    TableManifest.deleteWhere(s, tp, "id = 4")
+    IncrementalAgg.maintainTable(s, tp, sp, Seq("k"), "v")
+    val maintained = stateRows(TableManifest.read(s, sp).drop("__asof"))
+    val recomputed = stateRows(IncrementalAgg.initialize(
+      TableManifest.read(s, tp), Seq("k"), "v"))
+    assert(maintained == recomputed,
+      s"update+delete fold drifted: $maintained vs $recomputed")
+    assert(maintained.exists { case (k, n, sum) =>
+      k == "a" && n == 2L && sum.startsWith("205.000000") },
+      s"key a must net the +200 rewrite: $maintained")
+  }
+
   test("a key whose rows all die leaves the state entirely") {
     val base = Seq((1L, "x", 2.0), (2L, "x", 3.0), (3L, "y", 4.0))
     val after = Seq((3L, "y", 4.0))
