@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // analyzer-native `UPDATE graft.t SET ... WHERE ...` → the
     // match-proportional merge-on-read commit (TableManifest.updateWhere)
     e.injectPostHocResolutionRule(_ => graft.sources.GraftUpdateRule)
+    // analyzer-native `MERGE INTO graft.t ... UPDATE SET * / INSERT *`
+    e.injectPostHocResolutionRule(_ => graft.sources.GraftMergeRule)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("poly_hash"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -967,8 +967,11 @@ object TableManifest {
   }
 
   /** One row per retained version (ascending): readable?, row count,
-    * payload bytes — the audit view a retention policy reads, the
-    * [[VectorIndex.history]] shape on tables. */
+    * payload bytes, and the committing mutation `kind`
+    * (append/snapshot/delete/update; '' on pre-tagging legacy markers —
+    * the Delta DESCRIBE HISTORY operation column) — the audit view a
+    * retention policy reads, the [[VectorIndex.history]] shape on
+    * tables. */
   def history(spark: SparkSession, path: String,
       schema: Option[StructType] = None): DataFrame = {
     val f = fs(spark, path)
@@ -977,20 +980,26 @@ object TableManifest {
       return spark.sql(
         """SELECT CAST(NULL AS BIGINT) AS version, false AS is_current,
           |  false AS readable, CAST(NULL AS BIGINT) AS n_rows,
-          |  CAST(NULL AS BIGINT) AS payload_bytes""".stripMargin).limit(0)
+          |  CAST(NULL AS BIGINT) AS payload_bytes,
+          |  CAST(NULL AS STRING) AS kind""".stripMargin).limit(0)
     val rows = versions(spark, path).map { v =>
+      // the mutation that committed this version (the DESCRIBE HISTORY
+      // operation column): append/snapshot/delete/update, or '' for a
+      // pre-tagging legacy marker — straight off the kind-tagged marker
+      val kind = IndexManifest.markerInfoAt(spark, path, v).kind
       IndexManifest.payloadVersionAt(spark, path, v, "data") match {
         case None =>
           s"SELECT ${v}L AS version, ${v == cur} AS is_current, " +
             "false AS readable, CAST(NULL AS BIGINT) AS n_rows, " +
-            "CAST(NULL AS BIGINT) AS payload_bytes"
+            s"CAST(NULL AS BIGINT) AS payload_bytes, '$kind' AS kind"
         case Some(p) =>
           val n = scala.util.Try(readAt(spark, path, v, schema).count())
             .getOrElse(0L)
           val bytes = f.getContentSummary(
             new org.apache.hadoop.fs.Path(s"$path/data_v$p")).getLength
           s"SELECT ${v}L AS version, ${v == cur} AS is_current, " +
-            s"true AS readable, ${n}L AS n_rows, ${bytes}L AS payload_bytes"
+            s"true AS readable, ${n}L AS n_rows, " +
+            s"${bytes}L AS payload_bytes, '$kind' AS kind"
       }
     }
     rows.map(spark.sql).reduce(_ unionByName _)

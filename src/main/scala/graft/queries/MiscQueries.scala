@@ -1656,6 +1656,65 @@ object MiscQueries {
              |FROM post GROUP BY event_type ORDER BY event_type"""
         .stripMargin)),
 
+    // Analyzer-native SQL MERGE INTO (GraftMergeRule): the canonical
+    // upsert — WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
+    // INSERT * over a key-equality ON — lands as one snapshot commit of
+    // kept ∪ updated ∪ inserted (anti/inner/anti joins on the key; AQE
+    // broadcasts the small source). The command's returned
+    // (rows_matched, rows_inserted) ride in the hash beside the merged
+    // table's aggregate.
+    Q("q_graft_sql_merge",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        s.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_sql_mrg").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        TableManifest.commitSnapshot(e, path)
+        e.filter(col("event_id") % 7 === 0)
+          .withColumn("event_type", concat(lit("m_"), col("event_type")))
+          .unionByName(e.filter(col("event_id") % 997 === 0)
+            .withColumn("event_id", col("event_id") + 9000000L))
+          .createOrReplaceTempView("gsm_src")
+        val r = s.sql(
+          s"""MERGE INTO graft.`$path` AS t USING gsm_src AS s
+             |ON t.event_id = s.event_id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+        s.sql(
+          s"""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM graft.`$path`
+             |GROUP BY event_type""".stripMargin)
+          .withColumn("rows_matched", lit(r.getLong(1)))
+          .withColumn("rows_inserted", lit(r.getLong(2)))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH src AS (
+             |  SELECT event_id, user_id, 'm_' || event_type AS event_type,
+             |         value
+             |  FROM events WHERE event_id % 7 = 0
+             |  UNION ALL
+             |  SELECT event_id + 9000000, user_id, event_type, value
+             |  FROM events WHERE event_id % 997 = 0),
+             |m AS (
+             |  SELECT event_id, user_id, event_type, value FROM events
+             |  WHERE event_id NOT IN (SELECT event_id FROM src)
+             |  UNION ALL SELECT * FROM src)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value,
+             |  (SELECT count(*) FROM events WHERE event_id % 7 = 0)
+             |    AS rows_matched,
+             |  (SELECT count(*) FROM events WHERE event_id % 997 = 0)
+             |    AS rows_inserted
+             |FROM m GROUP BY event_type ORDER BY event_type"""
+        .stripMargin)),
+
     // The full operator runbook as plain SQL: an append-log table takes a
     // MoR DELETE, `CALL graft.maintain` folds the log and physically
     // erases the masked rows (refreshing zone maps), `CALL

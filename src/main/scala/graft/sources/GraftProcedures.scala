@@ -132,10 +132,11 @@ private[sources] object GraftProcedures {
   private val historySchema = new StructType()
     .add("version", LongType).add("is_current", BooleanType)
     .add("readable", BooleanType).add("n_rows", LongType)
-    .add("payload_bytes", LongType)
+    .add("payload_bytes", LongType).add("kind", StringType)
 
   private val history = new P("history",
-    "one row per retained version: readable?, rows, payload bytes — " +
+    "one row per retained version: readable?, rows, payload bytes, and " +
+      "the committing mutation kind (append/snapshot/delete/update) — " +
       "the retention audit view",
     Seq(in("path", StringType)), historySchema) {
     override protected def run(a: InternalRow): Seq[InternalRow] =

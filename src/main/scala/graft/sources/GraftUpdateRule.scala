@@ -2,13 +2,16 @@ package graft.sources
 
 import graft.operators.TableManifest
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Attribute,
-  AttributeReference, Expression, PlanExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, LogicalPlan,
-  SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
+  AttributeReference, EqualTo, Expression, PlanExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
+  InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias,
+  UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.sql.types.LongType
 
 /** Analyzer-native SQL `UPDATE t SET ... WHERE ...` on graft tables —
@@ -47,7 +50,7 @@ object GraftUpdateRule extends Rule[LogicalPlan] {
         }
     }
 
-  private def graftTableOf(plan: LogicalPlan): Option[GraftTable] =
+  private[sources] def graftTableOf(plan: LogicalPlan): Option[GraftTable] =
     plan match {
       case SubqueryAlias(_, child)  => graftTableOf(child)
       case r: DataSourceV2Relation  => r.table match {
@@ -99,5 +102,140 @@ case class GraftUpdateCommand(path: String,
     val n = if (v == before) 0L
       else TableManifest.updatedRowCount(spark, path, v)
     Seq(Row(v, n))
+  }
+}
+
+/** Analyzer-native SQL `MERGE INTO` on graft tables, for the canonical
+  * upsert shape:
+  *
+  * {{{
+  *   MERGE INTO graft.t AS t USING src AS s ON t.k = s.k [AND ...]
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * Registered post-hoc by [[graft.GraftExtensions]]. The translation is
+  * deliberately narrow (the refuse-untranslatable discipline): the ON
+  * condition must be a conjunction of target-column = source-column
+  * equalities, the only matched action `UPDATE SET *`, the only
+  * not-matched action `INSERT *`, no not-matched-by-source clauses, no
+  * schema evolution — anything else fails at analysis with the library
+  * route (`TableManifest.mergeInto`) named in the error. Semantics are
+  * exact SQL MERGE: matched target rows are replaced by their source
+  * row (multiplicity preserved — two target rows on one key both
+  * update), unmatched target rows pass through untouched (null-key rows
+  * never match, the 3VL join rule), unmatched source rows insert, and a
+  * source key matching several SOURCE rows is the standard cardinality
+  * violation, refused at run time before anything commits. */
+object GraftMergeRule extends Rule[LogicalPlan] {
+  import GraftUpdateRule.graftTableOf
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      // NOT m.resolved: the table advertises ACCEPT_ANY_SCHEMA (for the
+      // manifest's schema-evolution writes), which makes the analyzer
+      // skip schema resolution for MERGE — the ON condition arrives
+      // with unresolved attributes and would die in CheckAnalysis. The
+      // rule resolves them itself against the two relations (qualifier-
+      // aware, the session resolver), which is all the narrow star
+      // translation needs.
+      case m: MergeIntoTable
+          if m.targetTable.resolved && m.sourceTable.resolved =>
+        graftTableOf(m.targetTable) match {
+          case Some(t) =>
+            require(t.pinnedVersion.isEmpty,
+              "cannot MERGE into a pinned VERSION AS OF read")
+            require(!m.withSchemaEvolution,
+              "graft MERGE does not support WITH SCHEMA EVOLUTION — " +
+                "evolve via an explicit different-arity append instead")
+            require(m.notMatchedBySourceActions.isEmpty,
+              "graft MERGE supports WHEN MATCHED UPDATE SET * and WHEN " +
+                "NOT MATCHED INSERT * only (unmatched target rows pass " +
+                "through); use TableManifest.deleteWhere for " +
+                "not-matched-by-source deletes")
+            (m.matchedActions, m.notMatchedActions) match {
+              case (Seq(UpdateStarAction(None)),
+                    Seq(InsertStarAction(None))) => ()
+              case other => throw new IllegalArgumentException(
+                "graft MERGE supports exactly WHEN MATCHED THEN UPDATE " +
+                  "SET * and WHEN NOT MATCHED THEN INSERT * (no clause " +
+                  s"conditions), got: $other — use " +
+                  "TableManifest.mergeInto for custom merge logic")
+            }
+            val tgtOut = m.targetTable.outputSet
+            val srcOut = m.sourceTable.outputSet
+            val cond = m.mergeCondition.transformUp {
+              case u: UnresolvedAttribute =>
+                m.targetTable.resolve(u.nameParts, conf.resolver)
+                  .orElse(m.sourceTable.resolve(u.nameParts,
+                    conf.resolver))
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"MERGE ON references unknown column ${u.sql}"))
+            }
+            val keys = splitConjuncts(cond).map {
+              case EqualTo(a: AttributeReference, b: AttributeReference)
+                  if tgtOut.contains(a) && srcOut.contains(b) => a.name
+              case EqualTo(a: AttributeReference, b: AttributeReference)
+                  if tgtOut.contains(b) && srcOut.contains(a) => b.name
+              case other => throw new IllegalArgumentException(
+                "graft MERGE ON must be a conjunction of target-column " +
+                  s"= source-column equalities, got: ${other.sql}")
+            }
+            GraftMergeCommand(t.tablePath, m.sourceTable, keys)
+          case None => m
+        }
+    }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other     => Seq(other)
+  }
+}
+
+/** The planted merge command: one CoW snapshot commit of
+  * `kept ∪ updated ∪ inserted` — kept = target rows with no source key
+  * match (anti join), updated = the inner join's SOURCE rows (one per
+  * MATCHED TARGET row, so target-side multiplicity is preserved),
+  * inserted = source rows with no target match. Shuffles on the merge
+  * keys; AQE broadcasts a small source. Returns
+  * (version, rows_matched, rows_inserted). */
+case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
+    keyCols: Seq[String]) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(sourcePlan)
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("rows_matched", LongType, nullable = false)(),
+    AttributeReference("rows_inserted", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src0 =
+      org.apache.spark.sql.GraftColumnBridge.ofRows(spark, sourcePlan)
+    val tgt = TableManifest.read(spark, path)
+    // align the source to the target schema by name (the INSERT * /
+    // UPDATE SET * contract), coercing types the way the resolver would
+    val aligned = src0.select(tgt.schema.fields.map(f =>
+      col(s"`${f.name}`").cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    // SQL cardinality rule: a target row may match at most ONE source
+    // row — refuse duplicate source keys before anything commits
+    val dup = aligned.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1)
+      .collect()
+    require(dup.isEmpty,
+      s"MERGE cardinality violation: source has duplicate rows on " +
+        s"(${keyCols.mkString(", ")}): ${dup.headOption.getOrElse("")}")
+    val kept = tgt.join(aligned.select(keyCols.map(col): _*),
+      keyCols, "left_anti")
+    val updated = tgt.select(keyCols.map(col): _*)
+      .join(aligned, keyCols, "inner")
+      .select(tgt.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+    val inserted = aligned.join(tgt.select(keyCols.map(col): _*),
+      keyCols, "left_anti")
+    val nMatched = updated.count()
+    val nInserted = inserted.count()
+    val v = TableManifest.commitSnapshot(
+      kept.unionByName(updated).unionByName(inserted), path)
+    Seq(Row(v, nMatched, nInserted))
   }
 }

@@ -88,6 +88,12 @@ class TableManifestSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getBoolean(2), r.getLong(3))).toList
     assert(h0.map(_._1) == List(0L, 1L, 2L))
     assert(h0.map(_._3) == List(1L, 2L, 3L), s"per-version rows: $h0")
+    // the audit names what committed each version (the DESCRIBE HISTORY
+    // operation column), straight off the kind-tagged markers
+    TableManifest.deleteWhere(s, path, "id = 999")
+    assert(TableManifest.history(s, path).orderBy("version").collect()
+      .map(_.getString(5)).toList ==
+      List("snapshot", "append", "append", "delete"))
     val vC = TableManifest.compactBatches(s, path)
     assert(ids(TableManifest.read(s, path)) == Set(1L, 2L, 3L),
       "compaction must not change the live table")
@@ -525,6 +531,28 @@ class TableManifestSpec extends AnyFunSuite {
         s"deleted ids resurrected by a racing update (round $round): " +
           s"${(1L to 10L).filter(live.contains).mkString(", ")}")
       assert((11L to 40L).forall(live.contains))
+    }
+  }
+
+  test("two concurrent updateWhere on disjoint predicates both land: " +
+    "the loser restarts against the winner's state, neither is lost") {
+    for (round <- 1 to 3) {
+      val path = Files.createTempDirectory(s"tm_uu_race$round").toString
+      TableManifest.commitSnapshot(
+        df((1L to 30L).map(i => i -> s"v$i"): _*), path)
+      val other = new Thread(() =>
+        TableManifest.updateWhere(s, path, "id <= 10",
+          Seq("v" -> "concat(v, '_lo')")))
+      other.start()
+      TableManifest.updateWhere(s, path, "id > 20",
+        Seq("v" -> "concat(v, '_hi')"))
+      other.join(30000)
+      val live = TableManifest.read(s, path).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert((1L to 10L).forall(i => live(i) == s"v${i}_lo") &&
+        (11L to 20L).forall(i => live(i) == s"v$i") &&
+        (21L to 30L).forall(i => live(i) == s"v${i}_hi"),
+        s"round $round: one of two racing updates was lost: $live")
     }
   }
 

@@ -150,6 +150,46 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(noop.getLong(0) == vBefore && noop.getLong(1) == 0L)
   }
 
+  test("plain SQL MERGE INTO ... UPDATE SET * / INSERT *: exact merge " +
+    "semantics, cardinality violation and custom clauses refused") {
+    val p = tmp("sqmrg")
+    TableManifest.commitSnapshot(
+      s.range(10).select(col("id"), (col("id") * 10).as("v")), p)
+    s.range(5, 15).select(col("id"), (col("id") * 100).as("v"))
+      .createOrReplaceTempView("mrg_src")
+    val r = s.sql(
+      s"""MERGE INTO graft.`$p` AS t USING mrg_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+    assert(r.getLong(1) == 5 && r.getLong(2) == 5,
+      s"matched/inserted: ${r.getLong(1)}/${r.getLong(2)}")
+    val got = s.sql(s"SELECT id, v FROM graft.`$p` ORDER BY id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    val want = (0L to 4L).map(i => i -> i * 10) ++
+      (5L to 14L).map(i => i -> i * 100)
+    assert(got == want, s"merged state: $got")
+    // duplicate source keys = the SQL cardinality violation: refused
+    // BEFORE anything commits
+    s.sql("SELECT * FROM mrg_src UNION ALL SELECT 7, 777")
+      .createOrReplaceTempView("mrg_dup")
+    val vBefore = TableManifest.versions(s, p).last
+    intercept[Exception](s.sql(
+      s"""MERGE INTO graft.`$p` AS t USING mrg_dup AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(TableManifest.versions(s, p).last == vBefore,
+      "a refused merge must not commit")
+    // custom clauses are outside the translation: refuse at analysis
+    intercept[Exception](s.sql(
+      s"""MERGE INTO graft.`$p` AS t USING mrg_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v + 1
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    intercept[Exception](s.sql(
+      s"""MERGE INTO graft.`$p` AS t USING mrg_src AS s ON t.id >= s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+  }
+
   test("CALL procedures: the maintenance runbook is plain SQL —" +
     " optimize clusters, history audits, maintain folds, vacuum expires") {
     val p = tmp("proc")
