@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPostHocResolutionRule(_ => graft.sources.GraftUpdateRule)
     // analyzer-native `MERGE INTO graft.t ... UPDATE SET * / INSERT *`
     e.injectPostHocResolutionRule(_ => graft.sources.GraftMergeRule)
+    // analyzer-native DELETE for predicates beyond the Filter vocabulary
+    e.injectPostHocResolutionRule(_ => graft.sources.GraftDeleteRule)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("poly_hash"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -1584,6 +1584,9 @@ object MiscQueries {
         val et = e.agg(min(col("event_type"))).head().getString(0)
         s.sql(s"DELETE FROM graft.`$path` WHERE " +
           s"(user_id >= 10 AND user_id <= 40) OR event_type = '$et'")
+        // a predicate BEYOND the DSv2 Filter vocabulary (modulo): the
+        // analyzer rule renders it into the tombstone — used to refuse
+        s.sql(s"DELETE FROM graft.`$path` WHERE event_id % 13 = 0")
         s.sql(
           s"""SELECT event_type, count(*) AS n,
              |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
@@ -1599,6 +1602,7 @@ object MiscQueries {
              |WHERE NOT coalesce(
              |  (user_id >= 10 AND user_id <= 40) OR event_type = m,
              |  false)
+             |AND NOT coalesce(event_id % 13 = 0, false)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Analyzer-native SQL UPDATE (GraftUpdateRule via GraftExtensions):

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
   AttributeReference, EqualTo, Expression, PlanExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
   InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias,
-  UpdateStarAction, UpdateTable}
+  UpdateStarAction, UpdateTable, DeleteFromTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -70,7 +70,7 @@ object GraftUpdateRule extends Rule[LogicalPlan] {
 
   /** Resolved expression → SQL text that re-parses identically, or an
     * analysis-time refusal. */
-  private def render(e: Expression): String = {
+  private[sources] def render(e: Expression): String = {
     require(e.deterministic,
       s"non-deterministic expression in graft UPDATE: ${e.sql} — the " +
         "update re-evaluates SQL text once per matched row set; a " +
@@ -102,6 +102,45 @@ case class GraftUpdateCommand(path: String,
     val n = if (v == before) 0L
       else TableManifest.updatedRowCount(spark, path, v)
     Seq(Row(v, n))
+  }
+}
+
+/** Analyzer-native SQL `DELETE FROM` for predicates BEYOND the DSv2
+  * Filter vocabulary. The SupportsDelete path only sees predicates that
+  * translate to pushed `Filter`s, so `DELETE FROM graft.t WHERE
+  * id % 7 = 0` used to refuse at analysis even though
+  * [[TableManifest.deleteWhere]] stores arbitrary predicate SQL in the
+  * tombstone. This post-hoc rule (running before the strategy that
+  * would refuse) renders the resolved condition with the same
+  * discipline as [[GraftUpdateRule]] — deterministic, no subqueries,
+  * qualifiers stripped — and routes it straight into the
+  * match-proportional MoR tombstone commit; anything unrenderable still
+  * fails at analysis, never under- or over-deletes. Output mirrors
+  * SQL DELETE (no rows). */
+object GraftDeleteRule extends Rule[LogicalPlan] {
+  import GraftUpdateRule.{graftTableOf, render}
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case d: DeleteFromTable if d.table.resolved && d.condition.resolved =>
+        graftTableOf(d.table) match {
+          case Some(t) =>
+            require(t.pinnedVersion.isEmpty,
+              "cannot DELETE from a pinned VERSION AS OF read")
+            GraftDeleteCommand(t.tablePath, render(d.condition))
+          case None => d
+        }
+    }
+}
+
+/** The planted delete: ONE [[TableManifest.deleteWhere]] tombstone
+  * commit — O(1) bytes regardless of match count or table size. */
+case class GraftDeleteCommand(path: String, predicateSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    TableManifest.deleteWhere(spark, path, predicateSql)
+    Nil
   }
 }
 

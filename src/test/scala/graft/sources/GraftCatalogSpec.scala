@@ -73,7 +73,7 @@ class GraftCatalogSpec extends AnyFunSuite {
   }
 
   test("SQL DELETE FROM lands as ONE MoR predicate tombstone, never a" +
-    " rewrite; untranslatable predicates are refused at analysis") {
+    " rewrite; unrenderable predicates are refused at analysis") {
     val p = tmp("del")
     TableManifest.commitSnapshot(
       s.range(100).select(col("id"), (col("id") % 5).as("k"),
@@ -84,9 +84,19 @@ class GraftCatalogSpec extends AnyFunSuite {
     // string literals round-trip through the predicate-SQL rendering
     s.sql(s"DELETE FROM graft.`$p` WHERE tag = 's7'")
     assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) == 89)
-    // a predicate with no Filter translation must refuse, not no-op
-    intercept[Exception](s.sql(s"DELETE FROM graft.`$p` WHERE id % 7 = 0"))
-    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) == 89)
+    // predicates BEYOND the DSv2 Filter vocabulary work too: the
+    // analyzer rule renders the full expression into the tombstone
+    // (this exact modulo shape used to refuse under pushdown-only)
+    s.sql(s"DELETE FROM graft.`$p` WHERE id % 7 = 0 AND id < 20")
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) ==
+      87, "modulo predicates must delete exactly (0 and 14; 7 was gone)")
+    // unrenderable predicates (non-deterministic, subqueries) refuse —
+    // never under- or over-delete
+    intercept[Exception](
+      s.sql(s"DELETE FROM graft.`$p` WHERE rand() < 0.5"))
+    intercept[Exception](s.sql(s"DELETE FROM graft.`$p` WHERE id IN " +
+      s"(SELECT id FROM graft.`$p` WHERE k = 1)"))
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) == 87)
   }
 
   test("CALL graft.update: SQL UPDATE as one MoR commit — assignments " +
