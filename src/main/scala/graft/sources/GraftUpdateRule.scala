@@ -271,10 +271,17 @@ case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
       .select(tgt.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
     val inserted = aligned.join(tgt.select(keyCols.map(col): _*),
       keyCols, "left_anti")
-    val nMatched = updated.count()
-    val nInserted = inserted.count()
+    // the matched/inserted counts ride the WRITE pass as observed
+    // metrics (CollectMetrics on the union branches) — never separate
+    // count jobs that would re-run the joins; at scale the merge costs
+    // one join+write pass, full stop
+    val updObs = new org.apache.spark.sql.Observation()
+    val insObs = new org.apache.spark.sql.Observation()
     val v = TableManifest.commitSnapshot(
-      kept.unionByName(updated).unionByName(inserted), path)
-    Seq(Row(v, nMatched, nInserted))
+      kept.unionByName(updated.observe(updObs, count(lit(1)).as("n")))
+        .unionByName(inserted.observe(insObs, count(lit(1)).as("n"))),
+      path)
+    Seq(Row(v, updObs.get("n").asInstanceOf[Long],
+      insObs.get("n").asInstanceOf[Long]))
   }
 }
