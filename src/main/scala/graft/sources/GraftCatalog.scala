@@ -135,6 +135,11 @@ class GraftCatalog extends TableCatalog
   override def dropTable(ident: Identifier): Boolean = {
     val p = pathOf(ident)
     if (!TableManifest.exists(spark, p)) return false
+    // a table re-created at this path restarts version numbering, so
+    // the (path, version) schema-cache keys of the dropped table would
+    // collide with the new one's and serve the stale schema (REPLACE
+    // TABLE = drop + create hits exactly this)
+    GraftTableSource.invalidateSchema(p)
     val hp = new org.apache.hadoop.fs.Path(p)
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(hp, true)

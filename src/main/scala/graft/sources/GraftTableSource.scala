@@ -91,6 +91,19 @@ object GraftTableSource {
         .schema)
   }
 
+  /** Drop every cached schema for `path` — DROP TABLE (and REPLACE
+    * TABLE, which is drop + create on a non-staging catalog) restarts
+    * the version numbering at the same path, so the (path, version) key
+    * of the OLD table collides with the new table's and would serve the
+    * pre-drop schema forever. [[GraftCatalog.dropTable]] calls this. */
+  private[sources] def invalidateSchema(path: String): Unit = {
+    val it = schemaCache.keySet.iterator
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._1 == path || k._1 == path + "\u0000merged") it.remove()
+    }
+  }
+
   /** option("mergeSchema", "true") — evolved tables read under the UNION
     * of their batch schemas. Resolved at the entry points into an
     * EXPLICIT schema (the manifest's documented evolved-read contract:

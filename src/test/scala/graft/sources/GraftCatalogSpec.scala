@@ -160,6 +160,32 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(noop.getLong(0) == vBefore && noop.getLong(1) == 0L)
   }
 
+  test("DDL surface: CTAS, INSERT OVERWRITE, REPLACE TABLE, and " +
+    "TRUNCATE all land as manifest commits; empties stay readable") {
+    val p = tmp("ddl")
+    s.sql(s"CREATE TABLE graft.`$p` AS " +
+      "SELECT id, id % 5 AS k FROM range(100)")
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0)
+      == 100)
+    s.sql(s"INSERT OVERWRITE graft.`$p` " +
+      "SELECT id, id % 3 AS k FROM range(10)")
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0)
+      == 10, "INSERT OVERWRITE must replace, not append")
+    s.sql(s"REPLACE TABLE graft.`$p` AS SELECT id FROM range(5)")
+    assert(s.sql(s"SELECT * FROM graft.`$p`").columns.toSeq == Seq("id")
+      && s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) == 5,
+      "REPLACE TABLE must swap both schema and contents")
+    // REPLACE on a non-staging catalog is drop + create: the version
+    // history restarts (and the connector's schema cache is invalidated
+    // on the drop — the stale (path, version) collision this test pins)
+    assert(TableManifest.versions(s, p).nonEmpty)
+    s.sql(s"TRUNCATE TABLE graft.`$p`")
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0)
+      == 0, "a truncated table must stay a readable empty table")
+    s.sql(s"INSERT INTO graft.`$p` VALUES (42)")
+    assert(s.sql(s"SELECT id FROM graft.`$p`").head().getLong(0) == 42)
+  }
+
   test("plain SQL MERGE INTO ... UPDATE SET * / INSERT *: exact merge " +
     "semantics, cardinality violation and custom clauses refused") {
     val p = tmp("sqmrg")
