@@ -66,7 +66,7 @@ class TableManifestProps extends AnyFunSuite {
       model += v0 -> rowsOf(TableManifest.read(s, path))
 
       (1 to 10).foreach { step =>
-        val opRoll = rnd.nextInt(10)
+        val opRoll = rnd.nextInt(11)
         if (opRoll < 3) { // snapshot replacement
           val rows = randRows(10 + rnd.nextInt(20))
           val v = TableManifest.commitSnapshot(df(rows), path)
@@ -87,6 +87,15 @@ class TableManifestProps extends AnyFunSuite {
           val res = rnd.nextInt(7)
           val v = TableManifest.deleteWhere(s, path, s"id % 7 = $res")
           model += v -> cur.filter { case ((id, _), _) => id % 7 != res }
+        } else if (opRoll < 10) { // MoR UPDATE (a residue class of ids)
+          val res = rnd.nextInt(5)
+          val v = TableManifest.updateWhere(s, path, s"id % 5 = $res",
+            Seq("v" -> "v + 10000"))
+          val next = cur.map { case (k @ (id, vv), n) =>
+            (if (id % 5 == res) (id, vv + 10000L) else k) -> n }
+          // a no-match update commits nothing: keep the model in step
+          if (TableManifest.versions(s, path).max == v &&
+              !model.contains(v)) model += v -> next
         } else { // optimize: content no-op, new version
           val v = TableManifest.optimize(s, path, Seq("id"), files = 4,
             statsCols = Seq("id"))
