@@ -69,7 +69,15 @@ object GraftUpdateRule extends Rule[LogicalPlan] {
     }
 
   /** Resolved expression → SQL text that re-parses identically, or an
-    * analysis-time refusal. */
+    * analysis-time refusal. Timestamp LITERALS re-render as
+    * `timestamp_micros(<epoch>L)` instead of `Expression.sql`'s
+    * wall-clock `TIMESTAMP '...'` text: the rendered predicate is stored
+    * in the tombstone and re-parsed under EVERY future reader's
+    * `spark.sql.session.timeZone` — a wall-clock rendering would shift
+    * which rows the tombstone masks whenever a reader's zone differs
+    * from the writer's (the same hazard the Filter-pushdown path's
+    * litSql fixed; dates and TIMESTAMP_NTZ are zone-free and render
+    * as-is). */
   private[sources] def render(e: Expression): String = {
     require(e.deterministic,
       s"non-deterministic expression in graft UPDATE: ${e.sql} — the " +
@@ -80,6 +88,10 @@ object GraftUpdateRule extends Rule[LogicalPlan] {
       s"subquery in graft UPDATE is not supported: ${e.sql}")
     e.transform {
       case a: AttributeReference => a.withQualifier(Nil)
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          v: Long, org.apache.spark.sql.types.TimestampType) =>
+        org.apache.spark.sql.catalyst.expressions.MicrosToTimestamp(
+          org.apache.spark.sql.catalyst.expressions.Literal(v))
     }.sql
   }
 }

@@ -160,6 +160,41 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(noop.getLong(0) == vBefore && noop.getLong(1) == 0L)
   }
 
+  test("SQL UPDATE/DELETE with timestamp-literal predicates mask the " +
+    "same rows under ANY session time zone (timestamp_micros rendering)") {
+    val p = tmp("tzdml")
+    TableManifest.commitSnapshot(
+      s.range(48).select(col("id"),
+        to_timestamp(lit("2026-01-01 00:00:00"))
+          .plus(expr("make_interval(0,0,0,0, CAST(id AS INT), 0, 0)"))
+          .as("ts"), lit(0L).as("hits")), p)
+    val prevTz = s.conf.get("spark.sql.session.timeZone")
+    try {
+      // writer zone ≠ reader zone: the tombstone predicate is re-parsed
+      // at EVERY read, so a wall-clock literal rendering would shift
+      // which rows it masks after the flip
+      s.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+      // +14 zone: this wall-clock literal is 2026-01-01 12:00 UTC, so
+      // exactly ids 0..11 (ts built under the spec session's UTC) match
+      s.sql(s"UPDATE graft.`$p` SET hits = 1 " +
+        "WHERE ts < TIMESTAMP '2026-01-02 02:00:00'")
+      s.sql(s"DELETE FROM graft.`$p` " +
+        "WHERE ts >= TIMESTAMP '2026-01-02 00:00:00' AND id % 2 = 0")
+      val before =
+        s.sql(s"SELECT id, hits FROM graft.`$p` ORDER BY id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      s.conf.set("spark.sql.session.timeZone", "Etc/GMT+12")
+      val after =
+        s.sql(s"SELECT id, hits FROM graft.`$p` ORDER BY id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(before == after,
+        "masked/updated rows shifted with the session time zone")
+      assert(after.count(_._2 == 1L) == 11,
+        "the writer-zone UPDATE matched ids 0..11; the DELETE then " +
+          s"removed id 10 — 11 updated survivors: $after")
+    } finally s.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("DDL surface: CTAS, INSERT OVERWRITE, REPLACE TABLE, and " +
     "TRUNCATE all land as manifest commits; empties stay readable") {
     val p = tmp("ddl")
