@@ -1622,6 +1622,51 @@ object Stress {
         val tCowUB = cowUpdate(upB)
         println(f"""{"rows_small":$updRowsSmall%d,"rows_big":$updRowsBig%d,"matched_rows":1000,"mor_small_seconds":$tUpdS%.2f,"mor_big_seconds":$tUpdB%.2f,"mor_nomatch_seconds":$tUpdNoMatch%.2f,"read_pending_seconds":$tReadPending%.2f,"maintain_seconds":$tMaintain%.2f,"read_folded_seconds":$tReadFolded%.2f,"cow_small_seconds":$tCowUS%.2f,"cow_big_seconds":$tCowUB%.2f}""")
 
+      case "mordepth" =>
+        // the pending-mutation read tax, measured: a retention sweep
+        // issues N MoR DELETEs without a maintain — every read then
+        // evaluates an O(N)-branch mask chain. Reads timed at depth 0 /
+        // N/2 / N, then after maintain folds the chain; the depth guard
+        // (spark.graft.table.pendingMutationsWarn) pages before the
+        // chain gets deep, and this arm prices what it pages about.
+        val depthN = 25 * copies.toInt // each delete's own commit pays
+        // an O(depth) analysis read, so the sweep itself is O(N²) plan
+        // nodes — exactly the growth this arm prices; keep N runnable
+        val dpPath = java.nio.file.Files
+          .createTempDirectory("stress_mordepth").toString
+        operators.TableManifest.commitSnapshot(
+          spark.range(copies * 500000L).select(col("id"),
+            (col("id") % 97).cast("double").as("v")), dpPath)
+        def dpSecs(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        def dpRead(): Double = {
+          // median of 3: read cost is the quantity under test
+          val ts = (1 to 3).map(_ => dpSecs {
+            operators.TableManifest.read(spark, dpPath).count(); () })
+          ts.sorted.apply(1)
+        }
+        spark.conf.set("spark.graft.table.pendingMutationsWarn",
+          (depthN * 2).toString) // measure the chain, not the pager
+        val tRead0 = dpRead()
+        (1 to depthN / 2).foreach(i =>
+          operators.TableManifest.deleteWhere(spark, dpPath,
+            s"id = ${i * 13}"))
+        val tReadHalf = dpRead()
+        (depthN / 2 + 1 to depthN).foreach(i =>
+          operators.TableManifest.deleteWhere(spark, dpPath,
+            s"id = ${i * 13}"))
+        val tReadFull = dpRead()
+        val tFold = dpSecs {
+          operators.TableManifest.maintain(spark, dpPath, maxDeletes = 1)
+            .collect(); ()
+        }
+        val tReadAfter = dpRead()
+        spark.conf.unset("spark.graft.table.pendingMutationsWarn")
+        require(operators.TableManifest.read(spark, dpPath).count() ==
+          copies * 500000L - depthN, "depth-chain masking went wrong")
+        println(f"""{"rows":${copies * 500000L}%d,"segments":$depthN%d,"read_depth0_seconds":$tRead0%.2f,"read_depth${depthN / 2}%d_seconds":$tReadHalf%.2f,"read_depth$depthN%d_seconds":$tReadFull%.2f,"maintain_seconds":$tFold%.2f,"read_after_fold_seconds":$tReadAfter%.2f}""")
+
       case "bloomrefresh" =>
         // Bloom artifact BUILD at an append-log's true batch count: the
         // refresh aggregates per-batch filters on the executors and

@@ -526,6 +526,17 @@ object TableManifest {
         "CALL graft.maintain) to fold them into a fresh snapshot"
       log.warn(msg)
       lastDepthWarning.set(msg)
+      // opt-in escape hatch for unattended retention sweeps: fold the
+      // segments right here (one compaction commit) instead of letting
+      // a 1,000-DELETE night turn every read into a 1,000-branch chain.
+      // Off by default — compaction timing should normally be the
+      // operator's call (it rewrites the table), and the mutation that
+      // crossed the threshold has ALREADY committed either way.
+      if (spark.conf.getOption("spark.graft.table.pendingMutationsAutoFold")
+          .exists(_.toBoolean)) {
+        log.warn(s"pendingMutationsAutoFold is on: folding $path now")
+        compactBatches(spark, path)
+      }
     }
   }
 

@@ -582,7 +582,25 @@ class TableManifestSpec extends AnyFunSuite {
       TableManifest.deleteWhere(s, path, "id = 5")
       assert(TableManifest.lastDepthWarning.get().isEmpty,
         "after maintain the pending depth restarts from zero")
-    } finally s.conf.unset("spark.graft.table.pendingMutationsWarn")
+      // opt-in auto-fold: crossing the threshold folds immediately —
+      // the next mutation starts from a clean snapshot
+      s.conf.set("spark.graft.table.pendingMutationsAutoFold", "true")
+      // pending is already 1 (the id=5 delete): the chain crosses the
+      // threshold at id=7's commit, which auto-folds; id=8 then starts
+      // a fresh chain of one
+      TableManifest.deleteWhere(s, path, "id = 6")
+      TableManifest.deleteWhere(s, path, "id = 7") // threshold: auto-fold
+      assert(TableManifest.pendingDeletes(s, path) == 0,
+        "auto-fold must clear the pending segments at the threshold")
+      TableManifest.deleteWhere(s, path, "id = 8")
+      assert(TableManifest.pendingDeletes(s, path) == 1,
+        "below threshold again: no fold")
+      assert(ids(TableManifest.read(s, path)) ==
+        (9L to 20L).toSet + 4L) // 4 was UPDATED (still live), 1-3,5-8 gone
+    } finally {
+      s.conf.unset("spark.graft.table.pendingMutationsWarn")
+      s.conf.unset("spark.graft.table.pendingMutationsAutoFold")
+    }
   }
 
   test("updateWhere SET on a late-added column reaches null-padded " +
