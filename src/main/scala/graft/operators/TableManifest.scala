@@ -1042,6 +1042,57 @@ object TableManifest {
     IndexManifest.vacuum(spark, path, keep, payloadBase = "data",
       retainMs = retainMs)
 
+  /** Remove debris a CRASHED mutation left behind, so the next
+    * delete/update at its version slot doesn't spin into the
+    * "remove the orphan and retry" diagnostic by hand. Three classes,
+    * all invisible to readers by the commit protocol:
+    *
+    *  1. root `.data_pending_*` / `.update_pending_*` /
+    *     `.deletes_pending_*` staging dirs (crash before any claim);
+    *  2. claim dirs parked ABOVE the committed head with no marker —
+    *     `deletes_v{d}` / `data_v{d}` with `d > currentVersion` (crash
+    *     between the rename claim and the marker; these BLOCK the slot
+    *     for future mutations);
+    *  3. update-keyspace batch dirs `__batch = UpdateBase + d` in the
+    *     current payload with `d > currentVersion` (the update's second
+    *     claim, same crash window).
+    *
+    * An IN-FLIGHT mutation holds exactly the state of classes 2-3 for
+    * the duration of one write, so removal is age-guarded: only debris
+    * older than `olderThanMs` (default 1 h — orders of magnitude above
+    * any mutation's rename-to-marker window) goes. Called by
+    * [[maintain]]; returns the number of directories removed. */
+  def cleanOrphans(spark: SparkSession, path: String,
+      olderThanMs: Long = 3600000L): Int = {
+    val f = fs(spark, path)
+    val now = System.currentTimeMillis
+    val cur = IndexManifest.currentVersion(spark, path).getOrElse(-1L)
+    var removed = 0
+    def sweep(dir: String, matches: String => Boolean): Unit = {
+      val d = new org.apache.hadoop.fs.Path(dir)
+      if (f.exists(d)) f.listStatus(d).foreach { st =>
+        if (matches(st.getPath.getName) &&
+            now - st.getModificationTime > olderThanMs) {
+          if (f.delete(st.getPath, true)) {
+            removed += 1
+            log.warn(s"removed crashed-mutation orphan ${st.getPath}")
+          }
+        }
+      }
+    }
+    sweep(path, n => n.startsWith(".data_pending_") ||
+      n.startsWith(".update_pending_") || n.startsWith(".deletes_pending_"))
+    def above(n: String, prefix: String): Boolean =
+      n.startsWith(prefix) &&
+        n.stripPrefix(prefix).toLongOption.exists(_ > cur)
+    sweep(path, n => above(n, "deletes_v") || above(n, "data_v"))
+    payloadDir(spark, path).foreach(d =>
+      sweep(d, n => n.startsWith("__batch=") &&
+        n.stripPrefix("__batch=").toLongOption
+          .exists(b => b >= UpdateBase && b - UpdateBase > cur)))
+    removed
+  }
+
   /** One-call table maintenance — [[VectorIndex.maintain]]'s policy
     * surface on data tables: fold the append log when it exceeds
     * `maxBatches` partition dirs (read amplification and the per-batch
@@ -1060,6 +1111,7 @@ object TableManifest {
       schema: Option[StructType] = None, maxDeletes: Int = 8,
       retainMs: Long = 0L): DataFrame = {
     require(maxBatches >= 1 && keepVersions >= 1 && maxDeletes >= 1)
+    cleanOrphans(spark, path) // age-guarded: never touches in-flight work
     def batchCount: Int = payloadDir(spark, path) match {
       case None => 0
       case Some(d) => fs(spark, path)

@@ -632,6 +632,40 @@ class TableManifestSpec extends AnyFunSuite {
       "a pre-update value must not survive the update in any batch")
   }
 
+  test("cleanOrphans removes a crashed mutation's debris so the next " +
+    "mutation at that slot proceeds; fresh debris is left alone") {
+    val path = Files.createTempDirectory("tm_orphans").toString
+    val v0 = TableManifest.commitSnapshot(df(1L -> "a", 2L -> "b"), path)
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    import s.implicits._
+    // simulate every crash window: staged tmp dirs, a parked delete
+    // segment claim at head+1 (this one BLOCKS the slot), a parked
+    // payload dir, and an update-keyspace batch claim
+    Seq(("id = 1", 0L, -1L)).toDF("pred", "wm", "uwm")
+      .write.parquet(s"$path/.deletes_pending_crashed")
+    df(9L -> "x").write.parquet(s"$path/.update_pending_crashed")
+    Seq(("id = 1", 0L, -1L)).toDF("pred", "wm", "uwm")
+      .write.parquet(s"$path/deletes_v${v0 + 1}")
+    df(9L -> "x").write.parquet(s"$path/data_v${v0 + 9}")
+    val payload = s"$path/data_v" + TableManifest.versions(s, path).head
+    df(9L -> "x").write.parquet(
+      s"$payload/__batch=${(1L << 62) + v0 + 1}")
+    // younger than the horizon: everything stays (could be in flight)
+    assert(TableManifest.cleanOrphans(s, path) == 0)
+    assert(f.exists(new org.apache.hadoop.fs.Path(
+      s"$path/deletes_v${v0 + 1}")))
+    // past the horizon: all five go, and the blocked slot frees up
+    assert(TableManifest.cleanOrphans(s, path, olderThanMs = 0L) == 5)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(
+      s"$path/deletes_v${v0 + 1}")))
+    val vDel = TableManifest.deleteWhere(s, path, "id = 2")
+    assert(vDel == v0 + 1 && ids(TableManifest.read(s, path)) == Set(1L),
+      "the freed slot must serve the next mutation normally")
+    // committed state untouched throughout
+    assert(ids(TableManifest.readAt(s, path, v0)) == Set(1L, 2L))
+  }
+
   test("vacuum retention horizon refuses versions committed inside it") {
     val path = Files.createTempDirectory("tm_vac_retain").toString
     val v0 = TableManifest.commitSnapshot(df(1L -> "a"), path)
