@@ -211,7 +211,13 @@ object TableManifest {
     * version's append watermark is CARRIED FORWARD (replay safety: a
     * streaming batch at-or-below it no-ops instead of re-inserting rows
     * the snapshot already owns). Returns the committed version. */
-  def commitSnapshot(df: DataFrame, path: String): Long = {
+  def commitSnapshot(df: DataFrame, path: String): Long =
+    commitPayloadDir(df.sparkSession, path, stagePayload(df, path))
+
+  /** Write `df` as a staged snapshot payload (one `__batch=-1` fold
+    * partition) and return the tmp dir the commit protocols rename. */
+  private def stagePayload(df: DataFrame,
+      path: String): org.apache.hadoop.fs.Path = {
     val spark = df.sparkSession
     val tmp = new org.apache.hadoop.fs.Path(
       s"$path/.data_pending_${java.util.UUID.randomUUID}")
@@ -228,7 +234,62 @@ object TableManifest {
       spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
         .write.mode("overwrite").parquet(s"$tmp/__batch=-1")
-    commitPayloadDir(spark, path, tmp)
+    tmp
+  }
+
+  /** Commit a snapshot whose content DERIVES from the table itself
+    * (compaction, MERGE INTO) — the [[VectorIndex.compact]] optimistic
+    * re-derive loop on tables. [[commitSnapshot]] is last-writer-wins by
+    * design (a REPLACEMENT discards prior content), but a
+    * content-preserving fold that loses the marker race to an append
+    * must NOT re-claim its stale payload above the append — the
+    * appended rows would silently vanish from a table whose append
+    * marker committed fine (the keyed-stream × nightly-maintain race).
+    * So: pin `v0`, derive and stage from `v0`, CAS strictly at `v0+1`
+    * (tail-only marker), and on ANY intervening commit restart the
+    * derivation against the new head. `hook` runs between staging and
+    * the claim — the race-injection seam the specs use. */
+  private[graft] def commitDerivedSnapshot(spark: SparkSession,
+      path: String, derive: Long => DataFrame,
+      hook: () => Unit = () => ()): Long = {
+    val f = fs(spark, path)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 20,
+        s"derived snapshot at $path lost the commit race $attempt " +
+          "times in a row — retry under quieter write traffic")
+      val v0 = IndexManifest.currentVersion(spark, path).get
+      val tmp = stagePayload(derive(v0), path)
+      hook()
+      val d = v0 + 1
+      val dst = new org.apache.hadoop.fs.Path(s"$path/data_v$d")
+      var blockedTries = 0
+      var result = -1L // >= 0 committed; -1 claiming; -2 lost, re-derive
+      while (result == -1L) {
+        if (IndexManifest.currentVersion(spark, path).get != v0) {
+          result = -2L // anything intervening invalidates the content
+        } else if (!renameExclusive(f, tmp, dst)) {
+          blockedTries += 1
+          if (blockedTries > 100)
+            throw new IllegalStateException(
+              s"snapshot claim $dst blocks with no marker arriving — " +
+                s"likely a crashed committer's orphan at $path; " +
+                "maintain's cleanOrphans removes it")
+          Thread.sleep(20)
+        } else if (IndexManifest.tryCommitTagged(spark, path, d,
+            watermarkOf(spark, path, v0),
+            unkeyedWatermarkOf(spark, path, v0), "snapshot")) {
+          result = d
+        } else {
+          f.rename(dst, tmp)
+          result = -2L
+        }
+      }
+      if (result >= 0L) return result
+      f.delete(tmp, true) // stale content: re-derive at the new head
+    }
+    -1L // unreachable
   }
 
   /** CREATE TABLE: commit a ZERO-ROW snapshot that stays readable with
@@ -915,17 +976,20 @@ object TableManifest {
       keyCols: Seq[String], orderCols: Seq[String],
       schema: Option[StructType] = None): Long = {
     require(keyCols.nonEmpty && orderCols.nonEmpty)
-    val cur = read(spark, path, schema).withColumn("__src", lit(0L))
-    val src = source.withColumn("__src", lit(1L))
-    val payload = cur.columns.filterNot(keyCols.contains)
-    val merged = cur.unionByName(src)
-      .groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*),
-        struct(("__src" +: orderCols).map(col): _*)).as("__r"))
-      .select(keyCols.map(col) ++
-        payload.filterNot(_ == "__src")
-          .map(c => col(s"__r.$c").as(c)): _*)
-    commitSnapshot(merged, path)
+    // content derives from the table: the pinned re-derive commit, so
+    // an append racing the merge is folded by a retry, never lost
+    commitDerivedSnapshot(spark, path, { v0 =>
+      val cur = readAt(spark, path, v0, schema).withColumn("__src", lit(0L))
+      val src = source.withColumn("__src", lit(1L))
+      val payload = cur.columns.filterNot(keyCols.contains)
+      cur.unionByName(src)
+        .groupBy(keyCols.map(col): _*)
+        .agg(max_by(struct(payload.map(col): _*),
+          struct(("__src" +: orderCols).map(col): _*)).as("__r"))
+        .select(keyCols.map(col) ++
+          payload.filterNot(_ == "__src")
+            .map(c => col(s"__r.$c").as(c)): _*)
+    })
   }
 
   /** Merge-on-read resolve: latest row per `keyCols`, ordered by
@@ -1025,7 +1089,8 @@ object TableManifest {
     * committed version. */
   def compactBatches(spark: SparkSession, path: String,
       schema: Option[StructType] = None): Long =
-    commitSnapshot(read(spark, path, schema), path)
+    commitDerivedSnapshot(spark, path,
+      v0 => readAt(spark, path, v0, schema))
 
   /** Reclaim versions older than the `keep` most recent — the index
     * layer's expire-snapshots with the TABLE payload base: the reclaim

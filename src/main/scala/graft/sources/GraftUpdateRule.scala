@@ -263,10 +263,10 @@ case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] = {
     val src0 =
       org.apache.spark.sql.GraftColumnBridge.ofRows(spark, sourcePlan)
-    val tgt = TableManifest.read(spark, path)
+    val tgtSchema = TableManifest.read(spark, path).schema
     // align the source to the target schema by name (the INSERT * /
     // UPDATE SET * contract), coercing types the way the resolver would
-    val aligned = src0.select(tgt.schema.fields.map(f =>
+    val aligned = src0.select(tgtSchema.fields.map(f =>
       col(s"`${f.name}`").cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     // SQL cardinality rule: a target row may match at most ONE source
     // row — refuse duplicate source keys before anything commits
@@ -276,23 +276,27 @@ case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
     require(dup.isEmpty,
       s"MERGE cardinality violation: source has duplicate rows on " +
         s"(${keyCols.mkString(", ")}): ${dup.headOption.getOrElse("")}")
-    val kept = tgt.join(aligned.select(keyCols.map(col): _*),
-      keyCols, "left_anti")
-    val updated = tgt.select(keyCols.map(col): _*)
-      .join(aligned, keyCols, "inner")
-      .select(tgt.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
-    val inserted = aligned.join(tgt.select(keyCols.map(col): _*),
-      keyCols, "left_anti")
-    // the matched/inserted counts ride the WRITE pass as observed
-    // metrics (CollectMetrics on the union branches) — never separate
-    // count jobs that would re-run the joins; at scale the merge costs
-    // one join+write pass, full stop
-    val updObs = new org.apache.spark.sql.Observation()
-    val insObs = new org.apache.spark.sql.Observation()
-    val v = TableManifest.commitSnapshot(
+    // content derives from the table: commitDerivedSnapshot's pinned
+    // re-derive loop, so an append racing the merge is folded by a
+    // retry, never lost. The matched/inserted counts ride the WRITE
+    // pass as observed metrics (CollectMetrics on the union branches) —
+    // never separate count jobs; one join+write pass, full stop.
+    var updObs: org.apache.spark.sql.Observation = null
+    var insObs: org.apache.spark.sql.Observation = null
+    val v = TableManifest.commitDerivedSnapshot(spark, path, { v0 =>
+      val tgt = TableManifest.readAt(spark, path, v0)
+      val kept = tgt.join(aligned.select(keyCols.map(col): _*),
+        keyCols, "left_anti")
+      val updated = tgt.select(keyCols.map(col): _*)
+        .join(aligned, keyCols, "inner")
+        .select(tgt.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+      val inserted = aligned.join(tgt.select(keyCols.map(col): _*),
+        keyCols, "left_anti")
+      updObs = new org.apache.spark.sql.Observation()
+      insObs = new org.apache.spark.sql.Observation()
       kept.unionByName(updated.observe(updObs, count(lit(1)).as("n")))
-        .unionByName(inserted.observe(insObs, count(lit(1)).as("n"))),
-      path)
+        .unionByName(inserted.observe(insObs, count(lit(1)).as("n")))
+    })
     Seq(Row(v, updObs.get("n").asInstanceOf[Long],
       insObs.get("n").asInstanceOf[Long]))
   }

@@ -632,6 +632,37 @@ class TableManifestSpec extends AnyFunSuite {
       "a pre-update value must not survive the update in any batch")
   }
 
+  test("mutations landing during a table compact's rewrite are carried " +
+    "forward by the re-derive loop, never lost") {
+    // the index layer proved this for VectorIndex.compact; the table
+    // layer's fold must match — a keyed stream appending while nightly
+    // maintain folds is the race every real deployment hits. Inject an
+    // append AND a delete between the fold's staging and its claim: the
+    // stale staged payload must be thrown away and re-derived, so the
+    // appended row survives and the delete holds.
+    val path = Files.createTempDirectory("tm_compact_race").toString
+    TableManifest.commitSnapshot(df(1L -> "a", 2L -> "b"), path)
+    TableManifest.append(df(3L -> "c"), path)
+    TableManifest.deleteWhere(s, path, "id = 1")
+    var injected = false
+    val v = TableManifest.commitDerivedSnapshot(s, path,
+      v0 => TableManifest.readAt(s, path, v0), () => {
+        if (!injected) {
+          injected = true
+          TableManifest.append(df(100L -> "raced"), path)
+          TableManifest.deleteWhere(s, path, "id = 2")
+        }
+      })
+    assert(ids(TableManifest.read(s, path)) == Set(3L, 100L),
+      "the fold must carry the racing append AND the racing delete")
+    assert(TableManifest.versions(s, path).last == v)
+    assert(TableManifest.pendingDeletes(s, path) == 0,
+      "the re-derived fold absorbs the racing delete's segment too")
+    // compact again: quiet path, content invariant
+    TableManifest.compactBatches(s, path)
+    assert(ids(TableManifest.read(s, path)) == Set(3L, 100L))
+  }
+
   test("cleanOrphans removes a crashed mutation's debris so the next " +
     "mutation at that slot proceeds; fresh debris is left alone") {
     val path = Files.createTempDirectory("tm_orphans").toString
