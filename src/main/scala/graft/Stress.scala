@@ -46,6 +46,14 @@ import org.apache.spark.sql.functions._
   *                           min-label propagation cannot finish; the
   *                           star contraction converges in O(log² n)
   *                           rounds; sfDir unused)
+  *   mode "morupdate":       MoR UPDATE vs CoW rewrite cost across 10×
+  *                           table volume, fixed 1000-row match; pending
+  *                           read tax before/after maintain (sfDir unused)
+  *   mode "mordepth":        read cost vs unfolded delete-segment depth
+  *                           (0 / N/2 / N segments), then folded — the
+  *                           number the depth guard pages about
+  *   mode "bloomrefresh":    Bloom artifact BUILD at 256/1024 batches —
+  *                           executor-resident, driver blob bytes 0
   *   mode "kll":             mergeable KLL quantile sketch build+merge
   *                           over copies×1M doubles in 30 day-keys, with
   *                           the p50/p99 rank bound verified exactly
