@@ -74,7 +74,13 @@ class GraftCatalog extends TableCatalog
   override def loadTable(ident: Identifier): Table = {
     val p = pathOf(ident)
     if (!TableManifest.exists(spark, p)) throw new NoSuchTableException(ident)
-    new GraftTable(p, None, None)
+    // serve the MERGED schema: an evolved table's late-added columns are
+    // visible to SQL (null-padded over legacy batches — the manifest's
+    // documented evolved-read contract) instead of silently absent
+    // until the next compaction; identical to the plain schema on
+    // non-evolved tables, memoized per (path, version)
+    new GraftTable(p, None,
+      Some(GraftTableSource.tableSchema(spark, p, None, mergeSchema = true)))
   }
 
   /** `VERSION AS OF <v>` — the analyzer's time-travel hook. */
@@ -89,7 +95,8 @@ class GraftCatalog extends TableCatalog
     require(TableManifest.versions(spark, p).contains(v),
       s"version $v of $p was never committed or has been vacuumed " +
         s"(retained: ${TableManifest.versions(spark, p).mkString(", ")})")
-    new GraftTable(p, Some(v), None)
+    new GraftTable(p, Some(v), Some(
+      GraftTableSource.tableSchema(spark, p, Some(v), mergeSchema = true)))
   }
 
   /** `TIMESTAMP AS OF <t>` — resolved to the newest version committed
@@ -108,7 +115,8 @@ class GraftCatalog extends TableCatalog
           "retained commit is newer, or the table did not exist yet) — " +
           "pin an exact version with VERSION AS OF " +
           s"(retained: ${TableManifest.versions(spark, p).mkString(", ")})"))
-    new GraftTable(p, Some(v), None)
+    new GraftTable(p, Some(v), Some(
+      GraftTableSource.tableSchema(spark, p, Some(v), mergeSchema = true)))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -109,8 +109,11 @@ case class GraftUpdateCommand(path: String,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val before = TableManifest.versions(spark, path).last
+    // merged schema: a SET on a late-added column reaches null-padded
+    // legacy batches, matching the catalog's read surface
     val v = TableManifest.updateWhere(spark, path, predicateSql,
-      assignments)
+      assignments, Some(GraftTableSource.tableSchema(spark, path, None,
+        mergeSchema = true)))
     val n = if (v == before) 0L
       else TableManifest.updatedRowCount(spark, path, v)
     Seq(Row(v, n))
@@ -151,7 +154,9 @@ case class GraftDeleteCommand(path: String, predicateSql: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
-    TableManifest.deleteWhere(spark, path, predicateSql)
+    TableManifest.deleteWhere(spark, path, predicateSql,
+      Some(GraftTableSource.tableSchema(spark, path, None,
+        mergeSchema = true)))
     Nil
   }
 }
@@ -263,7 +268,8 @@ case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] = {
     val src0 =
       org.apache.spark.sql.GraftColumnBridge.ofRows(spark, sourcePlan)
-    val tgtSchema = TableManifest.read(spark, path).schema
+    val tgtSchema =
+      GraftTableSource.tableSchema(spark, path, None, mergeSchema = true)
     // align the source to the target schema by name (the INSERT * /
     // UPDATE SET * contract), coercing types the way the resolver would
     val aligned = src0.select(tgtSchema.fields.map(f =>
@@ -284,7 +290,7 @@ case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
     var updObs: org.apache.spark.sql.Observation = null
     var insObs: org.apache.spark.sql.Observation = null
     val v = TableManifest.commitDerivedSnapshot(spark, path, { v0 =>
-      val tgt = TableManifest.readAt(spark, path, v0)
+      val tgt = TableManifest.readAt(spark, path, v0, Some(tgtSchema))
       val kept = tgt.join(aligned.select(keyCols.map(col): _*),
         keyCols, "left_anti")
       val updated = tgt.select(keyCols.map(col): _*)

@@ -195,6 +195,32 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
+  test("evolved tables through the catalog: late-added columns are " +
+    "SQL-visible (null-padded) and updatable, pre-compaction") {
+    val p = tmp("evosql")
+    TableManifest.commitSnapshot(s.range(5).select(col("id")), p)
+    import org.apache.spark.sql.types._
+    TableManifest.append( // evolved append carries a NEW column
+      s.range(5, 7).select(col("id"),
+        concat(lit("t"), col("id").cast("string")).as("tag")), p)
+    // the catalog serves the MERGED schema: both columns, legacy rows
+    // null-padded — previously the late column was silently absent
+    assert(s.sql(s"SELECT * FROM graft.`$p`").columns.toSeq ==
+      Seq("id", "tag"))
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p` WHERE tag IS NULL")
+      .head().getLong(0) == 5)
+    // SQL UPDATE on the late-added column reaches the legacy batches
+    val r = s.sql(s"UPDATE graft.`$p` " +
+      "SET tag = coalesce(tag, 'pad') WHERE id <= 5").head()
+    assert(r.getLong(1) == 6, s"rows_updated: ${r.getLong(1)}")
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p` WHERE tag = 'pad'")
+      .head().getLong(0) == 5)
+    // and SQL DELETE predicates on it work too
+    s.sql(s"DELETE FROM graft.`$p` WHERE tag = 't5'")
+    assert(s.sql(s"SELECT id FROM graft.`$p` ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L, 6L))
+  }
+
   test("DDL surface: CTAS, INSERT OVERWRITE, REPLACE TABLE, and " +
     "TRUNCATE all land as manifest commits; empties stay readable") {
     val p = tmp("ddl")
