@@ -201,8 +201,12 @@ private[sources] object GraftProcedures {
     override protected def run(a: InternalRow): Seq[InternalRow] = {
       val p = str(a, 0)
       val before = TableManifest.versions(spark, p).last
+      // merged schema: SET on a late-added column reaches null-padded
+      // legacy batches, like the analyzer-route UPDATE
       val v = TableManifest.updateWhere(spark, p, str(a, 2),
-        parseSet(str(a, 1)))
+        parseSet(str(a, 1)),
+        Some(GraftTableSource.tableSchema(spark, p, None,
+          mergeSchema = true)))
       val n = if (v == before) 0L // no-match: nothing committed
         else TableManifest.updatedRowCount(spark, p, v)
       Seq(InternalRow(v, n))
