@@ -1660,6 +1660,63 @@ object MiscQueries {
              |FROM post GROUP BY event_type ORDER BY event_type"""
         .stripMargin)),
 
+    // The evolved-table SQL surface end to end: the catalog serves the
+    // MERGED schema, so a late-added column is SQL-visible (null-padded
+    // over legacy batches) and both analyzer-route DML commands reach
+    // it — the UPDATE's SET expression reads the padded null, the
+    // DELETE's predicate filters on post-update values of the evolved
+    // column. DuckDB mirrors the whole lifecycle with CTEs.
+    Q("q_graft_evolved_sql",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        s.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_evo_sql").toString
+        val e = Tables.events(s, dir)
+        TableManifest.commitSnapshot(
+          e.filter(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("event_type"), col("value")), path)
+        TableManifest.append(
+          e.filter(col("event_id") % 2 === 1)
+            .select(col("event_id"), col("event_type"), col("value"),
+              col("user_id")), path)
+        s.sql(s"UPDATE graft.`$path` " +
+          "SET user_id = coalesce(user_id, -1) + 1000000 " +
+          "WHERE event_id % 3 = 0")
+        s.sql(s"DELETE FROM graft.`$path` " +
+          "WHERE user_id = 999999 AND event_id % 6 = 0")
+        s.sql(
+          s"""SELECT event_type, count(*) AS n,
+             |  count(user_id) AS n_evolved,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM graft.`$path`
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""WITH evo AS (
+             |  SELECT event_id, event_type, value,
+             |         CAST(NULL AS BIGINT) AS user_id
+             |  FROM events WHERE event_id % 2 = 0
+             |  UNION ALL
+             |  SELECT event_id, event_type, value, user_id
+             |  FROM events WHERE event_id % 2 = 1),
+             |upd AS (
+             |  SELECT event_id, event_type, value,
+             |    CASE WHEN event_id % 3 = 0
+             |         THEN coalesce(user_id, -1) + 1000000
+             |         ELSE user_id END AS user_id
+             |  FROM evo),
+             |del AS (
+             |  SELECT * FROM upd WHERE NOT coalesce(
+             |    user_id = 999999 AND event_id % 6 = 0, false))
+             |SELECT event_type, count(*) AS n,
+             |  count(user_id) AS n_evolved,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM del GROUP BY event_type ORDER BY event_type"""
+        .stripMargin)),
+
     // Analyzer-native SQL MERGE INTO (GraftMergeRule): the canonical
     // upsert — WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
     // INSERT * over a key-equality ON — lands as one snapshot commit of
