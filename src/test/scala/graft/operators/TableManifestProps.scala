@@ -47,6 +47,54 @@ class TableManifestProps extends AnyFunSuite {
     assert(got == want, s"concurrent appends lost or duplicated rows: $got")
   }
 
+  test("threaded chaos: appenders, a deleter, an updater, and a " +
+    "compactor race freely — every effect lands, nothing is lost") {
+    // effects are key-disjoint so the final state is order-independent:
+    //  - base rows  [0, 100): survive, except...
+    //  - the deleter removes id < 10 (base-only range)
+    //  - the updater rewrites v += 1000000 for id in [50, 60)
+    //  - appenders add unique ids >= 10000 (never matched by either)
+    //  - the compactor folds twice along the way (content no-op)
+    val path = java.nio.file.Files
+      .createTempDirectory("tm_props_chaos").toString
+    TableManifest.commitSnapshot(
+      df((0L until 100L).map(i => (i, i))), path)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def worker(f: => Unit) = new Thread(() =>
+      try f catch { case t: Throwable => failures.add(t) })
+    val appenders = (0 until 3).map(a => worker {
+      (0 until 4).foreach(j =>
+        TableManifest.append(
+          df(Seq((10000L + a * 100 + j, 7L))), path))
+    })
+    val deleter = worker {
+      TableManifest.deleteWhere(s, path, "id < 5")
+      TableManifest.deleteWhere(s, path, "id >= 5 AND id < 10")
+    }
+    val updater = worker {
+      TableManifest.updateWhere(s, path, "id >= 50 AND id < 60",
+        Seq("v" -> "v + 1000000"))
+    }
+    val compactor = worker {
+      TableManifest.compactBatches(s, path)
+      Thread.sleep(50)
+      TableManifest.compactBatches(s, path)
+    }
+    val all = appenders ++ Seq(deleter, updater, compactor)
+    all.foreach(_.start()); all.foreach(_.join(120000))
+    assert(failures.isEmpty, s"chaos workers threw: $failures")
+    val got = rowsOf(TableManifest.read(s, path))
+    val want = (
+      (10L until 100L).map(i =>
+        (i, if (i >= 50 && i < 60) i + 1000000L else i)) ++
+      (for (a <- 0 until 3; j <- 0 until 4)
+        yield (10000L + a * 100 + j, 7L))
+    ).map(_ -> 1).toMap
+    assert(got == want,
+      s"chaos end state diverged: missing=${want.keySet -- got.keySet} " +
+        s"extra=${got.keySet -- want.keySet}")
+  }
+
   test("random op sequences: live, pinned, counted, and fed reads all " +
     "match the reference model") {
     (1 to 3).foreach { seed =>

@@ -133,6 +133,33 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally { cdc.stop(); ins.stop() }
   }
 
+  test("a mid-stream compaction emits nothing (content no-op) and the " +
+    "stream keeps following appends across the new payload") {
+    val p = tmp("compactfollow")
+    TableManifest.commitSnapshot(seed(0, 50), p)
+    val q = s.readStream.format("graft").load(p)
+      .writeStream.format("memory").queryName("gss_compact")
+      .option("checkpointLocation", tmp("compact_ck")).start()
+    try {
+      q.processAllAvailable()
+      assert(s.table("gss_compact").count() == 50)
+      TableManifest.append(seed(50, 60), p)
+      TableManifest.deleteWhere(s, p, "id < 5")
+      TableManifest.compactBatches(s, p) // fold: rows unchanged as a set
+      q.processAllAvailable()
+      val got = s.table("gss_compact")
+      // the insert-only feed saw the 10 appended rows once; the fold
+      // added nothing (its diff vs the pre-fold state is empty)
+      assert(got.count() == 60,
+        s"fold must not re-emit or duplicate rows: ${got.count()}")
+      assert(got.select(col("id")).distinct().count() == 60)
+      // and the stream keeps following appends into the NEW payload
+      TableManifest.append(seed(60, 70), p)
+      q.processAllAvailable()
+      assert(s.table("gss_compact").count() == 70)
+    } finally q.stop()
+  }
+
   test("sink: append mode lands micro-batches as keyed manifest appends," +
     " exactly-once through a checkpoint restart") {
     val src = tmp("sink_src")
