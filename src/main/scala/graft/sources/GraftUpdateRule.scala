@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
   AttributeReference, EqualTo, Expression, PlanExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
-  InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias,
-  UpdateStarAction, UpdateTable, DeleteFromTable}
+  DeleteAction, InsertStarAction, LogicalPlan, MergeIntoTable,
+  SubqueryAlias, UpdateStarAction, UpdateTable, DeleteFromTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -168,6 +168,7 @@ case class GraftDeleteCommand(path: String, predicateSql: String)
   *   MERGE INTO graft.t AS t USING src AS s ON t.k = s.k [AND ...]
   *   WHEN MATCHED THEN UPDATE SET *
   *   WHEN NOT MATCHED THEN INSERT *
+  *   [WHEN NOT MATCHED BY SOURCE THEN DELETE]   -- sync-to-source
   * }}}
   *
   * Registered post-hoc by [[graft.GraftExtensions]]. The translation is
@@ -204,11 +205,15 @@ object GraftMergeRule extends Rule[LogicalPlan] {
             require(!m.withSchemaEvolution,
               "graft MERGE does not support WITH SCHEMA EVOLUTION — " +
                 "evolve via an explicit different-arity append instead")
-            require(m.notMatchedBySourceActions.isEmpty,
-              "graft MERGE supports WHEN MATCHED UPDATE SET * and WHEN " +
-                "NOT MATCHED INSERT * only (unmatched target rows pass " +
-                "through); use TableManifest.deleteWhere for " +
-                "not-matched-by-source deletes")
+            val dropUnmatchedTarget = m.notMatchedBySourceActions match {
+              case Nil => false // unmatched target rows pass through
+              case Seq(DeleteAction(None)) => true // full sync-to-source
+              case other => throw new IllegalArgumentException(
+                "graft MERGE supports WHEN NOT MATCHED BY SOURCE THEN " +
+                  s"DELETE (unconditional) or no clause, got: $other — " +
+                  "use TableManifest.deleteWhere for conditional " +
+                  "not-matched-by-source logic")
+            }
             (m.matchedActions, m.notMatchedActions) match {
               case (Seq(UpdateStarAction(None)),
                     Seq(InsertStarAction(None))) => ()
@@ -237,7 +242,8 @@ object GraftMergeRule extends Rule[LogicalPlan] {
                 "graft MERGE ON must be a conjunction of target-column " +
                   s"= source-column equalities, got: ${other.sql}")
             }
-            GraftMergeCommand(t.tablePath, m.sourceTable, keys)
+            GraftMergeCommand(t.tablePath, m.sourceTable, keys,
+              dropUnmatchedTarget)
           case None => m
         }
     }
@@ -256,7 +262,8 @@ object GraftMergeRule extends Rule[LogicalPlan] {
   * keys; AQE broadcasts a small source. Returns
   * (version, rows_matched, rows_inserted). */
 case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
-    keyCols: Seq[String]) extends LeafRunnableCommand {
+    keyCols: Seq[String], dropUnmatchedTarget: Boolean = false)
+    extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(sourcePlan)
 
@@ -291,8 +298,12 @@ case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
     var insObs: org.apache.spark.sql.Observation = null
     val v = TableManifest.commitDerivedSnapshot(spark, path, { v0 =>
       val tgt = TableManifest.readAt(spark, path, v0, Some(tgtSchema))
-      val kept = tgt.join(aligned.select(keyCols.map(col): _*),
-        keyCols, "left_anti")
+      // WHEN NOT MATCHED BY SOURCE THEN DELETE: unmatched target rows
+      // drop instead of passing through — the sync-to-source idiom
+      val kept =
+        if (dropUnmatchedTarget) tgt.limit(0)
+        else tgt.join(aligned.select(keyCols.map(col): _*),
+          keyCols, "left_anti")
       val updated = tgt.select(keyCols.map(col): _*)
         .join(aligned, keyCols, "inner")
         .select(tgt.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)

@@ -285,6 +285,29 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"""MERGE INTO graft.`$p` AS t USING mrg_src AS s ON t.id >= s.id
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    // WHEN NOT MATCHED BY SOURCE THEN DELETE: sync-to-source — the
+    // unmatched target rows (ids 0..4) drop, everything else is the
+    // source's values
+    s.range(8, 12).select(col("id"), (col("id") * 1000).as("v"))
+      .createOrReplaceTempView("mrg_sync")
+    val r2 = s.sql(
+      s"""MERGE INTO graft.`$p` AS t USING mrg_sync AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).head()
+    val synced = s.sql(s"SELECT id, v FROM graft.`$p` ORDER BY id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(synced == (8L to 11L).map(i => i -> i * 1000),
+      s"sync-to-source must leave exactly the source: $synced")
+    assert(r2.getLong(1) == 4 && r2.getLong(2) == 0)
+    // a CONDITIONAL not-matched-by-source clause is outside the
+    // translation: refuse
+    intercept[Exception](s.sql(
+      s"""MERGE INTO graft.`$p` AS t USING mrg_sync AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.v > 0 THEN DELETE"""
+        .stripMargin))
   }
 
   test("CALL procedures: the maintenance runbook is plain SQL —" +
