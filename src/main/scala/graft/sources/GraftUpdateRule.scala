@@ -214,15 +214,25 @@ object GraftMergeRule extends Rule[LogicalPlan] {
                   "use TableManifest.deleteWhere for conditional " +
                   "not-matched-by-source logic")
             }
-            (m.matchedActions, m.notMatchedActions) match {
-              case (Seq(UpdateStarAction(None)),
-                    Seq(InsertStarAction(None))) => ()
+            val matchedMode = m.matchedActions match {
+              case Seq(UpdateStarAction(None)) => "update" // upsert half
+              case Seq(DeleteAction(None))     => "delete" // key-list del
+              case Nil                         => "keep"   // insert-only
               case other => throw new IllegalArgumentException(
-                "graft MERGE supports exactly WHEN MATCHED THEN UPDATE " +
-                  "SET * and WHEN NOT MATCHED THEN INSERT * (no clause " +
-                  s"conditions), got: $other — use " +
+                "graft MERGE supports WHEN MATCHED THEN UPDATE SET * or " +
+                  "WHEN MATCHED THEN DELETE (unconditional) or no " +
+                  s"matched clause, got: $other — use " +
                   "TableManifest.mergeInto for custom merge logic")
             }
+            val insertNew = m.notMatchedActions match {
+              case Seq(InsertStarAction(None)) => true
+              case Nil                         => false
+              case other => throw new IllegalArgumentException(
+                "graft MERGE supports WHEN NOT MATCHED THEN INSERT * " +
+                  s"(unconditional) or no clause, got: $other")
+            }
+            require(matchedMode != "keep" || insertNew ||
+              dropUnmatchedTarget, "MERGE needs at least one clause")
             val tgtOut = m.targetTable.outputSet
             val srcOut = m.sourceTable.outputSet
             val cond = m.mergeCondition.transformUp {
@@ -243,7 +253,7 @@ object GraftMergeRule extends Rule[LogicalPlan] {
                   s"= source-column equalities, got: ${other.sql}")
             }
             GraftMergeCommand(t.tablePath, m.sourceTable, keys,
-              dropUnmatchedTarget)
+              dropUnmatchedTarget, matchedMode, insertNew)
           case None => m
         }
     }
@@ -255,14 +265,18 @@ object GraftMergeRule extends Rule[LogicalPlan] {
 }
 
 /** The planted merge command: one CoW snapshot commit of
-  * `kept ∪ updated ∪ inserted` — kept = target rows with no source key
-  * match (anti join), updated = the inner join's SOURCE rows (one per
-  * MATCHED TARGET row, so target-side multiplicity is preserved),
-  * inserted = source rows with no target match. Shuffles on the merge
-  * keys; AQE broadcasts a small source. Returns
-  * (version, rows_matched, rows_inserted). */
+  * `kept ∪ matched ∪ inserted` — kept = target rows with no source key
+  * match (anti join; dropped entirely under NOT MATCHED BY SOURCE
+  * DELETE), matched = per `matchedMode`: the inner join's SOURCE rows
+  * (UPDATE SET * — one per MATCHED TARGET row, so target-side
+  * multiplicity is preserved), nothing (DELETE — the key-list deletion
+  * idiom), or the matched target rows unchanged (no matched clause —
+  * insert-if-absent), inserted = source rows with no target match when
+  * INSERT * is present. Shuffles on the merge keys; AQE broadcasts a
+  * small source. Returns (version, rows_matched, rows_inserted). */
 case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
-    keyCols: Seq[String], dropUnmatchedTarget: Boolean = false)
+    keyCols: Seq[String], dropUnmatchedTarget: Boolean = false,
+    matchedMode: String = "update", insertNew: Boolean = true)
     extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(sourcePlan)
@@ -296,6 +310,7 @@ case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
     // never separate count jobs; one join+write pass, full stop.
     var updObs: org.apache.spark.sql.Observation = null
     var insObs: org.apache.spark.sql.Observation = null
+    var nMatchedDeleted = 0L
     val v = TableManifest.commitDerivedSnapshot(spark, path, { v0 =>
       val tgt = TableManifest.readAt(spark, path, v0, Some(tgtSchema))
       // WHEN NOT MATCHED BY SOURCE THEN DELETE: unmatched target rows
@@ -304,17 +319,33 @@ case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
         if (dropUnmatchedTarget) tgt.limit(0)
         else tgt.join(aligned.select(keyCols.map(col): _*),
           keyCols, "left_anti")
-      val updated = tgt.select(keyCols.map(col): _*)
-        .join(aligned, keyCols, "inner")
-        .select(tgt.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
-      val inserted = aligned.join(tgt.select(keyCols.map(col): _*),
-        keyCols, "left_anti")
+      val matched = matchedMode match {
+        case "update" => tgt.select(keyCols.map(col): _*)
+          .join(aligned, keyCols, "inner")
+          .select(tgt.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+        case "delete" =>
+          // deleted rows never reach the written union, so their count
+          // can't ride it as an observed metric — one keys-only semi
+          // count per attempt (column-pruned scan), audit-only
+          nMatchedDeleted = tgt.select(keyCols.map(col): _*)
+            .join(aligned.select(keyCols.map(col): _*), keyCols,
+              "left_semi").count()
+          tgt.limit(0) // matched target rows drop
+        case _ => tgt.join(aligned.select(keyCols.map(col): _*),
+          keyCols, "left_semi") // matched rows pass through unchanged
+      }
+      val inserted =
+        if (insertNew) aligned.join(tgt.select(keyCols.map(col): _*),
+          keyCols, "left_anti")
+        else aligned.limit(0)
       updObs = new org.apache.spark.sql.Observation()
       insObs = new org.apache.spark.sql.Observation()
-      kept.unionByName(updated.observe(updObs, count(lit(1)).as("n")))
+      kept.unionByName(matched.observe(updObs, count(lit(1)).as("n")))
         .unionByName(inserted.observe(insObs, count(lit(1)).as("n")))
     })
-    Seq(Row(v, updObs.get("n").asInstanceOf[Long],
-      insObs.get("n").asInstanceOf[Long]))
+    val nMatched =
+      if (matchedMode == "delete") nMatchedDeleted
+      else updObs.get("n").asInstanceOf[Long]
+    Seq(Row(v, nMatched, insObs.get("n").asInstanceOf[Long]))
   }
 }

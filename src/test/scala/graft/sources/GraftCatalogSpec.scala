@@ -308,6 +308,29 @@ class GraftCatalogSpec extends AnyFunSuite {
          |WHEN NOT MATCHED THEN INSERT *
          |WHEN NOT MATCHED BY SOURCE AND t.v > 0 THEN DELETE"""
         .stripMargin))
+    // WHEN MATCHED THEN DELETE alone: key-list deletion (the GDPR
+    // by-id-list shape) — table currently holds ids 8..11
+    s.range(9, 11).select(col("id"), lit(0L).as("v"))
+      .createOrReplaceTempView("mrg_del")
+    val r3 = s.sql(
+      s"""MERGE INTO graft.`$p` AS t USING mrg_del AS s ON t.id = s.id
+         |WHEN MATCHED THEN DELETE""".stripMargin).head()
+    assert(r3.getLong(1) == 2 && r3.getLong(2) == 0,
+      s"matched-delete counts: ${r3.getLong(1)}/${r3.getLong(2)}")
+    assert(s.sql(s"SELECT id FROM graft.`$p` ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(8L, 11L))
+    // WHEN NOT MATCHED THEN INSERT * alone: insert-if-absent — the
+    // matched source row (id 8) must NOT overwrite the target's value
+    s.range(7, 9).select(col("id"), lit(-5L).as("v"))
+      .createOrReplaceTempView("mrg_ins")
+    val r4 = s.sql(
+      s"""MERGE INTO graft.`$p` AS t USING mrg_ins AS s ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+    assert(r4.getLong(1) == 1 && r4.getLong(2) == 1)
+    val after = s.sql(s"SELECT id, v FROM graft.`$p` ORDER BY id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(after == Seq(7L -> -5L, 8L -> 8000L, 11L -> 11000L),
+      s"insert-if-absent must keep the matched target row: $after")
   }
 
   test("CALL procedures: the maintenance runbook is plain SQL —" +
