@@ -1745,15 +1745,41 @@ object MiscQueries {
              |ON t.event_id = s.event_id
              |WHEN MATCHED THEN UPDATE SET *
              |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+        // stage 2: WHEN MATCHED THEN DELETE — key-list deletion
+        e.filter(col("event_id") % 11 === 0)
+          .createOrReplaceTempView("gsm_del")
+        val r2 = s.sql(
+          s"""MERGE INTO graft.`$path` AS t USING gsm_del AS s
+             |ON t.event_id = s.event_id
+             |WHEN MATCHED THEN DELETE""".stripMargin).head()
+        // stage 3: WHEN NOT MATCHED THEN INSERT * — insert-if-absent:
+        // only the key-deleted %11 rows among %13 re-enter, renamed
+        e.filter(col("event_id") % 13 === 0)
+          .withColumn("event_type", concat(lit("ins_"), col("event_type")))
+          .createOrReplaceTempView("gsm_ins")
         s.sql(
+          s"""MERGE INTO graft.`$path` AS t USING gsm_ins AS s
+             |ON t.event_id = s.event_id
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+        def agg(fromSql: String, tag: String) = s.sql(
           s"""SELECT event_type, count(*) AS n,
              |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
              |    AS sum_value
-             |FROM graft.`$path`
-             |GROUP BY event_type""".stripMargin)
+             |FROM $fromSql GROUP BY event_type""".stripMargin)
+          .withColumn("stage", lit(tag))
+        agg(s"graft.`$path` VERSION AS OF ${r.getLong(0)}", "upsert")
           .withColumn("rows_matched", lit(r.getLong(1)))
           .withColumn("rows_inserted", lit(r.getLong(2)))
-          .orderBy(col("event_type"))
+          .unionByName(
+            agg(s"graft.`$path` VERSION AS OF ${r2.getLong(0)}", "keydel")
+              .withColumn("rows_matched", lit(r2.getLong(1)))
+              .withColumn("rows_inserted", lit(r2.getLong(2))))
+          .unionByName(agg(s"graft.`$path`", "insabs")
+            .withColumn("rows_matched", lit(-1L))
+            .withColumn("rows_inserted", lit(-1L)))
+          .select(col("stage"), col("event_type"), col("n"),
+            col("sum_value"), col("rows_matched"), col("rows_inserted"))
+          .orderBy(col("stage"), col("event_type"))
       },
       Some("""WITH src AS (
              |  SELECT event_id, user_id, 'm_' || event_type AS event_type,
@@ -1765,16 +1791,37 @@ object MiscQueries {
              |m AS (
              |  SELECT event_id, user_id, event_type, value FROM events
              |  WHERE event_id NOT IN (SELECT event_id FROM src)
-             |  UNION ALL SELECT * FROM src)
-             |SELECT event_type, count(*) AS n,
+             |  UNION ALL SELECT * FROM src),
+             |m2 AS (
+             |  SELECT * FROM m WHERE event_id NOT IN
+             |    (SELECT event_id FROM events WHERE event_id % 11 = 0)),
+             |m3 AS (
+             |  SELECT * FROM m2
+             |  UNION ALL
+             |  SELECT event_id, user_id, 'ins_' || event_type, value
+             |  FROM events WHERE event_id % 13 = 0
+             |    AND event_id NOT IN (SELECT event_id FROM m2)),
+             |a1 AS (SELECT 'upsert' AS stage, event_type, count(*) AS n,
              |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
              |    AS sum_value,
              |  (SELECT count(*) FROM events WHERE event_id % 7 = 0)
              |    AS rows_matched,
              |  (SELECT count(*) FROM events WHERE event_id % 997 = 0)
              |    AS rows_inserted
-             |FROM m GROUP BY event_type ORDER BY event_type"""
-        .stripMargin)),
+             |  FROM m GROUP BY event_type),
+             |a2 AS (SELECT 'keydel', event_type, count(*),
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE),
+             |  (SELECT count(*) FROM m WHERE event_id IN
+             |    (SELECT event_id FROM events WHERE event_id % 11 = 0)),
+             |  0
+             |  FROM m2 GROUP BY event_type),
+             |a3 AS (SELECT 'insabs', event_type, count(*),
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE),
+             |  -1, -1
+             |  FROM m3 GROUP BY event_type)
+             |SELECT * FROM a1 UNION ALL SELECT * FROM a2
+             |UNION ALL SELECT * FROM a3
+             |ORDER BY stage, event_type""".stripMargin)),
 
     // The full operator runbook as plain SQL: an append-log table takes a
     // MoR DELETE, `CALL graft.maintain` folds the log and physically
