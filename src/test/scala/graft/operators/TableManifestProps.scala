@@ -53,7 +53,8 @@ class TableManifestProps extends AnyFunSuite {
     //  - base rows  [0, 100): survive, except...
     //  - the deleter removes id < 10 (base-only range)
     //  - the updater rewrites v += 1000000 for id in [50, 60)
-    //  - appenders add unique ids >= 10000 (never matched by either)
+    //  - the merger upserts v = 555 for id in [90, 100) (source wins)
+    //  - appenders add unique ids >= 10000 (never matched by any)
     //  - the compactor folds twice along the way (content no-op)
     val path = java.nio.file.Files
       .createTempDirectory("tm_props_chaos").toString
@@ -80,13 +81,22 @@ class TableManifestProps extends AnyFunSuite {
       Thread.sleep(50)
       TableManifest.compactBatches(s, path)
     }
-    val all = appenders ++ Seq(deleter, updater, compactor)
+    // upserts keys [90, 100) (base-only, disjoint from every other
+    // effect) — the CoW merge's re-derive loop under real threads
+    val merger = worker {
+      TableManifest.mergeInto(s, path,
+        df((90L until 100L).map(i => (i, 555L))),
+        keyCols = Seq("id"), orderCols = Seq("v"))
+    }
+    val all = appenders ++ Seq(deleter, updater, compactor, merger)
     all.foreach(_.start()); all.foreach(_.join(120000))
     assert(failures.isEmpty, s"chaos workers threw: $failures")
     val got = rowsOf(TableManifest.read(s, path))
     val want = (
       (10L until 100L).map(i =>
-        (i, if (i >= 50 && i < 60) i + 1000000L else i)) ++
+        (i, if (i >= 90L) 555L
+            else if (i >= 50 && i < 60) i + 1000000L
+            else i)) ++
       (for (a <- 0 until 3; j <- 0 until 4)
         yield (10000L + a * 100 + j, 7L))
     ).map(_ -> 1).toMap
