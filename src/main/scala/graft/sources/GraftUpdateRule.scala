@@ -161,29 +161,36 @@ case class GraftDeleteCommand(path: String, predicateSql: String)
   }
 }
 
-/** Analyzer-native SQL `MERGE INTO` on graft tables, for the canonical
-  * upsert shape:
+/** Analyzer-native SQL `MERGE INTO` on graft tables:
   *
   * {{{
   *   MERGE INTO graft.t AS t USING src AS s ON t.k = s.k [AND ...]
-  *   WHEN MATCHED THEN UPDATE SET *
-  *   WHEN NOT MATCHED THEN INSERT *
-  *   [WHEN NOT MATCHED BY SOURCE THEN DELETE]   -- sync-to-source
+  *   [WHEN MATCHED [AND cond] THEN UPDATE SET * | DELETE] ...
+  *   [WHEN NOT MATCHED [AND cond] THEN INSERT *] ...
+  *   [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE] ...
   * }}}
   *
-  * Registered post-hoc by [[graft.GraftExtensions]]. The translation is
-  * deliberately narrow (the refuse-untranslatable discipline): the ON
-  * condition must be a conjunction of target-column = source-column
-  * equalities, the only matched action `UPDATE SET *`, the only
-  * not-matched action `INSERT *`, no not-matched-by-source clauses, no
-  * schema evolution — anything else fails at analysis with the library
-  * route (`TableManifest.mergeInto`) named in the error. Semantics are
-  * exact SQL MERGE: matched target rows are replaced by their source
-  * row (multiplicity preserved — two target rows on one key both
-  * update), unmatched target rows pass through untouched (null-key rows
-  * never match, the 3VL join rule), unmatched source rows insert, and a
-  * source key matching several SOURCE rows is the standard cardinality
-  * violation, refused at run time before anything commits. */
+  * Registered post-hoc by [[graft.GraftExtensions]]. Star-shaped
+  * actions only (`UPDATE SET *` / `INSERT *` / `DELETE`), but clause
+  * CONDITIONS are free expressions over both sides, rendered with the
+  * [[GraftUpdateRule]] discipline (deterministic, no subqueries,
+  * timestamp literals zone-independent) and first-match-wins SQL
+  * semantics: a matched target row takes the first matched clause whose
+  * condition holds (UPDATE SET * replaces it with its source row,
+  * DELETE drops it, none holding passes it through); an unmatched
+  * source row inserts when any not-matched clause accepts it; an
+  * unmatched target row drops when any not-matched-by-source clause
+  * accepts it. Custom assignments stay refused at analysis with the
+  * library route (`TableManifest.mergeInto`) named. Other exact-SQL
+  * semantics: target-side multiplicity is preserved (two target rows on
+  * one key both take the clause), null keys never match (the 3VL join
+  * rule), a source key matching several SOURCE rows is the standard
+  * cardinality violation refused at run time before anything commits,
+  * and the ON clause must pair SAME-NAMED target/source columns — a
+  * cross-named key (`ON t.id = s.src_id`) is refused rather than
+  * silently joined on the wrong source column — the star actions map
+  * by NAME, so their contract already requires the names to line
+  * up. */
 object GraftMergeRule extends Rule[LogicalPlan] {
   import GraftUpdateRule.graftTableOf
 
@@ -191,11 +198,10 @@ object GraftMergeRule extends Rule[LogicalPlan] {
     plan.resolveOperators {
       // NOT m.resolved: the table advertises ACCEPT_ANY_SCHEMA (for the
       // manifest's schema-evolution writes), which makes the analyzer
-      // skip schema resolution for MERGE — the ON condition arrives
-      // with unresolved attributes and would die in CheckAnalysis. The
-      // rule resolves them itself against the two relations (qualifier-
-      // aware, the session resolver), which is all the narrow star
-      // translation needs.
+      // skip schema resolution for MERGE — the ON condition and clause
+      // conditions arrive with unresolved attributes and would die in
+      // CheckAnalysis. The rule resolves them itself against the two
+      // relations (qualifier-aware, the session resolver).
       case m: MergeIntoTable
           if m.targetTable.resolved && m.sourceTable.resolved =>
         graftTableOf(m.targetTable) match {
@@ -205,55 +211,86 @@ object GraftMergeRule extends Rule[LogicalPlan] {
             require(!m.withSchemaEvolution,
               "graft MERGE does not support WITH SCHEMA EVOLUTION — " +
                 "evolve via an explicit different-arity append instead")
-            val dropUnmatchedTarget = m.notMatchedBySourceActions match {
-              case Nil => false // unmatched target rows pass through
-              case Seq(DeleteAction(None)) => true // full sync-to-source
-              case other => throw new IllegalArgumentException(
-                "graft MERGE supports WHEN NOT MATCHED BY SOURCE THEN " +
-                  s"DELETE (unconditional) or no clause, got: $other — " +
-                  "use TableManifest.deleteWhere for conditional " +
-                  "not-matched-by-source logic")
-            }
-            val matchedMode = m.matchedActions match {
-              case Seq(UpdateStarAction(None)) => "update" // upsert half
-              case Seq(DeleteAction(None))     => "delete" // key-list del
-              case Nil                         => "keep"   // insert-only
-              case other => throw new IllegalArgumentException(
-                "graft MERGE supports WHEN MATCHED THEN UPDATE SET * or " +
-                  "WHEN MATCHED THEN DELETE (unconditional) or no " +
-                  s"matched clause, got: $other — use " +
-                  "TableManifest.mergeInto for custom merge logic")
-            }
-            val insertNew = m.notMatchedActions match {
-              case Seq(InsertStarAction(None)) => true
-              case Nil                         => false
-              case other => throw new IllegalArgumentException(
-                "graft MERGE supports WHEN NOT MATCHED THEN INSERT * " +
-                  s"(unconditional) or no clause, got: $other")
-            }
-            require(matchedMode != "keep" || insertNew ||
-              dropUnmatchedTarget, "MERGE needs at least one clause")
             val tgtOut = m.targetTable.outputSet
             val srcOut = m.sourceTable.outputSet
-            val cond = m.mergeCondition.transformUp {
+            val tgtNames = m.targetTable.output.map(_.name.toLowerCase)
+
+            def resolveExpr(e: Expression): Expression = e.transformUp {
               case u: UnresolvedAttribute =>
                 m.targetTable.resolve(u.nameParts, conf.resolver)
                   .orElse(m.sourceTable.resolve(u.nameParts,
                     conf.resolver))
                   .getOrElse(throw new IllegalArgumentException(
-                    s"MERGE ON references unknown column ${u.sql}"))
+                    s"MERGE references unknown column ${u.sql}"))
             }
+            // clause condition → SQL over the __t/__s-aliased frames
+            def renderCond(raw: Expression): String = {
+              val e = resolveExpr(raw)
+              require(e.deterministic,
+                s"non-deterministic MERGE condition: ${e.sql}")
+              require(!e.exists(_.isInstanceOf[PlanExpression[_]]),
+                s"subquery in MERGE condition is not supported: ${e.sql}")
+              e.transform {
+                case a: AttributeReference if tgtOut.contains(a) =>
+                  a.withQualifier(Seq("__t"))
+                case a: AttributeReference if srcOut.contains(a) =>
+                  // source rows evaluate over the target-ALIGNED frame,
+                  // which carries the target's columns only
+                  require(tgtNames.contains(a.name.toLowerCase),
+                    s"MERGE condition references source column " +
+                      s"${a.name} outside the target schema — star " +
+                      "actions align by target name, so only " +
+                      "target-named source columns are addressable")
+                  a.withQualifier(Seq("__s"))
+                case org.apache.spark.sql.catalyst.expressions.Literal(
+                    v: Long, org.apache.spark.sql.types.TimestampType) =>
+                  org.apache.spark.sql.catalyst.expressions
+                    .MicrosToTimestamp(
+                      org.apache.spark.sql.catalyst.expressions.Literal(v))
+              }.sql
+            }
+
+            val matchedClauses = m.matchedActions.map {
+              case UpdateStarAction(c) => ("update", c.map(renderCond))
+              case DeleteAction(c)     => ("delete", c.map(renderCond))
+              case other => throw new IllegalArgumentException(
+                "graft MERGE matched actions are UPDATE SET * or " +
+                  s"DELETE (conditions allowed), got: $other — use " +
+                  "TableManifest.mergeInto for custom assignments")
+            }
+            val insertClauses = m.notMatchedActions.map {
+              case InsertStarAction(c) => c.map(renderCond)
+              case other => throw new IllegalArgumentException(
+                "graft MERGE not-matched actions are INSERT * " +
+                  s"(conditions allowed), got: $other")
+            }
+            val nmbsClauses = m.notMatchedBySourceActions.map {
+              case DeleteAction(c) => c.map(renderCond)
+              case other => throw new IllegalArgumentException(
+                "graft MERGE not-matched-by-source actions are DELETE " +
+                  s"(conditions allowed), got: $other")
+            }
+            require(matchedClauses.nonEmpty || insertClauses.nonEmpty ||
+              nmbsClauses.nonEmpty, "MERGE needs at least one clause")
+
+            val cond = resolveExpr(m.mergeCondition)
             val keys = splitConjuncts(cond).map {
               case EqualTo(a: AttributeReference, b: AttributeReference)
-                  if tgtOut.contains(a) && srcOut.contains(b) => a.name
+                  if tgtOut.contains(a) && srcOut.contains(b) => (a, b)
               case EqualTo(a: AttributeReference, b: AttributeReference)
-                  if tgtOut.contains(b) && srcOut.contains(a) => b.name
+                  if tgtOut.contains(b) && srcOut.contains(a) => (b, a)
               case other => throw new IllegalArgumentException(
                 "graft MERGE ON must be a conjunction of target-column " +
                   s"= source-column equalities, got: ${other.sql}")
+            }.map { case (ta, sa) =>
+              require(ta.name.equalsIgnoreCase(sa.name),
+                s"graft MERGE ON pairs differently-named columns " +
+                  s"(${ta.name} = ${sa.name}); star actions map by " +
+                  "NAME, so rename the source key to the target's")
+              ta.name
             }
             GraftMergeCommand(t.tablePath, m.sourceTable, keys,
-              dropUnmatchedTarget, matchedMode, insertNew)
+              matchedClauses, insertClauses, nmbsClauses)
           case None => m
         }
     }
@@ -265,18 +302,30 @@ object GraftMergeRule extends Rule[LogicalPlan] {
 }
 
 /** The planted merge command: one CoW snapshot commit of
-  * `kept ∪ matched ∪ inserted` — kept = target rows with no source key
-  * match (anti join; dropped entirely under NOT MATCHED BY SOURCE
-  * DELETE), matched = per `matchedMode`: the inner join's SOURCE rows
-  * (UPDATE SET * — one per MATCHED TARGET row, so target-side
-  * multiplicity is preserved), nothing (DELETE — the key-list deletion
-  * idiom), or the matched target rows unchanged (no matched clause —
-  * insert-if-absent), inserted = source rows with no target match when
-  * INSERT * is present. Shuffles on the merge keys; AQE broadcasts a
-  * small source. Returns (version, rows_matched, rows_inserted). */
+  * `kept ∪ matched ∪ inserted` through the pinned re-derive loop
+  * ([[TableManifest.commitDerivedSnapshot]]), so an append racing the
+  * merge is folded by a retry, never lost.
+  *
+  *  - kept: target rows with no source key match (anti join), minus
+  *    those a not-matched-by-source DELETE clause accepts;
+  *  - matched: the inner join, each row resolved first-match-wins —
+  *    the first accepting UPDATE clause takes the SOURCE row (one per
+  *    matched TARGET row: multiplicity preserved), the first accepting
+  *    DELETE clause drops it, no accepting clause passes the TARGET row
+  *    through;
+  *  - inserted: source rows with no target match that any INSERT clause
+  *    accepts.
+  *
+  * rows_matched (ALL matched target rows, whatever their clause
+  * outcome) and rows_inserted ride the write pass as observed metrics —
+  * no separate count jobs. Shuffles on the merge keys; AQE broadcasts a
+  * small source. */
 case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
-    keyCols: Seq[String], dropUnmatchedTarget: Boolean = false,
-    matchedMode: String = "update", insertNew: Boolean = true)
+    keyCols: Seq[String],
+    matchedClauses: Seq[(String, Option[String])] =
+      Seq(("update", None)),
+    insertClauses: Seq[Option[String]] = Seq(None),
+    nmbsClauses: Seq[Option[String]] = Nil)
     extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(sourcePlan)
@@ -285,6 +334,15 @@ case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("rows_matched", LongType, nullable = false)(),
     AttributeReference("rows_inserted", LongType, nullable = false)())
+
+  // a clause condition as a 3VL-safe Column (absent = always accepts)
+  private def accepts(c: Option[Option[String]]): org.apache.spark.sql
+      .Column = c match {
+    case Some(Some(sql)) =>
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.expr(sql), lit(false))
+    case _ => lit(true)
+  }
 
   override def run(spark: SparkSession): Seq[Row] = {
     val src0 =
@@ -303,49 +361,89 @@ case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
     require(dup.isEmpty,
       s"MERGE cardinality violation: source has duplicate rows on " +
         s"(${keyCols.mkString(", ")}): ${dup.headOption.getOrElse("")}")
-    // content derives from the table: commitDerivedSnapshot's pinned
-    // re-derive loop, so an append racing the merge is folded by a
-    // retry, never lost. The matched/inserted counts ride the WRITE
-    // pass as observed metrics (CollectMetrics on the union branches) —
-    // never separate count jobs; one join+write pass, full stop.
     var updObs: org.apache.spark.sql.Observation = null
     var insObs: org.apache.spark.sql.Observation = null
-    var nMatchedDeleted = 0L
     val v = TableManifest.commitDerivedSnapshot(spark, path, { v0 =>
       val tgt = TableManifest.readAt(spark, path, v0, Some(tgtSchema))
-      // WHEN NOT MATCHED BY SOURCE THEN DELETE: unmatched target rows
-      // drop instead of passing through — the sync-to-source idiom
-      val kept =
-        if (dropUnmatchedTarget) tgt.limit(0)
-        else tgt.join(aligned.select(keyCols.map(col): _*),
-          keyCols, "left_anti")
-      val matched = matchedMode match {
-        case "update" => tgt.select(keyCols.map(col): _*)
-          .join(aligned, keyCols, "inner")
-          .select(tgt.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
-        case "delete" =>
-          // deleted rows never reach the written union, so their count
-          // can't ride it as an observed metric — one keys-only semi
-          // count per attempt (column-pruned scan), audit-only
-          nMatchedDeleted = tgt.select(keyCols.map(col): _*)
-            .join(aligned.select(keyCols.map(col): _*), keyCols,
-              "left_semi").count()
-          tgt.limit(0) // matched target rows drop
-        case _ => tgt.join(aligned.select(keyCols.map(col): _*),
-          keyCols, "left_semi") // matched rows pass through unchanged
-      }
-      val inserted =
-        if (insertNew) aligned.join(tgt.select(keyCols.map(col): _*),
-          keyCols, "left_anti")
-        else aligned.limit(0)
       updObs = new org.apache.spark.sql.Observation()
       insObs = new org.apache.spark.sql.Observation()
-      kept.unionByName(matched.observe(updObs, count(lit(1)).as("n")))
+      // kept: unmatched target rows, minus NOT MATCHED BY SOURCE deletes
+      val kept0 = tgt.join(aligned.select(keyCols.map(col): _*),
+        keyCols, "left_anti")
+      val kept =
+        if (nmbsClauses.isEmpty) kept0
+        else kept0.alias("__t").filter(
+          !nmbsClauses.map(c => accepts(Some(c))).reduce(_ || _))
+      // matched: first-match-wins over the inner join; the observation
+      // sits UPSTREAM of the clause filter so rows_matched counts every
+      // matched target row, whatever its clause outcome
+      val matched =
+        if (matchedClauses.isEmpty)
+          tgt.join(aligned.select(keyCols.map(col): _*),
+              keyCols, "left_semi")
+            .observe(updObs, count(lit(1)).as("n"))
+        else {
+          val joined = tgt.alias("__t").join(aligned.alias("__s"),
+              keyCols.map(k =>
+                col(s"__t.`$k`") === col(s"__s.`$k`")).reduce(_ && _),
+              "inner")
+            .observe(updObs, count(lit(1)).as("n"))
+          val tRow = org.apache.spark.sql.functions.struct(
+            tgtSchema.fields.map(f =>
+              col(s"__t.`${f.name}`").as(f.name)).toIndexedSeq: _*)
+          val sRow = org.apache.spark.sql.functions.struct(
+            tgtSchema.fields.map(f =>
+              col(s"__s.`${f.name}`").as(f.name)).toIndexedSeq: _*)
+          val act = matchedClauses.zipWithIndex.foldRight(
+              lit(-1): org.apache.spark.sql.Column) {
+            case (((_, c), i), els) =>
+              org.apache.spark.sql.functions
+                .when(accepts(Some(c)), lit(i)).otherwise(els)
+          }
+          val delIdx = matchedClauses.zipWithIndex.collect {
+            case (("delete", _), i) => i }
+          val updIdx = matchedClauses.zipWithIndex.collect {
+            case (("update", _), i) => i }
+          val staged = joined.withColumn("__act", act)
+          val survivors =
+            if (delIdx.isEmpty) staged
+            else staged.filter(!col("__act")
+              .isin(delIdx.map(Int.box): _*))
+          val isUpd =
+            if (updIdx.isEmpty) lit(false)
+            else col("__act").isin(updIdx.map(Int.box): _*)
+          survivors.withColumn("__row",
+              org.apache.spark.sql.functions.when(isUpd, sRow)
+                .otherwise(tRow))
+            .select(col("__row.*"))
+        }
+      // inserted: unmatched source rows any INSERT clause accepts
+      // (filter-before-anti-join commutes with the key anti join)
+      val inserted =
+        if (insertClauses.isEmpty) aligned.limit(0)
+        else aligned.alias("__s")
+          .filter(insertClauses.map(c => accepts(Some(c)))
+            .reduce(_ || _))
+          .join(tgt.select(keyCols.map(col): _*), keyCols, "left_anti")
+      kept.unionByName(matched)
         .unionByName(inserted.observe(insObs, count(lit(1)).as("n")))
     })
-    val nMatched =
-      if (matchedMode == "delete") nMatchedDeleted
-      else updObs.get("n").asInstanceOf[Long]
-    Seq(Row(v, nMatched, insObs.get("n").asInstanceOf[Long]))
+    // a statically-empty branch is pruned by PropagateEmptyRelation
+    // WITH its CollectMetrics node, so its observation reports an empty
+    // map. For inserts that means exactly zero rows landed. For the
+    // matched side it means the clause chain constant-folded to
+    // all-delete (an unconditional DELETE heads the list), which empties
+    // the branch without running the join — rows_matched then falls back
+    // to a keys-only semi count against the PINNED pre-merge version
+    // (v - 1: commitDerivedSnapshot commits at pin + 1), audit-only.
+    def metricOpt(o: org.apache.spark.sql.Observation): Option[Long] =
+      o.get.get("n").map(_.asInstanceOf[Long])
+    val nMatched = metricOpt(updObs).getOrElse {
+      TableManifest.readAt(spark, path, v - 1, Some(tgtSchema))
+        .select(keyCols.map(col): _*)
+        .join(aligned.select(keyCols.map(col): _*), keyCols, "left_semi")
+        .count()
+    }
+    Seq(Row(v, nMatched, metricOpt(insObs).getOrElse(0L)))
   }
 }

@@ -300,14 +300,6 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(synced == (8L to 11L).map(i => i -> i * 1000),
       s"sync-to-source must leave exactly the source: $synced")
     assert(r2.getLong(1) == 4 && r2.getLong(2) == 0)
-    // a CONDITIONAL not-matched-by-source clause is outside the
-    // translation: refuse
-    intercept[Exception](s.sql(
-      s"""MERGE INTO graft.`$p` AS t USING mrg_sync AS s ON t.id = s.id
-         |WHEN MATCHED THEN UPDATE SET *
-         |WHEN NOT MATCHED THEN INSERT *
-         |WHEN NOT MATCHED BY SOURCE AND t.v > 0 THEN DELETE"""
-        .stripMargin))
     // WHEN MATCHED THEN DELETE alone: key-list deletion (the GDPR
     // by-id-list shape) — table currently holds ids 8..11
     s.range(9, 11).select(col("id"), lit(0L).as("v"))
@@ -331,6 +323,39 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
     assert(after == Seq(7L -> -5L, 8L -> 8000L, 11L -> 11000L),
       s"insert-if-absent must keep the matched target row: $after")
+    import s.implicits._
+    // CONDITIONAL clauses, first-match-wins: id 7's source value loses
+    // the s.v > t.v test (-10 > -5 is false) so the unconditional
+    // DELETE takes it; id 8's wins and updates
+    Seq((7L, -10L), (8L, 99999L)).toDF("id", "v")
+      .createOrReplaceTempView("mrg_cond")
+    val r5 = s.sql(
+      s"""MERGE INTO graft.`$p` AS t USING mrg_cond AS s ON t.id = s.id
+         |WHEN MATCHED AND s.v > t.v THEN UPDATE SET *
+         |WHEN MATCHED THEN DELETE""".stripMargin).head()
+    assert(r5.getLong(1) == 2)
+    assert(s.sql(s"SELECT id, v FROM graft.`$p` ORDER BY id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq(8L -> 99999L, 11L -> 11000L),
+      "first-match-wins: losing the update condition falls to DELETE")
+    // conditional INSERT gates which unmatched source rows land
+    Seq((11L, 1L), (20L, 5L), (21L, -1L)).toDF("id", "v")
+      .createOrReplaceTempView("mrg_condins")
+    s.sql(
+      s"""MERGE INTO graft.`$p` AS t USING mrg_condins AS s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED AND s.v > 0 THEN INSERT *""".stripMargin)
+    assert(s.sql(s"SELECT id FROM graft.`$p` ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(8L, 11L, 20L),
+      "only the condition-passing unmatched source row inserts")
+    // conditional NOT MATCHED BY SOURCE prunes just the accepting rows
+    s.sql(
+      s"""MERGE INTO graft.`$p` AS t USING mrg_cond AS s ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE AND v < 100 THEN DELETE"""
+        .stripMargin)
+    assert(s.sql(s"SELECT id FROM graft.`$p` ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(8L, 11L),
+      "the conditional by-source delete must drop only v < 100 rows")
   }
 
   test("CALL procedures: the maintenance runbook is plain SQL —" +
