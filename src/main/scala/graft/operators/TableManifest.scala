@@ -333,6 +333,35 @@ object TableManifest {
     v
   }
 
+  /** Stage `df` as an UNPUBLISHED snapshot payload and return the hidden
+    * staging dir. Nothing becomes visible — no marker, no version; the
+    * table (if any) keeps serving its current state. [[GraftCatalog]]'s
+    * atomic CTAS/RTAS seam: the executors write the full payload here,
+    * and [[publishStagedSnapshot]] flips it live in one marker commit
+    * (or [[discardStagedSnapshot]] erases it without a trace). */
+  private[graft] def stageSnapshot(df: DataFrame, path: String): String =
+    stagePayload(df, path).toString
+
+  /** Publish a dir returned by [[stageSnapshot]] as the table's next
+    * version — the commit half of atomic CTAS/RTAS. On an EXISTING
+    * table this is a REPLACE that PRESERVES history: the version
+    * numbering continues, pre-replace pins stay readable until vacuum
+    * (the Delta REPLACE semantics, vs the drop+create fallback that
+    * restarts the manifest). Returns the committed version. */
+  private[graft] def publishStagedSnapshot(spark: SparkSession,
+      path: String, stagedDir: String): Long =
+    commitPayloadDir(spark, path, new org.apache.hadoop.fs.Path(stagedDir))
+
+  /** Abort half of the staging protocol: remove the staged payload. A
+    * crash that skips even this leaves only a hidden `.data_pending_*`
+    * dir no resolution ever reads — [[maintain]]'s orphan sweep ages it
+    * out. */
+  private[graft] def discardStagedSnapshot(spark: SparkSession,
+      path: String, stagedDir: String): Unit = {
+    fs(spark, path).delete(new org.apache.hadoop.fs.Path(stagedDir), true)
+    ()
+  }
+
   /** OPTIMIZE (CLUSTER BY): rewrite the live table as ONE range-clustered
     * snapshot commit — rows unchanged as a multiset (the oracle hash),
     * only layout changes. Each of the `files` range partitions lands as

@@ -1717,6 +1717,135 @@ object MiscQueries {
              |FROM del GROUP BY event_type ORDER BY event_type"""
         .stripMargin)),
 
+    // ALTER TABLE ADD COLUMNS as DDL (GraftCatalog.alterTable): one
+    // ZERO-ROW widening commit — O(1) data, a footer-only parquet file
+    // carrying the new columns into every merged read. The new columns
+    // are immediately SQL-visible (null over every pre-ALTER row),
+    // become the INSERT target schema, and are reachable by the
+    // analyzer-native UPDATE on legacy rows. DuckDB mirrors the widen +
+    // wider insert + conditional update with CTEs.
+    Q("q_graft_sql_alter",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        s.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_sql_alt").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        TableManifest.commitSnapshot(
+          e.filter(col("event_id") % 2 === 0), path)
+        s.sql(s"ALTER TABLE graft.`$path` ADD COLUMNS " +
+          "(priority BIGINT, tag STRING)")
+        Tables.events(s, dir)
+          .filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("event_type"), col("value"),
+            (col("event_id") % 7).as("priority"),
+            upper(col("event_type")).as("tag"))
+          .createOrReplaceTempView("gsa_new")
+        s.sql(s"INSERT INTO graft.`$path` SELECT * FROM gsa_new")
+        s.sql(s"UPDATE graft.`$path` " +
+          "SET priority = coalesce(priority, -1) * 10, " +
+          "tag = coalesce(tag, 'legacy') WHERE event_id % 5 = 0")
+        s.sql(
+          s"""SELECT event_type, count(*) AS n,
+             |  count(priority) AS n_pri,
+             |  CAST(sum(priority) AS BIGINT) AS sum_pri,
+             |  count(tag) AS n_tag, count(DISTINCT tag) AS d_tag
+             |FROM graft.`$path`
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""WITH evo AS (
+             |  SELECT event_id, event_type,
+             |         CAST(NULL AS BIGINT) AS priority,
+             |         CAST(NULL AS VARCHAR) AS tag
+             |  FROM events WHERE event_id % 2 = 0
+             |  UNION ALL
+             |  SELECT event_id, event_type, event_id % 7,
+             |         upper(event_type)
+             |  FROM events WHERE event_id % 2 = 1),
+             |upd AS (
+             |  SELECT event_id, event_type,
+             |    CASE WHEN event_id % 5 = 0
+             |         THEN coalesce(priority, -1) * 10
+             |         ELSE priority END AS priority,
+             |    CASE WHEN event_id % 5 = 0
+             |         THEN coalesce(tag, 'legacy')
+             |         ELSE tag END AS tag
+             |  FROM evo)
+             |SELECT event_type, count(*) AS n,
+             |  count(priority) AS n_pri,
+             |  CAST(sum(priority) AS BIGINT) AS sum_pri,
+             |  count(tag) AS n_tag, count(DISTINCT tag) AS d_tag
+             |FROM upd GROUP BY event_type ORDER BY event_type"""
+        .stripMargin)),
+
+    // Atomic CTAS/RTAS (StagingTableCatalog): CREATE TABLE AS SELECT
+    // stages the query's FULL result hidden (no marker, nothing
+    // visible) and publishes it with one marker flip; REPLACE TABLE AS
+    // SELECT is the next version of the SAME manifest — history
+    // preserved, the pre-replace pin keeps serving. The query proves
+    // the atomicity contract in the hash: a failing RTAS
+    // (assert_true mid-query) commits NOTHING (the pre state rides in
+    // the 'pre' stage), then a self-referential RTAS rolls the table
+    // up in place (the staged write reads the version it replaces).
+    Q("q_graft_rtas",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        s.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_rtas").toString + "/t"
+        Tables.events(s, dir).createOrReplaceTempView("grt_events")
+        s.sql(s"CREATE TABLE graft.`$path` AS " +
+          "SELECT event_id, event_type, value FROM grt_events " +
+          "WHERE event_id % 2 = 0")
+        val v0 = TableManifest.versions(s, path).last
+        // a failing RTAS: the staged payload is discarded, no version
+        // commits, the old contents keep serving
+        val refused =
+          try {
+            s.sql(s"REPLACE TABLE graft.`$path` AS " +
+              "SELECT assert_true(value < 0) AS chk FROM grt_events")
+            false
+          } catch { case scala.util.control.NonFatal(_) => true }
+        require(refused, "the failing RTAS must throw")
+        require(TableManifest.versions(s, path).last == v0,
+          "a failed RTAS must not commit any version")
+        // self-referential RTAS: roll the table up IN PLACE — the
+        // staged query reads v0 while staging, the commit lands above
+        s.sql(
+          s"""REPLACE TABLE graft.`$path` AS
+             |SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM graft.`$path` GROUP BY event_type""".stripMargin)
+        val pre = s.sql(
+          s"""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM graft.`$path` VERSION AS OF $v0
+             |GROUP BY event_type""".stripMargin)
+          .withColumn("stage", lit("pre"))
+        val post = s.sql(
+          s"SELECT event_type, n, sum_value FROM graft.`$path`")
+          .withColumn("stage", lit("post"))
+        pre.unionByName(post)
+          .select(col("stage"), col("event_type"), col("n"),
+            col("sum_value"))
+          .orderBy(col("stage"), col("event_type"))
+      },
+      Some("""WITH agg AS (
+             |  SELECT event_type, count(*) AS n,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |      AS sum_value
+             |  FROM events WHERE event_id % 2 = 0
+             |  GROUP BY event_type)
+             |SELECT 'pre' AS stage, event_type, n, sum_value FROM agg
+             |UNION ALL
+             |SELECT 'post', event_type, n, sum_value FROM agg
+             |ORDER BY stage, event_type""".stripMargin)),
+
     // Analyzer-native SQL MERGE INTO (GraftMergeRule): the canonical
     // upsert — WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
     // INSERT * over a key-equality ON — lands as one snapshot commit of

@@ -1,9 +1,11 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, StagedTable, StagingTableCatalog, Table, TableCapability, TableCatalog, TableChange, TableInfo}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -37,7 +39,7 @@ import graft.operators.TableManifest
   * resolves against marker commit times ([[TableManifest.versionAtTime]];
   * version pins remain the exact time axis).
   */
-class GraftCatalog extends TableCatalog
+class GraftCatalog extends TableCatalog with StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = "graft"
@@ -134,11 +136,118 @@ class GraftCatalog extends TableCatalog
     new GraftTable(p, None, Some(schema))
   }
 
+  /** `ALTER TABLE ... ADD COLUMN(S)` — schema evolution as DDL. The
+    * manifest already evolves through wider appends (merged-schema
+    * reads null-pad legacy batches), so ADD COLUMN is exactly one
+    * zero-row append carrying the WIDENED schema: a normal versioned
+    * commit (O(1) data — one footer-only parquet file), atomic under
+    * the marker protocol, time-travel-correct (pins before the ALTER
+    * keep the narrow schema), and immediately visible to every SQL
+    * read and DML path through the merged-schema catalog surface.
+    * Everything else (DROP/RENAME/retype) is refused: those need a
+    * rewrite or column-id mapping the footer-merged layout does not
+    * carry, and silently dropping a column from the MERGED schema
+    * would resurrect on the next merge. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft schemas evolve through appends (mergeSchema/null-pad read " +
-        "semantics), not ALTER TABLE")
+      changes: TableChange*): Table = {
+    val p = pathOf(ident)
+    if (!TableManifest.exists(spark, p)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn => a
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE supports ADD COLUMN(S) only (schema " +
+          s"evolution by null-padded widening); got ${other.getClass
+            .getSimpleName} — DROP/RENAME/retype would need a column-id " +
+          "mapping or a rewrite (use CREATE TABLE ... AS SELECT)")
+    }
+    val base = GraftTableSource.tableSchema(spark, p, None,
+      mergeSchema = true)
+    val existing = base.fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val widened = adds.foldLeft(base) { (s, a) =>
+      require(a.fieldNames.length == 1,
+        s"graft ADD COLUMN is top-level only; got nested field " +
+          s"'${a.fieldNames.mkString(".")}'")
+      val n = a.fieldNames.head
+      require(!existing.contains(n.toLowerCase(java.util.Locale.ROOT)) &&
+          !s.fieldNames.exists(_.equalsIgnoreCase(n)),
+        s"column '$n' already exists in graft table $p")
+      require(a.isNullable,
+        s"added column '$n' must be nullable — every pre-ALTER row " +
+          "reads it as NULL (null-padded evolution)")
+      require(a.position() == null,
+        s"graft ADD COLUMN appends at the end of the schema (footer " +
+          s"merge order); FIRST/AFTER positions are not supported")
+      s.add(n, a.dataType(), nullable = true,
+        Option(a.comment()).getOrElse(""))
+    }
+    // one zero-row unkeyed append under the widened schema: the footer
+    // carries the new columns into every merged read from this version on
+    TableManifest.append(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened), p)
+    new GraftTable(p, None, Some(
+      GraftTableSource.tableSchema(spark, p, None, mergeSchema = true)))
+  }
+
+  // ---- StagingTableCatalog: atomic CTAS / RTAS ---------------------------
+  //
+  // The manifest's stage-then-flip protocol IS a staging catalog: the
+  // query's full result lands in a hidden `.data_pending_*` dir (no
+  // marker, nothing visible), and commitStagedChanges publishes it with
+  // ONE marker commit. So CREATE TABLE ... AS SELECT is crash-atomic (a
+  // failed query leaves no half-written table, only an orphan dir the
+  // maintenance sweep ages out), and REPLACE TABLE ... AS SELECT
+  // PRESERVES HISTORY: the replacement is the next version of the SAME
+  // manifest — `VERSION AS OF` pins from before the replace keep
+  // serving until vacuum — instead of the non-staging drop+create
+  // fallback that erases the version chain.
+
+  private def checkPartitions(partitions: Array[Transform]): Unit =
+    require(partitions.isEmpty,
+      "graft tables manage their own layout (__batch partitions, " +
+        "OPTIMIZE/CLUSTER BY) — PARTITIONED BY is not a table option")
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    checkPartitions(partitions)
+    if (TableManifest.exists(spark, pathOf(ident)))
+      throw new TableAlreadyExistsException(ident)
+    new GraftStagedTable(pathOf(ident), ident, schema, replace = false,
+      orCreate = true)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    checkPartitions(partitions)
+    if (!TableManifest.exists(spark, pathOf(ident)))
+      throw new NoSuchTableException(ident)
+    new GraftStagedTable(pathOf(ident), ident, schema, replace = true,
+      orCreate = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    checkPartitions(partitions)
+    new GraftStagedTable(pathOf(ident), ident, schema, replace = true,
+      orCreate = true)
+  }
+
+  override def stageCreate(ident: Identifier,
+      info: TableInfo): StagedTable =
+    stageCreate(ident, info.schema(), info.partitions(), info.properties())
+
+  override def stageReplace(ident: Identifier,
+      info: TableInfo): StagedTable =
+    stageReplace(ident, info.schema(), info.partitions(), info.properties())
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: TableInfo): StagedTable =
+    stageCreateOrReplace(ident, info.schema(), info.partitions(),
+      info.properties())
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = pathOf(ident)
@@ -157,4 +266,85 @@ class GraftCatalog extends TableCatalog
       newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "graft tables are path-addressed; rename the directory")
+}
+
+/** The in-flight table of an atomic CTAS/RTAS: accepts exactly one
+  * staged write (the query's result, landed UNPUBLISHED in a hidden
+  * payload dir), then either publishes it as one marker commit or
+  * erases it. A plain `REPLACE TABLE` (no AS SELECT) commits with no
+  * staged write — the staged SCHEMA becomes a zero-row snapshot, the
+  * empty-but-readable contract CREATE TABLE already keeps. */
+private[sources] class GraftStagedTable(path: String, ident: Identifier,
+    stagedSchema: StructType, replace: Boolean, orCreate: Boolean)
+    extends StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  private val staged =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = s"graft:$path (staged)"
+
+  override def schema(): StructType = stagedSchema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // RTAS plans its write as truncate-then-append
+      // (OverwriteByExpression(true)); for a staged table the payload
+      // IS the full replacement content, so truncate is the no-op
+      // acknowledgment that lets the plan through
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame,
+                overwrite: Boolean): Unit = {
+              // the one heavy step — the query executes and its full
+              // result lands hidden; re-staging (never in practice:
+              // one write per exec) discards the previous attempt
+              val prev = staged.getAndSet(
+                TableManifest.stageSnapshot(data, path))
+              if (prev != null)
+                TableManifest.discardStagedSnapshot(spark, path, prev)
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val exists = TableManifest.exists(spark, path)
+    // the create/replace contract is re-checked at the COMMIT instant —
+    // the staging window is long (the query runs inside it), so the
+    // stage-time check alone would let a racing creator be silently
+    // replaced by a CTAS that started earlier
+    if (!replace && exists) {
+      abortStagedChanges()
+      throw new TableAlreadyExistsException(ident)
+    }
+    if (replace && !orCreate && !exists) {
+      abortStagedChanges()
+      throw new NoSuchTableException(ident)
+    }
+    staged.get() match {
+      case null =>
+        // plain REPLACE TABLE / CREATE TABLE via staging: no query to
+        // stage — the schema itself is the content (zero-row snapshot,
+        // next version of the same manifest)
+        TableManifest.createEmpty(spark, path, stagedSchema)
+      case dir =>
+        TableManifest.publishStagedSnapshot(spark, path, dir)
+    }
+    ()
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val dir = staged.getAndSet(null)
+    if (dir != null) TableManifest.discardStagedSnapshot(spark, path, dir)
+  }
 }

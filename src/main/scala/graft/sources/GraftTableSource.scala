@@ -142,7 +142,13 @@ object GraftTableSource {
     if (overwrite || !TableManifest.exists(spark, path)) {
       TableManifest.commitSnapshot(data, path)
     } else {
-      val tgt = TableManifest.read(spark, path).schema
+      // align against the MERGED schema: on an evolved table the plain
+      // read's schema is whichever batch footer parquet sampled — an
+      // unstable target that could flip an append between by-name,
+      // by-position, and accidental "evolution" run to run. The merged
+      // schema is the one SQL serves (and is version-cached, so this
+      // costs one lookup)
+      val tgt = tableSchema(spark, path, None, mergeSchema = true)
       // name matching honors spark.sql.caseSensitive (default FALSE —
       // Spark analysis is case-insensitive): an equal-arity frame whose
       // names differ from the table's only by case must realign by

@@ -232,19 +232,107 @@ class GraftCatalogSpec extends AnyFunSuite {
       "SELECT id, id % 3 AS k FROM range(10)")
     assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0)
       == 10, "INSERT OVERWRITE must replace, not append")
+    val preReplace = TableManifest.versions(s, p).last
     s.sql(s"REPLACE TABLE graft.`$p` AS SELECT id FROM range(5)")
     assert(s.sql(s"SELECT * FROM graft.`$p`").columns.toSeq == Seq("id")
       && s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) == 5,
       "REPLACE TABLE must swap both schema and contents")
-    // REPLACE on a non-staging catalog is drop + create: the version
-    // history restarts (and the connector's schema cache is invalidated
-    // on the drop — the stale (path, version) collision this test pins)
-    assert(TableManifest.versions(s, p).nonEmpty)
+    // staging catalog: REPLACE is the next version of the SAME manifest —
+    // history is PRESERVED, the pre-replace pin keeps serving its old
+    // schema and contents until vacuum (the Delta semantics, not the
+    // non-staging drop+create that restarts the version chain)
+    assert(TableManifest.versions(s, p).contains(preReplace),
+      "REPLACE must preserve the version history")
+    val pinned = s.sql(
+      s"SELECT count(*) FROM graft.`$p` VERSION AS OF $preReplace")
+    assert(pinned.head().getLong(0) == 10,
+      "the pre-replace pin must keep serving the replaced contents")
     s.sql(s"TRUNCATE TABLE graft.`$p`")
     assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0)
       == 0, "a truncated table must stay a readable empty table")
     s.sql(s"INSERT INTO graft.`$p` VALUES (42)")
     assert(s.sql(s"SELECT id FROM graft.`$p`").head().getLong(0) == 42)
+  }
+
+  test("ALTER TABLE ADD COLUMN(S): one zero-row widening commit — new " +
+    "columns null-pad legacy rows, pre-ALTER pins keep the narrow " +
+    "schema, and DROP/RENAME/retype/NOT NULL are refused") {
+    val p = tmp("alter")
+    s.sql(s"CREATE TABLE graft.`$p` (id BIGINT, k BIGINT)")
+    s.sql(s"INSERT INTO graft.`$p` SELECT id, id % 5 AS k FROM range(50)")
+    val preAlter = TableManifest.versions(s, p).last
+    s.sql(s"ALTER TABLE graft.`$p` ADD COLUMNS " +
+      "(score DOUBLE, tag STRING)")
+    // visible immediately, null over every pre-ALTER row
+    val row = s.sql(s"SELECT count(*) AS n, count(score) AS ns, " +
+      s"count(tag) AS nt FROM graft.`$p`").head()
+    assert(row.getLong(0) == 50 && row.getLong(1) == 0 &&
+      row.getLong(2) == 0)
+    // the widened schema is the INSERT target now
+    s.sql(s"INSERT INTO graft.`$p` VALUES (1000, 0, 0.5, 'new')")
+    // and DML reaches the evolved column on legacy rows
+    s.sql(s"UPDATE graft.`$p` SET score = CAST(id AS DOUBLE) / 10, " +
+      "tag = 'legacy' WHERE id % 10 = 0 AND id < 100")
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p` " +
+      "WHERE tag = 'legacy' AND score = CAST(id AS DOUBLE) / 10")
+      .head().getLong(0) == 5)
+    // time travel: the pre-ALTER pin still serves the NARROW schema
+    assert(s.sql(s"SELECT * FROM graft.`$p` VERSION AS OF $preAlter")
+      .columns.toSeq == Seq("id", "k"))
+    // refusals: duplicate (case-insensitive), NOT NULL, positions,
+    // and every non-ADD change
+    intercept[Exception](
+      s.sql(s"ALTER TABLE graft.`$p` ADD COLUMNS (SCORE DOUBLE)"))
+    intercept[Exception](s.sql(
+      s"ALTER TABLE graft.`$p` ADD COLUMNS (req STRING NOT NULL)"))
+    intercept[Exception](s.sql(
+      s"ALTER TABLE graft.`$p` ADD COLUMNS (head2 STRING FIRST)"))
+    intercept[Exception](
+      s.sql(s"ALTER TABLE graft.`$p` DROP COLUMN tag"))
+    intercept[Exception](
+      s.sql(s"ALTER TABLE graft.`$p` RENAME COLUMN tag TO label"))
+    // nothing above committed: schema and contents unchanged
+    assert(s.sql(s"SELECT * FROM graft.`$p`").columns.toSeq ==
+      Seq("id", "k", "score", "tag"))
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0)
+      == 51)
+  }
+
+  test("atomic CTAS/RTAS through the staging catalog: a failed CTAS " +
+    "leaves NO table, a failed RTAS leaves the old contents serving") {
+    val p = tmp("actas") + "/t"
+    // CTAS whose query fails mid-execution: abortStagedChanges erases
+    // the staged payload — no manifest, no table, not even a half one
+    intercept[Exception](s.sql(s"CREATE TABLE graft.`$p` AS " +
+      "SELECT assert_true(id < 5) AS chk, id FROM range(10)"))
+    assert(!TableManifest.exists(s, p),
+      "a failed CTAS must not leave a table behind")
+    intercept[Exception](
+      s.sql(s"SELECT * FROM graft.`$p`").collect())
+    // now a good CTAS, then an RTAS that fails: the table must keep
+    // serving its pre-replace contents (never dropped, never truncated)
+    s.sql(s"CREATE TABLE graft.`$p` AS SELECT id, id % 5 AS k " +
+      "FROM range(100)")
+    val vs0 = TableManifest.versions(s, p)
+    intercept[Exception](s.sql(s"REPLACE TABLE graft.`$p` AS " +
+      "SELECT assert_true(id < 5) AS chk, id FROM range(10)"))
+    assert(TableManifest.versions(s, p) == vs0,
+      "a failed RTAS must not commit any version")
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0)
+      == 100, "a failed RTAS must leave the old contents serving")
+    // CTAS into an existing table refused at analysis/exec, table intact
+    intercept[Exception](s.sql(s"CREATE TABLE graft.`$p` AS " +
+      "SELECT id FROM range(3)"))
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0)
+      == 100)
+    // CREATE OR REPLACE is the upsert of DDL: replaces atomically,
+    // preserving the version chain
+    s.sql(s"CREATE OR REPLACE TABLE graft.`$p` AS " +
+      "SELECT id, id * 2 AS dbl FROM range(7)")
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0)
+      == 7)
+    assert(TableManifest.versions(s, p).toSet.intersect(vs0.toSet)
+      == vs0.toSet, "CREATE OR REPLACE must preserve history")
   }
 
   test("plain SQL MERGE INTO ... UPDATE SET * / INSERT *: exact merge " +
