@@ -216,8 +216,9 @@ object TableManifest {
 
   /** Write `df` as a staged snapshot payload (one `__batch=-1` fold
     * partition) and return the tmp dir the commit protocols rename. */
-  private def stagePayload(df: DataFrame,
-      path: String): org.apache.hadoop.fs.Path = {
+  private def stagePayload(df0: DataFrame, path: String,
+      enforce: Boolean = true): org.apache.hadoop.fs.Path = {
+    val df = if (enforce) enforceConstraints(df0, path) else df0
     val spark = df.sparkSession
     val tmp = new org.apache.hadoop.fs.Path(
       s"$path/.data_pending_${java.util.UUID.randomUUID}")
@@ -338,9 +339,13 @@ object TableManifest {
     * table (if any) keeps serving its current state. [[GraftCatalog]]'s
     * atomic CTAS/RTAS seam: the executors write the full payload here,
     * and [[publishStagedSnapshot]] flips it live in one marker commit
-    * (or [[discardStagedSnapshot]] erases it without a trace). */
+    * (or [[discardStagedSnapshot]] erases it without a trace).
+    * Old-table CHECK constraints are NOT applied here: a staged
+    * CREATE/REPLACE defines a NEW table shape whose TableInfo
+    * constraints replace the old set — the staging caller validates
+    * the staged content against the NEW definition before publishing. */
   private[graft] def stageSnapshot(df: DataFrame, path: String): String =
-    stagePayload(df, path).toString
+    stagePayload(df, path, enforce = false).toString
 
   /** Publish a dir returned by [[stageSnapshot]] as the table's next
     * version — the commit half of atomic CTAS/RTAS. On an EXISTING
@@ -431,11 +436,12 @@ object TableManifest {
     * erase the unkeyed rows; with split keyspaces keyed streaming and
     * unkeyed writers compose safely on one table. Returns the committed
     * version. */
-  def append(df: DataFrame, path: String,
+  def append(df0: DataFrame, path: String,
       batchId: Option[Long] = None): Long = {
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     require(IndexManifest.currentVersion(spark, path).isDefined,
       s"append into $path requires an initial commitSnapshot")
+    val df = enforceConstraints(df0, path)
     val dir = payloadDir(spark, path).get
     val f = fs(spark, path)
     val carried = currentWatermark(spark, path)
@@ -743,13 +749,16 @@ object TableManifest {
         s"unknown column(s) in SET: ${bad.mkString(", ")} " +
           s"(table has: ${cur.columns.mkString(", ")})")
       val asg = assignments.toMap
-      val updated = cur.filter(expr(predicateSql))
+      val updated0 = cur.filter(expr(predicateSql))
         .select(cur.schema.fields.map { fld =>
           asg.get(fld.name)
             .map(sql => expr(sql).cast(fld.dataType).as(fld.name))
             .getOrElse(col(fld.name))
         }.toIndexedSeq: _*)
-      updated.schema // analysis check: bad SQL fails the UPDATE, not reads
+      updated0.schema // analysis check: bad SQL fails the UPDATE, not reads
+      // CHECK constraints gate the POST-image: a SET that would write a
+      // violating row aborts before anything commits
+      val updated = enforceConstraints(updated0, path)
       val dir = s"$path/data_v" +
         IndexManifest.payloadVersionAt(spark, path, v0, "data").get
       val tmpBatch = new org.apache.hadoop.fs.Path(
@@ -1068,6 +1077,100 @@ object TableManifest {
       .filter(_._2 <= tsMillis)
       .sortBy(_._1)
       .lastOption.map(_._1)
+  }
+
+  // ---- table CHECK constraints: versioned metadata artifact --------------
+
+  /** One CHECK constraint: `sql` must not evaluate to FALSE on any row
+    * (NULL satisfies — the SQL standard); `enforced` gates writes,
+    * `rely`/`status` are optimizer metadata passed through to the DSv2
+    * surface. Persisted as `constraints_v<N>` parquet rows committed
+    * under the marker protocol, so constraint DDL is atomic, versioned,
+    * vacuum-aware (the newest below-cutoff artifact survives like any
+    * geometry family), and pinned reads see the constraints of their
+    * era. */
+  final case class TableConstraint(name: String, sql: String,
+      enforced: Boolean, rely: Boolean, status: String)
+
+  private val ConstraintSchema =
+    "name STRING, sql STRING, enforced BOOLEAN, rely BOOLEAN, status STRING"
+
+  /** Constraints visible at `version` (default: current) — the newest
+    * committed `constraints_v` artifact at-or-below it; none = empty. */
+  def constraintsOf(spark: SparkSession, path: String,
+      version: Option[Long] = None): Seq[TableConstraint] = {
+    val v = version.orElse(IndexManifest.currentVersion(spark, path))
+      .getOrElse(return Nil)
+    IndexManifest.payloadVersionAt(spark, path, v, "constraints") match {
+      case None => Nil
+      case Some(cv) =>
+        spark.read.schema(ConstraintSchema)
+          .parquet(s"$path/constraints_v$cv")
+          .collect()
+          .map(r => TableConstraint(r.getString(0), r.getString(1),
+            r.getBoolean(2), r.getBoolean(3), r.getString(4)))
+          .sortBy(_.name).toSeq
+    }
+  }
+
+  /** Replace the table's constraint set in ONE marker commit (kind
+    * `constraints` — a metadata-only version: no payload, no segment,
+    * watermarks carried forward). ADD/DROP CONSTRAINT both funnel here
+    * with the full post-DDL set. Returns the committed version. */
+  def setConstraints(spark: SparkSession, path: String,
+      cs: Seq[TableConstraint]): Long = {
+    require(IndexManifest.currentVersion(spark, path).isDefined,
+      s"no committed table at $path")
+    val dup = cs.groupBy(_.name.toLowerCase(java.util.Locale.ROOT))
+      .collect { case (n, g) if g.size > 1 => n }
+    require(dup.isEmpty, s"duplicate constraint name(s): ${dup.mkString(", ")}")
+    // analysis check NOW: a predicate that doesn't resolve against the
+    // merged schema fails the DDL, not every later write
+    cs.foreach(c => read(spark, path, None, mergeSchema = true)
+      .filter(expr(c.sql)).schema)
+    val f = fs(spark, path)
+    import spark.implicits._
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/.constraints_pending_${java.util.UUID.randomUUID}")
+    // empty set → footer-only file (constraint-free is a readable state)
+    cs.toDF("name", "sql", "enforced", "rely", "status")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    var v = -1L
+    var committed = false
+    while (!committed) {
+      v = IndexManifest.nextMutationVersion(spark, path)
+      val dst = new org.apache.hadoop.fs.Path(s"$path/constraints_v$v")
+      if (renameExclusive(f, tmp, dst)) {
+        committed = IndexManifest.tryCommitTagged(spark, path, v,
+          currentWatermark(spark, path),
+          currentUnkeyedWatermark(spark, path), "constraints")
+        if (!committed) f.rename(dst, tmp) // lost the marker race: retry
+      }
+    }
+    v
+  }
+
+  /** Inline write-side enforcement: every storage-layer write funnel
+    * ([[append]], [[stagePayload]] → snapshots/merges/folds,
+    * [[updateWhere]]'s replacement batch) filters rows through
+    * `assert_true` per ENFORCED constraint — zero extra passes (the
+    * predicate rides the write's own scan; a violating row aborts the
+    * job before any commit, so atomicity holds). A constraint whose
+    * columns are absent from `df` (an evolving narrow append) passes by
+    * the NULL-satisfies rule — those rows read NULL for the column. */
+  private def enforceConstraints(df: DataFrame, path: String): DataFrame = {
+    val spark = df.sparkSession
+    if (!exists(spark, path)) return df
+    constraintsOf(spark, path).filter(_.enforced).foldLeft(df) { (d, c) =>
+      scala.util.Try(d.filter(expr(c.sql)).schema) match {
+        case scala.util.Failure(_) => d // column not in this frame: NULL-pass
+        case scala.util.Success(_) =>
+          d.filter(assert_true(
+            coalesce(expr(c.sql), lit(true)),
+            lit(s"CHECK constraint ${c.name} (${c.sql}) violated by an " +
+              s"incoming row at $path")).isNull)
+      }
+    }
   }
 
   /** One row per retained version (ascending): readable?, row count,

@@ -1846,6 +1846,84 @@ object MiscQueries {
              |SELECT 'post', event_type, n, sum_value FROM agg
              |ORDER BY stage, event_type""".stripMargin)),
 
+    // CHECK constraints end to end: declared in CREATE TABLE, enforced
+    // at the manifest's write funnels (INSERT refused, UPDATE
+    // post-image refused — both PROVEN in the hash by the surviving
+    // state), versioned like every other table metadata (the pinned
+    // CALL graft.constraints still shows the dropped constraint), and
+    // lifted by DROP CONSTRAINT (the same UPDATE then commits). DuckDB
+    // replays the lifecycle: only the post-drop update ever lands.
+    Q("q_graft_constraints",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        s.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_cons").toString + "/t"
+        s.sql(s"CREATE TABLE graft.`$path` (event_id BIGINT, " +
+          "event_type STRING, value DOUBLE, " +
+          "CONSTRAINT id_nonneg CHECK (event_id >= 0))")
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .createOrReplaceTempView("gcn_src")
+        s.sql(s"INSERT INTO graft.`$path` SELECT * FROM gcn_src")
+        // a violating INSERT commits nothing
+        val refusedIns =
+          try { s.sql(s"INSERT INTO graft.`$path` VALUES " +
+            "(-1, 'bad', 0.5)"); false }
+          catch { case scala.util.control.NonFatal(_) => true }
+        require(refusedIns, "violating INSERT must be refused")
+        // a violating UPDATE post-image commits nothing either
+        val minType = s.sql(s"SELECT min(event_type) FROM graft.`$path`")
+          .head().getString(0)
+        val flip = s"UPDATE graft.`$path` " +
+          s"SET event_id = event_id * -1 - 1 " +
+          s"WHERE event_type = '$minType'"
+        val refusedUpd =
+          try { s.sql(flip); false }
+          catch { case scala.util.control.NonFatal(_) => true }
+        require(refusedUpd, "violating UPDATE must be refused")
+        val vPin = TableManifest.versions(s, path).last
+        s.sql(s"ALTER TABLE graft.`$path` DROP CONSTRAINT id_nonneg")
+        s.sql(flip) // the same UPDATE commits once the constraint is gone
+        val defsPin = s
+          .sql(s"CALL graft.constraints(path => '$path', " +
+            s"version => $vPin)")
+          .select(lit("check_pin").as("stage"), col("name").as("k"),
+            when(col("enforced"), lit(1L)).otherwise(lit(0L)).as("n"),
+            lit(0L).as("m"))
+        val defsNow = s.range(1).select(lit("check_now").as("stage"),
+          lit("n_live").as("k"),
+          lit(s.sql(s"CALL graft.constraints(path => '$path')").count())
+            .as("n"), lit(0L).as("m"))
+        val data = s.sql(
+          s"""SELECT event_type AS k, count(*) AS n,
+             |  CAST(sum(event_id) AS BIGINT) AS m
+             |FROM graft.`$path` GROUP BY event_type""".stripMargin)
+          .select(lit("data").as("stage"), col("k"), col("n"), col("m"))
+        defsPin.unionByName(defsNow).unionByName(data)
+          .orderBy(col("stage"), col("k"))
+      },
+      Some("""WITH upd AS (
+             |  SELECT CASE WHEN event_type =
+             |           (SELECT min(event_type) FROM events)
+             |         THEN event_id * -1 - 1 ELSE event_id END
+             |           AS event_id,
+             |         event_type
+             |  FROM events),
+             |data AS (
+             |  SELECT 'data' AS stage, event_type AS k,
+             |    count(*) AS n, CAST(sum(event_id) AS BIGINT) AS m
+             |  FROM upd GROUP BY event_type)
+             |SELECT 'check_pin' AS stage, 'id_nonneg' AS k,
+             |       CAST(1 AS BIGINT) AS n, CAST(0 AS BIGINT) AS m
+             |UNION ALL
+             |SELECT 'check_now', 'n_live', CAST(0 AS BIGINT),
+             |       CAST(0 AS BIGINT)
+             |UNION ALL
+             |SELECT stage, k, n, m FROM data
+             |ORDER BY stage, k""".stripMargin)),
+
     // Analyzer-native SQL MERGE INTO (GraftMergeRule): the canonical
     // upsert — WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
     // INSERT * over a key-equality ON — lands as one snapshot commit of

@@ -62,6 +62,19 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
 
   override def name(): String = catalogName
 
+  /** CHECK constraints are first-class: `CREATE TABLE ... CHECK (...)`,
+    * `ALTER TABLE ... ADD/DROP CONSTRAINT`. The engine enforces them on
+    * every catalog write (ResolveTableConstraints wraps the write plan
+    * in CheckInvariant from [[GraftTable.constraints]]), and the
+    * manifest layer enforces them AGAIN at its own write funnels — so
+    * direct-API appenders and the MoR UPDATE/MERGE post-images are
+    * gated too, not just SQL INSERTs. */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def spark: SparkSession = SparkSession.active
 
   private def pathOf(ident: Identifier): String =
@@ -152,14 +165,21 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       changes: TableChange*): Table = {
     val p = pathOf(ident)
     if (!TableManifest.exists(spark, p)) throw new NoSuchTableException(ident)
-    val adds = changes.map {
-      case a: TableChange.AddColumn => a
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    changes.foreach {
+      case _: TableChange.AddColumn =>
+      case a: TableChange.AddConstraint => addConstraint(p, a)
+      case d: TableChange.DropConstraint => dropConstraint(p, d)
       case other => throw new UnsupportedOperationException(
-        s"graft ALTER TABLE supports ADD COLUMN(S) only (schema " +
-          s"evolution by null-padded widening); got ${other.getClass
-            .getSimpleName} — DROP/RENAME/retype would need a column-id " +
-          "mapping or a rewrite (use CREATE TABLE ... AS SELECT)")
+        s"graft ALTER TABLE supports ADD COLUMN(S) and ADD/DROP " +
+          s"CONSTRAINT only (schema evolution by null-padded widening); " +
+          s"got ${other.getClass.getSimpleName} — DROP/RENAME/retype " +
+          "would need a column-id mapping or a rewrite (use CREATE " +
+          "TABLE ... AS SELECT)")
     }
+    if (adds.isEmpty)
+      return new GraftTable(p, None, Some(
+        GraftTableSource.tableSchema(spark, p, None, mergeSchema = true)))
     val base = GraftTableSource.tableSchema(spark, p, None,
       mergeSchema = true)
     val existing = base.fieldNames
@@ -190,6 +210,77 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       GraftTableSource.tableSchema(spark, p, None, mergeSchema = true)))
   }
 
+  /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (...)` — Spark has
+    * already scanned for violations (AddCheckConstraintExec throws
+    * before reaching us when the constraint is ENFORCED and data
+    * violates); this persists the definition as one metadata-only
+    * manifest commit. Only CHECK is accepted: PRIMARY KEY / UNIQUE /
+    * FOREIGN KEY would need an enforcement index the layout does not
+    * carry. */
+  private def addConstraint(p: String,
+      a: TableChange.AddConstraint): Unit = {
+    val c = a.constraint() match {
+      case chk: org.apache.spark.sql.connector.catalog.constraints.Check
+        => chk
+      case other => throw new UnsupportedOperationException(
+        s"graft supports CHECK constraints only; got " +
+          s"${other.getClass.getSimpleName} (PRIMARY KEY/UNIQUE/FOREIGN " +
+          "KEY are not enforceable against this layout)")
+    }
+    val sql = Option(c.predicateSql()).filter(_.nonEmpty).getOrElse(
+      throw new UnsupportedOperationException(
+        s"CHECK constraint '${c.name}' carries no predicate SQL"))
+    val cur = TableManifest.constraintsOf(spark, p)
+    require(!cur.exists(_.name.equalsIgnoreCase(c.name)),
+      s"constraint '${c.name}' already exists on graft table $p")
+    val status =
+      if (a.validatedTableVersion() != null) "VALID"
+      else c.validationStatus().name()
+    TableManifest.setConstraints(spark, p, cur :+
+      TableManifest.TableConstraint(c.name, sql, c.enforced(), c.rely(),
+        status))
+    ()
+  }
+
+  private def dropConstraint(p: String,
+      d: TableChange.DropConstraint): Unit = {
+    val cur = TableManifest.constraintsOf(spark, p)
+    val (hit, kept) = cur.partition(_.name.equalsIgnoreCase(d.name()))
+    if (hit.isEmpty) {
+      if (!d.ifExists()) throw new IllegalArgumentException(
+        s"no constraint '${d.name()}' on graft table $p " +
+          s"(have: ${cur.map(_.name).mkString(", ")})")
+    } else TableManifest.setConstraints(spark, p, kept)
+    ()
+  }
+
+  /** CREATE TABLE with inline constraints (the TableInfo route Spark's
+    * DDL uses when the catalog declares SUPPORT_TABLE_CONSTRAINT). */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val t = createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    if (info.constraints().nonEmpty) {
+      val p = pathOf(ident)
+      TableManifest.setConstraints(spark, p,
+        info.constraints().toSeq.map(toTableConstraint(p, _)))
+    }
+    t
+  }
+
+  private[sources] def toTableConstraint(p: String,
+      c: org.apache.spark.sql.connector.catalog.constraints.Constraint)
+      : TableManifest.TableConstraint = c match {
+    case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+      TableManifest.TableConstraint(chk.name,
+        Option(chk.predicateSql()).filter(_.nonEmpty).getOrElse(
+          throw new UnsupportedOperationException(
+            s"CHECK constraint '${chk.name}' carries no predicate SQL")),
+        chk.enforced(), chk.rely(), chk.validationStatus().name())
+    case other => throw new UnsupportedOperationException(
+      s"graft supports CHECK constraints only; got " +
+        s"${other.getClass.getSimpleName} on table $p")
+  }
+
   // ---- StagingTableCatalog: atomic CTAS / RTAS ---------------------------
   //
   // The manifest's stage-then-flip protocol IS a staging catalog: the
@@ -215,7 +306,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     if (TableManifest.exists(spark, pathOf(ident)))
       throw new TableAlreadyExistsException(ident)
     new GraftStagedTable(pathOf(ident), ident, schema, replace = false,
-      orCreate = true)
+      orCreate = true, Nil)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
@@ -225,7 +316,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     if (!TableManifest.exists(spark, pathOf(ident)))
       throw new NoSuchTableException(ident)
     new GraftStagedTable(pathOf(ident), ident, schema, replace = true,
-      orCreate = false)
+      orCreate = false, Nil)
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
@@ -233,21 +324,31 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       properties: java.util.Map[String, String]): StagedTable = {
     checkPartitions(partitions)
     new GraftStagedTable(pathOf(ident), ident, schema, replace = true,
-      orCreate = true)
+      orCreate = true, Nil)
+  }
+
+  private def withConstraints(staged: StagedTable,
+      ident: Identifier, info: TableInfo): StagedTable = {
+    val cs = info.constraints().toSeq
+      .map(toTableConstraint(pathOf(ident), _))
+    staged.asInstanceOf[GraftStagedTable].setStagedConstraints(cs)
+    staged
   }
 
   override def stageCreate(ident: Identifier,
       info: TableInfo): StagedTable =
-    stageCreate(ident, info.schema(), info.partitions(), info.properties())
+    withConstraints(stageCreate(ident, info.schema(), info.partitions(),
+      info.properties()), ident, info)
 
   override def stageReplace(ident: Identifier,
       info: TableInfo): StagedTable =
-    stageReplace(ident, info.schema(), info.partitions(), info.properties())
+    withConstraints(stageReplace(ident, info.schema(), info.partitions(),
+      info.properties()), ident, info)
 
   override def stageCreateOrReplace(ident: Identifier,
       info: TableInfo): StagedTable =
-    stageCreateOrReplace(ident, info.schema(), info.partitions(),
-      info.properties())
+    withConstraints(stageCreateOrReplace(ident, info.schema(),
+      info.partitions(), info.properties()), ident, info)
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = pathOf(ident)
@@ -275,18 +376,30 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   * staged write — the staged SCHEMA becomes a zero-row snapshot, the
   * empty-but-readable contract CREATE TABLE already keeps. */
 private[sources] class GraftStagedTable(path: String, ident: Identifier,
-    stagedSchema: StructType, replace: Boolean, orCreate: Boolean)
+    stagedSchema: StructType, replace: Boolean, orCreate: Boolean,
+    initialConstraints: Seq[TableManifest.TableConstraint])
     extends StagedTable
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   private val staged =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
+  @volatile private var stagedConstraints: Seq[TableManifest
+    .TableConstraint] = initialConstraints
+
+  private[sources] def setStagedConstraints(
+      cs: Seq[TableManifest.TableConstraint]): Unit =
+    stagedConstraints = cs
+
   private def spark: SparkSession = SparkSession.active
 
   override def name(): String = s"graft:$path (staged)"
 
   override def schema(): StructType = stagedSchema
+
+  // constraints() deliberately not overridden — see the note on
+  // GraftTable: the commit path below validates the staged payload
+  // against the enforced set itself, so a violating row never publishes
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
@@ -338,8 +451,32 @@ private[sources] class GraftStagedTable(path: String, ident: Identifier,
         // next version of the same manifest)
         TableManifest.createEmpty(spark, path, stagedSchema)
       case dir =>
+        // validate the staged content against the NEW definition's
+        // enforced CHECK constraints BEFORE the marker flips: a
+        // violating CTAS/RTAS publishes nothing (one pruned re-read of
+        // the staged parquet — only the constraint columns)
+        stagedConstraints.filter(_.enforced).foreach { c =>
+          import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+          val bad = scala.util.Try(
+            spark.read.parquet(dir)
+              .filter(not(coalesce(expr(c.sql), lit(true))))
+              .limit(1).count()).getOrElse(0L)
+          if (bad > 0) {
+            abortStagedChanges()
+            throw new IllegalArgumentException(
+              s"CHECK constraint ${c.name} (${c.sql}) is violated by " +
+                s"the staged CREATE/REPLACE content for $path — " +
+                "nothing was published")
+          }
+        }
         TableManifest.publishStagedSnapshot(spark, path, dir)
     }
+    // the staged definition's constraints REPLACE the old table's (the
+    // SQL REPLACE semantics); skip the metadata commit when both sides
+    // are empty
+    if (stagedConstraints.nonEmpty ||
+        (replace && TableManifest.constraintsOf(spark, path).nonEmpty))
+      TableManifest.setConstraints(spark, path, stagedConstraints)
     ()
   }
 

@@ -524,6 +524,17 @@ private[sources] class GraftTable(path: String, versionAsOf: Option[Long],
 
   override def name(): String = s"graft:$path"
 
+  // NOTE on Table.constraints(): deliberately NOT overridden. Spark's
+  // ResolveTableConstraints wraps EVERY reported Check (enforced or
+  // not) in a CheckInvariant resolved against the WRITE QUERY's output
+  // — which under ACCEPT_ANY_SCHEMA (the evolution/bootstrap write
+  // contract) is still positional (`col1..colN` for INSERT VALUES) and
+  // fails analysis. Enforcement instead lives ONE LAYER DOWN, in the
+  // manifest's write funnels (TableManifest.enforceConstraints: append,
+  // snapshot/merge/fold staging, UPDATE post-image) — gating EVERY
+  // writer, SQL or direct API, AFTER alignment; the definitions are
+  // served by `CALL graft.constraints(...)`.
+
   override def schema(): StructType = userSchema.getOrElse {
     val spark = SparkSession.active
     if (!TableManifest.exists(spark, path)) return new StructType()

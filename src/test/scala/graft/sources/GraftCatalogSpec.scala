@@ -335,6 +335,81 @@ class GraftCatalogSpec extends AnyFunSuite {
       == vs0.toSet, "CREATE OR REPLACE must preserve history")
   }
 
+  test("CHECK constraints: created inline or via ALTER, enforced on " +
+    "INSERT, UPDATE post-image, and direct appends; DROP lifts them; " +
+    "ADD validates existing data") {
+    val p = tmp("chk")
+    s.sql(s"CREATE TABLE graft.`$p` (id BIGINT, v DOUBLE, " +
+      "CONSTRAINT v_nonneg CHECK (v >= 0))")
+    s.sql(s"INSERT INTO graft.`$p` VALUES (1, 0.5), (2, CAST(NULL AS " +
+      "DOUBLE))") // NULL satisfies (SQL standard)
+    // violating INSERT: refused, nothing lands
+    intercept[Exception](
+      s.sql(s"INSERT INTO graft.`$p` VALUES (3, -1.0)"))
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0)
+      == 2)
+    // violating direct-API append: the STORAGE layer enforces too
+    intercept[Exception](TableManifest.append(
+      s.range(1).select(col("id"), lit(-5.0).as("v")), p))
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0)
+      == 2)
+    // UPDATE post-image is gated: a SET writing a violating value fails
+    // before anything commits
+    intercept[Exception](
+      s.sql(s"UPDATE graft.`$p` SET v = v - 10 WHERE id = 1"))
+    assert(s.sql(s"SELECT v FROM graft.`$p` WHERE id = 1")
+      .head().getDouble(0) == 0.5)
+    // a conforming UPDATE passes
+    s.sql(s"UPDATE graft.`$p` SET v = v + 1 WHERE id = 1")
+    assert(s.sql(s"SELECT v FROM graft.`$p` WHERE id = 1")
+      .head().getDouble(0) == 1.5)
+    // ADD CONSTRAINT validates EXISTING data: id 2 has NULL v (passes),
+    // but an id bound the data violates is refused with nothing stored
+    intercept[Exception](s.sql(
+      s"ALTER TABLE graft.`$p` ADD CONSTRAINT id_small CHECK (id < 2)"))
+    s.sql(s"ALTER TABLE graft.`$p` ADD CONSTRAINT id_pos CHECK (id > 0)")
+    intercept[Exception](
+      s.sql(s"INSERT INTO graft.`$p` VALUES (0, 1.0)"))
+    // DROP lifts enforcement; dropping a missing name needs IF EXISTS
+    s.sql(s"ALTER TABLE graft.`$p` DROP CONSTRAINT id_pos")
+    s.sql(s"INSERT INTO graft.`$p` VALUES (0, 1.0)")
+    intercept[Exception](
+      s.sql(s"ALTER TABLE graft.`$p` DROP CONSTRAINT nope"))
+    s.sql(s"ALTER TABLE graft.`$p` DROP CONSTRAINT IF EXISTS nope")
+    // v_nonneg still live through all of it
+    intercept[Exception](
+      s.sql(s"INSERT INTO graft.`$p` VALUES (9, -0.1)"))
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0)
+      == 3)
+  }
+
+  test("CHECK constraints × staged DDL: REPLACE TABLE swaps the " +
+    "constraint set with the definition; RTAS clears it; CALL " +
+    "graft.constraints serves the live and pinned sets") {
+    val p = tmp("chkdl") + "/t"
+    s.sql(s"CREATE TABLE graft.`$p` (id BIGINT, " +
+      "CONSTRAINT pos CHECK (id >= 0))")
+    s.sql(s"INSERT INTO graft.`$p` VALUES (1)")
+    intercept[Exception](s.sql(s"INSERT INTO graft.`$p` VALUES (-1)"))
+    // REPLACE TABLE with a DIFFERENT constraint: the staged definition's
+    // set replaces the old one in the same DDL
+    s.sql(s"REPLACE TABLE graft.`$p` (id BIGINT, " +
+      "CONSTRAINT big CHECK (id > 100))")
+    s.sql(s"INSERT INTO graft.`$p` VALUES (500)")
+    intercept[Exception](s.sql(s"INSERT INTO graft.`$p` VALUES (1)"))
+    val live = s.sql(s"CALL graft.constraints(path => '$p')").collect()
+    assert(live.map(_.getString(0)).toSeq == Seq("big") &&
+      live.head.getBoolean(2), "the live set must be exactly {big}")
+    // RTAS carries no constraint syntax: the replace CLEARS the set
+    // (SQL REPLACE semantics — the new definition is the whole truth)
+    s.sql(s"REPLACE TABLE graft.`$p` AS SELECT id FROM range(3)")
+    s.sql(s"INSERT INTO graft.`$p` VALUES (-1)")
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0)
+      == 4)
+    assert(s.sql(s"CALL graft.constraints(path => '$p')").collect()
+      .isEmpty)
+  }
+
   test("plain SQL MERGE INTO ... UPDATE SET * / INSERT *: exact merge " +
     "semantics, cardinality violation and custom clauses refused") {
     val p = tmp("sqmrg")
