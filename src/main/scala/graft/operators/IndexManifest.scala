@@ -368,7 +368,8 @@ private[operators] object IndexManifest {
     * would fall back to a legacy path that never existed. Never touches
     * the current version; no-op on legacy layouts. */
   def vacuum(spark: SparkSession, path: String, keep: Int,
-      payloadBase: String = "codes", retainMs: Long = 0L): Unit = {
+      payloadBase: String = "codes", retainMs: Long = 0L,
+      pinned: Set[Long] = Set.empty): Unit = {
     require(keep >= 1)
     val f = fs(spark, path)
     val vs = committedVersions(spark, path)
@@ -378,8 +379,12 @@ private[operators] object IndexManifest {
     // so a long-running reader pinned to a recent version cannot have its
     // files deleted mid-query — commit time is the marker's mtime, the
     // one clock the filesystem already keeps
+    // `pinned` versions (named tags at the table layer) are retained
+    // like the `keep` tail: their payload, segments, geometry, and
+    // marker all survive until the pin is removed
     val keepSet =
-      if (retainMs <= 0L) vs.takeRight(keep)
+      if (retainMs <= 0L)
+        (vs.takeRight(keep) ++ vs.filter(pinned)).distinct.sorted
       else {
         val floor = System.currentTimeMillis() - retainMs
         val recent = vs.filter { v =>
@@ -387,7 +392,8 @@ private[operators] object IndexManifest {
             f.getFileStatus(new Path(s"$path/manifest/v$v"))
               .getModificationTime >= floor).getOrElse(true)
         }
-        (vs.takeRight(keep) ++ recent).distinct.sorted
+        (vs.takeRight(keep) ++ recent ++ vs.filter(pinned))
+          .distinct.sorted
       }
     val cutoff = payloadVersionAt(spark, path, keepSet.min, payloadBase)
       .getOrElse(keepSet.min)

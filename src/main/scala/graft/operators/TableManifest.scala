@@ -1079,6 +1079,97 @@ object TableManifest {
       .lastOption.map(_._1)
   }
 
+  // ---- named tags: human refs into the version history -------------------
+
+  private val TagName = "^[A-Za-z][A-Za-z0-9_.-]*$".r
+
+  private def tagPath(path: String, name: String) =
+    new org.apache.hadoop.fs.Path(s"$path/manifest/tag_$name")
+
+  /** Pin `name` to `version` (default: current). A tag is a tiny
+    * `manifest/tag_<name>` ref file — O(1) metadata, no data copied —
+    * readable as `VERSION AS OF '<name>'` through the catalog and
+    * PROTECTED FROM VACUUM: the tagged version's payload, segments, and
+    * marker survive any `keep`/retention policy until [[untag]].
+    * Re-tagging an existing name moves it (last writer wins — tags are
+    * operator refs, not commits). Returns the pinned version. */
+  def tag(spark: SparkSession, path: String, name: String,
+      version: Option[Long] = None): Long = {
+    require(TagName.matches(name),
+      s"tag name '$name' must match ${TagName.regex} (it becomes a " +
+        "manifest filename)")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed table at $path")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"cannot tag version $v of $path — never committed or already " +
+        s"vacuumed (retained: ${vs.mkString(", ")})")
+    val f = fs(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/manifest/.tag_pending_${java.util.UUID.randomUUID}")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    f.delete(tagPath(path, name), false)
+    require(f.rename(tmp, tagPath(path, name)),
+      s"could not place tag '$name' at $path")
+    v
+  }
+
+  /** Remove tag `name`; false when it did not exist. The version it
+    * pinned becomes reclaimable by the next vacuum like any other. */
+  def untag(spark: SparkSession, path: String, name: String): Boolean = {
+    require(TagName.matches(name), s"malformed tag name '$name'")
+    fs(spark, path).delete(tagPath(path, name), false)
+  }
+
+  /** All tags, name → version, name-sorted. Dangling tags (version
+    * vacuumed out from under a pin placed AFTER the fact — impossible
+    * through [[tag]]+[[vacuum]], which protects pins) are still listed;
+    * resolution fails loudly at read. */
+  def tags(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val f = fs(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("tag_") =>
+        n.stripPrefix("tag_") }
+      .sorted.toSeq
+      .flatMap(n => tagVersion(spark, path, n).map(n -> _))
+  }
+
+  /** The version tag `name` pins, if the tag exists. */
+  def tagVersion(spark: SparkSession, path: String,
+      name: String): Option[Long] = {
+    val f = fs(spark, path)
+    val p = tagPath(path, name)
+    if (!TagName.matches(name) || !f.exists(p)) return None
+    val in = f.open(p)
+    val body = try scala.io.Source.fromInputStream(in).mkString.trim
+    finally in.close()
+    body.toLongOption
+  }
+
+  /** RESTORE: make the table's next version serve the CONTENT of an
+    * older one — a forward-moving commit through the pinned re-derive
+    * loop (history is never rewritten; the bad versions stay pinnable
+    * for forensics until vacuum). Cost is honest CoW: one snapshot
+    * write of the restored content (the masked read at `version`), so
+    * at very large scale prefer `tag` + pinned READS for investigation
+    * and restore only to actually move the table back. Current CHECK
+    * constraints apply to the restored content (a restore cannot
+    * smuggle rows past a constraint added since). Returns the new
+    * version. */
+  def restore(spark: SparkSession, path: String, version: Long): Long = {
+    require(versions(spark, path).contains(version),
+      s"cannot restore $path to version $version — never committed or " +
+        s"vacuumed (retained: ${versions(spark, path).mkString(", ")})")
+    // merged schema: restoring an EVOLVED-era version must carry its
+    // late-added columns (the non-merged read's schema is whichever
+    // batch footer parquet sampled)
+    commitDerivedSnapshot(spark, path,
+      _ => readAt(spark, path, version, mergeSchema = true))
+  }
+
   // ---- table CHECK constraints: versioned metadata artifact --------------
 
   /** One CHECK constraint: `sql` must not evaluate to FALSE on any row
@@ -1116,9 +1207,16 @@ object TableManifest {
   /** Replace the table's constraint set in ONE marker commit (kind
     * `constraints` — a metadata-only version: no payload, no segment,
     * watermarks carried forward). ADD/DROP CONSTRAINT both funnel here
-    * with the full post-DDL set. Returns the committed version. */
+    * with the full post-DDL set. `expectedCurrent` guards the
+    * read-modify-write: a set computed against version `e` refuses to
+    * commit once ANY other mutation landed (the caller re-reads and
+    * re-derives — without this, two concurrent ADD CONSTRAINTs would
+    * serialize on version numbers but the second's full-set write
+    * would silently drop the first's addition). Returns the committed
+    * version. */
   def setConstraints(spark: SparkSession, path: String,
-      cs: Seq[TableConstraint]): Long = {
+      cs: Seq[TableConstraint],
+      expectedCurrent: Option[Long] = None): Long = {
     require(IndexManifest.currentVersion(spark, path).isDefined,
       s"no committed table at $path")
     val dup = cs.groupBy(_.name.toLowerCase(java.util.Locale.ROOT))
@@ -1138,6 +1236,21 @@ object TableManifest {
     var v = -1L
     var committed = false
     while (!committed) {
+      expectedCurrent.foreach { e =>
+        val cur = IndexManifest.currentVersion(spark, path).get
+        // only ANOTHER constraints commit can have changed the set —
+        // interleaved appends/deletes/updates are harmless and must not
+        // starve constraint DDL on a busy streaming table
+        val competing = ((e + 1) to cur).exists(v =>
+          IndexManifest.markerInfoAt(spark, path, v).kind == "constraints")
+        if (competing) {
+          f.delete(tmp, true)
+          throw new java.util.ConcurrentModificationException(
+            s"constraint set for $path was computed against version $e " +
+              s"but a competing constraint DDL committed since (now at " +
+              s"$cur) — re-read and retry")
+        }
+      }
       v = IndexManifest.nextMutationVersion(spark, path)
       val dst = new org.apache.hadoop.fs.Path(s"$path/constraints_v$v")
       if (renameExclusive(f, tmp, dst)) {
@@ -1237,7 +1350,8 @@ object TableManifest {
   def vacuum(spark: SparkSession, path: String, keep: Int = 2,
       retainMs: Long = 0L): Unit =
     IndexManifest.vacuum(spark, path, keep, payloadBase = "data",
-      retainMs = retainMs)
+      retainMs = retainMs,
+      pinned = tags(spark, path).map(_._2).toSet)
 
   /** Remove debris a CRASHED mutation left behind, so the next
     * delete/update at its version slot doesn't spin into the

@@ -1846,6 +1846,65 @@ object MiscQueries {
              |SELECT 'post', event_type, n, sum_value FROM agg
              |ORDER BY stage, event_type""".stripMargin)),
 
+    // Named tags + RESTORE: `CALL graft.tag` pins a name to a version
+    // (O(1) metadata, vacuum-protected), `VERSION AS OF '<name>'` reads
+    // it by name, and `CALL graft.restore(to => '<name>')` moves the
+    // table back as a FORWARD commit — history never rewritten. The
+    // hash carries the tagged read, the post-DELETE head (version-
+    // pinned so laziness can't see past the restore), and the restored
+    // head, which must equal the tagged stage row for row.
+    Q("q_graft_tags",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        s.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_tags").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        TableManifest.commitSnapshot(
+          e.filter(col("event_id") % 2 === 0), path)
+        s.sql(s"CALL graft.tag(path => '$path', name => 'raw')")
+        s.sql(s"DELETE FROM graft.`$path` WHERE event_id % 4 = 0")
+        val vHead = TableManifest.versions(s, path).last
+        s.sql(s"CALL graft.restore(path => '$path', to => 'raw')")
+        def agg(from: String, tag: String) = s.sql(
+          s"""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM $from GROUP BY event_type""".stripMargin)
+          .withColumn("stage", lit(tag))
+        agg(s"graft.`$path` VERSION AS OF 'raw'", "tagged")
+          .unionByName(agg(s"graft.`$path` VERSION AS OF $vHead",
+            "head"))
+          .unionByName(agg(s"graft.`$path`", "restored"))
+          .select(col("stage"), col("event_type"), col("n"),
+            col("sum_value"))
+          .orderBy(col("stage"), col("event_type"))
+      },
+      Some("""WITH even AS (
+             |  SELECT event_id, event_type, value FROM events
+             |  WHERE event_id % 2 = 0),
+             |tagged AS (
+             |  SELECT event_type, count(*) AS n,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |      AS sum_value
+             |  FROM even GROUP BY event_type),
+             |headv AS (
+             |  SELECT event_type, count(*) AS n,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |      AS sum_value
+             |  FROM even
+             |  WHERE NOT coalesce(event_id % 4 = 0, false)
+             |  GROUP BY event_type)
+             |SELECT 'tagged' AS stage, event_type, n, sum_value
+             |FROM tagged
+             |UNION ALL
+             |SELECT 'head', event_type, n, sum_value FROM headv
+             |UNION ALL
+             |SELECT 'restored', event_type, n, sum_value FROM tagged
+             |ORDER BY stage, event_type""".stripMargin)),
+
     // CHECK constraints end to end: declared in CREATE TABLE, enforced
     // at the manifest's write funnels (INSERT refused, UPDATE
     // post-image refused — both PROVEN in the hash by the surviving

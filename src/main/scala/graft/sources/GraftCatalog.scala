@@ -98,15 +98,18 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       Some(GraftTableSource.tableSchema(spark, p, None, mergeSchema = true)))
   }
 
-  /** `VERSION AS OF <v>` — the analyzer's time-travel hook. */
+  /** `VERSION AS OF <v>` / `VERSION AS OF '<tag>'` — the analyzer's
+    * time-travel hook; a non-numeric version resolves as a named tag
+    * ([[TableManifest.tag]] — the vacuum-protected ref). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val p = pathOf(ident)
     if (!TableManifest.exists(spark, p)) throw new NoSuchTableException(ident)
-    val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft versions are numbers (committed manifest versions); " +
-          s"got '$version'")
-    }
+    val v = version.toLongOption
+      .orElse(TableManifest.tagVersion(spark, p, version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$version' is neither a committed version number nor a tag " +
+          s"of $p (tags: ${TableManifest.tags(spark, p)
+            .map(_._1).mkString(", ")})"))
     require(TableManifest.versions(spark, p).contains(v),
       s"version $v of $p was never committed or has been vacuumed " +
         s"(retained: ${TableManifest.versions(spark, p).mkString(", ")})")
@@ -230,28 +233,53 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val sql = Option(c.predicateSql()).filter(_.nonEmpty).getOrElse(
       throw new UnsupportedOperationException(
         s"CHECK constraint '${c.name}' carries no predicate SQL"))
-    val cur = TableManifest.constraintsOf(spark, p)
-    require(!cur.exists(_.name.equalsIgnoreCase(c.name)),
-      s"constraint '${c.name}' already exists on graft table $p")
     val status =
       if (a.validatedTableVersion() != null) "VALID"
       else c.validationStatus().name()
-    TableManifest.setConstraints(spark, p, cur :+
-      TableManifest.TableConstraint(c.name, sql, c.enforced(), c.rely(),
-        status))
-    ()
+    retryConstraintDdl(p) { cur =>
+      require(!cur.exists(_.name.equalsIgnoreCase(c.name)),
+        s"constraint '${c.name}' already exists on graft table $p")
+      Some(cur :+ TableManifest.TableConstraint(c.name, sql,
+        c.enforced(), c.rely(), status))
+    }
   }
 
   private def dropConstraint(p: String,
-      d: TableChange.DropConstraint): Unit = {
-    val cur = TableManifest.constraintsOf(spark, p)
-    val (hit, kept) = cur.partition(_.name.equalsIgnoreCase(d.name()))
-    if (hit.isEmpty) {
-      if (!d.ifExists()) throw new IllegalArgumentException(
-        s"no constraint '${d.name()}' on graft table $p " +
-          s"(have: ${cur.map(_.name).mkString(", ")})")
-    } else TableManifest.setConstraints(spark, p, kept)
-    ()
+      d: TableChange.DropConstraint): Unit =
+    retryConstraintDdl(p) { cur =>
+      val (hit, kept) = cur.partition(_.name.equalsIgnoreCase(d.name()))
+      if (hit.isEmpty) {
+        if (!d.ifExists()) throw new IllegalArgumentException(
+          s"no constraint '${d.name()}' on graft table $p " +
+            s"(have: ${cur.map(_.name).mkString(", ")})")
+        None // IF EXISTS on a missing name: nothing to commit
+      } else Some(kept)
+    }
+
+  /** Read-modify-write of the constraint set under the optimistic
+    * guard: `derive` sees the set AT a pinned version and the commit
+    * refuses if anything landed since (two concurrent constraint DDLs
+    * would otherwise serialize on version numbers while the second's
+    * full-set write silently dropped the first's change). */
+  private def retryConstraintDdl(p: String)(
+      derive: Seq[TableManifest.TableConstraint]
+        => Option[Seq[TableManifest.TableConstraint]]): Unit = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 10,
+        s"constraint DDL on $p lost the commit race $attempt times — " +
+          "retry under quieter DDL traffic")
+      val v0 = TableManifest.versions(spark, p).last
+      val next = derive(TableManifest.constraintsOf(spark, p, Some(v0)))
+      if (next.isEmpty) return
+      try {
+        TableManifest.setConstraints(spark, p, next.get, Some(v0))
+        return
+      } catch {
+        case _: java.util.ConcurrentModificationException => // re-derive
+      }
+    }
   }
 
   /** CREATE TABLE with inline constraints (the TableInfo route Spark's

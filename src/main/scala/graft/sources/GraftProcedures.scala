@@ -235,8 +235,65 @@ private[sources] object GraftProcedures {
     }
   }
 
+  private val tagSchema = new StructType()
+    .add("name", StringType, nullable = false)
+    .add("version", LongType, nullable = false)
+
+  private val tagP = new P("tag",
+    "pin a name to a version (default: current) — O(1) metadata, " +
+      "readable as VERSION AS OF '<name>', protected from vacuum " +
+      "until untagged; re-tagging moves the name",
+    Seq(in("path", StringType), in("name", StringType),
+      inD("version", LongType, "-1")), tagSchema) {
+    override protected def run(a: InternalRow): Seq[InternalRow] = {
+      val v = a.getLong(2)
+      val pinned = TableManifest.tag(spark, str(a, 0), str(a, 1),
+        if (v < 0) None else Some(v))
+      Seq(InternalRow(UTF8String.fromString(str(a, 1)), pinned))
+    }
+  }
+
+  private val untagP = new P("untag",
+    "remove a tag; the version it pinned becomes reclaimable by the " +
+      "next vacuum",
+    Seq(in("path", StringType), in("name", StringType)),
+    new StructType().add("removed", BooleanType, nullable = false)) {
+    override protected def run(a: InternalRow): Seq[InternalRow] =
+      Seq(InternalRow(
+        TableManifest.untag(spark, str(a, 0), str(a, 1))))
+  }
+
+  private val tagsP = new P("tags",
+    "all tags of a table, name-sorted",
+    Seq(in("path", StringType)), tagSchema) {
+    override protected def run(a: InternalRow): Seq[InternalRow] =
+      TableManifest.tags(spark, str(a, 0)).map { case (n, v) =>
+        InternalRow(UTF8String.fromString(n), v) }
+  }
+
+  private val restore = new P("restore",
+    "make the table's next version serve an older version's content " +
+      "(by number or tag) — a forward commit, history never rewritten; " +
+      "cost is one snapshot write of the restored content",
+    Seq(in("path", StringType), in("to", StringType)),
+    new StructType().add("version", LongType, nullable = false)
+      .add("restored_from", LongType, nullable = false)) {
+    override protected def run(a: InternalRow): Seq[InternalRow] = {
+      val p = str(a, 0)
+      val to = str(a, 1)
+      val from = to.toLongOption
+        .orElse(TableManifest.tagVersion(spark, p, to))
+        .getOrElse(throw new IllegalArgumentException(
+          s"'$to' is neither a committed version number nor a tag of " +
+            s"$p (tags: ${TableManifest.tags(spark, p)
+              .map(_._1).mkString(", ")})"))
+      Seq(InternalRow(TableManifest.restore(spark, p, from), from))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] = Seq(
-    optimize, vacuum, maintain, history, update, constraints)
+    optimize, vacuum, maintain, history, update, constraints,
+    tagP, untagP, tagsP, restore)
     .map(p => p.name() -> p).toMap
 
   def identifiers: Array[Identifier] =

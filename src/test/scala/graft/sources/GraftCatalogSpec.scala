@@ -410,6 +410,105 @@ class GraftCatalogSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("constraint DDL read-modify-write is optimistic: a competing " +
+    "constraints commit refuses the stale set; interleaved appends " +
+    "do not") {
+    import graft.operators.TableManifest.TableConstraint
+    val p = tmp("chkrace")
+    TableManifest.commitSnapshot(
+      s.range(10).select(col("id"), (col("id") % 5).as("k")), p)
+    val v0 = TableManifest.versions(s, p).last
+    val base = TableManifest.constraintsOf(s, p, Some(v0))
+    // a COMPETING constraint DDL lands after the read
+    TableManifest.setConstraints(s, p,
+      Seq(TableConstraint("other", "k >= 0", true, false, "VALID")))
+    // the stale full-set write (computed against v0) must refuse —
+    // committing it would silently drop 'other'
+    intercept[java.util.ConcurrentModificationException](
+      TableManifest.setConstraints(s, p,
+        base :+ TableConstraint("mine", "id >= 0", true, false, "VALID"),
+        Some(v0)))
+    assert(TableManifest.constraintsOf(s, p).map(_.name) == Seq("other"))
+    // interleaved APPENDS are harmless: the guarded write still lands
+    val v1 = TableManifest.versions(s, p).last
+    val cur = TableManifest.constraintsOf(s, p, Some(v1))
+    TableManifest.append(
+      s.range(10, 20).select(col("id"), (col("id") % 5).as("k")), p)
+    TableManifest.setConstraints(s, p,
+      cur :+ TableConstraint("mine", "id >= 0", true, false, "VALID"),
+      Some(v1))
+    assert(TableManifest.constraintsOf(s, p).map(_.name).sorted ==
+      Seq("mine", "other"))
+    // and the catalog route retries transparently end to end
+    s.sql(s"ALTER TABLE graft.`$p` ADD CONSTRAINT third CHECK (k < 99)")
+    assert(TableManifest.constraintsOf(s, p).map(_.name).sorted ==
+      Seq("mine", "other", "third"))
+  }
+
+  test("tags and restore: VERSION AS OF '<name>' resolves the pin, " +
+    "vacuum never reclaims a tagged version, restore moves the table " +
+    "back without rewriting history") {
+    val p = tmp("tags")
+    TableManifest.commitSnapshot(
+      s.range(100).select(col("id"), (col("id") % 5).as("k")), p)
+    val r = s.sql(s"CALL graft.tag(path => '$p', name => 'baseline')")
+      .head()
+    val vBase = r.getLong(1)
+    // churn: delete + two replacement snapshots push versions well past
+    s.sql(s"DELETE FROM graft.`$p` WHERE k = 0")
+    TableManifest.commitSnapshot(
+      s.range(7).select(col("id"), lit(9L).as("k")), p)
+    TableManifest.commitSnapshot(
+      s.range(3).select(col("id"), lit(8L).as("k")), p)
+    // the tag reads by NAME, serving the pre-churn content
+    assert(s.sql(
+      s"SELECT count(*) FROM graft.`$p` VERSION AS OF 'baseline'")
+      .head().getLong(0) == 100)
+    // vacuum with keep=1 would normally reclaim vBase — the tag pins it
+    s.sql(s"CALL graft.vacuum(path => '$p', keep => 1)")
+    assert(TableManifest.versions(s, p).contains(vBase),
+      "vacuum must never reclaim a tagged version")
+    assert(s.sql(
+      s"SELECT count(*) FROM graft.`$p` VERSION AS OF 'baseline'")
+      .head().getLong(0) == 100)
+    // restore by tag: a FORWARD commit serving the old content;
+    // history keeps the in-between versions that survived vacuum
+    val rr = s.sql(
+      s"CALL graft.restore(path => '$p', to => 'baseline')").head()
+    assert(rr.getLong(1) == vBase)
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0)
+      == 100)
+    assert(rr.getLong(0) > TableManifest.versions(s, p).init.last ||
+      TableManifest.versions(s, p).last == rr.getLong(0),
+      "restore must be the newest version, not a history rewrite")
+    // unknown refs fail with the tag list; untag releases the pin
+    intercept[Exception](s.sql(
+      s"SELECT * FROM graft.`$p` VERSION AS OF 'nope'").collect())
+    assert(s.sql(s"CALL graft.untag(path => '$p', name => 'baseline')")
+      .head().getBoolean(0))
+    s.sql(s"CALL graft.vacuum(path => '$p', keep => 1)")
+    assert(!TableManifest.versions(s, p).contains(vBase),
+      "after untag the version is reclaimable again")
+    // the restored CONTENT survives — it lives at the new head
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0)
+      == 100)
+    // restoring an EVOLVED-era version carries its late-added columns
+    // (the merged schema, not whichever footer parquet sampled)
+    val p2 = tmp("tagevo")
+    TableManifest.commitSnapshot(
+      s.range(5).select(col("id")), p2)
+    TableManifest.append(
+      s.range(5, 8).select(col("id"), (col("id") * 2).as("extra")), p2)
+    val vEvo = TableManifest.tag(s, p2, "evo")
+    TableManifest.commitSnapshot(
+      s.range(2).select(lit("z").as("other")), p2)
+    TableManifest.restore(s, p2, vEvo)
+    val restored = s.sql(s"SELECT * FROM graft.`$p2`")
+    assert(restored.columns.toSeq == Seq("id", "extra") &&
+      restored.count() == 8 &&
+      restored.where(col("extra").isNotNull).count() == 3)
+  }
+
   test("plain SQL MERGE INTO ... UPDATE SET * / INSERT *: exact merge " +
     "semantics, cardinality violation and custom clauses refused") {
     val p = tmp("sqmrg")
