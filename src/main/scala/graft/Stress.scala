@@ -1630,6 +1630,53 @@ object Stress {
         val tCowUB = cowUpdate(upB)
         println(f"""{"rows_small":$updRowsSmall%d,"rows_big":$updRowsBig%d,"matched_rows":1000,"mor_small_seconds":$tUpdS%.2f,"mor_big_seconds":$tUpdB%.2f,"mor_nomatch_seconds":$tUpdNoMatch%.2f,"read_pending_seconds":$tReadPending%.2f,"maintain_seconds":$tMaintain%.2f,"read_folded_seconds":$tReadFolded%.2f,"cow_small_seconds":$tCowUS%.2f,"cow_big_seconds":$tCowUB%.2f}""")
 
+      case "constraints" =>
+        // CHECK-constraint write overhead: enforcement is an inline
+        // assert_true predicate riding the write's own scan, so an
+        // append into a table with 0, 1, and 4 enforced constraints
+        // should cost the SAME wall-clock (plus two tiny listing RPCs
+        // to read the constraints_v artifact). This measures exactly
+        // that — the SCALE.md "zero extra passes" claim as a number —
+        // and proves a violating batch aborts without committing.
+        import operators.TableManifest
+        import operators.TableManifest.TableConstraint
+        def consSecs(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val consRows = copies * 1000000L
+        val batch = spark.range(consRows).select(col("id"),
+          (col("id") % 97).cast("double").as("v"),
+          concat(lit("p"), rpad(col("id").cast("string"), 120, "x"))
+            .as("payload"))
+        val consP = java.nio.file.Files
+          .createTempDirectory("stress_cons").toString
+        TableManifest.commitSnapshot(batch.limit(10), consP)
+        // warm the append path once
+        TableManifest.append(batch.limit(10), consP)
+        val t0c = consSecs { TableManifest.append(batch, consP); () }
+        TableManifest.setConstraints(spark, consP, Seq(
+          TableConstraint("id_nonneg", "id >= 0", true, false, "VALID")))
+        val t1c = consSecs { TableManifest.append(batch, consP); () }
+        TableManifest.setConstraints(spark, consP, Seq(
+          TableConstraint("id_nonneg", "id >= 0", true, false, "VALID"),
+          TableConstraint("v_range", "v >= 0 AND v < 97", true, false,
+            "VALID"),
+          TableConstraint("pay_prefix", "payload LIKE 'p%'", true, false,
+            "VALID"),
+          TableConstraint("pay_len", "length(payload) >= 120", true,
+            false, "VALID")))
+        val t4c = consSecs { TableManifest.append(batch, consP); () }
+        val nBefore = TableManifest.read(spark, consP).count()
+        val violated =
+          try { TableManifest.append(
+            batch.withColumn("v", lit(-1.0)), consP); false }
+          catch { case scala.util.control.NonFatal(_) => true }
+        val nAfter = TableManifest.read(spark, consP).count()
+        require(violated && nAfter == nBefore,
+          s"violating append must abort without committing " +
+            s"($violated, $nBefore -> $nAfter)")
+        println(f"""{"rows_per_append":$consRows%d,"append_0_constraints_seconds":$t0c%.2f,"append_1_constraint_seconds":$t1c%.2f,"append_4_constraints_seconds":$t4c%.2f,"violating_append_aborted":true,"rows_unchanged_after_abort":true}""")
+
       case "mordepth" =>
         // the pending-mutation read tax, measured: a retention sweep
         // issues N MoR DELETEs without a maintain — every read then

@@ -384,6 +384,25 @@ object TableManifest {
     * previous version until the one commit marker lands; pre-optimize
     * pins stay readable until vacuum. Refreshes zone maps for
     * `statsCols` after commit. Returns the committed version. */
+  /** [[optimize]] with the file COUNT derived from a target file SIZE —
+    * the small-file policy an operator actually states ("~256 MB
+    * files"), resolved against the live payload's bytes (one
+    * content-summary RPC): `files = ceil(bytes / targetFileBytes)`.
+    * The parquet output compresses below the raw payload bytes, so the
+    * target is an upper bound per file — the conservative direction
+    * (files come out smaller, never bigger). */
+  def optimizeToSize(spark: SparkSession, path: String,
+      clusterCols: Seq[String], targetFileBytes: Long,
+      statsCols: Seq[String] = Nil): Long = {
+    require(targetFileBytes >= (1L << 20),
+      s"targetFileBytes must be >= 1 MiB, got $targetFileBytes")
+    val bytes = payloadBytes(spark, path).getOrElse(
+      sys.error(s"no committed table at $path"))
+    val files = math.max(1L,
+      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    optimize(spark, path, clusterCols, files, statsCols)
+  }
+
   def optimize(spark: SparkSession, path: String, clusterCols: Seq[String],
       files: Int, statsCols: Seq[String] = Nil): Long = {
     require(clusterCols.size == 1 || clusterCols.size == 2,

@@ -75,14 +75,21 @@ private[sources] object GraftProcedures {
 
   private val optimize = new P("optimize",
     "rewrite the live table range-/Z-order-clustered (CLUSTER BY); " +
-      "returns the committed version",
+      "target_file_bytes > 0 derives the file count from the payload's " +
+      "bytes (the small-file policy as a size), else `files` is used " +
+      "verbatim; returns the committed version",
     Seq(in("path", StringType), in("cluster_by", StringType),
       inD("files", IntegerType, "16"),
-      inD("stats_cols", StringType, "''")),
+      inD("stats_cols", StringType, "''"),
+      inD("target_file_bytes", LongType, "0")),
     new StructType().add("version", LongType, nullable = false)) {
     override protected def run(a: InternalRow): Seq[InternalRow] = {
-      val v = TableManifest.optimize(spark, str(a, 0), cols(a, 1),
-        a.getInt(2), cols(a, 3))
+      val v =
+        if (a.getLong(4) > 0L)
+          TableManifest.optimizeToSize(spark, str(a, 0), cols(a, 1),
+            a.getLong(4), cols(a, 3))
+        else TableManifest.optimize(spark, str(a, 0), cols(a, 1),
+          a.getInt(2), cols(a, 3))
       Seq(InternalRow(v))
     }
   }

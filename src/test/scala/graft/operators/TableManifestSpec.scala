@@ -253,6 +253,32 @@ class TableManifestSpec extends AnyFunSuite {
       data.exceptAll(TableManifest.read(s, path)).isEmpty)
   }
 
+  test("optimizeToSize: the file count derives from payload bytes / " +
+    "target — the small-file policy as a size, content no-op") {
+    val path = Files.createTempDirectory("tm_optsz").toString
+    val data = s.range(200000)
+      .select(col("id"), rpad(col("id").cast("string"), 64, "x").as("p"))
+    TableManifest.commitSnapshot(data.repartition(32), path)
+    val bytes = TableManifest.payloadBytes(s, path).get
+    val target = 1L << 20 // 1 MiB files
+    TableManifest.optimizeToSize(s, path, Seq("id"), target)
+    val expected = math.max(1L, (bytes + target - 1) / target)
+    val batches = new java.io.File(
+      s"$path/data_v${TableManifest.versions(s, path)
+        .flatMap(v => graft.operators.IndexManifest
+          .payloadVersionAt(s, path, v, "data")).last}")
+      .listFiles().count(_.getName.startsWith("__batch="))
+    assert(batches == expected,
+      s"want ceil($bytes/$target) = $expected clustered files, " +
+        s"got $batches")
+    assert(TableManifest.read(s, path).exceptAll(data).isEmpty &&
+      data.exceptAll(TableManifest.read(s, path)).isEmpty)
+    // a sub-MiB target is refused, not silently exploded into millions
+    // of files
+    intercept[IllegalArgumentException](
+      TableManifest.optimizeToSize(s, path, Seq("id"), 1024L))
+  }
+
   private def rows2(d: org.apache.spark.sql.DataFrame) =
     d.collect().map(_.toSeq.toVector).toVector.sortBy(_.toString)
 

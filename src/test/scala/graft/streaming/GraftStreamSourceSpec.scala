@@ -187,6 +187,39 @@ class GraftStreamSourceSpec extends AnyFunSuite {
       .exceptAll(TableManifest.read(s, src)).isEmpty)
   }
 
+  test("sink: CHECK constraints gate streaming micro-batches — a " +
+    "violating batch fails the query with nothing committed, a clean " +
+    "restart after the fix drains") {
+    import graft.operators.TableManifest.TableConstraint
+    val src = tmp("ksink_src")
+    val dst = tmp("ksink_dst")
+    TableManifest.commitSnapshot(seed(0, 30), src)
+    TableManifest.commitSnapshot(seed(0, 0), dst) // empty target
+    TableManifest.setConstraints(s, dst, Seq(
+      TableConstraint("id_small", "id < 100", true, false, "VALID")))
+    // clean data drains through the constrained sink
+    val q1 = s.readStream.format("graft").load(src)
+      .writeStream.format("graft").option("path", dst)
+      .option("checkpointLocation", tmp("ksink_ck1")).start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(TableManifest.read(s, dst).count() == 30)
+    // a violating append arrives upstream: the micro-batch FAILS and
+    // commits nothing downstream (enforcement sits in the append
+    // funnel the sink lands through)
+    TableManifest.append(seed(500, 510), src)
+    val q2 = s.readStream.format("graft").load(src)
+      .writeStream.format("graft").option("path", dst)
+      .option("checkpointLocation", tmp("ksink_ck2")).start()
+    val failed =
+      try { q2.processAllAvailable(); false }
+      catch { case scala.util.control.NonFatal(_) => true }
+      finally q2.stop()
+    assert(failed, "a violating micro-batch must fail the query")
+    assert(TableManifest.read(s, dst)
+      .filter(col("id") >= 100).count() == 0,
+      "nothing from the violating batch may land")
+  }
+
   test("sink: complete mode replaces the table with each emission — the" +
     " aggregate-refresh shape, served back by any reader") {
     val src = tmp("csink_src")
