@@ -88,9 +88,40 @@ class TableManifestProps extends AnyFunSuite {
         df((90L until 100L).map(i => (i, 555L))),
         keyCols = Seq("id"), orderCols = Seq("v"))
     }
-    val all = appenders ++ Seq(deleter, updater, compactor, merger)
+    // constraint DDL races the writers: both sets hold over every
+    // effect's rows, so enforcement must never reject a legitimate
+    // write, and the metadata-only commits must never disturb a
+    // mutation (they restart the in-flight CAS loops, bounded)
+    val constrainer = worker {
+      TableManifest.setConstraints(s, path, Seq(
+        TableManifest.TableConstraint("id_nonneg", "id >= 0",
+          true, false, "VALID")))
+      Thread.sleep(30)
+      TableManifest.setConstraints(s, path, Seq(
+        TableManifest.TableConstraint("id_nonneg", "id >= 0",
+          true, false, "VALID"),
+        TableManifest.TableConstraint("v_nonneg", "v >= 0",
+          true, false, "VALID")))
+    }
+    // a tagger pins whatever version is current mid-race: the pin must
+    // stay resolvable whatever else lands
+    val tagger = worker {
+      Thread.sleep(40)
+      TableManifest.tag(s, path, "chaos")
+    }
+    val all = appenders ++
+      Seq(deleter, updater, compactor, merger, constrainer, tagger)
     all.foreach(_.start()); all.foreach(_.join(120000))
     assert(failures.isEmpty, s"chaos workers threw: $failures")
+    // the tag resolves to a committed version and reads cleanly
+    val tagged = TableManifest.tagVersion(s, path, "chaos").get
+    assert(TableManifest.versions(s, path).contains(tagged))
+    TableManifest.readAt(s, path, tagged).count()
+    // a constraint set is live (whichever DDL won last) and the final
+    // state satisfies it — and a violating append is now refused
+    assert(TableManifest.constraintsOf(s, path).nonEmpty)
+    intercept[Exception](
+      TableManifest.append(df(Seq((-1L, 0L))), path))
     val got = rowsOf(TableManifest.read(s, path))
     val want = (
       (10L until 100L).map(i =>
