@@ -1206,12 +1206,22 @@ object TableManifest {
     "name STRING, sql STRING, enforced BOOLEAN, rely BOOLEAN, status STRING"
 
   /** Constraints visible at `version` (default: current) — the newest
-    * committed `constraints_v` artifact at-or-below it; none = empty. */
+    * `constraints_v` artifact at-or-below it whose version was
+    * committed BY a constraints DDL (kind-tagged marker, the
+    * [[deleteSegmentsAt]] discipline): a racing APPENDER's marker at
+    * the number a losing setConstraints briefly parked its artifact
+    * under must neither legitimize the uncommitted set nor crash a
+    * concurrent reader when the loser takes the claim back. None =
+    * empty. */
   def constraintsOf(spark: SparkSession, path: String,
       version: Option[Long] = None): Seq[TableConstraint] = {
     val v = version.orElse(IndexManifest.currentVersion(spark, path))
       .getOrElse(return Nil)
-    IndexManifest.payloadVersionAt(spark, path, v, "constraints") match {
+    val committed = IndexManifest.committedVersions(spark, path).toSet
+    IndexManifest.diskVersions(spark, path, "constraints")
+      .filter(cv => cv <= v && committed.contains(cv) &&
+        IndexManifest.markerInfoAt(spark, path, cv).kind == "constraints")
+      .lastOption match {
       case None => Nil
       case Some(cv) =>
         spark.read.schema(ConstraintSchema)
@@ -1320,17 +1330,24 @@ object TableManifest {
         """SELECT CAST(NULL AS BIGINT) AS version, false AS is_current,
           |  false AS readable, CAST(NULL AS BIGINT) AS n_rows,
           |  CAST(NULL AS BIGINT) AS payload_bytes,
-          |  CAST(NULL AS STRING) AS kind""".stripMargin).limit(0)
+          |  CAST(NULL AS STRING) AS kind,
+          |  CAST(NULL AS STRING) AS tags""".stripMargin).limit(0)
+    // tag names pinning each version (names are regex-restricted, so
+    // inlining them in the literal SQL below is quote-safe)
+    val tagsOf = tags(spark, path).groupBy(_._2)
+      .map { case (tv, ts) => tv -> ts.map(_._1).sorted.mkString(",") }
     val rows = versions(spark, path).map { v =>
       // the mutation that committed this version (the DESCRIBE HISTORY
       // operation column): append/snapshot/delete/update, or '' for a
       // pre-tagging legacy marker — straight off the kind-tagged marker
       val kind = IndexManifest.markerInfoAt(spark, path, v).kind
+      val tagStr = tagsOf.getOrElse(v, "")
       IndexManifest.payloadVersionAt(spark, path, v, "data") match {
         case None =>
           s"SELECT ${v}L AS version, ${v == cur} AS is_current, " +
             "false AS readable, CAST(NULL AS BIGINT) AS n_rows, " +
-            s"CAST(NULL AS BIGINT) AS payload_bytes, '$kind' AS kind"
+            s"CAST(NULL AS BIGINT) AS payload_bytes, '$kind' AS kind, " +
+            s"'$tagStr' AS tags"
         case Some(p) =>
           val n = scala.util.Try(readAt(spark, path, v, schema).count())
             .getOrElse(0L)
@@ -1338,7 +1355,8 @@ object TableManifest {
             new org.apache.hadoop.fs.Path(s"$path/data_v$p")).getLength
           s"SELECT ${v}L AS version, ${v == cur} AS is_current, " +
             s"true AS readable, ${n}L AS n_rows, " +
-            s"${bytes}L AS payload_bytes, '$kind' AS kind"
+            s"${bytes}L AS payload_bytes, '$kind' AS kind, " +
+            s"'$tagStr' AS tags"
       }
     }
     rows.map(spark.sql).reduce(_ unionByName _)
@@ -1411,11 +1429,14 @@ object TableManifest {
       }
     }
     sweep(path, n => n.startsWith(".data_pending_") ||
-      n.startsWith(".update_pending_") || n.startsWith(".deletes_pending_"))
+      n.startsWith(".update_pending_") || n.startsWith(".deletes_pending_") ||
+      n.startsWith(".constraints_pending_"))
+    sweep(s"$path/manifest", n => n.startsWith(".tag_pending_"))
     def above(n: String, prefix: String): Boolean =
       n.startsWith(prefix) &&
         n.stripPrefix(prefix).toLongOption.exists(_ > cur)
-    sweep(path, n => above(n, "deletes_v") || above(n, "data_v"))
+    sweep(path, n => above(n, "deletes_v") || above(n, "data_v") ||
+      above(n, "constraints_v"))
     payloadDir(spark, path).foreach(d =>
       sweep(d, n => n.startsWith("__batch=") &&
         n.stripPrefix("__batch=").toLongOption

@@ -140,11 +140,13 @@ private[sources] object GraftProcedures {
     .add("version", LongType).add("is_current", BooleanType)
     .add("readable", BooleanType).add("n_rows", LongType)
     .add("payload_bytes", LongType).add("kind", StringType)
+    .add("tags", StringType)
 
   private val history = new P("history",
-    "one row per retained version: readable?, rows, payload bytes, and " +
-      "the committing mutation kind (append/snapshot/delete/update) — " +
-      "the retention audit view",
+    "one row per retained version: readable?, rows, payload bytes, the " +
+      "committing mutation kind (append/snapshot/delete/update/" +
+      "constraints), and the tag names pinning it — the retention " +
+      "audit view",
     Seq(in("path", StringType)), historySchema) {
     override protected def run(a: InternalRow): Seq[InternalRow] =
       toInternal(historySchema, TableManifest.history(spark, str(a, 0))

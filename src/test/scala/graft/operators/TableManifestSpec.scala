@@ -708,12 +708,26 @@ class TableManifestSpec extends AnyFunSuite {
     val payload = s"$path/data_v" + TableManifest.versions(s, path).head
     df(9L -> "x").write.parquet(
       s"$payload/__batch=${(1L << 62) + v0 + 1}")
+    // the constraint/tag DDL crash windows too: a staged constraint
+    // set, a parked constraints_v above the head, a half-placed tag
+    Seq(("c", "id >= 0", true, false, "VALID"))
+      .toDF("name", "sql", "enforced", "rely", "status")
+      .write.parquet(s"$path/.constraints_pending_crashed")
+    Seq(("c", "id >= 0", true, false, "VALID"))
+      .toDF("name", "sql", "enforced", "rely", "status")
+      .write.parquet(s"$path/constraints_v${v0 + 7}")
+    f.create(new org.apache.hadoop.fs.Path(
+      s"$path/manifest/.tag_pending_crashed"), true).close()
     // younger than the horizon: everything stays (could be in flight)
     assert(TableManifest.cleanOrphans(s, path) == 0)
     assert(f.exists(new org.apache.hadoop.fs.Path(
       s"$path/deletes_v${v0 + 1}")))
-    // past the horizon: all five go, and the blocked slot frees up
-    assert(TableManifest.cleanOrphans(s, path, olderThanMs = 0L) == 5)
+    // past the horizon: all eight go, and the blocked slot frees up
+    assert(TableManifest.cleanOrphans(s, path, olderThanMs = 0L) == 8)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(
+      s"$path/constraints_v${v0 + 7}")) &&
+      TableManifest.constraintsOf(s, path).isEmpty,
+      "an orphan constraint artifact must never become the live set")
     assert(!f.exists(new org.apache.hadoop.fs.Path(
       s"$path/deletes_v${v0 + 1}")))
     val vDel = TableManifest.deleteWhere(s, path, "id = 2")
@@ -721,6 +735,43 @@ class TableManifestSpec extends AnyFunSuite {
       "the freed slot must serve the next mutation normally")
     // committed state untouched throughout
     assert(ids(TableManifest.readAt(s, path, v0)) == Set(1L, 2L))
+  }
+
+  test("a parked constraint artifact under a racing appender's marker " +
+    "is never legitimized — the kind-tagged resolution (the delete-" +
+    "segment discipline on the constraints family)") {
+    val path = Files.createTempDirectory("tm_cons_park").toString
+    import s.implicits._
+    TableManifest.commitSnapshot(
+      s.range(10).select(col("id"), (col("id") % 5).as("k")), path)
+    TableManifest.setConstraints(s, path, Seq(
+      TableManifest.TableConstraint("real", "id >= 0", true, false,
+        "VALID")))
+    // the window: a LOSING setConstraints has parked its artifact at
+    // head+1 when a racing APPENDER's marker lands at that number (the
+    // appender computed its version before the park appeared)
+    val parkedAt = TableManifest.versions(s, path).last + 1
+    Seq(("bogus", "id < 0", true, false, "VALID"))
+      .toDF("name", "sql", "enforced", "rely", "status")
+      .write.parquet(s"$path/constraints_v$parkedAt")
+    val info = IndexManifest.markerInfoAt(s, path,
+      TableManifest.versions(s, path).last)
+    assert(IndexManifest.tryCommitTagged(s, path, parkedAt,
+      info.wm, info.uwm, "append"))
+    // the parked set must be invisible: 'real' still serves, and an
+    // append violating 'bogus' but satisfying 'real' lands fine
+    assert(TableManifest.constraintsOf(s, path).map(_.name) ==
+      Seq("real"),
+      "an appender's marker must not legitimize a parked constraint set")
+    TableManifest.append(
+      s.range(10, 15).select(col("id"), (col("id") % 5).as("k")), path)
+    // ... and when the loser takes its claim back, nothing breaks
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(
+        s"$path/constraints_v$parkedAt"), true)
+    assert(TableManifest.constraintsOf(s, path).map(_.name) ==
+      Seq("real"))
   }
 
   test("vacuum retention horizon refuses versions committed inside it") {

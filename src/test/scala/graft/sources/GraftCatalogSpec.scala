@@ -464,6 +464,10 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(s.sql(
       s"SELECT count(*) FROM graft.`$p` VERSION AS OF 'baseline'")
       .head().getLong(0) == 100)
+    // and the history audit names the pin on its version's row
+    assert(s.sql(s"CALL graft.history(path => '$p')").collect()
+      .filter(_.getLong(0) == vBase).map(_.getString(6)).toSeq ==
+      Seq("baseline"))
     // vacuum with keep=1 would normally reclaim vBase — the tag pins it
     s.sql(s"CALL graft.vacuum(path => '$p', keep => 1)")
     assert(TableManifest.versions(s, p).contains(vBase),
