@@ -119,9 +119,21 @@ object GraftTableSource {
     p
   }
 
-  private[sources] def versionOf(
-      options: CaseInsensitiveStringMap): Option[Long] =
-    Option(options.get("versionAsOf")).map(_.toLong)
+  /** option("versionAsOf", ...) — a version NUMBER or a named TAG
+    * ([[TableManifest.tag]]), the same resolution the catalog's
+    * `VERSION AS OF` gives SQL. Tag resolution needs the table path,
+    * so every call site passes it. */
+  private[sources] def versionOf(options: CaseInsensitiveStringMap,
+      path: String): Option[Long] =
+    Option(options.get("versionAsOf")).map { v =>
+      v.toLongOption
+        .orElse(TableManifest.tagVersion(SparkSession.active, path, v))
+        .getOrElse(throw new IllegalArgumentException(
+          s"versionAsOf '$v' is neither a committed version number " +
+            s"nor a tag of $path (tags: ${TableManifest
+              .tags(SparkSession.active, path).map(_._1)
+              .mkString(", ")})"))
+    }
 
   /** Append-or-bootstrap / overwrite — the one write shape every write
     * surface (v2 bridge, v1 insert, save modes) funnels through. The
@@ -434,13 +446,13 @@ class GraftTableSource extends TableProvider with DataSourceRegister
     // a first commit; a read on the empty schema fails later with the
     // manifest's own "no committed table" error
     if (!TableManifest.exists(spark, path)) return new StructType()
-    tableSchema(spark, path, versionOf(options), mergeOf(options))
+    tableSchema(spark, path, versionOf(options, path), mergeOf(options))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new GraftTable(pathOf(opts), versionOf(opts),
+    new GraftTable(pathOf(opts), versionOf(opts, pathOf(opts)),
       Option(schema).filter(_.fields.nonEmpty))
   }
 
@@ -483,10 +495,11 @@ class GraftTableSource extends TableProvider with DataSourceRegister
     val spark = sqlContext.sparkSession
     val resolved = schema.orElse(
       if (mergeOf(opts) && TableManifest.exists(spark, pathOf(opts)))
-        Some(tableSchema(spark, pathOf(opts), versionOf(opts),
+        Some(tableSchema(spark, pathOf(opts), versionOf(opts, pathOf(opts)),
           mergeSchema = true))
       else None)
-    GraftRelation(pathOf(opts), versionOf(opts), resolved)(spark)
+    GraftRelation(pathOf(opts), versionOf(opts, pathOf(opts)),
+      resolved)(spark)
   }
 }
 
@@ -553,7 +566,7 @@ private[sources] class GraftTable(path: String, versionAsOf: Option[Long],
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path,
-      versionOf(options).orElse(versionAsOf), userSchema, schema())
+      versionOf(options, path).orElse(versionAsOf), userSchema, schema())
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path)

@@ -468,6 +468,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(s.sql(s"CALL graft.history(path => '$p')").collect()
       .filter(_.getLong(0) == vBase).map(_.getString(6)).toSeq ==
       Seq("baseline"))
+    // the DataFrame reader resolves tags too — same axis as SQL
+    assert(s.read.format("graft").option("versionAsOf", "baseline")
+      .load(p).count() == 100)
+    intercept[Exception](s.read.format("graft")
+      .option("versionAsOf", "ghost").load(p).count())
     // vacuum with keep=1 would normally reclaim vBase — the tag pins it
     s.sql(s"CALL graft.vacuum(path => '$p', keep => 1)")
     assert(TableManifest.versions(s, p).contains(vBase),
