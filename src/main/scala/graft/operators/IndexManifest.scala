@@ -273,9 +273,27 @@ private[operators] object IndexManifest {
     val f = fs(spark, path)
     val m = new Path(s"$path/manifest/v$version")
     if (!f.exists(m)) return MarkerInfo(Long.MaxValue, -1L, "")
-    val in = f.open(m)
-    val body = try scala.io.Source.fromInputStream(in).mkString.trim
-    finally in.close()
+    // a marker is immutable once placed, but the PLACEMENT itself has a
+    // millisecond window on checksummed local filesystems: rename moves
+    // the data file and its .crc as two operations, so a reader landing
+    // between them sees a transient ChecksumException on a perfectly
+    // good marker. Retry through the window; a persistent error is real
+    // corruption and still throws.
+    var body = ""
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      try {
+        val in = f.open(m)
+        body = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        done = true
+      } catch {
+        case _: java.io.IOException if attempt < 8 =>
+          Thread.sleep(10L * attempt)
+      }
+    }
     if (body.nonEmpty && body.forall(c => c.isDigit || c == '-'))
       MarkerInfo(body.toLong, -1L, "")
     else if (body.contains('=')) {
