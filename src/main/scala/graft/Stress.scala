@@ -1630,6 +1630,74 @@ object Stress {
         val tCowUB = cowUpdate(upB)
         println(f"""{"rows_small":$updRowsSmall%d,"rows_big":$updRowsBig%d,"matched_rows":1000,"mor_small_seconds":$tUpdS%.2f,"mor_big_seconds":$tUpdB%.2f,"mor_nomatch_seconds":$tUpdNoMatch%.2f,"read_pending_seconds":$tReadPending%.2f,"maintain_seconds":$tMaintain%.2f,"read_folded_seconds":$tReadFolded%.2f,"cow_small_seconds":$tCowUS%.2f,"cow_big_seconds":$tCowUB%.2f}""")
 
+      case "mormerge" =>
+        // MERGE cost vs table volume — the morupdate mirror for the MoR
+        // MERGE path (equality tombstone + update-keyspace replacement
+        // batch, one marker): with a FIXED 1000-row source (500 matched
+        // updates + 500 inserts), the acted-on write is constant and
+        // only the discovery scan grows across 1×/10×/40× non-matching
+        // volume, while the CoW mergeInto shape re-writes the FULL
+        // table and grows unbounded — the last CoW-proportional
+        // mutation path, now priced against its replacement.
+        import operators.TableManifest
+        import operators.TableManifest.{MergeInsert, MergeMatched}
+        def mrgTable(rows: Long): String = {
+          val p = java.nio.file.Files
+            .createTempDirectory(s"stress_mormrg_$rows").toString
+          TableManifest.commitSnapshot(
+            spark.range(rows).select(col("id"),
+              (col("id") % 97).cast("double").as("v"),
+              concat(lit("p"), rpad(col("id").cast("string"), 200, "x"))
+                .as("payload")), p)
+          p
+        }
+        def mrgSecs(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val r1 = copies * 50000L
+        val (r10, r40) = (r1 * 10L, r1 * 40L)
+        val ps = Seq(r1, r10, r40).map(mrgTable)
+        // fixed source: keys 500..999 match (UPDATE SET v = v + s.delta),
+        // negative keys never match (INSERT) — constant acted-on volume
+        def mrgSource = spark.range(500L, 1500L).select(
+          when(col("id") < 1000, col("id"))
+            .otherwise(-col("id")).as("id"),
+          lit(0.5).as("delta"))
+        val matchedCl = Seq(MergeMatched("update", None,
+          Some(Seq("v" -> "__t.v + __s.delta",
+            "payload" -> "concat('m', __t.payload)"))))
+        val insertCl = Seq(MergeInsert(None,
+          Some(Seq("id" -> "__s.id", "v" -> "__s.delta"))))
+        def runMerge(p: String): Double = mrgSecs {
+          TableManifest.mergeWhere(spark, p, mrgSource, Seq("id"),
+            matchedCl, insertCl)
+          ()
+        }
+        // warm codegen/commit paths on a throwaway table first
+        runMerge(mrgTable(2000L))
+        val Seq(t1, t10, t40) = ps.map(runMerge)
+        // correctness at every scale: 500 updated, 500 inserted, volume
+        // otherwise unchanged
+        ps.zip(Seq(r1, r10, r40)).foreach { case (p, n) =>
+          val live = TableManifest.read(spark, p)
+          val updated = live
+            .filter(col("payload").startsWith("m")).count()
+          val inserted = live.filter(col("id") < 0).count()
+          require(updated == 500L && inserted == 500L &&
+            live.count() == n + 500L,
+            s"MoR merge wrong at $n rows: $updated/$inserted")
+        }
+        // the CoW shape for contrast on the same three volumes
+        def cowMerge(p: String): Double = mrgSecs {
+          TableManifest.mergeInto(spark, p,
+            mrgSource.select(col("id"), col("delta").as("v"),
+              lit("cow").as("payload")),
+            Seq("id"), Seq("v"))
+          ()
+        }
+        val Seq(c1, c10, c40) = ps.map(cowMerge)
+        println(f"""{"rows_1x":$r1%d,"rows_10x":$r10%d,"rows_40x":$r40%d,"source_rows":1000,"mor_1x_seconds":$t1%.2f,"mor_10x_seconds":$t10%.2f,"mor_40x_seconds":$t40%.2f,"cow_1x_seconds":$c1%.2f,"cow_10x_seconds":$c10%.2f,"cow_40x_seconds":$c40%.2f}""")
+
       case "constraints" =>
         // CHECK-constraint write overhead: enforcement is an inline
         // assert_true predicate riding the write's own scan, so an

@@ -277,8 +277,14 @@ private[operators] object IndexManifest {
     // millisecond window on checksummed local filesystems: rename moves
     // the data file and its .crc as two operations, so a reader landing
     // between them sees a transient ChecksumException on a perfectly
-    // good marker. Retry through the window; a persistent error is real
-    // corruption and still throws.
+    // good marker. The retry is NARROWED to exactly that window: a
+    // FileNotFoundException whose re-check confirms the marker is gone
+    // (a concurrent vacuum reclaimed it between the exists() above and
+    // the open) returns the absent-marker record immediately — this
+    // helper runs per-version on constraintsOf/history hot paths, so
+    // burning the full retry budget (~280 ms of sleeps) on a
+    // legitimately-deleted marker would tax every caller — and any
+    // other IOException is real corruption and throws at once.
     var body = ""
     var attempt = 0
     var done = false
@@ -290,7 +296,13 @@ private[operators] object IndexManifest {
         finally in.close()
         done = true
       } catch {
-        case _: java.io.IOException if attempt < 8 =>
+        case _: java.io.FileNotFoundException if !f.exists(m) =>
+          return MarkerInfo(Long.MaxValue, -1L, "")
+        case _: org.apache.hadoop.fs.ChecksumException if attempt < 8 =>
+          Thread.sleep(10L * attempt)
+        case _: java.io.FileNotFoundException if attempt < 8 =>
+          // exists() says present but open missed it: the placement
+          // rename's own visibility window — same retry
           Thread.sleep(10L * attempt)
       }
     }
@@ -397,12 +409,8 @@ private[operators] object IndexManifest {
     // so a long-running reader pinned to a recent version cannot have its
     // files deleted mid-query — commit time is the marker's mtime, the
     // one clock the filesystem already keeps
-    // `pinned` versions (named tags at the table layer) are retained
-    // like the `keep` tail: their payload, segments, geometry, and
-    // marker all survive until the pin is removed
     val keepSet =
-      if (retainMs <= 0L)
-        (vs.takeRight(keep) ++ vs.filter(pinned)).distinct.sorted
+      if (retainMs <= 0L) vs.takeRight(keep)
       else {
         val floor = System.currentTimeMillis() - retainMs
         val recent = vs.filter { v =>
@@ -410,35 +418,68 @@ private[operators] object IndexManifest {
             f.getFileStatus(new Path(s"$path/manifest/v$v"))
               .getModificationTime >= floor).getOrElse(true)
         }
-        (vs.takeRight(keep) ++ recent ++ vs.filter(pinned))
-          .distinct.sorted
+        (vs.takeRight(keep) ++ recent).distinct.sorted
       }
+    // the reclaim cutoff derives from the keep/retention TAIL ONLY —
+    // `pinned` versions (named tags at the table layer) are exempted
+    // INDIVIDUALLY below instead of lowering the global cutoff: one
+    // long-lived tag must pin ITS OWN resolution set (payload, masking
+    // segments, geometry, markers), not turn vacuum into a permanent
+    // no-op for every version above it (unbounded storage growth)
     val cutoff = payloadVersionAt(spark, path, keepSet.min, payloadBase)
       .getOrElse(keepSet.min)
-    // geometry survivors first: per `<base>_v<N>` family (anything that
-    // is not the payload or a segment), the newest at-or-below-cutoff
-    // version keeps serving retained versions — keep dir AND marker
-    val bases = f.listStatus(new Path(path)).map(_.getPath.getName)
+    val families = f.listStatus(new Path(path)).map(_.getPath.getName)
       .flatMap { n =>
         val i = n.lastIndexOf("_v")
         if (i <= 0) None
         else {
           val (base, ver) = (n.substring(0, i), n.substring(i + 2))
-          if (ver.nonEmpty && ver.forall(_.isDigit) &&
-              base != payloadBase && base != "tombstones")
+          if (ver.nonEmpty && ver.forall(_.isDigit))
             Some(base -> ver.toLong)
           else None
         }
       }
+    // segment families mask a RANGE (payload(p), p]; every other family
+    // resolves to the newest committed version at-or-below p
+    def isSegmentBase(b: String) =
+      b == "tombstones" || b == "deletes" || b == "eqdeletes"
+    val committedSet = vs.toSet
+    val protectedVers: Set[Long] = pinned.filter(committedSet).flatMap { p =>
+      val pay = payloadVersionAt(spark, path, p, payloadBase)
+      val segs = families.collect {
+        case (b, d) if isSegmentBase(b) &&
+          d > pay.getOrElse(-1L) && d <= p && committedSet(d) => d
+      }
+      val geom = families.filter { case (b, _) =>
+        !isSegmentBase(b) && b != payloadBase }
+        .groupBy(_._1).flatMap { case (_, es) =>
+          es.map(_._2).filter(w => w <= p && committedSet(w))
+            .sorted.lastOption
+        }
+      Set(p) ++ pay ++ segs ++ geom
+    }
+    // geometry survivors: per family, the newest at-or-below-cutoff
+    // version keeps serving retained versions — keep dir AND marker —
+    // plus any version a pin resolves through
+    val bases = families.filter { case (b, _) =>
+      b != payloadBase && !isSegmentBase(b) }
     val keptGeometry = bases.groupBy(_._1).flatMap { case (base, entries) =>
       val below = entries.map(_._2).filter(_ <= cutoff).sorted
-      below.dropRight(1).foreach(w =>
+      val survivors =
+        (below.lastOption.toSeq ++ below.filter(protectedVers)).toSet
+      below.filterNot(survivors).foreach(w =>
         f.delete(new Path(s"$path/${base}_v$w"), true))
-      below.lastOption
+      survivors
     }.toSet
-    vs.filter(_ < cutoff).foreach { v =>
+    vs.filter(v => v < cutoff && !protectedVers(v)).foreach { v =>
       f.delete(new Path(s"$path/${payloadBase}_v$v"), true)
+      // segments at-or-below the cutoff are folded into every retained
+      // version's payload (a retained version's masking segments are all
+      // strictly above its payload, hence above the cutoff) — reclaim
+      // every segment family
       f.delete(new Path(s"$path/tombstones_v$v"), true)
+      f.delete(new Path(s"$path/deletes_v$v"), true)
+      f.delete(new Path(s"$path/eqdeletes_v$v"), true)
       if (!keptGeometry.contains(v))
         f.delete(new Path(s"$path/manifest/v$v"), false)
     }

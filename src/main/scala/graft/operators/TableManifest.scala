@@ -185,8 +185,10 @@ object TableManifest {
       .collect { case n if n.startsWith("__batch=") =>
         n.stripPrefix("__batch=").toLong }
       .filter(_ >= UpdateBase).map(_ - UpdateBase)
-      .filter(d => d <= version &&
-        IndexManifest.markerInfoAt(spark, path, d).kind == "update")
+      .filter { d =>
+        val k = IndexManifest.markerInfoAt(spark, path, d).kind
+        d <= version && (k == "update" || k == "merge")
+      }
       .toSet
   }
 
@@ -299,39 +301,77 @@ object TableManifest {
     * this writes the empty frame NON-partitioned into a literal
     * `__batch=-1` dir, where Spark's empty-write path still emits one
     * footer-only parquet file carrying the schema. The catalog's
-    * CREATE TABLE seam; the first append lands as a normal batch. */
+    * CREATE TABLE seam; the first append lands as a normal batch.
+    * `constraints` (CREATE TABLE ... CHECK) commit UNDER THE SAME
+    * MARKER as the payload — see [[commitPayloadDir]]. */
   def createEmpty(spark: SparkSession, path: String,
-      schema: StructType): Long = {
+      schema: StructType,
+      constraints: Option[Seq[TableConstraint]] = None): Long = {
     val tmp = new org.apache.hadoop.fs.Path(
       s"$path/.data_pending_${java.util.UUID.randomUUID}")
     spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .write.parquet(s"$tmp/__batch=-1")
-    commitPayloadDir(spark, path, tmp)
+    commitPayloadDir(spark, path, tmp, constraints)
   }
 
   /** Publish an already-written (batch-partitioned) payload dir as the
     * table's next version: rename per attempt, marker carrying the
     * watermark forward. The [[commitSnapshot]] loop, shared with
-    * [[optimize]]. */
+    * [[optimize]].
+    *
+    * `constraints = Some(cs)` additionally stages `cs` as a
+    * `constraints_v<same version>` artifact and renames it into place
+    * BEFORE the marker — so a REPLACE/CTAS that changes the constraint
+    * set flips data AND definitions in ONE marker commit: no window
+    * where replaced data is served or gated by the OLD constraint set
+    * (a crash or racing writer between two separate commits would leave
+    * stale definitions that may not even resolve against the new
+    * schema). [[constraintsOf]] honors a constraints artifact at a
+    * `snapshot`-kind version for exactly this path; on marker-race loss
+    * both claims are taken back together. */
   private def commitPayloadDir(spark: SparkSession, path: String,
-      tmp: org.apache.hadoop.fs.Path): Long = {
+      tmp: org.apache.hadoop.fs.Path,
+      constraints: Option[Seq[TableConstraint]] = None): Long = {
     val f = fs(spark, path)
+    val ctmp = constraints.map(cs => stageConstraintRows(spark, path, cs))
     var v = -1L
     var committed = false
     while (!committed) {
       v = IndexManifest.nextMutationVersion(spark, path)
       val dst = new org.apache.hadoop.fs.Path(s"$path/data_v$v")
+      val cdst = new org.apache.hadoop.fs.Path(s"$path/constraints_v$v")
       // the claim refuses an existing dst: a racing committer at the same
       // number makes us spin until its marker lands, then retry above it
       if (renameExclusive(f, tmp, dst)) {
-        committed = IndexManifest.tryCommitTagged(spark, path, v,
-          currentWatermark(spark, path),
-          currentUnkeyedWatermark(spark, path), "snapshot")
-        if (!committed) f.rename(dst, tmp) // lost the marker race: retry
+        if (!ctmp.forall(t => renameExclusive(f, t, cdst))) {
+          f.rename(dst, tmp) // constraint slot blocked: back out, retry
+        } else {
+          committed = IndexManifest.tryCommitTagged(spark, path, v,
+            currentWatermark(spark, path),
+            currentUnkeyedWatermark(spark, path), "snapshot")
+          if (!committed) { // lost the marker race: take BOTH back, retry
+            f.rename(dst, tmp)
+            ctmp.foreach(t => f.rename(cdst, t))
+          }
+        }
       }
     }
     v
+  }
+
+  /** Write `cs` as an unpublished constraint-artifact staging dir (the
+    * `.constraints_pending_*` shape [[cleanOrphans]] sweeps). */
+  private def stageConstraintRows(spark: SparkSession, path: String,
+      cs: Seq[TableConstraint]): org.apache.hadoop.fs.Path = {
+    import spark.implicits._
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/.constraints_pending_${java.util.UUID.randomUUID}")
+    // empty set → footer-only file (constraint-free is a readable state)
+    cs.map(c => (c.name, c.sql, c.enforced, c.rely, c.status))
+      .toDF("name", "sql", "enforced", "rely", "status")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    tmp
   }
 
   /** Stage `df` as an UNPUBLISHED snapshot payload and return the hidden
@@ -352,10 +392,15 @@ object TableManifest {
     * table this is a REPLACE that PRESERVES history: the version
     * numbering continues, pre-replace pins stay readable until vacuum
     * (the Delta REPLACE semantics, vs the drop+create fallback that
-    * restarts the manifest). Returns the committed version. */
+    * restarts the manifest). `constraints` rides the SAME marker (the
+    * REPLACE definition's set replaces the old table's atomically with
+    * the data — see [[commitPayloadDir]]). Returns the committed
+    * version. */
   private[graft] def publishStagedSnapshot(spark: SparkSession,
-      path: String, stagedDir: String): Long =
-    commitPayloadDir(spark, path, new org.apache.hadoop.fs.Path(stagedDir))
+      path: String, stagedDir: String,
+      constraints: Option[Seq[TableConstraint]] = None): Long =
+    commitPayloadDir(spark, path,
+      new org.apache.hadoop.fs.Path(stagedDir), constraints)
 
   /** Abort half of the staging protocol: remove the staged payload. A
     * crash that skips even this leaves only a hidden `.data_pending_*`
@@ -542,7 +587,7 @@ object TableManifest {
 
   // ---- delete segments: predicate tombstones, masked at read -------------
 
-  private val DeleteSchema = "pred STRING, wm LONG, uwm LONG"
+  private val DeleteSchema = "pred STRING, wm LONG, uwm LONG, keycols STRING"
 
   /** One delete segment's scope: predicate SQL + the (keyed, unkeyed)
     * watermark pair it was committed against + its own commit version
@@ -550,17 +595,22 @@ object TableManifest {
     * this segment is masked by it, one committed after is not).
     * Pre-split segments have no `uwm` column — they read as -1 (no
     * high-range rows existed then, so masking none is exactly
-    * point-in-time). */
+    * point-in-time). `keyCols` non-empty marks an EQUALITY segment (the
+    * MoR MERGE tombstone, the Iceberg equality-delete-file shape): the
+    * masked set is the rows whose key tuple null-safely matches a row
+    * of the segment's `eqdeletes_v<ver>` key file, instead of a
+    * predicate — `pred` is null on these. */
   private final case class DeletePred(pred: String, wm: Long, uwm: Long,
-      ver: Long)
+      ver: Long, keyCols: Seq[String] = Nil)
 
   /** Committed delete-segment versions masking composite `version`:
     * payload(version) < D <= version (segments at-or-below the payload
     * were folded into it), and only when version D was committed BY a
-    * delete (tagged marker kind) — a racing appender's marker at the
-    * same number must not legitimize an in-flight segment a losing
-    * deleteWhere is about to take back. Pre-tagging markers ("" kind)
-    * are honored — their delete segments really were the committer. */
+    * delete-carrying mutation (tagged marker kind) — a racing
+    * appender's marker at the same number must not legitimize an
+    * in-flight segment a losing deleteWhere is about to take back.
+    * Pre-tagging markers ("" kind) are honored — their delete segments
+    * really were the committer. */
   private def deleteSegmentsAt(spark: SparkSession, path: String,
       version: Long): Seq[Long] = {
     val p = IndexManifest.payloadVersionAt(spark, path, version, "data")
@@ -570,7 +620,7 @@ object TableManifest {
       .filter(d => d > p && d <= version && committed.contains(d))
       .filter { d =>
         val k = IndexManifest.markerInfoAt(spark, path, d).kind
-        k.isEmpty || k == "delete" || k == "update"
+        k.isEmpty || k == "delete" || k == "update" || k == "merge"
       }
   }
 
@@ -583,23 +633,75 @@ object TableManifest {
     else segs.flatMap { d =>
       spark.read.schema(DeleteSchema).parquet(s"$path/deletes_v$d")
         .collect().map(r => DeletePred(r.getString(0), r.getLong(1),
-          if (r.isNullAt(2)) -1L else r.getLong(2), d))
+          if (r.isNullAt(2)) -1L else r.getLong(2), d,
+          Option(if (r.isNullAt(3)) null else r.getString(3))
+            .map(_.split(",").toSeq).getOrElse(Nil)))
     }
 
+  /** Was a `__batch`-carrying row visible when the segment committed at
+    * `ver` against watermarks (`wm`, `uwm`)? The point-in-time scope
+    * every mask evaluates. */
+  private def wasVisibleAt(wm: Long, uwm: Long, ver: Long): Column =
+    when(col("__batch") < UnkeyedBase, col("__batch") <= wm)
+      .when(col("__batch") < UpdateBase, col("__batch") <= uwm)
+      .otherwise(col("__batch") - UpdateBase < ver)
+
+  /** Attach per-segment hit flags to `df` (which carries `__batch`):
+    * predicate segments contribute a filter expression, EQUALITY
+    * segments (MoR MERGE) a null-safe left join against their
+    * `eqdeletes_v<ver>` key file (distinct keys → at most one match per
+    * row, so the join never duplicates; a small key file broadcasts via
+    * AQE). Returns (flagged frame, hit-any column, helper columns to
+    * drop). Callers either mask (`filter(!any)`) or select the hits
+    * (the CDF delete feed). */
+  private def flagDeletes(df: DataFrame, preds: Seq[DeletePred],
+      path: String, mapping: Seq[ColumnMapping] = Nil)
+      : (DataFrame, Column, Seq[String]) = {
+    var d = df
+    val helpers = Seq.newBuilder[String]
+    val flags = preds.map { dp =>
+      val visible = wasVisibleAt(dp.wm, dp.uwm, dp.ver)
+      if (dp.keyCols.isEmpty)
+        coalesce(expr(dp.pred), lit(false)) && visible
+      else {
+        val hit = s"__eqhit_${dp.ver}"
+        val ekCols = dp.keyCols.map(k => s"__ek${dp.ver}_$k")
+        val keys = d.sparkSession.read
+          .parquet(s"$path/eqdeletes_v${dp.ver}")
+          .select(dp.keyCols.zip(ekCols).map { case (k, ek) =>
+            col(s"`$k`").as(ek) }.toIndexedSeq: _*)
+          .distinct().withColumn(hit, lit(true))
+        // null-safe: a MERGE's NOT-MATCHED-BY-SOURCE clause can remove
+        // null-keyed target rows, which plain equality would never
+        // match. The LEFT side reads the key through the column
+        // mapping (coalesce over era names), so a tombstone written
+        // before OR after a rename still hits every era's batches.
+        val present = d.columns.toSet
+        val cond = dp.keyCols.zip(ekCols).map { case (k, ek) =>
+          physExprOf(mapping, present, k) <=> col(s"`$ek`")
+        }.reduce(_ && _)
+        d = d.join(keys, cond, "left")
+        helpers ++= (hit +: ekCols)
+        coalesce(col(s"`$hit`"), lit(false)) && visible
+      }
+    }
+    (d, if (flags.isEmpty) lit(false) else flags.reduce(_ || _),
+      helpers.result())
+  }
+
   /** Mask `df` (which still carries `__batch`) against delete segments:
-    * a row is gone iff some segment's predicate matches it AND the row
-    * was visible when that delete ran (`__batch` at-or-below the
-    * segment's scoped watermark for the row's keyspace, update batches
-    * committed strictly before the segment — point-in-time semantics;
-    * null predicate results never match, SQL DELETE semantics). */
-  private def maskDeletes(df: DataFrame,
-      preds: Seq[DeletePred]): DataFrame =
-    preds.foldLeft(df) { case (d, DeletePred(p, wm, uwm, ver)) =>
-      val wasVisible =
-        when(col("__batch") < UnkeyedBase, col("__batch") <= wm)
-          .when(col("__batch") < UpdateBase, col("__batch") <= uwm)
-          .otherwise(col("__batch") - UpdateBase < ver)
-      d.filter(!(coalesce(expr(p), lit(false)) && wasVisible))
+    * a row is gone iff some segment hits it (predicate match, or key
+    * match for an equality segment) AND the row was visible when that
+    * delete ran (`__batch` at-or-below the segment's scoped watermark
+    * for the row's keyspace, update batches committed strictly before
+    * the segment — point-in-time semantics; null predicate results
+    * never match, SQL DELETE semantics). */
+  private def maskDeletes(df: DataFrame, preds: Seq[DeletePred],
+      path: String, mapping: Seq[ColumnMapping] = Nil): DataFrame =
+    if (preds.isEmpty) df
+    else {
+      val (d, any, helpers) = flagDeletes(df, preds, path, mapping)
+      d.filter(!any).drop(helpers: _*)
     }
 
   /** Pending (unfolded) delete segments on the CURRENT version — what
@@ -679,9 +781,12 @@ object TableManifest {
     import spark.implicits._
     val carried = currentWatermark(spark, path)
     val carriedU = currentUnkeyedWatermark(spark, path)
+    // stored PHYSICAL-TOLERANT: a renamed column's reference becomes the
+    // coalesce over its era names, so the mask hits pre-rename batches
+    val storedPred = physicalizePred(spark, path, predicateSql)
     val tmp = new org.apache.hadoop.fs.Path(
       s"$path/.deletes_pending_${java.util.UUID.randomUUID}")
-    Seq((predicateSql, carried, carriedU)).toDF("pred", "wm", "uwm")
+    Seq((storedPred, carried, carriedU)).toDF("pred", "wm", "uwm")
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     // strictly cur+1 CAS with rename-before-marker, the
     // [[VectorIndex.deleteIds]] protocol: an uncommitted segment never
@@ -789,7 +894,8 @@ object TableManifest {
       }
       val tmpSeg = new org.apache.hadoop.fs.Path(
         s"$path/.deletes_pending_${java.util.UUID.randomUUID}")
-      Seq((predicateSql, wm0, uwm0)).toDF("pred", "wm", "uwm")
+      Seq((physicalizePred(spark, path, predicateSql), wm0, uwm0))
+        .toDF("pred", "wm", "uwm")
         .coalesce(1).write.mode("overwrite").parquet(tmpSeg.toString)
       // CAS with TWO claims (the replacement batch id embeds the
       // version), targeting head+1. KIND-AWARE retry: when the head
@@ -882,11 +988,372 @@ object TableManifest {
       case None => 0L
     }
 
-  /** Resolved rows of composite `version` WITH the `__batch` column:
-    * payload batches at-or-below the watermark, delete segments masked.
-    * The one read everything public builds on. */
-  private def resolvedAt(spark: SparkSession, path: String, version: Long,
-      schema: Option[StructType], mergeSchema: Boolean): DataFrame = {
+  // ---- MoR MERGE: match-proportional, one-marker, clause-complete --------
+
+  /** One `WHEN MATCHED [AND cond] THEN UPDATE SET .../DELETE` clause.
+    * `action` is "update" or "delete"; `cond` is SQL over `__t`/`__s`-
+    * qualified columns (absent = always accepts); `assigns` are the SET
+    * pairs (target column → SQL over `__t`/`__s`), None = `SET *` (every
+    * target column from the same-named source column). */
+  final case class MergeMatched(action: String, cond: Option[String],
+      assigns: Option[Seq[(String, String)]] = None)
+
+  /** One `WHEN NOT MATCHED [AND cond] THEN INSERT ...` clause: `cond`
+    * and assignment values are SQL over `__s`-qualified SOURCE columns
+    * only (SQL semantics — there is no target row); `assigns` None =
+    * `INSERT *`, Some = explicit column list (unassigned target columns
+    * insert NULL). */
+  final case class MergeInsert(cond: Option[String],
+      assigns: Option[Seq[(String, String)]] = None)
+
+  /** One `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE`
+    * clause — the SCD "close out stale rows" idiom: `cond` and
+    * assignment values see `__t`-qualified TARGET columns only. */
+  final case class MergeBySource(action: String, cond: Option[String],
+      assigns: Option[Seq[(String, String)]] = None)
+
+  /** MERGE INTO as ONE atomic merge-on-read commit — the
+    * match-proportional sibling of [[updateWhere]], replacing the
+    * copy-on-write full-table rewrite for every SQL MERGE shape. What
+    * commits (all under one `kind=merge` marker flip at the pinned
+    * head + 1):
+    *
+    *  - an EQUALITY tombstone (`deletes_v<d>` meta + `eqdeletes_v<d>`
+    *    key file — the Iceberg equality-delete-file shape): the DISTINCT
+    *    key tuples of every target row some clause acted on (matched
+    *    UPDATE/DELETE, not-matched-by-source UPDATE/DELETE), scoped to
+    *    the pinned watermarks. Reads mask those keys' rows null-safely,
+    *    point-in-time — later appends on the same keys are unaffected;
+    *  - a REPLACEMENT batch in the update keyspace
+    *    (`__batch = UpdateBase + d`): the post-images of acted-on UPDATE
+    *    rows, the unchanged pre-images of same-key rows no clause
+    *    accepted (the key-group rewrite that keeps per-ROW clause
+    *    conditions exact under key-level masking), and the NOT MATCHED
+    *    inserts.
+    *
+    * Cost: one target scan + a shuffle of the MATCHED rows (the window
+    * that computes per-key-group resolution) + a write of the
+    * acted-on/inserted rows + O(distinct acted keys) of tombstone —
+    * NEVER a table rewrite; a 1000-row upsert into a 100 TB table costs
+    * the matched rows (`Stress mormerge` measures the flat curve). A
+    * small source broadcasts via AQE, so the target is scanned, not
+    * shuffled.
+    *
+    * Exact-SQL semantics preserved from the CoW path: first-match-wins
+    * clause resolution, target-side multiplicity (every target row of a
+    * matched key resolves independently), null keys never MATCH (3VL)
+    * but ARE removable by NOT MATCHED BY SOURCE (the tombstone joins
+    * null-safely), duplicate SOURCE keys refuse before anything
+    * commits, assignments see pre-update images. Commit protocol is
+    * STRICT CAS at pin + 1: any intervening commit — even a pure append
+    * — restarts the derivation (a MERGE's matched/not-matched split
+    * depends on full target content, so unlike [[updateWhere]] the
+    * claim never slides over appends; serializability over cleverness).
+    * Folds ([[compactBatches]]/[[maintain]]) erase the tombstone and
+    * batch; the CDF shows delete(old) + insert(new); readers pinned
+    * below `d` never see it.
+    *
+    * Returns (committed version — or the pinned current on a no-op
+    * merge, rows matched — every inner-join row whatever its clause
+    * outcome, rows inserted). */
+  def mergeWhere(spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String], matched: Seq[MergeMatched],
+      inserts: Seq[MergeInsert], bySource: Seq[MergeBySource] = Nil,
+      schema: Option[StructType] = None): (Long, Long, Long) = {
+    require(IndexManifest.currentVersion(spark, path).isDefined,
+      s"no committed table at $path")
+    require(keyCols.nonEmpty, "MERGE requires key columns")
+    (matched.map(_.action) ++ bySource.map(_.action)).foreach(a =>
+      require(a == "update" || a == "delete",
+        s"MERGE clause action must be update or delete, got '$a'"))
+    require(matched.nonEmpty || inserts.nonEmpty || bySource.nonEmpty,
+      "MERGE needs at least one clause")
+    val f = fs(spark, path)
+    import spark.implicits._
+    // SQL cardinality rule: a target row may match at most ONE source
+    // row — refuse duplicate source keys before anything commits (the
+    // source is fixed across commit retries, so check once)
+    val dup = source.groupBy(keyCols.map(k => col(s"`$k`")): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1)
+      .collect()
+    require(dup.isEmpty,
+      s"MERGE cardinality violation: source has duplicate rows on " +
+        s"(${keyCols.mkString(", ")}): ${dup.headOption.getOrElse("")}")
+
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 20,
+        s"mergeWhere at $path lost the commit race $attempt times in a " +
+          "row — retry under quieter write traffic")
+      val v0 = IndexManifest.currentVersion(spark, path).get
+      val wm0 = watermarkOf(spark, path, v0)
+      val uwm0 = unkeyedWatermarkOf(spark, path, v0)
+      val tgt = readAt(spark, path, v0, schema)
+      val tgtSchema = tgt.schema
+      keyCols.foreach(k => require(
+        tgtSchema.fields.exists(_.name.equalsIgnoreCase(k)),
+        s"MERGE key column '$k' is not a column of $path"))
+      def acceptsOpt(c: Option[String]): Column =
+        c.map(sql => coalesce(expr(sql), lit(false))).getOrElse(lit(true))
+      def tRow = struct(tgtSchema.fields.map(fd =>
+        col(s"__t.`${fd.name}`").as(fd.name)).toIndexedSeq: _*)
+      // post-/insert-image in target-schema shape: assigned columns from
+      // their SQL (cast to the column's existing type — UPDATE coercion),
+      // unassigned from the target pre-image (update) or NULL (insert);
+      // `SET *` / `INSERT *` takes every column from the same-named
+      // source column
+      def image(assigns: Option[Seq[(String, String)]],
+          forInsert: Boolean): Column = {
+        val m = assigns.map(_.map { case (k, v) =>
+          k.toLowerCase(java.util.Locale.ROOT) -> v }.toMap)
+        struct(tgtSchema.fields.map { fd =>
+          m match {
+            case None =>
+              col(s"__s.`${fd.name}`").cast(fd.dataType).as(fd.name)
+            case Some(as) =>
+              as.get(fd.name.toLowerCase(java.util.Locale.ROOT))
+                .map(sql => expr(sql).cast(fd.dataType).as(fd.name))
+                .getOrElse(
+                  if (forInsert) lit(null).cast(fd.dataType).as(fd.name)
+                  else col(s"__t.`${fd.name}`").as(fd.name))
+          }
+        }.toIndexedSeq: _*)
+      }
+      def actOf(conds: Seq[Option[String]]): Column =
+        conds.zipWithIndex.foldRight(lit(-1): Column) {
+          case ((c, i), els) =>
+            when(acceptsOpt(c), lit(i)).otherwise(els)
+        }
+      def emptyTgt = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tgtSchema)
+      val keySchema = StructType(keyCols.map(k =>
+        tgtSchema.fields.find(_.name.equalsIgnoreCase(k)).get))
+      def emptyKeys = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], keySchema)
+      import org.apache.spark.sql.expressions.Window
+
+      var updObs: Option[org.apache.spark.sql.Observation] = None
+      var insObs: Option[org.apache.spark.sql.Observation] = None
+      val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+      // ---- matched side: inner join, first-match-wins, key-group rewrite
+      val (matchedRepl, matchedKeys) =
+        if (matched.isEmpty) (emptyTgt, emptyKeys)
+        else {
+          val obs = new org.apache.spark.sql.Observation()
+          updObs = Some(obs)
+          val joined = tgt.alias("__t").join(source.alias("__s"),
+              keyCols.map(k =>
+                col(s"__t.`$k`") === col(s"__s.`$k`")).reduce(_ && _),
+              "inner")
+            .observe(obs, count(lit(1)).as("n"))
+          val w = Window.partitionBy(
+            keyCols.map(k => col(s"__t.`$k`")): _*)
+          // __grp: some row of this key group took a clause — the whole
+          // group is tombstoned by key, so every row of it must be
+          // rewritten (acted rows resolve, silent rows pass through);
+          // groups where NO row acted are left in place untouched
+          val staged = joined
+            .withColumn("__act", actOf(matched.map(_.cond)))
+            .withColumn("__grp",
+              max(when(col("__act") >= 0, 1).otherwise(0)).over(w))
+            .persist()
+          cached += staged
+          val affected = staged.filter(col("__grp") === 1)
+          val delIdx = matched.zipWithIndex.collect {
+            case (m, i) if m.action == "delete" => i }
+          val survivors =
+            if (delIdx.isEmpty) affected
+            else affected.filter(
+              !col("__act").isin(delIdx.map(Int.box): _*))
+          val fold = matched.zipWithIndex.foldRight(tRow: Column) {
+            case ((cl, i), els) =>
+              if (cl.action == "update")
+                when(col("__act") === i,
+                  image(cl.assigns, forInsert = false)).otherwise(els)
+              else els
+          }
+          (survivors.withColumn("__row", fold).select(col("__row.*")),
+            affected.select(keyCols.map(k =>
+              col(s"__t.`$k`").as(k)): _*))
+        }
+
+      // ---- not-matched-by-source side: anti join, same group rewrite
+      val (bysrcRepl, bysrcKeys) =
+        if (bySource.isEmpty) (emptyTgt, emptyKeys)
+        else {
+          val anti = tgt.join(
+              source.select(keyCols.map(k => col(s"`$k`")): _*),
+              keyCols, "left_anti").alias("__t")
+          val w = Window.partitionBy(
+            keyCols.map(k => col(s"__t.`$k`")): _*)
+          val staged = anti
+            .withColumn("__act", actOf(bySource.map(_.cond)))
+            .withColumn("__grp",
+              max(when(col("__act") >= 0, 1).otherwise(0)).over(w))
+            .persist()
+          cached += staged
+          val affected = staged.filter(col("__grp") === 1)
+          val delIdx = bySource.zipWithIndex.collect {
+            case (m, i) if m.action == "delete" => i }
+          val survivors =
+            if (delIdx.isEmpty) affected
+            else affected.filter(
+              !col("__act").isin(delIdx.map(Int.box): _*))
+          val fold = bySource.zipWithIndex.foldRight(tRow: Column) {
+            case ((cl, i), els) =>
+              if (cl.action == "update")
+                when(col("__act") === i,
+                  image(cl.assigns, forInsert = false)).otherwise(els)
+              else els
+          }
+          (survivors.withColumn("__row", fold).select(col("__row.*")),
+            affected.select(keyCols.map(k =>
+              col(s"__t.`$k`").as(k)): _*))
+        }
+
+      // ---- inserts: unmatched source rows, first accepting clause
+      val insRepl =
+        if (inserts.isEmpty) emptyTgt
+        else {
+          val obs = new org.apache.spark.sql.Observation()
+          insObs = Some(obs)
+          val anti = source.alias("__s").join(
+            tgt.select(keyCols.map(k => col(s"`$k`")): _*),
+            keyCols, "left_anti")
+          val imgs = inserts.map(cl => image(cl.assigns, forInsert = true))
+          val fold = inserts.zipWithIndex.foldRight(imgs.head: Column) {
+            case ((_, i), els) =>
+              when(col("__act") === i, imgs(i)).otherwise(els)
+          }
+          anti.withColumn("__act", actOf(inserts.map(_.cond)))
+            .filter(col("__act") >= 0)
+            .withColumn("__row", fold).select(col("__row.*"))
+            .observe(obs, count(lit(1)).as("n"))
+        }
+
+      val removeKeys = matchedKeys.unionByName(bysrcKeys).distinct()
+      val replacement = enforceConstraints(
+        matchedRepl.unionByName(bysrcRepl).unionByName(insRepl), path)
+
+      // ---- stage everything, then the strict CAS at v0 + 1
+      val tmpBatch = new org.apache.hadoop.fs.Path(
+        s"$path/.update_pending_${java.util.UUID.randomUUID}")
+      replacement.write.mode("overwrite").parquet(tmpBatch.toString)
+      val tmpEq = new org.apache.hadoop.fs.Path(
+        s"$path/.eqdeletes_pending_${java.util.UUID.randomUUID}")
+      removeKeys.write.mode("overwrite").parquet(tmpEq.toString)
+      cached.foreach(_.unpersist())
+      def metricOpt(o: Option[org.apache.spark.sql.Observation]) =
+        o.flatMap(_.get.get("n").map(_.asInstanceOf[Long]))
+      // a statically-pruned branch reports an empty metric map; the
+      // matched count then falls back to a keys-only semi count against
+      // the PINNED pre-merge version (audit-only, like the CoW path did)
+      def nMatched: Long =
+        metricOpt(updObs).getOrElse(
+          if (matched.isEmpty && bySource.isEmpty && inserts.isEmpty) 0L
+          else readAt(spark, path, v0, schema)
+            .select(keyCols.map(k => col(s"`$k`")): _*)
+            .join(source.select(keyCols.map(k => col(s"`$k`")): _*),
+              keyCols, "left_semi").count())
+      val nInserted = metricOpt(insObs).getOrElse(0L)
+      val batchNeeded = !spark.read.parquet(tmpBatch.toString).isEmpty
+      val segNeeded = !spark.read.parquet(tmpEq.toString).isEmpty
+      if (!batchNeeded && !segNeeded) {
+        // nothing matched a clause and nothing inserts: a no-op MERGE
+        // commits no version (the no-match UPDATE contract)
+        f.delete(tmpBatch, true); f.delete(tmpEq, true)
+        return (v0, nMatched, 0L)
+      }
+      val tmpSeg = new org.apache.hadoop.fs.Path(
+        s"$path/.deletes_pending_${java.util.UUID.randomUUID}")
+      if (segNeeded)
+        Seq((null: String, wm0, uwm0, keyCols.mkString(",")))
+          .toDF("pred", "wm", "uwm", "keycols")
+          .coalesce(1).write.mode("overwrite").parquet(tmpSeg.toString)
+      val dir = s"$path/data_v" +
+        IndexManifest.payloadVersionAt(spark, path, v0, "data").get
+      val d = v0 + 1
+      val bdst = new org.apache.hadoop.fs.Path(
+        s"$dir/__batch=${UpdateBase + d}")
+      val edst = new org.apache.hadoop.fs.Path(s"$path/eqdeletes_v$d")
+      val sdst = new org.apache.hadoop.fs.Path(s"$path/deletes_v$d")
+      var blockedTries = 0
+      var result = -1L // >= 0 committed; -1 claiming; -2 lost, re-derive
+      def backOut(claims: Seq[(org.apache.hadoop.fs.Path,
+          org.apache.hadoop.fs.Path)]): Unit =
+        claims.reverse.foreach { case (dst, tmp) => f.rename(dst, tmp) }
+      while (result == -1L) {
+        if (IndexManifest.currentVersion(spark, path).get != v0) {
+          // ANY intervening commit invalidates the matched/not-matched
+          // split — strict serializability, recompute from the new head
+          result = -2L
+        } else {
+          val wanted =
+            (if (batchNeeded) Seq(tmpBatch -> bdst) else Nil) ++
+            (if (segNeeded) Seq(tmpEq -> edst, tmpSeg -> sdst) else Nil)
+          val won = scala.collection.mutable
+            .ArrayBuffer.empty[(org.apache.hadoop.fs.Path,
+              org.apache.hadoop.fs.Path)]
+          val allClaimed = wanted.forall { case (tmp, dst) =>
+            val ok = renameExclusive(f, tmp, dst)
+            if (ok) won += (dst -> tmp)
+            ok
+          }
+          if (!allClaimed) {
+            backOut(won.toSeq)
+            blockedTries += 1
+            if (blockedTries > 100)
+              throw new IllegalStateException(
+                s"merge claim at version $d blocks with no marker " +
+                  "arriving: a crashed mutation likely left an orphan " +
+                  s"batch or segment dir at $path — maintain's " +
+                  "cleanOrphans removes it")
+            Thread.sleep(20)
+          } else if (IndexManifest.tryCommitTagged(spark, path, d,
+              wm0, uwm0, "merge")) {
+            result = d
+          } else {
+            backOut(won.toSeq)
+            // loop re-reads the head: a moved head restarts, an
+            // in-flight partner holding the marker slot spins bounded
+          }
+        }
+      }
+      if (result >= 0L) {
+        warnPendingDepth(spark, path)
+        return (result, nMatched, nInserted)
+      }
+      f.delete(tmpBatch, true); f.delete(tmpEq, true)
+      f.delete(tmpSeg, true)
+    }
+    (-1L, -1L, -1L) // unreachable
+  }
+
+  /** A LOGICAL schema expanded to the physical names the payload files
+    * carry for it — what an explicit-schema read must request so old
+    * batches' pre-rename columns still load (absent names null-pad per
+    * file, the parquet explicit-schema contract). */
+  private def physicalReadSchema(s: StructType,
+      mapping: Seq[ColumnMapping]): StructType =
+    if (mapping.isEmpty) s
+    else StructType(s.fields.toSeq.flatMap { f =>
+      mapping.find(_.logical.equalsIgnoreCase(f.name)) match {
+        case Some(m) => m.physical.map(p =>
+          org.apache.spark.sql.types.StructField(p, f.dataType,
+            nullable = true))
+        case None => Seq(f)
+      }
+    })
+
+  /** The masked PHYSICAL frame of composite `version` (still carrying
+    * `__batch` and pre-rename column names) — masks evaluate here
+    * because tombstone predicates are stored physical-tolerant.
+    * [[resolvedAt]] applies the column mapping on top. */
+  private def resolvedPhysical(spark: SparkSession, path: String,
+      version: Long, schema: Option[StructType], mergeSchema: Boolean,
+      mapping: Seq[ColumnMapping]): DataFrame = {
     val p = IndexManifest.payloadVersionAt(spark, path, version, "data")
     require(p.isDefined,
       s"version $version of $path has been vacuumed — raise vacuum(keep)")
@@ -894,9 +1361,28 @@ object TableManifest {
     val uwm = unkeyedWatermarkOf(spark, path, version)
     val dir = s"$path/data_v${p.get}"
     val updVers = updateVersionsAt(spark, path, version, dir)
-    val base = payloadRead(spark, dir, schema, mergeSchema)
+    // a live mapping needs the FULL footer union: plain parquet schema
+    // sampling could pick a pre-rename file and lose the new-era name
+    // the masks and the logical view coalesce over
+    val merge = mergeSchema || (mapping.nonEmpty && schema.isEmpty)
+    val base = payloadRead(spark, dir,
+      schema.map(physicalReadSchema(_, mapping)), merge)
     maskDeletes(base.filter(visibleBatch(wm, uwm, updVers)),
-      deletePredsOf(spark, path, deleteSegmentsAt(spark, path, version)))
+      deletePredsOf(spark, path, deleteSegmentsAt(spark, path, version)),
+      path, mapping)
+  }
+
+  /** Resolved rows of composite `version` WITH the `__batch` column:
+    * payload batches at-or-below the watermark, delete segments masked,
+    * column mapping applied (renamed columns resolve, dropped ones
+    * disappear — each at the ERA the version pins). The one read
+    * everything public builds on. */
+  private def resolvedAt(spark: SparkSession, path: String, version: Long,
+      schema: Option[StructType], mergeSchema: Boolean): DataFrame = {
+    val mapping = columnMapOf(spark, path, Some(version))
+    applyColumnMap(
+      resolvedPhysical(spark, path, version, schema, mergeSchema,
+        mapping), mapping, schema)
   }
 
   /** The current live table: committed batches only (at-or-below the
@@ -976,31 +1462,38 @@ object TableManifest {
         .filter(b => visibleId(b, wmT, uwmT, updT) &&
           !visibleId(b, wmF, uwmF, updF))
         .map(b => s"$dir/__batch=$b")
+      // the window's era mapping: TO-side — the shared payload dir's
+      // footer union carries every era's physical names, so older rows
+      // resolve under it too
+      val mapping = columnMapOf(spark, path, Some(toVersion))
       val inserts =
         if (survivors.isEmpty)
           readAt(spark, path, toVersion, schema).filter(lit(false))
         else
           // masked by the TO-view's segments: a row appended then deleted
           // inside the window never enters the feed (net zero)
-          maskDeletes(
-            payloadRead(spark, dir, schema, mergeSchema = false,
+          applyColumnMap(maskDeletes(
+            payloadRead(spark, dir,
+              schema.map(physicalReadSchema(_, mapping)),
+              mergeSchema = false,
               basePath = Some(dir), parts = survivors.toSeq),
-            deletePredsOf(spark, path, segsT)).drop("__batch")
+            deletePredsOf(spark, path, segsT), path, mapping),
+            mapping, schema).drop("__batch")
       val insertFeed = inserts.withColumn("_change_type", lit("insert"))
       if (newSegs.isEmpty) insertFeed
       else {
-        // deletes: from-view rows matching a window segment, scoped to
-        // that segment's watermark — match-proportional by construction
+        // deletes: from-view rows matching a window segment (predicate
+        // or equality keys), scoped to that segment's watermark —
+        // match-proportional by construction. Flags evaluate on the
+        // PHYSICAL from-frame (stored predicates are physical-tolerant),
+        // then the mapping resolves the logical feed shape.
         val preds = deletePredsOf(spark, path, newSegs)
-        val hitAny = preds.map { case DeletePred(p, wm, uwm, ver) =>
-          coalesce(expr(p), lit(false)) &&
-            when(col("__batch") < UnkeyedBase, col("__batch") <= wm)
-              .when(col("__batch") < UpdateBase, col("__batch") <= uwm)
-              .otherwise(col("__batch") - UpdateBase < ver)
-        }.reduce(_ || _)
-        val deletes = resolvedAt(spark, path, fromVersion, schema,
-            mergeSchema = false)
-          .filter(hitAny).drop("__batch")
+        val (flagged, hitAny, helpers) = flagDeletes(
+          resolvedPhysical(spark, path, fromVersion, schema,
+            mergeSchema = false, mapping), preds, path, mapping)
+        val deletes = applyColumnMap(
+            flagged.filter(hitAny).drop(helpers: _*), mapping, schema)
+          .drop("__batch")
           .withColumn("_change_type", lit("delete"))
         insertFeed.unionByName(deletes)
       }
@@ -1128,9 +1621,29 @@ object TableManifest {
       s"$path/manifest/.tag_pending_${java.util.UUID.randomUUID}")
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    f.delete(tagPath(path, name), false)
-    require(f.rename(tmp, tagPath(path, name)),
-      s"could not place tag '$name' at $path")
+    // place the ref WITHOUT a prior delete where the filesystem allows
+    // a rename over the existing file (POSIX local FS does): a re-tag
+    // then moves the name atomically, so a concurrent
+    // `VERSION AS OF '<name>'` reader never lands in a deleted-but-not-
+    // yet-renamed gap. FSes that refuse the overwrite fall back to
+    // delete+rename (the old, momentarily-gapped shape).
+    val dst = tagPath(path, name)
+    if (!f.rename(tmp, dst)) {
+      f.delete(dst, false)
+      require(f.rename(tmp, dst),
+        s"could not place tag '$name' at $path")
+    }
+    // re-verify AFTER the ref is visible: a vacuum that listed tags()
+    // before this ref landed may have just reclaimed the version being
+    // pinned — undo the dangling tag and fail loudly instead of leaving
+    // a pin that contradicts the vacuum-protection contract
+    if (!versions(spark, path).contains(v)) {
+      f.delete(dst, false)
+      throw new IllegalStateException(
+        s"version $v of $path was vacuumed while tag '$name' was being " +
+          "placed — the pin was undone; re-tag a retained version " +
+          s"(retained: ${versions(spark, path).mkString(", ")})")
+    }
     v
   }
 
@@ -1189,6 +1702,236 @@ object TableManifest {
       _ => readAt(spark, path, version, mergeSchema = true))
   }
 
+  // ---- column mapping: RENAME/DROP COLUMN without a rewrite --------------
+  //
+  // Parquet footers carry PHYSICAL column names; a rename that rewrote
+  // 100 TB to change a name would be absurd, and the footer-merged
+  // layout has no Iceberg-style field ids to indirect through. The
+  // graft answer is a versioned NAME-MAPPING artifact (`colmap_v<N>`,
+  // kind-tagged marker like constraints): each entry maps one LOGICAL
+  // column to its historical physical names (newest first — new writes
+  // land under the logical name, old batches keep theirs), or marks a
+  // column DROPPED. Reads resolve the logical view as
+  // `coalesce(<present physical names>)`; pinned reads resolve the
+  // mapping of THEIR era, so time travel serves era names; a
+  // compaction folds everything to logical names physically and clears
+  // the mapping (restoring the stats-pruned read routes, which are
+  // conservatively bypassed while a mapping is live). Ambiguity is
+  // refused at DDL time instead of resolved heuristically: a new
+  // column may never reuse ANY historical physical name (the same
+  // bytes would mean two different columns in one payload dir — the
+  // exact hazard field ids exist to prevent) until a fold clears the
+  // history.
+
+  /** One logical column's mapping: `physical` is its name history,
+    * newest first (head = the logical name for non-dropped entries);
+    * `dropped` hides the column from every read at-or-after the
+    * mapping's version. */
+  final case class ColumnMapping(logical: String, physical: Seq[String],
+      dropped: Boolean)
+
+  private val ColMapSchema =
+    "logical STRING, physical ARRAY<STRING>, dropped BOOLEAN"
+
+  /** The column mapping visible at `version` (default: current) — the
+    * newest kind-tagged `colmap_v` artifact at-or-below it; empty =
+    * identity (the overwhelmingly common case: one listing RPC, no
+    * read). */
+  def columnMapOf(spark: SparkSession, path: String,
+      version: Option[Long] = None): Seq[ColumnMapping] = {
+    val v = version.orElse(IndexManifest.currentVersion(spark, path))
+      .getOrElse(return Nil)
+    val committed = IndexManifest.committedVersions(spark, path).toSet
+    IndexManifest.diskVersions(spark, path, "colmap")
+      .filter(cv => cv <= v && committed.contains(cv) &&
+        IndexManifest.markerInfoAt(spark, path, cv).kind == "colmap")
+      .lastOption match {
+      case None => Nil
+      case Some(cv) =>
+        spark.read.schema(ColMapSchema).parquet(s"$path/colmap_v$cv")
+          .collect()
+          .map(r => ColumnMapping(r.getString(0),
+            r.getSeq[String](1).toSeq, r.getBoolean(2)))
+          .sortBy(_.logical).toSeq
+    }
+  }
+
+  /** Replace the table's column mapping in ONE marker commit (kind
+    * `colmap` — metadata-only, watermarks carried forward). The
+    * [[setConstraints]] protocol: `expectedCurrent` refuses when a
+    * competing colmap DDL landed since the set was derived. */
+  def setColumnMapping(spark: SparkSession, path: String,
+      ms: Seq[ColumnMapping],
+      expectedCurrent: Option[Long] = None): Long = {
+    require(IndexManifest.currentVersion(spark, path).isDefined,
+      s"no committed table at $path")
+    val f = fs(spark, path)
+    import spark.implicits._
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/.colmap_pending_${java.util.UUID.randomUUID}")
+    ms.map(m => (m.logical, m.physical, m.dropped))
+      .toDF("logical", "physical", "dropped")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    var v = -1L
+    var committed = false
+    while (!committed) {
+      expectedCurrent.foreach { e =>
+        val cur = IndexManifest.currentVersion(spark, path).get
+        val competing = ((e + 1) to cur).exists(v =>
+          IndexManifest.markerInfoAt(spark, path, v).kind == "colmap")
+        if (competing) {
+          f.delete(tmp, true)
+          throw new java.util.ConcurrentModificationException(
+            s"column mapping for $path was computed against version $e " +
+              s"but a competing rename/drop DDL committed since (now " +
+              s"at $cur) — re-read and retry")
+        }
+      }
+      v = IndexManifest.nextMutationVersion(spark, path)
+      val dst = new org.apache.hadoop.fs.Path(s"$path/colmap_v$v")
+      if (renameExclusive(f, tmp, dst)) {
+        committed = IndexManifest.tryCommitTagged(spark, path, v,
+          currentWatermark(spark, path),
+          currentUnkeyedWatermark(spark, path), "colmap")
+        if (!committed) f.rename(dst, tmp)
+      }
+    }
+    v
+  }
+
+  /** The raw footer-merged PHYSICAL columns of the current payload —
+    * what the DDL layer checks new names against (a logical read hides
+    * historical names; a collision with one of those would make the
+    * same physical bytes mean two columns). */
+  def physicalColumns(spark: SparkSession, path: String): Seq[String] =
+    payloadDir(spark, path) match {
+      case None => Nil
+      case Some(d) =>
+        payloadRead(spark, d, None, mergeSchema = true)
+          .schema.fieldNames.toSeq.filterNot(_ == "__batch")
+    }
+
+  /** `name` → the Column reading it through `mapping` on a PHYSICAL
+    * frame with columns `present`: the coalesce of the owning entry's
+    * present physical names. Accepts the logical name OR any historical
+    * physical name (an equality tombstone written pre-rename stores the
+    * era's name; both address the same column). Identity when
+    * unmapped. */
+  private def physExprOf(mapping: Seq[ColumnMapping],
+      present: Set[String], name: String): Column = {
+    val lower = name.toLowerCase(java.util.Locale.ROOT)
+    mapping.find(m =>
+        m.logical.toLowerCase(java.util.Locale.ROOT) == lower ||
+        m.physical.exists(
+          _.toLowerCase(java.util.Locale.ROOT) == lower)) match {
+      case Some(m) =>
+        val phys = m.physical.filter(p => present.exists(
+          _.equalsIgnoreCase(p)))
+        if (phys.isEmpty) col(s"`$name`")
+        else if (phys.size == 1) col(s"`${phys.head}`")
+        else coalesce(phys.map(p => col(s"`$p`")): _*)
+      case None => col(s"`$name`")
+    }
+  }
+
+  /** Rewrite `predicateSql`'s top-level column references through the
+    * CURRENT mapping into physical-tolerant form
+    * (`w > 5` → `coalesce(w, v) > 5`) — what [[deleteWhere]]/
+    * [[updateWhere]] STORE in their tombstones, so the mask evaluates
+    * correctly on the physical frame across every era's batches.
+    * Identity when no mapping is live. */
+  private def physicalizePred(spark: SparkSession, path: String,
+      predicateSql: String): String = {
+    val mapping = columnMapOf(spark, path)
+    if (mapping.isEmpty) return predicateSql
+    // only names some payload file actually carries enter the stored
+    // coalesce — a just-renamed column whose new name has no footer yet
+    // must not make every later read's mask unresolvable
+    val present = physicalColumns(spark, path)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val byName = mapping.filterNot(_.dropped).flatMap(m =>
+      (m.logical +: m.physical).map(n =>
+        n.toLowerCase(java.util.Locale.ROOT) -> m)).toMap
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Coalesce
+    spark.sessionState.sqlParser.parseExpression(predicateSql)
+      .transformUp {
+        case u: UnresolvedAttribute if u.nameParts.size == 1 &&
+            byName.contains(u.nameParts.head
+              .toLowerCase(java.util.Locale.ROOT)) =>
+          val m = byName(u.nameParts.head
+            .toLowerCase(java.util.Locale.ROOT))
+          val phys = m.physical.filter(p =>
+            present.contains(p.toLowerCase(java.util.Locale.ROOT)))
+          val names = if (phys.nonEmpty) phys else m.physical.take(1)
+          if (names.size <= 1)
+            UnresolvedAttribute(Seq(names.head))
+          else Coalesce(names.map(p => UnresolvedAttribute(Seq(p))))
+      }.sql
+  }
+
+  /** Column names (lower-cased) referenced by the CURRENT version's
+    * pending tombstones — predicate attrs and equality-segment keys.
+    * The DDL layer refuses DROP COLUMN on one of these: the column's
+    * bytes still drive a live mask until a fold erases it. */
+  private[graft] def pendingSegmentColumns(spark: SparkSession,
+      path: String): Set[String] = {
+    val v = IndexManifest.currentVersion(spark, path)
+      .getOrElse(return Set.empty)
+    deletePredsOf(spark, path, deleteSegmentsAt(spark, path, v))
+      .flatMap { dp =>
+        dp.keyCols.map(_.toLowerCase(java.util.Locale.ROOT)) ++
+          (if (dp.pred == null) Nil
+           else spark.sessionState.sqlParser
+             .parseExpression(dp.pred).collect {
+               case u: org.apache.spark.sql.catalyst.analysis
+                   .UnresolvedAttribute =>
+                 u.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+             })
+      }.toSet
+  }
+
+  /** Resolve the physical frame `df` (which may still carry `__batch`)
+    * to its LOGICAL view under `mapping`: each mapped column becomes
+    * the coalesce of its present physical names at the position of its
+    * first physical occurrence; dropped columns and superseded
+    * physical names disappear; unmapped columns pass through. `want`
+    * (a LOGICAL schema) additionally pins the output order. */
+  private def applyColumnMap(df: DataFrame,
+      mapping: Seq[ColumnMapping],
+      want: Option[StructType] = None): DataFrame = {
+    if (mapping.isEmpty) return df
+    val present = df.columns.toSet
+    def entryOf(c: String): Option[ColumnMapping] = {
+      val lower = c.toLowerCase(java.util.Locale.ROOT)
+      mapping.find(_.physical.exists(
+        _.toLowerCase(java.util.Locale.ROOT) == lower))
+    }
+    val emitted = scala.collection.mutable.Set.empty[String]
+    val cols = df.columns.toSeq.flatMap { c =>
+      entryOf(c) match {
+        case Some(m) if m.dropped => None
+        case Some(m) =>
+          val key = m.logical.toLowerCase(java.util.Locale.ROOT)
+          if (emitted.contains(key)) None
+          else {
+            emitted += key
+            Some(physExprOf(mapping, present, m.logical).as(m.logical))
+          }
+        case None => Some(col(s"`$c`"))
+      }
+    }
+    val mapped = df.select(cols: _*)
+    want match {
+      case None => mapped
+      case Some(s) =>
+        val order = s.fieldNames.toSeq ++
+          (if (mapped.columns.contains("__batch")) Seq("__batch")
+           else Nil)
+        mapped.select(order.map(c => col(s"`$c`")): _*)
+    }
+  }
+
   // ---- table CHECK constraints: versioned metadata artifact --------------
 
   /** One CHECK constraint: `sql` must not evaluate to FALSE on any row
@@ -1207,20 +1950,27 @@ object TableManifest {
 
   /** Constraints visible at `version` (default: current) — the newest
     * `constraints_v` artifact at-or-below it whose version was
-    * committed BY a constraints DDL (kind-tagged marker, the
-    * [[deleteSegmentsAt]] discipline): a racing APPENDER's marker at
-    * the number a losing setConstraints briefly parked its artifact
-    * under must neither legitimize the uncommitted set nor crash a
-    * concurrent reader when the loser takes the claim back. None =
-    * empty. */
+    * committed BY a constraints DDL or a combined payload+constraints
+    * snapshot (kind-tagged marker, the [[deleteSegmentsAt]]
+    * discipline): a racing APPENDER's marker at the number a losing
+    * setConstraints briefly parked its artifact under must neither
+    * legitimize the uncommitted set nor crash a concurrent reader when
+    * the loser takes the claim back. The `snapshot` kind is honored
+    * because ONLY [[commitPayloadDir]]'s combined path parks a
+    * constraints artifact at a snapshot version (both claims are
+    * exclusive renames, taken back together on marker loss) — a plain
+    * snapshot version simply has no artifact on disk. None = empty. */
   def constraintsOf(spark: SparkSession, path: String,
       version: Option[Long] = None): Seq[TableConstraint] = {
     val v = version.orElse(IndexManifest.currentVersion(spark, path))
       .getOrElse(return Nil)
     val committed = IndexManifest.committedVersions(spark, path).toSet
     IndexManifest.diskVersions(spark, path, "constraints")
-      .filter(cv => cv <= v && committed.contains(cv) &&
-        IndexManifest.markerInfoAt(spark, path, cv).kind == "constraints")
+      .filter { cv =>
+        val k = IndexManifest.markerInfoAt(spark, path, cv).kind
+        cv <= v && committed.contains(cv) &&
+          (k == "constraints" || k == "snapshot")
+      }
       .lastOption match {
       case None => Nil
       case Some(cv) =>
@@ -1256,12 +2006,7 @@ object TableManifest {
     cs.foreach(c => read(spark, path, None, mergeSchema = true)
       .filter(expr(c.sql)).schema)
     val f = fs(spark, path)
-    import spark.implicits._
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$path/.constraints_pending_${java.util.UUID.randomUUID}")
-    // empty set → footer-only file (constraint-free is a readable state)
-    cs.toDF("name", "sql", "enforced", "rely", "status")
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val tmp = stageConstraintRows(spark, path, cs)
     var v = -1L
     var committed = false
     while (!committed) {
@@ -1370,9 +2115,20 @@ object TableManifest {
     * earlier pins keep their own payload until vacuum. Returns the
     * committed version. */
   def compactBatches(spark: SparkSession, path: String,
-      schema: Option[StructType] = None): Long =
-    commitDerivedSnapshot(spark, path,
+      schema: Option[StructType] = None): Long = {
+    val hadMapping = columnMapOf(spark, path).nonEmpty
+    val v = commitDerivedSnapshot(spark, path,
       v0 => readAt(spark, path, v0, schema))
+    // the fold wrote LOGICAL names physically, so a live column mapping
+    // is now identity — clear it (one metadata commit) to restore the
+    // stats-pruned read routes that are conservatively bypassed while a
+    // mapping is live; pinned pre-fold reads keep their era's artifact.
+    // Runs under the single-maintenance-actor contract folds already
+    // assume; a crash before the clear just leaves the identity mapping
+    // (correct, only slower) until the next maintain.
+    if (hadMapping) setColumnMapping(spark, path, Nil)
+    v
+  }
 
   /** Reclaim versions older than the `keep` most recent — the index
     * layer's expire-snapshots with the TABLE payload base: the reclaim
@@ -1430,13 +2186,16 @@ object TableManifest {
     }
     sweep(path, n => n.startsWith(".data_pending_") ||
       n.startsWith(".update_pending_") || n.startsWith(".deletes_pending_") ||
-      n.startsWith(".constraints_pending_"))
+      n.startsWith(".constraints_pending_") ||
+      n.startsWith(".eqdeletes_pending_") ||
+      n.startsWith(".colmap_pending_"))
     sweep(s"$path/manifest", n => n.startsWith(".tag_pending_"))
     def above(n: String, prefix: String): Boolean =
       n.startsWith(prefix) &&
         n.stripPrefix(prefix).toLongOption.exists(_ > cur)
     sweep(path, n => above(n, "deletes_v") || above(n, "data_v") ||
-      above(n, "constraints_v"))
+      above(n, "constraints_v") || above(n, "eqdeletes_v") ||
+      above(n, "colmap_v"))
     payloadDir(spark, path).foreach(d =>
       sweep(d, n => n.startsWith("__batch=") &&
         n.stripPrefix("__batch=").toLongOption
@@ -1638,6 +2397,11 @@ object TableManifest {
       hit: org.apache.spark.util.sketch.BloomFilter => Boolean,
       predicate: Column, schema: Option[StructType]): DataFrame = {
     import org.apache.spark.util.sketch.BloomFilter
+    // a live column mapping means artifact column names may be stale
+    // era names — degrade to the (mapping-aware) plain filtered read;
+    // the next compaction clears the mapping and restores this route
+    if (columnMapOf(spark, path).nonEmpty)
+      return read(spark, path, schema).filter(predicate)
     val v = IndexManifest.currentVersion(spark, path).getOrElse(
       sys.error(s"no committed table at $path"))
     val p = IndexManifest.payloadVersionAt(spark, path, v, "data").getOrElse(
@@ -1675,7 +2439,7 @@ object TableManifest {
     if (survivors.isEmpty) return readAll.filter(lit(false))
     val base = payloadRead(spark, dir, schema, mergeSchema = false,
       basePath = Some(dir), parts = survivors.toSeq)
-    maskDeletes(base.filter(predicate), preds).drop("__batch")
+    maskDeletes(base.filter(predicate), preds, path).drop("__batch")
   }
 
   /** Metadata-only row count — `count(*)` answered from the zone-stats
@@ -1821,6 +2585,12 @@ object TableManifest {
       ranges: Seq[(String, Long, Long)],
       schema: Option[StructType] = None): DataFrame = {
     require(ranges.nonEmpty)
+    // live column mapping → stats artifacts may carry stale era names;
+    // degrade to the plain mapping-aware read (exact, just unpruned)
+    if (columnMapOf(spark, path).nonEmpty)
+      return read(spark, path, schema).filter(ranges.map {
+        case (c, lo, hi) => col(s"`$c`") >= lo && col(s"`$c`") <= hi
+      }.reduce(_ && _))
     val v = IndexManifest.currentVersion(spark, path).getOrElse(
       sys.error(s"no committed table at $path"))
     val p = IndexManifest.payloadVersionAt(spark, path, v, "data").getOrElse(
@@ -1839,7 +2609,7 @@ object TableManifest {
     def readAll = maskDeletes(
       payloadRead(spark, dir, schema, mergeSchema = false)
         .filter(visibleBatch(wm, uwm, updV)).filter(predicate),
-      delPreds).drop("__batch")
+      delPreds, path).drop("__batch")
     if (!f.exists(statsPath)) return readAll
     // a batch is excluded only when SOME queried column's stats row
     // proves it disjoint (zmax < lo, zmin > hi, or all-null zmin);
@@ -1865,6 +2635,6 @@ object TableManifest {
     if (survivors.isEmpty) return readAll.filter(lit(false))
     val base = payloadRead(spark, dir, schema, mergeSchema = false,
       basePath = Some(dir), parts = survivors.toSeq)
-    maskDeletes(base.filter(predicate), delPreds).drop("__batch")
+    maskDeletes(base.filter(predicate), delPreds, path).drop("__batch")
   }
 }

@@ -2089,6 +2089,300 @@ object MiscQueries {
              |UNION ALL SELECT * FROM a3
              |ORDER BY stage, event_type""".stripMargin)),
 
+    // The SAME canonical upsert through the MATCH-PROPORTIONAL path,
+    // structurally pinned: GraftMergeRule now routes every SQL MERGE
+    // into TableManifest.mergeWhere — an EQUALITY tombstone
+    // (deletes_v/eqdeletes_v key file) + an update-keyspace replacement
+    // batch, flipped by ONE kind=merge marker — never the old
+    // commitDerivedSnapshot full-table rewrite. The hash pins FOUR
+    // things at once, read after the merge: the pre-merge pin
+    // (immutable), the post-merge table, the CDF window rendering the
+    // merge as delete(old) + insert(new), and `mor_shape` — a literal
+    // proving NO new data_v payload dir appeared (a CoW rewrite would
+    // have created one; the MoR commit only adds a batch to the
+    // existing payload). Scale: cost is the matched+inserted rows, not
+    // the table (SCALE.md `Stress mormerge`).
+    Q("q_graft_merge_mor",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        s.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_mrg_mor").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        TableManifest.commitSnapshot(e.filter(col("event_id") % 2 === 0),
+          path)
+        TableManifest.append(e.filter(col("event_id") % 2 === 1), path)
+        val v0 = TableManifest.versions(s, path).last
+        def payloadDirs: Long = {
+          val hp = new org.apache.hadoop.fs.Path(path)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .listStatus(hp)
+            .count(_.getPath.getName.startsWith("data_v")).toLong
+        }
+        val dirsBefore = payloadDirs
+        e.filter(col("event_id") % 7 === 0)
+          .select(col("event_id"), col("user_id"),
+            (col("value") * 2).as("delta"))
+          .unionByName(e.filter(col("event_id") % 997 === 0)
+            .select((col("event_id") + 9000000L).as("event_id"),
+              col("user_id"), col("value").as("delta")))
+          .createOrReplaceTempView("gmm_src")
+        val r = s.sql(
+          s"""MERGE INTO graft.`$path` AS t USING gmm_src AS s
+             |ON t.event_id = s.event_id
+             |WHEN MATCHED THEN UPDATE SET
+             |  value = t.value + s.delta,
+             |  event_type = concat(t.event_type, '_m')
+             |WHEN NOT MATCHED THEN INSERT
+             |  (event_id, user_id, event_type, value)
+             |  VALUES (s.event_id, s.user_id, 'fresh', s.delta)"""
+            .stripMargin).head()
+        val vm = r.getLong(0)
+        val morShape = payloadDirs == dirsBefore
+        def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,6)")).cast("double")
+                .as("sum_value"))
+            .withColumn("stage", lit(tag))
+        val cdf = TableManifest.readChanges(s, path, v0, vm)
+          .groupBy(col("_change_type"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("sum_value"))
+          .withColumn("stage", concat(lit("cdf_"), col("_change_type")))
+          .drop("_change_type")
+        agg(TableManifest.readAt(s, path, v0), "pre_pin")
+          .unionByName(agg(TableManifest.read(s, path), "post"))
+          .unionByName(cdf)
+          .withColumn("mor_shape", lit(morShape))
+          .withColumn("rows_matched", lit(r.getLong(1)))
+          .withColumn("rows_inserted", lit(r.getLong(2)))
+          .select(col("stage"), col("event_type"), col("n"),
+            col("sum_value"), col("mor_shape"), col("rows_matched"),
+            col("rows_inserted"))
+          .orderBy(col("stage"), col("event_type"))
+      },
+      Some("""WITH src AS (
+             |  SELECT event_id, user_id, value * 2 AS delta
+             |  FROM events WHERE event_id % 7 = 0
+             |  UNION ALL
+             |  SELECT event_id + 9000000, user_id, value
+             |  FROM events WHERE event_id % 997 = 0),
+             |p AS (
+             |  SELECT e.event_id, e.user_id, e.event_type, e.value,
+             |         s.delta, s.event_id IS NOT NULL AS m
+             |  FROM events e LEFT JOIN src s ON e.event_id = s.event_id),
+             |upd AS (
+             |  SELECT event_id, user_id, event_type || '_m' AS event_type,
+             |         value + delta AS value
+             |  FROM p WHERE m),
+             |ins AS (
+             |  SELECT s.event_id, s.user_id, 'fresh' AS event_type,
+             |         s.delta AS value
+             |  FROM src s
+             |  WHERE s.event_id NOT IN (SELECT event_id FROM events)),
+             |post AS (
+             |  SELECT event_id, user_id, event_type, value FROM p
+             |  WHERE NOT m
+             |  UNION ALL SELECT * FROM upd
+             |  UNION ALL SELECT * FROM ins),
+             |nums AS (
+             |  SELECT
+             |    (SELECT count(*) FROM events WHERE event_id % 7 = 0)
+             |      AS rows_matched,
+             |    (SELECT count(*) FROM events WHERE event_id % 997 = 0)
+             |      AS rows_inserted),
+             |a0 AS (SELECT 'pre_pin' AS stage, event_type, count(*) AS n,
+             |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |           AS sum_value
+             |       FROM events GROUP BY event_type),
+             |a1 AS (SELECT 'post', event_type, count(*),
+             |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |       FROM post GROUP BY event_type),
+             |a2 AS (SELECT 'cdf_delete', event_type, count(*),
+             |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |       FROM p WHERE m GROUP BY event_type),
+             |a3 AS (SELECT 'cdf_insert', event_type, count(*),
+             |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |       FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+             |       GROUP BY event_type)
+             |SELECT u.*, true AS mor_shape, nums.rows_matched,
+             |       nums.rows_inserted
+             |FROM (SELECT * FROM a0 UNION ALL SELECT * FROM a1
+             |      UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3)
+             |  u(stage, event_type, n, sum_value), nums
+             |ORDER BY stage, event_type""".stripMargin)),
+
+    // The FULL clause surface in one statement, on a NON-UNIQUE merge
+    // key (user_id — target-side multiplicity): conditional matched
+    // UPDATE with EXPLICIT assignments reading both pre-images
+    // (t.value + s.delta), conditional matched DELETE, the SCD-2
+    // `WHEN NOT MATCHED BY SOURCE THEN UPDATE` close-out, and an
+    // explicit-column INSERT. Exercises the key-GROUP rewrite: a
+    // matched user's rows split per-row across update/delete/no-clause,
+    // and the no-clause rows must survive byte-identical even though
+    // the whole key group is tombstoned and rewritten (the machinery
+    // that keeps per-ROW clause conditions exact under key-level
+    // masking). DuckDB mirrors it as per-row CASE-WHEN.
+    Q("q_graft_sql_merge_assign",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        s.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_mrg_asg").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        TableManifest.commitSnapshot(e, path)
+        e.select(col("user_id")).distinct()
+          .filter(col("user_id") % 5 === 0)
+          .select(col("user_id"),
+            ((col("user_id") % 7).cast("double") * 0.1).as("delta"))
+          .unionByName(e.select(col("user_id")).distinct()
+            .filter(col("user_id") % 13 === 0)
+            .select((col("user_id") + 1000000L).as("user_id"),
+              lit(0.5).as("delta")))
+          .createOrReplaceTempView("gma_src")
+        val r = s.sql(
+          s"""MERGE INTO graft.`$path` AS t USING gma_src AS s
+             |ON t.user_id = s.user_id
+             |WHEN MATCHED AND t.value < 0.3 THEN UPDATE SET
+             |  value = t.value + s.delta,
+             |  event_type = concat(t.event_type, '_lo')
+             |WHEN MATCHED AND t.value > 0.9 THEN DELETE
+             |WHEN NOT MATCHED THEN INSERT
+             |  (event_id, user_id, event_type, value)
+             |  VALUES (s.user_id * 1000, s.user_id, 'seed', s.delta)
+             |WHEN NOT MATCHED BY SOURCE AND t.event_type = 'error'
+             |  THEN UPDATE SET event_type = 'error_closed'"""
+            .stripMargin).head()
+        s.sql(
+          s"""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM graft.`$path`
+             |GROUP BY event_type""".stripMargin)
+          .withColumn("rows_matched", lit(r.getLong(1)))
+          .withColumn("rows_inserted", lit(r.getLong(2)))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH src AS (
+             |  SELECT user_id, CAST(user_id % 7 AS DOUBLE) * 0.1 AS delta
+             |  FROM (SELECT DISTINCT user_id FROM events
+             |        WHERE user_id % 5 = 0)
+             |  UNION ALL
+             |  SELECT user_id + 1000000, 0.5
+             |  FROM (SELECT DISTINCT user_id FROM events
+             |        WHERE user_id % 13 = 0)),
+             |p AS (
+             |  SELECT e.event_id, e.user_id, e.event_type, e.value,
+             |         s.delta, s.user_id IS NOT NULL AS m
+             |  FROM events e LEFT JOIN src s ON e.user_id = s.user_id),
+             |post AS (
+             |  SELECT event_id, user_id,
+             |    CASE WHEN m AND value < 0.3 THEN event_type || '_lo'
+             |         WHEN NOT m AND event_type = 'error'
+             |           THEN 'error_closed'
+             |         ELSE event_type END AS event_type,
+             |    CASE WHEN m AND value < 0.3 THEN value + delta
+             |         ELSE value END AS value
+             |  FROM p
+             |  WHERE NOT (m AND NOT coalesce(value < 0.3, false)
+             |             AND coalesce(value > 0.9, false))
+             |  UNION ALL
+             |  SELECT s.user_id * 1000, s.user_id, 'seed', s.delta
+             |  FROM src s
+             |  WHERE s.user_id NOT IN (SELECT user_id FROM events)),
+             |nums AS (
+             |  SELECT
+             |    (SELECT count(*) FROM events WHERE user_id % 5 = 0)
+             |      AS rows_matched,
+             |    (SELECT count(DISTINCT user_id) FROM events
+             |     WHERE user_id % 13 = 0) AS rows_inserted)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value,
+             |  nums.rows_matched, nums.rows_inserted
+             |FROM post, nums
+             |GROUP BY event_type, nums.rows_matched, nums.rows_inserted
+             |ORDER BY event_type""".stripMargin)),
+
+    // The change feed from PLAIN SQL: option("readChangeFeed") on the
+    // graft source routes readChanges through both reader surfaces — a
+    // `CREATE TEMPORARY VIEW ... USING graft` (the v1 path: SQL-only
+    // consumers subscribe with zero library imports) and the DataFrame
+    // reader (v2, explicit endingVersion) — with `startingVersion`
+    // accepting a NAMED TAG, so the consumer checkpoint is the same
+    // vacuum-protected ref the operator surface pins. Window: an append
+    // + a MoR DELETE after a tagged baseline; the feed must show the
+    // appended rows minus the deleted-within-window ones as inserts and
+    // the baseline's deleted rows as deletes. Both surfaces hash
+    // identically or the query breaks.
+    Q("q_graft_cdf_sql",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        s.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_cdf_sql").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val maxId = e.agg(max(col("event_id"))).head().getLong(0)
+        val (t1, t2) = (maxId / 3, 2 * maxId / 3)
+        TableManifest.commitSnapshot(e.filter(col("event_id") <= t1),
+          path)
+        TableManifest.tag(s, path, "checkpoint")
+        TableManifest.append(
+          e.filter(col("event_id") > t1 && col("event_id") <= t2), path)
+        s.sql(s"DELETE FROM graft.`$path` WHERE event_type = 'error'")
+        s.sql(
+          s"""CREATE OR REPLACE TEMPORARY VIEW gcdf_view
+             |USING graft OPTIONS (
+             |  path '$path', readChangeFeed 'true',
+             |  startingVersion 'checkpoint')""".stripMargin)
+        def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.groupBy(col("_change_type"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,6)")).cast("double")
+                .as("sum_value"))
+            .withColumn("surface", lit(tag))
+        val cur = TableManifest.versions(s, path).last
+        agg(s.table("gcdf_view"), "sql_view")
+          .unionByName(agg(s.read.format("graft")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "checkpoint")
+            .option("endingVersion", cur).load(path), "reader"))
+          .select(col("surface"), col("_change_type"), col("event_type"),
+            col("n"), col("sum_value"))
+          .orderBy(col("surface"), col("_change_type"), col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_id, event_type, value FROM events),
+             |mx AS (SELECT max(event_id) AS m FROM e),
+             |ins AS (SELECT * FROM e, mx
+             |        WHERE event_id > m // 3 AND event_id <= 2 * m // 3
+             |          AND event_type <> 'error'),
+             |del AS (SELECT * FROM e, mx
+             |        WHERE event_id <= m // 3 AND event_type = 'error'),
+             |feed AS (
+             |  SELECT 'insert' AS _change_type, event_type,
+             |         count(*) AS n,
+             |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |           AS sum_value
+             |  FROM ins GROUP BY event_type
+             |  UNION ALL
+             |  SELECT 'delete', event_type, count(*),
+             |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |  FROM del GROUP BY event_type)
+             |SELECT 'sql_view' AS surface, * FROM feed
+             |UNION ALL
+             |SELECT 'reader', * FROM feed
+             |ORDER BY surface, _change_type, event_type""".stripMargin)),
+
     // The full operator runbook as plain SQL: an append-log table takes a
     // MoR DELETE, `CALL graft.maintain` folds the log and physically
     // erases the masked rows (refreshing zone maps), `CALL

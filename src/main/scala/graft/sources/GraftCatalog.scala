@@ -169,23 +169,35 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val p = pathOf(ident)
     if (!TableManifest.exists(spark, p)) throw new NoSuchTableException(ident)
     val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val renames = changes.collect {
+      case r: TableChange.RenameColumn => r }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     changes.foreach {
       case _: TableChange.AddColumn =>
+      case _: TableChange.RenameColumn =>
+      case _: TableChange.DeleteColumn =>
       case a: TableChange.AddConstraint => addConstraint(p, a)
       case d: TableChange.DropConstraint => dropConstraint(p, d)
       case other => throw new UnsupportedOperationException(
-        s"graft ALTER TABLE supports ADD COLUMN(S) and ADD/DROP " +
-          s"CONSTRAINT only (schema evolution by null-padded widening); " +
-          s"got ${other.getClass.getSimpleName} — DROP/RENAME/retype " +
-          "would need a column-id mapping or a rewrite (use CREATE " +
-          "TABLE ... AS SELECT)")
+        s"graft ALTER TABLE supports ADD/RENAME/DROP COLUMN and " +
+          s"ADD/DROP CONSTRAINT; got ${other.getClass.getSimpleName} " +
+          "— retype would need a rewrite (use CREATE TABLE ... AS " +
+          "SELECT)")
     }
+    if (renames.nonEmpty || drops.nonEmpty)
+      applyColumnDdl(p, renames, drops)
     if (adds.isEmpty)
       return new GraftTable(p, None, Some(
         GraftTableSource.tableSchema(spark, p, None, mergeSchema = true)))
     val base = GraftTableSource.tableSchema(spark, p, None,
       mergeSchema = true)
     val existing = base.fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    // a NEW column may never reuse a historical physical name or a
+    // dropped column's name: the old bytes would resurrect under it
+    // (the field-id hazard) — a compaction clears the history first
+    val historical = TableManifest.columnMapOf(spark, p)
+      .flatMap(m => m.logical +: m.physical)
       .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val widened = adds.foldLeft(base) { (s, a) =>
       require(a.fieldNames.length == 1,
@@ -195,6 +207,10 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       require(!existing.contains(n.toLowerCase(java.util.Locale.ROOT)) &&
           !s.fieldNames.exists(_.equalsIgnoreCase(n)),
         s"column '$n' already exists in graft table $p")
+      require(!historical.contains(n.toLowerCase(java.util.Locale.ROOT)),
+        s"column name '$n' is a historical name of a renamed/dropped " +
+          s"column of $p — run maintain (compaction) to clear the " +
+          "mapping before reusing it")
       require(a.isNullable,
         s"added column '$n' must be nullable — every pre-ALTER row " +
           "reads it as NULL (null-padded evolution)")
@@ -211,6 +227,125 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened), p)
     new GraftTable(p, None, Some(
       GraftTableSource.tableSchema(spark, p, None, mergeSchema = true)))
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN` / `DROP COLUMN` as METADATA-ONLY
+    * commits: one column-mapping artifact ([[TableManifest
+    * .setColumnMapping]], kind `colmap`) that the merged read path
+    * consults — old parquet columns resolve under the new name (or
+    * disappear, for DROP) without any rewrite, and time-travel pins
+    * keep serving their era's names. A rename additionally lands a
+    * zero-row append whose footer carries the new name (schema
+    * stability; correctness holds either way — the mapping application
+    * is present-tolerant). Refused: renaming onto any live or
+    * historical name (the resurrection ambiguity a compaction clears),
+    * touching a column a CHECK constraint references (the stored
+    * predicate would silently stop resolving), dropping a column a
+    * PENDING tombstone still masks by, and dropping the last column. */
+  private def applyColumnDdl(p: String,
+      renames: Seq[TableChange.RenameColumn],
+      drops: Seq[TableChange.DeleteColumn]): Unit = {
+    def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      require(attempt <= 10,
+        s"column DDL on $p lost the commit race $attempt times — " +
+          "retry under quieter DDL traffic")
+      val v0 = TableManifest.versions(spark, p).last
+      val logical = GraftTableSource.tableSchema(spark, p, None,
+        mergeSchema = true)
+      var names = logical.fieldNames.toSeq
+      var mapping = TableManifest.columnMapOf(spark, p, Some(v0))
+      val physAll = TableManifest.physicalColumns(spark, p)
+        .map(lower).toSet
+      val chain = mapping.flatMap(m => m.logical +: m.physical)
+        .map(lower).toSet
+      val consCols = TableManifest.constraintsOf(spark, p).flatMap(c =>
+        spark.sessionState.sqlParser.parseExpression(c.sql).collect {
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => lower(u.nameParts.last)
+        }).toSet
+      renames.foreach { r =>
+        require(r.fieldNames.length == 1,
+          "graft RENAME COLUMN is top-level only")
+        val from = r.fieldNames.head
+        val to = r.newName
+        require(names.exists(_.equalsIgnoreCase(from)),
+          s"no column '$from' in graft table $p " +
+            s"(have: ${names.mkString(", ")})")
+        require(!names.exists(_.equalsIgnoreCase(to)),
+          s"column '$to' already exists in graft table $p")
+        require(!physAll.contains(lower(to)) && !chain.contains(lower(to)),
+          s"'$to' is (or was) a physical column name of $p — the old " +
+            "bytes would resurrect under it; run maintain (compaction) " +
+            "to clear the name history first")
+        require(!consCols.contains(lower(from)),
+          s"column '$from' is referenced by a CHECK constraint of $p — " +
+            "drop the constraint first (its stored predicate would " +
+            "silently stop resolving)")
+        mapping = mapping.find(_.logical.equalsIgnoreCase(from)) match {
+          case Some(m) =>
+            mapping.filterNot(_ eq m) :+
+              TableManifest.ColumnMapping(to, to +: m.physical,
+                dropped = false)
+          case None =>
+            mapping :+ TableManifest.ColumnMapping(to, Seq(to, from),
+              dropped = false)
+        }
+        names = names.map(n => if (n.equalsIgnoreCase(from)) to else n)
+      }
+      if (drops.nonEmpty) {
+        val pendingCols = TableManifest.pendingSegmentColumns(spark, p)
+        drops.foreach { d =>
+          require(d.fieldNames.length == 1,
+            "graft DROP COLUMN is top-level only")
+          val from = d.fieldNames.head
+          require(names.exists(_.equalsIgnoreCase(from)),
+            s"no column '$from' in graft table $p " +
+              s"(have: ${names.mkString(", ")})")
+          require(names.length > 1,
+            s"cannot DROP the last column of graft table $p")
+          require(!consCols.contains(lower(from)),
+            s"column '$from' is referenced by a CHECK constraint of " +
+              s"$p — drop the constraint first")
+          val eraNames = mapping
+            .find(_.logical.equalsIgnoreCase(from))
+            .map(m => (m.logical +: m.physical).map(lower))
+            .getOrElse(Seq(lower(from)))
+          require(!eraNames.exists(pendingCols.contains),
+            s"column '$from' still drives a pending MoR tombstone of " +
+              s"$p — run maintain (fold) before dropping it")
+          mapping = mapping.find(_.logical.equalsIgnoreCase(from)) match {
+            case Some(m) =>
+              mapping.filterNot(_ eq m) :+ m.copy(dropped = true)
+            case None =>
+              mapping :+ TableManifest.ColumnMapping(from, Seq(from),
+                dropped = true)
+          }
+          names = names.filterNot(_.equalsIgnoreCase(from))
+        }
+      }
+      try {
+        TableManifest.setColumnMapping(spark, p, mapping, Some(v0))
+        committed = true
+      } catch {
+        case _: java.util.ConcurrentModificationException => // re-derive
+      }
+    }
+    // schema-stability footer for renames: a zero-row append whose
+    // footer carries the renamed schema (after the mapping commit, so
+    // a crash in between leaves a correct — merely footer-less — state)
+    if (renames.nonEmpty) {
+      val renamed = GraftTableSource.tableSchema(spark, p, None,
+        mergeSchema = true)
+      TableManifest.append(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          renamed), p)
+    }
+    ()
   }
 
   /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (...)` — Spark has
@@ -283,16 +418,21 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   }
 
   /** CREATE TABLE with inline constraints (the TableInfo route Spark's
-    * DDL uses when the catalog declares SUPPORT_TABLE_CONSTRAINT). */
+    * DDL uses when the catalog declares SUPPORT_TABLE_CONSTRAINT). The
+    * constraint artifact commits UNDER THE SAME MARKER as the seed
+    * snapshot — one atomic version, no window where the table exists
+    * unconstrained. */
   override def createTable(ident: Identifier, info: TableInfo): Table = {
-    val t = createTable(ident, info.schema(), info.partitions(),
-      info.properties())
-    if (info.constraints().nonEmpty) {
-      val p = pathOf(ident)
-      TableManifest.setConstraints(spark, p,
-        info.constraints().toSeq.map(toTableConstraint(p, _)))
-    }
-    t
+    val p = pathOf(ident)
+    if (TableManifest.exists(spark, p))
+      throw new TableAlreadyExistsException(ident)
+    require(info.partitions().isEmpty,
+      "graft tables manage their own layout (__batch partitions, " +
+        "OPTIMIZE/CLUSTER BY) — PARTITIONED BY is not a table option")
+    val cs = info.constraints().toSeq.map(toTableConstraint(p, _))
+    TableManifest.createEmpty(spark, p, info.schema(),
+      if (cs.nonEmpty) Some(cs) else None)
+    new GraftTable(p, None, Some(info.schema()))
   }
 
   private[sources] def toTableConstraint(p: String,
@@ -472,23 +612,45 @@ private[sources] class GraftStagedTable(path: String, ident: Identifier,
       abortStagedChanges()
       throw new NoSuchTableException(ident)
     }
+    // data AND constraint set flip under ONE marker: a crash or racing
+    // writer can never leave the REPLACE'd data served/gated by the OLD
+    // constraint definitions (which may not even resolve against the
+    // new schema). The artifact is written whenever the staged
+    // definition carries constraints OR an existing table's set must be
+    // cleared by the replace (an empty artifact is the readable
+    // constraint-free state).
+    val atomicConstraints: Option[Seq[TableManifest.TableConstraint]] =
+      if (stagedConstraints.nonEmpty) Some(stagedConstraints)
+      else if (replace && exists &&
+          TableManifest.constraintsOf(spark, path).nonEmpty) Some(Nil)
+      else None
     staged.get() match {
       case null =>
         // plain REPLACE TABLE / CREATE TABLE via staging: no query to
         // stage — the schema itself is the content (zero-row snapshot,
         // next version of the same manifest)
-        TableManifest.createEmpty(spark, path, stagedSchema)
+        TableManifest.createEmpty(spark, path, stagedSchema,
+          atomicConstraints)
       case dir =>
         // validate the staged content against the NEW definition's
         // enforced CHECK constraints BEFORE the marker flips: a
         // violating CTAS/RTAS publishes nothing (one pruned re-read of
-        // the staged parquet — only the constraint columns)
+        // the staged parquet — only the constraint columns). ONLY the
+        // analysis failure passes (a constraint column absent from the
+        // staged shape reads NULL, and NULL satisfies CHECK) — a
+        // runtime failure (ANSI cast error, corrupt staged parquet,
+        // transient IO) means the scan could not PROVE zero violations,
+        // so it aborts the staged commit instead of publishing unchecked
         stagedConstraints.filter(_.enforced).foreach { c =>
           import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-          val bad = scala.util.Try(
-            spark.read.parquet(dir)
+          val bad =
+            try spark.read.parquet(dir)
               .filter(not(coalesce(expr(c.sql), lit(true))))
-              .limit(1).count()).getOrElse(0L)
+              .limit(1).count()
+            catch {
+              case _: org.apache.spark.sql.AnalysisException => 0L
+              case e: Throwable => abortStagedChanges(); throw e
+            }
           if (bad > 0) {
             abortStagedChanges()
             throw new IllegalArgumentException(
@@ -497,14 +659,9 @@ private[sources] class GraftStagedTable(path: String, ident: Identifier,
                 "nothing was published")
           }
         }
-        TableManifest.publishStagedSnapshot(spark, path, dir)
+        TableManifest.publishStagedSnapshot(spark, path, dir,
+          atomicConstraints)
     }
-    // the staged definition's constraints REPLACE the old table's (the
-    // SQL REPLACE semantics); skip the metadata commit when both sides
-    // are empty
-    if (stagedConstraints.nonEmpty ||
-        (replace && TableManifest.constraintsOf(spark, path).nonEmpty))
-      TableManifest.setConstraints(spark, path, stagedConstraints)
     ()
   }
 

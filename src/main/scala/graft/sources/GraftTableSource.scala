@@ -125,15 +125,58 @@ object GraftTableSource {
     * so every call site passes it. */
   private[sources] def versionOf(options: CaseInsensitiveStringMap,
       path: String): Option[Long] =
-    Option(options.get("versionAsOf")).map { v =>
-      v.toLongOption
-        .orElse(TableManifest.tagVersion(SparkSession.active, path, v))
-        .getOrElse(throw new IllegalArgumentException(
-          s"versionAsOf '$v' is neither a committed version number " +
-            s"nor a tag of $path (tags: ${TableManifest
-              .tags(SparkSession.active, path).map(_._1)
-              .mkString(", ")})"))
-    }
+    Option(options.get("versionAsOf")).map(resolveRef(_, path,
+      "versionAsOf"))
+
+  private def resolveRef(v: String, path: String, what: String): Long =
+    v.toLongOption
+      .orElse(TableManifest.tagVersion(SparkSession.active, path, v))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$what '$v' is neither a committed version number " +
+          s"nor a tag of $path (tags: ${TableManifest
+            .tags(SparkSession.active, path).map(_._1)
+            .mkString(", ")})"))
+
+  /** option("readChangeFeed", "true") — the SQL/DataFrame surface of
+    * [[TableManifest.readChanges]]: the version-window change feed
+    * (`_change_type` ∈ insert|delete) a downstream consumer reads
+    * instead of re-scanning the table. `startingVersion` is required
+    * (a number or a named tag — the consumer's last-processed
+    * checkpoint); `endingVersion` defaults to the current version.
+    * Reachable from plain SQL via
+    * `CREATE TEMPORARY VIEW ... USING graft OPTIONS (path ...,
+    * readChangeFeed 'true', startingVersion '3')`. */
+  private[sources] def cdfOf(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("readChangeFeed")).exists(_.toBoolean)
+
+  private[sources] def cdfRange(options: CaseInsensitiveStringMap,
+      path: String): (Long, Long) = {
+    val from = Option(options.get("startingVersion"))
+      .map(resolveRef(_, path, "startingVersion"))
+      .getOrElse(throw new IllegalArgumentException(
+        "readChangeFeed requires startingVersion (a committed version " +
+          "number or tag — the consumer's last-processed checkpoint)"))
+    val to = Option(options.get("endingVersion"))
+      .map(resolveRef(_, path, "endingVersion"))
+      .getOrElse(TableManifest
+        .versions(SparkSession.active, path).last)
+    (from, to)
+  }
+
+  /** The change feed as a DataFrame — table columns (merged schema at
+    * the window's end) + `_change_type`, straight off
+    * [[TableManifest.readChanges]] (same-payload windows are
+    * batch-listing-proportional, replacement windows an honest content
+    * diff). */
+  private[sources] def cdfFrame(spark: SparkSession, path: String,
+      from: Long, to: Long): DataFrame =
+    TableManifest.readChanges(spark, path, from, to,
+      Some(tableSchema(spark, path, Some(to), mergeSchema = true)))
+
+  private[sources] def cdfSchema(spark: SparkSession, path: String,
+      to: Long): StructType =
+    tableSchema(spark, path, Some(to), mergeSchema = true)
+      .add("_change_type", StringType)
 
   /** Append-or-bootstrap / overwrite — the one write shape every write
     * surface (v2 bridge, v1 insert, save modes) funnels through. The
@@ -446,13 +489,19 @@ class GraftTableSource extends TableProvider with DataSourceRegister
     // a first commit; a read on the empty schema fails later with the
     // manifest's own "no committed table" error
     if (!TableManifest.exists(spark, path)) return new StructType()
+    if (cdfOf(options))
+      return cdfSchema(spark, path, cdfRange(options, path)._2)
     tableSchema(spark, path, versionOf(options, path), mergeOf(options))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new GraftTable(pathOf(opts), versionOf(opts, pathOf(opts)),
+    val path = pathOf(opts)
+    if (cdfOf(opts)) {
+      val (from, to) = cdfRange(opts, path)
+      new GraftCdfTable(path, from, to)
+    } else new GraftTable(path, versionOf(opts, path),
       Option(schema).filter(_.fields.nonEmpty))
   }
 
@@ -493,6 +542,11 @@ class GraftTableSource extends TableProvider with DataSourceRegister
     import scala.jdk.CollectionConverters._
     val opts = new CaseInsensitiveStringMap(parameters.asJava)
     val spark = sqlContext.sparkSession
+    if (cdfOf(opts)) {
+      val path = pathOf(opts)
+      val (from, to) = cdfRange(opts, path)
+      return GraftCdfRelation(path, from, to)(spark)
+    }
     val resolved = schema.orElse(
       if (mergeOf(opts) && TableManifest.exists(spark, pathOf(opts)))
         Some(tableSchema(spark, pathOf(opts), versionOf(opts, pathOf(opts)),
@@ -501,6 +555,66 @@ class GraftTableSource extends TableProvider with DataSourceRegister
     GraftRelation(pathOf(opts), versionOf(opts, pathOf(opts)),
       resolved)(spark)
   }
+}
+
+/** The change feed as a DSv2 table —
+  * `spark.read.format("graft").option("readChangeFeed", "true")
+  * .option("startingVersion", v).load(path)`. Read-only by
+  * construction (a feed is not a table to write into); filters/
+  * projection are Spark's to evaluate on top — the feed itself is
+  * already window-proportional. */
+private[sources] class GraftCdfTable(path: String, from: Long, to: Long)
+    extends Table with SupportsRead {
+  import GraftTableSource._
+
+  override def name(): String = s"graft-cdf:$path@[$from,$to]"
+
+  override def schema(): StructType =
+    cdfSchema(SparkSession.active, path, to)
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = schema()
+        override def description(): String = name()
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val rel = new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = readSchema()
+            override def needConversion: Boolean = false
+            override def buildScan(): RDD[Row] =
+              cdfFrame(context.sparkSession, path, from, to)
+                .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+          }
+          rel.asInstanceOf[T]
+        }
+      }
+    }
+}
+
+/** The change feed on the v1 surface — what
+  * `CREATE TEMPORARY VIEW ... USING graft OPTIONS (path ...,
+  * readChangeFeed 'true', startingVersion '<v-or-tag>')` resolves to,
+  * making the feed reachable from PLAIN SQL. */
+private[sources] case class GraftCdfRelation(path: String, from: Long,
+    to: Long)(@transient val sparkSession: SparkSession)
+    extends BaseRelation with TableScan {
+  import GraftTableSource._
+
+  override def sqlContext: SQLContext = sparkSession.sqlContext
+
+  override val schema: StructType = cdfSchema(sparkSession, path, to)
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(): RDD[Row] =
+    cdfFrame(sparkSession, path, from, to)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
 }
 
 private[sources] class GraftTable(path: String, versionAsOf: Option[Long],

@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
   AttributeReference, EqualTo, Expression, PlanExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
-  DeleteAction, InsertStarAction, LogicalPlan, MergeIntoTable,
-  SubqueryAlias, UpdateStarAction, UpdateTable, DeleteFromTable}
+  DeleteAction, InsertAction, InsertStarAction, LogicalPlan,
+  MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction,
+  UpdateTable, DeleteFromTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -165,34 +166,36 @@ case class GraftDeleteCommand(path: String, predicateSql: String)
   *
   * {{{
   *   MERGE INTO graft.t AS t USING src AS s ON t.k = s.k [AND ...]
-  *   [WHEN MATCHED [AND cond] THEN UPDATE SET * | DELETE] ...
-  *   [WHEN NOT MATCHED [AND cond] THEN INSERT *] ...
-  *   [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE] ...
+  *   [WHEN MATCHED [AND cond] THEN UPDATE SET * | UPDATE SET c = expr, ... | DELETE] ...
+  *   [WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (cols) VALUES (exprs)] ...
+  *   [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET c = expr, ...] ...
   * }}}
   *
-  * Registered post-hoc by [[graft.GraftExtensions]]. Star-shaped
-  * actions only (`UPDATE SET *` / `INSERT *` / `DELETE`), but clause
-  * CONDITIONS are free expressions over both sides, rendered with the
-  * [[GraftUpdateRule]] discipline (deterministic, no subqueries,
-  * timestamp literals zone-independent) and first-match-wins SQL
-  * semantics: a matched target row takes the first matched clause whose
-  * condition holds (UPDATE SET * replaces it with its source row,
-  * DELETE drops it, none holding passes it through); an unmatched
-  * source row inserts when any not-matched clause accepts it; an
-  * unmatched target row drops when any not-matched-by-source clause
-  * accepts it. Custom assignments stay refused at analysis with the
-  * library route (`TableManifest.mergeInto`) named. Other exact-SQL
-  * semantics: target-side multiplicity is preserved (two target rows on
-  * one key both take the clause), null keys never match (the 3VL join
-  * rule), a source key matching several SOURCE rows is the standard
-  * cardinality violation refused at run time before anything commits,
-  * and the ON clause must pair SAME-NAMED target/source columns — a
-  * cross-named key (`ON t.id = s.src_id`) is refused rather than
-  * silently joined on the wrong source column — the star actions map
-  * by NAME, so their contract already requires the names to line
-  * up. */
+  * Registered post-hoc by [[graft.GraftExtensions]]. Every standard
+  * clause shape is accepted — star actions, EXPLICIT assignment lists
+  * (expressions over both pre-images: `SET t.v = t.v + s.delta`),
+  * conditional clauses, and the SCD-2 `NOT MATCHED BY SOURCE THEN
+  * UPDATE` — rendered with the [[GraftUpdateRule]] discipline
+  * (deterministic, no subqueries, timestamp literals zone-independent,
+  * top-level SET targets only) and routed into
+  * [[TableManifest.mergeWhere]]: the MATCH-PROPORTIONAL merge-on-read
+  * commit (equality tombstone + update-keyspace replacement batch, one
+  * marker) — never a copy-on-write table rewrite. Scoping follows SQL:
+  * matched clauses see both sides (`__t`/`__s`), NOT MATCHED clauses
+  * see the source only, NOT MATCHED BY SOURCE clauses the target only —
+  * out-of-scope references are refused at analysis. Other exact-SQL
+  * semantics: first-match-wins clause resolution, target-side
+  * multiplicity preserved, null keys never match (3VL), duplicate
+  * SOURCE keys are the standard cardinality violation refused at run
+  * time before anything commits, and the ON clause must pair SAME-NAMED
+  * target/source columns — a cross-named key (`ON t.id = s.src_id`) is
+  * refused rather than silently joined on the wrong source column —
+  * the star actions and the tombstone keys map by NAME, so their
+  * contract already requires the names to line up. */
 object GraftMergeRule extends Rule[LogicalPlan] {
   import GraftUpdateRule.graftTableOf
+  import graft.operators.TableManifest.{MergeBySource, MergeInsert,
+    MergeMatched}
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
@@ -213,34 +216,46 @@ object GraftMergeRule extends Rule[LogicalPlan] {
                 "evolve via an explicit different-arity append instead")
             val tgtOut = m.targetTable.outputSet
             val srcOut = m.sourceTable.outputSet
-            val tgtNames = m.targetTable.output.map(_.name.toLowerCase)
 
-            def resolveExpr(e: Expression): Expression = e.transformUp {
+            def resolveWith(e: Expression,
+                order: Seq[LogicalPlan]): Expression = e.transformUp {
               case u: UnresolvedAttribute =>
-                m.targetTable.resolve(u.nameParts, conf.resolver)
-                  .orElse(m.sourceTable.resolve(u.nameParts,
-                    conf.resolver))
+                order.view.flatMap(_.resolve(u.nameParts, conf.resolver))
+                  .headOption
                   .getOrElse(throw new IllegalArgumentException(
                     s"MERGE references unknown column ${u.sql}"))
             }
-            // clause condition → SQL over the __t/__s-aliased frames
-            def renderCond(raw: Expression): String = {
-              val e = resolveExpr(raw)
+            def resolveExpr(e: Expression): Expression =
+              resolveWith(e, Seq(m.targetTable, m.sourceTable))
+            // expression -> SQL over the __t/__s-aliased frames.
+            // `scope` pins which sides the clause may see (SQL rules:
+            // matched = both, NOT MATCHED = source, NOT MATCHED BY
+            // SOURCE = target) — an out-of-scope reference refuses at
+            // analysis instead of failing obscurely at run time.
+            // UNQUALIFIED names resolve against the clause's own scope
+            // first (a NOT MATCHED condition's bare `v` is the source's
+            // v, per SQL — only the source row exists there).
+            def renderScoped(raw: Expression, scope: String,
+                what: String): String = {
+              val e = resolveWith(raw,
+                if (scope == "source")
+                  Seq(m.sourceTable, m.targetTable)
+                else Seq(m.targetTable, m.sourceTable))
               require(e.deterministic,
-                s"non-deterministic MERGE condition: ${e.sql}")
+                s"non-deterministic MERGE $what: ${e.sql}")
               require(!e.exists(_.isInstanceOf[PlanExpression[_]]),
-                s"subquery in MERGE condition is not supported: ${e.sql}")
+                s"subquery in MERGE $what is not supported: ${e.sql}")
               e.transform {
                 case a: AttributeReference if tgtOut.contains(a) =>
+                  require(scope != "source",
+                    s"MERGE $what references target column ${a.name} — " +
+                      "NOT MATCHED clauses see source columns only")
                   a.withQualifier(Seq("__t"))
                 case a: AttributeReference if srcOut.contains(a) =>
-                  // source rows evaluate over the target-ALIGNED frame,
-                  // which carries the target's columns only
-                  require(tgtNames.contains(a.name.toLowerCase),
-                    s"MERGE condition references source column " +
-                      s"${a.name} outside the target schema — star " +
-                      "actions align by target name, so only " +
-                      "target-named source columns are addressable")
+                  require(scope != "target",
+                    s"MERGE $what references source column ${a.name} — " +
+                      "NOT MATCHED BY SOURCE clauses see target " +
+                      "columns only")
                   a.withQualifier(Seq("__s"))
                 case org.apache.spark.sql.catalyst.expressions.Literal(
                     v: Long, org.apache.spark.sql.types.TimestampType) =>
@@ -249,26 +264,52 @@ object GraftMergeRule extends Rule[LogicalPlan] {
                       org.apache.spark.sql.catalyst.expressions.Literal(v))
               }.sql
             }
+            def renderAssigns(assigns: Seq[Assignment],
+                scope: String): Seq[(String, String)] =
+              assigns.map { a =>
+                val key = resolveExpr(a.key) match {
+                  case k: AttributeReference if tgtOut.contains(k) =>
+                    k.name
+                  case other => throw new IllegalArgumentException(
+                    "graft MERGE assigns top-level TARGET columns " +
+                      s"only, got ${other.sql} — update the whole " +
+                      "struct column instead")
+                }
+                key -> renderScoped(a.value, scope, "assignment")
+              }
 
             val matchedClauses = m.matchedActions.map {
-              case UpdateStarAction(c) => ("update", c.map(renderCond))
-              case DeleteAction(c)     => ("delete", c.map(renderCond))
+              case UpdateStarAction(c) => MergeMatched("update",
+                c.map(renderScoped(_, "both", "condition")))
+              case UpdateAction(c, assigns, _) => MergeMatched("update",
+                c.map(renderScoped(_, "both", "condition")),
+                Some(renderAssigns(assigns, "both")))
+              case DeleteAction(c) => MergeMatched("delete",
+                c.map(renderScoped(_, "both", "condition")))
               case other => throw new IllegalArgumentException(
-                "graft MERGE matched actions are UPDATE SET * or " +
-                  s"DELETE (conditions allowed), got: $other — use " +
-                  "TableManifest.mergeInto for custom assignments")
+                "graft MERGE matched actions are UPDATE SET */UPDATE " +
+                  s"SET assignments/DELETE, got: $other")
             }
             val insertClauses = m.notMatchedActions.map {
-              case InsertStarAction(c) => c.map(renderCond)
+              case InsertStarAction(c) => MergeInsert(
+                c.map(renderScoped(_, "source", "condition")))
+              case InsertAction(c, assigns) => MergeInsert(
+                c.map(renderScoped(_, "source", "condition")),
+                Some(renderAssigns(assigns, "source")))
               case other => throw new IllegalArgumentException(
-                "graft MERGE not-matched actions are INSERT * " +
-                  s"(conditions allowed), got: $other")
+                "graft MERGE not-matched actions are INSERT * or " +
+                  s"INSERT (cols) VALUES (exprs), got: $other")
             }
             val nmbsClauses = m.notMatchedBySourceActions.map {
-              case DeleteAction(c) => c.map(renderCond)
+              case DeleteAction(c) => MergeBySource("delete",
+                c.map(renderScoped(_, "target", "condition")))
+              case UpdateAction(c, assigns, _) => MergeBySource("update",
+                c.map(renderScoped(_, "target", "condition")),
+                Some(renderAssigns(assigns, "target")))
               case other => throw new IllegalArgumentException(
                 "graft MERGE not-matched-by-source actions are DELETE " +
-                  s"(conditions allowed), got: $other")
+                  s"or UPDATE SET assignments, got: $other (UPDATE " +
+                  "SET * has no source row to read)")
             }
             require(matchedClauses.nonEmpty || insertClauses.nonEmpty ||
               nmbsClauses.nonEmpty, "MERGE needs at least one clause")
@@ -285,8 +326,9 @@ object GraftMergeRule extends Rule[LogicalPlan] {
             }.map { case (ta, sa) =>
               require(ta.name.equalsIgnoreCase(sa.name),
                 s"graft MERGE ON pairs differently-named columns " +
-                  s"(${ta.name} = ${sa.name}); star actions map by " +
-                  "NAME, so rename the source key to the target's")
+                  s"(${ta.name} = ${sa.name}); star actions and the " +
+                  "equality tombstone map by NAME, so rename the " +
+                  "source key to the target's")
               ta.name
             }
             GraftMergeCommand(t.tablePath, m.sourceTable, keys,
@@ -301,31 +343,21 @@ object GraftMergeRule extends Rule[LogicalPlan] {
   }
 }
 
-/** The planted merge command: one CoW snapshot commit of
-  * `kept ∪ matched ∪ inserted` through the pinned re-derive loop
-  * ([[TableManifest.commitDerivedSnapshot]]), so an append racing the
-  * merge is folded by a retry, never lost.
-  *
-  *  - kept: target rows with no source key match (anti join), minus
-  *    those a not-matched-by-source DELETE clause accepts;
-  *  - matched: the inner join, each row resolved first-match-wins —
-  *    the first accepting UPDATE clause takes the SOURCE row (one per
-  *    matched TARGET row: multiplicity preserved), the first accepting
-  *    DELETE clause drops it, no accepting clause passes the TARGET row
-  *    through;
-  *  - inserted: source rows with no target match that any INSERT clause
-  *    accepts.
-  *
-  * rows_matched (ALL matched target rows, whatever their clause
-  * outcome) and rows_inserted ride the write pass as observed metrics —
-  * no separate count jobs. Shuffles on the merge keys; AQE broadcasts a
-  * small source. */
+/** The planted merge command: ONE [[TableManifest.mergeWhere]]
+  * merge-on-read commit — equality tombstone over the acted-on keys +
+  * an update-keyspace replacement batch (post-images, key-group
+  * pass-throughs, inserts), flipped by a single `kind=merge` marker.
+  * Match-proportional: cost scales with the matched/inserted rows, not
+  * the table (`Stress mormerge`), closing the last copy-on-write
+  * mutation path. rows_matched (ALL matched target rows, whatever
+  * their clause outcome) and rows_inserted ride the replacement write
+  * as observed metrics — no separate count jobs. Shuffles only the
+  * matched rows; AQE broadcasts a small source. */
 case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
     keyCols: Seq[String],
-    matchedClauses: Seq[(String, Option[String])] =
-      Seq(("update", None)),
-    insertClauses: Seq[Option[String]] = Seq(None),
-    nmbsClauses: Seq[Option[String]] = Nil)
+    matchedClauses: Seq[graft.operators.TableManifest.MergeMatched],
+    insertClauses: Seq[graft.operators.TableManifest.MergeInsert],
+    nmbsClauses: Seq[graft.operators.TableManifest.MergeBySource])
     extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(sourcePlan)
@@ -335,115 +367,16 @@ case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
     AttributeReference("rows_matched", LongType, nullable = false)(),
     AttributeReference("rows_inserted", LongType, nullable = false)())
 
-  // a clause condition as a 3VL-safe Column (absent = always accepts)
-  private def accepts(c: Option[Option[String]]): org.apache.spark.sql
-      .Column = c match {
-    case Some(Some(sql)) =>
-      org.apache.spark.sql.functions.coalesce(
-        org.apache.spark.sql.functions.expr(sql), lit(false))
-    case _ => lit(true)
-  }
-
   override def run(spark: SparkSession): Seq[Row] = {
-    val src0 =
+    val src =
       org.apache.spark.sql.GraftColumnBridge.ofRows(spark, sourcePlan)
+    // merged schema: a MERGE touching a late-added column reaches
+    // null-padded legacy batches, matching the catalog's read surface
     val tgtSchema =
       GraftTableSource.tableSchema(spark, path, None, mergeSchema = true)
-    // align the source to the target schema by name (the INSERT * /
-    // UPDATE SET * contract), coercing types the way the resolver would
-    val aligned = src0.select(tgtSchema.fields.map(f =>
-      col(s"`${f.name}`").cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-    // SQL cardinality rule: a target row may match at most ONE source
-    // row — refuse duplicate source keys before anything commits
-    val dup = aligned.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1)
-      .collect()
-    require(dup.isEmpty,
-      s"MERGE cardinality violation: source has duplicate rows on " +
-        s"(${keyCols.mkString(", ")}): ${dup.headOption.getOrElse("")}")
-    var updObs: org.apache.spark.sql.Observation = null
-    var insObs: org.apache.spark.sql.Observation = null
-    val v = TableManifest.commitDerivedSnapshot(spark, path, { v0 =>
-      val tgt = TableManifest.readAt(spark, path, v0, Some(tgtSchema))
-      updObs = new org.apache.spark.sql.Observation()
-      insObs = new org.apache.spark.sql.Observation()
-      // kept: unmatched target rows, minus NOT MATCHED BY SOURCE deletes
-      val kept0 = tgt.join(aligned.select(keyCols.map(col): _*),
-        keyCols, "left_anti")
-      val kept =
-        if (nmbsClauses.isEmpty) kept0
-        else kept0.alias("__t").filter(
-          !nmbsClauses.map(c => accepts(Some(c))).reduce(_ || _))
-      // matched: first-match-wins over the inner join; the observation
-      // sits UPSTREAM of the clause filter so rows_matched counts every
-      // matched target row, whatever its clause outcome
-      val matched =
-        if (matchedClauses.isEmpty)
-          tgt.join(aligned.select(keyCols.map(col): _*),
-              keyCols, "left_semi")
-            .observe(updObs, count(lit(1)).as("n"))
-        else {
-          val joined = tgt.alias("__t").join(aligned.alias("__s"),
-              keyCols.map(k =>
-                col(s"__t.`$k`") === col(s"__s.`$k`")).reduce(_ && _),
-              "inner")
-            .observe(updObs, count(lit(1)).as("n"))
-          val tRow = org.apache.spark.sql.functions.struct(
-            tgtSchema.fields.map(f =>
-              col(s"__t.`${f.name}`").as(f.name)).toIndexedSeq: _*)
-          val sRow = org.apache.spark.sql.functions.struct(
-            tgtSchema.fields.map(f =>
-              col(s"__s.`${f.name}`").as(f.name)).toIndexedSeq: _*)
-          val act = matchedClauses.zipWithIndex.foldRight(
-              lit(-1): org.apache.spark.sql.Column) {
-            case (((_, c), i), els) =>
-              org.apache.spark.sql.functions
-                .when(accepts(Some(c)), lit(i)).otherwise(els)
-          }
-          val delIdx = matchedClauses.zipWithIndex.collect {
-            case (("delete", _), i) => i }
-          val updIdx = matchedClauses.zipWithIndex.collect {
-            case (("update", _), i) => i }
-          val staged = joined.withColumn("__act", act)
-          val survivors =
-            if (delIdx.isEmpty) staged
-            else staged.filter(!col("__act")
-              .isin(delIdx.map(Int.box): _*))
-          val isUpd =
-            if (updIdx.isEmpty) lit(false)
-            else col("__act").isin(updIdx.map(Int.box): _*)
-          survivors.withColumn("__row",
-              org.apache.spark.sql.functions.when(isUpd, sRow)
-                .otherwise(tRow))
-            .select(col("__row.*"))
-        }
-      // inserted: unmatched source rows any INSERT clause accepts
-      // (filter-before-anti-join commutes with the key anti join)
-      val inserted =
-        if (insertClauses.isEmpty) aligned.limit(0)
-        else aligned.alias("__s")
-          .filter(insertClauses.map(c => accepts(Some(c)))
-            .reduce(_ || _))
-          .join(tgt.select(keyCols.map(col): _*), keyCols, "left_anti")
-      kept.unionByName(matched)
-        .unionByName(inserted.observe(insObs, count(lit(1)).as("n")))
-    })
-    // a statically-empty branch is pruned by PropagateEmptyRelation
-    // WITH its CollectMetrics node, so its observation reports an empty
-    // map. For inserts that means exactly zero rows landed. For the
-    // matched side it means the clause chain constant-folded to
-    // all-delete (an unconditional DELETE heads the list), which empties
-    // the branch without running the join — rows_matched then falls back
-    // to a keys-only semi count against the PINNED pre-merge version
-    // (v - 1: commitDerivedSnapshot commits at pin + 1), audit-only.
-    def metricOpt(o: org.apache.spark.sql.Observation): Option[Long] =
-      o.get.get("n").map(_.asInstanceOf[Long])
-    val nMatched = metricOpt(updObs).getOrElse {
-      TableManifest.readAt(spark, path, v - 1, Some(tgtSchema))
-        .select(keyCols.map(col): _*)
-        .join(aligned.select(keyCols.map(col): _*), keyCols, "left_semi")
-        .count()
-    }
-    Seq(Row(v, nMatched, metricOpt(insObs).getOrElse(0L)))
+    val (v, nMatched, nInserted) = TableManifest.mergeWhere(spark, path,
+      src, keyCols, matchedClauses, insertClauses, nmbsClauses,
+      Some(tgtSchema))
+    Seq(Row(v, nMatched, nInserted))
   }
 }

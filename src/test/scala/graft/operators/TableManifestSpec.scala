@@ -79,6 +79,65 @@ class TableManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("one long-lived tag pins its OWN resolution set, not every " +
+    "version above it — vacuum keeps reclaiming the middle") {
+    // v0..v5: six snapshot replacements; pin v0 (the oldest), then
+    // vacuum keep=2. The OLD cutoff rule (keepSet.min over pins) made
+    // one early pin force retention of EVERY later version — unbounded
+    // growth under a single baseline tag. The fixed rule derives the
+    // cutoff from the keep tail and exempts only the pin's payload/
+    // segments/marker: v0 and the tail stay readable, the middle is
+    // reclaimed.
+    val path = Files.createTempDirectory("tm_vac_pin").toString
+    val vs = (0 to 5).map(i =>
+      TableManifest.commitSnapshot(df(i.toLong -> s"v$i"), path))
+    TableManifest.tag(s, path, "baseline", Some(vs.head))
+    TableManifest.vacuum(s, path, keep = 2)
+    assert(ids(TableManifest.readAt(s, path, vs.head)) == Set(0L),
+      "the tagged version must survive vacuum")
+    assert(ids(TableManifest.readAt(s, path, vs(4))) == Set(4L))
+    assert(ids(TableManifest.readAt(s, path, vs(5))) == Set(5L))
+    // the middle versions between the pin and the keep tail are GONE —
+    // the exact storage the old global-cutoff rule leaked
+    (1 to 3).foreach { i =>
+      intercept[Exception](TableManifest.readAt(s, path, vs(i)))
+    }
+    assert(TableManifest.versions(s, path).toSet ==
+      Set(vs.head, vs(4), vs(5)),
+      "retained markers: the pin + the keep tail, nothing else")
+    // a pin whose version carries MoR delete segments keeps the masked
+    // view exact after vacuum reclaims its neighbors
+    val p2 = Files.createTempDirectory("tm_vac_pin2").toString
+    TableManifest.commitSnapshot(df(1L -> "a", 2L -> "b"), p2)
+    TableManifest.deleteWhere(s, p2, "id = 2")
+    val pinV = TableManifest.tag(s, p2, "masked")
+    (0 to 3).foreach(i =>
+      TableManifest.commitSnapshot(df((10L + i) -> "x"), p2))
+    TableManifest.vacuum(s, p2, keep = 1)
+    assert(ids(TableManifest.readAt(s, p2, pinV)) == Set(1L),
+      "the pinned version's delete segment must survive with its payload")
+  }
+
+  test("tag placement re-verifies against a racing vacuum: a pin whose " +
+    "version vanished is undone, never left dangling") {
+    val path = Files.createTempDirectory("tm_tag_race").toString
+    val v0 = TableManifest.commitSnapshot(df(1L -> "a"), path)
+    TableManifest.commitSnapshot(df(2L -> "b"), path)
+    TableManifest.commitSnapshot(df(3L -> "c"), path)
+    // simulate the race: the version listing tag() validated against is
+    // stale by the time the ref lands — delete v0's payload+marker the
+    // way a concurrent vacuum would, THEN place the ref bytes directly
+    TableManifest.vacuum(s, path, keep = 1)
+    intercept[Exception](TableManifest.tag(s, path, "gone", Some(v0)))
+    assert(TableManifest.tags(s, path).isEmpty,
+      "a failed tag must not leave a ref file behind")
+    // re-tagging an existing name is atomic: the ref always resolves
+    TableManifest.tag(s, path, "ptr")
+    val cur = TableManifest.versions(s, path).last
+    assert(TableManifest.tag(s, path, "ptr", Some(cur)) == cur)
+    assert(TableManifest.tagVersion(s, path, "ptr").contains(cur))
+  }
+
   test("history audits every retained version; compactBatches folds the append log") {
     val path = Files.createTempDirectory("tm_hist").toString
     TableManifest.commitSnapshot(df(1L -> "a"), path)

@@ -256,7 +256,7 @@ class GraftCatalogSpec extends AnyFunSuite {
 
   test("ALTER TABLE ADD COLUMN(S): one zero-row widening commit — new " +
     "columns null-pad legacy rows, pre-ALTER pins keep the narrow " +
-    "schema, and DROP/RENAME/retype/NOT NULL are refused") {
+    "schema, and duplicate/NOT NULL/positioned adds are refused") {
     val p = tmp("alter")
     s.sql(s"CREATE TABLE graft.`$p` (id BIGINT, k BIGINT)")
     s.sql(s"INSERT INTO graft.`$p` SELECT id, id % 5 AS k FROM range(50)")
@@ -279,23 +279,93 @@ class GraftCatalogSpec extends AnyFunSuite {
     // time travel: the pre-ALTER pin still serves the NARROW schema
     assert(s.sql(s"SELECT * FROM graft.`$p` VERSION AS OF $preAlter")
       .columns.toSeq == Seq("id", "k"))
-    // refusals: duplicate (case-insensitive), NOT NULL, positions,
-    // and every non-ADD change
+    // refusals: duplicate (case-insensitive), NOT NULL, positions
     intercept[Exception](
       s.sql(s"ALTER TABLE graft.`$p` ADD COLUMNS (SCORE DOUBLE)"))
     intercept[Exception](s.sql(
       s"ALTER TABLE graft.`$p` ADD COLUMNS (req STRING NOT NULL)"))
     intercept[Exception](s.sql(
       s"ALTER TABLE graft.`$p` ADD COLUMNS (head2 STRING FIRST)"))
-    intercept[Exception](
-      s.sql(s"ALTER TABLE graft.`$p` DROP COLUMN tag"))
-    intercept[Exception](
-      s.sql(s"ALTER TABLE graft.`$p` RENAME COLUMN tag TO label"))
     // nothing above committed: schema and contents unchanged
     assert(s.sql(s"SELECT * FROM graft.`$p`").columns.toSeq ==
       Seq("id", "k", "score", "tag"))
     assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0)
       == 51)
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN: metadata-only mapping commits — " +
+    "old parquet resolves under the new name, pins keep era names, " +
+    "DML reaches renamed columns, compaction folds the mapping away") {
+    val p = tmp("rename")
+    s.sql(s"CREATE TABLE graft.`$p` (id BIGINT, v BIGINT, junk STRING)")
+    s.sql(s"INSERT INTO graft.`$p` " +
+      "SELECT id, id * 10 AS v, 'x' AS junk FROM range(20)")
+    val preRename = TableManifest.versions(s, p).last
+    // RENAME: no rewrite — the payload keeps its physical 'v' bytes
+    s.sql(s"ALTER TABLE graft.`$p` RENAME COLUMN v TO score")
+    assert(s.sql(s"SELECT * FROM graft.`$p`").columns.toSeq ==
+      Seq("id", "score", "junk"))
+    assert(s.sql(s"SELECT sum(score) FROM graft.`$p`").head().getLong(0)
+      == (0 until 20).map(_ * 10).sum,
+      "pre-rename rows must resolve under the new name")
+    // pinned pre-rename era serves the OLD name
+    assert(s.sql(s"SELECT * FROM graft.`$p` VERSION AS OF $preRename")
+      .columns.toSeq == Seq("id", "v", "junk"))
+    // writes after the rename land under the new name and read back
+    s.sql(s"INSERT INTO graft.`$p` VALUES (100, 999, 'y')")
+    assert(s.sql(s"SELECT score FROM graft.`$p` WHERE id = 100")
+      .head().getLong(0) == 999)
+    // DML on the renamed column reaches OLD-name batches: the stored
+    // tombstone predicate is physical-tolerant (coalesce over eras)
+    val upd = s.sql(
+      s"UPDATE graft.`$p` SET score = score + 1 WHERE score < 50").head()
+    assert(upd.getLong(1) == 5, s"rows_updated: ${upd.getLong(1)}")
+    assert(s.sql(s"SELECT sum(score) FROM graft.`$p` WHERE id < 5")
+      .head().getLong(0) == 1 + 11 + 21 + 31 + 41)
+    s.sql(s"DELETE FROM graft.`$p` WHERE score = 41")
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0)
+      == 20)
+    // MERGE on the renamed key column: the equality tombstone must hit
+    // old-name batches through the mapping too
+    import s.implicits._
+    Seq((31L, 7L)).toDF("score", "delta")
+      .createOrReplaceTempView("ren_mrg")
+    s.sql(
+      s"""MERGE INTO graft.`$p` AS t USING ren_mrg AS s
+         |ON t.score = s.score
+         |WHEN MATCHED THEN UPDATE SET score = t.score + s.delta"""
+        .stripMargin)
+    assert(s.sql(s"SELECT score FROM graft.`$p` WHERE id = 3")
+      .head().getLong(0) == 38)
+    // refusals: rename onto a live or historical physical name, rename
+    // of a constraint-referenced column, chained re-add of an era name
+    intercept[Exception](
+      s.sql(s"ALTER TABLE graft.`$p` RENAME COLUMN junk TO v"))
+    intercept[Exception](
+      s.sql(s"ALTER TABLE graft.`$p` ADD COLUMNS (v BIGINT)"))
+    s.sql(s"ALTER TABLE graft.`$p` ADD CONSTRAINT chk CHECK (id >= 0)")
+    intercept[Exception](
+      s.sql(s"ALTER TABLE graft.`$p` RENAME COLUMN id TO ident"))
+    s.sql(s"ALTER TABLE graft.`$p` DROP CONSTRAINT chk")
+    // DROP COLUMN: disappears from reads/DDL, era pins still serve it
+    s.sql(s"ALTER TABLE graft.`$p` DROP COLUMN junk")
+    assert(s.sql(s"SELECT * FROM graft.`$p`").columns.toSeq ==
+      Seq("id", "score"))
+    assert(s.sql(s"SELECT * FROM graft.`$p` VERSION AS OF $preRename")
+      .columns.toSeq == Seq("id", "v", "junk"))
+    intercept[Exception](
+      s.sql(s"ALTER TABLE graft.`$p` ADD COLUMNS (junk STRING)"))
+    // compaction rewrites physically under logical names and clears the
+    // mapping; chained rename becomes possible again
+    s.sql(s"CALL graft.maintain(path => '$p', max_batches => 1)")
+    assert(TableManifest.columnMapOf(s, p).isEmpty,
+      "a fold must clear the live column mapping")
+    assert(s.sql(s"SELECT sum(score) FROM graft.`$p`").head().getLong(0)
+      == (Seq(1L, 11L, 21L, 38L) ++ (5 until 20).map(_ * 10L)
+        :+ 999L).sum, s"post-fold content drift")
+    s.sql(s"ALTER TABLE graft.`$p` ADD COLUMNS (junk STRING)")
+    assert(s.sql(s"SELECT * FROM graft.`$p`").columns.toSeq ==
+      Seq("id", "score", "junk"))
   }
 
   test("atomic CTAS/RTAS through the staging catalog: a failed CTAS " +
@@ -408,6 +478,39 @@ class GraftCatalogSpec extends AnyFunSuite {
       == 4)
     assert(s.sql(s"CALL graft.constraints(path => '$p')").collect()
       .isEmpty)
+  }
+
+  test("REPLACE definition + data flip under ONE marker: the constraint " +
+    "artifact rides the snapshot version itself") {
+    val p = tmp("chkatom") + "/t"
+    s.sql(s"CREATE TABLE graft.`$p` (id BIGINT, " +
+      "CONSTRAINT pos CHECK (id >= 0))")
+    // CREATE with an inline constraint is one version: the seed snapshot
+    // and its constraint artifact share the marker (no window where the
+    // table exists unconstrained)
+    assert(TableManifest.versions(s, p) == Seq(0L),
+      "CREATE TABLE ... CHECK must be ONE atomic commit")
+    assert(TableManifest.constraintsOf(s, p).map(_.name) == Seq("pos"))
+    s.sql(s"INSERT INTO graft.`$p` VALUES (7)")
+    // REPLACE with a different constraint: again exactly one new version,
+    // kind=snapshot, whose own constraints_v artifact carries the set
+    val before = TableManifest.versions(s, p).last
+    s.sql(s"REPLACE TABLE graft.`$p` (id BIGINT, " +
+      "CONSTRAINT neg CHECK (id < 0))")
+    val vs = TableManifest.versions(s, p)
+    assert(vs.last == before + 1,
+      s"REPLACE + constraint swap must be ONE commit, got versions $vs")
+    assert(TableManifest.history(s, p)
+      .filter(col("version") === vs.last).head().getString(5)
+      == "snapshot")
+    assert(TableManifest.constraintsOf(s, p).map(_.name) == Seq("neg"))
+    // the pinned pre-replace era still serves ITS definitions
+    assert(TableManifest.constraintsOf(s, p, Some(before))
+      .map(_.name) == Seq("pos"))
+    // RTAS clearing a non-empty set: also one commit (empty artifact)
+    s.sql(s"REPLACE TABLE graft.`$p` AS SELECT id FROM range(3)")
+    assert(TableManifest.versions(s, p).last == vs.last + 1)
+    assert(TableManifest.constraintsOf(s, p).isEmpty)
   }
 
   test("constraint DDL read-modify-write is optimistic: a competing " +
@@ -547,11 +650,8 @@ class GraftCatalogSpec extends AnyFunSuite {
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
     assert(TableManifest.versions(s, p).last == vBefore,
       "a refused merge must not commit")
-    // custom clauses are outside the translation: refuse at analysis
-    intercept[Exception](s.sql(
-      s"""MERGE INTO graft.`$p` AS t USING mrg_src AS s ON t.id = s.id
-         |WHEN MATCHED THEN UPDATE SET v = s.v + 1
-         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    // a non-equi ON stays outside the translation: refuse at analysis
+    // (explicit assignments are first-class now — own test below)
     intercept[Exception](s.sql(
       s"""MERGE INTO graft.`$p` AS t USING mrg_src AS s ON t.id >= s.id
          |WHEN MATCHED THEN UPDATE SET *
@@ -627,6 +727,122 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(s.sql(s"SELECT id FROM graft.`$p` ORDER BY id").collect()
       .map(_.getLong(0)).toSeq == Seq(8L, 11L),
       "the conditional by-source delete must drop only v < 100 rows")
+  }
+
+  test("MoR MERGE: explicit assignments over both pre-images, NMBS " +
+    "UPDATE, key-group rewrite, match-proportional shape, refusals") {
+    val p = tmp("mormrg")
+    TableManifest.commitSnapshot(
+      s.range(10).select(col("id"), (col("id") * 10).as("v")), p)
+    import s.implicits._
+    Seq((2L, 5L), (3L, 7L), (20L, 4L)).toDF("id", "v")
+      .createOrReplaceTempView("mm_src")
+    def payloadDirs: Int = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .listStatus(hp)
+        .count(_.getPath.getName.startsWith("data_v"))
+    }
+    val dirsBefore = payloadDirs
+    val vPre = TableManifest.versions(s, p).last
+    // explicit assignments reading BOTH pre-images, a conditional
+    // DELETE, an NMBS UPDATE (the SCD close-out), an expression INSERT
+    val r = s.sql(
+      s"""MERGE INTO graft.`$p` AS t USING mm_src AS s ON t.id = s.id
+         |WHEN MATCHED AND t.id = 2 THEN UPDATE SET v = t.v + s.v
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v * 2)
+         |WHEN NOT MATCHED BY SOURCE AND t.id >= 8
+         |  THEN UPDATE SET v = -t.v""".stripMargin).head()
+    assert(r.getLong(1) == 2 && r.getLong(2) == 1,
+      s"matched/inserted: ${r.getLong(1)}/${r.getLong(2)}")
+    val got = s.sql(s"SELECT id, v FROM graft.`$p` ORDER BY id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    val want = Seq(0L -> 0L, 1L -> 10L, 2L -> 25L, /* 3 deleted */
+      4L -> 40L, 5L -> 50L, 6L -> 60L, 7L -> 70L,
+      8L -> -80L, 9L -> -90L, 20L -> 8L)
+    assert(got == want, s"merged state: $got")
+    // THE structural claim: no copy-on-write — the payload dir count is
+    // unchanged (a CoW rewrite commits a fresh data_v), the commit is
+    // kind=merge, and the tombstone is an equality segment
+    assert(payloadDirs == dirsBefore,
+      "MoR MERGE must not rewrite the payload (no new data_v dir)")
+    val vM = TableManifest.versions(s, p).last
+    assert(TableManifest.history(s, p)
+      .filter(col("version") === vM).head().getString(5) == "merge")
+    val hp = new org.apache.hadoop.fs.Path(s"$p/eqdeletes_v$vM")
+    assert(hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .exists(hp), "the merge tombstone is an equality key file")
+    // the pre-merge pin is immutable under the merge
+    assert(s.read.format("graft").option("versionAsOf", vPre).load(p)
+      .orderBy("id").collect().map(x =>
+        (x.getLong(0), x.getLong(1))).toSeq ==
+      (0L to 9L).map(i => i -> i * 10))
+    // CDF renders the merge as delete(old acted rows) + insert(new)
+    val cdf = TableManifest.readChanges(s, p, vPre, vM)
+      .collect().map(x => (x.getString(2), x.getLong(0), x.getLong(1)))
+      .sortBy(x => (x._1, x._2))
+    assert(cdf.filter(_._1 == "delete").map(c => (c._2, c._3)).toSeq ==
+      Seq(2L -> 20L, 3L -> 30L, 8L -> 80L, 9L -> 90L), s"cdf: ${cdf.toSeq}")
+    assert(cdf.filter(_._1 == "insert").map(c => (c._2, c._3)).toSeq ==
+      Seq(2L -> 25L, 8L -> -80L, 9L -> -90L, 20L -> 8L))
+    // maintain folds the equality tombstone + replacement batch away;
+    // the live content must not move
+    TableManifest.maintain(s, p, maxDeletes = 1)
+    assert(s.sql(s"SELECT id, v FROM graft.`$p` ORDER BY id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq == want,
+      "folding the merge must not change the live table")
+    // refusals: subquery and non-deterministic assignments, NMBS
+    // reading the source, NOT MATCHED reading the target
+    intercept[Exception](s.sql(
+      s"""MERGE INTO graft.`$p` AS t USING mm_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET
+         |  v = (SELECT max(id) FROM mm_src)""".stripMargin))
+    intercept[Exception](s.sql(
+      s"""MERGE INTO graft.`$p` AS t USING mm_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = CAST(rand() * 10 AS BIGINT)"""
+        .stripMargin))
+    intercept[Exception](s.sql(
+      s"""MERGE INTO graft.`$p` AS t USING mm_src AS s ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.v"""
+        .stripMargin))
+    intercept[Exception](s.sql(
+      s"""MERGE INTO graft.`$p` AS t USING mm_src AS s ON t.id = s.id
+         |WHEN NOT MATCHED AND t.v > 0 THEN INSERT *""".stripMargin))
+  }
+
+  test("MoR MERGE key-group rewrite on a NON-UNIQUE key: per-row clause " +
+    "conditions stay exact under key-level masking, null keys NMBS-safe") {
+    val p = tmp("mormrggrp")
+    import s.implicits._
+    // key k is non-unique; one group (k=1) will split per-row across
+    // update/delete/no-clause — the silent row must survive unchanged
+    // even though the whole group is tombstoned and rewritten
+    TableManifest.commitSnapshot(
+      Seq((1L, "a", 1L), (1L, "b", 5L), (1L, "c", 9L),
+        (2L, "d", 5L), (3L, "e", 5L),
+        (-1L, "n1", 5L), (-1L, "n2", 7L)).toDF("k", "tag", "v")
+        .withColumn("k", when(col("k") < 0, lit(null).cast("long"))
+          .otherwise(col("k"))), p)
+    Seq((1L, 100L), (2L, 200L)).toDF("k", "delta")
+      .createOrReplaceTempView("mg_src")
+    val r = s.sql(
+      s"""MERGE INTO graft.`$p` AS t USING mg_src AS s ON t.k = s.k
+         |WHEN MATCHED AND t.v < 3 THEN UPDATE SET v = t.v + s.delta
+         |WHEN MATCHED AND t.v > 8 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE AND t.v = 7 THEN DELETE"""
+        .stripMargin).head()
+    // matched rows: all three k=1 rows + the k=2 row = 4 (multiplicity)
+    assert(r.getLong(1) == 4, s"matched: ${r.getLong(1)}")
+    val got = s.sql(s"SELECT tag, v FROM graft.`$p` ORDER BY tag")
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    // a: 1+100 updated; b: pass-through (group rewrite); c: deleted;
+    // d: pass-through (k=2 group acted? no clause accepted v=5 — no row
+    // of the group acted, group untouched); e: untouched (k=3 not in
+    // source... wait k=3 IS not matched -> NMBS with v=5: no clause);
+    // n1 kept; n2: null-key NMBS v=7 deleted via the null-safe tombstone
+    assert(got == Seq("a" -> 101L, "b" -> 5L, "d" -> 5L, "e" -> 5L,
+      "n1" -> 5L), s"state: $got")
   }
 
   test("CALL procedures: the maintenance runbook is plain SQL —" +
