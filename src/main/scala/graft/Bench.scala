@@ -63,6 +63,10 @@ object Bench {
     "q_stream_hourly_rollup")  // structured streaming
 
   def main(args: Array[String]): Unit = {
+    val loadStart =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .take(1).mkString.trim
+      catch { case _: Throwable => "" }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -108,7 +112,21 @@ object Bench {
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    // host provenance IN the artifact: rounds 6-12 repeatedly had to
+    // litigate "regression or contended box?" from SCALE.md narratives —
+    // recording the 1/5/15-min load averages at start and end (plus
+    // cgroup CPU pressure when the kernel exposes it) makes that call
+    // data in BENCH_r{N}.json itself. Zero behavior change: read-only
+    // proc files, missing ones report empty.
+    def procLine(p: String): String =
+      try scala.io.Source.fromFile(p).getLines().take(2).mkString("; ")
+        .trim
+      catch { case _: Throwable => "" }
+    def j(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val loadEnd = procLine("/proc/loadavg")
+    val pressure = procLine("/proc/pressure/cpu")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","loadavg_start":${j(loadStart)},"loadavg_end":${j(loadEnd)},"cpu_pressure":${j(pressure)}}""")
     spark.stop()
   }
 }

@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPostHocResolutionRule(_ => graft.sources.GraftMergeRule)
     // analyzer-native DELETE for predicates beyond the Filter vocabulary
     e.injectPostHocResolutionRule(_ => graft.sources.GraftDeleteRule)
+    // ALTER COLUMN ... SET NOT NULL (CheckAnalysis would refuse it on
+    // any nullable-reported v2 column before the catalog is reached)
+    e.injectPostHocResolutionRule(_ => graft.sources.GraftSetNotNullRule)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("poly_hash"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -368,8 +368,8 @@ object TableManifest {
     val tmp = new org.apache.hadoop.fs.Path(
       s"$path/.constraints_pending_${java.util.UUID.randomUUID}")
     // empty set → footer-only file (constraint-free is a readable state)
-    cs.map(c => (c.name, c.sql, c.enforced, c.rely, c.status))
-      .toDF("name", "sql", "enforced", "rely", "status")
+    cs.map(c => (c.name, c.sql, c.enforced, c.rely, c.status, c.kind))
+      .toDF("name", "sql", "enforced", "rely", "status", "kind")
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     tmp
   }
@@ -1934,19 +1934,32 @@ object TableManifest {
 
   // ---- table CHECK constraints: versioned metadata artifact --------------
 
-  /** One CHECK constraint: `sql` must not evaluate to FALSE on any row
+  /** One table constraint: `sql` must not evaluate to FALSE on any row
     * (NULL satisfies — the SQL standard); `enforced` gates writes,
     * `rely`/`status` are optimizer metadata passed through to the DSv2
-    * surface. Persisted as `constraints_v<N>` parquet rows committed
-    * under the marker protocol, so constraint DDL is atomic, versioned,
-    * vacuum-aware (the newest below-cutoff artifact survives like any
-    * geometry family), and pinned reads see the constraints of their
-    * era. */
+    * surface. `kind` is "check" (default) or "notnull:<column>" — a
+    * NOT NULL column constraint, whose predicate is `col IS NOT NULL`
+    * (a NULL evaluates it to FALSE, so the CHECK funnel enforces it)
+    * PLUS the stricter absence rule: a write whose frame OMITS the
+    * column entirely is refused instead of NULL-passing (every row it
+    * lands would read NULL — exactly what NOT NULL forbids). Persisted
+    * as `constraints_v<N>` parquet rows committed under the marker
+    * protocol, so constraint DDL is atomic, versioned, vacuum-aware
+    * (the newest below-cutoff artifact survives like any geometry
+    * family), and pinned reads see the constraints of their era;
+    * pre-kind artifacts read kind = "check". */
   final case class TableConstraint(name: String, sql: String,
-      enforced: Boolean, rely: Boolean, status: String)
+      enforced: Boolean, rely: Boolean, status: String,
+      kind: String = "check") {
+    /** The column a "notnull:<col>" constraint pins; None for CHECK. */
+    def notNullColumn: Option[String] =
+      if (kind.startsWith("notnull:")) Some(kind.stripPrefix("notnull:"))
+      else None
+  }
 
   private val ConstraintSchema =
-    "name STRING, sql STRING, enforced BOOLEAN, rely BOOLEAN, status STRING"
+    "name STRING, sql STRING, enforced BOOLEAN, rely BOOLEAN, " +
+      "status STRING, kind STRING"
 
   /** Constraints visible at `version` (default: current) — the newest
     * `constraints_v` artifact at-or-below it whose version was
@@ -1978,7 +1991,8 @@ object TableManifest {
           .parquet(s"$path/constraints_v$cv")
           .collect()
           .map(r => TableConstraint(r.getString(0), r.getString(1),
-            r.getBoolean(2), r.getBoolean(3), r.getString(4)))
+            r.getBoolean(2), r.getBoolean(3), r.getString(4),
+            if (r.isNullAt(5)) "check" else r.getString(5)))
           .sortBy(_.name).toSeq
     }
   }
@@ -2050,12 +2064,25 @@ object TableManifest {
     if (!exists(spark, path)) return df
     constraintsOf(spark, path).filter(_.enforced).foldLeft(df) { (d, c) =>
       scala.util.Try(d.filter(expr(c.sql)).schema) match {
-        case scala.util.Failure(_) => d // column not in this frame: NULL-pass
+        case scala.util.Failure(_) =>
+          // column not in this frame. For CHECK that's the NULL-pass
+          // rule (absent reads NULL, NULL satisfies). For NOT NULL it
+          // is the opposite: every row this frame lands would read
+          // NULL for the pinned column — refuse the write outright.
+          c.notNullColumn match {
+            case Some(colName) => throw new IllegalArgumentException(
+              s"NOT NULL constraint ${c.name} on $path: the incoming " +
+                s"frame has no column '$colName' — every written row " +
+                "would read NULL; include the column (or drop the " +
+                "constraint) before this write")
+            case None => d
+          }
         case scala.util.Success(_) =>
           d.filter(assert_true(
             coalesce(expr(c.sql), lit(true)),
-            lit(s"CHECK constraint ${c.name} (${c.sql}) violated by an " +
-              s"incoming row at $path")).isNull)
+            lit(s"${if (c.notNullColumn.isDefined) "NOT NULL"
+              else "CHECK"} constraint ${c.name} (${c.sql}) violated " +
+              s"by an incoming row at $path")).isNull)
       }
     }
   }

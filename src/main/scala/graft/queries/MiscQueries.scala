@@ -2312,6 +2312,141 @@ object MiscQueries {
              |GROUP BY event_type, nums.rows_matched, nums.rows_inserted
              |ORDER BY event_type""".stripMargin)),
 
+    // RENAME COLUMN as a METADATA-ONLY commit: the column-mapping
+    // artifact resolves old parquet bytes under the new name (no
+    // rewrite), the pre-rename pin serves the OLD name, and DML issued
+    // AGAINST THE NEW NAME — a MoR UPDATE and DELETE whose tombstones
+    // are stored physical-tolerant — must hit the old-name batches
+    // exactly. The hash carries both eras' column-name lists, the
+    // post-DML content, and the untouched pinned aggregate; DuckDB
+    // replays the DML as per-row CASE-WHEN over the original table.
+    Q("q_graft_sql_rename",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        s.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_sql_ren").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"))
+        TableManifest.commitSnapshot(e, path)
+        val pre = TableManifest.versions(s, path).last
+        s.sql(s"ALTER TABLE graft.`$path` RENAME COLUMN value TO score")
+        s.sql(s"UPDATE graft.`$path` SET score = score * 2 " +
+          "WHERE score < 0.25")
+        s.sql(s"DELETE FROM graft.`$path` WHERE score > 0.9")
+        s.sql(s"INSERT INTO graft.`$path` VALUES (9000001, 1, 0.123)")
+        val postCols = s.sql(s"SELECT * FROM graft.`$path`")
+          .columns.mkString(",")
+        val pinCols = s.sql(
+            s"SELECT * FROM graft.`$path` VERSION AS OF $pre")
+          .columns.mkString(",")
+        val post = s.sql(
+          s"""SELECT 'post' AS stage, count(*) AS n,
+             |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_v
+             |FROM graft.`$path`""".stripMargin)
+        val pin = s.sql(
+          s"""SELECT 'pre_pin' AS stage, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_v
+             |FROM graft.`$path` VERSION AS OF $pre""".stripMargin)
+        post.unionByName(pin)
+          .withColumn("post_cols", lit(postCols))
+          .withColumn("pin_cols", lit(pinCols))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, value FROM events),
+             |u AS (SELECT event_id, user_id,
+             |        CASE WHEN value < 0.25 THEN value * 2
+             |             ELSE value END AS score
+             |      FROM e),
+             |post AS (
+             |  SELECT * FROM u
+             |  WHERE NOT coalesce(score > 0.9, false)
+             |  UNION ALL SELECT 9000001, 1, 0.123),
+             |a1 AS (SELECT 'post' AS stage, count(*) AS n,
+             |         CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+             |           AS sum_v
+             |       FROM post),
+             |a2 AS (SELECT 'pre_pin', count(*),
+             |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |       FROM e)
+             |SELECT u.*, 'event_id,user_id,score' AS post_cols,
+             |       'event_id,user_id,value' AS pin_cols
+             |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2) u
+             |ORDER BY stage""".stripMargin)),
+
+    // NOT NULL as first-class constraint DDL: `CREATE TABLE (c T NOT
+    // NULL)` and `ALTER TABLE ... ALTER COLUMN c SET/DROP NOT NULL`
+    // persist kind-tagged constraints enforced on EVERY write funnel
+    // (the CHECK machinery) plus the stricter absence rule. The hash
+    // pins five behaviors at once: a NULL insert refuses without
+    // committing, SET NOT NULL refuses while existing rows hold NULL
+    // (null-padded evolution rows count), a MoR UPDATE backfill makes
+    // it succeed, the constraint then rejects NULLs until DROP NOT
+    // NULL lifts it, and the CALL graft.constraints listing carries
+    // the kind column.
+    Q("q_graft_notnull",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_notnull").toString
+        s.sql(s"CREATE TABLE graft.`$path` (event_id BIGINT NOT NULL, " +
+          "event_type STRING, value DOUBLE)")
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .createOrReplaceTempView("gnn_src")
+        s.sql(s"INSERT INTO graft.`$path` SELECT * FROM gnn_src")
+        def refuses(sql: String): Boolean =
+          try { s.sql(sql).collect(); false }
+          catch { case scala.util.control.NonFatal(_) => true }
+        val nullKeyRefused = refuses(
+          s"INSERT INTO graft.`$path` VALUES (NULL, 'x', 1.0)")
+        // a late-added column is NULL on every legacy row: SET NOT NULL
+        // must refuse until backfilled
+        s.sql(s"ALTER TABLE graft.`$path` ADD COLUMNS (w DOUBLE)")
+        val nullsBlockSet = refuses(
+          s"ALTER TABLE graft.`$path` ALTER COLUMN w SET NOT NULL")
+        s.sql(s"UPDATE graft.`$path` SET value = -1.0 " +
+          "WHERE value IS NULL")
+        s.sql(s"ALTER TABLE graft.`$path` ALTER COLUMN value SET NOT NULL")
+        val nullValueRefused = refuses(
+          s"INSERT INTO graft.`$path` VALUES (1, 'x', NULL, 0.5)")
+        s.sql(s"ALTER TABLE graft.`$path` ALTER COLUMN value DROP NOT NULL")
+        s.sql(s"INSERT INTO graft.`$path` " +
+          "VALUES (999000001, 'nulled', NULL, 0.5)")
+        val defs = s.sql(s"CALL graft.constraints(path => '$path')")
+          .collect().map(r => r.getString(0) + "=" + r.getString(5))
+          .sorted.mkString(";")
+        s.sql(
+          s"""SELECT event_type, count(*) AS n, count(value) AS nv,
+             |  CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(18,6)))
+             |    AS DOUBLE) AS sum_value
+             |FROM graft.`$path`
+             |GROUP BY event_type""".stripMargin)
+          .withColumn("null_key_refused", lit(nullKeyRefused))
+          .withColumn("nulls_block_set", lit(nullsBlockSet))
+          .withColumn("null_value_refused", lit(nullValueRefused))
+          .withColumn("constraints", lit(defs))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH base AS (
+             |  SELECT event_type, coalesce(value, -1.0) AS value
+             |  FROM events
+             |  UNION ALL SELECT 'nulled', NULL),
+             |agg AS (
+             |  SELECT event_type, count(*) AS n, count(value) AS nv,
+             |    CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(18,6)))
+             |      AS DOUBLE) AS sum_value
+             |  FROM base GROUP BY event_type)
+             |SELECT event_type, n, nv, sum_value,
+             |  true AS null_key_refused, true AS nulls_block_set,
+             |  true AS null_value_refused,
+             |  'event_id_not_null=notnull:event_id' AS constraints
+             |FROM agg ORDER BY event_type""".stripMargin)),
+
     // The change feed from PLAIN SQL: option("readChangeFeed") on the
     // graft source routes readChanges through both reader surfaces — a
     // `CREATE TEMPORARY VIEW ... USING graft` (the v1 path: SQL-only

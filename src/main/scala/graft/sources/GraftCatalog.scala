@@ -147,10 +147,26 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       "graft tables manage their own layout (__batch partitions, " +
         "OPTIMIZE/CLUSTER BY) — PARTITIONED BY is not a table option")
     // seed version 0: a zero-row schema-bearing snapshot, so the first
-    // INSERT is a normal keyed append and the path is self-describing
-    TableManifest.createEmpty(spark, p, schema)
+    // INSERT is a normal keyed append and the path is self-describing;
+    // `col NOT NULL` column syntax registers its constraint atomically
+    // with the seed
+    val nn = notNullConstraints(schema)
+    TableManifest.createEmpty(spark, p, schema,
+      if (nn.nonEmpty) Some(nn) else None)
     new GraftTable(p, None, Some(schema))
   }
+
+  /** `CREATE TABLE (c T NOT NULL, ...)` arrives as schema nullability —
+    * register each non-nullable column as a kind-tagged NOT NULL
+    * constraint so the write funnels enforce what the DDL declared.
+    * Only user-authored column DDL takes this path; CTAS/RTAS schemas
+    * (query-derived nullability) deliberately do not. */
+  private def notNullConstraints(
+      schema: StructType): Seq[TableManifest.TableConstraint] =
+    schema.fields.toSeq.filterNot(_.nullable).map(f =>
+      TableManifest.TableConstraint(s"${f.name}_not_null",
+        s"`${f.name}` IS NOT NULL", enforced = true, rely = false,
+        status = "VALID", kind = s"notnull:${f.name}"))
 
   /** `ALTER TABLE ... ADD COLUMN(S)` — schema evolution as DDL. The
     * manifest already evolves through wider appends (merged-schema
@@ -178,11 +194,12 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       case _: TableChange.DeleteColumn =>
       case a: TableChange.AddConstraint => addConstraint(p, a)
       case d: TableChange.DropConstraint => dropConstraint(p, d)
+      case n: TableChange.UpdateColumnNullability => setNullability(p, n)
       case other => throw new UnsupportedOperationException(
-        s"graft ALTER TABLE supports ADD/RENAME/DROP COLUMN and " +
-          s"ADD/DROP CONSTRAINT; got ${other.getClass.getSimpleName} " +
-          "— retype would need a rewrite (use CREATE TABLE ... AS " +
-          "SELECT)")
+        s"graft ALTER TABLE supports ADD/RENAME/DROP COLUMN, ADD/DROP " +
+          s"CONSTRAINT, and SET/DROP NOT NULL; got " +
+          s"${other.getClass.getSimpleName} — retype would need a " +
+          "rewrite (use CREATE TABLE ... AS SELECT)")
     }
     if (renames.nonEmpty || drops.nonEmpty)
       applyColumnDdl(p, renames, drops)
@@ -379,6 +396,27 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     }
   }
 
+  /** `ALTER TABLE ... ALTER COLUMN c SET/DROP NOT NULL` — the other
+    * half of constraint DDL, persisted as a kind-tagged
+    * [[TableManifest.TableConstraint]] (`notnull:<col>`,
+    * predicate `col IS NOT NULL`) riding the same versioned artifact
+    * and the same write-funnel enforcement as CHECK (every funnel:
+    * appends, snapshots, UPDATE/MERGE post-images, the streaming
+    * sink) — PLUS the stricter absence rule (a frame omitting the
+    * column refuses instead of NULL-passing). SET validates existing
+    * data first: one pruned scan; any NULL already present refuses the
+    * DDL. */
+  private def setNullability(p: String,
+      n: TableChange.UpdateColumnNullability): Unit = {
+    require(n.fieldNames().length == 1,
+      "graft SET/DROP NOT NULL is top-level only")
+    // SET arrives through GraftSetNotNullRule (CheckAnalysis refuses it
+    // on any nullable-reported v2 column before the catalog is reached);
+    // only DROP normally lands here — but handle both for API callers.
+    if (!n.nullable()) GraftNotNull.set(spark, p, n.fieldNames().head)
+    else GraftNotNull.drop(spark, p, n.fieldNames().head)
+  }
+
   private def dropConstraint(p: String,
       d: TableChange.DropConstraint): Unit =
     retryConstraintDdl(p) { cur =>
@@ -429,7 +467,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     require(info.partitions().isEmpty,
       "graft tables manage their own layout (__batch partitions, " +
         "OPTIMIZE/CLUSTER BY) — PARTITIONED BY is not a table option")
-    val cs = info.constraints().toSeq.map(toTableConstraint(p, _))
+    val cs = info.constraints().toSeq.map(toTableConstraint(p, _)) ++
+      notNullConstraints(info.schema())
     TableManifest.createEmpty(spark, p, info.schema(),
       if (cs.nonEmpty) Some(cs) else None)
     new GraftTable(p, None, Some(info.schema()))

@@ -225,13 +225,14 @@ private[sources] object GraftProcedures {
   private val constraintsSchema = new StructType()
     .add("name", StringType).add("sql", StringType)
     .add("enforced", BooleanType).add("rely", BooleanType)
-    .add("status", StringType)
+    .add("status", StringType).add("kind", StringType)
 
   private val constraints = new P("constraints",
-    "the table's CHECK constraints (name, predicate SQL, enforced, " +
-      "rely, validation status) — the DESCRIBE view for a surface the " +
-      "table object cannot report (see GraftTable's constraints note); " +
-      "pass a version to see the constraints of a pinned era",
+    "the table's constraints (name, predicate SQL, enforced, rely, " +
+      "validation status, kind = check | notnull:<col>) — the DESCRIBE " +
+      "view for a surface the table object cannot report (see " +
+      "GraftTable's constraints note); pass a version to see the " +
+      "constraints of a pinned era",
     Seq(in("path", StringType), inD("version", LongType, "-1")),
     constraintsSchema) {
     override protected def run(a: InternalRow): Seq[InternalRow] = {
@@ -240,7 +241,8 @@ private[sources] object GraftProcedures {
           if (v < 0) None else Some(v))
         .map(c => InternalRow(UTF8String.fromString(c.name),
           UTF8String.fromString(c.sql), c.enforced, c.rely,
-          UTF8String.fromString(c.status)))
+          UTF8String.fromString(c.status),
+          UTF8String.fromString(c.kind)))
     }
   }
 

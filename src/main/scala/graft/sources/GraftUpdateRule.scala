@@ -380,3 +380,113 @@ case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
     Seq(Row(v, nMatched, nInserted))
   }
 }
+
+/** Shared NOT-NULL constraint mutation — the engine half of
+  * `ALTER TABLE ... ALTER COLUMN c SET/DROP NOT NULL`, reachable from
+  * both [[GraftCatalog.alterTable]] (the DROP side arrives there
+  * normally) and [[GraftSetNotNullRule]] (the SET side, which Spark's
+  * CheckAnalysis would otherwise refuse on any v2 table reporting the
+  * column nullable — i.e. always, since parquet schemas are nullable).
+  * SET validates existing data first (one pruned scan, null-padded
+  * evolution rows count) and registers a kind-tagged
+  * [[TableManifest.TableConstraint]] enforced on every write funnel. */
+private[sources] object GraftNotNull {
+
+  def set(spark: SparkSession, path: String, column: String): Unit = {
+    val schema = GraftTableSource.tableSchema(spark, path, None,
+      mergeSchema = true)
+    val actual = schema.fieldNames.find(_.equalsIgnoreCase(column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column '$column' in graft table $path " +
+          s"(have: ${schema.fieldNames.mkString(", ")})"))
+    val bad = TableManifest.read(spark, path, None, mergeSchema = true)
+      .filter(col(s"`$actual`").isNull).limit(1).count()
+    require(bad == 0L,
+      s"cannot SET NOT NULL on $path.$actual — existing rows hold NULL " +
+        "(null-padded evolution rows count too); backfill them first")
+    retryDdl(spark, path) { cur =>
+      if (cur.exists(_.notNullColumn.exists(_.equalsIgnoreCase(actual))))
+        None // already NOT NULL: idempotent
+      else {
+        val name = s"${actual}_not_null"
+        require(!cur.exists(_.name.equalsIgnoreCase(name)),
+          s"constraint '$name' already exists on graft table $path")
+        Some(cur :+ TableManifest.TableConstraint(name,
+          s"`$actual` IS NOT NULL", enforced = true, rely = false,
+          status = "VALID", kind = s"notnull:$actual"))
+      }
+    }
+  }
+
+  def drop(spark: SparkSession, path: String, column: String): Unit =
+    retryDdl(spark, path) { cur =>
+      val (hit, kept) = cur.partition(
+        _.notNullColumn.exists(_.equalsIgnoreCase(column)))
+      if (hit.isEmpty) None else Some(kept)
+    }
+
+  /** The optimistic read-modify-write loop constraint DDL uses
+    * ([[GraftCatalog.retryConstraintDdl]]'s shape, duplicated here so
+    * the rule does not need a catalog instance). */
+  private def retryDdl(spark: SparkSession, path: String)(
+      derive: Seq[TableManifest.TableConstraint]
+        => Option[Seq[TableManifest.TableConstraint]]): Unit = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 10,
+        s"NOT NULL DDL on $path lost the commit race $attempt times — " +
+          "retry under quieter DDL traffic")
+      val v0 = TableManifest.versions(spark, path).last
+      val next = derive(TableManifest.constraintsOf(spark, path, Some(v0)))
+      if (next.isEmpty) return
+      try {
+        TableManifest.setConstraints(spark, path, next.get, Some(v0))
+        return
+      } catch {
+        case _: java.util.ConcurrentModificationException => // re-derive
+      }
+    }
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c SET NOT NULL` on a graft table.
+  * Spark's CheckAnalysis refuses nullable-to-non-nullable on ANY v2
+  * table (it cannot validate the data), and a parquet-backed table
+  * always reports nullable — so the command would never reach the
+  * catalog. This post-hoc rule intercepts the resolved [[AlterColumns]]
+  * plan when EVERY spec is a pure SET NOT NULL on a graft table and
+  * plants a command that validates the data and registers the
+  * kind-tagged constraint; everything else (DROP NOT NULL, comments,
+  * types) flows to the catalog unchanged. */
+object GraftSetNotNullRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.ResolvedTable
+  import org.apache.spark.sql.catalyst.plans.logical.AlterColumns
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case AlterColumns(rt: ResolvedTable, specs)
+          if rt.table.isInstanceOf[GraftTable] &&
+            specs.nonEmpty && specs.forall(s =>
+              s.newNullability.contains(false) &&
+                s.newDataType.isEmpty && s.newComment.isEmpty &&
+                s.newPosition.isEmpty &&
+                s.newDefaultExpression.isEmpty) =>
+        specs.foreach(s => require(s.column.name.length == 1,
+          "graft SET NOT NULL is top-level only"))
+        GraftSetNotNullCommand(
+          rt.table.asInstanceOf[GraftTable].tablePath,
+          specs.map(_.column.name.head))
+    }
+}
+
+/** The planted SET NOT NULL: validate + one constraint-artifact commit
+  * per column (no rows returned, like ALTER). */
+case class GraftSetNotNullCommand(path: String, columns: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    columns.foreach(GraftNotNull.set(spark, path, _))
+    Nil
+  }
+}

@@ -729,6 +729,43 @@ class GraftCatalogSpec extends AnyFunSuite {
       "the conditional by-source delete must drop only v < 100 rows")
   }
 
+  test("NOT NULL constraints: column DDL, SET/DROP NOT NULL, the " +
+    "absence rule on narrow appends, and abort-without-commit") {
+    val p = tmp("notnull")
+    s.sql(s"CREATE TABLE graft.`$p` (id BIGINT NOT NULL, v DOUBLE)")
+    s.sql(s"INSERT INTO graft.`$p` VALUES (1, 0.5), (2, NULL)")
+    def n = s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0)
+    // a NULL in the pinned column aborts the write, nothing commits
+    val vBefore = TableManifest.versions(s, p).last
+    intercept[Exception](
+      s.sql(s"INSERT INTO graft.`$p` VALUES (NULL, 1.0)"))
+    assert(TableManifest.versions(s, p).last == vBefore && n == 2,
+      "a violating append must abort without committing")
+    // direct-API appends are gated too; a NARROW frame omitting the
+    // NOT NULL column refuses outright (every row would land NULL)
+    import s.implicits._
+    intercept[Exception](TableManifest.append(Seq(0.25).toDF("v"), p))
+    assert(n == 2)
+    // SET NOT NULL refuses while rows hold NULL; a MoR backfill fixes it
+    intercept[Exception](
+      s.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN v SET NOT NULL"))
+    s.sql(s"UPDATE graft.`$p` SET v = 0.0 WHERE v IS NULL")
+    s.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN v SET NOT NULL")
+    intercept[Exception](
+      s.sql(s"INSERT INTO graft.`$p` VALUES (3, NULL)"))
+    // DROP NOT NULL lifts exactly that constraint
+    s.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN v DROP NOT NULL")
+    s.sql(s"INSERT INTO graft.`$p` VALUES (3, NULL)")
+    assert(n == 3)
+    val kinds = s.sql(s"CALL graft.constraints(path => '$p')").collect()
+      .map(r => (r.getString(0), r.getString(5))).toSet
+    assert(kinds == Set(("id_not_null", "notnull:id")), s"defs: $kinds")
+    // renaming a NOT-NULL-pinned column is refused until the
+    // constraint is dropped (its stored predicate names the column)
+    intercept[Exception](
+      s.sql(s"ALTER TABLE graft.`$p` RENAME COLUMN id TO ident"))
+  }
+
   test("MoR MERGE: explicit assignments over both pre-images, NMBS " +
     "UPDATE, key-group rewrite, match-proportional shape, refusals") {
     val p = tmp("mormrg")
