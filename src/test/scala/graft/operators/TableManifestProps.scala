@@ -88,6 +88,22 @@ class TableManifestProps extends AnyFunSuite {
         df((90L until 100L).map(i => (i, 555L))),
         keyCols = Seq("id"), orderCols = Seq("v"))
     }
+    // the MoR merger (the SQL MERGE engine path) on its own disjoint
+    // keys [70, 80) + fresh inserts: its STRICT CAS restarts on every
+    // intervening commit, so under free-running writers it must
+    // eventually land exactly once — matched rows updated through the
+    // equality tombstone + replacement batch, inserts appended, never
+    // a lost or doubled effect
+    val morMerger = worker {
+      TableManifest.mergeWhere(s, path,
+        df((70L until 80L).map(i => (i, 0L)) ++
+          (20000L until 20005L).map(i => (i, 9L))),
+        keyCols = Seq("id"),
+        matched = Seq(TableManifest.MergeMatched("update", None,
+          Some(Seq("v" -> "__t.v + 5000")))),
+        inserts = Seq(TableManifest.MergeInsert(None)))
+      ()
+    }
     // constraint DDL races the writers: both sets hold over every
     // effect's rows, so enforcement must never reject a legitimate
     // write, and the metadata-only commits must never disturb a
@@ -110,7 +126,8 @@ class TableManifestProps extends AnyFunSuite {
       TableManifest.tag(s, path, "chaos")
     }
     val all = appenders ++
-      Seq(deleter, updater, compactor, merger, constrainer, tagger)
+      Seq(deleter, updater, compactor, merger, morMerger, constrainer,
+        tagger)
     all.foreach(_.start()); all.foreach(_.join(120000))
     assert(failures.isEmpty, s"chaos workers threw: $failures")
     // the tag resolves to a committed version and reads cleanly
@@ -126,8 +143,10 @@ class TableManifestProps extends AnyFunSuite {
     val want = (
       (10L until 100L).map(i =>
         (i, if (i >= 90L) 555L
+            else if (i >= 70 && i < 80) i + 5000L
             else if (i >= 50 && i < 60) i + 1000000L
             else i)) ++
+      (20000L until 20005L).map(i => (i, 9L)) ++
       (for (a <- 0 until 3; j <- 0 until 4)
         yield (10000L + a * 100 + j, 7L))
     ).map(_ -> 1).toMap
