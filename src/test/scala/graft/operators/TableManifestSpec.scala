@@ -138,6 +138,29 @@ class TableManifestSpec extends AnyFunSuite {
     assert(TableManifest.tagVersion(s, path, "ptr").contains(cur))
   }
 
+  test("equality-tombstone mask plan shape: the key file joins as the " +
+    "BROADCAST side — the table side never shuffles for the mask") {
+    val path = Files.createTempDirectory("tm_eqplan").toString
+    TableManifest.commitSnapshot(
+      s.range(200000).select(col("id"),
+        (col("id") % 1000).cast("long").as("v")), path)
+    // a 50-key MoR merge delete: the mask becomes a left join against
+    // a 50-row eqdeletes key file — at 100 TB that join MUST broadcast
+    // the keys, never exchange the table
+    TableManifest.mergeWhere(s, path,
+      s.range(50).select(col("id"), lit(1L).as("v")),
+      keyCols = Seq("id"),
+      matched = Seq(TableManifest.MergeMatched("delete", None)),
+      inserts = Nil)
+    val d = TableManifest.read(s, path)
+    assert(d.count() == 199950)
+    val plan = d.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eq mask must broadcast the key file:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"eq mask must not sort-merge the table side:\n$plan")
+  }
+
   test("history audits every retained version; compactBatches folds the append log") {
     val path = Files.createTempDirectory("tm_hist").toString
     TableManifest.commitSnapshot(df(1L -> "a"), path)
