@@ -1131,13 +1131,53 @@ object TableManifest {
         tgtSchema.fields.find(_.name.equalsIgnoreCase(k)).get))
       def emptyKeys = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], keySchema)
-      import org.apache.spark.sql.expressions.Window
 
       var updObs: Option[org.apache.spark.sql.Observation] = None
       var insObs: Option[org.apache.spark.sql.Observation] = None
       val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-      // ---- matched side: inner join, first-match-wins, key-group rewrite
+      // One clause side (matched rows or not-matched-by-source rows) →
+      // (replacement rows, DISTINCT acted keys). The key-GROUP rewrite:
+      // every row whose key null-safely matches an acted key must be
+      // rewritten (acted rows resolve first-match-wins, silent rows
+      // pass through) because the tombstone masks by KEY — and the
+      // group membership is decided by a semi-join against the ACTED
+      // keys (match-proportional), never a window over the whole frame
+      // (on the NMBS side that frame is nearly the full table when the
+      // source is small — a window there would shuffle the table).
+      def resolveSide(frame: DataFrame,
+          clauses: Seq[(String, Option[String],
+            Option[Seq[(String, String)]])]): (DataFrame, DataFrame) = {
+        val staged = frame
+          .withColumn("__act", actOf(clauses.map(_._2))).persist()
+        cached += staged
+        val actedKeys = staged.filter(col("__act") >= 0)
+          .select(keyCols.map(k => col(s"__t.`$k`").as(k)): _*)
+          .distinct()
+        val ak = actedKeys.select(keyCols.map(k =>
+          col(s"`$k`").as(s"__ak_$k")): _*)
+        val affected = staged.join(ak,
+          keyCols.map(k =>
+            col(s"__t.`$k`") <=> col(s"`__ak_$k`")).reduce(_ && _),
+          "left_semi")
+        val delIdx = clauses.zipWithIndex.collect {
+          case ((a, _, _), i) if a == "delete" => i }
+        val survivors =
+          if (delIdx.isEmpty) affected
+          else affected.filter(
+            !col("__act").isin(delIdx.map(Int.box): _*))
+        val fold = clauses.zipWithIndex.foldRight(tRow: Column) {
+          case (((a, _, assigns), i), els) =>
+            if (a == "update")
+              when(col("__act") === i,
+                image(assigns, forInsert = false)).otherwise(els)
+            else els
+        }
+        (survivors.withColumn("__row", fold).select(col("__row.*")),
+          actedKeys)
+      }
+
+      // ---- matched side: inner join, first-match-wins, group rewrite
       val (matchedRepl, matchedKeys) =
         if (matched.isEmpty) (emptyTgt, emptyKeys)
         else {
@@ -1148,70 +1188,17 @@ object TableManifest {
                 col(s"__t.`$k`") === col(s"__s.`$k`")).reduce(_ && _),
               "inner")
             .observe(obs, count(lit(1)).as("n"))
-          val w = Window.partitionBy(
-            keyCols.map(k => col(s"__t.`$k`")): _*)
-          // __grp: some row of this key group took a clause — the whole
-          // group is tombstoned by key, so every row of it must be
-          // rewritten (acted rows resolve, silent rows pass through);
-          // groups where NO row acted are left in place untouched
-          val staged = joined
-            .withColumn("__act", actOf(matched.map(_.cond)))
-            .withColumn("__grp",
-              max(when(col("__act") >= 0, 1).otherwise(0)).over(w))
-            .persist()
-          cached += staged
-          val affected = staged.filter(col("__grp") === 1)
-          val delIdx = matched.zipWithIndex.collect {
-            case (m, i) if m.action == "delete" => i }
-          val survivors =
-            if (delIdx.isEmpty) affected
-            else affected.filter(
-              !col("__act").isin(delIdx.map(Int.box): _*))
-          val fold = matched.zipWithIndex.foldRight(tRow: Column) {
-            case ((cl, i), els) =>
-              if (cl.action == "update")
-                when(col("__act") === i,
-                  image(cl.assigns, forInsert = false)).otherwise(els)
-              else els
-          }
-          (survivors.withColumn("__row", fold).select(col("__row.*")),
-            affected.select(keyCols.map(k =>
-              col(s"__t.`$k`").as(k)): _*))
+          resolveSide(joined,
+            matched.map(m => (m.action, m.cond, m.assigns)))
         }
 
       // ---- not-matched-by-source side: anti join, same group rewrite
       val (bysrcRepl, bysrcKeys) =
         if (bySource.isEmpty) (emptyTgt, emptyKeys)
-        else {
-          val anti = tgt.join(
-              source.select(keyCols.map(k => col(s"`$k`")): _*),
-              keyCols, "left_anti").alias("__t")
-          val w = Window.partitionBy(
-            keyCols.map(k => col(s"__t.`$k`")): _*)
-          val staged = anti
-            .withColumn("__act", actOf(bySource.map(_.cond)))
-            .withColumn("__grp",
-              max(when(col("__act") >= 0, 1).otherwise(0)).over(w))
-            .persist()
-          cached += staged
-          val affected = staged.filter(col("__grp") === 1)
-          val delIdx = bySource.zipWithIndex.collect {
-            case (m, i) if m.action == "delete" => i }
-          val survivors =
-            if (delIdx.isEmpty) affected
-            else affected.filter(
-              !col("__act").isin(delIdx.map(Int.box): _*))
-          val fold = bySource.zipWithIndex.foldRight(tRow: Column) {
-            case ((cl, i), els) =>
-              if (cl.action == "update")
-                when(col("__act") === i,
-                  image(cl.assigns, forInsert = false)).otherwise(els)
-              else els
-          }
-          (survivors.withColumn("__row", fold).select(col("__row.*")),
-            affected.select(keyCols.map(k =>
-              col(s"__t.`$k`").as(k)): _*))
-        }
+        else resolveSide(
+          tgt.join(source.select(keyCols.map(k => col(s"`$k`")): _*),
+            keyCols, "left_anti").alias("__t"),
+          bySource.map(m => (m.action, m.cond, m.assigns)))
 
       // ---- inserts: unmatched source rows, first accepting clause
       val insRepl =
