@@ -1500,7 +1500,14 @@ object TableManifest {
     }
   }
 
-  /** MERGE INTO (upsert) as one snapshot commit: a source row REPLACES
+  /** MERGE INTO (upsert) as one COPY-ON-WRITE snapshot commit — kept
+    * for callers who WANT the rewrite (a fold rides along for free, and
+    * duplicate source keys are legal here, resolved by `orderCols`);
+    * at scale prefer [[mergeWhere]], the match-proportional
+    * merge-on-read path every SQL MERGE takes (`Stress mormerge`: this
+    * shape grows unbounded with table volume, mergeWhere stays flat).
+    *
+    * Semantics: a source row REPLACES
     * any same-key current rows (WHEN MATCHED THEN UPDATE — the source
     * always wins a matched key, via a source-priority tiebreak ahead of
     * `orderCols`), new keys insert (WHEN NOT MATCHED); duplicate keys

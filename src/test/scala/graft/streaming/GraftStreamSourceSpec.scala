@@ -133,6 +133,42 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally { cdc.stop(); ins.stop() }
   }
 
+  test("changeFeed surfaces a MoR MERGE as delete(old) + insert(" +
+    "post-images and fresh rows) — the streaming consumer follows the " +
+    "equality-tombstone commit exactly") {
+    val p = tmp("mrgfeed")
+    val v0 = TableManifest.commitSnapshot(seed(0, 30), p)
+    val q = s.readStream.format("graft")
+      .option("startingVersion", v0.toString)
+      .option("changeFeed", "true").load(p)
+      .writeStream.format("memory").queryName("gss_mrgcdc")
+      .option("checkpointLocation", tmp("mrgcdc_ck")).start()
+    try {
+      q.processAllAvailable()
+      // matched keys 0..4 update (k += 100), keys 1000..1002 insert
+      TableManifest.mergeWhere(s, p,
+        s.range(5).select(col("id"), lit(0L).as("k"))
+          .unionByName(s.range(1000, 1003)
+            .select(col("id"), lit(9L).as("k"))),
+        keyCols = Seq("id"),
+        matched = Seq(TableManifest.MergeMatched("update", None,
+          Some(Seq("k" -> "__t.k + 100")))),
+        inserts = Seq(TableManifest.MergeInsert(None)))
+      q.processAllAvailable()
+      val feed = s.table("gss_mrgcdc")
+      val dels = feed.filter(col("_change_type") === "delete")
+      val inss = feed.filter(col("_change_type") === "insert")
+      assert(dels.count() == 5 &&
+        dels.agg(max(col("k"))).head().getLong(0) < 100,
+        "delete rows must carry the PRE-merge images of the acted keys")
+      assert(inss.count() == 8, s"post-images + inserts: ${inss.count()}")
+      assert(inss.filter(col("id") < 100).count() == 5 &&
+        inss.filter(col("id") < 100)
+          .agg(min(col("k"))).head().getLong(0) >= 100)
+      assert(inss.filter(col("id") >= 1000).count() == 3)
+    } finally q.stop()
+  }
+
   test("a mid-stream compaction emits nothing (content no-op) and the " +
     "stream keeps following appends across the new payload") {
     val p = tmp("compactfollow")
