@@ -1846,21 +1846,29 @@ object TableManifest {
     val byName = mapping.filterNot(_.dropped).flatMap(m =>
       (m.logical +: m.physical).map(n =>
         n.toLowerCase(java.util.Locale.ROOT) -> m)).toMap
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.Coalesce
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
+      UnresolvedExtractValue}
+    import org.apache.spark.sql.catalyst.expressions.{Coalesce,
+      Expression, Literal}
     spark.sessionState.sqlParser.parseExpression(predicateSql)
       .transformUp {
-        case u: UnresolvedAttribute if u.nameParts.size == 1 &&
-            byName.contains(u.nameParts.head
+        // the HEAD of a (possibly nested) reference is the top-level
+        // column renames operate on: `point.x` with `point` renamed
+        // substitutes the container and re-attaches the field path
+        // (the pred was analysis-checked against the bare table, so a
+        // multi-part head is a real column, never a dangling qualifier)
+        case u: UnresolvedAttribute if byName.contains(u.nameParts.head
               .toLowerCase(java.util.Locale.ROOT)) =>
           val m = byName(u.nameParts.head
             .toLowerCase(java.util.Locale.ROOT))
           val phys = m.physical.filter(p =>
             present.contains(p.toLowerCase(java.util.Locale.ROOT)))
           val names = if (phys.nonEmpty) phys else m.physical.take(1)
-          if (names.size <= 1)
-            UnresolvedAttribute(Seq(names.head))
-          else Coalesce(names.map(p => UnresolvedAttribute(Seq(p))))
+          val base: Expression =
+            if (names.size <= 1) UnresolvedAttribute(Seq(names.head))
+            else Coalesce(names.map(p => UnresolvedAttribute(Seq(p))))
+          u.nameParts.tail.foldLeft(base)((e, f) =>
+            UnresolvedExtractValue(e, Literal(f)))
       }.sql
   }
 
@@ -1878,9 +1886,11 @@ object TableManifest {
           (if (dp.pred == null) Nil
            else spark.sessionState.sqlParser
              .parseExpression(dp.pred).collect {
+               // HEAD, not last: `point.x` pins the top-level column
+               // `point` — the name DROP COLUMN would take away
                case u: org.apache.spark.sql.catalyst.analysis
                    .UnresolvedAttribute =>
-                 u.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+                 u.nameParts.head.toLowerCase(java.util.Locale.ROOT)
              })
       }.toSet
   }
