@@ -706,8 +706,19 @@ private[sources] class GraftScanBuilder(path: String,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** TOP-LEVEL pruning only: Spark may hand a NESTED-pruned schema
+    * (`loc STRUCT<y>` when only `loc.y` is referenced), but the inner
+    * plan serves full top-level columns and the v1 bridge's rows are
+    * consumed POSITIONALLY against the declared schema — declaring the
+    * pruned struct while serving the full one would silently read the
+    * wrong field (loc.y coming back with loc.x's values). Widening
+    * each required column back to its full definition keeps the
+    * declared and served shapes identical; column-level pruning (the
+    * scan-cost lever) is preserved. */
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    required = StructType(requiredSchema.fields.map(f =>
+      fullSchema.fields.find(_.name.equalsIgnoreCase(f.name))
+        .getOrElse(f)))
 
   override def build(): Scan =
     new GraftScan(path, versionAsOf, userSchema, required, pushed)
