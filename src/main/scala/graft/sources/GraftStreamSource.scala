@@ -199,9 +199,19 @@ trait GraftStreamSourceProvider
       case (k, v) if k.equalsIgnoreCase("changeFeed") => v.toBoolean
     }.getOrElse(false)
 
-  private def startingOf(parameters: Map[String, String]): Option[Long] =
+  /** `startingVersion` as a version NUMBER or a NAMED TAG — the same
+    * resolution every other version-addressed surface gives (the
+    * consumer checkpoint can be the vacuum-protected operator ref). */
+  private def startingOf(parameters: Map[String, String],
+      path: String): Option[Long] =
     parameters.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("startingVersion") => v.toLong
+      case (k, v) if k.equalsIgnoreCase("startingVersion") =>
+        v.toLongOption
+          .orElse(graft.operators.TableManifest.tagVersion(
+            org.apache.spark.sql.SparkSession.active, path, v))
+          .getOrElse(throw new IllegalArgumentException(
+            s"startingVersion '$v' is neither a committed version " +
+              s"number nor a tag of $path"))
     }
 
   private def streamSchema(spark: SparkSession,
@@ -233,7 +243,7 @@ trait GraftStreamSourceProvider
     val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
       parameters.asJava)
     new GraftStreamSource(sqlContext.sparkSession, pathOf(opts),
-      startingOf(parameters), changeFeedOf(parameters),
+      startingOf(parameters, pathOf(opts)), changeFeedOf(parameters),
       streamSchema(sqlContext.sparkSession, parameters, schema))
   }
 }

@@ -151,15 +151,33 @@ object GraftTableSource {
 
   private[sources] def cdfRange(options: CaseInsensitiveStringMap,
       path: String): (Long, Long) = {
+    val spark = SparkSession.active
+    // timestamp-addressed window bounds resolve to versions via marker
+    // commit times (the TIMESTAMP AS OF convention — epoch millis or a
+    // 'yyyy-MM-dd HH:mm:ss' wall-clock string): the start is the
+    // newest version committed AT-OR-BEFORE the instant, so the feed
+    // carries everything after it
+    def tsVersion(v: String, what: String): Long = {
+      val millis = v.toLongOption.getOrElse(
+        java.sql.Timestamp.valueOf(v).getTime)
+      TableManifest.versionAtTime(spark, path, millis).getOrElse(
+        throw new IllegalArgumentException(
+          s"$what '$v' predates every retained commit of $path — " +
+            "pin an exact version with startingVersion instead"))
+    }
     val from = Option(options.get("startingVersion"))
       .map(resolveRef(_, path, "startingVersion"))
+      .orElse(Option(options.get("startingTimestamp"))
+        .map(tsVersion(_, "startingTimestamp")))
       .getOrElse(throw new IllegalArgumentException(
         "readChangeFeed requires startingVersion (a committed version " +
-          "number or tag — the consumer's last-processed checkpoint)"))
+          "number or tag) or startingTimestamp — the consumer's " +
+          "last-processed checkpoint"))
     val to = Option(options.get("endingVersion"))
       .map(resolveRef(_, path, "endingVersion"))
-      .getOrElse(TableManifest
-        .versions(SparkSession.active, path).last)
+      .orElse(Option(options.get("endingTimestamp"))
+        .map(tsVersion(_, "endingTimestamp")))
+      .getOrElse(TableManifest.versions(spark, path).last)
     (from, to)
   }
 

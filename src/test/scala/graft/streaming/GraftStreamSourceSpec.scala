@@ -169,6 +169,37 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("startingVersion accepts a named TAG — the vacuum-protected " +
+    "consumer checkpoint — and timestamp-addressed CDF reader windows " +
+    "resolve via marker commit times") {
+    val p = tmp("tagstart")
+    TableManifest.commitSnapshot(seed(0, 20), p)
+    TableManifest.tag(s, p, "ckpt")
+    val q = s.readStream.format("graft")
+      .option("startingVersion", "ckpt").load(p)
+      .writeStream.format("memory").queryName("gss_tagstart")
+      .option("checkpointLocation", tmp("tagstart_ck")).start()
+    try {
+      q.processAllAvailable()
+      assert(s.table("gss_tagstart").count() == 0, "tail from the tag")
+      TableManifest.append(seed(20, 25), p)
+      q.processAllAvailable()
+      assert(s.table("gss_tagstart").count() == 5)
+    } finally q.stop()
+    // batch CDF reader: startingTimestamp between two commits serves
+    // exactly the later window
+    Thread.sleep(1200)
+    val mid = java.sql.Timestamp.from(java.time.Instant.now())
+    Thread.sleep(1200)
+    TableManifest.append(seed(25, 31), p)
+    val feed = s.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", mid.toString).load(p)
+    assert(feed.count() == 6 &&
+      feed.filter(col("_change_type") === "insert").count() == 6,
+      "the timestamp-addressed window must carry only the later append")
+  }
+
   test("a mid-stream compaction emits nothing (content no-op) and the " +
     "stream keeps following appends across the new payload") {
     val p = tmp("compactfollow")
