@@ -174,7 +174,7 @@ class TableManifestProps extends AnyFunSuite {
       model += v0 -> rowsOf(TableManifest.read(s, path))
 
       (1 to 10).foreach { step =>
-        val opRoll = rnd.nextInt(11)
+        val opRoll = rnd.nextInt(12)
         if (opRoll < 3) { // snapshot replacement
           val rows = randRows(10 + rnd.nextInt(20))
           val v = TableManifest.commitSnapshot(df(rows), path)
@@ -204,6 +204,23 @@ class TableManifestProps extends AnyFunSuite {
           // a no-match update commits nothing: keep the model in step
           if (TableManifest.versions(s, path).max == v &&
               !model.contains(v)) model += v -> next
+        } else if (opRoll < 11) { // MoR MERGE: update matched, insert new
+          val srcRows = (0 until 1 + rnd.nextInt(5))
+            .map(_ => rnd.nextLong(60L)).distinct
+            .map(k => (k, rnd.nextLong(1000L)))
+          val (v, _, _) = TableManifest.mergeWhere(s, path, df(srcRows),
+            keyCols = Seq("id"),
+            matched = Seq(TableManifest.MergeMatched("update", None,
+              Some(Seq("v" -> "__t.v + 100000")))),
+            inserts = Seq(TableManifest.MergeInsert(None)))
+          val srcKeys = srcRows.map(_._1).toSet
+          val present = cur.keys.map(_._1).toSet
+          val next = cur.map { case ((id, vv), n) =>
+            (if (srcKeys.contains(id)) (id, vv + 100000L)
+             else (id, vv)) -> n } ++
+            srcRows.filterNot(r => present.contains(r._1))
+              .map(r => (r._1, r._2) -> 1)
+          model += v -> next
         } else { // optimize: content no-op, new version
           val v = TableManifest.optimize(s, path, Seq("id"), files = 4,
             statsCols = Seq("id"))
