@@ -2312,6 +2312,75 @@ object MiscQueries {
              |GROUP BY event_type, nums.rows_matched, nums.rows_inserted
              |ORDER BY event_type""".stripMargin)),
 
+    // MERGE WITH SCHEMA EVOLUTION: source-only columns widen the
+    // target (one zero-row footer commit, the ADD COLUMN machinery)
+    // before the match-proportional merge — matched rows take the new
+    // column's source values via SET *, inserts carry it, and every
+    // legacy row reads NULL (the Delta semantics). DuckDB mirrors the
+    // widening with a left join.
+    Q("q_graft_merge_evolve",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        s.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_mrg_evo").toString
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("value"))
+        TableManifest.commitSnapshot(e, path)
+        Tables.events(s, dir).filter(col("event_id") % 7 === 0)
+          .select(col("event_id"), col("value"),
+            concat(lit("t_"), col("event_type")).as("tag"))
+          .unionByName(Tables.events(s, dir)
+            .filter(col("event_id") % 997 === 0)
+            .select((col("event_id") + 9000000L).as("event_id"),
+              col("value"), lit("fresh").as("tag")))
+          .createOrReplaceTempView("gme_src")
+        val r = s.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$path` AS t
+             |USING gme_src AS s ON t.event_id = s.event_id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+        s.sql(
+          s"""SELECT coalesce(tag, 'none') AS tag, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM graft.`$path`
+             |GROUP BY coalesce(tag, 'none')""".stripMargin)
+          .withColumn("rows_matched", lit(r.getLong(1)))
+          .withColumn("rows_inserted", lit(r.getLong(2)))
+          .orderBy(col("tag"))
+      },
+      Some("""WITH src AS (
+             |  SELECT event_id, value, 't_' || event_type AS tag
+             |  FROM events WHERE event_id % 7 = 0
+             |  UNION ALL
+             |  SELECT event_id + 9000000, value, 'fresh'
+             |  FROM events WHERE event_id % 997 = 0),
+             |post AS (
+             |  SELECT e.event_id,
+             |    CASE WHEN s.event_id IS NOT NULL THEN s.value
+             |         ELSE e.value END AS value,
+             |    s.tag
+             |  FROM events e LEFT JOIN src s ON e.event_id = s.event_id
+             |  UNION ALL
+             |  SELECT event_id, value, tag FROM src
+             |  WHERE event_id NOT IN (SELECT event_id FROM events)),
+             |nums AS (
+             |  SELECT
+             |    (SELECT count(*) FROM events WHERE event_id % 7 = 0)
+             |      AS rows_matched,
+             |    (SELECT count(*) FROM events WHERE event_id % 997 = 0)
+             |      AS rows_inserted)
+             |SELECT coalesce(tag, 'none') AS tag, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value,
+             |  nums.rows_matched, nums.rows_inserted
+             |FROM post, nums
+             |GROUP BY coalesce(tag, 'none'), nums.rows_matched,
+             |  nums.rows_inserted
+             |ORDER BY tag""".stripMargin)),
+
     // RENAME COLUMN as a METADATA-ONLY commit: the column-mapping
     // artifact resolves old parquet bytes under the new name (no
     // rewrite), the pre-rename pin serves the OLD name, and DML issued

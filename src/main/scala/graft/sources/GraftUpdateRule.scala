@@ -211,11 +211,24 @@ object GraftMergeRule extends Rule[LogicalPlan] {
           case Some(t) =>
             require(t.pinnedVersion.isEmpty,
               "cannot MERGE into a pinned VERSION AS OF read")
-            require(!m.withSchemaEvolution,
-              "graft MERGE does not support WITH SCHEMA EVOLUTION — " +
-                "evolve via an explicit different-arity append instead")
             val tgtOut = m.targetTable.outputSet
             val srcOut = m.sourceTable.outputSet
+            val tgtNamesLower = m.targetTable.output
+              .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+            // WITH SCHEMA EVOLUTION: source-only top-level columns
+            // widen the target (nullable, source types) before the
+            // merge — one zero-row footer commit, the ADD COLUMN
+            // machinery — so SET * / INSERT * carry them and legacy
+            // rows read NULL (the Delta semantics)
+            val evolve: Seq[(String, org.apache.spark.sql.types
+                .DataType)] =
+              if (!m.withSchemaEvolution) Nil
+              else m.sourceTable.output.filterNot(a =>
+                tgtNamesLower.contains(
+                  a.name.toLowerCase(java.util.Locale.ROOT)))
+                .map(a => a.name -> a.dataType)
+            val evolveNames = evolve.map(_._1
+              .toLowerCase(java.util.Locale.ROOT)).toSet
 
             def resolveWith(e: Expression,
                 order: Seq[LogicalPlan]): Expression = e.transformUp {
@@ -269,6 +282,14 @@ object GraftMergeRule extends Rule[LogicalPlan] {
               assigns.map { a =>
                 val key = resolveExpr(a.key) match {
                   case k: AttributeReference if tgtOut.contains(k) =>
+                    k.name
+                  // under WITH SCHEMA EVOLUTION an assignment may
+                  // target a source-only column (it resolves to the
+                  // SOURCE attr pre-widening; the command widens the
+                  // table before the merge, making it a target column)
+                  case k: AttributeReference if srcOut.contains(k) &&
+                      evolveNames.contains(
+                        k.name.toLowerCase(java.util.Locale.ROOT)) =>
                     k.name
                   case other => throw new IllegalArgumentException(
                     "graft MERGE assigns top-level TARGET columns " +
@@ -332,7 +353,7 @@ object GraftMergeRule extends Rule[LogicalPlan] {
               ta.name
             }
             GraftMergeCommand(t.tablePath, m.sourceTable, keys,
-              matchedClauses, insertClauses, nmbsClauses)
+              matchedClauses, insertClauses, nmbsClauses, evolve)
           case None => m
         }
     }
@@ -357,7 +378,8 @@ case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
     keyCols: Seq[String],
     matchedClauses: Seq[graft.operators.TableManifest.MergeMatched],
     insertClauses: Seq[graft.operators.TableManifest.MergeInsert],
-    nmbsClauses: Seq[graft.operators.TableManifest.MergeBySource])
+    nmbsClauses: Seq[graft.operators.TableManifest.MergeBySource],
+    evolve: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil)
     extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(sourcePlan)
@@ -372,8 +394,35 @@ case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
       org.apache.spark.sql.GraftColumnBridge.ofRows(spark, sourcePlan)
     // merged schema: a MERGE touching a late-added column reaches
     // null-padded legacy batches, matching the catalog's read surface
-    val tgtSchema =
+    val tgtSchema0 =
       GraftTableSource.tableSchema(spark, path, None, mergeSchema = true)
+    // WITH SCHEMA EVOLUTION: widen by the source-only columns first
+    // (one zero-row footer commit — the ADD COLUMN shape), re-checked
+    // against the CURRENT schema (a column may have appeared since
+    // analysis) and against the rename history (an era name must not
+    // resurrect old bytes)
+    val missing = evolve.filterNot { case (n, _) =>
+      tgtSchema0.fieldNames.exists(_.equalsIgnoreCase(n)) }
+    val tgtSchema =
+      if (missing.isEmpty) tgtSchema0
+      else {
+        val historical = TableManifest.columnMapOf(spark, path)
+          .flatMap(m => m.logical +: m.physical)
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        missing.foreach { case (n, _) =>
+          require(!historical.contains(
+            n.toLowerCase(java.util.Locale.ROOT)),
+            s"MERGE WITH SCHEMA EVOLUTION would add '$n', a " +
+              s"historical name of a renamed/dropped column of $path " +
+              "— run maintain (compaction) to clear the mapping first")
+        }
+        val widened = missing.foldLeft(tgtSchema0) { case (sch, (n, t)) =>
+          sch.add(n, t, nullable = true) }
+        TableManifest.append(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], widened), path)
+        widened
+      }
     val (v, nMatched, nInserted) = TableManifest.mergeWhere(spark, path,
       src, keyCols, matchedClauses, insertClauses, nmbsClauses,
       Some(tgtSchema))

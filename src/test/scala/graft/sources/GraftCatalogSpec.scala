@@ -915,6 +915,52 @@ class GraftCatalogSpec extends AnyFunSuite {
       "n1" -> 5L), s"state: $got")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns widen the " +
+    "table nullable, legacy rows read NULL, pins keep the narrow " +
+    "schema, explicit assignments may target the new column") {
+    val p = tmp("mrgevo")
+    TableManifest.commitSnapshot(
+      s.range(5).select(col("id"), (col("id") * 10).as("v")), p)
+    val pre = TableManifest.versions(s, p).last
+    import s.implicits._
+    Seq((3L, 7L, "x"), (100L, 1L, "y")).toDF("id", "v", "tag")
+      .createOrReplaceTempView("me_src")
+    // star actions: the new source column rides SET * / INSERT *
+    val r = s.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$p` AS t
+         |USING me_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+    assert(r.getLong(1) == 1 && r.getLong(2) == 1)
+    val got = s.sql(s"SELECT id, v, tag FROM graft.`$p` ORDER BY id")
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        Option(x.getString(2)).getOrElse("-"))).toSeq
+    assert(got == Seq((0L, 0L, "-"), (1L, 10L, "-"), (2L, 20L, "-"),
+      (3L, 7L, "x"), (4L, 40L, "-"), (100L, 1L, "y")), s"evolved: $got")
+    // the pre-merge pin keeps the NARROW schema
+    assert(s.sql(s"SELECT * FROM graft.`$p` VERSION AS OF $pre")
+      .columns.toSeq == Seq("id", "v"))
+    // WITHOUT the keyword, an extra source column stays refused by the
+    // star contract (it cannot land anywhere)
+    Seq((4L, 2L, 9L)).toDF("id", "v", "extra")
+      .createOrReplaceTempView("me_src2")
+    intercept[Exception](s.sql(
+      s"""MERGE INTO graft.`$p` AS t USING me_src2 AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET extra = s.extra""".stripMargin))
+    // EXPLICIT assignment to a brand-new column under the keyword
+    val r2 = s.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$p` AS t
+         |USING me_src2 AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET extra = s.extra + 1"""
+        .stripMargin).head()
+    assert(r2.getLong(1) == 1)
+    assert(s.sql(s"SELECT extra FROM graft.`$p` WHERE id = 4")
+      .head().getLong(0) == 10)
+    assert(s.sql(
+      s"SELECT count(*) FROM graft.`$p` WHERE extra IS NULL")
+      .head().getLong(0) == 5)
+  }
+
   test("CALL procedures: the maintenance runbook is plain SQL —" +
     " optimize clusters, history audits, maintain folds, vacuum expires") {
     val p = tmp("proc")
