@@ -403,6 +403,38 @@ object StreamQueries {
       Some("""SELECT event_id, user_id, ts, value
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Update-mode sink + mergeKeys: each micro-batch emission UPSERTS
+    // per key through the match-proportional MoR merge (equality
+    // tombstone + replacement batch, one marker per batch — never a
+    // snapshot rewrite), so a streaming aggregate maintains a served
+    // table whose final state equals the plain batch aggregate. The
+    // grouped per-user stats stream over events, hashed against DuckDB.
+    Q("q_graft_stream_update",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_stream_upd").toString
+        val q = eventStream(s, dir)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+          .writeStream.format("graft").outputMode("update")
+          .option("path", path).option("mergeKeys", "user_id")
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("graft_stream_upd_ck").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        TableManifest.read(s, path)
+          .select(col("user_id"), col("n"),
+            col("sum_value").cast("double").as("sum_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM events GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
+
     // ---- streaming incremental view maintenance ----------------------------
     // The full loop: each micro-batch appends to the manifest table
     // (exactly-once under the batchId key) and IncrementalAgg

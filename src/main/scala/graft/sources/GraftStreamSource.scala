@@ -132,9 +132,14 @@ case class GraftVersionOffset(version: Long) extends V1Offset {
   *  - Complete → [[TableManifest.commitSnapshot]] per batch — each
   *    emission REPLACES the table (the aggregate-refresh shape); a
   *    replay rewrites identical content, idempotent by construction.
-  *  - Update is refused: the manifest has no partial-row merge commit —
-  *    use Append into a log table + readLatest (the MoR upsert), the
-  *    documented trade.
+  *  - Update + `option("mergeKeys", "k1,k2")` → [[TableManifest
+  *    .mergeWhere]] per batch: each emission UPSERTS by key through the
+  *    match-proportional MoR merge (equality tombstone + replacement
+  *    batch, one marker) — the streaming upsert that previously needed
+  *    Append + readLatest. Replay is content-idempotent (a micro-batch
+  *    replays only before newer batches commit, and re-merging the
+  *    same deterministic emission reproduces the same content); Update
+  *    WITHOUT mergeKeys is refused with the guidance.
   *
   * A fresh path is seeded with a zero-row schema snapshot so the first
   * micro-batch lands as a NORMAL keyed append (replayable), not a
@@ -145,7 +150,8 @@ case class GraftVersionOffset(version: Long) extends V1Offset {
   * stream per table (two streams would replay-overwrite each other's
   * partitions); concurrent foreachBatch/unkeyed writers compose safely. */
 private[sources] class GraftSink(spark: SparkSession, path: String,
-    complete: Boolean) extends org.apache.spark.sql.execution.streaming.Sink {
+    complete: Boolean, mergeKeys: Seq[String] = Nil)
+    extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the engine's frame is flagged streaming and refuses .write; its
@@ -154,6 +160,21 @@ private[sources] class GraftSink(spark: SparkSession, path: String,
       data.queryExecution.toRdd, data.schema)
     if (complete) {
       TableManifest.commitSnapshot(batch, path)
+    } else if (mergeKeys.nonEmpty) {
+      // Update mode: each emission is a per-key UPSERT through the
+      // match-proportional MoR merge (equality tombstone + replacement
+      // batch, one marker) — matched keys take the emitted row
+      // (SET *), new keys insert. Replay is CONTENT-idempotent: a
+      // micro-batch replays only before any newer batch commits
+      // (checkpoint semantics), and re-merging the same deterministic
+      // emission reproduces the same table content (one extra version,
+      // the foreachBatch-merge guidance table formats document).
+      if (!TableManifest.exists(spark, path))
+        TableManifest.createEmpty(spark, path, batch.schema)
+      TableManifest.mergeWhere(spark, path, batch, mergeKeys,
+        matched = Seq(TableManifest.MergeMatched("update", None)),
+        inserts = Seq(TableManifest.MergeInsert(None)))
+      ()
     } else {
       if (!TableManifest.exists(spark, path))
         TableManifest.createEmpty(spark, path, batch.schema)
@@ -179,10 +200,16 @@ trait GraftStreamSourceProvider
       outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
     import org.apache.spark.sql.streaming.OutputMode
-    require(outputMode != OutputMode.Update(),
-      "graft sink supports Append (keyed exactly-once appends) and " +
-        "Complete (snapshot replacement per batch); Update has no " +
-        "manifest commit shape — use Append + readLatest (MoR upsert)")
+    val mergeKeys = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("mergeKeys") =>
+        v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }.getOrElse(Nil)
+    require(outputMode != OutputMode.Update() || mergeKeys.nonEmpty,
+      "graft sink Update mode needs option(\"mergeKeys\", \"k1,k2\") — " +
+        "each emission then UPSERTS per key through the MoR merge " +
+        "(equality tombstone + replacement batch); without keys use " +
+        "Append (keyed exactly-once appends) or Complete (snapshot " +
+        "replacement per batch)")
     require(partitionColumns.isEmpty,
       "graft tables manage their own layout (__batch partitions, " +
         "OPTIMIZE/CLUSTER BY) — partitionBy on the stream writer would " +
@@ -191,7 +218,9 @@ trait GraftStreamSourceProvider
     val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
       parameters.asJava)
     new GraftSink(sqlContext.sparkSession, pathOf(opts),
-      complete = outputMode == OutputMode.Complete())
+      complete = outputMode == OutputMode.Complete(),
+      mergeKeys =
+        if (outputMode == OutputMode.Update()) mergeKeys else Nil)
   }
 
   private def changeFeedOf(parameters: Map[String, String]): Boolean =

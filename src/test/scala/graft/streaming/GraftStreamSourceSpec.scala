@@ -200,6 +200,46 @@ class GraftStreamSourceSpec extends AnyFunSuite {
       "the timestamp-addressed window must carry only the later append")
   }
 
+  test("Update-mode sink with mergeKeys: per-key upserts through the " +
+    "MoR merge — the final table equals the batch aggregate") {
+    val src = tmp("updsink_src")
+    val dst = tmp("updsink_dst")
+    TableManifest.commitSnapshot(seed(0, 21), src)
+    val q = s.readStream.format("graft").load(src)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("sid"))
+      .writeStream.format("graft").outputMode("update")
+      .option("mergeKeys", "k")
+      .option("checkpointLocation", tmp("updsink_ck"))
+      .start(dst)
+    try {
+      q.processAllAvailable()
+      TableManifest.append(seed(21, 40), src)
+      q.processAllAvailable()
+      val got = TableManifest.read(s, dst)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      val want = (0L until 40L).groupBy(_ % 7).toSeq.map { case (k, ids) =>
+        (k, ids.size.toLong, ids.sum) }.sortBy(_._1)
+      assert(got == want, s"update-mode upsert state: $got")
+      // the sink committed MoR merges, not snapshot rewrites: exactly
+      // one data_v payload dir (the seed), everything else batches
+      val hp = new org.apache.hadoop.fs.Path(dst)
+      val dirs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .listStatus(hp).map(_.getPath.getName)
+        .count(_.startsWith("data_v"))
+      assert(dirs == 1, s"update-mode sink must stay MoR: $dirs payloads")
+    } finally q.stop()
+    // Update without mergeKeys keeps the guidance refusal
+    intercept[Exception] {
+      s.readStream.format("graft").load(src)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .writeStream.format("graft").outputMode("update")
+        .option("checkpointLocation", tmp("updsink_ck2"))
+        .start(tmp("updsink_dst2"))
+    }
+  }
+
   test("a mid-stream compaction emits nothing (content no-op) and the " +
     "stream keeps following appends across the new payload") {
     val p = tmp("compactfollow")
