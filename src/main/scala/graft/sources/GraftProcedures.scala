@@ -302,9 +302,53 @@ private[sources] object GraftProcedures {
     }
   }
 
+  private val detailSchema = new StructType()
+    .add("version", LongType, nullable = false)
+    .add("payload_bytes", LongType)
+    .add("batch_dirs", IntegerType, nullable = false)
+    .add("pending_tombstones", IntegerType, nullable = false)
+    .add("constraints", IntegerType, nullable = false)
+    .add("renamed_or_dropped_columns", IntegerType, nullable = false)
+    .add("tags", StringType, nullable = false)
+    .add("retained_versions", IntegerType, nullable = false)
+
+  private val detail = new P("detail",
+    "one-row operational summary (DESCRIBE DETAIL): current version, " +
+      "payload bytes, batch-partition count (the append-log depth " +
+      "maintain folds), pending MoR tombstones (the read-tax the depth " +
+      "guard pages about), constraint count, live renamed/dropped " +
+      "column mappings (stats-pruned reads bypass until a fold clears " +
+      "them), tags, and retained version count",
+    Seq(in("path", StringType)), detailSchema) {
+    override protected def run(a: InternalRow): Seq[InternalRow] = {
+      val p = str(a, 0)
+      val versions = TableManifest.versions(spark, p)
+      require(versions.nonEmpty, s"no committed table at $p")
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val payloads = f.listStatus(hp).map(_.getPath.getName)
+        .flatMap(n => if (n.startsWith("data_v"))
+          n.stripPrefix("data_v").toLongOption else None)
+      val batchDirs =
+        if (payloads.isEmpty) 0
+        else f.listStatus(new org.apache.hadoop.fs.Path(
+            s"$p/data_v${payloads.max}"))
+          .count(_.getPath.getName.startsWith("__batch="))
+      Seq(InternalRow(versions.last,
+        TableManifest.payloadBytes(spark, p).map(Long.box).orNull,
+        batchDirs,
+        TableManifest.pendingDeletes(spark, p),
+        TableManifest.constraintsOf(spark, p).size,
+        TableManifest.columnMapOf(spark, p).size,
+        UTF8String.fromString(TableManifest.tags(spark, p)
+          .map { case (n, v) => s"$n=$v" }.mkString(",")),
+        versions.size))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] = Seq(
     optimize, vacuum, maintain, history, update, constraints,
-    tagP, untagP, tagsP, restore)
+    tagP, untagP, tagsP, restore, detail)
     .map(p => p.name() -> p).toMap
 
   def identifiers: Array[Identifier] =

@@ -994,6 +994,26 @@ class GraftCatalogSpec extends AnyFunSuite {
       .head().getLong(0) == before)
   }
 
+  test("CALL graft.detail: the one-row operational summary tracks " +
+    "mutations, tombstones, constraints, mappings, and tags") {
+    val p = tmp("detail")
+    s.sql(s"CREATE TABLE graft.`$p` (id BIGINT, v BIGINT, " +
+      "CONSTRAINT pos CHECK (id >= 0))")
+    s.sql(s"INSERT INTO graft.`$p` SELECT id, id * 2 AS v FROM range(10)")
+    s.sql(s"DELETE FROM graft.`$p` WHERE id = 3")
+    s.sql(s"ALTER TABLE graft.`$p` RENAME COLUMN v TO w")
+    s.sql(s"CALL graft.tag(path => '$p', name => 'base')")
+    val d = s.sql(s"CALL graft.detail(path => '$p')").head()
+    assert(d.getLong(0) == TableManifest.versions(s, p).last)
+    assert(d.getLong(1) > 0L, "payload bytes")
+    assert(d.getInt(2) >= 2, s"batch dirs: ${d.getInt(2)}")
+    assert(d.getInt(3) == 1, "one pending tombstone")
+    assert(d.getInt(4) == 1, "one constraint")
+    assert(d.getInt(5) == 1, "one live column mapping")
+    assert(d.getString(6).startsWith("base="), d.getString(6))
+    assert(d.getInt(7) == TableManifest.versions(s, p).size)
+  }
+
   test("CREATE TABLE seeds a zero-row schema snapshot; the first INSERT" +
     " is a keyed append; DROP TABLE removes the path") {
     val p = tmp("ddl") + "/t1"
