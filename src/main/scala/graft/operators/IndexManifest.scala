@@ -397,6 +397,70 @@ private[operators] object IndexManifest {
     * serves retained versions would strand that geometry — live probes
     * would fall back to a legacy path that never existed. Never touches
     * the current version; no-op on legacy layouts. */
+  /** The versions a [[vacuum]] with these arguments WOULD reclaim —
+    * the dry-run surface (`CALL graft.vacuum(dry_run => true)`): same
+    * cutoff/pin arithmetic, no deletion. */
+  def reclaimable(spark: SparkSession, path: String, keep: Int,
+      payloadBase: String = "codes", retainMs: Long = 0L,
+      pinned: Set[Long] = Set.empty): Seq[Long] = {
+    require(keep >= 1)
+    val vs = committedVersions(spark, path)
+    if (vs.isEmpty) return Nil
+    val f = fs(spark, path)
+    val keepSet =
+      if (retainMs <= 0L) vs.takeRight(keep)
+      else {
+        val floor = System.currentTimeMillis() - retainMs
+        val recent = vs.filter { v =>
+          scala.util.Try(
+            f.getFileStatus(new Path(s"$path/manifest/v$v"))
+              .getModificationTime >= floor).getOrElse(true)
+        }
+        (vs.takeRight(keep) ++ recent).distinct.sorted
+      }
+    val cutoff = payloadVersionAt(spark, path, keepSet.min, payloadBase)
+      .getOrElse(keepSet.min)
+    val protectedVers = protectedBy(spark, path, pinned, payloadBase, vs)
+    vs.filter(v => v < cutoff && !protectedVers(v))
+  }
+
+  /** The version numbers `pinned` versions resolve THROUGH (payload,
+    * masking segments, newest geometry per family, own markers) — what
+    * vacuum must keep per pin. */
+  private def protectedBy(spark: SparkSession, path: String,
+      pinned: Set[Long], payloadBase: String,
+      vs: Seq[Long]): Set[Long] = {
+    val f = fs(spark, path)
+    val families = f.listStatus(new Path(path)).map(_.getPath.getName)
+      .flatMap { n =>
+        val i = n.lastIndexOf("_v")
+        if (i <= 0) None
+        else {
+          val (base, ver) = (n.substring(0, i), n.substring(i + 2))
+          if (ver.nonEmpty && ver.forall(_.isDigit))
+            Some(base -> ver.toLong)
+          else None
+        }
+      }
+    def isSegmentBase(b: String) =
+      b == "tombstones" || b == "deletes" || b == "eqdeletes"
+    val committedSet = vs.toSet
+    pinned.filter(committedSet).flatMap { p =>
+      val pay = payloadVersionAt(spark, path, p, payloadBase)
+      val segs = families.collect {
+        case (b, d) if isSegmentBase(b) &&
+          d > pay.getOrElse(-1L) && d <= p && committedSet(d) => d
+      }
+      val geom = families.filter { case (b, _) =>
+        !isSegmentBase(b) && b != payloadBase }
+        .groupBy(_._1).flatMap { case (_, es) =>
+          es.map(_._2).filter(w => w <= p && committedSet(w))
+            .sorted.lastOption
+        }
+      Set(p) ++ pay ++ segs ++ geom
+    }
+  }
+
   def vacuum(spark: SparkSession, path: String, keep: Int,
       payloadBase: String = "codes", retainMs: Long = 0L,
       pinned: Set[Long] = Set.empty): Unit = {
@@ -440,24 +504,11 @@ private[operators] object IndexManifest {
         }
       }
     // segment families mask a RANGE (payload(p), p]; every other family
-    // resolves to the newest committed version at-or-below p
+    // resolves to the newest committed version at-or-below p — the
+    // per-pin resolution sets come from [[protectedBy]]
     def isSegmentBase(b: String) =
       b == "tombstones" || b == "deletes" || b == "eqdeletes"
-    val committedSet = vs.toSet
-    val protectedVers: Set[Long] = pinned.filter(committedSet).flatMap { p =>
-      val pay = payloadVersionAt(spark, path, p, payloadBase)
-      val segs = families.collect {
-        case (b, d) if isSegmentBase(b) &&
-          d > pay.getOrElse(-1L) && d <= p && committedSet(d) => d
-      }
-      val geom = families.filter { case (b, _) =>
-        !isSegmentBase(b) && b != payloadBase }
-        .groupBy(_._1).flatMap { case (_, es) =>
-          es.map(_._2).filter(w => w <= p && committedSet(w))
-            .sorted.lastOption
-        }
-      Set(p) ++ pay ++ segs ++ geom
-    }
+    val protectedVers = protectedBy(spark, path, pinned, payloadBase, vs)
     // geometry survivors: per family, the newest at-or-below-cutoff
     // version keeps serving retained versions — keep dir AND marker —
     // plus any version a pin resolves through

@@ -2177,6 +2177,15 @@ object TableManifest {
       retainMs = retainMs,
       pinned = tags(spark, path).map(_._2).toSet)
 
+  /** The versions [[vacuum]] with these arguments WOULD reclaim — the
+    * dry-run the retention runbook checks before deleting (same
+    * cutoff/retention/pin arithmetic, zero deletion). */
+  def vacuumDryRun(spark: SparkSession, path: String, keep: Int = 2,
+      retainMs: Long = 0L): Seq[Long] =
+    IndexManifest.reclaimable(spark, path, keep, payloadBase = "data",
+      retainMs = retainMs,
+      pinned = tags(spark, path).map(_._2).toSet)
+
   /** Remove debris a CRASHED mutation left behind, so the next
     * delete/update at its version slot doesn't spin into the
     * "remove the orphan and retry" diagnostic by hand. Three classes,

@@ -96,16 +96,30 @@ private[sources] object GraftProcedures {
 
   private val vacuum = new P("vacuum",
     "reclaim versions past `keep`, never inside `retain_ms` (RETAIN " +
-      "rule); returns the versions still resolvable",
+      "rule) or pinned by a tag; `dry_run => true` only REPORTS what " +
+      "would be reclaimed (same cutoff/pin arithmetic, zero deletion); " +
+      "returns the reclaimed (or reclaimable) versions and those still " +
+      "resolvable",
     Seq(in("path", StringType), inD("keep", IntegerType, "2"),
-      inD("retain_ms", LongType, "0")),
-    new StructType().add("retained_versions", StringType,
-      nullable = false)) {
+      inD("retain_ms", LongType, "0"),
+      inD("dry_run", BooleanType, "false")),
+    new StructType()
+      .add("reclaimed_versions", StringType, nullable = false)
+      .add("retained_versions", StringType, nullable = false)
+      .add("dry_run", BooleanType, nullable = false)) {
     override protected def run(a: InternalRow): Seq[InternalRow] = {
       val p = str(a, 0)
-      TableManifest.vacuum(spark, p, a.getInt(1), a.getLong(2))
-      Seq(InternalRow(UTF8String.fromString(
-        TableManifest.versions(spark, p).mkString(","))))
+      val dry = a.getBoolean(3)
+      val reclaim =
+        TableManifest.vacuumDryRun(spark, p, a.getInt(1), a.getLong(2))
+      if (!dry) TableManifest.vacuum(spark, p, a.getInt(1), a.getLong(2))
+      Seq(InternalRow(
+        UTF8String.fromString(reclaim.mkString(",")),
+        UTF8String.fromString(
+          if (dry) TableManifest.versions(spark, p)
+            .filterNot(reclaim.toSet).mkString(",")
+          else TableManifest.versions(spark, p).mkString(",")),
+        dry))
     }
   }
 

@@ -983,13 +983,24 @@ class GraftCatalogSpec extends AnyFunSuite {
     val hist = s.sql(s"CALL graft.history(path => '$p')").collect()
     assert(hist.length == TableManifest.versions(s, p).length)
     assert(hist.count(_.getBoolean(1)) == 1)
-    // maintain reports; vacuum returns what stays resolvable
+    // maintain reports; vacuum's DRY RUN predicts without deleting,
+    // then the real run reclaims exactly the prediction
     val rep = s.sql(s"CALL graft.maintain(path => '$p', " +
       "max_batches => 2, stats_cols => 'id')").head()
     assert(rep.getInt(0) >= 0)
-    val retained = s.sql(s"CALL graft.vacuum(path => '$p', keep => 1)")
-      .head().getString(0)
-    assert(retained.split(",").length <= 2)
+    val vsBefore = TableManifest.versions(s, p)
+    val dry = s.sql(s"CALL graft.vacuum(path => '$p', keep => 1, " +
+      "dry_run => true)").head()
+    assert(dry.getBoolean(2), "dry_run flag echoes")
+    assert(TableManifest.versions(s, p) == vsBefore,
+      "a dry run must delete NOTHING")
+    val predicted = dry.getString(0)
+    val real = s.sql(s"CALL graft.vacuum(path => '$p', keep => 1)")
+      .head()
+    assert(real.getString(0) == predicted,
+      s"the real vacuum must reclaim the dry run's prediction: " +
+        s"${real.getString(0)} vs $predicted")
+    assert(real.getString(1).split(",").length <= 2)
     assert(s.sql(s"SELECT count(*) FROM graft.`$p`")
       .head().getLong(0) == before)
   }
