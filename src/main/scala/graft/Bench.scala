@@ -62,11 +62,17 @@ object Bench {
     "q_iforest_top_anomalies", // custom ML scoring
     "q_stream_hourly_rollup")  // structured streaming
 
+  /** First lines of a proc file, "" when absent — closed promptly (a
+    * leaked handle per bench run would be harmless but sloppy). */
+  private def procLine(p: String): String =
+    try {
+      val src = scala.io.Source.fromFile(p)
+      try src.getLines().take(2).mkString("; ").trim
+      finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => "" }
+
   def main(args: Array[String]): Unit = {
-    val loadStart =
-      try scala.io.Source.fromFile("/proc/loadavg").getLines()
-        .take(1).mkString.trim
-      catch { case _: Throwable => "" }
+    val loadStart = procLine("/proc/loadavg")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -118,10 +124,6 @@ object Bench {
     // cgroup CPU pressure when the kernel exposes it) makes that call
     // data in BENCH_r{N}.json itself. Zero behavior change: read-only
     // proc files, missing ones report empty.
-    def procLine(p: String): String =
-      try scala.io.Source.fromFile(p).getLines().take(2).mkString("; ")
-        .trim
-      catch { case _: Throwable => "" }
     def j(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val loadEnd = procLine("/proc/loadavg")

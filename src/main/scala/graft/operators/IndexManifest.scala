@@ -406,23 +406,29 @@ private[operators] object IndexManifest {
     require(keep >= 1)
     val vs = committedVersions(spark, path)
     if (vs.isEmpty) return Nil
-    val f = fs(spark, path)
-    val keepSet =
-      if (retainMs <= 0L) vs.takeRight(keep)
-      else {
-        val floor = System.currentTimeMillis() - retainMs
-        val recent = vs.filter { v =>
-          scala.util.Try(
-            f.getFileStatus(new Path(s"$path/manifest/v$v"))
-              .getModificationTime >= floor).getOrElse(true)
-        }
-        (vs.takeRight(keep) ++ recent).distinct.sorted
-      }
+    val keepSet = keepTail(spark, path, vs, keep, retainMs)
     val cutoff = payloadVersionAt(spark, path, keepSet.min, payloadBase)
       .getOrElse(keepSet.min)
     val protectedVers = protectedBy(spark, path, pinned, payloadBase, vs)
     vs.filter(v => v < cutoff && !protectedVers(v))
   }
+
+  /** The keep/retention tail — ONE implementation shared by [[vacuum]]
+    * and [[reclaimable]], so the dry run can never predict a different
+    * set than the deletion computes. */
+  private def keepTail(spark: SparkSession, path: String, vs: Seq[Long],
+      keep: Int, retainMs: Long): Seq[Long] =
+    if (retainMs <= 0L) vs.takeRight(keep)
+    else {
+      val f = fs(spark, path)
+      val floor = System.currentTimeMillis() - retainMs
+      val recent = vs.filter { v =>
+        scala.util.Try(
+          f.getFileStatus(new Path(s"$path/manifest/v$v"))
+            .getModificationTime >= floor).getOrElse(true)
+      }
+      (vs.takeRight(keep) ++ recent).distinct.sorted
+    }
 
   /** The version numbers `pinned` versions resolve THROUGH (payload,
     * masking segments, newest geometry per family, own markers) — what
@@ -451,39 +457,47 @@ private[operators] object IndexManifest {
         case (b, d) if isSegmentBase(b) &&
           d > pay.getOrElse(-1L) && d <= p && committedSet(d) => d
       }
+      // update-keyspace batches (MoR UPDATE/MERGE replacement rows)
+      // are legitimized by THEIR OWN marker's kind — an insert-only
+      // merge carries no segment dir, so without this its marker would
+      // be reclaimed and the pinned read would silently drop the
+      // merge's rows (updateVersionsAt filters on the marker kind)
+      val updBatches = pay.toSeq.flatMap { pv =>
+        val dir = new Path(s"$path/${payloadBase}_v$pv")
+        if (!f.exists(dir)) Nil
+        else f.listStatus(dir).map(_.getPath.getName)
+          .collect { case n if n.startsWith("__batch=") =>
+            n.stripPrefix("__batch=").toLong }
+          .filter(_ >= TableManifest.UpdateBase)
+          .map(_ - TableManifest.UpdateBase)
+          .filter(d => d > pv && d <= p && committedSet(d))
+      }
       val geom = families.filter { case (b, _) =>
         !isSegmentBase(b) && b != payloadBase }
         .groupBy(_._1).flatMap { case (_, es) =>
           es.map(_._2).filter(w => w <= p && committedSet(w))
             .sorted.lastOption
         }
-      Set(p) ++ pay ++ segs ++ geom
+      Set(p) ++ pay ++ segs ++ updBatches ++ geom
     }
   }
 
+  /** Returns the versions whose payload/segments were reclaimed (no
+    * longer readable — their markers may linger as geometry survivors);
+    * identical by construction to what [[reclaimable]] predicts. */
   def vacuum(spark: SparkSession, path: String, keep: Int,
       payloadBase: String = "codes", retainMs: Long = 0L,
-      pinned: Set[Long] = Set.empty): Unit = {
+      pinned: Set[Long] = Set.empty): Seq[Long] = {
     require(keep >= 1)
     val f = fs(spark, path)
     val vs = committedVersions(spark, path)
-    if (vs.isEmpty) return
+    if (vs.isEmpty) return Nil
     // retention horizon (the Delta RETAIN rule): a version COMMITTED
     // inside the last `retainMs` is never reclaimed regardless of `keep`,
     // so a long-running reader pinned to a recent version cannot have its
     // files deleted mid-query — commit time is the marker's mtime, the
     // one clock the filesystem already keeps
-    val keepSet =
-      if (retainMs <= 0L) vs.takeRight(keep)
-      else {
-        val floor = System.currentTimeMillis() - retainMs
-        val recent = vs.filter { v =>
-          scala.util.Try(
-            f.getFileStatus(new Path(s"$path/manifest/v$v"))
-              .getModificationTime >= floor).getOrElse(true)
-        }
-        (vs.takeRight(keep) ++ recent).distinct.sorted
-      }
+    val keepSet = keepTail(spark, path, vs, keep, retainMs)
     // the reclaim cutoff derives from the keep/retention TAIL ONLY —
     // `pinned` versions (named tags at the table layer) are exempted
     // INDIVIDUALLY below instead of lowering the global cutoff: one
@@ -522,7 +536,8 @@ private[operators] object IndexManifest {
         f.delete(new Path(s"$path/${base}_v$w"), true))
       survivors
     }.toSet
-    vs.filter(v => v < cutoff && !protectedVers(v)).foreach { v =>
+    val reclaimed = vs.filter(v => v < cutoff && !protectedVers(v))
+    reclaimed.foreach { v =>
       f.delete(new Path(s"$path/${payloadBase}_v$v"), true)
       // segments at-or-below the cutoff are folded into every retained
       // version's payload (a retained version's masking segments are all
@@ -534,5 +549,6 @@ private[operators] object IndexManifest {
       if (!keptGeometry.contains(v))
         f.delete(new Path(s"$path/manifest/v$v"), false)
     }
+    reclaimed
   }
 }

@@ -340,7 +340,13 @@ object TableManifest {
     while (!committed) {
       v = IndexManifest.nextMutationVersion(spark, path)
       val dst = new org.apache.hadoop.fs.Path(s"$path/data_v$v")
-      val cdst = new org.apache.hadoop.fs.Path(s"$path/constraints_v$v")
+      // the combined commit's artifact lives under its OWN family
+      // (constraintsnap_v, honored only with a snapshot-kind marker):
+      // if it shared constraints_v, a PLAIN setConstraints racing for
+      // the same number could park its artifact there and have THIS
+      // path's snapshot marker legitimize the uncommitted set
+      val cdst = new org.apache.hadoop.fs.Path(
+        s"$path/constraintsnap_v$v")
       // the claim refuses an existing dst: a racing committer at the same
       // number makes us spin until its marker lands, then retry above it
       if (renameExclusive(f, tmp, dst)) {
@@ -1072,8 +1078,13 @@ object TableManifest {
     import spark.implicits._
     // SQL cardinality rule: a target row may match at most ONE source
     // row — refuse duplicate source keys before anything commits (the
-    // source is fixed across commit retries, so check once)
-    val dup = source.groupBy(keyCols.map(k => col(s"`$k`")): _*)
+    // source is fixed across commit retries, so check once).
+    // NULL-keyed source rows are exempt: they can never MATCH a target
+    // row (3VL), so several of them are a legal multi-insert, not a
+    // cardinality violation.
+    val dup = source
+      .filter(keyCols.map(k => col(s"`$k`").isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(k => col(s"`$k`")): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1)
       .collect()
     require(dup.isEmpty,
@@ -1966,33 +1977,32 @@ object TableManifest {
       "status STRING, kind STRING"
 
   /** Constraints visible at `version` (default: current) — the newest
-    * `constraints_v` artifact at-or-below it whose version was
-    * committed BY a constraints DDL or a combined payload+constraints
-    * snapshot (kind-tagged marker, the [[deleteSegmentsAt]]
-    * discipline): a racing APPENDER's marker at the number a losing
-    * setConstraints briefly parked its artifact under must neither
-    * legitimize the uncommitted set nor crash a concurrent reader when
-    * the loser takes the claim back. The `snapshot` kind is honored
-    * because ONLY [[commitPayloadDir]]'s combined path parks a
-    * constraints artifact at a snapshot version (both claims are
-    * exclusive renames, taken back together on marker loss) — a plain
-    * snapshot version simply has no artifact on disk. None = empty. */
+    * constraint artifact at-or-below it whose version was committed BY
+    * the matching mutation kind: `constraints_v` artifacts need a
+    * `constraints`-kind marker (plain ADD/DROP CONSTRAINT DDL), and
+    * `constraintsnap_v` artifacts a `snapshot`-kind one (the combined
+    * payload+constraints REPLACE/CTAS commit — its own family, so an
+    * unrelated snapshot committer at the number a losing PLAIN
+    * setConstraints parked its artifact under can never legitimize the
+    * uncommitted set; both races resolve to "not honored", the
+    * [[deleteSegmentsAt]] discipline). None = empty. */
   def constraintsOf(spark: SparkSession, path: String,
       version: Option[Long] = None): Seq[TableConstraint] = {
     val v = version.orElse(IndexManifest.currentVersion(spark, path))
       .getOrElse(return Nil)
     val committed = IndexManifest.committedVersions(spark, path).toSet
-    IndexManifest.diskVersions(spark, path, "constraints")
-      .filter { cv =>
-        val k = IndexManifest.markerInfoAt(spark, path, cv).kind
-        cv <= v && committed.contains(cv) &&
-          (k == "constraints" || k == "snapshot")
-      }
-      .lastOption match {
+    def honored(family: String, wantKind: String): Seq[(Long, String)] =
+      IndexManifest.diskVersions(spark, path, family)
+        .filter(cv => cv <= v && committed.contains(cv) &&
+          IndexManifest.markerInfoAt(spark, path, cv).kind == wantKind)
+        .map(_ -> family)
+    (honored("constraints", "constraints") ++
+      honored("constraintsnap", "snapshot"))
+      .sortBy(_._1).lastOption match {
       case None => Nil
-      case Some(cv) =>
+      case Some((cv, family)) =>
         spark.read.schema(ConstraintSchema)
-          .parquet(s"$path/constraints_v$cv")
+          .parquet(s"$path/${family}_v$cv")
           .collect()
           .map(r => TableConstraint(r.getString(0), r.getString(1),
             r.getBoolean(2), r.getBoolean(3), r.getString(4),
@@ -2172,7 +2182,7 @@ object TableManifest {
     * Zone-map artifacts fall under the geometry-survivor rule
     * unchanged. */
   def vacuum(spark: SparkSession, path: String, keep: Int = 2,
-      retainMs: Long = 0L): Unit =
+      retainMs: Long = 0L): Seq[Long] =
     IndexManifest.vacuum(spark, path, keep, payloadBase = "data",
       retainMs = retainMs,
       pinned = tags(spark, path).map(_._2).toSet)
@@ -2234,8 +2244,8 @@ object TableManifest {
       n.startsWith(prefix) &&
         n.stripPrefix(prefix).toLongOption.exists(_ > cur)
     sweep(path, n => above(n, "deletes_v") || above(n, "data_v") ||
-      above(n, "constraints_v") || above(n, "eqdeletes_v") ||
-      above(n, "colmap_v"))
+      above(n, "constraints_v") || above(n, "constraintsnap_v") ||
+      above(n, "eqdeletes_v") || above(n, "colmap_v"))
     payloadDir(spark, path).foreach(d =>
       sweep(d, n => n.startsWith("__batch=") &&
         n.stripPrefix("__batch=").toLongOption

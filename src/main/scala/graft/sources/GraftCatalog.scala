@@ -156,17 +156,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     new GraftTable(p, None, Some(schema))
   }
 
-  /** `CREATE TABLE (c T NOT NULL, ...)` arrives as schema nullability —
-    * register each non-nullable column as a kind-tagged NOT NULL
-    * constraint so the write funnels enforce what the DDL declared.
-    * Only user-authored column DDL takes this path; CTAS/RTAS schemas
-    * (query-derived nullability) deliberately do not. */
-  private def notNullConstraints(
-      schema: StructType): Seq[TableManifest.TableConstraint] =
-    schema.fields.toSeq.filterNot(_.nullable).map(f =>
-      TableManifest.TableConstraint(s"${f.name}_not_null",
-        s"`${f.name}` IS NOT NULL", enforced = true, rely = false,
-        status = "VALID", kind = s"notnull:${f.name}"))
+  private def notNullConstraints(schema: StructType) =
+    GraftCatalog.notNullConstraints(schema)
 
   /** `ALTER TABLE ... ADD COLUMN(S)` — schema evolution as DDL. The
     * manifest already evolves through wider appends (merged-schema
@@ -279,10 +270,14 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
         .map(lower).toSet
       val chain = mapping.flatMap(m => m.logical +: m.physical)
         .map(lower).toSet
+      // HEAD of each reference: `point.x` pins the top-level column
+      // `point` — the name a rename/drop would take away (last would
+      // both miss the container and false-positive on unrelated
+      // columns named like a leaf field)
       val consCols = TableManifest.constraintsOf(spark, p).flatMap(c =>
         spark.sessionState.sqlParser.parseExpression(c.sql).collect {
           case u: org.apache.spark.sql.catalyst.analysis
-              .UnresolvedAttribute => lower(u.nameParts.last)
+              .UnresolvedAttribute => lower(u.nameParts.head)
         }).toSet
       renames.foreach { r =>
         require(r.fieldNames.length == 1,
@@ -576,6 +571,21 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       "graft tables are path-addressed; rename the directory")
 }
 
+object GraftCatalog {
+  /** `CREATE/REPLACE TABLE (c T NOT NULL, ...)` arrives as schema
+    * nullability — register each non-nullable column as a kind-tagged
+    * NOT NULL constraint so the write funnels enforce what the DDL
+    * declared. Only user-authored column DDL takes this path (plain
+    * CREATE/REPLACE with a column list); CTAS/RTAS schemas
+    * (query-derived nullability) deliberately do not. */
+  private[sources] def notNullConstraints(
+      schema: StructType): Seq[TableManifest.TableConstraint] =
+    schema.fields.toSeq.filterNot(_.nullable).map(f =>
+      TableManifest.TableConstraint(s"${f.name}_not_null",
+        s"`${f.name}` IS NOT NULL", enforced = true, rely = false,
+        status = "VALID", kind = s"notnull:${f.name}"))
+}
+
 /** The in-flight table of an atomic CTAS/RTAS: accepts exactly one
   * staged write (the query's result, landed UNPUBLISHED in a hidden
   * payload dir), then either publishes it as one marker commit or
@@ -658,8 +668,10 @@ private[sources] class GraftStagedTable(path: String, ident: Identifier,
     // definition carries constraints OR an existing table's set must be
     // cleared by the replace (an empty artifact is the readable
     // constraint-free state).
-    val atomicConstraints: Option[Seq[TableManifest.TableConstraint]] =
-      if (stagedConstraints.nonEmpty) Some(stagedConstraints)
+    def atomicConstraints(
+        defs: Seq[TableManifest.TableConstraint])
+        : Option[Seq[TableManifest.TableConstraint]] =
+      if (defs.nonEmpty) Some(defs)
       else if (replace && exists &&
           TableManifest.constraintsOf(spark, path).nonEmpty) Some(Nil)
       else None
@@ -667,9 +679,12 @@ private[sources] class GraftStagedTable(path: String, ident: Identifier,
       case null =>
         // plain REPLACE TABLE / CREATE TABLE via staging: no query to
         // stage — the schema itself is the content (zero-row snapshot,
-        // next version of the same manifest)
+        // next version of the same manifest), and the COLUMN LIST is
+        // user-authored, so `c T NOT NULL` column syntax registers its
+        // constraints exactly like the non-staged CREATE path
         TableManifest.createEmpty(spark, path, stagedSchema,
-          atomicConstraints)
+          atomicConstraints(stagedConstraints ++
+            GraftCatalog.notNullConstraints(stagedSchema)))
       case dir =>
         // validate the staged content against the NEW definition's
         // enforced CHECK constraints BEFORE the marker flips: a
@@ -699,7 +714,7 @@ private[sources] class GraftStagedTable(path: String, ident: Identifier,
           }
         }
         TableManifest.publishStagedSnapshot(spark, path, dir,
-          atomicConstraints)
+          atomicConstraints(stagedConstraints))
     }
     ()
   }

@@ -110,16 +110,19 @@ private[sources] object GraftProcedures {
     override protected def run(a: InternalRow): Seq[InternalRow] = {
       val p = str(a, 0)
       val dry = a.getBoolean(3)
-      val reclaim =
-        TableManifest.vacuumDryRun(spark, p, a.getInt(1), a.getLong(2))
-      if (!dry) TableManifest.vacuum(spark, p, a.getInt(1), a.getLong(2))
+      val (reclaimed, retained) =
+        if (dry) {
+          val r = TableManifest.vacuumDryRun(spark, p, a.getInt(1),
+            a.getLong(2))
+          (r, TableManifest.versions(spark, p).filterNot(r.toSet))
+        } else {
+          val r = TableManifest.vacuum(spark, p, a.getInt(1),
+            a.getLong(2))
+          (r, TableManifest.versions(spark, p).filterNot(r.toSet))
+        }
       Seq(InternalRow(
-        UTF8String.fromString(reclaim.mkString(",")),
-        UTF8String.fromString(
-          if (dry) TableManifest.versions(spark, p)
-            .filterNot(reclaim.toSet).mkString(",")
-          else TableManifest.versions(spark, p).mkString(",")),
-        dry))
+        UTF8String.fromString(reclaimed.mkString(",")),
+        UTF8String.fromString(retained.mkString(",")), dry))
     }
   }
 

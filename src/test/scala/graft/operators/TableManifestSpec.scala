@@ -161,6 +161,51 @@ class TableManifestSpec extends AnyFunSuite {
       s"eq mask must not sort-merge the table side:\n$plan")
   }
 
+  test("an insert-only MERGE's marker survives vacuum for a later pin: " +
+    "update-keyspace batches are part of a pin's resolution set") {
+    // an insert-only mergeWhere commits a replacement batch with a
+    // kind=merge marker but NO segment dir — without batch-aware pin
+    // protection, vacuum reclaimed that marker and the pinned read
+    // silently dropped the merge's rows (updateVersionsAt filters
+    // batches by their marker's kind)
+    val path = Files.createTempDirectory("tm_vac_mrgpin").toString
+    TableManifest.commitSnapshot(
+      df((0L until 5L).map(i => (i, "b")): _*), path)
+    TableManifest.mergeWhere(s, path,
+      df((100L until 103L).map(i => (i, "m")): _*), keyCols = Seq("id"),
+      matched = Nil, inserts = Seq(TableManifest.MergeInsert(None)))
+    TableManifest.tag(s, path, "pin")
+    TableManifest.commitSnapshot(df(500L -> "x"), path)
+    TableManifest.commitSnapshot(df(501L -> "y"), path)
+    TableManifest.vacuum(s, path, keep = 1)
+    assert(ids(TableManifest.readAt(s, path,
+      TableManifest.tagVersion(s, path, "pin").get)) ==
+      Set(0L, 1L, 2L, 3L, 4L, 100L, 101L, 102L),
+      "the pinned read must keep the insert-only merge's rows")
+  }
+
+  test("a parked constraints artifact at a SNAPSHOT-kind version is " +
+    "never honored: the combined commit uses its own family") {
+    // the race: a plain setConstraints computes the next number, a
+    // snapshot committer takes it first (kind=snapshot); the loser's
+    // parked constraints_v artifact must not be legitimized by that
+    // marker (the combined payload+constraints path writes
+    // constraintsnap_v instead, which IS honored under snapshot kind)
+    val path = Files.createTempDirectory("tm_cons_snapkind").toString
+    TableManifest.commitSnapshot(df(1L -> "a"), path)
+    val v1 = TableManifest.commitSnapshot(df(2L -> "b"), path)
+    import s.implicits._
+    Seq(("bogus", "id < 0", true, false, "VALID", "check"))
+      .toDF("name", "sql", "enforced", "rely", "status", "kind")
+      .coalesce(1).write.parquet(s"$path/constraints_v$v1")
+    assert(TableManifest.constraintsOf(s, path).isEmpty,
+      "a crashed racer's parked artifact under a snapshot marker must " +
+        "never become the live constraint set")
+    // and the append gate must not enforce the bogus set
+    TableManifest.append(df(-5L -> "ok"), path)
+    assert(ids(TableManifest.read(s, path)).contains(-5L))
+  }
+
   test("history audits every retained version; compactBatches folds the append log") {
     val path = Files.createTempDirectory("tm_hist").toString
     TableManifest.commitSnapshot(df(1L -> "a"), path)

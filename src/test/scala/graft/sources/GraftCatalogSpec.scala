@@ -797,6 +797,32 @@ class GraftCatalogSpec extends AnyFunSuite {
     // constraint is dropped (its stored predicate names the column)
     intercept[Exception](
       s.sql(s"ALTER TABLE graft.`$p` RENAME COLUMN id TO ident"))
+    // plain REPLACE TABLE with a NOT NULL column list re-registers the
+    // constraint (user-authored columns — unlike RTAS's query-derived
+    // schema) atomically with the replacement
+    s.sql(s"REPLACE TABLE graft.`$p` (id BIGINT NOT NULL, v DOUBLE)")
+    intercept[Exception](
+      s.sql(s"INSERT INTO graft.`$p` VALUES (NULL, 1.0)"))
+    s.sql(s"INSERT INTO graft.`$p` VALUES (9, 1.0)")
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0)
+      == 1)
+    // several NULL-KEYED source rows are a legal multi-insert, not a
+    // MERGE cardinality violation (null keys never match)
+    s.sql("SELECT CAST(NULL AS BIGINT) AS id, 2.0 AS v " +
+      "UNION ALL SELECT CAST(NULL AS BIGINT), 3.0")
+      .createOrReplaceTempView("nn_nullsrc")
+    intercept[Exception] { // NOT NULL still gates the inserts though
+      s.sql(s"""MERGE INTO graft.`$p` AS t USING nn_nullsrc AS s
+        ON t.id = s.id
+        WHEN NOT MATCHED THEN INSERT *""")
+    }
+    s.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN id DROP NOT NULL")
+    s.sql(s"""MERGE INTO graft.`$p` AS t USING nn_nullsrc AS s
+      ON t.id = s.id
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p` WHERE id IS NULL")
+      .head().getLong(0) == 2,
+      "null-keyed source rows must both insert")
   }
 
   test("MoR MERGE: explicit assignments over both pre-images, NMBS " +
