@@ -328,6 +328,129 @@ private[operators] object IndexManifest {
   def watermarkAt(spark: SparkSession, path: String, version: Long): Long =
     markerInfoAt(spark, path, version).wm
 
+  // ---- manifest-log checkpoints: flat head+body resolution ---------------
+  //
+  // The manifest LISTING is one RPC, but marker BODIES (watermarks,
+  // kinds) cost one file open each — and a busy table (a streaming
+  // Update-mode sink commits one marker per micro-batch) accumulates
+  // thousands of markers between vacuums, so body-walking helpers
+  // (update-batch visibility, segment kinds, history) would pay
+  // O(#versions) opens on EVERY read. A CHECKPOINT file
+  // (`manifest/ckpt_v<C>` — the Delta `_last_checkpoint` idea) captures
+  // every committed marker's immutable body + commit mtime up to its
+  // head; [[markerLog]] reads the newest checkpoint plus ONLY the
+  // checkpoint→head tail of marker files, so read planning stays flat
+  // from 1k to 50k versions (`Stress manifestscale`). Safety is by
+  // construction, not trust: marker bodies are IMMUTABLE once placed,
+  // and the checkpoint is consulted only for versions the live listing
+  // still shows — existence (the head, vacuum reclaims) always comes
+  // from the listing, so a stale checkpoint can never serve a wrong
+  // head or resurrect a reclaimed version, and a corrupt/unreadable
+  // checkpoint degrades to per-marker reads, never to wrong answers.
+  // Writing is best-effort and amortized: every `checkpointInterval`-th
+  // commit (default 32, `spark.graft.manifest.checkpointInterval`,
+  // <= 0 disables) rewrites the checkpoint from the previous one plus
+  // the tail, then prunes superseded checkpoint files.
+
+  /** Every committed marker's body and mtime, resolved in O(tail) file
+    * opens (see above). `committed` ascending; `mtime` from the live
+    * listing (commit times — the TIMESTAMP AS OF axis). */
+  final case class MarkerLog(committed: Seq[Long],
+      info: Map[Long, MarkerInfo], mtime: Map[Long, Long]) {
+    def infoAt(v: Long): MarkerInfo =
+      info.getOrElse(v, MarkerInfo(Long.MaxValue, -1L, ""))
+  }
+
+  def markerLog(spark: SparkSession, path: String): MarkerLog = {
+    val f = fs(spark, path)
+    val dir = new Path(s"$path/manifest")
+    if (!f.exists(dir)) return MarkerLog(Seq.empty, Map.empty, Map.empty)
+    val sts = f.listStatus(dir)
+    val markers: Map[Long, Long] = sts.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && !n.contains("_"))
+        n.drop(1).toLongOption.map(_ -> st.getModificationTime)
+      else None
+    }.toMap
+    val committed = markers.keys.toSeq.sorted
+    val head = committed.lastOption.getOrElse(-1L)
+    val ckpt = sts.map(_.getPath.getName)
+      .collect { case n if n.startsWith("ckpt_v") =>
+        n.stripPrefix("ckpt_v") }
+      .collect { case n if n.nonEmpty && n.forall(_.isDigit) => n.toLong }
+      .filter(_ <= head).sorted.lastOption
+    val fromCkpt: Map[Long, MarkerInfo] = ckpt match {
+      case None => Map.empty
+      case Some(c) =>
+        scala.util.Try {
+          val in = f.open(new Path(s"$path/manifest/ckpt_v$c"))
+          val body = try scala.io.Source.fromInputStream(in).mkString
+          finally in.close()
+          body.linesIterator.flatMap { l =>
+            // <version>:<wm>:<uwm>:<mtime>:<kind> — kind last (it may
+            // be empty on pre-tagging markers); mtime is carried for
+            // inspection but the LIVE listing's mtimes are served
+            l.split(":", 5) match {
+              case Array(v, wm, uwm, _, kind) =>
+                for {
+                  vv <- v.toLongOption
+                  w <- wm.toLongOption
+                  u <- uwm.toLongOption
+                } yield vv -> MarkerInfo(w, u, kind)
+              case _ => None
+            }
+          }.toMap
+        }.getOrElse(Map.empty) // unreadable checkpoint = no cache
+    }
+    // bodies come from the checkpoint ONLY for versions the live
+    // listing still shows; the tail — and any version the checkpoint
+    // missed — reads its marker file directly
+    val cached = fromCkpt.filter { case (v, _) => markers.contains(v) }
+    val missing = committed.filterNot(cached.contains)
+    val tail = missing.map(v => v -> markerInfoAt(spark, path, v)).toMap
+    MarkerLog(committed, cached ++ tail, markers)
+  }
+
+  /** Write `manifest/ckpt_v<head>` (best-effort: a loss is a cache
+    * miss, never an error) and prune superseded checkpoints, keeping
+    * the newest two so a reader mid-open never loses its file. Returns
+    * the checkpointed head. */
+  def writeCheckpoint(spark: SparkSession, path: String): Option[Long] = {
+    val log = markerLog(spark, path)
+    log.committed.lastOption.map { head =>
+      val f = fs(spark, path)
+      val body = log.committed.map { v =>
+        val i = log.infoAt(v)
+        s"$v:${i.wm}:${i.uwm}:${log.mtime.getOrElse(v, 0L)}:${i.kind}"
+      }.mkString("\n")
+      val tmp = new Path(
+        s"$path/manifest/.ckpt_pending_${java.util.UUID.randomUUID}")
+      val out = f.create(tmp, true)
+      try out.writeBytes(body) finally out.close()
+      val dst = new Path(s"$path/manifest/ckpt_v$head")
+      if (!renameExclusive(f, tmp, dst)) f.delete(tmp, false)
+      val all = f.listStatus(new Path(s"$path/manifest"))
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("ckpt_v") =>
+          n.stripPrefix("ckpt_v") }
+        .collect { case n if n.nonEmpty && n.forall(_.isDigit) => n.toLong }
+        .sorted
+      all.dropRight(2).foreach(c =>
+        f.delete(new Path(s"$path/manifest/ckpt_v$c"), false))
+      head
+    }
+  }
+
+  private def maybeCheckpoint(spark: SparkSession, path: String,
+      version: Long): Unit = {
+    val interval = spark.conf
+      .getOption("spark.graft.manifest.checkpointInterval")
+      .flatMap(_.toIntOption).getOrElse(32)
+    if (interval > 0 && version > 0 && version % interval == 0)
+      scala.util.Try(writeCheckpoint(spark, path))
+    ()
+  }
+
   /** Attempt to commit `version` (marker body = `watermark`). False when
     * the version number was already taken — the caller re-resolves the
     * current version and retries at the new next number. */
@@ -373,6 +496,7 @@ private[operators] object IndexManifest {
     } else {
       val won = f.rename(tmp, dst)
       if (!won) f.delete(tmp, false) // lost between check and rename
+      else maybeCheckpoint(spark, path, version)
       won
     }
   }

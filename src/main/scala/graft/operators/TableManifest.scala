@@ -511,7 +511,7 @@ object TableManifest {
     val spark = df0.sparkSession
     require(IndexManifest.currentVersion(spark, path).isDefined,
       s"append into $path requires an initial commitSnapshot")
-    val df = enforceConstraints(df0, path)
+    val df = physicalizeFrame(spark, path, enforceConstraints(df0, path))
     val dir = payloadDir(spark, path).get
     val f = fs(spark, path)
     val carried = currentWatermark(spark, path)
@@ -888,7 +888,8 @@ object TableManifest {
       updated0.schema // analysis check: bad SQL fails the UPDATE, not reads
       // CHECK constraints gate the POST-image: a SET that would write a
       // violating row aborts before anything commits
-      val updated = enforceConstraints(updated0, path)
+      val updated = physicalizeFrame(spark, path,
+        enforceConstraints(updated0, path))
       val dir = s"$path/data_v" +
         IndexManifest.payloadVersionAt(spark, path, v0, "data").get
       val tmpBatch = new org.apache.hadoop.fs.Path(
@@ -1050,14 +1051,34 @@ object TableManifest {
     * matched key resolves independently), null keys never MATCH (3VL)
     * but ARE removable by NOT MATCHED BY SOURCE (the tombstone joins
     * null-safely), duplicate SOURCE keys refuse before anything
-    * commits, assignments see pre-update images. Commit protocol is
-    * STRICT CAS at pin + 1: any intervening commit — even a pure append
-    * — restarts the derivation (a MERGE's matched/not-matched split
-    * depends on full target content, so unlike [[updateWhere]] the
-    * claim never slides over appends; serializability over cleverness).
+    * commits, assignments see pre-update images. Commit protocol is a
+    * CAS at pin + 1 that SLIDES over provably-disjoint appends: when
+    * the head moved but every intervening commit is a pure append
+    * whose NEW rows' keys intersect no source key (one delta-batch
+    * semi-probe — the appended rows then belong to no matched group,
+    * no not-matched insert, and no acted tombstone key, so the staged
+    * payload is still exact), the claim re-targets the new head + 1
+    * like [[updateWhere]]'s; any other intervening commit — a
+    * mutation, a NOT-MATCHED-BY-SOURCE merge (whose split DOES depend
+    * on full target content), or an intersecting append — restarts
+    * the derivation. Retries back off with jitter (a hot appender must
+    * not starve the merge into its attempt cap, which
+    * `spark.graft.merge.maxAttempts` raises when a workload needs it).
     * Folds ([[compactBatches]]/[[maintain]]) erase the tombstone and
     * batch; the CDF shows delete(old) + insert(new); readers pinned
     * below `d` never see it.
+    *
+    * `nullSafeKeys = true` switches EVERY key comparison to `<=>` —
+    * the streaming Update-mode sink's upsert contract, where a
+    * NULL-valued grouping key is one more group that must REPLACE its
+    * previous emission instead of re-inserting forever (SQL MERGE
+    * keeps the standard 3VL `===`). `widenSchema = true` makes a
+    * committing merge claim its replacement batch even when empty, so
+    * the batch's parquet footer (written under `schema`) carries a
+    * WIDENED schema into the table under the SAME marker — the
+    * MERGE WITH SCHEMA EVOLUTION path, where a separate pre-merge
+    * widening commit would survive a refused or failed merge; a no-op
+    * merge commits nothing, widening included.
     *
     * Returns (committed version — or the pinned current on a no-op
     * merge, rows matched — every inner-join row whatever its clause
@@ -1065,7 +1086,8 @@ object TableManifest {
   def mergeWhere(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String], matched: Seq[MergeMatched],
       inserts: Seq[MergeInsert], bySource: Seq[MergeBySource] = Nil,
-      schema: Option[StructType] = None): (Long, Long, Long) = {
+      schema: Option[StructType] = None, nullSafeKeys: Boolean = false,
+      widenSchema: Boolean = false): (Long, Long, Long) = {
     require(IndexManifest.currentVersion(spark, path).isDefined,
       s"no committed table at $path")
     require(keyCols.nonEmpty, "MERGE requires key columns")
@@ -1076,14 +1098,21 @@ object TableManifest {
       "MERGE needs at least one clause")
     val f = fs(spark, path)
     import spark.implicits._
+    // key comparison: SQL MERGE is 3VL equality (null keys never
+    // match); the sink's upsert contract is null-safe (a NULL group
+    // key replaces its previous emission like any other key)
+    def keyEq(a: Column, b: Column): Column =
+      if (nullSafeKeys) a <=> b else a === b
     // SQL cardinality rule: a target row may match at most ONE source
     // row — refuse duplicate source keys before anything commits (the
     // source is fixed across commit retries, so check once).
-    // NULL-keyed source rows are exempt: they can never MATCH a target
-    // row (3VL), so several of them are a legal multi-insert, not a
-    // cardinality violation.
-    val dup = source
-      .filter(keyCols.map(k => col(s"`$k`").isNotNull).reduce(_ && _))
+    // NULL-keyed source rows are exempt UNDER 3VL: they can never
+    // MATCH a target row, so several of them are a legal multi-insert,
+    // not a cardinality violation. Under nullSafeKeys the null key IS
+    // a key group and duplicates on it refuse like any other.
+    val dup = (if (nullSafeKeys) source
+      else source.filter(
+        keyCols.map(k => col(s"`$k`").isNotNull).reduce(_ && _)))
       .groupBy(keyCols.map(k => col(s"`$k`")): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1)
       .collect()
@@ -1091,12 +1120,26 @@ object TableManifest {
       s"MERGE cardinality violation: source has duplicate rows on " +
         s"(${keyCols.mkString(", ")}): ${dup.headOption.getOrElse("")}")
 
+    val maxAttempts = spark.conf
+      .getOption("spark.graft.merge.maxAttempts")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(20)
     var attempt = 0
     while (true) {
       attempt += 1
-      require(attempt <= 20,
+      require(attempt <= maxAttempts,
         s"mergeWhere at $path lost the commit race $attempt times in a " +
-          "row — retry under quieter write traffic")
+          "row — raise spark.graft.merge.maxAttempts or retry under " +
+          "quieter write traffic")
+      if (attempt > 1) {
+        // jittered backoff before re-deriving: under a hot appender the
+        // derivation itself is the expensive step, and retrying the
+        // instant the race is lost just loses it again — the liveness
+        // half of the strict-CAS contract (the chaos spec's appender
+        // arm measures the envelope)
+        val base = 25L << math.min(attempt - 2, 5)
+        Thread.sleep(base / 2 + java.util.concurrent.ThreadLocalRandom
+          .current().nextLong(base))
+      }
       val v0 = IndexManifest.currentVersion(spark, path).get
       val wm0 = watermarkOf(spark, path, v0)
       val uwm0 = unkeyedWatermarkOf(spark, path, v0)
@@ -1156,15 +1199,21 @@ object TableManifest {
       // keys (match-proportional), never a window over the whole frame
       // (on the NMBS side that frame is nearly the full table when the
       // source is small — a window there would shuffle the table).
+      // Only the NARROW acted-keys frame is cached: Catalyst prunes its
+      // branch of the join down to the key + condition columns, so the
+      // cache holds O(acted keys) key tuples — persisting the full
+      // frame here would spool ~the whole (wide) table to executor
+      // storage on the NMBS side; the replacement rows instead
+      // re-derive from the pinned read inside the staging write's own
+      // scan.
       def resolveSide(frame: DataFrame,
           clauses: Seq[(String, Option[String],
             Option[Seq[(String, String)]])]): (DataFrame, DataFrame) = {
-        val staged = frame
-          .withColumn("__act", actOf(clauses.map(_._2))).persist()
-        cached += staged
+        val staged = frame.withColumn("__act", actOf(clauses.map(_._2)))
         val actedKeys = staged.filter(col("__act") >= 0)
           .select(keyCols.map(k => col(s"__t.`$k`").as(k)): _*)
-          .distinct()
+          .distinct().persist()
+        cached += actedKeys
         val ak = actedKeys.select(keyCols.map(k =>
           col(s"`$k`").as(s"__ak_$k")): _*)
         val affected = staged.join(ak,
@@ -1196,7 +1245,7 @@ object TableManifest {
           updObs = Some(obs)
           val joined = tgt.alias("__t").join(source.alias("__s"),
               keyCols.map(k =>
-                col(s"__t.`$k`") === col(s"__s.`$k`")).reduce(_ && _),
+                keyEq(col(s"__t.`$k`"), col(s"__s.`$k`"))).reduce(_ && _),
               "inner")
             .observe(obs, count(lit(1)).as("n"))
           resolveSide(joined,
@@ -1206,10 +1255,15 @@ object TableManifest {
       // ---- not-matched-by-source side: anti join, same group rewrite
       val (bysrcRepl, bysrcKeys) =
         if (bySource.isEmpty) (emptyTgt, emptyKeys)
-        else resolveSide(
-          tgt.join(source.select(keyCols.map(k => col(s"`$k`")): _*),
-            keyCols, "left_anti").alias("__t"),
-          bySource.map(m => (m.action, m.cond, m.assigns)))
+        else {
+          val sk = source.select(keyCols.map(k =>
+            col(s"`$k`").as(s"__sk_$k")): _*)
+          resolveSide(
+            tgt.join(sk, keyCols.map(k =>
+                keyEq(col(s"`$k`"), col(s"`__sk_$k`"))).reduce(_ && _),
+              "left_anti").alias("__t"),
+            bySource.map(m => (m.action, m.cond, m.assigns)))
+        }
 
       // ---- inserts: unmatched source rows, first accepting clause
       val insRepl =
@@ -1217,9 +1271,12 @@ object TableManifest {
         else {
           val obs = new org.apache.spark.sql.Observation()
           insObs = Some(obs)
-          val anti = source.alias("__s").join(
-            tgt.select(keyCols.map(k => col(s"`$k`")): _*),
-            keyCols, "left_anti")
+          val tk = tgt.select(keyCols.map(k =>
+            col(s"`$k`").as(s"__tk_$k")): _*)
+          val anti = source.alias("__s").join(tk,
+            keyCols.map(k =>
+              keyEq(col(s"__s.`$k`"), col(s"`__tk_$k`"))).reduce(_ && _),
+            "left_anti")
           val imgs = inserts.map(cl => image(cl.assigns, forInsert = true))
           val fold = inserts.zipWithIndex.foldRight(imgs.head: Column) {
             case ((_, i), els) =>
@@ -1232,99 +1289,168 @@ object TableManifest {
         }
 
       val removeKeys = matchedKeys.unionByName(bysrcKeys).distinct()
-      val replacement = enforceConstraints(
-        matchedRepl.unionByName(bysrcRepl).unionByName(insRepl), path)
+      val replacement = physicalizeFrame(spark, path, enforceConstraints(
+        matchedRepl.unionByName(bysrcRepl).unionByName(insRepl), path))
 
-      // ---- stage everything, then the strict CAS at v0 + 1
-      val tmpBatch = new org.apache.hadoop.fs.Path(
-        s"$path/.update_pending_${java.util.UUID.randomUUID}")
-      replacement.write.mode("overwrite").parquet(tmpBatch.toString)
+      // ---- stage everything, then the CAS at head + 1 (sliding over
+      //      provably-disjoint appends). The tombstone keys stage
+      //      FIRST: that job materializes the narrow acted-keys caches
+      //      and fires the matched-count observation exactly once; the
+      //      replacement write then probes the already-built cache
+      //      instead of re-running the observed join.
       val tmpEq = new org.apache.hadoop.fs.Path(
         s"$path/.eqdeletes_pending_${java.util.UUID.randomUUID}")
-      removeKeys.write.mode("overwrite").parquet(tmpEq.toString)
-      cached.foreach(_.unpersist())
-      def metricOpt(o: Option[org.apache.spark.sql.Observation]) =
-        o.flatMap(_.get.get("n").map(_.asInstanceOf[Long]))
-      // a statically-pruned branch reports an empty metric map; the
-      // matched count then falls back to a keys-only semi count against
-      // the PINNED pre-merge version (audit-only, like the CoW path did)
-      def nMatched: Long =
-        metricOpt(updObs).getOrElse(
-          if (matched.isEmpty && bySource.isEmpty && inserts.isEmpty) 0L
-          else readAt(spark, path, v0, schema)
-            .select(keyCols.map(k => col(s"`$k`")): _*)
-            .join(source.select(keyCols.map(k => col(s"`$k`")): _*),
-              keyCols, "left_semi").count())
-      val nInserted = metricOpt(insObs).getOrElse(0L)
-      val batchNeeded = !spark.read.parquet(tmpBatch.toString).isEmpty
-      val segNeeded = !spark.read.parquet(tmpEq.toString).isEmpty
-      if (!batchNeeded && !segNeeded) {
-        // nothing matched a clause and nothing inserts: a no-op MERGE
-        // commits no version (the no-match UPDATE contract)
-        f.delete(tmpBatch, true); f.delete(tmpEq, true)
-        return (v0, nMatched, 0L)
-      }
+      val tmpBatch = new org.apache.hadoop.fs.Path(
+        s"$path/.update_pending_${java.util.UUID.randomUUID}")
       val tmpSeg = new org.apache.hadoop.fs.Path(
         s"$path/.deletes_pending_${java.util.UUID.randomUUID}")
-      if (segNeeded)
-        Seq((null: String, wm0, uwm0, keyCols.mkString(",")))
-          .toDF("pred", "wm", "uwm", "keycols")
-          .coalesce(1).write.mode("overwrite").parquet(tmpSeg.toString)
-      val dir = s"$path/data_v" +
-        IndexManifest.payloadVersionAt(spark, path, v0, "data").get
-      val d = v0 + 1
-      val bdst = new org.apache.hadoop.fs.Path(
-        s"$dir/__batch=${UpdateBase + d}")
-      val edst = new org.apache.hadoop.fs.Path(s"$path/eqdeletes_v$d")
-      val sdst = new org.apache.hadoop.fs.Path(s"$path/deletes_v$d")
-      var blockedTries = 0
-      var result = -1L // >= 0 committed; -1 claiming; -2 lost, re-derive
-      def backOut(claims: Seq[(org.apache.hadoop.fs.Path,
-          org.apache.hadoop.fs.Path)]): Unit =
-        claims.reverse.foreach { case (dst, tmp) => f.rename(dst, tmp) }
-      while (result == -1L) {
-        if (IndexManifest.currentVersion(spark, path).get != v0) {
-          // ANY intervening commit invalidates the matched/not-matched
-          // split — strict serializability, recompute from the new head
-          result = -2L
-        } else {
-          val wanted =
-            (if (batchNeeded) Seq(tmpBatch -> bdst) else Nil) ++
-            (if (segNeeded) Seq(tmpEq -> edst, tmpSeg -> sdst) else Nil)
-          val won = scala.collection.mutable
-            .ArrayBuffer.empty[(org.apache.hadoop.fs.Path,
-              org.apache.hadoop.fs.Path)]
-          val allClaimed = wanted.forall { case (tmp, dst) =>
-            val ok = renameExclusive(f, tmp, dst)
-            if (ok) won += (dst -> tmp)
-            ok
-          }
-          if (!allClaimed) {
-            backOut(won.toSeq)
-            blockedTries += 1
-            if (blockedTries > 100)
-              throw new IllegalStateException(
-                s"merge claim at version $d blocks with no marker " +
-                  "arriving: a crashed mutation likely left an orphan " +
-                  s"batch or segment dir at $path — maintain's " +
-                  "cleanOrphans removes it")
-            Thread.sleep(20)
-          } else if (IndexManifest.tryCommitTagged(spark, path, d,
-              wm0, uwm0, "merge")) {
-            result = d
+      // (dst, tmp) pairs currently renamed into place but not committed
+      val claimed = scala.collection.mutable
+        .ArrayBuffer.empty[(org.apache.hadoop.fs.Path,
+          org.apache.hadoop.fs.Path)]
+      def backOut(): Unit = {
+        claimed.reverse.foreach { case (dst, tmp) => f.rename(dst, tmp) }
+        claimed.clear()
+      }
+      try {
+        removeKeys.write.mode("overwrite").parquet(tmpEq.toString)
+        replacement.write.mode("overwrite").parquet(tmpBatch.toString)
+        cached.foreach(_.unpersist())
+        def metricOpt(o: Option[org.apache.spark.sql.Observation]) =
+          o.flatMap(_.get.get("n").map(_.asInstanceOf[Long]))
+        // a statically-pruned branch reports an empty metric map; the
+        // matched count then falls back to a keys-only semi count against
+        // the PINNED pre-merge version (audit-only, like the CoW path did)
+        def nMatched: Long =
+          metricOpt(updObs).getOrElse(
+            if (matched.isEmpty && bySource.isEmpty && inserts.isEmpty) 0L
+            else readAt(spark, path, v0, schema)
+              .select(keyCols.map(k => col(s"`$k`")): _*)
+              .join(source.select(keyCols.map(k => col(s"`$k`")): _*),
+                keyCols, "left_semi").count())
+        val nInserted = metricOpt(insObs).getOrElse(0L)
+        val batchNeeded = !spark.read.parquet(tmpBatch.toString).isEmpty
+        val segNeeded = !spark.read.parquet(tmpEq.toString).isEmpty
+        if (!batchNeeded && !segNeeded) {
+          // nothing matched a clause and nothing inserts: a no-op MERGE
+          // commits no version (the no-match UPDATE contract) — and
+          // under WITH SCHEMA EVOLUTION that includes the widening
+          f.delete(tmpBatch, true); f.delete(tmpEq, true)
+          return (v0, nMatched, 0L)
+        }
+        // WITH SCHEMA EVOLUTION rides the replacement batch's parquet
+        // footer (written under the widened `schema`) — claim it even
+        // when it holds zero rows, so the widening and the merge flip
+        // under ONE marker
+        val claimBatch = batchNeeded || (widenSchema && segNeeded)
+        if (segNeeded)
+          Seq((null: String, wm0, uwm0, keyCols.mkString(",")))
+            .toDF("pred", "wm", "uwm", "keycols")
+            .coalesce(1).write.mode("overwrite").parquet(tmpSeg.toString)
+        val dir = s"$path/data_v" +
+          IndexManifest.payloadVersionAt(spark, path, v0, "data").get
+        // can the claim SLIDE over the commits in (v0, head]? Only when
+        // every one is a pure APPEND whose new rows' keys provably miss
+        // every source key (one semi-probe over the delta batches only):
+        // the matched/not-matched split, the insert set, and the acted
+        // tombstone keys are then untouched by the interleaving. A
+        // NOT-MATCHED-BY-SOURCE clause never slides — its split covers
+        // the whole target, and every appended row would belong to it.
+        def slidable(head: Long): Boolean =
+          bySource.isEmpty &&
+            ((v0 + 1) to head).forall(v =>
+              IndexManifest.markerInfoAt(spark, path, v).kind ==
+                "append") && {
+              val wmH = watermarkOf(spark, path, head)
+              val uwmH = unkeyedWatermarkOf(spark, path, head)
+              val parts = f
+                .listStatus(new org.apache.hadoop.fs.Path(dir))
+                .map(_.getPath.getName)
+                .collect { case n if n.startsWith("__batch=") =>
+                  n.stripPrefix("__batch=").toLong }
+                .filter(b => b < UpdateBase && visibleId(b, wmH, uwmH) &&
+                  !visibleId(b, wm0, uwm0))
+                .map(b => s"$dir/__batch=$b").toSeq
+              parts.isEmpty || {
+                val delta = payloadRead(spark, dir, Some(keySchema),
+                  mergeSchema = false, basePath = Some(dir), parts = parts)
+                val mk = source.select(keyCols.map(k =>
+                  col(s"`$k`").as(s"__mk_$k")): _*)
+                delta.join(mk, keyCols.map(k =>
+                    keyEq(col(s"`$k`"), col(s"`__mk_$k`"))).reduce(_ && _),
+                  "left_semi").isEmpty
+              }
+            }
+        var d = v0 + 1
+        var blockedTries = 0
+        var result = -1L // >= 0 committed; -1 claiming; -2 lost, re-derive
+        while (result == -1L) {
+          val head = IndexManifest.currentVersion(spark, path).get
+          if (head >= d) {
+            if (slidable(head)) { d = head + 1; blockedTries = 0 }
+            else result = -2L // a mutation (or an intersecting append)
+                              // landed: stale derivation, restart
           } else {
-            backOut(won.toSeq)
-            // loop re-reads the head: a moved head restarts, an
-            // in-flight partner holding the marker slot spins bounded
+            val bdst = new org.apache.hadoop.fs.Path(
+              s"$dir/__batch=${UpdateBase + d}")
+            val edst = new org.apache.hadoop.fs.Path(
+              s"$path/eqdeletes_v$d")
+            val sdst = new org.apache.hadoop.fs.Path(s"$path/deletes_v$d")
+            val wanted =
+              (if (claimBatch) Seq(tmpBatch -> bdst) else Nil) ++
+              (if (segNeeded) Seq(tmpEq -> edst, tmpSeg -> sdst) else Nil)
+            val allClaimed = wanted.forall { case (tmp, dst) =>
+              val ok = renameExclusive(f, tmp, dst)
+              if (ok) claimed += (dst -> tmp)
+              ok
+            }
+            if (!allClaimed) {
+              backOut()
+              blockedTries += 1
+              if (blockedTries > 100)
+                throw new IllegalStateException(
+                  s"merge claim at version $d blocks with no marker " +
+                    "arriving: a crashed mutation likely left an orphan " +
+                    s"batch or segment dir at $path — maintain's " +
+                    "cleanOrphans removes it")
+              Thread.sleep(20)
+            } else if (IndexManifest.tryCommitTagged(spark, path, d,
+                watermarkOf(spark, path, d - 1),
+                unkeyedWatermarkOf(spark, path, d - 1), "merge")) {
+              // the marker carries d-1's watermarks (== the interleaved
+              // appends' when the claim slid) so append visibility never
+              // regresses; the TOMBSTONE inside sdst keeps (wm0, uwm0)
+              claimed.clear()
+              result = d
+            } else {
+              backOut()
+              // loop re-reads the head: slides on disjoint appends,
+              // restarts on mutations; an in-flight partner holding the
+              // marker slot spins bounded
+            }
           }
         }
+        if (result >= 0L) {
+          // staged dirs that were never part of the claim set (a
+          // delete-only merge's empty replacement, an update-only
+          // merge's unused segment row) are debris — remove them now
+          Seq(tmpBatch, tmpEq, tmpSeg).foreach(p => f.delete(p, true))
+          warnPendingDepth(spark, path)
+          return (result, nMatched, nInserted)
+        }
+        f.delete(tmpBatch, true); f.delete(tmpEq, true)
+        f.delete(tmpSeg, true)
+      } catch {
+        case t: Throwable =>
+          // failed merges clean up after themselves: back out any held
+          // claim, then remove the staged dirs — otherwise every failed
+          // attempt leaves orphan debris until a manual
+          // maintain/cleanOrphans run
+          scala.util.Try(backOut())
+          Seq(tmpBatch, tmpEq, tmpSeg).foreach(p =>
+            scala.util.Try(f.delete(p, true)))
+          throw t
       }
-      if (result >= 0L) {
-        warnPendingDepth(spark, path)
-        return (result, nMatched, nInserted)
-      }
-      f.delete(tmpBatch, true); f.delete(tmpEq, true)
-      f.delete(tmpSeg, true)
     }
     (-1L, -1L, -1L) // unreachable
   }
@@ -1332,33 +1458,124 @@ object TableManifest {
   /** A LOGICAL schema expanded to the physical names the payload files
     * carry for it — what an explicit-schema read must request so old
     * batches' pre-rename columns still load (absent names null-pad per
-    * file, the parquet explicit-schema contract). */
+    * file, the parquet explicit-schema contract). Each physical name is
+    * requested under its OWN era's type (`ptypes`) — a widened column's
+    * old batches must be read as what they are and cast at resolution,
+    * never requested under the wider type the files do not carry. */
   private def physicalReadSchema(s: StructType,
       mapping: Seq[ColumnMapping]): StructType =
     if (mapping.isEmpty) s
     else StructType(s.fields.toSeq.flatMap { f =>
       mapping.find(_.logical.equalsIgnoreCase(f.name)) match {
-        case Some(m) => m.physical.map(p =>
-          org.apache.spark.sql.types.StructField(p, f.dataType,
-            nullable = true))
+        case Some(m) =>
+          val ts: Seq[org.apache.spark.sql.types.DataType] =
+            if (m.ptypes.size == m.physical.size)
+              m.ptypes.map(org.apache.spark.sql.types.DataType.fromDDL)
+            else m.physical.map(_ => f.dataType)
+          m.physical.zip(ts).map { case (p, t) =>
+            org.apache.spark.sql.types.StructField(p, t, nullable = true) }
         case None => Seq(f)
       }
     })
+
+  // ---- one-shot read resolution: listings + marker log captured once ----
+
+  /** Everything a READ needs to answer version questions, captured in
+    * two listing RPCs plus the checkpoint-backed [[IndexManifest
+    * .markerLog]] (marker BODIES from the checkpoint, existence from
+    * the live listing): committed set, versioned dirs per family, and
+    * every marker's watermarks/kind. The serving paths resolve against
+    * one View instead of re-listing and re-opening marker files per
+    * helper — on a busy table (a streaming Update-mode sink commits one
+    * marker per micro-batch) that is the difference between flat and
+    * O(#versions) read planning (`Stress manifestscale`). Mutators keep
+    * the always-fresh helpers: their CAS loops must observe concurrent
+    * commits, and marker bodies being immutable makes the View safe
+    * only for point-in-time answers, not for claim decisions. */
+  private[operators] final case class View(committed: Seq[Long],
+      disk: Map[String, Seq[Long]], log: IndexManifest.MarkerLog) {
+    val committedSet: Set[Long] = committed.toSet
+    def current: Option[Long] = committed.lastOption
+    def payloadAt(version: Long): Option[Long] =
+      disk.getOrElse("data", Nil)
+        .filter(p => p <= version && committedSet.contains(p)).lastOption
+    def diskOf(base: String): Seq[Long] = disk.getOrElse(base, Nil)
+  }
+
+  private def viewOf(spark: SparkSession, path: String): View = {
+    val log = IndexManifest.markerLog(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = fs(spark, path)
+    val disk: Map[String, Seq[Long]] =
+      if (!f.exists(p)) Map.empty
+      else f.listStatus(p).map(_.getPath.getName).toSeq.flatMap { n =>
+        val i = n.lastIndexOf("_v")
+        if (i <= 0) None
+        else {
+          val ver = n.substring(i + 2)
+          if (ver.nonEmpty && ver.forall(_.isDigit))
+            Some(n.substring(0, i) -> ver.toLong)
+          else None
+        }
+      }.groupBy(_._1).map { case (b, vs) => b -> vs.map(_._2).sorted }
+    View(log.committed, disk, log)
+  }
+
+  private def watermarkOfV(spark: SparkSession, path: String, view: View,
+      version: Long): Long = {
+    val wm = view.log.infoAt(version).wm
+    if (wm != Long.MaxValue) wm
+    else view.current.flatMap(view.payloadAt)
+      .map(p => VectorIndex.nextBatchId(spark, s"$path/data_v$p") - 1L)
+      .getOrElse(-1L)
+  }
+
+  private def updateVersionsAtV(spark: SparkSession, path: String,
+      view: View, version: Long, dir: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(spark, path)
+    if (!f.exists(p)) return Set.empty
+    f.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("__batch=") =>
+        n.stripPrefix("__batch=").toLong }
+      .filter(_ >= UpdateBase).map(_ - UpdateBase)
+      .filter { d =>
+        val k = view.log.infoAt(d).kind
+        d <= version && (k == "update" || k == "merge")
+      }.toSet
+  }
+
+  private def deleteSegmentsAtV(view: View, version: Long): Seq[Long] = {
+    val p = view.payloadAt(version).getOrElse(-1L)
+    view.diskOf("deletes")
+      .filter(d => d > p && d <= version && view.committedSet.contains(d))
+      .filter { d =>
+        val k = view.log.infoAt(d).kind
+        k.isEmpty || k == "delete" || k == "update" || k == "merge"
+      }
+  }
+
+  private def columnMapOfV(spark: SparkSession, path: String, view: View,
+      version: Long): Seq[ColumnMapping] =
+    view.diskOf("colmap")
+      .filter(cv => cv <= version && view.committedSet.contains(cv) &&
+        view.log.infoAt(cv).kind == "colmap")
+      .lastOption.map(readColMap(spark, path, _)).getOrElse(Nil)
 
   /** The masked PHYSICAL frame of composite `version` (still carrying
     * `__batch` and pre-rename column names) — masks evaluate here
     * because tombstone predicates are stored physical-tolerant.
     * [[resolvedAt]] applies the column mapping on top. */
   private def resolvedPhysical(spark: SparkSession, path: String,
-      version: Long, schema: Option[StructType], mergeSchema: Boolean,
-      mapping: Seq[ColumnMapping]): DataFrame = {
-    val p = IndexManifest.payloadVersionAt(spark, path, version, "data")
+      view: View, version: Long, schema: Option[StructType],
+      mergeSchema: Boolean, mapping: Seq[ColumnMapping]): DataFrame = {
+    val p = view.payloadAt(version)
     require(p.isDefined,
       s"version $version of $path has been vacuumed — raise vacuum(keep)")
-    val wm = watermarkOf(spark, path, version)
-    val uwm = unkeyedWatermarkOf(spark, path, version)
+    val wm = watermarkOfV(spark, path, view, version)
+    val uwm = view.log.infoAt(version).uwm
     val dir = s"$path/data_v${p.get}"
-    val updVers = updateVersionsAt(spark, path, version, dir)
+    val updVers = updateVersionsAtV(spark, path, view, version, dir)
     // a live mapping needs the FULL footer union: plain parquet schema
     // sampling could pick a pre-rename file and lose the new-era name
     // the masks and the logical view coalesce over
@@ -1366,7 +1583,7 @@ object TableManifest {
     val base = payloadRead(spark, dir,
       schema.map(physicalReadSchema(_, mapping)), merge)
     maskDeletes(base.filter(visibleBatch(wm, uwm, updVers)),
-      deletePredsOf(spark, path, deleteSegmentsAt(spark, path, version)),
+      deletePredsOf(spark, path, deleteSegmentsAtV(view, version)),
       path, mapping)
   }
 
@@ -1375,11 +1592,12 @@ object TableManifest {
     * column mapping applied (renamed columns resolve, dropped ones
     * disappear — each at the ERA the version pins). The one read
     * everything public builds on. */
-  private def resolvedAt(spark: SparkSession, path: String, version: Long,
-      schema: Option[StructType], mergeSchema: Boolean): DataFrame = {
-    val mapping = columnMapOf(spark, path, Some(version))
+  private def resolvedAt(spark: SparkSession, path: String, view: View,
+      version: Long, schema: Option[StructType],
+      mergeSchema: Boolean): DataFrame = {
+    val mapping = columnMapOfV(spark, path, view, version)
     applyColumnMap(
-      resolvedPhysical(spark, path, version, schema, mergeSchema,
+      resolvedPhysical(spark, path, view, version, schema, mergeSchema,
         mapping), mapping, schema)
   }
 
@@ -1391,9 +1609,10 @@ object TableManifest {
   def read(spark: SparkSession, path: String,
       schema: Option[StructType] = None,
       mergeSchema: Boolean = false): DataFrame = {
-    val v = IndexManifest.currentVersion(spark, path).getOrElse(
+    val view = viewOf(spark, path)
+    val v = view.current.getOrElse(
       sys.error(s"no committed table at $path"))
-    resolvedAt(spark, path, v, schema, mergeSchema).drop("__batch")
+    resolvedAt(spark, path, view, v, schema, mergeSchema).drop("__batch")
   }
 
   /** VERSION AS OF `version`: the newest payload at-or-below it, batches
@@ -1404,9 +1623,11 @@ object TableManifest {
   def readAt(spark: SparkSession, path: String, version: Long,
       schema: Option[StructType] = None,
       mergeSchema: Boolean = false): DataFrame = {
-    require(IndexManifest.committedVersions(spark, path).contains(version),
+    val view = viewOf(spark, path)
+    require(view.committedSet.contains(version),
       s"version $version was never committed at $path")
-    resolvedAt(spark, path, version, schema, mergeSchema).drop("__batch")
+    resolvedAt(spark, path, view, version, schema, mergeSchema)
+      .drop("__batch")
   }
 
   /** CHANGE DATA FEED between two committed versions — what downstream
@@ -1433,24 +1654,25 @@ object TableManifest {
       toVersion: Long, schema: Option[StructType] = None): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
-    val committed = IndexManifest.committedVersions(spark, path).toSet
-    require(committed.contains(fromVersion) && committed.contains(toVersion),
+    val view = viewOf(spark, path)
+    require(view.committedSet.contains(fromVersion) &&
+        view.committedSet.contains(toVersion),
       s"both versions must be committed at $path")
-    val pF = IndexManifest.payloadVersionAt(spark, path, fromVersion, "data")
-    val pT = IndexManifest.payloadVersionAt(spark, path, toVersion, "data")
+    val pF = view.payloadAt(fromVersion)
+    val pT = view.payloadAt(toVersion)
     require(pF.isDefined && pT.isDefined,
       s"a version in [$fromVersion, $toVersion] of $path has been " +
         "vacuumed — raise vacuum(keep)")
     if (pF == pT) {
-      val wmF = watermarkOf(spark, path, fromVersion)
-      val wmT = watermarkOf(spark, path, toVersion)
-      val uwmF = unkeyedWatermarkOf(spark, path, fromVersion)
-      val uwmT = unkeyedWatermarkOf(spark, path, toVersion)
+      val wmF = watermarkOfV(spark, path, view, fromVersion)
+      val wmT = watermarkOfV(spark, path, view, toVersion)
+      val uwmF = view.log.infoAt(fromVersion).uwm
+      val uwmT = view.log.infoAt(toVersion).uwm
       val dir = s"$path/data_v${pT.get}"
-      val updF = updateVersionsAt(spark, path, fromVersion, dir)
-      val updT = updateVersionsAt(spark, path, toVersion, dir)
-      val segsF = deleteSegmentsAt(spark, path, fromVersion).toSet
-      val segsT = deleteSegmentsAt(spark, path, toVersion)
+      val updF = updateVersionsAtV(spark, path, view, fromVersion, dir)
+      val updT = updateVersionsAtV(spark, path, view, toVersion, dir)
+      val segsF = deleteSegmentsAtV(view, fromVersion).toSet
+      val segsT = deleteSegmentsAtV(view, toVersion)
       val newSegs = segsT.filterNot(segsF)
       val survivors = fs(spark, path)
         .listStatus(new org.apache.hadoop.fs.Path(dir))
@@ -1463,7 +1685,7 @@ object TableManifest {
       // the window's era mapping: TO-side — the shared payload dir's
       // footer union carries every era's physical names, so older rows
       // resolve under it too
-      val mapping = columnMapOf(spark, path, Some(toVersion))
+      val mapping = columnMapOfV(spark, path, view, toVersion)
       val inserts =
         if (survivors.isEmpty)
           readAt(spark, path, toVersion, schema).filter(lit(false))
@@ -1487,13 +1709,41 @@ object TableManifest {
         // then the mapping resolves the logical feed shape.
         val preds = deletePredsOf(spark, path, newSegs)
         val (flagged, hitAny, helpers) = flagDeletes(
-          resolvedPhysical(spark, path, fromVersion, schema,
+          resolvedPhysical(spark, path, view, fromVersion, schema,
             mergeSchema = false, mapping), preds, path, mapping)
         val deletes = applyColumnMap(
             flagged.filter(hitAny).drop(helpers: _*), mapping, schema)
           .drop("__batch")
-          .withColumn("_change_type", lit("delete"))
-        insertFeed.unionByName(deletes)
+        // CONTENT-NEUTRAL delete/insert pairs CANCEL: a MoR MERGE's
+        // key-group rewrite re-lands the untouched same-key rows of an
+        // acted key (and an UPDATE may set a column to its existing
+        // value) — byte-identical pre/post images. The feed's contract
+        // is a content delta, and a consumer treating _change_type as
+        // real row churn (audit trails, trigger pipelines, follower
+        // indexes) must not act on no-op pairs. exceptAll is exact
+        // multiset cancellation — match-proportional over the window,
+        // never the table. Skipped (raw pairs served) only when the
+        // shape is not set-op comparable: a MAP column, or
+        // insert/delete column lists that do not line up (a mid-window
+        // evolution — the consumer re-baselines there anyway).
+        def comparable(dt: org.apache.spark.sql.types.DataType): Boolean =
+          dt match {
+            case _: org.apache.spark.sql.types.MapType => false
+            case s: StructType =>
+              s.fields.forall(f => comparable(f.dataType))
+            case a: org.apache.spark.sql.types.ArrayType =>
+              comparable(a.elementType)
+            case _ => true
+          }
+        if (inserts.columns.toSeq == deletes.columns.toSeq &&
+            inserts.schema.fields.forall(f => comparable(f.dataType)))
+          inserts.exceptAll(deletes)
+            .withColumn("_change_type", lit("insert"))
+            .unionByName(deletes.exceptAll(inserts)
+              .withColumn("_change_type", lit("delete")))
+        else
+          insertFeed.unionByName(
+            deletes.withColumn("_change_type", lit("delete")))
       }
     } else {
       val a = readAt(spark, path, fromVersion, schema)
@@ -1570,6 +1820,14 @@ object TableManifest {
   def versions(spark: SparkSession, path: String): Seq[Long] =
     IndexManifest.committedVersions(spark, path)
 
+  /** Force a manifest-log checkpoint at the current head (normally
+    * written automatically every
+    * `spark.graft.manifest.checkpointInterval`-th commit — see
+    * [[IndexManifest.markerLog]]); returns the checkpointed head.
+    * Maintenance surfaces call this after bulk history rewrites. */
+  def checkpointManifest(spark: SparkSession, path: String): Option[Long] =
+    IndexManifest.writeCheckpoint(spark, path)
+
   /** The newest version committed at-or-before `tsMillis` — the
     * TIMESTAMP AS OF resolution, from the marker files' modification
     * times (the Delta approach, with the same caveat: commit times are
@@ -1594,6 +1852,46 @@ object TableManifest {
       .filter(_._2 <= tsMillis)
       .sortBy(_._1)
       .lastOption.map(_._1)
+  }
+
+  // ---- layout hint: PARTITIONED BY as clustering advice ------------------
+
+  /** Record `cols` as the table's LAYOUT HINT — what `CREATE TABLE ...
+    * PARTITIONED BY (c)` maps to: graft tables own their physical
+    * layout (`__batch` partitions + OPTIMIZE/CLUSTER BY + zone maps),
+    * so the clause is accepted as CLUSTERING ADVICE, not a partition
+    * contract — maintenance (`CALL graft.optimize`/`maintain`) defaults
+    * its cluster/stats columns to the hint, and the zone maps it
+    * refreshes give range probes on those columns the pruned read
+    * (`readRange`), which is what Hive-style partition pruning was
+    * buying. One tiny `manifest/layouthint` ref file (the tag shape);
+    * metadata-only, re-settable, never consulted for correctness. */
+  def setLayoutHint(spark: SparkSession, path: String,
+      cols: Seq[String]): Unit = {
+    val f = fs(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/manifest/.tag_pending_${java.util.UUID.randomUUID}")
+    val out = f.create(tmp, true)
+    try out.write(cols.mkString(",").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(s"$path/manifest/layouthint")
+    if (!f.rename(tmp, dst)) {
+      f.delete(dst, false)
+      require(f.rename(tmp, dst),
+        s"could not place the layout hint at $path")
+    }
+  }
+
+  /** The clustering columns `PARTITIONED BY` declared; empty = none. */
+  def layoutHint(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(s"$path/manifest/layouthint")
+    if (!f.exists(p)) return Nil
+    val in = f.open(p)
+    val body = try scala.io.Source.fromInputStream(in).mkString.trim
+    finally in.close()
+    if (body.isEmpty) Nil
+    else body.split(",").map(_.trim).filter(_.nonEmpty).toSeq
   }
 
   // ---- named tags: human refs into the version history -------------------
@@ -1729,14 +2027,21 @@ object TableManifest {
   // history.
 
   /** One logical column's mapping: `physical` is its name history,
-    * newest first (head = the logical name for non-dropped entries);
-    * `dropped` hides the column from every read at-or-after the
-    * mapping's version. */
+    * newest first (head = the logical name for non-dropped entries,
+    * EXCEPT a type-widened column, whose head is its new-era storage
+    * name `<col>__w<version>` — two parquet types must never share one
+    * physical name in a footer-merged dir); `dropped` hides the column
+    * from every read at-or-after the mapping's version; `ptypes` is the
+    * per-era physical TYPE history parallel to `physical` (catalog
+    * strings; empty on legacy artifacts = no read-time cast). The
+    * logical view serves every era cast to `ptypes.head` — ALTER COLUMN
+    * TYPE widening as pure metadata. */
   final case class ColumnMapping(logical: String, physical: Seq[String],
-      dropped: Boolean)
+      dropped: Boolean, ptypes: Seq[String] = Nil)
 
   private val ColMapSchema =
-    "logical STRING, physical ARRAY<STRING>, dropped BOOLEAN"
+    "logical STRING, physical ARRAY<STRING>, dropped BOOLEAN, " +
+      "ptypes ARRAY<STRING>"
 
   /** The column mapping visible at `version` (default: current) — the
     * newest kind-tagged `colmap_v` artifact at-or-below it; empty =
@@ -1750,16 +2055,19 @@ object TableManifest {
     IndexManifest.diskVersions(spark, path, "colmap")
       .filter(cv => cv <= v && committed.contains(cv) &&
         IndexManifest.markerInfoAt(spark, path, cv).kind == "colmap")
-      .lastOption match {
-      case None => Nil
-      case Some(cv) =>
-        spark.read.schema(ColMapSchema).parquet(s"$path/colmap_v$cv")
-          .collect()
-          .map(r => ColumnMapping(r.getString(0),
-            r.getSeq[String](1).toSeq, r.getBoolean(2)))
-          .sortBy(_.logical).toSeq
-    }
+      .lastOption.map(readColMap(spark, path, _)).getOrElse(Nil)
   }
+
+  /** The `colmap_v<cv>` artifact's rows — O(#columns), one driver
+    * read. Pre-ptypes artifacts read `ptypes` as NULL → no casts. */
+  private def readColMap(spark: SparkSession, path: String,
+      cv: Long): Seq[ColumnMapping] =
+    spark.read.schema(ColMapSchema).parquet(s"$path/colmap_v$cv")
+      .collect()
+      .map(r => ColumnMapping(r.getString(0),
+        r.getSeq[String](1).toSeq, r.getBoolean(2),
+        if (r.isNullAt(3)) Nil else r.getSeq[String](3).toSeq))
+      .sortBy(_.logical).toSeq
 
   /** Replace the table's column mapping in ONE marker commit (kind
     * `colmap` — metadata-only, watermarks carried forward). The
@@ -1774,8 +2082,8 @@ object TableManifest {
     import spark.implicits._
     val tmp = new org.apache.hadoop.fs.Path(
       s"$path/.colmap_pending_${java.util.UUID.randomUUID}")
-    ms.map(m => (m.logical, m.physical, m.dropped))
-      .toDF("logical", "physical", "dropped")
+    ms.map(m => (m.logical, m.physical, m.dropped, m.ptypes))
+      .toDF("logical", "physical", "dropped", "ptypes")
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     var v = -1L
     var committed = false
@@ -1830,11 +2138,18 @@ object TableManifest {
         m.physical.exists(
           _.toLowerCase(java.util.Locale.ROOT) == lower)) match {
       case Some(m) =>
+        // per-era read-time CAST: a type-widened column's old batches
+        // keep their era's physical type — every branch casts to the
+        // head (current logical) type before the coalesce, so the
+        // logical view serves ONE type across eras (a no-op Catalyst
+        // folds away on unwidened entries)
+        val headType = m.ptypes.headOption
+        def branch(c: Column): Column = headType.fold(c)(t => c.cast(t))
         val phys = m.physical.filter(p => present.exists(
           _.equalsIgnoreCase(p)))
-        if (phys.isEmpty) col(s"`$name`")
-        else if (phys.size == 1) col(s"`${phys.head}`")
-        else coalesce(phys.map(p => col(s"`$p`")): _*)
+        if (phys.isEmpty) branch(col(s"`$name`"))
+        else if (phys.size == 1) branch(col(s"`${phys.head}`"))
+        else coalesce(phys.map(p => branch(col(s"`$p`"))): _*)
       case None => col(s"`$name`")
     }
   }
@@ -1859,7 +2174,7 @@ object TableManifest {
         n.toLowerCase(java.util.Locale.ROOT) -> m)).toMap
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
       UnresolvedExtractValue}
-    import org.apache.spark.sql.catalyst.expressions.{Coalesce,
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce,
       Expression, Literal}
     spark.sessionState.sqlParser.parseExpression(predicateSql)
       .transformUp {
@@ -1875,12 +2190,49 @@ object TableManifest {
           val phys = m.physical.filter(p =>
             present.contains(p.toLowerCase(java.util.Locale.ROOT)))
           val names = if (phys.nonEmpty) phys else m.physical.take(1)
+          // a type-widened entry evaluates every era cast to the head
+          // type (the stored predicate was analyzed against the
+          // logical — wide — view)
+          val headT = m.ptypes.headOption
+            .map(org.apache.spark.sql.types.DataType.fromDDL)
+          def attr(p: String): Expression = {
+            val a: Expression = UnresolvedAttribute(Seq(p))
+            headT.fold(a)(t => Cast(a, t))
+          }
           val base: Expression =
-            if (names.size <= 1) UnresolvedAttribute(Seq(names.head))
-            else Coalesce(names.map(p => UnresolvedAttribute(Seq(p))))
+            if (names.size <= 1) attr(names.head)
+            else Coalesce(names.map(attr))
           u.nameParts.tail.foldLeft(base)((e, f) =>
             UnresolvedExtractValue(e, Literal(f)))
       }.sql
+  }
+
+  /** Rewrite a LOGICAL write frame to the physical shape the current
+    * era expects: a column whose mapping entry has a head physical name
+    * DIFFERENT from the logical (a type widening's new-era storage
+    * name) is renamed and cast to the era type, so its footer never
+    * collides with the old era's bytes under one name — the
+    * type-conflict a footer-merged layout cannot express. Identity
+    * without a mapping (the overwhelmingly common case: one listing).
+    * Applied by every funnel that writes INTO the current payload dir
+    * ([[append]], the [[updateWhere]]/[[mergeWhere]] replacement
+    * batches); snapshot-shaped commits replace the payload wholesale
+    * and stay logical. */
+  private def physicalizeFrame(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame = {
+    val mapping = columnMapOf(spark, path)
+    if (mapping.isEmpty) return df
+    df.columns.foldLeft(df) { (d, c) =>
+      mapping.find(m => !m.dropped &&
+          m.logical.equalsIgnoreCase(c)) match {
+        case Some(m) if m.physical.nonEmpty &&
+            !m.physical.head.equalsIgnoreCase(c) =>
+          val renamed = d.withColumnRenamed(c, m.physical.head)
+          m.ptypes.headOption.fold(renamed)(t => renamed.withColumn(
+            m.physical.head, col(s"`${m.physical.head}`").cast(t)))
+        case _ => d
+      }
+    }
   }
 
   /** Column names (lower-cased) referenced by the CURRENT version's
@@ -2110,8 +2462,9 @@ object TableManifest {
   def history(spark: SparkSession, path: String,
       schema: Option[StructType] = None): DataFrame = {
     val f = fs(spark, path)
-    val cur = IndexManifest.currentVersion(spark, path).getOrElse(-1L)
-    if (versions(spark, path).isEmpty) // nothing committed: empty audit
+    val view = viewOf(spark, path)
+    val cur = view.current.getOrElse(-1L)
+    if (view.committed.isEmpty) // nothing committed: empty audit
       return spark.sql(
         """SELECT CAST(NULL AS BIGINT) AS version, false AS is_current,
           |  false AS readable, CAST(NULL AS BIGINT) AS n_rows,
@@ -2122,13 +2475,14 @@ object TableManifest {
     // inlining them in the literal SQL below is quote-safe)
     val tagsOf = tags(spark, path).groupBy(_._2)
       .map { case (tv, ts) => tv -> ts.map(_._1).sorted.mkString(",") }
-    val rows = versions(spark, path).map { v =>
+    val rows = view.committed.map { v =>
       // the mutation that committed this version (the DESCRIBE HISTORY
       // operation column): append/snapshot/delete/update, or '' for a
-      // pre-tagging legacy marker — straight off the kind-tagged marker
-      val kind = IndexManifest.markerInfoAt(spark, path, v).kind
+      // pre-tagging legacy marker — off the checkpoint-backed marker
+      // log (one file open for the whole walk, not one per version)
+      val kind = view.log.infoAt(v).kind
       val tagStr = tagsOf.getOrElse(v, "")
-      IndexManifest.payloadVersionAt(spark, path, v, "data") match {
+      view.payloadAt(v) match {
         case None =>
           s"SELECT ${v}L AS version, ${v == cur} AS is_current, " +
             "false AS readable, CAST(NULL AS BIGINT) AS n_rows, " +
@@ -2239,7 +2593,8 @@ object TableManifest {
       n.startsWith(".constraints_pending_") ||
       n.startsWith(".eqdeletes_pending_") ||
       n.startsWith(".colmap_pending_"))
-    sweep(s"$path/manifest", n => n.startsWith(".tag_pending_"))
+    sweep(s"$path/manifest", n => n.startsWith(".tag_pending_") ||
+      n.startsWith(".ckpt_pending_"))
     def above(n: String, prefix: String): Boolean =
       n.startsWith(prefix) &&
         n.stripPrefix(prefix).toLongOption.exists(_ > cur)
@@ -2287,6 +2642,10 @@ object TableManifest {
       refreshBloomFilters(spark, path, bloomCols, expectedPerBatch,
         schema = schema)
     vacuum(spark, path, keepVersions, retainMs)
+    // refresh the manifest checkpoint after the history rewrite: the
+    // next read's marker log answers from one file again instead of
+    // paying the vacuum-survivor tail
+    checkpointManifest(spark, path)
     spark.sql(s"SELECT ${before} AS batches_before, " +
       s"$compacted AS compacted, ${batchCount} AS batches_after, " +
       s"$deletesBefore AS deletes_before, " +
@@ -2450,17 +2809,18 @@ object TableManifest {
     // a live column mapping means artifact column names may be stale
     // era names — degrade to the (mapping-aware) plain filtered read;
     // the next compaction clears the mapping and restores this route
-    if (columnMapOf(spark, path).nonEmpty)
-      return read(spark, path, schema).filter(predicate)
-    val v = IndexManifest.currentVersion(spark, path).getOrElse(
+    val view = viewOf(spark, path)
+    val v = view.current.getOrElse(
       sys.error(s"no committed table at $path"))
-    val p = IndexManifest.payloadVersionAt(spark, path, v, "data").getOrElse(
+    if (columnMapOfV(spark, path, view, v).nonEmpty)
+      return read(spark, path, schema).filter(predicate)
+    val p = view.payloadAt(v).getOrElse(
       sys.error(s"no committed table at $path"))
     val dir = s"$path/data_v$p"
-    val wm = watermarkOf(spark, path, v)
-    val uwm = unkeyedWatermarkOf(spark, path, v)
-    val updV = updateVersionsAt(spark, path, v, dir)
-    val preds = deletePredsOf(spark, path, deleteSegmentsAt(spark, path, v))
+    val wm = watermarkOfV(spark, path, view, v)
+    val uwm = view.log.infoAt(v).uwm
+    val updV = updateVersionsAtV(spark, path, view, v, dir)
+    val preds = deletePredsOf(spark, path, deleteSegmentsAtV(view, v))
     def readAll = read(spark, path, schema).filter(predicate)
     val bloomPath =
       new org.apache.hadoop.fs.Path(s"$path/bloomstats_v$p")
@@ -2512,13 +2872,14 @@ object TableManifest {
     * a PLANNING-time caller (the connector's reported statistics) must
     * treat that as unknown, never trigger the scan. */
   def metaRowCount(spark: SparkSession, path: String): Option[Long] = {
-    val v = IndexManifest.currentVersion(spark, path).getOrElse(
+    val view = viewOf(spark, path)
+    val v = view.current.getOrElse(
       sys.error(s"no committed table at $path"))
-    val p = IndexManifest.payloadVersionAt(spark, path, v, "data").getOrElse(
+    val p = view.payloadAt(v).getOrElse(
       sys.error(s"no committed table at $path"))
     val statsPath = new org.apache.hadoop.fs.Path(s"$path/zonestats_v$p")
     val f = fs(spark, path)
-    if (deleteSegmentsAt(spark, path, v).nonEmpty) return None
+    if (deleteSegmentsAtV(view, v).nonEmpty) return None
     if (!f.exists(statsPath)) return None
     // every column's stats row carries its batch's count; use one column
     val allStats = spark.read.schema(ZoneSchema)
@@ -2529,9 +2890,9 @@ object TableManifest {
     val oneCol = allStats.map(_.getString(0)).min
     val stats = allStats.filter(_.getString(0) == oneCol)
       .map(r => r.getLong(1) -> r.getLong(2)).toMap
-    val wm = watermarkOf(spark, path, v)
-    val uwm = unkeyedWatermarkOf(spark, path, v)
-    val updV = updateVersionsAt(spark, path, v, s"$path/data_v$p")
+    val wm = watermarkOfV(spark, path, view, v)
+    val uwm = view.log.infoAt(v).uwm
+    val updV = updateVersionsAtV(spark, path, view, v, s"$path/data_v$p")
     val payloadBatches = f
       .listStatus(new org.apache.hadoop.fs.Path(s"$path/data_v$p"))
       .map(_.getPath.getName)
@@ -2637,21 +2998,21 @@ object TableManifest {
     require(ranges.nonEmpty)
     // live column mapping → stats artifacts may carry stale era names;
     // degrade to the plain mapping-aware read (exact, just unpruned)
-    if (columnMapOf(spark, path).nonEmpty)
+    val view = viewOf(spark, path)
+    val v = view.current.getOrElse(
+      sys.error(s"no committed table at $path"))
+    if (columnMapOfV(spark, path, view, v).nonEmpty)
       return read(spark, path, schema).filter(ranges.map {
         case (c, lo, hi) => col(s"`$c`") >= lo && col(s"`$c`") <= hi
       }.reduce(_ && _))
-    val v = IndexManifest.currentVersion(spark, path).getOrElse(
-      sys.error(s"no committed table at $path"))
-    val p = IndexManifest.payloadVersionAt(spark, path, v, "data").getOrElse(
+    val p = view.payloadAt(v).getOrElse(
       sys.error(s"no committed table at $path"))
     val dir = s"$path/data_v$p"
     val f = fs(spark, path)
-    val wm = watermarkOf(spark, path, v)
-    val uwm = unkeyedWatermarkOf(spark, path, v)
-    val updV = updateVersionsAt(spark, path, v, dir)
-    val delPreds = deletePredsOf(spark, path,
-      deleteSegmentsAt(spark, path, v))
+    val wm = watermarkOfV(spark, path, view, v)
+    val uwm = view.log.infoAt(v).uwm
+    val updV = updateVersionsAtV(spark, path, view, v, dir)
+    val delPreds = deletePredsOf(spark, path, deleteSegmentsAtV(view, v))
     val statsPath = new org.apache.hadoop.fs.Path(s"$path/zonestats_v$p")
     val predicate = ranges.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi

@@ -2516,6 +2516,159 @@ object MiscQueries {
              |  'event_id_not_null=notnull:event_id' AS constraints
              |FROM agg ORDER BY event_type""".stripMargin)),
 
+    // ALTER COLUMN TYPE as a METADATA-ONLY widening: INT -> BIGINT
+    // commits one column-mapping artifact (no payload rewrite — the
+    // new era gets its own storage name, old batches keep their bytes
+    // and CAST at read), a value past INT range then lands through the
+    // widened column, MoR UPDATE/DELETE cross the era boundary, and
+    // the pre-widen pin serves the era's INT type. The hash carries
+    // the post content, the pinned aggregate, and both dtype strings;
+    // DuckDB mirrors the DML as CASE-WHEN over the original table.
+    Q("q_graft_sql_widen",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        s.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_sql_widen").toString
+        val e = Tables.events(s, dir).select(
+          col("event_id").cast("int").as("event_id"),
+          col("user_id"), col("value"))
+        TableManifest.commitSnapshot(e, path)
+        val pre = TableManifest.versions(s, path).last
+        def payloads: Long = {
+          val hp = new org.apache.hadoop.fs.Path(path)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .listStatus(hp)
+            .count(_.getPath.getName.startsWith("data_v")).toLong
+        }
+        val dirsBefore = payloads
+        s.sql(
+          s"ALTER TABLE graft.`$path` ALTER COLUMN event_id TYPE BIGINT")
+        val metadataOnly = payloads == dirsBefore
+        s.sql(s"INSERT INTO graft.`$path` VALUES (4294967338, 1, 0.25)")
+        s.sql(s"UPDATE graft.`$path` SET value = value * 2 " +
+          "WHERE event_id % 7 = 0")
+        s.sql(s"DELETE FROM graft.`$path` WHERE event_id % 997 = 0")
+        val narrowingRefused =
+          try {
+            s.sql(s"ALTER TABLE graft.`$path` " +
+              "ALTER COLUMN event_id TYPE INT").collect(); false
+          } catch { case scala.util.control.NonFatal(_) => true }
+        val postT = s.sql(s"SELECT * FROM graft.`$path`")
+          .schema("event_id").dataType.catalogString
+        val pinT = s.sql(s"SELECT * FROM graft.`$path` VERSION AS OF $pre")
+          .schema("event_id").dataType.catalogString
+        val post = s.sql(
+          s"""SELECT 'post' AS stage, count(*) AS n,
+             |  max(event_id) AS max_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_v
+             |FROM graft.`$path`""".stripMargin)
+        val pin = s.sql(
+          s"""SELECT 'pre_pin' AS stage, count(*) AS n,
+             |  CAST(max(event_id) AS BIGINT) AS max_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_v
+             |FROM graft.`$path` VERSION AS OF $pre""".stripMargin)
+        post.unionByName(pin)
+          .withColumn("post_type", lit(postT))
+          .withColumn("pin_type", lit(pinT))
+          .withColumn("metadata_only", lit(metadataOnly))
+          .withColumn("narrowing_refused", lit(narrowingRefused))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH e AS (SELECT CAST(event_id AS INT) AS event_id,
+             |             user_id, value FROM events),
+             |post0 AS (
+             |  SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
+             |    CASE WHEN event_id % 7 = 0 THEN value * 2
+             |         ELSE value END AS value
+             |  FROM e
+             |  UNION ALL SELECT 4294967338, 1, 0.25),
+             |post AS (SELECT * FROM post0
+             |         WHERE NOT coalesce(event_id % 997 = 0, false)),
+             |a0 AS (SELECT 'post' AS stage, count(*) AS n,
+             |         max(event_id) AS max_id,
+             |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |           AS sum_v
+             |       FROM post),
+             |a1 AS (SELECT 'pre_pin', count(*),
+             |         CAST(max(event_id) AS BIGINT),
+             |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |       FROM e)
+             |SELECT u.*, 'bigint' AS post_type, 'int' AS pin_type,
+             |  true AS metadata_only, true AS narrowing_refused
+             |FROM (SELECT * FROM a0 UNION ALL SELECT * FROM a1)
+             |  u(stage, n, max_id, sum_v)
+             |ORDER BY stage""".stripMargin)),
+
+    // CREATE TABLE ... PARTITIONED BY (c) accepted as CLUSTERING
+    // advice: migrated Hive/Delta DDL works on first contact — the
+    // clause becomes the table's layout hint, `CALL graft.optimize`
+    // (with NO cluster_by argument) clusters + zone-maps on it, and a
+    // range probe on the declared column scans FEWER FILES than the
+    // unpruned plan (the pruning that directory partitioning was
+    // buying, via zone maps instead of a partition contract). The hash
+    // carries the pruned probe's content, the recorded hint, and the
+    // structural fewer-files proof off the scan metrics.
+    Q("q_graft_partitioned_ddl",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec
+        s.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_part_ddl").toString
+        s.sql(s"CREATE TABLE graft.`$path` (event_id BIGINT, " +
+          "user_id BIGINT, value DOUBLE) PARTITIONED BY (event_id)")
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .createOrReplaceTempView("gpd_src")
+        s.sql(s"INSERT INTO graft.`$path` " +
+          "SELECT * FROM gpd_src WHERE event_id % 2 = 0")
+        s.sql(s"INSERT INTO graft.`$path` " +
+          "SELECT * FROM gpd_src WHERE event_id % 2 = 1")
+        // no cluster_by: the PARTITIONED BY hint drives the clustering
+        // and the zone-map refresh
+        s.sql(s"CALL graft.optimize(path => '$path', files => 8)")
+        val maxId = s.table("gpd_src")
+          .agg(max(col("event_id"))).head().getLong(0)
+        val (lo, hi) = (maxId / 4, maxId / 2)
+        def filesOf(df: org.apache.spark.sql.DataFrame): Long = {
+          df.queryExecution.toRdd.count()
+          val plan = df.queryExecution.executedPlan
+          (plan +: plan.collect { case a: AdaptiveSparkPlanExec =>
+            a.executedPlan })
+            .flatMap(_.collect { case f: FileSourceScanExec => f })
+            .map(_.metrics("numFiles").value).sum
+        }
+        val fPruned = filesOf(
+          TableManifest.readRange(s, path, Seq(("event_id", lo, hi))))
+        val fFull = filesOf(TableManifest.read(s, path)
+          .filter(col("event_id") >= lo && col("event_id") <= hi))
+        TableManifest.readRange(s, path, Seq(("event_id", lo, hi)))
+          .groupBy((col("user_id") % 10).as("ub"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("sum_value"))
+          .withColumn("hint",
+            lit(TableManifest.layoutHint(s, path).mkString(",")))
+          .withColumn("pruned_scan", lit(fPruned < fFull))
+          .orderBy(col("ub"))
+      },
+      Some("""WITH m AS (SELECT max(event_id) AS mx FROM events)
+             |SELECT user_id % 10 AS ub, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value,
+             |  'event_id' AS hint, true AS pruned_scan
+             |FROM events, m
+             |WHERE event_id >= mx // 4 AND event_id <= mx // 2
+             |GROUP BY user_id % 10
+             |ORDER BY ub""".stripMargin)),
+
     // The change feed from PLAIN SQL: option("readChangeFeed") on the
     // graft source routes readChanges through both reader surfaces — a
     // `CREATE TEMPORARY VIEW ... USING graft` (the v1 path: SQL-only

@@ -420,6 +420,11 @@ object StreamQueries {
             sum(col("value").cast("decimal(18,6)")).as("sum_value"))
           .writeStream.format("graft").outputMode("update")
           .option("path", path).option("mergeKeys", "user_id")
+          // in-band maintenance on: the sink folds its own MoR chain
+          // every few batches (the 24/7-stream contract) — the served
+          // content must be byte-identical with or without it
+          .option("maintainEvery", "4")
+          .option("maintainMaxDeletes", "4")
           .option("checkpointLocation", java.nio.file.Files
             .createTempDirectory("graft_stream_upd_ck").toString)
           .start()

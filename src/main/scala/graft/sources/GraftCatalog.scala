@@ -143,9 +143,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val p = pathOf(ident)
     if (TableManifest.exists(spark, p))
       throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty,
-      "graft tables manage their own layout (__batch partitions, " +
-        "OPTIMIZE/CLUSTER BY) — PARTITIONED BY is not a table option")
+    val hint = clusterColsOf(partitions, schema)
     // seed version 0: a zero-row schema-bearing snapshot, so the first
     // INSERT is a normal keyed append and the path is self-describing;
     // `col NOT NULL` column syntax registers its constraint atomically
@@ -153,8 +151,38 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val nn = notNullConstraints(schema)
     TableManifest.createEmpty(spark, p, schema,
       if (nn.nonEmpty) Some(nn) else None)
+    if (hint.nonEmpty) TableManifest.setLayoutHint(spark, p, hint)
     new GraftTable(p, None, Some(schema))
   }
+
+  /** `PARTITIONED BY (c, ...)` translated to the clustered layout:
+    * graft tables own their physical layout (`__batch` partitions +
+    * OPTIMIZE/CLUSTER BY + zone maps), so a migrated Hive/Delta DDL's
+    * identity partition columns become the table's LAYOUT HINT —
+    * `CALL graft.optimize`/`maintain` default their cluster/stats
+    * columns to it, and the refreshed zone maps give range probes on
+    * those columns the pruned read that partition pruning was buying.
+    * Layout ADVICE, not a partition contract (documented as such).
+    * Transform expressions (bucket/days/...) still refuse: they
+    * promise a directory layout this table format does not keep. */
+  private def clusterColsOf(partitions: Array[Transform],
+      schema: StructType): Seq[String] =
+    partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        val ref = t.references.head.fieldNames
+        require(ref.length == 1,
+          s"PARTITIONED BY supports top-level columns only, got " +
+            s"${ref.mkString(".")}")
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(ref.head)),
+          s"PARTITIONED BY column '${ref.head}' is not in the schema")
+        ref.head
+      case other => throw new UnsupportedOperationException(
+        s"graft maps PARTITIONED BY (col) onto its clustered layout " +
+          s"(OPTIMIZE/CLUSTER BY + zone-map pruning); transform " +
+          s"'${other.describe()}' promises a directory layout this " +
+          "format does not keep — partition by plain columns or drop " +
+          "the clause")
+    }
 
   private def notNullConstraints(schema: StructType) =
     GraftCatalog.notNullConstraints(schema)
@@ -179,21 +207,23 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val renames = changes.collect {
       case r: TableChange.RenameColumn => r }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    val retypes = changes.collect {
+      case t: TableChange.UpdateColumnType => t }
     changes.foreach {
       case _: TableChange.AddColumn =>
       case _: TableChange.RenameColumn =>
       case _: TableChange.DeleteColumn =>
+      case _: TableChange.UpdateColumnType =>
       case a: TableChange.AddConstraint => addConstraint(p, a)
       case d: TableChange.DropConstraint => dropConstraint(p, d)
       case n: TableChange.UpdateColumnNullability => setNullability(p, n)
       case other => throw new UnsupportedOperationException(
-        s"graft ALTER TABLE supports ADD/RENAME/DROP COLUMN, ADD/DROP " +
-          s"CONSTRAINT, and SET/DROP NOT NULL; got " +
-          s"${other.getClass.getSimpleName} — retype would need a " +
-          "rewrite (use CREATE TABLE ... AS SELECT)")
+        s"graft ALTER TABLE supports ADD/RENAME/DROP COLUMN, ALTER " +
+          s"COLUMN TYPE (safe widenings), ADD/DROP CONSTRAINT, and " +
+          s"SET/DROP NOT NULL; got ${other.getClass.getSimpleName}")
     }
-    if (renames.nonEmpty || drops.nonEmpty)
-      applyColumnDdl(p, renames, drops)
+    if (renames.nonEmpty || drops.nonEmpty || retypes.nonEmpty)
+      applyColumnDdl(p, renames, drops, retypes)
     if (adds.isEmpty)
       return new GraftTable(p, None, Some(
         GraftTableSource.tableSchema(spark, p, None, mergeSchema = true)))
@@ -252,7 +282,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     * PENDING tombstone still masks by, and dropping the last column. */
   private def applyColumnDdl(p: String,
       renames: Seq[TableChange.RenameColumn],
-      drops: Seq[TableChange.DeleteColumn]): Unit = {
+      drops: Seq[TableChange.DeleteColumn],
+      retypes: Seq[TableChange.UpdateColumnType] = Nil): Unit = {
     def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     var attempt = 0
     var committed = false
@@ -297,14 +328,21 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           s"column '$from' is referenced by a CHECK constraint of $p — " +
             "drop the constraint first (its stored predicate would " +
             "silently stop resolving)")
+        def typeOf(name: String): String =
+          logical.fields.find(_.name.equalsIgnoreCase(name))
+            .map(_.dataType.catalogString).getOrElse("string")
         mapping = mapping.find(_.logical.equalsIgnoreCase(from)) match {
           case Some(m) =>
+            val ts =
+              if (m.ptypes.size == m.physical.size) m.ptypes
+              else m.physical.map(_ => typeOf(from))
             mapping.filterNot(_ eq m) :+
               TableManifest.ColumnMapping(to, to +: m.physical,
-                dropped = false)
+                dropped = false,
+                ts.headOption.getOrElse(typeOf(from)) +: ts)
           case None =>
             mapping :+ TableManifest.ColumnMapping(to, Seq(to, from),
-              dropped = false)
+              dropped = false, Seq(typeOf(from), typeOf(from)))
         }
         names = names.map(n => if (n.equalsIgnoreCase(from)) to else n)
       }
@@ -339,6 +377,59 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           names = names.filterNot(_.equalsIgnoreCase(from))
         }
       }
+      // ALTER COLUMN TYPE as a METADATA-ONLY widening: the column gains
+      // a new-era storage name (`<col>__w<version>`) typed wide — new
+      // writes physicalize onto it, old batches keep their era's bytes,
+      // and the logical view casts every era to the wide type at read
+      // ([[TableManifest.physExprOf]]). Only provably-lossless
+      // widenings are accepted; anything else keeps the CTAS refusal.
+      retypes.foreach { t =>
+        require(t.fieldNames.length == 1,
+          "graft ALTER COLUMN TYPE is top-level only")
+        val cn = t.fieldNames.head
+        require(names.exists(_.equalsIgnoreCase(cn)),
+          s"no column '$cn' in graft table $p " +
+            s"(have: ${names.mkString(", ")})")
+        val entry = mapping.find(m => !m.dropped &&
+          m.logical.equalsIgnoreCase(cn))
+        val curT = entry.flatMap(_.ptypes.headOption)
+          .map(org.apache.spark.sql.types.DataType.fromDDL)
+          .orElse(logical.fields.find(_.name.equalsIgnoreCase(cn))
+            .map(_.dataType))
+          .getOrElse(throw new IllegalStateException(
+            s"cannot resolve the current type of '$cn'"))
+        val newT = t.newDataType()
+        require(GraftCatalog.safeWidening(curT, newT),
+          s"graft ALTER COLUMN TYPE accepts METADATA-ONLY widenings " +
+            "only (TINYINT/SMALLINT/INT to a wider integer, FLOAT to " +
+            "DOUBLE, DECIMAL(p,s) to DECIMAL(p+k,s)); " +
+            s"'$cn' ${curT.catalogString} -> ${newT.catalogString} " +
+            "would narrow or need a rewrite (use CREATE TABLE ... AS " +
+            "SELECT)")
+        require(!consCols.contains(lower(cn)),
+          s"column '$cn' is referenced by a constraint of $p — drop " +
+            "the constraint first (its stored predicate was analyzed " +
+            "under the old type)")
+        val eraName = s"${cn}__w$v0"
+        require(!physAll.contains(lower(eraName)) &&
+            !chain.contains(lower(eraName)) &&
+            !names.exists(_.equalsIgnoreCase(eraName)),
+          s"era name '$eraName' is taken — run maintain (compaction) " +
+            "to clear the name history first")
+        mapping = entry match {
+          case Some(m) =>
+            val ts =
+              if (m.ptypes.size == m.physical.size) m.ptypes
+              else m.physical.map(_ => curT.catalogString)
+            mapping.filterNot(_ eq m) :+ m.copy(
+              physical = eraName +: m.physical,
+              ptypes = newT.catalogString +: ts)
+          case None =>
+            mapping :+ TableManifest.ColumnMapping(cn,
+              Seq(eraName, cn), dropped = false,
+              Seq(newT.catalogString, curT.catalogString))
+        }
+      }
       try {
         TableManifest.setColumnMapping(spark, p, mapping, Some(v0))
         committed = true
@@ -346,10 +437,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
         case _: java.util.ConcurrentModificationException => // re-derive
       }
     }
-    // schema-stability footer for renames: a zero-row append whose
-    // footer carries the renamed schema (after the mapping commit, so
+    // schema-stability footer for renames and widenings: a zero-row
+    // append whose footer carries the post-DDL schema (append
+    // physicalizes it onto the era names; after the mapping commit, so
     // a crash in between leaves a correct — merely footer-less — state)
-    if (renames.nonEmpty) {
+    if (renames.nonEmpty || retypes.nonEmpty) {
       val renamed = GraftTableSource.tableSchema(spark, p, None,
         mergeSchema = true)
       TableManifest.append(
@@ -459,13 +551,12 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val p = pathOf(ident)
     if (TableManifest.exists(spark, p))
       throw new TableAlreadyExistsException(ident)
-    require(info.partitions().isEmpty,
-      "graft tables manage their own layout (__batch partitions, " +
-        "OPTIMIZE/CLUSTER BY) — PARTITIONED BY is not a table option")
+    val hint = clusterColsOf(info.partitions(), info.schema())
     val cs = info.constraints().toSeq.map(toTableConstraint(p, _)) ++
       notNullConstraints(info.schema())
     TableManifest.createEmpty(spark, p, info.schema(),
       if (cs.nonEmpty) Some(cs) else None)
+    if (hint.nonEmpty) TableManifest.setLayoutHint(spark, p, hint)
     new GraftTable(p, None, Some(info.schema()))
   }
 
@@ -496,37 +587,32 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   // serving until vacuum — instead of the non-staging drop+create
   // fallback that erases the version chain.
 
-  private def checkPartitions(partitions: Array[Transform]): Unit =
-    require(partitions.isEmpty,
-      "graft tables manage their own layout (__batch partitions, " +
-        "OPTIMIZE/CLUSTER BY) — PARTITIONED BY is not a table option")
-
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): StagedTable = {
-    checkPartitions(partitions)
+    val hint = clusterColsOf(partitions, schema)
     if (TableManifest.exists(spark, pathOf(ident)))
       throw new TableAlreadyExistsException(ident)
     new GraftStagedTable(pathOf(ident), ident, schema, replace = false,
-      orCreate = true, Nil)
+      orCreate = true, Nil, hint)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): StagedTable = {
-    checkPartitions(partitions)
+    val hint = clusterColsOf(partitions, schema)
     if (!TableManifest.exists(spark, pathOf(ident)))
       throw new NoSuchTableException(ident)
     new GraftStagedTable(pathOf(ident), ident, schema, replace = true,
-      orCreate = false, Nil)
+      orCreate = false, Nil, hint)
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): StagedTable = {
-    checkPartitions(partitions)
+    val hint = clusterColsOf(partitions, schema)
     new GraftStagedTable(pathOf(ident), ident, schema, replace = true,
-      orCreate = true, Nil)
+      orCreate = true, Nil, hint)
   }
 
   private def withConstraints(staged: StagedTable,
@@ -572,6 +658,27 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
 }
 
 object GraftCatalog {
+  import org.apache.spark.sql.types._
+
+  /** Provably-lossless type widenings — the set ALTER COLUMN TYPE
+    * accepts as metadata-only (every value of `from` round-trips
+    * through `to` exactly): integer up-casts, FLOAT→DOUBLE (every
+    * float is exactly representable as a double), and decimal
+    * precision growth at the SAME scale. Everything else — narrowing,
+    * scale changes, int→double (longs past 2^53 would silently round),
+    * string/binary coercions — keeps the rewrite refusal. */
+  private[sources] def safeWidening(from: DataType,
+      to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (f: DecimalType, t: DecimalType) =>
+      t.scale == f.scale && t.precision > f.precision &&
+        t.precision <= DecimalType.MAX_PRECISION
+    case _ => false
+  }
+
   /** `CREATE/REPLACE TABLE (c T NOT NULL, ...)` arrives as schema
     * nullability — register each non-nullable column as a kind-tagged
     * NOT NULL constraint so the write funnels enforce what the DDL
@@ -594,7 +701,8 @@ object GraftCatalog {
   * empty-but-readable contract CREATE TABLE already keeps. */
 private[sources] class GraftStagedTable(path: String, ident: Identifier,
     stagedSchema: StructType, replace: Boolean, orCreate: Boolean,
-    initialConstraints: Seq[TableManifest.TableConstraint])
+    initialConstraints: Seq[TableManifest.TableConstraint],
+    layoutHint: Seq[String] = Nil)
     extends StagedTable
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -716,6 +824,10 @@ private[sources] class GraftStagedTable(path: String, ident: Identifier,
         TableManifest.publishStagedSnapshot(spark, path, dir,
           atomicConstraints(stagedConstraints))
     }
+    // PARTITIONED BY → layout hint, placed after the one-marker publish
+    // (metadata advice: a crash in between loses only the hint)
+    if (layoutHint.nonEmpty)
+      TableManifest.setLayoutHint(spark, path, layoutHint)
     ()
   }
 

@@ -75,21 +75,30 @@ private[sources] object GraftProcedures {
 
   private val optimize = new P("optimize",
     "rewrite the live table range-/Z-order-clustered (CLUSTER BY); " +
-      "target_file_bytes > 0 derives the file count from the payload's " +
-      "bytes (the small-file policy as a size), else `files` is used " +
-      "verbatim; returns the committed version",
-    Seq(in("path", StringType), in("cluster_by", StringType),
+      "cluster_by and stats_cols default to the table's PARTITIONED BY " +
+      "layout hint when omitted; target_file_bytes > 0 derives the " +
+      "file count from the payload's bytes (the small-file policy as a " +
+      "size), else `files` is used verbatim; returns the committed " +
+      "version",
+    Seq(in("path", StringType), inD("cluster_by", StringType, "''"),
       inD("files", IntegerType, "16"),
       inD("stats_cols", StringType, "''"),
       inD("target_file_bytes", LongType, "0")),
     new StructType().add("version", LongType, nullable = false)) {
     override protected def run(a: InternalRow): Seq[InternalRow] = {
+      val p = str(a, 0)
+      val hint = TableManifest.layoutHint(spark, p)
+      val clusterBy = Some(cols(a, 1)).filter(_.nonEmpty).getOrElse(hint)
+      require(clusterBy.nonEmpty,
+        s"optimize needs cluster_by (no PARTITIONED BY layout hint is " +
+          s"recorded for $p)")
+      val stats = Some(cols(a, 3)).filter(_.nonEmpty).getOrElse(hint)
       val v =
         if (a.getLong(4) > 0L)
-          TableManifest.optimizeToSize(spark, str(a, 0), cols(a, 1),
-            a.getLong(4), cols(a, 3))
-        else TableManifest.optimize(spark, str(a, 0), cols(a, 1),
-          a.getInt(2), cols(a, 3))
+          TableManifest.optimizeToSize(spark, p, clusterBy,
+            a.getLong(4), stats)
+        else TableManifest.optimize(spark, p, clusterBy,
+          a.getInt(2), stats)
       Seq(InternalRow(v))
     }
   }
@@ -145,9 +154,15 @@ private[sources] object GraftProcedures {
       inD("retain_ms", LongType, "0")),
     maintainSchema) {
     override protected def run(a: InternalRow): Seq[InternalRow] = {
-      val report = TableManifest.maintain(spark, str(a, 0),
+      val p = str(a, 0)
+      // stats_cols default to the PARTITIONED BY layout hint: the
+      // migrated DDL's partition columns keep their pruned range reads
+      // through the zone maps maintenance refreshes
+      val stats = Some(cols(a, 3)).filter(_.nonEmpty)
+        .getOrElse(TableManifest.layoutHint(spark, p))
+      val report = TableManifest.maintain(spark, p,
         maxBatches = a.getInt(1), maxDeletes = a.getInt(2),
-        statsCols = cols(a, 3), bloomCols = cols(a, 4),
+        statsCols = stats, bloomCols = cols(a, 4),
         keepVersions = a.getInt(5), retainMs = a.getLong(6))
       toInternal(maintainSchema, report.collect().toIndexedSeq)
     }

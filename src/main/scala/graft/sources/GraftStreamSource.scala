@@ -145,13 +145,33 @@ case class GraftVersionOffset(version: Long) extends V1Offset {
   * micro-batch lands as a NORMAL keyed append (replayable), not a
   * snapshot.
   *
+  * IN-BAND MAINTENANCE — `option("maintainEvery", n)`: every n-th
+  * micro-batch runs [[TableManifest.maintain]] on the sink's own table
+  * (fold thresholds via `maintainMaxBatches`/`maintainMaxDeletes`,
+  * defaults 16/8). Without it, a 24/7 Update-mode stream accrues one
+  * MoR tombstone + replacement batch per micro-batch — an unbounded
+  * chain that degrades every read of the served table (~0.1 s/segment
+  * measured) until an operator intervenes; with it the chain is
+  * bounded by construction (the GraftStreamSourceSpec maintenance arm
+  * measures both curves). `option("vacuumRetain", millis)` additionally
+  * lets maintenance expire old versions past the retention horizon
+  * (keep = 2); WITHOUT it maintenance never vacuums — downstream
+  * `readStream`/CDF consumers replay version windows, and silently
+  * reclaiming them would break exactly the consumers this sink feeds.
+  * Maintenance runs between commits on the single writer thread, so the
+  * fold's single-maintenance-actor contract holds by construction.
+  *
   * Writer contract (inherited from [[TableManifest.append]] verbatim):
   * keyed batchIds share ONE keyspace per table — run one Append-mode
   * stream per table (two streams would replay-overwrite each other's
   * partitions); concurrent foreachBatch/unkeyed writers compose safely. */
 private[sources] class GraftSink(spark: SparkSession, path: String,
-    complete: Boolean, mergeKeys: Seq[String] = Nil)
+    complete: Boolean, mergeKeys: Seq[String] = Nil,
+    maintainEvery: Int = 0, maintainMaxBatches: Int = 16,
+    maintainMaxDeletes: Int = 8, vacuumRetain: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
+
+  private var batchesSinceMaintain = 0
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the engine's frame is flagged streaming and refuses .write; its
@@ -164,7 +184,13 @@ private[sources] class GraftSink(spark: SparkSession, path: String,
       // Update mode: each emission is a per-key UPSERT through the
       // match-proportional MoR merge (equality tombstone + replacement
       // batch, one marker) — matched keys take the emitted row
-      // (SET *), new keys insert. Replay is CONTENT-idempotent: a
+      // (SET *), new keys insert. Keys match NULL-SAFELY (<=>), unlike
+      // SQL MERGE's 3VL equality: a streaming aggregate with a
+      // nullable grouping column emits a NULL-key row every
+      // micro-batch, and under === that row would re-INSERT each time
+      // instead of replacing — the served table would accumulate
+      // duplicate NULL-key rows and diverge from the batch aggregate
+      // this sink promises. Replay is CONTENT-idempotent: a
       // micro-batch replays only before any newer batch commits
       // (checkpoint semantics), and re-merging the same deterministic
       // emission reproduces the same table content (one extra version,
@@ -173,12 +199,28 @@ private[sources] class GraftSink(spark: SparkSession, path: String,
         TableManifest.createEmpty(spark, path, batch.schema)
       TableManifest.mergeWhere(spark, path, batch, mergeKeys,
         matched = Seq(TableManifest.MergeMatched("update", None)),
-        inserts = Seq(TableManifest.MergeInsert(None)))
+        inserts = Seq(TableManifest.MergeInsert(None)),
+        nullSafeKeys = true)
       ()
     } else {
       if (!TableManifest.exists(spark, path))
         TableManifest.createEmpty(spark, path, batch.schema)
       TableManifest.append(batch, path, batchId = Some(batchId))
+    }
+    if (maintainEvery > 0) {
+      batchesSinceMaintain += 1
+      if (batchesSinceMaintain >= maintainEvery) {
+        batchesSinceMaintain = 0
+        // fold the MoR chain / append log when over threshold; expire
+        // versions ONLY when the operator declared a retention horizon
+        // (vacuumRetain) — see the class scaladoc
+        TableManifest.maintain(spark, path,
+          maxBatches = maintainMaxBatches,
+          maxDeletes = maintainMaxDeletes,
+          keepVersions = if (vacuumRetain.isDefined) 2 else Int.MaxValue,
+          retainMs = vacuumRetain.getOrElse(0L)).collect()
+        ()
+      }
     }
     ()
   }
@@ -217,10 +259,24 @@ trait GraftStreamSourceProvider
     import scala.jdk.CollectionConverters._
     val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
       parameters.asJava)
+    def intOpt(name: String, dflt: Int): Int =
+      Option(opts.get(name)).map(v => v.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"graft sink option $name must be an integer, got '$v'")))
+        .getOrElse(dflt)
+    val retain = Option(opts.get("vacuumRetain")).map(v =>
+      v.toLongOption.filter(_ > 0L).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft sink option vacuumRetain must be a positive " +
+            s"retention horizon in milliseconds, got '$v'")))
     new GraftSink(sqlContext.sparkSession, pathOf(opts),
       complete = outputMode == OutputMode.Complete(),
       mergeKeys =
-        if (outputMode == OutputMode.Update()) mergeKeys else Nil)
+        if (outputMode == OutputMode.Update()) mergeKeys else Nil,
+      maintainEvery = intOpt("maintainEvery", 0),
+      maintainMaxBatches = intOpt("maintainMaxBatches", 16),
+      maintainMaxDeletes = intOpt("maintainMaxDeletes", 8),
+      vacuumRetain = retain)
   }
 
   private def changeFeedOf(parameters: Map[String, String]): Boolean =

@@ -396,11 +396,15 @@ case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
     // null-padded legacy batches, matching the catalog's read surface
     val tgtSchema0 =
       GraftTableSource.tableSchema(spark, path, None, mergeSchema = true)
-    // WITH SCHEMA EVOLUTION: widen by the source-only columns first
-    // (one zero-row footer commit — the ADD COLUMN shape), re-checked
-    // against the CURRENT schema (a column may have appeared since
-    // analysis) and against the rename history (an era name must not
-    // resurrect old bytes)
+    // WITH SCHEMA EVOLUTION: source-only columns widen the target
+    // ATOMICALLY with the merge — the widened schema rides the
+    // replacement batch's parquet footer under mergeWhere's single
+    // marker (widenSchema), so a refused duplicate-key MERGE, a
+    // constraint failure, or a lost-race abort leaves NO schema change
+    // behind (a separate pre-merge widening commit would survive all
+    // three). Re-checked against the CURRENT schema (a column may have
+    // appeared since analysis) and against the rename history (an era
+    // name must not resurrect old bytes).
     val missing = evolve.filterNot { case (n, _) =>
       tgtSchema0.fieldNames.exists(_.equalsIgnoreCase(n)) }
     val tgtSchema =
@@ -416,16 +420,12 @@ case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
               s"historical name of a renamed/dropped column of $path " +
               "— run maintain (compaction) to clear the mapping first")
         }
-        val widened = missing.foldLeft(tgtSchema0) { case (sch, (n, t)) =>
+        missing.foldLeft(tgtSchema0) { case (sch, (n, t)) =>
           sch.add(n, t, nullable = true) }
-        TableManifest.append(
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row], widened), path)
-        widened
       }
     val (v, nMatched, nInserted) = TableManifest.mergeWhere(spark, path,
       src, keyCols, matchedClauses, insertClauses, nmbsClauses,
-      Some(tgtSchema))
+      Some(tgtSchema), widenSchema = missing.nonEmpty)
     Seq(Row(v, nMatched, nInserted))
   }
 }
@@ -448,12 +448,13 @@ private[sources] object GraftNotNull {
       .getOrElse(throw new IllegalArgumentException(
         s"no column '$column' in graft table $path " +
           s"(have: ${schema.fieldNames.mkString(", ")})"))
-    val bad = TableManifest.read(spark, path, None, mergeSchema = true)
-      .filter(col(s"`$actual`").isNull).limit(1).count()
-    require(bad == 0L,
+    def nullRows(): Long =
+      TableManifest.read(spark, path, None, mergeSchema = true)
+        .filter(col(s"`$actual`").isNull).limit(1).count()
+    require(nullRows() == 0L,
       s"cannot SET NOT NULL on $path.$actual — existing rows hold NULL " +
         "(null-padded evolution rows count too); backfill them first")
-    retryDdl(spark, path) { cur =>
+    val committed = retryDdl(spark, path) { cur =>
       if (cur.exists(_.notNullColumn.exists(_.equalsIgnoreCase(actual))))
         None // already NOT NULL: idempotent
       else {
@@ -465,21 +466,39 @@ private[sources] object GraftNotNull {
           status = "VALID", kind = s"notnull:$actual"))
       }
     }
+    // re-verify AFTER the constraint is in force (the tag-placement
+    // pattern): a concurrent writer committing NULL-bearing rows
+    // between the validation scan above and the constraint commit
+    // would leave an enforced NOT NULL over already-violating rows —
+    // later rewrites touching those key groups would fail enforcement
+    // on rows the user never wrote. From the commit instant every NEW
+    // write is gated, so a clean re-scan proves the invariant; a dirty
+    // one rolls the constraint back and fails loudly.
+    if (committed && nullRows() > 0L) {
+      drop(spark, path, actual)
+      throw new IllegalStateException(
+        s"SET NOT NULL on $path.$actual raced a writer that committed " +
+          "NULL-bearing rows — the constraint was rolled back; backfill " +
+          "the NULLs and retry")
+    }
   }
 
-  def drop(spark: SparkSession, path: String, column: String): Unit =
+  def drop(spark: SparkSession, path: String, column: String): Unit = {
     retryDdl(spark, path) { cur =>
       val (hit, kept) = cur.partition(
         _.notNullColumn.exists(_.equalsIgnoreCase(column)))
       if (hit.isEmpty) None else Some(kept)
     }
+    ()
+  }
 
   /** The optimistic read-modify-write loop constraint DDL uses
     * ([[GraftCatalog.retryConstraintDdl]]'s shape, duplicated here so
-    * the rule does not need a catalog instance). */
+    * the rule does not need a catalog instance). Returns true when a
+    * constraint commit landed, false on the idempotent no-change path. */
   private def retryDdl(spark: SparkSession, path: String)(
       derive: Seq[TableManifest.TableConstraint]
-        => Option[Seq[TableManifest.TableConstraint]]): Unit = {
+        => Option[Seq[TableManifest.TableConstraint]]): Boolean = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -488,14 +507,15 @@ private[sources] object GraftNotNull {
           "retry under quieter DDL traffic")
       val v0 = TableManifest.versions(spark, path).last
       val next = derive(TableManifest.constraintsOf(spark, path, Some(v0)))
-      if (next.isEmpty) return
+      if (next.isEmpty) return false
       try {
         TableManifest.setConstraints(spark, path, next.get, Some(v0))
-        return
+        return true
       } catch {
         case _: java.util.ConcurrentModificationException => // re-derive
       }
     }
+    false // unreachable
   }
 }
 

@@ -260,4 +260,54 @@ class TableManifestProps extends AnyFunSuite {
       }
     }
   }
+
+  test("merge liveness under a hot appender: the claim SLIDES over " +
+    "provably-disjoint appends, so a MERGE lands within TWO attempts " +
+    "instead of re-deriving against every interleaved commit") {
+    val path = java.nio.file.Files
+      .createTempDirectory("tm_props_mrglive").toString
+    TableManifest.commitSnapshot(df((0L until 100L).map(i => (i, i))), path)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val appended = new java.util.concurrent.atomic.AtomicLong(0L)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // a free-running appender on keys DISJOINT from the merge source:
+    // every commit it lands moves the head, which under the old strict
+    // CAS forced a full re-derivation (and, under a fast enough
+    // appender, starved the merge into its attempt cap)
+    val appender = new Thread(() => try {
+      var i = 0L
+      while (!stop.get()) {
+        TableManifest.append(df(Seq((100000L + i, 7L))), path)
+        appended.incrementAndGet()
+        i += 1
+      }
+    } catch { case t: Throwable => failures.add(t) })
+    appender.start()
+    try {
+      Thread.sleep(200) // appender at steady state before the merge pins
+      s.conf.set("spark.graft.merge.maxAttempts", "2")
+      val (v, nMatched, nInserted) = TableManifest.mergeWhere(s, path,
+        df((0L until 10L).map(i => (i, 0L)) ++
+          Seq((200000L, 9L), (200001L, 9L))),
+        keyCols = Seq("id"),
+        matched = Seq(TableManifest.MergeMatched("update", None,
+          Some(Seq("v" -> "__t.v + 5000")))),
+        inserts = Seq(TableManifest.MergeInsert(None)))
+      assert(v > 0 && nMatched == 10L && nInserted == 2L)
+    } finally {
+      s.conf.unset("spark.graft.merge.maxAttempts")
+      stop.set(true)
+      appender.join(60000)
+    }
+    assert(failures.isEmpty, s"appender threw: $failures")
+    val got = rowsOf(TableManifest.read(s, path))
+    val want = (
+      (0L until 100L).map(i => (i, if (i < 10) i + 5000L else i)) ++
+      Seq((200000L, 9L), (200001L, 9L)) ++
+      (0L until appended.get()).map(i => (100000L + i, 7L))
+    ).map(_ -> 1).toMap
+    assert(got == want,
+      s"slide lost rows: missing=${want.keySet -- got.keySet} " +
+        s"extra=${got.keySet -- want.keySet}")
+  }
 }

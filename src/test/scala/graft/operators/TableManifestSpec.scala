@@ -971,4 +971,166 @@ class TableManifestSpec extends AnyFunSuite {
     TableManifest.append(df(5L -> "e"), path)
     assert(ids(TableManifest.read(s, path, Some(schema))) == Set(5L))
   }
+
+  test("a failed merge cleans its staging debris: a mid-merge constraint " +
+    "violation and a cardinality refusal both leave no pending dirs") {
+    val path = Files.createTempDirectory("tm_mrg_clean").toString
+    TableManifest.commitSnapshot(df(1L -> "a", 2L -> "b"), path)
+    TableManifest.setConstraints(s, path, Seq(
+      TableManifest.TableConstraint("v_short", "length(v) < 5",
+        enforced = true, rely = false, status = "VALID")))
+    val before = TableManifest.versions(s, path)
+    def pendingDirs: Seq[String] = {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .listStatus(hp).map(_.getPath.getName).toSeq
+        .filter(n => n.startsWith(".update_pending_") ||
+          n.startsWith(".eqdeletes_pending_") ||
+          n.startsWith(".deletes_pending_"))
+    }
+    // the post-image violates the CHECK: the staged replacement write
+    // aborts MID-merge, after the tombstone keys already staged —
+    // everything must be taken back (previously the debris lingered
+    // until a manual cleanOrphans)
+    intercept[Exception](TableManifest.mergeWhere(s, path,
+      df(1L -> "way_too_long_value"), Seq("id"),
+      matched = Seq(TableManifest.MergeMatched("update", None)),
+      inserts = Seq(TableManifest.MergeInsert(None))))
+    assert(pendingDirs.isEmpty,
+      s"failed merge left staging debris: $pendingDirs")
+    // duplicate source keys refuse before anything stages or commits
+    intercept[Exception](TableManifest.mergeWhere(s, path,
+      df(1L -> "x", 1L -> "y"), Seq("id"),
+      matched = Seq(TableManifest.MergeMatched("update", None)),
+      inserts = Seq(TableManifest.MergeInsert(None))))
+    assert(pendingDirs.isEmpty && TableManifest.versions(s, path) == before)
+    assert(rows(TableManifest.read(s, path)) ==
+      Set(1L -> "a", 2L -> "b"), "failed merges must change nothing")
+  }
+
+  private def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    d.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("nullSafeKeys merge (the streaming-sink upsert contract): a NULL " +
+    "key is one more group that REPLACES, not a forever-insert; SQL " +
+    "3VL semantics stay the default") {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq.empty)
+      .add("id", LongType).add("v", StringType)
+    def ndf(rows: (Option[Long], String)*) =
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows.map(r =>
+          Row(r._1.map(java.lang.Long.valueOf).orNull, r._2)), 1),
+        schema)
+    // default (===): a NULL-keyed source row can never match — it
+    // re-inserts every merge (SQL MERGE semantics)
+    val p3vl = Files.createTempDirectory("tm_mrg_3vl").toString
+    TableManifest.commitSnapshot(
+      ndf(Some(1L) -> "a", None -> "n0"), p3vl)
+    (1 to 2).foreach(i => TableManifest.mergeWhere(s, p3vl,
+      ndf(None -> s"n$i"), Seq("id"),
+      matched = Seq(TableManifest.MergeMatched("update", None)),
+      inserts = Seq(TableManifest.MergeInsert(None))))
+    assert(TableManifest.read(s, p3vl)
+      .filter(col("id").isNull).count() == 3,
+      "3VL: null-keyed source rows always insert")
+    // nullSafeKeys (<=>): the NULL group upserts like any other key
+    val pns = Files.createTempDirectory("tm_mrg_ns").toString
+    TableManifest.commitSnapshot(
+      ndf(Some(1L) -> "a", None -> "n0"), pns)
+    (1 to 2).foreach(i => TableManifest.mergeWhere(s, pns,
+      ndf(None -> s"n$i", Some(1L) -> s"a$i", Some(7L) -> s"f$i"),
+      Seq("id"),
+      matched = Seq(TableManifest.MergeMatched("update", None)),
+      inserts = Seq(TableManifest.MergeInsert(None)),
+      nullSafeKeys = true))
+    val got = TableManifest.read(s, pns).collect()
+      .map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(got == Set((Some(1L), "a2"), (None, "n2"), (Some(7L), "f2")),
+      s"null-safe upsert state: $got")
+    // and duplicate NULL keys are a cardinality violation under <=>
+    intercept[Exception](TableManifest.mergeWhere(s, pns,
+      ndf(None -> "x", None -> "y"), Seq("id"),
+      matched = Seq(TableManifest.MergeMatched("update", None)),
+      inserts = Seq(TableManifest.MergeInsert(None)),
+      nullSafeKeys = true))
+  }
+
+  test("CDF: a MoR MERGE's key-group pass-through rows never surface as " +
+    "delete+insert churn — content-neutral pairs cancel out of the feed") {
+    import s.implicits._
+    val path = Files.createTempDirectory("tm_cdf_noop").toString
+    // non-unique merge key k: 4 groups x 3 rows
+    val v0 = TableManifest.commitSnapshot(
+      (0L until 12L).map(i => (i, i % 4, i.toString)).toDF("id", "k", "v"),
+      path)
+    // groups 0 and 1 are matched; the per-ROW condition acts only on
+    // id < 4, so ids 4,5,8,9 are rewritten as byte-identical
+    // pass-throughs (key-level masking) — they must NOT enter the feed
+    val (v1, _, _) = TableManifest.mergeWhere(s, path,
+      Seq((0L, "d0"), (1L, "d1")).toDF("k", "delta"), Seq("k"),
+      matched = Seq(TableManifest.MergeMatched("update",
+        Some("__t.id < 4"), Some(Seq("v" -> "concat(__t.v, __s.delta)")))),
+      inserts = Nil)
+    val feed = TableManifest.readChanges(s, path, v0, v1)
+    assert(feed.filter(col("id") >= 4).count() == 0,
+      "pass-through rows are content-neutral and must cancel")
+    val dels = feed.filter(col("_change_type") === "delete")
+    val inss = feed.filter(col("_change_type") === "insert")
+    assert(dels.count() == 2 && inss.count() == 2)
+    assert(inss.filter(col("v").endsWith("d0") ||
+      col("v").endsWith("d1")).count() == 2)
+    // the feed is still a complete content delta: pre + feed == post
+    val pre = TableManifest.readAt(s, path, v0)
+    val post = TableManifest.readAt(s, path, v1)
+    val applied = pre
+      .exceptAll(dels.drop("_change_type"))
+      .union(inss.drop("_change_type"))
+    assert(applied.exceptAll(post).isEmpty &&
+      post.exceptAll(applied).isEmpty,
+      "applying the cancelled feed must still reproduce the post state")
+  }
+
+  test("manifest checkpoint: reads answer from the checkpointed marker " +
+    "log; a corrupt checkpoint degrades to per-marker reads; vacuumed " +
+    "versions are never resurrected by a stale checkpoint") {
+    val path = Files.createTempDirectory("tm_ckpt").toString
+    TableManifest.commitSnapshot(df(0L -> "s"), path)
+    // cross the default interval (32) so a commit-triggered checkpoint
+    // lands without any explicit call
+    (1L to 35L).foreach(i => TableManifest.append(df(i -> "a"), path))
+    val hp = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    val f = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def ckpts: Seq[String] = f.listStatus(hp).map(_.getPath.getName)
+      .filter(_.startsWith("ckpt_v")).toSeq.sorted
+    assert(ckpts.nonEmpty, "the 32nd commit must write a checkpoint")
+    assert(ids(TableManifest.read(s, path)) == (0L to 35L).toSet)
+    // mutations after the checkpoint resolve from the tail
+    TableManifest.deleteWhere(s, path, "id <= 1")
+    assert(ids(TableManifest.read(s, path)) == (2L to 35L).toSet)
+    // a CORRUPT checkpoint must degrade (per-marker reads), never err
+    // or serve wrong rows
+    val out = f.create(new org.apache.hadoop.fs.Path(
+      s"$path/manifest/${ckpts.last}"), true)
+    try out.writeBytes("garbage\nnot:a:real\ncheckpoint") finally out.close()
+    assert(ids(TableManifest.read(s, path)) == (2L to 35L).toSet,
+      "corrupt checkpoint must fall back, not misread")
+    // the marker log equals ground truth version-by-version (kinds)
+    val hist0 = TableManifest.history(s, path)
+      .select(col("version"), col("kind")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hist0(TableManifest.versions(s, path).max) == "delete")
+    assert(TableManifest.versions(s, path).tail
+      .exists(v => hist0(v) == "append"))
+    // checkpoint the full history, fold + vacuum it away: the stale
+    // checkpoint still lists the reclaimed versions, but existence
+    // comes from the live listing — a reclaimed pin refuses instead of
+    // resurrecting
+    TableManifest.checkpointManifest(s, path)
+    TableManifest.compactBatches(s, path) // new payload: history folds
+    val reclaimed = TableManifest.vacuum(s, path, keep = 1)
+    assert(reclaimed.nonEmpty)
+    intercept[Exception](TableManifest.readAt(s, path, reclaimed.head))
+    assert(ids(TableManifest.read(s, path)) == (2L to 35L).toSet)
+  }
 }

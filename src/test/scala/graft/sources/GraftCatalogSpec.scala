@@ -987,6 +987,113 @@ class GraftCatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 5)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION is ATOMIC with the merge: a refused " +
+    "or failed merge leaves NO widening behind; a committed one widens " +
+    "and merges under one marker") {
+    val p = tmp("mrgevo_atomic")
+    TableManifest.commitSnapshot(
+      s.range(5).select(col("id"), (col("id") * 10).as("v")), p)
+    val pre = TableManifest.versions(s, p).last
+    import s.implicits._
+    def cols = s.sql(s"SELECT * FROM graft.`$p`").columns.toSeq
+    // 1. duplicate source keys: the cardinality refusal fires with
+    //    nothing committed — previously the widening append had
+    //    already landed by then, leaving the source-only column added
+    //    by a MERGE that never happened
+    Seq((1L, 1L, "x"), (1L, 2L, "y")).toDF("id", "v", "tag")
+      .createOrReplaceTempView("mea_dup")
+    intercept[Exception](s.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$p` AS t
+         |USING mea_dup AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(cols == Seq("id", "v") &&
+      TableManifest.versions(s, p).last == pre,
+      "a refused merge must not widen the schema")
+    // 2. a CHECK-constraint failure mid-merge: same guarantee
+    s.sql(s"ALTER TABLE graft.`$p` ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    val preC = TableManifest.versions(s, p).last
+    Seq((1L, -5L, "x")).toDF("id", "v", "tag")
+      .createOrReplaceTempView("mea_bad")
+    intercept[Exception](s.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$p` AS t
+         |USING mea_bad AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+    assert(cols == Seq("id", "v") &&
+      TableManifest.versions(s, p).last == preC,
+      "a constraint-failed merge must not widen the schema")
+    // 3. the committed merge widens and merges in ONE version
+    Seq((1L, 7L, "x")).toDF("id", "v", "tag")
+      .createOrReplaceTempView("mea_ok")
+    val r = s.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$p` AS t
+         |USING mea_ok AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin).head()
+    assert(r.getLong(1) == 1)
+    assert(TableManifest.versions(s, p).last == preC + 1,
+      "widening + merge must be ONE commit, not two")
+    assert(cols == Seq("id", "v", "tag"))
+    assert(s.sql(s"SELECT tag FROM graft.`$p` WHERE id = 1")
+      .head().getString(0) == "x")
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p` WHERE tag IS NULL")
+      .head().getLong(0) == 4)
+  }
+
+  test("ALTER COLUMN TYPE: safe widenings are METADATA-ONLY (no payload " +
+    "rewrite) — old batches read wide, DML crosses eras, wide values " +
+    "land, pins serve the era type, narrowing keeps the refusal") {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType,
+      LongType}
+    val p = tmp("widen")
+    TableManifest.commitSnapshot(
+      s.range(10).select(col("id").cast("int").as("id"),
+        (col("id") * 10).cast("float").as("v")), p)
+    val pre = TableManifest.versions(s, p).last
+    def payloads: Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .listStatus(hp).count(_.getPath.getName.startsWith("data_v"))
+        .toLong
+    }
+    val before = payloads
+    s.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN id TYPE BIGINT")
+    s.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN v TYPE DOUBLE")
+    assert(payloads == before, "widening must not rewrite the payload")
+    val sch = s.sql(s"SELECT * FROM graft.`$p`").schema
+    assert(sch("id").dataType == LongType && sch("v").dataType == DoubleType)
+    // a value past INT range lands through the widened column
+    val wide = Int.MaxValue.toLong + 42L
+    s.sql(s"INSERT INTO graft.`$p` VALUES ($wide, 1.5)")
+    // MoR UPDATE and DELETE cross the era boundary (old int batches +
+    // the new bigint batch under one logical column)
+    s.sql(s"UPDATE graft.`$p` SET v = v + 1 WHERE id = 2")
+    s.sql(s"DELETE FROM graft.`$p` WHERE id = 3")
+    val got = s.sql(s"SELECT id, v FROM graft.`$p` ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = ((0L until 10L).filter(_ != 3L)
+      .map(i => (i, if (i == 2L) 21.0 else i * 10.0)) :+ (wide, 1.5))
+    assert(got == want, s"widened state: $got")
+    // the pre-widen pin serves the ERA types
+    val pinned = s.sql(s"SELECT * FROM graft.`$p` VERSION AS OF $pre")
+    assert(pinned.schema("id").dataType == IntegerType &&
+      pinned.schema("v").dataType == FloatType,
+      s"pin must keep the era schema: ${pinned.schema}")
+    assert(pinned.count() == 10)
+    // narrowing / lossy changes keep the rewrite refusal
+    intercept[Exception](
+      s.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN id TYPE INT"))
+    intercept[Exception](
+      s.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN v TYPE FLOAT"))
+    // compaction folds everything to the wide types physically and
+    // clears the mapping; content is unchanged
+    TableManifest.compactBatches(s, p)
+    assert(TableManifest.columnMapOf(s, p).isEmpty,
+      "a fold writes logical names/types and clears the mapping")
+    val got2 = s.sql(s"SELECT id, v FROM graft.`$p` ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got2 == want, s"post-fold state: $got2")
+  }
+
   test("CALL procedures: the maintenance runbook is plain SQL —" +
     " optimize clusters, history audits, maintain folds, vacuum expires") {
     val p = tmp("proc")

@@ -403,4 +403,87 @@ class GraftStreamSourceSpec extends AnyFunSuite {
       assert(s.table("gss_ins").count() == 35)
     } finally q.stop()
   }
+
+  test("Update-mode sink: a NULL-valued merge key is one more group — " +
+    "it REPLACES its previous emission (null-safe upsert) instead of " +
+    "re-inserting every micro-batch") {
+    val src = tmp("nullkey_src")
+    val dst = tmp("nullkey_dst")
+    // nullable grouping column: ids divisible by 5 fall in the NULL group
+    def rows(from: Long, until: Long): DataFrame =
+      s.range(from, until).select(col("id"),
+        when(col("id") % 5 === 0, lit(null).cast("long"))
+          .otherwise(col("id") % 3).as("k"))
+    TableManifest.commitSnapshot(rows(0, 20), src)
+    val q = s.readStream.format("graft").load(src)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .writeStream.format("graft").outputMode("update")
+      .option("mergeKeys", "k")
+      .option("checkpointLocation", tmp("nullkey_ck"))
+      .start(dst)
+    try {
+      q.processAllAvailable()
+      TableManifest.append(rows(20, 40), src)
+      q.processAllAvailable()
+      TableManifest.append(rows(40, 60), src)
+      q.processAllAvailable()
+      val got = TableManifest.read(s, dst).collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          r.getLong(1))).sortBy(_._1).toSeq
+      val want = (0L until 60L)
+        .groupBy(i => if (i % 5 == 0) -1L else i % 3)
+        .toSeq.map { case (k, is) => (k, is.size.toLong) }.sortBy(_._1)
+      assert(got == want,
+        s"the NULL-key group must upsert, not accumulate: $got vs $want")
+    } finally q.stop()
+  }
+
+  test("sink in-band maintenance: maintainEvery folds the Update-mode " +
+    "MoR chain and vacuumRetain bounds the version count — an " +
+    "unattended stream no longer degrades its own table") {
+    def mkSrc(tag: String): String = {
+      val p = tmp(s"maint_src_$tag")
+      TableManifest.commitSnapshot(seed(0, 21), p)
+      p
+    }
+    def drive(src: String, dst: String,
+        opts: Seq[(String, String)]): Unit = {
+      var w = s.readStream.format("graft").load(src)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .writeStream.format("graft").outputMode("update")
+        .option("mergeKeys", "k")
+        .option("checkpointLocation", tmp(s"maint_ck_${dst.hashCode}"))
+      opts.foreach { case (k2, v2) => w = w.option(k2, v2) }
+      val q = w.start(dst)
+      try {
+        q.processAllAvailable()
+        (1 to 24).foreach { i =>
+          TableManifest.append(seed(20L + i, 21L + i), src)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    val (un, mt) = (tmp("maint_un"), tmp("maint_mt"))
+    drive(mkSrc("un"), un, Nil)
+    drive(mkSrc("mt"), mt, Seq("maintainEvery" -> "8",
+      "maintainMaxBatches" -> "6", "maintainMaxDeletes" -> "4",
+      "vacuumRetain" -> "1"))
+    // identical served content either way (the batch aggregate)
+    def state(p: String) = TableManifest.read(s, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val want = (0L until 45L).groupBy(_ % 7).toSeq
+      .map { case (k, is) => (k, is.size.toLong) }.sortBy(_._1)
+    assert(state(un) == want && state(mt) == want)
+    // the unmaintained sink accrued one MoR segment per matched batch;
+    // the maintained one folded its chain and expired old versions
+    assert(TableManifest.pendingDeletes(s, un) >= 15,
+      s"unmaintained chain: ${TableManifest.pendingDeletes(s, un)}")
+    assert(TableManifest.pendingDeletes(s, mt) <= 8,
+      s"maintained chain must stay bounded: " +
+        s"${TableManifest.pendingDeletes(s, mt)}")
+    assert(TableManifest.versions(s, mt).size <
+      TableManifest.versions(s, un).size / 2,
+      s"vacuumRetain must bound versions: ${TableManifest.versions(s, mt)
+        .size} vs ${TableManifest.versions(s, un).size}")
+  }
 }
