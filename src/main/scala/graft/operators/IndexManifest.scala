@@ -383,9 +383,15 @@ private[operators] object IndexManifest {
       case None => Map.empty
       case Some(c) =>
         scala.util.Try {
-          val in = f.open(new Path(s"$path/manifest/ckpt_v$c"))
-          val body = try scala.io.Source.fromInputStream(in).mkString
-          finally in.close()
+          // one buffered read of the whole file (a 50k-version
+          // checkpoint is ~2 MB; char-iterating Source costs ~1 s
+          // there, readFully is milliseconds)
+          val cp = new Path(s"$path/manifest/ckpt_v$c")
+          val len = f.getFileStatus(cp).getLen.toInt
+          val buf = new Array[Byte](len)
+          val in = f.open(cp)
+          try in.readFully(buf) finally in.close()
+          val body = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
           body.linesIterator.flatMap { l =>
             // <version>:<wm>:<uwm>:<mtime>:<kind> — kind last (it may
             // be empty on pre-tagging markers); mtime is carried for

@@ -1575,13 +1575,39 @@ object TableManifest {
     val wm = watermarkOfV(spark, path, view, version)
     val uwm = view.log.infoAt(version).uwm
     val dir = s"$path/data_v${p.get}"
-    val updVers = updateVersionsAtV(spark, path, view, version, dir)
+    // ONE listing of the payload dir serves both the update-version
+    // resolution and the visible-batch restriction below
+    val dp = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(spark, path)
+    val batchIds: Seq[Long] =
+      if (!f.exists(dp)) Nil
+      else f.listStatus(dp).map(_.getPath.getName)
+        .collect { case n if n.startsWith("__batch=") =>
+          n.stripPrefix("__batch=").toLong }.toSeq
+    val updVers = batchIds.filter(_ >= UpdateBase).map(_ - UpdateBase)
+      .filter { d =>
+        val k = view.log.infoAt(d).kind
+        d <= version && (k == "update" || k == "merge")
+      }.toSet
     // a live mapping needs the FULL footer union: plain parquet schema
     // sampling could pick a pre-rename file and lose the new-era name
     // the masks and the logical view coalesce over
     val merge = mergeSchema || (mapping.nonEmpty && schema.isEmpty)
-    val base = payloadRead(spark, dir,
-      schema.map(physicalReadSchema(_, mapping)), merge)
+    // merged (footer-union) reads restrict to the VISIBLE batch dirs:
+    // an invisible dir — a later era's zero-row evolution footer, an
+    // append above this pin's watermark, a crashed orphan — must not
+    // leak its columns into this version's schema. Pins serve era
+    // schemas BY CONSTRUCTION (cold sessions included), not by schema-
+    // cache warmth; row visibility was already exact either way.
+    val visible = batchIds.filter(visibleId(_, wm, uwm, updVers))
+    val base =
+      if (merge && visible.nonEmpty && visible.size < batchIds.size)
+        payloadRead(spark, dir,
+          schema.map(physicalReadSchema(_, mapping)), merge,
+          basePath = Some(dir),
+          parts = visible.map(b => s"$dir/__batch=$b"))
+      else payloadRead(spark, dir,
+        schema.map(physicalReadSchema(_, mapping)), merge)
     maskDeletes(base.filter(visibleBatch(wm, uwm, updVers)),
       deletePredsOf(spark, path, deleteSegmentsAtV(view, version)),
       path, mapping)

@@ -378,9 +378,27 @@ private[sources] object GraftProcedures {
     }
   }
 
+  private val checkpointP = new P("checkpoint",
+    "write the manifest-log checkpoint at the current head (normally " +
+      "amortized: every spark.graft.manifest.checkpointInterval-th " +
+      "commit writes one, and maintain refreshes it) — reads then " +
+      "resolve every marker body from ONE file instead of per-marker " +
+      "opens; returns the checkpointed head version",
+    Seq(in("path", StringType)),
+    new StructType().add("checkpointed_version", LongType,
+      nullable = false)) {
+    override protected def run(a: InternalRow): Seq[InternalRow] = {
+      val p = str(a, 0)
+      val head = TableManifest.checkpointManifest(spark, p)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no committed table at $p"))
+      Seq(InternalRow(head))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] = Seq(
     optimize, vacuum, maintain, history, update, constraints,
-    tagP, untagP, tagsP, restore, detail)
+    tagP, untagP, tagsP, restore, detail, checkpointP)
     .map(p => p.name() -> p).toMap
 
   def identifiers: Array[Identifier] =

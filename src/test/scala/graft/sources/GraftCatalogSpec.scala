@@ -1094,6 +1094,37 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(got2 == want, s"post-fold state: $got2")
   }
 
+  test("era machinery COMPOSES and holds COLD: widen then rename then " +
+    "DML; pinned era schemas come from the layout (visible-batch footer " +
+    "union), not schema-cache warmth") {
+    import org.apache.spark.sql.types.IntegerType
+    val p = tmp("eras")
+    TableManifest.commitSnapshot(
+      s.range(6).select(col("id").cast("int").as("id"),
+        (col("id") * 10).cast("double").as("v")), p)
+    val v0 = TableManifest.versions(s, p).last
+    s.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN id TYPE BIGINT")
+    s.sql(s"ALTER TABLE graft.`$p` RENAME COLUMN id TO ident")
+    val wide = Int.MaxValue.toLong + 5L
+    s.sql(s"INSERT INTO graft.`$p` VALUES ($wide, 1.5)")
+    s.sql(s"UPDATE graft.`$p` SET v = v + 1 WHERE ident = 2")
+    s.sql(s"DELETE FROM graft.`$p` WHERE ident = 4")
+    // drop every memoized schema: era resolution must not depend on a
+    // tableSchema() call having happened before the DDL in this session
+    GraftTableSource.invalidateSchema(p)
+    val pin0 = s.sql(s"SELECT * FROM graft.`$p` VERSION AS OF $v0")
+    assert(pin0.columns.toSeq == Seq("id", "v"),
+      s"cold pre-DDL pin must serve the era NAMES: ${pin0.columns.toSeq}")
+    assert(pin0.schema("id").dataType == IntegerType,
+      s"cold pre-DDL pin must serve the era TYPE: ${pin0.schema}")
+    assert(pin0.count() == 6)
+    val cur = s.sql(s"SELECT ident, v FROM graft.`$p` ORDER BY ident")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = (0L until 6L).filter(_ != 4L)
+      .map(i => (i, if (i == 2L) 21.0 else i * 10.0)) :+ (wide, 1.5)
+    assert(cur == want, s"widen+rename+DML state: $cur")
+  }
+
   test("CALL procedures: the maintenance runbook is plain SQL —" +
     " optimize clusters, history audits, maintain folds, vacuum expires") {
     val p = tmp("proc")
@@ -1156,6 +1187,16 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(d.getInt(5) == 1, "one live column mapping")
     assert(d.getString(6).startsWith("base="), d.getString(6))
     assert(d.getInt(7) == TableManifest.versions(s, p).size)
+    // CALL graft.checkpoint writes the marker-log checkpoint at the
+    // head and reads stay exact through it
+    val ck = s.sql(s"CALL graft.checkpoint(path => '$p')").head()
+    assert(ck.getLong(0) == TableManifest.versions(s, p).last)
+    val hp = new org.apache.hadoop.fs.Path(s"$p/manifest")
+    assert(hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .listStatus(hp).exists(_.getPath.getName
+        .startsWith("ckpt_v")), "checkpoint file on disk")
+    assert(s.sql(s"SELECT count(*) FROM graft.`$p`")
+      .head().getLong(0) == 9)
   }
 
   test("CREATE TABLE seeds a zero-row schema snapshot; the first INSERT" +
