@@ -71,8 +71,23 @@ object Bench {
       finally src.close()
     } catch { case scala.util.control.NonFatal(_) => "" }
 
+  /** (busy, steal) jiffies off /proc/stat's aggregate cpu line — the
+    * HYPERVISOR-side contention loadavg cannot see: this box measured
+    * ~18% steal during a nominally idle (loadavg 0.0) window, which is
+    * exactly the uniform all-queries inflation rounds 6-13 kept having
+    * to diagnose from narratives. (0, 0) when unreadable. */
+  private def cpuJiffies(): (Long, Long) =
+    try {
+      val l = procLine("/proc/stat").split("\\s+")
+      // cpu user nice system idle iowait irq softirq steal ...
+      val busy = l(1).toLong + l(2).toLong + l(3).toLong
+      val steal = if (l.length > 8) l(8).toLong else 0L
+      (busy, steal)
+    } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
+
   def main(args: Array[String]): Unit = {
     val loadStart = procLine("/proc/loadavg")
+    val (busy0, steal0) = cpuJiffies()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -128,7 +143,15 @@ object Bench {
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val loadEnd = procLine("/proc/loadavg")
     val pressure = procLine("/proc/pressure/cpu")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","loadavg_start":${j(loadStart)},"loadavg_end":${j(loadEnd)},"cpu_pressure":${j(pressure)}}""")
+    val (busy1, steal1) = cpuJiffies()
+    // steal fraction over the whole bench window: stolen jiffies per
+    // busy jiffy — >0.05 means the hypervisor took a real bite and the
+    // absolute total should be read against an earlier low-steal run
+    val stealPct =
+      if (busy1 > busy0)
+        100.0 * (steal1 - steal0) / (busy1 - busy0 + steal1 - steal0)
+      else 0.0
+    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","loadavg_start":${j(loadStart)},"loadavg_end":${j(loadEnd)},"cpu_pressure":${j(pressure)},"cpu_steal_pct":$stealPct%.1f}""")
     spark.stop()
   }
 }

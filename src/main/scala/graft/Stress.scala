@@ -2259,6 +2259,67 @@ object Stress {
           "merge-under-append lost rows or effects")
         println(f"""{"rows":$mcRows%d,"merge_quiet_seconds":$tQuiet%.2f,"merge_under_appends_seconds":$tHot%.2f,"appends_during_run":${appended.get()}%d}""")
 
+      case "sinkmaintain" =>
+        // the 24/7 Update-mode sink's steady state: each micro-batch is
+        // one mergeWhere upsert (exactly what GraftSink commits), so an
+        // unattended stream accrues one tombstone + replacement batch
+        // per emission. 60 batches driven twice — maintenance OFF (the
+        // chain grows unbounded: merge i itself pays the i-deep chain,
+        // so the drive is O(N²) — which is the point) vs IN-BAND every
+        // 10 batches (the sink's maintainEvery path: fold past
+        // thresholds + retention vacuum) — with the served table's read
+        // latency sampled every 20 batches. Done-criterion shape: the
+        // maintained curve stays flat, the version count stays bounded,
+        // content identical.
+        import operators.TableManifest
+        import operators.TableManifest.{MergeInsert, MergeMatched}
+        val smBatches = 60
+        val smKeys = copies * 1000L
+        def smEmission(i: Int) = spark.range(smKeys / 10).select(
+          ((col("id") * 7 + i) % smKeys).as("id"),
+          (col("id") % 97 + i).cast("double").as("v"))
+        def smSecs(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        def smRead(p: String): Double = {
+          val ts = (1 to 3).map(_ => smSecs {
+            TableManifest.read(spark, p).count(); () })
+          ts.sorted.apply(1)
+        }
+        def smDrive(maintainEvery: Int): (String, Seq[(Int, Double)]) = {
+          val p = java.nio.file.Files
+            .createTempDirectory(s"stress_sm_$maintainEvery").toString
+          TableManifest.createEmpty(spark, p,
+            smEmission(0).schema)
+          val samples = scala.collection.mutable
+            .ArrayBuffer.empty[(Int, Double)]
+          (1 to smBatches).foreach { i =>
+            TableManifest.mergeWhere(spark, p, smEmission(i), Seq("id"),
+              matched = Seq(MergeMatched("update", None)),
+              inserts = Seq(MergeInsert(None)), nullSafeKeys = true)
+            if (maintainEvery > 0 && i % maintainEvery == 0)
+              TableManifest.maintain(spark, p, maxBatches = 16,
+                maxDeletes = 8, keepVersions = 2, retainMs = 1L)
+                .collect()
+            if (i % 20 == 0) samples += ((i, smRead(p)))
+          }
+          (p, samples.toSeq)
+        }
+        val (pOff, offCurve) = smDrive(0)
+        val (pOn, onCurve) = smDrive(10)
+        def smState(p: String) = TableManifest.read(spark, p)
+          .agg(count(lit(1)), sum(hash(col("id"), col("v")).cast("long")))
+          .head()
+        val (sOff, sOn) = (smState(pOff), smState(pOn))
+        require(sOff.getLong(0) == sOn.getLong(0) &&
+          sOff.getLong(1) == sOn.getLong(1),
+          "maintained and unmaintained sinks must serve identical content")
+        val vOff = TableManifest.versions(spark, pOff).size
+        val vOn = TableManifest.versions(spark, pOn).size
+        def curveJson(c: Seq[(Int, Double)]): String =
+          c.map { case (i, t) => f""""$i%d":$t%.2f""" }.mkString("{", ",", "}")
+        println(f"""{"batches":$smBatches%d,"keys":$smKeys%d,"read_secs_unmaintained":${curveJson(offCurve)}%s,"read_secs_maintained":${curveJson(onCurve)}%s,"versions_unmaintained":$vOff%d,"versions_maintained":$vOn%d,"content_identical":true}""")
+
       case "kll" =>
         // copies×1M skewed doubles in 30 "days": build per-partition
         // partials, merge, then verify the p50/p99 rank bound exactly
