@@ -90,6 +90,18 @@ object TableManifest {
       dst: org.apache.hadoop.fs.Path): Boolean =
     IndexManifest.renameExclusive(f, src, dst)
 
+  /** Jittered exponential backoff before a full RE-DERIVATION (attempt
+    * 2+): the derivation is the expensive step in every optimistic
+    * mutation loop, and retrying the instant a race is lost mostly
+    * loses it again — the liveness half of the strict-CAS contracts.
+    * 12–75 ms at attempt 2, capped at 0.4–1.2 s. */
+  private def backoffBeforeRederive(attempt: Int): Unit =
+    if (attempt > 1) {
+      val base = 25L << math.min(attempt - 2, 5)
+      Thread.sleep(base / 2 + java.util.concurrent.ThreadLocalRandom
+        .current().nextLong(base))
+    }
+
   private def payloadVersion(spark: SparkSession,
       path: String): Option[Long] =
     for {
@@ -262,6 +274,7 @@ object TableManifest {
       require(attempt <= 20,
         s"derived snapshot at $path lost the commit race $attempt " +
           "times in a row — retry under quieter write traffic")
+      backoffBeforeRederive(attempt)
       val v0 = IndexManifest.currentVersion(spark, path).get
       val tmp = stagePayload(derive(v0), path)
       hook()
@@ -869,6 +882,7 @@ object TableManifest {
       require(attempt <= 20,
         s"updateWhere at $path lost the commit race $attempt times in a " +
           "row — retry under quieter write traffic")
+      backoffBeforeRederive(attempt)
       // pin ONE version: everything below derives from v0
       val v0 = IndexManifest.currentVersion(spark, path).get
       val wm0 = watermarkOf(spark, path, v0)
@@ -1130,16 +1144,7 @@ object TableManifest {
         s"mergeWhere at $path lost the commit race $attempt times in a " +
           "row — raise spark.graft.merge.maxAttempts or retry under " +
           "quieter write traffic")
-      if (attempt > 1) {
-        // jittered backoff before re-deriving: under a hot appender the
-        // derivation itself is the expensive step, and retrying the
-        // instant the race is lost just loses it again — the liveness
-        // half of the strict-CAS contract (the chaos spec's appender
-        // arm measures the envelope)
-        val base = 25L << math.min(attempt - 2, 5)
-        Thread.sleep(base / 2 + java.util.concurrent.ThreadLocalRandom
-          .current().nextLong(base))
-      }
+      backoffBeforeRederive(attempt)
       val v0 = IndexManifest.currentVersion(spark, path).get
       val wm0 = watermarkOf(spark, path, v0)
       val uwm0 = unkeyedWatermarkOf(spark, path, v0)
@@ -1356,9 +1361,19 @@ object TableManifest {
         // tombstone keys are then untouched by the interleaving. A
         // NOT-MATCHED-BY-SOURCE clause never slides — its split covers
         // the whole target, and every appended row would belong to it.
+        // The check is INCREMENTAL across loop iterations: only the
+        // markers and delta batches since the LAST verified head are
+        // inspected — re-verifying from v0 each time would make the
+        // per-iteration cost grow with the appender's total progress,
+        // and a sustained appender could then outrun the merge forever
+        // (the starvation this round exists to close; observed live
+        // under heavy hypervisor steal before the fix).
+        var checkedHead = v0
+        var wmChecked = wm0
+        var uwmChecked = uwm0
         def slidable(head: Long): Boolean =
           bySource.isEmpty &&
-            ((v0 + 1) to head).forall(v =>
+            ((checkedHead + 1) to head).forall(v =>
               IndexManifest.markerInfoAt(spark, path, v).kind ==
                 "append") && {
               val wmH = watermarkOf(spark, path, head)
@@ -1368,10 +1383,11 @@ object TableManifest {
                 .map(_.getPath.getName)
                 .collect { case n if n.startsWith("__batch=") =>
                   n.stripPrefix("__batch=").toLong }
-                .filter(b => b < UpdateBase && visibleId(b, wmH, uwmH) &&
-                  !visibleId(b, wm0, uwm0))
+                .filter(b => b < UpdateBase &&
+                  visibleId(b, wmH, uwmH) &&
+                  !visibleId(b, wmChecked, uwmChecked))
                 .map(b => s"$dir/__batch=$b").toSeq
-              parts.isEmpty || {
+              val disjoint = parts.isEmpty || {
                 val delta = payloadRead(spark, dir, Some(keySchema),
                   mergeSchema = false, basePath = Some(dir), parts = parts)
                 val mk = source.select(keyCols.map(k =>
@@ -1380,6 +1396,10 @@ object TableManifest {
                     keyEq(col(s"`$k`"), col(s"`__mk_$k`"))).reduce(_ && _),
                   "left_semi").isEmpty
               }
+              if (disjoint) {
+                checkedHead = head; wmChecked = wmH; uwmChecked = uwmH
+              }
+              disjoint
             }
         var d = v0 + 1
         var blockedTries = 0
