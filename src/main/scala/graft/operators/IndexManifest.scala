@@ -80,21 +80,16 @@ private[operators] object IndexManifest {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Rename that CLAIMS `dst`: returns false when dst was already taken.
-    * Hadoop's `FileSystem.rename(src, dst)` with an existing dst
-    * DIRECTORY moves src INSIDE dst and returns true — a racing claimer
-    * would silently nest its (hidden, dot-named) staging dir inside the
-    * winner's and lose its rows. Every claim in this layer stages under
-    * a UUID-unique name, so the nesting is detected exactly and backed
-    * out: the loser retries at the next number, nobody's data moves. */
+  /** Rename that CLAIMS `dst`: returns false when dst was already
+    * taken. Routed through the [[CommitStore]] seam — the default
+    * rename store is the historical no-overwrite-rename protocol
+    * (with the nested-dir backout); a coordinated store serializes
+    * claims through a [[CommitCoordinator]] for object stores whose
+    * rename is neither atomic nor no-overwrite (see CommitStore's
+    * scaladoc for the S3 story). */
   private[operators] def renameExclusive(
-      f: org.apache.hadoop.fs.FileSystem, src: Path, dst: Path): Boolean = {
-    if (f.exists(dst)) return false
-    if (!f.rename(src, dst)) return false
-    val nested = new Path(dst, src.getName)
-    if (f.exists(nested)) { f.rename(nested, src); false }
-    else true
-  }
+      f: org.apache.hadoop.fs.FileSystem, src: Path, dst: Path): Boolean =
+    CommitStore.of(f, dst).claim(f, src, dst)
 
   /** All committed versions, ascending; empty = legacy layout. */
   def committedVersions(spark: SparkSession, path: String): Seq[Long] = {
@@ -107,9 +102,15 @@ private[operators] object IndexManifest {
       .sorted.toSeq
   }
 
-  /** Highest committed version; None = legacy (pre-manifest) layout. */
+  /** Highest committed version; None = legacy (pre-manifest) layout.
+    * Served pointer+probe when a checkpoint pointer exists (O(tail)
+    * point reads instead of the full manifest listing — what keeps
+    * COMMIT latency flat on a 50k-version table); the probe result is
+    * honored only when the reclaim fence still matches the pointer's
+    * recorded generation, so it is exactly as fresh as a listing. */
   def currentVersion(spark: SparkSession, path: String): Option[Long] =
-    committedVersions(spark, path).lastOption
+    fastHead(spark, path)
+      .orElse(committedVersions(spark, path).lastOption)
 
   /** Versions of `base` dirs present on disk: `base_v<N>` → N, ascending.
     * One listing RPC; used for payload, segment, and geometry resolution. */
@@ -361,7 +362,206 @@ private[operators] object IndexManifest {
       info.getOrElse(v, MarkerInfo(Long.MaxValue, -1L, ""))
   }
 
-  def markerLog(spark: SparkSession, path: String): MarkerLog = {
+  // ---- fence + pointer: listing-free read planning ------------------------
+  //
+  // The checkpoint made marker BODIES O(1); the residual read-planning
+  // cost was the full manifest LISTING itself — 50k FileStatus entries
+  // per read on a long-lived table (`Stress manifestscale` round 14:
+  // 1.68 s at 50k versions, attributed to exactly this). The listing
+  // existed to answer ONE question: which versions still exist (the
+  // head, and vacuum reclaims). Two tiny fixed-name files answer it
+  // without enumerating:
+  //
+  //   manifest/_last_ckpt   the newest checkpoint's head version — one
+  //                         open finds the checkpoint without listing
+  //   manifest/_fence       a RECLAIM GENERATION, bumped BEFORE any
+  //                         marker/versioned-dir deletion (vacuum,
+  //                         cleanOrphans). The checkpoint records the
+  //                         generation it observed; a reader whose
+  //                         post-read fence matches knows NO deletion
+  //                         started since the checkpoint — every
+  //                         version in it still exists.
+  //
+  // The TAIL (> checkpoint head) is discovered by per-version existence
+  // PROBES — each version's marker file is getFileStatus'd directly
+  // (stronger than a listing: existence is verified per version), and
+  // number gaps from crashed-mutation orphan dirs are skipped via the
+  // root-family listing the View already pays (orphan-consumed numbers
+  // always have their dir on disk — cleanOrphans removing one bumps
+  // the fence). Commits are tail-only (tryCommitTagged), so probing
+  // forward from the checkpoint head is complete. Any miss — absent
+  // pointer, pruned checkpoint, torn fence, generation mismatch —
+  // falls back to the full listing: the fast path can be WRONG only
+  // by refusing itself, never by serving a stale head or a vacuumed
+  // version. On object stores this turns read planning from a paged
+  // 50k-key LIST into ~a dozen point GETs — the startAfter shape
+  // without needing a listing API extension.
+
+  private def readSmall(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[String] =
+    scala.util.Try {
+      val len = f.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = f.open(p)
+      try in.readFully(buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    }.toOption
+
+  /** Current reclaim generation: 0 = never reclaimed (or no fence
+    * file); None = fence present but unreadable (torn concurrent
+    * bump) — callers treat None as "assume a reclaim is in flight". */
+  private def fenceGen(f: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[Long] = {
+    val p = new Path(s"$path/manifest/_fence")
+    if (!f.exists(p)) Some(0L)
+    else readSmall(f, p).flatMap(_.trim.toLongOption)
+  }
+
+  /** Advance the reclaim generation — MUST be called before deleting
+    * any marker or versioned dir (vacuum, cleanOrphans), so a
+    * checkpoint-trusting reader can detect that its existence cache
+    * went stale. Crash AFTER the bump and before the deletion merely
+    * costs readers the listing fallback until the next checkpoint. */
+  private[operators] def bumpFence(spark: SparkSession,
+      path: String): Unit = {
+    val f = fs(spark, path)
+    val dir = new Path(s"$path/manifest")
+    if (!f.exists(dir)) return
+    val next = fenceGen(f, path).getOrElse(0L) + 1L
+    scala.util.Try {
+      val out = f.create(new Path(s"$path/manifest/_fence"), true)
+      try out.writeBytes(next.toString) finally out.close()
+    }
+    ()
+  }
+
+  /** The `_last_ckpt` pointer: (checkpoint head, fence generation it
+    * recorded). Legacy single-line pointers read generation 0. */
+  private def readPointer(f: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[(Long, Long)] =
+    readSmall(f, new Path(s"$path/manifest/_last_ckpt")).flatMap { b =>
+      val lines = b.linesIterator.toSeq
+      lines.headOption.flatMap(_.trim.toLongOption).map { head =>
+        val gen = lines.collectFirst {
+          case l if l.startsWith("#fence=") =>
+            l.stripPrefix("#fence=").trim.toLongOption.getOrElse(0L)
+        }.getOrElse(0L)
+        (head, gen)
+      }
+    }
+
+  /** Orphan-consumed version numbers always leave their family dir on
+    * the table/index ROOT (one SMALL listing — families, never
+    * one-entry-per-commit), which is how tail probes skip number gaps
+    * without a manifest listing. */
+  private def rootFamilyVersions(f: org.apache.hadoop.fs.FileSystem,
+      path: String): Set[Long] = {
+    val p = new Path(path)
+    if (!f.exists(p)) Set.empty
+    else f.listStatus(p).map(_.getPath.getName).flatMap { n =>
+      val i = n.lastIndexOf("_v")
+      if (i <= 0) None
+      else {
+        val ver = n.substring(i + 2)
+        if (ver.nonEmpty && ver.forall(_.isDigit)) Some(ver.toLong)
+        else None
+      }
+    }.toSet
+  }
+
+  /** Probe committed markers forward from `from` (exclusive): each
+    * version's marker is getFileStatus'd directly; gaps with a root
+    * family dir (orphans) are skipped. Returns (found versions with
+    * mtimes, ascending). Capped — a pathologically stale pointer falls
+    * back to the listing instead of probing forever. */
+  private def probeTail(f: org.apache.hadoop.fs.FileSystem, path: String,
+      from: Long, rootVers: Set[Long]): Option[Seq[(Long, Long)]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var v = from + 1
+    var probes = 0
+    var scanning = true
+    while (scanning) {
+      probes += 1
+      if (probes > 4096) return None
+      scala.util.Try(
+        f.getFileStatus(new Path(s"$path/manifest/v$v"))).toOption match {
+        case Some(st) => out += (v -> st.getModificationTime); v += 1
+        case None =>
+          // keep probing through number gaps: an in-flight/crashed
+          // claim leaves its root family dir; a lost-race backout
+          // leaves the committer-written `g<N>` advisory
+          if (rootVers.contains(v) ||
+              f.exists(new Path(s"$path/manifest/g$v"))) v += 1
+          else scanning = false
+      }
+    }
+    Some(out.toSeq)
+  }
+
+  /** The current head via pointer + tail probes — no manifest listing.
+    * None = no pointer, torn fence, moved fence (a reclaim since the
+    * pointer), or a pathological tail: fall back to the listing. */
+  private def fastHead(spark: SparkSession, path: String): Option[Long] = {
+    val f = fs(spark, path)
+    readPointer(f, path).flatMap { case (c, gen) =>
+      probeTail(f, path, c, rootFamilyVersions(f, path)).flatMap { tail =>
+        // fence LAST: any reclaim that started before this read shows
+        // a moved (or torn) generation and refuses the fast path
+        if (fenceGen(f, path).contains(gen))
+          Some(tail.lastOption.map(_._1).getOrElse(c))
+        else None
+      }
+    }
+  }
+
+  /** Checkpoint-plus-probes marker log; None = any ingredient missing
+    * or stale (the caller falls back to the full listing). */
+  private def fastMarkerLog(spark: SparkSession,
+      path: String): Option[MarkerLog] = {
+    val f = fs(spark, path)
+    val ptr = readPointer(f, path).map(_._1)
+    if (ptr.isEmpty) return None
+    val c = ptr.get
+    val body = readSmall(f, new Path(s"$path/manifest/ckpt_v$c"))
+    if (body.isEmpty) return None
+    var ckptFence = 0L
+    val infos = scala.collection.mutable.Map.empty[Long, MarkerInfo]
+    val mtimes = scala.collection.mutable.Map.empty[Long, Long]
+    body.get.linesIterator.foreach { l =>
+      if (l.startsWith("#fence="))
+        ckptFence = l.stripPrefix("#fence=").trim.toLongOption.getOrElse(0L)
+      else l.split(":", 5) match {
+        case Array(v, wm, uwm, mt, kind) =>
+          for {
+            vv <- v.toLongOption
+            w <- wm.toLongOption
+            u <- uwm.toLongOption
+          } {
+            infos(vv) = MarkerInfo(w, u, kind)
+            mtimes(vv) = mt.toLongOption.getOrElse(0L)
+          }
+        case _ =>
+      }
+    }
+    if (!infos.contains(c)) return None // pointer past the ckpt body
+    val tail = probeTail(f, path, c, rootFamilyVersions(f, path))
+    if (tail.isEmpty) return None
+    tail.get.foreach { case (v, mt) =>
+      infos(v) = markerInfoAt(spark, path, v)
+      mtimes(v) = mt
+    }
+    // fence LAST: a reclaim that started anywhere before this read
+    // shows a moved (or torn) generation and refuses the fast path
+    if (!fenceGen(f, path).contains(ckptFence)) return None
+    Some(MarkerLog(infos.keys.toSeq.sorted, infos.toMap, mtimes.toMap))
+  }
+
+  def markerLog(spark: SparkSession, path: String): MarkerLog =
+    fastMarkerLog(spark, path)
+      .getOrElse(listedMarkerLog(spark, path))
+
+  private def listedMarkerLog(spark: SparkSession,
+      path: String): MarkerLog = {
     val f = fs(spark, path)
     val dir = new Path(s"$path/manifest")
     if (!f.exists(dir)) return MarkerLog(Seq.empty, Map.empty, Map.empty)
@@ -422,27 +622,48 @@ private[operators] object IndexManifest {
     * the newest two so a reader mid-open never loses its file. Returns
     * the checkpointed head. */
   def writeCheckpoint(spark: SparkSession, path: String): Option[Long] = {
-    val log = markerLog(spark, path)
+    // the checkpoint must observe the fence BEFORE capturing the log:
+    // a reclaim racing this write moves the fence past the recorded
+    // generation, so readers refuse the (possibly stale) result
+    val f = fs(spark, path)
+    val gen = fenceGen(f, path).getOrElse(0L)
+    val log = listedMarkerLog(spark, path)
     log.committed.lastOption.map { head =>
-      val f = fs(spark, path)
-      val body = log.committed.map { v =>
+      val body = (s"#fence=$gen" +: log.committed.map { v =>
         val i = log.infoAt(v)
         s"$v:${i.wm}:${i.uwm}:${log.mtime.getOrElse(v, 0L)}:${i.kind}"
-      }.mkString("\n")
+      }).mkString("\n")
       val tmp = new Path(
         s"$path/manifest/.ckpt_pending_${java.util.UUID.randomUUID}")
       val out = f.create(tmp, true)
       try out.writeBytes(body) finally out.close()
       val dst = new Path(s"$path/manifest/ckpt_v$head")
       if (!renameExclusive(f, tmp, dst)) f.delete(tmp, false)
-      val all = f.listStatus(new Path(s"$path/manifest"))
+      // pointer to the newest checkpoint: one open instead of a
+      // listing. Best-effort overwrite — a torn/stale pointer only
+      // costs the listing fallback, never a wrong answer.
+      scala.util.Try {
+        val po = f.create(new Path(s"$path/manifest/_last_ckpt"), true)
+        try po.writeBytes(s"$head\n#fence=$gen") finally po.close()
+      }
+      val listed = f.listStatus(new Path(s"$path/manifest"))
         .map(_.getPath.getName)
+      val all = listed
         .collect { case n if n.startsWith("ckpt_v") =>
           n.stripPrefix("ckpt_v") }
         .collect { case n if n.nonEmpty && n.forall(_.isDigit) => n.toLong }
         .sorted
       all.dropRight(2).foreach(c =>
         f.delete(new Path(s"$path/manifest/ckpt_v$c"), false))
+      // gap advisories at-or-below the checkpointed head are dead
+      // (probing starts above it) — sweep them here, where the listing
+      // is already paid; in-flight commits' advisories are strictly
+      // above this listing's head and survive
+      listed.collect { case n if n.startsWith("g") &&
+          n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit) =>
+        n.drop(1).toLong }
+        .filter(_ <= head)
+        .foreach(n => f.delete(new Path(s"$path/manifest/g$n"), false))
       head
     }
   }
@@ -490,21 +711,33 @@ private[operators] object IndexManifest {
     val body =
       if (unkeyedWatermark < 0L && kind.isEmpty) watermark.toString
       else s"wm=$watermark\nuwm=$unkeyedWatermark\nkind=$kind"
-    // the tmp name is unique PER ATTEMPT: two committers racing the same
-    // version number must never share a staging file (the winner's
-    // rename would yank it from under the loser's in-flight create)
-    val tmp = new Path(
-      s"$path/manifest/.v${version}_${java.util.UUID.randomUUID}_tmp")
-    val out = f.create(tmp, true)
-    try out.writeBytes(body) finally out.close()
-    if (f.exists(dst) || currentVersion(spark, path).exists(_ > version)) {
-      f.delete(tmp, false); false
-    } else {
-      val won = f.rename(tmp, dst)
-      if (!won) f.delete(tmp, false) // lost between check and rename
-      else maybeCheckpoint(spark, path, version)
-      won
-    }
+    // re-check the tail-only rule immediately before the placement,
+    // keeping the race window at the width of the store's one claim;
+    // the placement itself (unique-tmp staging + exclusive publish)
+    // is the CommitStore's contract — pluggable for object stores
+    val head = currentVersion(spark, path).getOrElse(-1L)
+    if (head > version) return false
+    // SKIPPED numbers get advisory `g<N>` gap markers BEFORE this
+    // marker lands: a mutator that claimed a number via a root dir and
+    // then backed out (lost race) leaves a number with neither marker
+    // nor dir, and the pointer+probe fast head would stop there and
+    // serve a stale head. Written first, so a prober can never see
+    // marker v$version without the gap trail below it; best-effort
+    // (a crash leaves stale advisories — probers just keep walking,
+    // and the next checkpoint write sweeps every g-file at-or-below
+    // its head). Tail-only commits make a skipped number permanently
+    // dead once this marker lands, so the advisory is truthful.
+    if (version > head + 1)
+      ((head + 1) until version).foreach { n =>
+        scala.util.Try {
+          val out = f.create(new Path(s"$path/manifest/g$n"), true)
+          out.close()
+        }
+      }
+    val won = CommitStore.of(f, dst).putIfAbsent(f, dst,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (won) maybeCheckpoint(spark, path, version)
+    won
   }
 
   /** Commit `version`, asserting the number was free — build-path use
@@ -658,15 +891,23 @@ private[operators] object IndexManifest {
     // plus any version a pin resolves through
     val bases = families.filter { case (b, _) =>
       b != payloadBase && !isSegmentBase(b) }
-    val keptGeometry = bases.groupBy(_._1).flatMap { case (base, entries) =>
+    val geomPlan = bases.groupBy(_._1).map { case (base, entries) =>
       val below = entries.map(_._2).filter(_ <= cutoff).sorted
       val survivors =
         (below.lastOption.toSeq ++ below.filter(protectedVers)).toSet
-      below.filterNot(survivors).foreach(w =>
-        f.delete(new Path(s"$path/${base}_v$w"), true))
-      survivors
-    }.toSet
+      (base, below.filterNot(survivors), survivors)
+    }
     val reclaimed = vs.filter(v => v < cutoff && !protectedVers(v))
+    // the fence moves BEFORE the first deletion: checkpoint-trusting
+    // readers see the moved generation and fall back to the listing,
+    // so a stale checkpoint can never resurrect what this reclaim
+    // removes; a crash right after the bump costs only that fallback
+    if (reclaimed.nonEmpty || geomPlan.exists(_._2.nonEmpty))
+      bumpFence(spark, path)
+    geomPlan.foreach { case (base, doomed, _) =>
+      doomed.foreach(w => f.delete(new Path(s"$path/${base}_v$w"), true))
+    }
+    val keptGeometry = geomPlan.flatMap(_._3).toSet
     reclaimed.foreach { v =>
       f.delete(new Path(s"$path/${payloadBase}_v$v"), true)
       // segments at-or-below the cutoff are folded into every retained
@@ -679,6 +920,14 @@ private[operators] object IndexManifest {
       if (!keptGeometry.contains(v))
         f.delete(new Path(s"$path/manifest/v$v"), false)
     }
+    // re-sync the checkpoint after the history rewrite (only where one
+    // already exists — fresh index paths keep their exact layout): the
+    // next read's fast path answers from the new checkpoint instead of
+    // paying the fence-mismatch listing fallback until the next
+    // interval-triggered rewrite
+    if (reclaimed.nonEmpty &&
+        f.exists(new Path(s"$path/manifest/_last_ckpt")))
+      scala.util.Try(writeCheckpoint(spark, path))
     reclaimed
   }
 }

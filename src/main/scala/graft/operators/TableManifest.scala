@@ -496,12 +496,22 @@ object TableManifest {
           .sortWithinPartitions(col("__z"))
           .drop("__z")
     }
+    val hadMapping = columnMapOf(spark, path).nonEmpty
     val tmp = new org.apache.hadoop.fs.Path(
       s"$path/.data_pending_${java.util.UUID.randomUUID}")
     clustered
       .withColumn("__batch", lit(-2L) - spark_partition_id().cast("long"))
       .write.partitionBy("__batch").mode("overwrite").parquet(tmp.toString)
     val v = commitPayloadDir(spark, path, tmp)
+    // the clustered rewrite lands LOGICAL names at the widened HEAD
+    // types, so a live mapping is now identity — clear it exactly like
+    // compactBatches does, or explicit-schema readers (SQL MERGE's
+    // pinned tgtSchema, VERSION AS OF with schema) would request the
+    // old physical name under its OLD era type against the new payload
+    // and fail with a parquet type mismatch. Pinned pre-optimize reads
+    // keep their era's colmap artifact; same single-maintenance-actor
+    // contract and crash story as the compactBatches clear.
+    if (hadMapping) setColumnMapping(spark, path, Nil)
     if (statsCols.nonEmpty) refreshZoneMaps(spark, path, statsCols)
     v
   }
@@ -1371,6 +1381,15 @@ object TableManifest {
         var checkedHead = v0
         var wmChecked = wm0
         var uwmChecked = uwm0
+        // the slide probe must read the interleaved delta batches the
+        // way the TABLE reads them: after a rename/widen DDL the
+        // appends physicalize keys under era storage names (k__w<v>),
+        // so a LOGICAL-schema read null-pads every delta key and the
+        // 3VL === join would judge an INTERSECTING append "provably
+        // disjoint" — a silently stale merge. The mapping is pinned at
+        // v0: any colmap commit inside the window has kind "colmap",
+        // which already fails the all-appends check below.
+        val slideMap = columnMapOf(spark, path, Some(v0))
         def slidable(head: Long): Boolean =
           bySource.isEmpty &&
             ((checkedHead + 1) to head).forall(v =>
@@ -1388,8 +1407,12 @@ object TableManifest {
                   !visibleId(b, wmChecked, uwmChecked))
                 .map(b => s"$dir/__batch=$b").toSeq
               val disjoint = parts.isEmpty || {
-                val delta = payloadRead(spark, dir, Some(keySchema),
-                  mergeSchema = false, basePath = Some(dir), parts = parts)
+                val delta = applyColumnMap(
+                  payloadRead(spark, dir,
+                    Some(physicalReadSchema(keySchema, slideMap)),
+                    mergeSchema = false, basePath = Some(dir),
+                    parts = parts),
+                  slideMap, Some(keySchema))
                 val mk = source.select(keyCols.map(k =>
                   col(s"`$k`").as(s"__mk_$k")): _*)
                 delta.join(mk, keyCols.map(k =>
@@ -1620,12 +1643,22 @@ object TableManifest {
     // schemas BY CONSTRUCTION (cold sessions included), not by schema-
     // cache warmth; row visibility was already exact either way.
     val visible = batchIds.filter(visibleId(_, wm, uwm, updVers))
+    // a pin with ZERO row-visible batches must still serve ITS era's
+    // schema: footer-union only dirs whose era is at-or-below this
+    // version (update-range ids embed their commit version; low/unkeyed
+    // ids above the watermarks are LATER appends and may carry later-era
+    // columns). Rows were already exact either way — this guards the
+    // empty frame's schema.
+    val schemaSafe =
+      if (visible.nonEmpty) visible
+      else batchIds.filter(b =>
+        b >= UpdateBase && b - UpdateBase <= version)
     val base =
-      if (merge && visible.nonEmpty && visible.size < batchIds.size)
+      if (merge && schemaSafe.nonEmpty && schemaSafe.size < batchIds.size)
         payloadRead(spark, dir,
           schema.map(physicalReadSchema(_, mapping)), merge,
           basePath = Some(dir),
-          parts = visible.map(b => s"$dir/__batch=$b"))
+          parts = schemaSafe.map(b => s"$dir/__batch=$b"))
       else payloadRead(spark, dir,
         schema.map(physicalReadSchema(_, mapping)), merge)
     maskDeletes(base.filter(visibleBatch(wm, uwm, updVers)),
@@ -1695,9 +1728,20 @@ object TableManifest {
     *    ways), O(table) — the honest price of replacement commits
     *    without row-level commit logs; callers on this path at scale
     *    should prefer append/MoR commits, which is exactly the guidance
-    *    the CoW-vs-MoR upsert measurements give. */
+    *    the CoW-vs-MoR upsert measurements give.
+    *
+    * THE FEED IS A CONTENT DELTA, not a row-churn log: byte-identical
+    * delete/insert pairs cancel (so a MoR key-group rewrite's untouched
+    * same-key rows never appear — but neither does an `UPDATE SET v = v`
+    * that wrote its existing value, which emits nothing). Consumers
+    * that audit CHURN rather than content — trigger pipelines counting
+    * touched rows, write-amplification monitors — pass
+    * `rawPairs = true` to receive every physical delete/insert pair
+    * uncancelled; the multiset apply-the-feed guarantee holds either
+    * way (cancellation only removes net-zero pairs). */
   def readChanges(spark: SparkSession, path: String, fromVersion: Long,
-      toVersion: Long, schema: Option[StructType] = None): DataFrame = {
+      toVersion: Long, schema: Option[StructType] = None,
+      rawPairs: Boolean = false): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
     val view = viewOf(spark, path)
@@ -1781,7 +1825,7 @@ object TableManifest {
               comparable(a.elementType)
             case _ => true
           }
-        if (inserts.columns.toSeq == deletes.columns.toSeq &&
+        if (!rawPairs && inserts.columns.toSeq == deletes.columns.toSeq &&
             inserts.schema.fields.forall(f => comparable(f.dataType)))
           inserts.exceptAll(deletes)
             .withColumn("_change_type", lit("insert"))
@@ -2644,9 +2688,14 @@ object TableManifest {
     def above(n: String, prefix: String): Boolean =
       n.startsWith(prefix) &&
         n.stripPrefix(prefix).toLongOption.exists(_ > cur)
+    val beforeVersioned = removed
     sweep(path, n => above(n, "deletes_v") || above(n, "data_v") ||
       above(n, "constraints_v") || above(n, "constraintsnap_v") ||
       above(n, "eqdeletes_v") || above(n, "colmap_v"))
+    // a removed VERSIONED orphan closes a number gap the fast marker
+    // log skips by that dir's presence — move the fence so readers
+    // fall back to the listing until the next checkpoint re-syncs
+    if (removed > beforeVersioned) IndexManifest.bumpFence(spark, path)
     payloadDir(spark, path).foreach(d =>
       sweep(d, n => n.startsWith("__batch=") &&
         n.stripPrefix("__batch=").toLongOption
@@ -3042,15 +3091,34 @@ object TableManifest {
       ranges: Seq[(String, Long, Long)],
       schema: Option[StructType] = None): DataFrame = {
     require(ranges.nonEmpty)
+    // TIMESTAMP columns take their bounds as EPOCH SECONDS — the
+    // `days(ts)`-partitioned event-table idiom probes a time window;
+    // the zone stats for non-integral columns are floor/ceil of the
+    // double cast, which for timestamps IS epoch seconds, so the
+    // pruning domain and the predicate domain line up exactly
+    def boundOf(dt: org.apache.spark.sql.types.DataType,
+        v: Long): Column = dt match {
+      case org.apache.spark.sql.types.TimestampType => timestamp_seconds(lit(v))
+      case org.apache.spark.sql.types.DateType =>
+        timestamp_seconds(lit(v)).cast("date")
+      case _ => lit(v)
+    }
+    def rangePredicate(s0: StructType): Column = ranges.map {
+      case (c, lo, hi) =>
+        val dt = s0.fields.find(_.name.equalsIgnoreCase(c))
+          .map(_.dataType)
+          .getOrElse(org.apache.spark.sql.types.LongType)
+        col(s"`$c`") >= boundOf(dt, lo) && col(s"`$c`") <= boundOf(dt, hi)
+    }.reduce(_ && _)
     // live column mapping → stats artifacts may carry stale era names;
     // degrade to the plain mapping-aware read (exact, just unpruned)
     val view = viewOf(spark, path)
     val v = view.current.getOrElse(
       sys.error(s"no committed table at $path"))
-    if (columnMapOfV(spark, path, view, v).nonEmpty)
-      return read(spark, path, schema).filter(ranges.map {
-        case (c, lo, hi) => col(s"`$c`") >= lo && col(s"`$c`") <= hi
-      }.reduce(_ && _))
+    if (columnMapOfV(spark, path, view, v).nonEmpty) {
+      val plain = read(spark, path, schema)
+      return plain.filter(rangePredicate(plain.schema))
+    }
     val p = view.payloadAt(v).getOrElse(
       sys.error(s"no committed table at $path"))
     val dir = s"$path/data_v$p"
@@ -3060,9 +3128,9 @@ object TableManifest {
     val updV = updateVersionsAtV(spark, path, view, v, dir)
     val delPreds = deletePredsOf(spark, path, deleteSegmentsAtV(view, v))
     val statsPath = new org.apache.hadoop.fs.Path(s"$path/zonestats_v$p")
-    val predicate = ranges.map { case (c, lo, hi) =>
-      col(c) >= lo && col(c) <= hi
-    }.reduce(_ && _)
+    lazy val payloadSchema =
+      payloadRead(spark, dir, schema, mergeSchema = false).schema
+    val predicate = rangePredicate(schema.getOrElse(payloadSchema))
     def readAll = maskDeletes(
       payloadRead(spark, dir, schema, mergeSchema = false)
         .filter(visibleBatch(wm, uwm, updV)).filter(predicate),

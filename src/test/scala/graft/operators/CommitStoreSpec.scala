@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The object-store commit seam, fault-injected.
+  *
+  * [[BrokenRenameStore]] simulates S3 semantics: no atomic rename, no
+  * no-overwrite enforcement — a "claim" is exists-check + COPY that
+  * silently overwrites, with an injected pause between the check and
+  * the copy so two racers deterministically both pass the check. The
+  * spec proves (1) the hazard is REAL under those semantics — racing
+  * marker placements both report success, i.e. a lost commit — and
+  * (2) [[CoordinatedCommitStore]] over the SAME broken primitive
+  * closes it: the coordinator picks exactly one winner, the full table
+  * chaos workload lands every effect, and version history stays
+  * exactly-once. */
+class CommitStoreSpec extends AnyFunSuite {
+  private lazy val s = SparkSpec.session
+
+  private def df(rows: Seq[(Long, Long)]): DataFrame = {
+    import s.implicits._
+    rows.toDF("id", "v")
+  }
+
+  /** S3-shaped primitive: overwriting copy with a widened race window.
+    * `winners` counts claims that REPORTED success — under a real
+    * atomic store at most one per destination can. */
+  private final class BrokenRenameStore(pauseMs: Long)
+      extends CommitStore {
+    val name = "broken-rename"
+    val winners = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    private def copyOver(f: FileSystem, src: Path, dst: Path): Unit = {
+      // copy-then-delete, overwrite allowed — rename, S3-style
+      org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, true, true,
+        f.getConf)
+      ()
+    }
+
+    def claim(f: FileSystem, src: Path, dst: Path): Boolean = {
+      if (f.exists(dst)) return false
+      Thread.sleep(pauseMs) // both racers pass the exists check
+      copyOver(f, src, dst)
+      winners.incrementAndGet()
+      true
+    }
+
+    def putIfAbsent(f: FileSystem, dst: Path,
+        body: Array[Byte]): Boolean = {
+      if (f.exists(dst)) return false
+      Thread.sleep(pauseMs)
+      val out = f.create(dst, true) // overwriting PUT — S3-style
+      try out.write(body) finally out.close()
+      winners.incrementAndGet()
+      true
+    }
+  }
+
+  private def fs(path: String): FileSystem =
+    new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  test("the hazard is real: racing marker placements through a " +
+    "non-atomic overwriting store BOTH report success (a lost commit)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("cs_broken").toString
+    val broken = new BrokenRenameStore(pauseMs = 150)
+    val f = fs(path)
+    f.mkdirs(new Path(s"$path/manifest"))
+    val dst = new Path(s"$path/manifest/v7")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val threads = (1 to 2).map { i =>
+      new Thread(() => results.add(
+        broken.putIfAbsent(f, dst, s"wm=$i\nuwm=-1\nkind=append"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // BOTH believed they placed version 7 — one body overwrote the
+    // other. This is exactly the data race the seam exists to close.
+    assert(results.asScala.count(identity) == 2,
+      "expected both racers to report success under broken rename")
+    assert(broken.winners.get() == 2)
+  }
+
+  test("CoordinatedCommitStore over the SAME broken primitive: exactly " +
+    "one marker-placement winner, losers never touch the filesystem") {
+    val path = java.nio.file.Files
+      .createTempDirectory("cs_coord_unit").toString
+    val broken = new BrokenRenameStore(pauseMs = 150)
+    val store = new CoordinatedCommitStore(underlying = broken)
+    val f = fs(path)
+    f.mkdirs(new Path(s"$path/manifest"))
+    val dst = new Path(s"$path/manifest/v7")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val threads = (1 to 4).map { i =>
+      new Thread(() => results.add(
+        store.putIfAbsent(f, dst, s"wm=$i\nuwm=-1\nkind=append"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(results.asScala.count(identity) == 1,
+      "coordinator must pick exactly one winner")
+    // the broken primitive ran exactly once: losers were refused at
+    // the coordinator, never reaching the racy filesystem transition
+    assert(broken.winners.get() == 1)
+    assert(f.exists(dst))
+  }
+
+  test("chaos through the seam: concurrent appenders + a deleter + a " +
+    "compactor over the coordinated store on a rename-atomicity-broken " +
+    "filesystem — every effect lands exactly once") {
+    val path = java.nio.file.Files
+      .createTempDirectory("cs_coord_chaos").toString
+    // EVERY protocol transition under this path now runs the broken
+    // primitive, serialized only by the coordinator
+    CommitStore.installForTest(path,
+      new CoordinatedCommitStore(
+        underlying = new BrokenRenameStore(pauseMs = 2)))
+    try {
+      TableManifest.commitSnapshot(
+        df((0L until 100L).map(i => (i, i))), path)
+      val failures =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def worker(body: => Unit) = new Thread(() =>
+        try body catch { case t: Throwable => failures.add(t) })
+      val appenders = (1 to 4).map { i =>
+        worker {
+          (0 until 3).foreach { j =>
+            TableManifest.append(
+              df(Seq((10000L + i * 10 + j, i.toLong))), path)
+          }
+        }
+      }
+      val deleter = worker {
+        Thread.sleep(30)
+        TableManifest.deleteWhere(s, path, "id < 10 AND id < 10000")
+      }
+      val compactor = worker {
+        Thread.sleep(60)
+        TableManifest.compactBatches(s, path)
+      }
+      val all = appenders :+ deleter :+ compactor
+      all.foreach(_.start()); all.foreach(_.join())
+      assert(failures.isEmpty, s"chaos workers threw: $failures")
+      val got = TableManifest.read(s, path).select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = ((10L until 100L).map(i => (i, i)) ++
+        (for { i <- 1 to 4; j <- 0 until 3 }
+          yield (10000L + i * 10 + j, i.toLong))).sorted
+      assert(got == want,
+        s"chaos end state diverged: missing=${want.diff(got)} " +
+          s"extra=${got.diff(want)}")
+      // exactly-once history: no duplicated version numbers, markers
+      // all parse (no torn overwrite survived)
+      val vs = IndexManifest.committedVersions(s, path)
+      assert(vs == vs.distinct.sorted)
+    } finally CommitStore.clearTestStores()
+  }
+
+  test("rename store REFUSES unverified-rename schemes unless " +
+    "explicitly acknowledged") {
+    // a local filesystem masquerading as s3a — only getUri differs
+    val raw = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def getUri: java.net.URI =
+        java.net.URI.create("s3a://bucket")
+    }
+    raw.initialize(java.net.URI.create("file:///"),
+      s.sparkContext.hadoopConfiguration)
+    val dst = new Path("/tmp/cs_scheme_probe")
+    val e = intercept[IllegalStateException] {
+      CommitStore.of(raw, dst)
+    }
+    assert(e.getMessage.contains("coordinated"))
+    s.conf.set("spark.graft.commit.store", "coordinated")
+    try assert(CommitStore.of(raw, dst).name == "coordinated")
+    finally s.conf.unset("spark.graft.commit.store")
+    s.conf.set("spark.graft.commit.allowUnverifiedRename", "true")
+    try assert(CommitStore.of(raw, dst).name == "rename")
+    finally s.conf.unset("spark.graft.commit.allowUnverifiedRename")
+  }
+
+  private implicit class QueueOps[A](
+      q: java.util.concurrent.ConcurrentLinkedQueue[A]) {
+    def asScala: Seq[A] = {
+      val b = Seq.newBuilder[A]
+      q.forEach(a => b += a)
+      b.result()
+    }
+  }
+}

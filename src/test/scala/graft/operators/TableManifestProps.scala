@@ -310,4 +310,72 @@ class TableManifestProps extends AnyFunSuite {
       s"slide lost rows: missing=${want.keySet -- got.keySet} " +
         s"extra=${got.keySet -- want.keySet}")
   }
+
+  test("merge slide under a WIDENED key column: interleaved appends " +
+    "physicalize keys under the era storage name, and the disjointness " +
+    "probe must resolve them through the mapping — an INTERSECTING " +
+    "append can never be slid over (no duplicate keys, ever)") {
+    // regression canary for the null-padded-probe bug: the slide's
+    // delta read used the LOGICAL key schema, so post-widening appends
+    // (stored as id__w<v>) read as NULL keys, === matched nothing, and
+    // an intersecting append was judged "provably disjoint" — the
+    // merge then INSERTED a key the append had already landed
+    // (a duplicate). The invariant is timing-independent: whenever an
+    // intersecting append lands mid-merge, a correct probe forces a
+    // re-derivation, so a duplicate key can never exist afterwards.
+    val path = java.nio.file.Files
+      .createTempDirectory("tm_props_mrgwide").toString
+    TableManifest.commitSnapshot(
+      s.range(0, 100).select(col("id").cast("int").as("id"),
+        col("id").as("v")), path)
+    // widen the KEY column: appends now land under the era name
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.sql(s"ALTER TABLE graft.`$path` ALTER COLUMN id TYPE BIGINT")
+    assert(TableManifest.columnMapOf(s, path).nonEmpty)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appendedKeys =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    // appender keys INTERSECT the merge source's not-matched range
+    // (500+i vs source 0..519): any append landing mid-merge must
+    // force a re-derivation, never a slide
+    val appender = new Thread(() => try {
+      var i = 0L
+      while (!stop.get() && i < 40) {
+        TableManifest.append(df(Seq((500L + i, 7L))), path)
+        appendedKeys.add(500L + i)
+        i += 1
+        Thread.sleep(30)
+      }
+    } catch { case t: Throwable => failures.add(t) })
+    appender.start()
+    try {
+      Thread.sleep(100)
+      TableManifest.mergeWhere(s, path,
+        df((0L until 10L).map(i => (i, -1L)) ++
+          (500L until 520L).map(i => (i, -1L))),
+        keyCols = Seq("id"),
+        matched = Seq(TableManifest.MergeMatched("update", None,
+          Some(Seq("v" -> "__s.v")))),
+        inserts = Seq(TableManifest.MergeInsert(None)))
+      ()
+    } finally {
+      stop.set(true)
+      appender.join(60000)
+    }
+    assert(failures.isEmpty, s"appender threw: $failures")
+    // THE invariant: no key ever appears twice (a slid-over
+    // intersecting append would duplicate its key via the merge's
+    // stale not-matched INSERT)
+    val dups = TableManifest.read(s, path)
+      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).collect()
+    assert(dups.isEmpty,
+      s"duplicate keys after merge under widened-key appends: " +
+        s"${dups.mkString(", ")}")
+    // and the merge's own effects landed: matched range updated
+    val updated = TableManifest.read(s, path)
+      .filter(col("id") < 10 && col("v") === -1L).count()
+    assert(updated == 10L, s"matched updates: $updated")
+  }
 }
