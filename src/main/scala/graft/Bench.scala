@@ -86,6 +86,24 @@ object Bench {
     } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
 
   def main(args: Array[String]): Unit = {
+    // idle-window gate: the r13/r14 verdicts made publishing a bench
+    // from a loaded box a BLOCKER (a load-4 co-tenant inflates every
+    // query 30-60% and the round then litigates phantom regressions).
+    // Wait — bounded — for the 1-minute load to drop below 1 before
+    // timing; if the window never comes, run anyway and say so in the
+    // artifact (`idle_box: false`), so a contended number can never
+    // masquerade as a clean one.
+    def load1(): Double = procLine("/proc/loadavg").split("\\s+")
+      .headOption.flatMap(_.toDoubleOption).getOrElse(0.0)
+    val idleWait = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_WAIT", "240")
+      .toIntOption.getOrElse(240)
+    var waited = 0
+    while (load1() >= 1.0 && waited < idleWait) {
+      System.err.println(f"[bench] loadavg ${load1()}%.2f >= 1 — " +
+        s"waiting for an idle window ($waited/$idleWait s)")
+      Thread.sleep(5000)
+      waited += 5
+    }
     val loadStart = procLine("/proc/loadavg")
     val (busy0, steal0) = cpuJiffies()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -151,7 +169,9 @@ object Bench {
       if (busy1 > busy0)
         100.0 * (steal1 - steal0) / (busy1 - busy0 + steal1 - steal0)
       else 0.0
-    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","loadavg_start":${j(loadStart)},"loadavg_end":${j(loadEnd)},"cpu_pressure":${j(pressure)},"cpu_steal_pct":$stealPct%.1f}""")
+    val idleBox = loadStart.split("\\s+").headOption
+      .flatMap(_.toDoubleOption).exists(_ < 1.0) && stealPct < 5.0
+    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","loadavg_start":${j(loadStart)},"loadavg_end":${j(loadEnd)},"cpu_pressure":${j(pressure)},"cpu_steal_pct":$stealPct%.1f,"idle_box":$idleBox}""")
     spark.stop()
   }
 }

@@ -2196,7 +2196,30 @@ object Stress {
         }
         val staleL = msRead(pL)
         require(msCkpts(pL).nonEmpty, "checkpoint file missing")
-        println(f"""{"versions_small":$nSmall%d,"versions_large":$nLarge%d,"read_nockpt_small_seconds":$noCkptS%.2f,"read_nockpt_large_seconds":$noCkptL%.2f,"read_ckpt_small_seconds":$ckptS%.2f,"read_ckpt_large_seconds":$ckptL%.2f,"read_stale_ckpt_tail100_seconds":$staleL%.2f}""")
+        // COMMIT latency at 50k versions: each append's CAS loop asks
+        // currentVersion — pointer+probe (fastHead) vs the full
+        // manifest listing is the difference between flat and
+        // O(#versions) commits on a long-lived table; and the
+        // coordinated CommitStore (the object-store conditional-write
+        // seam) must price in at noise level on top.
+        def msAppend(p: String): Double = {
+          val ts = (1 to 3).map(_ => msSecs {
+            TableManifest.append(
+              spark.range(2).select(col("id"),
+                lit(0.5).as("v")), p)
+          })
+          ts.sorted.apply(1)
+        }
+        val appendCkptL = msAppend(pL) // pointer present: fast head
+        spark.conf.set("spark.graft.commit.store", "coordinated")
+        val appendCoordL =
+          try msAppend(pL)
+          finally spark.conf.unset("spark.graft.commit.store")
+        // strip pointer + fence → commits fall back to full listings
+        fL.delete(new org.apache.hadoop.fs.Path(
+          s"$pL/manifest/_last_ckpt"), false)
+        val appendListL = msAppend(pL)
+        println(f"""{"versions_small":$nSmall%d,"versions_large":$nLarge%d,"read_nockpt_small_seconds":$noCkptS%.2f,"read_nockpt_large_seconds":$noCkptL%.2f,"read_ckpt_small_seconds":$ckptS%.2f,"read_ckpt_large_seconds":$ckptL%.2f,"read_stale_ckpt_tail100_seconds":$staleL%.2f,"append_50k_fasthead_seconds":$appendCkptL%.2f,"append_50k_coordinated_seconds":$appendCoordL%.2f,"append_50k_listing_seconds":$appendListL%.2f}""")
 
       case "mergecontention" =>
         // MERGE liveness under hot append traffic: a free-running

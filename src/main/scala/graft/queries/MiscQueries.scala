@@ -2571,12 +2571,65 @@ object MiscQueries {
              |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
              |    AS sum_v
              |FROM graft.`$path` VERSION AS OF $pre""".stripMargin)
-        post.unionByName(pin)
+        val topArm = post.unionByName(pin)
           .withColumn("post_type", lit(postT))
           .withColumn("pin_type", lit(pinT))
           .withColumn("metadata_only", lit(metadataOnly))
           .withColumn("narrowing_refused", lit(narrowingRefused))
-          .orderBy(col("stage"))
+        // --- NESTED-FIELD widening: ALTER COLUMN m.cnt TYPE BIGINT
+        // rides the same era machinery (the CONTAINER gets the new era
+        // storage name typed with the widened struct; the per-era read
+        // cast is a struct-to-struct up-cast). Metadata-only, nested
+        // DML across the era boundary, era-pinned struct type, nested
+        // narrowing refused.
+        val path2 = java.nio.file.Files
+          .createTempDirectory("graft_sql_widen_nested").toString
+        val e2 = Tables.events(s, dir).select(
+          col("user_id").as("id"),
+          struct(col("event_id").cast("int").as("cnt"),
+            col("event_type").as("tag")).as("m"))
+        TableManifest.commitSnapshot(e2, path2)
+        val pre2 = TableManifest.versions(s, path2).last
+        def payloads2: Long = {
+          val hp = new org.apache.hadoop.fs.Path(path2)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .listStatus(hp)
+            .count(_.getPath.getName.startsWith("data_v")).toLong
+        }
+        val dirsBefore2 = payloads2
+        s.sql(s"ALTER TABLE graft.`$path2` ALTER COLUMN m.cnt TYPE BIGINT")
+        val metadataOnly2 = payloads2 == dirsBefore2
+        s.sql(s"INSERT INTO graft.`$path2` VALUES (1, " +
+          "named_struct('cnt', CAST(4294967338 AS BIGINT), 'tag', 'wide'))")
+        s.sql(s"DELETE FROM graft.`$path2` WHERE m.cnt % 997 = 0")
+        val nestedNarrowRefused =
+          try {
+            s.sql(s"ALTER TABLE graft.`$path2` " +
+              "ALTER COLUMN m.cnt TYPE INT").collect(); false
+          } catch { case scala.util.control.NonFatal(_) => true }
+        val postT2 = s.sql(s"SELECT * FROM graft.`$path2`")
+          .schema("m").dataType.catalogString
+        val pinT2 = s.sql(
+            s"SELECT * FROM graft.`$path2` VERSION AS OF $pre2")
+          .schema("m").dataType.catalogString
+        val post2 = s.sql(
+          s"""SELECT 'nested_post' AS stage, count(*) AS n,
+             |  max(m.cnt) AS max_id,
+             |  CAST(sum(CAST(m.cnt AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_v
+             |FROM graft.`$path2`""".stripMargin)
+        val pin2 = s.sql(
+          s"""SELECT 'nested_pre_pin' AS stage, count(*) AS n,
+             |  CAST(max(m.cnt) AS BIGINT) AS max_id,
+             |  CAST(sum(CAST(m.cnt AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_v
+             |FROM graft.`$path2` VERSION AS OF $pre2""".stripMargin)
+        val nestedArm = post2.unionByName(pin2)
+          .withColumn("post_type", lit(postT2))
+          .withColumn("pin_type", lit(pinT2))
+          .withColumn("metadata_only", lit(metadataOnly2))
+          .withColumn("narrowing_refused", lit(nestedNarrowRefused))
+        topArm.unionByName(nestedArm).orderBy(col("stage"))
       },
       Some("""WITH e AS (SELECT CAST(event_id AS INT) AS event_id,
              |             user_id, value FROM events),
@@ -2591,16 +2644,36 @@ object MiscQueries {
              |a0 AS (SELECT 'post' AS stage, count(*) AS n,
              |         max(event_id) AS max_id,
              |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-             |           AS sum_v
+             |           AS sum_v,
+             |         'bigint' AS post_type, 'int' AS pin_type
              |       FROM post),
              |a1 AS (SELECT 'pre_pin', count(*),
              |         CAST(max(event_id) AS BIGINT),
-             |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-             |       FROM e)
-             |SELECT u.*, 'bigint' AS post_type, 'int' AS pin_type,
-             |  true AS metadata_only, true AS narrowing_refused
-             |FROM (SELECT * FROM a0 UNION ALL SELECT * FROM a1)
-             |  u(stage, n, max_id, sum_v)
+             |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE),
+             |         'bigint', 'int'
+             |       FROM e),
+             |e2 AS (SELECT CAST(event_id AS INT) AS cnt FROM events),
+             |npost0 AS (SELECT CAST(cnt AS BIGINT) AS cnt FROM e2
+             |           UNION ALL SELECT 4294967338),
+             |npost AS (SELECT * FROM npost0
+             |          WHERE NOT coalesce(cnt % 997 = 0, false)),
+             |b0 AS (SELECT 'nested_post' AS stage, count(*) AS n,
+             |         max(cnt) AS max_id,
+             |         CAST(sum(CAST(cnt AS DECIMAL(18,6))) AS DOUBLE)
+             |           AS sum_v,
+             |         'struct<cnt:bigint,tag:string>' AS post_type,
+             |         'struct<cnt:int,tag:string>' AS pin_type
+             |       FROM npost),
+             |b1 AS (SELECT 'nested_pre_pin', count(*),
+             |         CAST(max(cnt) AS BIGINT),
+             |         CAST(sum(CAST(cnt AS DECIMAL(18,6))) AS DOUBLE),
+             |         'struct<cnt:bigint,tag:string>',
+             |         'struct<cnt:int,tag:string>'
+             |       FROM e2)
+             |SELECT u.*, true AS metadata_only, true AS narrowing_refused
+             |FROM (SELECT * FROM a0 UNION ALL SELECT * FROM a1
+             |      UNION ALL SELECT * FROM b0 UNION ALL SELECT * FROM b1)
+             |  u(stage, n, max_id, sum_v, post_type, pin_type)
              |ORDER BY stage""".stripMargin)),
 
     // CREATE TABLE ... PARTITIONED BY (c) accepted as CLUSTERING
@@ -2649,25 +2722,79 @@ object MiscQueries {
           TableManifest.readRange(s, path, Seq(("event_id", lo, hi))))
         val fFull = filesOf(TableManifest.read(s, path)
           .filter(col("event_id") >= lo && col("event_id") <= hi))
-        TableManifest.readRange(s, path, Seq(("event_id", lo, hi)))
-          .groupBy((col("user_id") % 10).as("ub"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("value").cast("decimal(18,6)")).cast("double")
-              .as("sum_value"))
-          .withColumn("hint",
-            lit(TableManifest.layoutHint(s, path).mkString(",")))
-          .withColumn("pruned_scan", lit(fPruned < fFull))
-          .orderBy(col("ub"))
+        val identityArm =
+          TableManifest.readRange(s, path, Seq(("event_id", lo, hi)))
+            .groupBy((col("user_id") % 10).as("ub"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,6)")).cast("double")
+                .as("sum_value"))
+            .withColumn("arm", lit("identity"))
+            .withColumn("hint",
+              lit(TableManifest.layoutHint(s, path).mkString(",")))
+            .withColumn("pruned_scan", lit(fPruned < fFull))
+        // --- days(ts) arm: the Iceberg event-table idiom. The
+        // transform translates to clustering advice on ts itself
+        // (identity range-clustering is strictly finer than per-day
+        // dirs, zone maps prune the same probes), and a TIME-WINDOW
+        // readRange (epoch-second bounds on the TIMESTAMP column)
+        // must scan fewer files than the unpruned plan.
+        val path2 = java.nio.file.Files
+          .createTempDirectory("graft_part_ddl_days").toString
+        s.sql(s"CREATE TABLE graft.`$path2` (ts TIMESTAMP, " +
+          "user_id BIGINT, value DOUBLE) PARTITIONED BY (days(ts))")
+        Tables.events(s, dir)
+          .select(col("ts"), col("user_id"), col("value"))
+          .createOrReplaceTempView("gpd_src_ts")
+        s.sql(s"INSERT INTO graft.`$path2` " +
+          "SELECT * FROM gpd_src_ts WHERE user_id % 2 = 0")
+        s.sql(s"INSERT INTO graft.`$path2` " +
+          "SELECT * FROM gpd_src_ts WHERE user_id % 2 = 1")
+        s.sql(s"CALL graft.optimize(path => '$path2', files => 8)")
+        val eps = s.table("gpd_src_ts")
+          .agg(min(unix_timestamp(col("ts"))),
+            max(unix_timestamp(col("ts")))).head()
+        val (mnE, mxE) = (eps.getLong(0), eps.getLong(1))
+        val (tlo, thi) = (mnE + (mxE - mnE) / 4, mnE + (mxE - mnE) / 2)
+        val fP2 = filesOf(
+          TableManifest.readRange(s, path2, Seq(("ts", tlo, thi))))
+        val fF2 = filesOf(TableManifest.read(s, path2)
+          .filter(col("ts") >= timestamp_seconds(lit(tlo)) &&
+            col("ts") <= timestamp_seconds(lit(thi))))
+        val daysArm =
+          TableManifest.readRange(s, path2, Seq(("ts", tlo, thi)))
+            .groupBy((col("user_id") % 10).as("ub"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,6)")).cast("double")
+                .as("sum_value"))
+            .withColumn("arm", lit("days"))
+            .withColumn("hint",
+              lit(TableManifest.layoutHint(s, path2).mkString(",")))
+            .withColumn("pruned_scan", lit(fP2 < fF2))
+        identityArm.unionByName(daysArm)
+          .orderBy(col("arm"), col("ub"))
       },
-      Some("""WITH m AS (SELECT max(event_id) AS mx FROM events)
-             |SELECT user_id % 10 AS ub, count(*) AS n,
+      Some("""WITH m AS (SELECT max(event_id) AS mx FROM events),
+             |  t AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn,
+             |               CAST(floor(epoch(max(ts))) AS BIGINT) AS mx
+             |        FROM events),
+             |  b AS (SELECT mn + (mx - mn) // 4 AS tlo,
+             |               mn + (mx - mn) // 2 AS thi FROM t)
+             |SELECT 'identity' AS arm, user_id % 10 AS ub, count(*) AS n,
              |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
              |    AS sum_value,
              |  'event_id' AS hint, true AS pruned_scan
              |FROM events, m
              |WHERE event_id >= mx // 4 AND event_id <= mx // 2
              |GROUP BY user_id % 10
-             |ORDER BY ub""".stripMargin)),
+             |UNION ALL
+             |SELECT 'days' AS arm, user_id % 10 AS ub, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value,
+             |  'ts' AS hint, true AS pruned_scan
+             |FROM events, b
+             |WHERE epoch(ts) >= tlo AND epoch(ts) <= thi
+             |GROUP BY user_id % 10
+             |ORDER BY arm, ub""".stripMargin)),
 
     // The change feed from PLAIN SQL: option("readChangeFeed") on the
     // graft source routes readChanges through both reader surfaces — a

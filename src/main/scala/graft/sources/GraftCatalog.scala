@@ -157,32 +157,59 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
 
   /** `PARTITIONED BY (c, ...)` translated to the clustered layout:
     * graft tables own their physical layout (`__batch` partitions +
-    * OPTIMIZE/CLUSTER BY + zone maps), so a migrated Hive/Delta DDL's
-    * identity partition columns become the table's LAYOUT HINT —
+    * OPTIMIZE/CLUSTER BY + zone maps), so a migrated Hive/Delta/Iceberg
+    * DDL's partition spec becomes the table's LAYOUT HINT —
     * `CALL graft.optimize`/`maintain` default their cluster/stats
     * columns to it, and the refreshed zone maps give range probes on
     * those columns the pruned read that partition pruning was buying.
     * Layout ADVICE, not a partition contract (documented as such).
-    * Transform expressions (bucket/days/...) still refuse: they
-    * promise a directory layout this table format does not keep. */
+    *
+    * Transform specs translate to their SOURCE column:
+    *
+    *  - `days(ts)` / `months(ts)` / `hours(ts)` / `years(ts)` — the
+    *    Iceberg event-table idiom — cluster on `ts` itself: an
+    *    identity range-cluster on the timestamp is STRICTLY FINER than
+    *    the transform's granularity (same-day rows co-locate, and the
+    *    zone maps prune any day/month/hour range probe at least as
+    *    well as the directory layout would), with none of the
+    *    small-files blowup a literal per-day directory tree brings at
+    *    100 TB;
+    *  - `bucket(n, c)` clusters on `c`: the hash-bucket CONTRACT
+    *    (co-partitioned storage joins) is not kept — that is
+    *    [[graft.operators.Bucketing]]'s job, declared there — but the
+    *    point/range probes bucketed DDL usually wants are served by
+    *    the zone maps on `c`.
+    *
+    * Anything else still refuses honestly. */
   private def clusterColsOf(partitions: Array[Transform],
-      schema: StructType): Seq[String] =
+      schema: StructType): Seq[String] = {
+    def sourceCol(t: Transform): String = {
+      require(t.references.length == 1,
+        s"PARTITIONED BY transform '${t.describe()}' must reference " +
+          "exactly one column")
+      val ref = t.references.head.fieldNames
+      require(ref.length == 1,
+        s"PARTITIONED BY supports top-level columns only, got " +
+          s"${ref.mkString(".")}")
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(ref.head)),
+        s"PARTITIONED BY column '${ref.head}' is not in the schema")
+      ref.head
+    }
+    val translated = Set("days", "months", "hours", "years", "bucket",
+      "day", "month", "hour", "year")
     partitions.toSeq.map {
-      case t if t.name == "identity" && t.references.length == 1 =>
-        val ref = t.references.head.fieldNames
-        require(ref.length == 1,
-          s"PARTITIONED BY supports top-level columns only, got " +
-            s"${ref.mkString(".")}")
-        require(schema.fieldNames.exists(_.equalsIgnoreCase(ref.head)),
-          s"PARTITIONED BY column '${ref.head}' is not in the schema")
-        ref.head
+      case t if t.name == "identity" => sourceCol(t)
+      case t if translated.contains(
+          t.name.toLowerCase(java.util.Locale.ROOT)) => sourceCol(t)
       case other => throw new UnsupportedOperationException(
-        s"graft maps PARTITIONED BY (col) onto its clustered layout " +
+        s"graft maps PARTITIONED BY (col | days/months/hours/years(col)" +
+          s" | bucket(n, col)) onto its clustered layout " +
           s"(OPTIMIZE/CLUSTER BY + zone-map pruning); transform " +
           s"'${other.describe()}' promises a directory layout this " +
           "format does not keep — partition by plain columns or drop " +
           "the clause")
-    }
+    }.distinct
+  }
 
   private def notNullConstraints(schema: StructType) =
     GraftCatalog.notNullConstraints(schema)
@@ -384,8 +411,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       // ([[TableManifest.physExprOf]]). Only provably-lossless
       // widenings are accepted; anything else keeps the CTAS refusal.
       retypes.foreach { t =>
-        require(t.fieldNames.length == 1,
-          "graft ALTER COLUMN TYPE is top-level only")
+        // nested struct-field paths (`a.b`) widen the CONTAINER's era
+        // type — the same colmap machinery, no new moving parts
         val cn = t.fieldNames.head
         require(names.exists(_.equalsIgnoreCase(cn)),
           s"no column '$cn' in graft table $p " +
@@ -398,14 +425,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
             .map(_.dataType))
           .getOrElse(throw new IllegalStateException(
             s"cannot resolve the current type of '$cn'"))
-        val newT = t.newDataType()
-        require(GraftCatalog.safeWidening(curT, newT),
-          s"graft ALTER COLUMN TYPE accepts METADATA-ONLY widenings " +
-            "only (TINYINT/SMALLINT/INT to a wider integer, FLOAT to " +
-            "DOUBLE, DECIMAL(p,s) to DECIMAL(p+k,s)); " +
-            s"'$cn' ${curT.catalogString} -> ${newT.catalogString} " +
-            "would narrow or need a rewrite (use CREATE TABLE ... AS " +
-            "SELECT)")
+        val newT = GraftCatalog.widenNested(curT,
+          t.fieldNames.toSeq.tail, t.newDataType(),
+          t.fieldNames.mkString("."))
         require(!consCols.contains(lower(cn)),
           s"column '$cn' is referenced by a constraint of $p — drop " +
             "the constraint first (its stored predicate was analyzed " +
@@ -678,6 +700,41 @@ object GraftCatalog {
         t.precision <= DecimalType.MAX_PRECISION
     case _ => false
   }
+
+  /** The container type with the STRUCT-FIELD `path` widened to
+    * `leaf` — `ALTER COLUMN a.b TYPE BIGINT` rides the SAME era
+    * machinery as a top-level widening: the container column gets the
+    * new era storage name typed with this widened struct, old batches
+    * keep their bytes, and the per-era read cast (struct-to-struct
+    * up-cast) serves one type across eras. Refuses missing fields,
+    * paths through non-structs, and any non-widening leaf change
+    * (same rules as [[safeWidening]]). */
+  private[sources] def widenNested(cur: DataType, path: Seq[String],
+      leaf: DataType, fullName: String): DataType =
+    if (path.isEmpty) {
+      require(safeWidening(cur, leaf),
+        s"graft ALTER COLUMN TYPE accepts METADATA-ONLY widenings " +
+          "only (TINYINT/SMALLINT/INT to a wider integer, FLOAT to " +
+          "DOUBLE, DECIMAL(p,s) to DECIMAL(p+k,s)); " +
+          s"'$fullName' ${cur.catalogString} -> ${leaf.catalogString} " +
+          "would narrow or need a rewrite (use CREATE TABLE ... AS " +
+          "SELECT)")
+      leaf
+    } else cur match {
+      case s: StructType =>
+        val idx = s.fields.indexWhere(_.name.equalsIgnoreCase(path.head))
+        require(idx >= 0,
+          s"no field '${path.head}' under '$fullName' " +
+            s"(have: ${s.fieldNames.mkString(", ")})")
+        val f = s.fields(idx)
+        StructType(s.fields.updated(idx,
+          f.copy(dataType = widenNested(f.dataType, path.tail, leaf,
+            fullName))))
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft ALTER COLUMN TYPE: '$fullName' traverses " +
+            s"non-struct type ${other.catalogString}")
+    }
 
   /** `CREATE/REPLACE TABLE (c T NOT NULL, ...)` arrives as schema
     * nullability — register each non-nullable column as a kind-tagged

@@ -1094,6 +1094,74 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(got2 == want, s"post-fold state: $got2")
   }
 
+  test("CALL graft.optimize after a widening clears the live column " +
+    "mapping like a fold does: the clustered payload carries LOGICAL " +
+    "names at head types, so explicit-schema reads (SQL MERGE's pinned " +
+    "schema, VERSION AS OF) never hit a parquet type mismatch") {
+    val p = tmp("optclear")
+    TableManifest.commitSnapshot(
+      s.range(20).select(col("id").cast("int").as("id"),
+        (col("id") % 5).cast("double").as("v")), p)
+    s.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN id TYPE BIGINT")
+    assert(TableManifest.columnMapOf(s, p).nonEmpty)
+    s.sql(s"CALL graft.optimize(path => '$p', files => 2, " +
+      "cluster_by => 'id')")
+    assert(TableManifest.columnMapOf(s, p).isEmpty,
+      "optimize rewrites the payload under logical names — a live " +
+        "mapping would make physicalReadSchema request the old name " +
+        "under its OLD era type against the new payload")
+    // the reads that used to fail: MERGE passes the pinned target
+    // schema explicitly; a schema'd read requests id as BIGINT
+    s.sql(s"MERGE INTO graft.`$p` t USING (SELECT CAST(3 AS BIGINT) " +
+      "AS id, 99.0 AS v) s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v")
+    val got = s.sql(s"SELECT v FROM graft.`$p` WHERE id = 3")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(99.0), s"post-optimize merge: $got")
+  }
+
+  test("PARTITIONED BY transforms translate to clustering advice: " +
+    "days(ts) and bucket(n, c) map to their source column, unknown " +
+    "transforms keep the honest refusal") {
+    val p = tmp("ddl_days")
+    s.sql(s"CREATE TABLE graft.`$p` (ts TIMESTAMP, k BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    assert(TableManifest.layoutHint(s, p) == Seq("ts"))
+    val p2 = tmp("ddl_bucket")
+    s.sql(s"CREATE TABLE graft.`$p2` (id BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(16, id))")
+    assert(TableManifest.layoutHint(s, p2) == Seq("id"))
+    val p3 = tmp("ddl_truncate")
+    val e = intercept[Exception](
+      s.sql(s"CREATE TABLE graft.`$p3` (name STRING, v DOUBLE) " +
+        "PARTITIONED BY (truncate(4, name))"))
+    assert(e.getMessage.contains("clustered layout") ||
+      Option(e.getCause).exists(_.getMessage.contains("clustered layout")),
+      s"unknown transform must refuse with guidance: ${e.getMessage}")
+  }
+
+  test("nested-field widening: ALTER COLUMN m.cnt TYPE BIGINT is " +
+    "metadata-only via the container era; nested narrowing and " +
+    "missing fields refuse") {
+    val p = tmp("nestwide")
+    TableManifest.commitSnapshot(
+      s.range(10).select(col("id"),
+        struct(col("id").cast("int").as("cnt"),
+          lit("x").as("tag")).as("m")), p)
+    s.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN m.cnt TYPE BIGINT")
+    val sch = s.sql(s"SELECT * FROM graft.`$p`").schema("m").dataType
+    assert(sch.catalogString == "struct<cnt:bigint,tag:string>", s"$sch")
+    s.sql(s"INSERT INTO graft.`$p` VALUES (77, " +
+      "named_struct('cnt', CAST(4294967338 AS BIGINT), 'tag', 'w'))")
+    val mx = s.sql(s"SELECT max(m.cnt) FROM graft.`$p`")
+      .head().getLong(0)
+    assert(mx == 4294967338L)
+    intercept[Exception](
+      s.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN m.cnt TYPE INT"))
+    intercept[Exception](
+      s.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN m.nope TYPE BIGINT"))
+  }
+
   test("era machinery COMPOSES and holds COLD: widen then rename then " +
     "DML; pinned era schemas come from the layout (visible-batch footer " +
     "union), not schema-cache warmth") {

@@ -486,4 +486,76 @@ class GraftStreamSourceSpec extends AnyFunSuite {
       s"vacuumRetain must bound versions: ${TableManifest.versions(s, mt)
         .size} vs ${TableManifest.versions(s, un).size}")
   }
+
+  test("crash between a completed in-band fold and the offset commit: " +
+    "restart replays the micro-batch exactly-once — no lost upsert, " +
+    "no double-apply, the fold never corrupts the replay") {
+    // the kill window task: addBatch (merge + maintainEvery fold) ran
+    // to completion, the engine died BEFORE writing commits/<N>. The
+    // checkpoint then holds offsets/<N> without commits/<N>, which is
+    // exactly the state deleting the newest commit file reproduces —
+    // restart re-executes batch N against the same immutable version
+    // window, and the sink's content-idempotent merge plus the fold's
+    // content-neutrality must leave the served table EXACTLY the batch
+    // aggregate (the no-crash content), not a double-applied one.
+    val src = tmp("crash_src")
+    val dst = tmp("crash_dst")
+    val ck = tmp("crash_ck")
+    // the per-JVM HDFSMetadataLog cache still remembers the commit
+    // record this test deletes (a REAL crash loses the JVM and the
+    // cache with it) — disable it so the restart sees the disk truth
+    s.conf.set("spark.sql.streaming.metadataCache.enabled", "false")
+    TableManifest.commitSnapshot(seed(0, 21), src)
+    def start() = s.readStream.format("graft").load(src)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .writeStream.format("graft").outputMode("update")
+      .option("mergeKeys", "k")
+      .option("maintainEvery", "2")
+      .option("maintainMaxBatches", "2")
+      .option("maintainMaxDeletes", "2")
+      .option("checkpointLocation", ck)
+      .start(dst)
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      (1 to 6).foreach { i =>
+        TableManifest.append(seed(20L + i, 21L + i), src)
+        q1.processAllAvailable()
+      }
+    } finally q1.stop()
+    def state() = TableManifest.read(s, dst).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val beforeCrash = state()
+    // rewind: drop the newest commit record (maintainEvery=2 means the
+    // replayed batch is one whose addBatch ran an in-band fold for at
+    // least one of the rewound runs)
+    val ckDir = new java.io.File(s"$ck/commits")
+    val newest = ckDir.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    assert(newest.delete(), s"could not rewind $newest")
+    // the local filesystem's checksum sidecar goes with it (a real
+    // crash never wrote either)
+    new java.io.File(ckDir, s".${newest.getName}.crc").delete()
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays the rewound micro-batch
+      assert(state() == beforeCrash,
+        "replaying the crashed micro-batch must reproduce the exact " +
+          s"pre-crash content: ${state()} vs $beforeCrash")
+      // and the stream keeps going: new appends land exactly once
+      TableManifest.append(seed(27, 30), src)
+      q2.processAllAvailable()
+    } finally {
+      q2.stop()
+      s.conf.unset("spark.sql.streaming.metadataCache.enabled")
+    }
+    val want = (0L until 30L).groupBy(_ % 7).toSeq
+      .map { case (k, is) => (k, is.size.toLong) }.sortBy(_._1)
+    assert(state() == want,
+      s"post-recovery content diverged: ${state()} vs $want")
+    // the replay added at most a merge commit and one maintenance
+    // fold — the MoR chain stays bounded (no runaway double-fold)
+    assert(TableManifest.pendingDeletes(s, dst) <= 4,
+      s"chain after recovery: ${TableManifest.pendingDeletes(s, dst)}")
+  }
 }
