@@ -91,8 +91,18 @@ private[operators] object IndexManifest {
       f: org.apache.hadoop.fs.FileSystem, src: Path, dst: Path): Boolean =
     CommitStore.of(f, dst).claim(f, src, dst)
 
-  /** All committed versions, ascending; empty = legacy layout. */
-  def committedVersions(spark: SparkSession, path: String): Seq[Long] = {
+  /** All committed versions, ascending; empty = legacy layout. Served
+    * from the checkpoint + tail probes when the pointer is fresh (the
+    * fence guards exactness — see the fast-path notes below), so the
+    * mutator helpers that call this per commit attempt (column-mapping
+    * resolution, payload filtering) stay flat on a 50k-version table
+    * instead of paying a full manifest listing each. */
+  def committedVersions(spark: SparkSession, path: String): Seq[Long] =
+    fastMarkerLog(spark, path).map(_.committed)
+      .getOrElse(listedCommittedVersions(spark, path))
+
+  private def listedCommittedVersions(spark: SparkSession,
+      path: String): Seq[Long] = {
     val dir = new Path(s"$path/manifest")
     val f = fs(spark, path)
     if (!f.exists(dir)) Seq.empty
