@@ -632,10 +632,37 @@ private[operators] object IndexManifest {
     * the newest two so a reader mid-open never loses its file. Returns
     * the checkpointed head. */
   def writeCheckpoint(spark: SparkSession, path: String): Option[Long] = {
+    val f = fs(spark, path)
+    // sweep DEAD gap advisories first — g-files at-or-below the
+    // current head (probing starts above the new checkpoint's head, so
+    // nobody needs them once this write lands). The sweep BUMPS THE
+    // FENCE before deleting: a prober mid-walk on the OLD pointer
+    // relies on exactly these advisories to cross its gaps, and
+    // without the bump it would stop at a swept gap and serve a stale
+    // head with a matching fence. Advisories above the head belong to
+    // in-flight commits and survive. Sweep before capturing `gen`, so
+    // the checkpoint body records the post-sweep generation and the
+    // fast path re-engages immediately.
+    val dirP = new Path(s"$path/manifest")
+    if (f.exists(dirP)) {
+      val names = f.listStatus(dirP).map(_.getPath.getName)
+      val head0 = names.collect {
+        case n if n.startsWith("v") && !n.contains("_") =>
+          n.stripPrefix("v").toLong
+      }.sorted.lastOption.getOrElse(-1L)
+      val deadGaps = names.collect {
+        case n if n.startsWith("g") && n.drop(1).nonEmpty &&
+            n.drop(1).forall(_.isDigit) => n.drop(1).toLong
+      }.filter(_ <= head0)
+      if (deadGaps.nonEmpty) {
+        bumpFence(spark, path)
+        deadGaps.foreach(n =>
+          f.delete(new Path(s"$path/manifest/g$n"), false))
+      }
+    }
     // the checkpoint must observe the fence BEFORE capturing the log:
     // a reclaim racing this write moves the fence past the recorded
     // generation, so readers refuse the (possibly stale) result
-    val f = fs(spark, path)
     val gen = fenceGen(f, path).getOrElse(0L)
     val log = listedMarkerLog(spark, path)
     log.committed.lastOption.map { head =>
@@ -665,15 +692,6 @@ private[operators] object IndexManifest {
         .sorted
       all.dropRight(2).foreach(c =>
         f.delete(new Path(s"$path/manifest/ckpt_v$c"), false))
-      // gap advisories at-or-below the checkpointed head are dead
-      // (probing starts above it) — sweep them here, where the listing
-      // is already paid; in-flight commits' advisories are strictly
-      // above this listing's head and survive
-      listed.collect { case n if n.startsWith("g") &&
-          n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit) =>
-        n.drop(1).toLong }
-        .filter(_ <= head)
-        .foreach(n => f.delete(new Path(s"$path/manifest/g$n"), false))
       head
     }
   }

@@ -343,6 +343,8 @@ private[sources] object GraftProcedures {
     .add("renamed_or_dropped_columns", IntegerType, nullable = false)
     .add("tags", StringType, nullable = false)
     .add("retained_versions", IntegerType, nullable = false)
+    .add("checkpoint_head", LongType)
+    .add("commit_store", StringType, nullable = false)
 
   private val detail = new P("detail",
     "one-row operational summary (DESCRIBE DETAIL): current version, " +
@@ -366,6 +368,18 @@ private[sources] object GraftProcedures {
         else f.listStatus(new org.apache.hadoop.fs.Path(
             s"$p/data_v${payloads.max}"))
           .count(_.getPath.getName.startsWith("__batch="))
+      // protocol observability: the manifest checkpoint head (NULL =
+      // never checkpointed — reads pay the listing path) and the
+      // commit store governing this path's claims
+      val ckptHead = f.listStatus(
+          new org.apache.hadoop.fs.Path(s"$p/manifest"))
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("ckpt_v") &&
+            n.stripPrefix("ckpt_v").forall(_.isDigit) =>
+          n.stripPrefix("ckpt_v").toLong }
+        .sorted.lastOption
+      val store = graft.operators.CommitStore.of(f,
+        new org.apache.hadoop.fs.Path(s"$p/manifest")).name
       Seq(InternalRow(versions.last,
         TableManifest.payloadBytes(spark, p).map(Long.box).orNull,
         batchDirs,
@@ -374,7 +388,9 @@ private[sources] object GraftProcedures {
         TableManifest.columnMapOf(spark, p).size,
         UTF8String.fromString(TableManifest.tags(spark, p)
           .map { case (n, v) => s"$n=$v" }.mkString(",")),
-        versions.size))
+        versions.size,
+        ckptHead.map(Long.box).orNull,
+        UTF8String.fromString(store)))
     }
   }
 

@@ -158,4 +158,46 @@ class IndexManifestSpec extends AnyFunSuite {
     assert(VectorIndex.loadBinaryCodes(s, path)
       .filter(col("vec_id") === 105).count() == 1)
   }
+
+  test("pointer+probe head resolution: skipped numbers get gap " +
+    "advisories, the checkpoint sweep bumps the fence, and the fast " +
+    "head never under-reports across any of it") {
+    import graft.operators.TableManifest
+    val path = Files.createTempDirectory("manifest_gaps").toString
+    TableManifest.commitSnapshot(
+      s.range(5).select(col("id"), col("id").cast("double").as("v")),
+      path) // v0
+    TableManifest.append(s.range(5, 6).select(col("id"),
+      col("id").cast("double").as("v")), path) // v1
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def mexists(n: String) = f.exists(
+      new org.apache.hadoop.fs.Path(s"$path/manifest/$n"))
+    // a committer skipping numbers (the lost-race-backout shape) must
+    // leave the g-trail so probers can cross the gap
+    assert(IndexManifest.tryCommitTagged(s, path, 4L, 10L, -1L, "append"))
+    assert(mexists("g2") && mexists("g3"),
+      "skipped numbers need gap advisories")
+    assert(IndexManifest.currentVersion(s, path).contains(4L))
+    // checkpoint: pointer written, dead advisories swept WITH a fence
+    // bump (a prober mid-walk on the old pointer must refuse rather
+    // than stop at the swept gap)
+    TableManifest.checkpointManifest(s, path)
+    assert(mexists("_last_ckpt"))
+    assert(!mexists("g2") && !mexists("g3"),
+      "dead advisories are swept at checkpoint")
+    assert(mexists("_fence"), "the sweep must bump the fence")
+    assert(IndexManifest.currentVersion(s, path).contains(4L))
+    assert(IndexManifest.committedVersions(s, path) == Seq(0L, 1L, 4L))
+    // new commits above the checkpoint are found by probing, and a
+    // fresh gap above it keeps its advisory until the next checkpoint
+    assert(IndexManifest.tryCommitTagged(s, path, 6L, 11L, -1L, "append"))
+    assert(mexists("g5"))
+    assert(IndexManifest.currentVersion(s, path).contains(6L))
+    assert(IndexManifest.committedVersions(s, path) ==
+      Seq(0L, 1L, 4L, 6L))
+    // the full listing agrees with the probed view
+    assert(IndexManifest.markerLog(s, path).committed ==
+      Seq(0L, 1L, 4L, 6L))
+  }
 }

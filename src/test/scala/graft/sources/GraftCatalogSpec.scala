@@ -1255,10 +1255,15 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(d.getInt(5) == 1, "one live column mapping")
     assert(d.getString(6).startsWith("base="), d.getString(6))
     assert(d.getInt(7) == TableManifest.versions(s, p).size)
+    assert(d.getString(9) == "rename", "commit store name surfaced")
     // CALL graft.checkpoint writes the marker-log checkpoint at the
     // head and reads stay exact through it
     val ck = s.sql(s"CALL graft.checkpoint(path => '$p')").head()
     assert(ck.getLong(0) == TableManifest.versions(s, p).last)
+    // the detail row now reports the checkpoint head
+    val d2 = s.sql(s"CALL graft.detail(path => '$p')").head()
+    assert(!d2.isNullAt(8) && d2.getLong(8) == ck.getLong(0),
+      "checkpoint_head surfaced after CALL graft.checkpoint")
     val hp = new org.apache.hadoop.fs.Path(s"$p/manifest")
     assert(hp.getFileSystem(s.sparkContext.hadoopConfiguration)
       .listStatus(hp).exists(_.getPath.getName
