@@ -469,28 +469,40 @@ object TableManifest {
 
   def optimize(spark: SparkSession, path: String, clusterCols: Seq[String],
       files: Int, statsCols: Seq[String] = Nil): Long = {
-    require(clusterCols.size == 1 || clusterCols.size == 2,
-      "optimize clusters by one column (range) or two (Z-order)")
+    require(clusterCols.nonEmpty,
+      "optimize clusters by one column (range) or several (Z-order)")
     require(files >= 1)
     val live = read(spark, path)
     val clustered = clusterCols match {
       case Seq(c) =>
         live.repartitionByRange(files, col(c))
           .sortWithinPartitions(col(c))
-      case Seq(x, y) =>
+      case cs =>
+        // N-way Z-order: bucketize each axis to 2^bits and Morton-
+        // interleave — per-file min/max stats then bound EVERY axis at
+        // once, so a predicate on any clustered column skips files.
+        // Bit budget splits a non-negative BIGINT across the axes
+        // (2 cols → 16 bits each, the historical layout; 3 → 16;
+        // 4 → 15 — resolution beyond ~2^12 buckets stops mattering
+        // once rows-per-file exceeds the bucket population anyway).
+        val bits = math.min(16, 63 / cs.size)
+        val buckets = (1L << bits) // per-axis bucket count
         val mm = live.agg(
-          min(col(x)).cast("double").as("xlo"),
-          max(col(x)).cast("double").as("xhi"),
-          min(col(y)).cast("double").as("ylo"),
-          max(col(y)).cast("double").as("yhi")).head()
-        def bucket(c: String, lo: Double, hi: Double) =
-          if (mm.anyNull || hi <= lo) lit(0L) // degenerate axis: flat
-          else least(greatest(
-            expr(s"width_bucket($c, $lo, $hi, 65536)") - lit(1L),
-            lit(0L)), lit(65535L)) // width_bucket maps v = max to n+1
-        val z = ZOrder.interleave(
-          bucket(x, mm.getDouble(0), mm.getDouble(1)),
-          bucket(y, mm.getDouble(2), mm.getDouble(3)), bits = 16)
+          lit(1L).as("__one"),
+          cs.flatMap(c => Seq(
+            min(col(c)).cast("double").as(s"__lo_$c"),
+            max(col(c)).cast("double").as(s"__hi_$c"))): _*).head()
+        def bucket(c: String, lo: Any, hi: Any) = (lo, hi) match {
+          case (l: Double, h: Double) if h > l =>
+            least(greatest(
+              expr(s"width_bucket(`$c`, $l, $h, ${buckets})") - lit(1L),
+              lit(0L)), lit(buckets - 1L)) // width_bucket maps v=max to n+1
+          case _ => lit(0L) // degenerate/empty axis: flat
+        }
+        val z = ZOrder.interleaveN(
+          cs.zipWithIndex.map { case (c, i) =>
+            bucket(c, mm.get(1 + 2 * i), mm.get(2 + 2 * i)) },
+          bits)
         live.withColumn("__z", z)
           .repartitionByRange(files, col("__z"))
           .sortWithinPartitions(col("__z"))
@@ -583,17 +595,60 @@ object TableManifest {
     }
     var v = -1L
     var committed = false
+    var curDir = dir
+    var curBatch = batch
     while (!committed) {
       v = IndexManifest.nextMutationVersion(spark, path)
+      // the fold race the fault-injecting chaos spec caught: a
+      // SNAPSHOT/fold can commit between our batch-dir claim and our
+      // marker — the claim was invisible to its derivation (no marker
+      // yet), and the moment our marker lands, readers resolve the NEW
+      // payload dir, where our batch does not exist: silently lost
+      // rows. Re-validate the payload dir each attempt and MOVE the
+      // claimed batch into the live payload before committing; markers
+      // serialize the other direction (a fold landing after our marker
+      // re-derives and carries the now-visible batch). Keyed batches
+      // keep their replay id (a fresh fold payload holds only negative
+      // fold partitions, so the id is free); unkeyed batches re-claim
+      // a free id in the new dir.
+      val nowDir = payloadDir(spark, path).get
+      if (nowDir != curDir) {
+        val src = new org.apache.hadoop.fs.Path(s"$curDir/__batch=$curBatch")
+        if (curBatch < UnkeyedBase) {
+          require(renameExclusive(f, src,
+            new org.apache.hadoop.fs.Path(s"$nowDir/__batch=$curBatch")),
+            s"keyed batch $curBatch of $path cannot follow the payload " +
+              s"fold to $nowDir — the id is unexpectedly taken there " +
+              "(two keyed writers on one table violate the sink contract)")
+        } else {
+          var reclaimed = false
+          var tries = 0
+          while (!reclaimed) {
+            val nb = math.max(nextUnkeyedId(spark, nowDir),
+              currentUnkeyedWatermark(spark, path) + 1L)
+            reclaimed = renameExclusive(f, src,
+              new org.apache.hadoop.fs.Path(s"$nowDir/__batch=$nb"))
+            if (reclaimed) curBatch = nb
+            else {
+              tries += 1
+              require(tries < 1000,
+                s"could not re-claim batch partition under $nowDir")
+              Thread.sleep(5)
+            }
+          }
+        }
+        curDir = nowDir
+      }
       committed =
-        if (batch < UnkeyedBase)
+        if (curBatch < UnkeyedBase)
           IndexManifest.tryCommitTagged(spark, path, v,
-            math.max(currentWatermark(spark, path), batch),
+            math.max(currentWatermark(spark, path), curBatch),
             currentUnkeyedWatermark(spark, path), "append")
         else
           IndexManifest.tryCommitTagged(spark, path, v,
             currentWatermark(spark, path),
-            math.max(currentUnkeyedWatermark(spark, path), batch), "append")
+            math.max(currentUnkeyedWatermark(spark, path), curBatch),
+            "append")
     }
     v
   }

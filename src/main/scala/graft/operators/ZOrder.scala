@@ -45,9 +45,37 @@ object ZOrder {
       .drop("__z")
   }
 
+  /** Morton-interleave N non-negative columns, `bits` bits each:
+    * column i occupies result bits i, i+n, i+2n, … — the general form
+    * behind `ZORDER BY (a, b, c, …)`. Values must fit in `bits` bits
+    * (mask/bucketize first); the result fits in n·bits bits, which
+    * must stay inside a non-negative BIGINT. For n = 2 the layout is
+    * bit-identical to [[interleave]]. */
+  def interleaveN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, s"interleaveN needs >= 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"n*bits must fit a non-negative BIGINT: $n * $bits > 63")
+    val terms = for {
+      b <- 0 until bits
+      (c, i) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * n + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
   /** Scala reference interleave for property tests. */
   private[graft] def interleaveRef(x: Long, y: Long, bits: Int): Long =
     (0 until bits).foldLeft(0L) { (acc, b) =>
       acc | (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))
     }
+
+  /** Scala reference N-way interleave for property tests. */
+  private[graft] def interleaveNRef(xs: Seq[Long], bits: Int): Long = {
+    val n = xs.size
+    (0 until bits).foldLeft(0L) { (acc, b) =>
+      xs.zipWithIndex.foldLeft(acc) { case (a, (x, i)) =>
+        a | (((x >> b) & 1L) << (b * n + i))
+      }
+    }
+  }
 }

@@ -546,6 +546,76 @@ object DataOpsQueries {
            |  min(y) AS min_tb, max(y) AS max_tb,
            |  min(zv) AS min_z, max(zv) AS max_z
            |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
-      })
+      }),
+
+    // N-way Z-order: optimize clusters on THREE columns (the Iceberg
+    // `ZORDER BY (a, b, c)` shape generalized past the 2-axis Morton
+    // code) and a range probe on EACH axis reads FEWER FILES than the
+    // unpruned plan — per-file min/max bounds hold on every clustered
+    // dimension at once. The hash carries the probe's content plus the
+    // three structural pruning proofs off the scan metrics.
+    Q("q_zorder3_pruning",
+      (s, dir) => {
+        import graft.operators.TableManifest
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_zorder3").toString
+        val e = Tables.events(s, dir).select(
+          col("user_id"), col("event_id"), col("value"),
+          unix_timestamp(col("ts")).as("ts_epoch"))
+        TableManifest.commitSnapshot(e, path)
+        val dims = Seq("user_id", "ts_epoch", "event_id")
+        TableManifest.optimize(s, path, dims, files = 16,
+          statsCols = dims)
+        def filesOf(df: org.apache.spark.sql.DataFrame): Long = {
+          df.queryExecution.toRdd.count()
+          val plan = df.queryExecution.executedPlan
+          (plan +: plan.collect { case a: AdaptiveSparkPlanExec =>
+            a.executedPlan })
+            .flatMap(_.collect { case f: FileSourceScanExec => f })
+            .map(_.metrics("numFiles").value).sum
+        }
+        val b = e.agg(
+          min(col("user_id")), max(col("user_id")),
+          min(col("ts_epoch")), max(col("ts_epoch")),
+          min(col("event_id")), max(col("event_id"))).head()
+        def window(i: Int): (Long, Long) = {
+          val (mn, mx) = (b.getLong(2 * i), b.getLong(2 * i + 1))
+          (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+        }
+        val pruned = dims.zipWithIndex.map { case (c, i) =>
+          val (lo, hi) = window(i)
+          val fP = filesOf(
+            TableManifest.readRange(s, path, Seq((c, lo, hi))))
+          val fF = filesOf(TableManifest.read(s, path)
+            .filter(col(c) >= lo && col(c) <= hi))
+          fP < fF
+        }
+        val (elo, ehi) = window(2)
+        TableManifest.readRange(s, path, Seq(("event_id", elo, ehi)))
+          .groupBy((col("user_id") % 8).as("ub"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("sum_value"))
+          .withColumn("pruned_user", lit(pruned(0)))
+          .withColumn("pruned_ts", lit(pruned(1)))
+          .withColumn("pruned_event", lit(pruned(2)))
+          .orderBy(col("ub"))
+      },
+      Some("""WITH b AS (SELECT min(event_id) AS mn, max(event_id) AS mx
+             |           FROM events),
+             |w AS (SELECT mn + (mx - mn) // 4 AS lo,
+             |             mn + (mx - mn) // 2 AS hi FROM b)
+             |SELECT user_id % 8 AS ub, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value,
+             |  true AS pruned_user, true AS pruned_ts,
+             |  true AS pruned_event
+             |FROM events, w
+             |WHERE event_id >= lo AND event_id <= hi
+             |GROUP BY user_id % 8
+             |ORDER BY ub""".stripMargin))
   )
 }

@@ -149,6 +149,15 @@ object GraftTableSource {
   private[sources] def cdfOf(options: CaseInsensitiveStringMap): Boolean =
     Option(options.get("readChangeFeed")).exists(_.toBoolean)
 
+  /** option("rawPairs", "true") — serve every physical delete/insert
+    * pair UNCANCELLED (the churn-audit contract): by default the feed
+    * is a CONTENT DELTA and byte-identical pairs cancel (a MoR MERGE's
+    * key-group pass-through rows, an UPDATE writing its existing
+    * value); consumers counting touched rows opt into the raw view. */
+  private[sources] def rawPairsOf(
+      options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("rawPairs")).exists(_.toBoolean)
+
   private[sources] def cdfRange(options: CaseInsensitiveStringMap,
       path: String): (Long, Long) = {
     val spark = SparkSession.active
@@ -187,9 +196,10 @@ object GraftTableSource {
     * batch-listing-proportional, replacement windows an honest content
     * diff). */
   private[sources] def cdfFrame(spark: SparkSession, path: String,
-      from: Long, to: Long): DataFrame =
+      from: Long, to: Long, rawPairs: Boolean = false): DataFrame =
     TableManifest.readChanges(spark, path, from, to,
-      Some(tableSchema(spark, path, Some(to), mergeSchema = true)))
+      Some(tableSchema(spark, path, Some(to), mergeSchema = true)),
+      rawPairs = rawPairs)
 
   private[sources] def cdfSchema(spark: SparkSession, path: String,
       to: Long): StructType =
@@ -518,7 +528,7 @@ class GraftTableSource extends TableProvider with DataSourceRegister
     val path = pathOf(opts)
     if (cdfOf(opts)) {
       val (from, to) = cdfRange(opts, path)
-      new GraftCdfTable(path, from, to)
+      new GraftCdfTable(path, from, to, rawPairsOf(opts))
     } else new GraftTable(path, versionOf(opts, path),
       Option(schema).filter(_.fields.nonEmpty))
   }
@@ -563,7 +573,7 @@ class GraftTableSource extends TableProvider with DataSourceRegister
     if (cdfOf(opts)) {
       val path = pathOf(opts)
       val (from, to) = cdfRange(opts, path)
-      return GraftCdfRelation(path, from, to)(spark)
+      return GraftCdfRelation(path, from, to, rawPairsOf(opts))(spark)
     }
     val resolved = schema.orElse(
       if (mergeOf(opts) && TableManifest.exists(spark, pathOf(opts)))
@@ -581,7 +591,8 @@ class GraftTableSource extends TableProvider with DataSourceRegister
   * construction (a feed is not a table to write into); filters/
   * projection are Spark's to evaluate on top — the feed itself is
   * already window-proportional. */
-private[sources] class GraftCdfTable(path: String, from: Long, to: Long)
+private[sources] class GraftCdfTable(path: String, from: Long, to: Long,
+    rawPairs: Boolean = false)
     extends Table with SupportsRead {
   import GraftTableSource._
 
@@ -606,7 +617,7 @@ private[sources] class GraftCdfTable(path: String, from: Long, to: Long)
             override def schema: StructType = readSchema()
             override def needConversion: Boolean = false
             override def buildScan(): RDD[Row] =
-              cdfFrame(context.sparkSession, path, from, to)
+              cdfFrame(context.sparkSession, path, from, to, rawPairs)
                 .queryExecution.toRdd.asInstanceOf[RDD[Row]]
           }
           rel.asInstanceOf[T]
@@ -620,7 +631,8 @@ private[sources] class GraftCdfTable(path: String, from: Long, to: Long)
   * readChangeFeed 'true', startingVersion '<v-or-tag>')` resolves to,
   * making the feed reachable from PLAIN SQL. */
 private[sources] case class GraftCdfRelation(path: String, from: Long,
-    to: Long)(@transient val sparkSession: SparkSession)
+    to: Long, rawPairs: Boolean = false)(
+    @transient val sparkSession: SparkSession)
     extends BaseRelation with TableScan {
   import GraftTableSource._
 
@@ -631,7 +643,7 @@ private[sources] case class GraftCdfRelation(path: String, from: Long,
   override def needConversion: Boolean = false
 
   override def buildScan(): RDD[Row] =
-    cdfFrame(sparkSession, path, from, to)
+    cdfFrame(sparkSession, path, from, to, rawPairs)
       .queryExecution.toRdd.asInstanceOf[RDD[Row]]
 }
 

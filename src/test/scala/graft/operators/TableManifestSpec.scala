@@ -1089,6 +1089,29 @@ class TableManifestSpec extends AnyFunSuite {
     assert(applied.exceptAll(post).isEmpty &&
       post.exceptAll(applied).isEmpty,
       "applying the cancelled feed must still reproduce the post state")
+    // rawPairs: the churn-audit view serves every PHYSICAL pair
+    // uncancelled — the pass-through rewrites surface as
+    // delete+insert, and applying THIS feed reproduces the same post
+    // state (cancellation only ever removes net-zero pairs)
+    val raw = TableManifest.readChanges(s, path, v0, v1, rawPairs = true)
+    assert(raw.filter(col("id") >= 4 && col("id") < 6).count() == 4,
+      "rawPairs must surface the pass-through delete+insert pairs")
+    assert(raw.count() > feed.count())
+    val rawApplied = pre
+      .exceptAll(raw.filter(col("_change_type") === "delete")
+        .drop("_change_type"))
+      .union(raw.filter(col("_change_type") === "insert")
+        .drop("_change_type"))
+    assert(rawApplied.exceptAll(post).isEmpty &&
+      post.exceptAll(rawApplied).isEmpty)
+    // and from PLAIN SQL through the reader option
+    val sqlRaw = s.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("rawPairs", "true")
+      .option("startingVersion", v0.toString)
+      .option("endingVersion", v1.toString)
+      .load(path)
+    assert(sqlRaw.count() == raw.count())
   }
 
   test("manifest checkpoint: reads answer from the checkpointed marker " +

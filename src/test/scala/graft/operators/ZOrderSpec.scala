@@ -29,6 +29,34 @@ class ZOrderSpec extends AnyFunSuite {
     assert(ZOrder.interleaveRef(0, 255, 8) == 0xAAAAL)
   }
 
+  test("interleaveN matches its reference, degenerates to the 2-way " +
+    "form, and bounds EVERY dimension in a 3-way layout") {
+    // bit-for-bit vs the reference, and n=2 == the historical layout
+    val rows3 = for (x <- 0L until 8L; y <- 0L until 8L; w <- 0L until 8L)
+      yield (x, y, w)
+    val got = rows3.toDF("x", "y", "w")
+      .withColumn("z", ZOrder.interleaveN(Seq($"x", $"y", $"w"), 3))
+      .withColumn("z2", ZOrder.interleaveN(Seq($"x", $"y"), 3))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    got.foreach { case (x, y, w, z, z2) =>
+      assert(z == ZOrder.interleaveNRef(Seq(x, y, w), 3), s"($x,$y,$w)")
+      assert(z2 == ZOrder.interleaveRef(x, y, 3), s"n=2 parity ($x,$y)")
+    }
+    // 3-way locality: 16x16x16 grid into 64 files — every file bounds
+    // all THREE dimensions (span well under the domain)
+    val rows16 = for (x <- 0L until 16L; y <- 0L until 16L;
+      w <- 0L until 16L) yield (x, y, w)
+    val maxSpan = rows16.toDF("x", "y", "w")
+      .withColumn("f",
+        (ZOrder.interleaveN(Seq($"x", $"y", $"w"), 4) / 64).cast("long"))
+      .groupBy($"f")
+      .agg((max($"x") - min($"x")).as("sx"),
+        (max($"y") - min($"y")).as("sy"),
+        (max($"w") - min($"w")).as("sw"))
+      .select(max(greatest($"sx", $"sy", $"sw"))).as[Long].head()
+    assert(maxSpan <= 7L, s"3-way z-file max dimension span $maxSpan")
+  }
+
   test("z-sorted files bound both dimensions; a 1-D sort leaves y unbounded") {
     // 64x64 grid, 16 files: z-layout keeps each file in a quadrant-ish
     // region (span <= 16 per dim); sorting by x alone gives files whose
