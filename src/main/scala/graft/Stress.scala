@@ -2221,6 +2221,71 @@ object Stress {
         val appendListL = msAppend(pL)
         println(f"""{"versions_small":$nSmall%d,"versions_large":$nLarge%d,"read_nockpt_small_seconds":$noCkptS%.2f,"read_nockpt_large_seconds":$noCkptL%.2f,"read_ckpt_small_seconds":$ckptS%.2f,"read_ckpt_large_seconds":$ckptL%.2f,"read_stale_ckpt_tail100_seconds":$staleL%.2f,"append_50k_fasthead_seconds":$appendCkptL%.2f,"append_50k_coordinated_seconds":$appendCoordL%.2f,"append_50k_listing_seconds":$appendListL%.2f}""")
 
+      case "commitstore" =>
+        // the commit seam, PRICED: (a) the raw primitive — marker
+        // placements through rename vs coordinated-local vs
+        // coordinated-JDBC (Derby embedded standing in for the shared
+        // RDBMS a multi-driver S3 deployment points at); (b) the
+        // protocol — full TableManifest.append latency under each
+        // store. The coordination cost must be noise next to data
+        // movement for the conditional-write path to be the honest
+        // default on object stores.
+        import operators._
+        val csBody = "wm=1\nuwm=-1\nkind=append"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        def csRawPerOpMs(store: CommitStore, n: Int): Double = {
+          val d = java.nio.file.Files
+            .createTempDirectory(s"stress_cs_${store.name}").toString
+          val f = new org.apache.hadoop.fs.Path(d)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          f.mkdirs(new org.apache.hadoop.fs.Path(s"$d/manifest"))
+          val t0 = System.nanoTime()
+          (1 to n).foreach { v =>
+            require(store.putIfAbsent(f,
+              new org.apache.hadoop.fs.Path(s"$d/manifest/v$v"), csBody))
+          }
+          (System.nanoTime() - t0) / 1e6 / n
+        }
+        def csTable(): String = {
+          val p = java.nio.file.Files
+            .createTempDirectory("stress_cs_tbl").toString
+          TableManifest.commitSnapshot(
+            spark.range(100000L).select(col("id"),
+              (col("id") % 97).cast("double").as("v")), p)
+          p
+        }
+        def csMedAppend(p: String): Double = {
+          val ts = (1 to 5).map { _ =>
+            val t0 = System.nanoTime()
+            TableManifest.append(
+              spark.range(2).select(col("id"), lit(0.5).as("v")), p)
+            (System.nanoTime() - t0) / 1e9
+          }
+          ts.sorted.apply(2)
+        }
+        val jdbcUrl = "jdbc:derby:memory:stress_cs;create=true"
+        val rawN = 500
+        val rawRename = csRawPerOpMs(RenameCommitStore, rawN)
+        val rawLocal =
+          csRawPerOpMs(new CoordinatedCommitStore(), rawN)
+        val rawJdbc = csRawPerOpMs(new CoordinatedCommitStore(
+          coordinator = new JdbcCommitCoordinator(jdbcUrl)), rawN)
+        val appRename = csMedAppend(csTable())
+        spark.conf.set("spark.graft.commit.store", "coordinated")
+        val appLocal = try csMedAppend(csTable())
+          finally spark.conf.unset("spark.graft.commit.store")
+        spark.conf.set("spark.graft.commit.store", "coordinated")
+        spark.conf.set("spark.graft.commit.coordinator", "jdbc")
+        spark.conf.set("spark.graft.commit.jdbc.url", jdbcUrl)
+        val appJdbc =
+          try csMedAppend(csTable())
+          finally {
+            spark.conf.unset("spark.graft.commit.store")
+            spark.conf.unset("spark.graft.commit.coordinator")
+            spark.conf.unset("spark.graft.commit.jdbc.url")
+          }
+        println(f"""{"raw_ops":$rawN%d,"raw_rename_ms_per_op":$rawRename%.3f,"raw_coordinated_local_ms_per_op":$rawLocal%.3f,"raw_coordinated_jdbc_ms_per_op":$rawJdbc%.3f,"append_rename_seconds":$appRename%.3f,"append_coordinated_local_seconds":$appLocal%.3f,"append_coordinated_jdbc_seconds":$appJdbc%.3f}""")
+
       case "mergecontention" =>
         // MERGE liveness under hot append traffic: a free-running
         // appender commits small DISJOINT-key appends while a MERGE

@@ -33,9 +33,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    a second writer for one destination. The in-JVM
   *    [[LocalCommitCoordinator]] is exact for every single-driver
   *    deployment (local[*], one Spark driver per table — the
-  *    documented mutator contract); multi-driver deployments plug a
-  *    DynamoDB/ZooKeeper-backed coordinator into the same two-method
-  *    trait (the Delta S3DynamoDBLogStore shape).
+  *    documented mutator contract); multi-driver deployments set
+  *    `spark.graft.commit.coordinator=jdbc` +
+  *    `spark.graft.commit.jdbc.url` to route the register through
+  *    [[JdbcCommitCoordinator]] — a shared RDBMS's PRIMARY KEY insert
+  *    as the conditional PUT (the Delta S3DynamoDBLogStore shape,
+  *    implemented), or plug any other linearizable backend into the
+  *    same two-method trait.
   *
   * Resolution ([[CommitStore.of]]) is per-destination: a spec-installed
   * override first (fault injection), then
@@ -124,6 +128,111 @@ object LocalCommitCoordinator extends CommitCoordinator {
   def release(key: String): Unit = { held.remove(key); () }
 }
 
+/** Multi-driver coordinator over any shared RDBMS reachable by JDBC:
+  * the linearizable register-the-winner step is a PRIMARY KEY insert —
+  * of N racing acquirers of one destination, the database commits
+  * exactly one INSERT and refuses the rest with a duplicate-key
+  * violation (SQLState class 23). This is the Delta S3DynamoDBLogStore
+  * record shape with the conditional PUT expressed as SQL uniqueness,
+  * so ANY shared Postgres/MySQL/Derby instance serializes commits for
+  * tables on stores without atomic rename — across drivers, not just
+  * within one JVM like [[LocalCommitCoordinator]].
+  *
+  * Semantics mirror the DynamoDB record: a SUCCESSFUL claim keeps its
+  * row (the coordinator's durable memory of the commit — a restarted
+  * driver still sees the destination taken even before the object
+  * store shows it); a claim whose filesystem write FAILS releases the
+  * row so a retry can proceed. Rows are one per committed destination,
+  * tiny next to the data; under read-after-write-consistent stores
+  * (today's S3) rows whose destination is durably visible may be
+  * pruned — the store's own exists-check still refuses a re-claim.
+  *
+  * Failure posture: any SQL error OTHER than a duplicate key (network
+  * down, auth, lost database) PROPAGATES and fails the commit — an
+  * unreachable coordinator must never default-win, that would be
+  * exactly the uncoordinated race this class exists to close.
+  *
+  * The key is stored as its SHA-256 hex digest (fixed 64 chars — fits
+  * every RDBMS's index-key limit regardless of path length) alongside
+  * the full destination and an acquisition timestamp for operators.
+  * One connection per operation: claims are per-version (rare next to
+  * data movement), and connection-per-op keeps the class lock-free
+  * across racing committer threads. */
+final class JdbcCommitCoordinator(url: String,
+    table: String = "GRAFT_COMMITS") extends CommitCoordinator {
+
+  import java.sql.{Connection, DriverManager, SQLException}
+
+  require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+    s"coordinator table name must be a plain SQL identifier: '$table'")
+
+  private def digest(key: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+  }
+
+  @volatile private var ready = false
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  /** First-use table creation, racing-driver tolerant: a failed CREATE
+    * is accepted iff the table is actually probeable afterwards
+    * (another driver created it / it pre-exists) — otherwise the
+    * ORIGINAL create error surfaces. SQLState-agnostic on purpose:
+    * "already exists" codes differ per RDBMS (Derby X0Y32, Postgres
+    * 42P07, MySQL 42S01); probing is portable. */
+  private def ensureTable(c: Connection): Unit =
+    if (!ready) this.synchronized {
+      if (!ready) {
+        try {
+          val st = c.createStatement()
+          try st.executeUpdate(
+            s"CREATE TABLE $table (" +
+              "dst_digest VARCHAR(64) NOT NULL PRIMARY KEY, " +
+              "dst VARCHAR(4096) NOT NULL, " +
+              "acquired_at TIMESTAMP NOT NULL)")
+          finally st.close()
+        } catch {
+          case e: SQLException =>
+            val probe = c.createStatement()
+            try probe.executeQuery(
+              s"SELECT dst_digest FROM $table WHERE 1=0").close()
+            catch { case _: SQLException => throw e }
+            finally probe.close()
+        }
+        ready = true
+      }
+    }
+
+  def tryAcquire(key: String): Boolean = withConn { c =>
+    ensureTable(c)
+    val ps = c.prepareStatement(s"INSERT INTO $table " +
+      "(dst_digest, dst, acquired_at) VALUES (?, ?, CURRENT_TIMESTAMP)")
+    try {
+      ps.setString(1, digest(key))
+      ps.setString(2, key.take(4096))
+      ps.executeUpdate()
+      true
+    } catch {
+      // integrity-constraint class: another driver holds/committed it
+      case e: SQLException
+          if Option(e.getSQLState).exists(_.startsWith("23")) => false
+    } finally ps.close()
+  }
+
+  def release(key: String): Unit = withConn { c =>
+    ensureTable(c)
+    val ps = c.prepareStatement(
+      s"DELETE FROM $table WHERE dst_digest = ?")
+    try { ps.setString(1, digest(key)); ps.executeUpdate(); () }
+    finally ps.close()
+  }
+}
+
 /** Conditional-write commits: the coordinator decides the winner;
   * only the winner performs the filesystem transition, so the
   * underlying store's rename need not be atomic or no-overwrite —
@@ -187,6 +296,11 @@ object CommitStore {
 
   private val coordinated = new CoordinatedCommitStore()
 
+  // one coordinated store per (jdbc url, table): the coordinator's
+  // ensureTable latch and the session conf are both per-target
+  private val jdbcStores =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitStore]()
+
   /** The store governing commits at `dst`. */
   def of(f: FileSystem, dst: Path): CommitStore = {
     if (!testStores.isEmpty) {
@@ -199,7 +313,13 @@ object CommitStore {
       }
       best.foreach { case (_, s) => return s }
     }
+    // active session first (the thread's own — Spark's idiom for
+    // custom thread pools is setActiveSession), then the JVM default:
+    // without the fallback, a commit issued from a user worker thread
+    // would silently resolve NO session conf and drop back to the
+    // rename store even when the app configured coordinated commits
     val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.conf)
     def opt(k: String): Option[String] =
       conf.flatMap(_.getOption(k)).orElse(Option(f.getConf.get(k)))
@@ -207,7 +327,25 @@ object CommitStore {
     val scheme = Option(f.getUri.getScheme).getOrElse("file")
       .toLowerCase(java.util.Locale.ROOT)
     choice match {
-      case "coordinated" => coordinated
+      case "coordinated" =>
+        opt("spark.graft.commit.coordinator").getOrElse("local") match {
+          case "local" => coordinated
+          case "jdbc" =>
+            val url = opt("spark.graft.commit.jdbc.url").getOrElse(
+              throw new IllegalArgumentException(
+                "spark.graft.commit.coordinator=jdbc requires " +
+                  "spark.graft.commit.jdbc.url (a shared RDBMS every " +
+                  "driver of the table can reach)"))
+            val tbl = opt("spark.graft.commit.jdbc.table")
+              .getOrElse("GRAFT_COMMITS")
+            jdbcStores.computeIfAbsent(s"$url $tbl",
+              _ => new CoordinatedCommitStore(
+                coordinator = new JdbcCommitCoordinator(url, tbl)))
+          case other =>
+            throw new IllegalArgumentException(
+              s"unknown spark.graft.commit.coordinator '$other' " +
+                "(expected local | jdbc)")
+        }
       case "rename" =>
         if (!renameSafeSchemes.contains(scheme)) {
           val allow = opt("spark.graft.commit.allowUnverifiedRename")

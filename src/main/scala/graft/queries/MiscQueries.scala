@@ -2796,6 +2796,112 @@ object MiscQueries {
              |GROUP BY user_id % 10
              |ORDER BY arm, ub""".stripMargin)),
 
+    // The object-store commit seam, driver-gated end-to-end: the whole
+    // snapshot → racing appends → DELETE lifecycle runs with
+    // spark.graft.commit.store=coordinated AND the JDBC coordinator
+    // (Derby embedded standing in for the shared RDBMS a multi-driver
+    // S3 deployment points at — the Delta S3DynamoDBLogStore shape as
+    // a PRIMARY KEY insert). The hash carries the read-back content
+    // plus three structural proofs: the resolved store really is the
+    // coordinated one, version history is exactly-once, and the
+    // database actually registered the commits (no silent fallback to
+    // in-JVM coordination).
+    Q("q_graft_commit_coordinated",
+      (s, dir) => {
+        import graft.operators.{CommitStore, TableManifest}
+        val url = "jdbc:derby:memory:gate_commit_coord;create=true"
+        // store resolution reads the ACTIVE session's conf (thread-
+        // local): pin it here and in every worker thread — the Spark
+        // idiom for custom thread pools — so the coordinated settings
+        // set on THIS session govern, even under Verify's pooled
+        // per-query sessions
+        val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+        org.apache.spark.sql.SparkSession.setActiveSession(s)
+        s.conf.set("spark.graft.commit.store", "coordinated")
+        s.conf.set("spark.graft.commit.coordinator", "jdbc")
+        s.conf.set("spark.graft.commit.jdbc.url", url)
+        try {
+          val path = java.nio.file.Files
+            .createTempDirectory("graft_commit_coord").toString
+          TableManifest.commitSnapshot(
+            Tables.events(s, dir)
+              .select(col("event_id"), col("user_id"), col("value")),
+            path)
+          // two RACING appenders of disjoint literal rows: both must
+          // land exactly once through the coordinator (content is
+          // order-independent, so the hash is deterministic)
+          def rows(ids: Seq[Long]): org.apache.spark.sql.DataFrame = {
+            import s.implicits._
+            ids.map(i => (i, i % 7, 0.25 * (i % 4 + 1)))
+              .toDF("event_id", "user_id", "value")
+          }
+          val errs = new java.util.concurrent
+            .ConcurrentLinkedQueue[Throwable]()
+          val appenders = Seq(
+            Seq(9000000001L, 9000000002L, 9000000003L, 9000000004L),
+            Seq(9000000006L, 9000000007L, 9000000008L, 9000000009L))
+            .map(ids => new Thread(() =>
+              try {
+                org.apache.spark.sql.SparkSession.setActiveSession(s)
+                TableManifest.append(rows(ids), path)
+              } catch { case t: Throwable => errs.add(t) }))
+          appenders.foreach(_.start()); appenders.foreach(_.join())
+          if (!errs.isEmpty) throw errs.peek()
+          TableManifest.deleteWhere(s, path, "event_id % 5 = 0")
+          // structural proofs for the hash
+          val hp = new org.apache.hadoop.fs.Path(path)
+          val storeName = CommitStore.of(
+            hp.getFileSystem(s.sparkContext.hadoopConfiguration),
+            new org.apache.hadoop.fs.Path(s"$path/manifest/v0")).name
+          val vs = TableManifest.versions(s, path)
+          val exactlyOnce = vs == vs.distinct.sorted
+          val registered = {
+            val c = java.sql.DriverManager.getConnection(url)
+            try {
+              val rs = c.createStatement().executeQuery(
+                "SELECT count(*) FROM GRAFT_COMMITS")
+              rs.next()
+              rs.getLong(1) >= vs.size
+            } finally c.close()
+          }
+          TableManifest.read(s, path)
+            .groupBy((col("user_id") % 10).as("ub"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,6)")).cast("double")
+                .as("sum_value"))
+            .withColumn("store", lit(storeName))
+            .withColumn("versions_exactly_once", lit(exactlyOnce))
+            .withColumn("jdbc_registered", lit(registered))
+            .orderBy(col("ub"))
+        } finally {
+          s.conf.unset("spark.graft.commit.store")
+          s.conf.unset("spark.graft.commit.coordinator")
+          s.conf.unset("spark.graft.commit.jdbc.url")
+          prevActive match {
+            case Some(p) =>
+              org.apache.spark.sql.SparkSession.setActiveSession(p)
+            case None =>
+              org.apache.spark.sql.SparkSession.clearActiveSession()
+          }
+        }
+      },
+      Some("""WITH appended(event_id, user_id, value) AS (
+             |  SELECT i, i % 7, 0.25 * (i % 4 + 1)
+             |  FROM (VALUES (9000000001), (9000000002), (9000000003),
+             |               (9000000004), (9000000006), (9000000007),
+             |               (9000000008), (9000000009)) v(i)),
+             |t AS (SELECT event_id, user_id, value FROM events
+             |      UNION ALL SELECT * FROM appended)
+             |SELECT user_id % 10 AS ub, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value,
+             |  'coordinated' AS store, true AS versions_exactly_once,
+             |  true AS jdbc_registered
+             |FROM t
+             |WHERE NOT coalesce(event_id % 5 = 0, false)
+             |GROUP BY user_id % 10
+             |ORDER BY ub""".stripMargin)),
+
     // The change feed from PLAIN SQL: option("readChangeFeed") on the
     // graft source routes readChanges through both reader surfaces — a
     // `CREATE TEMPORARY VIEW ... USING graft` (the v1 path: SQL-only

@@ -26,39 +26,10 @@ class CommitStoreSpec extends AnyFunSuite {
     rows.toDF("id", "v")
   }
 
-  /** S3-shaped primitive: overwriting copy with a widened race window.
-    * `winners` counts claims that REPORTED success — under a real
-    * atomic store at most one per destination can. */
-  private final class BrokenRenameStore(pauseMs: Long)
-      extends CommitStore {
-    val name = "broken-rename"
-    val winners = new java.util.concurrent.atomic.AtomicInteger(0)
-
-    private def copyOver(f: FileSystem, src: Path, dst: Path): Unit = {
-      // copy-then-delete, overwrite allowed — rename, S3-style
-      org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, true, true,
-        f.getConf)
-      ()
-    }
-
-    def claim(f: FileSystem, src: Path, dst: Path): Boolean = {
-      if (f.exists(dst)) return false
-      Thread.sleep(pauseMs) // both racers pass the exists check
-      copyOver(f, src, dst)
-      winners.incrementAndGet()
-      true
-    }
-
-    def putIfAbsent(f: FileSystem, dst: Path,
-        body: Array[Byte]): Boolean = {
-      if (f.exists(dst)) return false
-      Thread.sleep(pauseMs)
-      val out = f.create(dst, true) // overwriting PUT — S3-style
-      try out.write(body) finally out.close()
-      winners.incrementAndGet()
-      true
-    }
-  }
+  // S3-shaped primitive: overwriting copy with a widened race window;
+  // `winners` counts claims that REPORTED success — under a real
+  // atomic store at most one per destination can. Shared with the
+  // TableManifestProps full-chaos arm: FaultInjection.scala.
 
   private def fs(path: String): FileSystem =
     new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -155,6 +126,88 @@ class CommitStoreSpec extends AnyFunSuite {
           s"extra=${got.diff(want)}")
       // exactly-once history: no duplicated version numbers, markers
       // all parse (no torn overwrite survived)
+      val vs = IndexManifest.committedVersions(s, path)
+      assert(vs == vs.distinct.sorted)
+    } finally CommitStore.clearTestStores()
+  }
+
+  test("JDBC coordinator: two SEPARATE coordinator instances (the " +
+    "multi-driver shape) over one shared database admit exactly one " +
+    "winner per key, durably") {
+    val url = "jdbc:derby:memory:cs_jdbc_multi;create=true"
+    // two instances = two drivers: no shared JVM state — exclusion can
+    // only come from the database's primary-key uniqueness
+    val driverA = new JdbcCommitCoordinator(url)
+    val driverB = new JdbcCommitCoordinator(url)
+    val key = "s3a://bucket/table/manifest/v7"
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { i =>
+      val via = if (i % 2 == 0) driverA else driverB
+      new Thread(() => if (via.tryAcquire(key)) wins.incrementAndGet())
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(wins.get() == 1, "database uniqueness must pick one winner")
+    // durable memory: a THIRD instance (a restarted driver) still sees
+    // the key held — the DynamoDB-record semantics
+    assert(!new JdbcCommitCoordinator(url).tryAcquire(key))
+    // a released key (failed filesystem write) is reacquirable, once
+    driverA.release(key)
+    assert(driverB.tryAcquire(key))
+    assert(!driverA.tryAcquire(key))
+  }
+
+  test("CoordinatedCommitStore with the JDBC coordinator closes the " +
+    "broken-rename race exactly like the local one") {
+    val path = java.nio.file.Files
+      .createTempDirectory("cs_jdbc_unit").toString
+    val broken = new BrokenRenameStore(pauseMs = 150)
+    val store = new CoordinatedCommitStore(
+      coordinator = new JdbcCommitCoordinator(
+        "jdbc:derby:memory:cs_jdbc_unit;create=true"),
+      underlying = broken)
+    val f = fs(path)
+    f.mkdirs(new Path(s"$path/manifest"))
+    val dst = new Path(s"$path/manifest/v7")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val threads = (1 to 4).map { i =>
+      new Thread(() => results.add(
+        store.putIfAbsent(f, dst, s"wm=$i\nuwm=-1\nkind=append"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(results.asScala.count(identity) == 1)
+    assert(broken.winners.get() == 1)
+    assert(f.exists(dst))
+  }
+
+  test("JDBC coordinator FAILS CLOSED: an unreachable database fails " +
+    "the commit instead of default-winning") {
+    // derby without ;create=true on a nonexistent db refuses to connect
+    val dead = new JdbcCommitCoordinator("jdbc:derby:memory:cs_absent")
+    intercept[java.sql.SQLException] { dead.tryAcquire("any-key") }
+  }
+
+  test("table protocol end-to-end through the JDBC coordinator on a " +
+    "rename-atomicity-broken filesystem") {
+    val path = java.nio.file.Files
+      .createTempDirectory("cs_jdbc_proto").toString
+    CommitStore.installForTest(path,
+      new CoordinatedCommitStore(
+        coordinator = new JdbcCommitCoordinator(
+          "jdbc:derby:memory:cs_jdbc_proto;create=true"),
+        underlying = new BrokenRenameStore(pauseMs = 2)))
+    try {
+      TableManifest.commitSnapshot(
+        df((0L until 50L).map(i => (i, i))), path)
+      val appenders = (1 to 3).map { i =>
+        new Thread(() => TableManifest.append(
+          df(Seq((100L + i, i.toLong))), path))
+      }
+      appenders.foreach(_.start()); appenders.foreach(_.join())
+      TableManifest.deleteWhere(s, path, "id < 5")
+      val got = TableManifest.read(s, path).select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(got == ((5L until 50L) ++ Seq(101L, 102L, 103L)).sorted)
       val vs = IndexManifest.committedVersions(s, path)
       assert(vs == vs.distinct.sorted)
     } finally CommitStore.clearTestStores()

@@ -49,15 +49,38 @@ class TableManifestProps extends AnyFunSuite {
 
   test("threaded chaos: appenders, a deleter, an updater, and a " +
     "compactor race freely — every effect lands, nothing is lost") {
-    // effects are key-disjoint so the final state is order-independent:
-    //  - base rows  [0, 100): survive, except...
-    //  - the deleter removes id < 10 (base-only range)
-    //  - the updater rewrites v += 1000000 for id in [50, 60)
-    //  - the merger upserts v = 555 for id in [90, 100) (source wins)
-    //  - appenders add unique ids >= 10000 (never matched by any)
-    //  - the compactor folds twice along the way (content no-op)
     val path = java.nio.file.Files
       .createTempDirectory("tm_props_chaos").toString
+    runThreadedChaos(path)
+  }
+
+  test("threaded chaos THROUGH THE COMMIT SEAM: the same full workload " +
+    "over a rename-atomicity-broken store, serialized only by the JDBC " +
+    "coordinator (the multi-driver S3 shape)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("tm_props_chaos_seam").toString
+    // every protocol transition under this path runs an overwriting
+    // non-atomic copy with a widened race window — correctness can
+    // come only from the coordinator's database-uniqueness register
+    CommitStore.installForTest(path,
+      new CoordinatedCommitStore(
+        coordinator = new JdbcCommitCoordinator(
+          "jdbc:derby:memory:tm_chaos_seam;create=true"),
+        underlying = new BrokenRenameStore(pauseMs = 2)))
+    try runThreadedChaos(path)
+    finally CommitStore.clearTestStores()
+  }
+
+  /** The full chaos workload against an empty temp `path`.
+    * Effects are key-disjoint so the final state is order-independent:
+    *  - base rows  [0, 100): survive, except...
+    *  - the deleter removes id < 10 (base-only range)
+    *  - the updater rewrites v += 1000000 for id in [50, 60)
+    *  - the merger upserts v = 555 for id in [90, 100) (source wins)
+    *  - appenders add unique ids >= 10000 (never matched by any)
+    *  - the compactor folds twice along the way (content no-op)
+    */
+  private def runThreadedChaos(path: String): Unit = {
     TableManifest.commitSnapshot(
       df((0L until 100L).map(i => (i, i))), path)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
