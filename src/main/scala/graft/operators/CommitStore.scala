@@ -115,6 +115,22 @@ object RenameCommitStore extends CommitStore {
 trait CommitCoordinator {
   def tryAcquire(key: String): Boolean
   def release(key: String): Unit
+
+  /** [[tryAcquire]] carrying the intended file CONTENT. Backends that
+    * persist it (the JDBC coordinator) enable crash recovery: a winner
+    * that dies between registering and writing leaves its intent in
+    * the record, and [[pendingBody]] lets any later committer COMPLETE
+    * the write instead of wedging on a dead winner. Default: plain
+    * tryAcquire (no recovery — correctness is unaffected, only the
+    * liveness of the crashed-winner case). */
+  def tryAcquireWithBody(key: String, body: Array[Byte]): Boolean =
+    tryAcquire(key)
+
+  /** The recorded content of a held `key` whose winner looks DEAD —
+    * None unless the backend stores bodies AND the registration is
+    * older than the backend's grace window (measured on the backend's
+    * own clock, so no cross-driver clock skew). */
+  def pendingBody(key: String): Option[Array[Byte]] = None
 }
 
 /** JVM-wide coordinator: exact whenever all mutators of a table share
@@ -159,7 +175,8 @@ object LocalCommitCoordinator extends CommitCoordinator {
   * data movement), and connection-per-op keeps the class lock-free
   * across racing committer threads. */
 final class JdbcCommitCoordinator(url: String,
-    table: String = "GRAFT_COMMITS") extends CommitCoordinator {
+    table: String = "GRAFT_COMMITS",
+    graceMs: Long = 5000L) extends CommitCoordinator {
 
   import java.sql.{Connection, DriverManager, SQLException}
 
@@ -184,7 +201,9 @@ final class JdbcCommitCoordinator(url: String,
     * (another driver created it / it pre-exists) — otherwise the
     * ORIGINAL create error surfaces. SQLState-agnostic on purpose:
     * "already exists" codes differ per RDBMS (Derby X0Y32, Postgres
-    * 42P07, MySQL 42S01); probing is portable. */
+    * 42P07, MySQL 42S01); probing is portable. A pre-body-column table
+    * (an earlier deployment of this coordinator) is widened in place —
+    * ADD COLUMN is ANSI and metadata-only on every target RDBMS. */
   private def ensureTable(c: Connection): Unit =
     if (!ready) this.synchronized {
       if (!ready) {
@@ -194,7 +213,8 @@ final class JdbcCommitCoordinator(url: String,
             s"CREATE TABLE $table (" +
               "dst_digest VARCHAR(64) NOT NULL PRIMARY KEY, " +
               "dst VARCHAR(4096) NOT NULL, " +
-              "acquired_at TIMESTAMP NOT NULL)")
+              "acquired_at TIMESTAMP NOT NULL, " +
+              "body VARCHAR(8192))")
           finally st.close()
         } catch {
           case e: SQLException =>
@@ -203,26 +223,77 @@ final class JdbcCommitCoordinator(url: String,
               s"SELECT dst_digest FROM $table WHERE 1=0").close()
             catch { case _: SQLException => throw e }
             finally probe.close()
+            val bodyProbe = c.createStatement()
+            try bodyProbe.executeQuery(
+              s"SELECT body FROM $table WHERE 1=0").close()
+            catch {
+              case _: SQLException =>
+                val alter = c.createStatement()
+                try alter.executeUpdate(
+                  s"ALTER TABLE $table ADD COLUMN body VARCHAR(8192)")
+                finally alter.close()
+            } finally bodyProbe.close()
         }
         ready = true
       }
     }
 
-  def tryAcquire(key: String): Boolean = withConn { c =>
-    ensureTable(c)
-    val ps = c.prepareStatement(s"INSERT INTO $table " +
-      "(dst_digest, dst, acquired_at) VALUES (?, ?, CURRENT_TIMESTAMP)")
-    try {
-      ps.setString(1, digest(key))
-      ps.setString(2, key.take(4096))
-      ps.executeUpdate()
-      true
-    } catch {
-      // integrity-constraint class: another driver holds/committed it
-      case e: SQLException
-          if Option(e.getSQLState).exists(_.startsWith("23")) => false
-    } finally ps.close()
+  def tryAcquire(key: String): Boolean = insert(key, None)
+
+  override def tryAcquireWithBody(key: String,
+      body: Array[Byte]): Boolean = {
+    // bodies too big for the column lose recovery, never correctness
+    val encoded = java.util.Base64.getEncoder.encodeToString(body)
+    insert(key, if (encoded.length <= 8192) Some(encoded) else None)
   }
+
+  private def insert(key: String, body: Option[String]): Boolean =
+    withConn { c =>
+      ensureTable(c)
+      val ps = c.prepareStatement(s"INSERT INTO $table " +
+        "(dst_digest, dst, acquired_at, body) " +
+        "VALUES (?, ?, CURRENT_TIMESTAMP, ?)")
+      try {
+        ps.setString(1, digest(key))
+        ps.setString(2, key.take(4096))
+        body match {
+          case Some(b) => ps.setString(3, b)
+          case None => ps.setNull(3, java.sql.Types.VARCHAR)
+        }
+        ps.executeUpdate()
+        true
+      } catch {
+        // integrity-constraint class: another driver holds/committed it
+        case e: SQLException
+            if Option(e.getSQLState).exists(_.startsWith("23")) => false
+      } finally ps.close()
+    }
+
+  /** The recorded intent of a held key whose winner has been silent for
+    * at least [[graceMs]] — aged on the DATABASE's clock (acquired_at
+    * and CURRENT_TIMESTAMP fetched in one round trip), so driver clock
+    * skew can never mis-age a registration. */
+  override def pendingBody(key: String): Option[Array[Byte]] =
+    withConn { c =>
+      ensureTable(c)
+      val ps = c.prepareStatement(s"SELECT body, acquired_at, " +
+        s"CURRENT_TIMESTAMP FROM $table WHERE dst_digest = ?")
+      try {
+        ps.setString(1, digest(key))
+        val rs = ps.executeQuery()
+        try {
+          if (!rs.next()) None
+          else {
+            val b = rs.getString(1)
+            val at = rs.getTimestamp(2)
+            val now = rs.getTimestamp(3)
+            if (b == null || at == null || now == null ||
+                now.getTime - at.getTime < graceMs) None
+            else Some(java.util.Base64.getDecoder.decode(b))
+          }
+        } finally rs.close()
+      } finally ps.close()
+    }
 
   def release(key: String): Unit = withConn { c =>
     ensureTable(c)
@@ -262,7 +333,23 @@ final class CoordinatedCommitStore(
 
   def putIfAbsent(f: FileSystem, dst: Path, body: Array[Byte]): Boolean = {
     val k = key(f, dst)
-    if (!coordinator.tryAcquire(k)) return false
+    if (!coordinator.tryAcquireWithBody(k, body)) {
+      // lost the register — but if the WINNER DIED between registering
+      // and writing (a held key with no file), complete ITS write from
+      // the recorded intent: the rename store's liveness restored (a
+      // crash before the marker write leaves nothing there; here it
+      // would otherwise leave a permanently-wedged slot — the head
+      // never advances past a registered-but-absent marker). Writing
+      // the WINNER'S recorded body is idempotent against a merely-slow
+      // winner: both writes carry identical bytes, content converges
+      // whatever the order. This is the Delta DynamoDB-LogStore
+      // "complete incomplete entries" shape.
+      if (!f.exists(dst))
+        coordinator.pendingBody(k).foreach { b =>
+          underlying.putIfAbsent(f, dst, b); ()
+        }
+      return false
+    }
     val ok =
       try underlying.putIfAbsent(f, dst, body)
       catch { case e: Throwable => coordinator.release(k); throw e }

@@ -213,6 +213,76 @@ class CommitStoreSpec extends AnyFunSuite {
     } finally CommitStore.clearTestStores()
   }
 
+  test("crash recovery: a winner that DIED between registering and " +
+    "writing is completed from the database record by the next " +
+    "committer — no wedged slot") {
+    val path = java.nio.file.Files
+      .createTempDirectory("cs_jdbc_recover").toString
+    val url = "jdbc:derby:memory:cs_jdbc_recover;create=true"
+    val f = fs(path)
+    f.mkdirs(new Path(s"$path/manifest"))
+    val dst = new Path(s"$path/manifest/v7")
+    val k = f.makeQualified(dst).toUri.toString
+    val crashed = new JdbcCommitCoordinator(url) // registers, never writes
+    val winnerBody = "wm=42\nuwm=-1\nkind=append"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(crashed.tryAcquireWithBody(k, winnerBody))
+    // a MERELY-SLOW winner is protected: within the grace window the
+    // record ages on the DATABASE clock and pendingBody stays empty
+    assert(new JdbcCommitCoordinator(url).pendingBody(k).isEmpty)
+    // past the grace window (grace=0 coordinator = "aged out" now), a
+    // later committer LOSES the register but COMPLETES the dead
+    // winner's write with the winner's recorded bytes, not its own
+    val store = new CoordinatedCommitStore(
+      coordinator = new JdbcCommitCoordinator(url, graceMs = 0L))
+    val loserBody = "wm=99\nuwm=-1\nkind=append"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(!store.putIfAbsent(f, dst, loserBody))
+    val in = f.open(dst)
+    val got = try scala.io.Source.fromInputStream(in).mkString
+      finally in.close()
+    assert(got == new String(winnerBody,
+      java.nio.charset.StandardCharsets.UTF_8),
+      "recovery must complete the WINNER's intent, not the loser's")
+  }
+
+  test("protocol liveness through recovery: a registered-but-unwritten " +
+    "marker (dead committer) does not wedge the table — the next " +
+    "append completes it and lands above") {
+    val path = java.nio.file.Files
+      .createTempDirectory("cs_jdbc_wedge").toString
+    val url = "jdbc:derby:memory:cs_jdbc_wedge;create=true"
+    CommitStore.installForTest(path,
+      new CoordinatedCommitStore(
+        coordinator = new JdbcCommitCoordinator(url, graceMs = 0L)))
+    try {
+      TableManifest.commitSnapshot(
+        df((0L until 20L).map(i => (i, i))), path)
+      val f = fs(path)
+      // simulate a committer killed between the database register and
+      // the marker write: the row exists for head+1, the file does not
+      val head = IndexManifest.committedVersions(s, path).max
+      val wedged = new Path(s"$path/manifest/v${head + 1}")
+      val in = f.open(new Path(s"$path/manifest/v$head"))
+      val body = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      val crashed = new JdbcCommitCoordinator(url)
+      assert(crashed.tryAcquireWithBody(
+        f.makeQualified(wedged).toUri.toString,
+        body.replace("kind=snapshot", "kind=append")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      // without recovery this append would spin forever: every attempt
+      // at head+1 loses the register while the head never advances
+      TableManifest.append(df(Seq((100L, 1L))), path)
+      assert(f.exists(wedged), "dead winner's marker completed")
+      val got = TableManifest.read(s, path).select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(got == ((0L until 20L) :+ 100L).sorted)
+      val vs = IndexManifest.committedVersions(s, path)
+      assert(vs == vs.distinct.sorted)
+    } finally CommitStore.clearTestStores()
+  }
+
   test("rename store REFUSES unverified-rename schemes unless " +
     "explicitly acknowledged") {
     // a local filesystem masquerading as s3a — only getUri differs
