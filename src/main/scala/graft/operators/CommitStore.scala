@@ -62,6 +62,16 @@ trait CommitStore {
     * Same at-most-one-winner contract as [[claim]]. */
   def putIfAbsent(f: FileSystem, dst: Path, body: Array[Byte]): Boolean
 
+  /** Drop any coordination memory for the given destinations — called
+    * by the reclaim paths (vacuum, checkpoint pruning, cleanOrphans)
+    * AFTER deleting them, so a coordinator-backed table's register
+    * stays proportional to the LIVE history instead of growing one row
+    * per commit forever. Safe because version numbers are never reused
+    * (tail-only commits) and a claim's own exists-check still refuses
+    * re-claims of any destination that still exists. Default: no-op
+    * (the rename store keeps no memory). */
+  def forgetAll(f: FileSystem, dsts: Seq[Path]): Unit = ()
+
   def name: String
 }
 
@@ -131,6 +141,9 @@ trait CommitCoordinator {
     * older than the backend's grace window (measured on the backend's
     * own clock, so no cross-driver clock skew). */
   def pendingBody(key: String): Option[Array[Byte]] = None
+
+  /** Bulk [[release]] — reclaim hygiene; backends may batch. */
+  def releaseAll(keys: Seq[String]): Unit = keys.foreach(release)
 }
 
 /** JVM-wide coordinator: exact whenever all mutators of a table share
@@ -302,6 +315,22 @@ final class JdbcCommitCoordinator(url: String,
     try { ps.setString(1, digest(key)); ps.executeUpdate(); () }
     finally ps.close()
   }
+
+  /** Bulk release on ONE connection with a batched statement — every
+    * delete is a primary-key hit (digests, never pattern scans), so a
+    * vacuum forgetting thousands of reclaimed destinations costs one
+    * round trip per batch, not one connection per row. */
+  override def releaseAll(keys: Seq[String]): Unit =
+    if (keys.nonEmpty) withConn { c =>
+      ensureTable(c)
+      val ps = c.prepareStatement(
+        s"DELETE FROM $table WHERE dst_digest = ?")
+      try {
+        keys.foreach { k => ps.setString(1, digest(k)); ps.addBatch() }
+        ps.executeBatch()
+        ()
+      } finally ps.close()
+    }
 }
 
 /** Conditional-write commits: the coordinator decides the winner;
@@ -356,6 +385,9 @@ final class CoordinatedCommitStore(
     if (!ok) coordinator.release(k)
     ok
   }
+
+  override def forgetAll(f: FileSystem, dsts: Seq[Path]): Unit =
+    coordinator.releaseAll(dsts.map(key(f, _)))
 }
 
 object CommitStore {

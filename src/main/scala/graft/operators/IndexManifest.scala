@@ -690,8 +690,13 @@ private[operators] object IndexManifest {
           n.stripPrefix("ckpt_v") }
         .collect { case n if n.nonEmpty && n.forall(_.isDigit) => n.toLong }
         .sorted
-      all.dropRight(2).foreach(c =>
-        f.delete(new Path(s"$path/manifest/ckpt_v$c"), false))
+      val pruned = all.dropRight(2).map { c =>
+        val p = new Path(s"$path/manifest/ckpt_v$c")
+        f.delete(p, false); p
+      }
+      if (pruned.nonEmpty)
+        CommitStore.of(f, new Path(s"$path/manifest"))
+          .forgetAll(f, pruned)
       head
     }
   }
@@ -932,22 +937,40 @@ private[operators] object IndexManifest {
     // removes; a crash right after the bump costs only that fallback
     if (reclaimed.nonEmpty || geomPlan.exists(_._2.nonEmpty))
       bumpFence(spark, path)
+    // reclaim hygiene for coordinator-backed tables: collect every
+    // deleted claim destination (dirs' immediate children too — batch
+    // partitions / index segments were claimed individually) and drop
+    // their coordination rows in ONE bulk call after the deletes, so
+    // the register tracks the LIVE history. Children are listed BEFORE
+    // the recursive delete; exact keys only — primary-key deletes,
+    // never pattern scans.
+    val forgotten = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def deleteTracked(p: Path, recursive: Boolean): Unit = {
+      if (recursive)
+        scala.util.Try(f.listStatus(p)).toOption
+          .foreach(_.foreach(st => forgotten += st.getPath))
+      if (f.delete(p, recursive)) forgotten += p
+    }
     geomPlan.foreach { case (base, doomed, _) =>
-      doomed.foreach(w => f.delete(new Path(s"$path/${base}_v$w"), true))
+      doomed.foreach(w =>
+        deleteTracked(new Path(s"$path/${base}_v$w"), true))
     }
     val keptGeometry = geomPlan.flatMap(_._3).toSet
     reclaimed.foreach { v =>
-      f.delete(new Path(s"$path/${payloadBase}_v$v"), true)
+      deleteTracked(new Path(s"$path/${payloadBase}_v$v"), true)
       // segments at-or-below the cutoff are folded into every retained
       // version's payload (a retained version's masking segments are all
       // strictly above its payload, hence above the cutoff) — reclaim
       // every segment family
-      f.delete(new Path(s"$path/tombstones_v$v"), true)
-      f.delete(new Path(s"$path/deletes_v$v"), true)
-      f.delete(new Path(s"$path/eqdeletes_v$v"), true)
+      deleteTracked(new Path(s"$path/tombstones_v$v"), true)
+      deleteTracked(new Path(s"$path/deletes_v$v"), true)
+      deleteTracked(new Path(s"$path/eqdeletes_v$v"), true)
       if (!keptGeometry.contains(v))
-        f.delete(new Path(s"$path/manifest/v$v"), false)
+        deleteTracked(new Path(s"$path/manifest/v$v"), false)
     }
+    if (forgotten.nonEmpty)
+      CommitStore.of(f, new Path(s"$path/manifest"))
+        .forgetAll(f, forgotten.toSeq)
     // re-sync the checkpoint after the history rewrite (only where one
     // already exists — fresh index paths keep their exact layout): the
     // next read's fast path answers from the new checkpoint instead of

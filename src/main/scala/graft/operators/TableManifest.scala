@@ -2721,13 +2721,27 @@ object TableManifest {
     val now = System.currentTimeMillis
     val cur = IndexManifest.currentVersion(spark, path).getOrElse(-1L)
     var removed = 0
+    // coordinator hygiene: a crashed mutation's CLAIM row (coordinated
+    // store) blocks its slot just like its orphan dir does — forgetting
+    // the deleted destinations (and their claimed children) makes this
+    // sweep the one remediation for both. Exact keys, bulk release.
+    val forgotten =
+      scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.Path]
     def sweep(dir: String, matches: String => Boolean): Unit = {
       val d = new org.apache.hadoop.fs.Path(dir)
       if (f.exists(d)) f.listStatus(d).foreach { st =>
         if (matches(st.getPath.getName) &&
             now - st.getModificationTime > olderThanMs) {
+          val children =
+            if (st.isDirectory)
+              scala.util.Try(f.listStatus(st.getPath)).toOption
+                .map(_.map(_.getPath).toSeq).getOrElse(Nil)
+            else Nil
           if (f.delete(st.getPath, true)) {
             removed += 1
+            forgotten ++= children
+            forgotten += st.getPath
             log.warn(s"removed crashed-mutation orphan ${st.getPath}")
           }
         }
@@ -2755,6 +2769,10 @@ object TableManifest {
       sweep(d, n => n.startsWith("__batch=") &&
         n.stripPrefix("__batch=").toLongOption
           .exists(b => b >= UpdateBase && b - UpdateBase > cur)))
+    if (forgotten.nonEmpty)
+      graft.operators.CommitStore
+        .of(f, new org.apache.hadoop.fs.Path(s"$path/manifest"))
+        .forgetAll(f, forgotten.toSeq)
     removed
   }
 

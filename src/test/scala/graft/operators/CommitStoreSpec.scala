@@ -283,6 +283,49 @@ class CommitStoreSpec extends AnyFunSuite {
     } finally CommitStore.clearTestStores()
   }
 
+  test("reclaim hygiene: vacuum forgets the coordinator rows of the " +
+    "destinations it deletes — the register tracks LIVE history, and " +
+    "the table keeps committing") {
+    val path = java.nio.file.Files
+      .createTempDirectory("cs_jdbc_hygiene").toString
+    val url = "jdbc:derby:memory:cs_jdbc_hygiene;create=true"
+    CommitStore.installForTest(path,
+      new CoordinatedCommitStore(
+        coordinator = new JdbcCommitCoordinator(url)))
+    def rowCount(): Long = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT count(*) FROM GRAFT_COMMITS")
+        rs.next(); rs.getLong(1)
+      } finally c.close()
+    }
+    try {
+      TableManifest.commitSnapshot(
+        df((0L until 20L).map(i => (i, i))), path)
+      (1 to 6).foreach(i =>
+        TableManifest.append(df(Seq((100L + i, i.toLong))), path))
+      TableManifest.compactBatches(s, path)
+      val before = rowCount()
+      assert(before > 0, "commits must register")
+      val reclaimed = TableManifest.vacuum(s, path, keep = 1)
+      assert(reclaimed.nonEmpty, "vacuum must reclaim something")
+      val after = rowCount()
+      assert(after < before,
+        s"vacuum must forget reclaimed destinations ($before -> $after)")
+      // live history still registered: the head marker's row survives
+      val f = fs(path)
+      val head = IndexManifest.committedVersions(s, path).max
+      val headKey = f.makeQualified(
+        new Path(s"$path/manifest/v$head")).toUri.toString
+      assert(!new JdbcCommitCoordinator(url).tryAcquire(headKey),
+        "the live head's row must survive the forget")
+      // and the table still reads and commits normally
+      TableManifest.append(df(Seq((999L, 9L))), path)
+      assert(TableManifest.read(s, path).count() == 20L + 6L + 1L)
+    } finally CommitStore.clearTestStores()
+  }
+
   test("rename store REFUSES unverified-rename schemes unless " +
     "explicitly acknowledged") {
     // a local filesystem masquerading as s3a — only getUri differs
