@@ -72,6 +72,14 @@ trait CommitStore {
     * (the rename store keeps no memory). */
   def forgetAll(f: FileSystem, dsts: Seq[Path]): Unit = ()
 
+  /** Registrations under `under` older than `olderThanMs` whose memory
+    * the store still holds — lets the orphan sweep discover a claim
+    * whose winner died BEFORE any filesystem transition (a held row
+    * with no dir: invisible to listings, permanently blocking its
+    * slot). Default: none (the rename store keeps no memory). */
+  def staleRegistrations(f: FileSystem, under: Path,
+      olderThanMs: Long): Seq[Path] = Nil
+
   def name: String
 }
 
@@ -144,6 +152,15 @@ trait CommitCoordinator {
 
   /** Bulk [[release]] — reclaim hygiene; backends may batch. */
   def releaseAll(keys: Seq[String]): Unit = keys.foreach(release)
+
+  /** Held keys under `keyPrefix` registered at least `olderThanMs` ago
+    * (the backend's clock) — the orphan sweep's view of coordination
+    * memory, so registrations whose winner died BEFORE any filesystem
+    * transition (no dir, no file — nothing a listing can find) are
+    * still discoverable. Default: none (the in-JVM coordinator's
+    * crashed claimers die with the JVM). */
+  def heldKeysUnder(keyPrefix: String,
+      olderThanMs: Long): Seq[String] = Nil
 }
 
 /** JVM-wide coordinator: exact whenever all mutators of a table share
@@ -316,6 +333,38 @@ final class JdbcCommitCoordinator(url: String,
     finally ps.close()
   }
 
+  /** Aged registrations under a prefix — dst-pattern scan (the one
+    * non-PK query; runs only from the rare orphan sweep), aged on the
+    * database's clock like [[pendingBody]]. Keys whose stored dst was
+    * truncated (≥ 4096 chars) cannot round-trip and are skipped —
+    * their rows stay until the dir-driven forget covers them. */
+  override def heldKeysUnder(keyPrefix: String,
+      olderThanMs: Long): Seq[String] = withConn { c =>
+    ensureTable(c)
+    val esc = keyPrefix.replace("!", "!!")
+      .replace("%", "!%").replace("_", "!_")
+    val ps = c.prepareStatement(s"SELECT dst, acquired_at, " +
+      s"CURRENT_TIMESTAMP FROM $table " +
+      "WHERE (dst = ? OR dst LIKE ? ESCAPE '!')")
+    try {
+      ps.setString(1, keyPrefix.take(4096))
+      ps.setString(2, esc + "/%")
+      val rs = ps.executeQuery()
+      try {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (rs.next()) {
+          val dst = rs.getString(1)
+          val at = rs.getTimestamp(2)
+          val now = rs.getTimestamp(3)
+          if (dst != null && dst.length < 4096 && at != null &&
+              now != null && now.getTime - at.getTime >= olderThanMs)
+            out += dst
+        }
+        out.toSeq
+      } finally rs.close()
+    } finally ps.close()
+  }
+
   /** Bulk release on ONE connection with a batched statement — every
     * delete is a primary-key hit (digests, never pattern scans), so a
     * vacuum forgetting thousands of reclaimed destinations costs one
@@ -388,6 +437,11 @@ final class CoordinatedCommitStore(
 
   override def forgetAll(f: FileSystem, dsts: Seq[Path]): Unit =
     coordinator.releaseAll(dsts.map(key(f, _)))
+
+  override def staleRegistrations(f: FileSystem, under: Path,
+      olderThanMs: Long): Seq[Path] =
+    coordinator.heldKeysUnder(key(f, under), olderThanMs)
+      .map(new Path(_))
 }
 
 object CommitStore {

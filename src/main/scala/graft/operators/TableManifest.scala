@@ -2769,10 +2769,28 @@ object TableManifest {
       sweep(d, n => n.startsWith("__batch=") &&
         n.stripPrefix("__batch=").toLongOption
           .exists(b => b >= UpdateBase && b - UpdateBase > cur)))
-    if (forgotten.nonEmpty)
-      graft.operators.CommitStore
-        .of(f, new org.apache.hadoop.fs.Path(s"$path/manifest"))
-        .forgetAll(f, forgotten.toSeq)
+    val store = graft.operators.CommitStore
+      .of(f, new org.apache.hadoop.fs.Path(s"$path/manifest"))
+    if (forgotten.nonEmpty) store.forgetAll(f, forgotten.toSeq)
+    // GHOST registrations: a claim whose winner died BEFORE any
+    // filesystem transition holds a coordination row with NO dir —
+    // invisible to every listing above, permanently blocking its slot.
+    // The sweep's own horizon already assumes mutations finish within
+    // olderThanMs (pending staging dirs are swept on that basis), so
+    // an aged registration whose destination does not exist is dead by
+    // the same contract. Existence is re-checked AFTER the age filter,
+    // so a live commit registering now is never touched; a racing
+    // completion (pendingBody) is decided by the destination file — a
+    // released row only re-opens a slot the file does not yet protect.
+    val ghosts = store.staleRegistrations(f,
+        new org.apache.hadoop.fs.Path(path), olderThanMs)
+      .filterNot(p => f.exists(p))
+    if (ghosts.nonEmpty) {
+      store.forgetAll(f, ghosts)
+      removed += ghosts.size
+      ghosts.foreach(p =>
+        log.warn(s"released dead claim registration for $p"))
+    }
     removed
   }
 

@@ -326,6 +326,41 @@ class CommitStoreSpec extends AnyFunSuite {
     } finally CommitStore.clearTestStores()
   }
 
+  test("ghost registrations: a claim row whose winner died before ANY " +
+    "filesystem transition (no dir to sweep) is released by " +
+    "cleanOrphans; rows of existing destinations survive") {
+    val path = java.nio.file.Files
+      .createTempDirectory("cs_jdbc_ghost").toString
+    val url = "jdbc:derby:memory:cs_jdbc_ghost;create=true"
+    CommitStore.installForTest(path,
+      new CoordinatedCommitStore(
+        coordinator = new JdbcCommitCoordinator(url)))
+    try {
+      TableManifest.commitSnapshot(
+        df((0L until 10L).map(i => (i, i))), path)
+      val f = fs(path)
+      // the ghost: registered, then the driver died — no dir, no file
+      val ghostDst = f.makeQualified(
+        new Path(s"$path/data_v99")).toUri.toString
+      assert(new JdbcCommitCoordinator(url).tryAcquire(ghostDst))
+      // olderThanMs=0: everything is "aged" — the ghost must go, but
+      // EXISTING destinations' rows survive the existence re-check
+      TableManifest.cleanOrphans(s, path, olderThanMs = 0L)
+      val probe = new JdbcCommitCoordinator(url)
+      assert(probe.tryAcquire(ghostDst),
+        "ghost row must be released (slot re-claimable)")
+      probe.release(ghostDst)
+      val head = IndexManifest.committedVersions(s, path).max
+      val headKey = f.makeQualified(
+        new Path(s"$path/manifest/v$head")).toUri.toString
+      assert(!probe.tryAcquire(headKey),
+        "existing destinations keep their rows")
+      // the table still commits and reads
+      TableManifest.append(df(Seq((50L, 5L))), path)
+      assert(TableManifest.read(s, path).count() == 11L)
+    } finally CommitStore.clearTestStores()
+  }
+
   test("rename store REFUSES unverified-rename schemes unless " +
     "explicitly acknowledged") {
     // a local filesystem masquerading as s3a — only getUri differs
