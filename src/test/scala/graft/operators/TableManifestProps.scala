@@ -71,6 +71,82 @@ class TableManifestProps extends AnyFunSuite {
     finally CommitStore.clearTestStores()
   }
 
+  test("chaos WITH VACUUM through the seam: writers, readers, and a " +
+    "retention vacuum race over the broken store — aged history is " +
+    "reclaimed, racing commits stay protected, no read ever fails") {
+    val path = java.nio.file.Files
+      .createTempDirectory("tm_props_chaos_vac").toString
+    CommitStore.installForTest(path,
+      new CoordinatedCommitStore(
+        coordinator = new JdbcCommitCoordinator(
+          "jdbc:derby:memory:tm_chaos_vac;create=true"),
+        underlying = new BrokenRenameStore(pauseMs = 1)))
+    try {
+      // deep AGED history WITH FOLDS: only superseded payload versions
+      // are reclaimable (an unfolded append log keeps resolving through
+      // its one payload dir), so interleave appends with compactions —
+      // everything below the last fold's payload ages out
+      TableManifest.commitSnapshot(
+        df((0L until 50L).map(i => (i, i))), path)
+      (0 until 5).foreach(j =>
+        TableManifest.append(df(Seq((1000L + j, j.toLong))), path))
+      TableManifest.compactBatches(s, path)
+      (5 until 11).foreach(j =>
+        TableManifest.append(df(Seq((1000L + j, j.toLong))), path))
+      TableManifest.compactBatches(s, path)
+      val retainMs = 3000L
+      Thread.sleep(retainMs + 700)
+      // racing window: appenders keep the head FRESH (inside the
+      // retention horizon) while vacuum reclaims the aged tail and a
+      // reader loop resolves the live table throughout — the fence
+      // bump, checkpoint rewrite, and register forgets all happen
+      // under fire
+      val failures =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def worker(body: => Unit) = new Thread(() =>
+        try body catch { case t: Throwable => failures.add(t) })
+      val appenders = (0 until 2).map(a => worker {
+        (0 until 4).foreach { j =>
+          TableManifest.append(
+            df(Seq((2000L + a * 10 + j, 5L))), path)
+          Thread.sleep(10)
+        }
+      })
+      val vacuumer = worker {
+        Thread.sleep(30)
+        val r1 = TableManifest.vacuum(s, path, keep = 2,
+          retainMs = retainMs)
+        assert(r1.nonEmpty, "aged history must be reclaimable")
+        Thread.sleep(40)
+        TableManifest.vacuum(s, path, keep = 2, retainMs = retainMs)
+      }
+      val reader = worker {
+        (0 until 8).foreach { _ =>
+          val n = TableManifest.read(s, path).count()
+          assert(n >= 61L, s"reader saw a torn table: $n rows")
+          Thread.sleep(15)
+        }
+      }
+      val all = appenders ++ Seq(vacuumer, reader)
+      all.foreach(_.start()); all.foreach(_.join(120000))
+      assert(failures.isEmpty, s"chaos+vacuum workers threw: $failures")
+      val got = rowsOf(TableManifest.read(s, path))
+      val want = (
+        (0L until 50L).map(i => (i, i)) ++
+        (0L until 11L).map(j => (1000L + j, j)) ++
+        (for (a <- 0 until 2; j <- 0 until 4)
+          yield (2000L + a * 10 + j, 5L))
+      ).map(_ -> 1).toMap
+      assert(got == want,
+        s"end state diverged: missing=${want.keySet -- got.keySet} " +
+          s"extra=${got.keySet -- want.keySet}")
+      val vs = IndexManifest.committedVersions(s, path)
+      assert(vs == vs.distinct.sorted)
+      // vacuum genuinely reclaimed: history no longer starts at v0
+      assert(vs.head > 0L, "aged versions must be gone")
+    } finally CommitStore.clearTestStores()
+  }
+
   /** The full chaos workload against an empty temp `path`.
     * Effects are key-disjoint so the final state is order-independent:
     *  - base rows  [0, 100): survive, except...
