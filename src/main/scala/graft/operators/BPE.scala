@@ -57,6 +57,54 @@ object BPE {
     words.withColumn("bpe_syms", split(trim(reprN), " "))
   }
 
+  /** Winning pair of one round: max corpus-weighted adjacency count, ties
+    * broken lexicographically on (x, y) — collected as min(struct(-cnt,
+    * x, y)), whose struct ordering (cnt desc, then binary-UTF8 x asc,
+    * y asc) is exactly the orderBy the original formulation sorted with. */
+  private def argmaxPair(repr: DataFrame): Option[(String, String, Long)] =
+    repr
+      .select(explode(Text.shingles(trim(col("s")), 2)).as("bg"), col("c"))
+      .select(substring_index(col("bg"), " ", 1).as("x"),
+        substring_index(col("bg"), " ", -1).as("y"), col("c"))
+      .groupBy(col("x"), col("y")).agg(sum(col("c")).as("cnt"))
+      .groupBy()
+      .agg(min(struct((-col("cnt")).as("nc"), col("x"), col("y"))).as("b"))
+      .collect().toSeq
+      .flatMap(r => Option(r.getStruct(0)).map(b =>
+        (b.getString(1), b.getString(2), -b.getLong(0))))
+      .headOption
+
+  /** One pass over a merged representation producing BOTH per-round
+    * aggregates: the symbol-inventory size after the merge just applied
+    * AND the next round's argmax pair. Bigrams and unigrams ride one
+    * explode (tagged structs), so each round is ONE job where the
+    * original loop ran two (argmax, then distinct-count) — the per-round
+    * driver hop stays a 2-row collect. */
+  private def roundAgg(next: DataFrame)
+      : (Option[(String, String, Long)], Long) = {
+    val rows = next
+      .select(explode(concat(
+          transform(Text.shingles(trim(col("s")), 2),
+            b => struct(lit(0).as("t"), b.as("g"))),
+          transform(split(trim(col("s")), " "),
+            u => struct(lit(1).as("t"), u.as("g"))))).as("e"),
+        col("c"))
+      .select(col("e.t").as("t"), col("e.g").as("g"), col("c"))
+      .groupBy(col("t"), col("g")).agg(sum(col("c")).as("cnt"))
+      .select(col("t"),
+        substring_index(col("g"), " ", 1).as("x"),
+        substring_index(col("g"), " ", -1).as("y"), col("cnt"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n"),
+        min(struct((-col("cnt")).as("nc"), col("x"), col("y"))).as("b"))
+      .collect()
+    val best = rows.find(_.getInt(0) == 0).map { r =>
+      val b = r.getStruct(2); (b.getString(1), b.getString(2), -b.getLong(0))
+    }
+    val nSym = rows.find(_.getInt(0) == 1).map(_.getLong(1)).getOrElse(0L)
+    (best, nSym)
+  }
+
   /** Learn up to `nMerges` merges from a (word, count) table. Stops early
     * if no adjacent pair remains (every word fused to one symbol). */
   def learnMerges(words: DataFrame, wordCol: String, countCol: String,
@@ -67,29 +115,20 @@ object BPE {
       col(countCol).cast("long").as("c"))
       .cache()
     val out = Seq.newBuilder[Merge]
+    // seed argmax over the initial representation; every later round's
+    // argmax rides the SAME job as that round's symbol count (roundAgg),
+    // so the loop runs 1 + rounds jobs instead of 2×rounds
+    var pending = argmaxPair(repr)
     var step = 1
-    var exhausted = false
-    while (step <= nMerges && !exhausted) {
-      val top = repr
-        .select(explode(Text.shingles(trim(col("s")), 2)).as("bg"), col("c"))
-        .select(substring_index(col("bg"), " ", 1).as("x"),
-          substring_index(col("bg"), " ", -1).as("y"), col("c"))
-        .groupBy(col("x"), col("y")).agg(sum(col("c")).as("cnt"))
-        .orderBy(col("cnt").desc, col("x"), col("y"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val r = top.head
-        val (x, y, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
-        val next = repr.withColumn("s", mergeOne(col("s"), x, y)).cache()
-        val nSym = next
-          .select(explode(split(trim(col("s")), " ")).as("sym"))
-          .distinct().count()
-        out += Merge(step, x, y, cnt, nSym)
-        repr.unpersist()
-        repr = next
-        step += 1
-      }
+    while (step <= nMerges && pending.nonEmpty) {
+      val (x, y, cnt) = pending.get
+      val next = repr.withColumn("s", mergeOne(col("s"), x, y)).cache()
+      val (nextBest, nSym) = roundAgg(next)
+      out += Merge(step, x, y, cnt, nSym)
+      repr.unpersist()
+      repr = next
+      step += 1
+      pending = nextBest
     }
     repr.unpersist()
     out.result()

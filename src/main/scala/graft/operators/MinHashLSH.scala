@@ -315,7 +315,16 @@ object MinHashLSH {
     // modality-split pipeline with an empty side (no audio items, say)
     // degrades to zero pairs rather than crashing the whole run
     if (n == 0) return cands.min
-    val shuffleWeight = 128
+    // Re-measured round 15 (idle box, 5k-item phash corpus, mh=12): one
+    // shuffled probe row costs ~1.8 µs, one in-bucket joined candidate
+    // check ~50 ns — ratio ≈36, not the 128 the round-12 Stress phashauto
+    // calibration (which only had to separate 8- from 16-bit at 100k)
+    // implied. At 128 the model held 4-bit bands to ~10k items, where the
+    // 25M-candidate quadratic term measures 1.35 s vs 8-bit's 0.64 s
+    // (bit-identical output). 32 moves the 4→8 crossover to ~2.5k and the
+    // 8→16 crossover to ~370k; the 100k regime still picks 8-bit (Stress
+    // phashauto re-run green, SCALE.md r15 row).
+    val shuffleWeight = 32
     def cost(b: Int): BigInt = {
       val bands = (bits + b - 1) / b
       val s = maxHamming / bands

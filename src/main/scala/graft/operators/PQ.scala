@@ -160,7 +160,12 @@ object PQ {
       vecCol: String, labelCol: String, k: Int,
       subspaces: Int, subDim: Int,
       codes: Option[DataFrame] = None): DataFrame = {
+    // the codebook (labels×subspaces rows, metadata-sized) feeds BOTH the
+    // query LUT and corpus encoding — materialize it once instead of
+    // re-running the corpus-wide training aggregate per consumer (the
+    // same cut ivfPqTrain applies to its quantizer artifacts)
     val cb = codebook(corpus, labelCol, vecCol, subspaces, subDim)
+      .localCheckpoint(true)
     val lut = subvectors(queries, idCol, vecCol, subspaces, subDim)
       .withColumnRenamed("vec_id", "query_id")
       .join(broadcast(cb), Seq("s"))

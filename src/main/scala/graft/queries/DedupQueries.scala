@@ -392,6 +392,12 @@ object DedupQueries {
             transform(Text.unicodeTokens(expr(Text.DecoratedTextSql)),
               t => Text.polyHash(t)))
           .select(col("doc_id"), Text.simhash30("__tokh").as("sh"))
+          // materialize the 2-longs-per-doc hash table once: the banded
+          // self-join consumes it on both sides, and without the cut the
+          // tokenize+polyhash+simhash text pass runs twice (measured 8.8
+          // → 1.9 s at sf0.1 — the same cut every media phash/audio call
+          // site already applies to its dHash/fingerprint table)
+          .localCheckpoint(true)
         MinHashLSH.simhashBandPairs(sh, "doc_id", "sh",
             maxHamming = 6, bits = 30,
             probePred = id => id % 20 === 0)

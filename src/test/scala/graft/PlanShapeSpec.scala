@@ -328,14 +328,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"edges⋈dist must be an equi-join:\n$s")
   }
 
-  test("popcount ANN: the coarse Hamming scan never carries the vector " +
-    "payload, and the rerank joins broadcast") {
+  test("popcount ANN: the coarse stage is the single-pass bounded-buffer " +
+    "scan (no pair-expansion loop join), and the rerank joins broadcast") {
     val p = plan("q_hamming_rerank")
     val s = render(p)
-    // loop joins appear twice legitimately: the condition-free 1-row
-    // thresholds cross join (may carry the vector column it thresholds),
-    // and the CONDITIONED id≠id pair expansions — the latter are the
-    // coarse scans and must move 16-byte code rows, never an array
+    // round 15 switched the benched query to the partitioned coarse path
+    // (hammingRerankTopKPartitioned — spec-proven equal to the
+    // declarative pair join in BinaryQuantSpec): the CONDITIONED id≠id
+    // pair-expansion loop joins must now be GONE entirely; the only loop
+    // join allowed is the condition-free 1-row thresholds cross join
     val loops = (p +: p.collect {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           a.executedPlan
@@ -343,11 +344,10 @@ class PlanShapeSpec extends AnyFunSuite {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
           if j.condition.isDefined => j
     })
-    assert(loops.nonEmpty, s"expected the coarse code-scan loop join:\n$s")
-    loops.foreach { j =>
-      assert(!j.output.exists(_.dataType.typeName.startsWith("array")),
-        s"coarse pair expansion must not materialize vectors:\n$s")
-    }
+    assert(loops.isEmpty,
+      s"partitioned coarse scan must not plan a pair-expansion loop join:\n$s")
+    assert(s.contains("MapPartitions"),
+      s"expected the bounded-buffer coarse scan:\n$s")
     assert(s.contains("BroadcastHashJoin"),
       s"candidate/vector fetch must be broadcast equi-joins:\n$s")
     assert(!s.contains("CartesianProduct"), s)
