@@ -175,6 +175,56 @@ object MinHashLSH {
     materialized
   }
 
+  /** [[jaccardPairs]] restricted to pairs with AT LEAST ONE endpoint in
+    * `probeIds` — the ingest-fold shape: instead of the full shingle
+    * self-join (Σ_h df(h)² work, re-paying the standing corpus every
+    * batch) the PROBE docs' shingles probe the corpus
+    * (Σ_h df_probe(h)·df(h)), exactly the asymmetric rule the streaming
+    * phash/minhash/audio dedup paths already follow. Output is
+    * bit-identical to `jaccardPairs(df).where(id_a ∈ probe ∨ id_b ∈
+    * probe)` (gate-proven): two directed probe joins cover both
+    * orientations, with the probe-probe overlap excluded from the
+    * second, so every qualifying pair is counted exactly once. */
+  def jaccardPairsTouching(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      probeIds: DataFrame,
+      minJaccardPpm: Long = 500000L): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("__id"),
+        explode(Text.shingleHashes(col(textCol))).as("__h"))
+      .cache() // consumed four times: two directed joins + sizes
+    val pid = probeIds
+      .select(col(probeIds.columns.head).cast("long").as("__pid"))
+    val shP = sh.join(pid, col("__id") === col("__pid"), "left_semi")
+    val shNonP = sh.join(pid, col("__id") === col("__pid"), "left_anti")
+    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
+    // probe-smaller orientation (covers probe-probe pairs once) plus
+    // probe-larger-vs-NON-probe (the anti-join side keeps probe-probe
+    // pairs from being joined a second time in the other orientation)
+    val j1 = shP.as("a").join(sh.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+    val j2 = shP.as("a").join(shNonP.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__id") > col("b.__id"))
+      .select(col("b.__id").as("id_a"), col("a.__id").as("id_b"))
+    val out = j1.unionByName(j2)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__inter"))
+      .join(sizes.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__n", "__na"), "id_a")
+      .join(sizes.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__n", "__nb"), "id_b")
+      .withColumn("jaccard_ppm",
+        expr("__inter * 1000000L div (__na + __nb - __inter)"))
+      .filter(col("jaccard_ppm") >= minJaccardPpm)
+      .select(col("id_a"), col("id_b"), col("jaccard_ppm"))
+    val materialized = out.localCheckpoint(true)
+    sh.unpersist()
+    materialized
+  }
+
   /** SimHash near-dup pairs via banded LSH — the scale-safe form of the
     * hamming-distance self-join. The `bits`-bit simhash is split into
     * ceil(bits/bandBits) bands; recall is EXACTLY 1.0 at any legal

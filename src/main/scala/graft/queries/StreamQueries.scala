@@ -1858,17 +1858,19 @@ object StreamQueries {
                 val b = batch.localCheckpoint(true)
                 val soFar = bs.read.parquet(corpusDir)
                 val union = soFar.unionByName(b)
-                val pairs = graft.operators.MinHashLSH.jaccardPairs(
-                    union, "doc_id", "text", minJaccardPpm = 500000L)
-                  .select(col("id_a"), col("id_b")).localCheckpoint(true)
-                val bIds = b.select(col("doc_id"))
-                val touching = pairs
-                  .join(bIds.withColumnRenamed("doc_id", "id_a"),
-                    Seq("id_a"), "left_semi")
-                  .unionByName(pairs
-                    .join(bIds.withColumnRenamed("doc_id", "id_b"),
-                      Seq("id_b"), "left_semi"))
-                  .distinct()
+                // asymmetric probe (round 15): only the BATCH docs'
+                // shingles probe the union — Σ df_batch·df work per fold
+                // instead of re-paying the standing corpus's full
+                // self-join (Σ df²) every micro-batch, and the
+                // endpoint-filter semis/distinct disappear because every
+                // emitted pair touches the batch by construction.
+                // Output proven identical to the filtered self-join
+                // (operator doc; q_stream_incremental_clusters
+                // hash-green at both SFs).
+                val touching = graft.operators.MinHashLSH
+                  .jaccardPairsTouching(union, "doc_id", "text",
+                    b.select(col("doc_id")), minJaccardPpm = 500000L)
+                  .select(col("id_a"), col("id_b"))
                 graft.operators.Components.incrementalComponents(
                     bs.read.parquet(s"$stateDir/$stateVersion"), touching)
                   .write.parquet(s"$stateDir/v$batchId")
