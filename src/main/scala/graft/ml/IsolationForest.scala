@@ -82,13 +82,6 @@ object IsolationForest {
     if (n <= 1) 1.0
     else 2.0 * (math.log(n - 1.0) + 0.5772156649) - 2.0 * (n - 1.0) / n
 
-  @annotation.tailrec
-  private def pathLength(t: Tree, x: Array[Double], depth: Int): Double = t match {
-    case Leaf(size) => depth + (if (size > 1) c(size) else 0.0)
-    case Split(f, thr, l, r) =>
-      if (x(f) < thr) pathLength(l, x, depth + 1) else pathLength(r, x, depth + 1)
-  }
-
   private def build(rows: Array[Array[Double]], depth: Int, maxDepth: Int,
       rng: Random): Tree = {
     if (rows.length <= 1 || depth >= maxDepth) Leaf(rows.length)
