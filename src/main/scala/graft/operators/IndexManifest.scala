@@ -276,7 +276,9 @@ private[operators] object IndexManifest {
     *    in-flight delete segment at the same number).
     *
     * Empty/unparseable bodies (markers from before watermarks) read as
-    * `wm = Long.MaxValue` — no append filtering, the old semantics. */
+    * `wm = Long.MaxValue` — no append filtering, the old semantics. An
+    * empty body is first RETRIED as an in-flight torn placement (see
+    * the loop below) — only a persistently-empty marker reads legacy. */
   final case class MarkerInfo(wm: Long, uwm: Long, kind: String)
 
   def markerInfoAt(spark: SparkSession, path: String,
@@ -305,11 +307,30 @@ private[operators] object IndexManifest {
         val in = f.open(m)
         body = try scala.io.Source.fromInputStream(in).mkString.trim
         finally in.close()
-        done = true
+        // An EMPTY body on an EXISTING marker is (with today's writers)
+        // an IN-FLIGHT placement, not a committed state: stores without
+        // atomic single-file visibility (a non-atomic PUT, a copy-based
+        // rename) expose the file created-but-unwritten for a moment,
+        // and no current writer ever commits an empty marker (tagged
+        // k=v bodies since the watermark split; numeric watermarks
+        // before it). Treating that moment as the legacy
+        // "wm=MaxValue, uwm=-1" record is how the CommitStoreSpec chaos
+        // arm lost unkeyed appends: a compactor pinning a mid-write
+        // head derived a view with uwm=-1 — every unkeyed batch
+        // invisible — and committed the fold as a snapshot. So: retry
+        // the torn read like the checksum window below; only after the
+        // budget does the (documented, pre-watermark-legacy) empty
+        // interpretation apply.
+        if (body.isEmpty && attempt < 8) Thread.sleep(10L * attempt)
+        else done = true
       } catch {
         case _: java.io.FileNotFoundException if !f.exists(m) =>
           return MarkerInfo(Long.MaxValue, -1L, "")
         case _: org.apache.hadoop.fs.ChecksumException if attempt < 8 =>
+          Thread.sleep(10L * attempt)
+        case _: java.io.EOFException if attempt < 8 =>
+          // same torn-placement window, surfaced as a short read when
+          // the data file (not just its .crc) is still mid-write
           Thread.sleep(10L * attempt)
         case _: java.io.FileNotFoundException if attempt < 8 =>
           // exists() says present but open missed it: the placement

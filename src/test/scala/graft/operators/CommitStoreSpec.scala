@@ -80,6 +80,31 @@ class CommitStoreSpec extends AnyFunSuite {
     assert(f.exists(dst))
   }
 
+  test("torn marker placement: a reader landing on a created-but-" +
+    "unwritten marker resolves the COMMITTED body, never the legacy " +
+    "empty record (the uwm=-1 read that lost unkeyed appends)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("cs_torn_marker").toString
+    val f = fs(path)
+    f.mkdirs(new Path(s"$path/manifest"))
+    val dst = new Path(s"$path/manifest/v3")
+    // a writer mid-PUT: file exists, body lands 60 ms later — the
+    // window a non-atomic store exposes between create and write
+    val writer = new Thread(() => {
+      val out = f.create(dst, true)
+      try { Thread.sleep(60); out.write(
+        "wm=7\nuwm=42\nkind=append"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+      finally out.close()
+    })
+    writer.start()
+    Thread.sleep(10) // land INSIDE the torn window
+    val info = IndexManifest.markerInfoAt(s, path, 3L)
+    writer.join()
+    assert(info == IndexManifest.MarkerInfo(7L, 42L, "append"),
+      s"torn read must resolve the committed body, got $info")
+  }
+
   test("chaos through the seam: concurrent appenders + a deleter + a " +
     "compactor over the coordinated store on a rename-atomicity-broken " +
     "filesystem — every effect lands exactly once") {

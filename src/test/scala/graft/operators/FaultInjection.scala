@@ -39,7 +39,13 @@ private[operators] final class BrokenRenameStore(pauseMs: Long)
     if (f.exists(dst)) return false
     Thread.sleep(pauseMs)
     val out = f.create(dst, true) // overwriting PUT — S3-style
-    try out.write(body) finally out.close()
+    // hold the file VISIBLY EMPTY before the body lands: the torn
+    // single-file window copy-based stores expose (created, unwritten).
+    // This is what silently lost every unkeyed append in the chaos arm
+    // when a compactor read the mid-write head as a legacy empty marker
+    // (uwm=-1) — widened here so the reader-side torn-marker retry is
+    // exercised DETERMINISTICALLY, not only when thread timing colludes.
+    try { Thread.sleep(pauseMs); out.write(body) } finally out.close()
     winners.incrementAndGet()
     true
   }
