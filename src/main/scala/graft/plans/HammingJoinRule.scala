@@ -260,8 +260,20 @@ object HammingJoinRule extends Rule[LogicalPlan] {
       cond: Expression, bound: HammingBound, bandBits: Int, bandsPerCol: Int,
       s: Int, flips: Seq[Long]): LogicalPlan = {
     val bands = bound.pairs.length * bandsPerCol
-    val (probe, aBk) = banded(left, bound.pairs.map(_._1), bands, bandBits,
+    val (probeGen, aBk) = banded(left, bound.pairs.map(_._1), bands, bandBits,
       bandsPerCol, flips, "__graft_bk_a")
+    // hash-cluster the probe entries on the join's (band, key) — exactly
+    // the repartition the DataFrame operator applies (bandTwoHalves'
+    // repartitionKeys) and the shuffle its measured cost model prices
+    // (SHUFFLE_WEIGHT · n·bands·probes tiny rows). Without it the probe
+    // stream keeps the INPUT's partitioning, and when the reference side
+    // broadcasts, the in-bucket candidate checks run at input parallelism
+    // (a checkpointed 2-partition hash table measured the whole join ~2×
+    // the operator's); when the reference side is big, the same exchange
+    // satisfies the sort-merge join's own clustering requirement, so no
+    // second shuffle appears.
+    val probe = RepartitionByExpression(
+      Seq(GetStructField(aBk, 0), GetStructField(aBk, 1)), probeGen, None)
     val (exact, bBk) = banded(right, bound.pairs.map(_._2), bands, bandBits,
       bandsPerCol, Seq(0L), "__graft_bk_b")
     val bandOf = GetStructField(aBk, 0)
@@ -280,8 +292,15 @@ object HammingJoinRule extends Rule[LogicalPlan] {
           (EqualTo(bandOf, Literal(b)), earlierMiss)
         },
         Some(Literal.TrueLiteral)) // band 0 has no earlier bands
+    // residual order matters for cost, not semantics: the ORIGINAL
+    // condition (id inequality + the 2-popcount Hamming bound) is cheap
+    // and rejects almost every in-bucket candidate, while the first-band
+    // guard's CASE evaluates up to bands-1 band popcounts — so the guard
+    // runs LAST, only on pairs that already qualified (measured on the
+    // 5k-item phash fixture: guard-first evaluated the CASE on every
+    // candidate and cost ~2× the operator's banded join)
     val newJoin = Join(probe, exact, Inner,
-      Some(And(And(equi, firstBand), cond)), JoinHint.NONE)
+      Some(And(And(equi, cond), firstBand)), JoinHint.NONE)
     Project(j.output, newJoin)
   }
 }
